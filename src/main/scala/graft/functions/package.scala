@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pure column functions of the engine — the scalar/collection surface
+  * of SURVEY.md §2.7/§2.8, re-expressed as codegen-friendly Catalyst
+  * built-in compositions (no UDFs in the hot path).
+  *
+  * Reference semantics studied at (all paths under /root/reference/):
+  *  - parse_attributes: utils/importer/ETL.py:67-83
+  *  - parse_custom_attributes: utils/custom_attributes_parser.py:14-23
+  *  - parse_array (URL extraction): utils/importer/ETL.py:58-65
+  *  - clean_string: utils/importer/ETL.py:40-44
+  *  - img-array cleaning: utils/product_collection_img_array_processor.py:30-52
+  *  - <img src> extraction: utils/details_translator/db_orchestrator.py:65-68
+  *  - decimal comma fix: utils/importer/ETL.py:503-504
+  *  - '.0' SKU suffix strip: utils/fix_sku_dot_zero.py:128 (intended
+  *    exact-suffix semantics; the reference's rstrip('.0') char-class
+  *    bug is deliberately NOT replicated)
+  *  - filename sanitization: utils/html_to_pdf/html_to_pdf_printer.py:18-19
+  */
+package object functions {
+
+  /** Mersenne-ish prime used for 31-bit hash folding (fits all
+    * intermediate products in a signed 64-bit without overflow). */
+  val HashPrime31: Long = 2147483647L
+
+  /** clean_string: trim, identity on null. */
+  def cleanString(c: Column): Column = trim(c)
+
+  /** Deterministic id from natural-key columns — substitute for the
+    * reference's uuid4 (utils/importer/ETL.py:36-38) so results are
+    * oracle-hashable. sha256 of the '|'-joined key, formatted as a
+    * 36-char uuid-shaped string. */
+  def deterministicId(cols: Column*): Column = {
+    val h = sha2(concat_ws("|", cols: _*), 256)
+    concat_ws(
+      "-",
+      substring(h, 1, 8),
+      substring(h, 9, 4),
+      substring(h, 13, 4),
+      substring(h, 17, 4),
+      substring(h, 21, 12))
+  }
+
+  /** Stable 60-bit non-negative hash of a string: first 15 hex chars of
+    * md5, base-16 decoded. Reproducible in any engine with md5. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Stable 31-bit non-negative hash (mod 2^31-1); safe to combine
+    * linearly (a*h+b) inside 64-bit arithmetic. */
+  def hash31(c: Column): Column = hash60(c) % HashPrime31
+
+  /** parse_attributes — 'k1:v1-k2:v2;k3:v3' → array<struct<attr_key,
+    * attr_value>>. Split on '-', then ';', keep segments containing
+    * ':', split on the FIRST ':' only, trim both sides. */
+  def attributePairs(raw: Column): Column = {
+    val segments = flatten(
+      transform(split(coalesce(raw, lit("")), "-"), s => split(s, ";")))
+    val withColon = filter(segments, s => instr(s, ":") > 0)
+    transform(
+      withColon,
+      s => {
+        val kv = split(s, ":", 2)
+        struct(
+          trim(element_at(kv, 1)).as("attr_key"),
+          trim(element_at(kv, 2)).as("attr_value"))
+      })
+  }
+
+  /** parse_array — any string → array of http(s) URLs it contains. */
+  def extractUrls(c: Column): Column =
+    coalesce(
+      regexp_extract_all(c, lit("""https?://[^\s,\]]+"""), lit(0)),
+      array())
+
+  /** img-array cleaning: strip brace/quote cruft per element, keep only
+    * http(s) members. */
+  def cleanImgArray(arr: Column): Column =
+    filter(
+      transform(coalesce(arr, array()),
+        x => regexp_replace(trim(x), """^["\[\]']+|["\[\]']+$""", "")),
+      x => x.startsWith("http://") || x.startsWith("https://"))
+
+  /** <img src="..."> extraction from an HTML string. */
+  def extractImgSrcs(html: Column): Column =
+    coalesce(
+      regexp_extract_all(html,
+        lit("""<img[^>]*src=["']([^"']+)["']"""), lit(1)),
+      array())
+
+  /** European decimal-comma numeric string → DoubleType
+    * ("1 234,56" → 1234.56). */
+  def fixDecimalComma(c: Column): Column =
+    regexp_replace(regexp_replace(c, """[\s ]""", ""), ",", ".")
+      .cast("double")
+
+  /** Exact-suffix '.0' strip (NOT char-class rstrip). */
+  def stripDotZero(c: Column): Column =
+    regexp_replace(c, """\.0$""", "")
+
+  /** Filename sanitization: forbidden chars → '_', cap at 100 chars. */
+  def sanitizeFilename(c: Column): Column =
+    substring(regexp_replace(c, """[\\/*?:"<>|]""", "_"), 1, 100)
+
+  // ----- text-analysis primitives (LLM-pipeline surface) -----
+
+  /** Lowercase, strip punctuation to spaces, collapse whitespace. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(coalesce(c, lit(""))), """[^\p{L}\p{N}\s]""", " "),
+      """\s+""", " "))
+
+  /** Whitespace tokens of normalized text (empty array for blank). */
+  def tokens(c: Column): Column = {
+    val n = normalizeText(c)
+    when(n === "", array()).otherwise(split(n, " "))
+  }
+
+  /** Word n-gram shingles, space-joined. */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < n, array()).otherwise(
+      transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+  }
+
+  /** Polynomial rolling hash over the token stream (order-sensitive
+    * document fingerprint): fold (acc*31 + hash31(tok)) mod (2^31-1). */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(
+      tokens(c),
+      lit(0L),
+      (acc, t) => (acc * 31L + hash31(t)) % HashPrime31)
+
+  // ----- vector primitives (shared by Similarity/Dedup) -----
+
+  /** Dot product of two numeric arrays via an ORDERED left fold —
+    * element order is the summation order, so the resulting double is
+    * bit-identical across engines that fold sequentially. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity in double precision with ordered folds. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All formulations are distributed-first: candidate generation goes
+  * through an equi-join key (hash, shingle, band bucket, simhash band)
+  * so the plan is shuffle-on-key + within-bucket work — never an O(n²)
+  * cross join. At 100 TB the bucket join is the only shape that
+  * survives; brute-force pairing exists only inside buckets.
+  *
+  * Hashes are md5-derived (`graft.functions.hash31/hash60`) so every
+  * number is reproducible in any engine — needed for oracle testing
+  * and for cross-run determinism of candidate sets.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative row per key (smallest tieBreak).
+    * A groupBy-shaped window, shuffles once on the key. */
+  def exactByKey(df: DataFrame, keyCols: Seq[String],
+      tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tieBreak).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact content dedup on normalized text (md5 fingerprint groups;
+    * representative = min id). Returns (fingerprint, rep_id, dup_count). */
+  def exactTextGroups(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(md5(normalizeText(col(textCol))).as("fingerprint"),
+        col(idCol))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("rep_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** MinHash signature: k independent permutation-style hash functions
+    * h_i(s) = (A_i * hash31(s) + B_i) mod (2^31-1), min over the doc's
+    * DISTINCT shingles. Returns the input plus `sig` array<long>.
+    * One narrow map per row; no shuffle. */
+  def withMinHashSignature(df: DataFrame, textCol: String,
+      shingleSize: Int, k: Int): DataFrame = {
+    val sh = array_distinct(shingles(col(textCol), shingleSize))
+    val sig = transform(sequence(lit(0), lit(k - 1)), i => {
+      val a = i * 2L + 3L // odd multipliers 3,5,7,...
+      val b = i * 13L + 7L
+      when(size(sh) === 0, lit(HashPrime31))
+        .otherwise(array_min(transform(sh,
+          s => (a * hash31(s) + b) % HashPrime31)))
+    })
+    df.withColumn("sig", sig)
+  }
+
+  /** MinHash + LSH candidate pairs: band the signature, bucket-join on
+    * (band, band-slice), emit each unordered pair once with its
+    * estimated Jaccard = fraction of agreeing signature positions.
+    * Shuffle key is the band bucket — the LSH scale path. */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rowsPerBand = k / bands
+    val signed = withMinHashSignature(df, textCol, shingleSize, k)
+      .select(col(idCol).as("id"), col("sig"))
+    val banded = signed.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket",
+        md5(concat_ws(",",
+          col("band"),
+          array_join(slice(col("sig"), col("band") * rowsPerBand + 1,
+            lit(rowsPerBand)), ","))))
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / k.toDouble)
+          .as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity via the distributed shingle-join:
+    * explode distinct shingles, self-join on shingle (the only shuffle
+    * key), count common shingles per pair, then
+    * J = common / (|A| + |B| - common). Exact integer arithmetic until
+    * one final double division. Emits pairs with jaccard >= threshold. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.select(col("id").as("id_a"), col("shingle"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+  }
+
+  /** SimHash over distinct tokens, `bits` wide (<= 32): majority vote
+    * per bit of each token's md5-derived hash. Ties (sum == 0) set the
+    * bit, matching `vote >= 0`. Narrow map + one explode/groupBy. */
+  def withSimHash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val voteCols: Seq[Column] = (0 until bits).map(i =>
+      sum(when((shiftright(col("h"), i) % 2) === 1, 1).otherwise(-1))
+        .as(s"v$i"))
+    val agg = toks.withColumn("h", hash31(col("tok")))
+      .groupBy(idCol).agg(voteCols.head, voteCols.tail: _*)
+    val simhash = (0 until bits).map(i =>
+      when(col(s"v$i") >= 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    df.join(agg.select(col(idCol), simhash.as("simhash")), Seq(idCol), "left")
+      .withColumn("simhash", coalesce(col("simhash"), lit(0L)))
+  }
+
+  /** Near-dup candidate pairs whose simhash values are equal (for
+    * small `bits`) — bucket join on the simhash itself. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame = {
+    val s = withSimHash(df, idCol, textCol, bits)
+      .select(col(idCol).as("id"), col("simhash"))
+    s.select(col("id").as("id_a"), col("simhash"))
+      .join(s.select(col("id").as("id_b"), col("simhash")), Seq("simhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "simhash")
+  }
+
+  /** Embedding near-duplicates: LSH-bucketed cosine (see Similarity) —
+    * pairs in the same random-hyperplane bucket with cosine >= threshold. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, threshold: Double): DataFrame =
+    Similarity.lshCosinePairs(df, idCol, vecCol, planes)
+      .filter(col("cosine") >= threshold)
+}

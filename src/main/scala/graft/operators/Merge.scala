@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The load layer — set-based replacements for the reference's
+  * row-at-a-time upsert/insert/delete loops (SURVEY.md §2.6).
+  *
+  * Every operation is a pure DataFrame → DataFrame transform; writers
+  * decide atomicity (temp dir + rename). All merges are formulated as
+  * anti-join + union so they broadcast the small side and never
+  * collect to the driver — the reference's N+1 point-query pattern
+  * (/root/reference/utils/importer/ETL.py:512-556) becomes one join.
+  *
+  * Scale notes: `existing` is assumed big (fact-table sized); `updates`
+  * / `inserts` / `tombstones` are assumed small-to-medium (a batch).
+  * Catalyst/AQE picks broadcast-hash for the batch side automatically;
+  * when both sides are huge the same plans degrade gracefully to
+  * sort-merge on the key, which is the correct 100 TB behavior.
+  */
+object Merge {
+
+  /** Full-row upsert by natural key: rows of `updates` replace matching
+    * rows of `existing`; unmatched update rows are inserted.
+    * Reference: check-then-update-else-insert loops
+    * /root/reference/utils/importer/ETL.py:167-203,559-595. */
+  def upsertByKey(existing: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame =
+    existing.join(updates.select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
+      .unionByName(updates)
+
+  /** Partial-column upsert: only `updateCols` are taken from `updates`
+    * (null update values keep the existing value — the reference's
+    * COALESCE/null-guard update semantics,
+    * /root/reference/utils/importer/migrate_product_inheritance.py:96-99).
+    * Unmatched update rows are inserted with nulls for the untouched
+    * columns. */
+  def upsertPartial(existing: DataFrame, updates: DataFrame,
+      keys: Seq[String], updateCols: Seq[String]): DataFrame = {
+    val e = existing.alias("e")
+    val u = updates.alias("u")
+    val cond = keys.map(k => col(s"e.$k") <=> col(s"u.$k")).reduce(_ && _)
+    val joined = e.join(u, cond, "full_outer")
+    val outCols = existing.columns.map { c =>
+      if (keys.contains(c)) coalesce(col(s"e.$c"), col(s"u.$c")).as(c)
+      else if (updateCols.contains(c)) coalesce(col(s"u.$c"), col(s"e.$c")).as(c)
+      else col(s"e.$c").as(c)
+    }
+    joined.select(outCols.toSeq: _*)
+  }
+
+  /** Insert-if-absent (ON CONFLICT DO NOTHING): append only rows whose
+    * key is not already present; dedup inserts on the key first.
+    * Reference: /root/reference/utils/custom_attributes_parser.py:64-72. */
+  def insertIfAbsent(existing: DataFrame, inserts: DataFrame,
+      keys: Seq[String]): DataFrame =
+    existing.unionByName(
+      inserts.dropDuplicates(keys).join(existing, keys, "left_anti"))
+
+  /** Batched DELETE by key set — as one anti-join, replacing the
+    * reference's 100-row DELETE batches
+    * (/root/reference/utils/importer/cleanup_incorrect_products.py:77-126). */
+  def deleteByKeys(target: DataFrame, tombstones: DataFrame,
+      keys: Seq[String]): DataFrame =
+    target.join(tombstones.select(keys.map(col): _*).distinct(),
+      keys, "left_anti")
+
+  /** Cascading orphan cleanup: keep only target rows whose key exists
+    * in ALL parent tables (the double-NOT-EXISTS delete,
+    * /root/reference/utils/importer/cleanup_incorrect_products.py:128-144,
+    * inverted to the surviving set). */
+  def keepReferenced(target: DataFrame,
+      parents: Seq[(DataFrame, String, String)]): DataFrame =
+    parents.foldLeft(target) { case (t, (parent, childKey, parentKey)) =>
+      t.join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_semi")
+    }
+
+  /** Inheritance backfill: child columns get parent values where the
+    * child's value is null (UPDATE ... FROM with null guard,
+    * /root/reference/utils/importer/update_existing_products_inheritance.sql:4-13). */
+  def inheritBackfill(child: DataFrame, parent: DataFrame,
+      childKey: String, parentKey: String,
+      fields: Map[String, String]): DataFrame = {
+    val c = child.alias("c")
+    val p = parent.alias("p")
+    val joined = c.join(p, col(s"c.$childKey") === col(s"p.$parentKey"), "left")
+    val outCols = child.columns.map { cc =>
+      fields.get(cc) match {
+        case Some(pc) => coalesce(col(s"c.$cc"), col(s"p.$pc")).as(cc)
+        case None     => col(s"c.$cc").as(cc)
+      }
+    }
+    joined.select(outCols.toSeq: _*)
+  }
+
+  /** Set difference on a key (the reference's python-set
+    * `db_skus - fs_folders` check,
+    * /root/reference/utils/check_sku_status.py:108-141). */
+  def exceptByKey(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame =
+    left.select(keys.map(col): _*).distinct()
+      .join(right.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Stamp modified_on the way the reference's triggers did
+    * (/root/reference/utils/importer/add_timestamp_fields_dynamic.sql:58-91)
+    * — in the merge writer instead of a trigger. */
+  def stampModified(df: DataFrame, at: Column = current_timestamp()): DataFrame =
+    df.withColumn("modified_on", at)
+}

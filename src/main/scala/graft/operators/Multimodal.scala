@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media are opaque `binary` columns + typed metadata structs. The
+  * Spark-side contract — schema, partition sizing, batch shape of the
+  * decode stage — is real and tested; the actual decode is a STUB
+  * (deterministic fake derived from the bytes) because media codecs
+  * are not in this container. Swap `decodeImageStub` for a real
+  * decoder (partition-level library init via mapPartitions) without
+  * touching any plan shape.
+  *
+  * The reference's analog is its image download/OCR stage
+  * (/root/reference/utils/details_translator/2_ocr_from_images.py:27-48),
+  * which also treats images as opaque blobs flowing to a per-row
+  * decode boundary.
+  */
+object Multimodal {
+
+  /** Canonical media-row schema: (id, modality, content binary,
+    * meta struct). */
+  def asMediaFrame(df: DataFrame, idCol: String, binCol: String,
+      modality: String): DataFrame =
+    df.select(col(idCol).as("media_id"),
+      lit(modality).as("modality"),
+      col(binCol).as("content"),
+      struct(
+        octet_length(col(binCol)).as("n_bytes"),
+        sha2(col(binCol), 256).as("digest")).as("meta"))
+
+  /** Deterministic STUB for image decode: "width"/"height"/"format"
+    * derived from the content digest — a stand-in with the real
+    * schema. Replace with a codec call (mapPartitions) in production. */
+  def decodeImageStub(content: Column): Column = {
+    val h = graft.functions.hash60(sha2(content, 256))
+    struct(
+      (h % 1920L + 1L).cast("int").as("width"),
+      ((h / 1920L) % 1080L + 1L).cast("int").as("height"),
+      element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+        (h % 3L).cast("int") + 1).as("format"))
+  }
+
+  /** Deterministic STUB feature vector (dim floats) from content
+    * bytes — stands in for an embedding model. */
+  def featureStub(content: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      ((graft.functions.hash31(concat(sha2(content, 256), i))
+        .cast("double") / graft.functions.HashPrime31) * 2.0 - 1.0))
+
+  /** Frame sampling plumbing for video: every nth "frame" index up to
+    * nFrames — generates the (media_id, frame_idx) fan-out rows that a
+    * real decoder would fill. */
+  def sampleFrameIndexes(df: DataFrame, nFramesCol: Column,
+      every: Int): DataFrame =
+    df.withColumn("frame_idx",
+      explode(sequence(lit(0), greatest(nFramesCol - 1, lit(0)),
+        lit(every))))
+
+  /** Full stub pipeline: binary in → decoded meta + features out.
+    * Plan shape: narrow maps only; no shuffle until a downstream
+    * aggregation — exactly what a real decode stage must look like. */
+  def enrichImages(media: DataFrame, featureDim: Int = 8): DataFrame =
+    media
+      .withColumn("decoded", decodeImageStub(col("content")))
+      .withColumn("features", featureStub(col("content"), featureDim))
+}
