@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 package object queries {
 
@@ -9,8 +10,8 @@ package object queries {
     * SQL for the DuckDB oracle. Determinism contract for oracle
     * hashing:
     *  - result ends with ORDER BY on a unique column tuple;
-    *  - double aggregates go through exact DECIMAL arithmetic and are
-    *    cast to double only at the end (bit-identical across engines);
+    *  - double aggregates go through exact integer/min-max arithmetic
+    *    and divide only at the end (bit-identical across engines);
     *  - float folds (dot products, rolling hashes) are ORDERED left
     *    folds on both sides;
     *  - timestamps are emitted as epoch microseconds (bigint);
@@ -21,7 +22,47 @@ package object queries {
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
+  object Q {
+    def apply(name: String, sql: String)(
+        fn: (SparkSession, String) => DataFrame): Q =
+      Q(name, fn, Some(sql))
+    def weak(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+      Q(name, fn, None)
+  }
+
   /** Load one testdata table (TESTDATA.md layout). */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Timestamp → epoch microseconds (bigint), the only way the engine
+    * emits instants in oracle-checked results (tz-proof: session is
+    * UTC, testdata timestamps are tz-naive). */
+  def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  // ---- SQL snippet builders shared by oracle strings so the DuckDB
+  // side stays in lock-step with graft.functions' md5-derived hashes.
+
+  /** DuckDB equivalent of graft.functions.hash60. */
+  def sqlHash60(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** DuckDB equivalent of graft.functions.hash31. */
+  def sqlHash31(x: String): String =
+    s"(${sqlHash60(x)} % 2147483647)"
+
+  /** DuckDB equivalent of graft.functions.deterministicId(cols...)
+    * where `x` is already the '|'-joined key expression. */
+  def sqlDetId(x: String): String =
+    s"concat_ws('-', substr(sha256($x),1,8), substr(sha256($x),9,4), " +
+      s"substr(sha256($x),13,4), substr(sha256($x),17,4), substr(sha256($x),21,12))"
+
+  /** DuckDB equivalent of graft.functions.normalizeText. */
+  def sqlNormText(x: String): String =
+    s"trim(regexp_replace(regexp_replace(lower(coalesce($x, '')), " +
+      raw"'[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+
+  /** DuckDB tokens list of normalized text (empty list for blank). */
+  def sqlTokens(x: String): String =
+    s"(CASE WHEN ${sqlNormText(x)} = '' THEN [] " +
+      s"ELSE string_split(${sqlNormText(x)}, ' ') END)"
 }
