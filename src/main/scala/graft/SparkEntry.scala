@@ -10,7 +10,7 @@ import graft.queries._
 object SparkEntry {
 
   /** Every declared query of the engine, keyed by name. */
-  def inventory: Seq[Q] = Relational.all
+  def inventory: Seq[Q] = Relational.all ++ Merges.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The TPC-H-Q1-shaped multi-key aggregation. */

@@ -87,14 +87,27 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity via the distributed shingle-join:
-    * explode distinct shingles, self-join on shingle (the only shuffle
-    * key), count common shingles per pair, then
+    * explode distinct shingles, drop shingles whose document frequency
+    * exceeds `dfCap`, self-join on shingle (the only shuffle key),
+    * count common shingles per pair, then
     * J = common / (|A| + |B| - common). Exact integer arithmetic until
-    * one final double division. Emits pairs with jaccard >= threshold. */
+    * one final double division. Emits pairs with jaccard >= threshold.
+    *
+    * The df-cap is the scale guard: without it one shingle shared by
+    * 10^5 docs yields 10^10 pairs in a single bucket. Dropping
+    * high-frequency shingles BEFORE the self-join (and before the
+    * per-doc size count, so J stays consistent over the filtered
+    * shingle space) bounds every bucket at dfCap^2 — standard
+    * stop-shingle practice for set-similarity joins. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+      n: Int, threshold: Double, dfCap: Int = 1000): DataFrame = {
+    val shRaw = df.select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val rare = shRaw.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("shingle")
+    val sh = shRaw.join(rare, Seq("shingle"), "left_semi")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.select(col("id").as("id_a"), col("shingle"))
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
@@ -128,16 +141,37 @@ object Dedup {
       .withColumn("simhash", coalesce(col("simhash"), lit(0L)))
   }
 
-  /** Near-dup candidate pairs whose simhash values are equal (for
-    * small `bits`) — bucket join on the simhash itself. */
+  /** Near-dup candidate pairs within hamming distance `maxDist` of
+    * each other's simhash, via BANDED bucket joins: the fingerprint is
+    * cut into `bands` equal bit-chunks; two fingerprints within
+    * hamming distance < bands must agree exactly on at least one chunk
+    * (pigeonhole), so an equi-join per (band, chunk) finds every such
+    * pair without any global O(n²) — the shuffle key is the chunk
+    * value. Exact hamming (bit_count of xor) re-ranks within buckets;
+    * distinct() collapses pairs found in several bands. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16): DataFrame = {
+      bits: Int = 16, bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bits must be divisible by bands")
+    require(maxDist < bands,
+      "banding only guarantees recall for hamming distance < bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1L
     val s = withSimHash(df, idCol, textCol, bits)
       .select(col(idCol).as("id"), col("simhash"))
-    s.select(col("id").as("id_a"), col("simhash"))
-      .join(s.select(col("id").as("id_b"), col("simhash")), Seq("simhash"))
+    val banded = s.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("chunk",
+        expr(s"shiftright(simhash, band * $width)").bitwiseAND(lit(mask)))
+    banded.select(col("band"), col("chunk"),
+        col("id").as("id_a"), col("simhash").as("sh_a"))
+      .join(banded.select(col("band"), col("chunk"),
+        col("id").as("id_b"), col("simhash").as("sh_b")),
+        Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "simhash")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Embedding near-duplicates: LSH-bucketed cosine (see Similarity) —

@@ -8,6 +8,15 @@ import graft.functions._
   * quality scoring, token counting, fingerprinting. All pure column
   * expressions (whole-stage codegen; no UDFs), deterministic, and
   * engine-reproducible for oracle testing.
+  *
+  * Scale posture: `analyze` materializes the normalized text, the
+  * token array, and each language score ONCE as intermediate columns
+  * and derives everything else from them — the naive formulation
+  * (every metric calling tokens() on the raw text) inlines the
+  * 2-regex-pass normalization ~25× per row after optimizer project
+  * collapsing, a pure CPU multiplier at 100 TB. The aliased
+  * intermediates are referenced more than once, which blocks
+  * CollapseProject from re-inlining them.
   */
 object TextAnalysis {
 
@@ -20,22 +29,21 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "que"))
 
-  /** Score of one language = fraction of tokens that are in its
-    * profile (exact int counts, one double division). */
-  def langScore(textCol: Column, lang: String): Column = {
-    val t = tokens(textCol)
-    val hits = size(filter(t, x =>
+  // ---- token-column-based primitives (the cheap path) ----
+
+  /** Score of one language over a pre-computed token array = fraction
+    * of tokens in its profile (exact int counts, one double division). */
+  def langScoreOfTokens(toks: Column, lang: String): Column = {
+    val hits = size(filter(toks, x =>
       profiles(lang).map(w => x === w).reduce(_ || _)))
-    when(size(t) === 0, 0.0)
-      .otherwise(hits.cast("double") / size(t).cast("double"))
+    when(size(toks) === 0, 0.0)
+      .otherwise(hits.cast("double") / size(toks).cast("double"))
   }
 
-  /** Argmax language as a chained CASE with deterministic tie-break
-    * (alphabetically-first language wins ties); "und" when every score
-    * is 0. Chained-comparison form is trivially oracle-translatable. */
-  def langId(textCol: Column): Column = {
-    val langs = profiles.keys.toSeq.sorted
-    val scores = langs.map(l => l -> langScore(textCol, l)).toMap
+  /** Argmax language from per-language score columns, deterministic
+    * tie-break (alphabetically-first wins); "und" when all zero. */
+  def langIdOfScores(scores: Map[String, Column]): Column = {
+    val langs = scores.keys.toSeq.sorted
     val best = langs.init.zipWithIndex.foldRight(
         lit(langs.last): Column) { case ((l, i), elseCol) =>
       val laterLangs = langs.drop(i + 1)
@@ -46,7 +54,41 @@ object TextAnalysis {
       .otherwise(best)
   }
 
-  /** Whitespace token count of the raw (un-normalized) text. */
+  /** Mean token length over a pre-computed token array. */
+  def meanTokenLenOfTokens(toks: Column): Column =
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        size(toks).cast("double"))
+
+  /** Polynomial rolling hash over a pre-computed token array. */
+  def rollingFingerprintOfTokens(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => (acc * 31L + hash31(t)) % HashPrime31)
+
+  /** Composite quality heuristic in [0,1] from already-computed
+    * metrics: long enough, low punctuation, plausible mean word
+    * length. Fixed double expression tree (deterministic). */
+  def qualityOf(nTokens: Column, punctRatio: Column,
+      meanTokenLen: Column): Column = {
+    val lenScore = least(nTokens.cast("double") / 64.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio * 4.0)
+    val wordScore =
+      when(meanTokenLen >= 2.5 && meanTokenLen <= 10.0, 1.0).otherwise(0.5)
+    lenScore * 0.4 + punctScore * 0.3 + wordScore * 0.3
+  }
+
+  // ---- raw-text convenience wrappers (standalone use) ----
+
+  def langScore(textCol: Column, lang: String): Column =
+    langScoreOfTokens(tokens(textCol), lang)
+
+  def langId(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    langIdOfScores(profiles.keys.map(l =>
+      l -> langScoreOfTokens(toks, l)).toMap)
+  }
+
+  /** Whitespace token count of the normalized text. */
   def wsTokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-ish regex token count: words / numbers / single punctuation,
@@ -69,42 +111,43 @@ object TextAnalysis {
   /** Stopword ratio against the english profile. */
   def stopwordRatio(c: Column): Column = langScore(c, "en")
 
-  /** Mean token length (chars of normalized text / token count). */
-  def meanTokenLen(c: Column): Column = {
-    val t = tokens(c)
-    when(size(t) === 0, 0.0).otherwise(
-      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
-        size(t).cast("double"))
-  }
+  def meanTokenLen(c: Column): Column = meanTokenLenOfTokens(tokens(c))
 
-  /** Composite quality heuristic in [0,1]: long enough, low
-    * punctuation, plausible mean word length. Weights are fixed,
-    * arithmetic is a fixed double expression tree (deterministic). */
   def qualityScore(c: Column): Column = {
-    val nTok = wsTokenCount(c).cast("double")
-    val lenScore = least(nTok / 64.0, lit(1.0))
-    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 4.0)
-    val mwl = meanTokenLen(c)
-    val wordScore = when(mwl >= 2.5 && mwl <= 10.0, 1.0).otherwise(0.5)
-    lenScore * 0.4 + punctScore * 0.3 + wordScore * 0.3
+    val toks = tokens(c)
+    qualityOf(size(toks), punctRatio(c), meanTokenLenOfTokens(toks))
   }
 
-  /** Content fingerprint: md5 of normalized text (order-insensitive
-    * to whitespace/punct only). */
+  /** Content fingerprint: md5 of normalized text. */
   def contentFingerprint(c: Column): Column = md5(normalizeText(c))
 
   /** Order-sensitive rolling-hash fingerprint (polynomial fold). */
   def rollingHashFingerprint(c: Column): Column = rollingFingerprint(c)
 
-  /** One-call enrichment: attach the standard analysis columns. */
-  def analyze(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("ws_tokens", wsTokenCount(col(textCol)))
-      .withColumn("regex_tokens", regexTokenCount(col(textCol)))
+  /** One-call enrichment: attach the standard analysis columns.
+    * Normalization runs once per row, not once per metric. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val langs = profiles.keys.toSeq.sorted
+    val withInterm = df
+      .withColumn("__norm", normalizeText(col(textCol)))
+      .withColumn("__toks",
+        when(col("__norm") === "", array())
+          .otherwise(split(col("__norm"), " ")))
+    val withScores = langs.foldLeft(withInterm)((d, l) =>
+      d.withColumn(s"__s_$l", langScoreOfTokens(col("__toks"), l)))
+    withScores
+      .withColumn("ws_tokens", size(col("__toks")).cast("long"))
+      .withColumn("regex_tokens", regexTokenCount(col(textCol)).cast("long"))
       .withColumn("punct_ratio", punctRatio(col(textCol)))
-      .withColumn("stopword_ratio", stopwordRatio(col(textCol)))
-      .withColumn("mean_token_len", meanTokenLen(col(textCol)))
-      .withColumn("quality", qualityScore(col(textCol)))
-      .withColumn("lang_id", langId(col(textCol)))
-      .withColumn("fingerprint", contentFingerprint(col(textCol)))
-      .withColumn("rolling_fp", rollingFingerprint(col(textCol)))
+      .withColumn("stopword_ratio", col("__s_en"))
+      .withColumn("mean_token_len", meanTokenLenOfTokens(col("__toks")))
+      .withColumn("quality",
+        qualityOf(col("ws_tokens"), col("punct_ratio"),
+          col("mean_token_len")))
+      .withColumn("lang_id",
+        langIdOfScores(langs.map(l => l -> col(s"__s_$l")).toMap))
+      .withColumn("fingerprint", md5(col("__norm")))
+      .withColumn("rolling_fp", rollingFingerprintOfTokens(col("__toks")))
+      .drop(("__norm" +: "__toks" +: langs.map(l => s"__s_$l")): _*)
+  }
 }

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Merge
+import graft.streaming.Incremental
+
+/** The mutation/merge [Q] inventory (SURVEY.md §2.6) plus the
+  * incremental/streaming-shaped patterns (§2.9), exercised as
+  * self-contained deterministic queries: `existing` and the batch are
+  * both carved out of the testdata with key-modulus predicates, so the
+  * oracle can rebuild the exact same inputs in SQL.
+  *
+  * Scale notes: every merge is anti-join + union — the batch side
+  * broadcasts when small, and the same plan degrades to sort-merge on
+  * the key when both sides are fact-sized. Nothing collects to the
+  * driver.
+  */
+object Merges {
+
+  val all: Seq[Q] = Seq(
+
+    // M1/S9: full-row upsert by natural key.
+    Q("q_m1_upsert_by_key",
+      """WITH existing AS (
+        |  SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 2 = 0),
+        |updates AS (
+        |  SELECT o_orderkey, 'X-UPDATED' AS o_orderpriority, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT * FROM (
+        |  SELECT e.* FROM existing e
+        |  WHERE NOT EXISTS (SELECT 1 FROM updates u
+        |                    WHERE u.o_orderkey = e.o_orderkey)
+        |  UNION ALL SELECT * FROM updates)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+      val existing = o.filter(col("o_orderkey") % 2 === 0)
+      val updates = o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderpriority", lit("X-UPDATED"))
+      Merge.upsertByKey(existing, updates, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
+    // M2/S8: insert-if-absent (ON CONFLICT DO NOTHING).
+    Q("q_m2_insert_if_absent",
+      """WITH existing AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0),
+        |inserts AS (
+        |  SELECT c_custkey, 'NEW' AS c_name FROM customer
+        |  WHERE c_custkey % 5 = 0)
+        |SELECT * FROM (
+        |  SELECT * FROM existing
+        |  UNION ALL
+        |  SELECT i.* FROM inserts i
+        |  WHERE NOT EXISTS (SELECT 1 FROM existing e
+        |                    WHERE e.c_custkey = i.c_custkey))
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer").select("c_custkey", "c_name")
+      val existing = c.filter(col("c_custkey") % 2 === 0)
+      val inserts = c.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_name", lit("NEW"))
+      Merge.insertIfAbsent(existing, inserts, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    },
+
+    // M3: partial-column upsert — null update values keep the existing
+    // value (the COALESCE null-guard), untouched columns survive.
+    Q("q_m3_upsert_partial",
+      """WITH existing AS (
+        |  SELECT c_custkey, c_name, c_mktsegment FROM customer),
+        |updates AS (
+        |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+        |    'SEG-UPDATED' AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT e.c_custkey,
+        |  coalesce(u.c_name, e.c_name) AS c_name,
+        |  CASE WHEN u.c_custkey IS NOT NULL
+        |       THEN coalesce(u.c_mktsegment, e.c_mktsegment)
+        |       ELSE e.c_mktsegment END AS c_mktsegment
+        |FROM existing e LEFT JOIN updates u ON e.c_custkey = u.c_custkey
+        |ORDER BY e.c_custkey""".stripMargin) { (s, d) =>
+      val existing = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+      val updates = t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"),
+          lit(null).cast("string").as("c_name"),
+          lit("SEG-UPDATED").as("c_mktsegment"))
+      Merge.upsertPartial(existing, updates, Seq("c_custkey"),
+          Seq("c_name", "c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+
+    // M4: batched DELETE by key set as one anti-join.
+    Q("q_m4_delete_by_keys",
+      """SELECT o_orderkey FROM orders
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders t
+        |  WHERE t.o_orderstatus = 'F' AND t.o_orderkey % 10 < 3
+        |    AND t.o_orderkey = orders.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      val tombstones = o.filter(col("o_orderstatus") === "F" &&
+        col("o_orderkey") % 10 < 3)
+      Merge.deleteByKeys(o, tombstones, Seq("o_orderkey"))
+        .select("o_orderkey").orderBy("o_orderkey")
+    },
+
+    // M5: cascading orphan cleanup — keep only rows referenced in ALL
+    // parents (double-NOT-EXISTS inverted to the surviving set).
+    Q("q_m5_keep_referenced",
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE l_suppkey % 10 = 0
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey
+        |              AND o_orderkey % 20 = 0)
+        |  AND EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, d) =>
+      val target = t(s, d, "lineitem").filter(col("l_suppkey") % 10 === 0)
+      Merge.keepReferenced(target, Seq(
+          (t(s, d, "orders").filter(col("o_orderkey") % 20 === 0),
+            "l_orderkey", "o_orderkey"),
+          (t(s, d, "part"), "l_partkey", "p_partkey")))
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+    },
+
+    // M7: modified_on stamping in the merge writer (trigger analog);
+    // fixed instant so the oracle can hash it.
+    Q("q_m7_stamp_modified",
+      """SELECT c_custkey,
+        |  epoch_us(TIMESTAMP '2026-01-01 00:00:00') AS modified_on
+        |FROM customer WHERE c_custkey % 100 = 0 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Merge.stampModified(
+          t(s, d, "customer").filter(col("c_custkey") % 100 === 0)
+            .select("c_custkey"),
+          to_timestamp(lit("2026-01-01 00:00:00")))
+        .withColumn("modified_on", epochUs(col("modified_on")))
+        .orderBy("c_custkey")
+    },
+
+    // M8: dry-run mode — the pipeline runs but the sink swap is
+    // skipped; the query surfaces the would-be row counts (the
+    // reference's DRY_RUN rollback, ETL.py:620-626).
+    Q("q_m8_dry_run",
+      """SELECT 'would_upsert' AS action, count(*) AS n
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT 'would_delete', count(*) FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey % 10 < 3
+        |ORDER BY action""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderkey") % 3 === 0)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("would_upsert").as("action"), col("n"))
+        .unionByName(
+          o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 < 3)
+            .agg(count(lit(1)).as("n"))
+            .select(lit("would_delete").as("action"), col("n")))
+        .orderBy("action")
+    },
+
+    // I1: incremental anti-join run — only unprocessed events.
+    Q("q_i1_incremental_new",
+      """SELECT event_id FROM events
+        |WHERE NOT EXISTS (SELECT 1 FROM events l
+        |  WHERE l.event_id % 4 = 0 AND l.event_id = events.event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val e = events(s, d)
+      Incremental.newItems(e, e.filter(col("event_id") % 4 === 0),
+          Seq("event_id"))
+        .select("event_id").orderBy("event_id")
+    },
+
+    // I2: per-item processed-set skip on a compound key.
+    Q("q_i2_processed_set",
+      """SELECT DISTINCT user_id, event_type FROM events
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events l
+        |  WHERE l.event_id % 2 = 0 AND l.user_id = events.user_id
+        |    AND l.event_type = events.event_type)
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val e = events(s, d)
+      Incremental.newItems(
+          e.select("user_id", "event_type").distinct(),
+          e.filter(col("event_id") % 2 === 0),
+          Seq("user_id", "event_type"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // I5: one resumable ledger run — process only new items, return
+    // per-type counts of what this run would process.
+    Q("q_i5_ledger_run",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(floor(value * 1000)) AS BIGINT) AS value_milli
+        |FROM events
+        |WHERE NOT EXISTS (SELECT 1 FROM events l
+        |  WHERE l.event_id % 4 = 0 AND l.event_id = events.event_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val e = events(s, d)
+      val (results, _) = Incremental.run(e,
+        e.filter(col("event_id") % 4 === 0), Seq("event_id")) { fresh =>
+        fresh.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000)).cast("long").as("value_milli"))
+      }
+      results.orderBy("event_type")
+    },
+
+    // STREAMING (batch-equivalent): event-time tumbling window counts —
+    // the same aggregation windowedCounts runs under Structured
+    // Streaming; value summed in exact floor-millis.
+    Q("q_st_windowed_counts",
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(floor(value * 1000)) AS BIGINT) AS value_milli
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts").cast("timestamp"), "1 hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000)).cast("long").as("value_milli"))
+        .select(epochUs(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"), col("value_milli"))
+        .orderBy("window_start_us", "event_type")
+    })
+}

@@ -34,6 +34,21 @@ package object queries {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Load the events table with `ts` as a proper timestamp. The
+    * testdata parquet stores TIMESTAMP(NANOS), which Spark only reads
+    * under spark.sql.legacy.parquet.nanosAsLong=true (set by
+    * Verify/Bench) — as a raw nanosecond long that we convert with
+    * integer division (never double division: ns-since-epoch exceeds
+    * the 53-bit double mantissa). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
   /** Timestamp → epoch microseconds (bigint), the only way the engine
     * emits instants in oracle-checked results (tz-proof: session is
     * UTC, testdata timestamps are tz-naive). */

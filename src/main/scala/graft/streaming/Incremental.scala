@@ -30,8 +30,9 @@ object Incremental {
       process: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val fresh = newItems(input, ledger, keys)
     val results = process(fresh)
-    val newLedger = ledger.unionByName(
-      fresh.select(keys.map(col): _*).distinct())
+    val newLedger = ledger.select(keys.map(col): _*).distinct()
+      .unionByName(fresh.select(keys.map(col): _*).distinct())
+      .distinct()
     (results, newLedger)
   }
 
