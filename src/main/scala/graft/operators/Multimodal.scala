@@ -35,12 +35,16 @@ object Multimodal {
     * derived from the content digest — a stand-in with the real
     * schema. Replace with a codec call (mapPartitions) in production. */
   def decodeImageStub(content: Column): Column = {
-    val h = graft.functions.hash60(sha2(content, 256))
+    val digest = sha2(content, 256)
+    // integer-only arithmetic (no long/long division, which Spark
+    // evaluates in double) so the stub is reproducible in any engine
+    val hw = graft.functions.hash31(concat(digest, lit("w")))
+    val hh = graft.functions.hash31(concat(digest, lit("h")))
     struct(
-      (h % 1920L + 1L).cast("int").as("width"),
-      ((h / 1920L) % 1080L + 1L).cast("int").as("height"),
+      (hw % 1920L + 1L).cast("int").as("width"),
+      (hh % 1080L + 1L).cast("int").as("height"),
       element_at(array(lit("jpeg"), lit("png"), lit("webp")),
-        (h % 3L).cast("int") + 1).as("format"))
+        (graft.functions.hash31(digest) % 3L).cast("int") + 1).as("format"))
   }
 
   /** Deterministic STUB feature vector (dim floats) from content

@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Text-analysis and deduplication [Q] inventory over `documents`.
+  * The oracle SQL is GENERATED from the same constants the Spark
+  * operators use (language profiles, hash family, band layout), so the
+  * two sides cannot drift apart silently.
+  */
+object Text {
+
+  // DuckDB-side generators, mirroring graft.functions/TextAnalysis.
+  private val normD = sqlNormText("text")
+  private val toksD = sqlTokens("text")
+
+  private def inList(lang: String): String =
+    TextAnalysis.profiles(lang).map(w => s"'$w'").mkString(", ")
+
+  /** Language score over a toks-list SQL expr. */
+  private def sqlLangScore(toksE: String, lang: String): String =
+    s"(CASE WHEN len($toksE) = 0 THEN 0.0 ELSE " +
+      s"CAST(len(list_filter($toksE, t -> t IN (${inList(lang)}))) AS DOUBLE)" +
+      s" / CAST(len($toksE) AS DOUBLE) END)"
+
+  /** Word-n-gram shingle list over a toks-list SQL expr (matches
+    * graft.functions.shingles). */
+  private def sqlShingles(toksE: String, n: Int): String =
+    s"(CASE WHEN len($toksE) >= $n THEN list_transform(" +
+      s"range(0, len($toksE) - ${n - 1}), " +
+      s"i -> array_to_string($toksE[i+1:i+$n], ' ')) ELSE [] END)"
+
+  /** The 8 minhash signature exprs over a distinct-shingle list `s`
+    * (matches Dedup.withMinHashSignature's hash family). */
+  private val sigExprs: Seq[String] = (0 until 8).map { i =>
+    val a = 2 * i + 3; val b = 13 * i + 7
+    s"CASE WHEN len(s) = 0 THEN 2147483647 ELSE list_min(" +
+      s"list_transform(s, x -> ($a * ${sqlHash31("x")} + $b) % 2147483647)) END"
+  }
+
+  private val sigCte =
+    s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(${sqlShingles("t", 3)}) AS s
+       |       FROM tok),
+       |sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS sig FROM sh)
+       |""".stripMargin
+
+  private val simCte = {
+    val votes = (0 until 16).map(i =>
+      s"sum(CASE WHEN (hv >> $i) % 2 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(", ")
+    val simv = (0 until 16).map(i =>
+      s"CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+       |tu AS (SELECT doc_id, unnest(list_distinct(t)) AS tk FROM tok),
+       |hh AS (SELECT doc_id, ${sqlHash31("tk")} AS hv FROM tu),
+       |v AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($simv AS BIGINT) AS simhash FROM v)
+       |""".stripMargin
+  }
+
+  /** Oracle lang-id CASE chain (matches TextAnalysis.langIdOfScores'
+    * alphabetical fold). */
+  private val langIdSql: String = {
+    val langs = TextAnalysis.profiles.keys.toSeq.sorted
+    def s(l: String) = s"s_$l"
+    val allZero = langs.map(l => s"${s(l)} = 0.0").mkString(" AND ")
+    val arms = langs.init.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1)
+      s"WHEN ${later.map(o => s"${s(l)} >= ${s(o)}").mkString(" AND ")} " +
+        s"THEN '$l'"
+    }
+    s"CASE WHEN $allZero THEN 'und' ${arms.mkString(" ")} " +
+      s"ELSE '${langs.last}' END"
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // TEXT: the one-call analyze() enrichment — token counts, quality
+    // metrics, language id, fingerprints, all in one pass.
+    Q("q_t_analyze", {
+      val langs = TextAnalysis.profiles.keys.toSeq.sorted
+      val scores = langs.map(l =>
+        s"${sqlLangScore("toks", l)} AS s_$l").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $normD AS norm FROM documents),
+         |tok AS (SELECT doc_id, text, norm,
+         |  (CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END)
+         |    AS toks FROM base),
+         |scored AS (SELECT doc_id, text, norm, toks, $scores,
+         |  CAST(len(toks) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]', 0)) AS BIGINT) AS regex_tokens,
+         |  (CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0 ELSE
+         |    CAST(length(coalesce(text,'')) - length(regexp_replace(
+         |      coalesce(text,''), '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(coalesce(text,'')) AS DOUBLE) END) AS punct_ratio,
+         |  (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+         |      AS DOUBLE) / CAST(len(toks) AS DOUBLE) END) AS mean_token_len
+         |  FROM tok)
+         |SELECT doc_id, ws_tokens, regex_tokens, punct_ratio,
+         |  s_en AS stopword_ratio, mean_token_len,
+         |  least(CAST(ws_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+         |    + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3
+         |    + (CASE WHEN mean_token_len >= 2.5 AND mean_token_len <= 10.0
+         |       THEN 1.0 ELSE 0.5 END) * 0.3 AS quality,
+         |  $langIdSql AS lang_id,
+         |  md5(norm) AS fingerprint,
+         |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |    list_transform(toks, t -> ${sqlHash31("t")})),
+         |    (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_fp
+         |FROM scored ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.analyze(t(s, d, "documents"), "text")
+        .select("doc_id", "ws_tokens", "regex_tokens", "punct_ratio",
+          "stopword_ratio", "mean_token_len", "quality", "lang_id",
+          "fingerprint", "rolling_fp")
+        .orderBy("doc_id")
+    },
+
+    // DEDUP: exact one-representative-per-key.
+    Q("q_d_exact_by_key",
+      """SELECT lang, doc_id, source FROM (
+        |  SELECT lang, doc_id, source,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY lang""".stripMargin) { (s, d) =>
+      Dedup.exactByKey(t(s, d, "documents"), Seq("lang"), "doc_id")
+        .select("lang", "doc_id", "source")
+        .orderBy("lang")
+    },
+
+    // DEDUP: exact content groups on normalized text.
+    Q("q_d_exact_text_groups",
+      s"""SELECT md5($normD) AS fingerprint, min(doc_id) AS rep_id,
+         |  count(*) AS dup_count
+         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin) { (s, d) =>
+      Dedup.exactTextGroups(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("fingerprint")
+    },
+
+    // DEDUP: minhash signatures (k=8, 3-gram shingles).
+    Q("q_d_minhash_sig",
+      sigCte +
+        """SELECT doc_id, array_to_string(sig, ',') AS sig
+          |FROM sig ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.withMinHashSignature(t(s, d, "documents"), "text", 3, 8)
+        .select(col("doc_id"), array_join(col("sig"), ",").as("sig"))
+        .orderBy("doc_id")
+    },
+
+    // DEDUP: minhash-LSH candidate pairs (bands=4), est Jaccard.
+    Q("q_d_minhash_lsh_pairs",
+      sigCte +
+        """, banded AS (SELECT doc_id AS id, sig,
+          |    unnest([0,1,2,3]) AS band FROM sig),
+          |bkt AS (SELECT id, sig, band,
+          |  md5(concat_ws(',', band,
+          |    array_to_string(sig[band*2+1:band*2+2], ','))) AS bucket
+          |  FROM banded)
+          |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+          |  CAST(len(list_filter(range(1,9), i -> a.sig[i] = b.sig[i]))
+          |    AS DOUBLE) / 8.0 AS est_jaccard
+          |FROM bkt a JOIN bkt b
+          |  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text", 3, 8, 4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // DEDUP: exact bigram Jaccard with document-frequency cap.
+    Q("q_d_ngram_jaccard_pairs",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |sh0 AS (SELECT doc_id AS id,
+         |  unnest(list_distinct(${sqlShingles("t", 2)})) AS shingle FROM tok),
+         |rare AS (SELECT shingle FROM sh0 GROUP BY shingle
+         |         HAVING count(*) <= 100),
+         |sh AS (SELECT id, sh0.shingle FROM sh0
+         |       JOIN rare ON sh0.shingle = rare.shingle),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+         |          FROM sh a JOIN sh b
+         |            ON a.shingle = b.shingle AND a.id < b.id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |  CAST(common AS DOUBLE)
+         |    / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+         |FROM pairs JOIN sizes sa ON id_a = sa.id
+         |           JOIN sizes sb ON id_b = sb.id
+         |WHERE CAST(common AS DOUBLE)
+         |    / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.15
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          2, 0.15, 100)
+        .orderBy("id_a", "id_b")
+    },
+
+    // DEDUP: simhash fingerprints (16-bit).
+    Q("q_d_simhash",
+      simCte + "SELECT doc_id, simhash FROM sim ORDER BY doc_id") { (s, d) =>
+      Dedup.withSimHash(t(s, d, "documents"), "doc_id", "text", 16)
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    },
+
+    // DEDUP: banded simhash near-dup pairs (hamming <= 3).
+    Q("q_d_simhash_pairs",
+      simCte +
+        """, banded AS (SELECT doc_id AS id, simhash,
+          |    unnest([0,1,2,3]) AS band FROM sim),
+          |ch AS (SELECT id, simhash, band,
+          |       (simhash >> (band*4)) & 15 AS chunk FROM banded)
+          |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          |FROM ch a JOIN ch b
+          |  ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", 16, 4, 3)
+        .orderBy("id_a", "id_b")
+    })
+}

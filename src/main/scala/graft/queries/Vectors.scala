@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Services, Similarity}
+
+/** Similarity-search, multimodal, and service-stub [Q] inventory over
+  * `embeddings` / `documents`. Cosines are ORDERED left folds on both
+  * engines, so the doubles are bit-identical.
+  */
+object Vectors {
+
+  /** DuckDB ordered-fold dot product (matches functions.dotProduct). */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], " +
+      s"list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x,y) -> x+y)"
+
+  private def sqlCosine(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  /** DuckDB random-hyperplane bucket (matches
+    * Similarity.withLshSignature's md5-derived planes). */
+  private def sqlBucket(v: String, planes: Int = 8): String =
+    (0 until planes).map { p =>
+      val sign = s"(CASE WHEN ${sqlHash31(s"concat($p, ':', i-1)")} % 2 = 1 " +
+        s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+      s"CASE WHEN list_reduce(list_concat([CAST(0.0 AS DOUBLE)], " +
+        s"list_transform(range(1, len($v)+1), " +
+        s"i -> CAST($v[i] AS DOUBLE) * $sign)), (x,y) -> x+y) >= 0 " +
+        s"THEN ${1L << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  val all: Seq[Q] = Seq(
+
+    // ANN baseline: brute-force cosine top-k against one query vector.
+    Q("q_v_brute_topk",
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  ${sqlCosine("embedding", "qv")} AS cosine
+         |FROM embeddings, q
+         |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id",
+          "embedding", q, 20)
+        .select("vec_id", "label", "cosine")
+    },
+
+    // ANN scale path: random-hyperplane LSH bucket per vector.
+    Q("q_v_lsh_buckets",
+      s"""SELECT vec_id, CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.withLshSignature(t(s, d, "embeddings"), "embedding", 8)
+        .select(col("vec_id"), col("bucket"))
+        .orderBy("vec_id")
+    },
+
+    // Embedding near-duplicate candidates: same-bucket pairs re-ranked
+    // by exact cosine.
+    Q("q_v_embedding_neardup",
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.bucket,
+         |  ${sqlCosine("a.embedding", "b2.embedding")} AS cosine
+         |FROM b a JOIN b b2
+         |  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE ${sqlCosine("a.embedding", "b2.embedding")} >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id",
+          "embedding", 8, 0.2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // LSH-probed top-k: only the query's bucket is scanned.
+    Q("q_v_lsh_topk",
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+         |SELECT vec_id, ${sqlCosine("embedding", "qv")} AS cosine
+         |FROM b, q WHERE bucket = qb
+         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          q, 8, 10)
+        .select("vec_id", "cosine")
+    },
+
+    // MULTIMODAL: opaque binary + typed metadata (S5-adjacent schema).
+    Q("q_mm_media_meta",
+      """SELECT doc_id AS media_id, 'image' AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS digest
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      Multimodal.asMediaFrame(
+          t(s, d, "documents").withColumn("bin", encode(col("text"), "UTF-8")),
+          "doc_id", "bin", "image")
+        .select(col("media_id"), col("modality"),
+          col("meta.n_bytes").cast("long").as("n_bytes"),
+          col("meta.digest").as("digest"))
+        .orderBy("media_id")
+    },
+
+    // MULTIMODAL: deterministic decode stub (real schema, fake codec).
+    Q("q_mm_decode_stub",
+      s"""SELECT doc_id AS media_id,
+         |  CAST(${sqlHash31("concat(sha256(text), 'w')")} % 1920 + 1
+         |    AS INTEGER) AS width,
+         |  CAST(${sqlHash31("concat(sha256(text), 'h')")} % 1080 + 1
+         |    AS INTEGER) AS height,
+         |  (['jpeg','png','webp'])[CAST(${sqlHash31("sha256(text)")} % 3
+         |    AS INTEGER) + 1] AS format
+         |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      Multimodal.enrichImages(
+          Multimodal.asMediaFrame(
+            t(s, d, "documents")
+              .withColumn("bin", encode(col("text"), "UTF-8")),
+            "doc_id", "bin", "image"))
+        .select(col("media_id"), col("decoded.width"),
+          col("decoded.height"), col("decoded.format"))
+        .orderBy("media_id")
+    },
+
+    // MULTIMODAL: video frame-sampling fan-out (every 5th frame).
+    Q("q_mm_frame_sample",
+      """SELECT doc_id AS media_id,
+        |  CAST(unnest(range(0, n_chars % 30 + 1, 5)) AS BIGINT) AS frame_idx
+        |FROM documents ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+      Multimodal.sampleFrameIndexes(
+          t(s, d, "documents")
+            .select(col("doc_id").as("media_id"),
+              (col("n_chars") % 30 + 1).as("n_frames")),
+          col("n_frames"), 5)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy("media_id", "frame_idx")
+    },
+
+    // U1/U2: translate service, deterministic stub backend.
+    Q("q_u1_translate_stub",
+      """SELECT doc_id, concat('[zh->en] ', substr(text, 1, 40)) AS translated
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Services.translateStub(substring(col("text"), 1, 40), "zh", "en")
+            .as("translated"))
+        .orderBy("doc_id")
+    },
+
+    // U3: structured logistics extraction stub (5-field struct).
+    Q("q_u3_extract_logistics",
+      """SELECT doc_id,
+        |  concat(length(text) % 50, 'kg') AS weight,
+        |  concat(length(text) % 9, 'x', length(text) % 7) AS dims,
+        |  substr(text, 1, 2) AS origin,
+        |  concat('HS', length(text) % 100) AS hs_code,
+        |  'FOB' AS incoterm
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Services.extractLogisticsStub(col("text")).as("lg"))
+        .select(col("doc_id"), col("lg.weight"), col("lg.dims"),
+          col("lg.origin"), col("lg.hs_code"), col("lg.incoterm"))
+        .orderBy("doc_id")
+    },
+
+    // U4: name/SKU generation stub.
+    Q("q_u4_name_sku",
+      """SELECT doc_id,
+        |  concat(upper(substr(lang, 1, 1)), substr(lang, 2), ' ',
+        |         upper(substr(source, 1, 1)), substr(source, 2)) AS name,
+        |  upper(substr(md5(concat_ws('|', lang, source)), 1, 8)) AS sku
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Services.nameSkuStub(col("lang"), col("source")).as("ns"))
+        .select(col("doc_id"), col("ns.name"), col("ns.sku"))
+        .orderBy("doc_id")
+    })
+}
