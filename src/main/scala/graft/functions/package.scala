@@ -93,9 +93,12 @@ package object functions {
 
   /** European decimal-comma numeric string → DoubleType
     * ("1 234,56" → 1234.56). */
-  def fixDecimalComma(c: Column): Column =
-    regexp_replace(regexp_replace(c, """[\s ]""", ""), ",", ".")
-      .cast("double")
+  def fixDecimalComma(c: Column): Column = {
+    // null (not ANSI cast failure) for malformed/empty input - Spark 4
+    // runs ANSI mode by default; a dirty row must not kill a 100 TB load
+    val cleaned = regexp_replace(regexp_replace(c, """[\s ]""", ""), ",", ".")
+    when(cleaned.rlike("^-?[0-9]+(\\.[0-9]+)?$"), cleaned.cast("double"))
+  }
 
   /** Exact-suffix '.0' strip (NOT char-class rstrip). */
   def stripDotZero(c: Column): Column =

@@ -71,11 +71,16 @@ object Merge {
     * /root/reference/utils/importer/cleanup_incorrect_products.py:128-144,
     * inverted to the surviving set). */
   def keepReferenced(target: DataFrame,
-      parents: Seq[(DataFrame, String, String)]): DataFrame =
-    parents.foldLeft(target) { case (t, (parent, childKey, parentKey)) =>
-      t.join(parent.select(col(parentKey).as(childKey)).distinct(),
-        Seq(childKey), "left_semi")
+      parents: Seq[(DataFrame, String, String)]): DataFrame = {
+    val kept = parents.foldLeft(target) {
+      case (t, (parent, childKey, parentKey)) =>
+        t.join(parent.select(col(parentKey).as(childKey)).distinct(),
+          Seq(childKey), "left_semi")
     }
+    // a USING-column join moves the key column first; restore the
+    // target's column order so the fold is order-stable
+    kept.select(target.columns.map(col).toSeq: _*)
+  }
 
   /** Inheritance backfill: child columns get parent values where the
     * child's value is null (UPDATE ... FROM with null guard,

@@ -1,0 +1,89 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions._
+import graft.model.ColumnMapping
+
+/** The importer pipeline (SURVEY.md §3.1 / §7.2) — the reference's
+  * `run_etl.py` → `ETL.main()` nested per-row loops
+  * (/root/reference/utils/importer/ETL.py:131-205,486-595)
+  * restructured as declarative DataFrame pipelines:
+  *
+  *  - raw CSV (sep=';', header, UTF-8) — S1
+  *  - mapping CSV drives every projection — S2/P1
+  *  - first-row-per-master becomes the collection record — W1
+  *  - remaining rows become product variants — W2
+  *  - the per-variant collection-id point lookup (ETL.py:512-529,
+  *    the N+1 pattern) becomes ONE broadcast join — J11
+  *  - string repair on the way in: decimal-comma prices (F6), exact
+  *    '.0' SKU strip (F7), URL extraction from the image array (F4)
+  *
+  * Determinism deviation (documented): the reference takes the FIRST
+  * FILE ROW per master as the collection record; file order is not a
+  * Spark-stable concept, so the engine uses the smallest SKU instead
+  * — a total order on the same data.
+  *
+  * Scale: the only wide operations are one window partitioned by
+  * master_code and one broadcast join; at 100 TB the window becomes a
+  * shuffle on master_code (the natural partition key) and the join
+  * flips to sort-merge automatically when collections outgrow the
+  * broadcast threshold.
+  */
+object Importer {
+
+  final case class Tables(collections: DataFrame, products: DataFrame)
+
+  /** S1: the raw dump reader (ETL.py:103). */
+  def loadRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", ";").option("header", "true")
+      .option("encoding", "UTF-8").csv(path)
+
+  /** Full importer run: raw + mapping → (collections, products). */
+  def run(spark: SparkSession, rawPath: String,
+      mappingPath: String): Tables = {
+    val mapping = ColumnMapping.fromCsv(spark, mappingPath)
+    val raw = loadRaw(spark, rawPath)
+      .na.drop(Seq("Master Code"))                       // P5 guard
+    val w = Window.partitionBy("master_code").orderBy("__sku")
+
+    // one projected frame carrying both tables' mapped columns
+    val projected = raw.select(
+      (mapping.projectionFor("product_collection") ++
+        mapping.projectionFor("product") :+
+        col("Product SKU").as("__sku")): _*)
+
+    val masters = projected
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)                          // W1
+
+    val collections = masters.select(
+      deterministicId(lit("pc"), col("master_code")).as("collection_id"),
+      col("master_code"),
+      cleanString(col("collection_name")).as("collection_name"),
+      extractUrls(col("images_raw")).as("images"),        // F4
+      col("attributes_raw"),
+      col("video_url"))
+
+    val products = projected
+      .filter(col("sku").isNotNull)
+      .select(
+        stripDotZero(cleanString(col("sku"))).as("sku"),  // F7
+        col("master_code"),
+        fixDecimalComma(col("selling_price")).as("selling_price"), // F6
+        col("inventory").cast("long").as("inventory"))
+      .join(broadcast(collections.select("collection_id", "master_code")),
+        Seq("master_code"))                               // J11
+
+    Tables(collections, products)
+  }
+
+  /** The §7.2 audit query: products per collection, top-k
+    * (/root/reference/utils/importer/verify_etl_results.py:41-49). */
+  def productsPerCollection(tables: Tables, k: Int): DataFrame =
+    tables.products
+      .groupBy("master_code").agg(count(lit(1)).as("n_products"))
+      .orderBy(col("n_products").desc, col("master_code").asc)
+      .limit(k)
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.pipelines.{Attributes, Importer}
+import graft.sources.Sources
+
+/** End-to-end pipeline [Q] inventory: the §7.2 importer slice over the
+  * committed CSV fixture (S1/S2/P1/W1/W2/J11/M1 in one pass, golden
+  * values hand-computed into VALUES oracles), the §3.2 attribute
+  * dictionary pipeline (G1+A10+M2, oracle-parsed from the same
+  * synthesized input), and the S5 binary scan.
+  */
+object Pipelines {
+
+  private val RawCsv = "/root/repo/fixtures/raw_products.csv"
+  private val MapCsv = "/root/repo/fixtures/map.csv"
+  private val MediaDir = "/root/repo/fixtures/media"
+
+  /** Synthesized raw attribute string shared with the oracle (same
+    * shape as q_f3_g1_attribute_pairs). */
+  private def rawAttrs = concat(lit("brand:"), col("source"),
+    lit(";size:"), col("n_chars").cast("string"),
+    lit("-color:"), col("lang"), lit(";品牌:华为-x"))
+
+  private val rawAttrsSql =
+    "concat('brand:', source, ';size:', n_chars, '-color:', lang, ';品牌:华为-x')"
+
+  private val pairsCte =
+    s"""WITH raw AS (SELECT doc_id, $rawAttrsSql AS r FROM documents),
+       |segs AS (SELECT doc_id,
+       |  unnest(flatten(list_transform(string_split(r, '-'),
+       |    s -> string_split(s, ';')))) AS seg FROM raw),
+       |pairs AS (SELECT doc_id,
+       |  trim(string_split(seg, ':')[1]) AS attr_key,
+       |  trim(array_to_string(string_split(seg, ':')[2:], ':')) AS attr_value
+       |  FROM segs WHERE strpos(seg, ':') > 0)
+       |""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // S1/S2: raw CSV + mapping CSV readability and shape.
+    Q("q_s1_csv_shape",
+      """SELECT CAST(8 AS BIGINT) AS n_rows, CAST(7 AS BIGINT) AS n_master,
+        |  CAST(8 AS BIGINT) AS n_cols""".stripMargin) { (s, _) =>
+      val raw = Importer.loadRaw(s, RawCsv)
+      raw.agg(count(lit(1)).as("n_rows"),
+        count(col("Master Code")).as("n_master"),
+        lit(raw.columns.length.toLong).as("n_cols"))
+    },
+
+    // §7.2 E2E slice, audit output: products per collection top-k.
+    Q("q_e2e_import_topk",
+      """SELECT * FROM (VALUES ('M001', CAST(3 AS BIGINT)),
+        |  ('M002', CAST(3 AS BIGINT)), ('M003', CAST(1 AS BIGINT)))
+        |  AS t(master_code, n_products)
+        |ORDER BY n_products DESC, master_code""".stripMargin) { (s, _) =>
+      Importer.productsPerCollection(Importer.run(s, RawCsv, MapCsv), 10)
+    },
+
+    // E2E: the loaded product table (cleaned SKUs, repaired prices,
+    // broadcast-joined collection ids).
+    Q("q_e2e_import_products",
+      s"""SELECT sku, master_code,
+         |  ${sqlDetId("concat_ws('|', 'pc', master_code)")} AS collection_id,
+         |  selling_price, inventory
+         |FROM (VALUES
+         |  ('M001-A', 'M001', CAST(1299.5 AS DOUBLE), CAST(10 AS BIGINT)),
+         |  ('M001-B', 'M001', CAST(1399.0 AS DOUBLE), CAST(5 AS BIGINT)),
+         |  ('M001-C', 'M001', CAST(NULL AS DOUBLE), CAST(8 AS BIGINT)),
+         |  ('M002-A', 'M002', CAST(899.99 AS DOUBLE), CAST(0 AS BIGINT)),
+         |  ('M002-B', 'M002', CAST(999.0 AS DOUBLE), CAST(3 AS BIGINT)),
+         |  ('M002-C', 'M002', CAST(1099.0 AS DOUBLE), CAST(2 AS BIGINT)),
+         |  ('M003-A', 'M003', CAST(49.9 AS DOUBLE), CAST(100 AS BIGINT)))
+         |  AS t(sku, master_code, selling_price, inventory)
+         |ORDER BY sku""".stripMargin) { (s, _) =>
+      Importer.run(s, RawCsv, MapCsv).products
+        .select("sku", "master_code", "collection_id", "selling_price",
+          "inventory")
+        .orderBy("sku")
+    },
+
+    // E2E: the loaded collection table (W1 masters, URL-extracted
+    // image arrays, deterministic ids).
+    Q("q_e2e_import_collections",
+      s"""SELECT ${sqlDetId("concat_ws('|', 'pc', master_code)")}
+         |    AS collection_id,
+         |  master_code, collection_name, n_images, first_image, video_url
+         |FROM (VALUES
+         |  ('M001', 'Oak Chair', CAST(2 AS BIGINT), 'https://img/1.jpg',
+         |    CAST(NULL AS VARCHAR)),
+         |  ('M002', 'Pine Table', CAST(1 AS BIGINT), 'https://img/3.jpg',
+         |    CAST(NULL AS VARCHAR)),
+         |  ('M003', 'Lamp', CAST(1 AS BIGINT), 'https://img/4.jpg',
+         |    CAST(NULL AS VARCHAR)))
+         |  AS t(master_code, collection_name, n_images, first_image,
+         |       video_url)
+         |ORDER BY master_code""".stripMargin) { (s, _) =>
+      Importer.run(s, RawCsv, MapCsv).collections
+        .select(col("collection_id"), col("master_code"),
+          col("collection_name"),
+          size(col("images")).cast("long").as("n_images"),
+          element_at(col("images"), 1).as("first_image"),
+          col("video_url"))
+        .orderBy("master_code")
+    },
+
+    // §3.2 attribute pipeline: key dictionary (A10 get-or-create).
+    Q("q_attr_key_dict",
+      pairsCte +
+        s"""SELECT ${sqlDetId("concat_ws('|', 'ak', attr_key)")}
+           |    AS attr_key_id, attr_key
+           |FROM (SELECT DISTINCT attr_key FROM pairs)
+           |ORDER BY attr_key""".stripMargin) { (s, d) =>
+      Attributes.keyDict(
+          Attributes.explodePairs(t(s, d, "documents"), "doc_id", rawAttrs))
+        .orderBy("attr_key")
+    },
+
+    // §3.2 attribute pipeline: value dictionary.
+    Q("q_attr_value_dict",
+      pairsCte +
+        s"""SELECT
+           |  ${sqlDetId("concat_ws('|', 'av', attr_key, attr_value)")}
+           |    AS attr_value_id,
+           |  ${sqlDetId("concat_ws('|', 'ak', attr_key)")} AS attr_key_id,
+           |  attr_key, attr_value
+           |FROM (SELECT DISTINCT attr_key, attr_value FROM pairs)
+           |ORDER BY attr_key, attr_value""".stripMargin) { (s, d) =>
+      Attributes.valueDict(
+          Attributes.explodePairs(t(s, d, "documents"), "doc_id", rawAttrs))
+        .orderBy("attr_key", "attr_value")
+    },
+
+    // §3.2 attribute pipeline: entity→value links (M2 insert-if-absent
+    // against an empty link table).
+    Q("q_attr_links",
+      pairsCte +
+        s"""SELECT DISTINCT doc_id,
+           |  ${sqlDetId("concat_ws('|', 'av', attr_key, attr_value)")}
+           |    AS attr_value_id
+           |FROM pairs
+           |ORDER BY doc_id, attr_value_id""".stripMargin) { (s, d) =>
+      val pairs = Attributes.explodePairs(t(s, d, "documents"), "doc_id",
+        rawAttrs)
+      val empty = pairs.select(col("doc_id"),
+        deterministicIdCol(pairs)).limit(0)
+      Attributes.links(pairs, "doc_id", empty)
+        .orderBy("doc_id", "attr_value_id")
+    },
+
+    // S5: filesystem binary scan over committed fixtures.
+    Q("q_s5_binary_scan",
+      """SELECT * FROM (VALUES
+        |  ('a.bin', CAST(20 AS BIGINT),
+        |   'a382f82fa6ce68320df455a06ac5e7673b10d3f28af9f95bfa672c02f9cedf32'),
+        |  ('b.bin', CAST(23 AS BIGINT),
+        |   '2f5050a296252657cb06bc9ea5db920e4772000ff8afe84c491e41cda5241d07'))
+        |  AS t(fname, n_bytes, digest)
+        |ORDER BY fname""".stripMargin) { (s, _) =>
+      Sources.binaryFiles(s, MediaDir, "*.bin")
+        .select(
+          element_at(split(col("path"), "/"), -1).as("fname"),
+          col("length").as("n_bytes"),
+          sha2(col("content"), 256).as("digest"))
+        .orderBy("fname")
+    })
+
+  /** Helper producing the attr_value_id column expression (shared by
+    * the empty-link-table schema and the link build). */
+  private def deterministicIdCol(pairs: org.apache.spark.sql.DataFrame) =
+    graft.functions.deterministicId(lit("av"), col("attr_key"),
+      col("attr_value")).as("attr_value_id")
+}

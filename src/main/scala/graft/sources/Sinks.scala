@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sink operators (SURVEY.md §2.1, S7-S11 + M7/M8 write semantics).
+  *
+  * Parquet is the engine's at-rest format (SURVEY.md §1.3); merges are
+  * computed as DataFrames (operators.Merge) and these writers decide
+  * atomicity: write to a temp dir, then atomic rename — the engine's
+  * replacement for the reference's single-transaction commit/rollback
+  * (/root/reference/utils/importer/ETL.py:620-626).
+  */
+object Sinks {
+
+  /** S7: plain append. */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** S10: CSV append sink (header once per file part, like the
+    * reference's incremental OCR results CSV,
+    * /root/reference/utils/details_translator/2_ocr_from_images.py:64-67). */
+  def appendCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("append").option("header", "true").csv(path)
+
+  /** S11: partitioned-by-key sink — one directory per key value
+    * (replaces the reference's one-CSV-per-product loop,
+    * /root/reference/utils/details_translator/
+    * 3_group_ocr_results_by_img_&_collection.py:41-48). */
+  def partitionedBy(df: DataFrame, path: String,
+      keys: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
+
+  /** M7/M8: atomic overwrite with dry-run. Writes the full result to
+    * `<path>.tmp-<nonce>` and only then swaps directories; with
+    * dryRun=true the swap is skipped and the temp path returned for
+    * inspection (the reference's DRY_RUN rollback). */
+  def atomicOverwrite(df: DataFrame, path: String,
+      dryRun: Boolean = false): String = {
+    val spark = df.sparkSession
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = s"$path.tmp-$nonce"
+    df.write.mode("overwrite").parquet(tmp)
+    if (!dryRun) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(conf)
+      val target = new org.apache.hadoop.fs.Path(path)
+      val src = new org.apache.hadoop.fs.Path(tmp)
+      if (fs.exists(target)) {
+        val bak = new org.apache.hadoop.fs.Path(s"$path.bak-$nonce")
+        fs.rename(target, bak)
+        fs.rename(src, target)
+        fs.delete(bak, true)
+      } else fs.rename(src, target)
+      path
+    } else tmp
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Behavioral specs for dedup / similarity / text analysis: do the
+  * operators FIND what they exist to find (duplicates, near-dups,
+  * nearest neighbors), not just produce deterministic numbers.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old river"),
+    (2L, "the quick brown fox jumps over the lazy dog near the old river"),
+    (3L, "the quick brown fox jumps over the lazy dog near the old bridge"),
+    (4L, "completely different text about spark query engines and shuffles"),
+    (5L, "THE QUICK BROWN FOX jumps over the lazy dog near the old river!")
+  ).toDF("doc_id", "text")
+
+  test("exactTextGroups: case/punct-insensitive duplicates group") {
+    val g = Dedup.exactTextGroups(docs, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // docs 1, 2, 5 normalize identically
+    assert(g.exists { case (_, rep, n) => rep == 1L && n == 3L })
+    assert(g.length == 3)
+  }
+
+  test("minHashLshPairs: near-identical docs are candidates") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))   // identical
+    assert(pairs.contains((1L, 5L)))   // identical after normalization
+    assert(pairs.contains((1L, 3L)))   // one-word difference
+    assert(!pairs.contains((1L, 4L)))  // unrelated
+  }
+
+  test("ngramJaccardPairs: exact jaccard with df cap") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.5, 1000)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 5L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("ngramJaccardPairs: df cap drops universal shingles") {
+    // with cap=1 every shared shingle is dropped, so no pairs survive
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.01, 1)
+      .count() == 0)
+  }
+
+  test("simHash: identical-normalization docs get identical hashes") {
+    val h = Dedup.withSimHash(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(h(1L) == h(2L) && h(1L) == h(5L))
+  }
+
+  test("simHashPairs: banded join finds hamming<=3 pairs") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", 16, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("exactByKey: one representative per key, smallest tiebreak") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
+    val out = Dedup.exactByKey(df, Seq("k"), "id")
+      .collect().map(r => (r.getString(1), r.getLong(0))).sorted
+    assert(out.toSeq == Seq(("a", 1L), ("b", 3L)))
+  }
+
+  test("bruteForceTopK: self is nearest, k bounds output") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 1L).select($"embedding".as("qvec"))
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 2)
+      .collect().map(_.getLong(0))
+    assert(top.toSeq == Seq(1L, 2L))
+  }
+
+  test("lshTopK: probes only the query bucket but still ranks by cosine") {
+    val vecs = (0 until 50).map(i =>
+        (i.toLong, Array.tabulate(8)(j =>
+          (math.sin(i * 17 + j) * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L).select($"embedding".as("qvec"))
+    val top = Similarity.lshTopK(vecs, "vec_id", "embedding", q, 4, 5)
+      .collect()
+    assert(top.nonEmpty && top.head.getLong(0) == 0L)
+  }
+
+  test("TextAnalysis.analyze: plausible metrics on known text") {
+    val df = Seq((1L, "the cat and the dog sat of the mat and that is that"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.analyze(df, "text").collect()(0)
+    assert(r.getAs[Long]("ws_tokens") == 13L)
+    assert(r.getAs[String]("lang_id") == "en")
+    assert(r.getAs[Double]("stopword_ratio") > 0.5)
+    assert(r.getAs[Double]("quality") > 0.0 &&
+      r.getAs[Double]("quality") <= 1.0)
+  }
+
+  test("TextAnalysis.langId: und for empty, de for german function words") {
+    assert(eval(TextAnalysis.langId(
+      org.apache.spark.sql.functions.lit(""))) == "und")
+    assert(eval(TextAnalysis.langId(org.apache.spark.sql.functions.lit(
+      "der hund ist nicht ein das und der die"))) == "de")
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Unit cases for the pure column functions — the reference's own
+  * parser case tables ported from
+  * /root/reference/utils/importer/test_etl.py:22-69 (incl the
+  * Chinese-text cases) plus engine-specific edges.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  // test_parse_array cases (test_etl.py:24-31)
+  test("extractUrls: bracketed two-url array") {
+    assert(eval(size(extractUrls(
+      lit("[https://example.com/1.jpg, https://example.com/2.jpg]")))) == 2)
+  }
+  test("extractUrls: bare single url") {
+    assert(eval(size(extractUrls(lit("https://example.com/single.jpg")))) == 1)
+  }
+  test("extractUrls: empty and null and non-url input give empty") {
+    assert(eval(size(extractUrls(lit("")))) == 0)
+    assert(eval(size(extractUrls(lit(null).cast("string")))) == 0)
+    assert(eval(size(extractUrls(lit("123")))) == 0)
+  }
+  test("extractUrls: url values are exact") {
+    assert(eval(array_join(extractUrls(
+      lit("[https://example.com/1.jpg, https://example.com/2.jpg]")), "|"))
+      == "https://example.com/1.jpg|https://example.com/2.jpg")
+  }
+
+  // test_parse_attributes cases (test_etl.py:41-47)
+  test("attributePairs: Chinese 3-pair string") {
+    val c = attributePairs(
+      lit("品牌:NEXTUXURY AVENUE/丽舍大道-外套材质:混纺-图案:几何图案"))
+    assert(eval(size(c)) == 3)
+    assert(eval(element_at(c, 1).getField("attr_key")) == "品牌")
+    assert(eval(element_at(c, 1).getField("attr_value"))
+      == "NEXTUXURY AVENUE/丽舍大道")
+    assert(eval(element_at(c, 2).getField("attr_key")) == "外套材质")
+    assert(eval(element_at(c, 3).getField("attr_value")) == "几何图案")
+  }
+  test("attributePairs: single pair") {
+    assert(eval(size(attributePairs(lit("key1:value1")))) == 1)
+  }
+  test("attributePairs: semicolon-separated pairs") {
+    assert(eval(size(attributePairs(lit("key1:value1;key2:value2")))) == 2)
+  }
+  test("attributePairs: empty / null / no-colon give empty") {
+    assert(eval(size(attributePairs(lit("")))) == 0)
+    assert(eval(size(attributePairs(lit(null).cast("string")))) == 0)
+    assert(eval(size(attributePairs(lit("123")))) == 0)
+  }
+  test("attributePairs: value keeps colons after the first") {
+    val c = attributePairs(lit("url:https://x/a"))
+    assert(eval(element_at(c, 1).getField("attr_value")) == "https://x/a")
+  }
+
+  // test_clean_string cases (test_etl.py:58-63)
+  test("cleanString: trims, keeps empty, keeps null") {
+    assert(eval(cleanString(lit("  test  "))) == "test")
+    assert(eval(cleanString(lit("test"))) == "test")
+    assert(eval(cleanString(lit(""))) == "")
+    assert(eval(cleanString(lit(null).cast("string"))) == null)
+  }
+
+  // F7: the rstrip('.0') char-class bug is deliberately NOT replicated
+  test("stripDotZero: exact suffix only") {
+    assert(eval(stripDotZero(lit("M1-A.0"))) == "M1-A")
+    assert(eval(stripDotZero(lit("M1-A0"))) == "M1-A0")
+    assert(eval(stripDotZero(lit("x.00"))) == "x.00")
+    assert(eval(stripDotZero(lit("10.0"))) == "10")
+  }
+
+  test("fixDecimalComma: thousands spaces + decimal comma") {
+    assert(eval(fixDecimalComma(lit("1 299,50"))) == 1299.5)
+    assert(eval(fixDecimalComma(lit("899,99"))) == 899.99)
+    assert(eval(fixDecimalComma(lit(""))) == null)
+  }
+
+  test("sanitizeFilename: forbidden chars and length cap") {
+    assert(eval(sanitizeFilename(lit("""a/b:c*?"<>|.txt""")))
+      == "a_b_c______.txt")
+    assert(eval(length(sanitizeFilename(lit("x" * 300)))) == 100)
+  }
+
+  test("cleanImgArray: strips cruft, keeps only http(s)") {
+    val arr = array(lit("[\"http://a/1"), lit("junk"),
+      lit("\"https://b/2\"]"), lit("'http://c/3'"))
+    assert(eval(array_join(cleanImgArray(arr), "|"))
+      == "http://a/1|https://b/2|http://c/3")
+  }
+
+  test("extractImgSrcs: both quote styles") {
+    assert(eval(array_join(extractImgSrcs(
+      lit("""<img src="http://a/1.jpg"><img alt="x" src='https://b/2'>""")),
+      "|")) == "http://a/1.jpg|https://b/2")
+  }
+
+  test("deterministicId: uuid-shaped, stable, key-sensitive") {
+    val a = eval(deterministicId(lit("pc"), lit("M001"))).toString
+    val b = eval(deterministicId(lit("pc"), lit("M001"))).toString
+    val c = eval(deterministicId(lit("pc"), lit("M002"))).toString
+    assert(a == b)
+    assert(a != c)
+    assert(a.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+  }
+
+  test("tokens/normalizeText: punctuation to spaces, collapse, trim") {
+    assert(eval(array_join(tokens(lit("  Héllo,  WORLD!x  ")), "|"))
+      == "héllo|world|x")
+    assert(eval(size(tokens(lit("...")))) == 0)
+    assert(eval(size(tokens(lit(null).cast("string")))) == 0)
+  }
+
+  test("shingles: n-grams over tokens") {
+    assert(eval(array_join(shingles(lit("a b c d"), 2), "|"))
+      == "a b|b c|c d")
+    assert(eval(size(shingles(lit("a b"), 3))) == 0)
+  }
+
+  test("dotProduct / cosineSimilarity: ordered fold") {
+    val a = array(lit(1.0f), lit(2.0f), lit(3.0f))
+    val b = array(lit(4.0f), lit(5.0f), lit(6.0f))
+    assert(eval(dotProduct(a, b)) == 32.0)
+    val cos = eval(cosineSimilarity(a, a)).asInstanceOf[Double]
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+}

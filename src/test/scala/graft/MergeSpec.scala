@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Merge
+import graft.streaming.Incremental
+
+/** The §2.9 idempotency contract: re-running any merge with the same
+  * batch is a no-op (run-twice == run-once). Checked over seeded
+  * random inputs (poor-man property testing: 20 seeds per law) plus
+  * hand-written edge cases.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randFrame(seed: Int, n: Int): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map(_ =>
+        (rng.nextInt(20).toLong, rng.nextInt(5).toString, rng.nextInt(100)))
+      .toDF("k", "cat", "v")
+      .dropDuplicates("k")
+  }
+
+  test("upsertByKey: run-twice == run-once, over 20 seeds") {
+    for (seed <- 0 until 20) {
+      val existing = randFrame(seed, 15)
+      val updates = randFrame(seed + 1000, 8)
+      val once = Merge.upsertByKey(existing, updates, Seq("k"))
+      val twice = Merge.upsertByKey(once, updates, Seq("k"))
+      assertSameRows(once, twice)
+    }
+  }
+
+  test("upsertByKey: update rows win, unmatched rows insert") {
+    val existing = Seq((1L, "a", 1), (2L, "b", 2)).toDF("k", "cat", "v")
+    val updates = Seq((2L, "B", 20), (3L, "c", 3)).toDF("k", "cat", "v")
+    val out = Merge.upsertByKey(existing, updates, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a", 1), (2L, "B", 20), (3L, "c", 3)))
+  }
+
+  test("insertIfAbsent: run-twice == run-once, over 20 seeds") {
+    for (seed <- 20 until 40) {
+      val existing = randFrame(seed, 15)
+      val inserts = randFrame(seed + 2000, 8)
+      val once = Merge.insertIfAbsent(existing, inserts, Seq("k"))
+      val twice = Merge.insertIfAbsent(once, inserts, Seq("k"))
+      assertSameRows(once, twice)
+    }
+  }
+
+  test("insertIfAbsent: existing rows never change") {
+    val existing = Seq((1L, "a", 1)).toDF("k", "cat", "v")
+    val inserts = Seq((1L, "CLOBBER", 99), (2L, "b", 2)).toDF("k", "cat", "v")
+    val out = Merge.insertIfAbsent(existing, inserts, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("deleteByKeys: idempotent and exact") {
+    for (seed <- 40 until 50) {
+      val target = randFrame(seed, 20)
+      val tomb = randFrame(seed + 3000, 6)
+      val once = Merge.deleteByKeys(target, tomb, Seq("k"))
+      val twice = Merge.deleteByKeys(once, tomb, Seq("k"))
+      assertSameRows(once, twice)
+      assert(once.join(tomb.select("k"), Seq("k"), "left_semi").count() == 0)
+    }
+  }
+
+  test("upsertPartial: null update values keep existing; new keys insert") {
+    val existing = Seq((1L, "n1", "s1"), (2L, "n2", "s2"))
+      .toDF("k", "name", "seg")
+    val updates = Seq((2L, Option.empty[String], Some("S2X")),
+        (9L, Some("n9"), Option.empty[String]))
+      .toDF("k", "name", "seg")
+    val out = Merge.upsertPartial(existing, updates, Seq("k"),
+        Seq("name", "seg"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "n1", "s1"), (2L, "n2", "S2X"),
+      (9L, "n9", null)))
+  }
+
+  test("keepReferenced: drops rows missing from any parent") {
+    val target = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("a", "b")
+    val pa = Seq(Tuple1(1L), Tuple1(2L)).toDF("pa")
+    val pb = Seq(Tuple1(10L), Tuple1(30L)).toDF("pb")
+    val out = Merge.keepReferenced(target,
+        Seq((pa, "a", "pa"), (pb, "b", "pb")))
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L))
+  }
+
+  test("inheritBackfill: only null child fields inherit") {
+    val child = Seq((1L, null.asInstanceOf[String]), (2L, "own"))
+      .toDF("k", "f")
+    val parent = Seq((1L, "inh1"), (2L, "inh2")).toDF("pk", "pf")
+    val out = Merge.inheritBackfill(child, parent, "k", "pk",
+        Map("f" -> "pf"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "inh1"), (2L, "own")))
+  }
+
+  test("exceptByKey: set difference") {
+    val l = Seq(1L, 2L, 3L).toDF("k")
+    val r = Seq(2L).toDF("k")
+    assert(Merge.exceptByKey(l, r, Seq("k")).collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("Incremental.run: second run processes nothing") {
+    val input = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val ledger0 = Seq(Tuple1(1L)).toDF("k")
+    val (res1, ledger1) = Incremental.run(input, ledger0, Seq("k"))(identity)
+    assert(res1.count() == 2)
+    assert(ledger1.count() == 3)
+    val (res2, ledger2) = Incremental.run(input, ledger1, Seq("k"))(identity)
+    assert(res2.count() == 0)
+    assert(ledger2.count() == 3)
+  }
+}

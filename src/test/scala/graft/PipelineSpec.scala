@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.pipelines.{Attributes, Importer}
+import graft.sources.{Sinks, Sources}
+import graft.streaming.Incremental
+
+/** End-to-end specs: the §7.2 importer slice over the committed CSV
+  * fixture, the attribute pipeline, sinks (write → read back), and
+  * the Structured Streaming ledger path.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val RawCsv = "/root/repo/fixtures/raw_products.csv"
+  private val MapCsv = "/root/repo/fixtures/map.csv"
+
+  test("importer: golden collections and products from the fixture") {
+    val t = Importer.run(spark, RawCsv, MapCsv)
+    assert(t.collections.count() == 3)
+    assert(t.products.count() == 7)
+    val skus = t.products.select("sku").collect().map(_.getString(0)).sorted
+    assert(skus.toSeq == Seq("M001-A", "M001-B", "M001-C", "M002-A",
+      "M002-B", "M002-C", "M003-A"))
+    val m1 = t.collections.filter($"master_code" === "M001").collect()(0)
+    assert(m1.getAs[String]("collection_name") == "Oak Chair")
+    assert(m1.getAs[scala.collection.Seq[String]]("images").toSeq ==
+      Seq("https://img/1.jpg", "https://img/2.jpg"))
+    // price repair: decimal comma + thousands space
+    val pA = t.products.filter($"sku" === "M001-A").collect()(0)
+    assert(pA.getAs[Double]("selling_price") == 1299.5)
+    // row without master code is dropped (P5)
+    assert(!skus.contains("SKIP-1"))
+  }
+
+  test("importer: products-per-collection top-k audit") {
+    val top = Importer.productsPerCollection(
+        Importer.run(spark, RawCsv, MapCsv), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == Seq(("M001", 3L), ("M002", 3L), ("M003", 1L)))
+  }
+
+  test("attributes pipeline: dictionaries + links from fixture attrs") {
+    val raw = Importer.run(spark, RawCsv, MapCsv).collections
+      .select($"master_code", $"attributes_raw")
+    val pairs = Attributes.explodePairs(raw, "master_code",
+      col("attributes_raw"))
+    // M001: 品牌+材质; M002: brand; M003: none (first row per master)
+    assert(pairs.count() == 3)
+    val keys = Attributes.keyDict(pairs)
+    assert(keys.count() == 3)
+    val values = Attributes.valueDict(pairs)
+    assert(values.count() == 3)
+    val empty = values.select($"attr_value_id")
+      .withColumn("master_code", lit("")).limit(0)
+      .select("master_code", "attr_value_id")
+    val links = Attributes.links(pairs, "master_code", empty)
+    assert(links.count() == 3)
+    // idempotent: inserting the same links again changes nothing
+    assert(Attributes.links(pairs, "master_code", links).count() == 3)
+  }
+
+  test("sinks: csv append + partitioned sink round-trip") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Sinks.appendCsv(df, s"$dir/csv")
+    Sinks.appendCsv(df, s"$dir/csv")
+    val back = spark.read.option("header", "true").csv(s"$dir/csv")
+    assert(back.count() == 4)
+    Sinks.partitionedBy(df, s"$dir/part", Seq("v"))
+    assert(spark.read.parquet(s"$dir/part").count() == 2)
+    assert(new java.io.File(s"$dir/part/v=a").exists())
+  }
+
+  test("sinks: atomic overwrite swaps, dry run does not") {
+    val dir = Files.createTempDirectory("graft-atomic").toString
+    val target = s"$dir/table"
+    Sinks.atomicOverwrite(Seq((1L, "a")).toDF("k", "v"), target)
+    assert(spark.read.parquet(target).count() == 1)
+    val tmp = Sinks.atomicOverwrite(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), target, dryRun = true)
+    assert(spark.read.parquet(target).count() == 1)   // unchanged
+    assert(spark.read.parquet(tmp).count() == 2)      // inspectable
+    Sinks.atomicOverwrite(Seq((3L, "c")).toDF("k", "v"), target)
+    assert(spark.read.parquet(target).collect()(0).getLong(0) == 3L)
+  }
+
+  test("sources: binary scan sees committed fixtures") {
+    val files = Sources.binaryFiles(spark, "/root/repo/fixtures/media",
+        "*.bin")
+      .select("length").collect().map(_.getLong(0)).sorted
+    assert(files.toSeq == Seq(20L, 23L))
+  }
+
+  test("sources: httpFetch stub applies per row") {
+    val out = Sources.httpFetch(
+        Seq("u1", "u2").toDF("url"), "url",
+        (u: String) => s"body-of-$u", minIntervalMs = 0)
+      .collect().map(_.getString(1)).sorted
+    assert(out.toSeq == Seq("body-of-u1", "body-of-u2"))
+  }
+
+  test("streaming: file stream + foreachBatch ledger merge") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val src = s"$dir/src"
+    val ckpt = s"$dir/ckpt"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.parquet(src)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val schema = spark.read.parquet(src).schema
+    val q = Incremental.streamWithLedger(spark, src, schema, Seq("k"),
+      ckpt) { (batch, _) => seen.addAndGet(batch.count()) }
+    q.awaitTermination()
+    assert(seen.get() == 2L)
+    // restart with no new files: AvailableNow processes nothing new
+    val q2 = Incremental.streamWithLedger(spark, src, schema, Seq("k"),
+      ckpt) { (batch, _) => seen.addAndGet(batch.count()) }
+    q2.awaitTermination()
+    assert(seen.get() == 2L)
+  }
+}
