@@ -53,6 +53,16 @@ package object functions {
     * linearly (a*h+b) inside 64-bit arithmetic. */
   def hash31(c: Column): Column = hash60(c) % HashPrime31
 
+  /** Driver-side mirror of [[hash31]] for Scala string literals —
+    * used to derive hash-family constants that must be identical in
+    * the Spark expression and the SQL oracle. */
+  def hash31Lit(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % HashPrime31
+  }
+
   /** parse_attributes — 'k1:v1-k2:v2;k3:v3' → array<struct<attr_key,
     * attr_value>>. Split on '-', then ';', keep segments containing
     * ':', split on the FIRST ':' only, trim both sides. */

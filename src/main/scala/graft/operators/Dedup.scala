@@ -19,6 +19,16 @@ import graft.functions._
   */
 object Dedup {
 
+  /** Ensure at least the session's default parallelism before an
+    * expression-heavy narrow map. A single-rowgroup parquet file plans
+    * as ONE partition, serializing md5/regex-heavy per-row work onto
+    * one core; on a real cluster the input has thousands of splits and
+    * this is a no-op (the guard avoids pointless shuffles there). */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: one representative row per key (smallest tieBreak).
     * A groupBy-shaped window, shuffles once on the key. */
   def exactByKey(df: DataFrame, keyCols: Seq[String],
@@ -39,21 +49,38 @@ object Dedup {
       .agg(min(col(idCol)).as("rep_id"),
         count(lit(1)).as("dup_count"))
 
+  /** Hash-family constants for permutation i — md5-derived so they
+    * look random but are reproducible in any engine (the naive
+    * a=2i+3 family produces correlated permutations and spurious LSH
+    * bucket collisions). `a` is forced odd. */
+  def minHashA(i: Int): Long = hash31Lit(s"mh_a:$i") | 1L
+  def minHashB(i: Int): Long = hash31Lit(s"mh_b:$i")
+
   /** MinHash signature: k independent permutation-style hash functions
     * h_i(s) = (A_i * hash31(s) + B_i) mod (2^31-1), min over the doc's
     * DISTINCT shingles. Returns the input plus `sig` array<long>.
-    * One narrow map per row; no shuffle. */
-  def withMinHashSignature(df: DataFrame, textCol: String,
+    * One narrow map per row; no shuffle.
+    *
+    * Cost shape matters here: the shingle array is built and each
+    * shingle md5-hashed exactly ONCE (materialized `__mh` column);
+    * the per-permutation inner loop is pure 64-bit arithmetic over
+    * those precomputed hashes. Folding the md5 into the per-k lambda
+    * instead re-evaluates the whole shingle pipeline k times per row
+    * — measured 8× slower end-to-end at sf0.1. */
+  def withMinHashSignature(df0: DataFrame, textCol: String,
       shingleSize: Int, k: Int): DataFrame = {
+    val df = spread(df0)
     val sh = array_distinct(shingles(col(textCol), shingleSize))
-    val sig = transform(sequence(lit(0), lit(k - 1)), i => {
-      val a = i * 2L + 3L // odd multipliers 3,5,7,...
-      val b = i * 13L + 7L
-      when(size(sh) === 0, lit(HashPrime31))
-        .otherwise(array_min(transform(sh,
-          s => (a * hash31(s) + b) % HashPrime31)))
-    })
-    df.withColumn("sig", sig)
+    val sig = array((0 until k).map { i =>
+      val a = lit(minHashA(i))
+      val b = lit(minHashB(i))
+      when(size(col("__mh")) === 0, lit(HashPrime31))
+        .otherwise(array_min(transform(col("__mh"),
+          h => (a * h + b) % HashPrime31)))
+    }: _*)
+    df.withColumn("__mh", transform(sh, s => hash31(s)))
+      .withColumn("sig", sig)
+      .drop("__mh")
   }
 
   /** MinHash + LSH candidate pairs: band the signature, bucket-join on
@@ -61,18 +88,28 @@ object Dedup {
     * estimated Jaccard = fraction of agreeing signature positions.
     * Shuffle key is the band bucket — the LSH scale path. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+      shingleSize: Int = 3, k: Int = 8, bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rowsPerBand = k / bands
     val signed = withMinHashSignature(df, textCol, shingleSize, k)
       .select(col(idCol).as("id"), col("sig"))
-    val banded = signed.select(col("id"), col("sig"),
+    val bandedAll = signed.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket",
         md5(concat_ws(",",
           col("band"),
           array_join(slice(col("sig"), col("band") * rowsPerBand + 1,
             lit(rowsPerBand)), ","))))
+    // bucket-size cap: a bucket shared by B docs yields B^2 candidate
+    // pairs; giant buckets are boilerplate signatures, not near-dups —
+    // dropping them bounds every join key (standard LSH hygiene)
+    val smallBuckets = bandedAll.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "bucket")
+    val banded = bandedAll.join(smallBuckets, Seq("band", "bucket"),
+      "left_semi")
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"),
@@ -99,8 +136,9 @@ object Dedup {
     * per-doc size count, so J stays consistent over the filtered
     * shingle space) bounds every bucket at dfCap^2 — standard
     * stop-shingle practice for set-similarity joins. */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+  def ngramJaccardPairs(df0: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, dfCap: Int = 1000): DataFrame = {
+    val df = spread(df0)
     val shRaw = df.select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
     val rare = shRaw.groupBy("shingle")
@@ -126,8 +164,9 @@ object Dedup {
   /** SimHash over distinct tokens, `bits` wide (<= 32): majority vote
     * per bit of each token's md5-derived hash. Ties (sum == 0) set the
     * bit, matching `vote >= 0`. Narrow map + one explode/groupBy. */
-  def withSimHash(df: DataFrame, idCol: String, textCol: String,
+  def withSimHash(df0: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame = {
+    val df = spread(df0)
     val toks = df.select(col(idCol),
       explode(array_distinct(tokens(col(textCol)))).as("tok"))
     val voteCols: Seq[Column] = (0 until bits).map(i =>

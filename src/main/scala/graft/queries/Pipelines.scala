@@ -148,6 +148,36 @@ object Pipelines {
         .orderBy("doc_id", "attr_value_id")
     },
 
+    // §3.3 enrichment DAG: html → img urls → OCR → ordered concat →
+    // translate → logistics, one declarative job with stub services.
+    // The oracle computes the same deterministic end state directly.
+    Q("q_e3_enrichment",
+      """WITH e AS (SELECT doc_id,
+        |  concat('http i ', doc_id, ' jpg | https j ', lang, ' x png')
+        |    AS full_text FROM documents),
+        |tr AS (SELECT doc_id, full_text,
+        |  concat('[zh->en] ', full_text) AS translated FROM e)
+        |SELECT doc_id, CAST(2 AS BIGINT) AS n_images, translated,
+        |  concat(length(translated) % 50, 'kg') AS weight,
+        |  concat(length(translated) % 9, 'x', length(translated) % 7)
+        |    AS dims,
+        |  substr(translated, 1, 2) AS origin,
+        |  concat('HS', length(translated) % 100) AS hs_code,
+        |  'FOB' AS incoterm
+        |FROM tr ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val html = concat(lit("<div><img src=\"http://i/"),
+        col("doc_id").cast("string"),
+        lit(".jpg\"><p>x</p><img src=\"https://j/"), col("lang"),
+        lit("/x.png\"></div>"))
+      graft.pipelines.Enrichment.run(
+          t(s, d, "documents"), "doc_id", html)
+        .select(col("doc_id"), col("n_images"), col("translated"),
+          col("logistics.weight"), col("logistics.dims"),
+          col("logistics.origin"), col("logistics.hs_code"),
+          col("logistics.incoterm"))
+        .orderBy("doc_id")
+    },
+
     // S5: filesystem binary scan over committed fixtures.
     Q("q_s5_binary_scan",
       """SELECT * FROM (VALUES

@@ -32,9 +32,10 @@ object Text {
       s"i -> array_to_string($toksE[i+1:i+$n], ' ')) ELSE [] END)"
 
   /** The 8 minhash signature exprs over a distinct-shingle list `s`
-    * (matches Dedup.withMinHashSignature's hash family). */
+    * (hash family constants come from Dedup.minHashA/B, so the oracle
+    * cannot drift from the operator). */
   private val sigExprs: Seq[String] = (0 until 8).map { i =>
-    val a = 2 * i + 3; val b = 13 * i + 7
+    val a = Dedup.minHashA(i); val b = Dedup.minHashB(i)
     s"CASE WHEN len(s) = 0 THEN 2147483647 ELSE list_min(" +
       s"list_transform(s, x -> ($a * ${sqlHash31("x")} + $b) % 2147483647)) END"
   }
@@ -156,17 +157,23 @@ object Text {
       sigCte +
         """, banded AS (SELECT doc_id AS id, sig,
           |    unnest([0,1,2,3]) AS band FROM sig),
-          |bkt AS (SELECT id, sig, band,
+          |bkt0 AS (SELECT id, sig, band,
           |  md5(concat_ws(',', band,
           |    array_to_string(sig[band*2+1:band*2+2], ','))) AS bucket
-          |  FROM banded)
+          |  FROM banded),
+          |small AS (SELECT band, bucket FROM bkt0
+          |          GROUP BY 1, 2 HAVING count(*) <= 1000),
+          |bkt AS (SELECT bkt0.* FROM bkt0
+          |        JOIN small ON bkt0.band = small.band
+          |                  AND bkt0.bucket = small.bucket)
           |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
           |  CAST(len(list_filter(range(1,9), i -> a.sig[i] = b.sig[i]))
           |    AS DOUBLE) / 8.0 AS est_jaccard
           |FROM bkt a JOIN bkt b
           |  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
           |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text", 3, 8, 4)
+      Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
+          3, 8, 4, 1000)
         .orderBy("id_a", "id_b")
     },
 
