@@ -161,6 +161,21 @@ package object functions {
 
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
+  /** Native-Expression dot product (graft.expressions.DotProductFloat
+    * via the graft_dot function registered by plans.GraftExtensions):
+    * same left-to-right summation, but a codegen'd tight loop instead
+    * of an interpreted HOF fold. Requires the session to be built
+    * with spark.sql.extensions=graft.plans.GraftExtensions. */
+  def dotProductNative(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** Cosine over the native dot product — bit-identical to
+    * [[cosineSimilarity]] (same fold order), ~frees the hot loop from
+    * interpretation at 100 TB. */
+  def cosineSimilarityNative(a: Column, b: Column): Column =
+    dotProductNative(a, b) /
+      (sqrt(dotProductNative(a, a)) * sqrt(dotProductNative(b, b)))
+
   /** Cosine similarity in double precision with ordered folds. */
   def cosineSimilarity(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))

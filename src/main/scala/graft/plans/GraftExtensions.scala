@@ -1,0 +1,21 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.DotProductFloat
+
+/** Session extension registering the engine's native expressions —
+  * enabled with `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (set by Verify/Bench/tests). Functions registered here are
+  * available to SQL and to `call_function` from the DataFrame API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
+      (children: Seq[Expression]) =>
+        DotProductFloat(children(0), children(1))))
+  }
+}

@@ -46,6 +46,25 @@ object Vectors {
         .select("vec_id", "label", "cosine")
     },
 
+    // Native Catalyst expression path: graft_dot (codegen'd tight
+    // loop, registered via SparkSessionExtensions) must be
+    // bit-identical to the HOF fold — the oracle is the SAME SQL as
+    // the fold-based cosine.
+    Q("q_v_native_cosine_topk",
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${sqlCosine("embedding", "qv")} AS cosine
+         |FROM embeddings, q
+         |ORDER BY cosine DESC, vec_id LIMIT 15""".stripMargin) { (s, d) =>
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      t(s, d, "embeddings").crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          graft.functions.cosineSimilarityNative(col("embedding"),
+            col("qvec")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(15)
+    },
+
     // ANN scale path: random-hyperplane LSH bucket per vector.
     Q("q_v_lsh_buckets",
       s"""SELECT vec_id, CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
@@ -86,6 +105,48 @@ object Vectors {
       Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
           q, 8, 10)
         .select("vec_id", "cosine")
+    },
+
+    // IVF inverted-list assignment (deterministic seed centroids).
+    Q("q_v_ivf_assign",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+         |           FROM embeddings WHERE vec_id < 16),
+         |d AS (SELECT e.vec_id, c.cid,
+         |        -(${sqlCosine("e.embedding", "c.cv")}) AS dist
+         |      FROM embeddings e, c),
+         |r AS (SELECT vec_id, cid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY dist, cid) AS rn FROM d)
+         |SELECT vec_id, cid AS centroid_id FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.ivfAssign(t(s, d, "embeddings"), "vec_id", "embedding", 16)
+        .orderBy("vec_id")
+    },
+
+    // IVF-probed top-k (nProbe nearest inverted lists only).
+    Q("q_v_ivf_topk",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+         |           FROM embeddings WHERE vec_id < 16),
+         |d AS (SELECT e.vec_id, c.cid,
+         |        -(${sqlCosine("e.embedding", "c.cv")}) AS dist
+         |      FROM embeddings e, c),
+         |r AS (SELECT vec_id, cid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY dist, cid) AS rn FROM d),
+         |assign AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+         |qd AS (SELECT cid, row_number() OVER (ORDER BY dist, cid) AS qrn
+         |       FROM d WHERE vec_id = 0),
+         |probe AS (SELECT cid FROM qd WHERE qrn <= 4),
+         |cand AS (SELECT a.vec_id FROM assign a
+         |         JOIN probe p ON a.cid = p.cid),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${sqlCosine("e.embedding", "qv")} AS cosine
+         |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q
+         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        q, 16, 4, 10)
     },
 
     // MULTIMODAL: opaque binary + typed metadata (S5-adjacent schema).

@@ -94,6 +94,33 @@ class DedupSpec extends SparkSpec {
     assert(top.nonEmpty && top.head.getLong(0) == 0L)
   }
 
+  test("native graft_dot: bit-identical to the HOF fold") {
+    import org.apache.spark.sql.functions._
+    val vecs = (0 until 40).map(i =>
+        (i.toLong, Array.tabulate(16)(j =>
+          (math.sin(i * 31 + j * 7) * 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val both = vecs.crossJoin(
+        vecs.select($"embedding".as("other")).limit(5))
+      .select(
+        graft.functions.dotProduct($"embedding", $"other").as("fold"),
+        graft.functions.dotProductNative($"embedding", $"other").as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native graft_dot: null on length mismatch or null element") {
+    import org.apache.spark.sql.functions._
+    val a = array(lit(1.0f), lit(2.0f))
+    val b = array(lit(1.0f), lit(2.0f), lit(3.0f))
+    assert(eval(graft.functions.dotProductNative(a, b)) == null)
+    val c = array(lit(1.0f), lit(null).cast("float"))
+    assert(eval(graft.functions.dotProductNative(a, c)) == null)
+  }
+
   test("TextAnalysis.analyze: plausible metrics on known text") {
     val df = Seq((1L, "the cat and the dog sat of the mat and that is that"))
       .toDF("doc_id", "text")
