@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import graft.operators.Skew
+
+/** Scale-posture specs: the plan-shape claims the engine makes for
+  * 100 TB (salting correctness, bucketed co-located joins that skip
+  * the shuffle, streaming watermark aggregation).
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin: row-equal to the plain join under a hot key") {
+    // 10k rows, 90% share one hot key
+    val big = (0 until 10000).map(i =>
+        (if (i % 10 == 0) i.toLong % 7 else 999L, i.toLong))
+      .toDF("k", "payload")
+    val small = Seq((999L, "hot"), (0L, "a"), (1L, "b"), (5L, "c"))
+      .toDF("k", "label")
+    val plain = big.join(small, Seq("k"))
+    val salted = Skew.saltedJoin(big, small, "k", 8, Seq("payload"))
+    assertSameRows(plain.select("k", "payload", "label"),
+      salted.select("k", "payload", "label"))
+  }
+
+  test("bucketed tables: co-located join plans without a shuffle") {
+    val a = (0 until 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (0 until 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    a.write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+      .saveAsTable("bkt_a")
+    b.write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+      .saveAsTable("bkt_b")
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == 1000)
+    spark.sql("DROP TABLE bkt_a")
+    spark.sql("DROP TABLE bkt_b")
+  }
+
+  test("streaming: windowed counts with watermark over a rate-less source") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val counts = graft.streaming.Incremental.windowedCounts(
+      events, "ts", "1 hour", "2 hours")
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append()).start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(0, 10), "click", 1.0), (t(0, 20), "click", 2.0),
+      (t(1, 5), "view", 3.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close the 00:00 window
+    mem.addData((t(5, 0), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((t(6, 0), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("wc")
+      .select(col("window.start").cast("string"), col("event_type"),
+        col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.contains(("2024-01-01 00:00:00", "click", 2L)))
+    q.stop()
+  }
+}
