@@ -178,6 +178,67 @@ object Pipelines {
         .orderBy("doc_id")
     },
 
+    // Translation cache (§3.2 tail): the reference's universal
+    // translator — rows lacking a translation for the target language
+    // (J9 compound anti-join) get translated (U1 stub) and merged
+    // back insert-if-absent (M2); the translation table IS the cache,
+    // so a second run translates nothing.
+    Q("q_translate_cache",
+      """WITH existing AS (
+        |  SELECT doc_id, 'en' AS lang_code,
+        |    concat('[cached] ', substr(text, 1, 20)) AS value
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |missing AS (
+        |  SELECT d.doc_id FROM documents d
+        |  WHERE NOT EXISTS (SELECT 1 FROM existing e
+        |    WHERE e.doc_id = d.doc_id AND e.lang_code = 'en')),
+        |fresh AS (
+        |  SELECT d.doc_id, 'en' AS lang_code,
+        |    concat('[zh->en] ', substr(d.text, 1, 20)) AS value
+        |  FROM documents d JOIN missing m ON d.doc_id = m.doc_id)
+        |SELECT * FROM (SELECT * FROM existing UNION ALL SELECT * FROM fresh)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val existing = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit("en").as("lang_code"),
+          concat(lit("[cached] "), substring(col("text"), 1, 20))
+            .as("value"))
+      val missing = docs.join(existing,
+        docs("doc_id") === existing("doc_id") &&
+          existing("lang_code") === "en", "left_anti")
+      val fresh = missing.select(col("doc_id"), lit("en").as("lang_code"),
+        graft.operators.Services
+          .translateStub(substring(col("text"), 1, 20), "zh", "en")
+          .as("value"))
+      graft.operators.Merge
+        .insertIfAbsent(existing, fresh, Seq("doc_id", "lang_code"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus statistics per source — the analysis aggregate a
+    // training-data pipeline reports (token volumes, mean quality
+    // proxies) over the one-pass analyze columns.
+    Q("q_t_corpus_stats",
+      s"""WITH tok AS (SELECT source, ${sqlTokens("text")} AS t
+         |            FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+         |  CAST(min(len(t)) AS BIGINT) AS min_tokens,
+         |  CAST(max(len(t)) AS BIGINT) AS max_tokens,
+         |  CAST(sum(len(t)) AS DOUBLE) / count(*) AS mean_tokens
+         |FROM tok GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("source"), graft.functions.tokens(col("text")).as("t"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("t"))).cast("long").as("total_tokens"),
+          min(size(col("t"))).cast("long").as("min_tokens"),
+          max(size(col("t"))).cast("long").as("max_tokens"))
+        .withColumn("mean_tokens",
+          col("total_tokens").cast("double") / col("n_docs"))
+        .orderBy("source")
+    },
+
     // S5: filesystem binary scan over committed fixtures.
     Q("q_s5_binary_scan",
       """SELECT * FROM (VALUES
