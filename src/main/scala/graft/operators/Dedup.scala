@@ -92,8 +92,13 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rowsPerBand = k / bands
+    // materialize the signature table before the self-join: it is
+    // consumed 4× (cap count, semi-join, both join sides) and is tiny
+    // relative to the text it summarizes (id + k longs) — exactly the
+    // table you would persist on a cluster
     val signed = withMinHashSignature(df, textCol, shingleSize, k)
       .select(col(idCol).as("id"), col("sig"))
+      .localCheckpoint()
     val bandedAll = signed.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket",
@@ -195,8 +200,10 @@ object Dedup {
       "banding only guarantees recall for hamming distance < bands")
     val width = bits / bands
     val mask = (1L << width) - 1L
+    // same materialize-before-self-join rationale as minHashLshPairs
     val s = withSimHash(df, idCol, textCol, bits)
       .select(col(idCol).as("id"), col("simhash"))
+      .localCheckpoint()
     val banded = s.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("chunk",

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The `spark.sql` surface (SURVEY.md §7.1 module 8): the same
+  * semantic layer exposed through SQL text instead of the DataFrame
+  * API. Each query here is ONE SQL string executed verbatim by BOTH
+  * engines — Spark (over temp views of the testdata) and the DuckDB
+  * oracle — which pins the engine to the ANSI-compatible dialect
+  * subset and proves the two surfaces agree.
+  */
+object SqlSurface {
+
+  /** Build a Q whose Spark side registers the named tables as temp
+    * views and runs the oracle SQL itself. */
+  private def sqlQ(name: String, tables: Seq[String], sql: String): Q =
+    Q(name, sql) { (s: SparkSession, d: String) =>
+      tables.foreach(tb => t(s, d, tb).createOrReplaceTempView(tb))
+      s.sql(sql)
+    }
+
+  val all: Seq[Q] = Seq(
+
+    // TPC-H-Q3-shaped revenue ranking; exact floor-cents arithmetic.
+    sqlQ("q_sql_revenue_topk", Seq("lineitem", "orders"),
+      """SELECT l_orderkey,
+        |  CAST(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100))
+        |    AS BIGINT) AS rev_cents,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY l_orderkey
+        |ORDER BY rev_cents DESC, l_orderkey LIMIT 100""".stripMargin),
+
+    // Correlated NOT EXISTS through the SQL parser (Catalyst
+    // decorrelates to an anti-join).
+    sqlQ("q_sql_not_exists", Seq("customer", "orders"),
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 100000)
+        |ORDER BY c_custkey LIMIT 500""".stripMargin),
+
+    // Window function through SQL text.
+    sqlQ("q_sql_window_top2", Seq("orders"),
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 AND o_custkey % 10 = 0
+        |ORDER BY o_custkey, rn""".stripMargin),
+
+    // Scalar subquery + HAVING.
+    sqlQ("q_sql_having", Seq("lineitem"),
+      """SELECT l_partkey, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING COUNT(*) > (SELECT COUNT(*) / 2500 FROM lineitem)
+        |ORDER BY n DESC, l_partkey LIMIT 50""".stripMargin))
+}
