@@ -424,6 +424,39 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // A12 (engine extension, free Spark built-in beyond the
+    // reference): ROLLUP subtotals. Null group labels are coalesced
+    // to a sentinel so the oracle hash treats them identically.
+    Q("q_a12_rollup",
+      """SELECT coalesce(o_orderstatus, '<all>') AS status,
+        |  coalesce(o_orderpriority, '<all>') AS priority,
+        |  count(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority")
+    },
+
+    // A13 (engine extension): exact interpolated percentiles — the
+    // same (n-1)*p linear interpolation in Spark `percentile` and
+    // DuckDB `quantile_cont`, over identical doubles.
+    Q("q_a13_percentile",
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"))
+        .orderBy("o_orderstatus")
+    },
+
     // W1: first row per group (master record) via row_number. The
     // window order is a UNIQUE tuple — (orderkey, linenumber) alone is
     // not unique in this testdata, and a tied row_number picks
