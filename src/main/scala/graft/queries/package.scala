@@ -26,8 +26,6 @@ package object queries {
     def apply(name: String, sql: String)(
         fn: (SparkSession, String) => DataFrame): Q =
       Q(name, fn, Some(sql))
-    def weak(name: String)(fn: (SparkSession, String) => DataFrame): Q =
-      Q(name, fn, None)
   }
 
   /** Load one testdata table (TESTDATA.md layout). */

@@ -132,6 +132,28 @@ class DedupSpec extends SparkSpec {
       r.getAs[Double]("quality") <= 1.0)
   }
 
+  test("TextAnalysis wrappers agree with the one-pass analyze columns") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "the cat, and a dog! sat."))
+      .toDF("doc_id", "text")
+    val viaAnalyze = TextAnalysis.analyze(df, "text").collect()(0)
+    val viaWrappers = df.select(
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws"),
+        TextAnalysis.stopwordRatio(col("text")).as("sr"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.contentFingerprint(col("text")).as("fp"),
+        TextAnalysis.rollingHashFingerprint(col("text")).as("rfp"))
+      .collect()(0)
+    assert(viaWrappers.getAs[Long]("ws") == viaAnalyze.getAs[Long]("ws_tokens"))
+    assert(viaWrappers.getAs[Double]("sr") ==
+      viaAnalyze.getAs[Double]("stopword_ratio"))
+    assert(viaWrappers.getAs[Double]("q") == viaAnalyze.getAs[Double]("quality"))
+    assert(viaWrappers.getAs[String]("fp") ==
+      viaAnalyze.getAs[String]("fingerprint"))
+    assert(viaWrappers.getAs[Long]("rfp") ==
+      viaAnalyze.getAs[Long]("rolling_fp"))
+  }
+
   test("TextAnalysis.langId: und for empty, de for german function words") {
     assert(eval(TextAnalysis.langId(
       org.apache.spark.sql.functions.lit(""))) == "und")

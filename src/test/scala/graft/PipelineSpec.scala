@@ -61,9 +61,12 @@ class PipelineSpec extends SparkSpec {
     assert(Attributes.links(pairs, "master_code", links).count() == 3)
   }
 
-  test("sinks: csv append + partitioned sink round-trip") {
+  test("sinks: parquet/csv append + partitioned sink round-trip") {
     val dir = Files.createTempDirectory("graft-sink").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Sinks.append(df, s"$dir/pq")
+    Sinks.append(df, s"$dir/pq")
+    assert(spark.read.parquet(s"$dir/pq").count() == 4)
     Sinks.appendCsv(df, s"$dir/csv")
     Sinks.appendCsv(df, s"$dir/csv")
     val back = spark.read.option("header", "true").csv(s"$dir/csv")
@@ -84,6 +87,18 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(tmp).count() == 2)      // inspectable
     Sinks.atomicOverwrite(Seq((3L, "c")).toDF("k", "v"), target)
     assert(spark.read.parquet(target).collect()(0).getLong(0) == 3L)
+  }
+
+  test("typed Dataset surface: importer products as Entities.Product") {
+    val t = Importer.run(spark, RawCsv, MapCsv)
+    val ds = t.products
+      .select($"sku", $"master_code", $"collection_id",
+        $"selling_price", $"inventory")
+      .as[graft.model.Entities.Product]
+    val cheapest = ds.filter(_.selling_price.exists(_ < 100.0))
+      .map(_.sku).collect()
+    assert(cheapest.toSeq == Seq("M003-A"))
+    assert(ds.count() == 7)
   }
 
   test("sources: binary scan sees committed fixtures") {

@@ -29,6 +29,14 @@ class SchemasSpec extends SparkSpec {
     assert(r.getAs[String]("extra") == "x")
   }
 
+  test("Catalog: table load, column discovery, existence probe") {
+    val cat = graft.model.Catalog(spark, "/root/testdata/sf0.001")
+    assert(cat.columnsOf("region") == Seq("r_regionkey", "r_name"))
+    assert(cat.hasColumn("orders", "o_orderkey"))
+    assert(!cat.hasColumn("orders", "nope"))
+    assert(cat("region").count() == 5)
+  }
+
   test("evolveTo twice is a no-op (idempotent schema evolution)") {
     val df = Seq((1L, "x")).toDF("inventory", "extra")
     val once = Schemas.evolveTo(df, Schemas.product)
