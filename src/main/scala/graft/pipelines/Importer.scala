@@ -33,7 +33,19 @@ import graft.model.ColumnMapping
   */
 object Importer {
 
-  final case class Tables(collections: DataFrame, products: DataFrame)
+  /** The importer's output tables — the §3.1 load set: collections,
+    * products, the category dictionary + link, the i18n translation
+    * rows (loaded translations-FIRST, so the entity→translation
+    * pointer never needs the reference's 3-step circular-FK
+    * placeholder dance, ETL.py:329-351), and details_html + link. */
+  final case class Tables(
+      collections: DataFrame,
+      products: DataFrame,
+      categories: DataFrame,
+      collectionCategory: DataFrame,
+      collectionTranslations: DataFrame,
+      detailsHtml: DataFrame,
+      collectionDetailsHtml: DataFrame)
 
   /** S1: the raw dump reader (ETL.py:103). */
   def loadRaw(spark: SparkSession, path: String): DataFrame =
@@ -76,7 +88,45 @@ object Importer {
       .join(broadcast(collections.select("collection_id", "master_code")),
         Seq("master_code"))                               // J11
 
-    Tables(collections, products)
+    // category get-or-create (A10, ETL.py:311-372 without the
+    // circular-FK placeholder inserts) + link rows (M2)
+    val catRaw = masters
+      .select(col("master_code"), cleanString(col("category_raw"))
+        .as("category_name"))
+      .filter(col("category_name").isNotNull && col("category_name") =!= "")
+    val categories = catRaw.select("category_name").distinct()
+      .select(deterministicId(lit("cat"), col("category_name"))
+        .as("category_id"), col("category_name"))
+    val collectionCategory = catRaw.select(
+      deterministicId(lit("pc"), col("master_code")).as("collection_id"),
+      deterministicId(lit("cat"), col("category_name")).as("category_id"))
+
+    // i18n translation rows for the collection name (the EAV pattern,
+    // translations loaded before entities — SURVEY §7.4 risk 2)
+    val collectionTranslations = collections
+      .filter(col("collection_name").isNotNull)
+      .select(
+        deterministicId(lit("tr"), col("master_code"), lit("en"),
+          lit("collection_name")).as("id"),
+        col("collection_id"), lit("en").as("lang_code"),
+        lit("collection_name").as("field_name"),
+        col("collection_name").as("value"))
+
+    // details_html entity + link (ETL.py:395-470, 5 steps → 2 frames)
+    val detRaw = masters
+      .select(col("master_code"), col("details_html_raw"))
+      .filter(col("details_html_raw").isNotNull &&
+        col("details_html_raw") =!= "")
+    val detailsHtml = detRaw.select(
+      deterministicId(lit("dh"), col("master_code")).as("details_html_id"),
+      col("details_html_raw").as("details_html"),
+      extractImgSrcs(col("details_html_raw")).as("img_srcs"))  // F16
+    val collectionDetailsHtml = detRaw.select(
+      deterministicId(lit("pc"), col("master_code")).as("collection_id"),
+      deterministicId(lit("dh"), col("master_code")).as("details_html_id"))
+
+    Tables(collections, products, categories, collectionCategory,
+      collectionTranslations, detailsHtml, collectionDetailsHtml)
   }
 
   /** The §7.2 audit query: products per collection, top-k

@@ -41,7 +41,7 @@ object Pipelines {
     // S1/S2: raw CSV + mapping CSV readability and shape.
     Q("q_s1_csv_shape",
       """SELECT CAST(8 AS BIGINT) AS n_rows, CAST(7 AS BIGINT) AS n_master,
-        |  CAST(8 AS BIGINT) AS n_cols""".stripMargin) { (s, _) =>
+        |  CAST(10 AS BIGINT) AS n_cols""".stripMargin) { (s, _) =>
       val raw = Importer.loadRaw(s, RawCsv)
       raw.agg(count(lit(1)).as("n_rows"),
         count(col("Master Code")).as("n_master"),
@@ -102,6 +102,58 @@ object Pipelines {
           element_at(col("images"), 1).as("first_image"),
           col("video_url"))
         .orderBy("master_code")
+    },
+
+    // E2E: category dictionary (get-or-create, no circular-FK dance).
+    Q("q_e2e_import_categories",
+      s"""SELECT ${sqlDetId("concat_ws('|', 'cat', category_name)")}
+         |    AS category_id, category_name
+         |FROM (VALUES ('Chairs'), ('Lighting'), ('Tables'))
+         |  AS t(category_name)
+         |ORDER BY category_name""".stripMargin) { (s, _) =>
+      Importer.run(s, RawCsv, MapCsv).categories.orderBy("category_name")
+    },
+
+    // E2E: collection→category links.
+    Q("q_e2e_import_cat_links",
+      s"""SELECT ${sqlDetId("concat_ws('|', 'pc', m)")} AS collection_id,
+         |  ${sqlDetId("concat_ws('|', 'cat', c)")} AS category_id
+         |FROM (VALUES ('M001', 'Chairs'), ('M002', 'Tables'),
+         |             ('M003', 'Lighting')) AS t(m, c)
+         |ORDER BY collection_id""".stripMargin) { (s, _) =>
+      Importer.run(s, RawCsv, MapCsv).collectionCategory
+        .orderBy("collection_id")
+    },
+
+    // E2E: i18n translation rows (translations-first load order).
+    Q("q_e2e_import_translations",
+      s"""SELECT
+         |  ${sqlDetId("concat_ws('|', 'tr', m, 'en', 'collection_name')")}
+         |    AS id,
+         |  ${sqlDetId("concat_ws('|', 'pc', m)")} AS collection_id,
+         |  'en' AS lang_code, 'collection_name' AS field_name, v AS value
+         |FROM (VALUES ('M001', 'Oak Chair'), ('M002', 'Pine Table'),
+         |             ('M003', 'Lamp')) AS t(m, v)
+         |ORDER BY id""".stripMargin) { (s, _) =>
+      Importer.run(s, RawCsv, MapCsv).collectionTranslations.orderBy("id")
+    },
+
+    // E2E: details_html entities with extracted image srcs + links.
+    Q("q_e2e_import_details",
+      s"""SELECT ${sqlDetId("concat_ws('|', 'dh', m)")} AS details_html_id,
+         |  ${sqlDetId("concat_ws('|', 'pc', m)")} AS collection_id,
+         |  n_srcs, first_src
+         |FROM (VALUES ('M001', CAST(1 AS BIGINT), 'https://d/1.jpg'),
+         |             ('M002', CAST(1 AS BIGINT), 'https://d/2.jpg'))
+         |  AS t(m, n_srcs, first_src)
+         |ORDER BY details_html_id""".stripMargin) { (s, _) =>
+      val t = Importer.run(s, RawCsv, MapCsv)
+      t.detailsHtml
+        .join(t.collectionDetailsHtml, Seq("details_html_id"))
+        .select(col("details_html_id"), col("collection_id"),
+          size(col("img_srcs")).cast("long").as("n_srcs"),
+          element_at(col("img_srcs"), 1).as("first_src"))
+        .orderBy("details_html_id")
     },
 
     // §3.2 attribute pipeline: key dictionary (A10 get-or-create).
