@@ -206,6 +206,28 @@ object Merges {
       results.orderBy("event_type")
     },
 
+    // STREAMING (batch-equivalent): SLIDING windows — every event
+    // lands in size/step windows; the oracle replicates the fan-out
+    // with an explicit shift unnest.
+    Q("q_st_sliding_counts",
+      """SELECT window_start_us, event_type, count(*) AS n FROM (
+        |  SELECT epoch_us(date_trunc('hour', ts)
+        |    - to_minutes(CAST(30 * s AS BIGINT))
+        |    + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+        |           ELSE INTERVAL 0 MINUTE END) AS window_start_us,
+        |    event_type
+        |  FROM events, (SELECT unnest([0, 1]) AS s))
+        |GROUP BY window_start_us, event_type
+        |ORDER BY window_start_us, event_type""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts").cast("timestamp"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(epochUs(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"))
+        .orderBy("window_start_us", "event_type")
+    },
+
     // STREAMING (batch-equivalent): event-time tumbling window counts —
     // the same aggregation windowedCounts runs under Structured
     // Streaming; value summed in exact floor-millis.

@@ -291,6 +291,25 @@ object Pipelines {
         .orderBy("source")
     },
 
+    // AUDIT: SKU hygiene over the imported product table — the
+    // check_sku_status.py:31-141 pack (suffix patterns, per-prefix
+    // counts, filesystem-set difference shape).
+    Q("q_audit_sku_hygiene",
+      """SELECT * FROM (VALUES
+        |  ('dot_zero_skus', CAST(0 AS BIGINT)),
+        |  ('m001_prefix', CAST(3 AS BIGINT)),
+        |  ('total', CAST(7 AS BIGINT)))
+        |  AS t(check_name, n) ORDER BY check_name""".stripMargin) { (s, _) =>
+      val p = Importer.run(s, RawCsv, MapCsv).products
+      def one(label: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"))
+          .select(lit(label).as("check_name"), col("n"))
+      one("dot_zero_skus", p.filter(col("sku").like("%.0")))
+        .unionByName(one("m001_prefix", p.filter(col("sku").like("M001-%"))))
+        .unionByName(one("total", p))
+        .orderBy("check_name")
+    },
+
     // S5: filesystem binary scan over committed fixtures.
     Q("q_s5_binary_scan",
       """SELECT * FROM (VALUES

@@ -61,6 +61,27 @@ class PipelineSpec extends SparkSpec {
     assert(Attributes.links(pairs, "master_code", links).count() == 3)
   }
 
+  test("enrichment DAG: html to logistics struct, ordered concat") {
+    import graft.pipelines.Enrichment
+    val df = Seq(
+      (1L, """<img src="http://a/x.jpg"><img src="http://b/y.png">"""),
+      (2L, "no images here")).toDF("doc_id", "html")
+    val out = Enrichment.run(df, "doc_id", col("html")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: two images, OCR'd in image_index order, ' | '-joined
+    val full = out(1L).getAs[String]("full_text")
+    assert(full == "http a x jpg | http b y png")
+    assert(out(1L).getAs[Long]("n_images") == 2L)
+    val tr = out(1L).getAs[String]("translated")
+    assert(tr.startsWith("[zh->en] http a x jpg"))
+    // logistics struct has the 5 fields
+    val lg = out(1L).getAs[org.apache.spark.sql.Row]("logistics")
+    assert(lg.getAs[String]("incoterm") == "FOB")
+    assert(lg.getAs[String]("origin") == "[z")
+    // doc 2 has no images -> no row after the explode
+    assert(!out.contains(2L))
+  }
+
   test("sinks: parquet/csv append + partitioned sink round-trip") {
     val dir = Files.createTempDirectory("graft-sink").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
