@@ -220,6 +220,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected-component clustering of candidate pairs — the dedup
+    * endgame: every document gets a cluster_id (the smallest id in
+    * its component), so "keep one per cluster" is a single filter.
+    *
+    * Algorithm: min-label propagation over the symmetric edge set,
+    * iterated to FIXPOINT (the loop is driver-side control flow only;
+    * each step is one distributed join + aggregate, label tables are
+    * localCheckpointed to truncate lineage). Converges in
+    * O(component diameter) steps — near-dup components are shallow,
+    * and the iteration cap guards pathological chains. Deterministic:
+    * min is order-free. */
+  def duplicateClusters(ids: DataFrame, idCol: String,
+      pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"),
+        col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("lbl", "nlbl"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlbl")).as("minn"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = updated.alias("u")
+        .join(labels.alias("o"), col("u.id") === col("o.id"))
+        .filter(col("u.lbl") =!= col("o.lbl")).count()
+      labels = updated
+      it += 1
+    }
+    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+  }
+
   /** Embedding near-duplicates: LSH-bucketed cosine (see Similarity) —
     * pairs in the same random-hyperplane bucket with cosine >= threshold. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

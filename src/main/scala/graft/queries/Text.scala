@@ -212,6 +212,47 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // DEDUP endgame: connected-component clusters over the LSH
+    // candidate pairs — cluster_id = min doc id in the component
+    // (oracle: recursive transitive closure, identical min-label
+    // semantics at fixpoint).
+    Q("q_d_dedup_clusters",
+      sigCte +
+        """, banded AS (SELECT doc_id AS id, sig,
+          |    unnest([0,1,2,3]) AS band FROM sig),
+          |bkt0 AS (SELECT id, sig, band,
+          |  md5(concat_ws(',', band,
+          |    array_to_string(sig[band*2+1:band*2+2], ','))) AS bucket
+          |  FROM banded),
+          |small AS (SELECT band, bucket FROM bkt0
+          |          GROUP BY 1, 2 HAVING count(*) <= 1000),
+          |bkt AS (SELECT bkt0.* FROM bkt0
+          |        JOIN small ON bkt0.band = small.band
+          |                  AND bkt0.bucket = small.bucket),
+          |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          |          FROM bkt a JOIN bkt b
+          |            ON a.band = b.band AND a.bucket = b.bucket
+          |               AND a.id < b.id),
+          |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+          |          UNION SELECT id_b, id_a FROM pairs),
+          |closure AS (
+          |  WITH RECURSIVE r(s, t) AS (
+          |    SELECT s, t FROM edges
+          |    UNION
+          |    SELECT r.s, e.t FROM r JOIN edges e ON r.t = e.s)
+          |  SELECT * FROM r)
+          |SELECT doc_id,
+          |  least(doc_id,
+          |    coalesce((SELECT min(t) FROM closure WHERE s = doc_id),
+          |             doc_id)) AS cluster_id
+          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.duplicateClusters(docs, "doc_id",
+          Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 8, 4, 1000)
+            .select("id_a", "id_b"))
+        .orderBy("doc_id")
+    },
+
     // DEDUP: banded simhash near-dup pairs (hamming <= 3).
     Q("q_d_simhash_pairs",
       simCte +

@@ -63,6 +63,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("duplicateClusters: components get the min id, chains converge") {
+    val ids = (1L to 7L).toDF("id")
+    // components: {1,2,3} (chain), {4,5}, {6}, {7}
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 4L, 6L -> 6L, 7L -> 7L))
+  }
+
   test("exactByKey: one representative per key, smallest tiebreak") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
     val out = Dedup.exactByKey(df, Seq("k"), "id")
