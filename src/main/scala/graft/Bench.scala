@@ -1,17 +1,52 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main — times every SparkEntry query at the given scale
   * factor. Results are materialized with a noop-format write (NOT
   * .count(): Catalyst prunes all projected columns under a count, so
   * counting would measure key-only scan+shuffle and optimize away the
-  * expression work the bench exists to measure). */
+  * expression work the bench exists to measure).
+  *
+  * Output contract: stdout carries exactly ONE short JSON line
+  * (`{"metric":"total",...,"queries":{...},"sf":...}`). The harness
+  * captures only a bounded tail of the run's output, so the line must
+  * stay small: `queries` holds the fixed HEADLINE subset (one
+  * representative per operator family, listed in BASELINE.md) at
+  * millisecond precision, while `value` is the total over the FULL
+  * inventory. The complete per-query map goes to stderr and to
+  * bench_full.json for local regression diffing.
+  */
 object Bench {
+
+  /** One representative per operator family — the graded headline set.
+    * Keep in sync with BASELINE.md "Headline bench queries". */
+  val headline: Seq[String] = Seq(
+    "q_sql_revenue_topk",     // scan+join+agg+topk (TPC-H-ish revenue)
+    "q_sql_window_top2",      // SQL window functions
+    "q_j3_multiway_join",     // 4-table join chain
+    "q_j11_broadcast_lookup", // broadcast dim join (THE structural win)
+    "q_a5_topk_groups",       // groupBy+count+TakeOrdered
+    "q_a8_group_concat",      // ordered group-concat
+    "q_w1_first_per_group",   // window dedup
+    "q_m1_upsert_by_key",     // merge layer
+    "q_m4_delete_by_keys",    // anti-join delete
+    "q_i1_incremental_new",   // incremental ledger anti-join
+    "q_e2e_import_products",  // importer pipeline end-to-end
+    "q_attr_links",           // attribute explode+dictionary pipeline
+    "q_e3_enrichment",        // enrichment DAG (stubs)
+    "q_d_minhash_lsh_pairs",  // MinHash LSH near-dup
+    "q_d_ngram_jaccard_pairs",// shingle-join Jaccard
+    "q_d_simhash_pairs",      // banded simhash
+    "q_d_dedup_clusters",     // connected components
+    "q_v_brute_topk",         // brute-force cosine ANN
+    "q_v_ivf_topk",           // IVF ANN scale path
+    "q_t_analyze",            // text-analysis column pack
+    "q_st_sliding_counts"     // sliding-window event counts
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -30,10 +65,21 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def qmap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val head = results.filter(r => headline.contains(r._1))
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"sf":"$sfDir"}"""
+    System.err.println(fullJson)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
+    // the one stdout line, printed last so it sits at the end of the
+    // captured output tail
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(head)},"sf":"$sfDir"}""")
   }
 }

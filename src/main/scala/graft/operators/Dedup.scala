@@ -96,9 +96,13 @@ object Dedup {
     // consumed 4× (cap count, semi-join, both join sides) and is tiny
     // relative to the text it summarizes (id + k longs) — exactly the
     // table you would persist on a cluster
+    // lazy: materializes on first action, not at DataFrame-construction
+    // time (plan printing must stay job-free); on a real cluster
+    // substitute reliable checkpoint()/persist — localCheckpoint blocks
+    // are lost with their executor
     val signed = withMinHashSignature(df, textCol, shingleSize, k)
       .select(col(idCol).as("id"), col("sig"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val bandedAll = signed.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket",
@@ -203,7 +207,7 @@ object Dedup {
     // same materialize-before-self-join rationale as minHashLshPairs
     val s = withSimHash(df, idCol, textCol, bits)
       .select(col(idCol).as("id"), col("simhash"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val banded = s.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("chunk",
@@ -237,9 +241,9 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"),
         col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -251,13 +255,19 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = updated.alias("u")
         .join(labels.alias("o"), col("u.id") === col("o.id"))
         .filter(col("u.lbl") =!= col("o.lbl")).count()
       labels = updated
       it += 1
     }
+    // a silent partial closure would assign wrong cluster_ids to any
+    // component with diameter > maxIters — fail loudly instead
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge after $maxIters iterations " +
+          s"($changed labels still changing); raise maxIters")
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 

@@ -55,8 +55,8 @@ object Relational {
     // the testdata has none at rest).
     Q("q_p4_null_pred",
       """SELECT o_orderstatus,
-        |  sum(CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NULL
-        |      THEN 1 ELSE 0 END) AS n_urgent,
+        |  CAST(sum(CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
       t(s, d, "orders")
@@ -303,8 +303,8 @@ object Relational {
     // A4: conditional aggregation.
     Q("q_a4_cond_agg",
       """SELECT l_linestatus,
-        |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
-        |  sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
       t(s, d, "lineitem")

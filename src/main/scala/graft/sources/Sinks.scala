@@ -49,10 +49,22 @@ object Sinks {
       val src = new org.apache.hadoop.fs.Path(tmp)
       if (fs.exists(target)) {
         val bak = new org.apache.hadoop.fs.Path(s"$path.bak-$nonce")
-        fs.rename(target, bak)
-        fs.rename(src, target)
-        fs.delete(bak, true)
-      } else fs.rename(src, target)
+        if (!fs.rename(target, bak))
+          throw new java.io.IOException(
+            s"atomicOverwrite: could not move $path aside to $bak; " +
+              "target left untouched")
+        if (!fs.rename(src, target)) {
+          // put the old data back before failing — never leave the
+          // target path absent
+          fs.rename(bak, target)
+          throw new java.io.IOException(
+            s"atomicOverwrite: could not move $tmp into place; " +
+              s"restored previous data at $path")
+        }
+        if (fs.exists(target)) fs.delete(bak, true)
+      } else if (!fs.rename(src, target))
+        throw new java.io.IOException(
+          s"atomicOverwrite: could not move $tmp to $path")
       path
     } else tmp
   }

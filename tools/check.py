@@ -18,12 +18,28 @@ from pathlib import Path
 import duckdb
 
 
+def sort_key_cell(x):
+    # numerically equal cells must sort identically on both sides even
+    # when their textual forms differ (2 vs 2.0, Decimal vs float) —
+    # otherwise the row-wise compare misaligns and reports a false diff
+    if x is None:
+        return (0, "", 0.0)
+    if isinstance(x, bool):
+        return (1, "b", float(x))
+    if isinstance(x, (int, float)) or type(x).__name__ == "Decimal":
+        f = float(x)
+        if math.isnan(f):
+            return (1, "nan", 0.0)
+        return (1, "n", f)
+    return (2, str(x), 0.0)
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in order))
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    out.sort(key=lambda t: tuple(sort_key_cell(x) for x in t))
     return [c for _, c in sorted(zip(cols, cols))], out
 
 
