@@ -1,0 +1,166 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Static helpers for the native text-hash expressions. A Scala object
+  * with no companion class compiles to static forwarder methods, so
+  * generated Java can call `graft.expressions.Md5Fold.rollingFp(arr)`
+  * directly inside whole-stage codegen.
+  *
+  * All values are md5-derived exactly like graft.functions.hash31
+  * (first 15 hex chars of md5, base-16, mod 2^31-1) so results are
+  * bit-identical to the HOF formulations and to the DuckDB oracles.
+  */
+object Md5Fold {
+  val P: Long = 2147483647L
+
+  private val digests =
+    java.lang.ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** hash31 of raw UTF-8 bytes: top 60 bits of the md5 digest
+    * (= first 15 hex chars base-16 decoded), mod 2^31-1. */
+  def hash31(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var top = 0L
+    var i = 0
+    while (i < 8) { top = (top << 8) | (d(i) & 0xffL); i += 1 }
+    (top >>> 4) % P
+  }
+
+  /** Ordered polynomial fold over a token array:
+    * acc = (acc*31 + hash31(tok)) mod P; empty array folds to 0.
+    * Returns -1 when any element is null (the HOF fold nulls out) —
+    * legal sentinel because every genuine value is in [0, P). */
+  def rollingFp(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return -1L
+      acc = (acc * 31L + hash31(arr.getUTF8String(i).getBytes)) % P
+      i += 1
+    }
+    acc
+  }
+
+  /** Full MinHash signature in one pass: hash each (distinct) shingle
+    * once, then update all k per-permutation minima. Empty input gives
+    * sig[i] = P (matches the HOF `when(size==0, P)` guard). Null
+    * elements are skipped (array_min ignores the nulls the HOF
+    * transform produces for them). */
+  def minHashSig(arr: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val k = a.length
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, P)
+    val n = arr.numElements()
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        val h = hash31(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < k) {
+          val v = (a(j) * h + b(j)) % P
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) java.util.Arrays.fill(sig, P)
+    new GenericArrayData(sig)
+  }
+}
+
+/** Native `graft_rolling_fp(array<string>) -> long`: the rolling-hash
+  * document fingerprint (graft.functions.rollingFingerprint) as ONE
+  * codegen'd call per row. The HOF formulation
+  * `aggregate(toks, 0, (acc,t) => (acc*31+hash31(t)) % P)` interprets
+  * the lambda per element — an md5 through an interpreted expression
+  * tree per token. This runs the identical fold in a tight JVM loop:
+  * bit-identical output (oracle-checked by q_t_analyze), ~one order
+  * of magnitude less per-row overhead on long documents. */
+case class RollingFpArray(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_rolling_fp requires array<string>, got $t")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_rolling_fp"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val r = Md5Fold.rollingFp(a.asInstanceOf[ArrayData])
+    if (r == -1L) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      s"""
+         |long $r = graft.expressions.Md5Fold.rollingFp($a);
+         |if ($r == -1L) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : RollingFpArray = copy(child = newChild)
+}
+
+/** Native `graft_minhash(array<string>, k) -> array<long>`: the whole
+  * MinHash signature in one call per row. Permutation constants are
+  * derived from the SAME md5 seeds as Dedup.minHashA/minHashB, so the
+  * signature is bit-identical to the HOF formulation (oracle-checked
+  * by q_d_minhash_sig). `k` must be a foldable integer literal. */
+case class MinHashSigExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash requires (array<string>, int literal), got ($l, $r)")
+    }
+
+  private lazy val k: Int = right.eval().asInstanceOf[Int]
+  private lazy val aConsts: Array[Long] =
+    (0 until k).map(i => seedHash(s"mh_a:$i") | 1L).toArray
+  private lazy val bConsts: Array[Long] =
+    (0 until k).map(i => seedHash(s"mh_b:$i")).toArray
+
+  private def seedHash(s: String): Long =
+    Md5Fold.hash31(s.getBytes("UTF-8"))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(a: Any, kIgnored: Any): Any =
+    Md5Fold.minHashSig(a.asInstanceOf[ArrayData], aConsts, bConsts)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val aRef = ctx.addReferenceObj("mhA", aConsts, "long[]")
+      val bRef = ctx.addReferenceObj("mhB", bConsts, "long[]")
+      s"${ev.value} = graft.expressions.Md5Fold.minHashSig($a, $aRef, $bRef);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): MinHashSigExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -61,13 +61,25 @@ object Dedup {
     * DISTINCT shingles. Returns the input plus `sig` array<long>.
     * One narrow map per row; no shuffle.
     *
-    * Cost shape matters here: the shingle array is built and each
+    * Uses the native expression (graft.expressions.MinHashSigExpr via
+    * graft_minhash): each shingle is md5-hashed once and all k minima
+    * update in a tight JVM loop — the HOF formulation (kept below as
+    * [[withMinHashSignatureHof]] for the bit-parity spec) interprets
+    * per-element lambdas. Requires the GraftExtensions session config. */
+  def withMinHashSignature(df0: DataFrame, textCol: String,
+      shingleSize: Int, k: Int): DataFrame =
+    spread(df0).withColumn("sig",
+      call_function("graft_minhash",
+        array_distinct(shingles(col(textCol), shingleSize)), lit(k)))
+
+  /** HOF formulation of [[withMinHashSignature]] — works in bare
+    * sessions (no extensions); the shingle array is built and each
     * shingle md5-hashed exactly ONCE (materialized `__mh` column);
     * the per-permutation inner loop is pure 64-bit arithmetic over
     * those precomputed hashes. Folding the md5 into the per-k lambda
     * instead re-evaluates the whole shingle pipeline k times per row
     * — measured 8× slower end-to-end at sf0.1. */
-  def withMinHashSignature(df0: DataFrame, textCol: String,
+  def withMinHashSignatureHof(df0: DataFrame, textCol: String,
       shingleSize: Int, k: Int): DataFrame = {
     val df = spread(df0)
     val sh = array_distinct(shingles(col(textCol), shingleSize))

@@ -147,7 +147,12 @@ object TextAnalysis {
       .withColumn("lang_id",
         langIdOfScores(langs.map(l => l -> col(s"__s_$l")).toMap))
       .withColumn("fingerprint", md5(col("__norm")))
-      .withColumn("rolling_fp", rollingFingerprintOfTokens(col("__toks")))
+      // native expression (graft.expressions.RollingFpArray): the HOF
+      // fold interprets an md5 per token per row; this is one codegen'd
+      // call doing the identical fold (bit-parity spec'd + oracle-
+      // checked). Requires the GraftExtensions session config.
+      .withColumn("rolling_fp",
+        call_function("graft_rolling_fp", col("__toks")))
       .drop(("__norm" +: "__toks" +: langs.map(l => s"__s_$l")): _*)
   }
 }

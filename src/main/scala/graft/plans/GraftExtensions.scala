@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.DotProductFloat
+import graft.expressions.{DotProductFloat, MinHashSigExpr, RollingFpArray}
 
 /** Session extension registering the engine's native expressions —
   * enabled with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -17,5 +17,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
       (children: Seq[Expression]) =>
         DotProductFloat(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rolling_fp"),
+      new ExpressionInfo(classOf[RollingFpArray].getName, "graft_rolling_fp"),
+      (children: Seq[Expression]) => RollingFpArray(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
+      (children: Seq[Expression]) =>
+        MinHashSigExpr(children(0), children(1))))
   }
 }

@@ -170,4 +170,48 @@ class DedupSpec extends SparkSpec {
     assert(eval(TextAnalysis.langId(org.apache.spark.sql.functions.lit(
       "der hund ist nicht ein das und der die"))) == "de")
   }
+
+  test("native graft_rolling_fp: bit-identical to the HOF fold") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), (3L, "品牌 NEXTUXURY 材质 金属"),
+      (4L, "a"), (5L, "x " * 500))
+      .toDF("doc_id", "text")
+    val both = docs.select(
+        graft.functions.rollingFingerprint($"text").as("hof"),
+        call_function("graft_rolling_fp",
+          graft.functions.tokens($"text")).as("native"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("native graft_rolling_fp: null array -> null, null element -> null") {
+    import org.apache.spark.sql.functions._
+    assert(eval(call_function("graft_rolling_fp",
+      lit(null).cast("array<string>"))) == null)
+    assert(eval(call_function("graft_rolling_fp",
+      array(lit("a"), lit(null).cast("string")))) == null)
+    assert(eval(call_function("graft_rolling_fp",
+      array().cast("array<string>"))) == 0L)
+  }
+
+  test("native graft_minhash: bit-identical to the HOF signature") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, ""), (3L, "short"), (4L, "one two three"),
+      (5L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val native = Dedup.withMinHashSignature(docs, "text", 3, 8)
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = Dedup.withMinHashSignatureHof(docs, "text", 3, 8)
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == hof.keySet)
+    native.foreach { case (id, sig) => assert(sig == hof(id), s"doc $id") }
+    // empty/short docs (no 3-shingles) pin every position at the prime
+    assert(native(2L).forall(_ == graft.functions.HashPrime31))
+    assert(native(3L).forall(_ == graft.functions.HashPrime31))
+  }
 }
