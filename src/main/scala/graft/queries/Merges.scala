@@ -244,5 +244,28 @@ object Merges {
         .select(epochUs(col("window.start")).as("window_start_us"),
           col("event_type"), col("n"), col("value_milli"))
         .orderBy("window_start_us", "event_type")
+    },
+
+    // STREAMING (batch-equivalent): session windows with a 24h
+    // inactivity gap — the batch formulation of
+    // streaming.Sessionize.streamingSessions (flatMapGroupsWithState);
+    // ScaleSpec asserts the two agree on a shared stream.
+    Q("q_st_sessions",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |    OR ts_us - lag(ts_us) OVER w > 86400000000 THEN 1 ELSE 0 END
+        |    AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n FROM m)
+        |SELECT user_id, session_n, min(ts_us) AS session_start_us,
+        |  max(ts_us) AS session_end_us, count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_n""".stripMargin) {
+      (s, d) =>
+      graft.streaming.Sessionize.batchSessions(
+          events(s, d), "user_id", "ts", "event_id", 86400000000L)
+        .orderBy("user_id", "session_n")
     })
 }

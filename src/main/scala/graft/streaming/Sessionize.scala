@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Session-window semantics over an event stream: consecutive events
+  * of one key belong to the same session while the gap between them is
+  * at most `gapUs`; a larger gap starts a new session.
+  *
+  * Two formulations with identical results (spec'd against each
+  * other):
+  *  - [[batchSessions]] — the declarative batch shape: window lag to
+  *    mark session starts, running sum to number them, groupBy to
+  *    aggregate. Two shuffles on the key (window + groupBy reuse the
+  *    same hash partitioning, so the second is exchange-free).
+  *  - [[streamingSessions]] — Structured Streaming with
+  *    `flatMapGroupsWithState` and event-time timeout: state holds the
+  *    one open session per key, closed sessions are emitted when a new
+  *    event overshoots the gap or the watermark passes session end +
+  *    gap. State size is O(keys), not O(events) — the streaming scale
+  *    requirement.
+  */
+object Sessionize {
+
+  /** Closed session record (timestamps as epoch micros). */
+  case class Session(key: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  /** Open-session state carried between micro-batches. */
+  case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
+  /** Batch sessionization. Output: (key, session_n, session_start_us,
+    * session_end_us, n_events), deterministic via the (ts, idCol)
+    * tie-break. */
+  def batchSessions(ev: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts_us"), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("__ts_us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__is_new",
+        when(lag(col("__ts_us"), 1).over(w).isNull ||
+          col("__ts_us") - lag(col("__ts_us"), 1).over(w) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_n", sum(col("__is_new")).over(run))
+      .groupBy(col(keyCol), col("session_n"))
+      .agg(min(col("__ts_us")).as("session_start_us"),
+        max(col("__ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Fold a sorted batch of event times into the open session,
+    * returning (closed sessions to emit, new open session). */
+  private[streaming] def advance(open: Option[OpenSession],
+      sortedUs: Seq[Long], gapUs: Long): (Seq[OpenSession], OpenSession) = {
+    var cur = open.orNull
+    val closed = Seq.newBuilder[OpenSession]
+    sortedUs.foreach { ts =>
+      if (cur == null) cur = OpenSession(ts, ts, 1)
+      else if (ts - cur.endUs > gapUs) {
+        closed += cur
+        cur = OpenSession(ts, ts, 1)
+      } else cur = OpenSession(cur.startUs, math.max(cur.endUs, ts),
+        cur.n + 1)
+    }
+    (closed.result(), cur)
+  }
+
+  /** Streaming sessionization over a stream with columns
+    * (`keyCol` long, `tsCol` timestamp). The caller sets the
+    * watermark on `tsCol`; closed sessions appear in Append mode once
+    * the gap is overshot in-stream or the watermark passes
+    * session end + gap (event-time timeout). */
+  def streamingSessions(events: DataFrame, keyCol: String, tsCol: String,
+      gapUs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    // the watermarked TIMESTAMP column must survive untouched into the
+    // stateful operator — even a redundant cast strips the watermark
+    // metadata and fails the event-time-timeout check, so `tsCol` must
+    // already be TimestampType and is selected as-is; micros are
+    // extracted inside the lambda instead
+    events
+      .select(col(keyCol).cast("long").as("k"), col(tsCol))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, values: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the open session can never
+            // extend again — emit and drop the state
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(key, s.startUs, s.endUs, s.n))
+          } else {
+            val us = values.map { case (_, ts) =>
+              ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+            }.toSeq.sorted
+            val (closed, open) = advance(state.getOption, us, gapUs)
+            state.update(open)
+            // timeout fires when event-time watermark > this instant
+            state.setTimeoutTimestamp(open.endUs / 1000L + gapUs / 1000L)
+            closed.iterator.map(s =>
+              Session(key, s.startUs, s.endUs, s.n))
+          }
+      }
+  }
+}

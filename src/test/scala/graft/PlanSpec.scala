@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-regression specs: assert the PHYSICAL plan shapes the engine
+  * depends on at 100 TB, so a refactor that silently loses a pushdown,
+  * a broadcast, or codegen fails the suite — not the bench three
+  * rounds later. Plans come from the same SparkEntry.queries surface
+  * the driver grades, over the sf0.001 testdata (plan shape is scale-
+  * independent; explicit broadcast hints and pushdowns do not depend
+  * on input statistics).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_s4_scan_prune: filter reaches the parquet scan, columns pruned") {
+    val plan = planOf("q_s4_scan_prune")
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(l_quantity,45"),
+      s"filter must be pushed to the scan:\n$plan")
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_comment") &&
+      !readSchema.contains("l_extendedprice"),
+      s"scan must read only the projected columns:\n$readSchema")
+  }
+
+  test("q_j11_broadcast_lookup: dimension joins are broadcast, not shuffled") {
+    val plan = planOf("q_j11_broadcast_lookup")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the N+1-replacement join must broadcast the dim side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge for broadcastable dims:\n$plan")
+  }
+
+  test("q_a5_topk_groups: top-k plans as TakeOrderedAndProject") {
+    val plan = planOf("q_a5_topk_groups")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ORDER BY+LIMIT after agg must not globally sort:\n$plan")
+  }
+
+  test("q_j6_not_exists: NOT-EXISTS shape decorrelates to a left-anti join") {
+    val plan = planOf("q_j6_not_exists")
+    assert(plan.contains("LeftAnti"),
+      s"anti-join, not a per-row subquery:\n$plan")
+  }
+
+  test("aggregations plan with a map-side partial phase") {
+    val plan = planOf("q_a7_multikey_agg")
+    assert(plan.contains("partial_"),
+      s"groupBy must pre-aggregate before the shuffle:\n$plan")
+  }
+
+  test("analyze: native rolling_fp sits inside whole-stage codegen") {
+    val df = operators.TextAnalysis.analyze(
+      spark.read.parquet(s"$sf/documents.parquet"), "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_rolling_fp"),
+      s"analyze must use the native expression:\n$plan")
+    // codegen'd stages carry the "*(n)" prefix in the plan string; the
+    // project evaluating rolling_fp must be inside one (HOF-lambda
+    // projects are CodegenFallback and print without it)
+    val fpLine = plan.linesIterator
+      .find(_.contains("graft_rolling_fp")).getOrElse("")
+    assert(fpLine.trim.matches("""^\*\(\d+\).*"""),
+      s"the rolling_fp project must be whole-stage codegen'd:\n$fpLine")
+  }
+
+  test("w1 window partitions by its group key (no single-partition window)") {
+    val plan = planOf("q_w1_first_per_group")
+    val windowLines = plan.linesIterator
+      .filter(_.contains("Window")).mkString("\n")
+    assert(!windowLines.contains("windowspecdefinition()"),
+      s"window must carry a partition spec:\n$windowLines")
+  }
+
+  test("minhash signature is one narrow map: no shuffle before the explode") {
+    val df = operators.Dedup.withMinHashSignature(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", 3, 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_minhash"),
+      s"signature must use the native expression:\n$plan")
+    // spread() may repartition a single-split file up to default
+    // parallelism, but there must be no hash/range shuffle
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"signature computation must stay narrow:\n$plan")
+  }
+}

@@ -67,4 +67,48 @@ class ScaleSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 00:00:00", "click", 2L)))
     q.stop()
   }
+
+  test("streaming sessions (flatMapGroupsWithState) agree with the batch shape") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // two users, sessions split by a 2h inactivity gap; fed in event-
+    // time order (batches split at index 6) — with a 0s watermark
+    // delay, an event older than a previous batch's max would be
+    // dropped as late, which is watermark semantics, not a bug
+    val data = Seq(
+      (1L, t(1, 0)), (1L, t(1, 1)), (1L, t(1, 2)),   // u1 session A (3)
+      (2L, t(1, 5)),                                 // u2 session A (1)
+      (1L, t(1, 10)), (1L, t(1, 11)),                // u1 session B (2)
+      (2L, t(2, 0)), (2L, t(2, 1)))                  // u2 session B (2)
+    val gapUs = 2L * 3600 * 1000000
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+    val sessions = graft.streaming.Sessionize.streamingSessions(
+      events, "user_id", "ts", gapUs)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    // feed in two batches, then advance the watermark past every gap
+    mem.addData(data.take(6): _*)
+    q.processAllAvailable()
+    mem.addData(data.drop(6): _*)
+    q.processAllAvailable()
+    mem.addData((99L, t(20, 0)))
+    q.processAllAvailable()
+    mem.addData((99L, t(25, 0))) // second advance so the timeout fires
+    q.processAllAvailable()
+    val streamed = spark.table("sess")
+      .filter(col("key") =!= 99L)
+      .select("key", "session_start_us", "session_end_us", "n_events")
+    val batch = graft.streaming.Sessionize.batchSessions(
+        data.toDF("user_id", "ts").withColumn("event_id", lit(0L)),
+        "user_id", "ts", "event_id", gapUs)
+      .select(col("user_id").as("key"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+    assertSameRows(streamed, batch)
+    assert(streamed.count() == 4)
+    q.stop()
+  }
 }
