@@ -50,6 +50,38 @@ object Md5Fold {
     acc
   }
 
+  /** SimHash over a (distinct) token array in one pass: per bit i,
+    * majority vote of bit i of each token's hash31 (+1/-1, ties set
+    * the bit). An empty/all-null array yields 0 — matching the
+    * explode+groupBy formulation where such docs produce no vote rows
+    * and the join-back coalesces to 0. */
+  def simHash(arr: ArrayData, bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    val n = arr.numElements()
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        any = true
+        val h = hash31(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < bits) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return 0L
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) >= 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
   /** Full MinHash signature in one pass: hash each (distinct) shingle
     * once, then update all k per-permutation minima. Empty input gives
     * sig[i] = P (matches the HOF `when(size==0, P)` guard). Null
@@ -118,6 +150,43 @@ case class RollingFpArray(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression)
       : RollingFpArray = copy(child = newChild)
+}
+
+/** Native `graft_simhash(array<string>, bits) -> long`: the whole
+  * SimHash fingerprint as ONE narrow per-row call. The relational
+  * formulation (explode tokens → groupBy(id) with `bits` conditional
+  * sums → join back) pays two shuffles for what is a pure per-row
+  * computation; this removes both (oracle-checked by q_d_simhash,
+  * parity-spec'd against the groupBy shape). `bits` must be a
+  * foldable integer literal <= 32. */
+case class SimHashExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash requires (array<string>, int literal), got ($l, $r)")
+    }
+
+  private lazy val bits: Int = right.eval().asInstanceOf[Int]
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(a: Any, bIgnored: Any): Any =
+    Md5Fold.simHash(a.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.expressions.Md5Fold.simHash($a, $bits);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SimHashExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native `graft_minhash(array<string>, k) -> array<long>`: the whole

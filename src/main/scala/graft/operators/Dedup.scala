@@ -184,8 +184,23 @@ object Dedup {
 
   /** SimHash over distinct tokens, `bits` wide (<= 32): majority vote
     * per bit of each token's md5-derived hash. Ties (sum == 0) set the
-    * bit, matching `vote >= 0`. Narrow map + one explode/groupBy. */
+    * bit, matching `vote >= 0`.
+    *
+    * Uses the native expression (graft.expressions.SimHashExpr via
+    * graft_simhash): a pure narrow map, ZERO shuffles. The relational
+    * formulation (kept as [[withSimHashGroupBy]] for the parity spec)
+    * pays an explode+groupBy shuffle plus a join back — at 100 TB that
+    * is two full exchanges for a per-row computation. Requires the
+    * GraftExtensions session config. */
   def withSimHash(df0: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame =
+    spread(df0).withColumn("simhash",
+      call_function("graft_simhash",
+        array_distinct(tokens(col(textCol))), lit(bits)))
+
+  /** Relational groupBy formulation of [[withSimHash]] — works in bare
+    * sessions (no extensions). */
+  def withSimHashGroupBy(df0: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame = {
     val df = spread(df0)
     val toks = df.select(col(idCol),

@@ -214,4 +214,21 @@ class DedupSpec extends SparkSpec {
     assert(native(2L).forall(_ == graft.functions.HashPrime31))
     assert(native(3L).forall(_ == graft.functions.HashPrime31))
   }
+
+  test("native graft_simhash: identical to the explode+groupBy formulation") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), (3L, "one token"), (4L, "品牌 NEXTUXURY 材质 金属"),
+      (5L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val native = Dedup.withSimHash(docs, "doc_id", "text", 16)
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val grouped = Dedup.withSimHashGroupBy(docs, "doc_id", "text", 16)
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == grouped)
+    assert(native(2L) == 0L)          // empty doc -> 0 on both paths
+    assert(native(1L) == native(5L))  // identical docs agree
+  }
 }
