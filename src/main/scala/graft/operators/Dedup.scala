@@ -279,14 +279,17 @@ object Dedup {
           .withColumnRenamed("lbl", "nlbl"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlbl")).as("minn"))
+      // the changed-flag rides along in the same frame: one job per
+      // iteration (the count materializes the lazy checkpoint, the
+      // next iteration reads the cache) — a separate old-vs-new join
+      // would add a shuffle and a second job per round
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl"),
+          (coalesce(col("minn"), col("lbl")) < col("lbl")).as("__chg"))
         .localCheckpoint(eager = false)
-      changed = updated.alias("u")
-        .join(labels.alias("o"), col("u.id") === col("o.id"))
-        .filter(col("u.lbl") =!= col("o.lbl")).count()
-      labels = updated
+      changed = updated.filter(col("__chg")).count()
+      labels = updated.drop("__chg")
       it += 1
     }
     // a silent partial closure would assign wrong cluster_ids to any
