@@ -160,13 +160,19 @@ object Dedup {
   def ngramJaccardPairs(df0: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, dfCap: Int = 1000): DataFrame = {
     val df = spread(df0)
+    // materialize the exploded shingle table once: it feeds the df-cap
+    // count, the semi-join, the per-doc sizes, and BOTH self-join
+    // sides — without the checkpoint the interpreted shingle HOF is
+    // re-evaluated for each consumer (cluster runs: persist instead)
     val shRaw = df.select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+      .localCheckpoint(eager = false)
     val rare = shRaw.groupBy("shingle")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select("shingle")
     val sh = shRaw.join(rare, Seq("shingle"), "left_semi")
+      .localCheckpoint(eager = false)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.select(col("id").as("id_a"), col("shingle"))
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
