@@ -118,6 +118,31 @@ package object functions {
   def sanitizeFilename(c: Column): Column =
     substring(regexp_replace(c, """[\\/*?:"<>|]""", "_"), 1, 100)
 
+  /** Deterministic hash bucket in [0, buckets) for sampling and
+    * sharding: md5-derived, so a 1% sample is the SAME 1% on every
+    * engine, every run, at every scale — the property that makes
+    * corpus subsets reproducible. The salt keeps independent samples
+    * decorrelated. */
+  def hashBucket(c: Column, buckets: Int, salt: String = "samp"): Column =
+    hash31(concat(lit(s"$salt:"), c.cast("string"))) % buckets
+
+  /** PII redaction for training-data hygiene: emails → [EMAIL],
+    * URLs → [URL], long digit runs (7+, phone/account-shaped) →
+    * [NUM]. Order matters — URLs are redacted before digit runs so a
+    * URL's digits don't shred it. Patterns are RE2-compatible (no
+    * backreferences/lookahead) so the DuckDB oracle replays them
+    * byte-identically. */
+  def redactPii(c: Column): Column = {
+    val email = """[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"""
+    val url = """https?://[^\s]+"""
+    val num = """[0-9]{7,}"""
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, email, "[EMAIL]"),
+        url, "[URL]"),
+      num, "[NUM]")
+  }
+
   // ----- text-analysis primitives (LLM-pipeline surface) -----
 
   /** Lowercase, strip punctuation to spaces, collapse whitespace. */

@@ -307,6 +307,18 @@ object Dedup {
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 
+  /** Dedup KEEP policy: given per-doc cluster labels (e.g. from
+    * [[duplicateClusters]]) and a quality score, keep exactly one row
+    * per cluster — the highest-scoring member, ties broken by smallest
+    * id so the choice is deterministic. One shuffle on cluster_id. */
+  def keepBestPerCluster(clustered: DataFrame, idCol: String,
+      clusterCol: String, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    clustered.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Embedding near-duplicates: LSH-bucketed cosine (see Similarity) —
     * pairs in the same random-hyperplane bucket with cosine >= threshold. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

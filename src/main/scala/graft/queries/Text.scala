@@ -61,6 +61,51 @@ object Text {
        |""".stripMargin
   }
 
+  /** Shared WITH-chain ending in `clusters(doc_id, cluster_id)`:
+    * minhash sigs → banded LSH buckets (size-capped) → candidate
+    * pairs → recursive transitive closure → min-id label. Reused by
+    * q_d_dedup_clusters and q_d_keep_best. */
+  private val clusterCte: String =
+    sigCte +
+      """, banded AS (SELECT doc_id AS id, sig,
+        |    unnest([0,1,2,3]) AS band FROM sig),
+        |bkt0 AS (SELECT id, sig, band,
+        |  md5(concat_ws(',', band,
+        |    array_to_string(sig[band*2+1:band*2+2], ','))) AS bucket
+        |  FROM banded),
+        |small AS (SELECT band, bucket FROM bkt0
+        |          GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |bkt AS (SELECT bkt0.* FROM bkt0
+        |        JOIN small ON bkt0.band = small.band
+        |                  AND bkt0.bucket = small.bucket),
+        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |          FROM bkt a JOIN bkt b
+        |            ON a.band = b.band AND a.bucket = b.bucket
+        |               AND a.id < b.id),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |closure AS (
+        |  WITH RECURSIVE r(s, t) AS (
+        |    SELECT s, t FROM edges
+        |    UNION
+        |    SELECT r.s, e.t FROM r JOIN edges e ON r.t = e.s)
+        |  SELECT * FROM r),
+        |clusters AS (SELECT doc_id,
+        |  least(doc_id,
+        |    coalesce((SELECT min(t) FROM closure WHERE s = doc_id),
+        |             doc_id)) AS cluster_id
+        |  FROM documents)
+        |""".stripMargin
+
+  /** Spark side of [[clusterCte]]. */
+  private def sparkClusters(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, d, "documents")
+    Dedup.duplicateClusters(docs, "doc_id",
+      Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 8, 4, 1000)
+        .select("id_a", "id_b"))
+  }
+
   /** Oracle lang-id CASE chain (matches TextAnalysis.langIdOfScores'
     * alphabetical fold). */
   private val langIdSql: String = {
@@ -217,39 +262,95 @@ object Text {
     // (oracle: recursive transitive closure, identical min-label
     // semantics at fixpoint).
     Q("q_d_dedup_clusters",
-      sigCte +
-        """, banded AS (SELECT doc_id AS id, sig,
-          |    unnest([0,1,2,3]) AS band FROM sig),
-          |bkt0 AS (SELECT id, sig, band,
-          |  md5(concat_ws(',', band,
-          |    array_to_string(sig[band*2+1:band*2+2], ','))) AS bucket
-          |  FROM banded),
-          |small AS (SELECT band, bucket FROM bkt0
-          |          GROUP BY 1, 2 HAVING count(*) <= 1000),
-          |bkt AS (SELECT bkt0.* FROM bkt0
-          |        JOIN small ON bkt0.band = small.band
-          |                  AND bkt0.bucket = small.bucket),
-          |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-          |          FROM bkt a JOIN bkt b
-          |            ON a.band = b.band AND a.bucket = b.bucket
-          |               AND a.id < b.id),
-          |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
-          |          UNION SELECT id_b, id_a FROM pairs),
-          |closure AS (
-          |  WITH RECURSIVE r(s, t) AS (
-          |    SELECT s, t FROM edges
-          |    UNION
-          |    SELECT r.s, e.t FROM r JOIN edges e ON r.t = e.s)
-          |  SELECT * FROM r)
-          |SELECT doc_id,
-          |  least(doc_id,
-          |    coalesce((SELECT min(t) FROM closure WHERE s = doc_id),
-          |             doc_id)) AS cluster_id
-          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      clusterCte +
+        "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id") {
+      (s, d) =>
+      sparkClusters(s, d).orderBy("doc_id")
+    },
+
+    // DEDUP keep-policy: one surviving document per cluster — the
+    // longest member (whitespace token count), ties to the smallest
+    // doc_id. This is the query a 100 TB dedup pipeline actually ends
+    // with: clusters in, kept corpus out.
+    Q("q_d_keep_best",
+      clusterCte +
+        s""", toks AS (SELECT doc_id, CAST(len($toksD) AS BIGINT)
+           |    AS n_toks FROM documents),
+           |ranked AS (SELECT c.doc_id, c.cluster_id, toks.n_toks,
+           |    row_number() OVER (PARTITION BY c.cluster_id
+           |      ORDER BY toks.n_toks DESC, c.doc_id) AS rn
+           |  FROM clusters c JOIN toks ON c.doc_id = toks.doc_id)
+           |SELECT doc_id, cluster_id, n_toks FROM ranked WHERE rn = 1
+           |ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val clustered = sparkClusters(s, d)
+        .join(t(s, d, "documents")
+            .select(col("doc_id"),
+              size(tokens(col("text"))).cast("long").as("n_toks")),
+          Seq("doc_id"))
+      Dedup.keepBestPerCluster(clustered, "doc_id", "cluster_id", "n_toks")
+        .select("doc_id", "cluster_id", "n_toks")
+        .orderBy("cluster_id")
+    },
+
+    // SAMPLING: deterministic md5-derived 10% sample — the same 10%
+    // on every engine and every run (reproducible corpus subsets).
+    Q("q_samp_hash",
+      s"""SELECT doc_id FROM documents
+         |WHERE ${sqlHash31("'samp:' || CAST(doc_id AS VARCHAR)")} % 100 < 10
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .filter(hashBucket(col("doc_id"), 100) < 10)
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // TEXT hygiene: PII redaction (emails, URLs, long digit runs) over
+    // text with synthesized PII — both engines construct and scrub the
+    // same strings, so the redacted output is hash-comparable.
+    Q("q_t_redact",
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |          || '@mail.example.com or https://ex.ample.com/u/'
+        |          || CAST(doc_id AS VARCHAR) || ' id '
+        |          || CAST(doc_id * 1234567 AS VARCHAR),
+        |        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+        |        '[EMAIL]', 'g'),
+        |      'https?://[^\s]+', '[URL]', 'g'),
+        |    '[0-9]{7,}', '[NUM]', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or https://ex.ample.com/u/"),
+        col("doc_id").cast("string"), lit(" id "),
+        (col("doc_id") * 1234567).cast("string"))
+      t(s, d, "documents")
+        .select(col("doc_id"), redactPii(withPii).as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // SHARDING: pack documents into ~1000-token shards within
+    // deterministic hash buckets (window per bucket — never a global
+    // total-order running sum).
+    Q("q_pack_shards",
+      s"""WITH tok AS (SELECT doc_id, CAST(len($toksD) AS BIGINT)
+         |    AS n_toks FROM documents),
+         |b AS (SELECT *,
+         |    ${sqlHash31("'shard:' || CAST(doc_id AS VARCHAR)")} % 8
+         |    AS bucket FROM tok),
+         |c AS (SELECT *, SUM(n_toks) OVER (PARTITION BY bucket
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+         |SELECT doc_id, bucket,
+         |  CAST(FLOOR((cum - n_toks) / 1000.0) AS BIGINT) AS shard,
+         |  n_toks
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      Dedup.duplicateClusters(docs, "doc_id",
-          Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 8, 4, 1000)
-            .select("id_a", "id_b"))
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_toks"))
+      graft.operators.Sharding
+        .packByTokenBudget(docs, "doc_id", "n_toks", 1000L, 8)
+        .select("doc_id", "bucket", "shard", "n_toks")
         .orderBy("doc_id")
     },
 

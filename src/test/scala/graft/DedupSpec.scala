@@ -231,4 +231,32 @@ class DedupSpec extends SparkSpec {
     assert(native(2L) == 0L)          // empty doc -> 0 on both paths
     assert(native(1L) == native(5L))  // identical docs agree
   }
+
+  test("keepBestPerCluster: highest score wins, ties to smallest id") {
+    val clustered = Seq(
+      (1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 30L), // cluster 1: 2 wins tie
+      (4L, 4L, 5L))                                // singleton survives
+      .toDF("doc_id", "cluster_id", "score")
+    val kept = Dedup.keepBestPerCluster(clustered, "doc_id",
+        "cluster_id", "score")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 4L))
+  }
+
+  test("packByTokenBudget: greedy per-bucket packing respects the budget") {
+    val docs = (1L to 40L).map(i => (i, 300L)).toDF("doc_id", "n_toks")
+    val packed = graft.operators.Sharding
+      .packByTokenBudget(docs, "doc_id", "n_toks", 1000L, 4)
+    val stats = graft.operators.Sharding.shardStats(packed, "n_toks")
+      .collect()
+    // every shard except possibly a bucket's last stays within budget
+    // + one document (greedy close-out property)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("tokens") <= 1000L + 300L)
+    }
+    // deterministic: same input packs identically
+    val again = graft.operators.Sharding
+      .packByTokenBudget(docs, "doc_id", "n_toks", 1000L, 4)
+    assertSameRows(packed, again)
+  }
 }

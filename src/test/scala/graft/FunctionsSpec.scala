@@ -126,4 +126,26 @@ class FunctionsSpec extends SparkSpec {
     val cos = eval(cosineSimilarity(a, a)).asInstanceOf[Double]
     assert(math.abs(cos - 1.0) < 1e-12)
   }
+
+  test("hashBucket: stable, in-range, salt-decorrelated") {
+    val b1 = eval(hashBucket(lit(42), 100)).asInstanceOf[Long]
+    assert(b1 == eval(hashBucket(lit(42), 100)).asInstanceOf[Long])
+    assert(b1 >= 0 && b1 < 100)
+    // different salts give independent assignments for at least one key
+    val diff = (0 until 20).exists { i =>
+      eval(hashBucket(lit(i), 100)) != eval(hashBucket(lit(i), 100, "other"))
+    }
+    assert(diff)
+  }
+
+  test("redactPii: emails, urls, digit runs; order preserves urls") {
+    assert(eval(redactPii(lit("mail a.b+c@ex-1.example.org now")))
+      == "mail [EMAIL] now")
+    assert(eval(redactPii(lit("see https://ex.com/p?id=12345678 ok")))
+      == "see [URL] ok")
+    assert(eval(redactPii(lit("call 12345678 not 123456")))
+      == "call [NUM] not 123456")
+    assert(eval(redactPii(lit("x user5@ex.org https://a.b/12345678 99999990")))
+      == "x [EMAIL] [URL] [NUM]")
+  }
 }
