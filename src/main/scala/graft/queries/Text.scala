@@ -47,11 +47,11 @@ object Text {
        |sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS sig FROM sh)
        |""".stripMargin
 
-  private val simCte = {
-    val votes = (0 until 16).map(i =>
+  private def simCte(bits: Int): String = {
+    val votes = (0 until bits).map(i =>
       s"sum(CASE WHEN (hv >> $i) % 2 = 1 THEN 1 ELSE -1 END) AS v$i")
       .mkString(", ")
-    val simv = (0 until 16).map(i =>
+    val simv = (0 until bits).map(i =>
       s"CASE WHEN v$i >= 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
     s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
        |tu AS (SELECT doc_id, unnest(list_distinct(t)) AS tk FROM tok),
@@ -251,7 +251,8 @@ object Text {
 
     // DEDUP: simhash fingerprints (16-bit).
     Q("q_d_simhash",
-      simCte + "SELECT doc_id, simhash FROM sim ORDER BY doc_id") { (s, d) =>
+      simCte(16) + "SELECT doc_id, simhash FROM sim ORDER BY doc_id") {
+      (s, d) =>
       Dedup.withSimHash(t(s, d, "documents"), "doc_id", "text", 16)
         .select("doc_id", "simhash")
         .orderBy("doc_id")
@@ -354,20 +355,24 @@ object Text {
         .orderBy("doc_id")
     },
 
-    // DEDUP: banded simhash near-dup pairs (hamming <= 3).
+    // DEDUP: banded simhash near-dup pairs (hamming <= 3) over a
+    // 32-bit fingerprint: 8-bit band chunks give 256 bucket values, so
+    // candidate volume stays ~n²/256 per band instead of the n²/16 a
+    // 16-bit/4-band layout degenerates to — the banding-precision
+    // lesson at scale.
     Q("q_d_simhash_pairs",
-      simCte +
+      simCte(32) +
         """, banded AS (SELECT doc_id AS id, simhash,
           |    unnest([0,1,2,3]) AS band FROM sim),
           |ch AS (SELECT id, simhash, band,
-          |       (simhash >> (band*4)) & 15 AS chunk FROM banded)
+          |       (simhash >> (band*8)) & 255 AS chunk FROM banded)
           |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
           |FROM ch a JOIN ch b
           |  ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
           |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", 16, 4, 3)
+      Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", 32, 4, 3)
         .orderBy("id_a", "id_b")
     })
 }
