@@ -18,6 +18,28 @@ object Vectors {
   private def sqlCosine(a: String, b: String): String =
     s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
+  /** Per-dimension ordered mean fold for the k-means oracle (matches
+    * Similarity.kmeansCentroids' member-order fold; j is 1-based). */
+  private def sqlMeanDim(j: Int): String =
+    s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], " +
+      s"list_transform(ms, v -> CAST(v[$j] AS DOUBLE))), (a, b) -> a + b)" +
+      s" / n"
+
+  /** One unrolled Lloyd's iteration: assign to nearest centroid in
+    * `prev` (ties to smallest cid), then recompute each centroid as
+    * the id-ordered per-dimension mean of its members. */
+  private def kmeansIterSql(prev: String, aN: String, mN: String,
+      cN: String, dim: Int): String =
+    s"""$aN AS (SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      -(${sqlCosine("e.embedding", "c.cv")}), c.cid) AS rn
+       |  FROM embeddings e, $prev c),
+       |$mN AS (SELECT cid, list(embedding ORDER BY vec_id) AS ms,
+       |    count(*) AS n FROM $aN WHERE rn = 1 GROUP BY cid),
+       |$cN AS (SELECT cid,
+       |    [${(1 to dim).map(sqlMeanDim).mkString(", ")}] AS cv, n
+       |  FROM $mN)""".stripMargin
+
   /** DuckDB random-hyperplane bucket (matches
     * Similarity.withLshSignature's md5-derived planes). */
   private def sqlBucket(v: String, planes: Int = 8): String =
@@ -147,6 +169,22 @@ object Vectors {
         .select(col("embedding").as("qvec"))
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         q, 16, 4, 10)
+    },
+
+    // ANN centroid TRAINING: Lloyd's k-means, 2 unrolled iterations,
+    // 8 centroids — deterministic seeds (smallest ids), deterministic
+    // assignment ties, id-ordered per-dimension mean folds, so the
+    // trained double centroids are bit-identical across engines.
+    Q("q_v_kmeans",
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv
+         |            FROM embeddings WHERE vec_id < 8),
+         |${kmeansIterSql("c0", "a1", "m1", "c1", 64)},
+         |${kmeansIterSql("c1", "a2", "m2", "c2", 64)}
+         |SELECT cid, cv, n FROM c2 ORDER BY cid""".stripMargin) { (s, d) =>
+      Similarity.kmeansCentroids(t(s, d, "embeddings"), "vec_id",
+          "embedding", 8, 2, 64)
+        .select("cid", "cv", "n")
+        .orderBy("cid")
     },
 
     // MULTIMODAL: opaque binary + typed metadata (S5-adjacent schema).

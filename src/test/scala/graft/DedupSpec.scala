@@ -243,6 +243,31 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 4L))
   }
 
+  test("kmeansCentroids: separated clusters converge to their means") {
+    // two tight clusters around orthogonal axes; seeds 0 and 1 land
+    // one in each, so 2-means must recover the per-cluster means
+    val vecs = ((0 until 10).map(i =>
+        (i.toLong * 2, Array(10f + i, 0f, 0f, 0f))) ++
+      (0 until 10).map(i =>
+        (i.toLong * 2 + 1, Array(0f, 10f + i, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val cs = operators.Similarity.kmeansCentroids(
+        vecs, "vec_id", "embedding", 2, 2, 4)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1), r.getLong(2))).sortBy(_._1)
+    assert(cs.length == 2)
+    assert(cs.forall(_._3 == 10L))
+    val m = (0 until 10).map(10.0 + _).sum / 10.0
+    assert(math.abs(cs(0)._2(0) - m) < 1e-9 && cs(0)._2(1) == 0.0)
+    assert(math.abs(cs(1)._2(1) - m) < 1e-9 && cs(1)._2(0) == 0.0)
+    // deterministic: re-running trains bit-identical centroids
+    val again = operators.Similarity.kmeansCentroids(
+        vecs, "vec_id", "embedding", 2, 2, 4)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1), r.getLong(2))).sortBy(_._1)
+    assert(cs.toSeq == again.toSeq)
+  }
+
   test("packByTokenBudget: greedy per-bucket packing respects the budget") {
     val docs = (1L to 40L).map(i => (i, 300L)).toDF("doc_id", "n_toks")
     val packed = graft.operators.Sharding
