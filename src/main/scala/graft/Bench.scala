@@ -40,7 +40,9 @@ object Bench {
     "q_v_brute_topk",         // brute-force cosine ANN
     "q_v_ivf_topk",           // IVF ANN scale path
     "q_t_analyze",            // text-analysis column pack
-    "q_st_sliding_counts"     // sliding-window event counts
+    "q_st_sliding_counts",    // sliding-window event counts
+    "q_v_kmeans",             // iterative Lloyd's centroid training
+    "q_e2e_curation"          // full corpus-curation pipeline
   )
 
   def main(args: Array[String]): Unit = {

@@ -293,6 +293,64 @@ object Text {
         .orderBy("cluster_id")
     },
 
+    // E2E CURATION — the full training-corpus pipeline in ONE query:
+    // analyze (quality) → threshold filter → near-dup clusters →
+    // keep-best survivor per cluster → deterministic 50% sample →
+    // token-budget shard packing. Every stage is an already-verified
+    // operator; this proves they compose bit-exactly end to end.
+    Q("q_e2e_curation",
+      clusterCte +
+        s""", qb AS (SELECT doc_id, text, $normD AS norm FROM documents),
+           |qt AS (SELECT doc_id, text,
+           |  (CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END)
+           |    AS toks FROM qb),
+           |qm AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ws_tokens,
+           |  (CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0 ELSE
+           |    CAST(length(coalesce(text,'')) - length(regexp_replace(
+           |      coalesce(text,''), '[[:punct:]]', '', 'g')) AS DOUBLE)
+           |    / CAST(length(coalesce(text,'')) AS DOUBLE) END)
+           |    AS punct_ratio,
+           |  (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           |    CAST(list_aggregate(list_transform(toks, x -> length(x)),
+           |      'sum') AS DOUBLE) / CAST(len(toks) AS DOUBLE) END)
+           |    AS mean_token_len FROM qt),
+           |qq AS (SELECT doc_id, ws_tokens,
+           |  least(CAST(ws_tokens AS DOUBLE) / 64.0, 1.0) * 0.4
+           |    + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3
+           |    + (CASE WHEN mean_token_len >= 2.5 AND mean_token_len <= 10.0
+           |       THEN 1.0 ELSE 0.5 END) * 0.3 AS quality FROM qm),
+           |kept AS (SELECT q.doc_id, q.ws_tokens, q.quality, c.cluster_id
+           |  FROM qq q JOIN clusters c ON q.doc_id = c.doc_id
+           |  WHERE q.quality >= 0.8),
+           |best AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+           |    ORDER BY ws_tokens DESC, doc_id) AS rn FROM kept),
+           |samp AS (SELECT doc_id, cluster_id, ws_tokens, quality
+           |  FROM best WHERE rn = 1
+           |    AND ${sqlHash31("'samp:' || CAST(doc_id AS VARCHAR)")}
+           |        % 100 < 50),
+           |sbk AS (SELECT *,
+           |  ${sqlHash31("'shard:' || CAST(doc_id AS VARCHAR)")} % 4
+           |    AS bucket FROM samp),
+           |scum AS (SELECT *, SUM(ws_tokens) OVER (PARTITION BY bucket
+           |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cumt FROM sbk)
+           |SELECT doc_id, cluster_id, bucket,
+           |  CAST(FLOOR((cumt - ws_tokens) / 2000.0) AS BIGINT) AS shard,
+           |  ws_tokens, quality
+           |FROM scum ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val an = TextAnalysis.analyze(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("ws_tokens"), col("quality"))
+      val kept = an.join(sparkClusters(s, d), Seq("doc_id"))
+        .filter(col("quality") >= 0.8)
+      val best = Dedup.keepBestPerCluster(kept, "doc_id", "cluster_id",
+        "ws_tokens")
+      val samp = best.filter(hashBucket(col("doc_id"), 100) < 50)
+      graft.operators.Sharding
+        .packByTokenBudget(samp, "doc_id", "ws_tokens", 2000L, 4)
+        .select("doc_id", "cluster_id", "bucket", "shard", "ws_tokens",
+          "quality")
+        .orderBy("doc_id")
+    },
+
     // SAMPLING: deterministic md5-derived 10% sample — the same 10%
     // on every engine and every run (reproducible corpus subsets).
     Q("q_samp_hash",
