@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions._
+
+/** Generator-based properties for the parser/function layer — the
+  * reference ships only a fixed case table
+  * (/root/reference/utils/importer/test_etl.py:22-69); these cover
+  * the input space around it. Cases are generated with a FIXED seed
+  * (reproducible failures) and evaluated in one batched Spark pass
+  * per law, not one job per sample.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Materialize n samples of a Gen deterministically. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  // attribute-pair alphabet: no structural delimiters (:-;) — those
+  // are the parser's own metacharacters; includes CJK + spaces
+  private val cleanToken: Gen[String] = for {
+    n <- Gen.choose(1, 8)
+    cs <- Gen.listOfN(n, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('品', '牌', '材', '质', '金', '属')))
+  } yield cs.mkString
+
+  private val kvPair: Gen[(String, String)] = for {
+    k <- cleanToken; v <- cleanToken
+  } yield (k, v)
+
+  test("attributePairs: parses every well-formed k:v list exactly") {
+    val cases: Seq[(Seq[(String, String)], String)] =
+      samples(for {
+        pairs <- Gen.nonEmptyListOf(kvPair)
+        seps <- Gen.listOfN(pairs.length, Gen.oneOf("-", ";"))
+        pad <- Gen.oneOf("", " ")
+      } yield {
+        val raw = pairs.zip(seps).map { case ((k, v), sep) =>
+          s"$pad$k$pad:$pad$v$pad" -> sep
+        }
+        (pairs.map { case (k, v) => (k.trim, v.trim) },
+          raw.map(_._1).zip(raw.map(_._2)).map { case (kv, s) => kv + s }
+            .mkString.dropRight(1))
+      }, 80)
+    val df = cases.zipWithIndex
+      .map { case ((_, raw), i) => (i, raw) }.toDF("i", "raw")
+      .select(col("i"), attributePairs(col("raw")).as("pairs"))
+    val got = df.collect().map(r => r.getInt(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (p.getString(0), p.getString(1)))).toMap
+    cases.zipWithIndex.foreach { case ((expect, raw), i) =>
+      assert(got(i) == expect, s"case $i raw=<$raw>")
+    }
+  }
+
+  test("stripDotZero: exact suffix only — never a char-class rstrip") {
+    val bases = samples(Gen.oneOf(
+      cleanToken,
+      cleanToken.map(_ + "0"),        // ends in 0: rstrip would eat it
+      cleanToken.map(_ + ".00")), 60) // ends ".00" — that is not ".0"
+    val df = bases.zipWithIndex.map { case (b, i) => (i, b, b + ".0") }
+      .toDF("i", "base", "suffixed")
+      .select(col("i"),
+        stripDotZero(col("base")).as("sb"),
+        stripDotZero(col("suffixed")).as("ss"))
+    df.collect().foreach { r =>
+      val i = r.getInt(0)
+      val base = bases(i)
+      // base + ".0" strips back to exactly base; the bare base loses
+      // at most a literal trailing ".0" ("x.00" ends in "00" → kept)
+      assert(r.getString(2) == base, s"suffixed case $i")
+      val expectBase =
+        if (base.endsWith(".0")) base.dropRight(2) else base
+      assert(r.getString(1) == expectBase, s"base case $i <$base>")
+    }
+  }
+
+  test("fixDecimalComma: round-trips generated european decimals") {
+    val nums = samples(for {
+      whole <- Gen.choose(0L, 999999L)
+      frac <- Gen.choose(0, 99)
+      neg <- Gen.oneOf(true, false)
+    } yield (if (neg) -1 else 1, whole, frac), 60)
+    val df = nums.zipWithIndex.map { case ((s, w, f), i) =>
+      val sign = if (s < 0) "-" else ""
+      (i, f"$sign$w%d,$f%02d")
+    }.toDF("i", "raw")
+      .select(col("i"), fixDecimalComma(col("raw")).as("v"))
+    val got = df.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    nums.zipWithIndex.foreach { case ((s, w, f), i) =>
+      val expect = s * (w + f / 100.0)
+      assert(math.abs(got(i) - expect) < 1e-9, s"case $i")
+    }
+  }
+
+  test("fixDecimalComma: garbage is null, never an ANSI cast error") {
+    val junk = samples(Gen.oneOf("", "abc", "1,2,3", "12a,5", "--3",
+      "3,14x", "NaN"), 40)
+    val out = junk.zipWithIndex.map { case (j, i) => (i, j) }
+      .toDF("i", "raw")
+      .select(fixDecimalComma(col("raw")).as("v"))
+      .collect()
+    out.foreach(r => assert(r.isNullAt(0)))
+  }
+
+  test("deterministicId: stable across runs, injective on samples") {
+    val keys = samples(Gen.listOfN(3, cleanToken).map(_.mkString("|")), 80)
+      .distinct
+    val df = keys.toDF("k")
+      .select(col("k"), deterministicId(col("k")).as("id"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getString(1))
+    // stable: recomputing yields identical ids
+    val again = keys.toDF("k")
+      .select(deterministicId(col("k")).as("id"))
+      .collect().map(_.getString(0))
+    assert(rows.map(_._2).toSeq == again.toSeq)
+    // injective over the sample + shaped like a uuid
+    assert(rows.map(_._2).distinct.length == rows.length)
+    rows.foreach { case (_, id) =>
+      assert(id.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    }
+  }
+}
