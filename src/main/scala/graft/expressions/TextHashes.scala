@@ -50,6 +50,33 @@ object Md5Fold {
     acc
   }
 
+  private val Space =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Word n-gram shingles over a token array: space-joined windows of
+    * n consecutive tokens, empty array when fewer than n tokens.
+    * Null elements are skipped inside a window exactly like
+    * array_join/concat_ws (the HOF formulation's behavior). */
+  def shingleJoin(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(new Array[Any](0))
+    val toks =
+      new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(
+        Space, java.util.Arrays.copyOfRange(toks, i, i + n): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** SimHash over a (distinct) token array in one pass: per bit i,
     * majority vote of bit i of each token's hash31 (+1/-1, ties set
     * the bit). An empty/all-null array yields 0 — matching the
@@ -150,6 +177,44 @@ case class RollingFpArray(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression)
       : RollingFpArray = copy(child = newChild)
+}
+
+/** Native `graft_shingles(array<string>, n) -> array<string>`: word
+  * n-gram construction as one call per row. The HOF formulation
+  * (`transform(sequence(...), i => array_join(slice(t, i+1, n)))`)
+  * interprets three nested higher-order calls per shingle position;
+  * this builds every window in a tight loop (parity-spec'd; feeds
+  * minhash/jaccard/cluster/curation paths). `n` must be a foldable
+  * integer literal. */
+case class ShinglesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles requires (array<string>, int literal), got ($l, $r)")
+    }
+
+  private lazy val n: Int = right.eval().asInstanceOf[Int]
+
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = false)
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(a: Any, nIgnored: Any): Any =
+    Md5Fold.shingleJoin(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.expressions.Md5Fold.shingleJoin($a, $n);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ShinglesExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native `graft_simhash(array<string>, bits) -> long`: the whole

@@ -70,7 +70,8 @@ object Dedup {
       shingleSize: Int, k: Int): DataFrame =
     spread(df0).withColumn("sig",
       call_function("graft_minhash",
-        array_distinct(shingles(col(textCol), shingleSize)), lit(k)))
+        array_distinct(call_function("graft_shingles",
+          tokens(col(textCol)), lit(shingleSize))), lit(k)))
 
   /** HOF formulation of [[withMinHashSignature]] — works in bare
     * sessions (no extensions); the shingle array is built and each
@@ -165,7 +166,8 @@ object Dedup {
     // sides — without the checkpoint the interpreted shingle HOF is
     // re-evaluated for each consumer (cluster runs: persist instead)
     val shRaw = df.select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+        explode(array_distinct(call_function("graft_shingles",
+          tokens(col(textCol)), lit(n)))).as("shingle"))
       .localCheckpoint(eager = false)
     val rare = shRaw.groupBy("shingle")
       .agg(count(lit(1)).as("df"))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProductFloat, MinHashSigExpr, RollingFpArray, SimHashExpr}
+import graft.expressions.{DotProductFloat, MinHashSigExpr, RollingFpArray, ShinglesExpr, SimHashExpr}
 
 /** Session extension registering the engine's native expressions —
   * enabled with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_rolling_fp"),
       new ExpressionInfo(classOf[RollingFpArray].getName, "graft_rolling_fp"),
       (children: Seq[Expression]) => RollingFpArray(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (children: Seq[Expression]) =>
+        ShinglesExpr(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),

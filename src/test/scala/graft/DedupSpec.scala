@@ -215,6 +215,21 @@ class DedupSpec extends SparkSpec {
     assert(native(3L).forall(_ == graft.functions.HashPrime31))
   }
 
+  test("native graft_shingles: identical to the HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a b c d e"), (2L, ""), (3L, "x y"),
+      (4L, "品牌 nextuxury 材质 金属 金属"))
+      .toDF("doc_id", "text")
+    val both = docs.select(
+        graft.functions.shingles(col("text"), 3).as("hof"),
+        call_function("graft_shingles",
+          graft.functions.tokens(col("text")), lit(3)).as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
   test("native graft_simhash: identical to the explode+groupBy formulation") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
