@@ -246,6 +246,37 @@ object Merges {
         .orderBy("window_start_us", "event_type")
     },
 
+    // STREAMING end-to-end: readStream(AvailableNow) → foreachBatch
+    // idempotent merge (insert-if-absent by event_id) → parquet table,
+    // run TWICE — checkpoint offsets and merge idempotency each
+    // guarantee the rerun is a no-op. Oracle: the same windowed counts
+    // straight off the raw table, so any duplicate or loss in the
+    // streamed ingest breaks the hash.
+    Q("q_st_exactly_once",
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin) {
+      (s, d) =>
+      val src = s"$d/events.parquet"
+      val schema = s.read.parquet(src).schema
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-eo").toString
+      val res = graft.streaming.Incremental.exactlyOnceIngest(
+        s, src, schema, Seq("event_id"), work)
+      val df = s.read.parquet(res)
+      val ev = df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      }
+      ev.groupBy(window(col("ts").cast("timestamp"), "1 hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(epochUs(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"))
+        .orderBy("window_start_us", "event_type")
+    },
+
     // STREAMING (batch-equivalent): session windows with a 24h
     // inactivity gap — the batch formulation of
     // streaming.Sessionize.streamingSessions (flatMapGroupsWithState);

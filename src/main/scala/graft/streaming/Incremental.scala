@@ -52,6 +52,50 @@ object Incremental {
       }
       .start()
 
+  /** End-to-end exactly-once demonstration: stream `sourceFile`
+    * (AvailableNow) into a parquet result table through a foreachBatch
+    * doing an idempotent insert-if-absent merge on `keys`, TWICE —
+    * the second run must be a no-op both because the checkpoint
+    * remembers consumed offsets and because the merge is idempotent
+    * (defense in depth: either mechanism alone already guarantees the
+    * final table). Returns the result-table path. Batch-mode oracle:
+    * the same aggregation over the raw input. */
+  def exactlyOnceIngest(spark: SparkSession, sourceFile: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keys: Seq[String], workDir: String): String = {
+    val resultDir = s"$workDir/result"
+    val checkpoint = s"$workDir/checkpoint"
+    // the file stream source only accepts directories — stage the
+    // input file into one
+    val srcDir = java.nio.file.Paths.get(workDir, "source")
+    java.nio.file.Files.createDirectories(srcDir)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(sourceFile),
+      srcDir.resolve("part-0.parquet"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir.toString)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val existing =
+            try spark.read.parquet(resultDir)
+            catch { case _: Throwable => spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              batch.schema) }
+          graft.sources.Sinks.atomicOverwrite(
+            graft.operators.Merge.insertIfAbsent(existing, batch, keys)
+              .localCheckpoint(), // cut lineage off the dir being replaced
+            resultDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    runOnce() // replays nothing; table must not change
+    resultDir
+  }
+
   /** Event-time tumbling-window aggregation with watermark — the
     * streaming counterpart of the engine's batch window query; used by
     * the streaming spec over the `events` table. */
