@@ -351,6 +351,43 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // VOCABULARY: token document frequencies, top-100 — the corpus
+    // stats a tokenizer/BPE training step starts from. Map-side
+    // distinct (array_distinct before explode) keeps the shuffle to
+    // one row per (doc, distinct token).
+    Q("q_t_vocab",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |tu AS (SELECT doc_id, unnest(list_distinct(t)) AS token
+         |       FROM tok)
+         |SELECT token, count(*) AS df FROM tu GROUP BY token
+         |ORDER BY df DESC, token LIMIT 100""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(explode(array_distinct(tokens(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(100)
+    },
+
+    // STRATIFIED SAMPLE: at most 20 docs per language, chosen by
+    // md5-hash order (deterministic, unbiased within stratum) — the
+    // balanced-subset op for mixed-language corpora.
+    Q("q_samp_stratified",
+      s"""SELECT lang, doc_id FROM (
+         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${sqlHash31("'strat:' || CAST(doc_id AS VARCHAR)")},
+         |      doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(hash31(concat(lit("strat:"),
+          col("doc_id").cast("string"))), col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    },
+
     // SAMPLING: deterministic md5-derived 10% sample — the same 10%
     // on every engine and every run (reproducible corpus subsets).
     Q("q_samp_hash",
