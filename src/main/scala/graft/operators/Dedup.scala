@@ -279,26 +279,31 @@ object Dedup {
       .localCheckpoint(eager = false)
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint(eager = false)
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIters) {
+    def propagate(cur: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst")
+        .join(cur.withColumnRenamed("id", "dst")
           .withColumnRenamed("lbl", "nlbl"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlbl")).as("minn"))
-      // the changed-flag rides along in the same frame: one job per
-      // iteration (the count materializes the lazy checkpoint, the
-      // next iteration reads the cache) — a separate old-vs-new join
-      // would add a shuffle and a second job per round
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      cur.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("minn"), col("lbl"))).as("lbl"),
           (coalesce(col("minn"), col("lbl")) < col("lbl")).as("__chg"))
+    }
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      // TWO propagation steps per driver round-trip, convergence flag
+      // read from the second only — if any step changes nothing the
+      // fixpoint is reached, so checking the last is sufficient. One
+      // count job (which also materializes the lazy checkpoint) per
+      // two steps; a separate old-vs-new join would add a shuffle and
+      // a second job per step.
+      val updated = propagate(propagate(labels).drop("__chg"))
         .localCheckpoint(eager = false)
       changed = updated.filter(col("__chg")).count()
       labels = updated.drop("__chg")
-      it += 1
+      it += 2
     }
     // a silent partial closure would assign wrong cluster_ids to any
     // component with diameter > maxIters — fail loudly instead
