@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators. Spark has no ASOF JOIN; the engine
+  * composes it from existing operators (the preferred tier of custom
+  * work — no Catalyst internals needed).
+  */
+object Temporal {
+
+  /** As-of join: for every left row, attach the payload of the single
+    * LATEST right row with `rightTs` <= `leftTs` within the same key
+    * (null payload when no right row precedes the left row).
+    *
+    * Formulation: tag both inputs, union, ONE window pass per key
+    * ordered by (ts, side) carrying the last non-null payload forward
+    * — right rows sort before left rows at equal timestamps, so the
+    * match is inclusive like DuckDB's `ASOF JOIN ... ON r.ts <= l.ts`
+    * (the oracle for q_temporal_asof).
+    *
+    * Scale shape: one shuffle on the key, O(n log n) sort within
+    * partitions, zero range cross-join blowup — the naive
+    * `l JOIN r ON key AND r.ts <= l.ts` + max() formulation
+    * materializes every (probe, earlier-event) pair first, which is
+    * quadratic per key. Determinism needs (key, ts) unique per side;
+    * pre-dedup the right side otherwise. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val payloadStruct = struct(payload.map(col): _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
+    val leftStruct = struct(left.columns.map(col): _*)
+    val leftType = left.select(leftStruct).schema.head.dataType
+    val l = left.select(
+      col(key).as("__k"), col(leftTs).cast("timestamp").as("__ts"),
+      lit(1).as("__side"), leftStruct.as("__lrow"),
+      lit(null).cast(payloadType).as("__p"))
+    val r = right.select(
+      col(key).as("__k"), col(rightTs).cast("timestamp").as("__ts"),
+      lit(0).as("__side"), lit(null).cast(leftType).as("__lrow"),
+      payloadStruct.as("__p"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val outCols = left.columns.map(c => col(s"__lrow.$c").as(c)) ++
+      payload.map(c => col(s"__match.$c").as(c))
+    l.unionByName(r)
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(outCols: _*)
+  }
+}

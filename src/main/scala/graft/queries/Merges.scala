@@ -246,6 +246,37 @@ object Merges {
         .orderBy("window_start_us", "event_type")
     },
 
+    // TEMPORAL: as-of join — daily per-user state snapshots (latest
+    // event at each probe instant). Spark has no ASOF JOIN; the
+    // operator composes it as tagged-union + one window pass (one
+    // shuffle, no range cross-join blowup). Oracle: DuckDB's NATIVE
+    // ASOF JOIN — two unrelated formulations agreeing cell-exactly.
+    Q("q_temporal_asof",
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |probes AS (SELECT u.user_id, g.probe_ts FROM users u
+        |           CROSS JOIN generate_series(TIMESTAMP '2024-01-01',
+        |             TIMESTAMP '2024-01-31', INTERVAL 1 DAY) g(probe_ts))
+        |SELECT p.user_id, epoch_us(p.probe_ts) AS probe_us,
+        |  epoch_us(e.ts) AS event_us, e.event_id, e.value
+        |FROM probes p ASOF LEFT JOIN events e
+        |  ON p.user_id = e.user_id AND e.ts <= p.probe_ts
+        |ORDER BY p.user_id, probe_us""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"), col("value"))
+      val probes = ev.select("user_id").distinct()
+        .select(col("user_id"), explode(sequence(
+          lit("2024-01-01 00:00:00").cast("timestamp"),
+          lit("2024-01-31 00:00:00").cast("timestamp"),
+          expr("interval 1 day"))).as("probe_ts"))
+      graft.operators.Temporal
+        .asofJoin(probes, ev, "user_id", "probe_ts", "ts",
+          Seq("ts", "event_id", "value"))
+        .select(col("user_id"), epochUs(col("probe_ts")).as("probe_us"),
+          epochUs(col("ts")).as("event_us"), col("event_id"), col("value"))
+        .orderBy("user_id", "probe_us")
+    },
+
     // STREAMING end-to-end: readStream(AvailableNow) → foreachBatch
     // idempotent merge (insert-if-absent by event_id) → parquet table,
     // run TWICE — checkpoint offsets and merge idempotency each

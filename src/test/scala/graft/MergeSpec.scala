@@ -109,6 +109,24 @@ class MergeSpec extends SparkSpec {
       .sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("asofJoin: latest right row at-or-before each left ts, else null") {
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val probes = Seq((1L, t(0)), (1L, t(5)), (1L, t(10)), (2L, t(5)))
+      .toDF("k", "pts")
+    val states = Seq((1L, t(2), "a"), (1L, t(5), "b"), (1L, t(9), "c"))
+      .toDF("k", "sts", "v")
+    val out = graft.operators.Temporal
+      .asofJoin(probes, states, "k", "pts", "sts", Seq("v"))
+      .select("k", "pts", "v")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getHours,
+        r.getString(2))).sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(
+      (1L, 0, null),   // before any state
+      (1L, 5, "b"),    // equal ts matches (inclusive)
+      (1L, 10, "c"),   // latest earlier state wins
+      (2L, 5, null)))  // key with no states at all
+  }
+
   test("Incremental.run: second run processes nothing") {
     val input = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
     val ledger0 = Seq(Tuple1(1L)).toDF("k")
