@@ -42,7 +42,8 @@ object Bench {
     "q_t_analyze",            // text-analysis column pack
     "q_st_sliding_counts",    // sliding-window event counts
     "q_v_kmeans",             // iterative Lloyd's centroid training
-    "q_e2e_curation"          // full corpus-curation pipeline
+    "q_e2e_curation",         // full corpus-curation pipeline
+    "q_temporal_asof"         // as-of join (union+window formulation)
   )
 
   def main(args: Array[String]): Unit = {
@@ -57,6 +58,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen/scan path once so the alphabetically-first
+    // query doesn't absorb several seconds of one-time session cost
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
