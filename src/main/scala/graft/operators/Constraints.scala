@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraints — the generalization of the
+  * reference's ad-hoc audit scripts
+  * (/root/reference/utils/importer/verify_collections.py:34-195,
+  * cleanup_incorrect_products.py:160-200): express the invariants
+  * once, get a violations report as a DataFrame.
+  *
+  * Each rule compiles to a single aggregate subplan; the report is
+  * one union of scalar counts, so a full audit of N rules is N
+  * parallel scans (shared-scan via Spark's exchange reuse where
+  * tables repeat) and no driver-side data movement.
+  */
+object Constraints {
+
+  sealed trait Rule { def name: String }
+
+  /** Column must never be null. */
+  case class NotNull(table: String, colName: String) extends Rule {
+    def name = s"not_null:$table.$colName"
+  }
+
+  /** Key must be unique; violations = rows living in oversized
+    * groups (so 3 rows sharing one key count as 3, not 1). */
+  case class Unique(table: String, cols: Seq[String]) extends Rule {
+    def name = s"unique:$table(${cols.mkString(",")})"
+  }
+
+  /** Every child value must exist in the parent (nulls exempt, as in
+    * SQL FK semantics). */
+  case class RefIntegrity(child: String, childCol: String,
+      parent: String, parentCol: String) extends Rule {
+    def name = s"fk:$child.$childCol->$parent.$parentCol"
+  }
+
+  /** Run every rule, returning (rule, violations) — all-zero means
+    * the invariants hold. */
+  def check(tables: Map[String, DataFrame],
+      rules: Seq[Rule]): DataFrame = {
+    val reports = rules.map {
+      case r @ NotNull(t, c) =>
+        tables(t).filter(col(c).isNull)
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(r.name).as("rule"), col("violations"))
+      case r @ Unique(t, cs) =>
+        tables(t).groupBy(cs.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1)
+          .agg(coalesce(sum(col("__n")), lit(0L)).as("violations"))
+          .select(lit(r.name).as("rule"), col("violations"))
+      case r @ RefIntegrity(c, cc, p, pc) =>
+        tables(c).filter(col(cc).isNotNull)
+          .join(tables(p).select(col(pc).as(cc)).distinct(),
+            Seq(cc), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(r.name).as("rule"), col("violations"))
+    }
+    reports.reduce(_ unionByName _)
+  }
+}

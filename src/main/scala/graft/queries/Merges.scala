@@ -246,6 +246,72 @@ object Merges {
         .orderBy("window_start_us", "event_type")
     },
 
+    // CONSTRAINT AUDIT: declarative invariants over the warehouse —
+    // FK integrity, uniqueness, not-null — one violations report
+    // (Unique over (l_orderkey,l_linenumber) is intentionally a rule
+    // that FAILS on this testdata: nonzero counts prove the checker
+    // counts rather than assumes).
+    Q("q_audit_constraints",
+      """SELECT 'fk:lineitem.l_orderkey->orders.o_orderkey' AS rule,
+        |  (SELECT count(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+        |   AND NOT EXISTS (SELECT 1 FROM orders o
+        |                   WHERE o.o_orderkey = l.l_orderkey))
+        |  AS violations
+        |UNION ALL
+        |SELECT 'fk:orders.o_custkey->customer.c_custkey',
+        |  (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+        |   AND NOT EXISTS (SELECT 1 FROM customer c
+        |                   WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL
+        |SELECT 'unique:lineitem(l_orderkey,l_linenumber)',
+        |  (SELECT coalesce(CAST(sum(n) AS BIGINT), 0) FROM (
+        |     SELECT count(*) AS n FROM lineitem
+        |     GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+        |UNION ALL
+        |SELECT 'unique:orders(o_orderkey)',
+        |  (SELECT coalesce(CAST(sum(n) AS BIGINT), 0) FROM (
+        |     SELECT count(*) AS n FROM orders
+        |     GROUP BY o_orderkey HAVING count(*) > 1))
+        |UNION ALL
+        |SELECT 'not_null:orders.o_orderkey',
+        |  (SELECT count(*) FROM orders WHERE o_orderkey IS NULL)
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      import graft.operators.Constraints._
+      check(
+        Map("lineitem" -> t(s, d, "lineitem"),
+          "orders" -> t(s, d, "orders"),
+          "customer" -> t(s, d, "customer")),
+        Seq(
+          RefIntegrity("lineitem", "l_orderkey", "orders", "o_orderkey"),
+          RefIntegrity("orders", "o_custkey", "customer", "c_custkey"),
+          Unique("lineitem", Seq("l_orderkey", "l_linenumber")),
+          Unique("orders", Seq("o_orderkey")),
+          NotNull("orders", "o_orderkey")))
+        .orderBy("rule")
+    },
+
+    // PIVOT: events per day × type matrix (engine extension — the
+    // reference reports long-form only). Explicit value list keeps the
+    // plan a single pass (no distinct-scan before the pivot).
+    Q("q_pivot_daily",
+      """SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day_us""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(date_trunc("day", col("ts").cast("timestamp")).as("day"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(epochUs(col("day")).as("day_us"), col("click"),
+          col("error"), col("purchase"), col("signup"), col("view"))
+        .orderBy("day_us")
+    },
+
     // TEMPORAL: as-of join — daily per-user state snapshots (latest
     // event at each probe instant). Spark has no ASOF JOIN; the
     // operator composes it as tagged-union + one window pass (one
