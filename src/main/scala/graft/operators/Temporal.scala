@@ -26,6 +26,37 @@ object Temporal {
     * materializes every (probe, earlier-event) pair first, which is
     * quadratic per key. Determinism needs (key, ts) unique per side;
     * pre-dedup the right side otherwise. */
+  /** Keyed range join: pair every point with the interval rows of the
+    * same key that contain it (inclusive bounds). The key equality is
+    * the join's shuffle key, so Catalyst plans an equi-join with the
+    * range condition as a post-filter — per-key pair volume is
+    * bounded by the key's own cardinality, never global. For UNKEYED
+    * interval joins use [[bucketedRangeJoin]]. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+      ptCol: String, startCol: String, endCol: String): DataFrame =
+    points.join(intervals, Seq(key))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+
+  /** Unkeyed interval-containment join at scale: slice time into
+    * `bucketWidth`-sized buckets, explode each interval over the
+    * buckets it covers, equi-join points on their bucket, then filter
+    * exact containment. The equi-key bounds every shuffle partition;
+    * a naive cross join is O(points × intervals). Intervals longer
+    * than ~1000 buckets explode proportionally — pick bucketWidth
+    * near the median interval length. Bounds inclusive; `ptCol` /
+    * `startCol` / `endCol` must be numeric (e.g. epoch micros). */
+  def bucketedRangeJoin(points: DataFrame, intervals: DataFrame,
+      ptCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    val ivb = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(startCol) / bucketWidth),
+        floor(col(endCol) / bucketWidth))))
+    points.withColumn("__bucket", floor(col(ptCol) / bucketWidth))
+      .join(ivb, Seq("__bucket"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val payloadStruct = struct(payload.map(col): _*)

@@ -246,6 +246,39 @@ object Merges {
         .orderBy("window_start_us", "event_type")
     },
 
+    // TEMPORAL: keyed range join — events back into their own session
+    // intervals; per-session joined counts must reproduce n_events
+    // exactly, so the query is self-checking on top of the hash.
+    Q("q_temporal_range",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |    OR ts_us - lag(ts_us) OVER w > 86400000000 THEN 1 ELSE 0 END
+        |    AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n FROM m),
+        |sess AS (SELECT user_id, session_n, min(ts_us) AS session_start_us,
+        |    max(ts_us) AS session_end_us, count(*) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT sess.user_id, sess.session_n, sess.n_events,
+        |  count(*) AS n_joined
+        |FROM sess JOIN e ON e.user_id = sess.user_id
+        |  AND e.ts_us BETWEEN session_start_us AND session_end_us
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin) {
+      (s, d) =>
+      val ev = events(s, d).select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val sess = graft.streaming.Sessionize.batchSessions(
+        events(s, d), "user_id", "ts", "event_id", 86400000000L)
+      graft.operators.Temporal.rangeJoin(ev, sess, "user_id",
+          "ts_us", "session_start_us", "session_end_us")
+        .groupBy("user_id", "session_n", "n_events")
+        .agg(count(lit(1)).as("n_joined"))
+        .orderBy("user_id", "session_n")
+    },
+
     // CONSTRAINT AUDIT: declarative invariants over the warehouse —
     // FK integrity, uniqueness, not-null — one violations report
     // (Unique over (l_orderkey,l_linenumber) is intentionally a rule

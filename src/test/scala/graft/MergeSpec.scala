@@ -127,6 +127,23 @@ class MergeSpec extends SparkSpec {
       (2L, 5, null)))  // key with no states at all
   }
 
+  test("bucketedRangeJoin: row-equal to the naive containment join") {
+    val rng = new scala.util.Random(7)
+    val points = (0 until 300).map(_ => Tuple1(rng.nextInt(10000).toLong))
+      .toDF("p")
+    val intervals = (0 until 40).map { i =>
+      val s = rng.nextInt(9000).toLong
+      (i.toLong, s, s + rng.nextInt(800).toLong)
+    }.toDF("iv_id", "lo", "hi")
+    val naive = points.crossJoin(intervals)
+      .filter($"p" >= $"lo" && $"p" <= $"hi")
+      .select("p", "iv_id")
+    val bucketed = graft.operators.Temporal
+      .bucketedRangeJoin(points, intervals, "p", "lo", "hi", 256L)
+      .select("p", "iv_id")
+    assertSameRows(naive, bucketed)
+  }
+
   test("Incremental.run: second run processes nothing") {
     val input = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
     val ledger0 = Seq(Tuple1(1L)).toDF("k")
