@@ -171,6 +171,44 @@ object Vectors {
         q, 16, 4, 10)
     },
 
+    // ANN batched: top-5 per EACH of 5 query vectors in one corpus
+    // scan (broadcast batch + per-query window rank).
+    Q("q_v_batch_topk",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+         |           FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT q.qid, e.vec_id,
+         |    ${sqlCosine("e.embedding", "q.qvec")} AS cosine
+         |  FROM embeddings e, q),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+         |SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 5
+         |ORDER BY qid, cosine DESC, vec_id""".stripMargin) { (s, d) =>
+      val qs = t(s, d, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.batchTopK(t(s, d, "embeddings"), "vec_id",
+          "embedding", qs, 5)
+        .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+    },
+
+    // Numeric histogram: fixed-width bins over order totals (engine
+    // extension; deterministic integer bin arithmetic).
+    Q("q_a14_histogram",
+      """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(FLOOR(min(o_totalprice) * 100) AS BIGINT) AS min_cents,
+        |  CAST(FLOOR(max(o_totalprice) * 100) AS BIGINT) AS max_cents
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000.0).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("n"),
+          floor(min(col("o_totalprice")) * 100).cast("long")
+            .as("min_cents"),
+          floor(max(col("o_totalprice")) * 100).cast("long")
+            .as("max_cents"))
+        .orderBy("bin")
+    },
+
     // ANN centroid TRAINING: Lloyd's k-means, 2 unrolled iterations,
     // 8 centroids — deterministic seeds (smallest ids), deterministic
     // assignment ties, id-ordered per-dimension mean folds, so the
