@@ -247,6 +247,34 @@ class DedupSpec extends SparkSpec {
     assert(native(1L) == native(5L))  // identical docs agree
   }
 
+  test("native expressions are callable from plain SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_rolling_fp(array('a', 'b')) AS fp,
+        |  graft_simhash(array('a', 'b'), 16) AS sh,
+        |  size(graft_minhash(array('a b c'), 8)) AS k,
+        |  graft_shingles(array('x', 'y', 'z'), 2) AS sg,
+        |  graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Long]("fp") > 0L)
+    assert(r.getAs[Int]("k") == 8)
+    assert(r.getSeq[String](3) == Seq("x y", "y z"))
+    assert(r.getAs[Double]("d") == 11.0)
+  }
+
+  test("native expressions reject wrong input types at analysis time") {
+    import org.apache.spark.sql.functions._
+    def fails(sql: String): Unit =
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+    fails("SELECT graft_rolling_fp(array(1, 2))")     // not array<string>
+    fails("SELECT graft_minhash(array('a'), 'k')")    // k not int
+    fails("SELECT graft_simhash('abc', 16)")          // not an array
+    fails("SELECT graft_shingles(array('a'), 2.5)")   // n not int literal
+  }
+
   test("keepBestPerCluster: highest score wins, ties to smallest id") {
     val clustered = Seq(
       (1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 30L), // cluster 1: 2 wins tie
