@@ -109,6 +109,64 @@ object Md5Fold {
     out
   }
 
+  /** Fused shingle+MinHash kernel: slide an n-token window over the
+    * token array, feed each window's bytes (token, space, token, ...)
+    * incrementally into the md5 — no shingle string is ever built —
+    * and update all k permutation minima per window. Duplicate
+    * shingles need no dedup: min over a multiset equals min over its
+    * set, so the signature is identical to hashing distinct shingles
+    * (the HOF/oracle formulation). Fewer than n tokens leaves
+    * sig[i] = P; null tokens inside a window are skipped with their
+    * separator, exactly like array_join. */
+  def minHashText(arr: ArrayData, n: Int, a: Array[Long],
+      b: Array[Long]): ArrayData = {
+    val k = a.length
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, P)
+    val m = arr.numElements()
+    if (m >= n) {
+      val bytes = new Array[Array[Byte]](m)
+      var i = 0
+      while (i < m) {
+        bytes(i) =
+          if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+        i += 1
+      }
+      val md = digests.get()
+      val space = ' '.toByte
+      i = 0
+      while (i <= m - n) {
+        // a null token inside the window: array_join skips the token
+        // AND its separator, so the shingle equals the join of the
+        // non-null tokens — replicate by skipping
+        md.reset()
+        var first = true
+        var j = i
+        while (j < i + n) {
+          if (bytes(j) != null) {
+            if (!first) md.update(space)
+            md.update(bytes(j))
+            first = false
+          }
+          j += 1
+        }
+        val d = md.digest()
+        var top = 0L
+        var t = 0
+        while (t < 8) { top = (top << 8) | (d(t) & 0xffL); t += 1 }
+        val h = (top >>> 4) % P
+        var p = 0
+        while (p < k) {
+          val v = (a(p) * h + b(p)) % P
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
   /** Full MinHash signature in one pass: hash each (distinct) shingle
     * once, then update all k per-permutation minima. Empty input gives
     * sig[i] = P (matches the HOF `when(size==0, P)` guard). Null
@@ -177,6 +235,55 @@ case class RollingFpArray(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression)
       : RollingFpArray = copy(child = newChild)
+}
+
+/** Native `graft_minhash_text(tokens, shingleSize, k) -> array<long>`:
+  * the fully fused shingle+MinHash kernel (see Md5Fold.minHashText) —
+  * one call per row from the token array to the signature, no shingle
+  * array, no distinct pass, no per-shingle string allocation.
+  * Bit-identical to `graft_minhash(array_distinct(graft_shingles(t,
+  * n)), k)` (parity spec + unchanged oracle). */
+case class MinHashTextExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), IntegerType, IntegerType)
+        if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        "graft_minhash_text requires (array<string>, int literal, " +
+          s"int literal), got ($a, $b, $c)")
+    }
+
+  private lazy val n: Int = second.eval().asInstanceOf[Int]
+  private lazy val k: Int = third.eval().asInstanceOf[Int]
+  private lazy val aConsts: Array[Long] =
+    (0 until k).map(i =>
+      Md5Fold.hash31(s"mh_a:$i".getBytes("UTF-8")) | 1L).toArray
+  private lazy val bConsts: Array[Long] =
+    (0 until k).map(i =>
+      Md5Fold.hash31(s"mh_b:$i".getBytes("UTF-8"))).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = first.nullable
+  override def prettyName: String = "graft_minhash_text"
+
+  override protected def nullSafeEval(t: Any, nI: Any, kI: Any): Any =
+    Md5Fold.minHashText(t.asInstanceOf[ArrayData], n, aConsts, bConsts)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _, _) => {
+      val aRef = ctx.addReferenceObj("mhtA", aConsts, "long[]")
+      val bRef = ctx.addReferenceObj("mhtB", bConsts, "long[]")
+      s"${ev.value} = graft.expressions.Md5Fold.minHashText($t, $n, $aRef, $bRef);"
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): MinHashTextExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Native `graft_shingles(array<string>, n) -> array<string>`: word

@@ -68,10 +68,12 @@ object Dedup {
     * per-element lambdas. Requires the GraftExtensions session config. */
   def withMinHashSignature(df0: DataFrame, textCol: String,
       shingleSize: Int, k: Int): DataFrame =
+    // fully fused kernel: token array -> signature in one call — no
+    // shingle array, no distinct pass (min over a multiset equals min
+    // over its set), no per-shingle string allocation
     spread(df0).withColumn("sig",
-      call_function("graft_minhash",
-        array_distinct(call_function("graft_shingles",
-          tokens(col(textCol)), lit(shingleSize))), lit(k)))
+      call_function("graft_minhash_text",
+        tokens(col(textCol)), lit(shingleSize), lit(k)))
 
   /** HOF formulation of [[withMinHashSignature]] — works in bare
     * sessions (no extensions); the shingle array is built and each

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProductFloat, MinHashSigExpr, RollingFpArray, ShinglesExpr, SimHashExpr}
+import graft.expressions.{DotProductFloat, MinHashSigExpr, MinHashTextExpr, RollingFpArray, ShinglesExpr, SimHashExpr}
 
 /** Session extension registering the engine's native expressions —
   * enabled with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -21,6 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_rolling_fp"),
       new ExpressionInfo(classOf[RollingFpArray].getName, "graft_rolling_fp"),
       (children: Seq[Expression]) => RollingFpArray(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_text"),
+      new ExpressionInfo(classOf[MinHashTextExpr].getName,
+        "graft_minhash_text"),
+      (children: Seq[Expression]) =>
+        MinHashTextExpr(children(0), children(1), children(2))))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),

@@ -230,6 +230,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fused graft_minhash_text: identical to shingle+distinct+minhash") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a b c d e f g"), (2L, ""), (3L, "x y"),
+      (4L, "p q p q p q p q"), (5L, "品牌 nextuxury 材质 金属 金属 x"))
+      .toDF("doc_id", "text")
+    val both = docs.select(
+        call_function("graft_minhash_text",
+          graft.functions.tokens($"text"), lit(3), lit(8)).as("fused"),
+        call_function("graft_minhash",
+          array_distinct(call_function("graft_shingles",
+            graft.functions.tokens($"text"), lit(3))), lit(8))
+          .as("staged"))
+      .collect()
+    both.foreach(r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("native graft_simhash: identical to the explode+groupBy formulation") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
