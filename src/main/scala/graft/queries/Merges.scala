@@ -345,6 +345,63 @@ object Merges {
         .orderBy("day_us")
     },
 
+    // UNPIVOT: the daily matrix melted back to long form (wide→long
+    // round-trip of q_pivot_daily; Spark's native unpivot operator).
+    Q("q_unpivot_daily",
+      """WITH m AS (
+        |  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+        |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |    CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase
+        |  FROM events GROUP BY 1)
+        |SELECT day_us, kind, n FROM m
+        |UNPIVOT (n FOR kind IN (click, error, purchase))
+        |ORDER BY day_us, kind""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(date_trunc("day", col("ts").cast("timestamp")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase"))
+        .agg(count(lit(1))).na.fill(0L)
+        .select(epochUs(col("day")).as("day_us"), col("click"),
+          col("error"), col("purchase"))
+        .unpivot(Array(col("day_us")),
+          Array(col("click"), col("error"), col("purchase")),
+          "kind", "n")
+        .orderBy("day_us", "kind")
+    },
+
+    // DECILE BINNING by percentile cutoffs — NOT a global-order
+    // ntile() window (that plans as ONE partition, the canonical
+    // scale-killer): one aggregate computes 9 interpolated cutoffs,
+    // they broadcast as literals, and binning is a narrow map.
+    Q("q_a15_decile",
+      s"""WITH c AS (SELECT
+         |    [${(1 to 9).map(x =>
+               s"quantile_cont(o_totalprice, 0.$x)").mkString(", ")}]
+         |    AS cut FROM orders)
+        |SELECT decile, count(*) AS n,
+        |  CAST(FLOOR(min(o_totalprice) * 100) AS BIGINT) AS lo_cents,
+        |  CAST(FLOOR(max(o_totalprice) * 100) AS BIGINT) AS hi_cents
+        |FROM (SELECT o_totalprice,
+        |        1 + CAST(len(list_filter(c.cut, v -> o_totalprice > v))
+        |          AS BIGINT) AS decile
+        |      FROM orders, c)
+        |GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
+      val orders = t(s, d, "orders")
+      val cuts = orders.agg(
+        percentile(col("o_totalprice"),
+          array((1 to 9).map(x => lit(x / 10.0)): _*)).as("cut"))
+        .collect()(0).getSeq[Double](0) // 9 doubles — config-sized
+      val decile = lit(1) + cuts.map(c =>
+        when(col("o_totalprice") > c, 1L).otherwise(0L)).reduce(_ + _)
+      orders
+        .withColumn("decile", decile.cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          floor(min(col("o_totalprice")) * 100).cast("long").as("lo_cents"),
+          floor(max(col("o_totalprice")) * 100).cast("long").as("hi_cents"))
+        .orderBy("decile")
+    },
+
     // TEMPORAL: as-of join — daily per-user state snapshots (latest
     // event at each probe instant). Spark has no ASOF JOIN; the
     // operator composes it as tagged-union + one window pass (one

@@ -80,6 +80,22 @@ class PlanSpec extends SparkSpec {
       s"window must carry a partition spec:\n$windowLines")
   }
 
+  test("partitioned sink enables partition pruning on read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prune").toString
+    val df = (0 until 100).map(i => (i.toLong, s"r$i", i % 4))
+      .toDF("id", "v", "part")
+    graft.sources.Sinks.partitionedBy(df, dir, Seq("part"))
+    val pruned = spark.read.parquet(dir).filter($"part" === 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("part"),
+      s"partition filter must prune at the source:\n$plan")
+    assert(pruned.count() == 25)
+  }
+
   test("minhash signature is one narrow map: no shuffle before the explode") {
     val df = operators.Dedup.withMinHashSignature(
       spark.read.parquet(s"$sf/documents.parquet"), "text", 3, 8)
