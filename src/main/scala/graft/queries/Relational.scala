@@ -442,6 +442,23 @@ object Relational {
         .orderBy("status", "priority")
     },
 
+    // A12b (engine extension): CUBE — every grouping-set combination,
+    // same sentinel treatment as the rollup.
+    Q("q_a12_cube",
+      """SELECT coalesce(o_orderstatus, '<all>') AS status,
+        |  coalesce(o_orderpriority, '<all>') AS priority,
+        |  count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority")
+    },
+
     // A13 (engine extension): exact interpolated percentiles — the
     // same (n-1)*p linear interpolation in Spark `percentile` and
     // DuckDB `quantile_cont`, over identical doubles.

@@ -155,4 +155,20 @@ class PipelineSpec extends SparkSpec {
     q2.awaitTermination()
     assert(seen.get() == 2L)
   }
+
+  test("observe: pipeline metrics ride the action without extra scans") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i % 7 == 0)).toDF("v", "bad")
+    val observed = df.observe("load_metrics",
+      count(lit(1)).as("rows"),
+      sum(when($"bad", 1L).otherwise(0L)).as("bad_rows"))
+    val filtered = observed.filter(!$"bad")
+    // metrics attach to the QueryExecution an action runs on — collect
+    // drives the Dataset's own execution (write would build a new one)
+    assert(filtered.collect().length == 86)
+    val m = filtered.queryExecution.observedMetrics("load_metrics")
+    assert(m.getAs[Long]("rows") == 100L)
+    assert(m.getAs[Long]("bad_rows") == 14L)
+  }
 }
