@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Multimodal
+
+/** Multimodal plumbing contract: schemas, determinism, value ranges,
+  * and plan shape of the decode/feature/frame stages (the decode
+  * itself is a documented stub — these specs pin everything a real
+  * codec swap must preserve).
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.asMediaFrame(
+    Seq((1L, "abc"), (2L, ""), (3L, "第三个")).toDF("id", "payload")
+      .withColumn("bin", encode(col("payload"), "UTF-8")),
+    "id", "bin", "image")
+
+  test("asMediaFrame: canonical schema with typed metadata") {
+    val schema = media.schema
+    assert(schema("media_id").dataType == LongType)
+    assert(schema("modality").dataType == StringType)
+    assert(schema("content").dataType == BinaryType)
+    val meta = schema("meta").dataType.asInstanceOf[StructType]
+    assert(Set[DataType](IntegerType, LongType)(meta("n_bytes").dataType))
+    assert(meta("digest").dataType == StringType)
+    val row = media.filter($"media_id" === 1).collect()(0)
+    assert(row.getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[Number]("n_bytes").longValue == 3L)
+  }
+
+  test("enrichImages: deterministic stub decode with plausible ranges") {
+    val out = Multimodal.enrichImages(media, featureDim = 4)
+    val rows = out.select($"media_id", $"decoded.width", $"decoded.height",
+        $"decoded.format", $"features")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 1920)
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 1080)
+      assert(Set("jpeg", "png", "webp")(r.getString(3)))
+      val fs = r.getSeq[Double](4)
+      assert(fs.length == 4 && fs.forall(f => f >= -1.0 && f <= 1.0))
+    }
+    // identical bytes -> identical decode, run to run
+    val again = Multimodal.enrichImages(media, featureDim = 4)
+      .select($"media_id", $"decoded", $"features").collect()
+    val first = out.select($"media_id", $"decoded", $"features").collect()
+    assert(first.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+
+  test("enrichImages: narrow maps only — no exchange in the plan") {
+    val plan = Multimodal.enrichImages(media, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"decode/feature stage must not shuffle:\n$plan")
+  }
+
+  test("sampleFrameIndexes: every-nth fan-out, zero-frame safe") {
+    val vids = Seq((1L, 7), (2L, 1), (3L, 0)).toDF("media_id", "n_frames")
+    val out = Multimodal.sampleFrameIndexes(vids, col("n_frames"), 3)
+      .select("media_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(out == Seq((1L, 0), (1L, 3), (1L, 6), (2L, 0), (3L, 0)))
+  }
+}
