@@ -107,6 +107,42 @@ class PropertySpec extends SparkSpec {
     out.foreach(r => assert(r.isNullAt(0)))
   }
 
+  test("redactPii: embedded emails always collapse to the marker") {
+    // the email local-part/domain classes are ASCII by design (the
+    // CJK-token generator found exactly this boundary), so the
+    // address itself is generated ASCII-only; surroundings stay CJK
+    val ascii = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val cases = samples(for {
+      pre <- cleanToken; user <- ascii; dom <- ascii
+      suf <- cleanToken
+    } yield (s"$pre ", s"$user@$dom.example.com", s" $suf"), 60)
+    val df = cases.zipWithIndex
+      .map { case ((p, e, s), i) => (i, p + e + s, p, s) }
+      .toDF("i", "raw", "pre", "suf")
+      .select(col("i"), redactPii(col("raw")).as("red"),
+        col("pre"), col("suf"))
+    df.collect().foreach { r =>
+      assert(r.getString(1) == r.getString(2) + "[EMAIL]" + r.getString(3),
+        s"case ${r.getInt(0)}")
+    }
+  }
+
+  test("extractUrls: finds every embedded url, in order") {
+    val cases = samples(for {
+      a <- cleanToken; b <- cleanToken
+      p1 <- cleanToken; p2 <- cleanToken
+    } yield (s"$a https://x.example/$p1 $b http://y.example/$p2 end",
+      Seq(s"https://x.example/$p1", s"http://y.example/$p2")), 60)
+    val df = cases.zipWithIndex.map { case ((raw, _), i) => (i, raw) }
+      .toDF("i", "raw")
+      .select(col("i"), extractUrls(col("raw")).as("urls"))
+    val got = df.collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    cases.zipWithIndex.foreach { case ((_, expect), i) =>
+      assert(got(i) == expect, s"case $i")
+    }
+  }
+
   test("deterministicId: stable across runs, injective on samples") {
     val keys = samples(Gen.listOfN(3, cleanToken).map(_.mkString("|")), 80)
       .distinct
