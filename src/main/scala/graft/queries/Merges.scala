@@ -345,6 +345,26 @@ object Merges {
         .orderBy("day_us")
     },
 
+    // ARG_MAX: latest event per user as ONE aggregate (max_by) — the
+    // aggregate-shaped sibling of the as-of join for "current state".
+    Q("q_a16_argmax",
+      """SELECT user_id,
+        |  arg_max(event_type, ts) AS last_type,
+        |  epoch_us(max(ts)) AS last_us,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+      // (user_id, ts) is unique in the data, so no tie-break is needed
+      // for determinism (DuckDB 1.0 arg_max keys must be scalar)
+      events(s, d)
+        .groupBy("user_id")
+        .agg(
+          max_by(col("event_type"), col("ts")).as("last_type"),
+          epochUs(max(col("ts"))).as("last_us"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    },
+
     // UNPIVOT: the daily matrix melted back to long form (wide→long
     // round-trip of q_pivot_daily; Spark's native unpivot operator).
     Q("q_unpivot_daily",

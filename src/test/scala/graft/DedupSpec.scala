@@ -270,13 +270,15 @@ class DedupSpec extends SparkSpec {
         |  graft_rolling_fp(array('a', 'b')) AS fp,
         |  graft_simhash(array('a', 'b'), 16) AS sh,
         |  size(graft_minhash(array('a b c'), 8)) AS k,
+        |  size(graft_minhash_text(array('a','b','c','d'), 3, 8)) AS kt,
         |  graft_shingles(array('x', 'y', 'z'), 2) AS sg,
         |  graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
         |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d
         |""".stripMargin).collect()(0)
     assert(r.getAs[Long]("fp") > 0L)
     assert(r.getAs[Int]("k") == 8)
-    assert(r.getSeq[String](3) == Seq("x y", "y z"))
+    assert(r.getAs[Int]("kt") == 8)
+    assert(r.getSeq[String](r.fieldIndex("sg")) == Seq("x y", "y z"))
     assert(r.getAs[Double]("d") == 11.0)
   }
 
