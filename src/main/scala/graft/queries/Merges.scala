@@ -345,6 +345,27 @@ object Merges {
         .orderBy("day_us")
     },
 
+    // JSON: schema-on-read over the events.props payload (from_json
+    // with an explicit schema — the semi-structured column pattern).
+    Q("q_f19_json",
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS k_sum,
+        |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+        |    AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      events(s, d)
+        .withColumn("k",
+          from_json(col("props"), lit("k LONG")).getField("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("k_sum"),
+          sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_big"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     // ARG_MAX: latest event per user as ONE aggregate (max_by) — the
     // aggregate-shaped sibling of the as-of join for "current state".
     Q("q_a16_argmax",
