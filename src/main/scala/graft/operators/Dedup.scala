@@ -294,6 +294,8 @@ object Dedup {
     }
     var changed = 1L
     var it = 0
+    // Steps run in pairs, so maxIters is rounded UP to the next even
+    // step count (maxIters=5 allows 6 propagation steps).
     while (changed > 0 && it < maxIters) {
       // TWO propagation steps per driver round-trip, convergence flag
       // read from the second only — if any step changes nothing the

@@ -10,22 +10,6 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
-  /** As-of join: for every left row, attach the payload of the single
-    * LATEST right row with `rightTs` <= `leftTs` within the same key
-    * (null payload when no right row precedes the left row).
-    *
-    * Formulation: tag both inputs, union, ONE window pass per key
-    * ordered by (ts, side) carrying the last non-null payload forward
-    * — right rows sort before left rows at equal timestamps, so the
-    * match is inclusive like DuckDB's `ASOF JOIN ... ON r.ts <= l.ts`
-    * (the oracle for q_temporal_asof).
-    *
-    * Scale shape: one shuffle on the key, O(n log n) sort within
-    * partitions, zero range cross-join blowup — the naive
-    * `l JOIN r ON key AND r.ts <= l.ts` + max() formulation
-    * materializes every (probe, earlier-event) pair first, which is
-    * quadratic per key. Determinism needs (key, ts) unique per side;
-    * pre-dedup the right side otherwise. */
   /** Keyed range join: pair every point with the interval rows of the
     * same key that contain it (inclusive bounds). The key equality is
     * the join's shuffle key, so Catalyst plans an equi-join with the
@@ -57,6 +41,22 @@ object Temporal {
       .drop("__bucket")
   }
 
+  /** As-of join: for every left row, attach the payload of the single
+    * LATEST right row with `rightTs` <= `leftTs` within the same key
+    * (null payload when no right row precedes the left row).
+    *
+    * Formulation: tag both inputs, union, ONE window pass per key
+    * ordered by (ts, side) carrying the last non-null payload forward
+    * — right rows sort before left rows at equal timestamps, so the
+    * match is inclusive like DuckDB's `ASOF JOIN ... ON r.ts <= l.ts`
+    * (the oracle for q_temporal_asof).
+    *
+    * Scale shape: one shuffle on the key, O(n log n) sort within
+    * partitions, zero range cross-join blowup — the naive
+    * `l JOIN r ON key AND r.ts <= l.ts` + max() formulation
+    * materializes every (probe, earlier-event) pair first, which is
+    * quadratic per key. Determinism needs (key, ts) unique per side;
+    * pre-dedup the right side otherwise. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val payloadStruct = struct(payload.map(col): _*)

@@ -213,16 +213,24 @@ object Vectors {
     // 8 centroids — deterministic seeds (smallest ids), deterministic
     // assignment ties, id-ordered per-dimension mean folds, so the
     // trained double centroids are bit-identical across engines.
+    // Output is unnested to one (cid, dim, value) row per centroid
+    // component — scalar columns only, so the harness can sort/hash
+    // them (a raw array<double> column is uncomparable driver-side).
     Q("q_v_kmeans",
       s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv
-         |            FROM embeddings WHERE vec_id < 8),
+         |            FROM embeddings ORDER BY vec_id LIMIT 8),
          |${kmeansIterSql("c0", "a1", "m1", "c1", 64)},
          |${kmeansIterSql("c1", "a2", "m2", "c2", 64)}
-         |SELECT cid, cv, n FROM c2 ORDER BY cid""".stripMargin) { (s, d) =>
+         |SELECT cid, CAST(d.range AS INTEGER) AS dim,
+         |  CAST(cv[CAST(d.range AS INTEGER)] AS DOUBLE) AS v, n
+         |FROM c2, range(1, 65) d
+         |ORDER BY cid, dim""".stripMargin) { (s, d) =>
       Similarity.kmeansCentroids(t(s, d, "embeddings"), "vec_id",
           "embedding", 8, 2, 64)
-        .select("cid", "cv", "n")
-        .orderBy("cid")
+        .select(col("cid"), col("n"), posexplode(col("cv")))
+        .select(col("cid"), (col("pos") + 1).cast("int").as("dim"),
+          col("col").as("v"), col("n"))
+        .orderBy("cid", "dim")
     },
 
     // MULTIMODAL: opaque binary + typed metadata (S5-adjacent schema).

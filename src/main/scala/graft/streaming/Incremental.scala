@@ -77,11 +77,19 @@ object Incremental {
         .option("checkpointLocation", checkpoint)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          // Probe for the path explicitly: only a genuinely absent
+          // result table may read as empty. Swallowing arbitrary read
+          // failures (corrupt files, IO errors) would silently rebuild
+          // the table — masking exactly the data-loss class this
+          // ingest exists to prevent.
+          val fs = new org.apache.hadoop.fs.Path(resultDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
           val existing =
-            try spark.read.parquet(resultDir)
-            catch { case _: Throwable => spark.createDataFrame(
+            if (fs.exists(new org.apache.hadoop.fs.Path(resultDir)))
+              spark.read.parquet(resultDir)
+            else spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](),
-              batch.schema) }
+              batch.schema)
           graft.sources.Sinks.atomicOverwrite(
             graft.operators.Merge.insertIfAbsent(existing, batch, keys)
               .localCheckpoint(), // cut lineage off the dir being replaced
