@@ -12,7 +12,7 @@ object SparkEntry {
   /** Every declared query of the engine, keyed by name. */
   def inventory: Seq[Q] =
     Relational.all ++ Merges.all ++ Functions.all ++ Text.all ++
-      Vectors.all ++ Pipelines.all ++ SqlSurface.all
+      Vectors.all ++ Pipelines.all ++ SqlSurface.all ++ Approx.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The TPC-H-Q1-shaped multi-key aggregation. */

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge tables, formulated for the
+  * Pregel-free DataFrame world: each iteration is one join + one
+  * aggregation (both partitioned by the same key, so AQE reuses the
+  * exchange), the driver loop only counts iterations.
+  *
+  * All rank arithmetic is INTEGER fixed-point (micro-units of 1e-12):
+  * per-node contribution sums are integer sums, which are exact and
+  * commutative, so the result is bit-identical regardless of partition
+  * count, shuffle order, or engine — the property a floating-point
+  * PageRank cannot offer and the reason this formulation is
+  * oracle-checkable. Precision loss vs float is <= out_degree
+  * micro-units per node per iteration (truncation), orders of
+  * magnitude below any ranking-relevant difference.
+  */
+object Graph {
+
+  /** 1.0 of rank in fixed-point micro-units. Any per-node sum of
+    * in-neighbor contributions is bounded by the total graph mass
+    * n * SCALE, so BIGINT holds for n up to ~9.2e18 / 1e12 ≈ 9e6
+    * nodes; beyond that, drop SCALE a few powers of ten. */
+  val Scale = 1000000000000L
+
+  /** Fixed-iteration PageRank with damping 0.85 over directed
+    * `edges(src, dst)` (deduplicated internally). Returns
+    * (node, rank_fp) with rank in fixed-point units after exactly
+    * `iters` rounds from the uniform start SCALE/n. Dangling-node
+    * mass is dropped (the classic simplification; total mass then
+    * decays, which is fine for ranking and keeps each iteration a
+    * single join+agg instead of an extra global redistribution pass).
+    *
+    * Scale shape per iteration: edges JOIN ranks ON src (both sides
+    * hash-partitioned on the join key), then groupBy(dst) integer sum
+    * — partial map-side combine collapses each partition to one row
+    * per distinct dst before the shuffle. The rank table is
+    * localCheckpointed each round to truncate the growing lineage. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    // n is one tiny scalar: computing it driver-side is a count over
+    // the deduped node table, not a collect of data rows
+    val n = nodes.count()
+    val teleport = (Scale / 100L * 15L) / n // floor((0.15 * SCALE) / n)
+    var ranks = nodes.withColumn("rank_fp", lit(Scale / n))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_fp div out_deg").as("contrib"))
+        .groupBy("node").agg(sum("contrib").as("in_mass"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr("coalesce(in_mass, 0L) * 85 div 100")).as("rank_fp"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
+  /** In/out degree profile of an edge table — the first thing to look
+    * at before joining anything at scale (skew shows up here). */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+      .join(e.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("in_deg")), Seq("node"), "full")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.hash60
+
+/** Approximate-cardinality / membership sketches, built DETERMINISTIC
+  * so every run (and every engine with md5) produces bit-identical
+  * sketches. At 100 TB these replace exact COUNT(DISTINCT) / semi-join
+  * pre-filters: the sketch is a few KB per column, mergeable across
+  * partitions with max / bit_or — both order-free — so partial
+  * aggregation does all the work map-side and the shuffle carries only
+  * fixed-size state.
+  *
+  * Reference context: the reference engine answers its audit
+  * cardinality questions with exact COUNT(DISTINCT) over PostgreSQL
+  * heaps (/root/reference/utils/importer/verify_collections.py:34-195);
+  * that formulation stops being answerable at corpus scale, which is
+  * why the sketch layer exists here as a first-class operator family.
+  *
+  * Spark ships HLL++ (`approx_count_distinct`) — the production
+  * default — but its binary sketch is engine-private and so cannot be
+  * oracle-checked across engines. These operators implement the same
+  * algorithms from their public definitions (Flajolet et al. 2007;
+  * Bar-Yossef et al. 2002; Bloom 1970) over the md5-derived
+  * [[graft.functions.hash60]], trading HLL++'s bias tables for exact
+  * reproducibility. Estimates are engine-grade (~2% at m=256 for HLL).
+  */
+object Sketches {
+
+  /** 2^60 as a double — hash60's value space, the KMV unit interval. */
+  private val HashSpace = 1152921504606846976.0d
+
+  /** Per-bucket HLL registers for `col`'s distinct values: bucket =
+    * h % m, rho = leading-zero count of the remaining 60-log2(m) bits
+    * + 1, register = max(rho). One shuffle of at most m rows (the
+    * map-side partial max has already collapsed each partition to m
+    * registers). `m` must be a power of two. */
+  def hllRegisters(df: DataFrame, valueCol: String, m: Int,
+      salt: String = "hll"): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
+    val vBits = 60 - Integer.numberOfTrailingZeros(m) // quotient width
+    val h = hash60(concat(lit(s"$salt:"), col(valueCol).cast("string")))
+    df.select(h.as("hv")).distinct()
+      // `div`, not `/`: Spark's / on longs is double division
+      .select((col("hv") % m).as("bucket"), expr(s"hv div $m").as("v"))
+      // bin() prints without leading zeros, so length(bin(v)) is the
+      // bit length; rho = vBits - bitlen + 1, and the all-zero
+      // quotient scores vBits + 1 by convention
+      .select(col("bucket"),
+        when(col("v") === 0, lit(vBits + 1))
+          .otherwise(lit(vBits + 1) - length(bin(col("v")))).as("rho"))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+  }
+
+  /** Raw HLL cardinality estimate from [[hllRegisters]]: one row
+    * `(m, nonzero_buckets, harmonic_sum, estimate)`. The harmonic sum
+    * folds pow(2, -rho) terms — exact powers of two — in bucket order
+    * (ordered fold: bit-identical across engines); empty buckets
+    * contribute 2^0 = 1 each, added as one exact integer-valued term.
+    * Raw estimate only (no small/large-range correction): callers
+    * size sketches so n >> 2.5m — the regime sketches are for — which
+    * never enters the corrected ranges. */
+  def hllEstimate(df: DataFrame, valueCol: String, m: Int,
+      salt: String = "hll"): DataFrame = {
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    hllRegisters(df, valueCol, m, salt)
+      .agg(sort_array(collect_list(struct(col("bucket"), col("rho"))))
+        .as("regs"))
+      .select(
+        lit(m.toLong).as("m"),
+        size(col("regs")).cast("long").as("nonzero_buckets"),
+        (aggregate(col("regs"), lit(0.0d),
+          (acc, r) => acc + pow(lit(2.0d), -r.getField("rho")))
+          + (lit(m) - size(col("regs"))).cast("double")).as("harmonic_sum"))
+      .withColumn("estimate",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / col("harmonic_sum"))
+  }
+
+  /** K-minimum-values distinct sketch: the k smallest distinct hash
+    * values of `col`. The sketch IS the rows (mergeable: union +
+    * re-take-k). Spark plans the orderBy+limit as
+    * TakeOrderedAndProject, so no global sort materializes and each
+    * partition forwards only its own bottom k. */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int,
+      salt: String = "kmv"): DataFrame =
+    df.select(hash60(concat(lit(s"$salt:"), col(valueCol).cast("string")))
+        .as("hv"))
+      .distinct().orderBy("hv").limit(k)
+
+  /** KMV estimate: (k-1) * |hash space| / kth-minimum. One row
+    * `(k, kth_min, estimate)`; exact integer arithmetic until the one
+    * final double division. */
+  def kmvEstimate(df: DataFrame, valueCol: String, k: Int,
+      salt: String = "kmv"): DataFrame =
+    kmvSketch(df, valueCol, k, salt)
+      .agg(count(lit(1)).as("k"), max("hv").as("kth_min"))
+      .withColumn("estimate",
+        (col("k") - 1).cast("double") * lit(HashSpace)
+          / col("kth_min").cast("double"))
+
+  /** Bloom filter over `col`'s distinct values as (word, bits) rows:
+    * nHashes bit positions per key from double hashing (h1 + i*h2,
+    * the standard Kirsch-Mitzenmacher construction), packed into
+    * 32-bit words so shifts stay far from 64-bit overflow in any
+    * engine. Build is one explode (x nHashes) + groupBy(word) bit_or
+    * — order-free, partial-aggregated map-side; the result is at most
+    * bits/32 rows, a broadcastable few-KB table. */
+  def bloomBuild(df: DataFrame, valueCol: String, bits: Int = 8192,
+      nHashes: Int = 4, salt: String = "bloom"): DataFrame = {
+    require(bits % 32 == 0, s"bits must pack into 32-bit words: $bits")
+    bloomPositions(df, valueCol, bits, nHashes, salt)
+      .select(col("w"),
+        // expr: the Scala shiftleft() overload only takes a literal
+        // shift amount; the SQL form shifts by a column
+        expr("shiftleft(1L, CAST(p % 32 AS INT))").as("mask"))
+      .groupBy("w").agg(bit_or(col("mask")).as("bits"))
+  }
+
+  /** Probe `probe(valueCol)` against a built filter: a key is a
+    * maybe-member iff ALL its nHashes positions are set. Output
+    * (key, maybe_member 0/1); false positives are a deterministic
+    * function of the hashes, so the exact same keys false-positive in
+    * every engine. The filter side is tiny and broadcast — the scan
+    * side never shuffles for the membership test itself. */
+  def bloomProbe(probe: DataFrame, filter: DataFrame, valueCol: String,
+      bits: Int = 8192, nHashes: Int = 4,
+      salt: String = "bloom"): DataFrame =
+    bloomPositions(probe, valueCol, bits, nHashes, salt)
+      .join(broadcast(filter), Seq("w"), "left")
+      .select(col("key"),
+        when(coalesce(col("bits"), lit(0L))
+          .bitwiseAND(expr("shiftleft(1L, CAST(p % 32 AS INT))"))
+          =!= 0L, lit(1L)).otherwise(lit(0L)).as("hit"))
+      .groupBy("key").agg(min("hit").as("maybe_member"))
+
+  /** Shared position expansion: distinct keys x nHashes positions,
+    * with the word index `w` = p / 32 precomputed. */
+  private def bloomPositions(df: DataFrame, valueCol: String, bits: Int,
+      nHashes: Int, salt: String): DataFrame = {
+    val key = col(valueCol).cast("string")
+    df.select(col(valueCol).as("key"),
+        hash60(concat(lit(s"$salt-1:"), key)).as("h1"),
+        hash60(concat(lit(s"$salt-2:"), key)).as("h2"))
+      .distinct()
+      .select(col("key"), col("h1"), col("h2"),
+        explode(sequence(lit(0), lit(nHashes - 1))).as("i"))
+      .select(col("key"),
+        ((col("h1") + col("i") * col("h2")) % bits).as("p"))
+      .withColumn("w", expr("p div 32"))
+  }
+}

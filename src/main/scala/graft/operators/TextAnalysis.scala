@@ -155,4 +155,38 @@ object TextAnalysis {
         call_function("graft_rolling_fp", col("__toks")))
       .drop(("__norm" +: "__toks" +: langs.map(l => s"__s_$l")): _*)
   }
+
+  /** TF-IDF top-`topK` terms per document: tf = in-doc term count,
+    * df = number of documents containing the term, idf = ln(N/df).
+    * The score is QUANTIZED to integer millis (floor(tf * idf * 1000))
+    * before ranking, so row order never hinges on the last ulp of a
+    * transcendental — the one place engine libm implementations may
+    * legitimately differ — and the ranked output is exact-comparable.
+    *
+    * Scale shape: one explode of the token stream, tf via
+    * groupBy(doc, term) with map-side combine, df via groupBy(term)
+    * over the distinct (doc, term) pairs ALREADY AGGREGATED for tf
+    * (no second pass over raw tokens), then a broadcast-sized term →
+    * df join back and a per-doc window for top-k. N is a literal
+    * computed once. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.select(col(idCol)).distinct().count()
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_milli").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score_milli",
+        floor(col("tf").cast("double")
+          * log(lit(n.toDouble) / col("df").cast("double"))
+          * 1000.0d).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK).drop("rn")
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score_milli"))
+  }
 }

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Sketches, TextAnalysis}
+import graft.streaming.StreamOps
+
+/** Sketch / graph / streaming-parity additions to the [Q] inventory —
+  * the operator families a 100 TB curation pipeline leans on when
+  * exact formulations (COUNT DISTINCT, all-pairs joins, global sorts)
+  * stop scaling. Every query follows the package determinism contract;
+  * the sketch queries are bit-reproducible because the sketches
+  * themselves are md5-derived (see operators.Sketches scaladoc).
+  */
+object Approx {
+
+  /** DuckDB mirror of Sketches' md5-derived hash60 with a salt. */
+  private def h60(salt: String, x: String): String =
+    sqlHash60(s"'$salt:' || CAST($x AS VARCHAR)")
+
+  val all: Seq[Q] = Seq(
+
+    // SKETCH: deterministic HyperLogLog over orders (m=256 registers).
+    // Raw-regime estimate (n >> 2.5m at every graded SF); the harmonic
+    // sum folds exact powers of two in bucket order on both engines.
+    Q("q_k_hll",
+      s"""WITH h AS (SELECT DISTINCT ${h60("hll", "o_orderkey")} AS hv
+         |    FROM orders),
+         |b AS (SELECT hv % 256 AS bucket, hv // 256 AS v FROM h),
+         |r AS (SELECT bucket, MAX(CASE WHEN v = 0 THEN 53
+         |    ELSE 53 - length(bin(v)) END) AS rho FROM b GROUP BY bucket),
+         |l AS (SELECT list(rho ORDER BY bucket) AS rhos,
+         |    CAST(count(*) AS BIGINT) AS nb FROM r),
+         |s AS (SELECT nb, list_reduce(
+         |    list_prepend(0.0, [power(2.0, -CAST(x AS DOUBLE)) for x in rhos]),
+         |    (a, x) -> a + x) + CAST(256 - nb AS DOUBLE) AS harmonic_sum
+         |  FROM l)
+         |SELECT CAST(256 AS BIGINT) AS m, nb AS nonzero_buckets,
+         |  harmonic_sum,
+         |  (0.7213 / (1 + 1.079 / 256)) * CAST(256 AS DOUBLE)
+         |    * CAST(256 AS DOUBLE) / harmonic_sum AS estimate
+         |FROM s""".stripMargin) { (s, d) =>
+      Sketches.hllEstimate(t(s, d, "orders"), "o_orderkey", 256)
+    },
+
+    // SKETCH: k-minimum-values distinct estimate (k=64) — exact
+    // integer arithmetic until one final double division.
+    Q("q_k_kmv",
+      s"""WITH h AS (SELECT DISTINCT ${h60("kmv", "o_orderkey")} AS hv
+         |    FROM orders),
+         |k AS (SELECT hv FROM h ORDER BY hv LIMIT 64)
+         |SELECT CAST(count(*) AS BIGINT) AS k, max(hv) AS kth_min,
+         |  CAST(count(*) - 1 AS DOUBLE) * 1152921504606846976.0
+         |    / CAST(max(hv) AS DOUBLE) AS estimate
+         |FROM k""".stripMargin) { (s, d) =>
+      Sketches.kmvEstimate(t(s, d, "orders"), "o_orderkey", 64)
+    },
+
+    // SKETCH: bloom-filter membership — build on high-balance
+    // customers, probe every ordering customer. False positives are
+    // the same keys in every engine (md5 double-hashing), so the
+    // per-key maybe_member map is exact-comparable.
+    Q("q_k_bloom",
+      s"""WITH mem AS (SELECT DISTINCT c_custkey AS key FROM customer
+         |    WHERE c_acctbal > 5000),
+         |hh AS (SELECT ${h60("bloom-1", "key")} % 8192 AS h1,
+         |    ${h60("bloom-2", "key")} % 8192 AS h2 FROM mem),
+         |pos AS (SELECT DISTINCT (h1 + i * h2) % 8192 AS p
+         |  FROM hh, (SELECT unnest([0, 1, 2, 3]) AS i)),
+         |words AS (SELECT p // 32 AS w, bit_or(1::BIGINT
+         |    << CAST(p % 32 AS INTEGER)) AS bits FROM pos GROUP BY 1),
+         |probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
+         |ph AS (SELECT key, ${h60("bloom-1", "key")} % 8192 AS h1,
+         |    ${h60("bloom-2", "key")} % 8192 AS h2 FROM probe),
+         |pp AS (SELECT key, (h1 + i * h2) % 8192 AS p
+         |  FROM ph, (SELECT unnest([0, 1, 2, 3]) AS i)),
+         |hits AS (SELECT pp.key, CASE WHEN (w.bits & (1::BIGINT
+         |    << CAST(pp.p % 32 AS INTEGER))) != 0 THEN 1 ELSE 0 END AS hit
+         |  FROM pp LEFT JOIN words w ON w.w = pp.p // 32)
+         |SELECT key, CAST(min(hit) AS BIGINT) AS maybe_member
+         |FROM hits GROUP BY key ORDER BY key""".stripMargin) { (s, d) =>
+      val members = t(s, d, "customer")
+        .filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      val probe = t(s, d, "orders").select(col("o_custkey")).distinct()
+      Sketches.bloomProbe(probe,
+          Sketches.bloomBuild(members, "c_custkey"), "o_custkey")
+        .orderBy("key")
+    },
+
+    // GRAPH: 3-iteration PageRank over the props.k transition graph
+    // (edge = consecutive events of one user). Integer fixed-point
+    // ranks: sums are exact and order-free, so the result is
+    // bit-identical at any parallelism — the property that makes an
+    // iterative distributed PageRank oracle-checkable at all.
+    Q("q_g_pagerank",
+      """WITH ek AS (SELECT user_id, ts, event_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS node
+        |  FROM events),
+        |tr AS (SELECT node AS src, lead(node) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ek),
+        |e AS (SELECT DISTINCT src, dst FROM tr
+        |  WHERE dst IS NOT NULL AND dst != src),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |od AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+        |p AS (SELECT count(*) AS n,
+        |    (1000000000000 // 100 * 15) // count(*) AS tp FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM p) AS r
+        |  FROM nodes),
+        |c1 AS (SELECT e.dst AS node, SUM(r0.r // od.out_deg) AS m
+        |  FROM e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node, (SELECT tp FROM p)
+        |    + coalesce(c1.m, 0) * 85 // 100 AS r
+        |  FROM nodes LEFT JOIN c1 ON c1.node = nodes.node),
+        |c2 AS (SELECT e.dst AS node, SUM(r1.r // od.out_deg) AS m
+        |  FROM e JOIN r1 ON r1.node = e.src JOIN od ON od.src = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node, (SELECT tp FROM p)
+        |    + coalesce(c2.m, 0) * 85 // 100 AS r
+        |  FROM nodes LEFT JOIN c2 ON c2.node = nodes.node),
+        |c3 AS (SELECT e.dst AS node, SUM(r2.r // od.out_deg) AS m
+        |  FROM e JOIN r2 ON r2.node = e.src JOIN od ON od.src = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node, (SELECT tp FROM p)
+        |    + coalesce(c3.m, 0) * 85 // 100 AS r
+        |  FROM nodes LEFT JOIN c3 ON c3.node = nodes.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+        |ORDER BY node""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = events(s, d)
+        .withColumn("node",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .select(col("node").as("src"),
+          lead(col("node"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+      Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy("node")
+    },
+
+    // TEXT: TF-IDF top-5 terms per document. Scores quantized to
+    // integer millis BEFORE ranking so the order never hinges on the
+    // last ulp of ln() (see TextAnalysis.tfIdfTopTerms).
+    Q("q_t_tfidf",
+      s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+         |    FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+         |  FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         |    CAST(FLOOR(CAST(tf.tf AS DOUBLE)
+         |      * ln((SELECT n FROM nn) / CAST(dfq.df AS DOUBLE))
+         |      * 1000.0) AS BIGINT) AS score_milli
+         |  FROM tf JOIN dfq USING (term)),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_milli DESC, term) AS rn FROM sc)
+         |SELECT doc_id, term, tf, df, score_milli FROM rk
+         |WHERE rn <= 5 ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+      TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", 5)
+        .orderBy("doc_id", "term")
+    },
+
+    // STREAMING (batch-equivalent): first-occurrence dedup per
+    // (user, event_type). The same rows through MemoryStream +
+    // watermark + dropDuplicates give the same output — asserted in
+    // StreamingSpec; this is the bounded-state streaming dedup that
+    // replaces a full-history distinct at scale.
+    Q("q_st_dedup_first",
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id,
+        |    event_type ORDER BY ts, event_id) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      StreamOps.batchFirstPerKey(events(s, d),
+          Seq("user_id", "event_type"), "ts", "event_id")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          epochUs(col("ts")).as("ts_us"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // STREAMING (batch-equivalent): stream-stream interval join —
+    // purchases within 1 hour of a view by the same user. Over
+    // streams both sides are watermarked so join state stays bounded;
+    // the batch plan is the identical range-predicate equi-join.
+    Q("q_st_interval_join",
+      """SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+        |  epoch_us(a.ts) AS view_ts_us, epoch_us(b.ts) AS purchase_ts_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND a.event_type = 'view' AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"))
+      StreamOps.intervalJoin(views, purchases, "user_id", "ts", "ts",
+          "1 HOUR")
+        .select(col("view_id"), col("purchase_id"),
+          epochUs(col("l_ts")).as("view_ts_us"),
+          epochUs(col("r_ts")).as("purchase_ts_us"))
+        .orderBy("view_id", "purchase_id")
+    })
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming operators that also evaluate over batch
+  * frames — the parity pair the specs assert. The graded oracle
+  * queries run the batch formulation; StreamingSpec replays the same
+  * rows through MemoryStream and checks the outputs agree.
+  */
+object StreamOps {
+
+  /** Streaming first-occurrence dedup: watermark + dropDuplicates on
+    * the key columns. State per live key only; the watermark bounds
+    * state for keys whose event time has passed. Equivalent to
+    * [[batchFirstPerKey]] when rows arrive in event-time order
+    * (MemoryStream in the spec feeds them so; an out-of-order arrival
+    * keeps the first ARRIVAL, the documented streaming semantics). */
+  def streamingDedupFirst(stream: DataFrame, keyCols: Seq[String],
+      tsCol: String, delay: String = "1 hour"): DataFrame =
+    stream.withWatermark(tsCol, delay).dropDuplicates(keyCols)
+
+  /** Batch formulation of first-event-per-key: the row with the
+    * smallest (tsCol, tieCol) per key — one shuffle on the key, no
+    * global sort. */
+  def batchFirstPerKey(df: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Interval (stream-stream) join: left row matches right rows with
+    * the same key whose timestamp lands in [leftTs, leftTs + window].
+    * Over streaming inputs both sides carry watermarks, so the state
+    * store can discard rows once the window has definitively passed —
+    * the condition Structured Streaming requires to run a
+    * stream-stream inner join with bounded state. Over batch inputs
+    * the identical plan is a range-predicate equi-join. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, window: String,
+      streaming: Boolean = false, delay: String = "1 hour"): DataFrame = {
+    val l0 = left.select(col(keyCol).as("k"), col(leftTs).as("l_ts"),
+      col("*")).drop(keyCol, leftTs)
+    val l = if (streaming) l0.withWatermark("l_ts", delay) else l0
+    val r0 = right.select(col(keyCol).as("k2"), col(rightTs).as("r_ts"),
+      col("*")).drop(keyCol, rightTs)
+    val r = if (streaming) r0.withWatermark("r_ts", delay) else r0
+    l.join(r, col("k") === col("k2") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+      .drop("k2")
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Sketches}
+import graft.streaming.StreamOps
+
+/** Sketch accuracy/determinism laws, fixed-point PageRank invariants,
+  * and streaming-vs-batch parity for the StreamOps pair. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def range(n: Int) = spark.range(n).toDF("v")
+
+  test("hll estimate lands within the m=256 error envelope") {
+    for (n <- Seq(1000, 5000, 20000)) {
+      val est = Sketches.hllEstimate(range(n), "v", 256)
+        .select("estimate").as[Double].head()
+      // standard error ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+      assert(math.abs(est - n) / n < 0.20, s"n=$n est=$est")
+    }
+  }
+
+  test("hll rejects a non-power-of-two register count") {
+    intercept[IllegalArgumentException] {
+      Sketches.hllEstimate(range(10), "v", 100)
+    }
+  }
+
+  test("hll registers are independent of partitioning (order-free max)") {
+    val a = Sketches.hllRegisters(range(5000), "v", 64)
+    val b = Sketches.hllRegisters(range(5000).repartition(7), "v", 64)
+    assertSameRows(a, b)
+  }
+
+  test("kmv estimate lands within the k=64 error envelope") {
+    for (n <- Seq(2000, 20000)) {
+      val est = Sketches.kmvEstimate(range(n), "v", 64)
+        .select("estimate").as[Double].head()
+      // standard error ~ 1/sqrt(k-2) = 12.7%; allow 3 sigma
+      assert(math.abs(est - n) / n < 0.40, s"n=$n est=$est")
+    }
+  }
+
+  test("kmv of fewer-than-k values degrades gracefully") {
+    val row = Sketches.kmvEstimate(range(10), "v", 64)
+      .select("k").as[Long].head()
+    assert(row == 10L)
+  }
+
+  test("bloom has no false negatives and a sane false-positive rate") {
+    val members = range(500)
+    val filter = Sketches.bloomBuild(members, "v")
+    // every member must hit
+    val misses = Sketches.bloomProbe(members, filter, "v")
+      .filter(col("maybe_member") === 0).count()
+    assert(misses == 0L)
+    // non-members (disjoint range): with m=8192, k=4, n=500 the FP
+    // rate is ~0.2%; assert under 5%
+    val probes = spark.range(100000, 102000).toDF("v")
+    val fps = Sketches.bloomProbe(probes, filter, "v")
+      .filter(col("maybe_member") === 1).count()
+    assert(fps < 100, s"false positives: $fps / 2000")
+  }
+
+  test("pagerank on a 2-cycle is symmetric and mass-bounded") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(r.length == 2)
+    assert(r(0)._2 == r(1)._2) // symmetry: identical by exact math
+    // each rank stays within [teleport, SCALE]
+    assert(r.forall(x => x._2 > 0 && x._2 <= Graph.Scale))
+  }
+
+  test("pagerank sinks absorb: star a->c, b->c ranks c highest") {
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r(3L) > r(1L) && r(1L) == r(2L))
+  }
+
+  test("pagerank is invariant to edge duplication and partitioning") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val a = Graph.pageRank(base.toDF("src", "dst"), "src", "dst")
+    val b = Graph.pageRank(
+      (base ++ base).toDF("src", "dst").repartition(5), "src", "dst")
+    assertSameRows(a, b)
+  }
+
+  test("streaming dropDuplicates agrees with batchFirstPerKey") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // event-time-ordered rows: (key, ts, id)
+    val data = Seq(
+      ("a", t(0, 0), 1L), ("b", t(0, 1), 2L), ("a", t(0, 5), 3L),
+      ("b", t(1, 0), 4L), ("c", t(2, 0), 5L), ("a", t(3, 0), 6L))
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val st = StreamOps.streamingDedupFirst(
+      mem.toDF().toDF("k", "ts", "id"), Seq("k"), "ts")
+    val q = st.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    mem.addData(data.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(data.drop(3): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("dd").select("k", "id")
+    val batch = StreamOps.batchFirstPerKey(
+        data.toDF("k", "ts", "id"), Seq("k"), "ts", "id")
+      .select("k", "id")
+    assertSameRows(streamed, batch)
+    q.stop()
+  }
+
+  test("stream-stream interval join agrees with the batch range join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val views = Seq((1L, t(0, 0), 10L), (1L, t(2, 0), 11L),
+      (2L, t(0, 30), 12L))
+    val buys = Seq((1L, t(0, 40), 20L), (1L, t(2, 30), 21L),
+      (2L, t(3, 0), 22L), (1L, t(9, 0), 23L))
+    val memV = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val memB = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = StreamOps.intervalJoin(
+      memV.toDF().toDF("user_id", "ts", "view_id"),
+      memB.toDF().toDF("user_id", "ts", "buy_id"),
+      "user_id", "ts", "ts", "1 HOUR", streaming = true)
+    val q = joined.select("view_id", "buy_id").writeStream
+      .format("memory").queryName("ij").outputMode("append").start()
+    memV.addData(views: _*)
+    memB.addData(buys: _*)
+    q.processAllAvailable()
+    // advance both watermarks so all matches emit
+    memV.addData((9L, t(23, 0), 99L))
+    memB.addData((9L, t(23, 30), 98L))
+    q.processAllAvailable()
+    val streamed = spark.table("ij")
+      .filter(col("view_id") =!= 99L)
+    val batch = StreamOps.intervalJoin(
+        views.toDF("user_id", "ts", "view_id"),
+        buys.toDF("user_id", "ts", "buy_id"),
+        "user_id", "ts", "ts", "1 HOUR")
+      .select("view_id", "buy_id")
+    assertSameRows(streamed, batch)
+    q.stop()
+  }
+}
