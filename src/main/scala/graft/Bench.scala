@@ -43,7 +43,9 @@ object Bench {
     "q_st_sliding_counts",    // sliding-window event counts
     "q_v_kmeans",             // iterative Lloyd's centroid training
     "q_e2e_curation",         // full corpus-curation pipeline
-    "q_temporal_asof"         // as-of join (union+window formulation)
+    "q_temporal_asof",        // as-of join (union+window formulation)
+    "q_k_bloom",              // sketch family (bloom build+probe)
+    "q_g_pagerank"            // iterative graph (fixed-point PageRank)
   )
 
   def main(args: Array[String]): Unit = {

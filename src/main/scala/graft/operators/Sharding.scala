@@ -42,4 +42,33 @@ object Sharding {
     packed.groupBy("bucket", "shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokensCol)).as("tokens"))
+
+  /** Sliding-window chunking for embedding generation / context
+    * packing: split each document's token stream into windows of
+    * `width` tokens advancing by `stride`. Returns one row per chunk
+    * (id, chunk_id, n_tokens, chunk_md5) — the md5 stands in for the
+    * chunk text so downstream stages (and the oracle compare) move
+    * fixed-width values, not repeated token payloads.
+    *
+    * Scale shape: narrow map only — tokenization, a sequence explode
+    * (fan-out ~ len/stride per doc), a slice and a hash; no shuffle,
+    * no state. Chunk boundaries are token-index arithmetic, so the
+    * layout is deterministic and engine-independent. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 64, stride: Int = 32): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    df.select(col(idCol), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(0),
+          size(col("t")) - 1,
+          lit(stride))).as("s"))
+      .select(col(idCol),
+        expr(s"s div $stride").as("chunk_id"),
+        expr(s"slice(t, s + 1, $width)").as("ct"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("ct")).cast("long")
+          .as("n_tokens"),
+        md5(array_join(col("ct"), " ")).as("chunk_md5"))
+  }
 }

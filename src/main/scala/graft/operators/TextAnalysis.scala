@@ -156,6 +156,64 @@ object TextAnalysis {
       .drop(("__norm" +: "__toks" +: langs.map(l => s"__s_$l")): _*)
   }
 
+  /** Benchmark decontamination: word-n-gram collision detection
+    * between a (huge) training corpus and a (small) evaluation set —
+    * the standard pre-training hygiene pass. Returns
+    * (train_id, eval_id, n_shared) for every train/eval pair sharing
+    * at least one distinct n-gram shingle hash.
+    *
+    * Scale shape: the train side reduces to distinct (doc, shingle-
+    * hash) pairs — a narrow map + one local distinct — and the join
+    * side that gets shuffled-or-broadcast is the EVAL set, which is
+    * benchmark-sized (thousands of docs), so Spark broadcasts it and
+    * the 100 TB train side streams through a BroadcastHashJoin with
+    * no shuffle. The explicit broadcast() hint pins that plan. */
+  def ngramContamination(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    def shingleHashes(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+          explode(shingles(col(textCol), n)).as("s"))
+        .select(col(as), hash31(col("s")).as("hv"))
+        .distinct()
+    shingleHashes(train, "train_id")
+      .join(broadcast(shingleHashes(eval_, "eval_id")), Seq("hv"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Unigram negative-log-likelihood scoring — the perplexity-style
+    * quality filter (CCNet-family pipelines) reduced to its
+    * deterministic core: corpus unigram LM, per-token surprisal
+    * -ln p(tok) QUANTIZED to integer millis before any aggregation,
+    * so the per-doc sums are exact integer sums (order-free) and the
+    * result is bit-identical at any parallelism. Returns
+    * (doc_id, n_toks, nll_milli_sum, avg_nll_milli) for docs with at
+    * least one token.
+    *
+    * Scale shape: one token explode feeds both the vocab aggregation
+    * and the scoring join (shuffle on token; partial aggregation
+    * collapses map-side). The vocab side is left unhinted: AQE
+    * broadcasts it when it fits, shuffles when a web-scale vocab
+    * doesn't. */
+  def unigramNll(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(tokens(col(textCol))).as("tk"))
+      .localCheckpoint(eager = false)
+    val vocab = toks.groupBy("tk").agg(count(lit(1)).as("tf"))
+    // total token instances: one scalar, computed from the same
+    // materialized token table
+    val total = toks.count()
+    toks.join(vocab, Seq("tk"))
+      .select(col(idCol),
+        floor(log(lit(total.toDouble) / col("tf").cast("double"))
+          * 1000.0d).cast("long").as("milli"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"),
+        sum("milli").as("nll_milli_sum"))
+      .withColumn("avg_nll_milli", expr("nll_milli_sum div n_toks"))
+  }
+
   /** TF-IDF top-`topK` terms per document: tf = in-doc term count,
     * df = number of documents containing the term, idf = ln(N/df).
     * The score is QUANTIZED to integer millis (floor(tf * idf * 1000))
@@ -173,9 +231,13 @@ object TextAnalysis {
       topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = df.select(col(idCol)).distinct().count()
+    // materialize tf once: both the df-count aggregation and the join
+    // probe side consume it, and without the checkpoint Catalyst
+    // re-derives each from the raw token explode (double tokenization)
     val tf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_milli").desc, col("term").asc)

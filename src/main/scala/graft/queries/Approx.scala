@@ -163,6 +163,70 @@ object Approx {
         .orderBy("doc_id", "term")
     },
 
+    // DECONTAMINATION: 5-gram collision between the training corpus
+    // and a benchmark-sized eval split (doc_id % 97 == 0) — the
+    // standard pre-training hygiene pass. The eval side broadcasts;
+    // the train side never shuffles.
+    Q("q_t_decontam",
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t
+         |    FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |    (CASE WHEN len(t) >= 5 THEN list_transform(
+         |      range(0, len(t) - 4),
+         |      i -> array_to_string(t[i+1:i+5], ' ')) ELSE [] END)))
+         |    AS s FROM tok),
+         |h AS (SELECT DISTINCT doc_id, ${sqlHash31("s")} AS hv FROM sh),
+         |tr AS (SELECT doc_id AS train_id, hv FROM h WHERE doc_id % 97 != 0),
+         |ev AS (SELECT doc_id AS eval_id, hv FROM h WHERE doc_id % 97 = 0)
+         |SELECT tr.train_id, ev.eval_id, count(*) AS n_shared
+         |FROM tr JOIN ev USING (hv)
+         |GROUP BY 1, 2 ORDER BY train_id, eval_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextAnalysis.ngramContamination(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", 5)
+        .orderBy("train_id", "eval_id")
+    },
+
+    // QUALITY: unigram negative-log-likelihood (perplexity-style
+    // filter) — per-token surprisal quantized to integer millis
+    // before summing, so the per-doc totals are exact integer sums.
+    Q("q_t_unigram_nll",
+      s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS tk
+         |    FROM documents),
+         |v AS (SELECT tk, count(*) AS tf FROM tok GROUP BY tk),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM v),
+         |sc AS (SELECT tok.doc_id, CAST(FLOOR(
+         |    ln(CAST((SELECT total FROM tot) AS DOUBLE)
+         |      / CAST(v.tf AS DOUBLE)) * 1000.0) AS BIGINT) AS milli
+         |  FROM tok JOIN v USING (tk))
+         |SELECT doc_id, count(*) AS n_toks,
+         |  CAST(sum(milli) AS BIGINT) AS nll_milli_sum,
+         |  CAST(sum(milli) AS BIGINT) // count(*) AS avg_nll_milli
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.unigramNll(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // CHUNKING: sliding 64-token windows (stride 32) per document —
+    // the embedding-generation fan-out. Chunk content travels as its
+    // md5, not the token payload.
+    Q("q_t_chunks",
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t
+         |    FROM documents),
+         |nz AS (SELECT * FROM tok WHERE len(t) > 0),
+         |st AS (SELECT doc_id, t, unnest(range(0, len(t), 32)) AS s
+         |  FROM nz)
+         |SELECT doc_id, s // 32 AS chunk_id,
+         |  CAST(len(t[s+1:s+64]) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(t[s+1:s+64], ' ')) AS chunk_md5
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      graft.operators.Sharding
+        .chunkByTokens(t(s, d, "documents"), "doc_id", "text", 64, 32)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // STREAMING (batch-equivalent): first-occurrence dedup per
     // (user, event_type). The same rows through MemoryStream +
     // watermark + dropDuplicates give the same output — asserted in

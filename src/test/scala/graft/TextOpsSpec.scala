@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sharding, TextAnalysis}
+
+/** Laws for the round-4 text-pipeline operators: decontamination,
+  * unigram NLL scoring, sliding-window chunking. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngramContamination finds a verbatim overlap and only that") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about spark physical plans"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val hits = TextAnalysis.ngramContamination(train, eval_,
+      "doc_id", "text", 5).as[(Long, Long, Long)].collect()
+    // docs 1 and 100 share the 5-grams of their common 9-word prefix
+    assert(hits.toSeq == Seq((1L, 100L, 5L)))
+  }
+
+  test("unigramNll scores rare-token docs above common-token docs") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common rare"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.unigramNll(docs, "doc_id", "text")
+      .select("doc_id", "avg_nll_milli").as[(Long, Long)]
+      .collect().toMap
+    // corpus: common x7, rare x1, total 8. -ln(7/8) < -ln(1/8)
+    assert(r(2L) > r(1L))
+    val expected1 = math.floor(math.log(8.0 / 7.0) * 1000).toLong
+    assert(r(1L) == expected1)
+  }
+
+  test("chunkByTokens covers every token exactly once per window") {
+    val doc = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Sharding.chunkByTokens(doc, "doc_id", "text", 64, 32)
+      .select("chunk_id", "n_tokens").as[(Long, Long)]
+      .collect().sortBy(_._1)
+    // starts at 0, 32, 64, 96: lengths 64, 64, 36, 4
+    assert(chunks.toSeq == Seq((0L, 64L), (1L, 64L), (2L, 36L), (3L, 4L)))
+  }
+
+  test("chunkByTokens drops empty docs and keeps short ones whole") {
+    val docs = Seq((1L, ""), (2L, "only three tokens"))
+      .toDF("doc_id", "text")
+    val chunks = Sharding.chunkByTokens(docs, "doc_id", "text", 64, 32)
+      .select("doc_id", "chunk_id", "n_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(chunks.toSeq == Seq((2L, 0L, 3L)))
+  }
+}
