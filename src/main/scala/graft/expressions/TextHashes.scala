@@ -167,6 +167,54 @@ object Md5Fold {
     new GenericArrayData(sig)
   }
 
+  /** DISTINCT, ascending-sorted hash31 values of the word n-gram
+    * shingles of a token array — the decontamination / Jaccard
+    * primitive as one narrow call: windows feed the md5 incrementally
+    * (no shingle string is materialized), values dedup in a TreeSet,
+    * so `explode` of the result is already per-document-distinct and
+    * needs NO distinct shuffle downstream. Fewer than n tokens gives
+    * an empty array; null tokens are skipped with their separator
+    * like array_join. */
+  def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(new Array[Any](0))
+    val bytes = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      bytes(i) =
+        if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = digests.get()
+    val space = ' '.toByte
+    val set = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i <= m - n) {
+      md.reset()
+      var first = true
+      var j = i
+      while (j < i + n) {
+        if (bytes(j) != null) {
+          if (!first) md.update(space)
+          md.update(bytes(j))
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      var top = 0L
+      var t = 0
+      while (t < 8) { top = (top << 8) | (d(t) & 0xffL); t += 1 }
+      set.add((top >>> 4) % P)
+      i += 1
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Full MinHash signature in one pass: hash each (distinct) shingle
     * once, then update all k per-permutation minima. Empty input gives
     * sig[i] = P (matches the HOF `when(size==0, P)` guard). Null
@@ -321,6 +369,46 @@ case class ShinglesExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): ShinglesExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native `graft_shingle_hashes(array<string>, n) -> array<long>`:
+  * distinct sorted hash31 values of the word n-gram shingles, one
+  * narrow call per row. Exploding the result gives per-doc-distinct
+  * (id, hash) rows directly — the alternative relational shape
+  * (explode shingle strings → md5-hash → dropDuplicates) pays an
+  * interpreted HOF pass AND a full-corpus distinct shuffle for the
+  * same rows. Feeds decontamination. `n` must be a foldable integer
+  * literal. */
+case class ShingleHashesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "graft_shingle_hashes requires (array<string>, int literal), " +
+          s"got ($l, $r)")
+    }
+
+  private lazy val n: Int = right.eval().asInstanceOf[Int]
+
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = false)
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(a: Any, nIgnored: Any): Any =
+    Md5Fold.shingleHashes(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.expressions.Md5Fold.shingleHashes($a, $n);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ShingleHashesExpr =
     copy(left = newLeft, right = newRight)
 }
 

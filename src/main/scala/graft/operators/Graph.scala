@@ -46,17 +46,21 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(eager = false)
-    val outDeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("out_deg"))
+    // fuse the out-degree onto the edge table ONCE — each iteration
+    // then needs a single join (edges x ranks) instead of two; the
+    // widened edge table is checkpointed so the degree aggregation
+    // never re-runs
+    val eDeg = e.join(
+        e.groupBy("src").agg(count(lit(1)).as("out_deg")), Seq("src"))
+      .localCheckpoint(eager = false)
     // n is one tiny scalar: computing it driver-side is a count over
     // the deduped node table, not a collect of data rows
     val n = nodes.count()
     val teleport = (Scale / 100L * 15L) / n // floor((0.15 * SCALE) / n)
     var ranks = nodes.withColumn("rank_fp", lit(Scale / n))
     for (_ <- 1 to iters) {
-      val contribs = e
+      val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           expr("rank_fp div out_deg").as("contrib"))
         .groupBy("node").agg(sum("contrib").as("in_mass"))

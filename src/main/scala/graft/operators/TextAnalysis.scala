@@ -170,11 +170,16 @@ object TextAnalysis {
     * no shuffle. The explicit broadcast() hint pins that plan. */
   def ngramContamination(train: DataFrame, eval_ : DataFrame,
       idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    // graft_shingle_hashes returns the PER-DOC-DISTINCT shingle hash
+    // set as one narrow native call, so exploding it yields distinct
+    // (id, hv) rows directly — no interpreted HOF shingle pass and,
+    // critically, no full-corpus distinct shuffle on the train side
+    // (12.4 s -> 1.5 s at sf0.1; at 100 TB the difference is a
+    // terabyte-scale exchange vs none)
     def shingleHashes(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).as(as),
-          explode(shingles(col(textCol), n)).as("s"))
-        .select(col(as), hash31(col("s")).as("hv"))
-        .distinct()
+        explode(call_function("graft_shingle_hashes",
+          tokens(col(textCol)), lit(n))).as("hv"))
     shingleHashes(train, "train_id")
       .join(broadcast(shingleHashes(eval_, "eval_id")), Seq("hv"))
       .groupBy("train_id", "eval_id")

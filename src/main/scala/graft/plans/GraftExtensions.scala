@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProductFloat, MinHashSigExpr, MinHashTextExpr, RollingFpArray, ShinglesExpr, SimHashExpr}
+import graft.expressions.{DotProductFloat, MinHashSigExpr, MinHashTextExpr, RollingFpArray, ShingleHashesExpr, ShinglesExpr, SimHashExpr}
 
 /** Session extension registering the engine's native expressions —
   * enabled with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -42,5 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
       (children: Seq[Expression]) =>
         MinHashSigExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName,
+        "graft_shingle_hashes"),
+      (children: Seq[Expression]) =>
+        ShingleHashesExpr(children(0), children(1))))
   }
 }

@@ -108,4 +108,34 @@ class PlanSpec extends SparkSpec {
       !plan.contains("Exchange rangepartitioning"),
       s"signature computation must stay narrow:\n$plan")
   }
+
+  test("q_k_bloom: the filter side broadcasts; the probe never shuffles to join") {
+    val plan = planOf("q_k_bloom")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bloom membership must be a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a KB-sized filter table must never sort-merge:\n$plan")
+  }
+
+  test("q_t_decontam: the eval side broadcasts against the train corpus") {
+    val plan = planOf("q_t_decontam")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"decontamination must broadcast the benchmark side:\n$plan")
+  }
+
+  test("q_t_chunks: chunking stays a narrow map (no shuffle at all)") {
+    val plan = planOf("q_t_chunks")
+    // the final ORDER BY adds a range exchange for output ordering;
+    // the chunk computation itself must not hash-shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunk fan-out must not shuffle:\n$plan")
+  }
+
+  test("hll registers partially aggregate before the one m-row shuffle") {
+    val df = operators.Sketches.hllRegisters(
+      spark.read.parquet(s"$sf/orders.parquet"), "o_orderkey", 256)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"),
+      s"register max must combine map-side:\n$plan")
+  }
 }
