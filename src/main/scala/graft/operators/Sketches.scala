@@ -78,6 +78,15 @@ object Sketches {
         lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / col("harmonic_sum"))
   }
 
+  /** Merge per-partition / per-day HLL register tables: union + max
+    * per bucket. THE property that makes sketches the scale answer:
+    * sketch once per partition/day/source, merge in O(m), estimate
+    * over any union without rescanning data. Law (spec'd):
+    * merge(registers(A), registers(B)) == registers(A ∪ B). */
+  def hllMergeRegisters(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("bucket").agg(max("rho").as("rho"))
+
   /** K-minimum-values distinct sketch: the k smallest distinct hash
     * values of `col`. The sketch IS the rows (mergeable: union +
     * re-take-k). Spark plans the orderBy+limit as
@@ -99,6 +108,20 @@ object Sketches {
       .withColumn("estimate",
         (col("k") - 1).cast("double") * lit(HashSpace)
           / col("kth_min").cast("double"))
+
+  /** Merge KMV sketches: union of the value sets, re-take the bottom
+    * k. Law (spec'd): merge(kmv(A), kmv(B)) == kmv(A ∪ B) — the k
+    * smallest of the union are among the per-side k smallest. */
+  def kmvMerge(k: Int, sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .distinct().orderBy("hv").limit(k)
+
+  /** Merge bloom filters built with the same (bits, nHashes, salt):
+    * per-word bit_or. Law (spec'd): a key inserted into either input
+    * is a maybe-member of the union. */
+  def bloomUnion(filters: DataFrame*): DataFrame =
+    filters.reduce(_ unionByName _)
+      .groupBy("w").agg(bit_or(col("bits")).as("bits"))
 
   /** Bloom filter over `col`'s distinct values as (word, bits) rows:
     * nHashes bit positions per key from double hashing (h1 + i*h2,

@@ -63,6 +63,36 @@ class SketchesSpec extends SparkSpec {
     assert(fps < 100, s"false positives: $fps / 2000")
   }
 
+  test("hll merge law: merge(regs(A), regs(B)) == regs(A union B)") {
+    val a = spark.range(0, 3000).toDF("v")
+    val b = spark.range(2000, 6000).toDF("v") // overlapping
+    val merged = Sketches.hllMergeRegisters(
+      Sketches.hllRegisters(a, "v", 128),
+      Sketches.hllRegisters(b, "v", 128))
+    val direct = Sketches.hllRegisters(
+      a.unionByName(b).distinct(), "v", 128)
+    assertSameRows(merged, direct)
+  }
+
+  test("kmv merge law: merge(kmv(A), kmv(B)) == kmv(A union B)") {
+    val a = spark.range(0, 3000).toDF("v")
+    val b = spark.range(2000, 6000).toDF("v")
+    val merged = Sketches.kmvMerge(64,
+      Sketches.kmvSketch(a, "v", 64), Sketches.kmvSketch(b, "v", 64))
+    val direct = Sketches.kmvSketch(a.unionByName(b), "v", 64)
+    assertSameRows(merged, direct)
+  }
+
+  test("bloom union law: members of either side hit the merged filter") {
+    val a = spark.range(0, 300).toDF("v")
+    val b = spark.range(1000, 1300).toDF("v")
+    val union = Sketches.bloomUnion(
+      Sketches.bloomBuild(a, "v"), Sketches.bloomBuild(b, "v"))
+    val misses = Sketches.bloomProbe(a.unionByName(b), union, "v")
+      .filter(col("maybe_member") === 0).count()
+    assert(misses == 0L)
+  }
+
   test("pagerank on a 2-cycle is symmetric and mass-bounded") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val r = Graph.pageRank(edges, "src", "dst", iters = 3)
