@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** The load layer — set-based replacements for the reference's
   * row-at-a-time upsert/insert/delete loops (SURVEY.md §2.6).
@@ -113,4 +114,26 @@ object Merge {
     * — in the merge writer instead of a trigger. */
   def stampModified(df: DataFrame, at: Column = current_timestamp()): DataFrame =
     df.withColumn("modified_on", at)
+
+  /** Slowly-changing-dimension type 2 from a change stream: compress
+    * consecutive equal values per key (null-safe), then derive each
+    * surviving row's validity interval [tsCol, next change) — the
+    * open current row keeps valid_to null. The warehouse counterpart
+    * of the reference's modified_on stamping: instead of overwriting
+    * in place, history becomes queryable intervals (the as-of join's
+    * natural input).
+    *
+    * Scale shape: two windows over the same (key / order) partitioning
+    * — one shuffle, the second window reuses the first's exchange.
+    * tieCol breaks order ties so compression is deterministic. */
+  def scd2Intervals(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    df.withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .filter(!(col("__prev") <=> col(valueCol)))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .drop("__prev")
+  }
 }

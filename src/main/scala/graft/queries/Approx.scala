@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, Sketches, TextAnalysis}
+import graft.operators.{Graph, Merge, Skew, Sketches, TextAnalysis}
 import graft.streaming.StreamOps
 
 /** Sketch / graph / streaming-parity additions to the [Q] inventory —
@@ -225,6 +225,49 @@ object Approx {
       graft.operators.Sharding
         .chunkByTokens(t(s, d, "documents"), "doc_id", "text", 64, 32)
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // SCD TYPE 2: change stream -> validity intervals. Consecutive
+    // equal values compress away (null-safe); the open current row
+    // keeps valid_to null. One shuffle; the second window reuses the
+    // first's exchange.
+    Q("q_m9_scd2",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS ts_us FROM events),
+        |m AS (SELECT *, lag(event_type) OVER w AS prev FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |c AS (SELECT * FROM m WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_id, event_type, ts_us AS valid_from_us,
+        |  lead(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS valid_to_us
+        |FROM c ORDER BY user_id, valid_from_us, event_id""".stripMargin) {
+      (s, d) =>
+      Merge.scd2Intervals(
+          events(s, d).select(col("user_id"), col("event_id"),
+            col("event_type"), unix_micros(col("ts")).as("ts_us")),
+          Seq("user_id"), "ts_us", "event_id", "event_type")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("valid_from").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"))
+        .orderBy("user_id", "valid_from_us", "event_id")
+    },
+
+    // SKEW: salted join semantics — sharding the big side on a
+    // deterministic salt and exploding the small side x salts must be
+    // row-equal to the plain join (the oracle IS the plain join).
+    Q("q_skew_salted_join",
+      """SELECT o_orderkey, o_custkey, c_name FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Skew.saltedJoin(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")
+            .as("c_custkey")),
+          t(s, d, "customer").select(col("c_custkey"), col("c_name")),
+          "c_custkey", salts = 8,
+          fingerprintCols = Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("c_custkey").as("o_custkey"),
+          col("c_name"))
+        .orderBy("o_orderkey")
     },
 
     // STREAMING (batch-equivalent): first-occurrence dedup per

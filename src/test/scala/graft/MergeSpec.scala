@@ -154,4 +154,34 @@ class MergeSpec extends SparkSpec {
     assert(res2.count() == 0)
     assert(ledger2.count() == 3)
   }
+
+  test("scd2Intervals compresses runs and chains validity (null-safe)") {
+    val changes = Seq(
+      (1L, 10L, "a"), (1L, 20L, "a"),      // duplicate run compresses
+      (1L, 30L, "b"), (1L, 40L, null),     // change to b, then to null
+      (1L, 50L, null),                     // null run compresses too
+      (1L, 60L, "a"),                      // back to a (new interval)
+      (2L, 15L, "x"))                      // second key independent
+      .toDF("k", "ts", "v")
+    val out = Merge.scd2Intervals(changes, Seq("k"), "ts", "ts", "v")
+      .select("k", "ts", "v", "valid_from", "valid_to")
+      .as[(Long, Long, Option[String], Long, Option[Long])]
+      .collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(out == Seq(
+      (1L, 10L, Some("a"), 10L, Some(30L)),
+      (1L, 30L, Some("b"), 30L, Some(40L)),
+      (1L, 40L, None, 40L, Some(60L)),
+      (1L, 60L, Some("a"), 60L, None),
+      (2L, 15L, Some("x"), 15L, None)))
+  }
+
+  test("saltedJoin is row-equal to the plain join") {
+    val big = (1 to 500).map(i => (i.toLong % 7, i.toLong))
+      .toDF("key", "payload")
+    val small = Seq((0L, "z"), (1L, "o"), (2L, "t"), (6L, "s"))
+      .toDF("key", "name")
+    val salted = graft.operators.Skew
+      .saltedJoin(big, small, "key", 8, Seq("payload"))
+    assertSameRows(salted, big.join(small, Seq("key")))
+  }
 }
