@@ -227,6 +227,103 @@ object Approx {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // DOMAIN MIXTURE: per-source token shares and the keep-ratio that
+    // rebalances the corpus toward a uniform source mixture — integer
+    // milli arithmetic end to end (the pre-training domain-reweighting
+    // step). One shuffle on source + a broadcast of the 1-row total.
+    Q("q_t_mixture",
+      s"""WITH st AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len(${sqlTokens("text")})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         |    count(*) AS n_src FROM st),
+         |sh AS (SELECT st.*, n_tokens * 1000 // total AS share_milli,
+         |    n_src FROM st, tt)
+         |SELECT source, n_docs, n_tokens, share_milli,
+         |  CASE WHEN share_milli = 0 THEN 1000
+         |    ELSE least(1000, (1000 // n_src) * 1000 // share_milli)
+         |  END AS keep_milli
+         |FROM sh ORDER BY source""".stripMargin) { (s, d) =>
+      val st = t(s, d, "documents")
+        .select(col("source"),
+          size(graft.functions.tokens(col("text"))).cast("long").as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      val tt = st.agg(sum("n_tokens").as("total"),
+        count(lit(1)).as("n_src"))
+      st.crossJoin(broadcast(tt))
+        .withColumn("share_milli", expr("n_tokens * 1000 div total"))
+        .withColumn("keep_milli",
+          when(col("share_milli") === 0, lit(1000L))
+            .otherwise(least(lit(1000L),
+              expr("(1000 div n_src) * 1000 div share_milli"))))
+        .select("source", "n_docs", "n_tokens", "share_milli",
+          "keep_milli")
+        .orderBy("source")
+    },
+
+    // TABLE STATISTICS: the ANALYZE pass a catalog/CBO feeds on —
+    // per-column row count, null count, exact NDV, numeric min/max —
+    // computed in ONE scan (a single wide aggregate unpivoted to
+    // per-column rows), not one scan per column.
+    Q("q_audit_stats",
+      """WITH a AS (SELECT count(*) AS n,
+        |    count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS nd1,
+        |    CAST(min(o_orderkey) AS DOUBLE) AS mn1,
+        |    CAST(max(o_orderkey) AS DOUBLE) AS mx1,
+        |    count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2,
+        |    CAST(min(o_custkey) AS DOUBLE) AS mn2,
+        |    CAST(max(o_custkey) AS DOUBLE) AS mx2,
+        |    count(o_totalprice) AS nn3,
+        |    count(DISTINCT o_totalprice) AS nd3,
+        |    min(o_totalprice) AS mn3, max(o_totalprice) AS mx3,
+        |    count(o_orderstatus) AS nn4,
+        |    count(DISTINCT o_orderstatus) AS nd4
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS col_name, n, n - nn1 AS n_null,
+        |  nd1 AS ndv, mn1 AS min_v, mx1 AS max_v FROM a
+        |UNION ALL SELECT 'o_custkey', n, n - nn2, nd2, mn2, mx2 FROM a
+        |UNION ALL SELECT 'o_totalprice', n, n - nn3, nd3, mn3, mx3 FROM a
+        |UNION ALL SELECT 'o_orderstatus', n, n - nn4, nd4, NULL, NULL
+        |  FROM a
+        |ORDER BY col_name""".stripMargin) { (s, d) =>
+      val a = t(s, d, "orders").agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderkey")).as("nn1"),
+        count_distinct(col("o_orderkey")).as("nd1"),
+        min(col("o_orderkey")).cast("double").as("mn1"),
+        max(col("o_orderkey")).cast("double").as("mx1"),
+        count(col("o_custkey")).as("nn2"),
+        count_distinct(col("o_custkey")).as("nd2"),
+        min(col("o_custkey")).cast("double").as("mn2"),
+        max(col("o_custkey")).cast("double").as("mx2"),
+        count(col("o_totalprice")).as("nn3"),
+        count_distinct(col("o_totalprice")).as("nd3"),
+        min(col("o_totalprice")).as("mn3"),
+        max(col("o_totalprice")).as("mx3"),
+        count(col("o_orderstatus")).as("nn4"),
+        count_distinct(col("o_orderstatus")).as("nd4"))
+        // 1-row stats frame, materialized once so the 4-way unpivot
+        // union below provably scans orders a single time
+        .localCheckpoint(eager = false)
+      val rows = Seq(
+        ("o_orderkey", "nn1", Some(("nd1", "mn1", "mx1"))),
+        ("o_custkey", "nn2", Some(("nd2", "mn2", "mx2"))),
+        ("o_totalprice", "nn3", Some(("nd3", "mn3", "mx3"))),
+        ("o_orderstatus", "nn4", None))
+      rows.map { case (name, nn, rest) =>
+        val (nd, mn, mx) = rest match {
+          case Some((d0, m0, x0)) => (col(d0), col(m0), col(x0))
+          case None => (col("nd4"), lit(null).cast("double"),
+            lit(null).cast("double"))
+        }
+        a.select(lit(name).as("col_name"), col("n"),
+          (col("n") - col(nn)).as("n_null"), nd.as("ndv"),
+          mn.as("min_v"), mx.as("max_v"))
+      }.reduce(_ unionByName _)
+        .orderBy("col_name")
+    },
+
     // PRODUCT QUANTIZATION: encode 64-dim float vectors as 4 codes
     // (one per 16-dim subspace, L2-nearest codeword from the seed
     // codebook). Codes + per-subspace residual distances emitted as
