@@ -360,6 +360,53 @@ object Approx {
         .orderBy("vec_id", "sub")
     },
 
+    // PQ ADC SEARCH: top-10 by asymmetric distance for query vec 0 —
+    // the scan side touches only (id, sub, code) rows; distances come
+    // from the broadcast m x k lookup table, folded in subspace order
+    // for bit parity.
+    Q("q_v_pq_adc",
+      """WITH seeds AS (SELECT vec_id AS cid, embedding AS v
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |cb AS (SELECT CAST(s.range AS BIGINT) AS sub, cid,
+        |    v[CAST(s.range*16+1 AS INTEGER):CAST(s.range*16+16 AS INTEGER)]
+        |      AS cv
+        |  FROM seeds, range(0, 4) s),
+        |sl AS (SELECT vec_id, CAST(s.range AS BIGINT) AS sub,
+        |    embedding[CAST(s.range*16+1 AS INTEGER):
+        |      CAST(s.range*16+16 AS INTEGER)] AS sv
+        |  FROM embeddings, range(0, 4) s),
+        |d AS (SELECT vec_id, sl.sub, cid,
+        |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      list_transform(range(1, 17), i ->
+        |        (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |        * (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))),
+        |      (a, b) -> a + b) AS dist
+        |  FROM sl JOIN cb ON cb.sub = sl.sub),
+        |enc AS (SELECT vec_id, sub, cid AS code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+        |lut AS (SELECT d.sub, d.cid AS code, d.dist AS ld FROM d
+        |  WHERE d.vec_id = 0),
+        |sc AS (SELECT enc.vec_id,
+        |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      list(lut.ld ORDER BY enc.sub)), (a, b) -> a + b)
+        |      AS adc_dist
+        |  FROM enc JOIN lut ON lut.sub = enc.sub
+        |    AND lut.code = enc.code
+        |  GROUP BY enc.vec_id)
+        |SELECT vec_id, adc_dist FROM sc
+        |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.pqCodebookFromSeeds(emb, "vec_id",
+        "embedding", 8, 4, 16)
+      Similarity.pqAdcTopK(
+          Similarity.pqEncode(emb, "vec_id", "embedding", cb, 4, 16),
+          cb,
+          emb.filter(col("vec_id") === 0)
+            .select(col("embedding").as("qvec")),
+          "vec_id", 4, 16, 10)
+    },
+
     // SCD TYPE 2: change stream -> validity intervals. Consecutive
     // equal values compress away (null-safe); the open current row
     // keeps valid_to null. One shuffle; the second window reuses the

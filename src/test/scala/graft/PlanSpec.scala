@@ -131,6 +131,14 @@ class PlanSpec extends SparkSpec {
       s"chunk fan-out must not shuffle:\n$plan")
   }
 
+  test("q_v_pq_adc: codebook and LUT broadcast; the encoded scan never sort-merges") {
+    val plan = planOf("q_v_pq_adc")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"PQ lookups must broadcast the KB-sized tables:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge against a lookup table:\n$plan")
+  }
+
   test("hll registers partially aggregate before the one m-row shuffle") {
     val df = operators.Sketches.hllRegisters(
       spark.read.parquet(s"$sf/orders.parquet"), "o_orderkey", 256)
