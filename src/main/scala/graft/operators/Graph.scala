@@ -56,6 +56,7 @@ object Graph {
     // n is one tiny scalar: computing it driver-side is a count over
     // the deduped node table, not a collect of data rows
     val n = nodes.count()
+    require(n > 0, "pageRank needs at least one edge (empty graph)")
     val teleport = (Scale / 100L * 15L) / n // floor((0.15 * SCALE) / n)
     var ranks = nodes.withColumn("rank_fp", lit(Scale / n))
     for (_ <- 1 to iters) {

@@ -42,7 +42,10 @@ object Sketches {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
     val vBits = 60 - Integer.numberOfTrailingZeros(m) // quotient width
     val h = hash60(concat(lit(s"$salt:"), col(valueCol).cast("string")))
-    df.select(h.as("hv")).distinct()
+    // NULL is not a value: drop it before hashing (md5(NULL) would
+    // thread a null register through bucket/rho arithmetic)
+    df.filter(col(valueCol).isNotNull)
+      .select(h.as("hv")).distinct()
       // `div`, not `/`: Spark's / on longs is double division
       .select((col("hv") % m).as("bucket"), expr(s"hv div $m").as("v"))
       // bin() prints without leading zeros, so length(bin(v)) is the
@@ -94,7 +97,8 @@ object Sketches {
     * partition forwards only its own bottom k. */
   def kmvSketch(df: DataFrame, valueCol: String, k: Int,
       salt: String = "kmv"): DataFrame =
-    df.select(hash60(concat(lit(s"$salt:"), col(valueCol).cast("string")))
+    df.filter(col(valueCol).isNotNull)
+      .select(hash60(concat(lit(s"$salt:"), col(valueCol).cast("string")))
         .as("hv"))
       .distinct().orderBy("hv").limit(k)
 
@@ -163,7 +167,8 @@ object Sketches {
   private def bloomPositions(df: DataFrame, valueCol: String, bits: Int,
       nHashes: Int, salt: String): DataFrame = {
     val key = col(valueCol).cast("string")
-    df.select(col(valueCol).as("key"),
+    df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("key"),
         hash60(concat(lit(s"$salt-1:"), key)).as("h1"),
         hash60(concat(lit(s"$salt-2:"), key)).as("h2"))
       .distinct()

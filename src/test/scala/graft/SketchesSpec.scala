@@ -93,6 +93,29 @@ class SketchesSpec extends SparkSpec {
     assert(misses == 0L)
   }
 
+  test("sketches ignore null values; empty graph is rejected loudly") {
+    val withNulls = Seq(Some(1L), None, Some(2L), None, Some(3L))
+      .toDF("v")
+    val est = Sketches.hllEstimate(withNulls, "v", 64)
+      .select("nonzero_buckets").as[Long].head()
+    assert(est == 3L) // three non-null distinct values -> 3 registers
+    assert(Sketches.kmvSketch(withNulls, "v", 8).count() == 3L)
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"),
+        "src", "dst")
+    }
+  }
+
+  test("chunking with stride == width partitions the token stream exactly") {
+    val docs = Seq((1L, (1 to 100).map("w" + _).mkString(" ")),
+      (2L, "a b c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val total = graft.operators.Sharding
+      .chunkByTokens(docs, "doc_id", "text", 32, 32)
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(total == 103L) // every token in exactly one chunk
+  }
+
   test("pagerank on a 2-cycle is symmetric and mass-bounded") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val r = Graph.pageRank(edges, "src", "dst", iters = 3)
