@@ -81,4 +81,31 @@ object Temporal {
       .filter(col("__side") === 1)
       .select(outCols: _*)
   }
+
+  /** Time-series densification: per-key hourly counts with every
+    * missing hour of the corpus span filled with an explicit 0 —
+    * downstream window/ML code then never special-cases gaps.
+    * Returns (keyCol, hr timestamp, n).
+    *
+    * Scale shape: the raw data passes through ONE aggregation
+    * (groupBy key, hour — map-side combined); the spine is
+    * |keys| x |hours| — metadata-sized, built from a broadcast 1-row
+    * bounds frame and a sequence explode, never from the data. The
+    * gap-fill join runs spine-LEFT-aggregates, both sides already
+    * small. */
+  def gapFillHourly(df: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val h = df.groupBy(col(keyCol),
+        date_trunc("hour", col(tsCol)).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val hrs = h.agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("hr"))
+    val spine = df.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(hrs))
+    spine.join(h, Seq(keyCol, "hr"), "left")
+      .select(col(keyCol), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

@@ -227,6 +227,29 @@ object Approx {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // GAP FILL: dense per-type hourly series over the corpus span —
+    // missing hours become explicit zeros. The spine is
+    // |keys| x |hours| metadata built from a 1-row bounds frame, never
+    // from the data.
+    Q("q_ts_gapfill",
+      """WITH h AS (SELECT event_type AS et, date_trunc('hour', ts)
+        |    AS hr, count(*) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM h),
+        |hrs AS (SELECT unnest(generate_series(h0, h1,
+        |    INTERVAL 1 HOUR)) AS hr FROM b),
+        |spine AS (SELECT t.et, hrs.hr FROM
+        |  (SELECT DISTINCT event_type AS et FROM events) t, hrs)
+        |SELECT spine.et AS event_type, epoch_us(spine.hr) AS hr_us,
+        |  coalesce(h.n, 0) AS n
+        |FROM spine LEFT JOIN h ON h.et = spine.et AND h.hr = spine.hr
+        |ORDER BY event_type, hr_us""".stripMargin) { (s, d) =>
+      graft.operators.Temporal
+        .gapFillHourly(events(s, d), "event_type", "ts")
+        .select(col("event_type"), epochUs(col("hr")).as("hr_us"),
+          col("n"))
+        .orderBy("event_type", "hr_us")
+    },
+
     // DOMAIN MIXTURE: per-source token shares and the keep-ratio that
     // rebalances the corpus toward a uniform source mixture — integer
     // milli arithmetic end to end (the pre-training domain-reweighting

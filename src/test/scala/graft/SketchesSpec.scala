@@ -188,6 +188,25 @@ class SketchesSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static broadcast enrichment agrees with the batch join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
+    val rows = Seq((1L, 10.0), (2L, 5.0), (3L, 1.0), (1L, 2.0))
+    val mem = MemoryStream[(Long, Double)]
+    val enriched = mem.toDF().toDF("k", "value")
+      .join(broadcast(dim), Seq("k"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enr")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("enr")
+    val batch = rows.toDF("k", "value")
+      .join(broadcast(dim), Seq("k"), "left")
+    assertSameRows(streamed, batch)
+    q.stop()
+  }
+
   test("stream-stream interval join agrees with the batch range join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
