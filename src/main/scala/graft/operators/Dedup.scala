@@ -105,26 +105,8 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, k: Int = 8, bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    val rowsPerBand = k / bands
-    // materialize the signature table before the self-join: it is
-    // consumed 4× (cap count, semi-join, both join sides) and is tiny
-    // relative to the text it summarizes (id + k longs) — exactly the
-    // table you would persist on a cluster
-    // lazy: materializes on first action, not at DataFrame-construction
-    // time (plan printing must stay job-free); on a real cluster
-    // substitute reliable checkpoint()/persist — localCheckpoint blocks
-    // are lost with their executor
-    val signed = withMinHashSignature(df, textCol, shingleSize, k)
-      .select(col(idCol).as("id"), col("sig"))
-      .localCheckpoint(eager = false)
-    val bandedAll = signed.select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bucket",
-        md5(concat_ws(",",
-          col("band"),
-          array_join(slice(col("sig"), col("band") * rowsPerBand + 1,
-            lit(rowsPerBand)), ","))))
+    val bandedAll = bandedBuckets(df, idCol, textCol, shingleSize, k,
+      bands)
     // bucket-size cap: a bucket shared by B docs yields B^2 candidate
     // pairs; giant buckets are boilerplate signatures, not near-dups —
     // dropping them bounds every join key (standard LSH hygiene)
@@ -141,6 +123,70 @@ object Dedup {
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / k.toDouble)
+          .as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Shared banding step of the LSH paths: minhash signature (fused
+    * native kernel), one row per (id, band) with the band-slice md5
+    * bucket. The signature table is localCheckpointed — it is
+    * consumed several times (cap count, semi-join, join sides) and is
+    * tiny relative to the text it summarizes (id + k longs); on a
+    * real cluster persist it explicitly instead. */
+  private def bandedBuckets(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, k: Int,
+      bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rowsPerBand = k / bands
+    val signed = withMinHashSignature(df, textCol, shingleSize, k)
+      .select(col(idCol).as("id"), col("sig"))
+      .localCheckpoint(eager = false)
+    signed.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket",
+        md5(concat_ws(",",
+          col("band"),
+          array_join(slice(col("sig"), col("band") * rowsPerBand + 1,
+            lit(rowsPerBand)), ","))))
+  }
+
+  /** Incremental near-dup detection: candidates of a NEW ingestion
+    * batch against an existing corpus (plus within the batch itself)
+    * WITHOUT ever self-joining the corpus — the ongoing-curation
+    * shape, where history is banded once (in production: a persisted
+    * LSH index table) and each arriving batch only joins its own
+    * bands against it. Emits (new_id, other_id, other_is_new,
+    * est_jaccard); ids of the two frames must be disjoint.
+    *
+    * Scale: the join's left side is batch-sized; the bucket cap is
+    * enforced on the COMBINED bucket population so a boilerplate
+    * bucket in history cannot explode an arriving batch. */
+  def incrementalLshPairs(newDf: DataFrame, indexDf: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3, k: Int = 8,
+      bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    val bNew = bandedBuckets(newDf, idCol, textCol, shingleSize, k,
+      bands).withColumn("__new", lit(true))
+    val all = bNew.unionByName(
+        bandedBuckets(indexDf, idCol, textCol, shingleSize, k, bands)
+          .withColumn("__new", lit(false)))
+      .localCheckpoint(eager = false)
+    val small = all.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "bucket")
+    val kept = all.join(small, Seq("band", "bucket"), "left_semi")
+    val l = kept.filter(col("__new")).select(col("band"), col("bucket"),
+      col("id").as("new_id"), col("sig").as("sig_a"))
+    val r = kept.select(col("band"), col("bucket"),
+      col("id").as("other_id"), col("sig").as("sig_b"),
+      col("__new").as("other_is_new"))
+    l.join(r, Seq("band", "bucket"))
+      // batch-internal pairs once (a < b); batch-vs-index pairs always
+      .filter((col("other_is_new") && col("new_id") < col("other_id"))
+        || !col("other_is_new"))
+      .select(col("new_id"), col("other_id"), col("other_is_new"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b)).cast("double") / k.toDouble)
           .as("est_jaccard"))

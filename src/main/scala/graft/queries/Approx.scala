@@ -227,6 +227,41 @@ object Approx {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // INCREMENTAL DEDUP: an arriving batch (doc_id % 3 == 0) deduped
+    // against the historical corpus + itself, without self-joining
+    // history — the ongoing-ingestion shape (history is a persisted
+    // banded index at cluster scale). Bucket cap enforced on the
+    // combined population.
+    Q("q_d_incremental_lsh",
+      Text.sigCte +
+        """, banded AS (SELECT doc_id AS id, sig,
+          |    unnest([0,1,2,3]) AS band FROM sig),
+          |bkt0 AS (SELECT id, sig, band,
+          |  md5(concat_ws(',', band,
+          |    array_to_string(sig[band*2+1:band*2+2], ','))) AS bucket
+          |  FROM banded),
+          |small AS (SELECT band, bucket FROM bkt0
+          |          GROUP BY 1, 2 HAVING count(*) <= 1000),
+          |bkt AS (SELECT bkt0.* FROM bkt0
+          |        JOIN small ON bkt0.band = small.band
+          |                  AND bkt0.bucket = small.bucket),
+          |nw AS (SELECT * FROM bkt WHERE id % 3 = 0)
+          |SELECT DISTINCT a.id AS new_id, b.id AS other_id,
+          |  (b.id % 3 = 0) AS other_is_new,
+          |  CAST(len(list_filter(range(1,9), i -> a.sig[i] = b.sig[i]))
+          |    AS DOUBLE) / 8.0 AS est_jaccard
+          |FROM nw a JOIN bkt b
+          |  ON a.band = b.band AND a.bucket = b.bucket
+          |WHERE (b.id % 3 = 0 AND a.id < b.id) OR b.id % 3 != 0
+          |ORDER BY new_id, other_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.operators.Dedup.incrementalLshPairs(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", 3, 8, 4, 1000)
+        .orderBy("new_id", "other_id")
+    },
+
     // GAP FILL: dense per-type hourly series over the corpus span —
     // missing hours become explicit zeros. The spine is
     // |keys| x |hours| metadata built from a 1-row bounds frame, never

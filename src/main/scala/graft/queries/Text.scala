@@ -40,7 +40,7 @@ object Text {
       s"list_transform(s, x -> ($a * ${sqlHash31("x")} + $b) % 2147483647)) END"
   }
 
-  private val sigCte =
+  private[queries] val sigCte =
     s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
        |sh AS (SELECT doc_id, list_distinct(${sqlShingles("t", 3)}) AS s
        |       FROM tok),
