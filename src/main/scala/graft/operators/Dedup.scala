@@ -364,6 +364,72 @@ object Dedup {
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the deep-graph alternative to [[duplicateClusters]]:
+    * label propagation needs O(component diameter) rounds, which a
+    * pathological duplicate CHAIN (a~b~c~... with no transitive pair)
+    * can stretch to thousands; the star steps contract such chains in
+    * O(log^2 n) rounds. Same contract and same answer as
+    * duplicateClusters (cluster_id = component minimum — spec'd equal
+    * on random graphs): choose by expected component shape, not
+    * semantics.
+    *
+    * Each round is two (groupBy + join) steps over the canonical
+    * (a < b) edge set — per-round cost matches label propagation, the
+    * round COUNT is what shrinks. Deterministic: min is order-free. */
+  def duplicateClustersStar(ids: DataFrame, idCol: String,
+      pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    var e = pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(eager = false)
+    var eCount = e.count()
+    var round = 0
+    var converged = eCount == 0
+    while (!converged && round < maxRounds) {
+      // LARGE-STAR: every edge, seen from its smaller endpoint u with
+      // larger neighbor v, becomes (min(Γ(u) ∪ {u}), v)
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(lsMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(eager = false)
+      // SMALL-STAR: every node u links its smaller neighbors (and
+      // itself) to the minimum of that set
+      val d = ls.select(col("b").as("u"), col("a").as("v"))
+      val ssMin = d.groupBy("u").agg(min("v").as("m"))
+      val ss = d.join(ssMin, Seq("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .unionByName(ssMin.select(col("m").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(eager = false)
+      val ssCount = ss.count()
+      // star-set fixpoint: identical edge sets (distinct'd) — count
+      // equality plus an empty one-sided anti-join
+      converged = ssCount == eCount &&
+        ss.exceptAll(e).isEmpty
+      e = ss
+      eCount = ssCount
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClustersStar did not converge after $maxRounds rounds")
+    // at the fixpoint every edge is (component-min, member)
+    val labels = e.groupBy(col("b").as(idCol))
+      .agg(min("a").as("cluster_id"))
+    ids.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
   /** Dedup KEEP policy: given per-doc cluster labels (e.g. from
     * [[duplicateClusters]]) and a quality score, keep exactly one row
     * per cluster — the highest-scoring member, ties broken by smallest

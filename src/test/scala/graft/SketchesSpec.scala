@@ -162,6 +162,36 @@ class SketchesSpec extends SparkSpec {
       top.contains(3L))
   }
 
+  test("star connected components agree with label propagation") {
+    import graft.operators.Dedup
+    val ids = spark.range(0, 60).toDF("doc_id")
+    // pseudo-random sparse graph (deterministic arithmetic)
+    val pairs = (0 until 120)
+      .map(i => ((i * 17 + 3) % 60L, (i * 31 + 7) % 60L))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct.toDF("id_a", "id_b")
+    val lp = Dedup.duplicateClusters(ids, "doc_id", pairs, maxIters = 40)
+    val star = Dedup.duplicateClustersStar(ids, "doc_id", pairs)
+    assertSameRows(lp, star)
+  }
+
+  test("star CC closes a 100-chain that label propagation cannot") {
+    import graft.operators.Dedup
+    val ids = spark.range(0, 101).toDF("doc_id")
+    val chain = (0 until 100).map(i => (i.toLong, i + 1L))
+      .toDF("id_a", "id_b")
+    // O(diameter) label propagation exceeds its round budget ...
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(ids, "doc_id", chain, maxIters = 20)
+        .count()
+    }
+    // ... the star algorithm contracts the chain in O(log^2 n) rounds
+    val star = Dedup.duplicateClustersStar(ids, "doc_id", chain)
+    assert(star.select("cluster_id").distinct().count() == 1L)
+    assert(star.filter(col("cluster_id") =!= 0L).count() == 0L)
+  }
+
   test("streaming dropDuplicates agrees with batchFirstPerKey") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
