@@ -227,6 +227,35 @@ object Approx {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // Z-ORDER LAYOUT: Morton interleave of (custkey, order-day) and
+    // the per-zone stats a writer would persist — range predicates on
+    // EITHER dimension then prune file zones. Pure integer bit
+    // arithmetic, identical in both engines.
+    Q("q_z_order", {
+      val zDuck = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT o_orderkey, o_custkey % 65536 AS x,
+         |    (epoch_us(o_orderdate) // 86400000000) % 65536 AS y
+         |  FROM orders),
+         |z AS (SELECT o_orderkey, ($zDuck) AS z FROM d)
+         |SELECT z // 1048576 AS bucket, count(*) AS n,
+         |  min(z) AS z_min, max(z) AS z_max
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+    }) { (s, d) =>
+      t(s, d, "orders")
+        .select(
+          (col("o_custkey") % 65536).as("x"),
+          (expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
+            "div 86400000000") % 65536).as("y"))
+        .withColumn("z",
+          graft.operators.Layout.zOrderValue(col("x"), col("y"), 16))
+        .groupBy(expr("z div 1048576").as("bucket"))
+        .agg(count(lit(1)).as("n"), min("z").as("z_min"),
+          max("z").as("z_max"))
+        .orderBy("bucket")
+    },
+
     // INCREMENTAL DEDUP: an arriving batch (doc_id % 3 == 0) deduped
     // against the historical corpus + itself, without self-joining
     // history — the ongoing-ingestion shape (history is a persisted

@@ -162,6 +162,19 @@ class SketchesSpec extends SparkSpec {
       top.contains(3L))
   }
 
+  test("zOrderValue interleaves bits (x even positions, y odd)") {
+    import graft.operators.Layout
+    def z(x: Long, y: Long): Long =
+      spark.range(1).select(Layout.zOrderValue(lit(x), lit(y), 16))
+        .as[Long].head()
+    assert(z(3, 0) == 5L)   // x bits 0,1 -> z bits 0,2
+    assert(z(0, 3) == 10L)  // y bits 0,1 -> z bits 1,3
+    assert(z(1, 1) == 3L)
+    assert(z(65535, 65535) == (1L << 32) - 1)
+    // locality: nearby (x, y) cells give nearby z prefixes
+    assert(z(5, 9) >> 4 == z(4, 8) >> 4)
+  }
+
   test("star connected components agree with label propagation") {
     import graft.operators.Dedup
     val ids = spark.range(0, 60).toDF("doc_id")
