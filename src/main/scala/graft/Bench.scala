@@ -45,7 +45,9 @@ object Bench {
     "q_e2e_curation",         // full corpus-curation pipeline
     "q_temporal_asof",        // as-of join (union+window formulation)
     "q_k_bloom",              // sketch family (bloom build+probe)
-    "q_g_pagerank"            // iterative graph (fixed-point PageRank)
+    "q_g_pagerank",           // iterative graph (fixed-point PageRank)
+    "q_g_triangles",          // wedge-join triangle counting
+    "q_v_ivfpq_topk"          // composed IVF routing + PQ ADC scoring
   )
 
   def main(args: Array[String]): Unit = {

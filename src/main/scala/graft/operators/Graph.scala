@@ -75,6 +75,44 @@ object Graph {
     ranks
   }
 
+  /** Per-node triangle counts over an undirected edge table, via the
+    * canonical ordered-wedge formulation: edges are canonicalized to
+    * u < v, every wedge a < b < c is enumerated exactly once by
+    * joining the edge table with itself on the middle node, and the
+    * wedge closes iff edge (a, c) exists (a semi join — the triangle
+    * list itself never materializes wider than the wedge stream).
+    *
+    * `maxDegree` is the scale lever: wedge volume is sum(deg²), so a
+    * single super-node (a stopword-like hub in a co-occurrence graph)
+    * quadratically dominates the join. Nodes above the cap are dropped
+    * BEFORE wedge generation — the standard truncated triangle count;
+    * the result is exact on the capped graph and deterministic in any
+    * engine. Shuffles: edge dedup, degree agg, wedge join on b, close
+    * semi join on (a, c), final count — all key-partitioned, nothing
+    * all-pairs. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = Int.MaxValue): DataFrame = {
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = false)
+    val keep = e0.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDegree).select("node")
+    val e = e0
+      .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      .localCheckpoint(eager = false)
+    val wedges = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+    val tri = wedges.join(
+      e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"),
+      "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** In/out degree profile of an edge table — the first thing to look
     * at before joining anything at scale (skew shows up here). */
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {

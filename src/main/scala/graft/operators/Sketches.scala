@@ -162,6 +162,37 @@ object Sketches {
           =!= 0L, lit(1L)).otherwise(lit(0L)).as("hit"))
       .groupBy("key").agg(min("hit").as("maybe_member"))
 
+  /** Bloom-accelerated equi-join: build the filter on the small
+    * side's keys, collect it (bits/32 longs — a few KB, the value a
+    * real cluster broadcasts to every executor), and pre-filter the
+    * big side with a pure narrow expression BEFORE the join shuffle.
+    * Blooms have no false negatives, so the subsequent exact join
+    * returns row-for-row the plain join's result; the win is that
+    * non-matching big-side rows (the overwhelming majority when the
+    * dim table is selective) never reach the exchange — at 100 TB
+    * that is the difference between shuffling the fact table and
+    * shuffling its matching sliver. False positives only cost: they
+    * ride to the join and drop out there. */
+  def bloomPreJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, bits: Int = 8192, nHashes: Int = 4,
+      salt: String = "bloom"): DataFrame = {
+    val words = new Array[Long](bits / 32)
+    bloomBuild(small, smallKey, bits, nHashes, salt).collect()
+      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val lut = array(words.toIndexedSeq.map(lit): _*)
+    val key = col(bigKey).cast("string")
+    val h1 = graft.functions.hash60(concat(lit(s"$salt-1:"), key))
+    val h2 = graft.functions.hash60(concat(lit(s"$salt-2:"), key))
+    val member = (0 until nHashes).map { i =>
+      val p = (h1 + lit(i.toLong) * h2) % bits
+      element_at(lut, floor(p / 32).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (p % 32).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+    big.filter(col(bigKey).isNotNull && member)
+      .join(small, col(bigKey) === col(smallKey))
+  }
+
   /** Shared position expansion: distinct keys x nHashes positions,
     * with the word index `w` = p / 32 precomputed. */
   private def bloomPositions(df: DataFrame, valueCol: String, bits: Int,

@@ -577,5 +577,92 @@ object Approx {
           epochUs(col("l_ts")).as("view_ts_us"),
           epochUs(col("r_ts")).as("purchase_ts_us"))
         .orderBy("view_id", "purchase_id")
+    },
+
+    // GRAPH: per-node triangle counts over the part co-occurrence
+    // graph (parts sharing an order). Canonical ordered wedges count
+    // each triangle once; the degree cap (128) drops hub parts BEFORE
+    // wedge generation — wedge volume is sum(deg²), so at corpus
+    // scale an uncapped hub is the whole job (see Graph.triangleCounts).
+    Q("q_g_triangles",
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+        |  GROUP BY node),
+        |keep AS (SELECT node FROM deg WHERE deg <= 128),
+        |e AS (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT node FROM keep)
+        |    AND v IN (SELECT node FROM keep)),
+        |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |  FROM e ab JOIN e bc ON ab.v = bc.u
+        |  WHERE EXISTS (SELECT 1 FROM e ac
+        |    WHERE ac.u = ab.u AND ac.v = bc.v))
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("v")),
+          Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+      Graph.triangleCounts(pairs, "u", "v", maxDegree = 128)
+        .orderBy("node")
+    },
+
+    // JOIN (scale path): bloom pre-filtered equi-join. The filter on
+    // the selective dim side is collected (a few KB) and the fact
+    // side is pre-filtered by a narrow expression before the join
+    // shuffle — no false negatives, so the oracle is the PLAIN join:
+    // row-identical results, a fraction of the exchange volume.
+    Q("q_j13_bloom_join",
+      """SELECT o.o_orderkey, c.c_custkey, c.c_acctbal
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_acctbal > 9000
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+      val rich = t(s, d, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      Sketches.bloomPreJoin(t(s, d, "orders"), rich,
+          "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("o_orderkey")
+    },
+
+    // STREAMING: drain the events firehose into a DAY-PARTITIONED
+    // parquet table via the native streaming sink (exactly-once by
+    // the sink's _spark_metadata commit log), then aggregate the
+    // table that was actually written. The oracle aggregates the
+    // source directly — equal iff the partitioned layout lost or
+    // duplicated nothing and the partition column round-trips.
+    Q("q_st_partitioned_sink",
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |  count(DISTINCT user_id) AS nu
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
+      val src = s"$d/events.parquet"
+      val schema = s.read.parquet(src).schema
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-psink").toString
+      // the file stream source only accepts directories — stage the
+      // input file into one
+      val srcDir = java.nio.file.Paths.get(work, "source")
+      java.nio.file.Files.createDirectories(srcDir)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+        srcDir.resolve("part-0.parquet"))
+      val toDay: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        df => (df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+        }).withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val table = StreamOps.streamToPartitionedParquet(
+        s, srcDir.toString, schema, toDay, "day", work)
+      s.read.parquet(table)
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("nu"))
+        .orderBy("day")
     })
 }

@@ -171,6 +171,65 @@ object Vectors {
         q, 16, 4, 10)
     },
 
+    // IVF + PQ composed — the full billion-scale ANN recipe: route
+    // the query to its 4 nearest inverted lists, then score only
+    // those lists' vectors by asymmetric PQ distance (broadcast LUT
+    // over (id, sub, code) rows). Nothing outside the probed lists is
+    // read, and nothing raw-vector-sized crosses the plan after
+    // encode.
+    Q("q_v_ivfpq_topk",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+         |           FROM embeddings WHERE vec_id < 16),
+         |ivd AS (SELECT e.vec_id, c.cid,
+         |        -(${sqlCosine("e.embedding", "c.cv")}) AS dist
+         |      FROM embeddings e, c),
+         |ivr AS (SELECT vec_id, cid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY dist, cid) AS rn FROM ivd),
+         |assign AS (SELECT vec_id, cid FROM ivr WHERE rn = 1),
+         |qd AS (SELECT cid, row_number() OVER (ORDER BY dist, cid) AS qrn
+         |       FROM ivd WHERE vec_id = 0),
+         |probe AS (SELECT cid FROM qd WHERE qrn <= 4),
+         |cand AS (SELECT a.vec_id FROM assign a
+         |         JOIN probe p ON a.cid = p.cid),
+         |seeds AS (SELECT vec_id AS cid, embedding AS v
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |cb AS (SELECT CAST(s.range AS BIGINT) AS sub, cid,
+         |    v[CAST(s.range*16+1 AS INTEGER):CAST(s.range*16+16 AS INTEGER)]
+         |      AS cv
+         |  FROM seeds, range(0, 4) s),
+         |sl AS (SELECT vec_id, CAST(s.range AS BIGINT) AS sub,
+         |    embedding[CAST(s.range*16+1 AS INTEGER):
+         |      CAST(s.range*16+16 AS INTEGER)] AS sv
+         |  FROM embeddings, range(0, 4) s),
+         |d AS (SELECT vec_id, sl.sub, cid,
+         |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      list_transform(range(1, 17), i ->
+         |        (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+         |        * (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))),
+         |      (a, b) -> a + b) AS dist
+         |  FROM sl JOIN cb ON cb.sub = sl.sub),
+         |enc AS (SELECT vec_id, sub, cid AS code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+         |lut AS (SELECT d.sub, d.cid AS code, d.dist AS ld FROM d
+         |  WHERE d.vec_id = 0),
+         |sc AS (SELECT enc.vec_id,
+         |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      list(lut.ld ORDER BY enc.sub)), (a, b) -> a + b)
+         |      AS adc_dist
+         |  FROM enc JOIN lut ON lut.sub = enc.sub
+         |    AND lut.code = enc.code
+         |  WHERE enc.vec_id IN (SELECT vec_id FROM cand)
+         |  GROUP BY enc.vec_id)
+         |SELECT vec_id, adc_dist FROM sc
+         |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.ivfPqTopK(t(s, d, "embeddings"), "vec_id",
+        "embedding", q, 16, 4, 8, 4, 16, 10)
+    },
+
     // ANN batched: top-5 per EACH of 5 query vectors in one corpus
     // scan (broadcast batch + per-query window rank).
     Q("q_v_batch_topk",

@@ -32,6 +32,34 @@ object StreamOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Stream a parquet directory into a date-partitioned parquet table
+    * — the S11 partitioned sink driven by Structured Streaming. The
+    * native parquet streaming sink is exactly-once by construction
+    * (committed files are recorded in the sink's _spark_metadata log;
+    * a replayed batch re-commits the same file names and readers see
+    * each batch once), so this is the restart-safe way to lay out an
+    * events firehose by day at 100 TB: each micro-batch appends only
+    * to the partitions its rows touch, and downstream readers prune on
+    * the partition column. `transform` runs on the streaming frame
+    * (narrow ops only — it must stay append-mode); returns the output
+    * path once the AvailableNow drain finishes. */
+  def streamToPartitionedParquet(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, schema: org.apache.spark.sql.types.StructType,
+      transform: DataFrame => DataFrame, partitionCol: String,
+      workDir: String): String = {
+    val outDir = s"$workDir/table"
+    val q = transform(spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream
+      .format("parquet")
+      .partitionBy(partitionCol)
+      .option("path", outDir)
+      .option("checkpointLocation", s"$workDir/checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    outDir
+  }
+
   /** Interval (stream-stream) join: left row matches right rows with
     * the same key whose timestamp lands in [leftTs, leftTs + window].
     * Over streaming inputs both sides carry watermarks, so the state

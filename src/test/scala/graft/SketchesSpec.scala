@@ -141,6 +141,38 @@ class SketchesSpec extends SparkSpec {
     assertSameRows(a, b)
   }
 
+  test("triangle counts: each triangle credits all three nodes once") {
+    // two triangles sharing edge (2,3); (5,6) is triangle-free
+    val edges = Seq((1L, 2L), (1L, 3L), (3L, 2L), (3L, 4L), (4L, 2L),
+      (5L, 6L)).toDF("src", "dst")
+    val r = Graph.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangle degree cap drops hub wedges before the join") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L))
+      .toDF("src", "dst")
+    // nodes 2 and 3 have degree 3 > cap 2 — both triangles need them
+    val r = Graph.triangleCounts(edges, "src", "dst", maxDegree = 2)
+    assert(r.count() == 0)
+    // duplicated reversed edges change nothing (canonicalized + dedup)
+    val doubled = edges.unionAll(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    assertSameRows(Graph.triangleCounts(edges, "src", "dst"),
+      Graph.triangleCounts(doubled.repartition(5), "src", "dst"))
+  }
+
+  test("bloom pre-join returns row-for-row the plain join") {
+    val big = (1 to 500).map(i => (i.toLong, s"o$i"))
+      .toDF("k", "payload")
+    val small = Seq((3L, "a"), (77L, "b"), (400L, "c"), (9999L, "d"))
+      .toDF("sk", "attr")
+    val pre = Sketches.bloomPreJoin(big, small, "k", "sk")
+    val plain = big.join(small, col("k") === col("sk"))
+    assertSameRows(pre, plain)
+  }
+
   test("pq: encode+ADC ranks the query's own vector first") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cb = Similarity.pqCodebookFromSeeds(emb, "vec_id", "embedding",
