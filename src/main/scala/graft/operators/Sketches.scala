@@ -162,6 +162,48 @@ object Sketches {
           =!= 0L, lit(1L)).otherwise(lit(0L)).as("hit"))
       .groupBy("key").agg(min("hit").as("maybe_member"))
 
+  /** Count-min sketch over every ROW of `valueCol` (a multiset — no
+    * distinct): depth rows of width counters as (r, p, cnt) triples,
+    * at most depth*width rows regardless of input size. Positions are
+    * md5-derived per depth row, so the sketch — and every estimate
+    * read from it — is bit-identical in any engine and at any
+    * parallelism (counter increments are integer sums). The classic
+    * mergeable heavy-hitter primitive: build per partition/day, sum
+    * counters to merge ([[cmsMerge]]), never re-scan history. */
+  def cmsBuild(df: DataFrame, valueCol: String, width: Int,
+      depth: Int, salt: String = "cms"): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("key"))
+      .select(col("key"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"),
+        (hash60(concat(lit(s"$salt-"), col("r").cast("string"),
+          lit(":"), col("key"))) % width).as("p"))
+      .groupBy("r", "p").agg(count(lit(1)).as("cnt"))
+
+  /** Merge count-min sketches of the same (width, depth, salt):
+    * counter-wise sum — order-free, exact. */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("r", "p").agg(sum("cnt").as("cnt"))
+
+  /** Point-estimate counts for `keys` from a built sketch: min over
+    * the depth counters each key hashes to — never an underestimate,
+    * over by at most the collision mass. The sketch is broadcast
+    * (KBs); the probe side stays narrow until the per-key min. */
+  def cmsEstimate(keys: DataFrame, cms: DataFrame, valueCol: String,
+      width: Int, depth: Int, salt: String = "cms"): DataFrame =
+    keys.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("key")).distinct()
+      .select(col("key"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("key"), col("r"),
+        (hash60(concat(lit(s"$salt-"), col("r").cast("string"),
+          lit(":"), col("key").cast("string"))) % width).as("p"))
+      .join(broadcast(cms), Seq("r", "p"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
+
   /** Bloom-accelerated equi-join: build the filter on the small
     * side's keys, collect it (bits/32 longs — a few KB, the value a
     * real cluster broadcasts to every executor), and pre-filter the

@@ -87,6 +87,42 @@ object Approx {
         .orderBy("key")
     },
 
+    // SKETCH: count-min heavy-hitter counts — per-key frequency
+    // estimates from a 4 x 2048 counter grid (8 KB, mergeable by
+    // counter sum) instead of a full groupBy over history. Estimates
+    // never undercount; the md5-derived positions make the exact
+    // overcounts engine-reproducible. Emitted next to the true counts
+    // for keys < 100 so the oracle also DEMONSTRATES the error bound.
+    Q("q_k_cms",
+      s"""WITH cms AS (SELECT CAST(r.range AS BIGINT) AS r,
+         |    ${sqlHash60("'cms-' || r.range || ':' || CAST(o_custkey AS VARCHAR)")} % 2048 AS p,
+         |    count(*) AS cnt
+         |  FROM orders, range(0, 4) r GROUP BY 1, 2),
+         |keys AS (SELECT o_custkey AS key, count(*) AS true_n
+         |  FROM orders GROUP BY 1),
+         |pos AS (SELECT k.key, CAST(r.range AS BIGINT) AS r,
+         |    ${sqlHash60("'cms-' || r.range || ':' || CAST(k.key AS VARCHAR)")} % 2048 AS p
+         |  FROM (SELECT DISTINCT o_custkey AS key FROM orders) k,
+         |    range(0, 4) r),
+         |est AS (SELECT key, min(coalesce(cnt, 0)) AS est_n
+         |  FROM pos LEFT JOIN cms ON cms.r = pos.r AND cms.p = pos.p
+         |  GROUP BY key)
+         |SELECT k.key, CAST(k.true_n AS BIGINT) AS true_n,
+         |  CAST(e.est_n AS BIGINT) AS est_n
+         |FROM keys k JOIN est e ON e.key = k.key
+         |WHERE k.key < 100 ORDER BY k.key""".stripMargin) { (s, d) =>
+      val orders = t(s, d, "orders")
+      val cms = Sketches.cmsBuild(orders, "o_custkey", 2048, 4)
+      val truth = orders.groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("true_n"))
+      Sketches.cmsEstimate(orders.select("o_custkey"), cms,
+          "o_custkey", 2048, 4)
+        .join(truth, Seq("key"))
+        .filter(col("key") < 100)
+        .select(col("key"), col("true_n"), col("est_n"))
+        .orderBy("key")
+    },
+
     // GRAPH: 3-iteration PageRank over the props.k transition graph
     // (edge = consecutive events of one user). Integer fixed-point
     // ranks: sums are exact and order-free, so the result is

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Services, Similarity}
+import graft.operators.{Dedup, Multimodal, Retrieval, Services, Similarity}
 
 /** Similarity-search, multimodal, and service-stub [Q] inventory over
   * `embeddings` / `documents`. Cosines are ORDERED left folds on both
@@ -228,6 +228,56 @@ object Vectors {
         .select(col("embedding").as("qvec"))
       Similarity.ivfPqTopK(t(s, d, "embeddings"), "vec_id",
         "embedding", q, 16, 4, 8, 4, 16, 10)
+    },
+
+    // HYBRID RETRIEVAL: reciprocal-rank fusion of a keyword ranking
+    // (token-match count for "vector join") and a vector ranking
+    // (cosine vs query 0) — each retriever contributes its bounded
+    // top-50 (TakeOrderedAndProject; the rank window runs over the
+    // 50-row candidate list, never the corpus), fused in integer
+    // micro-units so the blend is ulp-proof across engines.
+    Q("q_r_hybrid_rrf",
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS tk
+         |  FROM documents),
+         |ts AS (SELECT doc_id, len(list_filter(tk, x -> x = 'vector'))
+         |    + len(list_filter(tk, x -> x = 'join')) AS score FROM tok),
+         |tr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC,
+         |    doc_id) AS rank FROM ts),
+         |tcand AS (SELECT doc_id, rank FROM tr WHERE rank <= 50),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vs AS (SELECT vec_id AS doc_id,
+         |    ${sqlCosine("embedding", "qv")} AS c FROM embeddings, q),
+         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC,
+         |    doc_id) AS rank FROM vs),
+         |vcand AS (SELECT doc_id, rank FROM vr WHERE rank <= 50),
+         |u AS (SELECT doc_id, 1000000 // (60 + rank) AS part FROM tcand
+         |  UNION ALL SELECT doc_id, 1000000 // (60 + rank) FROM vcand)
+         |SELECT doc_id, CAST(sum(part) AS BIGINT) AS rrf_micro,
+         |  CAST(count(*) AS BIGINT) AS n_lists
+         |FROM u GROUP BY doc_id
+         |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tk = graft.functions.tokens(col("text"))
+      val ts = t(s, d, "documents").select(col("doc_id"),
+        (size(filter(tk, x => x === "vector"))
+          + size(filter(tk, x => x === "join"))).as("score"))
+      val tcand = ts.orderBy(col("score").desc, col("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val vs = emb.crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          graft.functions.cosineSimilarity(col("embedding"),
+            col("qvec")).as("c"))
+      val vcand = vs.orderBy(col("c").desc, col("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("c").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      Retrieval.rrfFuse(Seq(tcand, vcand), "doc_id", "rank")
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(20)
     },
 
     // ANN batched: top-5 per EACH of 5 query vectors in one corpus

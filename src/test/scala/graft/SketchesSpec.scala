@@ -141,6 +141,37 @@ class SketchesSpec extends SparkSpec {
     assertSameRows(a, b)
   }
 
+  test("cms never undercounts and is exact without collisions") {
+    val df = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("v")
+    val cms = Sketches.cmsBuild(df, "v", 2048, 4)
+    val est = Sketches.cmsEstimate(Seq("a", "b", "c", "zz").toDF("v"),
+        cms, "v", 2048, 4)
+      .as[(String, Long)].collect().toMap
+    // 3 keys into 2048 counters: no collisions, estimates exact;
+    // the unseen key reads 0 (min over empty counters)
+    assert(est == Map("a" -> 7L, "b" -> 3L, "c" -> 1L, "zz" -> 0L))
+  }
+
+  test("cms merge law: merge(cms(A), cms(B)) == cms(A union B)") {
+    val a = (1 to 300).map(i => (i % 17).toString).toDF("v")
+    val b = (1 to 200).map(i => (i % 23).toString).toDF("v")
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsBuild(a, "v", 64, 4), Sketches.cmsBuild(b, "v", 64, 4))
+    assertSameRows(merged, Sketches.cmsBuild(a.unionAll(b), "v", 64, 4))
+  }
+
+  test("rrf fusion sums integer reciprocal ranks across lists") {
+    val l1 = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
+    val l2 = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
+    val r = graft.operators.Retrieval.rrfFuse(Seq(l1, l2), "id", "rank")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, s, n) => id -> ((s, n)) }.toMap
+    val r1 = 1000000L / 61; val r2 = 1000000L / 62
+    assert(r == Map(10L -> ((r1, 1L)), 20L -> ((r2 + r1, 2L)),
+      30L -> ((r2, 1L))))
+  }
+
   test("triangle counts: each triangle credits all three nodes once") {
     // two triangles sharing edge (2,3); (5,6) is triangle-free
     val edges = Seq((1L, 2L), (1L, 3L), (3L, 2L), (3L, 4L), (4L, 2L),
