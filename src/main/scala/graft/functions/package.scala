@@ -126,6 +126,22 @@ package object functions {
   def hashBucket(c: Column, buckets: Int, salt: String = "samp"): Column =
     hash31(concat(lit(s"$salt:"), c.cast("string"))) % buckets
 
+  /** Deterministic weighted-priority sampling key (priority
+    * sampling, Duffield et al.): priority = w * 65536 div u with u an
+    * md5-derived uniform in [1, 65536] — taking the global top-k by
+    * priority is a weight-biased sample with NO rand() anywhere, so
+    * the same sample reproduces on every engine, run, and retry.
+    * Integer-valued throughout: u ≤ 2^16 and w*65536 < 2^53 keep
+    * floor(a/b) exactly equal to integer division (the double
+    * quotient's ulp is far below the 1/65536 gap to the nearest
+    * integer), so an integer-division oracle matches bit-for-bit. */
+  def weightedPriority(key: Column, weight: Column,
+      salt: String = "wsamp"): Column =
+    floor(
+      (weight.cast("long") * lit(65536L))
+        / (hash31(concat(lit(s"$salt:"), key.cast("string"))) % 65536L
+          + lit(1L))).cast("long")
+
   /** PII redaction for training-data hygiene: emails → [EMAIL],
     * URLs → [URL], long digit runs (7+, phone/account-shaped) →
     * [NUM]. Order matters — URLs are redacted before digit runs so a

@@ -256,4 +256,49 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"),
         col("score_milli"))
   }
+
+  /** BM25 document ranking for a bag of query terms — the lexical
+    * retriever half of hybrid search (see operators.Retrieval). Per
+    * (doc, term): idf(term) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    * with the Robertson-walker idf ln((N-df+0.5)/(df+0.5)+1); each
+    * term score is quantized to integer millis BEFORE the per-doc sum
+    * and ranking (same ulp-proofing as [[tfIdfTopTerms]] — the
+    * parenthesization here is mirrored verbatim by the oracle SQL so
+    * the pre-floor doubles are bit-identical).
+    *
+    * Scale shape: the token stream is filtered to the query terms
+    * BEFORE the tf aggregation (the explode output shrinks to
+    * |terms|-matching tokens immediately); doc lengths aggregate in
+    * the same pass discipline as tf; df and the two scalars (N,
+    * avgdl) are literal/broadcast-sized. One explode, two groupBys,
+    * one broadcast join, a top-k. */
+  def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int): DataFrame = {
+    val dl = df.select(col(idCol),
+        size(tokens(col(textCol))).as("dl"))
+      .localCheckpoint(eager = false)
+    val n = dl.count()
+    val totTokens = dl.agg(sum("dl")).head.getLong(0)
+    val avgdl = totTokens.toDouble / n.toDouble
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq(idCol))
+      .withColumn("score_milli", floor(
+        log((lit(n.toDouble) - col("df") + lit(0.5d))
+            / (col("df") + lit(0.5d)) + lit(1.0d))
+          * (col("tf") * (lit(1.2d) + lit(1.0d)))
+          / (col("tf") + lit(1.2d)
+            * ((lit(1.0d) - lit(0.75d)) + lit(0.75d) * col("dl") / lit(avgdl)))
+          * lit(1000.0d)).cast("long"))
+      .groupBy(idCol)
+      .agg(sum("score_milli").as("bm25_milli"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_milli").desc, col(idCol))
+      .limit(topK)
+  }
 }

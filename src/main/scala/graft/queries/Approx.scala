@@ -199,6 +199,38 @@ object Approx {
         .orderBy("doc_id", "term")
     },
 
+    // TEXT: BM25 top-10 documents for a 3-term query — the lexical
+    // retriever feeding Retrieval.rrfFuse. Per-term scores quantize
+    // to integer millis before the per-doc sum and the ranking; the
+    // arithmetic parenthesization below mirrors the Spark expression
+    // token-for-token so the pre-floor doubles are bit-identical.
+    Q("q_t_bm25",
+      s"""WITH dld AS (SELECT doc_id, len(${sqlTokens("text")}) AS dl
+         |  FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM dld),
+         |tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |  WHERE term IN ('vector', 'join', 'filter') GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |    CAST(FLOOR(ln((CAST((SELECT n FROM st) AS DOUBLE) - df + 0.5)
+         |        / (df + 0.5) + 1.0)
+         |      * (tf * (1.2 + 1.0))
+         |      / (tf + 1.2 * ((1.0 - 0.75)
+         |        + 0.75 * dl / (SELECT avgdl FROM st)))
+         |      * 1000.0) AS BIGINT) AS score_milli
+         |  FROM tf JOIN dfq USING (term) JOIN dld USING (doc_id))
+         |SELECT doc_id, CAST(sum(score_milli) AS BIGINT) AS bm25_milli,
+         |  CAST(count(*) AS BIGINT) AS n_terms
+         |FROM sc GROUP BY doc_id
+         |ORDER BY bm25_milli DESC, doc_id LIMIT 10""".stripMargin) { (s, d) =>
+      TextAnalysis.bm25TopDocs(t(s, d, "documents"), "doc_id", "text",
+        Seq("vector", "join", "filter"), 10)
+    },
+
     // DECONTAMINATION: 5-gram collision between the training corpus
     // and a benchmark-sized eval split (doc_id % 97 == 0) — the
     // standard pre-training hygiene pass. The eval side broadcasts;

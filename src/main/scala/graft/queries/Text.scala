@@ -418,6 +418,25 @@ object Text {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // SAMPLING: weighted priority sample — top-100 docs by
+    // priority = w * 65536 div u (u md5-uniform in [1, 65536], w =
+    // n_chars), the rand()-free weight-biased sample (Duffield
+    // priority sampling). Integer-exact on both engines; see
+    // functions.weightedPriority for the floor==div proof.
+    Q("q_samp_weighted",
+      s"""SELECT doc_id, n_chars,
+         |  CAST((n_chars * 65536)
+         |    // (${sqlHash31("'wsamp:' || CAST(doc_id AS VARCHAR)")} % 65536 + 1)
+         |    AS BIGINT) AS priority
+         |FROM documents
+         |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          graft.functions.weightedPriority(col("doc_id"),
+            col("n_chars")).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id")).limit(100)
+    },
+
     // TEXT hygiene: PII redaction (emails, URLs, long digit runs) over
     // text with synthesized PII — both engines construct and scrub the
     // same strings, so the redacted output is hash-comparable.

@@ -148,4 +148,22 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(redactPii(lit("x user5@ex.org https://a.b/12345678 99999990")))
       == "x [EMAIL] [URL] [NUM]")
   }
+
+  test("weightedPriority: weight-bounded, zero-safe, deterministic") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, i.toLong))
+      .toDF("k", "w")
+      .select(col("k"), col("w"),
+        weightedPriority(col("k"), col("w")).as("p"))
+    val rows = df.as[(Long, Long, Long)].collect()
+    // u in [1, 65536] => priority in [w, w*65536]; exact at both ends
+    assert(rows.forall { case (_, w, p) => p >= w && p <= w * 65536L })
+    assert(eval(weightedPriority(lit(7), lit(0))) == 0L)
+    // same key+weight => same priority on a re-run (no rand anywhere)
+    val again = (1 to 200).map(i => (i.toLong, i.toLong))
+      .toDF("k", "w")
+      .select(col("k"), col("w"),
+        weightedPriority(col("k"), col("w")).as("p"))
+    assertSameRows(df, again)
+  }
 }
