@@ -81,6 +81,43 @@ object Sketches {
         lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / col("harmonic_sum"))
   }
 
+  /** Per-GROUP HLL estimates — approximate COUNT(DISTINCT v) GROUP BY
+    * g, the shape that replaces an exact distinct-per-day over a
+    * 100 TB history. Registers key on (group, bucket): the shuffle
+    * carries at most |groups| * m rows after map-side partial max,
+    * independent of row count. Same raw-regime contract as
+    * [[hllEstimate]] (size m so per-group n >> 2.5m); the per-group
+    * harmonic fold is bucket-ordered, so estimates are bit-identical
+    * across engines. Returns (grp, nonzero_buckets, harmonic_sum,
+    * estimate). */
+  def hllEstimateByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, m: Int, salt: String = "hll"): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
+    val vBits = 60 - Integer.numberOfTrailingZeros(m)
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val h = hash60(concat(lit(s"$salt:"), col(valueCol).cast("string")))
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), h.as("hv")).distinct()
+      .select(col("grp"), (col("hv") % m).as("bucket"),
+        expr(s"hv div $m").as("v"))
+      .select(col("grp"), col("bucket"),
+        when(col("v") === 0, lit(vBits + 1))
+          .otherwise(lit(vBits + 1) - length(bin(col("v")))).as("rho"))
+      .groupBy("grp", "bucket").agg(max("rho").as("rho"))
+      .groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("bucket"), col("rho"))))
+        .as("regs"))
+      .select(col("grp"),
+        size(col("regs")).cast("long").as("nonzero_buckets"),
+        (aggregate(col("regs"), lit(0.0d),
+          (acc, r) => acc + pow(lit(2.0d), -r.getField("rho")))
+          + (lit(m) - size(col("regs"))).cast("double"))
+          .as("harmonic_sum"))
+      .withColumn("estimate",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble)
+          / col("harmonic_sum"))
+  }
+
   /** Merge per-partition / per-day HLL register tables: union + max
     * per bucket. THE property that makes sketches the scale answer:
     * sketch once per partition/day/source, merge in O(m), estimate

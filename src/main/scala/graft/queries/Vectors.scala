@@ -40,6 +40,56 @@ object Vectors {
        |    [${(1 to dim).map(sqlMeanDim).mkString(", ")}] AS cv, n
        |  FROM $mN)""".stripMargin
 
+  /** Shared IVF+PQ CTE block (16 seed centroids, nProbe=4, m=4
+    * subspaces of 16 dims, 8 seed codewords): ends at `sc` =
+    * (vec_id, adc_dist) for the probed lists' vectors. Used by both
+    * the ADC top-k and the exact-refine query. */
+  private def ivfPqCteSql: String =
+    s"""c AS (SELECT vec_id AS cid, embedding AS cv
+       |           FROM embeddings WHERE vec_id < 16),
+       |ivd AS (SELECT e.vec_id, c.cid,
+       |        -(${sqlCosine("e.embedding", "c.cv")}) AS dist
+       |      FROM embeddings e, c),
+       |ivr AS (SELECT vec_id, cid,
+       |        row_number() OVER (PARTITION BY vec_id
+       |                           ORDER BY dist, cid) AS rn FROM ivd),
+       |assign AS (SELECT vec_id, cid FROM ivr WHERE rn = 1),
+       |qd AS (SELECT cid, row_number() OVER (ORDER BY dist, cid) AS qrn
+       |       FROM ivd WHERE vec_id = 0),
+       |probe AS (SELECT cid FROM qd WHERE qrn <= 4),
+       |cand AS (SELECT a.vec_id FROM assign a
+       |         JOIN probe p ON a.cid = p.cid),
+       |seeds AS (SELECT vec_id AS cid, embedding AS v
+       |  FROM embeddings ORDER BY vec_id LIMIT 8),
+       |cb AS (SELECT CAST(s.range AS BIGINT) AS sub, cid,
+       |    v[CAST(s.range*16+1 AS INTEGER):CAST(s.range*16+16 AS INTEGER)]
+       |      AS cv
+       |  FROM seeds, range(0, 4) s),
+       |sl AS (SELECT vec_id, CAST(s.range AS BIGINT) AS sub,
+       |    embedding[CAST(s.range*16+1 AS INTEGER):
+       |      CAST(s.range*16+16 AS INTEGER)] AS sv
+       |  FROM embeddings, range(0, 4) s),
+       |d AS (SELECT vec_id, sl.sub, cid,
+       |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |      list_transform(range(1, 17), i ->
+       |        (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+       |        * (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))),
+       |      (a, b) -> a + b) AS dist
+       |  FROM sl JOIN cb ON cb.sub = sl.sub),
+       |enc AS (SELECT vec_id, sub, cid AS code FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+       |lut AS (SELECT d.sub, d.cid AS code, d.dist AS ld FROM d
+       |  WHERE d.vec_id = 0),
+       |sc AS (SELECT enc.vec_id,
+       |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |      list(lut.ld ORDER BY enc.sub)), (a, b) -> a + b)
+       |      AS adc_dist
+       |  FROM enc JOIN lut ON lut.sub = enc.sub
+       |    AND lut.code = enc.code
+       |  WHERE enc.vec_id IN (SELECT vec_id FROM cand)
+       |  GROUP BY enc.vec_id)""".stripMargin
+
   /** DuckDB random-hyperplane bucket (matches
     * Similarity.withLshSignature's md5-derived planes). */
   private def sqlBucket(v: String, planes: Int = 8): String =
@@ -178,56 +228,31 @@ object Vectors {
     // read, and nothing raw-vector-sized crosses the plan after
     // encode.
     Q("q_v_ivfpq_topk",
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
-         |           FROM embeddings WHERE vec_id < 16),
-         |ivd AS (SELECT e.vec_id, c.cid,
-         |        -(${sqlCosine("e.embedding", "c.cv")}) AS dist
-         |      FROM embeddings e, c),
-         |ivr AS (SELECT vec_id, cid,
-         |        row_number() OVER (PARTITION BY vec_id
-         |                           ORDER BY dist, cid) AS rn FROM ivd),
-         |assign AS (SELECT vec_id, cid FROM ivr WHERE rn = 1),
-         |qd AS (SELECT cid, row_number() OVER (ORDER BY dist, cid) AS qrn
-         |       FROM ivd WHERE vec_id = 0),
-         |probe AS (SELECT cid FROM qd WHERE qrn <= 4),
-         |cand AS (SELECT a.vec_id FROM assign a
-         |         JOIN probe p ON a.cid = p.cid),
-         |seeds AS (SELECT vec_id AS cid, embedding AS v
-         |  FROM embeddings ORDER BY vec_id LIMIT 8),
-         |cb AS (SELECT CAST(s.range AS BIGINT) AS sub, cid,
-         |    v[CAST(s.range*16+1 AS INTEGER):CAST(s.range*16+16 AS INTEGER)]
-         |      AS cv
-         |  FROM seeds, range(0, 4) s),
-         |sl AS (SELECT vec_id, CAST(s.range AS BIGINT) AS sub,
-         |    embedding[CAST(s.range*16+1 AS INTEGER):
-         |      CAST(s.range*16+16 AS INTEGER)] AS sv
-         |  FROM embeddings, range(0, 4) s),
-         |d AS (SELECT vec_id, sl.sub, cid,
-         |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
-         |      list_transform(range(1, 17), i ->
-         |        (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
-         |        * (CAST(sv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)))),
-         |      (a, b) -> a + b) AS dist
-         |  FROM sl JOIN cb ON cb.sub = sl.sub),
-         |enc AS (SELECT vec_id, sub, cid AS code FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-         |      ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
-         |lut AS (SELECT d.sub, d.cid AS code, d.dist AS ld FROM d
-         |  WHERE d.vec_id = 0),
-         |sc AS (SELECT enc.vec_id,
-         |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
-         |      list(lut.ld ORDER BY enc.sub)), (a, b) -> a + b)
-         |      AS adc_dist
-         |  FROM enc JOIN lut ON lut.sub = enc.sub
-         |    AND lut.code = enc.code
-         |  WHERE enc.vec_id IN (SELECT vec_id FROM cand)
-         |  GROUP BY enc.vec_id)
+      s"""WITH $ivfPqCteSql
          |SELECT vec_id, adc_dist FROM sc
          |ORDER BY adc_dist, vec_id LIMIT 10""".stripMargin) { (s, d) =>
       val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
         .select(col("embedding").as("qvec"))
       Similarity.ivfPqTopK(t(s, d, "embeddings"), "vec_id",
         "embedding", q, 16, 4, 8, 4, 16, 10)
+    },
+
+    // IVF + PQ + exact refine — the two-stage production endgame:
+    // ADC narrows the probed lists to a 50-id pool, and only that
+    // pool's raw vectors are read for the exact cosine re-rank
+    // (bounded regardless of corpus size).
+    Q("q_v_ivfpq_refine",
+      s"""WITH $ivfPqCteSql,
+         |pool AS (SELECT vec_id FROM sc
+         |  ORDER BY adc_dist, vec_id LIMIT 50),
+         |q2 AS (SELECT embedding AS qv2 FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${sqlCosine("e.embedding", "qv2")} AS cosine
+         |FROM embeddings e JOIN pool ON pool.vec_id = e.vec_id, q2
+         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.ivfPqRefineTopK(t(s, d, "embeddings"), "vec_id",
+        "embedding", q, 16, 4, 8, 4, 16, 50, 10)
     },
 
     // HYBRID RETRIEVAL: reciprocal-rank fusion of a keyword ranking

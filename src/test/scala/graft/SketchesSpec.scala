@@ -141,6 +141,18 @@ class SketchesSpec extends SparkSpec {
     assertSameRows(a, b)
   }
 
+  test("grouped hll matches the global estimator run per group") {
+    val df = spark.range(3000)
+      .select((col("id") % 3).as("g"), col("id").as("v"))
+    val grouped = Sketches.hllEstimateByGroup(df, "g", "v", 64)
+      .select("grp", "estimate").as[(Long, Double)].collect().toMap
+    for (g <- 0L to 2L) {
+      val solo = Sketches.hllEstimate(df.filter(col("g") === g), "v", 64)
+        .select("estimate").as[Double].head()
+      assert(grouped(g) == solo, s"group $g: ${grouped(g)} != $solo")
+    }
+  }
+
   test("cms never undercounts and is exact without collisions") {
     val df = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
       .toDF("v")
