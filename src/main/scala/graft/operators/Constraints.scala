@@ -60,4 +60,21 @@ object Constraints {
     }
     reports.reduce(_ unionByName _)
   }
+
+  /** Order-free table fingerprint for migration/replication checks:
+    * hash each row's chosen columns, SUM two 20-bit slices of the
+    * hash — commutative integer sums, so the fingerprint is identical
+    * at any partitioning/row order, and two tables compare by
+    * comparing one 3-column row each (no sort, no row-by-row diff).
+    * 20-bit slices keep the sums exact in BIGINT up to ~2^43 rows.
+    * Collision odds are fingerprint-grade (~2^-40 per differing
+    * table pair), not cryptographic. NULL columns fold as
+    * concat_ws's empty contribution — include a non-null key column
+    * so rows stay distinguishable. */
+  def tableFingerprint(df: DataFrame,
+      cols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.select(graft.functions.hash60(concat_ws("|", cols: _*)).as("hv"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("hv") % 1048576L).as("fp_lo"),
+        sum(expr("hv div 1048576") % 1048576L).as("fp_hi"))
 }

@@ -91,7 +91,14 @@ object Graph {
     * semi join on (a, c), final count — all key-partitioned, nothing
     * all-pairs. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
-      maxDegree: Int = Int.MaxValue): DataFrame = {
+      maxDegree: Int = Int.MaxValue): DataFrame =
+    trianglesOf(cappedCanonicalEdges(edges, srcCol, dstCol, maxDegree))
+
+  /** Canonicalize (u < v, dedup, no loops) and drop nodes whose
+    * degree exceeds the cap — the shared prelude of the triangle /
+    * clustering operators. */
+  private def cappedCanonicalEdges(edges: DataFrame, srcCol: String,
+      dstCol: String, maxDegree: Int): DataFrame = {
     val e0 = edges.select(
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
@@ -100,10 +107,13 @@ object Graph {
     val keep = e0.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= maxDegree).select("node")
-    val e = e0
-      .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+    e0.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
       .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
       .localCheckpoint(eager = false)
+  }
+
+  /** Per-node triangle counts over canonical (u < v) edges. */
+  private def trianglesOf(e: DataFrame): DataFrame = {
     val wedges = e.select(col("u").as("a"), col("v").as("b"))
       .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b"))
     val tri = wedges.join(
@@ -111,6 +121,52 @@ object Graph {
       "left_semi")
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Local clustering coefficient per node (how close a node's
+    * neighborhood is to a clique): cc = 2*triangles / (deg*(deg-1)),
+    * emitted in integer millis — exact integer arithmetic, no double
+    * division to diverge across engines. Degree and triangles are
+    * both measured on the SAME capped graph, so the ratio is
+    * internally consistent; only nodes in ≥1 triangle appear (their
+    * degree is ≥ 2, so the denominator never vanishes). */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+      dstCol: String, maxDegree: Int = Int.MaxValue): DataFrame = {
+    val e = cappedCanonicalEdges(edges, srcCol, dstCol, maxDegree)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    trianglesOf(e).join(deg, Seq("node"))
+      .select(col("node"), col("deg"), col("n_tri"),
+        expr("n_tri * 2000 div (deg * (deg - 1))").as("cc_milli"))
+  }
+
+  /** Pairwise co-occurrence lift over (basket, item) rows — the
+    * market-basket association statistic: lift(a,b) = P(a,b) /
+    * (P(a)P(b)) = cab*N / (ca*cb), emitted in integer millis (exact
+    * integer products; cab*N*1000 stays far inside BIGINT for corpus
+    * counts). The pair join is bounded by sum(basket_size²) — basket
+    * size, not corpus size, controls the blowup — and `minSupport`
+    * prunes the long noise tail AFTER the pair count (correctness
+    * requires counting first). Item totals broadcast back onto the
+    * surviving pairs. */
+  def cooccurrenceLift(df: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Int): DataFrame = {
+    val b = df.select(col(basketCol).as("o"), col(itemCol).as("p"))
+      .distinct().localCheckpoint(eager = false)
+    val nBaskets = b.select("o").distinct().count()
+    val cnt = b.groupBy("p").agg(count(lit(1)).as("c"))
+    b.select(col("o"), col("p").as("pa"))
+      .join(b.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minSupport)
+      // no broadcast hint: the item-count table is |items| rows and
+      // the surviving pairs can be either side of it — AQE picks
+      .join(cnt.select(col("p").as("pa"), col("c").as("ca")), Seq("pa"))
+      .join(cnt.select(col("p").as("pb"), col("c").as("cb")), Seq("pb"))
+      .select(col("pa"), col("pb"), col("cab"),
+        expr(s"cab * ${nBaskets}L * 1000 div (ca * cb)")
+          .as("lift_milli"))
   }
 
   /** In/out degree profile of an edge table — the first thing to look

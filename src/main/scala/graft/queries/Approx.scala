@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, Merge, Similarity, Skew, Sketches, TextAnalysis}
+import graft.operators.{Constraints, Graph, Merge, Similarity, Skew, Sketches, TextAnalysis}
 import graft.streaming.StreamOps
 
 /** Sketch / graph / streaming-parity additions to the [Q] inventory —
@@ -454,6 +454,24 @@ object Approx {
         .orderBy("source")
     },
 
+    // AUDIT: order-free table fingerprint — commutative sums of two
+    // 20-bit hash slices plus the row count. Migration/replication
+    // validation compares ONE 3-column row per table, no sort and no
+    // row diff; identical at any partitioning or row order.
+    Q("q_audit_fingerprint",
+      s"""WITH h AS (SELECT ${sqlHash60(
+            "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+            "CAST(FLOOR(o_totalprice * 100) AS BIGINT))")} AS hv
+         |  FROM orders)
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(hv % 1048576) AS BIGINT) AS fp_lo,
+         |  CAST(sum((hv // 1048576) % 1048576) AS BIGINT) AS fp_hi
+         |FROM h""".stripMargin) { (s, d) =>
+      Constraints.tableFingerprint(t(s, d, "orders"),
+        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long")))
+    },
+
     // TABLE STATISTICS: the ANALYZE pass a catalog/CBO feeds on —
     // per-column row count, null count, exact NDV, numeric min/max —
     // computed in ONE scan (a single wide aggregate unpivoted to
@@ -716,6 +734,72 @@ object Approx {
         .filter(col("u") < col("v"))
       Graph.triangleCounts(pairs, "u", "v", maxDegree = 128)
         .orderBy("node")
+    },
+
+    // GRAPH: local clustering coefficient (integer millis) over the
+    // same capped co-occurrence graph — degree and triangles measured
+    // on the SAME graph, ratio in exact integer arithmetic.
+    Q("q_g_clustering",
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |dg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+        |  GROUP BY node),
+        |keep AS (SELECT node FROM dg WHERE deg <= 128),
+        |e AS (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT node FROM keep)
+        |    AND v IN (SELECT node FROM keep)),
+        |d2 AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        |  GROUP BY node),
+        |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |  FROM e ab JOIN e bc ON ab.v = bc.u
+        |  WHERE EXISTS (SELECT 1 FROM e ac
+        |    WHERE ac.u = ab.u AND ac.v = bc.v)),
+        |nt AS (SELECT node, count(*) AS n_tri FROM (
+        |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) GROUP BY node)
+        |SELECT nt.node, CAST(d2.deg AS BIGINT) AS deg,
+        |  CAST(nt.n_tri AS BIGINT) AS n_tri,
+        |  CAST(nt.n_tri * 2000 // (d2.deg * (d2.deg - 1)) AS BIGINT)
+        |    AS cc_milli
+        |FROM nt JOIN d2 ON d2.node = nt.node
+        |ORDER BY nt.node""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("v")),
+          Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+      Graph.clusteringCoefficients(pairs, "u", "v", maxDegree = 128)
+        .orderBy("node")
+    },
+
+    // STATS: market-basket association — top-20 part pairs by lift
+    // (co-occurrence over independence), support >= 3, in exact
+    // integer millis. The pair join is bounded by basket size; item
+    // totals join back onto the surviving pairs only.
+    Q("q_g_pmi",
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |n AS (SELECT count(DISTINCT o) AS n_orders FROM b),
+        |cnt AS (SELECT p, count(*) AS c FROM b GROUP BY 1),
+        |pair AS (SELECT a.p AS pa, b2.p AS pb, count(*) AS cab
+        |  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |lift AS (SELECT pa, pb, cab,
+        |    (cab * (SELECT n_orders FROM n) * 1000)
+        |      // (ca.c * cb.c) AS lift_milli
+        |  FROM pair JOIN cnt ca ON ca.p = pa JOIN cnt cb ON cb.p = pb)
+        |SELECT pa, pb, CAST(cab AS BIGINT) AS cab,
+        |  CAST(lift_milli AS BIGINT) AS lift_milli
+        |FROM lift ORDER BY lift_milli DESC, pa, pb LIMIT 20""".stripMargin) {
+      (s, d) =>
+      Graph.cooccurrenceLift(t(s, d, "lineitem"), "l_orderkey",
+          "l_partkey", minSupport = 3)
+        .orderBy(col("lift_milli").desc, col("pa"), col("pb"))
+        .limit(20)
     },
 
     // JOIN (scale path): bloom pre-filtered equi-join. The filter on

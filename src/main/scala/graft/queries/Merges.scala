@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.operators.Merge
-import graft.streaming.Incremental
+import graft.streaming.{Incremental, Sessionize}
 
 /** The mutation/merge [Q] inventory (SURVEY.md §2.6) plus the
   * incremental/streaming-shaped patterns (§2.9), exercised as
@@ -503,6 +503,36 @@ object Merges {
         .select(epochUs(col("window.start")).as("window_start_us"),
           col("event_type"), col("n"))
         .orderBy("window_start_us", "event_type")
+    },
+
+    // EVENT ANALYTICS: sequential conversion funnel over the first
+    // two days — first view, first click AFTER that view, first
+    // purchase AFTER that click, per user (null once the user drops
+    // out). Each stage is one filtered min-aggregate joined back on
+    // the user key; no per-user event sort anywhere.
+    Q("q_funnel",
+      """WITH w AS (SELECT * FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-03 00:00:00'),
+        |v AS (SELECT user_id, min(ts) AS t0 FROM w
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT w.user_id, min(w.ts) AS t1 FROM w
+        |  JOIN v ON v.user_id = w.user_id
+        |  WHERE w.event_type = 'click' AND w.ts > v.t0 GROUP BY 1),
+        |p AS (SELECT w.user_id, min(w.ts) AS t2 FROM w
+        |  JOIN c ON c.user_id = w.user_id
+        |  WHERE w.event_type = 'purchase' AND w.ts > c.t1 GROUP BY 1)
+        |SELECT v.user_id, epoch_us(v.t0) AS t0_us,
+        |  epoch_us(c.t1) AS t1_us, epoch_us(p.t2) AS t2_us
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |  LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin) { (s, d) =>
+      val w = events(s, d)
+        .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+      Sessionize.funnel(w, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"), epochUs(col("t0")).as("t0_us"),
+          epochUs(col("t1")).as("t1_us"), epochUs(col("t2")).as("t2_us"))
+        .orderBy("user_id")
     },
 
     // STREAMING (batch-equivalent): session windows with a 24h

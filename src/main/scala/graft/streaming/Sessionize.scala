@@ -108,4 +108,32 @@ object Sessionize {
           }
       }
   }
+
+  /** Sequential conversion funnel: for each user, the first time of
+    * stage 0, then the first occurrence of each later stage STRICTLY
+    * AFTER the user's previous-stage time. Returns one row per user
+    * who reached stage 0, with t0..t(n-1) timestamps (null once the
+    * user drops out) — the per-user evidence table a funnel report
+    * aggregates.
+    *
+    * Scale shape: one filtered min-aggregate per stage, each joined
+    * back on the user key — N stages cost N key-partitioned
+    * aggregations over ONLY that stage's events (the event table is
+    * filtered by type before any join), never a per-user event sort
+    * or a cross-stage window. */
+  def funnel(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var result = df.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    for ((st, i) <- stages.tail.zipWithIndex) {
+      val prev = s"t$i"; val next = s"t${i + 1}"
+      val nextT = df.filter(col(typeCol) === st)
+        .join(result.select(col(userCol), col(prev)), Seq(userCol))
+        .filter(col(tsCol) > col(prev))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(next))
+      result = result.join(nextT, Seq(userCol), "left")
+    }
+    result
+  }
 }

@@ -111,4 +111,40 @@ class ScaleSpec extends SparkSpec {
     assert(streamed.count() == 4)
     q.stop()
   }
+
+  test("funnel: strict stage ordering, drop-outs keep nulls") {
+    val ev = Seq(
+      // user 1 completes: view@10 -> click@20 -> buy@30
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2 clicks BEFORE viewing; the click at the same instant
+      // as the view must not count (strict >) -> stalls at view
+      (2L, "click", 5L), (2L, "view", 8L), (2L, "click", 8L),
+      // user 3 never views: excluded entirely despite purchasing
+      (3L, "purchase", 9L),
+      // user 4 views then buys with no click: stalls after view
+      (4L, "view", 1L), (4L, "purchase", 2L)
+    ).toDF("u", "et", "ts")
+    val r = graft.streaming.Sessionize
+      .funnel(ev, "u", "et", "ts", Seq("view", "click", "purchase"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r == Map(
+      1L -> ((10L, Some(20L), Some(30L))),
+      2L -> ((8L, None, None)),
+      4L -> ((1L, None, None))))
+  }
+
+  test("table fingerprint is row-order/partitioning invariant and change-sensitive") {
+    val rows = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
+    val fp = graft.operators.Constraints
+      .tableFingerprint(rows, Seq(col("k"), col("s")))
+    val shuffled = graft.operators.Constraints.tableFingerprint(
+      rows.orderBy(rand()).repartition(7), Seq(col("k"), col("s")))
+    assertSameRows(fp, shuffled)
+    val changed = graft.operators.Constraints.tableFingerprint(
+      rows.withColumn("s",
+        when(col("k") === 500, lit("CHANGED")).otherwise(col("s"))),
+      Seq(col("k"), col("s")))
+    assert(fp.collect().head != changed.collect().head)
+  }
 }

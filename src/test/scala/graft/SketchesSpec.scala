@@ -206,6 +206,34 @@ class SketchesSpec extends SparkSpec {
       Graph.triangleCounts(doubled.repartition(5), "src", "dst"))
   }
 
+  test("clustering coefficient: clique nodes score 1000 millis") {
+    // triangle {1,2,3} plus pendant 3-4: nodes 1,2 are fully
+    // clustered (deg 2, one triangle -> 2000/2 = 1000); node 3 has
+    // deg 3 -> 2000/6 = 333
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.clusteringCoefficients(edges, "src", "dst")
+      .select("node", "cc_milli").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1000L, 2L -> 1000L, 3L -> 333L))
+  }
+
+  test("cooccurrence lift: perfect pair scores n_baskets x 1000") {
+    // items 10,11 always together (3 of 3 baskets each);
+    // item 12 appears once alongside them
+    val rows = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L), (3L, 12L)).toDF("basket", "item")
+    val r = Graph.cooccurrenceLift(rows, "basket", "item", 1)
+      .select("pa", "pb", "cab", "lift_milli")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4))).toMap
+    // lift(10,11) = 3*3/(3*3) = 1.0 -> 1000 millis
+    assert(r((10L, 11L)) == ((3L, 1000L)))
+    // lift(10,12) = 1*3/(3*1) = 1.0 -> 1000; support 1
+    assert(r((10L, 12L)) == ((1L, 1000L)))
+    // minSupport prunes the singleton pairs
+    assert(Graph.cooccurrenceLift(rows, "basket", "item", 2).count() == 1)
+  }
+
   test("bloom pre-join returns row-for-row the plain join") {
     val big = (1 to 500).map(i => (i.toLong, s"o$i"))
       .toDF("k", "payload")
