@@ -61,6 +61,32 @@ object Constraints {
     reports.reduce(_ unionByName _)
   }
 
+  /** Snapshot diff — classify every key of two table versions as
+    * added / removed / changed / unchanged and count each class: the
+    * migration-visibility report behind "what did this load actually
+    * do". One full-outer join on the key; change detection is a
+    * null-safe comparison over the named value columns (`<=>`, so
+    * NULL-to-value transitions count as changes). Counts only — the
+    * row-level drill-down is the same join re-filtered, which
+    * Catalyst serves from the identical plan. */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keys: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val b = before.select((keys ++ valueCols).map(col): _*)
+      .withColumn("__b", lit(1))
+    val a = after.select((keys ++ valueCols).map(col): _*)
+      .toDF(keys ++ valueCols.map("__a_" + _): _*)
+      .withColumn("__a", lit(1))
+    val j = b.join(a, keys, "full_outer")
+    val changed = valueCols.map(c => !(col(c) <=> col("__a_" + c)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    j.select(
+        when(col("__b").isNull, "added")
+          .when(col("__a").isNull, "removed")
+          .when(changed, "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+  }
+
   /** Order-free table fingerprint for migration/replication checks:
     * hash each row's chosen columns, SUM two 20-bit slices of the
     * hash — commutative integer sums, so the fingerprint is identical

@@ -472,6 +472,37 @@ object Approx {
           floor(col("o_totalprice") * 100).cast("long")))
     },
 
+    // AUDIT: snapshot diff — added/removed/changed/unchanged counts
+    // between two table versions (simulated by key-modulus carve-outs
+    // and a status rewrite), via ONE full-outer join on the key with
+    // null-safe value comparison. The "what did this load do" report.
+    Q("q_audit_snapshot_diff",
+      """WITH b AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 7 != 0),
+        |a AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS st FROM orders WHERE o_orderkey % 5 != 0),
+        |j AS (SELECT b.o_orderkey AS bk, a.o_orderkey AS ak,
+        |    b.o_orderstatus AS bs, a.st FROM b
+        |  FULL OUTER JOIN a ON a.o_orderkey = b.o_orderkey)
+        |SELECT CASE WHEN bk IS NULL THEN 'added'
+        |    WHEN ak IS NULL THEN 'removed'
+        |    WHEN bs IS DISTINCT FROM st THEN 'changed'
+        |    ELSE 'unchanged' END AS status,
+        |  count(*) AS n
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin) { (s, d) =>
+      val orders = t(s, d, "orders")
+      val before = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val after = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+      Constraints.snapshotDiff(before, after, Seq("o_orderkey"),
+          Seq("o_orderstatus"))
+        .orderBy("status")
+    },
+
     // TABLE STATISTICS: the ANALYZE pass a catalog/CBO feeds on —
     // per-column row count, null count, exact NDV, numeric min/max —
     // computed in ONE scan (a single wide aggregate unpivoted to

@@ -134,6 +134,20 @@ class ScaleSpec extends SparkSpec {
       4L -> ((1L, None, None))))
   }
 
+  test("snapshot diff classifies adds, removals, null-safe changes") {
+    val before = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, Some("d"))).toDF("k", "v")
+    val after = Seq((1L, Some("a")), (2L, Some("B")), (3L, Some("c")),
+      (5L, Some("e"))).toDF("k", "v")
+    val r = graft.operators.Constraints
+      .snapshotDiff(before, after, Seq("k"), Seq("v"))
+      .as[(String, Long)].collect().toMap
+    // 1 unchanged; 2 changed; 3 NULL->c must count as changed;
+    // 4 removed; 5 added
+    assert(r == Map("unchanged" -> 1L, "changed" -> 2L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
   test("table fingerprint is row-order/partitioning invariant and change-sensitive") {
     val rows = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
     val fp = graft.operators.Constraints
