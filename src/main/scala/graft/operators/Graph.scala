@@ -92,12 +92,14 @@ object Graph {
     * all-pairs. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
       maxDegree: Int = Int.MaxValue): DataFrame =
-    trianglesOf(cappedCanonicalEdges(edges, srcCol, dstCol, maxDegree))
+    trianglesOfCanonical(cappedCanonicalEdges(edges, srcCol, dstCol, maxDegree))
 
   /** Canonicalize (u < v, dedup, no loops) and drop nodes whose
     * degree exceeds the cap — the shared prelude of the triangle /
-    * clustering operators. */
-  private def cappedCanonicalEdges(edges: DataFrame, srcCol: String,
+    * clustering operators. Public so a pipeline computing several
+    * graph statistics over the same graph can build the capped edge
+    * table ONCE and feed [[trianglesOfCanonical]] etc. */
+  def cappedCanonicalEdges(edges: DataFrame, srcCol: String,
       dstCol: String, maxDegree: Int): DataFrame = {
     val e0 = edges.select(
         least(col(srcCol), col(dstCol)).as("u"),
@@ -112,8 +114,10 @@ object Graph {
       .localCheckpoint(eager = false)
   }
 
-  /** Per-node triangle counts over canonical (u < v) edges. */
-  private def trianglesOf(e: DataFrame): DataFrame = {
+  /** Per-node triangle counts over ALREADY-canonical (u < v) edges —
+    * pair with [[cappedCanonicalEdges]] when several statistics share
+    * one prepared graph. */
+  def trianglesOfCanonical(e: DataFrame): DataFrame = {
     val wedges = e.select(col("u").as("a"), col("v").as("b"))
       .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b"))
     val tri = wedges.join(
@@ -135,7 +139,7 @@ object Graph {
     val e = cappedCanonicalEdges(edges, srcCol, dstCol, maxDegree)
     val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    trianglesOf(e).join(deg, Seq("node"))
+    trianglesOfCanonical(e).join(deg, Seq("node"))
       .select(col("node"), col("deg"), col("n_tri"),
         expr("n_tri * 2000 div (deg * (deg - 1))").as("cc_milli"))
   }

@@ -146,4 +146,36 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"),
       s"register max must combine map-side:\n$plan")
   }
+
+  test("triangle close is a semi join; no cartesian anywhere") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("v")),
+        Seq("l_orderkey"))
+      .filter(col("u") < col("v"))
+    val plan = operators.Graph.triangleCounts(pairs, "u", "v", 128)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"wedge close must be a semi join (no triangle list wider than " +
+        s"the wedge stream):\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian in the triangle pipeline:\n$plan")
+  }
+
+  test("bloom pre-join filters the fact side before the join exchange") {
+    import org.apache.spark.sql.functions._
+    val big = spark.read.parquet(s"$sf/orders.parquet")
+    val small = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val plan = operators.Sketches
+      .bloomPreJoin(big, small, "o_custkey", "c_custkey")
+      .queryExecution.executedPlan.toString
+    // the membership test is a narrow Filter (md5 expr), present
+    // below the join — not a join against the filter table
+    assert(plan.contains("Filter"), s"narrow member filter:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
 }
