@@ -101,7 +101,11 @@ object Graph {
     * table ONCE and feed [[trianglesOfCanonical]] etc. */
   def cappedCanonicalEdges(edges: DataFrame, srcCol: String,
       dstCol: String, maxDegree: Int): DataFrame = {
-    val e0 = edges.select(
+    val e0 = edges
+      // a null endpoint is a malformed edge, not a node named NULL —
+      // drop it before least/greatest would propagate the null
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
@@ -155,7 +159,9 @@ object Graph {
     * surviving pairs. */
   def cooccurrenceLift(df: DataFrame, basketCol: String,
       itemCol: String, minSupport: Int): DataFrame = {
-    val b = df.select(col(basketCol).as("o"), col(itemCol).as("p"))
+    val b = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("o"), col(itemCol).as("p"))
       .distinct().localCheckpoint(eager = false)
     val nBaskets = b.select("o").distinct().count()
     val cnt = b.groupBy("p").agg(count(lit(1)).as("c"))

@@ -179,6 +179,27 @@ object Vectors {
         .select("vec_id", "cosine")
     },
 
+    // Multi-probe LSH: the query's bucket plus all hamming-distance-1
+    // buckets (9 probes at 8 planes) — recall recovered without extra
+    // hash tables; the corpus side still joins on one bucket key.
+    Q("q_v_lsh_multiprobe",
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket AS qb FROM b
+         |  WHERE vec_id = 0),
+         |pr AS (SELECT qv, xor(qb, f.f) AS bucket FROM q,
+         |  (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f) f)
+         |SELECT vec_id, ${sqlCosine("embedding", "qv")} AS cosine
+         |FROM b JOIN pr USING (bucket)
+         |ORDER BY cosine DESC, vec_id LIMIT 15""".stripMargin) { (s, d) =>
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.lshMultiProbeTopK(t(s, d, "embeddings"), "vec_id",
+          "embedding", q, 8, 15)
+        .select("vec_id", "cosine")
+    },
+
     // IVF inverted-list assignment (deterministic seed centroids).
     Q("q_v_ivf_assign",
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv

@@ -124,11 +124,13 @@ object Sessionize {
   def funnel(df: DataFrame, userCol: String, typeCol: String,
       tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    var result = df.filter(col(typeCol) === stages.head)
+    // rows without a user or timestamp can't participate in any stage
+    val ev = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+    var result = ev.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
     for ((st, i) <- stages.tail.zipWithIndex) {
       val prev = s"t$i"; val next = s"t${i + 1}"
-      val nextT = df.filter(col(typeCol) === st)
+      val nextT = ev.filter(col(typeCol) === st)
         .join(result.select(col(userCol), col(prev)), Seq(userCol))
         .filter(col(tsCol) > col(prev))
         .groupBy(col(userCol)).agg(min(col(tsCol)).as(next))

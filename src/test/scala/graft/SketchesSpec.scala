@@ -234,6 +234,29 @@ class SketchesSpec extends SparkSpec {
     assert(Graph.cooccurrenceLift(rows, "basket", "item", 2).count() == 1)
   }
 
+  test("null edge endpoints are dropped, not treated as a node") {
+    val edges = Seq((Some(1L), Some(2L)), (Some(1L), Some(3L)),
+      (Some(2L), Some(3L)), (None, Some(2L)), (Some(3L), None))
+      .toDF("src", "dst")
+    val r = Graph.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("multi-probe LSH candidates are a superset of the single probe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val single = Similarity.lshTopK(emb, "vec_id", "embedding", q, 8, 500)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = Similarity
+      .lshMultiProbeTopK(emb, "vec_id", "embedding", q, 8, 500)
+      .select("vec_id").as[Long].collect().toSet
+    assert(single.subsetOf(multi),
+      s"single-probe hits must survive multi-probe: ${single -- multi}")
+    assert(multi.size >= single.size)
+  }
+
   test("bloom pre-join returns row-for-row the plain join") {
     val big = (1 to 500).map(i => (i.toLong, s"o$i"))
       .toDF("k", "payload")
