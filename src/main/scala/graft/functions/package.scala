@@ -49,6 +49,15 @@ package object functions {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Second independent 60-bit hash from the SAME md5 digest as
+    * [[hash60]] (hex digits 16-30 of the 32-digit md5): a
+    * double-hashing scheme (Kirsch-Mitzenmacher bloom positions)
+    * needs two independent hashes, and deriving both from one digest
+    * halves the per-row md5 work on a fact-table scan — codegen
+    * subexpression elimination evaluates the shared md5 once. */
+  def hash60b(c: Column): Column =
+    conv(substring(md5(c), 16, 15), 16, 10).cast("long")
+
   /** Stable 31-bit non-negative hash (mod 2^31-1); safe to combine
     * linearly (a*h+b) inside 64-bit arithmetic. */
   def hash31(c: Column): Column = hash60(c) % HashPrime31

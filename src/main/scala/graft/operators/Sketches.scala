@@ -260,8 +260,9 @@ object Sketches {
       .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
     val lut = array(words.toIndexedSeq.map(lit): _*)
     val key = col(bigKey).cast("string")
-    val h1 = graft.functions.hash60(concat(lit(s"$salt-1:"), key))
-    val h2 = graft.functions.hash60(concat(lit(s"$salt-2:"), key))
+    val salted = concat(lit(s"$salt:"), key)
+    val h1 = graft.functions.hash60(salted)
+    val h2 = graft.functions.hash60b(salted)
     val member = (0 until nHashes).map { i =>
       val p = (h1 + lit(i.toLong) * h2) % bits
       element_at(lut, floor(p / 32).cast("int") + 1)
@@ -277,10 +278,14 @@ object Sketches {
   private def bloomPositions(df: DataFrame, valueCol: String, bits: Int,
       nHashes: Int, salt: String): DataFrame = {
     val key = col(valueCol).cast("string")
+    // both hashes come from ONE md5 digest (digits 1-15 / 16-30):
+    // half the per-row digest work of two salted hashes; codegen CSE
+    // evaluates the shared md5 once
+    val salted = concat(lit(s"$salt:"), key)
     df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).as("key"),
-        hash60(concat(lit(s"$salt-1:"), key)).as("h1"),
-        hash60(concat(lit(s"$salt-2:"), key)).as("h2"))
+        hash60(salted).as("h1"),
+        graft.functions.hash60b(salted).as("h2"))
       .distinct()
       .select(col("key"), col("h1"), col("h2"),
         explode(sequence(lit(0), lit(nHashes - 1))).as("i"))

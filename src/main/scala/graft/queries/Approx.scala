@@ -18,6 +18,10 @@ object Approx {
   private def h60(salt: String, x: String): String =
     sqlHash60(s"'$salt:' || CAST($x AS VARCHAR)")
 
+  /** Mirror of hash60b (second hash from the same digest). */
+  private def h60b(salt: String, x: String): String =
+    sqlHash60b(s"'$salt:' || CAST($x AS VARCHAR)")
+
   /** Shared stages of the part co-occurrence graph (parts sharing an
     * order; degree cap 128): the capped canonical edge table and its
     * per-node triangle counts, each computed once per session — the
@@ -124,15 +128,15 @@ object Approx {
     Q("q_k_bloom",
       s"""WITH mem AS (SELECT DISTINCT c_custkey AS key FROM customer
          |    WHERE c_acctbal > 5000),
-         |hh AS (SELECT ${h60("bloom-1", "key")} % 8192 AS h1,
-         |    ${h60("bloom-2", "key")} % 8192 AS h2 FROM mem),
+         |hh AS (SELECT ${h60("bloom", "key")} % 8192 AS h1,
+         |    ${h60b("bloom", "key")} % 8192 AS h2 FROM mem),
          |pos AS (SELECT DISTINCT (h1 + i * h2) % 8192 AS p
          |  FROM hh, (SELECT unnest([0, 1, 2, 3]) AS i)),
          |words AS (SELECT p // 32 AS w, bit_or(1::BIGINT
          |    << CAST(p % 32 AS INTEGER)) AS bits FROM pos GROUP BY 1),
          |probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
-         |ph AS (SELECT key, ${h60("bloom-1", "key")} % 8192 AS h1,
-         |    ${h60("bloom-2", "key")} % 8192 AS h2 FROM probe),
+         |ph AS (SELECT key, ${h60("bloom", "key")} % 8192 AS h1,
+         |    ${h60b("bloom", "key")} % 8192 AS h2 FROM probe),
          |pp AS (SELECT key, (h1 + i * h2) % 8192 AS p
          |  FROM ph, (SELECT unnest([0, 1, 2, 3]) AS i)),
          |hits AS (SELECT pp.key, CASE WHEN (w.bits & (1::BIGINT

@@ -79,6 +79,11 @@ package object queries {
   def sqlHash60(x: String): String =
     s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
 
+  /** DuckDB equivalent of graft.functions.hash60b (digits 16-30 of
+    * the same md5 digest — the second Kirsch-Mitzenmacher hash). */
+  def sqlHash60b(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 16, 15)) AS BIGINT)"
+
   /** DuckDB equivalent of graft.functions.hash31. */
   def sqlHash31(x: String): String =
     s"(${sqlHash60(x)} % 2147483647)"
