@@ -257,6 +257,47 @@ object TextAnalysis {
         col("score_milli"))
   }
 
+  /** Distribution-shape quality signals per document — the two
+    * classic boilerplate/spam tells a length/punctuation score
+    * misses: token-distribution ENTROPY (low = the same few tokens
+    * over and over) and bigram REPETITION mass (share of the text
+    * consumed by its single most frequent bigram, the Gopher-style
+    * repetition rule). Entropy folds -(c/n)ln(c/n) over the doc's
+    * token counts in token order and quantizes the SUM to integer
+    * millis; repetition is exact integer arithmetic throughout
+    * (max_count*1000 div total). Docs with < 2 tokens report
+    * rep_milli 0.
+    *
+    * Scale shape: two explode+groupBy passes (tokens, bigrams), both
+    * partial-aggregated map-side, joined on the doc key — no per-doc
+    * sort wider than its own token-count list. */
+  def qualitySignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ent = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(transform(
+          sort_array(collect_list(struct(col("term"), col("c")))),
+          s => s.getField("c")).as("cs"),
+        sum("c").as("n"))
+      .select(col(idCol),
+        floor(aggregate(col("cs"), lit(0.0d), (acc, c) =>
+          acc - (c.cast("double") / col("n").cast("double"))
+            * log(c.cast("double") / col("n").cast("double")))
+          * lit(1000.0d)).cast("long").as("entropy_milli"))
+    val rep = df
+      .select(col(idCol),
+        explode(graft.functions.shingles(col(textCol), 2)).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max("c").as("mx"), sum("c").as("tot"))
+      .select(col(idCol), expr("mx * 1000 div tot").as("rep_milli"))
+    ent.join(rep, Seq(idCol), "left")
+      .select(col(idCol), col("entropy_milli"),
+        coalesce(col("rep_milli"), lit(0L)).as("rep_milli"))
+  }
+
   /** BM25 document ranking for a bag of query terms — the lexical
     * retriever half of hybrid search (see operators.Retrieval). Per
     * (doc, term): idf(term) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))

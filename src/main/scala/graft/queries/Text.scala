@@ -418,6 +418,40 @@ object Text {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // QUALITY SIGNALS: token-distribution entropy (low = few tokens
+    // repeated) + bigram repetition mass (Gopher-style rule). The
+    // entropy fold runs in token order and quantizes the sum to
+    // millis; repetition is exact integer arithmetic.
+    Q("q_t_quality_signals",
+      s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+         |  FROM documents),
+         |tc AS (SELECT doc_id, term, count(*) AS c FROM tok
+         |  GROUP BY 1, 2),
+         |ag AS (SELECT doc_id, list(c ORDER BY term) AS cs,
+         |    sum(c) AS n FROM tc GROUP BY 1),
+         |e AS (SELECT doc_id, CAST(FLOOR(list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE),
+         |      [(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+         |        for c in cs]),
+         |    (a, x) -> a - x) * 1000.0) AS BIGINT) AS entropy_milli
+         |  FROM ag),
+         |tkn AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+         |bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         |    THEN list_transform(range(0, len(t) - 1),
+         |      i -> array_to_string(t[i+1:i+2], ' '))
+         |    ELSE [] END) AS bg FROM tkn),
+         |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+         |br AS (SELECT doc_id, max(c) * 1000 // sum(c) AS rep_milli
+         |  FROM bc GROUP BY 1)
+         |SELECT e.doc_id, e.entropy_milli,
+         |  CAST(coalesce(br.rep_milli, 0) AS BIGINT) AS rep_milli
+         |FROM e LEFT JOIN br ON br.doc_id = e.doc_id
+         |ORDER BY e.doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.qualitySignals(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // SAMPLING: weighted priority sample — top-100 docs by
     // priority = w * 65536 div u (u md5-uniform in [1, 65536], w =
     // n_chars), the rand()-free weight-biased sample (Duffield

@@ -55,4 +55,23 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(chunks.toSeq == Seq((2L, 0L, 3L)))
   }
+
+  test("quality signals: uniform text has high entropy, repeated text low") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // all distinct
+      (2L, "spam spam spam spam spam spam"),       // one token
+      (3L, "x")                                    // no bigrams
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .qualitySignals(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    // doc 1: entropy ln(6) = 1.7917... -> 1791 millis; every bigram
+    // unique -> repetition 1000/5 = 200
+    assert(r(1L) == ((1791L, 200L)))
+    // doc 2: zero entropy; the single repeated bigram owns the text
+    assert(r(2L) == ((0L, 1000L)))
+    // doc 3: one token, entropy 0, no bigrams -> rep 0
+    assert(r(3L) == ((0L, 0L)))
+  }
 }
