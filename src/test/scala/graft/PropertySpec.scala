@@ -160,4 +160,47 @@ class PropertySpec extends SparkSpec {
       assert(id.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
     }
   }
+
+  test("cms law: estimates never undercount any random multiset") {
+    val values = samples(Gen.listOfN(400,
+      Gen.choose(0, 60)), 3)
+    for (vs <- values) {
+      val df = vs.map(_.toLong).toDF("v")
+      val truth = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val est = graft.operators.Sketches
+        .cmsEstimate(df, graft.operators.Sketches.cmsBuild(df, "v", 256, 4),
+          "v", 256, 4)
+        .as[(Long, Long)].collect().toMap
+      truth.foreach { case (k, n) =>
+        assert(est(k.toLong) >= n, s"undercount for $k: ${est(k.toLong)} < $n")
+      }
+    }
+  }
+
+  test("fingerprint law: any permutation/partitioning fingerprints equally") {
+    val data = samples(Gen.listOfN(300, kvPair), 3)
+    for (rows <- data) {
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k + v) }.toDF("k", "s")
+      val base = graft.operators.Constraints
+        .tableFingerprint(df, Seq(col("k"), col("s"))).collect().head
+      val shuffled = graft.operators.Constraints.tableFingerprint(
+        df.orderBy(rand()).repartition(5), Seq(col("k"), col("s")))
+        .collect().head
+      assert(base == shuffled)
+    }
+  }
+
+  test("triangle law: per-node counts sum to 3x the triangle total") {
+    val edgeSets = samples(Gen.listOfN(60, for {
+      a <- Gen.choose(0L, 14L); b <- Gen.choose(0L, 14L)
+    } yield (a, b)), 3)
+    for (es <- edgeSets) {
+      val perNode = graft.operators.Graph
+        .triangleCounts(es.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect()
+      assert(perNode.map(_._2).sum % 3 == 0,
+        s"per-node credit must be divisible by 3: ${perNode.toSeq}")
+    }
+  }
 }
