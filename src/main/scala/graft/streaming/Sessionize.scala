@@ -109,6 +109,54 @@ object Sessionize {
       }
   }
 
+  /** One stage attainment emitted by [[streamingFunnel]]. */
+  case class StageHit(key: Long, stage: Int, ts_us: Long)
+
+  /** Streaming form of [[funnel]]: per-user state is one Long per
+    * stage (the attainment time, -1 until reached); each micro-batch
+    * replays its events in event-time order and emits a [[StageHit]]
+    * the moment a user first reaches a stage strictly after the
+    * previous one. Parity with the batch formulation holds for
+    * in-order delivery per user (the same contract as
+    * [[StreamOps.streamingDedupFirst]] — an out-of-order earlier
+    * event cannot retract an attainment already emitted, which is
+    * the streaming semantics). State is O(users x stages) longs;
+    * production deployments add a state timeout once a user's
+    * funnel window closes. */
+  def streamingFunnel(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String,
+      stages: Seq[String]): Dataset[StageHit] = {
+    import events.sparkSession.implicits._
+    val n = stages.length
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .select(col(userCol).cast("long").as("key"),
+        col(typeCol).as("et"), col(tsCol).as("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[Array[Long]]) =>
+          val attained = state.getOption.getOrElse(Array.fill(n)(-1L))
+          val out = Seq.newBuilder[StageHit]
+          it.toSeq.sortBy(e => (e._3.getTime, e._2))
+            .foreach { case (_, et, ts) =>
+              val us = ts.getTime * 1000L +
+                (ts.getNanos % 1000000L) / 1000L
+              stageIdx.get(et).foreach { i =>
+                val ok =
+                  if (i == 0) attained(0) < 0
+                  else attained(i) < 0 && attained(i - 1) >= 0 &&
+                    us > attained(i - 1)
+                if (ok) { attained(i) = us; out += StageHit(key, i, us) }
+              }
+            }
+          state.update(attained)
+          out.result().iterator
+      }
+  }
+
   /** Sequential conversion funnel: for each user, the first time of
     * stage 0, then the first occurrence of each later stage STRICTLY
     * AFTER the user's previous-stage time. Returns one row per user

@@ -112,6 +112,47 @@ class ScaleSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming funnel attainments match the batch funnel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val data = Seq(
+      (1L, "view", t(1, 0)), (1L, "click", t(2, 0)),
+      (1L, "purchase", t(3, 0)),                     // full funnel
+      (2L, "click", t(0, 30)), (2L, "view", t(1, 0)),
+      (2L, "click", t(1, 0)),                        // same-ts click: no
+      (3L, "purchase", t(0, 10)),                    // never views
+      (4L, "view", t(5, 0)), (4L, "purchase", t(6, 0))) // skips click
+    val stages = Seq("view", "click", "purchase")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("user_id", "event_type", "ts")
+    val hits = graft.streaming.Sessionize.streamingFunnel(
+      stream, "user_id", "event_type", "ts", stages)
+    val q = hits.writeStream.format("memory").queryName("fhits")
+      .outputMode("append").start()
+    mem.addData(data.take(5): _*)
+    q.processAllAvailable()
+    mem.addData(data.drop(5): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("fhits")
+      .as[(Long, Int, Long)].collect().toSet
+    // batch funnel, unpivoted to (user, stage, ts_us)
+    val batch = graft.streaming.Sessionize
+      .funnel(data.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", stages)
+      .collect().flatMap { r =>
+        (0 until 3).flatMap { i =>
+          Option(r.get(1 + i)).map(ts =>
+            (r.getLong(0), i,
+              ts.asInstanceOf[java.sql.Timestamp].getTime * 1000L))
+        }
+      }.toSet
+    assert(streamed == batch,
+      s"streamed $streamed\nbatch $batch")
+    q.stop()
+  }
+
   test("funnel: strict stage ordering, drop-outs keep nulls") {
     val ev = Seq(
       // user 1 completes: view@10 -> click@20 -> buy@30
