@@ -136,4 +136,25 @@ object Merge {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .drop("__prev")
   }
+
+  /** Apply a CDC change log to a base table: the LATEST change per
+    * key wins (ordered by `tsCol`, which must be unique per key —
+    * feed a change sequence number when wall clocks can tie), an
+    * upsert replaces or inserts the full record, a delete (`opCol`
+    * value 'D') removes the key. `changes` carries the base schema
+    * plus (opCol, tsCol). The Delta-merge-shaped batch apply: one
+    * window over the changes (small side), one anti join to carve
+    * touched keys out of the base, one union — the base table
+    * streams through untouched except for its changed sliver. */
+  def applyChangeLog(base: DataFrame, changes: DataFrame,
+      keys: Seq[String], tsCol: String, opCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val survivors = latest.filter(col(opCol) =!= "D")
+      .drop(opCol, tsCol)
+    base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(survivors)
+  }
 }

@@ -505,6 +505,43 @@ object Merges {
         .orderBy("window_start_us", "event_type")
     },
 
+    // CDC APPLY: batch change-log merge — latest op per key wins,
+    // upserts replace/insert full records, deletes drop the key. The
+    // change set synthesizes an update stream (keys %5 -> status 'A'
+    // at ts=key) overlaid by later deletes (keys %10 at ts=key+1),
+    // so latest-wins, insert-new-key, and delete all exercise.
+    Q("q_m10_apply_changelog",
+      """WITH base AS (SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 3 != 0),
+        |ch AS (
+        |  SELECT o_orderkey, 'A' AS o_orderstatus, 'U' AS op,
+        |    o_orderkey AS ts FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', 'D', o_orderkey + 1 FROM orders
+        |  WHERE o_orderkey % 10 = 0),
+        |lt AS (SELECT * FROM (SELECT ch.*, row_number() OVER (
+        |    PARTITION BY o_orderkey ORDER BY ts DESC) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT o_orderkey, o_orderstatus FROM (
+        |  SELECT b.o_orderkey, b.o_orderstatus FROM base b
+        |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM lt)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus FROM lt WHERE op != 'D')
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val orders = t(s, d, "orders")
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val chU = orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("A").as("o_orderstatus"),
+          lit("U").as("op"), col("o_orderkey").as("ts"))
+      val chD = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+          lit("D").as("op"), (col("o_orderkey") + 1).as("ts"))
+      Merge.applyChangeLog(base, chU.unionByName(chD),
+          Seq("o_orderkey"), "ts", "op")
+        .orderBy("o_orderkey")
+    },
+
     // EVENT ANALYTICS: sequential conversion funnel over the first
     // two days — first view, first click AFTER that view, first
     // purchase AFTER that click, per user (null once the user drops

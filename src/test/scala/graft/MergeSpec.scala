@@ -184,4 +184,23 @@ class MergeSpec extends SparkSpec {
       .saltedJoin(big, small, "key", 8, Seq("payload"))
     assertSameRows(salted, big.join(small, Seq("key")))
   }
+
+  test("applyChangeLog: latest wins, inserts land, deletes drop; idempotent") {
+    import org.apache.spark.sql.functions._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "B1", "U", 10L), (2L, "B2", "U", 20L), // latest U wins
+      (3L, "x", "D", 10L),                        // delete
+      (4L, "d", "U", 10L),                        // insert new key
+      (5L, "e", "U", 10L), (5L, "x", "D", 20L)    // insert then delete
+    ).toDF("k", "v", "op", "ts")
+    val once = graft.operators.Merge
+      .applyChangeLog(base, changes, Seq("k"), "ts", "op")
+    assert(once.as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "B2"), (4L, "d")))
+    // re-applying the same log to the result changes nothing
+    val twice = graft.operators.Merge
+      .applyChangeLog(once, changes, Seq("k"), "ts", "op")
+    assertSameRows(once, twice)
+  }
 }
