@@ -293,8 +293,14 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(max("c").as("mx"), sum("c").as("tot"))
       .select(col(idCol), expr("mx * 1000 div tot").as("rep_milli"))
-    ent.join(rep, Seq(idCol), "left")
-      .select(col(idCol), col("entropy_milli"),
+    // anchor on the full doc set: a tokenless doc has no exploded
+    // rows on either side, but it still IS a document — it reports
+    // (0, 0), not a silently missing row
+    df.select(col(idCol)).distinct()
+      .join(ent, Seq(idCol), "left")
+      .join(rep, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("entropy_milli"), lit(0L)).as("entropy_milli"),
         coalesce(col("rep_milli"), lit(0L)).as("rep_milli"))
   }
 

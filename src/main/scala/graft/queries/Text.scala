@@ -444,10 +444,13 @@ object Text {
          |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
          |br AS (SELECT doc_id, max(c) * 1000 // sum(c) AS rep_milli
          |  FROM bc GROUP BY 1)
-         |SELECT e.doc_id, e.entropy_milli,
+         |SELECT d.doc_id,
+         |  CAST(coalesce(e.entropy_milli, 0) AS BIGINT) AS entropy_milli,
          |  CAST(coalesce(br.rep_milli, 0) AS BIGINT) AS rep_milli
-         |FROM e LEFT JOIN br ON br.doc_id = e.doc_id
-         |ORDER BY e.doc_id""".stripMargin) { (s, d) =>
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN e ON e.doc_id = d.doc_id
+         |LEFT JOIN br ON br.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.qualitySignals(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },

@@ -60,7 +60,8 @@ class TextOpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // all distinct
       (2L, "spam spam spam spam spam spam"),       // one token
-      (3L, "x")                                    // no bigrams
+      (3L, "x"),                                   // no bigrams
+      (4L, "")                                     // tokenless: (0, 0)
     ).toDF("doc_id", "text")
     val r = graft.operators.TextAnalysis
       .qualitySignals(docs, "doc_id", "text")
@@ -73,5 +74,7 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2L) == ((0L, 1000L)))
     // doc 3: one token, entropy 0, no bigrams -> rep 0
     assert(r(3L) == ((0L, 0L)))
+    // doc 4: no tokens at all — still reported, not silently dropped
+    assert(r(4L) == ((0L, 0L)))
   }
 }
