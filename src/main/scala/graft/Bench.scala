@@ -47,7 +47,8 @@ object Bench {
     "q_k_bloom",              // sketch family (bloom build+probe)
     "q_g_pagerank",           // iterative graph (fixed-point PageRank)
     "q_g_triangles",          // wedge-join triangle counting
-    "q_v_ivfpq_topk"          // composed IVF routing + PQ ADC scoring
+    "q_v_ivfpq_topk",         // composed IVF routing + PQ ADC scoring
+    "q_e2e_search"            // hybrid retrieval composition
   )
 
   def main(args: Array[String]): Unit = {

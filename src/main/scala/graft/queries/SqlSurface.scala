@@ -57,5 +57,39 @@ object SqlSurface {
         |FROM lineitem
         |GROUP BY l_partkey
         |HAVING COUNT(*) > (SELECT COUNT(*) / 2500 FROM lineitem)
-        |ORDER BY n DESC, l_partkey LIMIT 50""".stripMargin))
+        |ORDER BY n DESC, l_partkey LIMIT 50""".stripMargin),
+
+    // TPC-H-Q5-shaped: local supplier volume — a 6-table join chain
+    // where the customer and supplier must share a nation; the two
+    // dim legs (nation, region) broadcast, the fact chain shuffles on
+    // its join keys.
+    sqlQ("q_sql_local_volume",
+      Seq("customer", "orders", "lineitem", "supplier", "nation",
+        "region"),
+      """SELECT n_name,
+        |  CAST(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100))
+        |    AS BIGINT) AS rev_cents,
+        |  COUNT(*) AS n_lines
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // TPC-H-Q10-shaped: returned-item revenue per customer.
+    sqlQ("q_sql_returned_topk", Seq("customer", "orders", "lineitem"),
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100))
+        |    AS BIGINT) AS rev_cents,
+        |  COUNT(*) AS n_lines
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin))
 }

@@ -326,6 +326,74 @@ object Vectors {
         .orderBy(col("rrf_micro").desc, col("doc_id")).limit(20)
     },
 
+    // E2E HYBRID SEARCH — the composed retrieval flagship: BM25
+    // ranks the lexical top-50, exact cosine ranks the semantic
+    // top-50, integer RRF fuses both candidate lists, and the fused
+    // top-10 joins back to document metadata. Every stage is its own
+    // graded operator (q_t_bm25, q_v_brute_topk, q_r_hybrid_rrf);
+    // this proves they compose end to end.
+    Q("q_e2e_search",
+      s"""WITH dld AS (SELECT doc_id, len(${sqlTokens("text")}) AS dl
+         |  FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM dld),
+         |tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |  WHERE term IN ('vector', 'join', 'filter') GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |    CAST(FLOOR(ln((CAST((SELECT n FROM st) AS DOUBLE) - df + 0.5)
+         |        / (df + 0.5) + 1.0)
+         |      * (tf * (1.2 + 1.0))
+         |      / (tf + 1.2 * ((1.0 - 0.75)
+         |        + 0.75 * dl / (SELECT avgdl FROM st)))
+         |      * 1000.0) AS BIGINT) AS score_milli
+         |  FROM tf JOIN dfq USING (term) JOIN dld USING (doc_id)),
+         |bm AS (SELECT doc_id, CAST(sum(score_milli) AS BIGINT)
+         |    AS bm25_milli FROM sc GROUP BY doc_id),
+         |tr AS (SELECT doc_id, row_number() OVER (ORDER BY
+         |    bm25_milli DESC, doc_id) AS rank FROM bm),
+         |tcand AS (SELECT doc_id, rank FROM tr WHERE rank <= 50),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vs AS (SELECT vec_id AS doc_id,
+         |    ${sqlCosine("embedding", "qv")} AS c FROM embeddings, q),
+         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC,
+         |    doc_id) AS rank FROM vs),
+         |vcand AS (SELECT doc_id, rank FROM vr WHERE rank <= 50),
+         |u AS (SELECT doc_id, 1000000 // (60 + rank) AS part FROM tcand
+         |  UNION ALL SELECT doc_id, 1000000 // (60 + rank) FROM vcand),
+         |f AS (SELECT doc_id, CAST(sum(part) AS BIGINT) AS rrf_micro,
+         |    CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY doc_id)
+         |SELECT f.doc_id, f.rrf_micro, f.n_lists, d2.lang
+         |FROM f JOIN documents d2 ON d2.doc_id = f.doc_id
+         |ORDER BY rrf_micro DESC, f.doc_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val lex = graft.operators.TextAnalysis.bm25TopDocs(docs,
+          "doc_id", "text", Seq("vector", "join", "filter"), 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25_milli").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val sem = emb.crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          graft.functions.cosineSimilarity(col("embedding"),
+            col("qvec")).as("c"))
+        .orderBy(col("c").desc, col("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("c").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      Retrieval.rrfFuse(Seq(lex, sem), "doc_id", "rank")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+        .select("doc_id", "rrf_micro", "n_lists", "lang")
+    },
+
     // ANN batched: top-5 per EACH of 5 query vectors in one corpus
     // scan (broadcast batch + per-query window rank).
     Q("q_v_batch_topk",
