@@ -108,4 +108,28 @@ object Temporal {
       .select(col(keyCol), col("hr"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Hourly rate anomalies per series: hours whose event count
+    * exceeds the series mean by more than two standard deviations —
+    * evaluated in EXACT integer arithmetic. c > mean + 2*sigma over
+    * counts c with per-series totals n, S = sum c, Q = sum c² is
+    * equivalent to (c*n - S) > 0 AND (c*n - S)² > 4*(n*Q - S²), so
+    * no sqrt or double ever enters and the flag set is bit-identical
+    * on every engine (the sums fit BIGINT far past any real event
+    * volume). Two key-partitioned aggregations plus a per-series
+    * stats join — the stats side is |series| rows and broadcasts. */
+  def rateAnomalies(df: DataFrame, seriesCol: String,
+      tsCol: String): DataFrame = {
+    val h = df.groupBy(col(seriesCol).as("series"),
+        date_trunc("hour", col(tsCol)).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val st = h.groupBy("series")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("q"))
+    val dev = col("c") * col("n") - col("s")
+    h.join(broadcast(st), Seq("series"))
+      .filter(dev > 0 &&
+        dev * dev > lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+      .select(col("series"), col("hr"), col("c"))
+  }
 }

@@ -424,6 +424,29 @@ object Approx {
         .orderBy("new_id", "other_id")
     },
 
+    // ANOMALY: hours whose per-type event rate exceeds mean + 2 sigma
+    // — the sigma-free integer form (c*n - S)^2 > 4*(n*Q - S^2), so
+    // the flag set never hinges on a sqrt ulp. The ops-monitoring
+    // pass a pipeline runs over its own throughput series.
+    Q("q_ts_anomaly",
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    count(*) AS c FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n, sum(c) AS s,
+        |    sum(c * c) AS q FROM h GROUP BY 1)
+        |SELECT h.event_type, epoch_us(h.hr) AS hour_us,
+        |  CAST(h.c AS BIGINT) AS c
+        |FROM h JOIN st ON st.event_type = h.event_type
+        |WHERE (h.c * st.n - st.s) > 0
+        |  AND (h.c * st.n - st.s) * (h.c * st.n - st.s)
+        |      > 4 * (st.n * st.q - st.s * st.s)
+        |ORDER BY h.event_type, hour_us""".stripMargin) { (s, d) =>
+      graft.operators.Temporal
+        .rateAnomalies(events(s, d), "event_type", "ts")
+        .select(col("series").as("event_type"),
+          epochUs(col("hr")).as("hour_us"), col("c"))
+        .orderBy("event_type", "hour_us")
+    },
+
     // GAP FILL: dense per-type hourly series over the corpus span —
     // missing hours become explicit zeros. The spine is
     // |keys| x |hours| metadata built from a 1-row bounds frame, never

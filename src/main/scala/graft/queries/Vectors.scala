@@ -456,6 +456,40 @@ object Vectors {
         .orderBy("cid", "dim")
     },
 
+    // IVF over TRAINED centroids — k-means trains the index, IVF
+    // searches it (the production composition; the seed-centroid
+    // q_v_ivf_topk is iteration 0 of exactly this). Probes the 3
+    // nearest of 8 trained lists.
+    Q("q_v_ivf_trained",
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv
+         |            FROM embeddings ORDER BY vec_id LIMIT 8),
+         |${kmeansIterSql("c0", "a1", "m1", "c1", 64)},
+         |${kmeansIterSql("c1", "a2", "m2", "c2", 64)},
+         |ivd AS (SELECT e.vec_id, c.cid,
+         |        -(${sqlCosine("e.embedding", "c.cv")}) AS dist
+         |      FROM embeddings e, c2 c),
+         |ivr AS (SELECT vec_id, cid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY dist, cid) AS rn FROM ivd),
+         |assign AS (SELECT vec_id, cid FROM ivr WHERE rn = 1),
+         |qd AS (SELECT cid, row_number() OVER (ORDER BY dist, cid) AS qrn
+         |       FROM ivd WHERE vec_id = 0),
+         |probe AS (SELECT cid FROM qd WHERE qrn <= 3),
+         |cand AS (SELECT a.vec_id FROM assign a
+         |         JOIN probe p ON a.cid = p.cid),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${sqlCosine("e.embedding", "qv")} AS cosine
+         |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q
+         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val centroids = Similarity.kmeansCentroids(emb, "vec_id",
+        "embedding", 8, 2, 64)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.ivfTopKWith(emb, "vec_id", "embedding", q,
+        centroids, 3, 10)
+    },
+
     // MULTIMODAL: opaque binary + typed metadata (S5-adjacent schema).
     Q("q_mm_media_meta",
       """SELECT doc_id AS media_id, 'image' AS modality,
