@@ -3,6 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -213,6 +214,34 @@ object Md5Fold {
     i = 0
     while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Bloom-filter membership probe in ONE md5: h1 = md5 hex digits
+    * 1-15 (top 60 bits), h2 = digits 16-30 (next 60) — exactly
+    * functions.hash60 / hash60b — then the Kirsch-Mitzenmacher
+    * positions (h1 + i*h2) mod bits for i < nHashes, tested against
+    * the packed 32-bits-per-long word array. i*h2 < 2^62 for
+    * nHashes <= 4, so the position arithmetic never overflows. */
+  def bloomMember(s: org.apache.spark.unsafe.types.UTF8String,
+      words: Array[Long], bits: Int, nHashes: Int): Boolean = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var top = 0L
+    var i = 0
+    while (i < 8) { top = (top << 8) | (d(i) & 0xffL); i += 1 }
+    val h1 = top >>> 4
+    var h2 = d(7) & 0xfL
+    i = 8
+    while (i < 15) { h2 = (h2 << 8) | (d(i) & 0xffL); i += 1 }
+    i = 0
+    while (i < nHashes) {
+      val p = (h1 + i.toLong * h2) % bits
+      if ((words((p >>> 5).toInt) & (1L << (p & 31L).toInt)) == 0L)
+        return false
+      i += 1
+    }
+    true
   }
 
   /** Full MinHash signature in one pass: hash each (distinct) shingle
@@ -492,4 +521,72 @@ case class MinHashSigExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): MinHashSigExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native `graft_bloom_member(string, array<long> literal, bits,
+  * nHashes) -> boolean`: the whole bloom membership probe as ONE
+  * codegen'd call — one md5, both 60-bit halves, all
+  * Kirsch-Mitzenmacher positions tested in a tight loop against the
+  * collected word array (a reference object in the generated class,
+  * the value a real cluster broadcasts). The column formulation
+  * re-evaluates the md5→conv chain per probe conjunct on every fact
+  * row — this is the scan-side hot path of bloomPreJoin, so per-row
+  * cost is the whole ballgame. Bit-identical to the hash60/hash60b
+  * positions (oracle: q_j13_bloom_join's plain-join SQL). */
+case class BloomMemberExpr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType,
+      fourth.dataType) match {
+      case (StringType, ArrayType(LongType, _), IntegerType, IntegerType)
+        if second.foldable && third.foldable && fourth.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+        "graft_bloom_member requires (string, array<long> literal, " +
+          s"int literal, int literal), got ($a, $b, $c, $d)")
+    }
+
+  private lazy val words: Array[Long] = {
+    val arr = second.eval().asInstanceOf[ArrayData]
+    arr.toLongArray()
+  }
+  private lazy val bits: Int = third.eval().asInstanceOf[Int]
+  private lazy val nHashes: Int = fourth.eval().asInstanceOf[Int]
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = first.nullable
+  override def prettyName: String = "graft_bloom_member"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val s = first.eval(input)
+    if (s == null) null
+    else Md5Fold.bloomMember(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      words, bits, nHashes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("bloomWords", words, "long[]")
+    val c = first.genCode(ctx)
+    val code =
+      code"""
+        |${c.code}
+        |boolean ${ev.isNull} = ${c.isNull};
+        |boolean ${ev.value} = false;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = graft.expressions.Md5Fold.bloomMember(
+        |    ${c.value}, $wRef, $bits, $nHashes);
+        |}
+       """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): BloomMemberExpr =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
 }

@@ -258,17 +258,12 @@ object Sketches {
     val words = new Array[Long](bits / 32)
     bloomBuild(small, smallKey, bits, nHashes, salt).collect()
       .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
-    val lut = array(words.toIndexedSeq.map(lit): _*)
-    val key = col(bigKey).cast("string")
-    val salted = concat(lit(s"$salt:"), key)
-    val h1 = graft.functions.hash60(salted)
-    val h2 = graft.functions.hash60b(salted)
-    val member = (0 until nHashes).map { i =>
-      val p = (h1 + lit(i.toLong) * h2) % bits
-      element_at(lut, floor(p / 32).cast("int") + 1)
-        .bitwiseAND(call_function("shiftleft", lit(1L),
-          (p % 32).cast("int"))) =!= 0L
-    }.reduce(_ && _)
+    // one native call per fact row: one md5, all positions probed
+    // in-kernel (the column formulation re-evaluates the md5→conv
+    // chain per probe conjunct — a per-row multiplier on the scan)
+    val member = call_function("graft_bloom_member",
+      concat(lit(s"$salt:"), col(bigKey).cast("string")),
+      lit(words), lit(bits), lit(nHashes))
     big.filter(col(bigKey).isNotNull && member)
       .join(small, col(bigKey) === col(smallKey))
   }

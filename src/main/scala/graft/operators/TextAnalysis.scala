@@ -268,10 +268,25 @@ object TextAnalysis {
     * (max_count*1000 div total). Docs with < 2 tokens report
     * rep_milli 0.
     *
-    * Scale shape: two explode+groupBy passes (tokens, bigrams), both
-    * partial-aggregated map-side, joined on the doc key — no per-doc
-    * sort wider than its own token-count list. */
+    * Scale shape: ONE narrow per-row kernel call (the native
+    * graft_quality expression) — both signals are pure per-document
+    * computations, so no explode, no shuffle, no join ever touches
+    * the corpus. Requires one text per id (true of any document
+    * table); for multi-row ids aggregate the text first. Bit-parity
+    * with the relational [[qualitySignalsHof]] shape is spec'd. */
   def qualitySignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        call_function("graft_quality",
+          graft.functions.tokens(col(textCol))).as("__qp"))
+      .select(col(idCol),
+        coalesce(element_at(col("__qp"), 1), lit(0L)).as("entropy_milli"),
+        coalesce(element_at(col("__qp"), 2), lit(0L)).as("rep_milli"))
+
+  /** The relational formulation of [[qualitySignals]] (explode →
+    * groupBy → ordered HOF fold → anchored join-back) — kept as the
+    * executable spec the native kernel is parity-tested against. */
+  def qualitySignalsHof(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val ent = df
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProductFloat, MinHashSigExpr, MinHashTextExpr, RollingFpArray, ShingleHashesExpr, ShinglesExpr, SimHashExpr}
+import graft.expressions.{BloomMemberExpr, DotProductFloat, MinHashSigExpr, MinHashTextExpr, QualityPackExpr, RollingFpArray, ShingleHashesExpr, ShinglesExpr, SimHashExpr}
 
 /** Session extension registering the engine's native expressions —
   * enabled with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -48,5 +48,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_shingle_hashes"),
       (children: Seq[Expression]) =>
         ShingleHashesExpr(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_member"),
+      new ExpressionInfo(classOf[BloomMemberExpr].getName,
+        "graft_bloom_member"),
+      (children: Seq[Expression]) =>
+        BloomMemberExpr(children(0), children(1), children(2),
+          children(3))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quality"),
+      new ExpressionInfo(classOf[QualityPackExpr].getName, "graft_quality"),
+      (children: Seq[Expression]) => QualityPackExpr(children(0))))
   }
 }

@@ -77,4 +77,12 @@ class TextOpsSpec extends SparkSpec {
     // doc 4: no tokens at all — still reported, not silently dropped
     assert(r(4L) == ((0L, 0L)))
   }
+
+  test("quality signals: native kernel is bit-identical to the HOF shape") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    assertSameRows(
+      graft.operators.TextAnalysis.qualitySignals(docs, "doc_id", "text"),
+      graft.operators.TextAnalysis.qualitySignalsHof(docs, "doc_id", "text"))
+  }
 }
