@@ -189,6 +189,52 @@ class ScaleSpec extends SparkSpec {
       "removed" -> 1L, "added" -> 1L))
   }
 
+  test("rate anomalies: integer form flags exactly mean + 2 sigma exceeders") {
+    // series A: hours with counts 1,1,1,1,11 — mean 3, sigma 4
+    // → threshold 11: NOT flagged (strict >); bump to 12: flagged.
+    val mk = (series: String, hour: Int, n: Int) =>
+      (0 until n).map(i => (series,
+        java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:00:${i % 60}%02d")))
+    // series a: 4 ones + one x sits EXACTLY at mean + 2 sigma for
+    // every x (max z of one outlier among n-1 constants is
+    // sqrt(n-1) = 2 at n=5) — the strict > must exclude it:
+    // (11*5-15)^2 = 1600 == 4*(5*125-225).
+    val events = (mk("a", 0, 1) ++ mk("a", 1, 1) ++ mk("a", 2, 1) ++
+      mk("a", 3, 1) ++ mk("a", 4, 11)).toDF("series", "ts")
+    val r = graft.operators.Temporal
+      .rateAnomalies(events, "series", "ts")
+      .select("series", "c").as[(String, Long)].collect().toSeq
+    assert(r.isEmpty)
+    // series c: 3,4,3,4,3,20 — dev = 20*6-37 = 83, 83^2 = 6889 >
+    // 4*(6*459-37^2) = 5540 → flagged; the 4-count hours have
+    // dev < 0 and stay out.
+    val events2 = (mk("c", 0, 3) ++ mk("c", 1, 4) ++ mk("c", 2, 3) ++
+      mk("c", 3, 4) ++ mk("c", 4, 3) ++ mk("c", 5, 20))
+      .toDF("series", "ts")
+    val r2 = graft.operators.Temporal
+      .rateAnomalies(events2, "series", "ts")
+      .select("series", "c").as[(String, Long)].collect().toSeq
+    assert(r2 == Seq(("c", 20L)))
+  }
+
+  test("ivfTopKWith over trained centroids matches brute force on probed lists") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = graft.operators.Similarity
+      .kmeansCentroids(emb, "vec_id", "embedding", 4, 1, 64)
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("embedding").as("qvec"))
+    val got = graft.operators.Similarity
+      .ivfTopKWith(emb, "vec_id", "embedding", q, cents, 4, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    // probing ALL lists makes IVF exact — must equal brute force
+    val brute = graft.operators.Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == brute)
+    assert(got.contains(1L)) // the query vector itself is its own top hit
+  }
+
   test("table fingerprint is row-order/partitioning invariant and change-sensitive") {
     val rows = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
     val fp = graft.operators.Constraints
