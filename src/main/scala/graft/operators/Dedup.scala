@@ -49,6 +49,27 @@ object Dedup {
       .agg(min(col(idCol)).as("rep_id"),
         count(lit(1)).as("dup_count"))
 
+  /** Leakage-safe train/validation split: every document gets the
+    * fold of its duplicate-cluster REPRESENTATIVE, so exact/near
+    * duplicates can never straddle the split — the classic eval
+    * contamination where "generalization" on the held-out set is the
+    * model reciting a training-side duplicate. `clusters` maps
+    * idCol → repCol (exactTextGroups joined back on fingerprint,
+    * duplicateClusters, or LSH clusters all produce one); docs
+    * without a cluster row represent themselves. The fold is
+    * hashBucket(rep) — md5-derived, so the SAME split reproduces on
+    * every engine, run, and scale, and adding documents never moves
+    * existing ones across the boundary (no global count or rand()
+    * anywhere). One equi-join on the id plus a per-row hash. */
+  def leakageSafeSplit(df: DataFrame, idCol: String,
+      clusters: DataFrame, repCol: String, valPct: Int,
+      salt: String = "split"): DataFrame =
+    df.join(clusters.select(col(idCol), col(repCol)), Seq(idCol), "left")
+      .withColumn(repCol, coalesce(col(repCol), col(idCol)))
+      .withColumn("split",
+        when(graft.functions.hashBucket(col(repCol), 100, salt) < valPct,
+          lit("val")).otherwise(lit("train")))
+
   /** Hash-family constants for permutation i — md5-derived so they
     * look random but are reproducible in any engine (the naive
     * a=2i+3 family produces correlated permutations and spurious LSH

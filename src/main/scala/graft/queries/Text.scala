@@ -207,6 +207,32 @@ object Text {
         .orderBy("fingerprint")
     },
 
+    // CURATION: leakage-safe train/val split — every doc gets the
+    // fold of its exact-dup-cluster representative, so duplicates
+    // never straddle the split (eval "generalization" that is really
+    // train-side recitation). md5-derived fold: same split on every
+    // engine, run, and corpus size.
+    Q("q_t_leakage_split",
+      s"""WITH fp AS (SELECT doc_id, md5($normD) AS f FROM documents),
+         |r AS (SELECT f, min(doc_id) AS rep_id FROM fp GROUP BY f),
+         |m AS (SELECT fp.doc_id, r.rep_id FROM fp JOIN r ON fp.f = r.f)
+         |SELECT doc_id, rep_id,
+         |  CASE WHEN ${sqlHash31("'split:' || CAST(rep_id AS VARCHAR)")}
+         |      % 100 < 10
+         |    THEN 'val' ELSE 'train' END AS split
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val fps = docs.select(col("doc_id"),
+        md5(graft.functions.normalizeText(col("text"))).as("f"))
+      val clusters = fps
+        .join(fps.groupBy("f").agg(min("doc_id").as("rep_id")), Seq("f"))
+        .select("doc_id", "rep_id")
+      Dedup.leakageSafeSplit(docs.select("doc_id"), "doc_id",
+          clusters, "rep_id", 10)
+        .select("doc_id", "rep_id", "split")
+        .orderBy("doc_id")
+    },
+
     // DEDUP: minhash signatures (k=8, 3-gram shingles).
     Q("q_d_minhash_sig",
       sigCte +

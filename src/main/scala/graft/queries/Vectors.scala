@@ -490,6 +490,55 @@ object Vectors {
         centroids, 3, 10)
     },
 
+    // SQ8 scalar quantization — the third ANN compression next to
+    // IVF (routing) and PQ (codebooks): per-vector min/max
+    // calibration, 1 byte per dim. Codes emitted as scalar rows
+    // (arrays are not comparator-hashable).
+    Q("q_v_sq_codes",
+      """WITH v AS (SELECT vec_id,
+        |    CAST(list_min(embedding) AS DOUBLE) AS lo,
+        |    CAST(list_max(embedding) AS DOUBLE) AS hi,
+        |    embedding FROM embeddings),
+        |e AS (SELECT vec_id, CAST(s.range AS BIGINT) AS dim,
+        |    CAST(embedding[CAST(s.range+1 AS INTEGER)] AS DOUBLE) AS x,
+        |    lo, hi
+        |  FROM v, range(0, 64) s)
+        |SELECT vec_id, dim,
+        |  CAST(CASE WHEN hi = lo THEN 0
+        |    ELSE least(floor(((x - lo) * 256.0) / (hi - lo)), 255.0)
+        |    END AS BIGINT) AS code,
+        |  lo, hi
+        |FROM e ORDER BY vec_id, dim""".stripMargin) { (s, d) =>
+      Similarity.sqEncode(t(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id", "dim")
+    },
+
+    // SQ8 reconstruction error — the quantization-quality diagnostic:
+    // worst-quantized 20 vectors by summed squared error, fold in dim
+    // order, quantized to micros AFTER the sum (ranking can't hinge
+    // on a final-sum ulp).
+    Q("q_v_sq_error",
+      """WITH v AS (SELECT vec_id,
+        |    CAST(list_min(embedding) AS DOUBLE) AS lo,
+        |    CAST(list_max(embedding) AS DOUBLE) AS hi,
+        |    embedding FROM embeddings)
+        |SELECT vec_id, CAST(floor(list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |    [dd * dd for dd in
+        |      [CAST(x AS DOUBLE) - (lo +
+        |        (((CASE WHEN hi = lo THEN CAST(0.0 AS DOUBLE)
+        |          ELSE least(floor(((CAST(x AS DOUBLE) - lo) * 256.0)
+        |            / (hi - lo)), 255.0)
+        |        END) + 0.5) * (hi - lo)) / 256.0)
+        |       for x in embedding]]),
+        |    (a, b) -> a + b) * 1000000.0) AS BIGINT) AS err_micro
+        |FROM v ORDER BY err_micro DESC, vec_id LIMIT 20""".stripMargin) {
+      (s, d) =>
+      Similarity.sqReconstructionError(t(s, d, "embeddings"),
+          "vec_id", "embedding")
+        .orderBy(col("err_micro").desc, col("vec_id")).limit(20)
+    },
+
     // MULTIMODAL: opaque binary + typed metadata (S5-adjacent schema).
     Q("q_mm_media_meta",
       """SELECT doc_id AS media_id, 'image' AS modality,

@@ -346,4 +346,59 @@ class DedupSpec extends SparkSpec {
       .packByTokenBudget(docs, "doc_id", "n_toks", 1000L, 4)
     assertSameRows(packed, again)
   }
+
+  test("leakageSafeSplit never lets a duplicate cluster straddle the split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 200 docs in 100 exact-dup pairs (ids 2k and 2k+1 share text)
+    val docs = (0L until 200L).map(i => (i, s"shared text ${i / 2}"))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"), md5(col("text")).as("f"))
+    val clusters = fps
+      .join(fps.groupBy("f").agg(min("doc_id").as("rep_id")), Seq("f"))
+      .select("doc_id", "rep_id")
+    val split = graft.operators.Dedup
+      .leakageSafeSplit(docs, "doc_id", clusters, "rep_id", 30)
+    // both members of every pair land on the same side
+    val straddlers = split.groupBy("rep_id")
+      .agg(countDistinct("split").as("sides"))
+      .filter(col("sides") > 1).count()
+    assert(straddlers == 0L)
+    // the fold actually splits (30% target on 100 clusters)
+    val vals = split.filter(col("split") === "val").count()
+    assert(vals > 0L && vals < 200L)
+    // a doc with no cluster row represents itself, deterministically
+    val lone = graft.operators.Dedup.leakageSafeSplit(
+      Seq((999L, "x")).toDF("doc_id", "text"), "doc_id",
+      clusters.limit(0), "rep_id", 30)
+    assert(lone.select("rep_id").as[Long].head() == 999L)
+  }
+
+  test("sqEncode codes span [0,255] and reconstruction stays in-cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f, 2.0f, 3.0f)),   // linear ramp
+      (2L, Array(5.0f, 5.0f, 5.0f, 5.0f)))   // constant vector
+      .toDF("vec_id", "embedding")
+    val codes = graft.operators.Similarity
+      .sqEncode(vecs, "vec_id", "embedding")
+      .select("vec_id", "dim", "code")
+      .as[(Long, Long, Long)].collect().toSet
+    // ramp: lo=0 hi=3 → floor(x*256/3) capped at 255
+    assert(codes.contains((1L, 0L, 0L)))
+    assert(codes.contains((1L, 1L, 85L)))
+    assert(codes.contains((1L, 2L, 170L)))
+    assert(codes.contains((1L, 3L, 255L)))
+    // constant vector: all zeros, no division by zero
+    assert(codes.filter(_._1 == 2L).forall(_._3 == 0L))
+    // reconstruction error per dim is bounded by half a cell width:
+    // err <= dims * ((hi-lo)/256 / 2)^2 → micros
+    val err = graft.operators.Similarity
+      .sqReconstructionError(vecs, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toMap
+    val cell = 3.0 / 256.0
+    assert(err(1L) <= Math.ceil(4 * (cell / 2) * (cell / 2) * 1e6).toLong)
+    assert(err(2L) == 0L)
+  }
 }
