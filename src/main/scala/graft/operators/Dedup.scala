@@ -302,28 +302,40 @@ object Dedup {
     * value. Exact hamming (bit_count of xor) re-ranks within buckets;
     * distinct() collapses pairs found in several bands. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16, bands: Int = 4, maxDist: Int = 3): DataFrame = {
+      bits: Int = 16, bands: Int = 4, maxDist: Int = 3): DataFrame =
+    hammingPairs(
+      withSimHash(df, idCol, textCol, bits)
+        .select(col(idCol).as("id"), col("simhash").as("fp")),
+      "id", "fp", bits, bands, maxDist)
+
+  /** Generic banded hamming-distance pair finding over ANY long
+    * fingerprint column (simhash, perceptual image hash, audio
+    * fingerprint): the banding/pigeonhole machinery of
+    * [[simHashPairs]] factored out so every 64-bit-fingerprint
+    * modality shares one scale-safe candidate generator. Input must
+    * be one fingerprint per id. */
+  def hammingPairs(sigs: DataFrame, idCol: String, fpCol: String,
+      bits: Int, bands: Int, maxDist: Int): DataFrame = {
     require(bits % bands == 0, "bits must be divisible by bands")
     require(maxDist < bands,
       "banding only guarantees recall for hamming distance < bands")
     val width = bits / bands
     val mask = (1L << width) - 1L
     // same materialize-before-self-join rationale as minHashLshPairs
-    val s = withSimHash(df, idCol, textCol, bits)
-      .select(col(idCol).as("id"), col("simhash"))
+    val s = sigs.select(col(idCol).as("id"), col(fpCol).as("fp"))
       .localCheckpoint(eager = false)
-    val banded = s.select(col("id"), col("simhash"),
+    val banded = s.select(col("id"), col("fp"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("chunk",
-        expr(s"shiftright(simhash, band * $width)").bitwiseAND(lit(mask)))
+        expr(s"shiftright(fp, band * $width)").bitwiseAND(lit(mask)))
     banded.select(col("band"), col("chunk"),
-        col("id").as("id_a"), col("simhash").as("sh_a"))
+        col("id").as("id_a"), col("fp").as("fp_a"))
       .join(banded.select(col("band"), col("chunk"),
-        col("id").as("id_b"), col("simhash").as("sh_b")),
+        col("id").as("id_b"), col("fp").as("fp_b")),
         Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
   }

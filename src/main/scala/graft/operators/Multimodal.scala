@@ -70,4 +70,33 @@ object Multimodal {
     media
       .withColumn("decoded", decodeImageStub(col("content")))
       .withColumn("features", featureStub(col("content"), featureDim))
+
+  /** Deterministic STUB perceptual hash (aHash shape): a `cells`-cell
+    * fake pixel grid derived from the content digest, one bit per
+    * cell, set iff the cell value is >= the grid mean
+    * (cross-multiplied — g*cells >= total — so no division ever
+    * runs). In production the grid is real downsampled luma from the
+    * decoder; the hash layout and everything downstream (banded
+    * hamming pairs via [[graft.operators.Dedup.hammingPairs]],
+    * clustering, keep-best) is the real thing. Identical content
+    * bytes hash identically, so re-encoded exact duplicates are
+    * found at hamming 0 even under the stub. Narrow map; the grid
+    * cells are staged as aliased intermediates (each md5 evaluated
+    * once, not once per reference). Keep cells <= 32: the oracle
+    * engine's 1<<k needs k < 63, and 32 keeps bands of 8 bits. */
+  def withPerceptualHash(media: DataFrame, cells: Int = 32): DataFrame = {
+    require(cells <= 32, "cells > 32 breaks the 64-bit bit-shift parity")
+    val withG = media.withColumn("__dg", sha2(col("content"), 256))
+    val gCols = (0 until cells).map(k =>
+      (graft.functions.hash31(concat(col("__dg"), lit(s":$k"))) % 256L)
+        .as(s"__g$k"))
+    val staged = withG.select(withG.columns.map(col) ++ gCols: _*)
+      .withColumn("__tot",
+        (0 until cells).map(k => col(s"__g$k")).reduce(_ + _))
+    val phash = (0 until cells).map(k =>
+      when(col(s"__g$k") * cells >= col("__tot"), lit(1L << k))
+        .otherwise(lit(0L))).reduce(_ + _)
+    staged.withColumn("phash", phash)
+      .drop(((0 until cells).map(k => s"__g$k") ++ Seq("__dg", "__tot")): _*)
+  }
 }

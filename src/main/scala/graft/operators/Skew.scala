@@ -30,4 +30,21 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Hot-key skew report — the measurement that DECIDES whether a
+    * join needs [[saltedJoin]]: top-k keys by row count with each
+    * key's share of the table in integer millis (share_milli / 1000
+    * ≈ the fraction of all rows one reducer would own if that key
+    * landed alone on it; at 32 reducers anything above ~31 ‰ is a
+    * straggler, at 1000 reducers ~1 ‰). One key-partitioned
+    * aggregation; the grand total rides along as a broadcast 1-row
+    * frame, never a global window. */
+  def skewReport(df: DataFrame, key: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(key), col("n"),
+        expr("n * 1000 div tot").as("share_milli"))
+      .orderBy(col("n").desc, col(key)).limit(topK)
+  }
 }

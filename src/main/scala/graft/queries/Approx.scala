@@ -742,6 +742,22 @@ object Approx {
         .orderBy("o_orderkey")
     },
 
+    // SKEW: the hot-key report that decides whether a join needs the
+    // salting above — top keys by row count with their table share
+    // in integer millis (share x reducers tells you if one partition
+    // would straggle). Grand total rides along as a broadcast 1-row
+    // frame, never a global window.
+    Q("q_skew_report",
+      """WITH c AS (SELECT l_suppkey, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM c)
+        |SELECT l_suppkey, CAST(c.n AS BIGINT) AS n,
+        |  CAST(c.n * 1000 // t.tot AS BIGINT) AS share_milli
+        |FROM c, t ORDER BY n DESC, l_suppkey LIMIT 20""".stripMargin) {
+      (s, d) =>
+      Skew.skewReport(t(s, d, "lineitem"), "l_suppkey", 20)
+    },
+
     // STREAMING (batch-equivalent): first-occurrence dedup per
     // (user, event_type). The same rows through MemoryStream +
     // watermark + dropDuplicates give the same output — asserted in

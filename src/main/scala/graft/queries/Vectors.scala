@@ -574,6 +574,44 @@ object Vectors {
         .orderBy("media_id")
     },
 
+    // MULTIMODAL: perceptual-hash near-dup over image content — the
+    // aHash stub grid (content-digest-derived) feeds the SAME banded
+    // hamming machinery as text simhash (Dedup.hammingPairs), so
+    // re-encoded exact duplicates surface at hamming 0: the corpus is
+    // unioned with a re-labeled copy of its first 25 docs and the
+    // pair set must be exactly those 25 planted duplicates.
+    Q("q_mm_phash_pairs",
+      s"""WITH m AS (SELECT doc_id AS media_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents
+         |  WHERE doc_id < 25),
+         |dg AS (SELECT media_id, sha256(text) AS g FROM m),
+         |gs AS (SELECT media_id,
+         |    [${sqlHash31("g || ':' || CAST(k AS VARCHAR)")} % 256
+         |      for k in range(0, 32)] AS cs
+         |  FROM dg),
+         |t AS (SELECT media_id, cs,
+         |    list_reduce(cs, (a, b) -> a + b) AS tot FROM gs),
+         |p AS (SELECT media_id, list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |    [CASE WHEN cs[k+1] * 32 >= tot THEN (CAST(1 AS BIGINT) << k)
+         |      ELSE CAST(0 AS BIGINT) END for k in range(0, 32)]),
+         |    (a, b) -> a + b) AS phash FROM t)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM p a JOIN p b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val media = docs.select(col("doc_id").as("media_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 10000).as("media_id"), col("text")))
+        .withColumn("content", encode(col("text"), "UTF-8"))
+      val sigs = Multimodal.withPerceptualHash(media)
+        .select(col("media_id"), col("phash"))
+      Dedup.hammingPairs(sigs, "media_id", "phash", 32, 4, 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // MULTIMODAL: video frame-sampling fan-out (every 5th frame).
     Q("q_mm_frame_sample",
       """SELECT doc_id AS media_id,

@@ -64,4 +64,20 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
     assert(out == Seq((1L, 0), (1L, 3), (1L, 6), (2L, 0), (3L, 0)))
   }
+
+  test("perceptual hash: identical bytes collide at hamming 0, plan is narrow") {
+    val m = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "other"))
+      .toDF("media_id", "text")
+      .withColumn("content", encode(col("text"), "UTF-8"))
+    val sigs = Multimodal.withPerceptualHash(m)
+      .select("media_id", "phash")
+    assert(!sigs.queryExecution.executedPlan.toString.contains("Exchange"),
+      "phash must be a narrow map")
+    val pairs = graft.operators.Dedup
+      .hammingPairs(sigs, "media_id", "phash", 32, 4, 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }

@@ -235,6 +235,17 @@ class ScaleSpec extends SparkSpec {
     assert(got.contains(1L)) // the query vector itself is its own top hit
   }
 
+  test("skewReport ranks hot keys with exact integer shares") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // key 7 owns 50 of 100 rows, key 1 owns 30, the rest 20 singles
+    val rows = (Seq.fill(50)(7L) ++ Seq.fill(30)(1L) ++
+      (100L until 120L)).toDF("k")
+    val r = graft.operators.Skew.skewReport(rows, "k", 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((7L, 50L, 500L), (1L, 30L, 300L), (100L, 1L, 10L)))
+  }
+
   test("table fingerprint is row-order/partitioning invariant and change-sensitive") {
     val rows = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "s")
     val fp = graft.operators.Constraints
