@@ -206,6 +206,28 @@ object Merges {
       results.orderBy("event_type")
     },
 
+    // I6: mergeable aggregate state — the Spark side builds TWO
+    // half-corpus states (event_id parity) and MERGES them; the
+    // oracle aggregates the full table directly. Equality is the
+    // monoid merge law (merge(state(A), state(B)) == state(A ∪ B))
+    // that makes incremental view maintenance sound; the sum is
+    // integer-quantized per row BEFORE summing so it is exact and
+    // partitioning-order-free.
+    Q("q_i6_agg_state",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS sum_micro,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      val e = events(s, d)
+      val half = (r: Long) => Incremental.aggState(
+        e.filter(col("event_id") % 2 === r), Seq("event_type"), "value")
+      Incremental.mergeAggStates(Seq(half(0L), half(1L)),
+          Seq("event_type"))
+        .orderBy("event_type")
+    },
+
     // STREAMING (batch-equivalent): SLIDING windows — every event
     // lands in size/step windows; the oracle replicates the fan-out
     // with an explicit shift unnest.

@@ -191,6 +191,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("agg-state monoid law: merging any split equals the direct state") {
+    val data = samples(Gen.listOfN(120, for {
+      k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-1000.0, 1000.0)
+    } yield (k, v)), 3)
+    for ((rows, si) <- data.zipWithIndex) {
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("id", "k", "v")
+      val direct = graft.streaming.Incremental
+        .aggState(df, Seq("k"), "v")
+      // split three ways by id mod — merge must reproduce direct
+      val parts = (0 until 3).map(r =>
+        graft.streaming.Incremental.aggState(
+          df.filter(col("id") % 3 === r), Seq("k"), "v"))
+      val merged = graft.streaming.Incremental
+        .mergeAggStates(parts, Seq("k"))
+      assertSameRows(direct, merged)
+      // and merging the direct state with an EMPTY state is identity
+      val withEmpty = graft.streaming.Incremental.mergeAggStates(
+        Seq(direct, direct.limit(0)), Seq("k"))
+      assertSameRows(direct, withEmpty)
+    }
+  }
+
   test("triangle law: per-node counts sum to 3x the triangle total") {
     val edgeSets = samples(Gen.listOfN(60, for {
       a <- Gen.choose(0L, 14L); b <- Gen.choose(0L, 14L)
