@@ -127,6 +127,59 @@ object Sketches {
     sketches.reduce(_ unionByName _)
       .groupBy("bucket").agg(max("rho").as("rho"))
 
+  /** Fixed-bin histogram sketch over an integer-valued column
+    * (callers quantize doubles to integer units — cents, millis —
+    * first, so the sketch is exact-integer end to end): bin =
+    * clamp((v - lo) div width, 0, nBins-1), one (bin, n) row per
+    * occupied bin. The mergeable-quantile primitive: same-bin counts
+    * merge with SUM — order-free, partial-aggregated map-side — so
+    * per-partition / per-day histograms union into the global sketch
+    * without reprocessing history. Where production reaches for a
+    * t-digest / KLL sketch (engine-private binaries, not
+    * oracle-checkable), this keeps the identical shuffle shape
+    * (≤ nBins rows cross the exchange) while staying
+    * bit-reproducible; error is bounded by the bin width instead of a
+    * rank epsilon. */
+  def histBins(df: DataFrame, valueCol: String, lo: Long, width: Long,
+      nBins: Int): DataFrame = {
+    require(width > 0 && nBins > 0, s"need width>0, nBins>0: $width/$nBins")
+    df.filter(col(valueCol).isNotNull)
+      .select(least(greatest(
+          expr(s"(CAST($valueCol AS BIGINT) - ${lo}L) div ${width}L"),
+          lit(0L)), lit(nBins - 1L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge histogram sketches of the same (lo, width, nBins) frame:
+    * counter-wise sum. Law (spec'd): merge(hist(A), hist(B)) ==
+    * hist(A ∪ B). */
+  def histMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("bin").agg(sum("n").as("n"))
+
+  /** Upper-edge quantile estimates read off a [[histBins]] sketch:
+    * for each requested rank q (in milli), the smallest bin whose
+    * cumulative count reaches q/1000 of the total, reported as that
+    * bin's upper edge `lo + (bin+1)*width`. The rank test is the
+    * cross-multiplied integer comparison `cum * 1000 >= q * total` —
+    * no division, bit-identical in any engine. The cumulative window
+    * sorts ≤ nBins rows on one partition: the sketch is tiny by
+    * construction, that is the point (the raw data never re-enters). */
+  def histQuantiles(bins: DataFrame, lo: Long, width: Long,
+      qMilli: Seq[Int]): DataFrame = {
+    val s = bins.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+    val cum = bins.withColumn("cum", sum("n").over(w))
+    val tot = bins.agg(sum("n").as("tot"))
+    cum.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(qMilli.toDF("q_milli")))
+      .filter(col("cum") * 1000 >= col("q_milli") * col("tot"))
+      .groupBy("q_milli").agg(min("bin").as("bin"))
+      .withColumn("est_hi", lit(lo) + (col("bin") + 1) * lit(width))
+      .orderBy("q_milli")
+  }
+
   /** K-minimum-values distinct sketch: the k smallest distinct hash
     * values of `col`. The sketch IS the rows (mergeable: union +
     * re-take-k). Spark plans the orderBy+limit as

@@ -188,6 +188,32 @@ object Approx {
         .orderBy("key")
     },
 
+    // SKETCH: mergeable fixed-bin histogram → quantile estimates.
+    // The t-digest/KLL role (mergeable distributed quantiles) in an
+    // oracle-checkable form: values quantized to exact integer cents,
+    // 20 bins of 25.00, rank test by cross-multiplied integers
+    // (cum*1000 >= q*tot — no division anywhere). Only the ≤20-row
+    // sketch ever crosses an exchange; merging per-day sketches is a
+    // counter sum (law spec'd in SketchesSpec).
+    Q("q_k_quantile_hist",
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT LEAST(GREATEST((cents - 0) // 2500, 0), 19) AS bin,
+        |  count(*) AS n FROM c GROUP BY 1),
+        |cum AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum FROM b),
+        |t AS (SELECT sum(n) AS tot FROM b),
+        |q AS (SELECT unnest([500, 900, 990]) AS q_milli)
+        |SELECT q_milli, CAST(min(bin) AS BIGINT) AS bin,
+        |  CAST((min(bin) + 1) * 2500 AS BIGINT) AS est_hi
+        |FROM cum, t, q WHERE cum * 1000 >= q_milli * tot
+        |GROUP BY q_milli ORDER BY q_milli""".stripMargin) { (s, d) =>
+      val cents = events(s, d).filter(col("value").isNotNull)
+        .select(round(col("value") * 100).cast("long").as("cents"))
+      Sketches.histQuantiles(
+        Sketches.histBins(cents, "cents", 0L, 2500L, 20),
+        0L, 2500L, Seq(500, 900, 990))
+    },
+
     // GRAPH: 3-iteration PageRank over the props.k transition graph
     // (edge = consecutive events of one user). Integer fixed-point
     // ranks: sums are exact and order-free, so the result is
@@ -943,5 +969,28 @@ object Approx {
         .agg(count(lit(1)).as("n"),
           count_distinct(col("user_id")).as("nu"))
         .orderBy("day")
+    },
+
+    // STREAMING (batch-equivalent): stream-static enrichment — the
+    // events firehose joins the broadcast customer→nation dimension;
+    // no stream state, the fact side never shuffles before the join.
+    // Value folded as exact integer cents. Stream/batch parity of the
+    // same plan is asserted in ScaleSpec over MemoryStream.
+    Q("q_st_static_join",
+      """SELECT n.n_name, count(*) AS n_events,
+        |  sum(CAST(round(e.value * 100) AS BIGINT)) AS sum_cents
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin) { (s, d) =>
+      val dim = t(s, d, "customer")
+        .join(t(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("user_id"), col("n_name"))
+      StreamOps.streamStaticEnrich(events(s, d), dim, Seq("user_id"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy("n_name")
     })
 }

@@ -433,6 +433,26 @@ object Text {
         .orderBy("lang", "doc_id")
     },
 
+    // CURATION: sqrt-temperature (T=2) language rebalancing — keep
+    // budgets ∝ isqrt(n_lang), so the head language's share shrinks
+    // and tail languages keep proportionally more (the standard
+    // multilingual mixture smoothing). Exact-integer throughout:
+    // isqrt = floor(sqrt(n)) is exact below 2^52, shares are integer
+    // division. Output is the kept (lang, doc_id) set itself.
+    Q("q_cur_rebalance",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |i AS (SELECT lang, CAST(floor(sqrt(n)) AS BIGINT) AS isq FROM c),
+        |s AS (SELECT sum(isq) AS tot FROM i),
+        |b AS (SELECT lang, (250 * isq) // tot AS budget FROM i, s),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY doc_id) AS rn FROM documents)
+        |SELECT r.lang, r.doc_id FROM r JOIN b USING (lang)
+        |WHERE rn <= budget ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Curation.rebalanceKeep(
+          t(s, d, "documents"), "lang", "doc_id", 250L)
+        .select("lang", "doc_id").orderBy("lang", "doc_id")
+    },
+
     // SAMPLING: deterministic md5-derived 10% sample — the same 10%
     // on every engine and every run (reproducible corpus subsets).
     Q("q_samp_hash",

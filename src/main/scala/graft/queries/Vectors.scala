@@ -490,6 +490,33 @@ object Vectors {
         centroids, 3, 10)
     },
 
+    // SemDeDup (cluster-then-cosine semantic dedup): k-means-trained
+    // clusters bound the all-pairs cosine to Σ n_c² intra-cluster
+    // comparisons; a vector is dropped iff a smaller-id neighbor in
+    // its own cluster clears the threshold. Output is the kept ids —
+    // the deterministic keep-lowest-id survivor set.
+    Q("q_v_semdedup",
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv
+         |            FROM embeddings ORDER BY vec_id LIMIT 8),
+         |${kmeansIterSql("c0", "a1", "m1", "c1", 64)},
+         |${kmeansIterSql("c1", "a2", "m2", "c2", 64)},
+         |asg AS (SELECT e.vec_id, e.embedding, c.cid,
+         |        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |          -(${sqlCosine("e.embedding", "c.cv")}), c.cid) AS rn
+         |      FROM embeddings e, c2 c),
+         |a AS (SELECT vec_id, embedding, cid FROM asg WHERE rn = 1),
+         |p AS (SELECT y.vec_id AS id_b
+         |      FROM a x JOIN a y
+         |        ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |      WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.2)
+         |SELECT vec_id FROM embeddings e
+         |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.id_b = e.vec_id)
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.semDedupKeep(t(s, d, "embeddings"), "vec_id",
+          "embedding", 8, 2, 64, 0.2)
+        .select("vec_id").orderBy("vec_id")
+    },
+
     // SQ8 scalar quantization — the third ANN compression next to
     // IVF (routing) and PQ (codebooks): per-vector min/max
     // calibration, 1 byte per dim. Codes emitted as scalar rows

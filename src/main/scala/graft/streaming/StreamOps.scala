@@ -60,6 +60,19 @@ object StreamOps {
     outDir
   }
 
+  /** Stream-static enrichment join: each micro-batch of the fact
+    * stream equi-joins a (small, slowly-changing) static dimension,
+    * broadcast to every executor. No streaming state at all — the
+    * static side is re-resolved per micro-batch, which is also how
+    * dimension updates become visible mid-stream. The identical
+    * broadcast equi-join plan evaluates over a batch frame, so the
+    * batch result is the oracle (parity spec'd in ScaleSpec). At
+    * 100 TB this is THE enrichment shape: the firehose never
+    * shuffles, only the dimension moves. */
+  def streamStaticEnrich(facts: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    facts.join(broadcast(dim), keys)
+
   /** Interval (stream-stream) join: left row matches right rows with
     * the same key whose timestamp lands in [leftTs, leftTs + window].
     * Over streaming inputs both sides carry watermarks, so the state

@@ -401,4 +401,53 @@ class DedupSpec extends SparkSpec {
     assert(err(1L) <= Math.ceil(4 * (cell / 2) * (cell / 2) * 1e6).toLong)
     assert(err(2L) == 0L)
   }
+
+  test("semDedupKeep: drops the higher id of each near-dup, keeps singletons") {
+    import spark.implicits._
+    // two tight near-dup groups on opposite axes + one unrelated vector
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),  // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.98f, 0.02f, 0.0f)),  // near-dup of 3
+      (5L, Array(0.0f, 0.0f, 0.0f, -1.0f))    // unrelated
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedupKeep(vecs, "vec_id", "embedding",
+        k = 2, iters = 1, dim = 4, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(3L), s"group reps kept: $kept")
+    assert(!kept.contains(2L) && !kept.contains(4L), s"dups dropped: $kept")
+    assert(kept.contains(5L), s"singleton kept: $kept")
+    // pairs never cross clusters: every reported pair shares a cid
+    val centroids = Similarity.kmeansCentroids(vecs, "vec_id",
+      "embedding", 2, 1, 4).select("cid", "cv")
+    val pairs = Similarity.semDedupPairs(vecs, "vec_id", "embedding",
+      centroids, 0.95).collect()
+    assert(pairs.forall(r => r.getLong(1) < r.getLong(2)))
+  }
+
+  test("sqrtRebalance: budgets ∝ isqrt, kept per group = min(budget, n)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed corpus: 100 'en', 25 'fr', 4 'de'
+    val docs = ((1 to 100).map(i => (i.toLong, "en")) ++
+      (101 to 125).map(i => (i.toLong, "fr")) ++
+      (126 to 129).map(i => (i.toLong, "de"))).toDF("doc_id", "lang")
+    val budgets = graft.operators.Curation.sqrtBudgets(docs, "lang", 30L)
+      .select("lang", "budget").as[(String, Long)].collect().toMap
+    // isqrt: 10 / 5 / 2, tot 17 → floor(30*isq/17) = 17 / 8 / 3
+    assert(budgets == Map("en" -> 17L, "fr" -> 8L, "de" -> 3L), budgets)
+    assert(budgets.values.sum <= 30L)
+    val kept = graft.operators.Curation
+      .rebalanceKeep(docs, "lang", "doc_id", 30L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("en" -> 17L, "fr" -> 8L, "de" -> 3L), kept)
+    // head share shrank: en was 78% of the corpus, now 17/28
+    // deterministic cut: lowest doc_ids survive
+    val keptIds = graft.operators.Curation
+      .rebalanceKeep(docs, "lang", "doc_id", 30L)
+      .filter(col("lang") === "de").select("doc_id")
+      .as[Long].collect().toSet
+    assert(keptIds == Set(126L, 127L, 128L))
+  }
 }

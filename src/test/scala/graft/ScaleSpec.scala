@@ -68,6 +68,31 @@ class ScaleSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static enrichment join agrees with the batch plan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "FR"), (2L, "DE"), (3L, "JP"))
+      .toDF("user_id", "nation")
+    val facts = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (9L, 1.0))
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("user_id", "value")
+    val q = graft.streaming.StreamOps
+      .streamStaticEnrich(stream, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("sse")
+      .outputMode("append").start()
+    mem.addData(facts.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(facts.drop(2): _*) // second batch re-resolves the dim
+    q.processAllAvailable()
+    val streamed = spark.table("sse")
+    val batch = graft.streaming.StreamOps.streamStaticEnrich(
+      facts.toDF("user_id", "value"), dim, Seq("user_id"))
+    // user 9 has no dim row: inner join drops it on both sides
+    assert(streamed.count() == 3L)
+    assertSameRows(streamed, batch)
+    q.stop()
+  }
+
   test("streaming sessions (flatMapGroupsWithState) agree with the batch shape") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

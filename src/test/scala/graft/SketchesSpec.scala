@@ -33,6 +33,34 @@ class SketchesSpec extends SparkSpec {
     assertSameRows(a, b)
   }
 
+  test("histogram sketch: merge law — merge(hist(A), hist(B)) == hist(A ∪ B)") {
+    val a = spark.range(0, 3000).toDF("v")
+    val b = spark.range(2000, 7000).toDF("v")
+    val merged = Sketches.histMerge(
+      Sketches.histBins(a, "v", 0L, 500L, 16),
+      Sketches.histBins(b, "v", 0L, 500L, 16))
+    val whole = Sketches.histBins(a.unionByName(b), "v", 0L, 500L, 16)
+    assertSameRows(merged, whole)
+  }
+
+  test("histogram quantiles: upper edges bound the true quantiles") {
+    // uniform 0..9999, width 100: true p50 = 4999 → bin 49, edge 5000
+    val bins = Sketches.histBins(spark.range(10000).toDF("v"),
+      "v", 0L, 100L, 100)
+    val est = Sketches.histQuantiles(bins, 0L, 100L, Seq(500, 990))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(est(500) == 5000L, s"p50 edge ${est(500)}")
+    assert(est(990) == 9900L, s"p99 edge ${est(990)}")
+  }
+
+  test("histogram sketch: out-of-frame values clamp to the edge bins") {
+    val df = Seq(-50L, 5L, 9999L).toDF("v")
+    val bins = Sketches.histBins(df, "v", 0L, 10L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bins(0L) == 2L) // -50 clamps into bin 0 alongside 5
+    assert(bins(3L) == 1L) // 9999 clamps into the last bin
+  }
+
   test("kmv estimate lands within the k=64 error envelope") {
     for (n <- Seq(2000, 20000)) {
       val est = Sketches.kmvEstimate(range(n), "v", 64)
