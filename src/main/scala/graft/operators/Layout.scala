@@ -32,4 +32,30 @@ object Layout {
     df.withColumn("__z", zOrderValue(x, y, bits))
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions(col("__z"))
+
+  /** Per-bucket zone map — the min/max statistics a writer persists
+    * per file/row-group, materialized as a queryable table: one row
+    * per bucket with its row count and the min/max of each stat
+    * column. One partial-aggregated exchange; the result is
+    * bucket-count-sized (thousands of rows for a 100 TB table), the
+    * thing planners consult instead of data. */
+  def zoneMap(df: DataFrame, bucket: Column,
+      statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "zoneMap needs at least one stat column")
+    val stats = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), stats: _*)
+  }
+
+  /** The file-skipping decision over a [[zoneMap]]: zones a range
+    * predicate `lo <= statCol <= hi` cannot prove empty — a zone
+    * survives iff NOT (max < lo OR min > hi). Evaluated entirely on
+    * the zone table; the data itself is untouched. The selected
+    * bucket list is what a reader feeds back as a partition/file
+    * filter — on a z-ordered layout either dimension's range
+    * predicate prunes most zones. */
+  def zonesToRead(zones: DataFrame, statCol: String, lo: Column,
+      hi: Column): DataFrame =
+    zones.filter(!(col(s"max_$statCol") < lo || col(s"min_$statCol") > hi))
 }

@@ -132,4 +132,30 @@ object Temporal {
         dev * dev > lit(4L) * (col("n") * col("q") - col("s") * col("s")))
       .select(col("series"), col("hr"), col("c"))
   }
+
+  /** Coalesce overlapping/touching intervals per key into maximal
+    * disjoint spans — availability windows, session stitching, CDC
+    * validity ranges. A new span starts where an interval's start
+    * exceeds the running max of all earlier ends (strictly — equal
+    * endpoints touch and therefore merge); spans number per key from
+    * 1 in start order. One window shuffle on the key; per-key state
+    * is the running max, never the interval list. Start/end are any
+    * orderable type — pass integer epoch micros for engine-exact
+    * results. Ties on (start, end) are safe: identical rows produce
+    * identical flags, so the grouping is order-independent. */
+  def coalesceIntervals(df: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(startCol).asc, col(endCol).asc)
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("span", sum(col("__new")).over(w))
+      .groupBy(col(keyCol), col("span"))
+      .agg(min(col(startCol)).as(startCol),
+        max(col(endCol)).as(endCol),
+        count(lit(1)).as("n_intervals"))
+  }
 }

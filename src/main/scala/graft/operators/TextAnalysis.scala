@@ -363,4 +363,34 @@ object TextAnalysis {
       .orderBy(col("bm25_milli").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Model-based quality filter: a linear classifier over exact
+    * integer features, scored in one narrow pass — the fastText-
+    * classifier ROLE (score every document, keep above threshold)
+    * with interpretable stub coefficients standing in for trained
+    * weights (this container has no model artifacts; production
+    * swaps the weight vector, the plumbing is identical). Features:
+    * capped token count (length prior), English function-word hits
+    * (fluency), distinct-token count (lexical diversity), normalized
+    * char length (penalizes unbroken blobs). Integer weights on
+    * integer features — the score and the keep label are
+    * engine-exact, no probability calibration floats anywhere. */
+  def linearQualityScore(df: DataFrame, textCol: String,
+      threshold: Long = 0L): DataFrame = {
+    val toks = graft.functions.tokens(col(textCol))
+    val fTokens = least(size(toks), lit(256)).cast("long")
+    val fStop = size(filter(toks,
+      t => t.isInCollection(profiles("en")))).cast("long")
+    val fDistinct = size(array_distinct(toks)).cast("long")
+    val fChars = length(graft.functions.normalizeText(col(textCol)))
+      .cast("long")
+    df.withColumn("f_tokens", fTokens)
+      .withColumn("f_stop", fStop)
+      .withColumn("f_distinct", fDistinct)
+      .withColumn("f_chars", fChars)
+      .withColumn("score",
+        col("f_tokens") * 4 + col("f_stop") * 30 +
+          col("f_distinct") * 8 - col("f_chars") - lit(200L))
+      .withColumn("keep", (col("score") >= threshold).cast("int"))
+  }
 }

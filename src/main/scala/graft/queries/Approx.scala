@@ -415,6 +415,41 @@ object Approx {
         .orderBy("bucket")
     },
 
+    // LAYOUT: zone-map statistics + the file-skipping decision. The
+    // zone map is the per-bucket (n, min, max) table a writer
+    // persists; zonesToRead evaluates a range predicate on x against
+    // it and returns only the zones that MIGHT hold matches — the
+    // planner-side pruning that makes z-ordered layouts pay off. The
+    // decision runs entirely on the bucket-count-sized zone table.
+    Q("q_z_zonemap", {
+      val zDuck = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT o_custkey % 65536 AS x,
+         |    (epoch_us(o_orderdate) // 86400000000) % 65536 AS y
+         |  FROM orders),
+         |z AS (SELECT x, y, ($zDuck) AS z FROM d),
+         |zm AS (SELECT z // 1048576 AS bucket, count(*) AS n,
+         |    min(x) AS min_x, max(x) AS max_x
+         |  FROM z GROUP BY 1)
+         |SELECT bucket, n, min_x, max_x FROM zm
+         |WHERE NOT (max_x < 100 OR min_x > 700)
+         |ORDER BY bucket""".stripMargin
+    }) { (s, d) =>
+      val base = t(s, d, "orders")
+        .select(
+          (col("o_custkey") % 65536).as("x"),
+          (expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
+            "div 86400000000") % 65536).as("y"))
+        .withColumn("z",
+          graft.operators.Layout.zOrderValue(col("x"), col("y"), 16))
+      graft.operators.Layout.zonesToRead(
+          graft.operators.Layout.zoneMap(base, expr("z div 1048576"),
+            Seq("x")),
+          "x", lit(100), lit(700))
+        .orderBy("bucket")
+    },
+
     // INCREMENTAL DEDUP: an arriving batch (doc_id % 3 == 0) deduped
     // against the historical corpus + itself, without self-joining
     // history — the ongoing-ingestion shape (history is a persisted

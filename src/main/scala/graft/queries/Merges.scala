@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.Merge
+import graft.operators.{Merge, Temporal}
 import graft.streaming.{Incremental, Sessionize}
 
 /** The mutation/merge [Q] inventory (SURVEY.md §2.6) plus the
@@ -226,6 +226,91 @@ object Merges {
       Incremental.mergeAggStates(Seq(half(0L), half(1L)),
           Seq("event_type"))
         .orderBy("event_type")
+    },
+
+    // INCREMENTAL: join-view delta maintenance — ΔJ = ΔA⋈B ∪ A⋈ΔB ∪
+    // ΔA⋈ΔB for insert-only delta batches (orders with key % 4 == 0,
+    // customers with key % 10 == 0 play the arriving batches). The
+    // oracle computes the same three-term union; MergeSpec asserts
+    // the law old ∪ ΔJ == full rebuild. The three terms are disjoint
+    // (each order row sits in exactly one A-side, its customer in
+    // exactly one B-side), so o_orderkey stays unique in the output.
+    Q("q_i7_join_delta",
+      """WITH oa AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 0),
+        |da AS (SELECT * FROM orders WHERE o_orderkey % 4 = 0),
+        |ob AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0),
+        |db AS (SELECT * FROM customer WHERE c_custkey % 10 = 0),
+        |dj AS (
+        |  SELECT o_orderkey, c_custkey, c_nationkey FROM da
+        |    JOIN ob ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT o_orderkey, c_custkey, c_nationkey FROM oa
+        |    JOIN db ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT o_orderkey, c_custkey, c_nationkey FROM da
+        |    JOIN db ON o_custkey = c_custkey)
+        |SELECT o_orderkey, c_custkey, c_nationkey FROM dj
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val ords = t(s, d, "orders")
+        .withColumnRenamed("o_custkey", "c_custkey")
+      val cust = t(s, d, "customer")
+      Incremental.joinDelta(
+          ords.filter(col("o_orderkey") % 4 =!= 0),
+          ords.filter(col("o_orderkey") % 4 === 0),
+          cust.filter(col("c_custkey") % 10 =!= 0),
+          cust.filter(col("c_custkey") % 10 === 0),
+          Seq("c_custkey"))
+        .select("o_orderkey", "c_custkey", "c_nationkey")
+        .orderBy("o_orderkey")
+    },
+
+    // INCREMENTAL: signed (Z-set) aggregate state — retractions as
+    // weight −1 states. Merging the full insert state with a
+    // retraction state for the 'error' rows must equal aggregating
+    // the surviving rows directly (the invertible-monoid law; min/max
+    // deliberately absent — not maintainable under deletes). The
+    // fully-retracted 'error' group leaves the view entirely.
+    Q("q_i8_retract",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    AS sum_micro
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val e = events(s, d)
+      Incremental.mergeSignedAggStates(Seq(
+          Incremental.signedAggState(e, Seq("event_type"), "value", 1),
+          Incremental.signedAggState(
+            e.filter(col("event_type") === "error"),
+            Seq("event_type"), "value", -1)),
+          Seq("event_type"))
+        .orderBy("event_type")
+    },
+
+    // TEMPORAL: coalesce overlapping intervals into maximal disjoint
+    // spans (30-minute activity windows per user stitched into
+    // availability ranges). Pure integer micros; a new span opens
+    // strictly after the running max of earlier ends.
+    Q("q_temporal_coalesce",
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts + INTERVAL 30 MINUTE) AS e_us FROM events),
+        |f AS (SELECT user_id, s_us, e_us,
+        |    CASE WHEN max(e_us) OVER w IS NULL
+        |      OR s_us > max(e_us) OVER w THEN 1 ELSE 0 END AS nw
+        |  FROM iv WINDOW w AS (PARTITION BY user_id ORDER BY s_us, e_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g AS (SELECT user_id, s_us, e_us,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+        |  FROM f)
+        |SELECT user_id, span, min(s_us) AS s_us, max(e_us) AS e_us,
+        |  count(*) AS n_intervals
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, span""".stripMargin) {
+      (s, d) =>
+      val iv = events(s, d).select(col("user_id"),
+        epochUs(col("ts")).as("s_us"),
+        (epochUs(col("ts")) + 1800000000L).as("e_us"))
+      Temporal.coalesceIntervals(iv, "user_id", "s_us", "e_us")
+        .orderBy("user_id", "span")
     },
 
     // STREAMING (batch-equivalent): SLIDING windows — every event

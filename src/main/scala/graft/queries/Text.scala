@@ -433,6 +433,35 @@ object Text {
         .orderBy("lang", "doc_id")
     },
 
+    // QUALITY MODEL: linear classifier over exact integer features —
+    // the fastText-classifier role (score every doc, keep above
+    // threshold) with interpretable stub weights; production swaps in
+    // trained coefficients, the scoring plumbing is identical. Both
+    // classes are populated at every graded SF (bias −200 splits the
+    // corpus near its median raw score).
+    Q("q_t_quality_lr",
+      s"""WITH f AS (SELECT doc_id,
+         |    LEAST(len($toksD), 256) AS f_tokens,
+         |    len(list_filter($toksD, t -> t IN (${inList("en")})))
+         |      AS f_stop,
+         |    len(list_distinct($toksD)) AS f_distinct,
+         |    length($normD) AS f_chars
+         |  FROM documents)
+         |SELECT doc_id, CAST(f_tokens AS BIGINT) AS f_tokens,
+         |  CAST(f_stop AS BIGINT) AS f_stop,
+         |  CAST(f_distinct AS BIGINT) AS f_distinct,
+         |  CAST(f_chars AS BIGINT) AS f_chars,
+         |  CAST(f_tokens*4 + f_stop*30 + f_distinct*8 - f_chars - 200
+         |    AS BIGINT) AS score,
+         |  CAST(CASE WHEN f_tokens*4 + f_stop*30 + f_distinct*8
+         |    - f_chars - 200 >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.linearQualityScore(t(s, d, "documents"), "text")
+        .select("doc_id", "f_tokens", "f_stop", "f_distinct",
+          "f_chars", "score", "keep")
+        .orderBy("doc_id")
+    },
+
     // CURATION: sqrt-temperature (T=2) language rebalancing — keep
     // budgets ∝ isqrt(n_lang), so the head language's share shrinks
     // and tail languages keep proportionally more (the standard

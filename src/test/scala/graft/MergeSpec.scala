@@ -203,4 +203,57 @@ class MergeSpec extends SparkSpec {
       .applyChangeLog(once, changes, Seq("k"), "ts", "op")
     assertSameRows(once, twice)
   }
+
+  test("signedAggState: insert ⊕ retract == state of survivors; zeroed groups vanish") {
+    val all = Seq((1L, "a", 1.5), (2L, "a", 2.5), (3L, "b", 3.5),
+      (4L, "b", 0.5)).toDF("id", "k", "v")
+    val dels = all.filter($"id" === 2L || $"id" === 3L)
+    val survivors = all.filter($"id" === 1L || $"id" === 4L)
+    val merged = Incremental.mergeSignedAggStates(Seq(
+      Incremental.signedAggState(all, Seq("k"), "v", 1),
+      Incremental.signedAggState(dels, Seq("k"), "v", -1)), Seq("k"))
+    assertSameRows(merged,
+      Incremental.signedAggState(survivors, Seq("k"), "v", 1))
+    // retracting every 'b' row removes the group from the view
+    val allB = all.filter($"k" === "b")
+    val gone = Incremental.mergeSignedAggStates(Seq(
+      Incremental.signedAggState(all, Seq("k"), "v", 1),
+      Incremental.signedAggState(allB, Seq("k"), "v", -1)), Seq("k"))
+    assert(gone.filter($"k" === "b").count() == 0L)
+    assert(gone.count() == 1L)
+  }
+
+  test("coalesceIntervals: overlap and touch merge, gaps split spans") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L),   // overlap → one span
+      (1L, 20L, 30L),                 // touches (equal endpoint) → merges
+      (1L, 40L, 50L),                 // gap → new span
+      (2L, 0L, 5L)).toDF("k", "s", "e")
+    val spans = graft.operators.Temporal
+      .coalesceIntervals(iv, "k", "s", "e")
+      .select("k", "span", "s", "e", "n_intervals")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set(
+      (1L, 1L, 0L, 30L, 3L),
+      (1L, 2L, 40L, 50L, 1L),
+      (2L, 1L, 0L, 5L, 1L)), spans)
+  }
+
+  test("joinDelta: old view ∪ delta == full rebuild (insert-only IVM law)") {
+    // keys overlap across old/delta on BOTH sides so every delta term
+    // (ΔA⋈B, A⋈ΔB, ΔA⋈ΔB) is non-empty
+    val oldA = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
+    val dA = Seq((2L, "a3"), (3L, "a4")).toDF("k", "av")
+    val oldB = Seq((1L, "b1"), (3L, "b2")).toDF("k", "bv")
+    val dB = Seq((2L, "b3"), (3L, "b4")).toDF("k", "bv")
+    val delta = Incremental.joinDelta(oldA, dA, oldB, dB, Seq("k"))
+    val oldView = oldA.join(oldB, Seq("k"))
+    val rebuilt = oldA.unionByName(dA)
+      .join(oldB.unionByName(dB), Seq("k"))
+    assertSameRows(oldView.unionByName(delta), rebuilt)
+    // empty deltas produce an empty view delta
+    val empty = Incremental.joinDelta(oldA, dA.limit(0), oldB,
+      dB.limit(0), Seq("k"))
+    assert(empty.count() == 0L)
+  }
 }

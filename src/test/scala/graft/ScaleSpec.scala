@@ -68,6 +68,23 @@ class ScaleSpec extends SparkSpec {
     q.stop()
   }
 
+  test("zoneMap pruning is sound: skipped zones hold no in-range rows") {
+    import spark.implicits._
+    val df = spark.range(1000).toDF("v")
+    val zones = graft.operators.Layout.zoneMap(df, expr("v div 100"),
+      Seq("v"))
+    assert(zones.count() == 10L)
+    val read = graft.operators.Layout
+      .zonesToRead(zones, "v", lit(250), lit(420))
+      .select("bucket").as[Long].collect().toSet
+    assert(read == Set(2L, 3L, 4L), s"zones read: $read")
+    // soundness: every bucket holding an in-range row was selected
+    val holding = df.filter(col("v").between(250, 420))
+      .select(expr("v div 100").as("b")).distinct()
+      .as[Long].collect().toSet
+    assert(holding.subsetOf(read))
+  }
+
   test("stream-static enrichment join agrees with the batch plan") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

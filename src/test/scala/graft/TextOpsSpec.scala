@@ -85,4 +85,18 @@ class TextOpsSpec extends SparkSpec {
       graft.operators.TextAnalysis.qualitySignals(docs, "doc_id", "text"),
       graft.operators.TextAnalysis.qualitySignalsHof(docs, "doc_id", "text"))
   }
+
+  test("linearQualityScore: fluent text beats a blob, empty text is rejected") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog lay in the sun by a tree"),
+      (2L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+      (3L, "")).toDF("doc_id", "text")
+    val scored = TextAnalysis.linearQualityScore(docs, "text")
+      .select("doc_id", "score", "keep")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(scored(1L)._1 > scored(2L)._1, scored)
+    assert(scored(1L)._2 == 1, scored)   // stopword-rich English kept
+    assert(scored(2L)._2 == 0, scored)   // unbroken blob rejected
+    assert(scored(3L)._1 == -200L && scored(3L)._2 == 0, scored)
+  }
 }
