@@ -157,4 +157,36 @@ object Merge {
     base.join(latest.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(survivors)
   }
+
+  /** CDC GENERATION — derive the change log that transforms snapshot
+    * `oldDf` into snapshot `newDf`, the inverse of [[applyChangeLog]]
+    * (law, spec'd: applying the derived log to old rebuilds new).
+    * One full-outer join on the key classifies each key: 'I' (only in
+    * new), 'D' (only in old), 'U' (both present, some value column
+    * differs under null-safe compare); unchanged keys emit nothing,
+    * so the log is delta-sized — the cheap thing to ship/replay when
+    * two 100 TB snapshots differ by a day of edits. Payload is the
+    * NEW side's row (nulls for 'D'); `ts` is the caller's batch
+    * stamp, constant within one generated log. */
+  def changeLogFromSnapshots(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String], tsValue: Long = 0L): DataFrame = {
+    require(oldDf.columns.sameElements(newDf.columns),
+      "snapshots must share one schema: " +
+        s"${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
+    val valueCols = oldDf.columns.filterNot(keys.contains).toSeq
+    val o = oldDf
+      .toDF(keys ++ valueCols.map("__o_" + _): _*)
+      .withColumn("__in_o", lit(1))
+    val n = newDf.withColumn("__in_n", lit(1))
+    val changed = valueCols.map(c => !(col(c) <=> col("__o_" + c)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keys, "full_outer")
+      .withColumn("op",
+        when(col("__in_o").isNull, "I")
+          .when(col("__in_n").isNull, "D")
+          .when(changed, "U"))
+      .filter(col("op").isNotNull)
+      .select((keys.map(col) ++ valueCols.map(col)
+        :+ col("op") :+ lit(tsValue).as("ts")): _*)
+  }
 }

@@ -294,6 +294,21 @@ object Sketches {
       .groupBy("key")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
 
+  /** Join-size estimate from two [[cmsBuild]] sketches over the join
+    * keys — the CMS inner-product (AMS-style) estimator: per depth
+    * row r, est_r = Σ_p cntA(r,p)·cntB(r,p); the estimate is
+    * min_r est_r, never below the true Σ_k a(k)·b(k) (collisions
+    * only add). Planner support at 100 TB: pick shuffle strategy,
+    * broadcast eligibility, or skew handling from two KB-sized
+    * sketches without touching either table. Exact-integer end to
+    * end, so the estimate itself is oracle-checkable. */
+  def cmsJoinSizeEstimate(cmsA: DataFrame, cmsB: DataFrame): DataFrame =
+    cmsA.select(col("r"), col("p"), col("cnt").as("cnt_a"))
+      .join(cmsB.select(col("r"), col("p"), col("cnt").as("cnt_b")),
+        Seq("r", "p"))
+      .groupBy("r").agg(sum(col("cnt_a") * col("cnt_b")).as("est"))
+      .agg(min("est").as("est_n"))
+
   /** Bloom-accelerated equi-join: build the filter on the small
     * side's keys, collect it (bits/32 longs — a few KB, the value a
     * real cluster broadcasts to every executor), and pre-filter the

@@ -188,6 +188,37 @@ object Approx {
         .orderBy("key")
     },
 
+    // SKETCH: join-size estimation from two CMS sketches (the
+    // inner-product estimator) — planner support: the orders⋈customer
+    // row count predicted from two KB sketches, next to the true
+    // count so the oracle also demonstrates est >= true. No table is
+    // touched by the estimate after the sketch builds.
+    Q("q_k_join_size",
+      s"""WITH ca AS (SELECT CAST(r.range AS BIGINT) AS r,
+         |    ${sqlHash60("'cms-' || r.range || ':' || CAST(o_custkey AS VARCHAR)")} % 2048 AS p,
+         |    count(*) AS cnt_a
+         |  FROM orders, range(0, 4) r GROUP BY 1, 2),
+         |cb AS (SELECT CAST(r.range AS BIGINT) AS r,
+         |    ${sqlHash60("'cms-' || r.range || ':' || CAST(c_custkey AS VARCHAR)")} % 2048 AS p,
+         |    count(*) AS cnt_b
+         |  FROM customer, range(0, 4) r GROUP BY 1, 2),
+         |e AS (SELECT r, sum(cnt_a * cnt_b) AS est
+         |  FROM ca JOIN cb USING (r, p) GROUP BY r),
+         |tr AS (SELECT count(*) AS true_n FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey)
+         |SELECT CAST(tr.true_n AS BIGINT) AS true_n,
+         |  CAST((SELECT min(est) FROM e) AS BIGINT) AS est_n
+         |FROM tr""".stripMargin) { (s, d) =>
+      val est = Sketches.cmsJoinSizeEstimate(
+        Sketches.cmsBuild(t(s, d, "orders"), "o_custkey", 2048, 4),
+        Sketches.cmsBuild(t(s, d, "customer"), "c_custkey", 2048, 4))
+      val truth = t(s, d, "orders")
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("true_n"))
+      truth.crossJoin(est)
+    },
+
     // SKETCH: mergeable fixed-bin histogram → quantile estimates.
     // The t-digest/KLL role (mergeable distributed quantiles) in an
     // oracle-checkable form: values quantized to exact integer cents,

@@ -264,6 +264,47 @@ object Merges {
         .orderBy("o_orderkey")
     },
 
+    // CDC GENERATION: derive the change log between two snapshots
+    // (deletes: key % 50, updates: key % 7 gets +10, inserts: key %
+    // 97 re-keyed +1e6) — the delta-sized artifact to ship instead of
+    // the new snapshot. MergeSpec asserts the round trip: applying
+    // the derived log to old rebuilds new.
+    Q("q_m11_cdc_gen",
+      """WITH oldt AS (SELECT c_custkey, c_acctbal FROM customer),
+        |newt AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 50 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal FROM customer
+        |  WHERE c_custkey % 97 = 0),
+        |j AS (SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+        |    o.c_custkey AS ok, n.c_custkey AS nk,
+        |    o.c_acctbal AS oa, n.c_acctbal AS na
+        |  FROM oldt o FULL OUTER JOIN newt n
+        |    ON o.c_custkey = n.c_custkey)
+        |SELECT c_custkey,
+        |  CASE WHEN ok IS NULL THEN 'I' WHEN nk IS NULL THEN 'D'
+        |       ELSE 'U' END AS op,
+        |  CASE WHEN nk IS NULL THEN NULL
+        |       ELSE CAST(floor(na * 100) AS BIGINT) END AS acct_cents
+        |FROM j
+        |WHERE ok IS NULL OR nk IS NULL OR oa IS DISTINCT FROM na
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val old = t(s, d, "customer").select("c_custkey", "c_acctbal")
+      val newSnap = old.filter(col("c_custkey") % 50 =!= 0)
+        .withColumn("c_acctbal", when(col("c_custkey") % 7 === 0,
+          col("c_acctbal") + 10).otherwise(col("c_acctbal")))
+        .unionByName(old.filter(col("c_custkey") % 97 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_acctbal")))
+      Merge.changeLogFromSnapshots(old, newSnap, Seq("c_custkey"))
+        .select(col("c_custkey"), col("op"),
+          floor(col("c_acctbal") * 100).cast("long").as("acct_cents"))
+        .orderBy("c_custkey")
+    },
+
     // INCREMENTAL: signed (Z-set) aggregate state — retractions as
     // weight −1 states. Merging the full insert state with a
     // retraction state for the 'error' rows must equal aggregating

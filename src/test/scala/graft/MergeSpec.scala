@@ -204,6 +204,21 @@ class MergeSpec extends SparkSpec {
     assertSameRows(once, twice)
   }
 
+  test("changeLogFromSnapshots round-trips: apply(derive(old, new), old) == new") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val neu = Seq((2L, "B"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val log = graft.operators.Merge
+      .changeLogFromSnapshots(old, neu, Seq("k"))
+    val ops = log.select("k", "op").as[(Long, String)].collect().toMap
+    assert(ops == Map(1L -> "D", 2L -> "U", 4L -> "I"), ops) // 3 unchanged
+    assertSameRows(
+      graft.operators.Merge.applyChangeLog(old, log, Seq("k"), "ts", "op"),
+      neu)
+    // identical snapshots derive an empty log
+    assert(graft.operators.Merge
+      .changeLogFromSnapshots(old, old, Seq("k")).count() == 0L)
+  }
+
   test("signedAggState: insert ⊕ retract == state of survivors; zeroed groups vanish") {
     val all = Seq((1L, "a", 1.5), (2L, "a", 2.5), (3L, "b", 3.5),
       (4L, "b", 0.5)).toDF("id", "k", "v")

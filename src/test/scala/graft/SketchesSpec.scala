@@ -33,6 +33,18 @@ class SketchesSpec extends SparkSpec {
     assertSameRows(a, b)
   }
 
+  test("cmsJoinSizeEstimate: never undercounts, tight when collision-free") {
+    val a = spark.range(100).toDF("k")                      // each key once
+    val b = spark.range(50).select((col("id") % 10).as("k")) // 0..9 ×5
+    val est = Sketches.cmsJoinSizeEstimate(
+        Sketches.cmsBuild(a, "k", 2048, 4),
+        Sketches.cmsBuild(b, "k", 2048, 4))
+      .select("est_n").as[Long].head()
+    // true join size: keys 0..9 contribute 1×5 each = 50
+    assert(est >= 50L, s"est=$est")
+    assert(est <= 60L, s"est=$est (collision mass too large)")
+  }
+
   test("histogram sketch: merge law — merge(hist(A), hist(B)) == hist(A ∪ B)") {
     val a = spark.range(0, 3000).toDF("v")
     val b = spark.range(2000, 7000).toDF("v")
