@@ -481,4 +481,42 @@ object Dedup {
       planes: Int, threshold: Double): DataFrame =
     Similarity.lshCosinePairs(df, idCol, vecCol, planes)
       .filter(col("cosine") >= threshold)
+
+  /** Fuzzy string pairs at edit distance ≤ 1 via deletion-neighborhood
+    * blocking (the FastSS scheme): each string's block keys are itself
+    * plus its length one-character-deletion variants; any two strings
+    * within edit distance 1 share at least one key, so candidates come
+    * from an equi-join on the key — never an all-pairs cross — and the
+    * exact levenshtein confirms. The fuzzy-equi-join a text-keyed
+    * merge (§2.3 J2) needs when keys carry typos. Fan-out is len+1
+    * keys per row (bound your key length upstream); like every
+    * blocking scheme, candidate volume concentrates on popular keys —
+    * `maxVariantDf` drops keys shared by more strings than that
+    * (same posture as the shingle df cap in [[ngramJaccardPairs]]).
+    * `idCol` must order consistently with string inequality for the
+    * dedup direction; pass the string itself as the id when in doubt. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxVariantDf: Int = 1000): DataFrame = {
+    val s = df.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .localCheckpoint(eager = false)
+    val keyed = s.select(col("id"), col("s"),
+        explode(array_union(array(col("s")),
+          transform(sequence(lit(1), length(col("s"))), i =>
+            concat(col("s").substr(lit(1), i - 1),
+              col("s").substr(i + 1, length(col("s"))))))).as("k"))
+      .distinct()
+    val rare = keyed.groupBy("k")
+      .agg(count(lit(1)).as("df_k"))
+      .filter(col("df_k") <= maxVariantDf)
+      .select("k")
+    val blocked = keyed.join(rare, Seq("k"), "left_semi")
+    blocked.select(col("k"), col("id").as("id_a"), col("s").as("s_a"))
+      .join(blocked.select(col("k"), col("id").as("id_b"),
+        col("s").as("s_b")), Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "s_a", "s_b").distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= 1)
+  }
 }

@@ -276,6 +276,33 @@ object Relational {
         .orderBy("r_name", "o_orderstatus")
     },
 
+    // J14: fuzzy string join — edit-distance ≤ 1 pairs over the
+    // distinct brand vocabulary via deletion-neighborhood blocking
+    // (FastSS): candidates share a deletion variant (equi-join, never
+    // all-pairs), exact levenshtein confirms. The typo-tolerant
+    // variant of the text-keyed join J2; both engines verify with
+    // their native levenshtein.
+    Q("q_j14_fuzzy_join",
+      """WITH b AS (SELECT DISTINCT p_brand AS s FROM part),
+        |v AS (SELECT DISTINCT s, unnest(list_append(
+        |    list_transform(range(1, length(s) + 1),
+        |      i -> substr(s, 1, i - 1) || substr(s, i + 1, length(s))),
+        |    s)) AS k FROM b),
+        |vc AS (SELECT k FROM v GROUP BY k HAVING count(*) <= 1000),
+        |bl AS (SELECT v.s, v.k FROM v JOIN vc USING (k)),
+        |p AS (SELECT DISTINCT a.s AS id_a, b2.s AS id_b
+        |  FROM bl a JOIN bl b2 ON a.k = b2.k AND a.s < b2.s)
+        |SELECT id_a, id_b,
+        |  CAST(levenshtein(id_a, id_b) AS INTEGER) AS dist
+        |FROM p WHERE levenshtein(id_a, id_b) <= 1
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val brands = t(s, d, "part").select(col("p_brand").as("s"))
+        .distinct().withColumn("bid", col("s"))
+      graft.operators.Dedup.editDistancePairs(brands, "bid", "s")
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    },
+
     // A1: global COUNT(*).
     Q("q_a1_count_star",
       "SELECT count(*) AS n FROM lineitem") { (s, d) =>

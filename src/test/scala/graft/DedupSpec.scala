@@ -402,6 +402,22 @@ class DedupSpec extends SparkSpec {
     assert(err(2L) == 0L)
   }
 
+  test("editDistancePairs: substitution/insert/delete neighbors, nothing else") {
+    import spark.implicits._
+    val words = Seq("cat", "bat", "cart", "ca", "dog")
+      .toDF("s").withColumn("id", $"s")
+    val pairs = Dedup.editDistancePairs(words, "id", "s")
+      .select("id_a", "id_b", "dist")
+      .as[(String, String, Int)].collect().toSet
+    // ca↔cart (dist 2) block together on "ca" but fail the exact
+    // verify; dog shares no block key with anything
+    assert(pairs == Set(
+      ("bat", "cat", 1),   // substitution
+      ("ca", "cat", 1),    // deletion
+      ("cart", "cat", 1)), // insertion
+      pairs)
+  }
+
   test("semDedupKeep: drops the higher id of each near-dup, keeps singletons") {
     import spark.implicits._
     // two tight near-dup groups on opposite axes + one unrelated vector
