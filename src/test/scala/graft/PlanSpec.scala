@@ -164,6 +164,29 @@ class PlanSpec extends SparkSpec {
       s"no cartesian in the triangle pipeline:\n$plan")
   }
 
+  test("round-4 additions: delta joins broadcast; semdedup verifies on the native kernel") {
+    // IVM join delta: history probes the broadcast delta, never a
+    // data-sized shuffle or cartesian
+    val pd = planOf("q_i7_join_delta")
+    assert(pd.contains("BroadcastHashJoin"),
+      s"delta joins must broadcast:\n$pd")
+    assert(!pd.contains("CartesianProduct"), s"no cartesian:\n$pd")
+    // SemDeDup: the Σ n_c² pair verify runs the codegen'd graft_dot,
+    // and pairs come from the cid equi-join (centroid broadcast is a
+    // deliberate 8-row BNL cross, not a data-sized cartesian)
+    val ps = planOf("q_v_semdedup")
+    assert(ps.contains("graft_dot"),
+      s"pair verify must use the native kernel:\n$ps")
+    assert(!ps.contains("CartesianProduct"), s"no cartesian:\n$ps")
+    // fuzzy join: deletion-variant blocking is an equi-join
+    val pf = planOf("q_j14_fuzzy_join")
+    assert(!pf.contains("CartesianProduct"), s"no cartesian:\n$pf")
+    // stream-static enrichment: the dim broadcasts
+    val pj = planOf("q_st_static_join")
+    assert(pj.contains("BroadcastHashJoin"),
+      s"static dim must broadcast:\n$pj")
+  }
+
   test("bloom pre-join filters the fact side before the join exchange") {
     import org.apache.spark.sql.functions._
     val big = spark.read.parquet(s"$sf/orders.parquet")
