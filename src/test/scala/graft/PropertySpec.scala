@@ -216,6 +216,80 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("histogram law: any split merges to the direct sketch; quantiles bound ranks") {
+    val data = samples(Gen.listOfN(200, Gen.choose(-500L, 5500L)), 3)
+    for (vals <- data) {
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val direct = graft.operators.Sketches.histBins(df, "v", 0L, 250L, 20)
+      val parts = (0 until 3).map(r => graft.operators.Sketches
+        .histBins(df.filter(col("id") % 3 === r), "v", 0L, 250L, 20))
+      assertSameRows(direct,
+        graft.operators.Sketches.histMerge(parts: _*))
+      // the q-milli upper edge covers at least q/1000 of the clamped mass
+      val est = graft.operators.Sketches
+        .histQuantiles(direct, 0L, 250L, Seq(500))
+        .select("est_hi").as[Long].head()
+      val clamped = vals.map(v => math.min(math.max(v, 0L), 19 * 250L))
+      val below = clamped.count(_ < est)
+      assert(below * 1000 >= 500 * vals.length,
+        s"edge $est covers $below/${vals.length}")
+    }
+  }
+
+  test("joinDelta law: old ∪ delta == rebuild for any random delta split") {
+    val data = samples(Gen.listOfN(80, for {
+      k <- Gen.choose(0L, 20L); v <- Gen.choose(0, 999)
+    } yield (k, v)), 3)
+    for (rows <- data) {
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("id", "k", "v")
+      val (oldA, dA) = (df.filter(col("id") % 2 === 0),
+        df.filter(col("id") % 2 === 1))
+      val (oldB, dB) = (df.filter(col("id") % 3 === 0)
+        .select(col("k"), col("v").as("w")),
+        df.filter(col("id") % 3 =!= 0)
+        .select(col("k"), col("v").as("w")))
+      val delta = graft.streaming.Incremental
+        .joinDelta(oldA, dA, oldB, dB, Seq("k"))
+      val rebuilt = oldA.unionByName(dA)
+        .join(oldB.unionByName(dB), Seq("k"))
+      assertSameRows(
+        oldA.join(oldB, Seq("k")).unionByName(delta), rebuilt)
+    }
+  }
+
+  test("coalesceIntervals law: spans are disjoint and cover every interval") {
+    val data = samples(Gen.listOfN(60, for {
+      k <- Gen.choose(0L, 4L); s <- Gen.choose(0L, 500L)
+      len <- Gen.choose(0L, 120L)
+    } yield (k, s, s + len)), 3)
+    for (ivs <- data) {
+      val spans = graft.operators.Temporal
+        .coalesceIntervals(ivs.toDF("k", "s", "e"), "k", "s", "e")
+        .select("k", "span", "s", "e", "n_intervals")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      // disjoint and strictly ordered within each key
+      for ((k, group) <- spans.groupBy(_._1)) {
+        val sorted = group.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._4 < b._3,
+            s"key $k spans must be disjoint: $a $b")
+          case _ =>
+        }
+      }
+      // every interval lies inside exactly one span of its key
+      for ((k, s, e) <- ivs) {
+        val hosts = spans.filter(sp =>
+          sp._1 == k && sp._3 <= s && e <= sp._4)
+        assert(hosts.length == 1, s"($k,$s,$e) in ${hosts.length} spans")
+      }
+      // interval counts per key add up
+      assert(spans.map(_._5).sum == ivs.length.toLong)
+    }
+  }
+
   test("triangle law: per-node counts sum to 3x the triangle total") {
     val edgeSets = samples(Gen.listOfN(60, for {
       a <- Gen.choose(0L, 14L); b <- Gen.choose(0L, 14L)
