@@ -433,6 +433,46 @@ object Text {
         .orderBy("lang", "doc_id")
     },
 
+    // E2E INCREMENTAL REFRESH: the arriving-batch path of a corpus
+    // pipeline as ONE composed plan — ledger anti-join (only unseen
+    // doc ids proceed), model-based quality filter, then exact-
+    // content dedup against the existing corpus (md5 of normalized
+    // text). Three stages, three scale-safe shapes: anti equi-join,
+    // narrow scoring pass, fingerprint anti equi-join — the arriving
+    // batch is the only side that ever re-shuffles.
+    Q("q_e2e_refresh",
+      s"""WITH existing AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         |batch AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+         |fresh AS (SELECT b.* FROM batch b WHERE NOT EXISTS
+         |  (SELECT 1 FROM existing e WHERE e.doc_id = b.doc_id)),
+         |q AS (SELECT doc_id, lang, text,
+         |    LEAST(len($toksD), 256) * 4
+         |    + len(list_filter($toksD, t -> t IN (${inList("en")}))) * 30
+         |    + len(list_distinct($toksD)) * 8
+         |    - length($normD) - 200 AS score
+         |  FROM fresh),
+         |kept AS (SELECT * FROM q WHERE score >= 0),
+         |ded AS (SELECT k.* FROM kept k WHERE NOT EXISTS
+         |  (SELECT 1 FROM existing e
+         |   WHERE md5(${sqlNormText("e.text")}) = md5(${sqlNormText("k.text")})))
+         |SELECT doc_id, lang, CAST(score AS BIGINT) AS score
+         |FROM ded ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      val fresh = graft.streaming.Incremental
+        .newItems(batch, existing, Seq("doc_id"))
+      val kept = TextAnalysis.linearQualityScore(fresh, "text")
+        .filter(col("keep") === 1)
+      kept.withColumn("__fp", TextAnalysis.contentFingerprint(col("text")))
+        .join(existing
+          .select(TextAnalysis.contentFingerprint(col("text")).as("__fp"))
+          .distinct(),
+          Seq("__fp"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("score"))
+        .orderBy("doc_id")
+    },
+
     // QUALITY MODEL: linear classifier over exact integer features —
     // the fastText-classifier role (score every doc, keep above
     // threshold) with interpretable stub weights; production swaps in
