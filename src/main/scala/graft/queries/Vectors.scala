@@ -490,6 +490,53 @@ object Vectors {
         centroids, 3, 10)
     },
 
+    // CLASS PROTOTYPES: per-label embedding centroids (the
+    // prototype-classifier / drift-monitoring primitive). Same
+    // id-ordered per-dimension mean fold as k-means, so the doubles
+    // are bit-identical; unnested to scalar (label, dim, v, n) rows.
+    Q("q_v_label_centroids",
+      s"""WITH m AS (SELECT label, list(embedding ORDER BY vec_id) AS ms,
+         |    count(*) AS n FROM embeddings GROUP BY label),
+         |c AS (SELECT label,
+         |    [${(1 to 64).map(sqlMeanDim).mkString(", ")}] AS cv, n
+         |  FROM m)
+         |SELECT label, CAST(d.range AS INTEGER) AS dim,
+         |  CAST(cv[CAST(d.range AS INTEGER)] AS DOUBLE) AS v, n
+         |FROM c, range(1, 65) d ORDER BY label, dim""".stripMargin) {
+      (s, d) =>
+      Similarity.groupCentroids(t(s, d, "embeddings"), "label",
+          "vec_id", "embedding", 64)
+        .select(col("label"), col("n"), posexplode(col("cv")))
+        .select(col("label"), (col("pos") + 1).cast("int").as("dim"),
+          col("col").as("v"), col("n"))
+        .orderBy("label", "dim")
+    },
+
+    // KNN CLASSIFICATION: majority label of the 10 nearest neighbors
+    // (self excluded, ties to the smallest label) for three query
+    // vectors — similarity search composed into prediction.
+    Q("q_v_knn_classify",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 3),
+         |dd AS (SELECT q.qid, e.vec_id, e.label,
+         |    ${sqlCosine("e.embedding", "q.qv")} AS cosine
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+         |r AS (SELECT qid, label, vec_id,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, vec_id) AS rn FROM dd),
+         |v AS (SELECT qid, label, count(*) AS votes FROM r
+         |  WHERE rn <= 10 GROUP BY 1, 2),
+         |p AS (SELECT qid, label, votes, row_number() OVER (
+         |    PARTITION BY qid ORDER BY votes DESC, label) AS rk FROM v)
+         |SELECT qid, label AS pred_label, CAST(votes AS BIGINT) AS votes
+         |FROM p WHERE rk = 1 ORDER BY qid""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.knnClassify(emb, "vec_id", "embedding", "label", q, 10)
+        .orderBy("qid")
+    },
+
     // SemDeDup (cluster-then-cosine semantic dedup): k-means-trained
     // clusters bound the all-pairs cosine to Σ n_c² intra-cluster
     // comparisons; a vector is dropped iff a smaller-id neighbor in

@@ -418,6 +418,25 @@ class DedupSpec extends SparkSpec {
       pairs)
   }
 
+  test("knnClassify: majority of the true cluster wins; self is excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // label 1 hugs the x-axis, label 2 the y-axis
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 1), (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.95f, 0.05f), 1),
+      (4L, Array(0.0f, 1.0f), 2), (5L, Array(0.1f, 0.9f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val q = corpus.filter($"vec_id" === 1L)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val pred = Similarity.knnClassify(corpus, "vec_id", "embedding",
+        "label", q, 3)
+      .as[(Long, Int, Long)].collect()
+    assert(pred.sameElements(Array((1L, 1, 2L))),
+      s"x-axis query must vote label 1 with its 2 x-axis neighbors " +
+        s"(self excluded): ${pred.toSeq}")
+  }
+
   test("semDedupKeep: drops the higher id of each near-dup, keeps singletons") {
     import spark.implicits._
     // two tight near-dup groups on opposite axes + one unrelated vector
