@@ -48,7 +48,11 @@ object Bench {
     "q_g_pagerank",           // iterative graph (fixed-point PageRank)
     "q_g_triangles",          // wedge-join triangle counting
     "q_v_ivfpq_topk",         // composed IVF routing + PQ ADC scoring
-    "q_e2e_search"            // hybrid retrieval composition
+    "q_e2e_search",           // hybrid retrieval composition
+    "q_v_semdedup",           // SemDeDup cluster-then-cosine
+    "q_i7_join_delta",        // incremental join-view maintenance
+    "q_k_quantile_hist",      // mergeable histogram quantiles
+    "q_e2e_refresh"           // incremental corpus refresh composition
   )
 
   def main(args: Array[String]): Unit = {

@@ -512,6 +512,37 @@ object Vectors {
         .orderBy("label", "dim")
     },
 
+    // EMBEDDING DRIFT: per-label cosine between the even-id snapshot's
+    // centroid and the odd-id snapshot's — the monitoring signal that
+    // catches encoder retrains / poisoned batches / domain shift.
+    // Centroids use the id-ordered mean fold; the drift cosine folds
+    // the two double centroids left-to-right on both engines.
+    Q("q_v_centroid_drift",
+      s"""WITH mr AS (SELECT label, list(embedding ORDER BY vec_id) AS ms,
+         |    count(*) AS n FROM embeddings WHERE vec_id % 2 = 0
+         |  GROUP BY label),
+         |cr AS (SELECT label,
+         |    [${(1 to 64).map(sqlMeanDim).mkString(", ")}] AS cv, n
+         |  FROM mr),
+         |mc AS (SELECT label, list(embedding ORDER BY vec_id) AS ms,
+         |    count(*) AS n FROM embeddings WHERE vec_id % 2 = 1
+         |  GROUP BY label),
+         |cc AS (SELECT label,
+         |    [${(1 to 64).map(sqlMeanDim).mkString(", ")}] AS cv, n
+         |  FROM mc)
+         |SELECT r.label, CAST(r.n AS BIGINT) AS n_ref,
+         |  CAST(c.n AS BIGINT) AS n_cur,
+         |  ${sqlCosine("r.cv", "c.cv")} AS drift_cos
+         |FROM cr r JOIN cc c USING (label)
+         |ORDER BY label""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.centroidDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "label", "vec_id", "embedding", 64)
+        .orderBy("label")
+    },
+
     // KNN CLASSIFICATION: majority label of the 10 nearest neighbors
     // (self excluded, ties to the smallest label) for three query
     // vectors — similarity search composed into prediction.

@@ -418,6 +418,25 @@ class DedupSpec extends SparkSpec {
       pairs)
   }
 
+  test("centroidDrift: identical snapshots sit at cosine ~1, disjoint axes near 0") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 1), (2L, Array(0.8f, 0.2f), 1),
+      (3L, Array(0.0f, 1.0f), 2), (4L, Array(0.2f, 0.8f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val same = Similarity.centroidDrift(emb, emb, "label", "vec_id",
+        "embedding", 2)
+      .select("drift_cos").as[Double].collect()
+    assert(same.forall(d => math.abs(d - 1.0) < 1e-12), same.toSeq)
+    // swap the labels on one side: centroids land on opposite axes
+    val swapped = emb.withColumn("label",
+      org.apache.spark.sql.functions.expr("3 - label"))
+    val far = Similarity.centroidDrift(emb, swapped, "label", "vec_id",
+        "embedding", 2)
+      .select("drift_cos").as[Double].collect()
+    assert(far.forall(_ < 0.6), far.toSeq)
+  }
+
   test("knnClassify: majority of the true cluster wins; self is excluded") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
