@@ -512,6 +512,31 @@ object Vectors {
         .orderBy("label", "dim")
     },
 
+    // HARD NEGATIVES: per anchor, the 5 most-similar vectors with a
+    // DIFFERENT label — the contrastive-training miner (random
+    // negatives are trivially separable; these are the ones that move
+    // the loss). Anchor set broadcast; one corpus scan.
+    Q("q_v_hard_negatives",
+      s"""WITH a AS (SELECT vec_id AS qid, embedding AS qv,
+         |    label AS qlabel FROM embeddings WHERE vec_id < 3),
+         |dd AS (SELECT a.qid, e.vec_id,
+         |    ${sqlCosine("e.embedding", "a.qv")} AS cosine
+         |  FROM embeddings e, a
+         |  WHERE e.vec_id <> a.qid AND e.label <> a.qlabel),
+         |r AS (SELECT qid, vec_id, cosine, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM dd)
+         |SELECT qid, vec_id AS neg_id, cosine FROM r WHERE rn <= 5
+         |ORDER BY qid, neg_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val anchors = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+          anchors, 5)
+        .orderBy("qid", "neg_id")
+    },
+
     // EMBEDDING DRIFT: per-label cosine between the even-id snapshot's
     // centroid and the odd-id snapshot's — the monitoring signal that
     // catches encoder retrains / poisoned batches / domain shift.

@@ -418,6 +418,24 @@ class DedupSpec extends SparkSpec {
       pairs)
   }
 
+  test("hardNegatives: never the anchor's own label, ranked by similarity") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 1), (2L, Array(0.99f, 0.01f), 1),
+      (3L, Array(0.9f, 0.1f), 2), (4L, Array(0.5f, 0.5f), 2),
+      (5L, Array(0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = corpus.filter($"vec_id" === 1L)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"),
+        $"label".as("qlabel"))
+    val negs = Similarity.hardNegatives(corpus, "vec_id", "embedding",
+        "label", anchors, 2)
+      .select("qid", "neg_id").as[(Long, Long)].collect().toSeq
+    // id 2 shares the anchor's label — excluded even though nearest;
+    // the two hardest label-2 negatives are 3 then 4
+    assert(negs == Seq((1L, 3L), (1L, 4L)), negs)
+  }
+
   test("centroidDrift: identical snapshots sit at cosine ~1, disjoint axes near 0") {
     import spark.implicits._
     val emb = Seq(
