@@ -91,5 +91,54 @@ object SqlSurface {
         |JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name
-        |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin))
+        |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin),
+
+    // TPC-H-Q12-shaped: priority CASE sums under a timestamp range
+    // predicate — pins date-literal comparison and conditional
+    // aggregation in the shared dialect. The Spark view converts the
+    // parquet TIMESTAMP(NANOS) column (read as long under
+    // nanosAsLong) to a real timestamp so one SQL text serves both
+    // engines (the same plumbing as the `events` loader).
+    Q("q_sql_case_sums",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+      val li = t(s, d, "lineitem")
+      val fixed = li.schema("l_shipdate").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          li.withColumn("l_shipdate", org.apache.spark.sql.functions
+            .timestamp_micros(org.apache.spark.sql.functions
+              .expr("l_shipdate div 1000")))
+        case _ => li.withColumn("l_shipdate",
+          org.apache.spark.sql.functions.col("l_shipdate")
+            .cast("timestamp"))
+      }
+      fixed.createOrReplaceTempView("lineitem")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(SparkEntryHelp.sqlOf("q_sql_case_sums"))
+    },
+
+    // Set operation through SQL text: customers holding BOTH open and
+    // fulfilled orders (INTERSECT dedups on both engines).
+    sqlQ("q_sql_intersect", Seq("orders"),
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin))
+}
+
+/** Lookup of this module's own oracle SQL by name, so a Spark side
+  * with custom view preparation can still execute the IDENTICAL
+  * text the oracle runs. */
+private object SparkEntryHelp {
+  def sqlOf(name: String): String =
+    SqlSurface.all.find(_.name == name).flatMap(_.oracle)
+      .getOrElse(sys.error(s"no oracle sql for $name"))
 }
