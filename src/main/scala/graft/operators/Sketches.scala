@@ -180,6 +180,28 @@ object Sketches {
       .orderBy("q_milli")
   }
 
+  /** Winsorize via the histogram sketch: clamp values into the
+    * [qLo, qHi] quantile band whose edges come off [[histQuantiles]]
+    * — robust-statistics clipping with no global sort anywhere. The
+    * edge frame is ONE broadcast row; the clip itself is a narrow
+    * map, so winsorizing a 100 TB column costs the histogram pass
+    * plus a scan. Appends `<valueCol>_clipped`. */
+  def clipToQuantiles(df: DataFrame, valueCol: String, lo: Long,
+      width: Long, nBins: Int, qLoMilli: Int,
+      qHiMilli: Int): DataFrame = {
+    val edges =
+      histQuantiles(histBins(df, valueCol, lo, width, nBins),
+        lo, width, Seq(qLoMilli, qHiMilli))
+      .agg(
+        min(when(col("q_milli") === qLoMilli, col("est_hi")))
+          .as("lo_edge"),
+        min(when(col("q_milli") === qHiMilli, col("est_hi")))
+          .as("hi_edge"))
+    df.crossJoin(broadcast(edges))
+      .withColumn(s"${valueCol}_clipped",
+        least(greatest(col(valueCol), col("lo_edge")), col("hi_edge")))
+  }
+
   /** K-minimum-values distinct sketch: the k smallest distinct hash
     * values of `col`. The sketch IS the rows (mergeable: union +
     * re-take-k). Spark plans the orderBy+limit as

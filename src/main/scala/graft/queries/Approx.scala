@@ -245,6 +245,50 @@ object Approx {
         0L, 2500L, Seq(500, 900, 990))
     },
 
+    // SKETCH → TRANSFORM: winsorize events.value into the [p5, p95]
+    // histogram-edge band — outlier clipping with no global sort; the
+    // edge frame is one broadcast row and the clip is a narrow map.
+    // Reported per event type with below/above clip counts so the
+    // oracle also verifies WHERE the mass was clamped.
+    Q("q_k_winsorize",
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT LEAST(GREATEST((cents - 0) // 2500, 0), 19) AS bin,
+        |  count(*) AS n FROM c GROUP BY 1),
+        |cum AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS cum FROM b),
+        |t AS (SELECT sum(n) AS tot FROM b),
+        |q AS (SELECT unnest([50, 950]) AS q_milli),
+        |e AS (SELECT q_milli, (min(bin) + 1) * 2500 AS est
+        |  FROM cum, t, q WHERE cum * 1000 >= q_milli * tot
+        |  GROUP BY q_milli),
+        |ed AS (SELECT
+        |    min(CASE WHEN q_milli = 50 THEN est END) AS lo_edge,
+        |    min(CASE WHEN q_milli = 950 THEN est END) AS hi_edge
+        |  FROM e)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(LEAST(GREATEST(cents, lo_edge), hi_edge)) AS BIGINT)
+        |    AS sum_clipped,
+        |  CAST(sum(CASE WHEN cents < lo_edge THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_below,
+        |  CAST(sum(CASE WHEN cents > hi_edge THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_above
+        |FROM c, ed GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val cents = events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      Sketches.clipToQuantiles(cents, "cents", 0L, 2500L, 20, 50, 950)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents_clipped")).as("sum_clipped"),
+          sum(when(col("cents") < col("lo_edge"), 1L).otherwise(0L))
+            .as("n_below"),
+          sum(when(col("cents") > col("hi_edge"), 1L).otherwise(0L))
+            .as("n_above"))
+        .orderBy("event_type")
+    },
+
     // GRAPH: 3-iteration PageRank over the props.k transition graph
     // (edge = consecutive events of one user). Integer fixed-point
     // ranks: sums are exact and order-free, so the result is

@@ -290,6 +290,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs completeness: equals brute-force ED ≤ 1 on random strings") {
+    val wordGen = for {
+      n <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val sets = samples(Gen.listOfN(30, wordGen).map(_.distinct), 3)
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (words <- sets) {
+      val df = words.toDF("s").withColumn("id", col("s"))
+      val found = graft.operators.Dedup.editDistancePairs(df, "id", "s")
+        .select("id_a", "id_b").as[(String, String)].collect().toSet
+      val expected = (for {
+        a <- words; b <- words if a < b && ed(a, b) <= 1
+      } yield (a, b)).toSet
+      assert(found == expected,
+        s"missing=${expected -- found} extra=${found -- expected}")
+    }
+  }
+
   test("triangle law: per-node counts sum to 3x the triangle total") {
     val edgeSets = samples(Gen.listOfN(60, for {
       a <- Gen.choose(0L, 14L); b <- Gen.choose(0L, 14L)
