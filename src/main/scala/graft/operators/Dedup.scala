@@ -482,6 +482,28 @@ object Dedup {
     Similarity.lshCosinePairs(df, idCol, vecCol, planes)
       .filter(col("cosine") >= threshold)
 
+  /** Cross-source duplication matrix: near-dup pair counts keyed by
+    * the unordered (source, source) pair — the curation diagnostic
+    * that says WHERE duplication lives (mirrors/scrapes duplicate
+    * ACROSS sources; template boilerplate duplicates WITHIN one).
+    * Consumes any id-pair table (MinHash-LSH, simhash, embedding
+    * near-dup); two id-keyed joins against the docs table, then a
+    * |sources|²-row aggregate — the matrix is dimension-table-sized
+    * at any corpus scale. */
+  def dupSourceMatrix(pairs: DataFrame, docs: DataFrame,
+      idCol: String, srcCol: String): DataFrame = {
+    val d = docs.select(col(idCol), col(srcCol))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(d.select(col(idCol).as("id_a"), col(srcCol).as("__sa")),
+        Seq("id_a"))
+      .join(d.select(col(idCol).as("id_b"), col(srcCol).as("__sb")),
+        Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Fuzzy string pairs at edit distance ≤ 1 via deletion-neighborhood
     * blocking (the FastSS scheme): each string's block keys are itself
     * plus its length one-character-deletion variants; any two strings

@@ -267,6 +267,65 @@ object Text {
         .orderBy("id_a", "id_b")
     },
 
+    // DEDUP DIAGNOSTIC: cross-source duplication matrix — where do
+    // near-dups live? Counts LSH candidate pairs by unordered source
+    // pair (off-diagonal = mirrors/scrapes across sources, diagonal =
+    // in-source boilerplate). Reuses the materialized LSH pair table;
+    // the matrix itself is |sources|²-bounded.
+    Q("q_d_dup_matrix",
+      sigCte +
+        """, banded AS (SELECT doc_id AS id, sig,
+          |    unnest([0,1,2,3]) AS band FROM sig),
+          |bkt0 AS (SELECT id, sig, band,
+          |  md5(concat_ws(',', band,
+          |    array_to_string(sig[band*2+1:band*2+2], ','))) AS bucket
+          |  FROM banded),
+          |small AS (SELECT band, bucket FROM bkt0
+          |          GROUP BY 1, 2 HAVING count(*) <= 1000),
+          |bkt AS (SELECT bkt0.* FROM bkt0
+          |        JOIN small ON bkt0.band = small.band
+          |                  AND bkt0.bucket = small.bucket),
+          |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          |      FROM bkt a JOIN bkt b
+          |        ON a.band = b.band AND a.bucket = b.bucket
+          |        AND a.id < b.id)
+          |SELECT LEAST(da.source, db.source) AS src_a,
+          |  GREATEST(da.source, db.source) AS src_b,
+          |  count(*) AS n_pairs
+          |FROM p JOIN documents da ON p.id_a = da.doc_id
+          |       JOIN documents db ON p.id_b = db.doc_id
+          |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      Dedup.dupSourceMatrix(lshPairs(s, d),
+          t(s, d, "documents"), "doc_id", "source")
+        .orderBy("src_a", "src_b")
+    },
+
+    // COHORT RETENTION: whole-day gap between each user's first
+    // signup and first purchase (integer micros division — no
+    // calendar arithmetic to disagree on), bucketed into a
+    // days→users curve. Two tiny per-type aggregates and a user-keyed
+    // join; the events table streams through once per leg.
+    Q("q_cohort_retention",
+      """WITH su AS (SELECT user_id, min(epoch_us(ts)) AS s_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT user_id, min(epoch_us(ts)) AS p_us
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |j AS (SELECT su.user_id, (p_us - s_us) // 86400000000 AS days
+        |  FROM su JOIN pu USING (user_id) WHERE p_us >= s_us)
+        |SELECT days, count(*) AS n_users FROM j
+        |GROUP BY 1 ORDER BY days""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(epochUs(col("ts"))).as("s_us"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(epochUs(col("ts"))).as("p_us"))
+      su.join(pu, Seq("user_id"))
+        .filter(col("p_us") >= col("s_us"))
+        .select(expr("(p_us - s_us) div 86400000000").as("days"))
+        .groupBy("days").agg(count(lit(1)).as("n_users"))
+        .orderBy("days")
+    },
+
     // DEDUP: exact bigram Jaccard with document-frequency cap.
     Q("q_d_ngram_jaccard_pairs",
       s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
