@@ -516,10 +516,16 @@ object Dedup {
     * `maxVariantDf` drops keys shared by more strings than that
     * (same posture as the shingle df cap in [[ngramJaccardPairs]]).
     * `idCol` must order consistently with string inequality for the
-    * dedup direction; pass the string itself as the id when in doubt. */
+    * dedup direction; pass the string itself as the id when in doubt.
+    * Strings longer than `maxLen` are EXCLUDED, not truncated: the
+    * deletion neighborhood is len+1 keys per row, so one unbounded
+    * document-sized value would dominate the explode — fuzzy JOIN
+    * KEYS (names, codes, brands) are short by nature, and a silent
+    * truncation would fabricate false ED-1 matches. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-      maxVariantDf: Int = 1000): DataFrame = {
-    val s = df.filter(col(strCol).isNotNull)
+      maxVariantDf: Int = 1000, maxLen: Int = 64): DataFrame = {
+    val s = df.filter(col(strCol).isNotNull &&
+        length(col(strCol)) <= maxLen)
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .localCheckpoint(eager = false)
     val keyed = s.select(col("id"), col("s"),

@@ -416,6 +416,13 @@ class DedupSpec extends SparkSpec {
       ("ca", "cat", 1),    // deletion
       ("cart", "cat", 1)), // insertion
       pairs)
+    // over-length keys are excluded, never truncated (truncation
+    // would fabricate false ED-1 matches)
+    val long = (Seq("cat", "x" * 100, "x" * 100 + "y"))
+      .toDF("s").withColumn("id", $"s")
+    assert(Dedup.editDistancePairs(long, "id", "s").count() == 0L)
+    assert(Dedup.editDistancePairs(long, "id", "s",
+      maxLen = 200).count() == 1L)
   }
 
   test("hardNegatives: never the anchor's own label, ranked by similarity") {
