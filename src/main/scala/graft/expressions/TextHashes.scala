@@ -23,17 +23,21 @@ object Md5Fold {
     java.lang.ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
-  /** hash31 of raw UTF-8 bytes: top 60 bits of the md5 digest
-    * (= first 15 hex chars base-16 decoded), mod 2^31-1. */
-  def hash31(bytes: Array[Byte]): Long = {
+  /** hash60 of raw UTF-8 bytes: top 60 bits of the md5 digest
+    * (= first 15 hex chars base-16 decoded) — the JVM mirror of
+    * graft.functions.hash60. */
+  def hash60(bytes: Array[Byte]): Long = {
     val md = digests.get()
     md.reset()
     val d = md.digest(bytes)
     var top = 0L
     var i = 0
     while (i < 8) { top = (top << 8) | (d(i) & 0xffL); i += 1 }
-    (top >>> 4) % P
+    top >>> 4
   }
+
+  /** hash31 of raw UTF-8 bytes: [[hash60]] mod 2^31-1. */
+  def hash31(bytes: Array[Byte]): Long = hash60(bytes) % P
 
   /** Ordered polynomial fold over a token array:
     * acc = (acc*31 + hash31(tok)) mod P; empty array folds to 0.

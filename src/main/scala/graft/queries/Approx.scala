@@ -71,6 +71,34 @@ object Approx {
       Sketches.hllEstimate(t(s, d, "orders"), "o_orderkey", 256)
     },
 
+    // SKETCH: the SAME HLL estimate through the native one-pass
+    // typed-imperative aggregate (graft_hll_regs) — registers are
+    // bit-identical to the declarative build (parity spec'd), so the
+    // oracle is the identical SQL; what changes is the shuffle: one
+    // m-byte buffer per partition instead of a DISTINCT of every
+    // salted hash. Same answer, sketch-sized exchange.
+    Q("q_k_hll_native",
+      s"""WITH h AS (SELECT DISTINCT ${h60("hll", "o_orderkey")} AS hv
+         |    FROM orders),
+         |b AS (SELECT hv % 256 AS bucket, hv // 256 AS v FROM h),
+         |r AS (SELECT bucket, MAX(CASE WHEN v = 0 THEN 53
+         |    ELSE 53 - length(bin(v)) END) AS rho FROM b GROUP BY bucket),
+         |l AS (SELECT list(rho ORDER BY bucket) AS rhos,
+         |    CAST(count(*) AS BIGINT) AS nb FROM r),
+         |s AS (SELECT nb, list_reduce(
+         |    list_prepend(0.0, [power(2.0, -CAST(x AS DOUBLE)) for x in rhos]),
+         |    (a, x) -> a + x) + CAST(256 - nb AS DOUBLE) AS harmonic_sum
+         |  FROM l)
+         |SELECT CAST(256 AS BIGINT) AS m, nb AS nonzero_buckets,
+         |  harmonic_sum,
+         |  (0.7213 / (1 + 1.079 / 256)) * CAST(256 AS DOUBLE)
+         |    * CAST(256 AS DOUBLE) / harmonic_sum AS estimate
+         |FROM s""".stripMargin) { (s, d) =>
+      Sketches.hllEstimateFrom(
+        Sketches.hllRegistersNative(t(s, d, "orders"), "o_orderkey", 256),
+        256)
+    },
+
     // SKETCH: per-GROUP HLL — approximate distinct users PER DAY
     // (m=32 registers per day; ~134 users/day keeps every group in
     // the raw regime n > 2.5m). The grouped register shuffle carries

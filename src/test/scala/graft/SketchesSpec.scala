@@ -33,6 +33,24 @@ class SketchesSpec extends SparkSpec {
     assertSameRows(a, b)
   }
 
+  test("native hll aggregate: registers bit-identical to the declarative build") {
+    for (m <- Seq(64, 256)) {
+      val declarative = Sketches.hllRegisters(range(5000), "v", m)
+      val native = Sketches.hllRegistersNative(range(5000), "v", m)
+      assertSameRows(declarative, native)
+      // partition-independent (merge = bytewise max is order-free)
+      assertSameRows(native,
+        Sketches.hllRegistersNative(range(5000).repartition(7), "v", m))
+    }
+    // and therefore the estimates agree exactly
+    val e1 = Sketches.hllEstimate(range(20000), "v", 256)
+      .select("estimate").as[Double].head()
+    val e2 = Sketches.hllEstimateFrom(
+      Sketches.hllRegistersNative(range(20000), "v", 256), 256)
+      .select("estimate").as[Double].head()
+    assert(e1 == e2, s"$e1 != $e2")
+  }
+
   test("cmsJoinSizeEstimate: never undercounts, tight when collision-free") {
     val a = spark.range(100).toDF("k")                      // each key once
     val b = spark.range(50).select((col("id") % 10).as("k")) // 0..9 ×5
