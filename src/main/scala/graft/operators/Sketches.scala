@@ -144,6 +144,35 @@ object Sketches {
           / col("harmonic_sum"))
   }
 
+  /** Per-group HLL through the native one-pass aggregate: ONE grouped
+    * aggregation whose partial state is the m-byte buffer per group —
+    * the exchange carries |groups| buffers, versus the declarative
+    * [[hllEstimateByGroup]]'s distinct over every (group, hash) pair
+    * followed by a |groups| × m register shuffle. The harmonic fold
+    * filters to nonzero registers IN BUCKET ORDER before summing and
+    * adds the empty-bucket mass as one exact term — the identical
+    * summation order to the declarative path, so estimates are
+    * bit-equal (parity spec'd). */
+  def hllEstimateByGroupNative(df: DataFrame, groupCol: String,
+      valueCol: String, m: Int, salt: String = "hll"): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val nonzero = filter(col("regs"), x => x =!= 0)
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(call_function("graft_hll_regs",
+        concat(lit(s"$salt:"), col(valueCol).cast("string")),
+        lit(m)).as("regs"))
+      .select(col("grp"),
+        size(nonzero).cast("long").as("nonzero_buckets"),
+        (aggregate(nonzero, lit(0.0d),
+          (acc, x) => acc + pow(lit(2.0d), -x))
+          + (lit(m) - size(nonzero)).cast("double")).as("harmonic_sum"))
+      .withColumn("estimate",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble)
+          / col("harmonic_sum"))
+  }
+
   /** Merge per-partition / per-day HLL register tables: union + max
     * per bucket. THE property that makes sketches the scale answer:
     * sketch once per partition/day/source, merge in O(m), estimate

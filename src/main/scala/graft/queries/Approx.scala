@@ -136,6 +136,42 @@ object Approx {
         .orderBy("day")
     },
 
+    // SKETCH: per-day HLL through the native grouped aggregate — the
+    // same estimates as q_k_hll_by_day (bit-equal registers and fold
+    // order; parity spec'd), but the exchange carries one 32-byte
+    // buffer per day instead of a distinct over every (day, hash).
+    Q("q_k_hll_by_day_native",
+      s"""WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id
+         |  FROM events),
+         |h AS (SELECT DISTINCT day, ${h60("hll", "user_id")} AS hv
+         |  FROM e),
+         |b AS (SELECT day, hv % 32 AS bucket, hv // 32 AS v FROM h),
+         |r AS (SELECT day, bucket, MAX(CASE WHEN v = 0 THEN 56
+         |    ELSE 56 - length(bin(v)) END) AS rho FROM b GROUP BY 1, 2),
+         |l AS (SELECT day, list(rho ORDER BY bucket) AS rhos,
+         |    count(*) AS nb FROM r GROUP BY day),
+         |s AS (SELECT day, list_reduce(
+         |    list_prepend(0.0, [power(2.0, -CAST(x AS DOUBLE))
+         |      for x in rhos]),
+         |    (a, x) -> a + x) + CAST(32 - nb AS DOUBLE) AS harmonic_sum
+         |  FROM l),
+         |x AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+         |    count(DISTINCT user_id) AS exact_nu FROM events GROUP BY 1)
+         |SELECT x.day, CAST(x.exact_nu AS BIGINT) AS exact_nu,
+         |  (0.7213 / (1 + 1.079 / 32)) * CAST(32 AS DOUBLE)
+         |    * CAST(32 AS DOUBLE) / s.harmonic_sum AS estimate
+         |FROM x JOIN s ON s.day = x.day ORDER BY x.day""".stripMargin) {
+      (s, d) =>
+      val ev = events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val exact = ev.groupBy(col("day").as("grp"))
+        .agg(count_distinct(col("user_id")).as("exact_nu"))
+      Sketches.hllEstimateByGroupNative(ev, "day", "user_id", 32)
+        .join(exact, Seq("grp"))
+        .select(col("grp").as("day"), col("exact_nu"), col("estimate"))
+        .orderBy("day")
+    },
+
     // SKETCH: k-minimum-values distinct estimate (k=64) — exact
     // integer arithmetic until one final double division.
     Q("q_k_kmv",

@@ -49,6 +49,13 @@ class SketchesSpec extends SparkSpec {
       Sketches.hllRegistersNative(range(20000), "v", 256), 256)
       .select("estimate").as[Double].head()
     assert(e1 == e2, s"$e1 != $e2")
+    // grouped: per-group estimates bit-equal to the declarative path
+    val grouped = spark.range(30000)
+      .select((col("id") % 3).as("g"), col("id").as("v"))
+    assertSameRows(
+      Sketches.hllEstimateByGroup(grouped, "g", "v", 64)
+        .select("grp", "nonzero_buckets", "harmonic_sum", "estimate"),
+      Sketches.hllEstimateByGroupNative(grouped, "g", "v", 64))
   }
 
   test("cmsJoinSizeEstimate: never undercounts, tight when collision-free") {
