@@ -25,6 +25,36 @@ object Sources {
       .option("recursiveFileLookup", "true")
       .load(dir)
 
+  /** S1-robustness: CSV read that SEPARATES malformed rows instead of
+    * silently nulling or dropping them — PERMISSIVE mode with the
+    * corrupt-record column captured, split into (good, rejects). The
+    * rejects frame carries the raw line for quarantine/repair, the
+    * operational contract a production importer needs (the reference
+    * imports hand-curated exports and crashes on surprises —
+    * /root/reference/utils/importer/ETL.py:145 assumes clean input).
+    * Schema must be explicit: one pass, no inference re-read. */
+  def csvWithRejects(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      delimiter: String = ";"): (DataFrame, DataFrame) = {
+    val withCorrupt = schema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val raw = spark.read
+      .option("header", "true")
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      // PERMISSIVE parsing is lazy per row: materialize the corrupt
+      // marker before splitting so both halves agree on it
+      .cache()
+    val good = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val rejects = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, rejects)
+  }
+
   /** S6: HTTP fetch per URL row — a `Services.Remote`-wrapped call
     * (retry + politeness pacing, I3/I4) applied inside the executors;
     * the provided `fetch` does the actual I/O so tests can inject a

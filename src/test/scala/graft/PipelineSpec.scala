@@ -171,4 +171,29 @@ class PipelineSpec extends SparkSpec {
     assert(m.getAs[Long]("rows") == 100L)
     assert(m.getAs[Long]("bad_rows") == 14L)
   }
+
+  test("sources: csvWithRejects quarantines malformed rows, keeps the rest") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rejects")
+    val f = dir.resolve("data.csv")
+    java.nio.file.Files.writeString(f,
+      """id;name;price
+        |1;widget;9.99
+        |2;broken-line-without-price
+        |3;gadget;12.50
+        |not-a-number;x;1.00
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("price", DoubleType)))
+    val (good, rejects) = graft.sources.Sources
+      .csvWithRejects(spark, f.toString, schema)
+    val ids = good.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L), s"good ids: $ids")
+    val raw = rejects.select("raw_line").as[String].collect().toSet
+    assert(raw.exists(_.startsWith("2;broken")), raw)
+    assert(raw.exists(_.startsWith("not-a-number")), raw)
+    assert(rejects.count() == 2L)
+  }
 }
