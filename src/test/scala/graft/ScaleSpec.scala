@@ -68,6 +68,23 @@ class ScaleSpec extends SparkSpec {
     q.stop()
   }
 
+  test("native hll plan ships buffers through ONE exchange; declarative needs more") {
+    val df = spark.range(1000).toDF("v")
+    def exchanges(plan: String): Int =
+      plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+        plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    val nativePlan = graft.operators.Sketches
+      .hllRegistersNative(df, "v", 64)
+      .queryExecution.executedPlan.toString
+    val declarativePlan = graft.operators.Sketches
+      .hllRegisters(df, "v", 64)
+      .queryExecution.executedPlan.toString
+    assert(exchanges(nativePlan) == 1,
+      s"native path must shuffle exactly once (the buffer):\n$nativePlan")
+    assert(exchanges(declarativePlan) > 1,
+      s"declarative path pays the distinct+group exchanges:\n$declarativePlan")
+  }
+
   test("zoneMap pruning is sound: skipped zones hold no in-range rows") {
     import spark.implicits._
     val df = spark.range(1000).toDF("v")
