@@ -235,6 +235,41 @@ object Sketches {
       .orderBy("q_milli")
   }
 
+  /** Per-GROUP histogram sketch — the grouped [[histBins]]: one
+    * (grp, bin, n) row per occupied bin per group, so the exchange
+    * carries at most |groups| × nBins counter rows however large the
+    * input. Merge law is the same counter sum keyed by (grp, bin). */
+  def histBinsByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Long, width: Long, nBins: Int): DataFrame = {
+    require(width > 0 && nBins > 0, s"need width>0, nBins>0: $width/$nBins")
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        least(greatest(
+          expr(s"(CAST($valueCol AS BIGINT) - ${lo}L) div ${width}L"),
+          lit(0L)), lit(nBins - 1L)).as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-group quantile estimates off a [[histBinsByGroup]] sketch:
+    * the same cross-multiplied integer rank test as [[histQuantiles]],
+    * with the cumulative window PARTITIONED by group — each frame is
+    * ≤ nBins rows, so there is no single-partition sort anywhere. */
+  def histQuantilesByGroup(bins: DataFrame, lo: Long, width: Long,
+      qMilli: Seq[Int]): DataFrame = {
+    val s = bins.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("bin")
+    val cum = bins.withColumn("cum", sum("n").over(w))
+    val tot = bins.groupBy("grp").agg(sum("n").as("tot"))
+    cum.join(tot, Seq("grp"))
+      .crossJoin(broadcast(qMilli.toDF("q_milli")))
+      .filter(col("cum") * 1000 >= col("q_milli") * col("tot"))
+      .groupBy("grp", "q_milli").agg(min("bin").as("bin"))
+      .withColumn("est_hi", lit(lo) + (col("bin") + 1) * lit(width))
+      .orderBy("grp", "q_milli")
+  }
+
   /** Winsorize via the histogram sketch: clamp values into the
     * [qLo, qHi] quantile band whose edges come off [[histQuantiles]]
     * — robust-statistics clipping with no global sort anywhere. The

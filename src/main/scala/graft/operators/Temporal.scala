@@ -150,8 +150,13 @@ object Temporal {
       .orderBy(col(startCol).asc, col(endCol).asc)
     val prevMax = max(col(endCol))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    df.withColumn("__new",
-        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+    // a null bound cannot participate in the running-max chain — it
+    // would silently corrupt span boundaries; drop, don't guess
+    df.filter(col(keyCol).isNotNull && col(startCol).isNotNull &&
+        col(endCol).isNotNull)
+      .withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L)
+          .otherwise(0L))
       .withColumn("span", sum(col("__new")).over(w))
       .groupBy(col(keyCol), col("span"))
       .agg(min(col(startCol)).as(startCol),

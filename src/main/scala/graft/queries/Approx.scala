@@ -309,6 +309,36 @@ object Approx {
         0L, 2500L, Seq(500, 900, 990))
     },
 
+    // SKETCH: per-GROUP histogram quantiles — p50/p99 cents per event
+    // type from grouped fixed-bin sketches; the cumulative window is
+    // partitioned per group (≤20 rows each), so no single-partition
+    // sort exists anywhere in the plan.
+    Q("q_k_quantile_by_type",
+      """WITH c AS (SELECT event_type AS grp,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT grp,
+        |    LEAST(GREATEST((cents - 0) // 2500, 0), 19) AS bin,
+        |  count(*) AS n FROM c GROUP BY 1, 2),
+        |cum AS (SELECT grp, bin, n, sum(n) OVER (PARTITION BY grp
+        |    ORDER BY bin) AS cum FROM b),
+        |t AS (SELECT grp, sum(n) AS tot FROM b GROUP BY grp),
+        |q AS (SELECT unnest([500, 990]) AS q_milli)
+        |SELECT cum.grp, q_milli, CAST(min(bin) AS BIGINT) AS bin,
+        |  CAST((min(bin) + 1) * 2500 AS BIGINT) AS est_hi
+        |FROM cum JOIN t ON cum.grp = t.grp, q
+        |WHERE cum * 1000 >= q_milli * tot
+        |GROUP BY cum.grp, q_milli ORDER BY cum.grp, q_milli""".stripMargin) {
+      (s, d) =>
+      val cents = events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      Sketches.histQuantilesByGroup(
+        Sketches.histBinsByGroup(cents, "event_type", "cents",
+          0L, 2500L, 20),
+        0L, 2500L, Seq(500, 990))
+    },
+
     // SKETCH → TRANSFORM: winsorize events.value into the [p5, p95]
     // histogram-edge band — outlier clipping with no global sort; the
     // edge frame is one broadcast row and the clip is a narrow map.
