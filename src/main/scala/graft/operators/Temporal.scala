@@ -82,6 +82,41 @@ object Temporal {
       .select(outCols: _*)
   }
 
+  /** Tolerance-bounded as-of join (pandas merge_asof(tolerance=...) /
+    * kdb wj semantics): the nearest-earlier match only counts when it
+    * is at most `toleranceUs` old; staler matches null out, the probe
+    * row survives. Same one-window plan as [[asofJoin]] plus a narrow
+    * freshness mask — no extra shuffle. `payload` must include
+    * `rightTs` (the mask needs the matched timestamp). */
+  def asofJoinTolerant(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Seq[String],
+      toleranceUs: Long): DataFrame = {
+    require(payload.contains(rightTs),
+      s"payload must include the matched ts column $rightTs")
+    val j = asofJoin(left, right, key, leftTs, rightTs, payload)
+      .withColumn("__fresh", col(rightTs).isNotNull &&
+        unix_micros(col(leftTs).cast("timestamp")) -
+          unix_micros(col(rightTs).cast("timestamp")) <= toleranceUs)
+    payload.foldLeft(j)((df, c) =>
+        df.withColumn(c, when(col("__fresh"), col(c))))
+      .drop("__fresh")
+  }
+
+  /** Forward fill (LOCF — last observation carried forward): replace
+    * each null with the key's most recent non-null value at or before
+    * the row, in (tsCol, tieCol) order (the tie column makes the fill
+    * deterministic when timestamps repeat). One window shuffle on the
+    * key; the carried state is one value per key, never a history.
+    * Appends `<valueCol>_filled`; leading nulls (no earlier
+    * observation) stay null — LOCF imputes forward only. */
+  def forwardFill(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame =
+    df.withColumn(s"${valueCol}_filled",
+      last(col(valueCol), ignoreNulls = true).over(
+        Window.partitionBy(keyCol)
+          .orderBy(col(tsCol).asc, col(tieCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
   /** Time-series densification: per-key hourly counts with every
     * missing hour of the corpus span filled with an explicit 0 —
     * downstream window/ML code then never special-cases gaps.

@@ -622,6 +622,68 @@ object Merges {
         .orderBy("user_id", "probe_us")
     },
 
+    // TEMPORAL: tolerance-bounded as-of — the nearest-earlier event
+    // counts only when at most 2 days old (pandas merge_asof
+    // tolerance semantics); staler matches null out, probes survive.
+    // Same plan as the plain as-of plus a narrow freshness mask.
+    Q("q_temporal_asof_tol",
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |probes AS (SELECT u.user_id, g.probe_ts FROM users u
+        |           CROSS JOIN generate_series(TIMESTAMP '2024-01-01',
+        |             TIMESTAMP '2024-01-31', INTERVAL 1 DAY) g(probe_ts))
+        |SELECT p.user_id, epoch_us(p.probe_ts) AS probe_us,
+        |  CASE WHEN e.ts IS NOT NULL AND epoch_us(p.probe_ts)
+        |      - epoch_us(e.ts) <= 172800000000
+        |    THEN epoch_us(e.ts) END AS event_us,
+        |  CASE WHEN e.ts IS NOT NULL AND epoch_us(p.probe_ts)
+        |      - epoch_us(e.ts) <= 172800000000
+        |    THEN e.event_id END AS event_id
+        |FROM probes p ASOF LEFT JOIN events e
+        |  ON p.user_id = e.user_id AND e.ts <= p.probe_ts
+        |ORDER BY p.user_id, probe_us""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"))
+      val probes = ev.select("user_id").distinct()
+        .select(col("user_id"), explode(sequence(
+          lit("2024-01-01 00:00:00").cast("timestamp"),
+          lit("2024-01-31 00:00:00").cast("timestamp"),
+          expr("interval 1 day"))).as("probe_ts"))
+      graft.operators.Temporal
+        .asofJoinTolerant(probes, ev, "user_id", "probe_ts", "ts",
+          Seq("ts", "event_id"), 172800000000L)
+        .select(col("user_id"), epochUs(col("probe_ts")).as("probe_us"),
+          epochUs(col("ts")).as("event_us"), col("event_id"))
+        .orderBy("user_id", "probe_us")
+    },
+
+    // TEMPORAL: forward-fill imputation (LOCF) — error events carry a
+    // null reading; each gets the user's most recent non-null value
+    // instead (leading nulls stay null). Exact integer cents.
+    Q("q_ts_locf",
+      """WITH v AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'error' THEN NULL
+        |         ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+        |  FROM events),
+        |f AS (SELECT event_id, user_id, cents,
+        |    last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cents_filled
+        |  FROM v)
+        |SELECT event_id, user_id, cents, cents_filled FROM f
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val v = events(s, d).select(col("event_id"), col("user_id"),
+        col("ts"),
+        when(col("event_type") === "error", lit(null))
+          .otherwise(round(col("value") * 100).cast("long"))
+          .as("cents"))
+      graft.operators.Temporal
+        .forwardFill(v, "user_id", "ts", "event_id", "cents")
+        .select("event_id", "user_id", "cents", "cents_filled")
+        .orderBy("event_id")
+    },
+
     // STREAMING end-to-end: readStream(AvailableNow) → foreachBatch
     // idempotent merge (insert-if-absent by event_id) → parquet table,
     // run TWICE — checkpoint offsets and merge idempotency each
