@@ -1030,6 +1030,31 @@ object Approx {
         .orderBy("view_id", "purchase_id")
     },
 
+    // STREAMING (batch-equivalent): LEFT-OUTER interval join — every
+    // view, with its purchases within the hour OR null-padded if none
+    // ever came. Over streams the null padding is what watermarks
+    // buy: the unmatched row emits once no partner can still arrive.
+    Q("q_st_interval_left",
+      """SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+        |  epoch_us(a.ts) AS view_ts_us
+        |FROM events a LEFT JOIN events b ON a.user_id = b.user_id
+        |  AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |WHERE a.event_type = 'view'
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"))
+      StreamOps.intervalJoinLeft(views, purchases, "user_id", "ts",
+          "ts", "1 HOUR")
+        .select(col("view_id"), col("purchase_id"),
+          epochUs(col("l_ts")).as("view_ts_us"))
+        .orderBy("view_id", "purchase_id")
+    },
+
     // GRAPH: per-node triangle counts over the part co-occurrence
     // graph (parts sharing an order). Canonical ordered wedges count
     // each triangle once; the degree cap (128) drops hub parts BEFORE

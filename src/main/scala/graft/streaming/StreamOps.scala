@@ -94,4 +94,28 @@ object StreamOps {
       col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
       .drop("k2")
   }
+
+  /** LEFT-OUTER interval join: like [[intervalJoin]] but left rows
+    * with no in-window partner survive with null right columns. Over
+    * streams this is the semantics Structured Streaming can only
+    * deliver WITH watermarks on both sides: an unmatched left row is
+    * held in state and emitted null-padded once the watermark proves
+    * no partner can still arrive — the "did a purchase follow this
+    * view? answer no eventually" query. Batch evaluates the identical
+    * plan immediately. */
+  def intervalJoinLeft(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTs: String, rightTs: String, window: String,
+      streaming: Boolean = false, delay: String = "1 hour"): DataFrame = {
+    val l0 = left.select(col(keyCol).as("k"), col(leftTs).as("l_ts"),
+      col("*")).drop(keyCol, leftTs)
+    val l = if (streaming) l0.withWatermark("l_ts", delay) else l0
+    val r0 = right.select(col(keyCol).as("k2"), col(rightTs).as("r_ts"),
+      col("*")).drop(keyCol, rightTs)
+    val r = if (streaming) r0.withWatermark("r_ts", delay) else r0
+    l.join(r, col("k") === col("k2") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"),
+        "left_outer")
+      .drop("k2")
+  }
 }
