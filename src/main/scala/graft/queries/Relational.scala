@@ -276,6 +276,33 @@ object Relational {
         .orderBy("r_name", "o_orderstatus")
     },
 
+    // W4: RANGE-frame rolling window — per user, the trailing-hour
+    // event count and cents sum at every event (value-based frame:
+    // peers at the same timestamp are in-frame on both engines, so
+    // the result is deterministic even with duplicate timestamps).
+    // One window shuffle on the user; state per partition is the
+    // sliding frame, never the history.
+    Q("q_w4_rolling_range",
+      """WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+        |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, 0L)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          epochUs(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("cents_1h", sum(col("cents")).over(w))
+        .select("user_id", "event_id", "n_1h", "cents_1h")
+        .orderBy("event_id")
+    },
+
     // J14: fuzzy string join — edit-distance ≤ 1 pairs over the
     // distinct brand vocabulary via deletion-neighborhood blocking
     // (FastSS): candidates share a deletion variant (equi-join, never
