@@ -117,6 +117,34 @@ object Temporal {
           .orderBy(col(tsCol).asc, col(tieCol).asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
+  /** EWMA smoothing of a per-key ordered series: acc = acc·(1−α) +
+    * x·α, folded in (orderCol) order. With α a DYADIC value (0.5,
+    * 0.25 — exact binary fractions) over integer inputs every
+    * intermediate is exactly representable, so the smoothed doubles
+    * are bit-identical on any engine without quantization tricks.
+    * One groupBy collects each key's series in order (state = the
+    * series per key — bound your series length, e.g. hours of a
+    * retention window, not raw events); emitted as (key, ord, x,
+    * ewma) rows. */
+  def ewma(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("x")))).as("ser"))
+      .select(col(keyCol), posexplode(
+        aggregate(col("ser"),
+          array().cast("array<double>"),
+          (acc, e) => {
+            val prev = when(size(acc) === 0, e.getField("x"))
+              .otherwise(element_at(acc, -1) * (1 - alpha)
+                + e.getField("x") * alpha)
+            concat(acc, array(prev))
+          })))
+      .withColumnRenamed("col", "ewma")
+      .withColumn("pos", col("pos").cast("long"))
+  }
+
   /** Time-series densification: per-key hourly counts with every
     * missing hour of the corpus span filled with an explicit 0 —
     * downstream window/ML code then never special-cases gaps.

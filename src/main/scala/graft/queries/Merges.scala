@@ -684,6 +684,33 @@ object Merges {
         .orderBy("event_id")
     },
 
+    // TEMPORAL: EWMA smoothing of the hourly event-count series per
+    // type (α = 0.5 — a dyadic α makes every intermediate an exact
+    // binary fraction of integer counts). The oracle re-folds each
+    // prefix with list_reduce, whose first-element seeding matches
+    // the operator's recurrence exactly — same left fold, same
+    // rounding, bit-identical doubles.
+    Q("q_ts_ewma",
+      """WITH h AS (SELECT event_type AS grp, date_trunc('hour', ts)
+        |    AS hr, CAST(count(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT grp, list(x ORDER BY hr) AS xs FROM h GROUP BY grp)
+        |SELECT grp, CAST(u.i - 1 AS BIGINT) AS pos, u.ewma FROM (
+        |  SELECT grp, unnest(list_transform(range(1, len(xs) + 1), i ->
+        |    struct_pack(i := i, ewma := list_reduce(
+        |      xs[1:CAST(i AS INTEGER)],
+        |      (a, x) -> a * 0.5 + x * 0.5)))) AS u
+        |  FROM l)
+        |ORDER BY grp, pos""".stripMargin) { (s, d) =>
+      val h = events(s, d)
+        .groupBy(col("event_type").as("grp"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      Temporal.ewma(h, "grp", "hr", "x", 0.5)
+        .select(col("grp"), col("pos"), col("ewma"))
+        .orderBy("grp", "pos")
+    },
+
     // STREAMING end-to-end: readStream(AvailableNow) → foreachBatch
     // idempotent merge (insert-if-absent by event_id) → parquet table,
     // run TWICE — checkpoint offsets and merge idempotency each
