@@ -238,6 +238,35 @@ class MergeSpec extends SparkSpec {
     assert(gone.count() == 1L)
   }
 
+  test("ewma: constant series stays put, a spike decays by halves") {
+    val series = Seq(
+      ("c", 1L, 4.0), ("c", 2L, 4.0), ("c", 3L, 4.0),   // constant
+      ("s", 1L, 0.0), ("s", 2L, 8.0), ("s", 3L, 0.0),   // spike
+      ("s", 4L, 0.0)).toDF("k", "o", "x")
+    val out = graft.operators.Temporal.ewma(series, "k", "o", "x", 0.5)
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("c", 0L)) == 4.0 && out(("c", 2L)) == 4.0, out)
+    // seed 0, then 0*.5+8*.5=4, 4*.5=2, 2*.5=1 — exact halving
+    assert(out(("s", 1L)) == 4.0 && out(("s", 2L)) == 2.0 &&
+      out(("s", 3L)) == 1.0, out)
+  }
+
+  test("forwardFill: leading nulls stay, later nulls take the last value") {
+    val v = Seq((1L, 1L, null.asInstanceOf[java.lang.Long]),
+      (1L, 2L, java.lang.Long.valueOf(7L)),
+      (1L, 3L, null.asInstanceOf[java.lang.Long]),
+      (1L, 4L, java.lang.Long.valueOf(9L)),
+      (1L, 5L, null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "ts", "v")
+    val filled = graft.operators.Temporal
+      .forwardFill(v, "k", "ts", "ts", "v")
+      .select("ts", "v_filled")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(filled == Map(1L -> None, 2L -> Some(7L), 3L -> Some(7L),
+      4L -> Some(9L), 5L -> Some(9L)), filled)
+  }
+
   test("coalesceIntervals: overlap and touch merge, gaps split spans") {
     val iv = Seq(
       (1L, 0L, 10L), (1L, 5L, 20L),   // overlap → one span
