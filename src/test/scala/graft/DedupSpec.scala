@@ -425,6 +425,20 @@ class DedupSpec extends SparkSpec {
       maxLen = 200).count() == 1L)
   }
 
+  test("dupSourceMatrix: unordered source pair, counts add up to the pair count") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("id_a", "id_b")
+    val docsT = Seq((1L, "src_b"), (2L, "src_a"), (3L, "src_b"),
+      (4L, "src_a")).toDF("doc_id", "source")
+    val m = Dedup.dupSourceMatrix(pairs, docsT, "doc_id", "source")
+      .as[(String, String, Long)].collect().toSet
+    // (1,2) crosses b/a → canonical (a,b); (1,3) within b; (2,4) within a
+    assert(m == Set(("src_a", "src_b", 1L), ("src_b", "src_b", 1L),
+      ("src_a", "src_a", 1L)), m)
+    assert(m.toSeq.map(_._3).sum == 3L)
+    assert(m.forall { case (a, b, _) => a <= b }) // canonical order
+  }
+
   test("hardNegatives: never the anchor's own label, ranked by similarity") {
     import spark.implicits._
     val corpus = Seq(

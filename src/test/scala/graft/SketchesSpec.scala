@@ -90,6 +90,23 @@ class SketchesSpec extends SparkSpec {
     assert(est(990) == 9900L, s"p99 edge ${est(990)}")
   }
 
+  test("clipToQuantiles: output stays inside the band, in-band values untouched") {
+    val df = spark.range(1000).toDF("v") // uniform 0..999
+    val clipped = Sketches.clipToQuantiles(df, "v", 0L, 100L, 10,
+        qLoMilli = 100, qHiMilli = 900)
+      .select("v", "v_clipped", "lo_edge", "hi_edge")
+      .as[(Long, Long, Long, Long)].collect()
+    val (lo, hi) = (clipped.head._3, clipped.head._4)
+    assert(lo == 100L && hi == 900L, s"edges: $lo, $hi")
+    assert(clipped.forall(r => r._2 >= lo && r._2 <= hi))
+    // values already inside the band pass through unchanged
+    assert(clipped.filter(r => r._1 >= lo && r._1 <= hi)
+      .forall(r => r._2 == r._1))
+    // out-of-band values land exactly on the edges
+    assert(clipped.filter(_._1 < lo).forall(_._2 == lo))
+    assert(clipped.filter(_._1 > hi).forall(_._2 == hi))
+  }
+
   test("histogram sketch: out-of-frame values clamp to the edge bins") {
     val df = Seq(-50L, 5L, 9999L).toDF("v")
     val bins = Sketches.histBins(df, "v", 0L, 10L, 4)
