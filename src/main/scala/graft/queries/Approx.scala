@@ -136,6 +136,64 @@ object Approx {
         .orderBy("day")
     },
 
+    // SKETCH: cross-dataset overlap by HLL inclusion-exclusion —
+    // |A∩B| ≈ |A| + |B| − |A∪B| from three sketches, where the union
+    // sketch is the registers' bytewise max (the merge law). THE
+    // question before merging two corpora — how much of B already
+    // sits in A — answered without joining them; the exact intersect
+    // (q_sql_intersect's 'O'∩'F' customers) rides along to show the
+    // error. All three estimates fold bucket-ordered.
+    Q("q_k_overlap", {
+      def hllCte(src: String, tag: String): String =
+        s"""h_$tag AS (SELECT DISTINCT ${h60("hll", "o_custkey")} AS hv
+           |  FROM orders WHERE o_orderstatus = '$src'),
+           |b_$tag AS (SELECT hv % 256 AS bucket, hv // 256 AS v
+           |  FROM h_$tag),
+           |r_$tag AS (SELECT bucket, MAX(CASE WHEN v = 0 THEN 53
+           |    ELSE 53 - length(bin(v)) END) AS rho FROM b_$tag
+           |  GROUP BY bucket)""".stripMargin
+      def estCte(regs: String, tag: String): String =
+        s"""l_$tag AS (SELECT list(rho ORDER BY bucket) AS rhos,
+           |    count(*) AS nb FROM $regs),
+           |e_$tag AS (SELECT (0.7213 / (1 + 1.079 / 256)) * 65536.0 /
+           |    (list_reduce(list_prepend(0.0,
+           |      [power(2.0, -CAST(x AS DOUBLE)) for x in rhos]),
+           |     (a, x) -> a + x) + CAST(256 - nb AS DOUBLE)) AS est
+           |  FROM l_$tag)""".stripMargin
+      s"""WITH ${hllCte("O", "a")},
+         |${hllCte("F", "b")},
+         |r_u AS (SELECT bucket, MAX(rho) AS rho FROM
+         |  (SELECT * FROM r_a UNION ALL SELECT * FROM r_b)
+         |  GROUP BY bucket),
+         |${estCte("r_a", "ea")},
+         |${estCte("r_b", "eb")},
+         |${estCte("r_u", "eu")},
+         |x AS (SELECT CAST(count(*) AS BIGINT) AS exact_n FROM (
+         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         |  INTERSECT
+         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+         |SELECT x.exact_n, e_ea.est AS est_a, e_eb.est AS est_b,
+         |  e_eu.est AS est_union,
+         |  e_ea.est + e_eb.est - e_eu.est AS est_overlap
+         |FROM x, e_ea, e_eb, e_eu""".stripMargin
+    }) { (s, d) =>
+      val orders = t(s, d, "orders")
+      val a = orders.filter(col("o_orderstatus") === "O")
+      val b = orders.filter(col("o_orderstatus") === "F")
+      val ra = Sketches.hllRegisters(a, "o_custkey", 256)
+      val rb = Sketches.hllRegisters(b, "o_custkey", 256)
+      val estOf = (r: org.apache.spark.sql.DataFrame, n: String) =>
+        Sketches.hllEstimateFrom(r, 256).select(col("estimate").as(n))
+      val exact = a.select("o_custkey")
+        .intersect(b.select("o_custkey"))
+        .agg(count(lit(1)).as("exact_n"))
+      exact.crossJoin(estOf(ra, "est_a"))
+        .crossJoin(estOf(rb, "est_b"))
+        .crossJoin(estOf(Sketches.hllMergeRegisters(ra, rb), "est_union"))
+        .withColumn("est_overlap",
+          col("est_a") + col("est_b") - col("est_union"))
+    },
+
     // SKETCH: per-day HLL through the native grouped aggregate — the
     // same estimates as q_k_hll_by_day (bit-equal registers and fold
     // order; parity spec'd), but the exchange carries one 32-byte
