@@ -85,6 +85,21 @@ class ScaleSpec extends SparkSpec {
       s"declarative path pays the distinct+group exchanges:\n$declarativePlan")
   }
 
+  test("grouped histogram quantiles: cumulative window is group-partitioned") {
+    import spark.implicits._
+    val df = spark.range(10000)
+      .select((col("id") % 5).as("g"), col("id").as("v"))
+    val plan = graft.operators.Sketches.histQuantilesByGroup(
+        graft.operators.Sketches.histBinsByGroup(df, "g", "v",
+          0L, 500L, 20), 0L, 500L, Seq(500))
+      .queryExecution.executedPlan.toString
+    // the global-quantile path accepts one SinglePartition window over
+    // the ≤nBins sketch; the grouped path must not — its frames
+    // partition on grp
+    assert(!plan.contains("SinglePartition"),
+      s"grouped cumulative window must partition on grp:\n$plan")
+  }
+
   test("zoneMap pruning is sound: skipped zones hold no in-range rows") {
     import spark.implicits._
     val df = spark.range(1000).toDF("v")
