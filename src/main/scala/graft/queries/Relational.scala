@@ -276,6 +276,29 @@ object Relational {
         .orderBy("r_name", "o_orderstatus")
     },
 
+    // W5: LAG-based day-over-day delta — per event type, each day's
+    // count next to the previous day's and the signed difference
+    // (the offset window function family, distinct from frames).
+    Q("q_w5_lag_delta",
+      """WITH d AS (SELECT event_type, epoch_us(date_trunc('day', ts))
+        |    AS day_us, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day_us, CAST(n AS BIGINT) AS n,
+        |  CAST(lag(n) OVER (PARTITION BY event_type ORDER BY day_us)
+        |    AS BIGINT) AS prev_n,
+        |  CAST(n - lag(n) OVER (PARTITION BY event_type
+        |    ORDER BY day_us) AS BIGINT) AS delta
+        |FROM d ORDER BY event_type, day_us""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("day_us")
+      events(s, d)
+        .groupBy(col("event_type"),
+          epochUs(date_trunc("day", col("ts"))).as("day_us"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("delta", col("n") - col("prev_n"))
+        .orderBy("event_type", "day_us")
+    },
+
     // W4: RANGE-frame rolling window — per user, the trailing-hour
     // event count and cents sum at every event (value-based frame:
     // peers at the same timestamp are in-frame on both engines, so

@@ -131,7 +131,20 @@ object SqlSurface {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-        |ORDER BY o_custkey""".stripMargin))
+        |ORDER BY o_custkey""".stripMargin),
+
+    // GROUPING SETS through SQL text — three explicit aggregation
+    // levels in one pass (per status+priority, per status, grand
+    // total); GROUPING() flags disambiguate real NULL keys from
+    // superaggregate rows in the sort.
+    sqlQ("q_sql_grouping_sets", Seq("orders"),
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin))
 }
 
 /** Lookup of this module's own oracle SQL by name, so a Spark side
