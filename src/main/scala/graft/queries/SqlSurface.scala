@@ -133,6 +133,37 @@ object SqlSurface {
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey""".stripMargin),
 
+    // EXCEPT through SQL text (the set-difference dual of INTERSECT).
+    sqlQ("q_sql_except", Seq("orders"),
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin),
+
+    // Correlated scalar subquery in the SELECT list — Catalyst
+    // decorrelates it to a left outer aggregate join; the zero-order
+    // customers prove the COALESCE path.
+    sqlQ("q_sql_scalar_subq", Seq("customer", "orders"),
+      """SELECT c_custkey,
+        |  COALESCE((SELECT COUNT(*) FROM orders
+        |            WHERE o_custkey = c_custkey), 0) AS n_orders
+        |FROM customer
+        |WHERE c_custkey <= 300
+        |ORDER BY c_custkey""".stripMargin),
+
+    // LATERAL correlated subquery — per customer, the single highest-
+    // value order (the top-1-per-group idiom through the parser
+    // instead of a window).
+    sqlQ("q_sql_lateral", Seq("customer", "orders"),
+      """SELECT c_custkey, t.o_orderkey, t.price_cents
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |WHERE c_custkey <= 300
+        |ORDER BY c_custkey""".stripMargin),
+
     // GROUPING SETS through SQL text — three explicit aggregation
     // levels in one pass (per status+priority, per status, grand
     // total); GROUPING() flags disambiguate real NULL keys from
