@@ -1265,7 +1265,7 @@ object Approx {
     // same plan is asserted in ScaleSpec over MemoryStream.
     Q("q_st_static_join",
       """SELECT n.n_name, count(*) AS n_events,
-        |  sum(CAST(round(e.value * 100) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events e
         |JOIN customer c ON e.user_id = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey

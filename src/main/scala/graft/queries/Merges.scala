@@ -340,8 +340,8 @@ object Merges {
         |  FROM iv WINDOW w AS (PARTITION BY user_id ORDER BY s_us, e_us
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         |g AS (SELECT user_id, s_us, e_us,
-        |    sum(nw) OVER (PARTITION BY user_id ORDER BY s_us, e_us
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+        |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span
         |  FROM f)
         |SELECT user_id, span, min(s_us) AS s_us, max(e_us) AS e_us,
         |  count(*) AS n_intervals
