@@ -122,16 +122,24 @@ object Temporal {
     * 0.25 — exact binary fractions) over integer inputs every
     * intermediate is exactly representable, so the smoothed doubles
     * are bit-identical on any engine without quantization tricks.
-    * One groupBy collects each key's series in order (state = the
-    * series per key — bound your series length, e.g. hours of a
-    * retention window, not raw events); emitted as (key, ord, x,
-    * ewma) rows. */
+    * One groupBy collects each key's series in order — per-key state
+    * is the WHOLE series, so a key longer than `maxSeriesLen`
+    * (default 100k) fails loudly instead of silently ballooning a
+    * task (use [[ewmaSegmented]] for unbounded keys — its per-task
+    * state is one segment). Emitted as (key, pos, ewma) rows — pos is
+    * the 0-based position in (orderCol) order. */
   def ewma(df: DataFrame, keyCol: String, orderCol: String,
-      valueCol: String, alpha: Double): DataFrame = {
+      valueCol: String, alpha: Double,
+      maxSeriesLen: Int = 100000): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
     df.groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col(orderCol).as("o"),
         col(valueCol).cast("double").as("x")))).as("ser"))
+      .filter(assert_true(size(col("ser")) <= maxSeriesLen,
+        concat(lit(s"ewma: a key's series exceeds maxSeriesLen=" +
+          s"$maxSeriesLen rows — use ewmaSegmented for unbounded " +
+          "keys (key="), col(keyCol).cast("string"), lit(")")))
+        .isNull)
       .select(col(keyCol), posexplode(
         aggregate(col("ser"),
           array().cast("array<double>"),
@@ -143,6 +151,85 @@ object Temporal {
           })))
       .withColumnRenamed("col", "ewma")
       .withColumn("pos", col("pos").cast("long"))
+  }
+
+  /** Segment-mergeable EWMA — the unbounded-key path. The fold
+    * composes: a run of n values collapses to the pair
+    * (p, w) = ((1−α)ⁿ, Σᵢ α·xᵢ·(1−α)^{n−i}), and a segment entered
+    * with carry c emits eⱼ = c·pⱼ + wⱼ at every prefix j (the
+    * original init-with-first-value is the c₀ = x₀ special case —
+    * substituting c = x₀ at j = 0 reproduces x₀ exactly). So the
+    * series splits into `segLen`-sized segments, each segment folds
+    * its own (pⱼ, wⱼ) prefixes independently (state ≤ segLen), the
+    * per-key carry chain folds over SEGMENT SUMMARIES (state ≤
+    * n/segLen), and the final map is narrow. No task ever holds a
+    * full series. With dyadic α over exactly-representable inputs
+    * c·pⱼ + wⱼ is exact, hence bit-equal to the whole-series fold
+    * (PropertySpec law); over general doubles the two can differ by
+    * ulps. Emits (key, ord, x, pos, ewma) — ord and x ride along so
+    * callers can join results back. */
+  def ewmaSegmented(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, alpha: Double, segLen: Int = 4096): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    require(segLen > 0, s"segLen must be positive: $segLen")
+    val wk = Window.partitionBy(keyCol).orderBy(col("__o").asc)
+    val ranked = df.select(col(keyCol), col(orderCol).as("__o"),
+        col(valueCol).cast("double").as("__x"))
+      .withColumn("__rn", row_number().over(wk) - 1)
+      .withColumn("__seg", (col("__rn") / segLen).cast("long"))
+      .withColumn("__j", col("__rn") % segLen)
+    // per (key, segment): ordered members + prefix arrays
+    //   ws_j = uniform fold from 0:  w_j = w_{j-1}(1-α) + x_j·α
+    //   ps_j = (1-α)^{j+1} by repeated multiplication (exact for
+    //          dyadic α; pow() would not be)
+    val bySeg = ranked.groupBy(col(keyCol), col("__seg"))
+      .agg(sort_array(collect_list(struct(col("__j").as("j"),
+        col("__o").as("o"), col("__x").as("x")))).as("ser"))
+      .withColumn("ws", aggregate(col("ser"),
+        array().cast("array<double>"),
+        (acc, e) => concat(acc, array(
+          when(size(acc) === 0, e.getField("x") * alpha)
+            .otherwise(element_at(acc, -1) * (1 - alpha)
+              + e.getField("x") * alpha)))))
+      .withColumn("ps", aggregate(col("ser"),
+        array().cast("array<double>"),
+        (acc, _) => concat(acc, array(
+          when(size(acc) === 0, lit(1 - alpha))
+            .otherwise(element_at(acc, -1) * (1 - alpha))))))
+    // per key: fold segment summaries (x0, P, W) into the carry each
+    // segment enters with — c₀ = first segment's x₀,
+    // c_{k+1} = c_k·P_k + W_k. State: one tiny struct per segment.
+    val carries = bySeg
+      .select(col(keyCol), col("__seg"),
+        element_at(col("ser"), 1).getField("x").as("x0"),
+        element_at(col("ps"), -1).as("p"),
+        element_at(col("ws"), -1).as("w"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__seg").as("s"),
+        col("x0"), col("p"), col("w")))).as("sgs"))
+      .select(col(keyCol), posexplode(aggregate(col("sgs"),
+        array().cast("array<struct<c:double,p:double,w:double>>"),
+        (acc, g) => concat(acc, array(struct(
+          when(size(acc) === 0, g.getField("x0"))
+            .otherwise(element_at(acc, -1).getField("c")
+              * element_at(acc, -1).getField("p")
+              + element_at(acc, -1).getField("w")).as("c"),
+          g.getField("p").as("p"), g.getField("w").as("w")))))))
+      .select(col(keyCol), col("pos").cast("long").as("__seg"),
+        col("col").getField("c").as("__carry"))
+    bySeg.join(carries, Seq(keyCol, "__seg"))
+      .select(col(keyCol), col("__seg"), col("__carry"),
+        posexplode(zip_with(col("ser"),
+          zip_with(col("ps"), col("ws"),
+            (p, w) => struct(p.as("p"), w.as("w"))),
+          (e, pw) => struct(e.getField("o").as("o"),
+            e.getField("x").as("x"),
+            (col("__carry") * pw.getField("p")
+              + pw.getField("w")).as("e")))))
+      .select(col(keyCol), col("col.o").as(orderCol),
+        col("col.x").as(valueCol),
+        (col("__seg") * segLen + col("pos")).cast("long").as("pos"),
+        col("col.e").as("ewma"))
   }
 
   /** Time-series densification: per-key hourly counts with every

@@ -711,6 +711,40 @@ object Merges {
         .orderBy("grp", "pos")
     },
 
+    // Segment-mergeable EWMA over DAILY counts — the unbounded-key
+    // variant: 7-row segments fold independently, the carry chain
+    // folds segment summaries, no task holds a full series. The
+    // oracle is the plain WHOLE-SERIES fold: with α = 0.5 (dyadic)
+    // over integer day-counts a 30-step series stays exactly
+    // representable, so segmented ≡ sequential BIT-EXACTLY and the
+    // hash compare proves the merge law on real data (PropertySpec
+    // proves it on generated series).
+    Q("q_ts_ewma_seg",
+      """WITH h AS (SELECT event_type AS grp,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |    CAST(count(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT grp, list(struct_pack(d := d, x := x)
+        |    ORDER BY d) AS xs FROM h GROUP BY grp)
+        |SELECT grp, u.d AS d, u.x AS x, CAST(u.i - 1 AS BIGINT) AS pos,
+        |  u.ewma FROM (
+        |  SELECT grp, unnest(list_transform(range(1, len(xs) + 1), i ->
+        |    struct_pack(d := xs[CAST(i AS INTEGER)].d,
+        |      x := xs[CAST(i AS INTEGER)].x, i := i,
+        |      ewma := list_reduce(
+        |        list_transform(xs[1:CAST(i AS INTEGER)], e -> e.x),
+        |        (a, x) -> a * 0.5 + x * 0.5)))) AS u
+        |  FROM l)
+        |ORDER BY grp, pos""".stripMargin) { (s, d) =>
+      val h = events(s, d)
+        .groupBy(col("event_type").as("grp"),
+          date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      Temporal.ewmaSegmented(h, "grp", "d", "x", 0.5, 7)
+        .select(col("grp"), col("d"), col("x"), col("pos"), col("ewma"))
+        .orderBy("grp", "pos")
+    },
+
     // STREAMING end-to-end: readStream(AvailableNow) → foreachBatch
     // idempotent merge (insert-if-absent by event_id) → parquet table,
     // run TWICE — checkpoint offsets and merge idempotency each

@@ -512,6 +512,24 @@ object Vectors {
         .orderBy("label", "dim")
     },
 
+    // CLASS PROTOTYPES, scalable accumulator: per-(label, dim) exact
+    // integer SUM of micro-quantized components — the 100 TB centroid
+    // path (no member-vector collect_list anywhere; the aggregation
+    // is map-side combinable and order-independent by integer
+    // arithmetic). Scalar (label, dim, sum_micros, n) rows.
+    Q("q_v_label_centroids_sum",
+      """SELECT label, CAST(d.range AS INTEGER) AS dim,
+        |  CAST(sum(CAST(floor(CAST(
+        |      embedding[CAST(d.range AS INTEGER)] AS DOUBLE)
+        |    * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros,
+        |  count(*) AS n
+        |FROM embeddings, range(1, 65) d
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin) { (s, d) =>
+      Similarity.groupCentroidSums(t(s, d, "embeddings"), "label",
+          "embedding")
+        .orderBy("label", "dim")
+    },
+
     // HARD NEGATIVES: per anchor, the 5 most-similar vectors with a
     // DIFFERENT label — the contrastive-training miner (random
     // negatives are trivially separable; these are the ones that move

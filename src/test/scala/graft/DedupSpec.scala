@@ -330,6 +330,57 @@ class DedupSpec extends SparkSpec {
     assert(cs.toSeq == again.toSeq)
   }
 
+  test("groupCentroids: scalable integer-sum path ≈ ordered fold (≤1µ/dim)") {
+    // mixed-sign components with several members per label — the
+    // micro-quantized SUM must land within one micro of the exact
+    // id-ordered double fold on every dimension (floor error is
+    // < 1µ per member, and the mean divides it back down)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, s"l${i % 3}",
+        Array.tabulate(8)(j => ((i * 31 + j * 17) % 101 - 50) / 7.0f))
+    }.toDF("vec_id", "label", "embedding")
+    val exact = operators.Similarity
+      .groupCentroids(vecs, "label", "vec_id", "embedding", 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getLong(2))).toMap
+    val scalable = operators.Similarity
+      .groupCentroidsScalable(vecs, "label", "embedding")
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(scalable.keySet == exact.keySet)
+    exact.foreach { case (label, (cv, n)) =>
+      val (scv, sn) = scalable(label)
+      assert(sn == n, s"member count mismatch for $label")
+      cv.zip(scv).zipWithIndex.foreach { case ((e, s), dim) =>
+        assert(math.abs(e - s) <= 1e-6,
+          s"label=$label dim=$dim exact=$e scalable=$s")
+      }
+    }
+  }
+
+  test("kmeansCentroidsScalable: recovers separated clusters like the fold") {
+    val vecs = ((0 until 10).map(i =>
+        (i.toLong * 2, Array(10f + i, 0f, 0f, 0f))) ++
+      (0 until 10).map(i =>
+        (i.toLong * 2 + 1, Array(0f, 10f + i, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val fold = operators.Similarity.kmeansCentroids(
+        vecs, "vec_id", "embedding", 2, 2, 4)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1), r.getLong(2))).sortBy(_._1)
+    val sum = operators.Similarity.kmeansCentroidsScalable(
+        vecs, "vec_id", "embedding", 2, 2)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1), r.getLong(2))).sortBy(_._1)
+    assert(sum.length == fold.length)
+    fold.zip(sum).foreach { case ((fc, fv, fn), (sc, sv, sn)) =>
+      assert(fc == sc && fn == sn)
+      fv.zip(sv).foreach { case (f, s) =>
+        assert(math.abs(f - s) <= 1e-6, s"cid=$fc fold=$f scalable=$s")
+      }
+    }
+  }
+
   test("packByTokenBudget: greedy per-bucket packing respects the budget") {
     val docs = (1L to 40L).map(i => (i, 300L)).toDF("doc_id", "n_toks")
     val packed = graft.operators.Sharding

@@ -57,6 +57,17 @@ class PlanSpec extends SparkSpec {
       s"groupBy must pre-aggregate before the shuffle:\n$plan")
   }
 
+  test("ivfAssign: argmin plans as partial min_by before the exchange") {
+    // the N×K distance rows must reduce map-side (each task keeps one
+    // row per id) — a row_number window here would shuffle and sort
+    // the full N×K product instead
+    val plan = planOf("q_v_ivf_assign")
+    assert(plan.contains("partial_min_by"),
+      s"ivfAssign must aggregate with map-side partial min_by:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"ivfAssign must not rank through a window:\n$plan")
+  }
+
   test("analyze: native rolling_fp sits inside whole-stage codegen") {
     val df = operators.TextAnalysis.analyze(
       spark.read.parquet(s"$sf/documents.parquet"), "text")

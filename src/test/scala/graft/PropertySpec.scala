@@ -317,6 +317,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ewma merge law: segmented fold ≡ whole-series fold, bit-exact") {
+    // dyadic α (0.5) over small-integer series of length ≤ 40 keeps
+    // every intermediate exactly representable, so the segment-merge
+    // reformulation (c·p_j + w_j) must equal the sequential fold to
+    // the BIT, at every prefix, for any segment size — including
+    // segLen 1 (every row its own segment) and segLen > series
+    // (single segment ≡ degenerate merge)
+    val seriesGen = for {
+      n <- Gen.choose(1, 40)
+      xs <- Gen.listOfN(n, Gen.choose(0L, 1000L))
+    } yield xs
+    val series = samples(seriesGen, 6)
+    val rows = series.zipWithIndex.flatMap { case (xs, k) =>
+      xs.zipWithIndex.map { case (x, i) =>
+        (s"k$k", i.toLong, x.toDouble)
+      }
+    }.toDF("key", "ord", "x")
+    val whole = graft.operators.Temporal
+      .ewma(rows, "key", "ord", "x", 0.5)
+      .select("key", "pos", "ewma")
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for (segLen <- Seq(1, 3, 7, 64)) {
+      val seg = graft.operators.Temporal
+        .ewmaSegmented(rows, "key", "ord", "x", 0.5, segLen)
+        .select("key", "pos", "ewma")
+        .as[(String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(seg.keySet == whole.keySet, s"segLen=$segLen row sets differ")
+      whole.foreach { case (k, e) =>
+        assert(java.lang.Double.doubleToLongBits(seg(k)) ==
+          java.lang.Double.doubleToLongBits(e),
+          s"segLen=$segLen key=$k whole=$e segmented=${seg(k)}")
+      }
+    }
+  }
+
+  test("ewmaSegmented carries ord and x through to the output") {
+    val rows = Seq(("a", 10L, 4.0), ("a", 20L, 8.0), ("a", 30L, 2.0))
+      .toDF("key", "ord", "x")
+    val out = graft.operators.Temporal
+      .ewmaSegmented(rows, "key", "ord", "x", 0.5, 2)
+      .select("key", "ord", "x", "pos", "ewma")
+      .as[(String, Long, Double, Long, Double)].collect().sortBy(_._4)
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
+      ("a", 10L, 4.0, 0L), ("a", 20L, 8.0, 1L), ("a", 30L, 2.0, 2L)))
+    assert(out.map(_._5).toSeq == Seq(4.0, 6.0, 4.0))
+  }
+
+  test("ewma: over-length series fails loudly, not silently") {
+    val rows = (0 until 10).map(i => ("k", i.toLong, 1.0))
+      .toDF("key", "ord", "x")
+    val e = intercept[Exception] {
+      graft.operators.Temporal
+        .ewma(rows, "key", "ord", "x", 0.5, maxSeriesLen = 5)
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("triangle law: per-node counts sum to 3x the triangle total") {
     val edgeSets = samples(Gen.listOfN(60, for {
       a <- Gen.choose(0L, 14L); b <- Gen.choose(0L, 14L)
