@@ -1,10 +1,10 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass HyperLogLog register aggregation (`graft_hll_regs`) — the
@@ -33,7 +33,14 @@ case class HllRegistersAgg(
     mExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] {
+  extends TypedImperativeAggregate[Array[Byte]]
+  with ImplicitCastInputTypes {
+
+  // analysis-time contract: the update path blind-casts to
+  // UTF8String, so a non-string child must fail in the analyzer (or
+  // implicitly cast), never as an executor-side ClassCastException
+  // (type ascription omitted: Seq[AbstractDataType] is private[sql])
+  override def inputTypes = Seq(StringType, IntegerType)
 
   private lazy val m: Int = {
     require(mExpr.foldable, "graft_hll_regs: m must be a literal")

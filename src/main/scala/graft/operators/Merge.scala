@@ -174,8 +174,12 @@ object Merge {
       "snapshots must share one schema: " +
         s"${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
     val valueCols = oldDf.columns.filterNot(keys.contains).toSeq
+    // rename BY NAME — a positional toDF would silently swap key and
+    // value columns whenever the keys aren't the schema's leading
+    // columns, corrupting the derived log with no error raised
     val o = oldDf
-      .toDF(keys ++ valueCols.map("__o_" + _): _*)
+      .select(keys.map(col) ++
+        valueCols.map(c => col(c).as("__o_" + c)): _*)
       .withColumn("__in_o", lit(1))
     val n = newDf.withColumn("__in_n", lit(1))
     val changed = valueCols.map(c => !(col(c) <=> col("__o_" + c)))

@@ -156,6 +156,44 @@ object Pipelines {
         .orderBy("details_html_id")
     },
 
+    // FK-GRAPH REGISTRY audit: the whole importer schema's declared
+    // FK edges (model.FkRegistry.importerSchema — the collect_FK.sql
+    // analog) compile to RefIntegrity rules in one call and sweep the
+    // fixture corpus; an intact load reports zero violations on every
+    // edge. One declaration now audits all 6 relationships — the
+    // hand-curated per-table rule list q_audit_constraints uses is no
+    // longer the only way in.
+    Q("q_audit_fk_registry",
+      """SELECT * FROM (VALUES
+        |  ('fk:collection_category.category_id->category.category_id',
+        |   CAST(0 AS BIGINT)),
+        |  ('fk:collection_category.collection_id->product_collection.collection_id',
+        |   CAST(0 AS BIGINT)),
+        |  ('fk:collection_details_html.collection_id->product_collection.collection_id',
+        |   CAST(0 AS BIGINT)),
+        |  ('fk:collection_details_html.details_html_id->details_html.details_html_id',
+        |   CAST(0 AS BIGINT)),
+        |  ('fk:product.collection_id->product_collection.collection_id',
+        |   CAST(0 AS BIGINT)),
+        |  ('fk:product_collection_translations.collection_id->product_collection.collection_id',
+        |   CAST(0 AS BIGINT)))
+        |  AS t(rule, violations)
+        |ORDER BY rule""".stripMargin) { (s, _) =>
+      val tb = Importer.run(s, RawCsv, MapCsv)
+      graft.operators.Constraints.check(
+        Map(
+          "product" -> tb.products,
+          "product_collection" -> tb.collections,
+          "category" -> tb.categories,
+          "collection_category" -> tb.collectionCategory,
+          "product_collection_translations" -> tb.collectionTranslations,
+          "details_html" -> tb.detailsHtml,
+          "collection_details_html" -> tb.collectionDetailsHtml),
+        graft.model.FkRegistry.rules(
+          graft.model.FkRegistry.importerSchema))
+        .orderBy("rule")
+    },
+
     // §3.2 attribute pipeline: key dictionary (A10 get-or-create).
     Q("q_attr_key_dict",
       pairsCte +

@@ -41,6 +41,36 @@ object SqlSurface {
         |                    AND o_totalprice > 100000)
         |ORDER BY c_custkey LIMIT 500""".stripMargin),
 
+    // Three-valued NOT IN over NULLABLE keys — the J7 hazard SURVEY
+    // flags, untestable on the NOT-NULL testdata columns until NULLIF
+    // manufactures the nulls. Four variants pin the full truth table
+    // on BOTH engines: (a) a NULL in the list makes NOT IN yield no
+    // rows at all (every comparison is FALSE or UNKNOWN); (b) the
+    // same list null-stripped behaves as a plain anti-join (counts
+    // custkey 37's orders); (c) a NULL probe value is excluded even
+    // though it matches nothing in the list (custkey 38's orders
+    // vanish); (d) the control without nulls counts both 37 and 38 —
+    // c < d is the probe-NULL proof, a = 0 is the list-NULL proof.
+    sqlQ("q_j7b_not_in_null", Seq("customer", "orders"),
+      """SELECT 'a_null_in_list' AS variant, count(*) AS n FROM orders
+        |WHERE o_custkey NOT IN (SELECT NULLIF(c_custkey, 37)
+        |                        FROM customer)
+        |UNION ALL
+        |SELECT 'b_list_stripped', count(*) FROM orders
+        |WHERE o_custkey NOT IN (SELECT NULLIF(c_custkey, 37)
+        |                        FROM customer
+        |                        WHERE NULLIF(c_custkey, 37) IS NOT NULL)
+        |UNION ALL
+        |SELECT 'c_null_probe', count(*) FROM orders
+        |WHERE NULLIF(o_custkey, 38) NOT IN (SELECT c_custkey
+        |                                    FROM customer
+        |                                    WHERE c_custkey NOT IN (37, 38))
+        |UNION ALL
+        |SELECT 'd_control', count(*) FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                        WHERE c_custkey NOT IN (37, 38))
+        |ORDER BY variant""".stripMargin),
+
     // Window function through SQL text.
     sqlQ("q_sql_window_top2", Seq("orders"),
       """SELECT o_custkey, o_orderkey, rn FROM (

@@ -25,6 +25,15 @@ object Sources {
       .option("recursiveFileLookup", "true")
       .load(dir)
 
+  /** The two halves of a rejects-aware CSV read plus the handle that
+    * releases their shared parse cache — call [[release]] once both
+    * halves are consumed, or cached partitions accumulate for the
+    * life of the session (one cache per ingested file). */
+  final case class CsvSplit(good: DataFrame, rejects: DataFrame,
+      raw: DataFrame) {
+    def release(): Unit = { raw.unpersist(); () }
+  }
+
   /** S1-robustness: CSV read that SEPARATES malformed rows instead of
     * silently nulling or dropping them — PERMISSIVE mode with the
     * corrupt-record column captured, split into (good, rejects). The
@@ -32,10 +41,13 @@ object Sources {
     * operational contract a production importer needs (the reference
     * imports hand-curated exports and crashes on surprises —
     * /root/reference/utils/importer/ETL.py:145 assumes clean input).
-    * Schema must be explicit: one pass, no inference re-read. */
+    * Schema must be explicit: one pass, no inference re-read. The
+    * parse is cached (PERMISSIVE row materialization must happen once
+    * so both halves agree on the corrupt marker) — release it via
+    * [[CsvSplit.release]] when done. */
   def csvWithRejects(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType,
-      delimiter: String = ";"): (DataFrame, DataFrame) = {
+      delimiter: String = ";"): CsvSplit = {
     val withCorrupt = schema
       .add("_corrupt_record", org.apache.spark.sql.types.StringType)
     val raw = spark.read
@@ -52,7 +64,7 @@ object Sources {
       .drop("_corrupt_record")
     val rejects = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
-    (good, rejects)
+    CsvSplit(good, rejects, raw)
   }
 
   /** S6: HTTP fetch per URL row — a `Services.Remote`-wrapped call

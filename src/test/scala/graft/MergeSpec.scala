@@ -219,6 +219,21 @@ class MergeSpec extends SparkSpec {
       .changeLogFromSnapshots(old, old, Seq("k")).count() == 0L)
   }
 
+  test("changeLogFromSnapshots: key column need not lead the schema") {
+    // (v, k) layout — a positional rename would swap key and value
+    // and classify everything as I/D garbage
+    val old = Seq(("a", 1L), ("b", 2L)).toDF("v", "k")
+    val neu = Seq(("a", 1L), ("B", 2L), ("c", 3L)).toDF("v", "k")
+    val log = graft.operators.Merge
+      .changeLogFromSnapshots(old, neu, Seq("k"))
+    val ops = log.select("k", "op").as[(Long, String)].collect().toMap
+    assert(ops == Map(2L -> "U", 3L -> "I"), ops)
+    assertSameRows(
+      graft.operators.Merge.applyChangeLog(old, log, Seq("k"), "ts", "op")
+        .select("v", "k"),
+      neu)
+  }
+
   test("signedAggState: insert ⊕ retract == state of survivors; zeroed groups vanish") {
     val all = Seq((1L, "a", 1.5), (2L, "a", 2.5), (3L, "b", 3.5),
       (4L, "b", 0.5)).toDF("id", "k", "v")

@@ -187,13 +187,20 @@ class PipelineSpec extends SparkSpec {
       StructField("id", LongType),
       StructField("name", StringType),
       StructField("price", DoubleType)))
-    val (good, rejects) = graft.sources.Sources
+    val split = graft.sources.Sources
       .csvWithRejects(spark, f.toString, schema)
-    val ids = good.select("id").as[Long].collect().sorted.toSeq
+    val ids = split.good.select("id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 3L), s"good ids: $ids")
-    val raw = rejects.select("raw_line").as[String].collect().toSet
+    val raw = split.rejects.select("raw_line").as[String].collect().toSet
     assert(raw.exists(_.startsWith("2;broken")), raw)
     assert(raw.exists(_.startsWith("not-a-number")), raw)
-    assert(rejects.count() == 2L)
+    assert(split.rejects.count() == 2L)
+    // the shared parse cache is caller-releasable — a long-lived
+    // session ingesting many files must not accumulate cached plans
+    assert(split.raw.storageLevel.useMemory, "parse must arrive cached")
+    split.release()
+    assert(split.raw.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "release() must evict the parse cache")
   }
 }

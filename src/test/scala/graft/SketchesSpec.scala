@@ -33,6 +33,19 @@ class SketchesSpec extends SparkSpec {
     assertSameRows(a, b)
   }
 
+  test("native hll aggregate: non-string input casts in the analyzer, not the executor") {
+    // graft_hll_regs declares (string, int) input types — a LONG
+    // child arrives through an analyzer-inserted implicit cast and
+    // folds the same registers as the explicit string cast; it must
+    // never reach update() as a raw Long (ClassCastException)
+    val longs = spark.range(500).select(col("id").as("v"))
+    val viaImplicit = longs
+      .selectExpr("graft_hll_regs(v, 64) AS regs")
+    val viaExplicit = longs
+      .selectExpr("graft_hll_regs(CAST(v AS STRING), 64) AS regs")
+    assertSameRows(viaImplicit, viaExplicit)
+  }
+
   test("native hll aggregate: registers bit-identical to the declarative build") {
     for (m <- Seq(64, 256)) {
       val declarative = Sketches.hllRegisters(range(5000), "v", m)
