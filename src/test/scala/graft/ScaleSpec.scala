@@ -186,6 +186,82 @@ class ScaleSpec extends SparkSpec {
     q.stop()
   }
 
+  test("file-source stream: checkpoint restart resumes where it stopped; " +
+      "ledger merge + sessions + interval-left stay batch-equal") {
+    // the real-checkpoint integration pass: streamWithLedger through
+    // an on-disk parquet source, run TWICE against the same
+    // checkpoint with new files landing in between — a kill/resume.
+    // Proofs: (1) the resumed run reads ONLY the new file (offsets
+    // survived), (2) the idempotent merge drops a replayed event,
+    // (3) sessionization and a left-outer interval join over the
+    // streamed table equal the same pipeline over the logical input.
+    val work = Files.createTempDirectory("graft-restart")
+    val srcDir = work.resolve("src"); Files.createDirectories(srcDir)
+    val ckpt = work.resolve("ckpt").toString
+    val resultDir = work.resolve("result").toString
+    def t(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val a = Seq((1L, 1L, t(1, 0)), (2L, 1L, t(1, 1)), (3L, 2L, t(1, 5)))
+    val b = Seq((3L, 2L, t(1, 5)), // replayed duplicate — merge drops it
+      (4L, 1L, t(1, 10)), (5L, 1L, t(1, 11)), (6L, 2L, t(2, 0)))
+    val schema = a.toDF("event_id", "user_id", "ts").schema
+    var rowsPerBatch = Seq.empty[Long]
+    def ingest(): Unit = {
+      val q = graft.streaming.Incremental.streamWithLedger(
+        spark, srcDir.toString, schema, Seq("event_id"), ckpt) {
+        (batch, _) =>
+          rowsPerBatch = rowsPerBatch :+ batch.count()
+          val fs = new org.apache.hadoop.fs.Path(resultDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val existing =
+            if (fs.exists(new org.apache.hadoop.fs.Path(resultDir)))
+              spark.read.parquet(resultDir)
+            else spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              batch.schema)
+          graft.sources.Sinks.atomicOverwrite(
+            graft.operators.Merge
+              .insertIfAbsent(existing, batch, Seq("event_id"))
+              .localCheckpoint(),
+            resultDir)
+          ()
+      }
+      q.awaitTermination()
+    }
+    a.toDF("event_id", "user_id", "ts").coalesce(1)
+      .write.mode("append").parquet(srcDir.toString)
+    ingest() // run 1 consumes file A
+    assert(rowsPerBatch.sum == 3, s"run 1 saw $rowsPerBatch")
+    assert(spark.read.parquet(resultDir).count() == 3)
+    b.toDF("event_id", "user_id", "ts").coalesce(1)
+      .write.mode("append").parquet(srcDir.toString)
+    ingest() // run 2: a fresh query on the SAME checkpoint (restart)
+    // offsets survived: the resumed run read only file B's 4 rows —
+    // a cold start would have re-read all 7
+    assert(rowsPerBatch.sum == 7, s"restart re-read files: $rowsPerBatch")
+    val ingested = spark.read.parquet(resultDir)
+    assert(ingested.count() == 6, "replayed event_id 3 must merge away")
+    // downstream parity: sessions + interval-left over the streamed
+    // table == the same pipeline over the logical (deduped) input
+    val logical = (a ++ b).toDF("event_id", "user_id", "ts")
+      .dropDuplicates("event_id")
+    val gapUs = 2L * 3600 * 1000000
+    def pipeline(ev: org.apache.spark.sql.DataFrame) = {
+      val sessions = graft.streaming.Sessionize
+        .batchSessions(ev, "user_id", "ts", "event_id", gapUs)
+      val promos = Seq((1L, t(1, 1)), (2L, t(2, 2)), (9L, t(1, 3)))
+        .toDF("user_id", "promo_ts")
+      graft.streaming.StreamOps.intervalJoinLeft(
+        promos, ev.select(col("user_id"), col("ts")),
+        "user_id", "promo_ts", "ts", "2 hours")
+    }
+    assertSameRows(pipeline(ingested), pipeline(logical))
+    // u1 sessions split on the >2h gap, u2 on the day gap
+    assert(graft.streaming.Sessionize
+      .batchSessions(ingested, "user_id", "ts", "event_id", gapUs)
+      .count() == 4)
+  }
+
   test("streaming funnel attainments match the batch funnel") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
