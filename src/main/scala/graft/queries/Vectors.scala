@@ -40,6 +40,44 @@ object Vectors {
        |    [${(1 to dim).map(sqlMeanDim).mkString(", ")}] AS cv, n
        |  FROM $mN)""".stripMargin
 
+  /** Quantized squared cosine distance — the integer every k-means||
+    * decision compares (matches Similarity's floor(d²·2²⁰) LONG). */
+  private def sqlD2u(a: String, b: String): String =
+    s"CAST(floor((1 - ${sqlCosine(a, b)}) * " +
+      s"(1 - ${sqlCosine(a, b)}) * 1048576) AS BIGINT)"
+
+  /** One k-means|| oversampling round (lock-step with
+    * Similarity.kmeansParallelCandidates: md5-gated, exact-integer
+    * compare in HUGEINT like Spark's decimal(38,0)). `prev` → `next`
+    * = prev ∪ the round's sampled points. */
+  private def kmppRoundSql(prev: String, r: Int, l: Int,
+      next: String): String =
+    s"""d$r AS (SELECT e.vec_id, e.embedding,
+       |    min(${sqlD2u("e.embedding", "c.cv")}) AS d2u
+       |  FROM embeddings e, $prev c GROUP BY 1, 2),
+       |p$r AS (SELECT sum(d2u) AS phi FROM d$r),
+       |s$r AS (SELECT vec_id, embedding FROM d$r, p$r
+       |  WHERE CAST((${sqlHash60(
+                s"(CAST(vec_id AS VARCHAR) || ':kmpp:$r')")}
+       |      % 1048576) AS HUGEINT) * phi
+       |    < CAST($l * d2u * 1048576 AS HUGEINT)),
+       |$next AS (SELECT cid, cv FROM $prev UNION ALL
+       |  SELECT vec_id, embedding FROM s$r)""".stripMargin
+
+  /** One deterministic weighted farthest-first selection step:
+    * `chosen` + the unchosen candidate maximizing w·min-d2u-to-chosen
+    * (ties to the smallest cid) → `nextChosen`. */
+  private def kmppPickSql(cands: String, chosen: String,
+      nextChosen: String, step: Int): String =
+    s"""x$step AS (SELECT c.cid, c.cv, c.w,
+       |    min(${sqlD2u("c.cv", "p.cv")}) AS dmin
+       |  FROM $cands c, $chosen p
+       |  WHERE c.cid NOT IN (SELECT cid FROM $chosen)
+       |  GROUP BY 1, 2, 3),
+       |$nextChosen AS (SELECT cid, cv, w FROM $chosen UNION ALL
+       |  (SELECT cid, cv, w FROM x$step
+       |   ORDER BY w * dmin DESC, cid LIMIT 1))""".stripMargin
+
   /** Shared IVF+PQ CTE block (16 seed centroids, nProbe=4, m=4
     * subspaces of 16 dims, 8 seed codewords): ends at `sc` =
     * (vec_id, adc_dist) for the probed lists' vectors. Used by both
@@ -454,6 +492,41 @@ object Vectors {
         .select(col("cid"), (col("pos") + 1).cast("int").as("dim"),
           col("col").as("v"), col("n"))
         .orderBy("cid", "dim")
+    },
+
+    // k-means|| SEEDING (Bahmani et al. 2012), fully deterministic:
+    // two md5-gated oversampling rounds (expected ~1 + 2·8
+    // candidates), inverted-list weighting, then weighted
+    // farthest-first down to 4 seeds — every sampling and selection
+    // decision is an exact-integer compare (floor(d²·2²⁰), 20-bit
+    // md5 uniforms, HUGEINT/decimal products), so the seed set is
+    // bit-identical on both engines and at any partitioning. This is
+    // the trainable replacement for the smallest-k-ids seed stub:
+    // the corpus-side work per round is one broadcast-centers
+    // distance pass with a partial-agg min.
+    Q("q_v_kmeanspp_seeds",
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv
+         |            FROM embeddings ORDER BY vec_id LIMIT 1),
+         |${kmppRoundSql("c0", 1, 8, "c1")},
+         |${kmppRoundSql("c1", 2, 8, "c2")},
+         |asg AS (SELECT e.vec_id, c.cid, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${sqlD2u("e.embedding", "c.cv")}, c.cid) AS rn
+         |  FROM embeddings e, c2 c),
+         |wc AS (SELECT c.cid, c.cv, coalesce(w.w, 0) AS w
+         |  FROM c2 c LEFT JOIN (SELECT cid, count(*) AS w FROM asg
+         |    WHERE rn = 1 GROUP BY 1) w USING (cid)),
+         |ch1 AS (SELECT cid, cv, w FROM wc
+         |  ORDER BY w DESC, cid LIMIT 1),
+         |${kmppPickSql("wc", "ch1", "ch2", 2)},
+         |${kmppPickSql("wc", "ch2", "ch3", 3)},
+         |${kmppPickSql("wc", "ch3", "ch4", 4)}
+         |SELECT cid, CAST(w AS BIGINT) AS w FROM ch4
+         |ORDER BY cid""".stripMargin) { (s, d) =>
+      Similarity.kmeansParallelSeeds(t(s, d, "embeddings"), "vec_id",
+          "embedding", 4, 2, 8)
+        .select(col("cid"), col("w"))
+        .orderBy("cid")
     },
 
     // IVF over TRAINED centroids — k-means trains the index, IVF

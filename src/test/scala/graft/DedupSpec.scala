@@ -381,6 +381,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("kmeansParallelSeeds: deterministic, partition-independent, " +
+      "one seed per separated cluster") {
+    // four tight clusters on orthogonal axes — weighted
+    // farthest-first must land exactly one seed in each, and the
+    // md5-gated sampling must not care how the input is partitioned
+    val vecs = (0 until 40).map { i =>
+      val axis = i % 4
+      val v = Array.fill(4)(0f); v(axis) = 10f + (i / 4)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    def seeds(df: org.apache.spark.sql.DataFrame) =
+      operators.Similarity
+        .kmeansParallelSeeds(df, "vec_id", "embedding", 4, 2, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    val s1 = seeds(vecs)
+    assert(s1.length == 4, s"expected 4 seeds: ${s1.toSeq}")
+    // one per cluster: the seed ids cover all four residues mod 4
+    assert(s1.map(_._1 % 4).toSet == Set(0L, 1L, 2L, 3L), s1.toSeq)
+    // weights = inverted-list sizes; four symmetric clusters of 10
+    assert(s1.map(_._2).sum == 40L, s1.toSeq)
+    assert(seeds(vecs.repartition(7)).toSeq == s1.toSeq)
+  }
+
   test("packByTokenBudget: greedy per-bucket packing respects the budget") {
     val docs = (1L to 40L).map(i => (i, 300L)).toDF("doc_id", "n_toks")
     val packed = graft.operators.Sharding
