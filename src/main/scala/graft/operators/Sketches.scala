@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.hash60
+import graft.functions.{hash60, hash60b}
 
 /** Approximate-cardinality / membership sketches, built DETERMINISTIC
   * so every run (and every engine with md5) produces bit-identical
@@ -376,11 +376,16 @@ object Sketches {
       depth: Int, salt: String = "cms"): DataFrame =
     df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("string").as("key"))
-      .select(col("key"),
+      // Kirsch-Mitzenmacher positions p_r = (h1 + r·h2) mod width
+      // from ONE md5 digest (h1/h2 are disjoint digit ranges of the
+      // same digest; codegen subexpression elimination evaluates the
+      // md5 once) — the depth× per-row md5 of the naive per-row-r
+      // hash was the dominant scan cost, exactly as in bloomPreJoin
+      .select(hash60(concat(lit(s"$salt:"), col("key"))).as("h1"),
+        hash60b(concat(lit(s"$salt:"), col("key"))).as("h2"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .select(col("r"),
-        (hash60(concat(lit(s"$salt-"), col("r").cast("string"),
-          lit(":"), col("key"))) % width).as("p"))
+        ((col("h1") + col("r") * col("h2")) % width).as("p"))
       .groupBy("r", "p").agg(count(lit(1)).as("cnt"))
 
   /** Merge count-min sketches of the same (width, depth, salt):
@@ -398,10 +403,13 @@ object Sketches {
     keys.filter(col(valueCol).isNotNull)
       .select(col(valueCol).as("key")).distinct()
       .select(col("key"),
+        hash60(concat(lit(s"$salt:"), col("key").cast("string")))
+          .as("h1"),
+        hash60b(concat(lit(s"$salt:"), col("key").cast("string")))
+          .as("h2"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .select(col("key"), col("r"),
-        (hash60(concat(lit(s"$salt-"), col("r").cast("string"),
-          lit(":"), col("key").cast("string"))) % width).as("p"))
+        ((col("h1") + col("r") * col("h2")) % width).as("p"))
       .join(broadcast(cms), Seq("r", "p"), "left")
       .groupBy("key")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))

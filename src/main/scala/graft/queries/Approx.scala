@@ -282,13 +282,15 @@ object Approx {
     // for keys < 100 so the oracle also DEMONSTRATES the error bound.
     Q("q_k_cms",
       s"""WITH cms AS (SELECT CAST(r.range AS BIGINT) AS r,
-         |    ${sqlHash60("'cms-' || r.range || ':' || CAST(o_custkey AS VARCHAR)")} % 2048 AS p,
+         |    (${sqlHash60("'cms:' || CAST(o_custkey AS VARCHAR)")}
+         |     + r.range * ${sqlHash60b("'cms:' || CAST(o_custkey AS VARCHAR)")}) % 2048 AS p,
          |    count(*) AS cnt
          |  FROM orders, range(0, 4) r GROUP BY 1, 2),
          |keys AS (SELECT o_custkey AS key, count(*) AS true_n
          |  FROM orders GROUP BY 1),
          |pos AS (SELECT k.key, CAST(r.range AS BIGINT) AS r,
-         |    ${sqlHash60("'cms-' || r.range || ':' || CAST(k.key AS VARCHAR)")} % 2048 AS p
+         |    (${sqlHash60("'cms:' || CAST(k.key AS VARCHAR)")}
+         |     + r.range * ${sqlHash60b("'cms:' || CAST(k.key AS VARCHAR)")}) % 2048 AS p
          |  FROM (SELECT DISTINCT o_custkey AS key FROM orders) k,
          |    range(0, 4) r),
          |est AS (SELECT key, min(coalesce(cnt, 0)) AS est_n
@@ -317,11 +319,13 @@ object Approx {
     // touched by the estimate after the sketch builds.
     Q("q_k_join_size",
       s"""WITH ca AS (SELECT CAST(r.range AS BIGINT) AS r,
-         |    ${sqlHash60("'cms-' || r.range || ':' || CAST(o_custkey AS VARCHAR)")} % 2048 AS p,
+         |    (${sqlHash60("'cms:' || CAST(o_custkey AS VARCHAR)")}
+         |     + r.range * ${sqlHash60b("'cms:' || CAST(o_custkey AS VARCHAR)")}) % 2048 AS p,
          |    count(*) AS cnt_a
          |  FROM orders, range(0, 4) r GROUP BY 1, 2),
          |cb AS (SELECT CAST(r.range AS BIGINT) AS r,
-         |    ${sqlHash60("'cms-' || r.range || ':' || CAST(c_custkey AS VARCHAR)")} % 2048 AS p,
+         |    (${sqlHash60("'cms:' || CAST(c_custkey AS VARCHAR)")}
+         |     + r.range * ${sqlHash60b("'cms:' || CAST(c_custkey AS VARCHAR)")}) % 2048 AS p,
          |    count(*) AS cnt_b
          |  FROM customer, range(0, 4) r GROUP BY 1, 2),
          |e AS (SELECT r, sum(cnt_a * cnt_b) AS est

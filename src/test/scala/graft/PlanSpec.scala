@@ -57,6 +57,20 @@ class PlanSpec extends SparkSpec {
       s"groupBy must pre-aggregate before the shuffle:\n$plan")
   }
 
+  test("assignTo (trained IVF / k-means inner loop): partial min_by argmin") {
+    // the centroid assignment sits in the hot loop of every k-means
+    // iteration — it must map-side-reduce its N×K rows like ivfAssign
+    val plan = planOf("q_v_ivf_trained")
+    assert(plan.contains("partial_min_by"),
+      s"assignTo must aggregate with map-side partial min_by:\n$plan")
+  }
+
+  test("groupCentroidSums: per-(label, dim) sums partial-aggregate") {
+    val plan = planOf("q_v_label_centroids_sum")
+    assert(plan.contains("partial_sum") || plan.contains("partial_"),
+      s"the centroid accumulator must pre-aggregate map-side:\n$plan")
+  }
+
   test("ivfAssign: argmin plans as partial min_by before the exchange") {
     // the N×K distance rows must reduce map-side (each task keeps one
     // row per id) — a row_number window here would shuffle and sort
