@@ -57,6 +57,15 @@ class PlanSpec extends SparkSpec {
       s"groupBy must pre-aggregate before the shuffle:\n$plan")
   }
 
+  test("brute-force ANN: cosine runs through the native graft_dot kernel") {
+    // the corpus-side cosine is the entire cost of a brute-force scan
+    // — it must be the codegen'd native expression, not the
+    // interpreted HOF fold (bit-identical; parity-spec'd)
+    val plan = planOf("q_v_brute_topk")
+    assert(plan.contains("graft_dot"),
+      s"float-array cosine must use the native kernel:\n$plan")
+  }
+
   test("assignTo (trained IVF / k-means inner loop): partial min_by argmin") {
     // the centroid assignment sits in the hot loop of every k-means
     // iteration — it must map-side-reduce its N×K rows like ivfAssign
