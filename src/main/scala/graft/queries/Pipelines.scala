@@ -48,6 +48,30 @@ object Pipelines {
         lit(raw.columns.length.toLong).as("n_cols"))
     },
 
+    // S3: the Excel ingest path, dependency-free (xlsx = zip of XML;
+    // JDK ZipInputStream + StAX) — the one reference entry previously
+    // declared out-of-scope. Shared strings (incl. CJK), an inlineStr
+    // cell, number cells, and sparse rows all live in the committed
+    // fixture; absent cells must read as NULL like the CSV path.
+    Q("q_s3_xlsx",
+      """SELECT * FROM (VALUES
+        |  ('M001-A.0', 'M001', 'Chairs'),
+        |  ('M001-B', 'M001', 'Chairs'),
+        |  ('M001-C', 'M001', CAST(NULL AS VARCHAR)),
+        |  ('M002-A', 'M002', 'Tables'),
+        |  ('M002-B', 'M002', 'Tables'),
+        |  ('M002-C.0', 'M002', 'Tables'),
+        |  ('M003-A', 'M003', 'Lighting'),
+        |  ('SKIP-1', CAST(NULL AS VARCHAR), 'Misc'))
+        |  AS t(sku, master_code, category)
+        |ORDER BY sku""".stripMargin) { (s, _) =>
+      graft.sources.Xlsx.xlsx(s, "/root/repo/fixtures")
+        .select(col("Product SKU").as("sku"),
+          col("Master Code").as("master_code"),
+          col("Category").as("category"))
+        .orderBy("sku")
+    },
+
     // §7.2 E2E slice, audit output: products per collection top-k.
     Q("q_e2e_import_topk",
       """SELECT * FROM (VALUES ('M001', CAST(3 AS BIGINT)),

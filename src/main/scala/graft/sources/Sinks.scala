@@ -31,6 +31,20 @@ object Sinks {
       keys: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
 
+  /** S13: log-line sink — stamped text lines appended under a log
+    * directory (the reference's per-failure LOG_FILE append,
+    * /root/reference/utils/product_collection_img_array_processor.py:71-74,
+    * as a distributed append: each run adds text parts instead of
+    * contending on one file handle; readers `spark.read.text(dir)`
+    * the whole history). `tag` labels the emitting pipeline; rows
+    * carry `msgCol`'s text. `stampUs` is the caller's batch stamp
+    * (explicit, so reruns are reproducible — no wall-clock read). */
+  def appendLog(df: DataFrame, msgCol: String, tag: String,
+      stampUs: Long, path: String): Unit =
+    df.select(concat_ws("\t", lit(stampUs), lit(tag),
+        col(msgCol).cast("string")).as("value"))
+      .write.mode("append").text(path)
+
   /** M7/M8: atomic overwrite with dry-run. Writes the full result to
     * `<path>.tmp-<nonce>` and only then swaps directories; with
     * dryRun=true the swap is skipped and the temp path returned for

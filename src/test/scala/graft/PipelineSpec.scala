@@ -172,6 +172,45 @@ class PipelineSpec extends SparkSpec {
     assert(m.getAs[Long]("bad_rows") == 14L)
   }
 
+  test("sinks: appendLog accumulates stamped lines across runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-log")
+      .resolve("log").toString
+    val msgs = Seq("download failed: a.jpg", "download failed: b.jpg")
+      .toDF("msg")
+    graft.sources.Sinks.appendLog(msgs, "msg", "img-fetch", 1000L, dir)
+    graft.sources.Sinks.appendLog(msgs.limit(1), "msg", "img-fetch",
+      2000L, dir)
+    val lines = spark.read.text(dir).as[String].collect().sorted.toSeq
+    assert(lines == Seq(
+      "1000\timg-fetch\tdownload failed: a.jpg",
+      "1000\timg-fetch\tdownload failed: b.jpg",
+      "2000\timg-fetch\tdownload failed: a.jpg"))
+  }
+
+  test("sources: xlsx reads sheet1 — shared strings, inlineStr, sparse nulls") {
+    val df = graft.sources.Xlsx.xlsx(spark, "/root/repo/fixtures")
+    assert(df.columns.toSeq == Seq("Master Code", "Product SKU",
+      "Product Name", "Selling Price", "Inventory", "Attributes",
+      "Images", "Video Url", "Category", "Details HTML"))
+    val bySku = df.collect()
+      .map(r => r.getAs[String]("Product SKU") -> r).toMap
+    assert(bySku.size == 8)
+    val a = bySku("M001-A.0")
+    assert(a.getAs[String]("Inventory") == "10") // inlineStr cell
+    assert(a.getAs[String]("Attributes") == "品牌:OakCo-材质:橡木")
+    assert(a.getAs[String]("Selling Price") == "1 299,50")
+    assert(a.getAs[String]("Video Url") == null) // absent cell
+    val b = bySku("M001-B")
+    assert(b.getAs[String]("Video Url") == "https://v/1.mp4")
+    assert(b.getAs[String]("Inventory") == "5") // plain number cell
+    assert(bySku("SKIP-1").getAs[String]("Master Code") == null)
+    // parity with the CSV read of the same table (CSV nulls blanks)
+    val csv = graft.pipelines.Importer.loadRaw(spark,
+      "/root/repo/fixtures/raw_products.csv")
+    assertSameRows(csv.select("Master Code", "Product SKU", "Category"),
+      df.select("Master Code", "Product SKU", "Category"))
+  }
+
   test("sources: csvWithRejects quarantines malformed rows, keeps the rest") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-rejects")
