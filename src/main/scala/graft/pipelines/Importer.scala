@@ -54,9 +54,18 @@ object Importer {
 
   /** Full importer run: raw + mapping → (collections, products). */
   def run(spark: SparkSession, rawPath: String,
+      mappingPath: String): Tables =
+    runFrom(spark, loadRaw(spark, rawPath), mappingPath)
+
+  /** Importer over an already-loaded raw frame — the entry the Excel
+    * path uses (`Importer.runFrom(spark, Xlsx.xlsx(spark, dir),
+    * mapCsv)`), and the seam for any future source: everything after
+    * the read is source-agnostic because both readers emit the same
+    * all-string columns. */
+  def runFrom(spark: SparkSession, rawInput: DataFrame,
       mappingPath: String): Tables = {
     val mapping = ColumnMapping.fromCsv(spark, mappingPath)
-    val raw = loadRaw(spark, rawPath)
+    val raw = rawInput
       .na.drop(Seq("Master Code"))                       // P5 guard
     val w = Window.partitionBy("master_code").orderBy("__sku")
 

@@ -211,6 +211,24 @@ class PipelineSpec extends SparkSpec {
       df.select("Master Code", "Product SKU", "Category"))
   }
 
+  test("importer: xlsx source runs the full pipeline — table parity with CSV") {
+    // the runFrom seam: everything downstream of the read is
+    // source-agnostic, so the Excel path must produce the exact same
+    // seven tables as the CSV path over the mirrored fixture
+    val fromCsv = Importer.run(spark, RawCsv, MapCsv)
+    val fromXlsx = Importer.runFrom(spark,
+      graft.sources.Xlsx.xlsx(spark, "/root/repo/fixtures"), MapCsv)
+    assertSameRows(fromCsv.collections, fromXlsx.collections)
+    assertSameRows(fromCsv.products, fromXlsx.products)
+    assertSameRows(fromCsv.categories, fromXlsx.categories)
+    assertSameRows(fromCsv.collectionCategory, fromXlsx.collectionCategory)
+    assertSameRows(fromCsv.collectionTranslations,
+      fromXlsx.collectionTranslations)
+    assertSameRows(fromCsv.detailsHtml, fromXlsx.detailsHtml)
+    assertSameRows(fromCsv.collectionDetailsHtml,
+      fromXlsx.collectionDetailsHtml)
+  }
+
   test("sources: csvWithRejects quarantines malformed rows, keeps the rest") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-rejects")
