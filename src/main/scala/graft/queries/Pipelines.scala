@@ -72,6 +72,31 @@ object Pipelines {
         .orderBy("sku")
     },
 
+    // S12: PDF render sink — each row's details HTML renders to a
+    // paginated text-layer PDF inside its executor task (the
+    // reference's driver-side Chromium loop, pupeeter.py:25-54, made
+    // data-parallel); the graded surface is the durable manifest.
+    // Page counts are deterministic (fixed A4 line budget); byte
+    // sizes are asserted >0 rather than pinned so a rendering tweak
+    // is a code change, not an oracle change.
+    Q("q_s12_pdf_render",
+      """SELECT * FROM (VALUES
+        |  ('M001', 1, TRUE), ('M002', 1, TRUE))
+        |  AS t(master_code, pages, has_bytes)
+        |ORDER BY master_code""".stripMargin) { (s, _) =>
+      val raw = Importer.loadRaw(s, RawCsv)
+        .filter(col("Details HTML").isNotNull &&
+          col("Master Code").isNotNull)
+        .select(col("Master Code").as("master_code"),
+          col("Details HTML").as("html"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-pdf-q").resolve("pdf").toString
+      graft.sources.Sinks.renderPdf(raw, "master_code", "html", out)
+        .select(col("name").as("master_code"), col("pages"),
+          (col("bytes") > 0).as("has_bytes"))
+        .orderBy("master_code")
+    },
+
     // §7.2 E2E slice, audit output: products per collection top-k.
     Q("q_e2e_import_topk",
       """SELECT * FROM (VALUES ('M001', CAST(3 AS BIGINT)),

@@ -45,6 +45,49 @@ object Sinks {
         col(msgCol).cast("string")).as("value"))
       .write.mode("append").text(path)
 
+  /** S12: PDF render sink — each row's HTML renders to
+    * `<outDir>/<cleanName(name)>.pdf` inside its executor task
+    * (PdfRender — text-layer A4 pagination, no external renderer),
+    * replacing the reference's driver-side Chromium/pdfkit loop
+    * (/root/reference/utils/html_to_pdf/pupeeter.py:25-54,
+    * html_to_pdf_printer.py:26-43). Returns the durable manifest
+    * (name, pdf_path, pages, bytes) read back from
+    * `<outDir>/_manifest` — the reference's output CSV with the
+    * pdf_path column (pupeeter.py:56-58). Rendering happens exactly
+    * once, when the manifest parquet is written. Rows sharing one
+    * cleaned name overwrite the same file (the reference does too);
+    * the manifest makes collisions visible (distinct pdf_path <
+    * rows). */
+  def renderPdf(df: DataFrame, nameCol: String, htmlCol: String,
+      outDir: String, wrapCols: Int = 95): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val manifest = df
+      .select(col(nameCol).cast("string"), col(htmlCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        // executor-side FS handle — resolves HDFS/S3A/local from the
+        // dir's own scheme, the same way the binaryFile source does
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val base = new org.apache.hadoop.fs.Path(outDir)
+        val fs = base.getFileSystem(conf)
+        fs.mkdirs(base)
+        it.map { case (name, html) =>
+          val (bytes, pages) =
+            PdfRender.render(if (html == null) "" else html, wrapCols)
+          val p = new org.apache.hadoop.fs.Path(base,
+            PdfRender.cleanName(if (name == null) "null" else name)
+              + ".pdf")
+          val out = fs.create(p, true)
+          try out.write(bytes) finally out.close()
+          (name, p.toString, pages, bytes.length)
+        }
+      }
+      .toDF("name", "pdf_path", "pages", "bytes")
+    manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
+    spark.read.parquet(s"$outDir/_manifest")
+  }
+
   /** M7/M8: atomic overwrite with dry-run. Writes the full result to
     * `<path>.tmp-<nonce>` and only then swaps directories; with
     * dryRun=true the swap is skipped and the temp path returned for

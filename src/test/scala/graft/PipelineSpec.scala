@@ -187,6 +187,62 @@ class PipelineSpec extends SparkSpec {
       "2000\timg-fetch\tdownload failed: a.jpg"))
   }
 
+  test("sinks: renderPdf writes well-formed paginated PDFs plus a manifest") {
+    import graft.sources.PdfRender
+    val dir = Files.createTempDirectory("graft-pdf").resolve("out").toString
+    // 130 short paragraphs -> 130 lines -> 3 pages at 63 lines/page
+    val longHtml = "<h1>Catalog &amp; Spec</h1>" +
+      (1 to 129).map(i => s"<p>paragraph $i</p>").mkString
+    val df = Seq(
+      ("Oak Chair / classic", longHtml),
+      ("Pine Table", "<div>small &lt;sample&gt;</div>")
+    ).toDF("name", "details_html")
+    val manifest = graft.sources.Sinks
+      .renderPdf(df, "name", "details_html", dir)
+    val rows = manifest.collect().map(r => r.getAs[String]("name") ->
+      (r.getAs[String]("pdf_path"), r.getAs[Int]("pages"))).toMap
+    assert(rows.size == 2)
+    assert(rows("Oak Chair / classic")._2 == 3)
+    assert(rows("Pine Table")._2 == 1)
+    // forbidden filename chars sanitized like the reference
+    assert(rows("Oak Chair / classic")._1.endsWith("Oak Chair _ classic.pdf"))
+
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get(rows("Oak Chair / classic")._1.stripPrefix("file:")))
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(s.startsWith("%PDF-1.4\n") && s.endsWith("%%EOF\n"))
+    // page objects: 3 pages + 1 /Pages tree
+    assert("/Type /Page[^s]".r.findAllIn(s).length == 3)
+    assert(s.contains("/Count 3"))
+    // text layer present, entities decoded, parens escapable
+    assert(s.contains("(Catalog & Spec) Tj"))
+    assert(s.contains("(paragraph 129) Tj"))
+    // xref integrity: startxref points at the xref table, and every
+    // object offset points at "<id> 0 obj"
+    val xrefPos = """startxref\n(\d+)\n""".r.findFirstMatchIn(s).get
+      .group(1).toInt
+    assert(s.startsWith("xref", xrefPos))
+    val offsets = """(\d{10}) 00000 n""".r.findAllMatchIn(s)
+      .map(_.group(1).toInt).toSeq
+    offsets.zipWithIndex.foreach { case (off, i) =>
+      assert(s.startsWith(s"${i + 1} 0 obj", off),
+        s"object ${i + 1} offset $off does not land on its header")
+    }
+    // small doc: entities decoded inside WinAnsi escape rules
+    val small = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        rows("Pine Table")._1.stripPrefix("file:"))),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(small.contains("(small <sample>) Tj"))
+    // rendering is idempotent: rerunning overwrites to identical bytes
+    val again = graft.sources.Sinks
+      .renderPdf(df, "name", "details_html", dir)
+    assert(again.count() == 2)
+    val bytes2 = java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get(rows("Oak Chair / classic")._1.stripPrefix("file:")))
+    assert(java.util.Arrays.equals(bytes, bytes2))
+  }
+
   test("sources: xlsx reads sheet1 — shared strings, inlineStr, sparse nulls") {
     val df = graft.sources.Xlsx.xlsx(spark, "/root/repo/fixtures")
     assert(df.columns.toSeq == Seq("Master Code", "Product SKU",

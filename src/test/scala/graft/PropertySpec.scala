@@ -389,4 +389,135 @@ class PropertySpec extends SparkSpec {
         s"per-node credit must be divisible by 3: ${perNode.toSeq}")
     }
   }
+
+  // ---- xlsx round-trip ------------------------------------------------
+
+  private def xmlEsc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    .replace("\"", "&quot;")
+
+  private def colLetters(i: Int): String = {
+    var n = i + 1; val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  /** Write one workbook: header row + data rows, each cell either
+    * absent (sparse), a shared string, an inline string, or a raw
+    * number — the four shapes the reader supports. */
+  private def writeXlsx(path: java.nio.file.Path, header: Seq[String],
+      rows: Seq[Seq[Option[(Int, String)]]]): Unit = {
+    val shared = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def sstIdx(s: String): Int =
+      shared.getOrElseUpdate(s, shared.size)
+    val sheet = new StringBuilder
+    sheet.append("""<?xml version="1.0"?><worksheet><sheetData>""")
+    def cellXml(ref: String, kind: Int, v: String): String = kind match {
+      case 0 => s"""<c r="$ref" t="s"><v>${sstIdx(v)}</v></c>"""
+      case 1 => s"""<c r="$ref" t="inlineStr"><is><t>${xmlEsc(v)}</t></is></c>"""
+      case _ => s"""<c r="$ref"><v>${xmlEsc(v)}</v></c>"""
+    }
+    sheet.append("<row>")
+    header.zipWithIndex.foreach { case (h, i) =>
+      sheet.append(cellXml(s"${colLetters(i)}1", 0, h)) }
+    sheet.append("</row>")
+    rows.zipWithIndex.foreach { case (r, ri) =>
+      sheet.append("<row>")
+      r.zipWithIndex.foreach {
+        case (Some((kind, v)), ci) =>
+          sheet.append(cellXml(s"${colLetters(ci)}${ri + 2}", kind, v))
+        case (None, _) => ()
+      }
+      sheet.append("</row>")
+    }
+    sheet.append("</sheetData></worksheet>")
+    val sst = new StringBuilder
+    sst.append("""<?xml version="1.0"?><sst>""")
+    shared.keys.foreach(s => sst.append(s"<si><t>${xmlEsc(s)}</t></si>"))
+    sst.append("</sst>")
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(path))
+    try {
+      zout.putNextEntry(new java.util.zip.ZipEntry("xl/sharedStrings.xml"))
+      zout.write(sst.toString.getBytes("UTF-8"))
+      zout.closeEntry()
+      zout.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      zout.write(sheet.toString.getBytes("UTF-8"))
+      zout.closeEntry()
+    } finally zout.close()
+  }
+
+  test("xlsx round-trip: any random grid of sparse/shared/inline/number cells reads back exactly") {
+    val cellText: Gen[String] = for {
+      n <- Gen.choose(1, 10)
+      cs <- Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf('品', '质', '&', '<', '>', '"', ' ', ';', ',')))
+    } yield cs.mkString.trim match { case "" => "x"; case s => s }
+    val cell: Gen[Option[(Int, String)]] = Gen.frequency(
+      2 -> Gen.const(None),
+      3 -> cellText.map(s => Some((0, s))),
+      2 -> cellText.map(s => Some((1, s))),
+      2 -> (for { a <- Gen.choose(-9999, 9999); b <- Gen.choose(0, 99) }
+        yield Some((2, s"$a.$b"))))
+    val header = Seq("Alpha", "Beta Col", "Gamma", "Delta")
+    val grid: Gen[Seq[Seq[Option[(Int, String)]]]] = for {
+      nRows <- Gen.choose(0, 9)
+      rows <- Gen.listOfN(nRows, Gen.listOfN(header.length, cell))
+    } yield rows
+    val books = samples(grid, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-prop")
+    books.zipWithIndex.foreach { case (rows, i) =>
+      writeXlsx(dir.resolve(f"wb$i%02d.xlsx"), header, rows) }
+    val got = graft.sources.Xlsx.xlsx(spark, dir.toString).collect()
+      .map(r => header.indices.map(i =>
+        Option(r.getString(i))).toSeq)
+      .toSeq
+    // trailing absent cells shrink the row in the XML but the reader
+    // pads to header width; leading/interior sparse cells stay null
+    val want = books.flatten.map(_.map {
+      case Some((_, v)) => Some(v)
+      case None => None
+    })
+    assert(got.sortBy(_.toString) == want.sortBy(_.toString),
+      s"round-trip mismatch: got ${got.size} rows, want ${want.size}")
+  }
+
+  test("pdf structure law: any text renders to a parseable PDF with exact xref offsets") {
+    import graft.sources.PdfRender
+    val nasty: Gen[String] = for {
+      n <- Gen.choose(0, 400)
+      cs <- Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(
+        '(', ')', '\\', '&', '<', '>', '品', '牌', 'é', 'ß', ' ', '\n')))
+    } yield cs.mkString
+    for (txt <- samples(nasty, 40)) {
+      val html = s"<p>$txt</p><div>tail &amp; end</div>"
+      val (bytes, pages) = PdfRender.render(html)
+      val s = new String(bytes,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      assert(s.startsWith("%PDF-1.4\n") && s.endsWith("%%EOF\n"))
+      val lines = PdfRender.htmlToLines(html)
+      val wantPages = math.max(1,
+        (lines.size + PdfRender.LinesPerPage - 1) / PdfRender.LinesPerPage)
+      assert(pages == wantPages)
+      assert(s"/Count $wantPages " != null &&
+        s.contains(s"/Count $wantPages"))
+      val xrefPos = """startxref\n(\d+)\n""".r
+        .findFirstMatchIn(s).get.group(1).toInt
+      assert(s.startsWith("xref", xrefPos))
+      val offs = """(\d{10}) 00000 n""".r.findAllMatchIn(s)
+        .map(_.group(1).toInt).toSeq
+      offs.zipWithIndex.foreach { case (off, i) =>
+        assert(s.startsWith(s"${i + 1} 0 obj", off),
+          s"object ${i + 1} offset $off off-target") }
+      // the text layer survives: unbalanced parens must be escaped,
+      // so every content stream stays parseable — check stream
+      // /Length fields match their actual payloads
+      """<< /Length (\d+) >>\nstream\n""".r.findAllMatchIn(s)
+        .foreach { m =>
+          val len = m.group(1).toInt
+          val start = m.end
+          assert(s.startsWith("endstream", start + len),
+            "stream /Length does not reach endstream") }
+    }
+  }
 }
