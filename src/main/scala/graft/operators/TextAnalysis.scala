@@ -393,4 +393,41 @@ object TextAnalysis {
           col("f_distinct") * 8 - col("f_chars") - lit(200L))
       .withColumn("keep", (col("score") >= threshold).cast("int"))
   }
+
+  /** Duplicate word-n-gram mass per document — the Gopher-family
+    * repetition filter (Rae et al. 2021 §A1.1: "duplicate n-gram
+    * fraction"): the share of a document's n-gram occurrences that
+    * belong to an n-gram appearing more than once. A templated or
+    * loop-generated page scores high; natural prose scores near 0
+    * once n ≥ 2. Emits (id, n_grams, dup_grams, dup_milli) for every
+    * input document (short docs with < n tokens report 0/0/0);
+    * dup_milli is exact integer arithmetic (dup·1000 div total) so
+    * the threshold decision is engine-independent.
+    *
+    * Scale shape: explode to (id, gram) → two partial-agg-able
+    * key-shuffles — groupBy (id, gram) then groupBy id — and one
+    * keyed left join back to the id spine to resurface gram-less
+    * docs. Nothing is ever collected per document (contrast the
+    * `collect_list` shapes this repo retired in round 5); a 100 TB
+    * corpus shuffles only count-sized rows after the first partial
+    * aggregation. */
+  def duplicateNgramStats(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1: $n")
+    val grams = df.select(col(idCol),
+      explode(graft.functions.shingles(col(textCol), n)).as("__g"))
+    val agg = grams
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_grams"),
+        sum(when(col("__c") > 1, col("__c")).otherwise(0L))
+          .as("dup_grams"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_milli",
+        when(col("n_grams") === 0, lit(0L))
+          .otherwise(expr("(dup_grams * 1000) div n_grams")))
+  }
 }

@@ -561,6 +561,37 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // QUALITY: duplicate word-bigram mass — the Gopher-family
+    // repetition filter (share of n-gram occurrences whose n-gram
+    // repeats inside the document). Graded at n=2 because the
+    // synthetic corpus has a small vocabulary (higher n never
+    // repeats there — TextOpsSpec exercises n=5 on constructed
+    // templated text); exact integer milli so the filter threshold
+    // is engine-independent.
+    Q("q_t_dup_ngrams",
+      s"""WITH toks AS (SELECT doc_id, $toksD AS ts FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest([array_to_string(ts[i:i+1], ' ')
+         |    FOR i IN generate_series(1, len(ts) - 1)]) AS g
+         |  FROM toks WHERE len(ts) >= 2),
+         |cnt AS (SELECT doc_id, g, count(*) AS c
+         |  FROM grams GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+         |      AS dup_grams
+         |  FROM cnt GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_grams, 0) AS n_grams,
+         |  coalesce(a.dup_grams, 0) AS dup_grams,
+         |  CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0
+         |    ELSE (a.dup_grams * 1000) // a.n_grams END AS dup_milli
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.duplicateNgramStats(t(s, d, "documents"),
+          "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    },
+
     // CURATION: sqrt-temperature (T=2) language rebalancing — keep
     // budgets ∝ isqrt(n_lang), so the head language's share shrinks
     // and tail languages keep proportionally more (the standard

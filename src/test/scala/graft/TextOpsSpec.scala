@@ -99,4 +99,29 @@ class TextOpsSpec extends SparkSpec {
     assert(scored(2L)._2 == 0, scored)   // unbroken blob rejected
     assert(scored(3L)._1 == -200L && scored(3L)._2 == 0, scored)
   }
+
+  test("duplicateNgramStats: templated text scores high, prose scores 0, short docs report 0/0/0") {
+    // doc 1: one 6-token template repeated 5x -> every 5-gram inside
+    // a repeat is duplicated; doc 2: all-distinct tokens -> no dup
+    // 5-gram; doc 3: 3 tokens (< n) -> no grams at all; doc 4: the
+    // exact-total law on a fully periodic doc
+    val template = "buy now click here limited offer"
+    val docs = Seq(
+      (1L, Seq.fill(5)(template).mkString(" ")),
+      (2L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (3L, "too short doc"),
+      (4L, "a b c d e a b c d e a b c d e")).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicateNgramStats(docs, "doc_id", "text", 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out.size == 4)
+    val (n1, d1, m1) = out(1L)
+    assert(n1 == 26 && d1 > 0 && m1 > 800,
+      s"templated doc must be mostly duplicate mass: $out")
+    assert(out(2L) == ((36L, 0L, 0L)), out)
+    assert(out(3L) == ((0L, 0L, 0L)), out)
+    // doc 4: 15 tokens -> 11 5-grams, all of them instances of the 5
+    // distinct rotations of (a b c d e), each appearing >= 2 times
+    assert(out(4L) == ((11L, 11L, 1000L)), out)
+  }
 }
