@@ -47,6 +47,49 @@ object Multimodal {
         (graft.functions.hash31(digest) % 3L).cast("int") + 1).as("format"))
   }
 
+  /** Big-endian unsigned 32-bit at 1-based byte `pos`. */
+  private def beU32(c: Column, pos: Int): Column =
+    conv(hex(substring(c, pos, 4)), 16, 10).cast("long")
+
+  /** Little-endian unsigned int of `len` bytes at 1-based `pos`. */
+  private def leUInt(c: Column, pos: Int, len: Int): Column =
+    (0 until len).map(i =>
+      conv(hex(substring(c, pos + i, 1)), 16, 10).cast("long") *
+        lit(1L << (8 * i))).reduce(_ + _)
+
+  /** REAL image metadata — no codec, no stub: PNG (IHDR, big-endian),
+    * BMP (BITMAPINFOHEADER, little-endian; top-down negative heights
+    * normalized) and GIF (logical screen, little-endian) carry their
+    * dimensions at fixed header offsets, so width/height parse with
+    * nothing but `substring`/`hex`/`conv` — every byte access stays
+    * inside whole-stage codegen, per-row, zero shuffle. Formats whose
+    * dimensions are NOT at fixed offsets (JPEG scans variable-length
+    * segments) return a null struct here: that parse belongs at the
+    * mapPartitions decode boundary with the real codec
+    * ([[decodeImageStub]]'s swap point), not in expression space.
+    * Truncated/foreign bytes → null struct, never a misparse (length
+    * guards per format). */
+  def imageDims(content: Column): Column = {
+    val outType = "struct<format:string,width:bigint,height:bigint>"
+    val n = octet_length(content)
+    val isPng = n >= 24 &&
+      hex(substring(content, 1, 8)) === "89504E470D0A1A0A"
+    val isBmp = n >= 26 && hex(substring(content, 1, 2)) === "424D"
+    val isGif = n >= 10 && hex(substring(content, 1, 4)) === "47494638"
+    // BMP height is SIGNED (negative = top-down row order): fold the
+    // two's-complement wrap back and take the magnitude
+    val bmpH = leUInt(content, 23, 4)
+    val bmpHAbs = when(bmpH > lit(0x7FFFFFFFL),
+      lit(0x100000000L) - bmpH).otherwise(bmpH)
+    when(isPng, struct(lit("png").as("format"),
+        beU32(content, 17).as("width"), beU32(content, 21).as("height")))
+      .when(isBmp, struct(lit("bmp").as("format"),
+        leUInt(content, 19, 4).as("width"), bmpHAbs.as("height")))
+      .when(isGif, struct(lit("gif").as("format"),
+        leUInt(content, 7, 2).as("width"), leUInt(content, 9, 2).as("height")))
+      .otherwise(lit(null).cast(outType))
+  }
+
   /** Deterministic STUB feature vector (dim floats) from content
     * bytes — stands in for an embedding model. */
   def featureStub(content: Column, dim: Int): Column =

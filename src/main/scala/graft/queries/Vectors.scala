@@ -280,6 +280,49 @@ object Vectors {
         q, 16, 4, 10)
     },
 
+    // ANN TUNING: recall@10 of the IVF(16 lists, 4 probes) search
+    // against brute-force ground truth — the harness a user sweeps
+    // nProbe with. Exact integer milli so a recall threshold is
+    // engine-independent; the harness's own cost is k-sized.
+    Q("q_v_recall_ivf",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+         |           FROM embeddings WHERE vec_id < 16),
+         |d AS (SELECT e.vec_id, c.cid,
+         |        -(${sqlCosine("e.embedding", "c.cv")}) AS dist
+         |      FROM embeddings e, c),
+         |r AS (SELECT vec_id, cid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY dist, cid) AS rn FROM d),
+         |assign AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+         |qd AS (SELECT cid, row_number() OVER (ORDER BY dist, cid) AS qrn
+         |       FROM d WHERE vec_id = 0),
+         |probe AS (SELECT cid FROM qd WHERE qrn <= 4),
+         |cand AS (SELECT a.vec_id FROM assign a
+         |         JOIN probe p ON a.cid = p.cid),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |approx AS (SELECT e.vec_id,
+         |    ${sqlCosine("e.embedding", "qv")} AS cosine
+         |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q
+         |  ORDER BY cosine DESC, e.vec_id LIMIT 10),
+         |exact AS (SELECT e.vec_id,
+         |    ${sqlCosine("e.embedding", "qv")} AS cosine
+         |  FROM embeddings e, q
+         |  ORDER BY cosine DESC, e.vec_id LIMIT 10),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM exact
+         |      WHERE vec_id IN (SELECT vec_id FROM approx))
+         |SELECT CAST(10 AS BIGINT) AS k, hits,
+         |  (hits * 1000) // 10 AS recall_milli
+         |FROM h""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(emb, "vec_id",
+        "embedding", q, 10)
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        q, 16, 4, 10)
+      Similarity.recallAtK(exact, approx, "vec_id")
+    },
+
     // IVF + PQ composed — the full billion-scale ANN recipe: route
     // the query to its 4 nearest inverted lists, then score only
     // those lists' vectors by asymmetric PQ distance (broadcast LUT
@@ -793,6 +836,31 @@ object Vectors {
         .select(col("media_id"), col("decoded.width"),
           col("decoded.height"), col("decoded.format"))
         .orderBy("media_id")
+    },
+
+    // MULTIMODAL: REAL header-offset dimension parse (no codec, no
+    // stub) over the committed PNG/BMP/GIF fixtures — substring/hex/
+    // conv only, whole-stage codegen per row. The BMP fixture's
+    // height is stored NEGATIVE (top-down row order) and must
+    // normalize to +200; the .bin fixtures must come back as null
+    // structs, not misparses.
+    Q("q_mm_image_dims",
+      """SELECT * FROM (VALUES
+        |  ('a.bin', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT)),
+        |  ('b.bin', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT)),
+        |  ('tiny.bmp', 'bmp', CAST(320 AS BIGINT), CAST(200 AS BIGINT)),
+        |  ('tiny.gif', 'gif', CAST(12 AS BIGINT), CAST(34 AS BIGINT)),
+        |  ('tiny.png', 'png', CAST(640 AS BIGINT), CAST(480 AS BIGINT)))
+        |  AS t(file, format, width, height)
+        |ORDER BY file""".stripMargin) { (s, _) =>
+      graft.sources.Sources.binaryFiles(s, "/root/repo/fixtures/media", "*")
+        .withColumn("dims", Multimodal.imageDims(col("content")))
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          col("dims.format").as("format"), col("dims.width").as("width"),
+          col("dims.height").as("height"))
+        .orderBy("file")
     },
 
     // MULTIMODAL: perceptual-hash near-dup over image content — the

@@ -617,4 +617,29 @@ class DedupSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(keptIds == Set(126L, 127L, 128L))
   }
+
+  test("recallAtK: identity is 1000, disjoint is 0, partial is exact milli") {
+    import graft.operators.Similarity
+    val exact = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    def one(a: Seq[Long]) = Similarity
+      .recallAtK(exact, a.toDF("vec_id"), "vec_id")
+      .as[(Long, Long, Long)].collect()(0)
+    assert(one(Seq(1L, 2L, 3L, 4L)) == ((4L, 4L, 1000L)))
+    assert(one(Seq(9L, 8L)) == ((4L, 0L, 0L)))
+    assert(one(Seq(1L, 3L, 9L)) == ((4L, 2L, 500L)))
+    // extra ids on the approx side never inflate recall past k
+    assert(one(Seq(1L, 2L, 3L, 4L, 5L, 6L)) == ((4L, 4L, 1000L)))
+  }
+
+  test("recallAtKByQuery: per-query recall, missing queries coalesce to 0") {
+    import graft.operators.Similarity
+    val exact = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 3L))
+      .toDF("qid", "vec_id")
+    val approx = Seq((10L, 1L), (10L, 9L)).toDF("qid", "vec_id")
+    val r = Similarity.recallAtKByQuery(exact, approx, "qid", "vec_id")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    assert(r(10L) == ((2L, 1L, 500L)))
+    assert(r(20L) == ((2L, 0L, 0L)))   // approx returned nothing for q20
+  }
 }

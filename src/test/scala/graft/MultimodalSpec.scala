@@ -80,4 +80,32 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L, 0L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("imageDims: fixture headers parse exactly; truncated or foreign bytes are null, not misparsed") {
+    val out = graft.sources.Sources
+      .binaryFiles(spark, "/root/repo/fixtures/media", "*")
+      .withColumn("dims", Multimodal.imageDims(col("content")))
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("dims.format"), col("dims.width"), col("dims.height"))
+      .as[(String, Option[String], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out("tiny.png") == ((Some("png"), Some(640L), Some(480L))))
+    // stored height is -200 (top-down); must normalize to +200
+    assert(out("tiny.bmp") == ((Some("bmp"), Some(320L), Some(200L))))
+    assert(out("tiny.gif") == ((Some("gif"), Some(12L), Some(34L))))
+    assert(out("a.bin") == ((None, None, None)))
+    // a PNG signature cut off before the IHDR width must be null —
+    // the length guard, not a partial conv, decides
+    val trunc = Seq(Tuple1(Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a, 0, 0))).toDF("content")
+      .select(Multimodal.imageDims(col("content")).as("dims"))
+      .select("dims.format").collect()(0)
+    assert(trunc.isNullAt(0))
+    // the whole parse is expression-only: no exchange, no UDF
+    val plan = graft.sources.Sources
+      .binaryFiles(spark, "/root/repo/fixtures/media", "*")
+      .select(Multimodal.imageDims(col("content")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
+  }
 }
