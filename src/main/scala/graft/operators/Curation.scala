@@ -62,4 +62,47 @@ object Curation {
       .filter(col("__rn") <= col("budget"))
       .drop("__rn", "budget")
   }
+
+  /** Max-volume exact mixture: per-group keep budgets that realize a
+    * TARGET distribution (`weights`: (groupCol, target_milli) rows,
+    * milli-shares of the final mix) at the largest total the corpus
+    * can supply. The binding group is whichever runs out first:
+    * `T = min_g (n_g·1000 div w_g)`, then
+    * `budget_g = (T·w_g) div 1000` — floor arithmetic guarantees
+    * `budget_g ≤ n_g` for every group, so the realized mix matches
+    * the target to within one floor rounding per group. Groups absent
+    * from `weights` (or with weight 0) are dropped; a weighted group
+    * missing from the corpus pins T to 0 (the target is
+    * unsatisfiable) rather than silently re-normalizing. All exact
+    * integer — oracle-checkable on any engine. The weights table is
+    * config-sized; the corpus sees one count shuffle. */
+  def mixBudgets(df: DataFrame, groupCol: String,
+      weights: DataFrame): DataFrame = {
+    val w = weights.select(col(groupCol),
+      col("target_milli").cast("long").as("w"))
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+    val joined = w.join(counts, Seq(groupCol), "left")
+      .na.fill(0L, Seq("n_docs"))
+      .filter(col("w") > 0)
+    val t = joined.agg(min(expr("(n_docs * 1000) div w")).as("t_tot"))
+    joined.crossJoin(broadcast(t))
+      .withColumn("budget", expr("(t_tot * w) div 1000"))
+      .select(col(groupCol), col("n_docs"), col("w").as("target_milli"),
+        col("budget"))
+  }
+
+  /** Apply step of [[mixBudgets]] — same shape as [[rebalanceKeep]]:
+    * broadcast the config-sized budget table, one window shuffle on
+    * the group key, first-`budget_g` rows in `orderCol` order
+    * survive. */
+  def mixKeep(df: DataFrame, groupCol: String, orderCol: String,
+      weights: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(mixBudgets(df, groupCol, weights)
+        .select(groupCol, "budget")), Seq(groupCol))
+      .filter(col("__rn") <= col("budget"))
+      .drop("__rn", "budget")
+  }
 }

@@ -90,6 +90,36 @@ object Multimodal {
       .otherwise(lit(null).cast(outType))
   }
 
+  /** REAL audio metadata for canonical PCM WAV (RIFF/WAVE with the
+    * fmt chunk at its standard offset 13 and the data chunk directly
+    * after): channels, sample rate, bit depth and an exact integer
+    * duration_ms — all little-endian fixed-offset reads, same
+    * expression-only technique as [[imageDims]]. WAVs with extra
+    * chunks before fmt/data (LIST, fact) return null rather than a
+    * misparse — variable chunk walking belongs at the mapPartitions
+    * decode boundary, exactly like JPEG. */
+  def wavMeta(content: Column): Column = {
+    val outType = "struct<channels:bigint,sample_rate:bigint," +
+      "bits:bigint,duration_ms:bigint>"
+    val n = octet_length(content)
+    val canonical = n >= 44 &&
+      hex(substring(content, 1, 4)) === "52494646" &&      // "RIFF"
+      hex(substring(content, 9, 4)) === "57415645" &&      // "WAVE"
+      hex(substring(content, 13, 4)) === "666D7420" &&     // "fmt "
+      hex(substring(content, 37, 4)) === "64617461"        // "data"
+    val byteRate = leUInt(content, 29, 4)
+    // exact floor division: subtract the remainder first, so the
+    // double division is an exact-multiple / divisor = exact integer
+    val ms = leUInt(content, 41, 4) * lit(1000L)
+    val durMs = ((ms - ms.mod(byteRate)) / byteRate).cast("long")
+    when(canonical && byteRate > 0, struct(
+        leUInt(content, 23, 2).as("channels"),
+        leUInt(content, 25, 4).as("sample_rate"),
+        leUInt(content, 35, 2).as("bits"),
+        durMs.as("duration_ms")))
+      .otherwise(lit(null).cast(outType))
+  }
+
   /** Deterministic STUB feature vector (dim floats) from content
     * bytes — stands in for an embedding model. */
   def featureStub(content: Column, dim: Int): Column =

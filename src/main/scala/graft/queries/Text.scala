@@ -612,6 +612,41 @@ object Text {
         .select("lang", "doc_id").orderBy("lang", "doc_id")
     },
 
+    // CURATION: max-volume exact mixture — realize a TARGET language
+    // distribution (en 50% / zh 20% / de 20% / fr 10%; es unlisted →
+    // dropped) at the largest total the corpus can supply. The
+    // binding group is whichever runs out first
+    // (T = min_g n_g·1000 div w_g); budgets are (T·w_g) div 1000 so
+    // the realized mix matches the target to one floor rounding per
+    // group. All exact integer.
+    Q("q_cur_mix",
+      """WITH w AS (SELECT * FROM (VALUES ('en', 500), ('zh', 200),
+        |    ('de', 200), ('fr', 100)) AS w(lang, tw)),
+        |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |j AS (SELECT w.lang, w.tw, coalesce(c.n, 0) AS n
+        |      FROM w LEFT JOIN c USING (lang)),
+        |t AS (SELECT min((n * 1000) // tw) AS t_tot FROM j),
+        |b AS (SELECT lang, (t_tot * tw) // 1000 AS budget FROM j, t),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY doc_id) AS rn FROM documents)
+        |SELECT r.lang, r.doc_id FROM r JOIN b USING (lang)
+        |WHERE rn <= budget ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      val weights = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row("en", 500L),
+          org.apache.spark.sql.Row("zh", 200L),
+          org.apache.spark.sql.Row("de", 200L),
+          org.apache.spark.sql.Row("fr", 100L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("target_milli",
+            org.apache.spark.sql.types.LongType))))
+      graft.operators.Curation.mixKeep(
+          t(s, d, "documents"), "lang", "doc_id", weights)
+        .select("lang", "doc_id").orderBy("lang", "doc_id")
+    },
+
     // SAMPLING: deterministic md5-derived 10% sample — the same 10%
     // on every engine and every run (reproducible corpus subsets).
     Q("q_samp_hash",

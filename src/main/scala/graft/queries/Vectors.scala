@@ -852,7 +852,9 @@ object Vectors {
         |    CAST(NULL AS BIGINT)),
         |  ('tiny.bmp', 'bmp', CAST(320 AS BIGINT), CAST(200 AS BIGINT)),
         |  ('tiny.gif', 'gif', CAST(12 AS BIGINT), CAST(34 AS BIGINT)),
-        |  ('tiny.png', 'png', CAST(640 AS BIGINT), CAST(480 AS BIGINT)))
+        |  ('tiny.png', 'png', CAST(640 AS BIGINT), CAST(480 AS BIGINT)),
+        |  ('tiny.wav', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT)))
         |  AS t(file, format, width, height)
         |ORDER BY file""".stripMargin) { (s, _) =>
       graft.sources.Sources.binaryFiles(s, "/root/repo/fixtures/media", "*")
@@ -860,6 +862,29 @@ object Vectors {
         .select(element_at(split(col("path"), "/"), -1).as("file"),
           col("dims.format").as("format"), col("dims.width").as("width"),
           col("dims.height").as("height"))
+        .orderBy("file")
+    },
+
+    // MULTIMODAL: canonical-WAV header metadata (audio parity for
+    // imageDims) — channels / sample rate / bit depth / exact
+    // integer duration over the committed fixture; non-audio files
+    // must come back null.
+    Q("q_mm_wav_meta",
+      """SELECT * FROM (VALUES
+        |  ('tiny.png', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('tiny.wav', CAST(1 AS BIGINT), CAST(8000 AS BIGINT),
+        |    CAST(16 AS BIGINT), CAST(25 AS BIGINT)))
+        |  AS t(file, channels, sample_rate, bits, duration_ms)
+        |ORDER BY file""".stripMargin) { (s, _) =>
+      graft.sources.Sources
+        .binaryFiles(s, "/root/repo/fixtures/media", "tiny.{wav,png}")
+        .withColumn("m", Multimodal.wavMeta(col("content")))
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bits").as("bits"),
+          col("m.duration_ms").as("duration_ms"))
         .orderBy("file")
     },
 

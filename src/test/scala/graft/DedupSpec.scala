@@ -642,4 +642,32 @@ class DedupSpec extends SparkSpec {
     assert(r(10L) == ((2L, 1L, 500L)))
     assert(r(20L) == ((2L, 0L, 0L)))   // approx returned nothing for q20
   }
+
+  test("mixBudgets: binding group caps the total, budgets never exceed supply, unsatisfiable target = 0") {
+    import graft.operators.Curation
+    // en 100 docs, de 10, fr 40 — target 50/25/25: de binds
+    // (T = 10*1000 div 250 = 40), budgets 20/10/10
+    val docs = ((1 to 100).map(i => (s"d$i", "en")) ++
+      (1 to 10).map(i => (s"g$i", "de")) ++
+      (1 to 40).map(i => (s"f$i", "fr"))).toDF("doc_id", "lang")
+    val w = Seq(("en", 500L), ("de", 250L), ("fr", 250L))
+      .toDF("lang", "target_milli")
+    val b = Curation.mixBudgets(docs, "lang", w)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._4)).toMap
+    assert(b("en") == ((100L, 20L)) && b("de") == ((10L, 10L)) &&
+      b("fr") == ((40L, 10L)), b)
+    // apply keeps exactly the budgets, lowest order first
+    val kept = Curation.mixKeep(docs, "lang", "doc_id", w)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("en" -> 20L, "de" -> 10L, "fr" -> 10L), kept)
+    // a weighted language missing from the corpus pins T to 0
+    val w2 = Seq(("en", 500L), ("xx", 500L)).toDF("lang", "target_milli")
+    assert(Curation.mixKeep(docs, "lang", "doc_id", w2).count() == 0L)
+    // zero-weight and unlisted groups are dropped, not sampled
+    val w3 = Seq(("en", 1000L), ("de", 0L)).toDF("lang", "target_milli")
+    val only = Curation.mixKeep(docs, "lang", "doc_id", w3)
+      .select("lang").distinct().as[String].collect().toSeq
+    assert(only == Seq("en"), only)
+  }
 }

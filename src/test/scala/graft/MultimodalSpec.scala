@@ -108,4 +108,27 @@ class MultimodalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
   }
+
+  test("wavMeta: canonical PCM header parses exactly; images and truncated RIFF are null") {
+    val out = graft.sources.Sources
+      .binaryFiles(spark, "/root/repo/fixtures/media", "*")
+      .withColumn("m", Multimodal.wavMeta(col("content")))
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("m.channels"), col("m.sample_rate"), col("m.bits"),
+        col("m.duration_ms"))
+      .as[(String, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // 400 data bytes at 16000 B/s -> exact floor 25 ms
+    assert(out("tiny.wav") ==
+      ((Some(1L), Some(8000L), Some(16L), Some(25L))))
+    assert(out("tiny.png") == ((None, None, None, None)))
+    assert(out("a.bin") == ((None, None, None, None)))
+    // a RIFF/WAVE prefix without the canonical fmt/data layout must
+    // be null (chunk walking is the decode boundary's job)
+    val odd = Seq(Tuple1("RIFF1234WAVELIST".getBytes ++
+      new Array[Byte](40))).toDF("content")
+      .select(Multimodal.wavMeta(col("content")).as("m"))
+      .select("m.channels").collect()(0)
+    assert(odd.isNullAt(0))
+  }
 }
