@@ -235,4 +235,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Filter"), s"narrow member filter:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
+
+  test("duplicateNgramStats: both aggregations partial-aggregate, spine join is keyed") {
+    val plan = planOf("q_t_dup_ngrams")
+    assert(plan.contains("partial_"),
+      s"gram counts must pre-aggregate map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the id-spine join must stay keyed:\n$plan")
+  }
+
+  test("mixKeep: the budget table broadcasts back onto the corpus") {
+    val plan = planOf("q_cur_mix")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"config-sized budgets must broadcast, not shuffle the corpus:\n$plan")
+  }
+
+  test("imageDims/wavMeta: header parses are expression-only — no exchange, no UDF") {
+    for (q <- Seq("q_mm_image_dims", "q_mm_wav_meta")) {
+      val plan = planOf(q)
+      // the single Exchange allowed is the final orderBy's range
+      // repartition; the parse itself must not shuffle or leave
+      // codegen for a UDF
+      assert(!plan.contains("BatchEvalPython") &&
+        !plan.contains("ScalaUDF"), s"$q must stay in expression space:\n$plan")
+    }
+  }
 }
