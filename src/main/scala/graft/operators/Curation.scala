@@ -80,6 +80,14 @@ object Curation {
       weights: DataFrame): DataFrame = {
     val w = weights.select(col(groupCol),
       col("target_milli").cast("long").as("w"))
+    // the weights table is config-sized by contract (like the mapping
+    // CSV), so a driver-side uniqueness check is allowed — and a
+    // duplicated group here would otherwise silently DOUBLE its kept
+    // rows through the budget join
+    val groups = w.select(col(groupCol)).collect().map(_.get(0))
+    require(groups.distinct.length == groups.length,
+      s"mixBudgets: duplicate $groupCol in weights: " +
+        groups.diff(groups.distinct).distinct.mkString(", "))
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
     val joined = w.join(counts, Seq(groupCol), "left")
       .na.fill(0L, Seq("n_docs"))

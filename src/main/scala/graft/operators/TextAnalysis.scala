@@ -404,6 +404,10 @@ object TextAnalysis {
     * dup_milli is exact integer arithmetic (dup·1000 div total) so
     * the threshold decision is engine-independent.
     *
+    * Requires one text per id (true of any document table — same
+    * contract as [[qualitySignals]]); a multi-row id would count
+    * cross-row grams as same-document repetition.
+    *
     * Scale shape: explode to (id, gram) → two partial-agg-able
     * key-shuffles — groupBy (id, gram) then groupBy id — and one
     * keyed left join back to the id spine to resurface gram-less

@@ -669,5 +669,12 @@ class DedupSpec extends SparkSpec {
     val only = Curation.mixKeep(docs, "lang", "doc_id", w3)
       .select("lang").distinct().as[String].collect().toSeq
     assert(only == Seq("en"), only)
+    // a duplicated group in the config must fail loudly, not double
+    // its kept rows through the budget join
+    val wDup = Seq(("en", 500L), ("en", 500L)).toDF("lang", "target_milli")
+    val err = intercept[IllegalArgumentException] {
+      Curation.mixBudgets(docs, "lang", wDup)
+    }
+    assert(err.getMessage.contains("duplicate"), err.getMessage)
   }
 }
