@@ -168,6 +168,57 @@ package object functions {
       num, "[NUM]")
   }
 
+  /** Query-string parameter names that never identify content —
+    * tracking/campaign cruft stripped during URL canonicalization.
+    * RE2-compatible alternation (anchored per-param below) so the
+    * DuckDB oracle replays it byte-identically. */
+  val TrackingParams: String =
+    "utm_[a-z]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|igshid"
+
+  /** Canonical form of a URL for web-corpus deduplication (the
+    * normalize step every crawl pipeline runs before URL-level
+    * dedup): lowercase scheme and host, drop the default port
+    * (:80 http / :443 https), drop the #fragment, drop tracking
+    * params ([[TrackingParams]]), sort surviving query params
+    * byte-wise, and strip trailing slashes from the path. A string
+    * with no scheme://host shape passes through trimmed (caller
+    * decides whether to quarantine). Pure regexp/array expressions —
+    * whole-stage codegen, zero shuffle, and an exact DuckDB mirror
+    * (`sqlCanonicalUrl`). */
+  def canonicalUrl(c: Column): Column = {
+    val u = trim(coalesce(c, lit("")))
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val query = regexp_extract(u, """\?([^#]*)""", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike(s"^($TrackingParams)="))
+    val q2 = array_join(array_sort(params), "&")
+    when(scheme === "", u).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(q2 === "", "").otherwise(concat(lit("?"), q2))))
+  }
+
+  /** Host-level domain of a URL for domain-level curation (the
+    * grouping key of domain blocklists and per-site quality stats):
+    * the lowercased authority with any userinfo, port, and one
+    * leading "www." stripped. Empty string for non-URLs.
+    * Registrable-domain (public-suffix) folding is deliberately NOT
+    * attempted — the suffix list is an external, versioned artifact;
+    * host-level grouping is the deterministic dependency-free unit,
+    * and a suffix table can always be joined on top. Pure regexp —
+    * codegen, zero shuffle, exact DuckDB mirror (`sqlDomainOf`). */
+  def domainOf(c: Column): Column = {
+    val host = lower(regexp_extract(trim(coalesce(c, lit(""))),
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+    regexp_replace(host, "^www\\.", "")
+  }
+
   // ----- text-analysis primitives (LLM-pipeline surface) -----
 
   /** Lowercase, strip punctuation to spaces, collapse whitespace. */

@@ -547,4 +547,60 @@ object Dedup {
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
       .filter(col("dist") <= 1)
   }
+
+  /** Shared-span detection (the substring-dedup signal of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed as set algebra): find document pairs that
+    * share a run of >= `minSpan` CONSECUTIVE tokens, and report the
+    * longest such run per pair. Long verbatim overlap is the
+    * signature of syndicated/templated/quoted text that survives
+    * whole-document near-dup filters because the rest of the page
+    * differs.
+    *
+    * Method: positional k-gram fingerprints (id, pos, hash of the
+    * k-shingle at pos); an equi-join on the fingerprint yields
+    * matched position pairs; matches on one diagonal (pa - pb
+    * constant) at consecutive positions are one shared run, so the
+    * classic gaps-and-islands trick (island = pa - row_number, a
+    * per-diagonal window) groups each maximal run, whose length r
+    * spans r + k - 1 tokens.
+    *
+    * Scale posture: the join key is the k-gram hash with a document
+    * frequency cap (`maxGramDf`, same discipline as
+    * [[ngramJaccardPairs]]'s df cap) — grams on more than that many
+    * documents are template stop-grams that would otherwise square
+    * the candidate volume; dropping one gram can only split a span
+    * where EVERY window over the cut point is itself corpus-hot. The
+    * window partitions on (pair, diagonal) — per-partition state is
+    * one run-set, never a corpus-sized series. */
+  def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minSpan: Int = 6, maxGramDf: Int = 20): DataFrame = {
+    require(k >= 1 && minSpan >= k,
+      s"need k >= 1 and minSpan >= k: k=$k minSpan=$minSpan")
+    val pos = spread(df)
+      .select(col(idCol).as("__id"),
+        posexplode(shingles(col(textCol), k)).as(Seq("__p", "__g")))
+      .select(col("__id"), col("__p"), hash60(col("__g")).as("__gh"))
+      .localCheckpoint(eager = false)
+    val rare = pos.select("__gh", "__id").distinct()
+      .groupBy("__gh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxGramDf)
+      .select("__gh")
+    val fp = pos.join(rare, Seq("__gh"), "left_semi")
+    val m = fp.select(col("__gh"), col("__id").as("id_a"),
+        col("__p").as("__pa"))
+      .join(fp.select(col("__gh"), col("__id").as("id_b"),
+        col("__p").as("__pb")), Seq("__gh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__pa"),
+        (col("__pa") - col("__pb")).as("__d"))
+      .distinct()
+    val w = Window.partitionBy("id_a", "id_b", "__d").orderBy(col("__pa"))
+    m.withColumn("__isl", col("__pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("__d"), col("__isl"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy("id_a", "id_b")
+      .agg((max(col("__run")) + lit(k - 1)).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+  }
 }

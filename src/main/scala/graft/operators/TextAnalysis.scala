@@ -408,30 +408,326 @@ object TextAnalysis {
     * contract as [[qualitySignals]]); a multi-row id would count
     * cross-row grams as same-document repetition.
     *
-    * Scale shape: explode to (id, gram) → two partial-agg-able
-    * key-shuffles — groupBy (id, gram) then groupBy id — and one
-    * keyed left join back to the id spine to resurface gram-less
-    * docs. Nothing is ever collected per document (contrast the
-    * `collect_list` shapes this repo retired in round 5); a 100 TB
-    * corpus shuffles only count-sized rows after the first partial
-    * aggregation. */
+    * Scale shape: the statistic is PER-DOCUMENT, so it never leaves
+    * the row — sort the document's own shingle array and count
+    * singleton runs (a gram is duplicated iff it equals a sorted
+    * neighbor). Pure narrow projection: zero shuffle, zero join,
+    * whole-stage codegen end to end; per-row state is one document's
+    * gram array, the same doc-bounded shape as A8 group-concat.
+    * (Round 6 retired the original explode → groupBy(id, gram) →
+    * groupBy(id) → join-back formulation, which shuffled every gram
+    * occurrence string twice and was 10% of the whole bench by
+    * itself.) */
   def duplicateNgramStats(df: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1: $n")
-    val grams = df.select(col(idCol),
-      explode(graft.functions.shingles(col(textCol), n)).as("__g"))
-    val agg = grams
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__c")).as("n_grams"),
-        sum(when(col("__c") > 1, col("__c")).otherwise(0L))
-          .as("dup_grams"))
-    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+    // materialize the sorted gram array before the lambda reads it —
+    // a captured expression would re-sort per element (see
+    // gopherRepetitionSignals' scaladoc)
+    val g = col("__g")
+    val m = size(g)
+    // a sorted gram at position i is a singleton iff it differs from
+    // both neighbors; dup mass = total - singletons
+    val singles = size(filter(sequence(lit(1), m), i =>
+      (i === 1 || element_at(g, i) =!= element_at(g, i - 1)) &&
+        (i === m || element_at(g, i) =!= element_at(g, i + 1))))
+    df.select(col(idCol),
+        array_sort(graft.functions.shingles(col(textCol), n)).as("__g"))
       .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+        when(m === 0, lit(0L)).otherwise(m.cast("long")).as("n_grams"),
+        when(m === 0, lit(0L)).otherwise((m - singles).cast("long"))
+          .as("dup_grams"))
       .withColumn("dup_milli",
         when(col("n_grams") === 0, lit(0L))
           .otherwise(expr("(dup_grams * 1000) div n_grams")))
+  }
+
+  /** DSIR-shaped importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each raw
+    * document by how much its hashed-unigram distribution looks like
+    * a TARGET corpus (`target` marks the in-domain rows) relative to
+    * the raw corpus. Per hash bucket b the likelihood ratio is
+    * estimated add-1-smoothed,
+    *   ratio_milli[b] = (t_b+1)·(R+B)·1000  div  (r_b+1)·(T+B),
+    * and a document's weight is the count-weighted mean of its
+    * buckets' ratios, w_milli = Σ c_b·ratio_milli[b] div Σ c_b.
+    * DEVIATION from the paper, on purpose: the paper averages LOG
+    * ratios; this uses the ratios themselves so every number is exact
+    * integer arithmetic — reproducible across engines and runs, which
+    * a transcendental log can't guarantee bit-wise. Selection then
+    * takes top-w (or hash-thresholded) docs exactly as in the paper.
+    *
+    * Scale shape: bucket count tables are B rows (B ~ 2¹⁰–2²⁰) →
+    * the ratio table BROADCASTS; the corpus side is explode →
+    * partial-agg groupBy (id, b) → broadcast join → partial-agg
+    * groupBy id. No corpus-sized shuffle key ever carries more than a
+    * doc's own bucket counts.
+    *
+    * Integer bound: the 64-bit product (t_b+1)·(R+B)·1000 caps the
+    * corpus at t_b·R < ~9·10¹⁵ — comfortable to ~10¹²-token corpora
+    * with B ≥ 2¹⁰ (a bucket holds ~R/B tokens); past that raise
+    * `buckets` (the product scales as R²/B) or move the ratio table
+    * to decimal(38,0) — it is B rows, so the swap costs nothing. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      target: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val b = graft.functions.hash31(concat(lit("dsir:"), col("__tok")))
+      .mod(buckets).as("__b")
+    val tb = df.select(col(idCol), explode(graft.functions.tokens(col(textCol)))
+        .as("__tok"), target.as("__t"))
+      .select(col(idCol), b, col("__t"))
+    val bucketCounts = tb.groupBy("__b")
+      .agg(count(lit(1)).as("__r"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"))
+    val totals = bucketCounts
+      .agg(sum(col("__r")).as("__rtot"), sum(col("__tc")).as("__ttot"))
+    val ratio = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        expr(s"((__tc + 1) * (__rtot + $buckets) * 1000) div " +
+          s"((__r + 1) * (__ttot + $buckets))").as("__ratio_milli"))
+    val docBuckets = tb.groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val w = docBuckets.join(broadcast(ratio), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_toks"),
+        expr("sum(__c * __ratio_milli) div sum(__c)").as("w_milli"))
+    df.select(col(idCol)).join(w, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("w_milli"), lit(0L)).as("w_milli"))
+  }
+
+  /** Byte-pair-encoding merge-table training (Sennrich et al. 2016)
+    * as one declarative Spark DAG — the tokenizer-construction step
+    * of an LLM data pipeline. Words (with corpus frequencies) start
+    * as character sequences; each round counts adjacent symbol pairs
+    * (frequency-weighted), picks the most frequent pair with a
+    * DETERMINISTIC tie-break (count desc, then lexicographic), and
+    * fuses that pair everywhere greedily left-to-right. Returns the
+    * merge table (merge_rank, lhs, rhs, pair_count) — the artifact a
+    * BPE tokenizer loads.
+    *
+    * Representation trick: a word's symbol sequence is one string
+    * with every symbol wrapped in single spaces (" h  e  l  l  o "),
+    * so "fuse pair (a,b) greedily left-to-right, non-overlapping" is
+    * exactly one literal `replace(s, ' a  b ', ' ab ')` — the
+    * invariant (each symbol space-wrapped, two spaces between
+    * neighbors) survives every replace, and the same call is
+    * available verbatim in the oracle engine.
+    *
+    * Scale shape: state lives at WORD granularity (vocab-sized, not
+    * corpus-sized — the corpus collapses to (word, freq) in the first
+    * aggregation, the classic BPE-training reduction). Each round is
+    * a partial-agg pair count, a 1-row TakeOrdered argmax
+    * cross-joined back (broadcast), and a narrow replace — no driver
+    * collect anywhere; `nMerges` is bounded because each round adds
+    * one plan stage. Real tokenizers train on exactly this shape with
+    * 30k–100k merges via a loop over a persisted vocab table; the cap
+    * here keeps the single-plan variant honest. */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 32,
+      s"nMerges must be in [1, 32] for the single-plan variant: $nMerges")
+    val words = df
+      .select(explode(graft.functions.tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+    var cur = words.select(
+        concat(lit(" "),
+          array_join(transform(sequence(lit(1), length(col("__w"))),
+            i => col("__w").substr(i, lit(1))), "  "),
+          lit(" ")).as("__s"),
+        col("__f"))
+      .localCheckpoint(eager = false)
+    val merges = collection.mutable.Buffer.empty[DataFrame]
+    for (rank <- 1 to nMerges) {
+      val syms = split(trim(col("__s")), "  ")
+      val pairs = cur.select(col("__f"),
+          when(size(syms) < 2, array()).otherwise(
+            transform(sequence(lit(0), size(syms) - 2), j =>
+              struct(element_at(syms, j + 1).as("lhs"),
+                element_at(syms, j + 2).as("rhs")))).as("__ps"))
+        .select(col("__f"), explode(col("__ps")).as("__p"))
+      val best = pairs
+        .groupBy(col("__p.lhs").as("lhs"), col("__p.rhs").as("rhs"))
+        .agg(sum(col("__f")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .localCheckpoint(eager = false)
+      merges += best.withColumn("merge_rank", lit(rank.toLong))
+      cur = cur
+        .crossJoin(broadcast(best.select(
+          concat(lit(" "), col("lhs"), lit("  "), col("rhs"), lit(" "))
+            .as("__pat"),
+          concat(lit(" "), col("lhs"), col("rhs"), lit(" ")).as("__rep"))))
+        .withColumn("__s", expr("replace(__s, __pat, __rep)"))
+        .drop("__pat", "__rep")
+        .localCheckpoint(eager = false)
+    }
+    merges.reduce(_ unionByName _)
+      .select(col("merge_rank"), col("lhs"), col("rhs"),
+        col("pair_count").cast("long").as("pair_count"))
+  }
+
+  /** C4-family boilerplate removal: split each document into units
+    * (lines for a crawl corpus — `splitRegex` "\n"; sentences or
+    * tokens for other corpora), drop every unit whose document
+    * frequency exceeds `maxDfMilli`/1000 of the corpus (nav bars,
+    * cookie banners, license footers — text that repeats across
+    * unrelated pages is boilerplate, not content), and reassemble the
+    * survivors in original order joined by `joinWith`. Emits
+    * (id, n_units, n_kept, clean_text); a fully-boilerplate document
+    * comes back with n_kept = 0 and clean_text = ''.
+    *
+    * The threshold is a corpus FRACTION (exact integer cross-multiply
+    * df·1000 > maxDfMilli·n_docs, no division) so the same call is
+    * scale-free: growing the corpus never reclassifies a unit whose
+    * share didn't change.
+    *
+    * Scale shape: the boilerplate set is bounded by construction —
+    * units above df > f·N number at most (total unit occurrences) /
+    * (f·N), e.g. ≤ 1700·avg_units_per_doc distinct units at f = 0.06%
+    * — so it BROADCASTS, and the corpus side is one narrow
+    * split/explode plus a broadcast anti-join: the 100 TB side never
+    * shuffles until the per-document reassembly groupBy (whose state
+    * is one document's own units, the same bounded shape as A8
+    * group-concat). The df count itself partial-aggregates. */
+  /** The rest of the Gopher repetition-filter family (Rae et al.
+    * 2021 §A1.1) beyond [[duplicateNgramStats]]: per-document
+    * duplicate-UNIT fractions and the heaviest-n-gram character
+    * share, all exact integer milli. Emits (id, n_units,
+    * dup_unit_milli, dup_unit_char_milli, top_ngram_char_milli):
+    *   - dup_unit_milli: share of unit occurrences beyond the first
+    *     of their value (Gopher "duplicate line fraction"; the unit
+    *     is `splitRegex`-delimited — lines for a crawl corpus).
+    *   - dup_unit_char_milli: same, weighted by unit characters.
+    *   - top_ngram_char_milli: characters covered by the single
+    *     heaviest word n-gram (count x char-length, a monotone
+    *     variant of Gopher's most-frequent-n-gram fraction with a
+    *     deterministic tie rule) over the normalized text length.
+    *
+    * Scale shape: like the round-6 [[duplicateNgramStats]], every
+    * statistic is per-document, so nothing leaves the row — sorted
+    * own-doc arrays, neighbor compares, and run-length arithmetic.
+    * Pure narrow projection: zero shuffle at any corpus size.
+    *
+    * Expression discipline (the lesson this operator taught round 6):
+    * every array referenced inside a higher-order-function lambda is
+    * MATERIALIZED as its own projection column first. A captured
+    * non-lambda expression is re-evaluated PER ELEMENT by Spark's
+    * HOF evaluator, so nesting `array_sort(...)` inside a lambda
+    * body turns an O(len·log) row into O(len³·log) — this exact
+    * formulation ran 26 min on 500 sf0.01 docs before the rewrite.
+    * Attribute reads are O(1); `withColumn` stages keep everything
+    * in one whole-stage-codegen projection anyway. */
+  def gopherRepetitionSignals(df: DataFrame, idCol: String,
+      textCol: String, splitRegex: String = "\n", n: Int = 2)
+      : DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1: $n")
+    df.select(col(idCol),
+        array_sort(filter(
+          transform(split(col(textCol), splitRegex), x => trim(x)),
+          x => x =!= "")).as("__u"),
+        array_sort(graft.functions.shingles(col(textCol), n)).as("__g"),
+        length(graft.functions.normalizeText(col(textCol))).cast("long")
+          .as("__norm_len"))
+      .withColumn("__m", size(col("__u")))
+      .withColumn("__mg", size(col("__g")))
+      // a sorted occurrence is "beyond first" iff it equals its left
+      // neighbor; character mass rides along the same compare
+      .withColumn("__dup_idx",
+        when(col("__m") < 2, array().cast("array<int>"))
+          .otherwise(filter(sequence(lit(2), col("__m")), i =>
+            element_at(col("__u"), i) === element_at(col("__u"), i - 1))))
+      // heaviest n-gram by char mass: run-length encode the sorted
+      // gram array via its run-start boundaries
+      .withColumn("__starts",
+        when(col("__mg") === 0, array().cast("array<int>"))
+          .otherwise(filter(sequence(lit(1), col("__mg")), i =>
+            i === 1 ||
+              element_at(col("__g"), i) =!= element_at(col("__g"), i - 1))))
+      .withColumn("__bounds", concat(col("__starts"), array(col("__mg") + 1)))
+      .select(col(idCol),
+        col("__m").cast("long").as("n_units"),
+        (size(col("__dup_idx")).cast("long") * 1000L).as("__dup_x1000"),
+        aggregate(col("__dup_idx"), lit(0L),
+          (acc, i) => acc + length(element_at(col("__u"), i)))
+          .as("__dup_chars"),
+        aggregate(col("__u"), lit(0L), (acc, x) => acc + length(x))
+          .as("__tot_chars"),
+        when(col("__mg") === 0, lit(0L)).otherwise(array_max(
+          transform(sequence(lit(1), size(col("__starts"))), j =>
+            (element_at(col("__bounds"), j + 1) -
+              element_at(col("__bounds"), j)).cast("long") *
+              length(element_at(col("__g"),
+                element_at(col("__bounds"), j))))))
+          .as("__top_chars"),
+        col("__norm_len"))
+      .select(col(idCol), col("n_units"),
+        when(col("n_units") === 0, lit(0L))
+          .otherwise(expr("__dup_x1000 div n_units")).as("dup_unit_milli"),
+        when(col("__tot_chars") === 0, lit(0L))
+          .otherwise(expr("(__dup_chars * 1000) div __tot_chars"))
+          .as("dup_unit_char_milli"),
+        when(col("__norm_len") === 0, lit(0L))
+          .otherwise(expr("(__top_chars * 1000) div __norm_len"))
+          .as("top_ngram_char_milli"))
+  }
+
+  /** C4-style INTRA-document unit dedup ("deduplicate lines within a
+    * page"): keep the first occurrence of each distinct unit inside
+    * the document, preserve original order, reassemble with
+    * `joinWith`. Complements [[dropBoilerplateUnits]], which removes
+    * units repeated ACROSS documents. Emits (id, n_units, n_kept,
+    * clean_text).
+    *
+    * Scale shape: per-document by definition → pure narrow
+    * projection, zero shuffle. first-occurrence test is
+    * `array_position(units, units(i)) == i` — quadratic in a doc's
+    * OWN unit count (doc-bounded, never corpus-bounded), the price of
+    * staying wholly inside codegen'd array expressions. */
+  def dedupUnitsWithin(df: DataFrame, idCol: String, textCol: String,
+      splitRegex: String = "\n", joinWith: String = " "): DataFrame =
+    df.select(col(idCol),
+        filter(transform(split(col(textCol), splitRegex), x => trim(x)),
+          x => x =!= "").as("__u"))
+      // __u is a materialized column, not a captured expression —
+      // lambdas below read an attribute, they don't re-split the doc
+      // per element (see gopherRepetitionSignals' scaladoc)
+      .withColumn("__kept",
+        when(size(col("__u")) === 0, array().cast("array<int>"))
+          .otherwise(filter(sequence(lit(1), size(col("__u"))), i =>
+            array_position(col("__u"), element_at(col("__u"), i)) === i)))
+      .select(col(idCol),
+        size(col("__u")).cast("long").as("n_units"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(transform(col("__kept"),
+          i => element_at(col("__u"), i)), joinWith).as("clean_text"))
+
+  def dropBoilerplateUnits(df: DataFrame, idCol: String, textCol: String,
+      splitRegex: String, maxDfMilli: Long, joinWith: String = " ")
+      : DataFrame = {
+    require(maxDfMilli >= 0 && maxDfMilli <= 1000,
+      s"maxDfMilli must be a milli-fraction in [0, 1000]: $maxDfMilli")
+    val unitArr = filter(
+      transform(split(col(textCol), splitRegex), u => trim(u)),
+      u => u =!= "")
+    val units = df.select(col(idCol), posexplode(unitArr).as(Seq("__pos", "__u")))
+    val nDocs = df.select(count(lit(1)).as("__n"))
+    val boiler = units.select(col(idCol), col("__u")).distinct()
+      .groupBy("__u").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df") * 1000L > lit(maxDfMilli) * col("__n"))
+      .select("__u")
+    val kept = units.join(broadcast(boiler), Seq("__u"), "left_anti")
+    val agg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__u")))),
+            s => s.getField("__u")),
+          joinWith).as("clean_text"))
+    df.select(col(idCol), size(unitArr).cast("long").as("n_units"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_units"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 }

@@ -296,5 +296,41 @@ object Functions {
           element_at(parts, 4).as("hs_code"),
           element_at(parts, 5).as("incoterm"))
         .orderBy("doc_id")
+    },
+
+    // F20: URL canonicalization — the normalize-before-dedup step of
+    // every web-corpus pipeline. Six synthesized shapes per corpus:
+    // default ports dropped, host/scheme lowercased, tracking params
+    // stripped, surviving params sorted, fragments cut, trailing
+    // slashes trimmed, non-default ports and non-URLs passed through.
+    Q("q_f20_url_canon",
+      s"""SELECT doc_id, ${sqlCanonicalUrl("u")} AS curl
+         |FROM (SELECT doc_id, CASE doc_id % 6
+         |  WHEN 0 THEN concat('HTTP://Example.COM:80/a/', doc_id,
+         |    '/?utm_source=mail&id=', doc_id)
+         |  WHEN 1 THEN concat('https://Shop.Example.com:443/p/', doc_id,
+         |    '?b=2&a=1&fbclid=xyz#top')
+         |  WHEN 2 THEN concat('https://example.com/p/', doc_id, '/')
+         |  WHEN 3 THEN 'ftp://Files.example.com:21/x'
+         |  WHEN 4 THEN concat('not a url ', doc_id)
+         |  ELSE 'https://example.com:443/q?utm_campaign=x&utm_medium=y'
+         |  END AS u FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val u = when(col("doc_id") % 6 === 0,
+          concat(lit("HTTP://Example.COM:80/a/"), col("doc_id").cast("string"),
+            lit("/?utm_source=mail&id="), col("doc_id").cast("string")))
+        .when(col("doc_id") % 6 === 1,
+          concat(lit("https://Shop.Example.com:443/p/"),
+            col("doc_id").cast("string"), lit("?b=2&a=1&fbclid=xyz#top")))
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("https://example.com/p/"), col("doc_id").cast("string"),
+            lit("/")))
+        .when(col("doc_id") % 6 === 3, lit("ftp://Files.example.com:21/x"))
+        .when(col("doc_id") % 6 === 4,
+          concat(lit("not a url "), col("doc_id").cast("string")))
+        .otherwise(lit("https://example.com:443/q?utm_campaign=x&utm_medium=y"))
+      t(s, d, "documents")
+        .select(col("doc_id"), canonicalUrl(u).as("curl"))
+        .orderBy("doc_id")
     })
 }

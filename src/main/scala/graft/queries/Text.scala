@@ -784,5 +784,281 @@ object Text {
           |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", 32, 4, 3)
         .orderBy("id_a", "id_b")
+    },
+
+    // DEDUP: URL-level dedup after canonicalization — three raw
+    // spellings per page (case/port/tracking/fragment cruft) collapse
+    // to one canonical URL; keep the smallest doc_id per page. One
+    // key-shuffle (exactByKey); the canonicalization itself is a
+    // narrow codegen map, so at 100 TB the only exchange is the
+    // per-URL group.
+    Q("q_d_url_dedup",
+      s"""WITH u AS (SELECT doc_id, CASE doc_id % 3
+         |  WHEN 0 THEN concat('https://Example.com/p/', doc_id % 50)
+         |  WHEN 1 THEN concat('HTTPS://example.COM:443/p/', doc_id % 50,
+         |    '/?utm_source=x')
+         |  ELSE concat('https://example.com/p/', doc_id % 50, '/#frag')
+         |  END AS u FROM documents),
+         |c AS (SELECT doc_id, ${sqlCanonicalUrl("u")} AS curl FROM u)
+         |SELECT curl, min(doc_id) AS doc_id FROM c GROUP BY 1
+         |ORDER BY curl""".stripMargin) { (s, d) =>
+      val pg = (col("doc_id") % 50).cast("string")
+      val u = when(col("doc_id") % 3 === 0,
+          concat(lit("https://Example.com/p/"), pg))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("HTTPS://example.COM:443/p/"), pg, lit("/?utm_source=x")))
+        .otherwise(concat(lit("https://example.com/p/"), pg, lit("/#frag")))
+      Dedup.exactByKey(
+          t(s, d, "documents").select(col("doc_id"),
+            graft.functions.canonicalUrl(u).as("curl")),
+          Seq("curl"), "doc_id")
+        .select("curl", "doc_id").orderBy("curl")
+    },
+
+    // QUALITY: C4-family boilerplate removal — drop every unit whose
+    // document frequency exceeds 78% of the corpus, keep the rest in
+    // order. Graded at unit = token (this corpus is single-line word
+    // soup); TextOpsSpec exercises the unit = line case on
+    // constructed crawl-shaped docs. Threshold is an exact integer
+    // cross-multiply, so the same query is deterministic at every sf.
+    Q("q_t_boilerplate",
+      """WITH t0 AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, ' '),
+        |      u -> trim(u)), u -> u != '') AS us
+        |  FROM documents),
+        |uu AS (SELECT doc_id, unnest(generate_series(1, len(us))) AS p,
+        |       unnest(us) AS u FROM t0),
+        |dfq AS (SELECT u, count(DISTINCT doc_id) AS df FROM uu GROUP BY 1),
+        |boiler AS (SELECT u FROM dfq
+        |  WHERE df * 1000 > 780 * (SELECT count(*) FROM documents)),
+        |kept AS (SELECT * FROM uu
+        |  WHERE u NOT IN (SELECT u FROM boiler)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(u, ' ' ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY 1)
+        |SELECT t0.doc_id, CAST(len(t0.us) AS BIGINT) AS n_units,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM t0 LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.dropBoilerplateUnits(
+          t(s, d, "documents"), "doc_id", "text", " ", 780L)
+        .orderBy("doc_id")
+    },
+
+    // DEDUP: shared-span detection (Lee et al. 2022 substring-dedup
+    // signal) — pairs sharing >= 6 consecutive tokens, with the
+    // longest run per pair, via positional 3-gram fingerprints on one
+    // diagonal (gaps-and-islands). Catches syndicated/quoted overlap
+    // that whole-document near-dup misses. The df cap (20) bounds the
+    // fingerprint join exactly like the shingle caps in the LSH
+    // family.
+    Q("q_d_shared_spans",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |g0 AS (SELECT doc_id, ${sqlShingles("t", 3)} AS gs FROM tok),
+         |g AS (SELECT doc_id, unnest(generate_series(1, len(gs))) AS p,
+         |      unnest(gs) AS gr FROM g0),
+         |gh AS (SELECT doc_id, p, ${sqlHash60("gr")} AS h FROM g),
+         |rare AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
+         |  FROM gh GROUP BY 1) WHERE df <= 20),
+         |m AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      a.p AS pa, a.p - b.p AS d
+         |      FROM gh a JOIN gh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |      WHERE a.h IN (SELECT h FROM rare)),
+         |r AS (SELECT id_a, id_b, d, pa - row_number() OVER (
+         |      PARTITION BY id_a, id_b, d ORDER BY pa) AS isl FROM m),
+         |runs AS (SELECT id_a, id_b, count(*) AS rn FROM r
+         |      GROUP BY id_a, id_b, d, isl)
+         |SELECT id_a, id_b, CAST(max(rn) + 2 AS BIGINT) AS span_tokens
+         |FROM runs GROUP BY 1, 2 HAVING max(rn) + 2 >= 6
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.sharedSpanPairs(t(s, d, "documents"), "doc_id", "text",
+          k = 3, minSpan = 6, maxGramDf = 20)
+        .orderBy("id_a", "id_b")
+    },
+
+    // CURATION: DSIR-shaped importance weights — hashed-unigram
+    // likelihood ratios (target = English docs) scored per document,
+    // integer milli throughout (the operator's documented log-free
+    // deviation). High w_milli = "looks like the target domain";
+    // selection takes the top slice.
+    Q("q_t_dsir",
+      s"""WITH tb AS (SELECT doc_id,
+         |    ${sqlHash31("'dsir:' || tok")} % 1024 AS b,
+         |    (lang = 'en') AS t
+         |  FROM (SELECT doc_id, unnest($toksD) AS tok, lang
+         |        FROM documents)),
+         |bc AS (SELECT b, count(*) AS r,
+         |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS tc FROM tb GROUP BY 1),
+         |tot AS (SELECT sum(r) AS rr, sum(tc) AS tt FROM bc),
+         |ratio AS (SELECT b,
+         |    ((tc + 1) * (rr + 1024) * 1000) // ((r + 1) * (tt + 1024))
+         |      AS rm FROM bc, tot),
+         |db AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY 1, 2),
+         |w AS (SELECT doc_id, sum(c) AS n_toks,
+         |    sum(c * rm) // sum(c) AS w_milli
+         |  FROM db JOIN ratio USING (b) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(w.n_toks, 0) AS BIGINT) AS n_toks,
+         |  CAST(coalesce(w.w_milli, 0) AS BIGINT) AS w_milli
+         |FROM documents d LEFT JOIN w USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.dsirWeights(t(s, d, "documents"), "doc_id", "text",
+          target = col("lang") === "en", buckets = 1024)
+        .orderBy("doc_id")
+    },
+
+    // TOKENIZER: BPE merge-table training (6 rounds) — the oracle
+    // replays the identical algorithm as a generated CTE chain using
+    // the same space-wrapped symbol representation and the same
+    // literal replace() fusion, so any drift in pair counting,
+    // tie-breaking, or greedy fusion order fails the gate.
+    Q("q_t_bpe_merges", bpeOracle(6)) { (s, d) =>
+      TextAnalysis.bpeMerges(t(s, d, "documents"), "text", 6)
+        .orderBy("merge_rank")
+    },
+
+    // QUALITY: the rest of the Gopher repetition family — duplicate
+    // unit fraction + char-weighted variant + heaviest-2-gram char
+    // share, all integer milli. Graded at unit = token (single-line
+    // corpus); TextOpsSpec covers unit = line. Pure narrow map on the
+    // Spark side — the oracle recomputes relationally.
+    Q("q_t_gopher_rep",
+      s"""WITH u0 AS (SELECT doc_id,
+         |    list_filter(list_transform(string_split(text, ' '),
+         |      x -> trim(x)), x -> x != '') AS us FROM documents),
+         |lc AS (SELECT doc_id, u, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(us) AS u FROM u0) GROUP BY 1, 2),
+         |la AS (SELECT doc_id, sum(c) AS nu, sum(c - 1) AS dups,
+         |    sum((c - 1) * length(u)) AS dupch FROM lc GROUP BY 1),
+         |tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |gc AS (SELECT doc_id, gr, count(*) AS c FROM
+         |  (SELECT doc_id, unnest(${sqlShingles("t", 2)}) AS gr FROM tok)
+         |  GROUP BY 1, 2),
+         |gt AS (SELECT doc_id, max(c * length(gr)) AS topch FROM gc
+         |  GROUP BY 1),
+         |tc AS (SELECT doc_id, sum(c * length(u)) AS totch FROM lc
+         |  GROUP BY 1),
+         |nrm AS (SELECT doc_id, length($normD) AS nl FROM documents)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(la.nu, 0) AS BIGINT) AS n_units,
+         |  CAST(CASE WHEN coalesce(la.nu, 0) = 0 THEN 0
+         |    ELSE (la.dups * 1000) // la.nu END AS BIGINT)
+         |    AS dup_unit_milli,
+         |  CAST(CASE WHEN coalesce(tc.totch, 0) = 0 THEN 0
+         |    ELSE (la.dupch * 1000) // tc.totch END AS BIGINT)
+         |    AS dup_unit_char_milli,
+         |  CAST(CASE WHEN coalesce(gt.topch, 0) = 0 OR nrm.nl = 0 THEN 0
+         |    ELSE (gt.topch * 1000) // nrm.nl END AS BIGINT)
+         |    AS top_ngram_char_milli
+         |FROM documents d LEFT JOIN la USING (doc_id)
+         |  LEFT JOIN tc USING (doc_id) LEFT JOIN gt USING (doc_id)
+         |  LEFT JOIN nrm USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.gopherRepetitionSignals(t(s, d, "documents"),
+          "doc_id", "text", splitRegex = " ", n = 2)
+        .orderBy("doc_id")
+    },
+
+    // QUALITY: C4 intra-document unit dedup — keep each distinct
+    // unit's first occurrence, original order. Graded at unit =
+    // token; TextOpsSpec covers the line case. Narrow map (contrast
+    // q_t_boilerplate's cross-document broadcast anti-join).
+    Q("q_t_line_dedup",
+      """WITH u0 AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, ' '),
+        |      x -> trim(x)), x -> x != '') AS us FROM documents),
+        |uu AS (SELECT doc_id, unnest(generate_series(1, len(us))) AS p,
+        |       unnest(us) AS u FROM u0),
+        |fo AS (SELECT doc_id, u, min(p) AS p FROM uu GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(u, ' ' ORDER BY p) AS clean_text FROM fo
+        |  GROUP BY 1)
+        |SELECT u0.doc_id, CAST(len(u0.us) AS BIGINT) AS n_units,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM u0 LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.dedupUnitsWithin(t(s, d, "documents"),
+          "doc_id", "text", splitRegex = " ", joinWith = " ")
+        .orderBy("doc_id")
+    },
+
+    // CURATION: domain-level corpus stats — the grouping behind
+    // domain blocklists and per-site quality budgets. Three URL
+    // shapes per host (www, default port, userinfo+odd port) collapse
+    // to one host-level domain; non-URLs land in the '' bucket. One
+    // partial-agg key-shuffle on the domain.
+    Q("q_t_domain_stats",
+      s"""WITH u AS (SELECT doc_id, text, CASE doc_id % 4
+         |  WHEN 0 THEN concat('https://www.Site', doc_id % 7,
+         |    '.example.com/p/', doc_id)
+         |  WHEN 1 THEN concat('http://site', doc_id % 7,
+         |    '.example.com:80/q')
+         |  WHEN 2 THEN concat('https://u:p@Site', doc_id % 7,
+         |    '.example.com:8443/r')
+         |  ELSE concat('doc ', doc_id) END AS url FROM documents),
+         |d0 AS (SELECT doc_id, ${sqlDomainOf("url")} AS domain,
+         |    len($toksD) AS ntok FROM u),
+         |tot AS (SELECT count(*) AS n FROM d0)
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS tok_sum,
+         |  CAST((count(*) * 1000) // (SELECT n FROM tot) AS BIGINT)
+         |    AS share_milli
+         |FROM d0 GROUP BY 1 ORDER BY domain""".stripMargin) { (s, d) =>
+      val k = (col("doc_id") % 7).cast("string")
+      val id = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("https://www.Site"), k, lit(".example.com/p/"), id))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://site"), k, lit(".example.com:80/q")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://u:p@Site"), k, lit(".example.com:8443/r")))
+        .otherwise(concat(lit("doc "), id))
+      val d0 = t(s, d, "documents")
+        .select(domainOf(url).as("domain"),
+          TextAnalysis.wsTokenCount(col("text")).as("ntok"))
+      val tot = d0.agg(count(lit(1)).as("__n"))
+      d0.groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_sum"))
+        .crossJoin(broadcast(tot))
+        .select(col("domain"), col("n_docs"), col("tok_sum"),
+          expr("(n_docs * 1000) div __n").as("share_milli"))
+        .orderBy("domain")
     })
+
+  /** Generated DuckDB CTE chain replaying [[TextAnalysis.bpeMerges]]
+    * round by round: wN = vocab strings after N fusions, pN = round
+    * N's weighted pair counts, bN = round N's argmax pair. */
+  private def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH w0 AS (SELECT ' ' || array_to_string(
+         |    list_transform(range(1, length(w) + 1), i -> w[i:i]), '  ')
+         |    || ' ' AS s, f
+         |  FROM (SELECT tok AS w, count(*) AS f
+         |        FROM (SELECT unnest($toksD) AS tok FROM documents)
+         |        GROUP BY 1))""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(
+        s""",
+           |p$i AS (SELECT ss[j] AS lhs, ss[j+1] AS rhs, sum(f) AS cnt
+           |  FROM (SELECT ss, f,
+           |          unnest(generate_series(1, len(ss) - 1)) AS j
+           |        FROM (SELECT string_split(trim(s), '  ') AS ss, f
+           |              FROM w${i - 1}))
+           |  GROUP BY 1, 2),
+           |b$i AS (SELECT lhs, rhs, cnt FROM p$i
+           |  ORDER BY cnt DESC, lhs, rhs LIMIT 1)""".stripMargin)
+      if (i < k) sb.append(
+        s""",
+           |w$i AS (SELECT replace(s, ' ' || b.lhs || '  ' || b.rhs || ' ',
+           |    ' ' || b.lhs || b.rhs || ' ') AS s, f
+           |  FROM w${i - 1}, b$i b)""".stripMargin)
+    }
+    sb.append("\n" + (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, " +
+        s"CAST(cnt AS BIGINT) AS pair_count FROM b$i")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank"))
+    sb.toString
+  }
 }

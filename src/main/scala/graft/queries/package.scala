@@ -94,6 +94,41 @@ package object queries {
     s"concat_ws('-', substr(sha256($x),1,8), substr(sha256($x),9,4), " +
       s"substr(sha256($x),13,4), substr(sha256($x),17,4), substr(sha256($x),21,12))"
 
+  /** DuckDB equivalent of graft.functions.canonicalUrl (same regexes,
+    * same tracking-param list, same byte-wise param sort). */
+  def sqlCanonicalUrl(x: String): String = {
+    val u = "trim(coalesce(" + x + ", ''))"
+    val scheme =
+      "lower(regexp_extract(" + u + ", '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val hostRaw = "lower(regexp_extract(" + u +
+      ", '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    val host = "(CASE WHEN " + scheme + " = 'http' THEN regexp_replace(" +
+      hostRaw + ", ':80$', '') WHEN " + scheme +
+      " = 'https' THEN regexp_replace(" + hostRaw + ", ':443$', '') ELSE " +
+      hostRaw + " END)"
+    val path = "regexp_replace(regexp_extract(" + u +
+      ", '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')"
+    val query = "regexp_extract(" + u + ", '\\?([^#]*)', 1)"
+    val params = "list_filter(string_split(" + query + ", '&'), p -> " +
+      "p != '' AND NOT regexp_matches(p, '^(" +
+      graft.functions.TrackingParams + ")='))"
+    // DuckDB's array_to_string returns NULL (not '') on an empty
+    // list — coalesce keeps the no-params CASE arm reachable
+    val q2 = "coalesce(array_to_string(list_sort(" + params + "), '&'), '')"
+    "(CASE WHEN " + scheme + " = '' THEN " + u + " ELSE concat(" + scheme +
+      ", '://', " + host + ", " + path + ", CASE WHEN " + q2 +
+      " = '' THEN '' ELSE concat('?', " + q2 + ") END) END)"
+  }
+
+  /** DuckDB equivalent of graft.functions.domainOf (same regexes,
+    * same www-stripping). */
+  def sqlDomainOf(x: String): String = {
+    val u = s"trim(coalesce($x, ''))"
+    val host = s"lower(regexp_extract($u, " +
+      raw"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1))"
+    raw"regexp_replace($host, '^www\.', '')"
+  }
+
   /** DuckDB equivalent of graft.functions.normalizeText. */
   def sqlNormText(x: String): String =
     s"trim(regexp_replace(regexp_replace(lower(coalesce($x, '')), " +

@@ -677,4 +677,43 @@ class DedupSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("duplicate"), err.getMessage)
   }
+
+  test("sharedSpanPairs: longest run per pair, sub-minSpan excluded") {
+    import org.apache.spark.sql.functions._
+    // docs 1-2 share the 6-token run "a b c d e f" (4 matching
+    // 3-grams on one diagonal => 4 + 3 - 1 = 6); docs 1-3 share only
+    // the 3-token "h i j" (one 3-gram => span 3, below minSpan 4)
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f z w"),
+      (3L, "h i j q r s t u v n")).toDF("doc_id", "text")
+    val out = Dedup.sharedSpanPairs(docs, "doc_id", "text",
+        k = 3, minSpan = 4, maxGramDf = 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 6L)), out)
+    // two disjoint shared runs: only the longest is reported
+    val docs2 = Seq(
+      (1L, "p q r s GAP1 GAP2 t u v w x"),
+      (2L, "p q r s OTHER SEP t u v w x")).toDF("doc_id", "text")
+    val out2 = Dedup.sharedSpanPairs(docs2, "doc_id", "text",
+        k = 3, minSpan = 4, maxGramDf = 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    // runs "p q r s" (span 4) and "t u v w x" (span 5) -> max 5
+    assert(out2 == Seq((1L, 2L, 5L)), out2)
+  }
+
+  test("sharedSpanPairs: corpus-hot grams are df-capped out") {
+    import org.apache.spark.sql.functions._
+    // the same 8-token template on every doc; with maxGramDf = 2 the
+    // template's grams exceed the cap on a 4-doc corpus -> no pairs
+    val tpl = "one two three four five six seven eight"
+    val docs = (1L to 4L).map(i => (i, tpl)).toDF("doc_id", "text")
+    assert(Dedup.sharedSpanPairs(docs, "doc_id", "text",
+      k = 3, minSpan = 4, maxGramDf = 2).count() == 0L)
+    // raising the cap to corpus size restores the full-length span
+    val out = Dedup.sharedSpanPairs(docs, "doc_id", "text",
+        k = 3, minSpan = 4, maxGramDf = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.length == 6 && out.forall(_._3 == 8L), out)
+  }
 }

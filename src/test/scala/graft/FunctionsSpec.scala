@@ -166,4 +166,50 @@ class FunctionsSpec extends SparkSpec {
         weightedPriority(col("k"), col("w")).as("p"))
     assertSameRows(df, again)
   }
+
+  test("canonicalUrl: default ports, case, tracking params, fragments") {
+    // scheme+host lowercase, :80 dropped for http, params sorted
+    assert(eval(canonicalUrl(lit(
+      "HTTP://Example.COM:80/a/Path?b=2&a=1"))) ==
+      "http://example.com/a/Path?a=1&b=2")
+    // :443 dropped for https, tracking params stripped, fragment cut
+    assert(eval(canonicalUrl(lit(
+      "https://Shop.Example.com:443/p/1?utm_source=mail&id=9&fbclid=x#top"))) ==
+      "https://shop.example.com/p/1?id=9")
+    // trailing slashes trimmed (incl multiple)
+    assert(eval(canonicalUrl(lit("https://example.com/p/7//"))) ==
+      "https://example.com/p/7")
+    // non-default port survives; non-http(s) scheme keeps its port
+    assert(eval(canonicalUrl(lit("https://example.com:8443/x"))) ==
+      "https://example.com:8443/x")
+    assert(eval(canonicalUrl(lit("ftp://Files.example.com:21/x"))) ==
+      "ftp://files.example.com:21/x")
+    // all params tracking => no '?' at all
+    assert(eval(canonicalUrl(lit(
+      "https://example.com/q?utm_campaign=x&utm_medium=y"))) ==
+      "https://example.com/q")
+    // 'ref' is stripped only as a whole param name: referrer= stays
+    assert(eval(canonicalUrl(lit("https://e.com/a?ref=1&referrer=2"))) ==
+      "https://e.com/a?referrer=2")
+    // non-URLs pass through trimmed; null => empty
+    assert(eval(canonicalUrl(lit("  not a url 42 "))) == "not a url 42")
+    assert(eval(canonicalUrl(lit(null).cast("string"))) == "")
+  }
+
+  test("domainOf: host-level domain, www/userinfo/port stripped") {
+    assert(eval(domainOf(lit("https://www.Site3.Example.com/p/1"))) ==
+      "site3.example.com")
+    assert(eval(domainOf(lit("http://site3.example.com:80/q"))) ==
+      "site3.example.com")
+    assert(eval(domainOf(lit("https://u:p@Site3.example.com:8443/r"))) ==
+      "site3.example.com")
+    // only a LEADING www. label is stripped
+    assert(eval(domainOf(lit("https://www.www.example.com/"))) ==
+      "www.example.com")
+    assert(eval(domainOf(lit("https://wwwx.example.com/"))) ==
+      "wwwx.example.com")
+    // non-URLs and null land in the '' bucket
+    assert(eval(domainOf(lit("doc 42"))) == "")
+    assert(eval(domainOf(lit(null).cast("string"))) == "")
+  }
 }

@@ -236,12 +236,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
-  test("duplicateNgramStats: both aggregations partial-aggregate, spine join is keyed") {
+  test("duplicateNgramStats: per-doc statistic stays narrow — no join, one exchange") {
     val plan = planOf("q_t_dup_ngrams")
-    assert(plan.contains("partial_"),
-      s"gram counts must pre-aggregate map-side:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"the id-spine join must stay keyed:\n$plan")
+    // the round-6 rewrite computes the Gopher repetition stat inside
+    // the row (sorted-shingle singleton runs); the ONLY exchange
+    // allowed is the final orderBy's range repartition
+    assert(!plan.contains("Join"), s"no join of any kind:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"no aggregation — the stat never leaves the row:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"only the output-order exchange is allowed, saw $exchanges:\n$plan")
   }
 
   test("mixKeep: the budget table broadcasts back onto the corpus") {

@@ -124,4 +124,106 @@ class TextOpsSpec extends SparkSpec {
     // distinct rotations of (a b c d e), each appearing >= 2 times
     assert(out(4L) == ((11L, 11L, 1000L)), out)
   }
+
+  test("dropBoilerplateUnits: line mode drops the shared banner, keeps order") {
+    val docs = Seq(
+      (1L, "Accept cookies\ncontent one\nunique line A"),
+      (2L, "Accept cookies\ncontent two"),
+      (3L, "Accept cookies\ncontent three"),
+      (4L, "Accept cookies"),
+      (5L, "free text\nno banner here")).toDF("doc_id", "text")
+    // banner df=4 of 5 docs: 4*1000 > 700*5 -> boilerplate; every
+    // other line df=1 -> kept, reassembled in original order
+    val out = TextAnalysis.dropBoilerplateUnits(
+        docs, "doc_id", "text", "\n", 700L)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((3L, 2L, "content one unique line A")), out)
+    assert(out(2L) == ((2L, 1L, "content two")), out)
+    assert(out(3L) == ((2L, 1L, "content three")), out)
+    // fully-boilerplate doc comes back empty, not missing
+    assert(out(4L) == ((1L, 0L, "")), out)
+    assert(out(5L) == ((2L, 2L, "free text no banner here")), out)
+  }
+
+  test("dsirWeights: all-target corpus weighs exactly 1000 milli") {
+    // target == raw => per-bucket ratio is 1000*(tc+1)/(r+1) with
+    // tc = r, so every doc's weight is exactly 1000; empty doc is 0
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta delta"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+        target = lit(true), buckets = 64)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((3L, 1000L)), out)
+    assert(out(2L) == ((2L, 1000L)), out)
+    assert(out(3L) == ((0L, 0L)), out)
+  }
+
+  test("dsirWeights: target-like docs outscore off-target docs") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha", true),
+      (2L, "beta beta beta", false),
+      (3L, "alpha beta", false)).toDF("doc_id", "text", "is_t")
+    val w = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+        target = col("is_t"), buckets = 1024)
+      .select("doc_id", "w_milli").as[(Long, Long)].collect().toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L), w)
+  }
+
+  test("gopherRepetitionSignals: line mode exact fractions") {
+    val docs = Seq(
+      // 4 lines, "same line" x3: dups=2 of 4 -> 500 milli; dup chars
+      // = 2*9 of 3*9+7=34 -> 529 milli
+      (1L, "same line\nsame line\nsame line\ncontent"),
+      // no repetition at all
+      (2L, "alpha beta\ngamma delta"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetitionSignals(
+        docs, "doc_id", "text", splitRegex = "\n", n = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val (n1, dl1, dc1, _) = out(1L)
+    assert(n1 == 4 && dl1 == 500 && dc1 == 2 * 9 * 1000 / 34, out)
+    val (n2, dl2, dc2, _) = out(2L)
+    assert(n2 == 2 && dl2 == 0 && dc2 == 0, out)
+    assert(out(3L) == ((0L, 0L, 0L, 0L)), out)
+    // heaviest 2-gram: "a b a b a b" -> "a b" x3 (and "b a" x2);
+    // top covers 3*3=9 chars of the 11-char normalized text -> 818
+    val rep = Seq((9L, "a b a b a b")).toDF("doc_id", "text")
+    val top = TextAnalysis.gopherRepetitionSignals(
+        rep, "doc_id", "text", "\n", 2)
+      .select("top_ngram_char_milli").as[Long].collect()(0)
+    assert(top == 9 * 1000 / 11, top)
+  }
+
+  test("dedupUnitsWithin: first occurrence kept, order preserved") {
+    val docs = Seq(
+      (1L, "b\na\nb\nc\na"),
+      (2L, "x\ny"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupUnitsWithin(
+        docs, "doc_id", "text", splitRegex = "\n", joinWith = " ")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((5L, 3L, "b a c")), out)
+    assert(out(2L) == ((2L, 2L, "x y")), out)
+    assert(out(3L) == ((0L, 0L, "")), out)
+  }
+
+  test("bpeMerges: classic low/lower/newest corpus, deterministic ties") {
+    // words: low x3, lower x2, newest x1. Round 1 ties lo=ow=5 and
+    // the lexicographic tie-break picks (l,o); then (lo,w)=5; round 3
+    // ties (e,r)=(low,e)=2 and picks (e,r); then (low,er)=2
+    val docs = Seq(
+      (1L, "low low low"), (2L, "lower lower newest"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs, "text", 4)
+      .orderBy("merge_rank")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "l", "o", 5L), (2L, "lo", "w", 5L),
+      (3L, "e", "r", 2L), (4L, "low", "er", 2L)), out)
+  }
 }
