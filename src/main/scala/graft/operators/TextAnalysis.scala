@@ -730,4 +730,96 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** CORPUS-WIDE keep-first unit dedup (the RefinedWeb/C4 exact
+    * line-dedup pass): a unit (line/sentence/token per `splitRegex`)
+    * survives only at its globally FIRST occurrence — ordered by
+    * (document id, position within document) — and every later copy,
+    * in the same document or any other, is dropped. Complements
+    * [[dropBoilerplateUnits]] (which removes units ABOVE a document
+    * frequency, keeping zero copies) by keeping exactly one copy of
+    * everything. Emits (id, n_units, n_kept, clean_text); a document
+    * made entirely of later copies comes back n_kept = 0, clean_text
+    * = ''.
+    *
+    * Scale shape: two key-shuffles, both partial-agg-able — the
+    * first-occurrence argmin is `min(struct(id, pos))` per unit
+    * (map-side partial min, so a unit appearing 10⁹ times shuffles
+    * one candidate per map partition, not 10⁹ rows), and the
+    * reassembly groupBy carries only a document's own kept units
+    * (doc-bounded state, same shape as [[dropBoilerplateUnits]]).
+    * The keep test is a left-semi join on (unit, id, pos) — no row
+    * widening, no skew beyond the unit key itself. */
+  def dedupUnitsAcross(df: DataFrame, idCol: String, textCol: String,
+      splitRegex: String = "\n", joinWith: String = " "): DataFrame = {
+    val unitArr = filter(
+      transform(split(col(textCol), splitRegex), u => trim(u)),
+      u => u =!= "")
+    val units = df.select(col(idCol),
+      posexplode(unitArr).as(Seq("__pos", "__u")))
+    val first = units.groupBy("__u")
+      .agg(min(struct(col(idCol), col("__pos"))).as("__f"))
+      .select(col("__u"), col("__f").getField(idCol).as(idCol),
+        col("__f").getField("__pos").as("__pos"))
+    val kept = units.join(first, Seq("__u", idCol, "__pos"), "left_semi")
+    val agg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__u")))),
+            s => s.getField("__u")),
+          joinWith).as("clean_text"))
+    df.select(col(idCol), size(unitArr).cast("long").as("n_units"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_units"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Apply a trained BPE merge table ([[bpeMerges]]' output — the
+    * other half of the tokenizer story: train once, encode the
+    * corpus) to every document. Each token is expanded to its
+    * space-wrapped character sequence and the merges are replayed in
+    * rank order with the same single-`replace` fusion the trainer
+    * used, so train→encode round-trips bit-identically. Emits
+    * (id, n_toks, bpe_text) — the post-merge symbol count (the
+    * number the token-budget planner actually bills) and the encoded
+    * text with symbols space-joined.
+    *
+    * Scale shape: the merge table is tokenizer-sized (k rows, 30k–
+    * 100k in production) → collapsed to ONE sorted array row and
+    * broadcast; the encode itself is then a pure narrow projection —
+    * zero shuffle, whole-stage codegen, per-row cost k·|doc|
+    * replaces. When k·occurrences dominates, encode the DISTINCT
+    * vocab once and dictionary-join instead — that variant is the
+    * composition `bpeEncode(distinct tokens) ⋈ corpus` and shares
+    * this kernel. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val mergeArr = merges.agg(
+      sort_array(collect_list(struct(col("merge_rank"),
+        concat(lit(" "), col("lhs"), lit("  "), col("rhs"), lit(" "))
+          .as("pat"),
+        concat(lit(" "), col("lhs"), col("rhs"), lit(" ")).as("rep"))))
+        .as("__ms"))
+    val spacedTok = (w: Column) => concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1))), "  "),
+      lit(" "))
+    val encTok = (w: Column) => array_join(
+      split(trim(aggregate(col("__ms"), spacedTok(w),
+        (acc, m) => replace(acc, m.getField("pat"), m.getField("rep")))),
+        "  "),
+      " ")
+    df.select(col(idCol), graft.functions.tokens(col(textCol)).as("__t"))
+      .crossJoin(broadcast(mergeArr))
+      // __t / __enc are materialized columns, not captured
+      // expressions — the lambdas read attributes, they don't
+      // re-tokenize per element (see gopherRepetitionSignals)
+      .withColumn("__enc", array_join(transform(col("__t"), encTok), " "))
+      .select(col(idCol),
+        when(size(col("__t")) === 0, lit(0L))
+          .otherwise(size(split(col("__enc"), " ")).cast("long"))
+          .as("n_toks"),
+        col("__enc").as("bpe_text"))
+  }
 }

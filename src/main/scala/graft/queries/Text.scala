@@ -1024,12 +1024,49 @@ object Text {
         .select(col("domain"), col("n_docs"), col("tok_sum"),
           expr("(n_docs * 1000) div __n").as("share_milli"))
         .orderBy("domain")
+    },
+
+    // DEDUP: corpus-wide keep-first unit dedup (RefinedWeb exact
+    // line-dedup) — a unit survives only at its globally first
+    // (doc_id, pos) occurrence; every later copy anywhere in the
+    // corpus is dropped. Graded at unit = token; TextOpsSpec covers
+    // the line case. Contrast q_t_line_dedup (within-doc only) and
+    // q_t_boilerplate (df threshold, keeps zero copies).
+    Q("q_t_corpus_dedup",
+      """WITH u0 AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, ' '),
+        |      x -> trim(x)), x -> x != '') AS us FROM documents),
+        |uu AS (SELECT doc_id, unnest(generate_series(1, len(us))) AS p,
+        |       unnest(us) AS u FROM u0),
+        |fo AS (SELECT doc_id, p, u FROM (SELECT doc_id, p, u,
+        |    row_number() OVER (PARTITION BY u ORDER BY doc_id, p) AS rn
+        |  FROM uu) WHERE rn = 1),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(u, ' ' ORDER BY p) AS clean_text FROM fo
+        |  GROUP BY 1)
+        |SELECT u0.doc_id, CAST(len(u0.us) AS BIGINT) AS n_units,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM u0 LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.dedupUnitsAcross(t(s, d, "documents"),
+          "doc_id", "text", splitRegex = " ", joinWith = " ")
+        .orderBy("doc_id")
+    },
+
+    // TOKENIZER: train 6 BPE merges on the corpus, then ENCODE every
+    // document with them — the train→apply round trip. The oracle
+    // replays both halves (training CTEs + nested literal replaces).
+    Q("q_t_bpe_encode", bpeEncodeOracle(6)) { (s, d) =>
+      val m = TextAnalysis.bpeMerges(t(s, d, "documents"), "text", 6)
+      TextAnalysis.bpeEncode(t(s, d, "documents"), "doc_id", "text", m)
+        .orderBy("doc_id")
     })
 
   /** Generated DuckDB CTE chain replaying [[TextAnalysis.bpeMerges]]
     * round by round: wN = vocab strings after N fusions, pN = round
     * N's weighted pair counts, bN = round N's argmax pair. */
-  private def bpeOracle(k: Int): String = {
+  private def bpeCtes(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH w0 AS (SELECT ' ' || array_to_string(
@@ -1055,10 +1092,40 @@ object Text {
            |    ' ' || b.lhs || b.rhs || ' ') AS s, f
            |  FROM w${i - 1}, b$i b)""".stripMargin)
     }
-    sb.append("\n" + (1 to k).map(i =>
+    sb.toString
+  }
+
+  private def bpeOracle(k: Int): String =
+    bpeCtes(k) + "\n" + (1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, " +
         s"CAST(cnt AS BIGINT) AS pair_count FROM b$i")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank"))
-    sb.toString
+      .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank")
+
+  /** Train-then-encode oracle for [[TextAnalysis.bpeEncode]]: the
+    * same k training CTEs, then every document token is expanded to
+    * its spaced character form and the k learned merges are replayed
+    * in rank order (nested literal `replace`s — identical fusion to
+    * the trainer's), symbols rejoined with single spaces. */
+  private def bpeEncodeOracle(k: Int): String = {
+    val spaced = "' ' || array_to_string(list_transform(" +
+      "range(1, length(w) + 1), i -> w[i:i]), '  ') || ' '"
+    val folded = (1 to k).foldLeft(spaced) { (acc, i) =>
+      s"replace($acc, ' ' || m$i.lhs || '  ' || m$i.rhs || ' ', " +
+        s"' ' || m$i.lhs || m$i.rhs || ' ')"
+    }
+    val froms = (1 to k).map(i => s", b$i m$i").mkString
+    bpeCtes(k) +
+      s""",
+         |tok AS (SELECT doc_id, $toksD AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN len(toks) = 0 THEN 0
+         |    ELSE len(string_split(enc, ' ')) END AS BIGINT) AS n_toks,
+         |  enc AS bpe_text
+         |FROM (SELECT t.doc_id, t.toks,
+         |    array_to_string(list_transform(t.toks, w ->
+         |      array_to_string(string_split(trim($folded), '  '), ' ')),
+         |      ' ') AS enc
+         |  FROM tok t$froms)
+         |ORDER BY doc_id""".stripMargin
   }
 }

@@ -226,4 +226,36 @@ class TextOpsSpec extends SparkSpec {
       (1L, "l", "o", 5L), (2L, "lo", "w", 5L),
       (3L, "e", "r", 2L), (4L, "low", "er", 2L)), out)
   }
+
+  test("bpeEncode: trained merges round-trip onto the corpus, empty doc is 0/''") {
+    val docs = Seq(
+      (1L, "low low low"), (2L, "lower lower newest"), (3L, ""))
+      .toDF("doc_id", "text")
+    // after the 4 merges above: low -> [low]; lower -> l o w e r ->
+    // lo w e r -> low e r -> low er -> [lower]; newest has no (l,o)/
+    // (lo,w)/(e,r)/(low,er) adjacency and stays six chars
+    val m = TextAnalysis.bpeMerges(docs, "text", 4)
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text", m)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((3L, "low low low")), out)
+    assert(out(2L) == ((8L, "lower lower n e w e s t")), out)
+    assert(out(3L) == ((0L, "")), out)
+  }
+
+  test("dedupUnitsAcross: globally-first copy survives, later docs and later positions lose") {
+    val docs = Seq(
+      (1L, "a\nb\na"),   // keeps a(pos0), b; in-doc later a drops
+      (2L, "b\nc"),      // b lost to doc 1; keeps c
+      (3L, "a\nb"),      // everything seen before: empty
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupUnitsAcross(
+        docs, "doc_id", "text", splitRegex = "\n", joinWith = " ")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((3L, 2L, "a b")), out)
+    assert(out(2L) == ((2L, 1L, "c")), out)
+    assert(out(3L) == ((2L, 0L, "")), out)
+    assert(out(4L) == ((0L, 0L, "")), out)
+  }
 }
