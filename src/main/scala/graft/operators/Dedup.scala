@@ -579,7 +579,8 @@ object Dedup {
       s"need k >= 1 and minSpan >= k: k=$k minSpan=$minSpan")
     val pos = spread(df)
       .select(col(idCol).as("__id"),
-        posexplode(shingles(col(textCol), k)).as(Seq("__p", "__g")))
+        posexplode(call_function("graft_shingles",
+          tokens(col(textCol)), lit(k))).as(Seq("__p", "__g")))
       .select(col("__id"), col("__p"), hash60(col("__g")).as("__gh"))
       .localCheckpoint(eager = false)
     val rare = pos.select("__gh", "__id").distinct()

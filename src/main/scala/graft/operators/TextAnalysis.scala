@@ -303,7 +303,8 @@ object TextAnalysis {
           * lit(1000.0d)).cast("long").as("entropy_milli"))
     val rep = df
       .select(col(idCol),
-        explode(graft.functions.shingles(col(textCol), 2)).as("bg"))
+        explode(call_function("graft_shingles",
+          graft.functions.tokens(col(textCol)), lit(2))).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
       .agg(max("c").as("mx"), sum("c").as("tot"))
@@ -432,7 +433,8 @@ object TextAnalysis {
       (i === 1 || element_at(g, i) =!= element_at(g, i - 1)) &&
         (i === m || element_at(g, i) =!= element_at(g, i + 1))))
     df.select(col(idCol),
-        array_sort(graft.functions.shingles(col(textCol), n)).as("__g"))
+        array_sort(call_function("graft_shingles",
+          graft.functions.tokens(col(textCol)), lit(n))).as("__g"))
       .select(col(idCol),
         when(m === 0, lit(0L)).otherwise(m.cast("long")).as("n_grams"),
         when(m === 0, lit(0L)).otherwise((m - singles).cast("long"))
@@ -626,7 +628,8 @@ object TextAnalysis {
         array_sort(filter(
           transform(split(col(textCol), splitRegex), x => trim(x)),
           x => x =!= "")).as("__u"),
-        array_sort(graft.functions.shingles(col(textCol), n)).as("__g"),
+        array_sort(call_function("graft_shingles",
+          graft.functions.tokens(col(textCol)), lit(n))).as("__g"),
         length(graft.functions.normalizeText(col(textCol))).cast("long")
           .as("__norm_len"))
       .withColumn("__m", size(col("__u")))
@@ -773,6 +776,96 @@ object TextAnalysis {
       .select(col(idCol), col("n_units"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Bigram-LM negative log likelihood (the KenLM-lite step up from
+    * [[unigramNll]]): add-1-smoothed conditional surprisal
+    * −ln p(w₂|w₁) with p = (c(w₁w₂)+1) / (c(w₁·)+V), V = corpus
+    * vocabulary size, per-bigram surprisal QUANTIZED to integer
+    * millis (floor·1000) before summing so per-doc totals are exact
+    * integer sums (same discipline as [[unigramNll]]/[[tfIdfTopTerms]]).
+    * Emits (id, n_bigrams, nll_milli_sum, avg_nll_milli); docs with
+    * fewer than two tokens come back 0/0/0.
+    *
+    * Scale shape: one bigram explode feeds the bigram counts, the
+    * context counts (both partial-agg-able key shuffles), and the
+    * scoring join; V is one driver scalar off the same materialized
+    * gram table. Count tables are vocab-sized — AQE broadcasts them
+    * when they fit, shuffles when a web-scale vocab doesn't. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val grams = df.select(col(idCol),
+        explode(call_function("graft_shingles",
+          tokens(col(textCol)), lit(2))).as("__g"))
+      .localCheckpoint(eager = false)
+    val big = grams.groupBy("__g").agg(count(lit(1)).as("__c12"))
+    val ctx = grams
+      .select(element_at(split(col("__g"), " "), 1).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val vocabSize = df.select(explode(tokens(col(textCol))).as("tk"))
+      .distinct().count()
+    val scored = grams.join(big, Seq("__g"))
+      .withColumn("__w1", element_at(split(col("__g"), " "), 1))
+      .join(ctx, Seq("__w1"))
+      .select(col(idCol),
+        floor(log((col("__c1") + lit(vocabSize)).cast("double")
+            / (col("__c12") + lit(1L)).cast("double")) * 1000.0d)
+          .cast("long").as("__m"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__m")).as("nll_milli_sum"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_milli_sum"), lit(0L)).as("nll_milli_sum"))
+      .withColumn("avg_nll_milli",
+        when(col("n_bigrams") === 0, lit(0L))
+          .otherwise(expr("nll_milli_sum div n_bigrams")))
+  }
+
+  /** Span-level decontamination — the surgical alternative to
+    * dropping whole contaminated documents: every training-side
+    * token covered by an n-gram that also appears in the eval corpus
+    * is REMOVED and the survivors are reassembled in order. Keeps
+    * the 99% of a page that is original while excising the quoted
+    * benchmark answer. Emits (id, n_toks, n_removed, clean_text)
+    * for every training row (n_removed = 0, text unchanged when
+    * clean).
+    *
+    * Scale shape: the eval gram set BROADCASTS (eval corpora are
+    * benchmark-sized — same posture as [[ngramContamination]], but
+    * joined on the gram STRING so removal has no hash-collision
+    * over-reach); the train side is a positional shingle explode →
+    * broadcast left-semi → per-doc groupBy whose state is the doc's
+    * own matched positions. Coverage expansion and token filtering
+    * are array expressions on the reassembled row — doc-bounded,
+    * zero extra shuffle. */
+  def decontaminateSpans(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1: $n")
+    val evalGrams = eval_
+      .select(explode(call_function("graft_shingles",
+        tokens(col(textCol)), lit(n))).as("__g")).distinct()
+    val matched = train.select(col(idCol),
+        posexplode(call_function("graft_shingles",
+          tokens(col(textCol)), lit(n))).as(Seq("__p", "__g")))
+      .join(broadcast(evalGrams), Seq("__g"), "left_semi")
+      .groupBy(col(idCol)).agg(collect_list(col("__p")).as("__starts"))
+    train.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .join(matched, Seq(idCol), "left")
+      .withColumn("__cov",
+        when(col("__starts").isNull, array().cast("array<int>"))
+          .otherwise(array_distinct(flatten(transform(col("__starts"),
+            p => sequence(p, p + lit(n - 1)))))))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_toks"),
+        size(col("__cov")).cast("long").as("n_removed"),
+        when(size(col("__t")) === 0, lit(""))
+          .otherwise(array_join(transform(
+            filter(sequence(lit(1), size(col("__t"))),
+              i => !array_contains(col("__cov"), i - 1)),
+            i => element_at(col("__t"), i)), " "))
+          .as("clean_text"))
   }
 
   /** Apply a trained BPE merge table ([[bpeMerges]]' output — the

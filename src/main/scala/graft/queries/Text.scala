@@ -1061,6 +1061,69 @@ object Text {
       val m = TextAnalysis.bpeMerges(t(s, d, "documents"), "text", 6)
       TextAnalysis.bpeEncode(t(s, d, "documents"), "doc_id", "text", m)
         .orderBy("doc_id")
+    },
+
+    // QUALITY: bigram-LM surprisal (KenLM-lite perplexity filter) —
+    // add-1-smoothed −ln p(w2|w1), floor-milli quantized per bigram
+    // before summing (q_t_unigram_nll's discipline, one order up).
+    Q("q_t_bigram_nll",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |g0 AS (SELECT doc_id, unnest(${sqlShingles("t", 2)}) AS g
+         |  FROM tok),
+         |c12 AS (SELECT g, count(*) AS c FROM g0 GROUP BY 1),
+         |ctx AS (SELECT string_split(g, ' ')[1] AS w1, count(*) AS c1
+         |  FROM g0 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tk) AS vs
+         |  FROM (SELECT unnest(t) AS tk FROM tok)),
+         |sc AS (SELECT doc_id,
+         |    CAST(floor(ln((ctx.c1 + (SELECT vs FROM v)) * 1.0
+         |      / (c12.c + 1.0)) * 1000) AS BIGINT) AS m
+         |  FROM g0 JOIN c12 USING (g)
+         |    JOIN ctx ON ctx.w1 = string_split(g0.g, ' ')[1]),
+         |agg AS (SELECT doc_id, count(*) AS nb, sum(m) AS s FROM sc
+         |  GROUP BY 1)
+         |SELECT tok.doc_id,
+         |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(s, 0) AS BIGINT) AS nll_milli_sum,
+         |  CAST(CASE WHEN coalesce(nb, 0) = 0 THEN 0
+         |    ELSE s // nb END AS BIGINT) AS avg_nll_milli
+         |FROM tok LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.bigramNll(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // DECONTAM: span-level removal — excise eval-overlapping 5-gram
+    // coverage from each training doc instead of dropping the doc
+    // (q_t_decontam's split: doc_id % 97 = 0 is the eval side).
+    Q("q_t_decontam_spans",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |tr AS (SELECT doc_id, t FROM tok WHERE doc_id % 97 != 0),
+         |ev AS (SELECT doc_id, t FROM tok WHERE doc_id % 97 = 0),
+         |eg AS (SELECT DISTINCT unnest(${sqlShingles("t", 5)}) AS g
+         |  FROM ev),
+         |sh AS (SELECT doc_id, p, array_to_string(t[p+1:p+5], ' ') AS g
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS p
+         |        FROM tr WHERE len(t) >= 5)),
+         |m AS (SELECT doc_id, p FROM sh WHERE g IN (SELECT g FROM eg)),
+         |cov AS (SELECT doc_id, list_distinct(flatten(
+         |    list(generate_series(p, p + 4)))) AS cv FROM m GROUP BY 1)
+         |SELECT tr.doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+         |  CAST(coalesce(len(cv), 0) AS BIGINT) AS n_removed,
+         |  CASE WHEN len(t) = 0 THEN '' ELSE
+         |    array_to_string(list_transform(
+         |      list_filter(range(1, len(t) + 1), i ->
+         |        NOT list_contains(coalesce(cv, CAST([] AS BIGINT[])),
+         |          i - 1)),
+         |      i -> t[i]), ' ') END AS clean_text
+         |FROM tr LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextAnalysis.decontaminateSpans(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", 5)
+        .orderBy("doc_id")
     })
 
   /** Generated DuckDB CTE chain replaying [[TextAnalysis.bpeMerges]]

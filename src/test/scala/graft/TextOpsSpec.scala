@@ -243,6 +243,40 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == ((0L, "")), out)
   }
 
+  test("decontaminateSpans: only eval-overlapping coverage removed, clean docs intact") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally original words nothing shared here at all"),
+      (3L, "")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminateSpans(
+        train, eval_, "doc_id", "text", 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // doc 1 matches the eval 5-gram at pos 1 → tokens 1..5 removed
+    assert(out(1L) == ((8L, 5L, "alpha eta theta")), out)
+    assert(out(2L) == ((8L, 0L,
+      "totally original words nothing shared here at all")), out)
+    assert(out(3L) == ((0L, 0L, "")), out)
+  }
+
+  test("bigramNll: repeated bigrams are cheaper than unique ones, short docs 0/0/0") {
+    val docs = Seq(
+      (1L, "a b a b a b"),     // bigrams all from {a b, b a} — common
+      (2L, "c d e f g h"),     // five distinct singleton bigrams
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramNll(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L)._1 == 5L, out)
+    assert(out(2L)._1 == 5L, out)
+    assert(out(3L) == ((0L, 0L, 0L)), out)
+    // doc 1's bigrams repeat (c12 = 3 or 2); doc 2's are singletons →
+    // higher average surprisal
+    assert(out(2L)._3 > out(1L)._3, out)
+  }
+
   test("dedupUnitsAcross: globally-first copy survives, later docs and later positions lose") {
     val docs = Seq(
       (1L, "a\nb\na"),   // keeps a(pos0), b; in-doc later a drops
