@@ -256,6 +256,27 @@ class PlanSpec extends SparkSpec {
       s"config-sized budgets must broadcast, not shuffle the corpus:\n$plan")
   }
 
+  test("decontaminateSpans: the eval gram set broadcasts, no cartesian") {
+    val plan = planOf("q_t_decontam_spans")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast onto the train side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("dedupUnitsAcross: first-occurrence argmin partial-aggregates map-side") {
+    val plan = planOf("q_t_corpus_dedup")
+    assert(plan.contains("partial_min"),
+      s"min(struct(id,pos)) must pre-aggregate before the exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("bigramNll: count tables partial-aggregate, joins stay keyed") {
+    val plan = planOf("q_t_bigram_nll")
+    assert(plan.contains("partial_count"),
+      s"bigram/context counts must pre-aggregate map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("imageDims/wavMeta: header parses are expression-only — no exchange, no UDF") {
     for (q <- Seq("q_mm_image_dims", "q_mm_wav_meta")) {
       val plan = planOf(q)
