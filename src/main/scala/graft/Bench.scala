@@ -83,7 +83,18 @@ object Bench {
     catch { case _: Throwable => () }
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
       .max(1)
-    val inventory = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional args = query-name subset for fast local iteration; a
+    // subset run never overwrites bench_full.json (full-inventory
+    // totals only) and fails loudly on a name typo
+    val inventory0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val inventory =
+      if (args.isEmpty) inventory0
+      else {
+        val want = args.toSet
+        val unknown = want -- inventory0.map(_._1).toSet
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        inventory0.filter(q => want.contains(q._1))
+      }
     val timesByPass = (1 to passes).map { pass =>
       inventory.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -109,9 +120,10 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"sf":"$sfDir"}"""
     System.err.println(fullJson)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      (fullJson + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    if (args.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (fullJson + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     spark.stop()
     // the one stdout line, printed last so it sits at the end of the
     // captured output tail

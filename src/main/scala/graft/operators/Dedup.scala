@@ -560,10 +560,14 @@ object Dedup {
     * Method: positional k-gram fingerprints (id, pos, hash of the
     * k-shingle at pos); an equi-join on the fingerprint yields
     * matched position pairs; matches on one diagonal (pa - pb
-    * constant) at consecutive positions are one shared run, so the
-    * classic gaps-and-islands trick (island = pa - row_number, a
-    * per-diagonal window) groups each maximal run, whose length r
-    * spans r + k - 1 tokens.
+    * constant) at consecutive positions are one shared run. Per
+    * (pair, diagonal) the matched positions are collected as a SET
+    * (`collect_set` dedups the repeats a multi-occurrence gram
+    * produces, with map-side partial aggregation), sorted, and a
+    * linear fold finds the longest consecutive run r, which spans
+    * r + k - 1 tokens. One shuffle where the equivalent
+    * DISTINCT + gaps-and-islands window formulation (the oracle's
+    * shape) costs three plus a sort.
     *
     * Scale posture: the join key is the k-gram hash with a document
     * frequency cap (`maxGramDf`, same discipline as
@@ -571,8 +575,9 @@ object Dedup {
     * documents are template stop-grams that would otherwise square
     * the candidate volume; dropping one gram can only split a span
     * where EVERY window over the cut point is itself corpus-hot. The
-    * window partitions on (pair, diagonal) — per-partition state is
-    * one run-set, never a corpus-sized series. */
+    * fold groups on (pair, diagonal) — per-group state is one
+    * position set bounded by the shorter document's length, never a
+    * corpus-sized series. */
   def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minSpan: Int = 6, maxGramDf: Int = 20): DataFrame = {
     require(k >= 1 && minSpan >= k,
@@ -593,13 +598,25 @@ object Dedup {
       .join(fp.select(col("__gh"), col("__id").as("id_b"),
         col("__p").as("__pb")), Seq("__gh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__pa"),
-        (col("__pa") - col("__pb")).as("__d"))
-      .distinct()
-    val w = Window.partitionBy("id_a", "id_b", "__d").orderBy(col("__pa"))
-    m.withColumn("__isl", col("__pa") - row_number().over(w))
-      .groupBy(col("id_a"), col("id_b"), col("__d"), col("__isl"))
-      .agg(count(lit(1)).as("__run"))
+      .select(col("id_a"), col("id_b"),
+        (col("__pa") - col("__pb")).as("__d"), col("__pa"))
+    // longest consecutive run over the sorted distinct positions of
+    // one diagonal: (best, cur, prev) fold — prev starts below any
+    // valid position so the first element always opens a run of 1
+    val longestRun = (ps: Column) => aggregate(
+      sort_array(ps),
+      struct(lit(0).as("best"), lit(0).as("cur"), lit(-2).as("prev")),
+      (acc, x) => {
+        val cur = when(x === acc.getField("prev") + 1,
+          acc.getField("cur") + 1).otherwise(lit(1))
+        struct(greatest(acc.getField("best"), cur).as("best"),
+          cur.as("cur"), x.as("prev"))
+      },
+      acc => acc.getField("best"))
+    m.groupBy("id_a", "id_b", "__d")
+      .agg(collect_set(col("__pa")).as("__ps"))
+      .select(col("id_a"), col("id_b"),
+        longestRun(col("__ps")).as("__run"))
       .groupBy("id_a", "id_b")
       .agg((max(col("__run")) + lit(k - 1)).cast("long").as("span_tokens"))
       .filter(col("span_tokens") >= minSpan)

@@ -256,6 +256,16 @@ class PlanSpec extends SparkSpec {
       s"config-sized budgets must broadcast, not shuffle the corpus:\n$plan")
   }
 
+  test("sharedSpanPairs: diagonal run-length folds without a window sort") {
+    val plan = planOf("q_d_shared_spans")
+    assert(plan.contains("partial_collect_set"),
+      s"diagonal position sets must pre-aggregate map-side:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the gaps-and-islands window was replaced by a fold — a Window " +
+        s"here means the extra shuffle+sort came back:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("decontaminateSpans: the eval gram set broadcasts, no cartesian") {
     val plan = planOf("q_t_decontam_spans")
     assert(plan.contains("BroadcastHashJoin"),
