@@ -754,6 +754,31 @@ object Vectors {
         .select("vec_id").orderBy("vec_id")
     },
 
+    // Semantic decontamination: train vectors within cosine 0.2 of
+    // any eval vector (vec_id % 97 = 0 — the q_t_decontam split,
+    // lifted to embedding space). Eval broadcasts; per-train argmax
+    // picks the closest eval hit, cosine desc / eval id asc.
+    Q("q_v_semantic_decontam",
+      s"""WITH ev AS (SELECT vec_id AS eid, embedding AS ev
+         |      FROM embeddings WHERE vec_id % 97 = 0),
+         |m AS (SELECT tr.vec_id, ev.eid,
+         |      ${sqlCosine("tr.embedding", "ev.ev")} AS c
+         |    FROM embeddings tr, ev
+         |    WHERE tr.vec_id % 97 != 0
+         |      AND ${sqlCosine("tr.embedding", "ev.ev")} >= 0.2),
+         |r AS (SELECT vec_id, eid, c, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY c DESC, eid) AS rn
+         |    FROM m)
+         |SELECT vec_id, eid AS eval_id, c AS max_cos
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Similarity.decontamBySimilarity(
+          e.filter(col("vec_id") % 97 =!= 0),
+          e.filter(col("vec_id") % 97 === 0),
+          "vec_id", "embedding", 0.2)
+        .orderBy("vec_id")
+    },
+
     // SQ8 scalar quantization — the third ANN compression next to
     // IVF (routing) and PQ (codebooks): per-vector min/max
     // calibration, 1 byte per dim. Codes emitted as scalar rows

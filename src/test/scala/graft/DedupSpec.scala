@@ -569,6 +569,28 @@ class DedupSpec extends SparkSpec {
         s"(self excluded): ${pred.toSeq}")
   }
 
+  test("decontamBySimilarity: flags near-eval train vecs, argmax ties to smallest eval id") {
+    import spark.implicits._
+    val train = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // identical to eval 1 AND 2
+      (11L, Array(0.0f, 0.9f, 0.1f, 0.0f)),  // close to eval 3 only
+      (12L, Array(0.0f, 0.0f, 0.0f, 1.0f))   // orthogonal to all evals
+    ).toDF("vec_id", "embedding")
+    val eval = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // duplicate of eval 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.decontamBySimilarity(train, eval,
+        "vec_id", "embedding", 0.5)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2))))
+      .toMap
+    assert(r.keySet == Set(10L, 11L), s"only near-eval train flagged: $r")
+    // 10 matches evals 1 and 2 at cosine 1 exactly — tie to eval 1
+    assert(r(10L)._1 == 1L && r(10L)._2 == 1.0d, s"tie to smallest eid: $r")
+    assert(r(11L)._1 == 3L && r(11L)._2 > 0.9d, s"closest eval wins: $r")
+  }
+
   test("semDedupKeep: drops the higher id of each near-dup, keeps singletons") {
     import spark.implicits._
     // two tight near-dup groups on opposite axes + one unrelated vector

@@ -266,6 +266,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
+  test("decontamBySimilarity: the eval side broadcasts, argmax partial-aggregates") {
+    val plan = planOf("q_v_semantic_decontam")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the eval benchmark must broadcast onto the train corpus:\n$plan")
+    assert(plan.contains("partial_min_by") || plan.contains("partial_max"),
+      s"the per-train argmax must pre-aggregate before the exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the train side must never shuffle for a config-sized eval set:\n$plan")
+  }
+
   test("decontaminateSpans: the eval gram set broadcasts, no cartesian") {
     val plan = planOf("q_t_decontam_spans")
     assert(plan.contains("BroadcastHashJoin"),
