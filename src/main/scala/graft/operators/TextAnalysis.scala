@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -393,6 +394,50 @@ object TextAnalysis {
         col("f_tokens") * 4 + col("f_stop") * 30 +
           col("f_distinct") * 8 - col("f_chars") - lit(200L))
       .withColumn("keep", (col("score") >= threshold).cast("int"))
+  }
+
+  /** Exact AUC of an integer score against a 0/1 label — the
+    * evaluation harness for [[linearQualityScore]]-style quality
+    * classifiers (does the score actually separate good from bad
+    * docs?), computed as the Mann-Whitney U rank-sum with midrank tie
+    * handling and emitted as an exact integer
+    * `auc_micro = floor(10⁶ · U / (n_pos·n_neg))`.
+    *
+    * Distributed shape: one map-side-partial groupBy collapses the
+    * corpus to (score, n_pos, n) — bounded by the number of DISTINCT
+    * score values, which integer-quantized quality scores keep small
+    * (thousands, not corpus-sized) — then a global-order prefix-sum
+    * window over that collapsed frame (the q_a15_decile posture: the
+    * window input is already aggregate-sized) and a 1-row total. The
+    * doubled-midrank identity keeps every intermediate an exact
+    * integer: Σ_s n_pos(s)·(2·below(s) + n(s) + 1) = 2·R_pos, so
+    * AUC = (2R_pos − ... ) needs no floats; intermediates widen to
+    * decimal(38,0) so 10⁶·n² stays exact far past BIGINT corpora.
+    * Emits one row (n_pos, n_neg, auc_micro); auc_micro is null when
+    * either class is empty. */
+  def aucExact(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val byScore = df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(col(labelCol).cast("long")).as("__np"),
+        count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ranked = byScore.withColumn("__below",
+      coalesce(sum(col("__n")).over(w), lit(0L)))
+    ranked.agg(
+        sum(dec(col("__np")) * (dec(col("__below")) * 2 +
+          dec(col("__n")) + 1)).as("__r2"),
+        sum(col("__np")).as("n_pos"),
+        sum(col("__n") - col("__np")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+          .otherwise(floor(
+            (dec(lit(1000000L)) *
+              (col("__r2") - dec(col("n_pos")) * (dec(col("n_pos")) + 1)))
+            / (dec(col("n_pos")) * dec(col("n_neg")) * 2))
+            .cast("long"))
+          .as("auc_micro"))
   }
 
   /** Duplicate word-n-gram mass per document — the Gopher-family

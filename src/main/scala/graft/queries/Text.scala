@@ -561,6 +561,38 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // QUALITY EVAL: exact Mann-Whitney AUC of the quality score
+    // against an independent ground truth (lang = 'en'). On this
+    // synthetic corpus the text carries no language signal, so the
+    // honest readout is ~0.5 — the oracle grades the rank-sum
+    // MACHINERY exactly (midrank ties, doubled-rank identity,
+    // integer micro); TextOpsSpec pins real discrimination cases.
+    // The window runs over the DISTINCT-score frame, never the corpus.
+    Q("q_t_quality_auc",
+      s"""WITH f AS (SELECT
+         |    (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS y,
+         |    LEAST(len($toksD), 256)*4
+         |      + len(list_filter($toksD, t -> t IN (${inList("en")})))*30
+         |      + len(list_distinct($toksD))*8
+         |      - length($normD) - 200 AS s
+         |  FROM documents),
+         |b AS (SELECT s, sum(y) AS np, count(*) AS n FROM f GROUP BY 1),
+         |r AS (SELECT s, np, n, coalesce(sum(n) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS below FROM b),
+         |a AS (SELECT sum(np*(2*below+n+1)) AS r2, sum(np) AS npos,
+         |    sum(n-np) AS nneg FROM r)
+         |SELECT CAST(npos AS BIGINT) AS n_pos,
+         |  CAST(nneg AS BIGINT) AS n_neg,
+         |  CAST((1000000*(r2 - npos*(npos+1))) // (2*npos*nneg)
+         |    AS BIGINT) AS auc_micro
+         |FROM a""".stripMargin) { (s, d) =>
+      val scored = TextAnalysis.linearQualityScore(
+          t(s, d, "documents"), "text")
+        .withColumn("y", (col("lang") === "en").cast("int"))
+      TextAnalysis.aucExact(scored, "score", "y")
+    },
+
     // QUALITY: duplicate word-bigram mass — the Gopher-family
     // repetition filter (share of n-gram occurrences whose n-gram
     // repeats inside the document). Graded at n=2 because the

@@ -56,6 +56,25 @@ class TextOpsSpec extends SparkSpec {
     assert(chunks.toSeq == Seq((2L, 0L, 3L)))
   }
 
+  test("aucExact: separation 10^6, ties midrank to 1/2, known interleave exact") {
+    def auc(rows: Seq[(Long, Int)]): Option[Long] = {
+      val df = rows.toDF("score", "y")
+      val r = TextAnalysis.aucExact(df, "score", "y").collect().head
+      if (r.isNullAt(2)) None else Some(r.getLong(2))
+    }
+    // perfect separation: every positive outranks every negative
+    assert(auc(Seq((10L, 1), (11L, 1), (1L, 0), (2L, 0))) ==
+      Some(1000000L))
+    // anti-separation
+    assert(auc(Seq((1L, 1), (2L, 1), (10L, 0), (11L, 0))) == Some(0L))
+    // all scores tied: midranks give exactly 1/2
+    assert(auc(Seq((5L, 1), (5L, 1), (5L, 0), (5L, 0))) == Some(500000L))
+    // pos {2,4} vs neg {1,3}: U = 3 of 4 comparisons -> 750000
+    assert(auc(Seq((2L, 1), (4L, 1), (1L, 0), (3L, 0))) == Some(750000L))
+    // one class empty: null, not a crash or a fake number
+    assert(auc(Seq((1L, 1), (2L, 1))).isEmpty)
+  }
+
   test("quality signals: uniform text has high entropy, repeated text low") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // all distinct
