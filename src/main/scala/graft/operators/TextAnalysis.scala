@@ -220,6 +220,37 @@ object TextAnalysis {
       .withColumn("avg_nll_milli", expr("nll_milli_sum div n_toks"))
   }
 
+  /** Out-of-vocabulary rate per document against a trained vocabulary
+    * — the tokenizer-coverage check a pipeline runs after
+    * [[bpeMerges]]/vocab training and before committing to a
+    * tokenizer: a rising OOV rate on fresh crawl data means the vocab
+    * no longer fits the corpus. `vocab` is a one-column frame of
+    * in-vocabulary tokens.
+    *
+    * Scale shape: the vocab is config-sized (10⁴–10⁵ entries) next to
+    * the corpus, so it BROADCASTS onto the exploded token stream (an
+    * O(1) hash probe per token — never array_contains' linear scan),
+    * and the per-doc counts partial-aggregate map-side before the one
+    * doc-keyed shuffle. Every doc is reported — empty docs as
+    * (0, 0, 0), not dropped. oov_milli is exact integer arithmetic
+    * (n_oov·1000 div n_toks). */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val v = vocab.select(col(vocab.columns.head).as("__tok"))
+      .distinct().withColumn("__in", lit(1))
+    Dedup.spread(df)
+      .select(col(idCol), explode_outer(tokens(col(textCol)))
+        .as("__tok"))
+      .join(broadcast(v), Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__tok")).as("n_toks"),
+        count(when(col("__tok").isNotNull && col("__in").isNull, 1))
+          .as("n_oov"))
+      .withColumn("oov_milli",
+        when(col("n_toks") === 0, lit(0L))
+          .otherwise(expr("n_oov * 1000 div n_toks")))
+  }
+
   /** TF-IDF top-`topK` terms per document: tf = in-doc term count,
     * df = number of documents containing the term, idf = ln(N/df).
     * The score is QUANTIZED to integer millis (floor(tf * idf * 1000))

@@ -471,6 +471,38 @@ object Text {
         .orderBy(col("df").desc, col("token")).limit(100)
     },
 
+    // TOKENIZER COVERAGE: per-doc out-of-vocabulary rate against the
+    // top-16 df vocab (16 < the corpus's 31 distinct tokens, so the
+    // OOV mass is real at every SF). Vocab broadcasts; counts
+    // partial-aggregate; every doc reported, empty docs 0/0/0.
+    Q("q_t_oov",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |v AS (SELECT token FROM (
+         |    SELECT doc_id, unnest(list_distinct(t)) AS token FROM tok)
+         |  GROUP BY token ORDER BY count(*) DESC, token LIMIT 16),
+         |e AS (SELECT doc_id, unnest(t) AS tk FROM tok),
+         |c AS (SELECT e.doc_id, count(*) AS n_toks,
+         |    count(*) FILTER (v.token IS NULL) AS n_oov
+         |  FROM e LEFT JOIN v ON e.tk = v.token GROUP BY 1)
+         |SELECT tok.doc_id, CAST(coalesce(c.n_toks, 0) AS BIGINT)
+         |    AS n_toks,
+         |  CAST(coalesce(c.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CAST(CASE WHEN coalesce(c.n_toks, 0) = 0 THEN 0
+         |    ELSE coalesce(c.n_oov, 0) * 1000 // c.n_toks END
+         |    AS BIGINT) AS oov_milli
+         |FROM tok LEFT JOIN c USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val vocab = docs
+        .select(explode(array_distinct(tokens(col("text"))))
+          .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(16)
+        .select("token")
+      TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    },
+
     // STRATIFIED SAMPLE: at most 20 docs per language, chosen by
     // md5-hash order (deterministic, unbiased within stratum) — the
     // balanced-subset op for mixed-language corpora.

@@ -266,6 +266,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
+  test("oovRate: the vocab broadcasts onto the token stream, counts partial-agg") {
+    val plan = planOf("q_t_oov")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the config-sized vocab must broadcast:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"per-doc counts must pre-aggregate before the doc shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("decontamBySimilarity: the eval side broadcasts, argmax partial-aggregates") {
     val plan = planOf("q_v_semantic_decontam")
     assert(plan.contains("BroadcastNestedLoopJoin") ||

@@ -56,6 +56,24 @@ class TextOpsSpec extends SparkSpec {
     assert(chunks.toSeq == Seq((2L, 0L, 3L)))
   }
 
+  test("oovRate: exact milli per doc, empty docs reported as 0/0/0") {
+    val docs = Seq(
+      (1L, "aa bb aa bb"),        // all in vocab
+      (2L, "aa bb zz ww"),        // half OOV
+      (3L, "zz zz zz"),           // all OOV
+      (4L, "")                    // empty -> 0/0/0, still present
+    ).toDF("doc_id", "text")
+    val vocab = Seq("aa", "bb").toDF("token")
+    val r = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+      .select("doc_id", "n_toks", "n_oov", "oov_milli")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(1L) == ((4L, 0L, 0L)))
+    assert(r(2L) == ((4L, 2L, 500L)))
+    assert(r(3L) == ((3L, 3L, 1000L)))
+    assert(r(4L) == ((0L, 0L, 0L)), s"empty doc must be reported: $r")
+  }
+
   test("aucExact: separation 10^6, ties midrank to 1/2, known interleave exact") {
     def auc(rows: Seq[(Long, Int)]): Option[Long] = {
       val df = rows.toDF("score", "y")
