@@ -317,6 +317,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("aucExact law: equals brute-force pairwise AUC on random labeled scores") {
+    val rowGen = for {
+      s <- Gen.choose(-5L, 5L)   // narrow range forces heavy ties
+      y <- Gen.oneOf(0, 1)
+    } yield (s, y)
+    val sets = samples(Gen.listOfN(60, rowGen), 5)
+      .filter(r => r.exists(_._2 == 1) && r.exists(_._2 == 0))
+    assert(sets.nonEmpty)
+    for (rows <- sets) {
+      val got = graft.operators.TextAnalysis
+        .aucExact(rows.toDF("score", "y"), "score", "y")
+        .collect().head.getLong(2)
+      // brute force: over all (pos, neg) pairs, wins + half-ties,
+      // in doubled units so the division is exact-integer
+      val pos = rows.filter(_._2 == 1).map(_._1)
+      val neg = rows.filter(_._2 == 0).map(_._1)
+      val twiceU = (for { p <- pos; n <- neg } yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val expected = 1000000L * twiceU / (2L * pos.size * neg.size)
+      assert(got == expected, s"got $got expected $expected")
+    }
+  }
+
   test("ewma merge law: segmented fold ≡ whole-series fold, bit-exact") {
     // dyadic α (0.5) over small-integer series of length ≤ 40 keeps
     // every intermediate exactly representable, so the segment-merge
