@@ -302,20 +302,31 @@ object Dedup {
     * value. Exact hamming (bit_count of xor) re-ranks within buckets;
     * distinct() collapses pairs found in several bands. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16, bands: Int = 4, maxDist: Int = 3): DataFrame =
+      bits: Int = 16, bands: Int = 4, maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
     hammingPairs(
       withSimHash(df, idCol, textCol, bits)
         .select(col(idCol).as("id"), col("simhash").as("fp")),
-      "id", "fp", bits, bands, maxDist)
+      "id", "fp", bits, bands, maxDist, maxBucket)
 
   /** Generic banded hamming-distance pair finding over ANY long
     * fingerprint column (simhash, perceptual image hash, audio
     * fingerprint): the banding/pigeonhole machinery of
     * [[simHashPairs]] factored out so every 64-bit-fingerprint
     * modality shares one scale-safe candidate generator. Input must
-    * be one fingerprint per id. */
+    * be one fingerprint per id.
+    *
+    * `maxBucket` is the same hygiene cap as [[minHashLshPairs]]: a
+    * (band, chunk) bucket of B ids yields B² candidates, and a hot
+    * chunk value (the all-zero fingerprint of empty/near-empty docs,
+    * a boilerplate header's chunk) grows with the corpus, not with
+    * true near-duplication — buckets past the cap are dropped before
+    * the self-join so every join key stays bounded. Size `bits/bands`
+    * so typical chunks stay sparse (wider chunks = more bucket
+    * values); the cap is the backstop for the degenerate values. */
   def hammingPairs(sigs: DataFrame, idCol: String, fpCol: String,
-      bits: Int, bands: Int, maxDist: Int): DataFrame = {
+      bits: Int, bands: Int, maxDist: Int,
+      maxBucket: Int = 1000): DataFrame = {
     require(bits % bands == 0, "bits must be divisible by bands")
     require(maxDist < bands,
       "banding only guarantees recall for hamming distance < bands")
@@ -324,10 +335,16 @@ object Dedup {
     // same materialize-before-self-join rationale as minHashLshPairs
     val s = sigs.select(col(idCol).as("id"), col(fpCol).as("fp"))
       .localCheckpoint(eager = false)
-    val banded = s.select(col("id"), col("fp"),
+    val bandedAll = s.select(col("id"), col("fp"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("chunk",
         expr(s"shiftright(fp, band * $width)").bitwiseAND(lit(mask)))
+    val smallBuckets = bandedAll.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "chunk")
+    val banded = bandedAll.join(smallBuckets, Seq("band", "chunk"),
+      "left_semi")
     banded.select(col("band"), col("chunk"),
         col("id").as("id_a"), col("fp").as("fp_a"))
       .join(banded.select(col("band"), col("chunk"),

@@ -569,6 +569,26 @@ class DedupSpec extends SparkSpec {
         s"(self excluded): ${pred.toSeq}")
   }
 
+  test("hammingPairs: over-cap buckets are dropped, small buckets still pair") {
+    import spark.implicits._
+    // fps 1,2,3 share every chunk (identical); 100,101 share theirs.
+    // cap=2 kills the 3-member buckets but keeps the 2-member ones.
+    val sigs = Seq(
+      (1L, 0x0F0FL), (2L, 0x0F0FL), (3L, 0x0F0FL),
+      (100L, 0xA5A0L), (101L, 0xA5A1L)
+    ).toDF("id", "fp")
+    val pairs = graft.operators.Dedup
+      .hammingPairs(sigs, "id", "fp", 16, 4, 3, maxBucket = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)),
+      s"hot bucket dropped, sparse bucket kept: $pairs")
+    // with the default cap both groups pair up
+    val all = graft.operators.Dedup
+      .hammingPairs(sigs, "id", "fp", 16, 4, 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L), (100L, 101L)))
+  }
+
   test("decontamBySimilarity: flags near-eval train vecs, argmax ties to smallest eval id") {
     import spark.implicits._
     val train = Seq(
