@@ -594,3 +594,106 @@ case class BloomMemberExpr(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird,
       fourth = newFourth)
 }
+
+/** Static helper for [[BpeApplyExpr]]: apply an ordered BPE merge
+  * table to a token array and return the flattened encoded symbol
+  * stream. Semantics are EXACTLY the spaced-string replace chain of
+  * the HOF formulation (TextAnalysis.bpeEncodeHof and the DuckDB
+  * oracle): per merge, one left-to-right non-overlapping pass over
+  * each token's symbol list, and a symbol produced by a merge never
+  * re-matches within the same pass (String.replace resumes after the
+  * replacement). Characters are split by CODE POINT, matching the
+  * HOF's substr(i, 1). */
+object BpeKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def encode(toks: ArrayData, merges: ArrayData): ArrayData = {
+    val nm = merges.numElements()
+    val lhs = new Array[String](nm)
+    val rhs = new Array[String](nm)
+    var m = 0
+    while (m < nm) {
+      val pair = merges.getArray(m)
+      lhs(m) = pair.getUTF8String(0).toString
+      rhs(m) = pair.getUTF8String(1).toString
+      m += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val nt = toks.numElements()
+    var i = 0
+    while (i < nt) {
+      if (!toks.isNullAt(i)) {
+        val w = toks.getUTF8String(i).toString
+        var syms = new java.util.ArrayList[String]()
+        var ci = 0
+        while (ci < w.length) {
+          val n = Character.charCount(w.codePointAt(ci))
+          syms.add(w.substring(ci, ci + n))
+          ci += n
+        }
+        m = 0
+        while (m < nm) {
+          val l = lhs(m); val r = rhs(m)
+          val merged = new java.util.ArrayList[String](syms.size)
+          var j = 0
+          while (j < syms.size) {
+            if (j + 1 < syms.size && syms.get(j) == l &&
+                syms.get(j + 1) == r) {
+              merged.add(l + r); j += 2
+            } else {
+              merged.add(syms.get(j)); j += 1
+            }
+          }
+          syms = merged
+          m += 1
+        }
+        var k = 0
+        while (k < syms.size) {
+          out += UTF8String.fromString(syms.get(k))
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Native `graft_bpe(array<string>, array<array<string>>) ->
+  * array<string>`: encode a token array against a rank-ordered BPE
+  * merge table ([lhs, rhs] pairs) in one tight loop per row. The HOF
+  * shape rebuilt a spaced string per token and ran one interpreted
+  * `replace` per (token, merge) — this kernel walks symbol lists
+  * directly (parity-spec'd in TextOpsSpec, oracle-checked by
+  * q_t_bpe_encode). The merge table arrives as a broadcast column,
+  * so encoding a 100 TB corpus stays a zero-shuffle narrow map. */
+case class BpeApplyExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _),
+          ArrayType(ArrayType(StringType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe requires (array<string>, array<array<string>>), " +
+          s"got ($l, $r)")
+    }
+
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "graft_bpe"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BpeKernel.encode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.BpeKernel.encode($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BpeApplyExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -946,23 +946,44 @@ object TextAnalysis {
 
   /** Apply a trained BPE merge table ([[bpeMerges]]' output — the
     * other half of the tokenizer story: train once, encode the
-    * corpus) to every document. Each token is expanded to its
-    * space-wrapped character sequence and the merges are replayed in
-    * rank order with the same single-`replace` fusion the trainer
-    * used, so train→encode round-trips bit-identically. Emits
-    * (id, n_toks, bpe_text) — the post-merge symbol count (the
-    * number the token-budget planner actually bills) and the encoded
-    * text with symbols space-joined.
+    * corpus) to every document, via the native `graft_bpe` kernel
+    * (one tight symbol-list loop per row; bit-identical to
+    * [[bpeEncodeHof]], the spaced-string replace formulation kept as
+    * the executable parity spec). Emits (id, n_toks, bpe_text) — the
+    * post-merge symbol count (the number the token-budget planner
+    * actually bills) and the encoded text with symbols space-joined.
     *
     * Scale shape: the merge table is tokenizer-sized (k rows, 30k–
-    * 100k in production) → collapsed to ONE sorted array row and
+    * 100k in production) → collapsed to ONE rank-sorted array row and
     * broadcast; the encode itself is then a pure narrow projection —
-    * zero shuffle, whole-stage codegen, per-row cost k·|doc|
-    * replaces. When k·occurrences dominates, encode the DISTINCT
-    * vocab once and dictionary-join instead — that variant is the
-    * composition `bpeEncode(distinct tokens) ⋈ corpus` and shares
-    * this kernel. */
+    * zero shuffle, per-row cost k·|doc|. When k·occurrences
+    * dominates, encode the DISTINCT vocab once and dictionary-join
+    * instead — that variant is the composition
+    * `bpeEncode(distinct tokens) ⋈ corpus` and shares this kernel. */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val mergeArr = merges.agg(
+      transform(
+        sort_array(collect_list(struct(col("merge_rank"),
+          col("lhs"), col("rhs")))),
+        s => array(s.getField("lhs"), s.getField("rhs"))).as("__ms"))
+    df.select(col(idCol), graft.functions.tokens(col(textCol)).as("__t"))
+      .crossJoin(broadcast(mergeArr))
+      .withColumn("__syms",
+        call_function("graft_bpe", col("__t"), col("__ms")))
+      .select(col(idCol),
+        size(col("__syms")).cast("long").as("n_toks"),
+        array_join(col("__syms"), " ").as("bpe_text"))
+  }
+
+  /** The spaced-string replace formulation of [[bpeEncode]] — kept as
+    * the executable spec the native kernel is parity-tested against
+    * (TextOpsSpec), and as the bare-session fallback (no extensions
+    * config needed). Each token is expanded to its space-wrapped
+    * character sequence and the merges are replayed in rank order
+    * with the same single-`replace` fusion the trainer used, so
+    * train→encode round-trips bit-identically. */
+  def bpeEncodeHof(df: DataFrame, idCol: String, textCol: String,
       merges: DataFrame): DataFrame = {
     val mergeArr = merges.agg(
       sort_array(collect_list(struct(col("merge_rank"),

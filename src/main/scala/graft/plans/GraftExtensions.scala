@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BloomMemberExpr, DotProductFloat, HllRegistersAgg, MinHashSigExpr, MinHashTextExpr, QualityPackExpr, RollingFpArray, ShingleHashesExpr, ShinglesExpr, SimHashExpr}
+import graft.expressions.{BloomMemberExpr, BpeApplyExpr, DotProductFloat, HllRegistersAgg, MinHashSigExpr, MinHashTextExpr, QualityPackExpr, RollingFpArray, ShingleHashesExpr, ShinglesExpr, SimHashExpr}
 
 /** Session extension registering the engine's native expressions —
   * enabled with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_quality"),
       new ExpressionInfo(classOf[QualityPackExpr].getName, "graft_quality"),
       (children: Seq[Expression]) => QualityPackExpr(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe"),
+      new ExpressionInfo(classOf[BpeApplyExpr].getName, "graft_bpe"),
+      (children: Seq[Expression]) =>
+        BpeApplyExpr(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_hll_regs"),
       new ExpressionInfo(classOf[HllRegistersAgg].getName,

@@ -280,6 +280,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == ((0L, "")), out)
   }
 
+  test("bpeEncode: native kernel is bit-identical to the HOF replace chain") {
+    val docs = Seq(
+      (1L, "low low lower lowest newest new"),
+      (2L, "aaaa aaa aa a"),           // overlap stress: merge (a,a)
+      (3L, ""), (4L, "zzz unseen tokens"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, "text", 6)
+    val native = TextAnalysis.bpeEncode(docs, "doc_id", "text", m)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    val hof = TextAnalysis.bpeEncodeHof(docs, "doc_id", "text", m)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(native == hof, s"native=$native hof=$hof")
+  }
+
   test("decontaminateSpans: only eval-overlapping coverage removed, clean docs intact") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
