@@ -251,6 +251,42 @@ object TextAnalysis {
           .otherwise(expr("n_oov * 1000 div n_toks")))
   }
 
+  /** Reliability-diagram bins for an integer score against a 0/1
+    * label — the calibration companion to [[aucExact]] (AUC says the
+    * ranking separates; calibration says WHERE the mass sits): rank-
+    * based equal-population bins with the observed positive rate per
+    * bin, all exact integers.
+    *
+    * Binning is deterministic under ties: the corpus collapses to the
+    * distinct-score frame (same map-side-partial posture as
+    * [[aucExact]]), each distinct score gets
+    * bin = below·bins div total from a prefix-sum window over that
+    * small frame, so every row of one score lands in one bin on any
+    * engine and any partitioning — no ntile() over corpus rows, whose
+    * tie placement is partition-order-dependent. Emits one row per
+    * non-empty bin: (bin, n, n_pos, pos_milli, score_min,
+    * score_max). */
+  def calibrationBins(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1: $bins")
+    val byScore = df.groupBy(col(scoreCol).as("__s"))
+      .agg(sum(col(labelCol).cast("long")).as("__np"),
+        count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("__below", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__tot", sum(col("__n")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("bin", expr(s"__below * $bins div __tot"))
+      .groupBy("bin")
+      .agg(sum(col("__n")).as("n"), sum(col("__np")).as("n_pos"),
+        min(col("__s")).as("score_min"), max(col("__s")).as("score_max"))
+      .withColumn("pos_milli", expr("n_pos * 1000 div n"))
+      .select("bin", "n", "n_pos", "pos_milli", "score_min", "score_max")
+  }
+
   /** TF-IDF top-`topK` terms per document: tf = in-doc term count,
     * df = number of documents containing the term, idf = ln(N/df).
     * The score is QUANTIZED to integer millis (floor(tf * idf * 1000))

@@ -625,6 +625,39 @@ object Text {
       TextAnalysis.aucExact(scored, "score", "y")
     },
 
+    // QUALITY EVAL: reliability-diagram bins — rank-based deciles of
+    // the quality score with observed positive rate per bin, exact
+    // integers, tie-deterministic (whole tie groups share a bin).
+    // Same collapsed-frame posture as q_t_quality_auc.
+    Q("q_t_calibration",
+      s"""WITH f AS (SELECT
+         |    (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS y,
+         |    LEAST(len($toksD), 256)*4
+         |      + len(list_filter($toksD, t -> t IN (${inList("en")})))*30
+         |      + len(list_distinct($toksD))*8
+         |      - length($normD) - 200 AS s
+         |  FROM documents),
+         |b AS (SELECT s, sum(y) AS np, count(*) AS n FROM f GROUP BY 1),
+         |r AS (SELECT s, np, n,
+         |    coalesce(sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND 1 PRECEDING), 0) AS below,
+         |    sum(n) OVER () AS tot FROM b),
+         |g AS (SELECT below * 10 // tot AS bin, sum(n) AS n,
+         |    sum(np) AS n_pos, min(s) AS score_min, max(s) AS score_max
+         |  FROM r GROUP BY 1)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+         |  CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST(n_pos * 1000 // n AS BIGINT) AS pos_milli,
+         |  CAST(score_min AS BIGINT) AS score_min,
+         |  CAST(score_max AS BIGINT) AS score_max
+         |FROM g ORDER BY bin""".stripMargin) { (s, d) =>
+      val scored = TextAnalysis.linearQualityScore(
+          t(s, d, "documents"), "text")
+        .withColumn("y", (col("lang") === "en").cast("int"))
+      TextAnalysis.calibrationBins(scored, "score", "y", 10)
+        .orderBy("bin")
+    },
+
     // QUALITY: duplicate word-bigram mass — the Gopher-family
     // repetition filter (share of n-gram occurrences whose n-gram
     // repeats inside the document). Graded at n=2 because the

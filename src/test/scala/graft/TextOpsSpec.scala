@@ -74,6 +74,26 @@ class TextOpsSpec extends SparkSpec {
     assert(r(4L) == ((0L, 0L, 0L)), s"empty doc must be reported: $r")
   }
 
+  test("calibrationBins: equal-population bins, ties share a bin, exact rates") {
+    // scores 0..9, one row each, positive iff score >= 5; 5 bins of 2
+    val rows = (0 until 10).map(i => (i.toLong, if (i >= 5) 1 else 0))
+    val out = TextAnalysis.calibrationBins(
+        rows.toDF("score", "y"), "score", "y", 5)
+      .orderBy("bin")
+      .select("bin", "n", "n_pos", "pos_milli")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L, 0L, 0L), (1L, 2L, 0L, 0L),
+      (2L, 2L, 1L, 500L), (3L, 2L, 2L, 1000L), (4L, 2L, 2L, 1000L)),
+      out.toString)
+    // a fully tied score lands in ONE bin regardless of bins param
+    val tied = TextAnalysis.calibrationBins(
+        Seq((7L, 1), (7L, 0), (7L, 0), (7L, 1)).toDF("score", "y"),
+        "score", "y", 10)
+      .select("bin", "n", "n_pos", "pos_milli")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(tied == Seq((0L, 4L, 2L, 500L)), tied.toString)
+  }
+
   test("aucExact: separation 10^6, ties midrank to 1/2, known interleave exact") {
     def auc(rows: Seq[(Long, Int)]): Option[Long] = {
       val df = rows.toDF("score", "y")
