@@ -266,6 +266,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
+  test("aucExact/calibrationBins: corpus collapses before the rank window") {
+    for (q <- Seq("q_t_quality_auc", "q_t_calibration")) {
+      val plan = planOf(q)
+      assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+        s"$q: the distinct-score collapse must pre-aggregate map-side:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: no cartesian:\n$plan")
+    }
+  }
+
   test("oovRate: the vocab broadcasts onto the token stream, counts partial-agg") {
     val plan = planOf("q_t_oov")
     assert(plan.contains("BroadcastHashJoin"),
