@@ -317,6 +317,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("calibrationBins law: bins partition the corpus, rates exact, monotone by score") {
+    val rowGen = for {
+      s <- Gen.choose(-7L, 7L)
+      y <- Gen.oneOf(0, 1)
+    } yield (s, y)
+    for (rows <- samples(Gen.listOfN(80, rowGen), 4)) {
+      val out = graft.operators.TextAnalysis
+        .calibrationBins(rows.toDF("score", "y"), "score", "y", 10)
+        .orderBy("bin")
+        .select("bin", "n", "n_pos", "pos_milli", "score_min", "score_max")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      // partition: bin populations and positives sum to the corpus
+      assert(out.map(_._2).sum == rows.size)
+      assert(out.map(_._3).sum == rows.count(_._2 == 1))
+      // rates are the exact integer div of the bin's own rows
+      for ((_, n, np, milli, _, _) <- out) assert(milli == np * 1000 / n)
+      // bins are score ranges: ordered by bin id, ranges never overlap
+      for (Seq(a, b) <- out.sliding(2).toSeq if out.size > 1)
+        assert(a._6 < b._5,
+          s"bin ${a._1} max ${a._6} must sit below bin ${b._1} min ${b._5}")
+    }
+  }
+
   test("aucExact law: equals brute-force pairwise AUC on random labeled scores") {
     val rowGen = for {
       s <- Gen.choose(-5L, 5L)   // narrow range forces heavy ties
