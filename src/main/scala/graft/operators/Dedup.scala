@@ -357,6 +357,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental banded hamming pairs: check an arriving batch of
+    * fingerprints against a persisted fingerprint index WITHOUT ever
+    * self-joining the index — [[incrementalLshPairs]]' shape for the
+    * [[hammingPairs]] family (streaming media dedup: each new
+    * image/audio batch probes the corpus phash index, plus
+    * batch-internal pairs once). Emits (new_id, other_id,
+    * other_is_new, hamming); ids of the two frames must be disjoint.
+    *
+    * Scale: the join's left side is batch-sized; the `maxBucket` cap
+    * is enforced on the COMBINED bucket population so a degenerate
+    * chunk in history (the all-zero fingerprint) cannot explode an
+    * arriving batch. */
+  def incrementalHammingPairs(newSigs: DataFrame, indexSigs: DataFrame,
+      idCol: String, fpCol: String, bits: Int, bands: Int,
+      maxDist: Int, maxBucket: Int = 1000): DataFrame = {
+    require(bits % bands == 0, "bits must be divisible by bands")
+    require(maxDist < bands,
+      "banding only guarantees recall for hamming distance < bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1L
+    def banded(df: DataFrame, isNew: Boolean): DataFrame =
+      df.select(col(idCol).as("id"), col(fpCol).as("fp"))
+        .select(col("id"), col("fp"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .withColumn("chunk",
+          expr(s"shiftright(fp, band * $width)").bitwiseAND(lit(mask)))
+        .withColumn("__new", lit(isNew))
+    val all = banded(newSigs, isNew = true)
+      .unionByName(banded(indexSigs, isNew = false))
+      .localCheckpoint(eager = false)
+    val small = all.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "chunk")
+    val kept = all.join(small, Seq("band", "chunk"), "left_semi")
+    val l = kept.filter(col("__new")).select(col("band"), col("chunk"),
+      col("id").as("new_id"), col("fp").as("fp_a"))
+    val r = kept.select(col("band"), col("chunk"),
+      col("id").as("other_id"), col("fp").as("fp_b"),
+      col("__new").as("other_is_new"))
+    l.join(r, Seq("band", "chunk"))
+      // batch-internal pairs once (a < b); batch-vs-index pairs always
+      .filter((col("other_is_new") && col("new_id") < col("other_id"))
+        || !col("other_is_new"))
+      .select(col("new_id"), col("other_id"), col("other_is_new"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** Connected-component clustering of candidate pairs — the dedup
     * endgame: every document gets a cluster_id (the smallest id in
     * its component), so "keep one per cluster" is a single filter.

@@ -883,6 +883,42 @@ object Text {
         .orderBy("id_a", "id_b")
     },
 
+    // INCREMENTAL FINGERPRINT DEDUP: an arriving batch (doc_id % 10
+    // == 0) probes the persisted fingerprint index + itself without
+    // self-joining the index — q_d_incremental_lsh's shape for the
+    // hamming family (streaming media dedup). Combined-population
+    // bucket cap.
+    Q("q_d_incremental_hamming",
+      simCte(32) +
+        """, banded AS (SELECT doc_id AS id, simhash,
+          |    unnest([0,1,2,3]) AS band FROM sim),
+          |ch0 AS (SELECT id, simhash, band,
+          |       (simhash >> (band*8)) & 255 AS chunk FROM banded),
+          |small AS (SELECT band, chunk FROM ch0
+          |          GROUP BY 1, 2 HAVING count(*) <= 1000),
+          |ch AS (SELECT ch0.* FROM ch0
+          |       JOIN small ON ch0.band = small.band
+          |                 AND ch0.chunk = small.chunk),
+          |nw AS (SELECT * FROM ch WHERE id % 10 = 0)
+          |SELECT DISTINCT a.id AS new_id, b.id AS other_id,
+          |  (b.id % 10 = 0) AS other_is_new,
+          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+          |    AS hamming
+          |FROM nw a JOIN ch b
+          |  ON a.band = b.band AND a.chunk = b.chunk
+          |WHERE ((b.id % 10 = 0 AND a.id < b.id) OR b.id % 10 != 0)
+          |  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+          |ORDER BY new_id, other_id""".stripMargin) { (s, d) =>
+      val sigs = Dedup.withSimHash(t(s, d, "documents"),
+          "doc_id", "text", 32)
+        .select(col("doc_id").as("id"), col("simhash").as("fp"))
+      Dedup.incrementalHammingPairs(
+          sigs.filter(col("id") % 10 === 0),
+          sigs.filter(col("id") % 10 =!= 0),
+          "id", "fp", 32, 4, 3, 1000)
+        .orderBy("new_id", "other_id")
+    },
+
     // DEDUP: URL-level dedup after canonicalization — three raw
     // spellings per page (case/port/tracking/fragment cruft) collapse
     // to one canonical URL; keep the smallest doc_id per page. One

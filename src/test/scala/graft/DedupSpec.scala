@@ -589,6 +589,26 @@ class DedupSpec extends SparkSpec {
     assert(all == Set((1L, 2L), (1L, 3L), (2L, 3L), (100L, 101L)))
   }
 
+  test("incrementalHammingPairs: batch probes index, index never self-pairs") {
+    import spark.implicits._
+    // index ids 1,2 are near-dups of each other AND of batch id 100;
+    // batch ids 100,101 are near-dups of each other; 3 is far from all
+    val index = Seq(
+      (1L, 0x0F0FL), (2L, 0x0F0EL), (3L, 0xF0F0L)).toDF("id", "fp")
+    val batch = Seq(
+      (100L, 0x0F0FL), (101L, 0x0F0DL)).toDF("id", "fp")
+    val got = graft.operators.Dedup
+      .incrementalHammingPairs(batch, index, "id", "fp", 16, 4, 3)
+      .select("new_id", "other_id", "other_is_new")
+      .as[(Long, Long, Boolean)].collect().toSet
+    // (1,2) is an index-index pair — must NOT appear
+    assert(got == Set(
+      (100L, 1L, false), (100L, 2L, false),   // batch vs index
+      (101L, 1L, false), (101L, 2L, false),
+      (100L, 101L, true)),                    // batch-internal, once
+      got.toString)
+  }
+
   test("decontamBySimilarity: flags near-eval train vecs, argmax ties to smallest eval id") {
     import spark.implicits._
     val train = Seq(
