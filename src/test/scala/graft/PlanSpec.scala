@@ -17,6 +17,17 @@ class PlanSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("inventory: every graded query carries a DuckDB oracle") {
+    // drift guard — a queries entry without an oracleSql entry would
+    // silently downgrade the driver's hash compare to a rows-only
+    // check. Every current operator IS SQL-expressible; if a future
+    // one genuinely isn't, list it here consciously.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracles: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
   test("q_s4_scan_prune: filter reaches the parquet scan, columns pruned") {
     val plan = planOf("q_s4_scan_prune")
     assert(plan.contains("PushedFilters:") &&
