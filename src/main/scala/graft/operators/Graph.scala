@@ -156,13 +156,28 @@ object Graph {
     * size, not corpus size, controls the blowup — and `minSupport`
     * prunes the long noise tail AFTER the pair count (correctness
     * requires counting first). Item totals broadcast back onto the
-    * surviving pairs. */
+    * surviving pairs.
+    *
+    * `maxBasket` is the scale guard (the [[cappedCanonicalEdges]] /
+    * `maxBucket` pattern of the dedup family): one degenerate basket —
+    * a crawler session with 10⁵ items — alone fans out 10¹⁰ pairs and
+    * kills the stage. Baskets above the cap are dropped WHOLE before
+    * any counting, so N, the item totals and the pair counts are all
+    * computed over the same capped population and the statistic stays
+    * internally consistent — exact on the capped input, the same
+    * contract as the truncated triangle count. A basket that big is a
+    * bot or a feed, not co-purchase signal. */
   def cooccurrenceLift(df: DataFrame, basketCol: String,
-      itemCol: String, minSupport: Int): DataFrame = {
-    val b = df
+      itemCol: String, minSupport: Int,
+      maxBasket: Int = 10000): DataFrame = {
+    val b0 = df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("o"), col(itemCol).as("p"))
       .distinct().localCheckpoint(eager = false)
+    val smallBaskets = b0.groupBy("o").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBasket).select("o")
+    val b = b0.join(smallBaskets, Seq("o"), "left_semi")
+      .localCheckpoint(eager = false)
     val nBaskets = b.select("o").distinct().count()
     val cnt = b.groupBy("p").agg(count(lit(1)).as("c"))
     b.select(col("o"), col("p").as("pa"))

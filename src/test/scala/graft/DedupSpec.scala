@@ -404,6 +404,18 @@ class DedupSpec extends SparkSpec {
     assert(seeds(vecs.repartition(7)).toSeq == s1.toSeq)
   }
 
+  test("kmeansParallelSeeds refuses a candidate set the driver " +
+      "cannot hold, with an actionable message") {
+    val vecs = (0L until 10L).map(i => (i, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      operators.Similarity.kmeansParallelSeeds(vecs, "vec_id",
+        "embedding", k = 4, rounds = 1000, l = 1000)
+    }
+    assert(e.getMessage.contains("maxCandidates"), e.getMessage)
+    assert(e.getMessage.contains("rounds"), e.getMessage)
+  }
+
   test("packByTokenBudget: greedy per-bucket packing respects the budget") {
     val docs = (1L to 40L).map(i => (i, 300L)).toDF("doc_id", "n_toks")
     val packed = graft.operators.Sharding

@@ -409,4 +409,26 @@ class ScaleSpec extends SparkSpec {
       Seq(col("k"), col("s")))
     assert(fp.collect().head != changed.collect().head)
   }
+
+  test("cooccurrenceLift: a degenerate basket is dropped whole, " +
+      "stats stay consistent on the survivors") {
+    // three normal 2-item baskets of {10,11} plus one bot basket of
+    // 500 items — without the cap that basket alone contributes
+    // 500·499/2 pairs; with maxBasket=100 it must vanish ENTIRELY
+    // (from N and the item totals too, not just the pair join)
+    val normal = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L))
+    val bot = (0L until 500L).map(i => (99L, 1000L + i))
+    val rows = (normal ++ bot).toDF("basket", "item")
+    val capped = graft.operators.Graph
+      .cooccurrenceLift(rows, "basket", "item", 1, maxBasket = 100)
+      .as[(Long, Long, Long, Long)].collect()
+    // only the (10,11) pair survives; N=3 baskets → lift 1000 milli,
+    // proving the bot basket was excluded from the denominator too
+    assert(capped.toSeq == Seq((10L, 11L, 3L, 1000L)))
+    // and the uncapped default still sees the bot pairs
+    assert(graft.operators.Graph
+      .cooccurrenceLift(rows, "basket", "item", 1).count() ==
+      1L + 500L * 499L / 2L)
+  }
 }
