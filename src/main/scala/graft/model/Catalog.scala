@@ -7,12 +7,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * /root/reference/sql_query/collect_db_fields.sql:1-8). Tables are
   * directories/files of parquet under a root; schema discovery is
   * `df.schema`, column discovery is `spark.catalog`.
+  *
+  * A `root` starting with `jdbc:` switches every table to Spark's
+  * JDBC source — the reference's ACTUAL read path is a live Postgres
+  * (/root/reference/utils/custom_attributes_parser.py:8,
+  * utils/product_attributes_etl.py:22-30), and this seam makes the
+  * same registry serve either backing store with no caller changes.
+  * `jdbcOptions` passes driver/credentials and, crucially, the
+  * parallel-read knobs: at scale a JDBC table read without
+  * `partitionColumn`/`lowerBound`/`upperBound`/`numPartitions` is ONE
+  * executor holding one cursor — set them (or `predicates`) so the
+  * scan fans out; Spark still pushes filters and prunes columns
+  * through the JDBC source (`PushedFilters` shows in `.explain`).
   */
-final case class Catalog(spark: SparkSession, root: String) {
+final case class Catalog(spark: SparkSession, root: String,
+    jdbcOptions: Map[String, String] = Map.empty) {
 
-  /** Load one table. Path layout: `<root>/<name>.parquet`. */
+  /** True when the registry is backed by a database, not parquet. */
+  val isJdbc: Boolean = root.startsWith("jdbc:")
+
+  /** Load one table. Parquet layout: `<root>/<name>.parquet`;
+    * JDBC: `dbtable = <name>` against the `root` URL. */
   def table(name: String): DataFrame =
-    spark.read.parquet(s"$root/$name.parquet")
+    if (isJdbc)
+      spark.read.format("jdbc")
+        .option("url", root).option("dbtable", name)
+        .options(jdbcOptions).load()
+    else spark.read.parquet(s"$root/$name.parquet")
 
   def apply(name: String): DataFrame = table(name)
 
@@ -100,24 +121,73 @@ final case class ColumnMapping(entries: Seq[ColumnMapping.Entry]) {
   import org.apache.spark.sql.functions.col
 
   /** Projection list for one target table: select+rename of every raw
-    * column mapped into it (SURVEY.md P1). */
+    * column mapped into it (SURVEY.md P1), casting to the entry's
+    * declared type when the mapping carries one — the older importer
+    * variant's `Type` column
+    * (/root/reference/utils/importer/importer_etl.py:21-28); typed
+    * targets no longer rely on downstream casts. */
   def projectionFor(table: String): Seq[org.apache.spark.sql.Column] =
     entries.filter(e => e.table == table && e.field.nonEmpty)
-      .map(e => col(e.raw).alias(e.field))
+      .map { e =>
+        val c = col(e.raw)
+        if (e.dtype.trim.isEmpty) c.alias(e.field)
+        else ColumnMapping.sparkTypeOf(e.dtype) match {
+          case Some(t) => c.cast(t).alias(e.field)
+          // a typed entry that resolves to nothing is a mapping-file
+          // typo — fail loud, never silently skip the cast
+          case None => throw new IllegalArgumentException(
+            s"mapping entry ${e.raw} -> ${e.table}.${e.field}: " +
+              s"unknown type '${e.dtype}' (use a Postgres name like " +
+              "integer/numeric/text or a Spark DDL type)")
+        }
+      }
 }
 
 object ColumnMapping {
-  final case class Entry(raw: String, table: String, field: String)
+  final case class Entry(raw: String, table: String, field: String,
+      dtype: String = "")
+
+  /** Map the mapping-CSV's db-flavored type names onto Spark cast
+    * targets. Empty → None (untyped entry, no cast — old mapping
+    * files keep their exact semantics). Postgres names map to their
+    * Spark equivalents; anything else is accepted iff Spark's DDL
+    * parser recognizes it (`int`, `decimal(10,2)`, …), else None —
+    * [[ColumnMapping.projectionFor]] turns that None into a loud
+    * config error for typed entries. */
+  def sparkTypeOf(dtype: String): Option[String] = {
+    val t = dtype.trim.toLowerCase
+    if (t.isEmpty) None // untyped entry: the pre-Type behavior
+    else t match {
+      case "text" | "varchar" => Some("string")
+      case "integer" | "int4" | "serial" => Some("int")
+      case "bigint" | "int8" | "bigserial" => Some("long")
+      case "numeric" | "decimal" => Some("decimal(38,9)")
+      case "real" | "float4" => Some("float")
+      case "double precision" | "float8" => Some("double")
+      case "boolean" | "bool" => Some("boolean")
+      case "date" => Some("date")
+      case "timestamp" | "timestamptz" => Some("timestamp")
+      case other =>
+        scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromDDL(other))
+          .toOption.map(_ => other)
+    }
+  }
 
   /** Load from a mapping CSV with header
-    * raw_input_field,db_table,field. */
+    * raw_input_field,db_table,field[,type] — the `type` column is
+    * optional, matching both reference mapping-file generations. */
   def fromCsv(spark: SparkSession, path: String): ColumnMapping = {
-    val rows = spark.read.option("header", "true").csv(path)
-      .select("raw_input_field", "db_table", "field")
+    val df = spark.read.option("header", "true").csv(path)
+    val hasType = df.columns.contains("type")
+    val rows = (if (hasType)
+        df.select("raw_input_field", "db_table", "field", "type")
+      else df.select("raw_input_field", "db_table", "field"))
       .collect()
     ColumnMapping(rows.toSeq.map(r =>
       Entry(r.getString(0),
         Option(r.getString(1)).getOrElse(""),
-        Option(r.getString(2)).getOrElse(""))))
+        Option(r.getString(2)).getOrElse(""),
+        if (hasType) Option(r.getString(3)).getOrElse("") else "")))
   }
 }

@@ -41,6 +41,43 @@ class PipelineSpec extends SparkSpec {
     assert(top.toSeq == Seq(("M001", 3L), ("M002", 3L), ("M003", 1L)))
   }
 
+  test("mapping Type column coerces projected columns; untyped and " +
+      "typeless files keep the old semantics") {
+    import graft.model.ColumnMapping
+    val dir = Files.createTempDirectory("mapcoerce").toString
+    val p = s"$dir/map_typed.csv"
+    Files.write(java.nio.file.Paths.get(p),
+      ("raw_input_field,db_table,field,type\n" +
+        "Product SKU,product,sku,text\n" +
+        "Inventory,product,inventory,integer\n" +
+        "Selling Price,product,selling_price,double precision\n" +
+        "Is Active,product,is_active,boolean\n" +
+        "Note,product,note,\n").getBytes("UTF-8"))
+    val m = ColumnMapping.fromCsv(spark, p)
+    val raw = Seq(("A-1", "42", "19.99", "true", "hi"))
+      .toDF("Product SKU", "Inventory", "Selling Price", "Is Active",
+        "Note")
+    val out = raw.select(m.projectionFor("product"): _*)
+    val sch = out.schema
+    assert(sch("sku").dataType.typeName == "string")
+    assert(sch("inventory").dataType.typeName == "integer")
+    assert(sch("selling_price").dataType.typeName == "double")
+    assert(sch("is_active").dataType.typeName == "boolean")
+    // empty type = no cast (string passthrough)
+    assert(sch("note").dataType.typeName == "string")
+    val r = out.collect()(0)
+    assert(r.getAs[Int]("inventory") == 42)
+    assert(r.getAs[Double]("selling_price") == 19.99)
+    assert(r.getAs[Boolean]("is_active"))
+    // a type-less mapping file (the committed fixture) still works
+    assert(ColumnMapping.fromCsv(spark, MapCsv)
+      .projectionFor("product").nonEmpty)
+    // a typo'd Spark-native type fails loud at mapping time, not as
+    // a silently un-cast column
+    assert(ColumnMapping.sparkTypeOf("decimal(10,2)").contains("decimal(10,2)"))
+    assert(ColumnMapping.sparkTypeOf("integerr").isEmpty)
+  }
+
   test("attributes pipeline: dictionaries + links from fixture attrs") {
     val raw = Importer.run(spark, RawCsv, MapCsv).collections
       .select($"master_code", $"attributes_raw")

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.col
 import graft.model.Schemas
 
 class SchemasSpec extends SparkSpec {
@@ -35,6 +36,38 @@ class SchemasSpec extends SparkSpec {
     assert(cat.hasColumn("orders", "o_orderkey"))
     assert(!cat.hasColumn("orders", "nope"))
     assert(cat("region").count() == 5)
+  }
+
+  test("Catalog: a jdbc: root reads tables through Spark's JDBC " +
+      "source — same registry API, database backing store") {
+    // in-JVM Derby (ships with Spark's jars) stands in for the
+    // reference's live Postgres; create=true materializes it
+    val url = "jdbc:derby:memory:graftcat;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE region (r_regionkey INT, r_name VARCHAR(32))")
+      st.execute("INSERT INTO region VALUES (0,'AFRICA'),(1,'AMERICA')")
+      st.close()
+      val cat = graft.model.Catalog(spark, url)
+      assert(cat.isJdbc)
+      assert(cat.columnsOf("region").map(_.toLowerCase) ==
+        Seq("r_regionkey", "r_name"))
+      assert(cat.hasColumn("region", "R_NAME"))
+      assert(cat("region").count() == 2)
+      // filters reach the JDBC source, not a post-scan filter only
+      val filtered = cat("region")
+        .filter(col("R_REGIONKEY") === 1).collect()
+      assert(filtered.map(_.getAs[String]("R_NAME")).toSeq ==
+        Seq("AMERICA"))
+      // and the parquet path is untouched by the seam
+      assert(!graft.model.Catalog(spark, "/root/testdata/sf0.001").isJdbc)
+    } finally {
+      conn.close()
+      // drop the in-memory db so reruns in one JVM start clean
+      scala.util.Try(java.sql.DriverManager
+        .getConnection("jdbc:derby:memory:graftcat;drop=true"))
+    }
   }
 
   test("evolveTo twice is a no-op (idempotent schema evolution)") {
