@@ -84,7 +84,15 @@ object FkRegistry {
     Fk("collection_details_html", "collection_id",
       "product_collection", "collection_id"),
     Fk("collection_details_html", "details_html_id",
-      "details_html", "details_html_id"))
+      "details_html", "details_html_id"),
+    Fk("collection_img_array", "collection_id",
+      "product_collection", "collection_id"),
+    Fk("collection_img_array", "img_array_id",
+      "img_array", "img_array_id"),
+    Fk("product_collection_translations", "lang_code",
+      "lang", "lang_code"),
+    Fk("source_translations", "source_id",
+      "source", "source_id"))
 
   /** The TPC-H-shaped testdata schema's FK graph. */
   val testdataSchema: Seq[Fk] = Seq(

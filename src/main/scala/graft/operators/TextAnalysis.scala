@@ -89,6 +89,43 @@ object TextAnalysis {
       l -> langScoreOfTokens(toks, l)).toMap)
   }
 
+  /** Unicode ranges for languages a whitespace stopword profile
+    * cannot identify — zh writes no spaces, so its "tokens" never hit
+    * a word list; ru/ja/ko are unambiguous by script alone. The
+    * reference's actual corpus pair is zh/en
+    * (/root/reference/utils/universal_translator.py). Ranges are
+    * public Unicode block boundaries. */
+  val scriptRanges: Map[String, String] = Map(
+    "zh" -> "\\x{4e00}-\\x{9fff}", // CJK unified ideographs
+    "ja" -> "\\x{3040}-\\x{30ff}", // hiragana + katakana
+    "ko" -> "\\x{ac00}-\\x{d7af}", // hangul syllables
+    "ru" -> "\\x{0400}-\\x{04ff}") // cyrillic
+
+  /** Score of one script language = fraction of non-whitespace
+    * characters of the RAW text inside its Unicode range (exact int
+    * counts, one double division — same shape as
+    * [[langScoreOfTokens]], directly comparable in the argmax). */
+  def scriptRatio(textCol: Column, lang: String): Column = {
+    val t = coalesce(textCol, lit(""))
+    val total = length(regexp_replace(t, "\\s", ""))
+    val hits = length(regexp_replace(t,
+      s"[^${scriptRanges(lang)}]", ""))
+    when(total === 0, 0.0)
+      .otherwise(hits.cast("double") / total.cast("double"))
+  }
+
+  /** Multi-script language id over en/de/es/fr (token profiles) +
+    * zh/ja/ko/ru (script ratios), through the same deterministic
+    * alphabetical argmax fold as [[langId]]. A mixed zh/latin page
+    * resolves to whichever signal carries more of the text — the
+    * desired behavior for a crawl corpus. */
+  def langIdMulti(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    langIdOfScores(
+      profiles.keys.map(l => l -> langScoreOfTokens(toks, l)).toMap ++
+        scriptRanges.keys.map(l => l -> scriptRatio(textCol, l)).toMap)
+  }
+
   /** Whitespace token count of the normalized text. */
   def wsTokenCount(c: Column): Column = size(tokens(c))
 

@@ -37,7 +37,11 @@ object Importer {
     * products, the category dictionary + link, the i18n translation
     * rows (loaded translations-FIRST, so the entity→translation
     * pointer never needs the reference's 3-step circular-FK
-    * placeholder dance, ETL.py:329-351), and details_html + link. */
+    * placeholder dance, ETL.py:329-351), details_html + link, the
+    * image-array entity + link
+    * (backup_before_fix.sql:464-487 product_collection_img_array and
+    * its link table), the lang dictionary (sql:181), and the source
+    * provenance entity + its EAV translation rows (sql:504-525). */
   final case class Tables(
       collections: DataFrame,
       products: DataFrame,
@@ -45,17 +49,24 @@ object Importer {
       collectionCategory: DataFrame,
       collectionTranslations: DataFrame,
       detailsHtml: DataFrame,
-      collectionDetailsHtml: DataFrame)
+      collectionDetailsHtml: DataFrame,
+      imgArrays: DataFrame,
+      collectionImgArray: DataFrame,
+      langs: DataFrame,
+      sources: DataFrame,
+      sourceTranslations: DataFrame)
 
   /** S1: the raw dump reader (ETL.py:103). */
   def loadRaw(spark: SparkSession, path: String): DataFrame =
     spark.read.option("sep", ";").option("header", "true")
       .option("encoding", "UTF-8").csv(path)
 
-  /** Full importer run: raw + mapping → (collections, products). */
+  /** Full importer run: raw + mapping → (collections, products).
+    * The raw file's basename becomes the source provenance entity. */
   def run(spark: SparkSession, rawPath: String,
       mappingPath: String): Tables =
-    runFrom(spark, loadRaw(spark, rawPath), mappingPath)
+    runFrom(spark, loadRaw(spark, rawPath), mappingPath,
+      rawPath.split('/').last)
 
   /** Importer over an already-loaded raw frame — the entry the Excel
     * path uses (`Importer.runFrom(spark, Xlsx.xlsx(spark, dir),
@@ -63,7 +74,7 @@ object Importer {
     * the read is source-agnostic because both readers emit the same
     * all-string columns. */
   def runFrom(spark: SparkSession, rawInput: DataFrame,
-      mappingPath: String): Tables = {
+      mappingPath: String, sourceName: String = "inline"): Tables = {
     val mapping = ColumnMapping.fromCsv(spark, mappingPath)
     val raw = rawInput
       .na.drop(Seq("Master Code"))                       // P5 guard
@@ -134,8 +145,38 @@ object Importer {
       deterministicId(lit("pc"), col("master_code")).as("collection_id"),
       deterministicId(lit("dh"), col("master_code")).as("details_html_id"))
 
+    // image-array entity + link (backup_before_fix.sql:464-487): one
+    // array row per collection that actually has images, linked by
+    // the same deterministic-id discipline as every other entity
+    val imgRaw = collections.filter(size(col("images")) > 0)
+    val imgArrays = imgRaw.select(
+      deterministicId(lit("img"), col("master_code")).as("img_array_id"),
+      col("images").as("img_array"))
+    val collectionImgArray = imgRaw.select(
+      col("collection_id"),
+      deterministicId(lit("img"), col("master_code")).as("img_array_id"))
+
+    // lang dictionary (sql:181) — get-or-create from the lang codes
+    // the translation load actually used (A10, same as categories)
+    val langs = collectionTranslations.select("lang_code").distinct()
+      .select(deterministicId(lit("lang"), col("lang_code"))
+        .as("lang_id"), col("lang_code"))
+
+    // source provenance entity + EAV name translation (sql:504-525):
+    // one row per import run, so every load is traceable to its file
+    val sources = spark.range(1).select(
+      deterministicId(lit("src"), lit(sourceName)).as("source_id"),
+      lit(sourceName).as("source_name"))
+    val sourceTranslations = sources.select(
+      deterministicId(lit("tr"), lit("src"), lit(sourceName), lit("en"),
+        lit("source_name")).as("id"),
+      col("source_id"), lit("en").as("lang_code"),
+      lit("source_name").as("field_name"),
+      col("source_name").as("value"))
+
     Tables(collections, products, categories, collectionCategory,
-      collectionTranslations, detailsHtml, collectionDetailsHtml)
+      collectionTranslations, detailsHtml, collectionDetailsHtml,
+      imgArrays, collectionImgArray, langs, sources, sourceTranslations)
   }
 
   /** The §7.2 audit query: products per collection, top-k

@@ -205,6 +205,52 @@ object Pipelines {
         .orderBy("details_html_id")
     },
 
+    // E2E: image-array entities + links (the reference's
+    // product_collection_img_array pair of tables) — only collections
+    // that actually carry images get an array row, and the non-url
+    // junk token in M003's raw array must already be gone.
+    Q("q_e2e_import_img_links",
+      s"""SELECT ${sqlDetId("concat_ws('|', 'img', m)")} AS img_array_id,
+         |  ${sqlDetId("concat_ws('|', 'pc', m)")} AS collection_id,
+         |  n_imgs, first_img
+         |FROM (VALUES ('M001', CAST(2 AS BIGINT), 'https://img/1.jpg'),
+         |             ('M002', CAST(1 AS BIGINT), 'https://img/3.jpg'),
+         |             ('M003', CAST(1 AS BIGINT), 'https://img/4.jpg'))
+         |  AS t(m, n_imgs, first_img)
+         |ORDER BY img_array_id""".stripMargin) { (s, _) =>
+      val t = Importer.run(s, RawCsv, MapCsv)
+      t.imgArrays.join(t.collectionImgArray, Seq("img_array_id"))
+        .select(col("img_array_id"), col("collection_id"),
+          size(col("img_array")).cast("long").as("n_imgs"),
+          element_at(col("img_array"), 1).as("first_img"))
+        .orderBy("img_array_id")
+    },
+
+    // E2E: the lang dictionary, get-or-created from the lang codes
+    // the translation load used (the reference seeds `lang` rows the
+    // same circular-FK-free way the engine loads categories).
+    Q("q_e2e_import_langs",
+      s"""SELECT ${sqlDetId("concat_ws('|', 'lang', c)")} AS lang_id,
+         |  c AS lang_code
+         |FROM (VALUES ('en')) AS t(c)
+         |ORDER BY lang_code""".stripMargin) { (s, _) =>
+      Importer.run(s, RawCsv, MapCsv).langs.orderBy("lang_code")
+    },
+
+    // E2E: source provenance entity + its EAV name translation — one
+    // row per import run, keyed off the raw file's basename, so every
+    // loaded row is traceable to the file that brought it in.
+    Q("q_e2e_import_source",
+      s"""SELECT
+         |  ${sqlDetId("concat_ws('|', 'tr', 'src', f, 'en', 'source_name')")}
+         |    AS id,
+         |  ${sqlDetId("concat_ws('|', 'src', f)")} AS source_id,
+         |  'en' AS lang_code, 'source_name' AS field_name, f AS value
+         |FROM (VALUES ('raw_products.csv')) AS t(f)
+         |ORDER BY id""".stripMargin) { (s, _) =>
+      Importer.run(s, RawCsv, MapCsv).sourceTranslations.orderBy("id")
+    },
+
     // FK-GRAPH REGISTRY audit: the whole importer schema's declared
     // FK edges (model.FkRegistry.importerSchema — the collect_FK.sql
     // analog) compile to RefIntegrity rules in one call and sweep the
@@ -222,9 +268,17 @@ object Pipelines {
         |   CAST(0 AS BIGINT)),
         |  ('fk:collection_details_html.details_html_id->details_html.details_html_id',
         |   CAST(0 AS BIGINT)),
+        |  ('fk:collection_img_array.collection_id->product_collection.collection_id',
+        |   CAST(0 AS BIGINT)),
+        |  ('fk:collection_img_array.img_array_id->img_array.img_array_id',
+        |   CAST(0 AS BIGINT)),
         |  ('fk:product.collection_id->product_collection.collection_id',
         |   CAST(0 AS BIGINT)),
         |  ('fk:product_collection_translations.collection_id->product_collection.collection_id',
+        |   CAST(0 AS BIGINT)),
+        |  ('fk:product_collection_translations.lang_code->lang.lang_code',
+        |   CAST(0 AS BIGINT)),
+        |  ('fk:source_translations.source_id->source.source_id',
         |   CAST(0 AS BIGINT)))
         |  AS t(rule, violations)
         |ORDER BY rule""".stripMargin) { (s, _) =>
@@ -237,7 +291,12 @@ object Pipelines {
           "collection_category" -> tb.collectionCategory,
           "product_collection_translations" -> tb.collectionTranslations,
           "details_html" -> tb.detailsHtml,
-          "collection_details_html" -> tb.collectionDetailsHtml),
+          "collection_details_html" -> tb.collectionDetailsHtml,
+          "img_array" -> tb.imgArrays,
+          "collection_img_array" -> tb.collectionImgArray,
+          "lang" -> tb.langs,
+          "source" -> tb.sources,
+          "source_translations" -> tb.sourceTranslations),
         graft.model.FkRegistry.rules(
           graft.model.FkRegistry.importerSchema))
         .orderBy("rule")

@@ -15,6 +15,14 @@ object Text {
   private val normD = sqlNormText("text")
   private val toksD = sqlTokens("text")
 
+  // Deterministic multilingual sample strings for q_t_langid — the
+  // highest-frequency characters/function words of each language
+  // (public frequency-list knowledge), embedded identically in the
+  // Spark plan and the oracle SQL.
+  private val ZhSample = "的一是不了人我在有他这中大来上国"
+  private val RuSample = "и в не на я что с по это как но из у за"
+  private val JaSample = "のにはをたがでてとし"
+
   private def inList(lang: String): String =
     TextAnalysis.profiles(lang).map(w => s"'$w'").mkString(", ")
 
@@ -126,10 +134,10 @@ object Text {
         lshPairs(s, d).select("id_a", "id_b"))
     }
 
-  /** Oracle lang-id CASE chain (matches TextAnalysis.langIdOfScores'
-    * alphabetical fold). */
-  private val langIdSql: String = {
-    val langs = TextAnalysis.profiles.keys.toSeq.sorted
+  /** Oracle lang-id CASE chain over `s_<lang>` score columns (matches
+    * TextAnalysis.langIdOfScores' alphabetical fold). */
+  private def langIdSqlFor(langsIn: Seq[String]): String = {
+    val langs = langsIn.sorted
     def s(l: String) = s"s_$l"
     val allZero = langs.map(l => s"${s(l)} = 0.0").mkString(" AND ")
     val arms = langs.init.zipWithIndex.map { case (l, i) =>
@@ -139,6 +147,20 @@ object Text {
     }
     s"CASE WHEN $allZero THEN 'und' ${arms.mkString(" ")} " +
       s"ELSE '${langs.last}' END"
+  }
+
+  private val langIdSql: String =
+    langIdSqlFor(TextAnalysis.profiles.keys.toSeq)
+
+  /** DuckDB equivalent of TextAnalysis.scriptRatio (same ranges, same
+    * non-whitespace denominator). */
+  private def sqlScriptRatio(x: String, lang: String): String = {
+    val range = TextAnalysis.scriptRanges(lang)
+    val t = s"coalesce($x, '')"
+    val total = raw"length(regexp_replace($t, '\s', '', 'g'))"
+    val hits = s"length(regexp_replace($t, '[^$range]', '', 'g'))"
+    s"(CASE WHEN $total = 0 THEN 0.0 ELSE " +
+      s"CAST($hits AS DOUBLE) / CAST($total AS DOUBLE) END)"
   }
 
   val all: Seq[Q] = Seq(
@@ -184,6 +206,55 @@ object Text {
           "stopword_ratio", "mean_token_len", "quality", "lang_id",
           "fingerprint", "rolling_fp")
         .orderBy("doc_id")
+    },
+
+    // TEXT: multi-script language id — token profiles for the
+    // space-delimited languages + Unicode-script ratios for
+    // zh/ja/ko/ru (the reference's live pair is zh/en). The corpus is
+    // synthetic English, so a deterministic multilingual column is
+    // synthesized from doc_id: pure zh / ru / ja rows, a zh+latin
+    // MIXED row (the scored signals compete, zh's char mass wins),
+    // and untouched English rows — both engines build the identical
+    // column, so parity grades the full detector, not just the happy
+    // path.
+    Q("q_t_langid", {
+      val langs =
+        (TextAnalysis.profiles.keys ++ TextAnalysis.scriptRanges.keys)
+          .toSeq.sorted
+      val tokLangs = TextAnalysis.profiles.keys.toSeq.sorted
+      val scrLangs = TextAnalysis.scriptRanges.keys.toSeq.sorted
+      val scores =
+        (tokLangs.map(l => s"${sqlLangScore("toks", l)} AS s_$l") ++
+          scrLangs.map(l => s"${sqlScriptRatio("mtext", l)} AS s_$l"))
+          .mkString(", ")
+      s"""WITH ml AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN '$ZhSample'
+         |       WHEN doc_id % 5 = 1 THEN '$RuSample'
+         |       WHEN doc_id % 5 = 2 THEN '$JaSample'
+         |       WHEN doc_id % 5 = 3
+         |         THEN concat('$ZhSample', ' ', substr(text, 1, 20))
+         |       ELSE text END AS mtext FROM documents),
+         |tok AS (SELECT doc_id, mtext, ${sqlTokens("mtext")} AS toks
+         |  FROM ml),
+         |scored AS (SELECT doc_id, $scores FROM tok),
+         |lid AS (SELECT doc_id, ${langIdSqlFor(langs)} AS lang
+         |  FROM scored)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |  min(doc_id) AS first_doc
+         |FROM lid GROUP BY 1 ORDER BY lang""".stripMargin
+    }) { (s, d) =>
+      val m = t(s, d, "documents").withColumn("mtext",
+        when(col("doc_id") % 5 === 0, lit(ZhSample))
+          .when(col("doc_id") % 5 === 1, lit(RuSample))
+          .when(col("doc_id") % 5 === 2, lit(JaSample))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit(ZhSample), lit(" "), substring(col("text"), 1, 20)))
+          .otherwise(col("text")))
+      m.select(col("doc_id"),
+          TextAnalysis.langIdMulti(col("mtext")).as("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+        .orderBy("lang")
     },
 
     // DEDUP: exact one-representative-per-key.

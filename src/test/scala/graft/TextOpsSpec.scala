@@ -363,4 +363,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == ((2L, 0L, "")), out)
     assert(out(4L) == ((0L, 0L, "")), out)
   }
+
+  test("langIdMulti: script languages, token languages, mixed text " +
+      "and the und fallback") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      1L -> "这是一个中文句子没有空格",           // zh: no spaces at all
+      2L -> "это не английский текст а русский", // ru: cyrillic script
+      3L -> "の日本語のテキストです",             // ja: kana + kanji
+      4L -> "the quick brown fox is in the yard", // en: stopwords
+      5L -> "el perro y el gato en la casa",      // es
+      6L -> "这是中文 with a few latin words",    // mixed, zh char mass wins
+      7L -> "zzz qqq xxx",                        // no signal at all
+      8L -> "")                                   // empty
+      .toDF("id", "txt")
+    val out = rows.select($"id",
+        TextAnalysis.langIdMulti($"txt").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "zh", out)
+    assert(out(2L) == "ru", out)
+    assert(out(3L) == "ja", out)
+    assert(out(4L) == "en", out)
+    assert(out(5L) == "es", out)
+    assert(out(6L) == "zh", out)
+    assert(out(7L) == "und", out)
+    assert(out(8L) == "und", out)
+  }
 }
