@@ -126,6 +126,36 @@ object TextAnalysis {
         scriptRanges.keys.map(l => l -> scriptRatio(textCol, l)).toMap)
   }
 
+  /** DataFrame form of [[langIdMulti]] — use this one in pipelines.
+    * The 8-language argmax CASE references every score several times;
+    * inlined Column form that means re-running the regex passes per
+    * comparison after project collapsing (~20× per row). This form
+    * materializes the token array, the shared non-space denominator
+    * and each score ONCE as intermediate columns (the same
+    * CollapseProject barrier [[analyze]] uses) and folds over cheap
+    * column refs. */
+  def withLangIdMulti(df: DataFrame, textCol: String,
+      outCol: String = "lang"): DataFrame = {
+    val tokLangs = profiles.keys.toSeq.sorted
+    val scrLangs = scriptRanges.keys.toSeq.sorted
+    val t = coalesce(col(textCol), lit(""))
+    val withInterm = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__nsp", length(regexp_replace(t, "\\s", "")))
+    val withTok = tokLangs.foldLeft(withInterm)((d, l) =>
+      d.withColumn(s"__s_$l", langScoreOfTokens(col("__toks"), l)))
+    val withAll = scrLangs.foldLeft(withTok)((d, l) =>
+      d.withColumn(s"__s_$l",
+        when(col("__nsp") === 0, 0.0).otherwise(
+          length(regexp_replace(t, s"[^${scriptRanges(l)}]", ""))
+            .cast("double") / col("__nsp").cast("double"))))
+    val langs = (tokLangs ++ scrLangs).sorted
+    withAll
+      .withColumn(outCol,
+        langIdOfScores(langs.map(l => l -> col(s"__s_$l")).toMap))
+      .drop(("__toks" +: "__nsp" +: langs.map(l => s"__s_$l")): _*)
+  }
+
   /** Whitespace token count of the normalized text. */
   def wsTokenCount(c: Column): Column = size(tokens(c))
 
@@ -134,6 +164,28 @@ object TextAnalysis {
   def regexTokenCount(c: Column): Column =
     size(coalesce(
       regexp_extract_all(c, lit("""[\p{L}]+|[0-9]+|[^\p{L}0-9\s]"""),
+        lit(0)),
+      array()))
+
+  /** Pre-tokenizer pattern for mixed-script corpora, ordered
+    * leftmost-first: one token per CJK ideograph / kana / hangul (the
+    * standard zh/ja token approximation — a budget counter that
+    * treats 中文处理 as ONE token undercounts zh by the document
+    * length), then alphabetic word runs (latin incl. extensions,
+    * greek, cyrillic — spelled as explicit ranges because the
+    * intersection class that would subtract CJK from `\p{L}` is
+    * Java-only, and the oracle's RE2 must compile the same pattern),
+    * then digit runs, then any other single non-space char. */
+  val cjkTokenPattern: String =
+    "[\\x{2e80}-\\x{9fff}\\x{ac00}-\\x{d7af}\\x{f900}-\\x{faff}]|" +
+      "[A-Za-z\\x{00c0}-\\x{024f}\\x{0370}-\\x{03ff}\\x{0400}-\\x{04ff}]+|" +
+      "[0-9]+|[^\\s]"
+
+  /** Token count under [[cjkTokenPattern]] — the counter to use for
+    * packing/chunking budgets on a multilingual corpus. */
+  def cjkAwareTokenCount(c: Column): Column =
+    size(coalesce(
+      regexp_extract_all(coalesce(c, lit("")), lit(cjkTokenPattern),
         lit(0)),
       array()))
 

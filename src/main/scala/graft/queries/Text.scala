@@ -250,11 +250,48 @@ object Text {
           .when(col("doc_id") % 5 === 3,
             concat(lit(ZhSample), lit(" "), substring(col("text"), 1, 20)))
           .otherwise(col("text")))
-      m.select(col("doc_id"),
-          TextAnalysis.langIdMulti(col("mtext")).as("lang"))
+      TextAnalysis.withLangIdMulti(m, "mtext")
         .groupBy("lang")
         .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
         .orderBy("lang")
+    },
+
+    // TEXT: CJK-aware token counting over the same synthesized
+    // multilingual column — each ideograph/kana/hangul char is one
+    // token, word runs stay words; the counter that keeps shard
+    // token budgets honest on a zh/ja corpus (whitespace counting
+    // sees one "token" per zh document).
+    Q("q_t_token_count_cjk", {
+      val pat = TextAnalysis.cjkTokenPattern
+      s"""WITH ml AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN '$ZhSample'
+         |       WHEN doc_id % 5 = 1 THEN '$RuSample'
+         |       WHEN doc_id % 5 = 2 THEN '$JaSample'
+         |       WHEN doc_id % 5 = 3
+         |         THEN concat('$ZhSample', ' ', substr(text, 1, 20))
+         |       ELSE text END AS mtext FROM documents),
+         |cnt AS (SELECT doc_id, CAST(len(regexp_extract_all(
+         |    coalesce(mtext, ''), '$pat')) AS BIGINT) AS n_toks
+         |  FROM ml)
+         |SELECT doc_id % 5 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  sum(n_toks) AS total_toks, min(n_toks) AS min_toks,
+         |  max(n_toks) AS max_toks
+         |FROM cnt GROUP BY 1 ORDER BY bucket""".stripMargin
+    }) { (s, d) =>
+      val m = t(s, d, "documents").withColumn("mtext",
+        when(col("doc_id") % 5 === 0, lit(ZhSample))
+          .when(col("doc_id") % 5 === 1, lit(RuSample))
+          .when(col("doc_id") % 5 === 2, lit(JaSample))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit(ZhSample), lit(" "), substring(col("text"), 1, 20)))
+          .otherwise(col("text")))
+      m.select((col("doc_id") % 5).as("bucket"),
+          TextAnalysis.cjkAwareTokenCount(col("mtext")).cast("long")
+            .as("n_toks"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_toks"),
+          min("n_toks").as("min_toks"), max("n_toks").as("max_toks"))
+        .orderBy("bucket")
     },
 
     // DEDUP: exact one-representative-per-key.

@@ -388,5 +388,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out(6L) == "zh", out)
     assert(out(7L) == "und", out)
     assert(out(8L) == "und", out)
+    // the pipeline (materialized-intermediates) form decides
+    // identically to the inline Column form
+    val out2 = TextAnalysis.withLangIdMulti(rows, "txt")
+      .select($"id", $"lang").as[(Long, String)].collect().toMap
+    assert(out2 == out, out2)
+  }
+
+  test("cjkAwareTokenCount: one token per ideograph, words stay " +
+      "words, ordered alternation never merges scripts") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      1L -> "hello world",     // 2 word tokens
+      2L -> "中文处理",         // 4 — one per ideograph
+      3L -> "ab中cd",          // ab, 中, cd — the mixed-run case
+      4L -> "это тест 42",     // 2 cyrillic words + 1 number
+      5L -> "a,b!",            // a , b ! = 4
+      6L -> "のテキスト",        // 5 kana chars (3040-30ff sits in 2e80-9fff)
+      7L -> "한국어",           // 3 hangul syllables
+      8L -> "")                // 0
+      .toDF("id", "txt")
+    val out = rows.select($"id",
+        TextAnalysis.cjkAwareTokenCount($"txt").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 2, 2L -> 4, 3L -> 3, 4L -> 3, 5L -> 4,
+      6L -> 5, 7L -> 3, 8L -> 0), out)
   }
 }
