@@ -16,6 +16,33 @@ object Pipelines {
   private val MapCsv = "/root/repo/fixtures/map.csv"
   private val MediaDir = "/root/repo/fixtures/media"
 
+  /** The imported fixture tables, built ONCE per session and shared
+    * by the twelve q_e2e_import / q_audit consumers — the same
+    * materialized-intermediate discipline as `queries.materialized`
+    * (a production load writes its tables once; re-deriving the whole
+    * importer DAG from the raw CSV per consumer query re-reads the
+    * source ~30x in the FK audit's 10-branch union alone). */
+  private val importedCache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.pipelines.Importer.Tables]
+  private def imported(
+      s: org.apache.spark.sql.SparkSession): graft.pipelines.Importer.Tables =
+    importedCache.getOrElseUpdate(s.sparkContext.applicationId, {
+      val t = Importer.run(s, RawCsv, MapCsv)
+      graft.pipelines.Importer.Tables(
+        t.collections.localCheckpoint(eager = false),
+        t.products.localCheckpoint(eager = false),
+        t.categories.localCheckpoint(eager = false),
+        t.collectionCategory.localCheckpoint(eager = false),
+        t.collectionTranslations.localCheckpoint(eager = false),
+        t.detailsHtml.localCheckpoint(eager = false),
+        t.collectionDetailsHtml.localCheckpoint(eager = false),
+        t.imgArrays.localCheckpoint(eager = false),
+        t.collectionImgArray.localCheckpoint(eager = false),
+        t.langs.localCheckpoint(eager = false),
+        t.sources.localCheckpoint(eager = false),
+        t.sourceTranslations.localCheckpoint(eager = false))
+    })
+
   /** Synthesized raw attribute string shared with the oracle (same
     * shape as q_f3_g1_attribute_pairs). */
   private def rawAttrs = concat(lit("brand:"), col("source"),
@@ -103,7 +130,7 @@ object Pipelines {
         |  ('M002', CAST(3 AS BIGINT)), ('M003', CAST(1 AS BIGINT)))
         |  AS t(master_code, n_products)
         |ORDER BY n_products DESC, master_code""".stripMargin) { (s, _) =>
-      Importer.productsPerCollection(Importer.run(s, RawCsv, MapCsv), 10)
+      Importer.productsPerCollection(imported(s), 10)
     },
 
     // E2E: the loaded product table (cleaned SKUs, repaired prices,
@@ -122,7 +149,7 @@ object Pipelines {
          |  ('M003-A', 'M003', CAST(49.9 AS DOUBLE), CAST(100 AS BIGINT)))
          |  AS t(sku, master_code, selling_price, inventory)
          |ORDER BY sku""".stripMargin) { (s, _) =>
-      Importer.run(s, RawCsv, MapCsv).products
+      imported(s).products
         .select("sku", "master_code", "collection_id", "selling_price",
           "inventory")
         .orderBy("sku")
@@ -144,7 +171,7 @@ object Pipelines {
          |  AS t(master_code, collection_name, n_images, first_image,
          |       video_url)
          |ORDER BY master_code""".stripMargin) { (s, _) =>
-      Importer.run(s, RawCsv, MapCsv).collections
+      imported(s).collections
         .select(col("collection_id"), col("master_code"),
           col("collection_name"),
           size(col("images")).cast("long").as("n_images"),
@@ -160,7 +187,7 @@ object Pipelines {
          |FROM (VALUES ('Chairs'), ('Lighting'), ('Tables'))
          |  AS t(category_name)
          |ORDER BY category_name""".stripMargin) { (s, _) =>
-      Importer.run(s, RawCsv, MapCsv).categories.orderBy("category_name")
+      imported(s).categories.orderBy("category_name")
     },
 
     // E2E: collection→category links.
@@ -170,7 +197,7 @@ object Pipelines {
          |FROM (VALUES ('M001', 'Chairs'), ('M002', 'Tables'),
          |             ('M003', 'Lighting')) AS t(m, c)
          |ORDER BY collection_id""".stripMargin) { (s, _) =>
-      Importer.run(s, RawCsv, MapCsv).collectionCategory
+      imported(s).collectionCategory
         .orderBy("collection_id")
     },
 
@@ -184,7 +211,7 @@ object Pipelines {
          |FROM (VALUES ('M001', 'Oak Chair'), ('M002', 'Pine Table'),
          |             ('M003', 'Lamp')) AS t(m, v)
          |ORDER BY id""".stripMargin) { (s, _) =>
-      Importer.run(s, RawCsv, MapCsv).collectionTranslations.orderBy("id")
+      imported(s).collectionTranslations.orderBy("id")
     },
 
     // E2E: details_html entities with extracted image srcs + links.
@@ -196,7 +223,7 @@ object Pipelines {
          |             ('M002', CAST(1 AS BIGINT), 'https://d/2.jpg'))
          |  AS t(m, n_srcs, first_src)
          |ORDER BY details_html_id""".stripMargin) { (s, _) =>
-      val t = Importer.run(s, RawCsv, MapCsv)
+      val t = imported(s)
       t.detailsHtml
         .join(t.collectionDetailsHtml, Seq("details_html_id"))
         .select(col("details_html_id"), col("collection_id"),
@@ -218,7 +245,7 @@ object Pipelines {
          |             ('M003', CAST(1 AS BIGINT), 'https://img/4.jpg'))
          |  AS t(m, n_imgs, first_img)
          |ORDER BY img_array_id""".stripMargin) { (s, _) =>
-      val t = Importer.run(s, RawCsv, MapCsv)
+      val t = imported(s)
       t.imgArrays.join(t.collectionImgArray, Seq("img_array_id"))
         .select(col("img_array_id"), col("collection_id"),
           size(col("img_array")).cast("long").as("n_imgs"),
@@ -234,7 +261,7 @@ object Pipelines {
          |  c AS lang_code
          |FROM (VALUES ('en')) AS t(c)
          |ORDER BY lang_code""".stripMargin) { (s, _) =>
-      Importer.run(s, RawCsv, MapCsv).langs.orderBy("lang_code")
+      imported(s).langs.orderBy("lang_code")
     },
 
     // E2E: source provenance entity + its EAV name translation — one
@@ -248,7 +275,7 @@ object Pipelines {
          |  'en' AS lang_code, 'source_name' AS field_name, f AS value
          |FROM (VALUES ('raw_products.csv')) AS t(f)
          |ORDER BY id""".stripMargin) { (s, _) =>
-      Importer.run(s, RawCsv, MapCsv).sourceTranslations.orderBy("id")
+      imported(s).sourceTranslations.orderBy("id")
     },
 
     // FK-GRAPH REGISTRY audit: the whole importer schema's declared
@@ -282,7 +309,7 @@ object Pipelines {
         |   CAST(0 AS BIGINT)))
         |  AS t(rule, violations)
         |ORDER BY rule""".stripMargin) { (s, _) =>
-      val tb = Importer.run(s, RawCsv, MapCsv)
+      val tb = imported(s)
       graft.operators.Constraints.check(
         Map(
           "product" -> tb.products,
@@ -446,7 +473,7 @@ object Pipelines {
         |  ('m001_prefix', CAST(3 AS BIGINT)),
         |  ('total', CAST(7 AS BIGINT)))
         |  AS t(check_name, n) ORDER BY check_name""".stripMargin) { (s, _) =>
-      val p = Importer.run(s, RawCsv, MapCsv).products
+      val p = imported(s).products
       def one(label: String, df: org.apache.spark.sql.DataFrame) =
         df.agg(count(lit(1)).as("n"))
           .select(lit(label).as("check_name"), col("n"))
