@@ -166,23 +166,40 @@ object Graph {
     * computed over the same capped population and the statistic stays
     * internally consistent — exact on the capped input, the same
     * contract as the truncated triangle count. A basket that big is a
-    * bot or a feed, not co-purchase signal. */
+    * bot or a feed, not co-purchase signal. Caveat: the cap bounds the
+    * PAIR fan-out; a dropped basket's distinct-item set still passes
+    * through one collect_set buffer (array-of-items memory, not
+    * pairs²), so a key whose set alone cannot fit an executor needs
+    * upstream skew hygiene ([[degrees]] / `Skew.skewReport` finds
+    * them). */
   def cooccurrenceLift(df: DataFrame, basketCol: String,
       itemCol: String, minSupport: Int,
       maxBasket: Int = 10000): DataFrame = {
-    val b0 = df
+    // ONE shuffle builds the per-basket item array; the cap then
+    // bounds it, and pair expansion happens MAP-SIDE from the sorted
+    // array (i < j gives pa < pb with no filter) — the previous
+    // formulation self-joined the basket table on o, which shuffles
+    // the rows twice and materializes the pair stream through an
+    // exchange before counting. sort_array makes the expansion
+    // deterministic at any partitioning.
+    val baskets = df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("o"), col(itemCol).as("p"))
-      .distinct().localCheckpoint(eager = false)
-    val smallBaskets = b0.groupBy("o").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBasket).select("o")
-    val b = b0.join(smallBaskets, Seq("o"), "left_semi")
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("items"))
+      .filter(size(col("items")) <= maxBasket)
       .localCheckpoint(eager = false)
-    val nBaskets = b.select("o").distinct().count()
-    val cnt = b.groupBy("p").agg(count(lit(1)).as("c"))
-    b.select(col("o"), col("p").as("pa"))
-      .join(b.select(col("o"), col("p").as("pb")), Seq("o"))
-      .filter(col("pa") < col("pb"))
+    val nBaskets = baskets.count()
+    val cnt = baskets
+      .select(explode(col("items")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("c"))
+    val pairs = baskets.select(explode(expr(
+      // all i < j pairs of the sorted array, generated in codegen
+      """flatten(transform(items, (x, i) ->
+        |  transform(slice(items, i + 2, size(items) - i - 1),
+        |    y -> struct(x AS pa, y AS pb))))""".stripMargin))
+      .as("pr"))
+      .select(col("pr.pa"), col("pr.pb"))
+    pairs
       .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
       .filter(col("cab") >= minSupport)
       // no broadcast hint: the item-count table is |items| rows and
