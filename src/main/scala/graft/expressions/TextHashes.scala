@@ -39,6 +39,24 @@ object Md5Fold {
   /** hash31 of raw UTF-8 bytes: [[hash60]] mod 2^31-1. */
   def hash31(bytes: Array[Byte]): Long = hash60(bytes) % P
 
+  /** (hash60, hash60b) from ONE md5 digest — the JVM mirror of the
+    * graft.functions.hash60/hash60b pair (hex digits 1-15 and 16-30
+    * of the same digest): h1 = top 60 bits; h2 = the next 60 bits
+    * (low nibble of byte 7, then bytes 8-14). The double-hashing
+    * scheme's two hashes for one digest evaluation. */
+  def hash60Pair(bytes: Array[Byte]): (Long, Long) = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var top = 0L
+    var i = 0
+    while (i < 8) { top = (top << 8) | (d(i) & 0xffL); i += 1 }
+    var b = (d(7) & 0xfL)
+    i = 8
+    while (i < 15) { b = (b << 8) | (d(i) & 0xffL); i += 1 }
+    (top >>> 4, b)
+  }
+
   /** Ordered polynomial fold over a token array:
     * acc = (acc*31 + hash31(tok)) mod P; empty array folds to 0.
     * Returns -1 when any element is null (the HOF fold nulls out) —

@@ -388,6 +388,29 @@ object Sketches {
         ((col("h1") + col("r") * col("h2")) % width).as("p"))
       .groupBy("r", "p").agg(count(lit(1)).as("cnt"))
 
+  /** [[cmsBuild]] through the native one-pass aggregate
+    * (`graft_cms`, [[graft.expressions.CmsCountersAgg]]): same
+    * counters bit-for-bit (parity spec'd), but each row folds into a
+    * width×depth long buffer with array increments instead of
+    * exploding depth rows through the hash aggregate, and the
+    * exchange carries ONE buffer per partition. Output shape matches
+    * cmsBuild — (r, p, cnt) rows, zero counters omitted — so the two
+    * builds interchange under [[cmsEstimate]] / [[cmsMerge]] /
+    * [[cmsJoinSizeEstimate]]. Requires the GraftExtensions session
+    * config. */
+  def cmsBuildNative(df: DataFrame, valueCol: String, width: Int,
+      depth: Int, salt: String = "cms"): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(concat(lit(s"$salt:"), col(valueCol).cast("string"))
+        .as("k"))
+      .agg(call_function("graft_cms", col("k"), lit(width), lit(depth))
+        .as("buf"))
+      .select(posexplode(col("buf")).as(Seq("i", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(expr(s"CAST(i DIV $width AS INT)").as("r"),
+        expr(s"CAST(i % $width AS BIGINT)").as("p"),
+        col("cnt"))
+
   /** Merge count-min sketches of the same (width, depth, salt):
     * counter-wise sum — order-free, exact. */
   def cmsMerge(sketches: DataFrame*): DataFrame =

@@ -301,7 +301,7 @@ object Approx {
          |FROM keys k JOIN est e ON e.key = k.key
          |WHERE k.key < 100 ORDER BY k.key""".stripMargin) { (s, d) =>
       val orders = t(s, d, "orders")
-      val cms = Sketches.cmsBuild(orders, "o_custkey", 2048, 4)
+      val cms = Sketches.cmsBuildNative(orders, "o_custkey", 2048, 4)
       val truth = orders.groupBy(col("o_custkey").as("key"))
         .agg(count(lit(1)).as("true_n"))
       Sketches.cmsEstimate(orders.select("o_custkey"), cms,
@@ -336,8 +336,8 @@ object Approx {
          |  CAST((SELECT min(est) FROM e) AS BIGINT) AS est_n
          |FROM tr""".stripMargin) { (s, d) =>
       val est = Sketches.cmsJoinSizeEstimate(
-        Sketches.cmsBuild(t(s, d, "orders"), "o_custkey", 2048, 4),
-        Sketches.cmsBuild(t(s, d, "customer"), "c_custkey", 2048, 4))
+        Sketches.cmsBuildNative(t(s, d, "orders"), "o_custkey", 2048, 4),
+        Sketches.cmsBuildNative(t(s, d, "customer"), "c_custkey", 2048, 4))
       val truth = t(s, d, "orders")
         .join(t(s, d, "customer"),
           col("o_custkey") === col("c_custkey"))

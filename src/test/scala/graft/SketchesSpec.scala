@@ -260,6 +260,22 @@ class SketchesSpec extends SparkSpec {
     assert(est == Map("a" -> 7L, "b" -> 3L, "c" -> 1L, "zz" -> 0L))
   }
 
+  test("native graft_cms build is bit-identical to the declarative " +
+      "build and partition-independent") {
+    val df = (1 to 500).map(i => (i % 37).toString).toDF("v")
+    val declarative = Sketches.cmsBuild(df, "v", 64, 4)
+    val native = Sketches.cmsBuildNative(df, "v", 64, 4)
+    assertSameRows(declarative, native)
+    // merge path: buffers fold the same at any partitioning
+    assertSameRows(native,
+      Sketches.cmsBuildNative(df.repartition(13), "v", 64, 4))
+    // and the native build interchanges under the estimator
+    val est = Sketches.cmsEstimate(Seq("1", "36", "zz").toDF("v"),
+        Sketches.cmsBuildNative(df, "v", 2048, 4), "v", 2048, 4)
+      .as[(String, Long)].collect().toMap
+    assert(est("1") >= 13L && est("zz") == 0L, est)
+  }
+
   test("cms merge law: merge(cms(A), cms(B)) == cms(A union B)") {
     val a = (1 to 300).map(i => (i % 17).toString).toDF("v")
     val b = (1 to 200).map(i => (i % 23).toString).toDF("v")
