@@ -327,6 +327,45 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
+  test("native graft_cms folds partially before the one-buffer exchange") {
+    val df = operators.Sketches.cmsBuildNative(
+      spark.read.parquet(s"$sf/orders.parquet"), "o_custkey", 2048, 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_cms") ||
+      plan.contains("partial_"),
+      s"cms counters must combine map-side:\n$plan")
+    // no per-row explode feeding an exchange: the only generator is
+    // the FINAL buffer unpack (after the single-row aggregate)
+    assert(!plan.contains("ScalaUDF"), s"expression space only:\n$plan")
+  }
+
+  test("withLangIdMulti scores in one narrow map: no join, no window, " +
+      "no shuffle before the aggregate") {
+    val df = operators.TextAnalysis.withLangIdMulti(
+      spark.read.parquet(s"$sf/documents.parquet"), "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("Window") && !plan.contains("Join"),
+      s"langid is a projection, nothing wider:\n$plan")
+  }
+
+  test("cooccurrenceLift: pair expansion is map-side from the grouped " +
+      "array — exactly the basket and pair-count exchanges, no join " +
+      "of the row stream") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val plan = operators.Graph
+      .cooccurrenceLift(li, "l_orderkey", "l_partkey", 3)
+      .queryExecution.executedPlan.toString
+    // the lift join of item totals onto surviving pairs remains; the
+    // raw (basket, item) rows must never meet a SortMergeJoin
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    val genCount = "Generate".r.findAllIn(plan).length
+    assert(genCount >= 2, // cnt explode + pair expansion
+      s"pair expansion must be generator-based, not join-based:\n$plan")
+  }
+
   test("imageDims/wavMeta: header parses are expression-only — no exchange, no UDF") {
     for (q <- Seq("q_mm_image_dims", "q_mm_wav_meta")) {
       val plan = planOf(q)
