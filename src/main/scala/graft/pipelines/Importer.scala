@@ -54,12 +54,40 @@ object Importer {
       collectionImgArray: DataFrame,
       langs: DataFrame,
       sources: DataFrame,
-      sourceTranslations: DataFrame)
+      sourceTranslations: DataFrame,
+      categoryTranslations: DataFrame,
+      detailsHtmlTranslations: DataFrame)
 
   /** S1: the raw dump reader (ETL.py:103). */
   def loadRaw(spark: SparkSession, path: String): DataFrame =
     spark.read.option("sep", ";").option("header", "true")
       .option("encoding", "UTF-8").csv(path)
+
+  /** Generic EAV translation emitter — ONE shape for every
+    * `*_translations` table of the reference DDL (category/currency/
+    * details_html/attribute keys+values/source all share the
+    * (id, entity_id, lang, field_name, value) layout,
+    * backup_before_fix.sql:54-98,166-178,215-347): one row per
+    * (entity, field) with a non-null value, ids deterministic from
+    * (prefix of the entity-id column, natural key, lang, field). The
+    * reference loads each with its own hand-written upsert loop; here
+    * every translation table is this one projection over its entity
+    * frame. */
+  def translationsOf(entities: DataFrame, entityIdCol: String,
+      naturalKeyCol: String, fields: Seq[String],
+      lang: String = "en"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    fields.map { f =>
+      entities.filter(col(f).isNotNull)
+        .select(
+          deterministicId(lit("tr"), col(naturalKeyCol), lit(lang),
+            lit(f)).as("id"),
+          col(entityIdCol).as("entity_id"),
+          lit(lang).as("lang_code"),
+          lit(f).as("field_name"),
+          col(f).cast("string").as("value"))
+    }.reduce(_ unionByName _)
+  }
 
   /** Full importer run: raw + mapping → (collections, products).
     * The raw file's basename becomes the source provenance entity. */
@@ -122,15 +150,12 @@ object Importer {
       deterministicId(lit("cat"), col("category_name")).as("category_id"))
 
     // i18n translation rows for the collection name (the EAV pattern,
-    // translations loaded before entities — SURVEY §7.4 risk 2)
-    val collectionTranslations = collections
-      .filter(col("collection_name").isNotNull)
-      .select(
-        deterministicId(lit("tr"), col("master_code"), lit("en"),
-          lit("collection_name")).as("id"),
-        col("collection_id"), lit("en").as("lang_code"),
-        lit("collection_name").as("field_name"),
-        col("collection_name").as("value"))
+    // translations loaded before entities — SURVEY §7.4 risk 2),
+    // through the one generic emitter every *_translations table uses
+    val collectionTranslations =
+      translationsOf(collections, "collection_id", "master_code",
+        Seq("collection_name"))
+        .withColumnRenamed("entity_id", "collection_id")
 
     // details_html entity + link (ETL.py:395-470, 5 steps → 2 frames)
     val detRaw = masters
@@ -174,9 +199,25 @@ object Importer {
       lit("source_name").as("field_name"),
       col("source_name").as("value"))
 
+    // the remaining *_translations families of the DDL, same emitter:
+    // category names (sql:54) and the details-html source text
+    // (sql:166 — the translator pipeline later upserts other langs
+    // onto these source-language rows)
+    val categoryTranslations =
+      translationsOf(categories, "category_id", "category_name",
+        Seq("category_name"))
+    val detailsHtmlTranslations =
+      translationsOf(detailsHtml.join(
+          collectionDetailsHtml.join(
+            collections.select(col("collection_id"), col("master_code")),
+            Seq("collection_id")),
+          Seq("details_html_id")),
+        "details_html_id", "master_code", Seq("details_html"))
+
     Tables(collections, products, categories, collectionCategory,
       collectionTranslations, detailsHtml, collectionDetailsHtml,
-      imgArrays, collectionImgArray, langs, sources, sourceTranslations)
+      imgArrays, collectionImgArray, langs, sources, sourceTranslations,
+      categoryTranslations, detailsHtmlTranslations)
   }
 
   /** The §7.2 audit query: products per collection, top-k

@@ -40,7 +40,9 @@ object Pipelines {
         t.collectionImgArray.localCheckpoint(eager = false),
         t.langs.localCheckpoint(eager = false),
         t.sources.localCheckpoint(eager = false),
-        t.sourceTranslations.localCheckpoint(eager = false))
+        t.sourceTranslations.localCheckpoint(eager = false),
+        t.categoryTranslations.localCheckpoint(eager = false),
+        t.detailsHtmlTranslations.localCheckpoint(eager = false))
     })
 
   /** Synthesized raw attribute string shared with the oracle (same
@@ -262,6 +264,28 @@ object Pipelines {
          |FROM (VALUES ('en')) AS t(c)
          |ORDER BY lang_code""".stripMargin) { (s, _) =>
       imported(s).langs.orderBy("lang_code")
+    },
+
+    // E2E: category-name translations through the ONE generic EAV
+    // emitter every *_translations table shares (the reference writes
+    // a hand-rolled upsert loop per table) — plus the details-html
+    // source-language rows, counted rather than value-dumped (the
+    // html is already graded by q_e2e_import_details).
+    Q("q_e2e_import_cat_translations",
+      s"""SELECT
+         |  ${sqlDetId("concat_ws('|', 'tr', c, 'en', 'category_name')")}
+         |    AS id,
+         |  ${sqlDetId("concat_ws('|', 'cat', c)")} AS entity_id,
+         |  'en' AS lang_code, 'category_name' AS field_name,
+         |  c AS value, n_html
+         |FROM (VALUES ('Chairs', CAST(2 AS BIGINT)),
+         |             ('Lighting', CAST(2 AS BIGINT)),
+         |             ('Tables', CAST(2 AS BIGINT))) AS t(c, n_html)
+         |ORDER BY id""".stripMargin) { (s, _) =>
+      val t = imported(s)
+      t.categoryTranslations.crossJoin(
+          t.detailsHtmlTranslations.agg(count(lit(1)).as("n_html")))
+        .orderBy("id")
     },
 
     // E2E: source provenance entity + its EAV name translation — one
