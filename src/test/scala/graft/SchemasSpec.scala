@@ -70,6 +70,32 @@ class SchemasSpec extends SparkSpec {
     }
   }
 
+  test("Catalog JDBC: partitionColumn options fan the scan out into " +
+      "parallel range partitions") {
+    val url = "jdbc:derby:memory:graftpar;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE nums (k INT, v VARCHAR(8))")
+      (0 until 40).grouped(10).foreach { g =>
+        st.execute("INSERT INTO nums VALUES " +
+          g.map(i => s"($i, 'v$i')").mkString(", "))
+      }
+      st.close()
+      val cat = graft.model.Catalog(spark, url, Map(
+        "partitionColumn" -> "k", "lowerBound" -> "0",
+        "upperBound" -> "40", "numPartitions" -> "4"))
+      val df = cat("nums")
+      // the whole point of the jdbcOptions seam: N cursors, not one
+      assert(df.rdd.getNumPartitions == 4, df.rdd.getNumPartitions)
+      assert(df.count() == 40)
+    } finally {
+      conn.close()
+      scala.util.Try(java.sql.DriverManager
+        .getConnection("jdbc:derby:memory:graftpar;drop=true"))
+    }
+  }
+
   test("evolveTo twice is a no-op (idempotent schema evolution)") {
     val df = Seq((1L, "x")).toDF("inventory", "extra")
     val once = Schemas.evolveTo(df, Schemas.product)
