@@ -77,6 +77,8 @@ object Importer {
       naturalKeyCol: String, fields: Seq[String],
       lang: String = "en"): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    require(fields.nonEmpty,
+      "translationsOf: at least one field to translate")
     fields.map { f =>
       entities.filter(col(f).isNotNull)
         .select(
