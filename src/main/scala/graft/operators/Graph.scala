@@ -151,8 +151,13 @@ object Graph {
   /** Pairwise co-occurrence lift over (basket, item) rows — the
     * market-basket association statistic: lift(a,b) = P(a,b) /
     * (P(a)P(b)) = cab*N / (ca*cb), emitted in integer millis (exact
-    * integer products; cab*N*1000 stays far inside BIGINT for corpus
-    * counts). The pair join is bounded by sum(basket_size²) — basket
+    * integer products; valid while cab·N·1000 < 2⁶³, i.e. cab·N
+    * below ~9·10¹⁵ — comfortable for any basket corpus whose hottest
+    * pair count times total baskets stays under that product; past it
+    * — ~10⁹ baskets with ~10⁶-count hot pairs — pre-aggregate by
+    * basket sampling before calling, the statistic is ratio-stable
+    * under uniform basket sampling). The pair join is bounded by
+    * sum(basket_size²) — basket
     * size, not corpus size, controls the blowup — and `minSupport`
     * prunes the long noise tail AFTER the pair count (correctness
     * requires counting first). Item totals broadcast back onto the
