@@ -225,7 +225,20 @@ object TextAnalysis {
           .otherwise(split(col("__norm"), " ")))
     val withScores = langs.foldLeft(withInterm)((d, l) =>
       d.withColumn(s"__s_$l", langScoreOfTokens(col("__toks"), l)))
-    withScores
+    // script-ratio scores for the multi-script id, materialized ONCE
+    // like the token scores (inlining them into the argmax CASE would
+    // re-run each regex per comparison)
+    val scrLangs = scriptRanges.keys.toSeq.sorted
+    val withScripts = scrLangs.foldLeft(
+        withScores.withColumn("__nsp",
+          length(regexp_replace(coalesce(col(textCol), lit("")),
+            "\\s", ""))))((d, l) =>
+      d.withColumn(s"__sc_$l",
+        when(col("__nsp") === 0, 0.0).otherwise(
+          length(regexp_replace(coalesce(col(textCol), lit("")),
+            s"[^${scriptRanges(l)}]", "")).cast("double") /
+            col("__nsp").cast("double"))))
+    withScripts
       .withColumn("ws_tokens", size(col("__toks")).cast("long"))
       .withColumn("regex_tokens", regexTokenCount(col(textCol)).cast("long"))
       .withColumn("punct_ratio", punctRatio(col(textCol)))
@@ -236,6 +249,13 @@ object TextAnalysis {
           col("mean_token_len")))
       .withColumn("lang_id",
         langIdOfScores(langs.map(l => l -> col(s"__s_$l")).toMap))
+      // the zh/ja/ko/ru-aware sibling of lang_id, decided identically
+      // to withLangIdMulti (parity spec'd) from the same one-pass
+      // intermediates
+      .withColumn("lang_id_multi",
+        langIdOfScores(
+          langs.map(l => l -> col(s"__s_$l")).toMap ++
+            scrLangs.map(l => l -> col(s"__sc_$l")).toMap))
       .withColumn("fingerprint", md5(col("__norm")))
       // native expression (graft.expressions.RollingFpArray): the HOF
       // fold interprets an md5 per token per row; this is one codegen'd
@@ -243,7 +263,9 @@ object TextAnalysis {
       // checked). Requires the GraftExtensions session config.
       .withColumn("rolling_fp",
         call_function("graft_rolling_fp", col("__toks")))
-      .drop(("__norm" +: "__toks" +: langs.map(l => s"__s_$l")): _*)
+      .drop(("__norm" +: "__toks" +: "__nsp" +:
+        (langs.map(l => s"__s_$l") ++
+          scrLangs.map(l => s"__sc_$l"))): _*)
   }
 
   /** Benchmark decontamination: word-n-gram collision detection

@@ -393,6 +393,11 @@ class TextOpsSpec extends SparkSpec {
     val out2 = TextAnalysis.withLangIdMulti(rows, "txt")
       .select($"id", $"lang").as[(Long, String)].collect().toMap
     assert(out2 == out, out2)
+    // and analyze()'s one-pass lang_id_multi column agrees too
+    val out3 = TextAnalysis.analyze(rows, "txt")
+      .select($"id", $"lang_id_multi").as[(Long, String)]
+      .collect().toMap
+    assert(out3 == out, out3)
   }
 
   test("cjkAwareTokenCount: one token per ideograph, words stay " +
