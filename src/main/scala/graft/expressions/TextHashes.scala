@@ -198,6 +198,50 @@ object Md5Fold {
     * needs NO distinct shuffle downstream. Fewer than n tokens gives
     * an empty array; null tokens are skipped with their separator
     * like array_join. */
+  /** POSITIONAL shingle hash60s: out(i) = hash60 of the space-joined
+    * window starting at token i, in order, NO dedup — the kernel for
+    * operators that need shingle positions (shared-span detection),
+    * where [[shingleHashes]]'s per-doc-distinct TreeSet would lose
+    * the diagonal structure. Window bytes feed the md5 incrementally;
+    * no shingle string is materialized. Bit-identical to
+    * hash60(space-joined shingle string) — null tokens skipped with
+    * their separator like array_join. */
+  def shinglePosHashes(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(new Array[Any](0))
+    val bytes = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      bytes(i) =
+        if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = digests.get()
+    val space = ' '.toByte
+    val out = new Array[Any](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      md.reset()
+      var first = true
+      var j = i
+      while (j < i + n) {
+        if (bytes(j) != null) {
+          if (!first) md.update(space)
+          md.update(bytes(j))
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      var top = 0L
+      var t = 0
+      while (t < 8) { top = (top << 8) | (d(t) & 0xffL); t += 1 }
+      out(i) = top >>> 4
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
     val m = arr.numElements()
     if (m < n) return new GenericArrayData(new Array[Any](0))
@@ -431,6 +475,42 @@ case class ShinglesExpr(left: Expression, right: Expression)
   * interpreted HOF pass AND a full-corpus distinct shuffle for the
   * same rows. Feeds decontamination. `n` must be a foldable integer
   * literal. */
+/** Native `graft_shingle_pos_hashes(array<string>, n) -> array<long>`:
+  * ordered positional hash60s of every shingle window (see
+  * [[Md5Fold.shinglePosHashes]]); `posexplode` of the result yields
+  * (position, hash) directly — the shared-span path's kernel. */
+case class ShinglePosHashesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "graft_shingle_pos_hashes requires (array<string>, int " +
+          s"literal), got ($l, $r)")
+    }
+
+  private lazy val n: Int = right.eval().asInstanceOf[Int]
+
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = false)
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "graft_shingle_pos_hashes"
+
+  override protected def nullSafeEval(a: Any, nIgnored: Any): Any =
+    Md5Fold.shinglePosHashes(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.expressions.Md5Fold.shinglePosHashes($a, $n);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ShinglePosHashesExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class ShingleHashesExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 

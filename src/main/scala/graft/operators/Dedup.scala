@@ -649,11 +649,13 @@ object Dedup {
       k: Int = 3, minSpan: Int = 6, maxGramDf: Int = 20): DataFrame = {
     require(k >= 1 && minSpan >= k,
       s"need k >= 1 and minSpan >= k: k=$k minSpan=$minSpan")
+    // native positional kernel: one pass hashes every window
+    // incrementally (bit-identical to hash60 of the joined shingle
+    // string — parity spec'd); no shingle string is ever materialized
     val pos = spread(df)
       .select(col(idCol).as("__id"),
-        posexplode(call_function("graft_shingles",
-          tokens(col(textCol)), lit(k))).as(Seq("__p", "__g")))
-      .select(col("__id"), col("__p"), hash60(col("__g")).as("__gh"))
+        posexplode(call_function("graft_shingle_pos_hashes",
+          tokens(col(textCol)), lit(k))).as(Seq("__p", "__gh")))
       .localCheckpoint(eager = false)
     val rare = pos.select("__gh", "__id").distinct()
       .groupBy("__gh").agg(count(lit(1)).as("__df"))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BloomMemberExpr, BpeApplyExpr, CmsCountersAgg, DotProductFloat, HllRegistersAgg, MinHashSigExpr, MinHashTextExpr, QualityPackExpr, RollingFpArray, ShingleHashesExpr, ShinglesExpr, SimHashExpr}
+import graft.expressions.{BloomMemberExpr, BpeApplyExpr, CmsCountersAgg, DotProductFloat, HllRegistersAgg, MinHashSigExpr, MinHashTextExpr, QualityPackExpr, RollingFpArray, ShingleHashesExpr, ShinglePosHashesExpr, ShinglesExpr, SimHashExpr}
 
 /** Session extension registering the engine's native expressions —
   * enabled with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -70,6 +70,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_hll_regs"),
       (children: Seq[Expression]) =>
         HllRegistersAgg(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_pos_hashes"),
+      new ExpressionInfo(classOf[ShinglePosHashesExpr].getName,
+        "graft_shingle_pos_hashes"),
+      (children: Seq[Expression]) =>
+        ShinglePosHashesExpr(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_cms"),
       new ExpressionInfo(classOf[CmsCountersAgg].getName, "graft_cms"),

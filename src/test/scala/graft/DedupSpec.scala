@@ -404,6 +404,22 @@ class DedupSpec extends SparkSpec {
     assert(seeds(vecs.repartition(7)).toSeq == s1.toSeq)
   }
 
+  test("graft_shingle_pos_hashes: bit-identical to hash60 of the " +
+      "joined shingle string, position-for-position") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{tokens, hash60}
+    val rows = Seq((1L, "the quick brown fox jumps"),
+      (2L, "a b"), (3L, "one two three"), (4L, "")).toDF("id", "text")
+    val native = rows.select(col("id"),
+        posexplode(call_function("graft_shingle_pos_hashes",
+          tokens(col("text")), lit(3))).as(Seq("p", "gh")))
+    val staged = rows.select(col("id"),
+        posexplode(call_function("graft_shingles",
+          tokens(col("text")), lit(3))).as(Seq("p", "g")))
+      .select(col("id"), col("p"), hash60(col("g")).as("gh"))
+    assertSameRows(native, staged)
+  }
+
   test("kmeansParallelSeeds refuses a candidate set the driver " +
       "cannot hold, with an actionable message") {
     val vecs = (0L until 10L).map(i => (i, Array.fill(4)(i.toFloat)))
