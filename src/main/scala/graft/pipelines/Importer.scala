@@ -222,6 +222,49 @@ object Importer {
       categoryTranslations, detailsHtmlTranslations)
   }
 
+  /** Currency dictionary seed — the reference ships `currency` +
+    * `currency_translations` as seeded reference data
+    * (backup_before_fix.sql:69-97 DDL; the dump seeds the full ISO
+    * 4217 list). Same EAV-pointer shape: `currency_name` holds the ID
+    * of the translation row carrying the display name, and the
+    * translation rows flow through [[translationsOf]] like every
+    * other *_translations table. Codes/numbers here are public
+    * ISO 4217 data; pass a fuller list for production. Returns
+    * (currency, currency_translations). */
+  def currencySeed(spark: SparkSession,
+      rows: Seq[(String, Int, String, String)] = CurrencySeedDefault)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val named = rows
+      .toDF("currency_code", "currency_num", "currency_name",
+        "countries")
+      .withColumn("cid",
+        deterministicId(lit("cur"), col("currency_code")))
+    val translations = translationsOf(named, "cid", "currency_code",
+      Seq("currency_name"))
+    val currencies = named.select(
+      col("cid").as("id"),
+      col("currency_code"),
+      col("currency_num").cast("long").as("currency_num"),
+      deterministicId(lit("tr"), col("currency_code"), lit("en"),
+        lit("currency_name")).as("currency_name"),
+      col("countries"))
+    (currencies, translations)
+  }
+
+  /** A small public ISO 4217 subset as the default seed (code,
+    * numeric code, English name, countries). */
+  val CurrencySeedDefault: Seq[(String, Int, String, String)] = Seq(
+    ("AUD", 36, "Australian dollar", "Australia"),
+    ("CAD", 124, "Canadian dollar", "Canada"),
+    ("CHF", 756, "Swiss franc", "Switzerland"),
+    ("CNY", 156, "Renminbi", "China"),
+    ("EUR", 978, "Euro", "Eurozone"),
+    ("GBP", 826, "Pound sterling", "United Kingdom"),
+    ("JPY", 392, "Japanese yen", "Japan"),
+    ("USD", 840, "United States dollar", "United States"))
+
   /** The §7.2 audit query: products per collection, top-k
     * (/root/reference/utils/importer/verify_etl_results.py:41-49). */
   def productsPerCollection(tables: Tables, k: Int): DataFrame =

@@ -288,6 +288,35 @@ object Pipelines {
         .orderBy("id")
     },
 
+    // E2E: the currency reference dictionary — seeded like the
+    // reference's ISO 4217 load, with the EAV pointer shape intact:
+    // currency.currency_name IS the id of the translation row holding
+    // the display name, so the join below proves the pointer links.
+    Q("q_e2e_import_currency",
+      s"""SELECT ${sqlDetId("concat_ws('|', 'cur', c)")} AS id,
+         |  c AS currency_code, n AS currency_num,
+         |  ${sqlDetId("concat_ws('|', 'tr', c, 'en', 'currency_name')")}
+         |    AS currency_name,
+         |  v AS value
+         |FROM (VALUES
+         |  ('AUD', CAST(36 AS BIGINT), 'Australian dollar'),
+         |  ('CAD', CAST(124 AS BIGINT), 'Canadian dollar'),
+         |  ('CHF', CAST(756 AS BIGINT), 'Swiss franc'),
+         |  ('CNY', CAST(156 AS BIGINT), 'Renminbi'),
+         |  ('EUR', CAST(978 AS BIGINT), 'Euro'),
+         |  ('GBP', CAST(826 AS BIGINT), 'Pound sterling'),
+         |  ('JPY', CAST(392 AS BIGINT), 'Japanese yen'),
+         |  ('USD', CAST(840 AS BIGINT), 'United States dollar'))
+         |  AS t(c, n, v)
+         |ORDER BY currency_code""".stripMargin) { (s, _) =>
+      val (cur, tr) = Importer.currencySeed(s)
+      cur.join(tr.select(col("id").as("currency_name"),
+          col("value")), Seq("currency_name"))
+        .select(col("id"), col("currency_code"), col("currency_num"),
+          col("currency_name"), col("value"))
+        .orderBy("currency_code")
+    },
+
     // E2E: source provenance entity + its EAV name translation — one
     // row per import run, keyed off the raw file's basename, so every
     // loaded row is traceable to the file that brought it in.
