@@ -190,14 +190,6 @@ object Md5Fold {
     new GenericArrayData(sig)
   }
 
-  /** DISTINCT, ascending-sorted hash31 values of the word n-gram
-    * shingles of a token array — the decontamination / Jaccard
-    * primitive as one narrow call: windows feed the md5 incrementally
-    * (no shingle string is materialized), values dedup in a TreeSet,
-    * so `explode` of the result is already per-document-distinct and
-    * needs NO distinct shuffle downstream. Fewer than n tokens gives
-    * an empty array; null tokens are skipped with their separator
-    * like array_join. */
   /** POSITIONAL shingle hash60s: out(i) = hash60 of the space-joined
     * window starting at token i, in order, NO dedup — the kernel for
     * operators that need shingle positions (shared-span detection),
@@ -242,6 +234,14 @@ object Md5Fold {
     new GenericArrayData(out)
   }
 
+  /** DISTINCT, ascending-sorted hash31 values of the word n-gram
+    * shingles of a token array — the decontamination / Jaccard
+    * primitive as one narrow call: windows feed the md5 incrementally
+    * (no shingle string is materialized), values dedup in a TreeSet,
+    * so `explode` of the result is already per-document-distinct and
+    * needs NO distinct shuffle downstream. Fewer than n tokens gives
+    * an empty array; null tokens are skipped with their separator
+    * like array_join. */
   def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
     val m = arr.numElements()
     if (m < n) return new GenericArrayData(new Array[Any](0))
@@ -467,14 +467,6 @@ case class ShinglesExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Native `graft_shingle_hashes(array<string>, n) -> array<long>`:
-  * distinct sorted hash31 values of the word n-gram shingles, one
-  * narrow call per row. Exploding the result gives per-doc-distinct
-  * (id, hash) rows directly — the alternative relational shape
-  * (explode shingle strings → md5-hash → dropDuplicates) pays an
-  * interpreted HOF pass AND a full-corpus distinct shuffle for the
-  * same rows. Feeds decontamination. `n` must be a foldable integer
-  * literal. */
 /** Native `graft_shingle_pos_hashes(array<string>, n) -> array<long>`:
   * ordered positional hash60s of every shingle window (see
   * [[Md5Fold.shinglePosHashes]]); `posexplode` of the result yields
@@ -511,6 +503,14 @@ case class ShinglePosHashesExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native `graft_shingle_hashes(array<string>, n) -> array<long>`:
+  * distinct sorted hash31 values of the word n-gram shingles, one
+  * narrow call per row. Exploding the result gives per-doc-distinct
+  * (id, hash) rows directly — the alternative relational shape
+  * (explode shingle strings → md5-hash → dropDuplicates) pays an
+  * interpreted HOF pass AND a full-corpus distinct shuffle for the
+  * same rows. Feeds decontamination. `n` must be a foldable integer
+  * literal. */
 case class ShingleHashesExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -110,12 +110,18 @@ package object functions {
         lit("""<img[^>]*src=["']([^"']+)["']"""), lit(1)),
       array())
 
+  /** Explicit whitespace class, identical in Java regex and RE2:
+    * `\s` differs between the engines (Java's includes \x0B vertical
+    * tab, RE2's is [ \t\n\f\r]), so every pattern shared with a
+    * DuckDB/RE2 oracle spells the set out. */
+  val WsClass: String = """[ \t\n\x0B\f\r]"""
+
   /** European decimal-comma numeric string → DoubleType
     * ("1 234,56" → 1234.56). */
   def fixDecimalComma(c: Column): Column = {
     // null (not ANSI cast failure) for malformed/empty input - Spark 4
     // runs ANSI mode by default; a dirty row must not kill a 100 TB load
-    val cleaned = regexp_replace(regexp_replace(c, """[\s ]""", ""), ",", ".")
+    val cleaned = regexp_replace(regexp_replace(c, WsClass, ""), ",", ".")
     when(cleaned.rlike("^-?[0-9]+(\\.[0-9]+)?$"), cleaned.cast("double"))
   }
 
@@ -224,8 +230,9 @@ package object functions {
   /** Lowercase, strip punctuation to spaces, collapse whitespace. */
   def normalizeText(c: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(coalesce(c, lit(""))), """[^\p{L}\p{N}\s]""", " "),
-      """\s+""", " "))
+      regexp_replace(lower(coalesce(c, lit(""))),
+        """[^\p{L}\p{N} \t\n\x0B\f\r]""", " "),
+      """[ \t\n\x0B\f\r]+""", " "))
 
   /** Whitespace tokens of normalized text (empty array for blank). */
   def tokens(c: Column): Column = {

@@ -170,7 +170,9 @@ object Graph {
     * any counting, so N, the item totals and the pair counts are all
     * computed over the same capped population and the statistic stays
     * internally consistent — exact on the capped input, the same
-    * contract as the truncated triangle count. A basket that big is a
+    * contract as the truncated triangle count; the dropped-basket
+    * count is logged loudly so the exclusion is never silent. A
+    * basket that big is a
     * bot or a feed, not co-purchase signal. Caveat: the cap bounds the
     * PAIR fan-out; a dropped basket's distinct-item set still passes
     * through one collect_set buffer (array-of-items memory, not
@@ -187,13 +189,29 @@ object Graph {
     // the rows twice and materializes the pair stream through an
     // exchange before counting. sort_array makes the expansion
     // deterministic at any partitioning.
-    val baskets = df
+    val allBaskets = df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("o"), col(itemCol).as("p"))
       .groupBy("o").agg(sort_array(collect_set(col("p"))).as("items"))
-      .filter(size(col("items")) <= maxBasket)
       .localCheckpoint(eager = false)
-    val nBaskets = baskets.count()
+    // the kept/dropped split rides the count() action the lift
+    // denominator already needs — a dropped basket is never silent
+    // (the 'no silent caps' discipline): the count is logged loudly
+    // so a run that excluded data says so in its driver log
+    val split = allBaskets.agg(
+      sum(when(size(col("items")) <= maxBasket, 1L).otherwise(0L))
+        .as("kept"),
+      sum(when(size(col("items")) > maxBasket, 1L).otherwise(0L))
+        .as("dropped")).head()
+    val nBaskets = if (split.isNullAt(0)) 0L else split.getLong(0)
+    val nDropped = if (split.isNullAt(1)) 0L else split.getLong(1)
+    if (nDropped > 0) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"cooccurrenceLift: dropped $nDropped basket(s) larger than " +
+          s"maxBasket=$maxBasket; N and all lifts are computed over " +
+          s"the remaining $nBaskets basket(s)")
+    }
+    val baskets = allBaskets.filter(size(col("items")) <= maxBasket)
     val cnt = baskets
       .select(explode(col("items")).as("p"))
       .groupBy("p").agg(count(lit(1)).as("c"))

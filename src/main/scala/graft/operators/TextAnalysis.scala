@@ -107,7 +107,7 @@ object TextAnalysis {
     * [[langScoreOfTokens]], directly comparable in the argmax). */
   def scriptRatio(textCol: Column, lang: String): Column = {
     val t = coalesce(textCol, lit(""))
-    val total = length(regexp_replace(t, "\\s", ""))
+    val total = length(regexp_replace(t, WsClass, ""))
     val hits = length(regexp_replace(t,
       s"[^${scriptRanges(lang)}]", ""))
     when(total === 0, 0.0)
@@ -141,7 +141,7 @@ object TextAnalysis {
     val t = coalesce(col(textCol), lit(""))
     val withInterm = df
       .withColumn("__toks", tokens(col(textCol)))
-      .withColumn("__nsp", length(regexp_replace(t, "\\s", "")))
+      .withColumn("__nsp", length(regexp_replace(t, WsClass, "")))
     val withTok = tokLangs.foldLeft(withInterm)((d, l) =>
       d.withColumn(s"__s_$l", langScoreOfTokens(col("__toks"), l)))
     val withAll = scrLangs.foldLeft(withTok)((d, l) =>
@@ -163,7 +163,7 @@ object TextAnalysis {
     * the common pre-tokenizer shape. */
   def regexTokenCount(c: Column): Column =
     size(coalesce(
-      regexp_extract_all(c, lit("""[\p{L}]+|[0-9]+|[^\p{L}0-9\s]"""),
+      regexp_extract_all(c, lit("""[\p{L}]+|[0-9]+|[^\p{L}0-9 \t\n\x0B\f\r]"""),
         lit(0)),
       array()))
 
@@ -179,7 +179,7 @@ object TextAnalysis {
   val cjkTokenPattern: String =
     "[\\x{2e80}-\\x{9fff}\\x{ac00}-\\x{d7af}\\x{f900}-\\x{faff}]|" +
       "[A-Za-z\\x{00c0}-\\x{024f}\\x{0370}-\\x{03ff}\\x{0400}-\\x{04ff}]+|" +
-      "[0-9]+|[^\\s]"
+      "[0-9]+|[^ \\t\\n\\x0B\\f\\r]"
 
   /** Token count under [[cjkTokenPattern]] — the counter to use for
     * packing/chunking budgets on a multilingual corpus. */
@@ -232,7 +232,7 @@ object TextAnalysis {
     val withScripts = scrLangs.foldLeft(
         withScores.withColumn("__nsp",
           length(regexp_replace(coalesce(col(textCol), lit("")),
-            "\\s", ""))))((d, l) =>
+            WsClass, ""))))((d, l) =>
       d.withColumn(s"__sc_$l",
         when(col("__nsp") === 0, 0.0).otherwise(
           length(regexp_replace(coalesce(col(textCol), lit("")),

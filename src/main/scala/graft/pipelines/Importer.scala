@@ -69,12 +69,15 @@ object Importer {
     * (id, entity_id, lang, field_name, value) layout,
     * backup_before_fix.sql:54-98,166-178,215-347): one row per
     * (entity, field) with a non-null value, ids deterministic from
-    * (prefix of the entity-id column, natural key, lang, field). The
-    * reference loads each with its own hand-written upsert loop; here
-    * every translation table is this one projection over its entity
-    * frame. */
+    * (entity prefix, natural key, lang, field). The entity prefix is
+    * the same short tag the entity's own deterministicId uses ("pc",
+    * "cat", "cur", "src", …), so two translation tables sharing a
+    * field name over overlapping natural keys can never emit
+    * colliding ids. The reference loads each with its own
+    * hand-written upsert loop; here every translation table is this
+    * one projection over its entity frame. */
   def translationsOf(entities: DataFrame, entityIdCol: String,
-      naturalKeyCol: String, fields: Seq[String],
+      naturalKeyCol: String, fields: Seq[String], entity: String,
       lang: String = "en"): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(fields.nonEmpty,
@@ -82,8 +85,8 @@ object Importer {
     fields.map { f =>
       entities.filter(col(f).isNotNull)
         .select(
-          deterministicId(lit("tr"), col(naturalKeyCol), lit(lang),
-            lit(f)).as("id"),
+          deterministicId(lit("tr"), lit(entity), col(naturalKeyCol),
+            lit(lang), lit(f)).as("id"),
           col(entityIdCol).as("entity_id"),
           lit(lang).as("lang_code"),
           lit(f).as("field_name"),
@@ -156,7 +159,7 @@ object Importer {
     // through the one generic emitter every *_translations table uses
     val collectionTranslations =
       translationsOf(collections, "collection_id", "master_code",
-        Seq("collection_name"))
+        Seq("collection_name"), entity = "pc")
         .withColumnRenamed("entity_id", "collection_id")
 
     // details_html entity + link (ETL.py:395-470, 5 steps → 2 frames)
@@ -194,12 +197,10 @@ object Importer {
     val sources = spark.range(1).select(
       deterministicId(lit("src"), lit(sourceName)).as("source_id"),
       lit(sourceName).as("source_name"))
-    val sourceTranslations = sources.select(
-      deterministicId(lit("tr"), lit("src"), lit(sourceName), lit("en"),
-        lit("source_name")).as("id"),
-      col("source_id"), lit("en").as("lang_code"),
-      lit("source_name").as("field_name"),
-      col("source_name").as("value"))
+    val sourceTranslations =
+      translationsOf(sources, "source_id", "source_name",
+        Seq("source_name"), entity = "src")
+        .withColumnRenamed("entity_id", "source_id")
 
     // the remaining *_translations families of the DDL, same emitter:
     // category names (sql:54) and the details-html source text
@@ -207,14 +208,15 @@ object Importer {
     // onto these source-language rows)
     val categoryTranslations =
       translationsOf(categories, "category_id", "category_name",
-        Seq("category_name"))
+        Seq("category_name"), entity = "cat")
     val detailsHtmlTranslations =
       translationsOf(detailsHtml.join(
           collectionDetailsHtml.join(
             collections.select(col("collection_id"), col("master_code")),
             Seq("collection_id")),
           Seq("details_html_id")),
-        "details_html_id", "master_code", Seq("details_html"))
+        "details_html_id", "master_code", Seq("details_html"),
+        entity = "dh")
 
     Tables(collections, products, categories, collectionCategory,
       collectionTranslations, detailsHtml, collectionDetailsHtml,
@@ -242,13 +244,13 @@ object Importer {
       .withColumn("cid",
         deterministicId(lit("cur"), col("currency_code")))
     val translations = translationsOf(named, "cid", "currency_code",
-      Seq("currency_name"))
+      Seq("currency_name"), entity = "cur")
     val currencies = named.select(
       col("cid").as("id"),
       col("currency_code"),
       col("currency_num").cast("long").as("currency_num"),
-      deterministicId(lit("tr"), col("currency_code"), lit("en"),
-        lit("currency_name")).as("currency_name"),
+      deterministicId(lit("tr"), lit("cur"), col("currency_code"),
+        lit("en"), lit("currency_name")).as("currency_name"),
       col("countries"))
     (currencies, translations)
   }

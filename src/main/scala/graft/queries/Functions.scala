@@ -95,7 +95,7 @@ object Functions {
       raw"""SELECT doc_id,
            |  CAST(replace(regexp_replace(
            |    concat('1 2', (doc_id % 90) + 10, ',', doc_id % 10),
-           |    '[\s ]', '', 'g'), ',', '.') AS DOUBLE) AS price
+           |    '[ \t\n\x0B\f\r]', '', 'g'), ',', '.') AS DOUBLE) AS price
            |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       val sCol = concat(lit("1 2"), ((col("doc_id") % 90) + 10).cast("string"),
         lit(","), (col("doc_id") % 10).cast("string"))

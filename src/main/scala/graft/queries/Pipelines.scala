@@ -206,7 +206,7 @@ object Pipelines {
     // E2E: i18n translation rows (translations-first load order).
     Q("q_e2e_import_translations",
       s"""SELECT
-         |  ${sqlDetId("concat_ws('|', 'tr', m, 'en', 'collection_name')")}
+         |  ${sqlDetId("concat_ws('|', 'tr', 'pc', m, 'en', 'collection_name')")}
          |    AS id,
          |  ${sqlDetId("concat_ws('|', 'pc', m)")} AS collection_id,
          |  'en' AS lang_code, 'collection_name' AS field_name, v AS value
@@ -273,7 +273,7 @@ object Pipelines {
     // html is already graded by q_e2e_import_details).
     Q("q_e2e_import_cat_translations",
       s"""SELECT
-         |  ${sqlDetId("concat_ws('|', 'tr', c, 'en', 'category_name')")}
+         |  ${sqlDetId("concat_ws('|', 'tr', 'cat', c, 'en', 'category_name')")}
          |    AS id,
          |  ${sqlDetId("concat_ws('|', 'cat', c)")} AS entity_id,
          |  'en' AS lang_code, 'category_name' AS field_name,
@@ -295,7 +295,7 @@ object Pipelines {
     Q("q_e2e_import_currency",
       s"""SELECT ${sqlDetId("concat_ws('|', 'cur', c)")} AS id,
          |  c AS currency_code, n AS currency_num,
-         |  ${sqlDetId("concat_ws('|', 'tr', c, 'en', 'currency_name')")}
+         |  ${sqlDetId("concat_ws('|', 'tr', 'cur', c, 'en', 'currency_name')")}
          |    AS currency_name,
          |  v AS value
          |FROM (VALUES

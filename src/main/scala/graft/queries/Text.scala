@@ -157,7 +157,7 @@ object Text {
   private def sqlScriptRatio(x: String, lang: String): String = {
     val range = TextAnalysis.scriptRanges(lang)
     val t = s"coalesce($x, '')"
-    val total = raw"length(regexp_replace($t, '\s', '', 'g'))"
+    val total = raw"length(regexp_replace($t, '[ \t\n\x0B\f\r]', '', 'g'))"
     val hits = s"length(regexp_replace($t, '[^$range]', '', 'g'))"
     s"(CASE WHEN $total = 0 THEN 0.0 ELSE " +
       s"CAST($hits AS DOUBLE) / CAST($total AS DOUBLE) END)"
@@ -179,7 +179,7 @@ object Text {
          |scored AS (SELECT doc_id, text, norm, toks, $scores,
          |  CAST(len(toks) AS BIGINT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text,
-         |    '[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]', 0)) AS BIGINT) AS regex_tokens,
+         |    '[\\p{L}]+|[0-9]+|[^\\p{L}0-9 \\t\\n\\x0B\\f\\r]', 0)) AS BIGINT) AS regex_tokens,
          |  (CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0 ELSE
          |    CAST(length(coalesce(text,'')) - length(regexp_replace(
          |      coalesce(text,''), '[[:punct:]]', '', 'g')) AS DOUBLE)
@@ -274,7 +274,7 @@ object Text {
          |    coalesce(mtext, ''), '$pat')) AS BIGINT) AS n_toks
          |  FROM ml)
          |SELECT doc_id % 5 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
-         |  sum(n_toks) AS total_toks, min(n_toks) AS min_toks,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_toks, min(n_toks) AS min_toks,
          |  max(n_toks) AS max_toks
          |FROM cnt GROUP BY 1 ORDER BY bucket""".stripMargin
     }) { (s, d) =>

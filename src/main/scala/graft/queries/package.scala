@@ -132,7 +132,7 @@ package object queries {
   /** DuckDB equivalent of graft.functions.normalizeText. */
   def sqlNormText(x: String): String =
     s"trim(regexp_replace(regexp_replace(lower(coalesce($x, '')), " +
-      raw"'[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+      raw"'[^\p{L}\p{N} \t\n\x0B\f\r]', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
 
   /** DuckDB tokens list of normalized text (empty list for blank). */
   def sqlTokens(x: String): String =
