@@ -19,6 +19,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * executor holding one cursor — set them (or `predicates`) so the
   * scan fans out; Spark still pushes filters and prunes columns
   * through the JDBC source (`PushedFilters` shows in `.explain`).
+  *
+  * Dialect map for the reference's actual DDL (PostgreSQL 17,
+  * backup_before_fix.sql:42-525) → Spark arrival types through this
+  * seam (Spark's PostgresDialect):
+  *   - `uuid`         → StringType — the pg driver reports JDBC
+  *     OTHER and Spark reads the 36-char text, the exact shape
+  *     [[graft.functions.deterministicId]] emits, so parquet- and
+  *     pg-backed ids join without casts.
+  *   - `text[]`       → ArrayType(StringType) natively under
+  *     PostgresDialect; the embedded Derby spec stands in with a
+  *     delimited VARCHAR + `split` at the read seam.
+  *   - `timestamptz`  → TimestampType (an instant; rendered in the
+  *     Spark session timezone — set `spark.sql.session.timeZone` to
+  *     the warehouse zone for byte-stable output).
+  *   - `numeric(p,s)` → DecimalType(p,s); UNBOUNDED `numeric`
+  *     arrives as DecimalType(38,18) — cast down explicitly where
+  *     the schema declares no precision.
+  *   - `jsonb`/`json` → StringType; parse with `from_json` + schema.
+  * The Derby-backed SchemasSpec proves the seam mechanics (registry
+  * API, filter pushdown, partitioned fan-out, typed arrival) with
+  * the closest embedded types: CHAR(36) uuid shape, delimited
+  * VARCHAR array, TIMESTAMP, DECIMAL(12,2).
   */
 final case class Catalog(spark: SparkSession, root: String,
     jdbcOptions: Map[String, String] = Map.empty) {

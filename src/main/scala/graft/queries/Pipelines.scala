@@ -551,6 +551,46 @@ object Pipelines {
           col("length").as("n_bytes"),
           sha2(col("content"), 256).as("digest"))
         .orderBy("fname")
+    },
+
+    // S7: plain parquet append — two batch writes land side by side
+    // and the read-back union is exactly both batches (append never
+    // rewrites existing parts). Graded through the durable files:
+    // write two disjoint order slices, read the dir back, aggregate.
+    Q("q_s7_append",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 100 <= 1
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-s7-q").resolve("orders").toString
+      graft.sources.Sinks.append(o.filter(col("o_orderkey") % 100 === 0), out)
+      graft.sources.Sinks.append(o.filter(col("o_orderkey") % 100 === 1), out)
+      s.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100)).cast("long").as("cents"))
+        .orderBy("o_orderstatus")
+    },
+
+    // S10: CSV append sink — same two-batch contract through the
+    // text format: header-once-per-part, all-string read-back (no
+    // inference; the caller casts), both appends visible.
+    Q("q_s10_csv_append",
+      """SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+        |  CAST(count(*) * 2 AS BIGINT) AS n,
+        |  min(n_name) AS first_name
+        |FROM nation GROUP BY 1 ORDER BY region_key""".stripMargin) { (s, d) =>
+      val n = t(s, d, "nation")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-s10-q").resolve("nation").toString
+      graft.sources.Sinks.appendCsv(n, out)
+      graft.sources.Sinks.appendCsv(n, out)
+      s.read.option("header", "true").csv(out)
+        .groupBy(col("n_regionkey").cast("long").as("region_key"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+        .orderBy("region_key")
     })
 
   /** Helper producing the attr_value_id column expression (shared by

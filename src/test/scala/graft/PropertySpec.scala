@@ -566,4 +566,85 @@ class PropertySpec extends SparkSpec {
             "stream /Length does not reach endstream") }
     }
   }
+
+  // ----- regex-dialect parity (Java vs RE2 oracle) -----
+
+  test("cjkTokenPattern: no dialect-sensitive shorthand survives in " +
+      "patterns shared verbatim with the RE2 oracle") {
+    // the class of bug this pins: `\s`/`\w`/`\d`/`\b` compile to
+    // DIFFERENT sets in Java regex and RE2 (Java's \s includes \x0B;
+    // RE2's \b is a word boundary only outside classes, etc.) — any
+    // pattern the oracle receives verbatim must spell its sets out
+    val shared = Seq(
+      graft.operators.TextAnalysis.cjkTokenPattern,
+      graft.functions.WsClass)
+    for (p <- shared; bad <- Seq("\\s", "\\S", "\\w", "\\W", "\\d",
+        "\\D", "\\b", "\\B", "\\h", "\\v")) {
+      assert(!p.contains(bad), s"dialect-sensitive $bad in <$p>")
+    }
+  }
+
+  test("cjkTokenPattern: Java tokenization equals the documented " +
+      "spec on generated mixed-script strings") {
+    // a reference tokenizer written DIRECTLY from the pattern's
+    // documented semantics (leftmost-first: CJK single char →
+    // alphabetic run → digit run → any other single non-ws char,
+    // explicit whitespace set) — if either the Java pattern or a
+    // future edit drifts from the spec both engines compile, the
+    // generated corpus catches it
+    def inCjk(c: Char): Boolean =
+      (c >= 0x2e80 && c <= 0x9fff) || (c >= 0xac00 && c <= 0xd7af) ||
+        (c >= 0xf900 && c <= 0xfaff)
+    def inAlpha(c: Char): Boolean =
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= 0xc0 && c <= 0x24f) || (c >= 0x370 && c <= 0x3ff) ||
+        (c >= 0x400 && c <= 0x4ff)
+    def isWs(c: Char): Boolean = " \t\n\u000B\f\r".contains(c)
+    def specTokens(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inCjk(c)) { out += c.toString; i += 1 }
+        else if (inAlpha(c)) {
+          val j = Iterator.from(i).dropWhile(k =>
+            k < s.length && inAlpha(s.charAt(k))).next()
+          out += s.substring(i, j); i = j
+        } else if (c >= '0' && c <= '9') {
+          val j = Iterator.from(i).dropWhile(k =>
+            k < s.length && s.charAt(k) >= '0' &&
+              s.charAt(k) <= '9').next()
+          out += s.substring(i, j); i = j
+        } else if (!isWs(c)) { out += c.toString; i += 1 }
+        else i += 1
+      }
+      out.toSeq
+    }
+    // generator over exactly the tricky alphabet: each script range's
+    // edges, kana (inside the CJK block), \x0B and unicode spaces
+    // (U+00A0, U+3000 — the latter IS in the CJK block and must
+    // tokenize, not vanish), digits, punctuation
+    val tricky: Gen[Char] = Gen.oneOf(
+      Gen.oneOf('中', '文', '⺀', '鿿', 'あ', 'ア', '한',
+        '가', '힯', '豈'),
+      Gen.oneOf('a', 'Z', 'é', 'À', 'ɏ', 'Ω', 'б',
+        'Ѐ', 'ӿ'),
+      Gen.oneOf('0', '9', '5'),
+      Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r'),
+      Gen.oneOf(' ', '　', '.', ',', '!', '-', '$'))
+    val strs: Seq[String] = samples(for {
+      n <- Gen.choose(0, 24)
+      cs <- Gen.listOfN(n, tricky)
+    } yield cs.mkString, 120)
+    val got = strs.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("i", "s")
+      .select(col("i"), regexp_extract_all(col("s"),
+        lit(graft.operators.TextAnalysis.cjkTokenPattern), lit(0))
+        .as("toks"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    strs.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i) == specTokens(s),
+        s"case $i <${s.map(c => f"\\u${c.toInt}%04x").mkString}>")
+    }
+  }
 }

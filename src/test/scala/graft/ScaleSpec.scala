@@ -431,4 +431,30 @@ class ScaleSpec extends SparkSpec {
       .cooccurrenceLift(rows, "basket", "item", 1).count() ==
       1L + 500L * 499L / 2L)
   }
+
+  test("cooccurrenceLift collect_set caveat: skewReport is the " +
+      "documented upstream tool and it finds the degenerate key") {
+    // the maxBasket cap bounds PAIR fan-out, but a dropped basket's
+    // distinct-item set still crosses one collect_set buffer
+    // (Graph.scala caveat) — the documented hygiene path is to find
+    // such keys upstream with degrees/skewReport and drop them
+    // BEFORE the groupBy. Pin that the pointer actually works: the
+    // bot basket must top the report with its exact share.
+    val normal = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
+    val bot = (0L until 996L).map(i => (99L, 1000L + i))
+    val rows = (normal ++ bot).toDF("basket", "item")
+    val top = Skew.skewReport(rows, "basket", 3)
+      .as[(Long, Long, Long)].collect()
+    assert(top.head == (99L, 996L, 996L),
+      s"bot basket must lead the skew report: ${top.toSeq}")
+    // dropping the reported key upstream leaves a basket table whose
+    // largest collect_set buffer is bounded by the honest baskets
+    val hygienic = rows.join(
+        Skew.skewReport(rows, "basket", 1)
+          .filter(col("n") > 100).select("basket"),
+        Seq("basket"), "left_anti")
+      .groupBy("basket").agg(collect_set(col("item")).as("items"))
+    assert(hygienic.select(max(size(col("items")))).collect()(0)
+      .getInt(0) == 2)
+  }
 }

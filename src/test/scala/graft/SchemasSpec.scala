@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, split, sum, year}
 import graft.model.Schemas
 
 class SchemasSpec extends SparkSpec {
@@ -93,6 +93,63 @@ class SchemasSpec extends SparkSpec {
       conn.close()
       scala.util.Try(java.sql.DriverManager
         .getConnection("jdbc:derby:memory:graftpar;drop=true"))
+    }
+  }
+
+  test("Catalog JDBC: PostgreSQL-shaped columns (uuid / text[] / " +
+      "timestamptz / numeric) arrive typed and usable") {
+    // the reference's store is Postgres 17 (backup_before_fix.sql:5)
+    // with uuid / text[] / timestamptz / numeric columns (sql:42-525).
+    // Derby stands in with the closest embedded types per the dialect
+    // map in Catalog's scaladoc: CHAR(36) carries the uuid's exact
+    // textual shape, a delimited VARCHAR carries the array until the
+    // PostgresDialect's native ArrayType takes over on a live pg,
+    // TIMESTAMP matches how the pg driver surfaces timestamptz
+    // instants, DECIMAL(12,2) matches numeric(12,2).
+    val url = "jdbc:derby:memory:graftpg;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE product_collection (
+        |  id CHAR(36) NOT NULL,
+        |  img_array VARCHAR(200),
+        |  created_on TIMESTAMP,
+        |  price DECIMAL(12,2))""".stripMargin)
+      st.execute("INSERT INTO product_collection VALUES " +
+        "('0b9bb528-43b2-4af1-9a43-ed5a5b1f1a4e', 'a.jpg,b.jpg', " +
+        "  TIMESTAMP('2024-01-15 10:30:00'), 1299.50), " +
+        "('90b74a9b-67e1-4f60-b9a4-2dce2b8c3a11', NULL, " +
+        "  TIMESTAMP('2024-02-01 08:00:00'), 49.90)")
+      st.close()
+      val df = graft.model.Catalog(spark, url)("product_collection")
+      import org.apache.spark.sql.types._
+      // arrival types through the generic JDBC dialect
+      assert(df.schema("ID").dataType == StringType)
+      assert(df.schema("CREATED_ON").dataType == TimestampType)
+      assert(df.schema("PRICE").dataType == DecimalType(12, 2))
+      // uuid stays the exact 36-char text deterministicId also emits
+      val ids = df.select(col("ID")).collect().map(_.getString(0))
+      assert(ids.forall(_.matches(
+        "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+      // the array round-trips: split gives ArrayType rows; NULL
+      // array stays NULL (not an empty array)
+      val arr = df
+        .select(col("ID"), split(col("IMG_ARRAY"), ",").as("imgs"))
+        .orderBy("ID").collect()
+      assert(arr(0).getSeq[String](1) == Seq("a.jpg", "b.jpg"))
+      assert(arr(1).isNullAt(1))
+      // timestamp arithmetic works on the arrival type
+      val years = df.select(year(col("CREATED_ON"))).orderBy("ID")
+        .collect().map(_.getInt(0)).toSeq
+      assert(years == Seq(2024, 2024))
+      // numeric survives exactly (no double round-trip)
+      val cents = df
+        .select(sum(col("PRICE") * 100).cast("long")).collect()(0)
+      assert(cents.getLong(0) == 134940L)
+    } finally {
+      conn.close()
+      scala.util.Try(java.sql.DriverManager
+        .getConnection("jdbc:derby:memory:graftpg;drop=true"))
     }
   }
 
