@@ -307,27 +307,34 @@ object TextAnalysis {
     * (doc_id, n_toks, nll_milli_sum, avg_nll_milli) for docs with at
     * least one token.
     *
-    * Scale shape: one token explode feeds both the vocab aggregation
-    * and the scoring join (shuffle on token; partial aggregation
-    * collapses map-side). The vocab side is left unhinted: AQE
-    * broadcasts it when it fits, shuffles when a web-scale vocab
-    * doesn't. */
+    * Scale shape: the raw token explode NEVER crosses the network —
+    * it collapses map-side into per-(doc, token) counts before the
+    * one shuffle, the vocab and the corpus total both derive from
+    * that far smaller pair table, and the scoring join moves pairs
+    * (distinct tokens per doc), not token instances. Per-token
+    * surprisal times the pair count is integer-identical to summing
+    * the instances, so the collapse is free of any parity cost. The
+    * vocab side is left unhinted: AQE broadcasts it when it fits,
+    * shuffles when a web-scale vocab doesn't. */
   def unigramNll(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
+    val pairTf = df.select(col(idCol),
         explode(tokens(col(textCol))).as("tk"))
+      .groupBy(col(idCol), col("tk")).agg(count(lit(1)).as("dtf"))
       .localCheckpoint(eager = false)
-    val vocab = toks.groupBy("tk").agg(count(lit(1)).as("tf"))
-    // total token instances: one scalar, computed from the same
-    // materialized token table
-    val total = toks.count()
-    toks.join(vocab, Seq("tk"))
-      .select(col(idCol),
-        floor(log(lit(total.toDouble) / col("tf").cast("double"))
+    val vocab = pairTf.groupBy("tk").agg(sum("dtf").as("tf"))
+    // total token instances ride the plan as a broadcast scalar off
+    // the checkpointed pair table — no separate driver action
+    val totalDf = pairTf.agg(
+      sum("dtf").cast("double").as("__total"))
+    pairTf.join(vocab, Seq("tk"))
+      .crossJoin(broadcast(totalDf))
+      .select(col(idCol), col("dtf"),
+        floor(log(col("__total") / col("tf").cast("double"))
           * 1000.0d).cast("long").as("milli"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_toks"),
-        sum("milli").as("nll_milli_sum"))
+      .agg(sum("dtf").as("n_toks"),
+        sum(col("dtf") * col("milli")).as("nll_milli_sum"))
       .withColumn("avg_nll_milli", expr("nll_milli_sum div n_toks"))
   }
 
@@ -414,7 +421,6 @@ object TextAnalysis {
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
       topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = df.select(col(idCol)).distinct().count()
     // materialize tf once: both the df-count aggregation and the join
     // probe side consume it, and without the checkpoint Catalyst
     // re-derives each from the raw token explode (double tokenization)
@@ -423,12 +429,17 @@ object TextAnalysis {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(eager = false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N rides the plan as a broadcast scalar instead of a separate
+    // driver count() job — one fewer action, same double arithmetic
+    val nDf = df.select(
+      countDistinct(col(idCol)).cast("double").as("__n"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_milli").desc, col("term").asc)
     tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDf))
       .withColumn("score_milli",
         floor(col("tf").cast("double")
-          * log(lit(n.toDouble) / col("df").cast("double"))
+          * log(col("__n") / col("df").cast("double"))
           * 1000.0d).cast("long"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK).drop("rn")
