@@ -259,6 +259,52 @@ object Dedup {
       .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
   }
 
+  /** Asymmetric containment pairs (Broder 1997, "On the resemblance
+    * and containment of documents"): for candidate pairs sharing a
+    * rare shingle, emit containment in BOTH directions —
+    * c_a = |A∩B|/|A| (how much of A lives inside B) and the mirror
+    * c_b. Jaccard misses subset duplication: a paragraph wholly
+    * quoted inside a 100× longer page scores J ≈ 0.01 but c_a = 1.0
+    * — exactly the nested-duplicate shape crawl corpora are full of
+    * (quoted posts, syndicated articles inside portals). A pair
+    * survives when EITHER direction reaches `threshold`.
+    *
+    * Same scale posture as [[ngramJaccardPairs]] (shared plan up to
+    * the pair counts): shingles df-capped BEFORE the self-join, so
+    * no bucket exceeds dfCap² and sizes are measured over the same
+    * filtered shingle space the intersection uses. Milli-quantized
+    * integer containments ride along for cross-engine thresholding. */
+  def containmentPairs(df0: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, dfCap: Int = 1000): DataFrame = {
+    val df = spread(df0)
+    val shRaw = df.select(col(idCol).as("id"),
+        explode(array_distinct(call_function("graft_shingles",
+          tokens(col(textCol)), lit(n)))).as("shingle"))
+      .localCheckpoint(eager = false)
+    val rare = shRaw.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("shingle")
+    val sh = shRaw.join(rare, Seq("shingle"), "left_semi")
+      .localCheckpoint(eager = false)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.select(col("id").as("id_a"), col("shingle"))
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("cont_a_milli",
+        expr("(common * 1000) div n_a"))
+      .withColumn("cont_b_milli",
+        expr("(common * 1000) div n_b"))
+      .filter(col("cont_a_milli") >= (threshold * 1000).toLong ||
+        col("cont_b_milli") >= (threshold * 1000).toLong)
+      .select("id_a", "id_b", "common", "n_a", "n_b",
+        "cont_a_milli", "cont_b_milli")
+  }
+
   /** SimHash over distinct tokens, `bits` wide (<= 32): majority vote
     * per bit of each token's md5-derived hash. Ties (sum == 0) set the
     * bit, matching `vote >= 0`.

@@ -1057,6 +1057,78 @@ object TextAnalysis {
           .otherwise(expr("nll_milli_sum div n_bigrams")))
   }
 
+  /** Stupid-backoff bigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — THE distributed-LM
+    * smoothing: no normalization pass, so counts shard and merge
+    * freely): score `target` docs against an LM counted over `train`.
+    * Per adjacent target bigram (u,v):
+    *   seen in train  → NLL = ln(c(u·)/c(uv))          (conditional)
+    *   unseen         → NLL = ln(1000·N / (α_milli·c(v)))  (backed-off
+    *     unigram, α = α_milli/1000; OOV v falls to c(v)=1, i.e. the
+    *     uniform floor — one deterministic rule, no second α hop)
+    * Per-bigram surprisal quantized to integer millis (floor·1000)
+    * before summing — same cross-engine discipline as [[bigramNll]].
+    * Unlike [[bigramNll]] (self-scored, add-1), the train/target
+    * split makes this the NOVELTY filter: n_backoff counts bigrams
+    * the reference corpus never saw, and avg_nll_milli ranks target
+    * docs by how unlike the reference distribution they are —
+    * the perplexity-filter shape (score new crawl against a trusted
+    * reference LM, keep the low-surprisal tail).
+    *
+    * Scale shape: count tables (bigram, context, unigram) are
+    * vocab-sized partial-agg groupBys on the TRAIN side only; N rides
+    * the plan as a broadcast one-row frame (no driver job). The
+    * target side pays one bigram explode + the count joins (AQE
+    * broadcasts vocab-sized sides when they fit) + one per-doc
+    * groupBy. Emits (id, n_bigrams, n_backoff, nll_milli_sum,
+    * avg_nll_milli); target docs under two tokens come back 0/0/0/0. */
+  def stupidBackoffNll(train: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, alphaMilli: Long = 400L)
+      : DataFrame = {
+    val trainGrams = train.select(
+        explode(call_function("graft_shingles",
+          tokens(col(textCol)), lit(2))).as("__g"))
+      .localCheckpoint(eager = false)
+    val big = trainGrams.groupBy("__g").agg(count(lit(1)).as("__c12"))
+    val ctx = trainGrams
+      .select(element_at(split(col("__g"), " "), 1).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val trainToks = train.select(explode(tokens(col(textCol))).as("__w2"))
+    val uni = trainToks.groupBy("__w2").agg(count(lit(1)).as("__cu"))
+    val totalN = trainToks.agg(count(lit(1)).as("__n"))
+    val scored = target.select(col(idCol),
+        explode(call_function("graft_shingles",
+          tokens(col(textCol)), lit(2))).as("__g"))
+      .withColumn("__w1", element_at(split(col("__g"), " "), 1))
+      .withColumn("__w2", element_at(split(col("__g"), " "), 2))
+      .join(big, Seq("__g"), "left")
+      .join(ctx, Seq("__w1"), "left")
+      .join(uni, Seq("__w2"), "left")
+      .crossJoin(broadcast(totalN))
+      .select(col(idCol),
+        col("__c12").isNull.cast("long").as("__backoff"),
+        when(col("__c12").isNotNull,
+          floor(log(col("__c1").cast("double")
+            / col("__c12").cast("double")) * 1000.0d).cast("long"))
+          .otherwise(
+            floor(log((col("__n") * lit(1000L)).cast("double")
+              / (lit(alphaMilli) * coalesce(col("__cu"), lit(1L)))
+                .cast("double")) * 1000.0d).cast("long"))
+          .as("__m"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__backoff")).as("n_backoff"),
+        sum(col("__m")).as("nll_milli_sum"))
+    target.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("nll_milli_sum"), lit(0L)).as("nll_milli_sum"))
+      .withColumn("avg_nll_milli",
+        when(col("n_bigrams") === 0, lit(0L))
+          .otherwise(expr("nll_milli_sum div n_bigrams")))
+  }
+
   /** Span-level decontamination — the surgical alternative to
     * dropping whole contaminated documents: every training-side
     * token covered by an n-gram that also appears in the eval corpus

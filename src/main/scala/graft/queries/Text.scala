@@ -461,6 +461,37 @@ object Text {
         .orderBy("id_a", "id_b")
     },
 
+    // DEDUP: asymmetric containment (Broder 1997) — catches subset
+    // duplication (a doc wholly quoted inside a longer one) that
+    // symmetric Jaccard scores near zero. Milli-quantized integer
+    // containments; a pair survives when EITHER direction >= 0.35.
+    Q("q_d_containment_pairs",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |sh0 AS (SELECT doc_id AS id,
+         |  unnest(list_distinct(${sqlShingles("t", 2)})) AS shingle FROM tok),
+         |rare AS (SELECT shingle FROM sh0 GROUP BY shingle
+         |         HAVING count(*) <= 100),
+         |sh AS (SELECT id, sh0.shingle FROM sh0
+         |       JOIN rare ON sh0.shingle = rare.shingle),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+         |          FROM sh a JOIN sh b
+         |            ON a.shingle = b.shingle AND a.id < b.id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+         |  CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+         |  CAST((common * 1000) // sa.n_sh AS BIGINT) AS cont_a_milli,
+         |  CAST((common * 1000) // sb.n_sh AS BIGINT) AS cont_b_milli
+         |FROM pairs JOIN sizes sa ON id_a = sa.id
+         |           JOIN sizes sb ON id_b = sb.id
+         |WHERE (common * 1000) // sa.n_sh >= 350
+         |   OR (common * 1000) // sb.n_sh >= 350
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+          2, 0.35, 100)
+        .orderBy("id_a", "id_b")
+    },
+
     // DEDUP: simhash fingerprints (16-bit).
     Q("q_d_simhash",
       simCte(16) + "SELECT doc_id, simhash FROM sim ORDER BY doc_id") {
@@ -1331,6 +1362,53 @@ object Text {
          |FROM tok LEFT JOIN agg USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.bigramNll(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // LM NOVELTY FILTER: stupid-backoff bigram scoring (Brants 2007)
+    // — even docs are the reference LM, odd docs are scored against
+    // it; n_backoff counts train-unseen bigrams, avg_nll_milli ranks
+    // by distance from the reference distribution. α = 0.4.
+    Q("q_t_stupid_backoff",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |tr AS (SELECT doc_id, t FROM tok WHERE doc_id % 2 = 0),
+         |tg AS (SELECT doc_id, t FROM tok WHERE doc_id % 2 = 1),
+         |g0 AS (SELECT unnest(${sqlShingles("t", 2)}) AS g FROM tr),
+         |c12 AS (SELECT g, count(*) AS c FROM g0 GROUP BY 1),
+         |ctx AS (SELECT string_split(g, ' ')[1] AS w1, count(*) AS c1
+         |  FROM g0 GROUP BY 1),
+         |tt AS (SELECT unnest(t) AS w FROM tr),
+         |uni AS (SELECT w, count(*) AS cu FROM tt GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM tt),
+         |tgg AS (SELECT doc_id, unnest(${sqlShingles("t", 2)}) AS g
+         |  FROM tg),
+         |sc AS (SELECT tgg.doc_id,
+         |    CASE WHEN c12.c IS NULL THEN 1 ELSE 0 END AS bo,
+         |    CAST(CASE WHEN c12.c IS NOT NULL THEN
+         |      floor(ln(CAST(ctx.c1 AS DOUBLE) / CAST(c12.c AS DOUBLE))
+         |        * 1000)
+         |    ELSE
+         |      floor(ln(CAST((SELECT n FROM nn) * 1000 AS DOUBLE)
+         |        / CAST(400 * coalesce(uni.cu, 1) AS DOUBLE)) * 1000)
+         |    END AS BIGINT) AS m
+         |  FROM tgg LEFT JOIN c12 USING (g)
+         |    LEFT JOIN ctx ON ctx.w1 = string_split(tgg.g, ' ')[1]
+         |    LEFT JOIN uni ON uni.w = string_split(tgg.g, ' ')[2]),
+         |agg AS (SELECT doc_id, count(*) AS nb, sum(bo) AS nbo,
+         |    sum(m) AS s FROM sc GROUP BY 1)
+         |SELECT tg.doc_id,
+         |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(nbo, 0) AS BIGINT) AS n_backoff,
+         |  CAST(coalesce(s, 0) AS BIGINT) AS nll_milli_sum,
+         |  CAST(CASE WHEN coalesce(nb, 0) = 0 THEN 0
+         |    ELSE s // nb END AS BIGINT) AS avg_nll_milli
+         |FROM tg LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextAnalysis.stupidBackoffNll(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", 400L)
         .orderBy("doc_id")
     },
 

@@ -18,6 +18,18 @@ object Vectors {
   private def sqlCosine(a: String, b: String): String =
     s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
+  /** Ordered-fold JL projection of `v` onto one ±1 sign row (pass a
+    * row of Similarity.rpSigns — the oracle embeds the same
+    * driver-derived literals the Spark plan ships). */
+  private def sqlRpDim(v: String, signs: Array[Double]): String = {
+    val lst = signs.map(s => if (s > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+    s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], " +
+      s"list_transform(range(1, len($v)+1), " +
+      s"i -> CAST($v[i] AS DOUBLE) * CAST(($lst)[i] AS DOUBLE))), " +
+      s"(x,y) -> x+y)"
+  }
+
   /** Per-dimension ordered mean fold for the k-means oracle (matches
     * Similarity.kmeansCentroids' member-order fold; j is 1-based). */
   private def sqlMeanDim(j: Int): String =
@@ -320,6 +332,95 @@ object Vectors {
         "embedding", q, 10)
       val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
         q, 16, 4, 10)
+      Similarity.recallAtK(exact, approx, "vec_id")
+    },
+
+    // Johnson-Lindenstrauss random projection (Achlioptas 2001 sign
+    // matrix): 64 → 4 dims as a narrow per-row map. The oracle embeds
+    // the SAME driver-derived sign literals the Spark plan ships
+    // (Similarity.rpSigns), so the two sides cannot drift.
+    Q("q_v_rp_project", {
+      val sg = Similarity.rpSigns(4, 64)
+      s"""SELECT vec_id,
+         |  ${sqlRpDim("embedding", sg(0))} AS p0,
+         |  ${sqlRpDim("embedding", sg(1))} AS p1,
+         |  ${sqlRpDim("embedding", sg(2))} AS p2,
+         |  ${sqlRpDim("embedding", sg(3))} AS p3
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      Similarity.randomProject(t(s, d, "embeddings"), "embedding", 64, 4)
+        .select(col("vec_id"), col("proj")(0).as("p0"),
+          col("proj")(1).as("p1"), col("proj")(2).as("p2"),
+          col("proj")(3).as("p3"))
+        .orderBy("vec_id")
+    },
+
+    // JL-projected ANN quality: recall@20 of the 8-dim projected-space
+    // top-k against the exact full-space top-k — the harness that
+    // answers "how few dims can the shortlist stage afford" before
+    // committing the 8× narrower vectors to the index.
+    Q("q_v_rp_recall", {
+      val sg = Similarity.rpSigns(8, 64)
+      val pv = (0 until 8).map(p => sqlRpDim("e.embedding", sg(p)))
+        .mkString("[", ",\n         |    ", "]")
+      val pq = (0 until 8).map(p => sqlRpDim("qv", sg(p)))
+        .mkString("[", ",\n         |    ", "]")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pr AS (SELECT e.vec_id, $pv AS pv FROM embeddings e),
+         |pq AS (SELECT $pq AS pqv FROM q),
+         |approx AS (SELECT vec_id, ${sqlCosine("pv", "pqv")} AS cosine
+         |  FROM pr, pq ORDER BY cosine DESC, vec_id LIMIT 20),
+         |exact AS (SELECT e.vec_id, ${sqlCosine("e.embedding", "qv")} AS cosine
+         |  FROM embeddings e, q ORDER BY cosine DESC, e.vec_id LIMIT 20),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM exact
+         |      WHERE vec_id IN (SELECT vec_id FROM approx))
+         |SELECT CAST(20 AS BIGINT) AS k, hits,
+         |  (hits * 1000) // 20 AS recall_milli
+         |FROM h""".stripMargin
+    }) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(emb, "vec_id",
+        "embedding", q, 20)
+      val approx = Similarity.rpTopK(emb, "vec_id", "embedding", 64,
+        q, 8, 20)
+      Similarity.recallAtK(exact, approx, "vec_id")
+    },
+
+    // JL two-stage: shortlist 100 in 8-dim projected space, exact
+    // full-dimension rerank of only those — the production recipe
+    // (generous shortlist buys back the JL distortion the bare
+    // projected top-k loses; compare recall here vs q_v_rp_recall).
+    Q("q_v_rp_refine", {
+      val sg = Similarity.rpSigns(8, 64)
+      val pv = (0 until 8).map(p => sqlRpDim("e.embedding", sg(p)))
+        .mkString("[", ",\n         |    ", "]")
+      val pq = (0 until 8).map(p => sqlRpDim("qv", sg(p)))
+        .mkString("[", ",\n         |    ", "]")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pr AS (SELECT e.vec_id, $pv AS pv FROM embeddings e),
+         |pq AS (SELECT $pq AS pqv FROM q),
+         |cand AS (SELECT vec_id, ${sqlCosine("pv", "pqv")} AS pcos
+         |  FROM pr, pq ORDER BY pcos DESC, vec_id LIMIT 100),
+         |approx AS (SELECT e.vec_id, ${sqlCosine("e.embedding", "qv")} AS cosine
+         |  FROM embeddings e JOIN cand USING (vec_id), q
+         |  ORDER BY cosine DESC, e.vec_id LIMIT 20),
+         |exact AS (SELECT e.vec_id, ${sqlCosine("e.embedding", "qv")} AS cosine
+         |  FROM embeddings e, q ORDER BY cosine DESC, e.vec_id LIMIT 20),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM exact
+         |      WHERE vec_id IN (SELECT vec_id FROM approx))
+         |SELECT CAST(20 AS BIGINT) AS k, hits,
+         |  (hits * 1000) // 20 AS recall_milli
+         |FROM h""".stripMargin
+    }) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(emb, "vec_id",
+        "embedding", q, 20)
+      val approx = Similarity.rpRefineTopK(emb, "vec_id", "embedding",
+        64, q, 8, 100, 20)
       Similarity.recallAtK(exact, approx, "vec_id")
     },
 

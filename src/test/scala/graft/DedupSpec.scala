@@ -51,6 +51,51 @@ class DedupSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("containmentPairs: subset duplication scores 1000 on the short side") {
+    // doc 11 is wholly contained in doc 12 (plus a long unrelated
+    // tail) — Jaccard is low, containment of A in B is exactly 1.0
+    val d = Seq(
+      (11L, "alpha beta gamma delta"),
+      (12L, "alpha beta gamma delta " +
+        "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen"),
+      (13L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(d, "doc_id", "text", 2, 0.9, 1000)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Long]("cont_a_milli"), r.getAs[Long]("cont_b_milli"))))
+      .toMap
+    assert(rows((11L, 12L)) == ((1000L, 157L))) // 3/3 vs 3/19 shingles
+    assert(!rows.contains((11L, 13L)))
+    // the symmetric jaccard on the same pair is far below 0.9 — the
+    // asymmetric direction is what finds it
+    assert(Dedup.ngramJaccardPairs(d, "doc_id", "text", 2, 0.9, 1000)
+      .filter("id_a = 11 and id_b = 12").count() == 0)
+  }
+
+  test("containmentPairs: threshold applies to either direction") {
+    // short doc on the id_a side: survives via cont_a
+    val d1 = Seq(
+      (11L, "alpha beta gamma delta"),
+      (12L, "alpha beta gamma delta one two three four")
+    ).toDF("doc_id", "text")
+    // cont_a = 3/3 = 1000, cont_b = 3/7 = 428
+    assert(Dedup.containmentPairs(d1, "doc_id", "text", 2, 0.99, 1000)
+      .count() == 1)
+    // short doc on the id_b side: cont_a = 428, cont_b = 1000 — the
+    // OR must still keep the pair at a threshold cont_a alone misses
+    val d2 = Seq(
+      (11L, "alpha beta gamma delta one two three four"),
+      (12L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(d2, "doc_id", "text", 2, 0.99, 1000)
+      .collect()
+    assert(r.length == 1 &&
+      r(0).getAs[Long]("cont_a_milli") == 428L &&
+      r(0).getAs[Long]("cont_b_milli") == 1000L)
+  }
+
   test("simHash: identical-normalization docs get identical hashes") {
     val h = Dedup.withSimHash(docs, "doc_id", "text", 16)
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
@@ -719,6 +764,64 @@ class DedupSpec extends SparkSpec {
     assert(one(Seq(1L, 3L, 9L)) == ((4L, 2L, 500L)))
     // extra ids on the approx side never inflate recall past k
     assert(one(Seq(1L, 2L, 3L, 4L, 5L, 6L)) == ((4L, 4L, 1000L)))
+  }
+
+  test("randomProject: basis vectors read the sign matrix back out") {
+    import graft.operators.Similarity
+    // projecting the i-th basis vector yields column i of the sign
+    // matrix — the projection IS the literal rpSigns family
+    val dim = 6
+    val basis = (0 until dim).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)))
+      .toDF("vec_id", "v")
+    val signs = Similarity.rpSigns(3, dim)
+    val out = Similarity.randomProject(basis, "v", dim, 3)
+      .select("vec_id", "proj")
+      .as[(Long, Seq[Double])].collect().toMap
+    for (i <- 0 until dim; p <- 0 until 3)
+      assert(out(i.toLong)(p) == signs(p)(i))
+    // signs are ±1 only, and the rp family differs from all-ones
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    assert(signs.flatten.toSet.size == 2)
+  }
+
+  test("rpTopK: exact duplicates stay top-ranked in projected space") {
+    import graft.operators.Similarity
+    // vec 0 duplicated as vec 7: the projection is a deterministic
+    // linear map, so the duplicate keeps cosine 1.0 and leads the
+    // shortlist regardless of JL distortion on the rest
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val vecs = (0L until 7L).map(i =>
+      (i, if (i == 0) base else Array.fill(16)(rnd.nextFloat() - 0.5f))) :+
+      (7L, base)
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" === 0)
+      .select($"embedding".as("qvec"))
+    val top = Similarity.rpTopK(df, "vec_id", "embedding", 16, q, 8, 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top == Set(0L, 7L))
+  }
+
+  test("rpRefineTopK: full-corpus shortlist reproduces the exact top-k") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 30L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" === 0)
+      .select($"embedding".as("qvec"))
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    // shortlist >= corpus: the refine stage IS the exact search
+    val refined = Similarity.rpRefineTopK(df, "vec_id", "embedding",
+        16, q, 4, 30, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(refined == exact)
+    // a real shortlist can only lose candidates, never invent them
+    val short = Similarity.rpRefineTopK(df, "vec_id", "embedding",
+        16, q, 4, 10, 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(short.subsetOf((0L until 30L).toSet) && short.size == 5)
   }
 
   test("recallAtKByQuery: per-query recall, missing queries coalesce to 0") {

@@ -348,6 +348,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L)._3 > out(1L)._3, out)
   }
 
+  test("stupidBackoffNll: seen bigrams score conditionally, unseen back " +
+      "off through the unigram, OOV hits the uniform floor") {
+    // train LM: bigrams {a b:2, b a:1, b c:1}, ctx {a:2, b:2},
+    // unigrams {a:2, b:2, c:1}, N=5
+    val train = Seq((10L, "a b a b c")).toDF("doc_id", "text")
+    val target = Seq(
+      (11L, "a b x"),  // "a b" seen: ln(2/2)=0; "b x" OOV: ln(5000/400)
+      (13L, "c a"),    // "c a" unseen, a seen: ln(5000/(400*2))
+      (15L, "tiny")).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .stupidBackoffNll(train, target, "doc_id", "text", 400L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val oov = math.floor(math.log(5000.0 / 400.0) * 1000).toLong  // 2525
+    val bka = math.floor(math.log(5000.0 / 800.0) * 1000).toLong  // 1832
+    assert(out(11L) == ((2L, 1L, oov, oov / 2)), out)
+    assert(out(13L) == ((1L, 1L, bka, bka)), out)
+    assert(out(15L) == ((0L, 0L, 0L, 0L)), out)
+    // the novelty ordering the filter exists for: the all-unseen doc
+    // averages stranger than the half-seen one
+    assert(out(13L)._4 > out(11L)._4)
+  }
+
   test("dedupUnitsAcross: globally-first copy survives, later docs and later positions lose") {
     val docs = Seq(
       (1L, "a\nb\na"),   // keeps a(pos0), b; in-doc later a drops
