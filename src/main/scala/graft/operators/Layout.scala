@@ -58,4 +58,42 @@ object Layout {
   def zonesToRead(zones: DataFrame, statCol: String, lo: Column,
       hi: Column): DataFrame =
     zones.filter(!(col(s"max_$statCol") < lo || col(s"min_$statCol") > hi))
+
+  /** Compaction plan for the small-files problem: given a file-stats
+    * frame (one row per data file with its table partition and byte
+    * size — what a catalog listing returns), assign each file to a
+    * compaction group of ~`targetBytes` within its partition. Group k
+    * holds the maximal run of files (in `fileCol` order) whose
+    * cumulative size BEFORE each file is < (k+1)·targetBytes —
+    * prefix-sum packing, so a file larger than the target gets a
+    * group of its own (it is already compact). The rewrite job then
+    * coalesces each (partition, group) into one output file.
+    *
+    * Scale shape: the input is file-COUNT-sized (metadata, millions
+    * of rows for a 100 TB table, never the data); one shuffle on the
+    * table partition key; the running sum's window partitions by the
+    * same key, so per-partition state is one partition's file list.
+    * Deterministic by (partition, file) order — replans are
+    * idempotent, and a planned group maps 1:1 to one rewrite task. */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(fileCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    files.withColumn("__cum", sum(col(bytesCol)).over(w))
+      .withColumn("grp",
+        floor((col("__cum") - col(bytesCol)) / targetBytes).cast("long"))
+      .drop("__cum")
+  }
+
+  /** Per-group compaction report: file count and byte total — the
+    * planner's output summary (groups with n_files = 1 need no
+    * rewrite; the rest each become one coalesce task). */
+  def compactionStats(planned: DataFrame, partCol: String,
+      bytesCol: String): DataFrame =
+    planned.groupBy(col(partCol), col("grp"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(bytesCol)).as("bytes"))
 }

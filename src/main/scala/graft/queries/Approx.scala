@@ -681,6 +681,34 @@ object Approx {
         .orderBy("bucket")
     },
 
+    // LAYOUT: compaction planner (L3) — the small-files problem.
+    // File stats derived deterministically from orders (partition =
+    // o_orderpriority, file = o_orderkey, bytes = comment length);
+    // prefix-sum packing into ~4 KB groups per partition, reported as
+    // one row per planned coalesce task.
+    Q("q_z_compaction",
+      """WITH f AS (SELECT o_orderpriority AS part, o_orderkey AS file_id,
+        |    CAST(floor(o_totalprice) AS BIGINT) AS bytes FROM orders),
+        |p AS (SELECT part, file_id, bytes,
+        |    sum(bytes) OVER (PARTITION BY part ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM f)
+        |SELECT part, CAST((cum - bytes) // 1000000 AS BIGINT) AS grp,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes
+        |FROM p GROUP BY 1, 2
+        |ORDER BY part, grp""".stripMargin) { (s, d) =>
+      val files = t(s, d, "orders").select(
+        col("o_orderpriority").as("part"),
+        col("o_orderkey").as("file_id"),
+        floor(col("o_totalprice")).cast("long").as("bytes"))
+      graft.operators.Layout.compactionStats(
+          graft.operators.Layout.compactionPlan(
+            files, "part", "file_id", "bytes", 1000000L),
+          "part", "bytes")
+        .orderBy("part", "grp")
+    },
+
     // INCREMENTAL DEDUP: an arriving batch (doc_id % 3 == 0) deduped
     // against the historical corpus + itself, without self-joining
     // history — the ongoing-ingestion shape (history is a persisted

@@ -154,6 +154,18 @@ class PlanSpec extends SparkSpec {
       s"signature computation must stay narrow:\n$plan")
   }
 
+  test("randomProject is a narrow literal map: no shuffle, no lookup join") {
+    val df = operators.Similarity.randomProject(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "embedding", 64, 4)
+    val plan = df.queryExecution.executedPlan.toString
+    // the sign matrix rides the plan as literals — nothing to join or
+    // broadcast, and (beyond spread's round-robin) nothing to shuffle
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("Join"),
+      s"projection must stay a narrow literal map:\n$plan")
+  }
+
   test("q_k_bloom: the filter side broadcasts; the probe never shuffles to join") {
     val plan = planOf("q_k_bloom")
     assert(plan.contains("BroadcastHashJoin"),

@@ -117,6 +117,38 @@ class ScaleSpec extends SparkSpec {
     assert(holding.subsetOf(read))
   }
 
+  test("compactionPlan: prefix-sum groups respect the target, oversized " +
+      "files isolate, plan is per-partition") {
+    import spark.implicits._
+    val files = Seq(
+      // grp 0: exclusive cumsums 0/300/600/900, all < 1000 — the
+      // group overshoots by at most one file (documented contract)
+      ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 300L), ("a", 4L, 300L),
+      ("a", 5L, 5000L),                  // cum-pre 1200 → grp 1, alone
+      ("a", 6L, 100L),                   // cum-pre 6200 → grp 6
+      ("b", 1L, 100L), ("b", 2L, 100L)   // partition b packs alone
+    ).toDF("part", "file_id", "bytes")
+    val planned = graft.operators.Layout
+      .compactionPlan(files, "part", "file_id", "bytes", 1000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(planned(("a", 1L)) == 0L && planned(("a", 4L)) == 0L)
+    // the oversized file gets a group no later file shares
+    assert(planned(("a", 5L)) == 1L && planned(("a", 6L)) == 6L)
+    assert(planned(("b", 1L)) == 0L && planned(("b", 2L)) == 0L)
+    // stats: one row per coalesce task, byte totals exact
+    val stats = graft.operators.Layout.compactionStats(
+        graft.operators.Layout.compactionPlan(
+          files, "part", "file_id", "bytes", 1000L),
+        "part", "bytes")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(stats(("a", 0L)) == ((4L, 1200L)))
+    assert(stats(("a", 1L)) == ((1L, 5000L)))
+    assert(stats(("a", 6L)) == ((1L, 100L)))
+    assert(stats(("b", 0L)) == ((2L, 200L)))
+  }
+
   test("stream-static enrichment join agrees with the batch plan") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
