@@ -353,6 +353,67 @@ object Relational {
         .orderBy("id_a", "id_b")
     },
 
+    // E2E ENTITY RESOLUTION: the full record-linkage recipe composed
+    // from graded stages — deletion-blocked ED<=1 candidate pairs
+    // (J14) over supplier names, connected-component clustering (D5),
+    // survivor selection (smallest suppkey), cluster cardinalities.
+    // Oracle: recursive transitive closure with the same min-label
+    // fixpoint semantics.
+    Q("q_e2e_entity_res",
+      """WITH n AS (SELECT DISTINCT s_name AS s FROM supplier),
+        |v AS (SELECT DISTINCT s, unnest(list_append(
+        |    list_transform(range(1, length(s) + 1),
+        |      i -> substr(s, 1, i - 1) || substr(s, i + 1, length(s))),
+        |    s)) AS k FROM n),
+        |vc AS (SELECT k FROM v GROUP BY k HAVING count(*) <= 1000),
+        |bl AS (SELECT v.s, v.k FROM v JOIN vc USING (k)),
+        |p AS (SELECT DISTINCT a.s AS id_a, b2.s AS id_b
+        |  FROM bl a JOIN bl b2 ON a.k = b2.k AND a.s < b2.s),
+        |pd AS (SELECT id_a, id_b FROM p
+        |  WHERE levenshtein(id_a, id_b) <= 1),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM pd
+        |          UNION SELECT id_b, id_a FROM pd),
+        |closure AS (
+        |  WITH RECURSIVE r(s, t) AS (
+        |    SELECT s, t FROM edges
+        |    UNION
+        |    SELECT r.s, e.t FROM r JOIN edges e ON r.t = e.s)
+        |  SELECT * FROM r),
+        |cl AS (SELECT n.s AS nm,
+        |    least(n.s, coalesce(min(c.t), n.s)) AS cluster_id
+        |  FROM n LEFT JOIN closure c ON c.s = n.s GROUP BY n.s),
+        |wc AS (SELECT sup.s_suppkey, sup.s_name, cl.cluster_id
+        |  FROM supplier sup JOIN cl ON sup.s_name = cl.nm),
+        |sz AS (SELECT cluster_id, count(*) AS n_members FROM wc
+        |  GROUP BY 1),
+        |kv AS (SELECT cluster_id, min(s_suppkey) AS s_suppkey FROM wc
+        |  GROUP BY 1)
+        |SELECT wc.cluster_id, CAST(sz.n_members AS BIGINT) AS n_members,
+        |  wc.s_suppkey, wc.s_name
+        |FROM wc JOIN kv ON wc.cluster_id = kv.cluster_id
+        |              AND wc.s_suppkey = kv.s_suppkey
+        |JOIN sz ON wc.cluster_id = sz.cluster_id
+        |ORDER BY wc.cluster_id""".stripMargin) { (s, d) =>
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))
+      val names = sup.select(col("s_name").as("nm")).distinct()
+      val pairs = graft.operators.Dedup.editDistancePairs(
+          names.withColumn("nid", col("nm")), "nid", "nm")
+        .select("id_a", "id_b")
+      val clusters = graft.operators.Dedup.duplicateClusters(
+        names, "nm", pairs)
+      val withC = sup.join(clusters, sup("s_name") === clusters("nm"))
+        .drop("nm")
+      val surv = graft.operators.Dedup.keepBestPerCluster(
+          withC.withColumn("__score", -col("s_suppkey")),
+          "s_suppkey", "cluster_id", "__score")
+        .drop("__score")
+      val sizes = withC.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"))
+      surv.join(sizes, Seq("cluster_id"))
+        .select("cluster_id", "n_members", "s_suppkey", "s_name")
+        .orderBy("cluster_id")
+    },
+
     // A1: global COUNT(*).
     Q("q_a1_count_star",
       "SELECT count(*) AS n FROM lineitem") { (s, d) =>

@@ -317,6 +317,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("containment dominance law: every Jaccard pair is a containment " +
+      "pair at the same threshold, with milli-exact statistics") {
+    // containment = common/|side| >= common/|union| = jaccard, so at
+    // any shared threshold the jaccard survivor set is a subset —
+    // the reason the asymmetric statistic exists
+    val docGen = for {
+      n <- Gen.choose(2, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta",
+        "eps", "zeta", "eta", "theta"))
+    } yield ws.mkString(" ")
+    val corpora = samples(Gen.listOfN(10, docGen), 3)
+    for (docs <- corpora) {
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val thr = 0.4
+      val jac = graft.operators.Dedup
+        .ngramJaccardPairs(df, "doc_id", "text", 2, thr, 1000)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val cont = graft.operators.Dedup
+        .containmentPairs(df, "doc_id", "text", 2, thr, 1000)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getAs[Long]("cont_a_milli"), r.getAs[Long]("cont_b_milli"))))
+        .toMap
+      assert(jac.subsetOf(cont.keySet),
+        s"jaccard pairs missing from containment: ${jac -- cont.keySet}")
+      // milli values are exactly floor(1000*common/n) on both sides
+      cont.foreach { case (_, (common, nA, nB, ca, cb)) =>
+        assert(ca == common * 1000 / nA && cb == common * 1000 / nB)
+        assert(common <= math.min(nA, nB))
+      }
+    }
+  }
+
   test("calibrationBins law: bins partition the corpus, rates exact, monotone by score") {
     val rowGen = for {
       s <- Gen.choose(-7L, 7L)
