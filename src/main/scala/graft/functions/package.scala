@@ -287,4 +287,11 @@ package object functions {
   /** Cosine similarity in double precision with ordered folds. */
   def cosineSimilarity(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Unicode NFC normalization (native graft_nfc expression) — the
+    * canonicalization exact-dedup keys need on crawl text, where the
+    * same accented string arrives precomposed and decomposed and
+    * byte-equality misses the duplicate. Requires the session to be
+    * built with spark.sql.extensions=graft.plans.GraftExtensions. */
+  def nfcNormalize(c: Column): Column = call_function("graft_nfc", c)
 }

@@ -96,4 +96,37 @@ object Layout {
     planned.groupBy(col(partCol), col("grp"))
       .agg(count(lit(1)).as("n_files"),
         sum(col(bytesCol)).as("bytes"))
+
+  /** Write `df` as a hash-BUCKETED, bucket-sorted parquet table (L4):
+    * rows land in bucket `hash(key) % nBuckets`, sorted by the key
+    * within each bucket, and the bucketing spec is recorded in the
+    * catalog. Two tables bucketed the SAME way on their join keys
+    * then sort-merge join with ZERO exchange — the shuffle happened
+    * once at write time and is amortized over every subsequent join,
+    * the single biggest lever for a 100 TB fact table that is joined
+    * daily (see [[bucketedJoin]]; PlanSpec pins the no-Exchange
+    * plan). `path` makes it an external table so the data lives
+    * where the caller says, not in the session warehouse. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Sort-merge join of two co-bucketed tables. The `merge` hint
+    * pins the sort-merge strategy (a broadcast pick would hide the
+    * demonstration at toy sizes; at fact×fact scale SMJ is what the
+    * planner chooses anyway); because both sides' bucketing matches
+    * the join keys, the plan contains NO Exchange — each task reads
+    * bucket i of both tables and merges. */
+  def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
+      leftTable: String, rightTable: String, leftKey: String,
+      rightKey: String): DataFrame =
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable),
+        col(leftKey) === col(rightKey))
 }

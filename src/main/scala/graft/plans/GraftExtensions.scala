@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BloomMemberExpr, BpeApplyExpr, CmsCountersAgg, DotProductFloat, HllRegistersAgg, MinHashSigExpr, MinHashTextExpr, QualityPackExpr, RollingFpArray, ShingleHashesExpr, ShinglePosHashesExpr, ShinglesExpr, SimHashExpr}
+import graft.expressions.{BloomMemberExpr, BpeApplyExpr, CmsCountersAgg, DotProductFloat, HllRegistersAgg, MinHashSigExpr, MinHashTextExpr, NfcNormalizeExpr, QualityPackExpr, RollingFpArray, ShingleHashesExpr, ShinglePosHashesExpr, ShinglesExpr, SimHashExpr}
 
 /** Session extension registering the engine's native expressions —
   * enabled with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -81,5 +81,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CmsCountersAgg].getName, "graft_cms"),
       (children: Seq[Expression]) =>
         CmsCountersAgg(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalizeExpr(children(0))))
+    ext.injectOptimizerRule(_ => NfcIdempotence)
   }
+}
+
+/** Optimizer rule: NFC normalization is idempotent (UAX #15 —
+  * normalize(normalize(x)) == normalize(x)), so nested graft_nfc
+  * calls collapse to one. Composed pipelines hit this constantly: an
+  * ingest stage normalizes defensively, a dedup stage normalizes its
+  * key again — without the rule every row pays the normalizer twice.
+  * The engine's one algebraic-rewrite example of the
+  * injectOptimizerRule seam (PlanSpec pins the collapse). */
+object NfcIdempotence extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case NfcNormalizeExpr(inner: NfcNormalizeExpr) => inner
+    }
 }

@@ -709,6 +709,34 @@ object Approx {
         .orderBy("part", "grp")
     },
 
+    // LAYOUT: bucketed co-located join (L4). Both tables are written
+    // hash-bucketed and bucket-sorted on their join key; the
+    // subsequent sort-merge join runs with ZERO exchange (PlanSpec
+    // pins it) — the write-once shuffle amortized over every join,
+    // the defining layout optimization for a daily-joined 100 TB
+    // fact table. The oracle joins the same source parquet directly:
+    // bucketing must never change the result, only the plan.
+    Q("q_z_bucketed_join",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-bucketed").toString
+      graft.operators.Layout.writeBucketed(
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+        "g_bkt_orders", s"$work/orders", "o_orderkey", 8)
+      graft.operators.Layout.writeBucketed(
+        t(s, d, "lineitem").select("l_orderkey", "l_quantity"),
+        "g_bkt_lineitem", s"$work/lineitem", "l_orderkey", 8)
+      graft.operators.Layout.bucketedJoin(s, "g_bkt_orders",
+          "g_bkt_lineitem", "o_orderkey", "l_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy("o_orderstatus")
+    },
+
     // INCREMENTAL DEDUP: an arriving batch (doc_id % 3 == 0) deduped
     // against the historical corpus + itself, without self-joining
     // history — the ongoing-ingestion shape (history is a persisted

@@ -332,5 +332,37 @@ object Functions {
       t(s, d, "documents")
         .select(col("doc_id"), canonicalUrl(u).as("curl"))
         .orderBy("doc_id")
+    },
+
+    // F21: Unicode NFC normalization (native graft_nfc vs DuckDB's
+    // nfc_normalize). The same accented word is synthesized both
+    // precomposed (é = U+00E9) and decomposed (e + U+0301); distinct
+    // counts collapse only after NFC, and the codepoint lengths
+    // shrink — exact-dedup's missing canonicalization step on real
+    // multilingual crawl text.
+    Q("q_f21_nfc",
+      """WITH m AS (SELECT CASE doc_id % 3
+        |    WHEN 0 THEN concat('Caf', chr(233), ' bucket ', doc_id % 50)
+        |    WHEN 1 THEN concat('Cafe', chr(769), ' bucket ', doc_id % 50)
+        |    ELSE concat('plain bucket ', doc_id % 50) END AS s
+        |  FROM documents)
+        |SELECT CAST(count(DISTINCT s) AS BIGINT) AS raw_distinct,
+        |  CAST(count(DISTINCT nfc_normalize(s)) AS BIGINT) AS nfc_distinct,
+        |  CAST(sum(length(s)) AS BIGINT) AS raw_chars,
+        |  CAST(sum(length(nfc_normalize(s))) AS BIGINT) AS nfc_chars
+        |FROM m""".stripMargin) { (s, d) =>
+      val v = when(col("doc_id") % 3 === 0,
+          concat(lit("Caf\u00e9 bucket "),
+            (col("doc_id") % 50).cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("Cafe\u0301 bucket "),
+            (col("doc_id") % 50).cast("string")))
+        .otherwise(concat(lit("plain bucket "),
+          (col("doc_id") % 50).cast("string")))
+      t(s, d, "documents").select(v.as("s"))
+        .agg(countDistinct(col("s")).as("raw_distinct"),
+          countDistinct(nfcNormalize(col("s"))).as("nfc_distinct"),
+          sum(length(col("s"))).cast("long").as("raw_chars"),
+          sum(length(nfcNormalize(col("s")))).cast("long").as("nfc_chars"))
     })
 }

@@ -126,6 +126,58 @@ object Pipelines {
         .orderBy("master_code")
     },
 
+    // S14: ORC round-trip — write the documents table as ORC, read it
+    // back through the ORC FileScan, aggregate. The oracle computes
+    // the same aggregate from the source parquet: a format hop must
+    // never change a value. (ORC is the warehouse-interchange format
+    // a Hive/Trino neighbor reads natively.)
+    Q("q_s14_orc_roundtrip",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-orc-q").resolve("docs").toString
+      graft.sources.Sinks.writeOrc(t(s, d, "documents"), out)
+      graft.sources.Sources.orc(s, out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+        .orderBy("lang")
+    },
+
+    // S15: JSON-lines round-trip with an EXPLICIT read schema —
+    // instants travel as epoch micros (JSON has no timestamp type),
+    // doubles survive via shortest-round-trip text. Oracle from the
+    // source parquet: the interchange hop is value-exact.
+    Q("q_s15_jsonl_roundtrip",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+        |    AS price_floor,
+        |  max(epoch_us(o_orderdate)) AS max_us
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin) {
+      (s, d) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-jsonl-q").resolve("orders").toString
+      graft.sources.Sinks.writeJsonl(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), epochUs(col("o_orderdate")).as("o_us")),
+        out)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_orderstatus",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("o_us",
+          org.apache.spark.sql.types.LongType)))
+      graft.sources.Sources.jsonl(s, out, schema)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice")).cast("long")).as("price_floor"),
+          max(col("o_us")).as("max_us"))
+        .orderBy("o_orderstatus")
+    },
+
     // §7.2 E2E slice, audit output: products per collection top-k.
     Q("q_e2e_import_topk",
       """SELECT * FROM (VALUES ('M001', CAST(3 AS BIGINT)),

@@ -30,6 +30,14 @@ object Vectors {
       s"(x,y) -> x+y)"
   }
 
+  /** DuckDB half-code fold for binary quantization: MSB-first acc·2 +
+    * sign bit over dims `from .. from+31` (matches
+    * Similarity.binaryQuantize's ordered fold; i is 1-based). */
+  private def sqlBqHalf(v: String, from: Int): String =
+    s"list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+      s"list_transform(range($from, ${from + 32}), " +
+      s"i -> CAST($v[i] >= 0 AS BIGINT))), (a, b) -> a * 2 + b)"
+
   /** Per-dimension ordered mean fold for the k-means oracle (matches
     * Similarity.kmeansCentroids' member-order fold; j is 1-based). */
   private def sqlMeanDim(j: Int): String =
@@ -248,6 +256,76 @@ object Vectors {
       Similarity.lshMultiProbeTopK(t(s, d, "embeddings"), "vec_id",
           "embedding", q, 8, 15)
         .select("vec_id", "cosine")
+    },
+
+    // Binary quantization (V18): sign bit per dim packed into two
+    // 32-dim half codes — 32× compression, the cheapest ANN scan.
+    Q("q_v_bq_codes",
+      s"""SELECT vec_id, ${sqlBqHalf("embedding", 1)} AS code_a,
+         |  ${sqlBqHalf("embedding", 33)} AS code_b
+         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.binaryQuantize(t(s, d, "embeddings"), "embedding")
+        .select(col("vec_id"), col("code_a"), col("code_b"))
+        .orderBy("vec_id")
+    },
+
+    // BQ top-k: Hamming shortlist over packed codes (XOR+popcount),
+    // exact cosine re-rank of the 50 candidates.
+    Q("q_v_bq_topk",
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |    ${sqlBqHalf("embedding", 1)} AS ca,
+         |    ${sqlBqHalf("embedding", 33)} AS cb FROM embeddings),
+         |q AS (SELECT embedding AS qv, ca AS qa, cb AS qb FROM c
+         |  WHERE vec_id = 0),
+         |h AS (SELECT c.vec_id, c.embedding, qv,
+         |    CAST(bit_count(xor(ca, qa)) + bit_count(xor(cb, qb))
+         |      AS BIGINT) AS hamming
+         |  FROM c, q),
+         |sl AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 50)
+         |SELECT vec_id, hamming,
+         |  ${sqlCosine("embedding", "qv")} AS cosine
+         |FROM sl ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.bqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          q, 50, 10)
+        .select(col("vec_id"), col("hamming").cast("long").as("hamming"),
+          col("cosine"))
+    },
+
+    // BQ recall@10 vs the brute-force ground truth (shortlist 50).
+    Q("q_v_bq_recall",
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |    ${sqlBqHalf("embedding", 1)} AS ca,
+         |    ${sqlBqHalf("embedding", 33)} AS cb FROM embeddings),
+         |q AS (SELECT embedding AS qv, ca AS qa, cb AS qb FROM c
+         |  WHERE vec_id = 0),
+         |h AS (SELECT c.vec_id, c.embedding, qv,
+         |    bit_count(xor(ca, qa)) + bit_count(xor(cb, qb)) AS hamming
+         |  FROM c, q),
+         |sl AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 50),
+         |approx AS (SELECT vec_id,
+         |    ${sqlCosine("embedding", "qv")} AS cosine
+         |  FROM sl ORDER BY cosine DESC, vec_id LIMIT 10),
+         |q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |exact AS (SELECT e.vec_id,
+         |    ${sqlCosine("e.embedding", "qv")} AS cosine
+         |  FROM embeddings e, q2
+         |  ORDER BY cosine DESC, e.vec_id LIMIT 10),
+         |hh AS (SELECT CAST(count(*) AS BIGINT) AS hits FROM exact
+         |       WHERE vec_id IN (SELECT vec_id FROM approx))
+         |SELECT CAST(10 AS BIGINT) AS k, hits,
+         |  (hits * 1000) // 10 AS recall_milli
+         |FROM hh""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        q, 10).select("vec_id")
+      val approx = Similarity.bqTopK(emb, "vec_id", "embedding",
+        q, 50, 10).select("vec_id")
+      Similarity.recallAtK(exact, approx, "vec_id")
     },
 
     // IVF inverted-list assignment (deterministic seed centroids).

@@ -23,6 +23,23 @@ object Sinks {
   def appendCsv(df: DataFrame, path: String): Unit =
     df.write.mode("append").option("header", "true").csv(path)
 
+  /** S14 (write half): ORC sink — the columnar interchange format a
+    * warehouse neighbor (Hive/Trino) reads natively; same
+    * predicate-pushdown / column-pruning scan contract as parquet on
+    * the read side. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** S15 (write half): JSON-lines sink — the interchange format
+    * crawl/annotation tooling speaks. One JSON object per line, so
+    * the files split and parallelize like any text source. JSON has
+    * no type system beyond string/number/bool: writers emit instants
+    * as epoch integers (see [[graft.queries.epochUs]]) and readers
+    * MUST pass an explicit schema — inference costs a second pass
+    * and silently widens types. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** S11: partitioned-by-key sink — one directory per key value
     * (replaces the reference's one-CSV-per-product loop,
     * /root/reference/utils/details_translator/

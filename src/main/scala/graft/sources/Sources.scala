@@ -25,6 +25,20 @@ object Sources {
       .option("recursiveFileLookup", "true")
       .load(dir)
 
+  /** S14 (read half): ORC scan — same FileScan contract as parquet
+    * (PushedFilters, ReadSchema column pruning), so everything the
+    * engine proves about parquet plans holds on ORC inputs too. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** S15 (read half): JSON-lines scan with an EXPLICIT schema — one
+    * pass, no inference re-read, types exactly as declared (an
+    * inferred read widens integers to bigint and parses nothing as
+    * timestamp — the silent-drift class S1 guards against on CSV). */
+  def jsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** The two halves of a rejects-aware CSV read plus the handle that
     * releases their shared parse cache — call [[release]] once both
     * halves are consumed, or cached partitions accumulate for the

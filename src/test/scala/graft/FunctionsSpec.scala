@@ -212,4 +212,19 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(domainOf(lit("doc 42"))) == "")
     assert(eval(domainOf(lit(null).cast("string"))) == "")
   }
+
+  test("nfcNormalize: composes decomposed sequences, NFC-only, null-safe") {
+    // e + combining acute (U+0301) composes to U+00E9
+    assert(eval(nfcNormalize(lit("Café"))) == "Café")
+    // already-composed input is identity (idempotence base case)
+    assert(eval(nfcNormalize(lit("Café"))) == "Café")
+    // decomposed Hangul Jamo compose to the syllable block
+    assert(eval(nfcNormalize(lit("가"))) == "가")
+    // ASCII fast path is identity
+    assert(eval(nfcNormalize(lit("plain ascii 42"))) == "plain ascii 42")
+    // NFC must NOT apply compatibility mappings (fullwidth A stays —
+    // that would be NFKC, a different contract)
+    assert(eval(nfcNormalize(lit("Ａ"))) == "Ａ")
+    assert(eval(nfcNormalize(lit(null).cast("string"))) == null)
+  }
 }

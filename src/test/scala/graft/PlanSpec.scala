@@ -387,4 +387,58 @@ class PlanSpec extends SparkSpec {
         !plan.contains("ScalaUDF"), s"$q must stay in expression space:\n$plan")
     }
   }
+
+  test("NfcIdempotence rule: nested graft_nfc collapses to one call") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.functions.nfcNormalize(
+        graft.functions.nfcNormalize(col("text"))).as("t"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val n = "graft_nfc".r.findAllIn(optimized).length
+    assert(n == 1, s"expected one graft_nfc after the rewrite:\n$optimized")
+  }
+
+  test("bucketed co-located join: SortMergeJoin with ZERO Exchange — " +
+      "the write-time shuffle is never repeated") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-bkt-spec").toString
+    operators.Layout.writeBucketed(
+      spark.read.parquet(s"$sf/orders.parquet")
+        .select("o_orderkey", "o_orderstatus"),
+      "g_spec_bkt_o", s"$work/o", "o_orderkey", 4)
+    operators.Layout.writeBucketed(
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity"),
+      "g_spec_bkt_l", s"$work/l", "l_orderkey", 4)
+    val j = operators.Layout.bucketedJoin(spark, "g_spec_bkt_o",
+      "g_spec_bkt_l", "o_orderkey", "l_orderkey")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"co-bucketed join must sort-merge:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"matched bucketing must eliminate every shuffle:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"both scans must report their bucket spec:\n$plan")
+    // and the result is the same rows the unbucketed join yields
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderstatus")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+    assert(j.count() == direct.count(),
+      "bucketing changed the join result")
+  }
+
+  test("bq top-k: code scan is narrow — TakeOrderedAndProject rungs, " +
+      "no hash-partitioned exchange anywhere") {
+    val plan = planOf("q_v_bq_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"shortlist and re-rank must be top-N, not global sorts:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"quantize+hamming is per-row; nothing may shuffle on a key:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"the query row must broadcast:\n$plan")
+  }
 }

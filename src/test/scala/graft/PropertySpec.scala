@@ -682,4 +682,42 @@ class PropertySpec extends SparkSpec {
         s"case $i <${s.map(c => f"\\u${c.toInt}%04x").mkString}>")
     }
   }
+
+  test("binary quantization law: codes match the scalar MSB-first pack " +
+      "and hamming equals the sign-disagreement count") {
+    import graft.operators.Similarity
+    // values straddle zero and include exact ±0 (the sign rule's edge:
+    // -0.0f >= 0 is true in Java, DuckDB, and IEEE alike)
+    val coord: Gen[Float] = Gen.frequency(
+      8 -> Gen.chooseNum(-1.0f, 1.0f), 1 -> Gen.const(0.0f),
+      1 -> Gen.const(-0.0f))
+    val vecGen: Gen[List[Float]] = Gen.listOfN(64, coord)
+    val pairs = samples(for { a <- vecGen; b <- vecGen } yield (a, b), 60)
+    def pack(v: Seq[Float], from: Int): Long =
+      v.slice(from, from + 32).foldLeft(0L)(
+        (acc, x) => acc * 2 + (if (x >= 0) 1L else 0L))
+    val df = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "va", "vb")
+    val qa = Similarity.binaryQuantize(df, "va")
+      .withColumnRenamed("code_a", "aa").withColumnRenamed("code_b", "ab")
+    val out = Similarity.binaryQuantize(qa, "vb")
+      .withColumn("ham", Similarity.bqHamming(
+        col("aa"), col("ab"), col("code_a"), col("code_b")))
+      .select(col("id"), col("aa"), col("ab"),
+        col("code_a").as("ba"), col("code_b").as("bb"),
+        col("ham").cast("long").as("ham"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      val (aa, ab, ba, bb, ham) = out(i.toLong)
+      assert(aa == pack(a, 0) && ab == pack(a, 32),
+        s"case $i: left codes ($aa,$ab) != scalar pack")
+      assert(ba == pack(b, 0) && bb == pack(b, 32),
+        s"case $i: right codes ($ba,$bb) != scalar pack")
+      val want = a.zip(b).count { case (x, y) => (x >= 0) != (y >= 0) }
+      assert(ham == want, s"case $i: hamming $ham != $want")
+    }
+  }
 }
