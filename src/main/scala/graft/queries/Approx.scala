@@ -709,6 +709,37 @@ object Approx {
         .orderBy("part", "grp")
     },
 
+    // LAYOUT: manifest-committed snapshot table (L5). Two commits
+    // (overwrite evens, append odds); v1 is read by TIME TRAVEL after
+    // v2 exists, v2 as the latest snapshot — each scan reads exactly
+    // its manifest's file list, never a directory listing. Oracle
+    // recomputes both snapshots from the source parquet: the commit
+    // protocol must be invisible to values.
+    Q("q_z_manifest_snapshot",
+      """SELECT 'v1' AS snap, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'v2' AS snap, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |ORDER BY snap""".stripMargin) { (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-manifest-q").toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      graft.sources.ManifestTable.commit(
+        orders.filter(col("o_orderkey") % 2 === 0), table, append = false)
+      graft.sources.ManifestTable.commit(
+        orders.filter(col("o_orderkey") % 2 === 1), table, append = true)
+      val v1 = graft.sources.ManifestTable.read(s, table, Some(1L))
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+        .select(lit("v1").as("snap"), col("n"), col("key_sum"))
+      val v2 = graft.sources.ManifestTable.read(s, table)
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+        .select(lit("v2").as("snap"), col("n"), col("key_sum"))
+      v1.unionAll(v2).orderBy("snap")
+    },
+
     // LAYOUT: bucketed co-located join (L4). Both tables are written
     // hash-bucketed and bucket-sorted on their join key; the
     // subsequent sort-merge join runs with ZERO exchange (PlanSpec

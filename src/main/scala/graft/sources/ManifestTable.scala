@@ -1,0 +1,94 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** Manifest-committed snapshot table (L5) — the lakehouse commit
+  * protocol in miniature (the core mechanism of Iceberg/Delta,
+  * re-expressed on plain parquet):
+  *
+  *  - every commit writes its data files under a fresh
+  *    `data/c<version>/` prefix (never touching earlier files),
+  *  - then publishes ONE manifest file `_manifests/v<version>` listing
+  *    every live data file of the snapshot, via write-temp +
+  *    ATOMIC_MOVE rename,
+  *  - readers resolve a snapshot by reading a manifest and scanning
+  *    EXACTLY the files it lists — never by listing the data
+  *    directory.
+  *
+  * Why this matters at 100 TB: directory listings on object stores
+  * are slow (millions of files), unordered, and racy against
+  * in-flight writers — a reader that lists sees half-written commits.
+  * The manifest makes commits atomic (a snapshot either exists
+  * completely or not at all), gives time travel for free (old
+  * manifests keep naming old files), and turns "plan the scan" into
+  * one small-file read instead of a listing. The single-writer
+  * ATOMIC_MOVE here plays the role Iceberg delegates to a catalog
+  * swap / Delta to a log-store put-if-absent; multi-writer
+  * coordination is that one primitive, not a redesign.
+  *
+  * Everything is deterministic: versions are dense integers, data
+  * prefixes derive from the version, no timestamps or random ids.
+  * PipelineSpec proves the contract that matters: a stray parquet
+  * file dropped into the data directory is INVISIBLE to readers,
+  * and aborted (unpublished) writes never surface.
+  */
+object ManifestTable {
+
+  private def manifestDir(table: String): Path =
+    Paths.get(table, "_manifests")
+
+  /** Live versions, ascending (empty for a fresh table). */
+  def versions(table: String): Seq[Long] = {
+    val dir = manifestDir(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") => s.drop(1).toLong }
+      .toSeq.sorted
+  }
+
+  private def filesOf(table: String, version: Long): Seq[String] =
+    Files.readAllLines(manifestDir(table).resolve(s"v$version"))
+      .asScala.toSeq.filter(_.nonEmpty)
+
+  /** Commit `df` as the next snapshot. `append = true` carries the
+    * previous snapshot's files forward (blind append); `false` makes
+    * the new files the whole snapshot (atomic overwrite — old files
+    * stay on disk for time travel until a retention sweep). Returns
+    * the published version. */
+  def commit(df: DataFrame, table: String, append: Boolean): Long = {
+    val prev = versions(table)
+    val v = prev.lastOption.getOrElse(0L) + 1L
+    val dataDir = Paths.get(table, "data", s"c$v")
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val fresh = Files.list(dataDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+      .toSeq.sorted
+      .map(n => s"data/c$v/$n")
+    val carried =
+      if (append) prev.lastOption.map(filesOf(table, _)).getOrElse(Seq.empty)
+      else Seq.empty
+    val lines = (carried ++ fresh).mkString("", "\n", "\n")
+    Files.createDirectories(manifestDir(table))
+    val tmp = manifestDir(table).resolve(s".v$v.tmp")
+    Files.writeString(tmp, lines)
+    Files.move(tmp, manifestDir(table).resolve(s"v$v"),
+      StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Read a snapshot: the given version, or the latest. Scans exactly
+    * the manifest's file list — the data directory is never listed. */
+  def read(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed snapshot under $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"no snapshot v$v under $table (have $vs)")
+    val paths = filesOf(table, v).map(rel => s"$table/$rel")
+    spark.read.parquet(paths: _*)
+  }
+}

@@ -353,4 +353,37 @@ class PipelineSpec extends SparkSpec {
       org.apache.spark.storage.StorageLevel.NONE,
       "release() must evict the parse cache")
   }
+
+  test("ManifestTable: snapshots are atomic and listing-proof — stray " +
+      "and unpublished files never surface, old versions stay readable") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-manifest-spec").toString
+    val df = (1L to 100L).toDF("k")
+    val v1 = ManifestTable.commit(df.filter($"k" <= 40), table,
+      append = false)
+    val v2 = ManifestTable.commit(df.filter($"k" > 40), table,
+      append = true)
+    assert(v1 == 1L && v2 == 2L && ManifestTable.versions(table) ==
+      Seq(1L, 2L))
+    // a stray file dropped into the data dir (a half-written commit,
+    // a retry's orphan) is invisible: readers scan the manifest's
+    // list, never the directory
+    df.filter($"k" === 999L || $"k" <= 5)
+      .write.parquet(s"$table/data/c999")
+    // an UNPUBLISHED write (data files exist, no manifest rename —
+    // the abort path) is equally invisible
+    df.limit(7).write.parquet(s"$table/data/c3")
+    assert(ManifestTable.read(spark, table).count() == 100L,
+      "latest snapshot must see exactly its manifest's files")
+    assert(ManifestTable.read(spark, table, Some(1L))
+      .as[Long].collect().toSet == (1L to 40L).toSet,
+      "time travel must reproduce v1 exactly")
+    assert(ManifestTable.versions(table) == Seq(1L, 2L),
+      "unpublished data must not mint a version")
+    // append carried v1's files by reference: v2 lists them, so the
+    // overwrite-then-append history reads as one table
+    assert(ManifestTable.read(spark, table, Some(2L))
+      .as[Long].collect().toSet == (1L to 100L).toSet)
+  }
 }

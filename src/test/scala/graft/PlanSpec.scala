@@ -388,6 +388,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned sink read-back: the partition predicate prunes at " +
+      "planning time, not per-row") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-ppart-spec").toString
+    graft.sources.Sinks.partitionedBy(
+      spark.read.parquet(s"$sf/documents.parquet"), out, Seq("lang"))
+    val back = spark.read.parquet(out).filter(col("lang") === "en")
+    val plan = back.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.contains("lang"),
+      s"lang = 'en' must land in PartitionFilters (directory pruning, " +
+        s"zero data read for other langs):\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang"),
+      s"the partition column must not fall through to a data filter:\n$plan")
+  }
+
   test("NfcIdempotence rule: nested graft_nfc collapses to one call") {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(s"$sf/documents.parquet")
