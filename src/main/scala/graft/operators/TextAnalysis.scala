@@ -189,6 +189,33 @@ object TextAnalysis {
         lit(0)),
       array()))
 
+  /** Hashing-trick featurizer (T23; Weinberger 2009): each token maps
+    * to feature index `hash31("fh:" + token) % dim` with a ±1 sign
+    * from the second md5-derived hash's parity, and a document's
+    * feature value is the signed occurrence sum — the fixed-width,
+    * vocabulary-free vectorizer that needs NO dictionary pass, no
+    * vocab broadcast, and no fit/transform split, which is why it is
+    * the default featurizer at corpus scale (a learned vocab over
+    * 100 TB is itself a big-data job; the hash IS the vocab). The
+    * signed sum keeps collisions unbiased in expectation (the
+    * Weinberger trick). Zero-sum features drop — they carry no
+    * signal and sparsity is the point.
+    * Plan shape: explode + narrow projection, ONE partial-agg
+    * groupBy (id, idx) — shuffle volume is the nonzero feature
+    * count, ≤ dim per document regardless of corpus size. */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive: $dim")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        (hash31(concat(lit("fh:"), col("__tok"))) % dim).as("idx"),
+        when(hash60b(col("__tok")) % 2 === 1, 1L).otherwise(-1L)
+          .as("__sgn"))
+      .groupBy(col(idCol), col("idx"))
+      .agg(sum(col("__sgn")).as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
   /** Punctuation character ratio (exact counts, one double division). */
   def punctRatio(c: Column): Column = {
     val total = length(coalesce(c, lit("")))

@@ -610,6 +610,27 @@ object Text {
         .orderBy(col("df").desc, col("token")).limit(100)
     },
 
+    // HASHING-TRICK FEATURIZER (T23): vocabulary-free fixed-width
+    // vectorization — index = hash31 % dim, ±1 sign from the second
+    // hash's parity, value = signed occurrence sum (collisions
+    // unbiased in expectation), zero-sum features dropped. No
+    // dictionary pass, no vocab broadcast: the hash IS the vocab.
+    Q("q_t_feature_hash",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |e AS (SELECT doc_id, unnest(t) AS tk FROM tok),
+         |f AS (SELECT doc_id,
+         |    ${sqlHash31("concat('fh:', tk)")} % 64 AS idx,
+         |    CASE WHEN ${sqlHash60b("tk")} % 2 = 1 THEN 1 ELSE -1 END
+         |      AS sgn
+         |  FROM e)
+         |SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS weight
+         |FROM f GROUP BY 1, 2 HAVING sum(sgn) != 0
+         |ORDER BY doc_id, idx""".stripMargin) { (s, d) =>
+      graft.operators.TextAnalysis
+        .featureHash(t(s, d, "documents"), "doc_id", "text", 64)
+        .orderBy("doc_id", "idx")
+    },
+
     // TOKENIZER COVERAGE: per-doc out-of-vocabulary rate against the
     // top-16 df vocab (16 < the corpus's 31 distinct tokens, so the
     // OOV mass is real at every SF). Vocab broadcasts; counts

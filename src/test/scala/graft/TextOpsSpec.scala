@@ -442,4 +442,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 2, 2L -> 4, 3L -> 3, 4L -> 3, 5L -> 4,
       6L -> 5, 7L -> 3, 8L -> 0), out)
   }
+
+  test("featureHash: signed sums combine collisions exactly, indices " +
+      "bounded, empty/null docs vanish, zero-sums dropped") {
+    import graft.functions.{hash31, hash60b}
+    val dim = 8
+    val df = Seq((1L, "aa aa bb cc"), (2L, ""), (3L, null: String),
+      (4L, "aa")).toDF("id", "text")
+    val got = TextAnalysis.featureHash(df, "id", "text", dim)
+      .as[(Long, Long, Long)].collect().toSet
+    // expected from the SAME hash constants the engine defines,
+    // evaluated once per distinct token — the law under test is the
+    // signed combination across collisions, not the md5 kernel
+    // (FunctionsSpec pins that)
+    def idxSgn(tok: String): (Long, Long) = (
+      eval(hash31(lit(s"fh:$tok")) % dim).asInstanceOf[Long],
+      if (eval(hash60b(lit(tok)) % 2).asInstanceOf[Long] == 1L) 1L
+      else -1L)
+    def expected(id: Long, toks: Seq[String]): Set[(Long, Long, Long)] =
+      toks.map(idxSgn).groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toMap
+        .collect { case (i, w) if w != 0 => (id, i, w) }.toSet
+    val want = expected(1L, Seq("aa", "aa", "bb", "cc")) ++
+      expected(4L, Seq("aa"))
+    assert(got == want, s"got $got want $want")
+    assert(got.forall { case (_, i, _) => i >= 0 && i < dim })
+  }
 }
