@@ -178,6 +178,36 @@ object Pipelines {
         .orderBy("o_orderstatus")
     },
 
+    // S16: schema evolution ON READ — batch 1 was written before the
+    // o_orderpriority column existed; batch 2 added it. mergeSchema
+    // reads both as one frame with the old batch's column as NULL —
+    // the read half of M7's write-side evolution contract.
+    Q("q_s16_schema_merge",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(o_orderpriority) AS BIGINT) AS with_priority
+        |FROM (
+        |  SELECT o_orderstatus, CAST(NULL AS VARCHAR) AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1) u
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-evolve-q").toString
+      val orders = t(s, d, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderstatus")
+        .write.parquet(s"$dir/batch=1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .write.parquet(s"$dir/batch=2")
+      graft.sources.Sources.parquetEvolving(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderpriority")).as("with_priority"))
+        .orderBy("o_orderstatus")
+    },
+
     // §7.2 E2E slice, audit output: products per collection top-k.
     Q("q_e2e_import_topk",
       """SELECT * FROM (VALUES ('M001', CAST(3 AS BIGINT)),

@@ -631,6 +631,31 @@ object Text {
         .orderBy("doc_id", "idx")
     },
 
+    // PII PRECISION (T24): Luhn check-digit validation of card-shaped
+    // digit runs — the filter that separates a 16-digit order id
+    // (fails Luhn ~90% of the time) from a real card number before
+    // redaction fires. Candidates synthesized per doc; one in seven
+    // is a non-digit string pinning the false-not-null contract.
+    Q("q_t_luhn",
+      s"""WITH cand AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN '4539x0000000'
+         |    ELSE concat('45390',
+         |      lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0'),
+         |      '1234567') END AS num
+         |  FROM documents)
+         |SELECT doc_id, num, ${sqlLuhnValid("num")} AS luhn_ok
+         |FROM cand ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("num",
+          when(col("doc_id") % 7 === 0, lit("4539x0000000"))
+            .otherwise(concat(lit("45390"),
+              lpad((col("doc_id") % 100000).cast("string"), 5, "0"),
+              lit("1234567"))))
+        .select(col("doc_id"), col("num"),
+          luhnValid(col("num")).as("luhn_ok"))
+        .orderBy("doc_id")
+    },
+
     // TOKENIZER COVERAGE: per-doc out-of-vocabulary rate against the
     // top-16 df vocab (16 < the corpus's 31 distinct tokens, so the
     // OOV mass is real at every SF). Vocab broadcasts; counts

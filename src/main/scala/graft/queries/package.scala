@@ -94,6 +94,20 @@ package object queries {
     s"concat_ws('-', substr(sha256($x),1,8), substr(sha256($x),9,4), " +
       s"substr(sha256($x),13,4), substr(sha256($x),17,4), substr(sha256($x),21,12))"
 
+  /** DuckDB equivalent of graft.functions.luhnValid (same
+    * rightmost-anchored double-minus-nine fold; non-digit/empty →
+    * false, never null). */
+  def sqlLuhnValid(d: String): String = {
+    val dig = s"CAST(($d)[i:i] AS BIGINT)"
+    s"(CASE WHEN regexp_matches($d, '^[0-9]+$$') THEN " +
+      s"list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+      s"list_transform(range(1, length($d) + 1), i -> " +
+      s"CASE WHEN (length($d) - i) % 2 = 0 THEN $dig " +
+      s"ELSE CASE WHEN $dig * 2 > 9 THEN $dig * 2 - 9 " +
+      s"ELSE $dig * 2 END END)), " +
+      s"(a, b) -> a + b) % 10 = 0 ELSE false END)"
+  }
+
   /** DuckDB equivalent of graft.functions.canonicalUrl (same regexes,
     * same tracking-param list, same byte-wise param sort). */
   def sqlCanonicalUrl(x: String): String = {

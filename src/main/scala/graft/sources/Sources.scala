@@ -39,6 +39,16 @@ object Sources {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** S16: evolving-schema parquet read — `mergeSchema` unions the
+    * footers of every file, so a table whose later batches ADDED
+    * columns reads as one frame with the old files' missing columns
+    * as NULL (the read half of M7's write-side evolution). Schema
+    * merging costs a footer read per file — per-BATCH here, not
+    * per-row; at 100 TB pin the merged schema once ([[ManifestTable]]
+    * snapshot + explicit schema) instead of re-merging every scan. */
+  def parquetEvolving(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** The two halves of a rejects-aware CSV read plus the handle that
     * releases their shared parse cache — call [[release]] once both
     * halves are consumed, or cached partitions accumulate for the

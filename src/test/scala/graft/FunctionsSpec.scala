@@ -213,6 +213,20 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(domainOf(lit(null).cast("string"))) == "")
   }
 
+  test("luhnValid: canonical check digits pass, neighbors fail, " +
+      "non-digit/empty/null are false (never null)") {
+    // the canonical Luhn example and its off-by-one neighbor
+    assert(eval(luhnValid(lit("79927398713"))) == true)
+    assert(eval(luhnValid(lit("79927398714"))) == false)
+    // a well-known test PAN (repeating 42s) validates
+    assert(eval(luhnValid(lit("4242424242424242"))) == true)
+    // separators/letters disqualify rather than nulling out
+    assert(eval(luhnValid(lit("4242 4242 4242 4242"))) == false)
+    assert(eval(luhnValid(lit("4539x0000000"))) == false)
+    assert(eval(luhnValid(lit(""))) == false)
+    assert(eval(luhnValid(lit(null).cast("string"))) == false)
+  }
+
   test("nfcNormalize: composes decomposed sequences, NFC-only, null-safe") {
     // e + combining acute (U+0301) composes to U+00E9
     assert(eval(nfcNormalize(lit("Café"))) == "Café")
