@@ -182,6 +182,61 @@ object Sketches {
     sketches.reduce(_ unionByName _)
       .groupBy("bucket").agg(max("rho").as("rho"))
 
+  /** K11: TRAILING-window approximate distinct — "distinct users over
+    * the trailing `windowDays` days, per day", the metric exact
+    * distinct cannot deliver at scale (exact needs every identity
+    * re-scanned per window position; COUNT(DISTINCT) isn't even a
+    * legal window aggregate). The sketch answer: per-day registers
+    * once (the [[hllEstimateByGroup]] build), then the trailing merge
+    * is a RANGE-frame window MAX per bucket over a dense
+    * days × m grid — the merge law applied as a window function.
+    * Everything after the register build is sketch-sized
+    * (|days| · m rows), however large the history; `dayCol` is an
+    * epoch-day ordinal so the RANGE frame is integer arithmetic on
+    * both engines. Missing (day, bucket) cells stay null through the
+    * left join and MAX ignores them — an all-null window is an empty
+    * bucket contributing its exact 2⁰ mass. Harmonic fold in bucket
+    * order over the non-null merged registers, same contract as
+    * [[hllEstimateFrom]]. */
+  def hllTrailingDistinct(df: DataFrame, dayCol: String,
+      valueCol: String, m: Int, windowDays: Int,
+      salt: String = "hll"): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
+    require(windowDays > 0, s"windowDays must be positive: $windowDays")
+    val vBits = 60 - Integer.numberOfTrailingZeros(m)
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val h = hash60(concat(lit(s"$salt:"), col(valueCol).cast("string")))
+    val regs = df.filter(col(valueCol).isNotNull && col(dayCol).isNotNull)
+      .select(col(dayCol).as("day_ord"), h.as("hv")).distinct()
+      .select(col("day_ord"), (col("hv") % m).as("bucket"),
+        expr(s"hv div $m").as("v"))
+      .select(col("day_ord"), col("bucket"),
+        when(col("v") === 0, lit(vBits + 1))
+          .otherwise(lit(vBits + 1) - length(bin(col("v")))).as("rho"))
+      .groupBy("day_ord", "bucket").agg(max("rho").as("rho"))
+    val grid = df.filter(col(dayCol).isNotNull)
+      .select(col(dayCol).as("day_ord")).distinct()
+      .select(col("day_ord"),
+        explode(sequence(lit(0L), lit(m - 1L))).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("day_ord")
+      .rangeBetween(-(windowDays - 1L), 0L)
+    grid.join(regs, Seq("day_ord", "bucket"), "left")
+      .withColumn("mrho", max(col("rho")).over(w))
+      .groupBy("day_ord")
+      .agg(sort_array(collect_list(when(col("mrho").isNotNull,
+        struct(col("bucket"), col("mrho").as("rho"))))).as("regs"))
+      .select(col("day_ord"),
+        size(col("regs")).cast("long").as("nonzero_buckets"),
+        (aggregate(col("regs"), lit(0.0d),
+          (acc, r) => acc + pow(lit(2.0d), -r.getField("rho")))
+          + (lit(m) - size(col("regs"))).cast("double"))
+          .as("harmonic_sum"))
+      .withColumn("estimate",
+        lit(alpha) * lit(m.toDouble) * lit(m.toDouble)
+          / col("harmonic_sum"))
+  }
+
   /** Fixed-bin histogram sketch over an integer-valued column
     * (callers quantize doubles to integer units — cents, millis —
     * first, so the sketch is exact-integer end to end): bin =

@@ -136,6 +136,65 @@ object Approx {
         .orderBy("day")
     },
 
+    // SKETCH (K11): trailing-7-day distinct users per day — the
+    // metric exact distinct can't deliver at scale (COUNT(DISTINCT)
+    // is not even a legal window aggregate; exact re-scans every
+    // identity per window position). Per-day registers built once,
+    // then the trailing merge is a RANGE-frame window MAX per bucket
+    // over the days × m grid — the HLL merge law as a window
+    // function, sketch-sized end to end. The exact trailing count
+    // rides along (both engines compute it by a small range join)
+    // to show the m=32 error envelope.
+    Q("q_k_hll_trailing",
+      s"""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_ord,
+         |    user_id FROM events),
+         |h AS (SELECT DISTINCT day_ord, ${h60("hll", "user_id")} AS hv
+         |  FROM e),
+         |b AS (SELECT day_ord, hv % 32 AS bucket, hv // 32 AS v FROM h),
+         |r AS (SELECT day_ord, bucket, MAX(CASE WHEN v = 0 THEN 56
+         |    ELSE 56 - length(bin(v)) END) AS rho FROM b GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day_ord FROM e),
+         |grid AS (SELECT d.day_ord, g.bucket FROM days d,
+         |  (SELECT unnest(range(0, 32)) AS bucket) g),
+         |w AS (SELECT grid.day_ord, grid.bucket,
+         |    max(r.rho) OVER (PARTITION BY grid.bucket
+         |      ORDER BY grid.day_ord
+         |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mrho
+         |  FROM grid LEFT JOIN r ON grid.day_ord = r.day_ord
+         |    AND grid.bucket = r.bucket),
+         |l AS (SELECT day_ord,
+         |    [x for x in list(mrho ORDER BY bucket)
+         |     if x IS NOT NULL] AS rhos
+         |  FROM w GROUP BY day_ord),
+         |s AS (SELECT day_ord, len(rhos) AS nb, list_reduce(
+         |    list_prepend(0.0, [power(2.0, -CAST(x AS DOUBLE))
+         |      for x in rhos]),
+         |    (a, x) -> a + x) + CAST(32 - len(rhos) AS DOUBLE)
+         |      AS harmonic_sum
+         |  FROM l),
+         |x AS (SELECT d.day_ord, count(DISTINCT e.user_id) AS exact_nu
+         |  FROM days d JOIN e ON e.day_ord BETWEEN d.day_ord - 6
+         |    AND d.day_ord
+         |  GROUP BY 1)
+         |SELECT s.day_ord, CAST(x.exact_nu AS BIGINT) AS exact_nu,
+         |  (0.7213 / (1 + 1.079 / 32)) * 32.0 * 32.0 / s.harmonic_sum
+         |    AS estimate
+         |FROM s JOIN x ON s.day_ord = x.day_ord
+         |ORDER BY s.day_ord""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+        .withColumn("day_ord", expr("unix_micros(ts) div 86400000000"))
+      val days = ev.select(col("day_ord").as("d")).distinct()
+      val exact = days
+        .join(ev, col("day_ord").between(col("d") - 6, col("d")))
+        .groupBy(col("d"))
+        .agg(count_distinct(col("user_id")).as("exact_nu"))
+      Sketches.hllTrailingDistinct(ev, "day_ord", "user_id", 32, 7)
+        .join(exact, col("day_ord") === col("d"))
+        .select(col("day_ord"), col("exact_nu").cast("long").as("exact_nu"),
+          col("estimate"))
+        .orderBy("day_ord")
+    },
+
     // SKETCH: cross-dataset overlap by HLL inclusion-exclusion —
     // |A∩B| ≈ |A| + |B| − |A∪B| from three sketches, where the union
     // sketch is the registers' bytewise max (the merge law). THE

@@ -12,6 +12,30 @@ class SketchesSpec extends SparkSpec {
 
   private def range(n: Int) = spark.range(n).toDF("v")
 
+  test("hllTrailingDistinct: every day's windowed estimate bit-equals " +
+      "the flat estimate over that day range (the merge law through " +
+      "a window frame)") {
+    // 10 days, shifting-but-overlapping user populations, a gap day
+    val rows = for {
+      day <- (0L to 9L) if day != 4L
+      u <- (day * 30) until (day * 30 + 80)
+    } yield (day, s"u$u")
+    val df = rows.toDF("day_ord", "uid")
+    val trailing = Sketches
+      .hllTrailingDistinct(df, "day_ord", "uid", 64, 3)
+      .select($"day_ord", $"estimate").as[(Long, Double)]
+      .collect().toMap
+    // grid days = days present in the data (day 4 absent by design)
+    assert(trailing.keySet == Set(0L, 1L, 2L, 3L, 5L, 6L, 7L, 8L, 9L))
+    for (d <- trailing.keySet) {
+      val flat = Sketches.hllEstimate(
+          df.filter($"day_ord" >= d - 2 && $"day_ord" <= d), "uid", 64)
+        .select("estimate").as[Double].head()
+      assert(trailing(d) == flat,
+        s"day $d: windowed ${trailing(d)} != flat $flat")
+    }
+  }
+
   test("hll estimate lands within the m=256 error envelope") {
     for (n <- Seq(1000, 5000, 20000)) {
       val est = Sketches.hllEstimate(range(n), "v", 256)
