@@ -61,6 +61,81 @@ object Constraints {
     reports.reduce(_ unionByName _)
   }
 
+  /** Row-level rules for [[enforce]] — the logical-constraint mirror
+    * of the CSV reject quarantine (S1): instead of COUNTING
+    * violations like [[check]], split the frame so the pipeline
+    * loads the clean rows and quarantines the rest WITH their
+    * reasons. */
+  sealed trait RowRule { def name: String }
+
+  /** Column must be non-null. */
+  case class RowNotNull(colName: String) extends RowRule {
+    def name = s"not_null:$colName"
+  }
+
+  /** Value must fall in [lo, hi] (null fails — use RowNotNull's
+    * exemption semantics by composing only where meaningful). */
+  case class RowInRange(colName: String, lo: Double, hi: Double)
+      extends RowRule {
+    def name = s"range:$colName"
+  }
+
+  /** Value must be one of the domain literals. */
+  case class RowInSet(colName: String, values: Seq[String])
+      extends RowRule {
+    def name = s"domain:$colName"
+  }
+
+  /** Value must exist in the parent key column (nulls exempt, SQL FK
+    * semantics). Compiles to ONE left join against the distinct
+    * parent keys — broadcast when small, shuffled-keyed when not. */
+  case class RowFk(colName: String, parent: DataFrame,
+      parentCol: String) extends RowRule {
+    def name = s"fk:$colName"
+  }
+
+  /** Attach a `violations` array<string> column naming every rule the
+    * row breaks (empty array = clean). Row-local rules evaluate
+    * inside the row (narrow, codegen'd); each FK rule adds one
+    * left join marker. The quarantine split is two filters off the
+    * same plan. */
+  def enforce(df: DataFrame, rules: Seq[RowRule]): DataFrame = {
+    require(rules.nonEmpty, "enforce needs at least one rule")
+    val fks = rules.collect { case r: RowFk => r }
+    val withMarkers = fks.zipWithIndex.foldLeft(df) { case (d, (r, i)) =>
+      val keys = r.parent.select(col(r.parentCol).as(r.colName))
+        .distinct().withColumn(s"__fk_ok_$i", lit(true))
+      d.join(keys, Seq(r.colName), "left")
+    }
+    var fkIdx = -1
+    val viol = rules.map {
+      case r @ RowNotNull(c) =>
+        when(col(c).isNull, lit(r.name))
+      case r @ RowInRange(c, lo, hi) =>
+        when(col(c).isNull || col(c).cast("double") < lo ||
+          col(c).cast("double") > hi, lit(r.name))
+      case r @ RowInSet(c, vs) =>
+        when(col(c).isNull || !col(c).isin(vs: _*), lit(r.name))
+      case r: RowFk =>
+        fkIdx += 1
+        when(col(r.colName).isNotNull &&
+          col(s"__fk_ok_$fkIdx").isNull, lit(r.name))
+    }
+    withMarkers
+      .withColumn("violations",
+        filter(array(viol: _*), v => v.isNotNull))
+      .drop(fks.indices.map(i => s"__fk_ok_$i"): _*)
+  }
+
+  /** The (good, rejects) split of [[enforce]] — clean rows without
+    * the audit column, rejects keeping their reasons. */
+  def quarantine(df: DataFrame,
+      rules: Seq[RowRule]): (DataFrame, DataFrame) = {
+    val marked = enforce(df, rules)
+    (marked.filter(size(col("violations")) === 0).drop("violations"),
+      marked.filter(size(col("violations")) > 0))
+  }
+
   /** Snapshot diff — classify every key of two table versions as
     * added / removed / changed / unchanged and count each class: the
     * migration-visibility report behind "what did this load actually

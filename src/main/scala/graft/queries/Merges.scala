@@ -471,6 +471,48 @@ object Merges {
         .orderBy("rule")
     },
 
+    // ROW-LEVEL ENFORCEMENT: the quarantine mirror of the audit —
+    // instead of counting violations, split the load into clean rows
+    // and rejects carrying their reasons (range + domain + FK rules;
+    // the FK parent is deliberately a sample so ~1/3 of keys orphan).
+    // Graded surface: per-rule violation counts plus the clean-row
+    // count, which together pin the split exactly.
+    Q("q_audit_enforce",
+      """WITH v AS (SELECT
+        |  (o_totalprice IS NULL OR o_totalprice < 1
+        |     OR o_totalprice > 200000) AS v1,
+        |  (o_orderstatus IS NULL
+        |     OR o_orderstatus NOT IN ('O', 'F')) AS v2,
+        |  (o_custkey IS NOT NULL AND o_custkey NOT IN (
+        |     SELECT c_custkey FROM customer WHERE c_custkey % 3 != 0))
+        |    AS v3
+        | FROM orders)
+        |SELECT 'range:o_totalprice' AS rule,
+        |  CAST(count(*) FILTER (v1) AS BIGINT) AS n FROM v
+        |UNION ALL SELECT 'domain:o_orderstatus',
+        |  CAST(count(*) FILTER (v2) AS BIGINT) FROM v
+        |UNION ALL SELECT 'fk:o_custkey',
+        |  CAST(count(*) FILTER (v3) AS BIGINT) FROM v
+        |UNION ALL SELECT '__pass',
+        |  CAST(count(*) FILTER (NOT v1 AND NOT v2 AND NOT v3) AS BIGINT)
+        |  FROM v
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      import graft.operators.Constraints._
+      val parent = t(s, d, "customer")
+        .filter(col("c_custkey") % 3 =!= 0)
+      val marked = enforce(t(s, d, "orders"), Seq(
+        RowInRange("o_totalprice", 1, 200000),
+        RowInSet("o_orderstatus", Seq("O", "F")),
+        RowFk("o_custkey", parent, "c_custkey")))
+      val perRule = marked
+        .select(explode(col("violations")).as("rule"))
+        .groupBy("rule").agg(count(lit(1)).as("n"))
+      val clean = marked.filter(size(col("violations")) === 0)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("__pass").as("rule"), col("n"))
+      perRule.unionByName(clean).orderBy("rule")
+    },
+
     // PIVOT: events per day × type matrix (engine extension — the
     // reference reports long-form only). Explicit value list keeps the
     // plan a single pass (no distinct-scan before the pivot).

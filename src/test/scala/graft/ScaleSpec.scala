@@ -371,6 +371,31 @@ class ScaleSpec extends SparkSpec {
       "removed" -> 1L, "added" -> 1L))
   }
 
+  test("quarantine: clean/reject split is exact, reasons name every " +
+      "broken rule, null FK values are exempt") {
+    import graft.operators.Constraints._
+    val parent = Seq(10L, 20L).toDF("pk")
+    val df = Seq(
+      (1L, Some(50.0), Some("O"), Some(10L)),   // clean
+      (2L, Some(500.0), Some("O"), Some(10L)),  // range
+      (3L, Some(50.0), Some("X"), Some(99L)),   // domain + fk
+      (4L, Some(50.0), Some("F"), None),        // clean: null FK exempt
+      (5L, None, None, Some(20L)))              // range(null) + domain(null)
+      .toDF("id", "price", "status", "ref")
+    val rules = Seq(RowInRange("price", 1, 100),
+      RowInSet("status", Seq("O", "F")), RowFk("ref", parent, "pk"))
+    val (good, rejects) = quarantine(df, rules)
+    assert(good.select("id").as[Long].collect().toSet == Set(1L, 4L))
+    assert(!good.columns.contains("violations"))
+    val why = rejects.select($"id", $"violations")
+      .as[(Long, Seq[String])].collect().toMap
+    assert(why(2L) == Seq("range:price"))
+    assert(why(3L).toSet == Set("domain:status", "fk:ref"))
+    assert(why(5L).toSet == Set("range:price", "domain:status"))
+    // enforce keeps every input row exactly once
+    assert(good.count() + rejects.count() == 5L)
+  }
+
   test("rate anomalies: integer form flags exactly mean + 2 sigma exceeders") {
     // series A: hours with counts 1,1,1,1,11 — mean 3, sigma 4
     // → threshold 11: NOT flagged (strict >); bump to 12: flagged.
