@@ -63,6 +63,34 @@ object Curation {
       .drop("__rn", "budget")
   }
 
+  /** CUR4: cumulative-MASS budget — keep each group's highest-score
+    * rows until their score mass reaches `fracMilli`/1000 of the
+    * group's total (the row that crosses the threshold is kept, so
+    * the budget is met, never undershot). Row-count budgets
+    * ([[rebalanceKeep]]/[[mixKeep]]) treat a 100-token and a
+    * 100k-token document as equal spend; a mass budget curates
+    * against what actually costs tokens/compute. Strictly-positive
+    * long scores required (a zero-score tail would ride in free
+    * below any threshold). All integer arithmetic (`cum·1000 <
+    * frac·total` — no division), ties broken by `idCol` — exact and
+    * engine-reproducible. Two window passes over the same
+    * partitioning, one shuffle. */
+  def keepByMassBudget(df: DataFrame, groupCol: String,
+      scoreCol: String, idCol: String, fracMilli: Int): DataFrame = {
+    require(fracMilli >= 0 && fracMilli <= 1000,
+      s"fracMilli must be in [0, 1000]: $fracMilli")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+    df.withColumn("__cum", sum(col(scoreCol)).over(w))
+      .withColumn("__tot", sum(col(scoreCol)).over(wt))
+      .filter((col("__cum") - col(scoreCol)) * 1000 <
+        lit(fracMilli.toLong) * col("__tot"))
+      .drop("__cum", "__tot")
+  }
+
   /** Max-volume exact mixture: per-group keep budgets that realize a
     * TARGET distribution (`weights`: (groupCol, target_milli) rows,
     * milli-shares of the final mix) at the largest total the corpus

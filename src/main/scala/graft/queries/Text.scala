@@ -894,6 +894,28 @@ object Text {
         .select("lang", "doc_id").orderBy("lang", "doc_id")
     },
 
+    // CURATION (CUR4): cumulative-mass budget — per language, keep
+    // the LONGEST documents until they hold 60% of the language's
+    // total character mass (row-count budgets treat a 100-token and
+    // a 100k-token doc as equal spend; mass budgets curate against
+    // what actually costs tokens). The crossing row is kept; integer
+    // cross-multiplication, ties to the smaller doc_id.
+    Q("q_cur_mass_budget",
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n_chars) OVER (PARTITION BY lang) AS tot
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM r WHERE (cum - n_chars) * 1000 < 600 * tot
+        |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Curation.keepByMassBudget(
+          t(s, d, "documents"), "lang", "n_chars", "doc_id", 600)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "doc_id")
+    },
+
     // CURATION: max-volume exact mixture — realize a TARGET language
     // distribution (en 50% / zh 20% / de 20% / fr 10%; es unlisted →
     // dropped) at the largest total the corpus can supply. The

@@ -753,6 +753,43 @@ class DedupSpec extends SparkSpec {
     assert(keptIds == Set(126L, 127L, 128L))
   }
 
+  test("keepByMassBudget: budget met never undershot, cut is minimal, " +
+      "highest scores survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // group a: scores 100,50,30,10,10 (total 200); 60% = 120 mass →
+    // keep 100 (cum-before 0) and 50 (cum-before 100 < 120): mass 150.
+    // group b: one row — always kept at any frac > 0.
+    val df = Seq((1L, "a", 100L), (2L, "a", 50L), (3L, "a", 30L),
+      (4L, "a", 10L), (5L, "a", 10L), (6L, "b", 7L))
+      .toDF("id", "g", "score")
+    val kept = graft.operators.Curation
+      .keepByMassBudget(df, "g", "score", "id", 600)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 6L), kept)
+    // law across fracs: kept mass >= frac*total, and dropping the
+    // weakest kept row undershoots (minimality)
+    for (frac <- Seq(1, 250, 500, 999, 1000)) {
+      val k = graft.operators.Curation
+        .keepByMassBudget(df.filter($"g" === "a"), "g", "score", "id",
+          frac)
+        .select("id", "score").as[(Long, Long)].collect().sortBy(_._1)
+      val mass = k.map(_._2).sum
+      assert(mass * 1000 >= frac.toLong * 200L,
+        s"frac $frac: kept mass $mass undershoots")
+      val weakest = k.last._2
+      assert((mass - weakest) * 1000 < frac.toLong * 200L,
+        s"frac $frac: cut not minimal (could drop $weakest)")
+    }
+    // ties broken by id: equal scores keep the smaller id first
+    val tied = Seq((1L, "t", 10L), (2L, "t", 10L), (3L, "t", 10L))
+      .toDF("id", "g", "score")
+    val k2 = graft.operators.Curation
+      .keepByMassBudget(tied, "g", "score", "id", 400)
+      .select("id").as[Long].collect().toSet
+    assert(k2 == Set(1L, 2L), k2)
+  }
+
   test("recallAtK: identity is 1000, disjoint is 0, partial is exact milli") {
     import graft.operators.Similarity
     val exact = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
