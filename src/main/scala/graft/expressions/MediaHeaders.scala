@@ -1,0 +1,101 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Native `graft_jpeg_dims(binary) -> array<long>` = [width, height],
+  * or null when the bytes are not a parseable JPEG.
+  *
+  * JPEG stores its dimensions in a START-OF-FRAME segment at a
+  * VARIABLE offset — fixed-offset substring/hex arithmetic (the
+  * PNG/BMP/GIF technique in [[graft.operators.Multimodal.imageDims]])
+  * cannot reach it; the parse is a bounded walk over segment headers:
+  * each non-SOF segment declares its own length, so the walker hops
+  * marker to marker (never decoding entropy data) until the first
+  * SOFn. That loop is exactly what a native expression's static call
+  * is for — the walk stays per-row inside whole-stage codegen, reads
+  * only header bytes, and the hop count is bounded by the segment
+  * count, not the file size. JPEG is the reference's actual image
+  * format (the *.jpg OCR walk,
+  * /root/reference/utils/details_translator/2_ocr_from_images.py:27-31);
+  * round 7 moves it from the documented decode-boundary TODO into
+  * expression space.
+  *
+  * Accepted SOF markers: C0–CF minus C4 (DHT), C8 (JPG extension),
+  * CC (DAC) — the standard SOFn set, so baseline, progressive, and
+  * arithmetic-coded files all parse. Truncated input, a missing
+  * SOI, a zero/short segment length, or running off the end all
+  * return null — never a misparse. */
+case class JpegDimsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_jpeg_dims requires binary, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jpeg_dims"
+
+  override protected def nullSafeEval(b: Any): Any = {
+    val r = MediaHeaders.jpegDims(b.asInstanceOf[Array[Byte]])
+    if (r == null) null else new GenericArrayData(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("dims")
+      s"""
+         |long[] $r = graft.expressions.MediaHeaders.jpegDims($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($r); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : JpegDimsExpr = copy(child = newChild)
+}
+
+/** Static forwarders for generated code (same pattern as [[Md5Fold]]). */
+object MediaHeaders {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+
+  /** [width, height] from the first SOFn segment, or null. */
+  def jpegDims(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 4 ||
+      u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return null
+    var pos = 2
+    while (pos + 3 < b.length) {
+      // resync: skip fill bytes; a marker is FF followed by non-FF
+      if (u8(b, pos) != 0xff) return null
+      var m = u8(b, pos + 1)
+      while (m == 0xff && pos + 2 < b.length) { pos += 1; m = u8(b, pos + 1) }
+      if (m == 0xd8) { pos += 2 }                   // nested SOI: skip
+      else if (m >= 0xd0 && m <= 0xd9) { pos += 2 } // standalone RSTn/EOI
+      else {
+        if (pos + 3 >= b.length) return null
+        val segLen = (u8(b, pos + 2) << 8) | u8(b, pos + 3)
+        if (segLen < 2) return null
+        val isSof = m >= 0xc0 && m <= 0xcf &&
+          m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          // segment: len(2) precision(1) height(2) width(2) ...
+          if (pos + 8 >= b.length || segLen < 7) return null
+          val h = (u8(b, pos + 5) << 8) | u8(b, pos + 6)
+          val w = (u8(b, pos + 7) << 8) | u8(b, pos + 8)
+          if (w == 0 || h == 0) return null
+          return Array(w.toLong, h.toLong)
+        }
+        pos += 2 + segLen
+      }
+    }
+    null
+  }
+}

@@ -61,14 +61,16 @@ object Multimodal {
     * BMP (BITMAPINFOHEADER, little-endian; top-down negative heights
     * normalized) and GIF (logical screen, little-endian) carry their
     * dimensions at fixed header offsets, so width/height parse with
-    * nothing but `substring`/`hex`/`conv` — every byte access stays
-    * inside whole-stage codegen, per-row, zero shuffle. Formats whose
-    * dimensions are NOT at fixed offsets (JPEG scans variable-length
-    * segments) return a null struct here: that parse belongs at the
-    * mapPartitions decode boundary with the real codec
-    * ([[decodeImageStub]]'s swap point), not in expression space.
-    * Truncated/foreign bytes → null struct, never a misparse (length
-    * guards per format). */
+    * nothing but `substring`/`hex`/`conv`. JPEG's dimensions sit in a
+    * variable-offset SOFn segment, beyond fixed-offset arithmetic —
+    * round 7 covers it with the native `graft_jpeg_dims` marker walk
+    * ([[graft.expressions.JpegDimsExpr]]): a bounded hop over segment
+    * headers, still per-row inside whole-stage codegen, still zero
+    * shuffle, reading header bytes only (never entropy data). The
+    * reference's product images ARE JPEGs (the *.jpg OCR walk), so
+    * this closes the format that matters most. Truncated/foreign
+    * bytes → null struct, never a misparse (length guards per
+    * format; the walker nulls on any malformation). */
   def imageDims(content: Column): Column = {
     val outType = "struct<format:string,width:bigint,height:bigint>"
     val n = octet_length(content)
@@ -76,6 +78,8 @@ object Multimodal {
       hex(substring(content, 1, 8)) === "89504E470D0A1A0A"
     val isBmp = n >= 26 && hex(substring(content, 1, 2)) === "424D"
     val isGif = n >= 10 && hex(substring(content, 1, 4)) === "47494638"
+    val isJpg = n >= 4 && hex(substring(content, 1, 2)) === "FFD8"
+    val jpg = call_function("graft_jpeg_dims", content)
     // BMP height is SIGNED (negative = top-down row order): fold the
     // two's-complement wrap back and take the magnitude
     val bmpH = leUInt(content, 23, 4)
@@ -87,6 +91,8 @@ object Multimodal {
         leUInt(content, 19, 4).as("width"), bmpHAbs.as("height")))
       .when(isGif, struct(lit("gif").as("format"),
         leUInt(content, 7, 2).as("width"), leUInt(content, 9, 2).as("height")))
+      .when(isJpg && jpg.isNotNull, struct(lit("jpeg").as("format"),
+        element_at(jpg, 1).as("width"), element_at(jpg, 2).as("height")))
       .otherwise(lit(null).cast(outType))
   }
 

@@ -1042,12 +1042,14 @@ object Vectors {
         .orderBy("media_id")
     },
 
-    // MULTIMODAL: REAL header-offset dimension parse (no codec, no
-    // stub) over the committed PNG/BMP/GIF fixtures — substring/hex/
-    // conv only, whole-stage codegen per row. The BMP fixture's
-    // height is stored NEGATIVE (top-down row order) and must
-    // normalize to +200; the .bin fixtures must come back as null
-    // structs, not misparses.
+    // MULTIMODAL: REAL dimension parse (no codec, no stub) over the
+    // committed PNG/BMP/GIF/JPEG fixtures — fixed offsets via
+    // substring/hex/conv, JPEG via the native graft_jpeg_dims SOFn
+    // marker walk (an ImageIO-written real JFIF file), all
+    // whole-stage codegen per row. The BMP fixture's height is
+    // stored NEGATIVE (top-down row order) and must normalize to
+    // +200; the .bin fixtures must come back as null structs, not
+    // misparses.
     Q("q_mm_image_dims",
       """SELECT * FROM (VALUES
         |  ('a.bin', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
@@ -1056,6 +1058,7 @@ object Vectors {
         |    CAST(NULL AS BIGINT)),
         |  ('tiny.bmp', 'bmp', CAST(320 AS BIGINT), CAST(200 AS BIGINT)),
         |  ('tiny.gif', 'gif', CAST(12 AS BIGINT), CAST(34 AS BIGINT)),
+        |  ('tiny.jpg', 'jpeg', CAST(31 AS BIGINT), CAST(17 AS BIGINT)),
         |  ('tiny.png', 'png', CAST(640 AS BIGINT), CAST(480 AS BIGINT)),
         |  ('tiny.wav', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
         |    CAST(NULL AS BIGINT)))

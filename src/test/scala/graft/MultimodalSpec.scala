@@ -93,6 +93,9 @@ class MultimodalSpec extends SparkSpec {
     // stored height is -200 (top-down); must normalize to +200
     assert(out("tiny.bmp") == ((Some("bmp"), Some(320L), Some(200L))))
     assert(out("tiny.gif") == ((Some("gif"), Some(12L), Some(34L))))
+    // real ImageIO-written JFIF: dims live in a variable-offset SOF0
+    // behind APP0+DQT+DHT segments — the native marker walk finds it
+    assert(out("tiny.jpg") == ((Some("jpeg"), Some(31L), Some(17L))))
     assert(out("a.bin") == ((None, None, None)))
     // a PNG signature cut off before the IHDR width must be null —
     // the length guard, not a partial conv, decides
@@ -107,6 +110,39 @@ class MultimodalSpec extends SparkSpec {
       .select(Multimodal.imageDims(col("content")))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
+  }
+
+  test("jpegDims walker: scalar kernel handles synthetic segment " +
+      "layouts, truncation, and entropy-data traps") {
+    import graft.expressions.MediaHeaders.jpegDims
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte,
+        ((payload.length + 2) & 0xff).toByte) ++ payload
+    def sof0(w: Int, h: Int): Array[Byte] =
+      seg(0xc0, Array(8.toByte, (h >> 8).toByte, (h & 0xff).toByte,
+        (w >> 8).toByte, (w & 0xff).toByte, 1.toByte))
+    val soi = Array(0xff.toByte, 0xd8.toByte)
+    // SOI + APP1 (EXIF-like filler) + SOF0 — dims found behind a
+    // variable-length segment the fixed-offset technique can't cross
+    val exif = soi ++ seg(0xe1, Array.fill(37)(0x55.toByte)) ++
+      sof0(1234, 777)
+    assert(jpegDims(exif).toSeq == Seq(1234L, 777L))
+    // progressive marker (SOF2) parses too
+    val prog = soi ++ seg(0xc2, Array(8.toByte, 0.toByte, 17.toByte,
+      0.toByte, 31.toByte, 3.toByte))
+    assert(jpegDims(prog).toSeq == Seq(31L, 17L))
+    // DHT (C4) must NOT be taken for a frame header
+    val dhtFirst = soi ++ seg(0xc4, Array.fill(6)(1.toByte)) ++
+      sof0(9, 5)
+    assert(jpegDims(dhtFirst).toSeq == Seq(9L, 5L))
+    // truncated before the SOF completes -> null, not a misparse
+    assert(jpegDims(exif.dropRight(4)) == null)
+    // no SOI, zero-length segment, empty -> null
+    assert(jpegDims(Array[Byte](1, 2, 3, 4)) == null)
+    assert(jpegDims(soi ++ Array(0xff.toByte, 0xe0.toByte, 0.toByte,
+      0.toByte)) == null)
+    assert(jpegDims(Array.emptyByteArray) == null)
   }
 
   test("wavMeta: canonical PCM header parses exactly; images and truncated RIFF are null") {
