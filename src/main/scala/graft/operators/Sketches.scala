@@ -325,6 +325,33 @@ object Sketches {
       .orderBy("grp", "q_milli")
   }
 
+  /** K12: equi-depth quantile discretizer — assign every row a bucket
+    * 0..nBuckets-1 by the histogram-derived quantile cut bins (the
+    * feature-engineering step that turns a heavy-tailed numeric into
+    * a balanced categorical). Cut points come from ONE histogram
+    * sketch pass ([[histBins]] + [[histQuantiles]]; ≤ nBins rows
+    * shuffle), then ride as a broadcast array; assignment is a
+    * narrow per-row count of cut bins below the row's bin. Bucket
+    * boundaries are exact at bin resolution: rows sharing a histogram
+    * bin always share a bucket (ties never split), so the layout is
+    * deterministic and engine-reproducible. */
+  def discretizeByQuantiles(df: DataFrame, valueCol: String, lo: Long,
+      width: Long, nBins: Int, nBuckets: Int): DataFrame = {
+    require(nBuckets > 1, s"nBuckets must be > 1: $nBuckets")
+    val permilles = (1 until nBuckets).map(i => i * 1000 / nBuckets)
+    val cuts = histQuantiles(histBins(df, valueCol, lo, width, nBins),
+        lo, width, permilles)
+      .agg(sort_array(collect_list(col("bin"))).as("__cutbins"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("__bin", least(greatest(
+        expr(s"(CAST($valueCol AS BIGINT) - ${lo}L) div ${width}L"),
+        lit(0L)), lit(nBins - 1L)))
+      .withColumn("bucket",
+        size(filter(col("__cutbins"), c => col("__bin") > c))
+          .cast("long"))
+      .drop("__cutbins", "__bin")
+  }
+
   /** Winsorize via the histogram sketch: clamp values into the
     * [qLo, qHi] quantile band whose edges come off [[histQuantiles]]
     * — robust-statistics clipping with no global sort anywhere. The

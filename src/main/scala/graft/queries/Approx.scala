@@ -430,6 +430,39 @@ object Approx {
         0L, 2500L, Seq(500, 900, 990))
     },
 
+    // SKETCH (K12): equi-depth quantile discretizer — value cents
+    // into 4 buckets by the p250/p500/p750 histogram cut bins (one
+    // sketch pass for the cuts, broadcast array, narrow assignment).
+    // Rows sharing a histogram bin always share a bucket, so the
+    // layout is deterministic; per-bucket count + min/max pin it.
+    Q("q_k_discretize",
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT LEAST(GREATEST((cents - 0) // 2500, 0), 19) AS bin,
+        |  count(*) AS n FROM c GROUP BY 1),
+        |cum AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cum FROM b),
+        |t AS (SELECT sum(n) AS tot FROM b),
+        |q AS (SELECT unnest([250, 500, 750]) AS q_milli),
+        |cuts AS (SELECT q_milli, min(bin) AS qbin
+        |  FROM cum, t, q WHERE cum * 1000 >= q_milli * tot
+        |  GROUP BY q_milli),
+        |a AS (SELECT cents,
+        |    LEAST(GREATEST((cents - 0) // 2500, 0), 19) AS bin FROM c),
+        |asg AS (SELECT cents, (SELECT count(*) FROM cuts
+        |    WHERE a.bin > cuts.qbin) AS bucket FROM a)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(cents) AS BIGINT) AS lo_cents,
+        |  CAST(max(cents) AS BIGINT) AS hi_cents
+        |FROM asg GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val cents = events(s, d).filter(col("value").isNotNull)
+        .select(round(col("value") * 100).cast("long").as("cents"))
+      Sketches.discretizeByQuantiles(cents, "cents", 0L, 2500L, 20, 4)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("cents").as("lo_cents"),
+          max("cents").as("hi_cents"))
+        .orderBy("bucket")
+    },
+
     // SKETCH: per-GROUP histogram quantiles — p50/p99 cents per event
     // type from grouped fixed-bin sketches; the cumulative window is
     // partitioned per group (≤20 rows each), so no single-partition

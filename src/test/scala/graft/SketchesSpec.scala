@@ -36,6 +36,27 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("discretizeByQuantiles: buckets are value-monotone, bin-atomic, " +
+      "and near-balanced on uniform data") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 10000).select((col("id") % 1000).as("v"))
+    val stats = Sketches.discretizeByQuantiles(df, "v", 0L, 10L, 100, 4)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(stats.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    // monotone and bin-atomic: bucket boundaries sit on bin edges,
+    // so consecutive buckets never share a bin
+    for (Array((_, _, _, hi), (_, _, lo2, _)) <- stats.sliding(2)) {
+      assert(hi / 10 < lo2 / 10, s"buckets overlap: hi=$hi lo=$lo2")
+    }
+    // equi-depth on uniform data: each bucket 2500 ± one bin's mass
+    assert(stats.forall { case (_, n, _, _) =>
+      math.abs(n - 2500L) <= 100L }, stats.toSeq)
+    assert(stats.map(_._2).sum == 10000L)
+  }
+
   test("hll estimate lands within the m=256 error envelope") {
     for (n <- Seq(1000, 5000, 20000)) {
       val est = Sketches.hllEstimate(range(n), "v", 256)
