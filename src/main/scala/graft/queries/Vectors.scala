@@ -328,6 +328,51 @@ object Vectors {
       Similarity.recallAtK(exact, approx, "vec_id")
     },
 
+    // MMR diversified top-k (V19): greedy λ·rel − (1−λ)·max-sim
+    // re-rank of the 20-deep relevance shortlist, λ=0.7, k=4 — the
+    // oracle unrolls the four greedy steps with the same micro-int
+    // arithmetic (the kmeansIterSql technique).
+    Q("q_v_mmr_topk", {
+      def simMicro(a: String, b: String): String =
+        s"CAST(floor(${sqlCosine(a, b)} * 1000000) AS BIGINT)"
+      def pick(n: Int): String = {
+        val prev = (1 until n).map(i => s"SELECT * FROM p$i")
+          .mkString(" UNION ALL ")
+        s"""m$n AS (SELECT c.vec_id, c.embedding, c.rel,
+           |    700 * c.rel - 300 * (SELECT max(${simMicro("c.embedding",
+            "p.embedding")})
+           |      FROM ($prev) p) AS score
+           |  FROM c0 c WHERE c.vec_id NOT IN
+           |    (SELECT vec_id FROM ($prev))),
+           |p$n AS (SELECT vec_id, embedding, rel, score FROM m$n
+           |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+      }
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+         |  WHERE vec_id = 0),
+         |c0 AS (SELECT vec_id, embedding,
+         |    CAST(floor(${sqlCosine("embedding", "qv")} * 1000000)
+         |      AS BIGINT) AS rel
+         |  FROM embeddings, q
+         |  ORDER BY rel DESC, vec_id LIMIT 20),
+         |p1 AS (SELECT vec_id, embedding, rel, 700 * rel AS score
+         |  FROM c0 ORDER BY score DESC, vec_id LIMIT 1),
+         |${pick(2)},
+         |${pick(3)},
+         |${pick(4)}
+         |SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel AS rel_micro,
+         |  score AS score_micro FROM p1
+         |UNION ALL SELECT 2, vec_id, rel, score FROM p2
+         |UNION ALL SELECT 3, vec_id, rel, score FROM p3
+         |UNION ALL SELECT 4, vec_id, rel, score FROM p4
+         |ORDER BY rank""".stripMargin
+    }) { (s, d) =>
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.mmrTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          q, 700, 20, 4)
+        .orderBy("rank")
+    },
+
     // IVF inverted-list assignment (deterministic seed centroids).
     Q("q_v_ivf_assign",
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv

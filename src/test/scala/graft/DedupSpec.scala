@@ -790,6 +790,35 @@ class DedupSpec extends SparkSpec {
     assert(k2 == Set(1L, 2L), k2)
   }
 
+  test("mmrTopK: λ=1 reduces to pure relevance order; a near-duplicate " +
+      "of the first pick demotes below a diverse candidate") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a and b are near-duplicates highly relevant to q; c is diverse
+    // and moderately relevant
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.10f, 0.0f, 0.0f)),   // a: rel ≈ .995
+      (2L, Seq(1.0f, 0.11f, 0.0f, 0.0f)),   // b: rel ≈ .994, sim(a,b) ≈ 1
+      (3L, Seq(0.5f, 0.80f, 0.0f, 0.0f)))   // c: rel ≈ .53
+      .toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("qvec")
+    val pure = Similarity.mmrTopK(corpus, "vec_id", "embedding", q,
+        1000, 3, 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(pure == Seq(1L, 2L, 3L), s"λ=1 must be relevance order: $pure")
+    val diverse = Similarity.mmrTopK(corpus, "vec_id", "embedding", q,
+        400, 3, 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(diverse == Seq(1L, 3L, 2L),
+      s"the near-duplicate must demote below the diverse pick: $diverse")
+    // scores are monotone non-increasing down the ranking at any λ
+    val scores = Similarity.mmrTopK(corpus, "vec_id", "embedding", q,
+        700, 3, 3)
+      .orderBy("rank").select("score_micro").as[Long].collect()
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)), scores.toSeq)
+  }
+
   test("recallAtK: identity is 1000, disjoint is 0, partial is exact milli") {
     import graft.operators.Similarity
     val exact = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
