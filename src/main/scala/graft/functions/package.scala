@@ -311,6 +311,15 @@ package object functions {
     coalesce(when(digitsOnly, total % 10 === 0), lit(false))
   }
 
+  /** Keyed pseudonymization: HMAC-SHA256 of a string column under a
+    * secret string key, as lowercase hex (native graft_hmac_sha256).
+    * Same value → same token (joins keep working across tables);
+    * RFC 2104 HMAC, so no length-extension forgery and no un-keyed
+    * rainbow table. Requires GraftExtensions. */
+  def pseudonymize(key: Column, c: Column): Column =
+    call_function("graft_hmac_sha256",
+      encode(key, "UTF-8"), encode(c, "UTF-8"))
+
   /** Unicode NFC normalization (native graft_nfc expression) — the
     * canonicalization exact-dedup keys need on crawl text, where the
     * same accented string arrives precomposed and decomposed and

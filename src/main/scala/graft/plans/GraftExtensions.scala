@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BloomMemberExpr, BpeApplyExpr, CmsCountersAgg, DotProductFloat, HllRegistersAgg, MinHashSigExpr, MinHashTextExpr, JpegDimsExpr, NfcNormalizeExpr, QualityPackExpr, RollingFpArray, ShingleHashesExpr, ShinglePosHashesExpr, ShinglesExpr, SimHashExpr}
+import graft.expressions.{BloomMemberExpr, BpeApplyExpr, CmsCountersAgg, DotProductFloat, HllRegistersAgg, HmacSha256Expr, MinHashSigExpr, MinHashTextExpr, JpegDimsExpr, NfcNormalizeExpr, QualityPackExpr, RollingFpArray, ShingleHashesExpr, ShinglePosHashesExpr, ShinglesExpr, SimHashExpr}
 
 /** Session extension registering the engine's native expressions —
   * enabled with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -85,6 +85,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
       (children: Seq[Expression]) => NfcNormalizeExpr(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hmac_sha256"),
+      new ExpressionInfo(classOf[HmacSha256Expr].getName,
+        "graft_hmac_sha256"),
+      (children: Seq[Expression]) =>
+        HmacSha256Expr(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_jpeg_dims"),
       new ExpressionInfo(classOf[JpegDimsExpr].getName,

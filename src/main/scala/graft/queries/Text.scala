@@ -656,6 +656,37 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // PSEUDONYMIZATION (T25): keyed HMAC-SHA256 tokenization — the
+    // governance step that replaces PII with join-preserving tokens.
+    // Graded against the RFC 4231 test vectors (the oracle is the
+    // published expected digests; binary keys/messages via unhex).
+    Q("q_t_pseudonymize",
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT),
+        |   'b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7'),
+        |  (CAST(2 AS BIGINT),
+        |   '5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843'),
+        |  (CAST(3 AS BIGINT),
+        |   '773ea91e36800e46854db8ebd09181a72959098b3ef8c122d9635514ced565fe'),
+        |  (CAST(4 AS BIGINT),
+        |   '82558a389a443c0ea4cc819899f2083a85f0faa3e578f8077a2e3ff46729665b'))
+        |  AS t(case_id, hmac_hex) ORDER BY case_id""".stripMargin) {
+      (s, _) =>
+      import s.implicits._
+      def hx(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+      val cases = Seq(
+        (1L, "0b" * 20, hx("Hi There".getBytes("UTF-8"))),
+        (2L, hx("Jefe".getBytes("UTF-8")),
+          hx("what do ya want for nothing?".getBytes("UTF-8"))),
+        (3L, "aa" * 20, "dd" * 50),
+        (4L, (1 to 25).map("%02x".format(_)).mkString, "cd" * 50))
+        .toDF("case_id", "key_hex", "val_hex")
+      cases.select($"case_id",
+          call_function("graft_hmac_sha256", unhex($"key_hex"),
+            unhex($"val_hex")).as("hmac_hex"))
+        .orderBy("case_id")
+    },
+
     // TOKENIZER COVERAGE: per-doc out-of-vocabulary rate against the
     // top-16 df vocab (16 < the corpus's 31 distinct tokens, so the
     // OOV mass is real at every SF). Vocab broadcasts; counts

@@ -213,6 +213,28 @@ class FunctionsSpec extends SparkSpec {
     assert(eval(domainOf(lit(null).cast("string"))) == "")
   }
 
+  test("pseudonymize: deterministic, key-sensitive, distinct-preserving, " +
+      "null-safe") {
+    import spark.implicits._
+    val key = lit("corpus-key-2026")
+    // determinism + key sensitivity
+    assert(eval(pseudonymize(key, lit("alice@example.com"))) ==
+      eval(pseudonymize(key, lit("alice@example.com"))))
+    assert(eval(pseudonymize(key, lit("alice@example.com"))) !=
+      eval(pseudonymize(lit("other-key"), lit("alice@example.com"))))
+    assert(eval(pseudonymize(key, lit("alice@example.com"))) !=
+      eval(pseudonymize(key, lit("bob@example.com"))))
+    // 64 lowercase hex chars
+    val tok = eval(pseudonymize(key, lit("x"))).asInstanceOf[String]
+    assert(tok.length == 64 && tok.forall("0123456789abcdef".contains(_)))
+    // join preservation: tokenizing a column keeps its distinct count
+    val df = (1 to 200).map(i => s"user${i % 37}@ex.org").toDF("email")
+    val n = df.select(countDistinct(pseudonymize(key, col("email"))),
+      countDistinct(col("email"))).as[(Long, Long)].head()
+    assert(n._1 == n._2 && n._1 == 37L, n)
+    assert(eval(pseudonymize(key, lit(null).cast("string"))) == null)
+  }
+
   test("luhnValid: canonical check digits pass, neighbors fail, " +
       "non-digit/empty/null are false (never null)") {
     // the canonical Luhn example and its off-by-one neighbor
