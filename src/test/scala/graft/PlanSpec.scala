@@ -406,6 +406,33 @@ class PlanSpec extends SparkSpec {
       s"the partition column must not fall through to a data filter:\n$plan")
   }
 
+  test("featureHash: signed sums partial-aggregate map-side; the only " +
+      "keyed exchange is the (id, idx) aggregation") {
+    val plan = planOf("q_t_feature_hash")
+    assert(plan.contains("partial_sum"),
+      s"per-task feature sums must combine before the exchange:\n$plan")
+    val keyed = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(keyed == 1,
+      s"expected exactly one keyed exchange, found $keyed:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("hllTrailingDistinct: register build partial-aggregates; the " +
+      "window merge never cartesians") {
+    val plan = planOf("q_k_hll_trailing")
+    assert(plan.contains("partial_max"),
+      s"per-task register maxes must combine before the exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("keepByMassBudget: both window passes share ONE keyed exchange") {
+    val plan = planOf("q_cur_mass_budget")
+    val keyed = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(keyed == 1,
+      s"cum and total windows must reuse the group partitioning " +
+        s"(found $keyed keyed exchanges):\n$plan")
+  }
+
   test("NfcIdempotence rule: nested graft_nfc collapses to one call") {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(s"$sf/documents.parquet")
