@@ -1156,6 +1156,94 @@ object TextAnalysis {
           .otherwise(expr("nll_milli_sum div n_bigrams")))
   }
 
+  /** T26: interpolated Kneser-Ney bigram NLL (Kneser & Ney 1995;
+    * Chen & Goodman 1999's absolute-discount interpolated form — the
+    * canonical n-gram smoothing, against which stupid backoff is the
+    * cheap approximation):
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + (D·n1f(w1)/c1) · n1b(w2)/T
+    *
+    * with D the absolute discount (milli), n1f(w1) = distinct
+    * continuations of w1, n1b(w2) = distinct contexts of w2 (the
+    * continuation count that makes "Francisco" cheap after "San" but
+    * expensive elsewhere — KN's defining idea), T = distinct bigram
+    * types. Over a common denominator the probability is the exact
+    * integer rational
+    *
+    *   [max(1000·c12 − D, 0)·T + D·n1f·max(n1b, 1)] / [1000·c1·T]
+    *
+    * so the per-gram NLL is ONE ln of an exact-int ratio,
+    * milli-floored — the same determinism discipline as
+    * [[stupidBackoffNll]]. An unseen context (no c1) scores the bare
+    * continuation distribution max(n1b, 1)/T; unseen w2 floors at
+    * one type. Int64 envelope: 1000·c1·T must stay below 2⁶³ —
+    * c1·T ≤ 9.2·10¹⁵ (a 10⁹-token context set with 10⁶ bigram types
+    * is safe by 1000×); beyond that, divide the shared T factor out
+    * of both sides before the log.
+    *
+    * Plan shape: the four count tables are partial-agg groupBys over
+    * the TRAIN side, persisted/reusable; the target side pays one
+    * shingle explode + keyed joins (AQE-broadcast when vocab-sized)
+    * + one per-doc groupBy. Same shape as stupid backoff — KN costs
+    * two more count-table joins, not a new shuffle pattern. */
+  def knNll(train: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, discountMilli: Long = 750L): DataFrame = {
+    require(discountMilli > 0 && discountMilli < 1000,
+      s"discountMilli must be in (0, 1000): $discountMilli")
+    val trainGrams = train.select(
+        explode(call_function("graft_shingles",
+          tokens(col(textCol)), lit(2))).as("__g"))
+      .localCheckpoint(eager = false)
+    val big = trainGrams.groupBy("__g").agg(count(lit(1)).as("__c12"))
+    val ctx = trainGrams
+      .select(element_at(split(col("__g"), " "), 1).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val bigW = big
+      .withColumn("__w1", element_at(split(col("__g"), " "), 1))
+      .withColumn("__w2", element_at(split(col("__g"), " "), 2))
+    val n1f = bigW.groupBy("__w1").agg(count(lit(1)).as("__n1f"))
+    val n1b = bigW.groupBy("__w2").agg(count(lit(1)).as("__n1b"))
+    val tot = big.agg(count(lit(1)).as("__t"))
+    val d = lit(discountMilli)
+    val scored = target.select(col(idCol),
+        explode(call_function("graft_shingles",
+          tokens(col(textCol)), lit(2))).as("__g"))
+      .withColumn("__w1", element_at(split(col("__g"), " "), 1))
+      .withColumn("__w2", element_at(split(col("__g"), " "), 2))
+      .join(big, Seq("__g"), "left")
+      .join(ctx, Seq("__w1"), "left")
+      .join(n1f, Seq("__w1"), "left")
+      .join(n1b, Seq("__w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        col("__c1").isNull.cast("long").as("__unseen"),
+        when(col("__c1").isNotNull,
+          floor(log((lit(1000L) * col("__c1") * col("__t"))
+              .cast("double")
+            / (greatest(lit(1000L) * coalesce(col("__c12"), lit(0L)) - d,
+                lit(0L)) * col("__t")
+              + d * col("__n1f") * greatest(coalesce(col("__n1b"),
+                lit(1L)), lit(1L))).cast("double")) * 1000.0d)
+            .cast("long"))
+          .otherwise(
+            floor(log(col("__t").cast("double")
+              / greatest(coalesce(col("__n1b"), lit(1L)), lit(1L))
+                .cast("double")) * 1000.0d).cast("long"))
+          .as("__m"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__unseen")).as("n_unseen_ctx"),
+        sum(col("__m")).as("nll_milli_sum"))
+    target.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen_ctx"), lit(0L)).as("n_unseen_ctx"),
+        coalesce(col("nll_milli_sum"), lit(0L)).as("nll_milli_sum"))
+      .withColumn("avg_nll_milli",
+        when(col("n_bigrams") === 0, lit(0L))
+          .otherwise(expr("nll_milli_sum div n_bigrams")))
+  }
+
   /** Span-level decontamination — the surgical alternative to
     * dropping whole contaminated documents: every training-side
     * token covered by an n-gram that also appears in the eval corpus

@@ -1511,6 +1511,62 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // LM SCORING (T26): interpolated Kneser-Ney bigram NLL — the
+    // canonical smoothing (continuation counts make frequent-type
+    // tails cheap), same even/odd train/target split and the same
+    // exact-integer-rational + one-milli-floored-ln discipline as
+    // stupid backoff. D = 0.75.
+    Q("q_t_kn_nll",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |tr AS (SELECT doc_id, t FROM tok WHERE doc_id % 2 = 0),
+         |tg AS (SELECT doc_id, t FROM tok WHERE doc_id % 2 = 1),
+         |g0 AS (SELECT unnest(${sqlShingles("t", 2)}) AS g FROM tr),
+         |c12 AS (SELECT g, count(*) AS c FROM g0 GROUP BY 1),
+         |ctx AS (SELECT string_split(g, ' ')[1] AS w1, count(*) AS c1
+         |  FROM g0 GROUP BY 1),
+         |n1f AS (SELECT string_split(g, ' ')[1] AS w1,
+         |  count(*) AS nf FROM c12 GROUP BY 1),
+         |n1b AS (SELECT string_split(g, ' ')[2] AS w2,
+         |  count(*) AS nb FROM c12 GROUP BY 1),
+         |tt AS (SELECT count(*) AS t FROM c12),
+         |tgg AS (SELECT doc_id, unnest(${sqlShingles("t", 2)}) AS g
+         |  FROM tg),
+         |sc AS (SELECT tgg.doc_id,
+         |    CASE WHEN ctx.c1 IS NULL THEN 1 ELSE 0 END AS us,
+         |    CAST(CASE WHEN ctx.c1 IS NOT NULL THEN
+         |      floor(ln(CAST(1000 * ctx.c1 * (SELECT t FROM tt)
+         |          AS DOUBLE)
+         |        / CAST(GREATEST(1000 * coalesce(c12.c, 0) - 750, 0)
+         |            * (SELECT t FROM tt)
+         |          + 750 * n1f.nf * GREATEST(coalesce(n1b.nb, 1), 1)
+         |          AS DOUBLE)) * 1000)
+         |    ELSE
+         |      floor(ln(CAST((SELECT t FROM tt) AS DOUBLE)
+         |        / CAST(GREATEST(coalesce(n1b.nb, 1), 1) AS DOUBLE))
+         |        * 1000)
+         |    END AS BIGINT) AS m
+         |  FROM tgg LEFT JOIN c12 USING (g)
+         |    LEFT JOIN ctx ON ctx.w1 = string_split(tgg.g, ' ')[1]
+         |    LEFT JOIN n1f ON n1f.w1 = string_split(tgg.g, ' ')[1]
+         |    LEFT JOIN n1b ON n1b.w2 = string_split(tgg.g, ' ')[2]),
+         |agg AS (SELECT doc_id, count(*) AS nbg, sum(us) AS nus,
+         |    sum(m) AS s FROM sc GROUP BY 1)
+         |SELECT tg.doc_id,
+         |  CAST(coalesce(nbg, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(nus, 0) AS BIGINT) AS n_unseen_ctx,
+         |  CAST(coalesce(s, 0) AS BIGINT) AS nll_milli_sum,
+         |  CAST(CASE WHEN coalesce(nbg, 0) = 0 THEN 0
+         |    ELSE s // nbg END AS BIGINT) AS avg_nll_milli
+         |FROM tg LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextAnalysis.knNll(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", 750L)
+        .orderBy("doc_id")
+    },
+
     // DECONTAM: span-level removal — excise eval-overlapping 5-gram
     // coverage from each training doc instead of dropping the doc
     // (q_t_decontam's split: doc_id % 97 = 0 is the eval side).

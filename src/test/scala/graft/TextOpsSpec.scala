@@ -443,6 +443,29 @@ class TextOpsSpec extends SparkSpec {
       6L -> 5, 7L -> 3, 8L -> 0), out)
   }
 
+  test("knNll: hand-computed conditional, unseen-continuation, and " +
+      "unseen-context millis on the toy corpus") {
+    // train "a b a c": c12 all 1; c1(a)=2, c1(b)=1; n1f(a)=2, n1f(b)=1;
+    // n1b(a)=n1b(b)=n1b(c)=1; T=3. With D=0.75:
+    //   P(b|a) = 250·3 + 750·2·1 over 1000·2·3 = 2250/6000
+    //   P(z|a) = 0 + 750·2·1 over 6000 = 1500/6000 (unseen cont. → 1)
+    //   P(a|z) = n1b(a)/T = 1/3 (unseen context)
+    // (and Σ_{w∈{a,b,c}} P(w|a) = .375+.25+.375 = 1 — KN normalizes)
+    val train = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val target = Seq((1L, "a b"), (3L, "a z"), (5L, "z a"), (7L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.knNll(train, target, "doc_id", "text", 750L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((1L, 0L, 980L)),   // floor(ln(6000/2250)·1000)
+      out(1L).toString)
+    assert(out(3L) == ((1L, 0L, 1386L)),  // floor(ln(4)·1000)
+      out(3L).toString)
+    assert(out(5L) == ((1L, 1L, 1098L)),  // floor(ln(3)·1000)
+      out(5L).toString)
+    assert(out(7L) == ((0L, 0L, 0L)))
+  }
+
   test("featureHash: signed sums combine collisions exactly, indices " +
       "bounded, empty/null docs vanish, zero-sums dropped") {
     import graft.functions.{hash31, hash60b}
