@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Merge, Temporal}
+import graft.functions.pseudonymize
 import graft.streaming.{Incremental, Sessionize}
 
 /** The mutation/merge [Q] inventory (SURVEY.md §2.6) plus the
@@ -511,6 +512,40 @@ object Merges {
         .agg(count(lit(1)).as("n"))
         .select(lit("__pass").as("rule"), col("n"))
       perRule.unionByName(clean).orderBy("rule")
+    },
+
+    // E2E GOVERNANCE (E7): quarantine → pseudonymize → load, composed
+    // from the graded stages. Clean rows tokenize their customer key
+    // under a secret; the oracle checks the composition through the
+    // HMAC's distinct-preservation law (DuckDB cannot compute the
+    // tokens, but their DISTINCT COUNT must equal the cleartext's —
+    // that equality IS the join-preservation contract) plus the
+    // exact clean/reject split counts.
+    Q("q_e2e_governed",
+      """WITH v AS (SELECT o_custkey,
+        |  (o_totalprice IS NULL OR o_totalprice < 1
+        |     OR o_totalprice > 200000) AS v1,
+        |  (o_orderstatus IS NULL
+        |     OR o_orderstatus NOT IN ('O', 'F')) AS v2
+        | FROM orders)
+        |SELECT CAST(count(*) FILTER (NOT v1 AND NOT v2) AS BIGINT)
+        |    AS n_clean,
+        |  CAST(count(*) FILTER (v1 OR v2) AS BIGINT) AS n_rejects,
+        |  CAST(count(DISTINCT o_custkey)
+        |    FILTER (NOT v1 AND NOT v2) AS BIGINT) AS n_tokens
+        |FROM v""".stripMargin) { (s, d) =>
+      import graft.operators.Constraints._
+      val (good, rejects) = quarantine(t(s, d, "orders"), Seq(
+        RowInRange("o_totalprice", 1, 200000),
+        RowInSet("o_orderstatus", Seq("O", "F"))))
+      val tokenized = good.select(
+        pseudonymize(lit("governed-key"),
+          col("o_custkey").cast("string")).as("cust_token"))
+      tokenized.agg(count(lit(1)).as("n_clean"),
+          countDistinct(col("cust_token")).as("n_tokens"))
+        .crossJoin(broadcast(
+          rejects.agg(count(lit(1)).as("n_rejects"))))
+        .select(col("n_clean"), col("n_rejects"), col("n_tokens"))
     },
 
     // PIVOT: events per day × type matrix (engine extension — the
