@@ -252,6 +252,28 @@ object Pipelines {
         .orderBy("id")
     },
 
+    // S6: LIVE HTTP fetch through the real transport — a loopback
+    // server plays the reference's image CDN; every fifth URL is a
+    // transient-503 endpoint that Remote's retry must recover (the
+    // body then matches the healthy one, so a green hash PROVES the
+    // retry fired — a failed retry surfaces as an error, a skipped
+    // one as a missing row).
+    Q("q_s6_http_fetch",
+      """SELECT doc_id, concat('doc ', doc_id, ' payload') AS body
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+      val port = graft.sources.HttpFixture.port
+      val urls = t(s, d, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          concat(lit(s"http://127.0.0.1:$port/"),
+            when(col("doc_id") % 5 === 0, "flaky/").otherwise("doc/"),
+            col("doc_id").cast("string")).as("url"))
+      graft.sources.Sources.httpFetch(urls, "url",
+          graft.sources.Sources.httpGet,
+          attempts = 3, backoffMs = 20, minIntervalMs = 0)
+        .select("doc_id", "body").orderBy("doc_id")
+    },
+
     // §7.2 E2E slice, audit output: products per collection top-k.
     Q("q_e2e_import_topk",
       """SELECT * FROM (VALUES ('M001', CAST(3 AS BIGINT)),

@@ -91,6 +91,26 @@ object Sources {
     CsvSplit(good, rejects, raw)
   }
 
+  /** The REAL HTTP transport for [[httpFetch]]'s `fetch` seam: one
+    * GET, UTF-8 body, non-2xx throws (so `Services.Remote` retries
+    * transient failures and surfaces permanent ones). JDK
+    * HttpURLConnection — no client library, same dependency-free
+    * discipline as [[PgWire]]. */
+  def httpGet(url: String): String = {
+    val conn = java.net.URI.create(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(15000)
+    val code = conn.getResponseCode
+    if (code / 100 != 2) {
+      Option(conn.getErrorStream).foreach(_.close())
+      throw new java.io.IOException(s"HTTP $code for $url")
+    }
+    val in = conn.getInputStream
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   /** S6: HTTP fetch per URL row — a `Services.Remote`-wrapped call
     * (retry + politeness pacing, I3/I4) applied inside the executors;
     * the provided `fetch` does the actual I/O so tests can inject a

@@ -354,6 +354,36 @@ class PipelineSpec extends SparkSpec {
       "release() must evict the parse cache")
   }
 
+  test("httpFetch over the REAL transport: transient 503s are retried " +
+      "to success (hit counts prove it), permanent failures exhaust " +
+      "attempts loudly") {
+    import graft.sources.{HttpFixture, Sources}
+    val port = HttpFixture.port
+    HttpFixture.hits.clear()
+    val urls = Seq(11L, 12L, 13L).map(i =>
+        (i, s"http://127.0.0.1:$port/doc/$i")) ++
+      Seq(14L, 15L).map(i => (i, s"http://127.0.0.1:$port/flaky/$i"))
+    val out = Sources.httpFetch(urls.toDF("id", "url"), "url",
+        Sources.httpGet, attempts = 3, backoffMs = 10,
+        minIntervalMs = 0)
+      .select("id", "body").as[(Long, String)].collect().toMap
+    assert(out == (11L to 15L).map(i => i -> s"doc $i payload").toMap)
+    // the flaky endpoints were actually hit twice (503 then 200);
+    // healthy ones exactly once — the retry is real, not decorative
+    assert(HttpFixture.hits.get("/flaky/14") == 2)
+    assert(HttpFixture.hits.get("/flaky/15") == 2)
+    assert(HttpFixture.hits.get("/doc/11") == 1)
+    // permanent failure: all attempts burned, error surfaces
+    val dead = Sources.httpFetch(
+      Seq((1L, s"http://127.0.0.1:$port/dead/1")).toDF("id", "url"),
+      "url", Sources.httpGet, attempts = 3, backoffMs = 5,
+      minIntervalMs = 0)
+    val e = intercept[Exception] { dead.collect() }
+    assert(e.getMessage != null)
+    assert(HttpFixture.hits.get("/dead/1") == 3,
+      "permanent failure must burn exactly `attempts` requests")
+  }
+
   test("PgWire: live PostgreSQL round trip — the array grammar parses, " +
       "typed driver reads and predicate-sliced executor reads agree " +
       "with the seeded truth") {
