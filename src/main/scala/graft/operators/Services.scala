@@ -55,6 +55,28 @@ object Services {
       upper(substring(md5(concat_ws("|", category, collection)), 1, 8))
         .as("sku"))
 
+  /** U1/U2 over a LIVE HTTP backend: each row's text POSTs to
+    * `endpoint?src=..&dst=..` through [[Remote]]'s retry/pacing —
+    * the reference's per-row translate loop
+    * (utils/universal_translator.py:28-43) as an executor-side
+    * service call. The sandbox backend ([[graft.sources
+    * .HttpFixture]]) implements the same deterministic transform as
+    * [[translateStub]], so the stub's oracle grades the live wire;
+    * swapping `endpoint` to a real translate API is a config change,
+    * not a code change. */
+  def translateHttp(df: org.apache.spark.sql.DataFrame,
+      textCol: String, src: String, dst: String, endpoint: String,
+      attempts: Int = 3, backoffMs: Long = 2000,
+      minIntervalMs: Long = 0): org.apache.spark.sql.DataFrame = {
+    val url = s"$endpoint?src=$src&dst=$dst"
+    val remote = Remote(
+      (text: String) => graft.sources.Sources.httpPost(url, text),
+      attempts, backoffMs, minIntervalMs)
+    val u = udf((text: String) =>
+      if (text == null) remote("") else remote(text))
+    df.withColumn("translated", u(col(textCol)))
+  }
+
   // ---- real-backend plumbing (I3 rate limit + I4 retry) ----
 
   /** Per-executor-thread token-bucket pacing + bounded retry with

@@ -1203,6 +1203,26 @@ object Vectors {
         .orderBy("doc_id")
     },
 
+    // U1-live: the SAME translate contract through a real HTTP POST
+    // round trip per row (loopback backend implements the stub's
+    // deterministic transform — the oracle is identical to the stub
+    // query's; swapping the endpoint to a real API is config).
+    Q("q_u1_translate_http",
+      """SELECT doc_id, concat('[zh->en] ', substr(text, 1, 40))
+        |  AS translated
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+      val port = graft.sources.HttpFixture.port
+      Services.translateHttp(
+          t(s, d, "documents").filter(col("doc_id") < 50)
+            .select(col("doc_id"),
+              substring(col("text"), 1, 40).as("snippet")),
+          "snippet", "zh", "en",
+          s"http://127.0.0.1:$port/translate", backoffMs = 20)
+        .select(col("doc_id"), col("translated"))
+        .orderBy("doc_id")
+    },
+
     // U3: structured logistics extraction stub (5-field struct).
     Q("q_u3_extract_logistics",
       """SELECT doc_id,

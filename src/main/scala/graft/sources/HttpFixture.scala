@@ -30,7 +30,19 @@ object HttpFixture {
       val n: Int = hits.merge(path, 1, (a, b) => a + b)
       val id = path.substring(path.lastIndexOf('/') + 1)
       val (code, body) =
-        if (path.startsWith("/dead/")) (500, "permanent failure")
+        if (path.startsWith("/translate")) {
+          // POST text/plain body; query ?src=..&dst=..; responds with
+          // the SAME deterministic transform Services.translateStub
+          // defines, so the stub oracle grades the live wire too
+          val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+          val ps = q.split("&").filter(_.contains("="))
+            .map(kv => kv.split("=", 2)).map(a => a(0) -> a(1)).toMap
+          val text = new String(
+            ex.getRequestBody.readAllBytes(), UTF_8)
+          (200, s"[${ps.getOrElse("src", "?")}->" +
+            s"${ps.getOrElse("dst", "?")}] $text")
+        }
+        else if (path.startsWith("/dead/")) (500, "permanent failure")
         else if (path.startsWith("/flaky/") && n == 1)
           (503, "transient failure")
         else (200, s"doc $id payload")

@@ -111,6 +111,30 @@ object Sources {
     finally in.close()
   }
 
+  /** POST sibling of [[httpGet]] — UTF-8 body out, UTF-8 body back,
+    * non-2xx throws. The transport under [[graft.operators.Services
+    * .translateHttp]]'s per-row service calls. */
+  def httpPost(url: String, body: String): String = {
+    val conn = java.net.URI.create(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(15000)
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
+    val out = conn.getOutputStream
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val code = conn.getResponseCode
+    if (code / 100 != 2) {
+      Option(conn.getErrorStream).foreach(_.close())
+      throw new java.io.IOException(s"HTTP $code for $url")
+    }
+    val in = conn.getInputStream
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   /** S6: HTTP fetch per URL row — a `Services.Remote`-wrapped call
     * (retry + politeness pacing, I3/I4) applied inside the executors;
     * the provided `fetch` does the actual I/O so tests can inject a
