@@ -683,6 +683,78 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PgWire array grammar: every generated text[] round-trips " +
+      "through a LIVE postgres — quotes, backslashes, braces, commas, " +
+      "CJK, empty strings, NULL elements, and the literal 'NULL'") {
+    import graft.sources.{PgServer, PgWire}
+    val (h, p) = PgServer.hostPort
+    val trickyChar: Gen[Char] = Gen.frequency(
+      4 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', ',', '"', '\\', '{', '}', '\'', 'é', '中'))
+    val elem: Gen[Option[String]] = Gen.frequency(
+      6 -> Gen.choose(0, 6)
+        .flatMap(n => Gen.listOfN(n, trickyChar)).map(cs => Some(cs.mkString)),
+      1 -> Gen.const(None),           // SQL NULL element
+      1 -> Gen.const(Some("NULL")))   // the STRING "NULL" must survive
+    val arrays: Seq[List[Option[String]]] = samples(
+      Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, elem)), 40)
+    def sqlLit(a: List[Option[String]]): String =
+      if (a.isEmpty) "ARRAY[]::text[]"
+      else a.map {
+        case None => "NULL"
+        case Some(s) => "'" + s.replace("'", "''") + "'"
+      }.mkString("ARRAY[", ",", "]::text[]")
+    val values = arrays.zipWithIndex
+      .map { case (a, i) => s"($i::bigint, ${sqlLit(a)})" }
+      .mkString(",")
+    val got = PgWire.readTable(spark, h, p, "graft", "postgres",
+        s"SELECT k, arr FROM (VALUES $values) v(k, arr) ORDER BY k")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    arrays.zipWithIndex.foreach { case (a, i) =>
+      val want = a.map(_.orNull)
+      assert(got(i.toLong) == want,
+        s"case $i: got ${got(i.toLong)} want $want")
+    }
+  }
+
+  test("ManifestTable law: for any append/overwrite commit sequence, " +
+      "every version reads back exactly its expected row set") {
+    import graft.sources.ManifestTable
+    val cases: Seq[List[(Boolean, Int, Int)]] = samples(for {
+      n <- Gen.choose(2, 5)
+      commits <- Gen.listOfN(n, for {
+        append <- Gen.oneOf(true, false)
+        lo <- Gen.choose(0, 50)
+        len <- Gen.choose(1, 30)
+      } yield (append, lo, len))
+    } yield commits, 6)
+    cases.zipWithIndex.foreach { case (commits, ci) =>
+      val table = java.nio.file.Files
+        .createTempDirectory(s"graft-manifest-law-$ci").toString
+      var expected = List.empty[Set[Long]]
+      commits.foreach { case (append, lo, len) =>
+        val rows = (lo.toLong until (lo + len).toLong).toSet
+        val prev = expected.lastOption.getOrElse(Set.empty[Long])
+        // append carries files (multisets of rows) forward; to keep
+        // the law set-valued, appended batches are disjoint-shifted
+        val shifted = rows.map(_ + 1000L * (expected.size + 1))
+        val df = shifted.toSeq.toDF("k")
+        ManifestTable.commit(df, table, append)
+        expected :+= (if (append) prev ++ shifted else shifted)
+      }
+      assert(ManifestTable.versions(table) ==
+        (1L to commits.length.toLong))
+      expected.zipWithIndex.foreach { case (want, vi) =>
+        val got = ManifestTable.read(spark, table, Some(vi + 1L))
+          .as[Long].collect().toSet
+        assert(got == want,
+          s"case $ci v${vi + 1}: ${got.size} rows != ${want.size}")
+      }
+    }
+  }
+
   test("binary quantization law: codes match the scalar MSB-first pack " +
       "and hamming equals the sign-disagreement count") {
     import graft.operators.Similarity
