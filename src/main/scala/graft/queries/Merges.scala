@@ -853,6 +853,40 @@ object Merges {
         .orderBy("window_start_us", "event_type")
     },
 
+    // STREAMING MANIFEST SINK (ST7): micro-batches commit into the
+    // L5 manifest table under batch-id tags; the ENTIRE stream runs
+    // TWICE from fresh checkpoints, so every tagged commit replays —
+    // without the idempotence handshake each count below would
+    // double. Oracle = plain batch aggregate from the source parquet.
+    Q("q_st_manifest_sink",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-st-manifest").toString
+      val table = s"$work/table"
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      // the file stream source only accepts directories — stage the
+      // input file into one (exactlyOnceIngest's arrangement)
+      val srcDir = java.nio.file.Paths.get(work, "source")
+      java.nio.file.Files.createDirectories(srcDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        srcDir.resolve("part-0.parquet"))
+      for (run <- 1 to 2) {
+        val stream = s.readStream.schema(schema)
+          .parquet(srcDir.toString)
+        graft.sources.ManifestTable.streamCommit(stream, table,
+          s"$work/ckpt$run")
+      }
+      graft.sources.ManifestTable.read(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("nu"))
+        .orderBy("event_type")
+    },
+
     // CDC APPLY: batch change-log merge — latest op per key wins,
     // upserts replace/insert full records, deletes drop the key. The
     // change set synthesizes an update stream (keys %5 -> status 'A'

@@ -417,6 +417,31 @@ class PipelineSpec extends SparkSpec {
     assert(got == want, s"partitioned union mismatch: ${got.size}")
   }
 
+  test("ManifestTable.commitTagged: a replayed tag is a no-op (same " +
+      "version, no new data); fresh tags and untagged commits publish") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-manifest-tag").toString
+    val b0 = (1L to 10L).toDF("k")
+    val v1 = ManifestTable.commitTagged(b0, table, append = true,
+      Some("batch-0"))
+    // the replay: same tag, DIFFERENT data — must be ignored wholesale
+    // (a retried micro-batch is byte-identical in practice; ignoring
+    // the payload is what makes the handshake safe under replay)
+    val v1b = ManifestTable.commitTagged((90L to 99L).toDF("k"), table,
+      append = true, Some("batch-0"))
+    assert(v1 == v1b && ManifestTable.versions(table) == Seq(1L))
+    assert(ManifestTable.read(spark, table).as[Long].collect().toSet ==
+      (1L to 10L).toSet)
+    val v2 = ManifestTable.commitTagged((11L to 15L).toDF("k"), table,
+      append = true, Some("batch-1"))
+    assert(v2 == 2L)
+    assert(ManifestTable.read(spark, table).count() == 15L)
+    // untagged commits never dedupe
+    assert(ManifestTable.commit(b0, table, append = true) == 3L)
+    assert(ManifestTable.read(spark, table).count() == 25L)
+  }
+
   test("ManifestTable: snapshots are atomic and listing-proof — stray " +
       "and unpublished files never surface, old versions stay readable") {
     import graft.sources.ManifestTable
