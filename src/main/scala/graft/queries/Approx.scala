@@ -832,6 +832,39 @@ object Approx {
       v1.unionAll(v2).orderBy("snap")
     },
 
+    // LAYOUT: manifest retention sweep (L6, the VACUUM half next to
+    // compaction's OPTIMIZE): three single-file overwrite commits,
+    // vacuum to the newest version — the two superseded files
+    // delete, old manifests retire, the surviving snapshot still
+    // reads exactly. Oracle recomputes the survivors from source
+    // parquet plus the deterministic file arithmetic.
+    Q("q_z_manifest_vacuum",
+      """SELECT CAST(1 AS BIGINT) AS n_versions,
+        |  CAST(1 AS BIGINT) AS files_kept,
+        |  CAST(2 AS BIGINT) AS files_deleted,
+        |  CAST(count(*) AS BIGINT) AS latest_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS latest_key_sum
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin) { (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-vacuum-q").toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      for (m <- 1 to 3) {
+        graft.sources.ManifestTable.commit(
+          orders.filter(col("o_orderkey") % m === 0).coalesce(1),
+          table, append = false)
+      }
+      val (kept, deleted) =
+        graft.sources.ManifestTable.vacuum(table, keepVersions = 1)
+      val vs = graft.sources.ManifestTable.versions(table)
+      graft.sources.ManifestTable.read(s, table)
+        .agg(count(lit(1)).as("latest_rows"),
+          sum("o_orderkey").as("latest_key_sum"))
+        .select(lit(vs.size.toLong).as("n_versions"),
+          lit(kept.toLong).as("files_kept"),
+          lit(deleted.toLong).as("files_deleted"),
+          col("latest_rows"), col("latest_key_sum"))
+    },
+
     // LAYOUT: bucketed co-located join (L4). Both tables are written
     // hash-bucketed and bucket-sorted on their join key; the
     // subsequent sort-merge join runs with ZERO exchange (PlanSpec

@@ -122,6 +122,38 @@ object ManifestTable {
     q.awaitTermination()
   }
 
+  /** Retention sweep (the VACUUM half of the lifecycle, next to the
+    * [[graft.operators.Layout.compactionPlan]] OPTIMIZE half): delete
+    * every data file not referenced by the newest `keepVersions`
+    * manifests, then retire the older manifests — time travel
+    * contracts to the retained window, storage stops growing without
+    * bound. The ONLY place the data directory is ever listed (a
+    * maintenance job, not a read path), and still metadata-sized
+    * work: the candidate set is file names, never file contents.
+    * Write-marker files (`_SUCCESS`) are left alone. Returns
+    * (files kept, files deleted). */
+  def vacuum(table: String, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, s"keepVersions must be ≥1: $keepVersions")
+    val vs = versions(table)
+    val keep = vs.takeRight(keepVersions)
+    val live = keep.flatMap(filesOf(table, _)).toSet
+    val dataRoot = Paths.get(table, "data")
+    val all =
+      if (!Files.isDirectory(dataRoot)) Seq.empty[Path]
+      else Files.walk(dataRoot).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_"))
+        .toSeq
+    val root = Paths.get(table)
+    val dead = all.filterNot(p => live.contains(
+      root.relativize(p).toString))
+    dead.foreach(Files.delete)
+    vs.dropRight(keepVersions).foreach(v =>
+      Files.delete(manifestDir(table).resolve(s"v$v")))
+    (live.size, dead.size)
+  }
+
   /** Read a snapshot: the given version, or the latest. Scans exactly
     * the manifest's file list — the data directory is never listed. */
   def read(spark: SparkSession, table: String,

@@ -417,6 +417,45 @@ class PipelineSpec extends SparkSpec {
     assert(got == want, s"partitioned union mismatch: ${got.size}")
   }
 
+  test("ManifestTable.vacuum: the retained window still reads exactly, " +
+      "retired versions fail loudly, strays and aborted writes are " +
+      "reclaimed") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-vacuum-spec").toString
+    val df = (1L to 60L).toDF("k")
+    ManifestTable.commit(df.filter($"k" <= 20), table, append = false)
+    ManifestTable.commit(df.filter($"k" > 20 && $"k" <= 40), table,
+      append = true)
+    ManifestTable.commit(df.filter($"k" > 40), table, append = true)
+    // a stray file and an aborted (unpublished) write — both
+    // unreferenced, both must be reclaimed by the sweep
+    df.limit(3).write.parquet(s"$table/data/c999")
+    df.limit(5).write.parquet(s"$table/data/c4")
+    val (kept, deleted) = ManifestTable.vacuum(table, keepVersions = 2)
+    assert(ManifestTable.versions(table) == Seq(2L, 3L))
+    assert(ManifestTable.read(spark, table, Some(3L))
+      .as[Long].collect().toSet == (1L to 60L).toSet,
+      "latest snapshot must survive the sweep intact")
+    assert(ManifestTable.read(spark, table, Some(2L))
+      .as[Long].collect().toSet == (1L to 40L).toSet)
+    intercept[IllegalArgumentException] {
+      ManifestTable.read(spark, table, Some(1L))
+    }
+    // nothing unreferenced survives on disk: v1's files are still
+    // LIVE (v2/v3 carried them forward by reference), so only the
+    // stray + aborted files died
+    assert(kept >= 3 && deleted >= 2, s"kept=$kept deleted=$deleted")
+    val remaining = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(table, "data"))
+      .iterator()
+    val live = scala.jdk.CollectionConverters.IteratorHasAsScala(remaining)
+      .asScala
+      .count(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("_"))
+    assert(live == kept, s"disk has $live parquet files, kept=$kept")
+  }
+
   test("ManifestTable.commitTagged: a replayed tag is a no-op (same " +
       "version, no new data); fresh tags and untagged commits publish") {
     import graft.sources.ManifestTable
