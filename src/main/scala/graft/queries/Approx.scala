@@ -865,6 +865,37 @@ object Approx {
           col("latest_rows"), col("latest_key_sum"))
     },
 
+    // LAYOUT: schema evolution ACROSS manifest commits (S16 × L5) —
+    // commit v1 before the status column existed, append v2 with it;
+    // the merged-schema snapshot read unions the LIVE files' footers
+    // (cost bounded by the snapshot, not directory history) and v1's
+    // rows surface the new column as NULL.
+    Q("q_z_manifest_evolve",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(o_orderstatus) AS BIGINT) AS with_status
+        |FROM (
+        |  SELECT CAST(NULL AS VARCHAR) AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus FROM orders WHERE o_orderkey % 2 = 1) u
+        |GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin) {
+      (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-manifest-ev").toString
+      val orders = t(s, d, "orders")
+      graft.sources.ManifestTable.commit(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey"), table, append = false)
+      graft.sources.ManifestTable.commit(
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_orderstatus"), table, append = true)
+      graft.sources.ManifestTable.read(s, table, mergeSchema = true)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderstatus")).as("with_status"))
+        .orderBy(col("o_orderstatus").asc_nulls_first)
+    },
+
     // LAYOUT: bucketed co-located join (L4). Both tables are written
     // hash-bucketed and bucket-sorted on their join key; the
     // subsequent sort-merge join runs with ZERO exchange (PlanSpec

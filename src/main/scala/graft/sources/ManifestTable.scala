@@ -155,14 +155,22 @@ object ManifestTable {
   }
 
   /** Read a snapshot: the given version, or the latest. Scans exactly
-    * the manifest's file list — the data directory is never listed. */
+    * the manifest's file list — the data directory is never listed.
+    * `mergeSchema = true` unions the listed files' footers (the S16
+    * read-side evolution contract applied to a snapshot: a commit
+    * that ADDED columns reads as one frame with the older commits'
+    * missing columns as NULL — and because the merge runs over the
+    * manifest's file list, its cost is per-LIVE-file, bounded by the
+    * snapshot, not the directory's full history). */
   def read(spark: SparkSession, table: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed snapshot under $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"no snapshot v$v under $table (have $vs)")
     val paths = filesOf(table, v).map(rel => s"$table/$rel")
-    spark.read.parquet(paths: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(paths: _*)
   }
 }

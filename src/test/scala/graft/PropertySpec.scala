@@ -719,6 +719,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("luhn law: every digit string has exactly ONE valid check " +
+      "digit, and the engine agrees with the independent fold on all " +
+      "ten candidates") {
+    // independent scalar model (rightmost-anchored double-minus-nine)
+    def luhnOk(s: String): Boolean = s.nonEmpty && {
+      val n = s.length
+      val sum = s.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if ((n - 1 - i) % 2 == 0) d
+        else { val dd = d * 2; if (dd > 9) dd - 9 else dd }
+      }.sum
+      sum % 10 == 0
+    }
+    val digits: Gen[String] = for {
+      n <- Gen.choose(1, 18)
+      ds <- Gen.listOfN(n, Gen.numChar)
+    } yield ds.mkString
+    val bases = samples(digits, 40)
+    val cands = bases.flatMap(b => (0 to 9).map(d => (b, s"$b$d")))
+    val got = cands.zipWithIndex
+      .map { case ((_, c), i) => (i.toLong, c) }
+      .toDF("i", "c")
+      .select(col("i"), graft.functions.luhnValid(col("c")).as("ok"))
+      .as[(Long, Boolean)].collect().toMap
+    cands.zipWithIndex.foreach { case ((_, c), i) =>
+      assert(got(i.toLong) == luhnOk(c),
+        s"engine/model disagree on $c")
+    }
+    bases.foreach { b =>
+      val valid = (0 to 9).count(d => luhnOk(s"$b$d"))
+      assert(valid == 1, s"base $b has $valid valid check digits")
+    }
+  }
+
   test("ManifestTable law: for any append/overwrite commit sequence, " +
       "every version reads back exactly its expected row set") {
     import graft.sources.ManifestTable
