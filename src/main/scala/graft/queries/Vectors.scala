@@ -373,6 +373,51 @@ object Vectors {
         .orderBy("rank")
     },
 
+    // BATCHED BQ serving (V20): one corpus code scan amortized over
+    // a 3-query workload; Hamming-radius candidates (≤28 of 64)
+    // shuffle, not the N×Q cross; per-query exact re-rank to top-5,
+    // then the per-query recall harness against the exact batch
+    // search — the approximation priced per query, not averaged.
+    Q("q_v_bq_batch_recall",
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |    ${sqlBqHalf("embedding", 1)} AS ca,
+         |    ${sqlBqHalf("embedding", 33)} AS cb FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, ca AS qa,
+         |    cb AS qb FROM c WHERE vec_id < 3),
+         |cand AS (SELECT q.qid, c.vec_id, c.embedding, q.qv,
+         |    bit_count(xor(c.ca, q.qa)) + bit_count(xor(c.cb, q.qb))
+         |      AS ham
+         |  FROM c, q),
+         |near AS (SELECT * FROM cand WHERE ham <= 28),
+         |approx AS (SELECT qid, vec_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY
+         |      ${sqlCosine("embedding", "qv")} DESC, vec_id) AS rk
+         |  FROM near),
+         |a5 AS (SELECT qid, vec_id FROM approx WHERE rk <= 5),
+         |exact AS (SELECT q.qid, e.vec_id, row_number() OVER (
+         |    PARTITION BY q.qid ORDER BY
+         |      ${sqlCosine("e.embedding", "q.qv")} DESC, e.vec_id) AS rk
+         |  FROM embeddings e, q),
+         |e5 AS (SELECT qid, vec_id FROM exact WHERE rk <= 5),
+         |h AS (SELECT e5.qid, CAST(count(a5.vec_id) AS BIGINT) AS hits
+         |  FROM e5 LEFT JOIN a5 ON e5.qid = a5.qid
+         |    AND e5.vec_id = a5.vec_id
+         |  GROUP BY 1)
+         |SELECT qid, CAST(5 AS BIGINT) AS k, hits,
+         |  (hits * 1000) // 5 AS recall_milli
+         |FROM h ORDER BY qid""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val approx = Similarity.bqBatchTopK(emb, "vec_id", "embedding",
+        qs, "qid", 28, 5).select("qid", "vec_id")
+      val exact = Similarity.batchTopK(emb, "vec_id", "embedding",
+        qs, 5).select("qid", "vec_id")
+      Similarity.recallAtKByQuery(exact, approx, "qid", "vec_id")
+        .select(col("qid"), col("k"), col("hits"), col("recall_milli"))
+        .orderBy("qid")
+    },
+
     // IVF inverted-list assignment (deterministic seed centroids).
     Q("q_v_ivf_assign",
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv

@@ -433,6 +433,20 @@ class PlanSpec extends SparkSpec {
         s"(found $keyed keyed exchanges):\n$plan")
   }
 
+  test("bqBatchTopK: the Hamming-radius filter runs BEFORE the " +
+      "per-query exchange — candidates shuffle, not the N×Q cross") {
+    val plan = planOf("q_v_bq_batch_recall")
+    val exch = plan.indexOf("Exchange hashpartitioning(qid")
+    val filt = plan.indexOf("<= 28")
+    assert(exch >= 0, s"per-query ranking must exchange on qid:\n$plan")
+    assert(filt >= 0, s"the radius filter must exist:\n$plan")
+    // physical plans print top-down: the exchange's INPUT (the
+    // filter) prints after it — radius-first means filter below
+    assert(exch < filt,
+      s"radius filter must feed the exchange, not follow it:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("NfcIdempotence rule: nested graft_nfc collapses to one call") {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(s"$sf/documents.parquet")
