@@ -418,6 +418,48 @@ object Vectors {
         .orderBy("qid")
     },
 
+    // E2E INDEX SERVING (E8): the vector corpus lives in a manifest
+    // table — base commit (even ids) + delta append (odd ids) — and
+    // the batched BQ search serves the LATEST snapshot: the
+    // index-refresh loop (L5 commits) feeding the serving path (V20)
+    // with no rebuild step, because BQ codes are computed on scan.
+    // Oracle recomputes the same search over the full corpus.
+    Q("q_e2e_index_serve",
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |    ${sqlBqHalf("embedding", 1)} AS ca,
+         |    ${sqlBqHalf("embedding", 33)} AS cb FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, ca AS qa,
+         |    cb AS qb FROM c WHERE vec_id < 2),
+         |cand AS (SELECT q.qid, c.vec_id, c.embedding, q.qv,
+         |    bit_count(xor(c.ca, q.qa)) + bit_count(xor(c.cb, q.qb))
+         |      AS ham
+         |  FROM c, q),
+         |near AS (SELECT * FROM cand WHERE ham <= 28),
+         |ranked AS (SELECT qid, vec_id, ham, row_number() OVER (
+         |    PARTITION BY qid ORDER BY
+         |      ${sqlCosine("embedding", "qv")} DESC, vec_id) AS rk,
+         |    ${sqlCosine("embedding", "qv")} AS cosine
+         |  FROM near)
+         |SELECT qid, vec_id, CAST(ham AS BIGINT) AS hamming, cosine
+         |FROM ranked WHERE rk <= 5
+         |ORDER BY qid, cosine DESC, vec_id""".stripMargin) { (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-index-serve").toString
+      val emb = t(s, d, "embeddings")
+      graft.sources.ManifestTable.commit(
+        emb.filter(col("vec_id") % 2 === 0), table, append = false)
+      graft.sources.ManifestTable.commit(
+        emb.filter(col("vec_id") % 2 === 1), table, append = true)
+      val corpus = graft.sources.ManifestTable.read(s, table)
+      val qs = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bqBatchTopK(corpus, "vec_id", "embedding", qs,
+          "qid", 28, 5)
+        .select(col("qid"), col("vec_id"),
+          col("hamming").cast("long").as("hamming"), col("cosine"))
+        .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+    },
+
     // IVF inverted-list assignment (deterministic seed centroids).
     Q("q_v_ivf_assign",
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
