@@ -112,8 +112,13 @@ object Constraints {
       case r @ RowNotNull(c) =>
         when(col(c).isNull, lit(r.name))
       case r @ RowInRange(c, lo, hi) =>
-        when(col(c).isNull || col(c).cast("double") < lo ||
-          col(c).cast("double") > hi, lit(r.name))
+        // a non-castable value (string "abc" from a CSV column) casts
+        // to NULL; without the explicit isNotNull-but-cast-null arm
+        // the whole predicate is NULL, when() yields NULL, and the
+        // corrupt row would slip through the gate as CLEAN
+        val d = col(c).cast("double")
+        when(col(c).isNull || (col(c).isNotNull && d.isNull) ||
+          d < lo || d > hi, lit(r.name))
       case r @ RowInSet(c, vs) =>
         when(col(c).isNull || !col(c).isin(vs: _*), lit(r.name))
       case r: RowFk =>

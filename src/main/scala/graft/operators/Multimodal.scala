@@ -70,7 +70,14 @@ object Multimodal {
     * reference's product images ARE JPEGs (the *.jpg OCR walk), so
     * this closes the format that matters most. Truncated/foreign
     * bytes → null struct, never a misparse (length guards per
-    * format; the walker nulls on any malformation). */
+    * format; the walker nulls on any malformation).
+    *
+    * REQUIRES `spark.sql.extensions=graft.plans.GraftExtensions` (like
+    * [[graft.functions.pseudonymize]]/`nfcNormalize`): the JPEG arm
+    * calls the registered `graft_jpeg_dims` function, and Spark
+    * resolves `call_function` at analysis even when the branch never
+    * fires, so a session without the extension fails analysis on
+    * every imageDims call — not just on JPEG inputs. */
   def imageDims(content: Column): Column = {
     val outType = "struct<format:string,width:bigint,height:bigint>"
     val n = octet_length(content)

@@ -3,24 +3,48 @@ package graft.sources
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** Loopback HTTP harness for the S6 fetch path (the HTTP sibling of
-  * [[PgServer]]): a JDK `HttpServer` on a free 127.0.0.1 port, one
-  * per JVM, stopped on exit. Routes:
+/** Loopback HTTP harness for the S6/U1/U5 live-wire paths (the HTTP
+  * sibling of [[PgServer]]): a JDK `HttpServer` on a free 127.0.0.1
+  * port, one per JVM, stopped on exit. Routes:
   *
-  *  - `/doc/<id>`   → 200 `doc <id> payload`
-  *  - `/flaky/<id>` → 503 on the FIRST hit of each path, 200 with
-  *                    the same body after — the transient-failure
-  *                    shape `Services.Remote`'s retry exists for
-  *  - `/dead/<id>`  → 500 always — the permanent-failure shape that
-  *                    must exhaust retries loudly
+  *  - `/doc/<id>`      → 200 `doc <id> payload` (text)
+  *  - `/img/<id>`      → 200 the committed JFIF fixture BYTES
+  *                       (fixtures/media/tiny.jpg) — the reference's
+  *                       image-CDN payload shape; bytes, not text
+  *  - `/imgflaky/<id>` → 503 on the FIRST hit of each path, the JPEG
+  *                       bytes after — the binary retry path
+  *  - `/flaky/<id>`    → 503 on the FIRST hit of each path, 200 text
+  *                       after — the transient-failure shape
+  *                       `Services.Remote`'s retry exists for
+  *  - `/dead/<id>`     → 500 always — the permanent-failure shape that
+  *                       must exhaust retries loudly
+  *  - `/translate?src=..&dst=..` (POST text) → the SAME deterministic
+  *                       transform as `Services.translateStub`
+  *  - `/ocr?max=K` (POST bytes) → UTF-8-decode, first K space-split
+  *                       tokens — the SAME transform as
+  *                       `Services.ocrStub`, so the stub oracle
+  *                       grades the live OCR wire
+  *  - `/ocrflaky?max=K` → 503 on the first hit, then behaves as
+  *                       `/ocr` — the retry proof on the upload path
   *
   * [[hits]] counts requests per path so specs can assert the retry
-  * actually happened (local mode shares the JVM; on a real cluster
-  * the server would be an external host — this is the sandbox's
-  * stand-in for the reference's image CDN / translate endpoints). */
+  * actually happened and that partition-scoped clients really
+  * handshake once per partition (local mode shares the JVM; on a real
+  * cluster the server would be an external host — this is the
+  * sandbox's stand-in for the reference's image CDN / translate / OCR
+  * endpoints). */
 object HttpFixture {
 
   val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** The JFIF fixture the image routes serve — committed bytes, so
+    * the graded oracle can pin its length/digest/SOF0 dimensions. */
+  lazy val jpegBytes: Array[Byte] = java.nio.file.Files
+    .readAllBytes(java.nio.file.Paths.get(
+      "/root/repo/fixtures/media/tiny.jpg"))
+
+  private def ocrTransform(body: Array[Byte], max: Int): String =
+    new String(body, UTF_8).split(" ", -1).take(max).mkString(" ")
 
   lazy val port: Int = {
     val srv = com.sun.net.httpserver.HttpServer
@@ -29,24 +53,34 @@ object HttpFixture {
       val path = ex.getRequestURI.getPath
       val n: Int = hits.merge(path, 1, (a, b) => a + b)
       val id = path.substring(path.lastIndexOf('/') + 1)
-      val (code, body) =
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val ps = q.split("&").filter(_.contains("="))
+        .map(kv => kv.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      val (code, bytes: Array[Byte]) =
         if (path.startsWith("/translate")) {
-          // POST text/plain body; query ?src=..&dst=..; responds with
-          // the SAME deterministic transform Services.translateStub
-          // defines, so the stub oracle grades the live wire too
-          val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-          val ps = q.split("&").filter(_.contains("="))
-            .map(kv => kv.split("=", 2)).map(a => a(0) -> a(1)).toMap
-          val text = new String(
-            ex.getRequestBody.readAllBytes(), UTF_8)
-          (200, s"[${ps.getOrElse("src", "?")}->" +
-            s"${ps.getOrElse("dst", "?")}] $text")
+          // POST text/plain body; responds with the SAME deterministic
+          // transform Services.translateStub defines, so the stub
+          // oracle grades the live wire too
+          val text = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          (200, (s"[${ps.getOrElse("src", "?")}->" +
+            s"${ps.getOrElse("dst", "?")}] $text").getBytes(UTF_8))
         }
-        else if (path.startsWith("/dead/")) (500, "permanent failure")
+        else if (path.startsWith("/ocrflaky") && n == 1)
+          (503, "transient failure".getBytes(UTF_8))
+        else if (path.startsWith("/ocr")) {
+          val max = ps.getOrElse("max", "6").toInt
+          (200, ocrTransform(ex.getRequestBody.readAllBytes(), max)
+            .getBytes(UTF_8))
+        }
+        else if (path.startsWith("/img/")) (200, jpegBytes)
+        else if (path.startsWith("/imgflaky/") && n == 1)
+          (503, "transient failure".getBytes(UTF_8))
+        else if (path.startsWith("/imgflaky/")) (200, jpegBytes)
+        else if (path.startsWith("/dead/"))
+          (500, "permanent failure".getBytes(UTF_8))
         else if (path.startsWith("/flaky/") && n == 1)
-          (503, "transient failure")
-        else (200, s"doc $id payload")
-      val bytes = body.getBytes(UTF_8)
+          (503, "transient failure".getBytes(UTF_8))
+        else (200, s"doc $id payload".getBytes(UTF_8))
       ex.sendResponseHeaders(code, bytes.length)
       ex.getResponseBody.write(bytes)
       ex.close()

@@ -1,18 +1,21 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Manifest-committed snapshot table (L5) — the lakehouse commit
   * protocol in miniature (the core mechanism of Iceberg/Delta,
   * re-expressed on plain parquet):
   *
-  *  - every commit writes its data files under a fresh
-  *    `data/c<version>/` prefix (never touching earlier files),
+  *  - every commit stages its data files under a fresh writer-unique
+  *    `data/s-<nonce>/` prefix (never touching earlier files),
   *  - then publishes ONE manifest file `_manifests/v<version>` listing
-  *    every live data file of the snapshot, via write-temp +
-  *    ATOMIC_MOVE rename,
+  *    every live data file of the snapshot, via a PUT-IF-ABSENT
+  *    primitive (write-temp + hard-link-into-place: `createLink`
+  *    atomically fails if the target exists, unlike a POSIX rename,
+  *    which silently REPLACES),
   *  - readers resolve a snapshot by reading a manifest and scanning
   *    EXACTLY the files it lists — never by listing the data
   *    directory.
@@ -23,16 +26,26 @@ import scala.jdk.CollectionConverters._
   * The manifest makes commits atomic (a snapshot either exists
   * completely or not at all), gives time travel for free (old
   * manifests keep naming old files), and turns "plan the scan" into
-  * one small-file read instead of a listing. The single-writer
-  * ATOMIC_MOVE here plays the role Iceberg delegates to a catalog
-  * swap / Delta to a log-store put-if-absent; multi-writer
-  * coordination is that one primitive, not a redesign.
+  * one small-file read instead of a listing.
   *
-  * Everything is deterministic: versions are dense integers, data
-  * prefixes derive from the version, no timestamps or random ids.
-  * PipelineSpec proves the contract that matters: a stray parquet
-  * file dropped into the data directory is INVISIBLE to readers,
-  * and aborted (unpublished) writes never surface.
+  * MULTI-WRITER LAW (PipelineSpec races it): for any number of
+  * concurrent committers, EXACTLY ONE publishes each version — the
+  * manifest put-if-absent is the only contended step. A loser
+  * re-derives its manifest against the new latest snapshot (append
+  * semantics stay correct under contention: the carried file list is
+  * recomputed per publish attempt) and retries onto v(N+1) WITHOUT
+  * rewriting its data files, exactly the optimistic-concurrency loop
+  * Delta runs against its log store. A writer that crashes after
+  * staging leaves an orphan `data/s-*` dir that no manifest
+  * references — invisible to readers, reclaimed by [[vacuum]] — and
+  * never blocks other writers.
+  *
+  * Published state is deterministic: versions are dense integers and
+  * manifests list explicit relative paths. Physical staging names
+  * carry a writer nonce — exactly as Spark's own part files carry
+  * task-attempt UUIDs — because uniqueness across concurrent writers
+  * is what makes staging conflict-free; nothing downstream depends on
+  * the nonce (readers see only manifest contents).
   */
 object ManifestTable {
 
@@ -43,21 +56,33 @@ object ManifestTable {
   def versions(table: String): Seq[Long] = {
     val dir = manifestDir(table)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") => s.drop(1).toLong }
-      .toSeq.sorted
+    else Using.resource(Files.list(dir)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") => s.drop(1).toLong }
+        .toSeq.sorted
+    }
   }
 
   private def filesOf(table: String, version: Long): Seq[String] =
     Files.readAllLines(manifestDir(table).resolve(s"v$version"))
       .asScala.toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
 
+  /** Published manifests are IMMUTABLE (put-if-absent, never
+    * rewritten), so a (table, version) → tag lookup caches for the
+    * life of the JVM — without the cache a long-running
+    * [[streamCommit]] re-reads every historical manifest per batch,
+    * quadratic in batch count. */
+  private val tagCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[String]]()
+
   private def tagOf(table: String, version: Long): Option[String] =
-    Files.readAllLines(manifestDir(table).resolve(s"v$version"))
-      .asScala.collectFirst {
-        case l if l.startsWith("#tag=") => l.drop(5)
-      }
+    tagCache.computeIfAbsent(
+      (Paths.get(table).toAbsolutePath.toString, version),
+      _ => Files.readAllLines(manifestDir(table).resolve(s"v$version"))
+        .asScala.collectFirst {
+          case l if l.startsWith("#tag=") => l.drop(5)
+        })
 
   /** Commit `df` as the next snapshot. `append = true` carries the
     * previous snapshot's files forward (blind append); `false` makes
@@ -77,29 +102,57 @@ object ManifestTable {
     * ledger to drift. */
   def commitTagged(df: DataFrame, table: String, append: Boolean,
       tag: Option[String]): Long = {
-    val prev = versions(table)
-    val already = tag.flatMap(t =>
-      prev.find(v => tagOf(table, v).contains(t)))
-    if (already.isDefined) return already.get
-    val v = prev.lastOption.getOrElse(0L) + 1L
-    val dataDir = Paths.get(table, "data", s"c$v")
-    df.write.mode("errorifexists").parquet(dataDir.toString)
-    val fresh = Files.list(dataDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
-      .toSeq.sorted
-      .map(n => s"data/c$v/$n")
-    val carried =
-      if (append) prev.lastOption.map(filesOf(table, _)).getOrElse(Seq.empty)
-      else Seq.empty
-    val lines = (tag.map(t => s"#tag=$t").toSeq ++ carried ++ fresh)
-      .mkString("", "\n", "\n")
+    def taggedVersion: Option[Long] =
+      tag.flatMap(t => versions(table).find(v => tagOf(table, v).contains(t)))
+    val pre = taggedVersion
+    if (pre.isDefined) return pre.get
+    // stage data under a writer-unique prefix: conflict-free by
+    // construction, so the data write happens exactly once no matter
+    // how many publish attempts the contention loop below takes
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val stageDir = Paths.get(table, "data", s"s-$nonce")
+    df.write.mode("errorifexists").parquet(stageDir.toString)
+    val fresh = Using.resource(Files.list(stageDir)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+        .toSeq.sorted
+        .map(n => s"data/s-$nonce/$n")
+    }
     Files.createDirectories(manifestDir(table))
-    val tmp = manifestDir(table).resolve(s".v$v.tmp")
-    Files.writeString(tmp, lines)
-    Files.move(tmp, manifestDir(table).resolve(s"v$v"),
-      StandardCopyOption.ATOMIC_MOVE)
-    v
+    // optimistic-concurrency publish: re-derive (version, carried
+    // files) against the latest published snapshot each attempt, so
+    // append semantics hold even when another writer wins the race
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 1000,
+        s"commit to $table lost ${attempt - 1} straight publish races " +
+          "— livelocked against a pathological writer storm")
+      // a competing commit may have published our tag while we staged
+      val mid = taggedVersion
+      if (mid.isDefined) return mid.get
+      val prev = versions(table).lastOption
+      val v = prev.getOrElse(0L) + 1L
+      val carried =
+        if (append) prev.map(filesOf(table, _)).getOrElse(Seq.empty)
+        else Seq.empty
+      val lines = (tag.map(t => s"#tag=$t").toSeq ++ carried ++ fresh)
+        .mkString("", "\n", "\n")
+      val tmp = manifestDir(table).resolve(s".v$v-$nonce.tmp")
+      Files.writeString(tmp, lines)
+      try {
+        // hard-link into place: atomic AND put-if-absent (rename would
+        // silently replace a concurrent winner's manifest)
+        Files.createLink(manifestDir(table).resolve(s"v$v"), tmp)
+        Files.delete(tmp)
+        return v
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.delete(tmp) // lost the race; recompute against new latest
+      }
+    }
+    -1L // unreachable
   }
 
   /** Exactly-once streaming sink into the manifest table: each
@@ -125,13 +178,13 @@ object ManifestTable {
   /** Retention sweep (the VACUUM half of the lifecycle, next to the
     * [[graft.operators.Layout.compactionPlan]] OPTIMIZE half): delete
     * every data file not referenced by the newest `keepVersions`
-    * manifests, then retire the older manifests — time travel
-    * contracts to the retained window, storage stops growing without
-    * bound. The ONLY place the data directory is ever listed (a
-    * maintenance job, not a read path), and still metadata-sized
-    * work: the candidate set is file names, never file contents.
-    * Write-marker files (`_SUCCESS`) are left alone. Returns
-    * (files kept, files deleted). */
+    * manifests — including orphans staged by crashed or race-losing
+    * writers — then retire the older manifests. Time travel contracts
+    * to the retained window, storage stops growing without bound. The
+    * ONLY place the data directory is ever listed (a maintenance job,
+    * not a read path), and still metadata-sized work: the candidate
+    * set is file names, never file contents. Write-marker files
+    * (`_SUCCESS`) are left alone. Returns (files kept, files deleted). */
   def vacuum(table: String, keepVersions: Int): (Int, Int) = {
     require(keepVersions >= 1, s"keepVersions must be ≥1: $keepVersions")
     val vs = versions(table)
@@ -140,11 +193,13 @@ object ManifestTable {
     val dataRoot = Paths.get(table, "data")
     val all =
       if (!Files.isDirectory(dataRoot)) Seq.empty[Path]
-      else Files.walk(dataRoot).iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith("_"))
-        .toSeq
+      else Using.resource(Files.walk(dataRoot)) { stream =>
+        stream.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith("_"))
+          .toSeq
+      }
     val root = Paths.get(table)
     val dead = all.filterNot(p => live.contains(
       root.relativize(p).toString))

@@ -189,11 +189,19 @@ object PgWire {
     out.toSeq
   }
 
+  /** Both pg timestamp text flavors: oid 1184 (timestamptz) prints a
+    * trailing offset, oid 1114 (timestamp without time zone — the
+    * flavor the reference DDL uses for created_at et al.) prints
+    * none. The offset is OPTIONAL with a UTC default, which is sound
+    * because every connection is pinned `SET TIME ZONE 'UTC'` before
+    * any row flows: 1184 then always prints +00, and 1114 is a civil
+    * time we interpret in the same UTC frame DuckDB's oracle does. */
   private val TsFmt = new java.time.format.DateTimeFormatterBuilder()
     .appendPattern("yyyy-MM-dd HH:mm:ss")
     .appendFraction(java.time.temporal.ChronoField.MICRO_OF_SECOND,
       0, 6, true)
-    .appendPattern("X")
+    .optionalStart().appendPattern("X").optionalEnd()
+    .parseDefaulting(java.time.temporal.ChronoField.OFFSET_SECONDS, 0)
     .toFormatter
 
   private def decode(cell: String, oid: Int): Any =

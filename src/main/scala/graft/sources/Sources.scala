@@ -91,12 +91,16 @@ object Sources {
     CsvSplit(good, rejects, raw)
   }
 
-  /** The REAL HTTP transport for [[httpFetch]]'s `fetch` seam: one
-    * GET, UTF-8 body, non-2xx throws (so `Services.Remote` retries
-    * transient failures and surfaces permanent ones). JDK
-    * HttpURLConnection — no client library, same dependency-free
-    * discipline as [[PgWire]]. */
-  def httpGet(url: String): String = {
+  /** The REAL HTTP transport, BYTES-clean: one GET, the raw body with
+    * NO charset decode — the reference's S6 payload is image BYTES
+    * (/root/reference/utils/product_collection_img_array_processor
+    * .py:55-68 writes response.content straight to disk), and a UTF-8
+    * round trip corrupts any byte sequence that isn't valid UTF-8
+    * (0xFF 0xD8 — the JPEG magic itself — already is not). Non-2xx
+    * throws so `Services.Remote` retries transient failures and
+    * surfaces permanent ones. JDK HttpURLConnection — no client
+    * library, same dependency-free discipline as [[PgWire]]. */
+  def httpGetBytes(url: String): Array[Byte] = {
     val conn = java.net.URI.create(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(5000)
@@ -107,23 +111,31 @@ object Sources {
       throw new java.io.IOException(s"HTTP $code for $url")
     }
     val in = conn.getInputStream
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    try in.readAllBytes()
     finally in.close()
   }
 
-  /** POST sibling of [[httpGet]] — UTF-8 body out, UTF-8 body back,
-    * non-2xx throws. The transport under [[graft.operators.Services
-    * .translateHttp]]'s per-row service calls. */
-  def httpPost(url: String, body: String): String = {
+  /** Text view of [[httpGetBytes]] for endpoints whose payload IS
+    * text (the translate service, JSON APIs): UTF-8 decode at the
+    * edge, transport stays the bytes-clean one. */
+  def httpGet(url: String): String =
+    new String(httpGetBytes(url), java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Bytes-clean POST: raw request body out (caller picks the
+    * content type — octet-stream for media, text/plain for text),
+    * raw response bytes back, non-2xx throws. The transport under
+    * the OCR service's image uploads. */
+  def httpPostBytes(url: String, body: Array[Byte],
+      contentType: String = "application/octet-stream"): Array[Byte] = {
     val conn = java.net.URI.create(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(5000)
     conn.setReadTimeout(15000)
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
-    conn.setRequestProperty("Content-Type", "text/plain; charset=utf-8")
+    conn.setRequestProperty("Content-Type", contentType)
     val out = conn.getOutputStream
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(body)
     finally out.close()
     val code = conn.getResponseCode
     if (code / 100 != 2) {
@@ -131,9 +143,19 @@ object Sources {
       throw new java.io.IOException(s"HTTP $code for $url")
     }
     val in = conn.getInputStream
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    try in.readAllBytes()
     finally in.close()
   }
+
+  /** Text view of [[httpPostBytes]] — UTF-8 body out, UTF-8 body
+    * back. The transport under [[graft.operators.Services
+    * .translateHttp]]'s per-row service calls. */
+  def httpPost(url: String, body: String): String =
+    new String(
+      httpPostBytes(url,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        "text/plain; charset=utf-8"),
+      java.nio.charset.StandardCharsets.UTF_8)
 
   /** S6: HTTP fetch per URL row — a `Services.Remote`-wrapped call
     * (retry + politeness pacing, I3/I4) applied inside the executors;
@@ -141,6 +163,20 @@ object Sources {
     * deterministic stub. Returns input plus a `body` column. */
   def httpFetch(df: DataFrame, urlCol: String,
       fetch: String => String,
+      attempts: Int = 3, backoffMs: Long = 2000,
+      minIntervalMs: Long = 500): DataFrame = {
+    val remote = Services.Remote(fetch, attempts, backoffMs, minIntervalMs)
+    val u = udf((url: String) => remote(url))
+    df.withColumn("body", u(col(urlCol)))
+  }
+
+  /** S6, the reference's ACTUAL payload shape: binary fetch per URL
+    * row — same `Services.Remote` retry/pacing wrapper as
+    * [[httpFetch]], but the `body` column is BINARY (the downloaded
+    * image bytes, ready for `graft_jpeg_dims` / [[graft.operators
+    * .Multimodal.asMediaFrame]] — never a lossy text decode). */
+  def httpFetchBytes(df: DataFrame, urlCol: String,
+      fetch: String => Array[Byte],
       attempts: Int = 3, backoffMs: Long = 2000,
       minIntervalMs: Long = 500): DataFrame = {
     val remote = Services.Remote(fetch, attempts, backoffMs, minIntervalMs)

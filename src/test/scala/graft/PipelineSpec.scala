@@ -513,4 +513,48 @@ class PipelineSpec extends SparkSpec {
     assert(ManifestTable.read(spark, table, Some(2L))
       .as[Long].collect().toSet == (1L to 100L).toSet)
   }
+
+  test("ManifestTable multi-writer law: racing committers each win " +
+      "exactly one version, losers retry onto the next, append " +
+      "carry-forward stays correct under contention") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-manifest-race").toString
+    val writers = 6
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val threads = (1 to writers).map { w =>
+      val th = new Thread(() => {
+        start.await()
+        // each writer appends its own disjoint payload; the publish
+        // loop inside commitTagged is the loser's retry — it must
+        // re-derive the carried file list against the new latest
+        // snapshot WITHOUT rewriting the staged data
+        val v = ManifestTable.commit(
+          Seq(w.toLong * 1000L).toDF("k"), table, append = true)
+        results.put(w, v); ()
+      })
+      th.start(); th
+    }
+    start.countDown()
+    threads.foreach(_.join(120000))
+    assert(results.size == writers, "every racing committer must land")
+    val versions = (1 to writers).map(results.get(_))
+    // exactly one winner per version: the put-if-absent publish makes
+    // the version sequence dense with no clobbers
+    assert(versions.sorted == (1L to writers.toLong),
+      s"versions must be a permutation of 1..$writers: $versions")
+    assert(ManifestTable.versions(table) == (1L to writers.toLong))
+    // append semantics under contention: every snapshot contains the
+    // payload of every commit published at-or-before it (carry lists
+    // were recomputed against the latest snapshot per publish attempt)
+    val byVersion = scala.jdk.CollectionConverters
+      .MapHasAsScala(results).asScala.map { case (w, v) => v -> w }.toMap
+    (1L to writers.toLong).foreach { v =>
+      val want = (1L to v).map(u => byVersion(u).toLong * 1000L).toSet
+      val got = ManifestTable.read(spark, table, Some(v))
+        .as[Long].collect().toSet
+      assert(got == want, s"snapshot v$v: got $got want $want")
+    }
+  }
 }
