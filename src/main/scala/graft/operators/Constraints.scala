@@ -112,11 +112,14 @@ object Constraints {
       case r @ RowNotNull(c) =>
         when(col(c).isNull, lit(r.name))
       case r @ RowInRange(c, lo, hi) =>
-        // a non-castable value (string "abc" from a CSV column) casts
-        // to NULL; without the explicit isNotNull-but-cast-null arm
-        // the whole predicate is NULL, when() yields NULL, and the
-        // corrupt row would slip through the gate as CLEAN
-        val d = col(c).cast("double")
+        // try_cast, for two reasons: under ANSI mode (Spark 4's
+        // default) a plain cast THROWS on a non-castable value (the
+        // quarantine gate must classify corrupt rows, not crash on
+        // them), and under non-ANSI it casts to NULL — without the
+        // explicit isNotNull-but-cast-null arm the whole predicate
+        // would be NULL, when() would yield NULL, and the corrupt row
+        // would slip through the gate as CLEAN
+        val d = expr(s"try_cast(`$c` AS DOUBLE)")
         when(col(c).isNull || (col(c).isNotNull && d.isNull) ||
           d < lo || d > hi, lit(r.name))
       case r @ RowInSet(c, vs) =>

@@ -456,8 +456,13 @@ object PgWire {
         val conn = new Conn(host, port, user, database)
         try {
           conn.exec("SET TIME ZONE 'UTC'")
+          // one transaction per task: a mid-stream failure rolls the
+          // whole partition back, so a Spark task RETRY never lands a
+          // partial partition twice (see [[writeTable]] on retries)
+          conn.exec("BEGIN")
           conn.copyIn(s"COPY $table ($colList) FROM STDIN",
             rows.map(r => r.toSeq.map(copyCell).mkString("\t")))
+          conn.exec("COMMIT"); ()
         } finally conn.close()
       }
     }
@@ -466,11 +471,18 @@ object PgWire {
   /** EXECUTOR-side write: each partition's task opens ONE [[Conn]]
     * and streams its rows as multi-row INSERT batches (`batchRows`
     * per statement — bounded statement size, one round trip per
-    * batch instead of per row). The table must exist (DDL is a
-    * one-shot [[query]] — schema is config, not data). Append
-    * semantics; idempotence/upsert layers (S8/S9) compose on top
-    * exactly as they do over parquet sinks. The driver never sees a
-    * row. */
+    * batch instead of per row), all inside ONE transaction. The
+    * table must exist (DDL is a one-shot [[query]] — schema is
+    * config, not data). The driver never sees a row.
+    *
+    * Retry semantics: the per-task transaction means a failed task
+    * rolls back wholesale — a Spark task RETRY re-runs the partition
+    * from zero against a table that never saw its rows, so the write
+    * is exactly-once per partition as long as the retried task
+    * produces the same rows (deterministic input — Spark's own
+    * assumption for every sink). Cross-JOB idempotence (re-running a
+    * whole load) composes on top via the S8/S9 merge layers or a
+    * ledger, exactly as over parquet sinks. */
   def writeTable(df: DataFrame, host: String, port: Int, user: String,
       database: String, table: String, batchRows: Int = 500): Unit = {
     require(batchRows >= 1, s"batchRows must be >= 1: $batchRows")
@@ -481,6 +493,7 @@ object PgWire {
         val conn = new Conn(host, port, user, database)
         try {
           conn.exec("SET TIME ZONE 'UTC'")
+          conn.exec("BEGIN")
           rows.grouped(batchRows).foreach { batch =>
             val values = batch.iterator
               .map(r => r.toSeq.map(sqlLiteral).mkString("(", ", ", ")"))
@@ -488,6 +501,7 @@ object PgWire {
             conn.exec(s"INSERT INTO $table ($colList) VALUES $values")
             ()
           }
+          conn.exec("COMMIT"); ()
         } finally conn.close()
       }
     }

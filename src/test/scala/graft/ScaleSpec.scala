@@ -396,6 +396,25 @@ class ScaleSpec extends SparkSpec {
     assert(good.count() + rejects.count() == 5L)
   }
 
+  test("quarantine RowInRange: a NON-CASTABLE value is a violation, " +
+      "not a silent pass through a NULL predicate") {
+    import graft.operators.Constraints._
+    // the CSV-sourced shape: the range column arrives as STRING and a
+    // corrupt cell ('abc') casts to NULL — before round 8 the whole
+    // range predicate evaluated NULL and the row sailed through CLEAN
+    val df = Seq((1L, "50"), (2L, "abc"), (3L, "500"), (4L, null))
+      .toDF("id", "price")
+    val (good, rejects) = quarantine(df,
+      Seq(RowInRange("price", 1, 100)))
+    assert(good.select("id").as[Long].collect().toSet == Set(1L))
+    val why = rejects.select($"id", $"violations")
+      .as[(Long, Seq[String])].collect().toMap
+    assert(why(2L) == Seq("range:price"),
+      "uncastable must count as a range violation")
+    assert(why(3L) == Seq("range:price"))
+    assert(why(4L) == Seq("range:price"))
+  }
+
   test("rate anomalies: integer form flags exactly mean + 2 sigma exceeders") {
     // series A: hours with counts 1,1,1,1,11 — mean 3, sigma 4
     // → threshold 11: NOT flagged (strict >); bump to 12: flagged.
