@@ -88,8 +88,12 @@ object Services {
         val remote = Remote(
           (text: String) => graft.sources.Sources.httpPost(url, text),
           attempts, backoffMs, minIntervalMs)
-        // handshake: body irrelevant, a 2xx is the liveness check
-        graft.sources.Sources.httpGet(hello)
+        // handshake: BEST-EFFORT warm-up/liveness probe — a real
+        // backend without the path (404) must not kill the partition;
+        // genuine unreachability surfaces on the first row's POST,
+        // which goes through the retry policy
+        try graft.sources.Sources.httpGet(hello)
+        catch { case _: Exception => () }
         rows.map { r =>
           val text = if (r.isNullAt(idx)) "" else r.getString(idx)
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ remote(text))

@@ -432,6 +432,50 @@ object Pipelines {
       pgProbeReadBack(s, h, p, "graft_pg_copy")
     },
 
+    // S17-dsv2: the pg seam as a PLANNER CITIZEN — a DataSourceV2
+    // `format("graft-pg")` scan whose column pruning and filter
+    // pushdown compile into the server-side SQL (the scan description
+    // in `.explain` carries it verbatim), partitioned into mod-N
+    // slices that each stream off their own connection. The graded
+    // rows prove the full loop: seed over the wire, plan through
+    // Catalyst, push `k BETWEEN`, prune to (k, v), read back typed.
+    Q("q_s17_pg_dsv2",
+      """SELECT CAST(g AS BIGINT) AS k, concat('v', g) AS v
+        |FROM range(10, 20) t(g) ORDER BY k""".stripMargin) { (s, _) =>
+      val (h, p) = graft.sources.PgServer.hostPort
+      graft.sources.PgWire.query(h, p, "graft", "postgres",
+        "DROP TABLE IF EXISTS dsv2_q; " +
+          "CREATE TABLE dsv2_q (k bigint, v text, pad text); " +
+          "INSERT INTO dsv2_q SELECT g, 'v' || g, repeat('x', 20) " +
+          "FROM generate_series(0, 99) g;")
+      s.read.format("graft-pg")
+        .option("host", h).option("port", p.toString)
+        .option("user", "graft").option("database", "postgres")
+        .option("table", "dsv2_q")
+        .option("partitionColumn", "k").option("numPartitions", "4")
+        .load()
+        .filter(col("k") >= 10 && col("k") <= 19)
+        .select("k", "v")
+        .orderBy("k")
+    },
+
+    // S17-auth: SCRAM-SHA-256 against the live server — the embedded
+    // pg forces this role through a first-match pg_hba scram rule, so
+    // a green row proves the full RFC 7677 exchange (PBKDF2 proof +
+    // verified server signature), not trust fallthrough. Real
+    // deployments don't run trust auth; this closes the gap between
+    // "works against the harness" and "works against a production pg".
+    Q("q_s17_pg_scram",
+      """SELECT CAST(1 AS BIGINT) AS id, 'scram ok' AS note
+        |ORDER BY id""".stripMargin) { (s, _) =>
+      val (h, p) = graft.sources.PgServer.hostPort
+      val (user, pass) = graft.sources.PgServer.scramUser
+      graft.sources.PgWire.readTable(s, h, p, user, "postgres",
+          "SELECT CAST(1 AS bigint) AS id, 'scram ok' AS note",
+          password = Some(pass))
+        .orderBy("id")
+    },
+
     // §7.2 E2E slice, audit output: products per collection top-k.
     Q("q_e2e_import_topk",
       """SELECT * FROM (VALUES ('M001', CAST(3 AS BIGINT)),

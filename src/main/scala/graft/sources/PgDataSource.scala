@@ -1,0 +1,250 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S17 as a FIRST-CLASS Spark source: `spark.read.format("graft-pg")`
+  * over the dependency-free wire client — the DataSourceV2 integration
+  * that makes the pg seam a planner citizen instead of a helper call:
+  *
+  *  - **column pruning** reaches the server: the SELECT list is the
+  *    pruned schema, so a 2-column projection of a 40-column table
+  *    ships 2 columns over the wire (`.explain` shows the narrowed
+  *    ReadSchema, and the scan description carries the exact SQL);
+  *  - **filter pushdown** compiles Catalyst filters (=, <>, <, <=, >,
+  *    >=, IN, IS [NOT] NULL, STARTS/ENDS/CONTAINS, AND) to a WHERE
+  *    clause rendered through the same [[PgWire.sqlLiteral]] dialect
+  *    as the write path; unsupported filters stay in Spark (DSv2
+  *    re-applies anything not accepted);
+  *  - **partitioned scans**: `partitionColumn` (integer) +
+  *    `numPartitions` plan one InputPartition per mod-N slice, each
+  *    task streaming its slice off its own connection
+  *    ([[PgWire.Conn.execStream]] — one row in memory at a time).
+  *
+  * Options: host, port, database, table, user, [password],
+  * [partitionColumn], [numPartitions]. Types follow
+  * [[PgWire.pgTypeFor]] (numeric arrives as its exact decimal string;
+  * cast downstream to the precision you mean).
+  */
+class PgTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-pg"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PgTableProvider.schemaFor(PgOptions(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PgTable(schema, PgOptions(new CaseInsensitiveStringMap(properties)))
+}
+
+object PgTableProvider {
+  /** Schema from the server's own RowDescription: a zero-row probe
+    * (`LIMIT 0`) still carries column names + type OIDs. */
+  def schemaFor(opts: PgOptions): StructType = {
+    val (names, oids, _) = PgWire.query(opts.host, opts.port, opts.user,
+      opts.database, s"SELECT * FROM ${opts.table} LIMIT 0",
+      opts.password)
+    StructType(names.zip(oids).map { case (n, o) =>
+      StructField(n, PgWire.pgTypeFor(o))
+    })
+  }
+}
+
+/** Connection/table options (serializable — shipped to tasks). */
+final case class PgOptions(host: String, port: Int, user: String,
+    database: String, table: String, password: Option[String],
+    partitionColumn: Option[String], numPartitions: Int)
+    extends Serializable
+
+object PgOptions {
+  def apply(o: CaseInsensitiveStringMap): PgOptions = {
+    def req(k: String): String = {
+      val v = o.get(k)
+      require(v != null, s"graft-pg requires option '$k'")
+      v
+    }
+    PgOptions(req("host"), req("port").toInt, req("user"),
+      req("database"), req("table"), Option(o.get("password")),
+      Option(o.get("partitionColumn")),
+      Option(o.get("numPartitions")).map(_.toInt).getOrElse(1))
+  }
+}
+
+class PgTable(schema: StructType, opts: PgOptions)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-pg:${opts.table}"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new PgScanBuilder(schema, opts)
+}
+
+class PgScanBuilder(fullSchema: StructType, opts: PgOptions)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(f => PgScan.toSql(f).isDefined)
+    pushed = ok
+    rest // Spark keeps evaluating these
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new PgScan(required, pushed, opts)
+}
+
+object PgScan {
+  private def quote(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** Catalyst source filter → pg WHERE fragment; None = cannot push
+    * (Spark re-applies it post-scan, so partial support is safe). */
+  def toSql(f: Filter): Option[String] = f match {
+    case EqualTo(a, v)            => lit(v).map(l => s"${quote(a)} = $l")
+    case GreaterThan(a, v)        => lit(v).map(l => s"${quote(a)} > $l")
+    case GreaterThanOrEqual(a, v) => lit(v).map(l => s"${quote(a)} >= $l")
+    case LessThan(a, v)           => lit(v).map(l => s"${quote(a)} < $l")
+    case LessThanOrEqual(a, v)    => lit(v).map(l => s"${quote(a)} <= $l")
+    case Not(EqualTo(a, v))       => lit(v).map(l => s"${quote(a)} <> $l")
+    case In(a, vs) if vs.nonEmpty =>
+      val ls = vs.map(lit)
+      if (ls.forall(_.isDefined))
+        Some(s"${quote(a)} IN (${ls.map(_.get).mkString(", ")})")
+      else None
+    case IsNull(a)    => Some(s"${quote(a)} IS NULL")
+    case IsNotNull(a) => Some(s"${quote(a)} IS NOT NULL")
+    case StringStartsWith(a, v) =>
+      Some(s"${quote(a)} LIKE ${PgWire.sqlLiteral(escapeLike(v) + "%")}")
+    case StringEndsWith(a, v) =>
+      Some(s"${quote(a)} LIKE ${PgWire.sqlLiteral("%" + escapeLike(v))}")
+    case StringContains(a, v) =>
+      Some(
+        s"${quote(a)} LIKE ${PgWire.sqlLiteral("%" + escapeLike(v) + "%")}")
+    case And(l, r) =>
+      for { ls <- toSql(l); rs <- toSql(r) } yield s"($ls AND $rs)"
+    case Or(l, r) =>
+      for { ls <- toSql(l); rs <- toSql(r) } yield s"($ls OR $rs)"
+    case _ => None
+  }
+
+  private def escapeLike(s: String): String =
+    s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+
+  private def lit(v: Any): Option[String] = v match {
+    case null => None // comparisons with NULL are never pushable
+    case _: String | _: java.lang.Boolean | _: java.lang.Long |
+         _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte |
+         _: java.lang.Double | _: java.lang.Float |
+         _: java.math.BigDecimal | _: java.sql.Timestamp |
+         _: java.time.Instant | _: java.sql.Date | _: java.time.LocalDate =>
+      Some(PgWire.sqlLiteral(v))
+    case d: scala.math.BigDecimal => Some(PgWire.sqlLiteral(d))
+    case _ => None
+  }
+}
+
+class PgScan(required: StructType, pushed: Array[Filter],
+    opts: PgOptions) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  private def selectList: String =
+    if (required.isEmpty) "1" // count-style scan: rows, no columns
+    else required.fieldNames
+      .map(n => "\"" + n.replace("\"", "\"\"") + "\"").mkString(", ")
+
+  private def whereFor(slice: Option[String]): String = {
+    val parts = pushed.flatMap(PgScan.toSql).toSeq ++ slice.toSeq
+    if (parts.isEmpty) "" else parts.mkString(" WHERE ", " AND ", "")
+  }
+
+  /** The exact SQL a partition runs — surfaced in `.explain` via
+    * [[description]] so pushdown is auditable from the plan. */
+  def sqlFor(slice: Option[String]): String =
+    s"SELECT $selectList FROM ${opts.table}${whereFor(slice)}"
+
+  override def description(): String =
+    s"graft-pg ${sqlFor(None)} [parts=${planInputPartitions().length}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    opts.partitionColumn match {
+      case Some(c) if opts.numPartitions > 1 =>
+        val q = "\"" + c.replace("\"", "\"\"") + "\""
+        Array.tabulate(opts.numPartitions) { i =>
+          PgInputPartition(sqlFor(Some(
+            s"abs($q) % ${opts.numPartitions} = $i")))
+        }
+      case _ => Array(PgInputPartition(sqlFor(None)))
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    PgReaderFactory(required, opts)
+}
+
+final case class PgInputPartition(sql: String) extends InputPartition
+
+final case class PgReaderFactory(schema: StructType, opts: PgOptions)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val sql = partition.asInstanceOf[PgInputPartition].sql
+    new PartitionReader[InternalRow] {
+      private val conn = new PgWire.Conn(opts.host, opts.port,
+        opts.user, opts.database, opts.password)
+      conn.exec("SET TIME ZONE 'UTC'")
+      private val rows = conn.execStream(sql)
+      private var current: InternalRow = _
+
+      override def next(): Boolean =
+        if (rows.hasNext) { current = decode(rows.next()); true }
+        else false
+      override def get(): InternalRow = current
+      override def close(): Unit = conn.close()
+
+      private def decode(cells: Array[String]): InternalRow = {
+        val vals = new Array[Any](schema.length)
+        var i = 0
+        while (i < schema.length) {
+          val c = cells(i)
+          vals(i) =
+            if (c == null) null
+            else schema(i).dataType match {
+              case BooleanType => c == "t"
+              case LongType    => c.toLong
+              case DoubleType  => c.toDouble
+              case TimestampType =>
+                val ts = PgWire.parseTimestampText(c)
+                ts.toInstant.getEpochSecond * 1000000L +
+                  ts.toInstant.getNano / 1000L
+              case ArrayType(StringType, _) =>
+                new GenericArrayData(PgWire.parsePgArray(c)
+                  .map(e => if (e == null) null
+                    else UTF8String.fromString(e)).toArray[Any])
+              case _ => UTF8String.fromString(c)
+            }
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(vals)
+      }
+    }
+  }
+}

@@ -16,6 +16,30 @@ object PgServer {
   /** (host, port) of the running throwaway server. */
   lazy val hostPort: (String, Int) = start()
 
+  @volatile private var dataDir: String = _
+
+  /** (user, password) of a role the server REQUIRES SCRAM-SHA-256
+    * from: created through the trust superuser, then a FIRST-MATCH
+    * pg_hba rule is prepended (pg_hba is first-match-wins, so the
+    * initdb trust lines no longer apply to this role) and the config
+    * reloaded. Connecting as this role exercises the full RFC 7677
+    * exchange in [[PgWire.Conn]] — trust can't leak through. */
+  lazy val scramUser: (String, String) = {
+    val (h, p) = hostPort
+    val (user, pass) = ("scram_probe", "graft-s3cret")
+    PgWire.query(h, p, "graft", "postgres",
+      "SET password_encryption = 'scram-sha-256'; " +
+        s"DROP ROLE IF EXISTS $user; " +
+        s"CREATE ROLE $user LOGIN PASSWORD '$pass';")
+    val hba = java.nio.file.Paths.get(dataDir, "pg_hba.conf")
+    val rules =
+      s"host all $user 127.0.0.1/32 scram-sha-256\n" +
+        s"host all $user ::1/128 scram-sha-256\n"
+    Files.writeString(hba, rules + Files.readString(hba))
+    PgWire.query(h, p, "graft", "postgres", "SELECT pg_reload_conf();")
+    (user, pass)
+  }
+
   private def freePort(): Int = {
     val s = new java.net.ServerSocket(0)
     try s.getLocalPort finally s.close()
@@ -41,6 +65,7 @@ object PgServer {
       .getOrElse(throw new IllegalStateException(
         "no PostgreSQL binaries on this host"))
     val dir = Files.createTempDirectory("graft-pg").toString
+    dataDir = s"$dir/data"
     if (System.getProperty("user.name") == "root") {
       val (c, o) = {
         val p = new ProcessBuilder("chown", "-R", "nobody", dir).start()

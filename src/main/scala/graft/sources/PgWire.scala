@@ -44,7 +44,8 @@ object PgWire {
     * per TASK, not per statement). Not thread-safe; each task owns
     * its own. */
   final class Conn(host: String, port: Int, user: String,
-      database: String) extends AutoCloseable {
+      database: String, password: Option[String] = None)
+      extends AutoCloseable {
     private val sock = new Socket(host, port)
     sock.setSoTimeout(30000)
     private val out = new DataOutputStream(sock.getOutputStream)
@@ -58,7 +59,117 @@ object PgWire {
       out.writeInt(196608) // protocol 3.0
       out.write(params)
       out.flush()
-      awaitReady(in)
+      var ready = false
+      while (!ready) {
+        val (tag, payload) = readMessage(in)
+        tag match {
+          case 'R' =>
+            val code = ((payload(0) & 0xff) << 24) |
+              ((payload(1) & 0xff) << 16) | ((payload(2) & 0xff) << 8) |
+              (payload(3) & 0xff)
+            code match {
+              case 0  => () // AuthenticationOk
+              case 10 => scramAuth(payload.drop(4)) // AuthenticationSASL
+              case other => throw new java.io.IOException(
+                s"pg auth method $other unsupported " +
+                  "(trust or SCRAM-SHA-256)")
+            }
+          case 'E' => throw new java.io.IOException(
+            "pg startup error: " + errorText(payload))
+          case 'Z' => ready = true
+          case _   => // ParameterStatus / BackendKeyData
+        }
+      }
+    }
+
+    /** SCRAM-SHA-256 exchange (RFC 5802/7677), no channel binding
+      * (gs2 = "n,,"): ClientFirst -> ServerFirst (salt, iterations) ->
+      * ClientFinal (PBKDF2-derived proof) -> ServerFinal, whose
+      * server signature is VERIFIED -- a wrong server cannot fake a
+      * success. Dependency-free: PBKDF2/HMAC/SHA-256 from the JDK.
+      * (Passwords are used as-is; apply SASLprep upstream for exotic
+      * Unicode passwords.) */
+    private def scramAuth(mechList: Array[Byte]): Unit = {
+      val pass = password.getOrElse(throw new java.io.IOException(
+        "server requires SCRAM auth but no password was provided"))
+      val mechs = new String(mechList, UTF_8).split("\u0000")
+        .filter(_.nonEmpty)
+      require(mechs.contains("SCRAM-SHA-256"),
+        s"server offers no SCRAM-SHA-256 (got ${mechs.mkString(",")})")
+      val b64e = java.util.Base64.getEncoder
+      val b64d = java.util.Base64.getDecoder
+      val rnd = new Array[Byte](18)
+      new java.security.SecureRandom().nextBytes(rnd)
+      val cnonce = b64e.encodeToString(rnd)
+      val clientFirstBare = s"n=,r=$cnonce" // user rides in Startup
+      val initial = ("n,," + clientFirstBare).getBytes(UTF_8)
+      val mech = "SCRAM-SHA-256".getBytes(UTF_8)
+      out.writeByte('p')
+      out.writeInt(4 + mech.length + 1 + 4 + initial.length)
+      out.write(mech); out.writeByte(0)
+      out.writeInt(initial.length); out.write(initial)
+      out.flush()
+      val serverFirst = expectSasl(11)
+      val f = serverFirst.split(",").map(x => x.charAt(0) -> x.drop(2))
+        .toMap
+      val combined = f('r')
+      require(combined.startsWith(cnonce), "server nonce mismatch")
+      val salt = b64d.decode(f('s'))
+      val iters = f('i').toInt
+      val spec = new javax.crypto.spec.PBEKeySpec(
+        pass.toCharArray, salt, iters, 256)
+      val salted = javax.crypto.SecretKeyFactory
+        .getInstance("PBKDF2WithHmacSHA256").generateSecret(spec)
+        .getEncoded
+      def hmac(key: Array[Byte], msg: String): Array[Byte] = {
+        val m = javax.crypto.Mac.getInstance("HmacSHA256")
+        m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+        m.doFinal(msg.getBytes(UTF_8))
+      }
+      val clientKey = hmac(salted, "Client Key")
+      val storedKey = java.security.MessageDigest
+        .getInstance("SHA-256").digest(clientKey)
+      val clientFinalNoProof = s"c=biws,r=$combined" // biws = b64("n,,")
+      val authMessage =
+        clientFirstBare + "," + serverFirst + "," + clientFinalNoProof
+      val clientSig = hmac(storedKey, authMessage)
+      val proof = clientKey.zip(clientSig)
+        .map { case (a, b) => (a ^ b).toByte }
+      val finalMsg =
+        (clientFinalNoProof + ",p=" + b64e.encodeToString(proof))
+          .getBytes(UTF_8)
+      out.writeByte('p')
+      out.writeInt(4 + finalMsg.length)
+      out.write(finalMsg)
+      out.flush()
+      val serverFinal = expectSasl(12)
+      val serverSig = hmac(hmac(salted, "Server Key"), authMessage)
+      val v = serverFinal.split(",").find(_.startsWith("v="))
+        .map(_.drop(2))
+      require(v.contains(b64e.encodeToString(serverSig)),
+        "SCRAM server signature mismatch -- not the server the " +
+          "password was set on")
+    }
+
+    /** Read messages until the AuthenticationSASL{Continue,Final}
+      * with the given code; return its SASL payload text. */
+    private def expectSasl(code: Int): String = {
+      var outp: String = null
+      while (outp == null) {
+        val (tag, payload) = readMessage(in)
+        tag match {
+          case 'R' =>
+            val got = ((payload(0) & 0xff) << 24) |
+              ((payload(1) & 0xff) << 16) | ((payload(2) & 0xff) << 8) |
+              (payload(3) & 0xff)
+            require(got == code, s"expected SASL code $code, got $got")
+            outp = new String(payload.drop(4), UTF_8)
+          case 'E' => throw new java.io.IOException(
+            "pg auth error: " + errorText(payload))
+          case _   => ()
+        }
+      }
+      outp
     }
 
     /** One simple-query round trip: (column names, column type OIDs,
@@ -115,6 +226,63 @@ object PgWire {
         }
       }
       (names, oids, rows.toSeq)
+    }
+
+    /** STREAMING variant of [[exec]] for result sets that must not
+      * buffer in task memory: rows surface one at a time as DataRow
+      * messages arrive off the socket, and the CONNECTION CLOSES
+      * ITSELF when the result set is exhausted (ReadyForQuery) or on
+      * a server error — the iterator owns the socket's remaining
+      * lifetime, so callers must drain it (Spark's flatMap does).
+      * One statement, one result set; task memory holds ONE row
+      * regardless of slice size — the shape a fact-table slice needs
+      * where [[exec]]'s full buffering would be per-task pressure. */
+    def execStream(sql: String): Iterator[Array[String]] = {
+      val q = sql.getBytes(UTF_8)
+      out.writeByte('Q')
+      out.writeInt(4 + q.length + 1)
+      out.write(q)
+      out.writeByte(0)
+      out.flush()
+      val self = this
+      new Iterator[Array[String]] {
+        private var pending: Array[String] = null
+        private var finished = false
+        private def advance(): Unit =
+          while (pending == null && !finished) {
+            val (tag, payload) = readMessage(in)
+            tag match {
+              case 'D' =>
+                val b = new DataInputStream(
+                  new java.io.ByteArrayInputStream(payload))
+                val n = b.readShort()
+                pending = Array.tabulate(n) { _ =>
+                  val len = b.readInt()
+                  if (len < 0) null
+                  else {
+                    val bytes = new Array[Byte](len)
+                    b.readFully(bytes)
+                    new String(bytes, UTF_8)
+                  }
+                }
+              case 'E' =>
+                val msg = errorText(payload)
+                finished = true
+                self.close()
+                throw new java.io.IOException("pg error: " + msg)
+              case 'Z' =>
+                finished = true
+                self.close()
+              case _ => // RowDescription / CommandComplete / Notice
+            }
+          }
+        def hasNext: Boolean = { advance(); pending != null }
+        def next(): Array[String] = {
+          advance()
+          if (pending == null) throw new NoSuchElementException
+          val r = pending; pending = null; r
+        }
+      }
     }
 
     /** COPY … FROM STDIN round trip — the BULK half of the write
@@ -183,8 +351,9 @@ object PgWire {
 
   /** One-shot convenience: connect, run `sql`, disconnect. */
   def query(host: String, port: Int, user: String, database: String,
-      sql: String): (Seq[String], Seq[Int], Seq[Array[String]]) = {
-    val conn = new Conn(host, port, user, database)
+      sql: String, password: Option[String] = None)
+      : (Seq[String], Seq[Int], Seq[Array[String]]) = {
+    val conn = new Conn(host, port, user, database, password)
     try conn.exec(sql) finally conn.close()
   }
 
@@ -194,25 +363,6 @@ object PgWire {
     val payload = new Array[Byte](len)
     in.readFully(payload)
     (tag, payload)
-  }
-
-  private def awaitReady(in: DataInputStream): Unit = {
-    var ready = false
-    while (!ready) {
-      val (tag, payload) = readMessage(in)
-      tag match {
-        case 'R' =>
-          val code = ((payload(0) & 0xff) << 24) |
-            ((payload(1) & 0xff) << 16) | ((payload(2) & 0xff) << 8) |
-            (payload(3) & 0xff)
-          require(code == 0,
-            s"pg auth method $code unsupported (need trust)")
-        case 'E' => throw new java.io.IOException(
-          "pg startup error: " + errorText(payload))
-        case 'Z' => ready = true
-        case _   => // ParameterStatus / BackendKeyData
-      }
-    }
   }
 
   private def readCString(b: DataInputStream): String = {
@@ -294,15 +444,18 @@ object PgWire {
     .parseDefaulting(java.time.temporal.ChronoField.OFFSET_SECONDS, 0)
     .toFormatter
 
+  /** Parse pg timestamp text (either flavor, per [[TsFmt]]). */
+  def parseTimestampText(cell: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.OffsetDateTime
+      .parse(cell, TsFmt).toInstant)
+
   private def decode(cell: String, oid: Int): Any =
     if (cell == null) null
     else pgTypeFor(oid) match {
       case BooleanType => cell == "t"
       case LongType    => cell.toLong
       case DoubleType  => cell.toDouble
-      case TimestampType =>
-        java.sql.Timestamp.from(java.time.OffsetDateTime
-          .parse(cell, TsFmt).toInstant)
+      case TimestampType => parseTimestampText(cell)
       case ArrayType(StringType, _) => parsePgArray(cell)
       case _ => cell
     }
@@ -311,9 +464,10 @@ object PgWire {
     * reader pins the connection's TimeZone to UTC first, so
     * timestamptz text is timezone-stable). */
   def readTable(spark: SparkSession, host: String, port: Int,
-      user: String, database: String, sql: String): DataFrame = {
+      user: String, database: String, sql: String,
+      password: Option[String] = None): DataFrame = {
     val (names, oids, rows) = query(host, port, user, database,
-      s"SET TIME ZONE 'UTC'; $sql")
+      s"SET TIME ZONE 'UTC'; $sql", password)
     val schema = StructType(names.zip(oids).map { case (n, o) =>
       StructField(n, pgTypeFor(o))
     })
@@ -327,9 +481,11 @@ object PgWire {
     * predicate-sliced query per partition (`sqlFor(i)` must be the
     * i-th disjoint slice, e.g. `... WHERE key % n = i`) — the
     * numPartitions-style parallel scan of `spark.read.jdbc`,
-    * expressed directly. Cells arrive as raw text (null-safe);
-    * callers project/cast with the [[pgTypeFor]] mapping in mind.
-    * The driver never touches a row. */
+    * expressed directly. Rows STREAM off the socket ([[Conn
+    * .execStream]]): task memory holds one row, not the slice, so
+    * slice sizing is a parallelism dial, not a heap dial. Cells
+    * arrive as raw text (null-safe); callers project/cast with the
+    * [[pgTypeFor]] mapping in mind. The driver never touches a row. */
   def readPartitioned(spark: SparkSession, host: String, port: Int,
       user: String, database: String, nParts: Int,
       sqlFor: Int => String): DataFrame = {
@@ -337,9 +493,11 @@ object PgWire {
     spark.createDataset(0 until nParts)
       .repartition(nParts)
       .flatMap { i =>
-        val (_, _, rows) = PgWire.query(host, port, user, database,
-          s"SET TIME ZONE 'UTC'; ${sqlFor(i)}")
-        rows.map(_.toSeq)
+        val conn = new Conn(host, port, user, database)
+        conn.exec("SET TIME ZONE 'UTC'")
+        // the stream closes the connection on exhaustion; flatMap
+        // drains it fully
+        conn.execStream(sqlFor(i)).map(_.toSeq)
       }
       .toDF("cells")
   }
