@@ -459,6 +459,23 @@ object Pipelines {
         .orderBy("k")
     },
 
+    // S17-v2w: the DSv2 WRITE half — df.write.format("graft-pg") maps
+    // Spark's DataWriter commit/abort contract onto per-task pg
+    // transactions (commit = COMMIT, abort = disconnect-rollback).
+    // Same probe rows, same oracle: the three write paths (INSERT,
+    // COPY helper, DSv2 writer) must be indistinguishable on read.
+    Q("q_s17_pg_v2write", pgProbeOracle) { (s, _) =>
+      val (h, p) = graft.sources.PgServer.hostPort
+      graft.sources.PgWire.query(h, p, "graft", "postgres",
+        pgProbeDdl("graft_pg_v2"))
+      pgProbeFrame(s).repartition(2).write.format("graft-pg")
+        .option("host", h).option("port", p.toString)
+        .option("user", "graft").option("database", "postgres")
+        .option("table", "graft_pg_v2")
+        .mode("append").save()
+      pgProbeReadBack(s, h, p, "graft_pg_v2")
+    },
+
     // S17-auth: SCRAM-SHA-256 against the live server — the embedded
     // pg forces this role through a first-match pg_hba scram rule, so
     // a green row proves the full RFC 7677 exchange (PBKDF2 proof +

@@ -79,14 +79,20 @@ object PgOptions {
 }
 
 class PgTable(schema: StructType, opts: PgOptions)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-pg:${opts.table}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new PgScanBuilder(schema, opts)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new PgWriteBuilder(info.schema(), opts)
 }
 
 class PgScanBuilder(fullSchema: StructType, opts: PgOptions)
@@ -200,6 +206,97 @@ class PgScan(required: StructType, pushed: Array[Filter],
 }
 
 final case class PgInputPartition(sql: String) extends InputPartition
+
+/** The WRITE half of the planner citizenship (`df.write
+  * .format("graft-pg").mode("append")`): Spark's DataWriter contract —
+  * write rows, then task-level commit or abort — maps EXACTLY onto
+  * the per-task pg transaction: each task streams its partition as
+  * one `BEGIN; COPY … FROM STDIN; COMMIT`, so `DataWriter.commit()`
+  * is the COMMIT, `abort()` is a disconnect (pg rolls an open
+  * transaction back), and a speculated/retried task never lands rows
+  * twice. Job-level atomicity across tasks is NOT promised (same
+  * contract as Spark's own JDBC sink): stage into a fresh table or
+  * compose the S8/S9 idempotent merges for whole-job exactly-once. */
+class PgWriteBuilder(schema: StructType, opts: PgOptions)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write._
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(
+          info: PhysicalWriteInfo): DataWriterFactory =
+        PgWriterFactory(schema, opts)
+      override def commit(msgs: Array[WriterCommitMessage]): Unit = ()
+      override def abort(msgs: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+final case class PgTaskCommit(rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final case class PgWriterFactory(schema: StructType, opts: PgOptions)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val conn = new PgWire.Conn(opts.host, opts.port,
+        opts.user, opts.database, opts.password)
+      private var open = true
+      locally {
+        conn.exec("SET TIME ZONE 'UTC'")
+        conn.exec("BEGIN")
+        val cols = schema.fieldNames
+          .map(n => "\"" + n.replace("\"", "\"\"") + "\"")
+          .mkString(", ")
+        conn.copyBegin(s"COPY ${opts.table} ($cols) FROM STDIN")
+      }
+      private var n = 0L
+
+      override def write(r: InternalRow): Unit = {
+        val cells = new Array[String](schema.length)
+        var i = 0
+        while (i < schema.length) {
+          cells(i) =
+            if (r.isNullAt(i)) PgWire.copyCell(null)
+            else PgWire.copyCell(schema(i).dataType match {
+              case BooleanType   => r.getBoolean(i)
+              case LongType      => r.getLong(i)
+              case IntegerType   => r.getInt(i)
+              case DoubleType    => r.getDouble(i)
+              case FloatType     => r.getFloat(i)
+              case TimestampType =>
+                java.sql.Timestamp.from(
+                  java.time.Instant.EPOCH.plusNanos(r.getLong(i) * 1000L))
+              case d: DecimalType =>
+                r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+              case DateType =>
+                java.time.LocalDate.ofEpochDay(r.getInt(i).toLong)
+              case BinaryType => r.getBinary(i)
+              case ArrayType(StringType, _) =>
+                r.getArray(i).toObjectArray(StringType).toSeq
+                  .map(v => if (v == null) null else v.toString)
+              case _ => r.getUTF8String(i).toString
+            })
+          i += 1
+        }
+        conn.copySend(cells.mkString("\t"))
+        n += 1
+      }
+
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        conn.copyEnd()
+        conn.exec("COMMIT")
+        conn.close(); open = false
+        PgTaskCommit(n)
+      }
+
+      // disconnect mid-transaction: pg rolls back — the task's rows
+      // never existed, so a retry starts clean
+      override def abort(): Unit = { conn.close(); open = false }
+      override def close(): Unit = if (open) { conn.close(); open = false }
+    }
+}
 
 final case class PgReaderFactory(schema: StructType, opts: PgOptions)
     extends PartitionReaderFactory {

@@ -293,6 +293,18 @@ object PgWire {
       * CopyInResponse('G') → CopyData('d')×N → CopyDone('c') →
       * CommandComplete → ReadyForQuery. */
     def copyIn(sql: String, lines: Iterator[String]): Unit = {
+      copyBegin(sql)
+      lines.foreach(copySend)
+      copyEnd()
+    }
+
+    // push-style COPY thirds, for writers that RECEIVE rows (the
+    // DataSourceV2 DataWriter contract) instead of holding an
+    // iterator: begin once, send per row, end at task commit.
+    private val copyBuf = new java.io.ByteArrayOutputStream(64 * 1024)
+
+    /** Issue `COPY … FROM STDIN` and wait for CopyInResponse. */
+    def copyBegin(sql: String): Unit = {
       val q = sql.getBytes(UTF_8)
       out.writeByte('Q')
       out.writeInt(4 + q.length + 1)
@@ -312,19 +324,25 @@ object PgWire {
           case _   => ()
         }
       }
-      // ship rows in bounded CopyData frames (many lines per frame)
-      val buf = new java.io.ByteArrayOutputStream(64 * 1024)
-      def flushFrame(): Unit = if (buf.size() > 0) {
-        out.writeByte('d')
-        out.writeInt(4 + buf.size())
-        buf.writeTo(out)
-        buf.reset()
-      }
-      lines.foreach { l =>
-        buf.write(l.getBytes(UTF_8)); buf.write('\n')
-        if (buf.size() >= 48 * 1024) flushFrame()
-      }
-      flushFrame()
+    }
+
+    /** Queue one COPY text line (no trailing newline); ships in
+      * bounded CopyData frames (many lines per frame). */
+    def copySend(line: String): Unit = {
+      copyBuf.write(line.getBytes(UTF_8)); copyBuf.write('\n')
+      if (copyBuf.size() >= 48 * 1024) copyFlushFrame()
+    }
+
+    private def copyFlushFrame(): Unit = if (copyBuf.size() > 0) {
+      out.writeByte('d')
+      out.writeInt(4 + copyBuf.size())
+      copyBuf.writeTo(out)
+      copyBuf.reset()
+    }
+
+    /** CopyDone + drain to ReadyForQuery (errors surface here). */
+    def copyEnd(): Unit = {
+      copyFlushFrame()
       out.writeByte('c'); out.writeInt(4)
       out.flush()
       var done = false

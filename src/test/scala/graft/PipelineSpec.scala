@@ -508,6 +508,36 @@ class PipelineSpec extends SparkSpec {
       .count() == 10)
   }
 
+  test("graft-pg DSv2 write: task abort rolls the partition back — a " +
+      "poisoned partition lands ZERO rows, never a partial prefix") {
+    import graft.sources.{PgServer, PgWire}
+    val (h, p) = PgServer.hostPort
+    PgWire.query(h, p, "graft", "postgres",
+      "DROP TABLE IF EXISTS v2_abort; " +
+        "CREATE TABLE v2_abort (grp bigint, k bigint);")
+    // grp 0 = clean partition, grp 1 = poisoned: row k=13 throws
+    // AFTER rows 10..12 were already written into the COPY stream —
+    // without the per-task transaction those three would persist
+    val df = (0L until 20L).map(i => (i / 10L, i)).toDF("grp", "k")
+      .repartition(2, $"grp")
+      .select($"grp",
+        when($"k" === 13L, expr("raise_error('boom')").cast("long"))
+          .otherwise($"k").as("k"))
+    intercept[Exception] {
+      df.write.format("graft-pg")
+        .option("host", h).option("port", p.toString)
+        .option("user", "graft").option("database", "postgres")
+        .option("table", "v2_abort").mode("append").save()
+    }
+    val (_, _, rows) = PgWire.query(h, p, "graft", "postgres",
+      "SELECT grp, count(*) FROM v2_abort GROUP BY grp ORDER BY grp")
+    val byGrp = rows.map(r => r(0).toLong -> r(1).toLong).toMap
+    assert(byGrp.getOrElse(1L, 0L) == 0L,
+      s"poisoned partition must roll back wholesale: $byGrp")
+    assert(Set(0L, 10L).contains(byGrp.getOrElse(0L, 0L)),
+      s"clean partition is all-or-nothing, never partial: $byGrp")
+  }
+
   test("pg write dialects are adversarially lossless: every escaping " +
       "edge case round-trips bit-exact through BOTH the INSERT and " +
       "COPY paths") {
