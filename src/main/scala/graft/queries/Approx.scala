@@ -854,7 +854,8 @@ object Approx {
           table, append = false)
       }
       val (kept, deleted) =
-        graft.sources.ManifestTable.vacuum(table, keepVersions = 1)
+        graft.sources.ManifestTable.vacuum(table, keepVersions = 1,
+          graceMs = 0L) // single-process: no writer can be in flight
       val vs = graft.sources.ManifestTable.versions(table)
       graft.sources.ManifestTable.read(s, table)
         .agg(count(lit(1)).as("latest_rows"),

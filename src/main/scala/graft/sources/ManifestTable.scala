@@ -102,9 +102,18 @@ object ManifestTable {
     * ledger to drift. */
   def commitTagged(df: DataFrame, table: String, append: Boolean,
       tag: Option[String]): Long = {
-    def taggedVersion: Option[Long] =
-      tag.flatMap(t => versions(table).find(v => tagOf(table, v).contains(t)))
-    val pre = taggedVersion
+    // tag check + version derivation share ONE versions() snapshot
+    // per attempt (below). With separate reads there is a TOCTOU: a
+    // rival publishes tag T at vN between our tag check and our
+    // prev read, we then see vN as prev and link v(N+1) with the
+    // same tag — double-append. With one snapshot, publishing
+    // v(N+1) REQUIRES having observed vN, and the tag check ran
+    // over that same list; a rival landing after the snapshot makes
+    // our createLink lose, and the retry's fresh snapshot sees its
+    // tag.
+    def taggedIn(vs: Seq[Long]): Option[Long] =
+      tag.flatMap(t => vs.find(v => tagOf(table, v).contains(t)))
+    val pre = taggedIn(versions(table))
     if (pre.isDefined) return pre.get
     // stage data under a writer-unique prefix: conflict-free by
     // construction, so the data write happens exactly once no matter
@@ -129,10 +138,11 @@ object ManifestTable {
       require(attempt <= 1000,
         s"commit to $table lost ${attempt - 1} straight publish races " +
           "— livelocked against a pathological writer storm")
+      val snapshot = versions(table)
       // a competing commit may have published our tag while we staged
-      val mid = taggedVersion
+      val mid = taggedIn(snapshot)
       if (mid.isDefined) return mid.get
-      val prev = versions(table).lastOption
+      val prev = snapshot.lastOption
       val v = prev.getOrElse(0L) + 1L
       val carried =
         if (append) prev.map(filesOf(table, _)).getOrElse(Seq.empty)
@@ -184,8 +194,20 @@ object ManifestTable {
     * ONLY place the data directory is ever listed (a maintenance job,
     * not a read path), and still metadata-sized work: the candidate
     * set is file names, never file contents. Write-marker files
-    * (`_SUCCESS`) are left alone. Returns (files kept, files deleted). */
-  def vacuum(table: String, keepVersions: Int): (Int, Int) = {
+    * (`_SUCCESS`) are left alone.
+    *
+    * `graceMs` is the IN-FLIGHT-WRITER guard (Delta/Iceberg's
+    * retention window in miniature): an unreferenced file younger
+    * than it is presumed to be a concurrent commit's staged data —
+    * not yet published, about to be — and is left alone. Without the
+    * window, vacuum racing a live writer deletes its staged files,
+    * the writer then wins its publish, and the committed snapshot
+    * 404s on read. The default comfortably exceeds any staging
+    * write's duration; pass 0 only when no writer can be in flight
+    * (tests, single-process maintenance). Returns
+    * (files kept, files deleted). */
+  def vacuum(table: String, keepVersions: Int,
+      graceMs: Long = 20L * 60L * 1000L): (Int, Int) = {
     require(keepVersions >= 1, s"keepVersions must be ≥1: $keepVersions")
     val vs = versions(table)
     val keep = vs.takeRight(keepVersions)
@@ -201,8 +223,10 @@ object ManifestTable {
           .toSeq
       }
     val root = Paths.get(table)
+    val cutoff = System.currentTimeMillis() - graceMs
     val dead = all.filterNot(p => live.contains(
-      root.relativize(p).toString))
+        root.relativize(p).toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
     dead.foreach(Files.delete)
     vs.dropRight(keepVersions).foreach(v =>
       Files.delete(manifestDir(table).resolve(s"v$v")))

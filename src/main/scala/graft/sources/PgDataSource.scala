@@ -56,6 +56,16 @@ object PgTableProvider {
       StructField(n, PgWire.pgTypeFor(o))
     })
   }
+
+  /** Column -> server type OID, same probe — the pushdown gate needs
+    * the SERVER's type, not the Spark mapping (numeric and uuid both
+    * map to StringType, but pg compares them as numeric/uuid). */
+  def oidsFor(opts: PgOptions): Map[String, Int] = {
+    val (names, oids, _) = PgWire.query(opts.host, opts.port, opts.user,
+      opts.database, s"SELECT * FROM ${opts.table} LIMIT 0",
+      opts.password)
+    names.zip(oids).toMap
+  }
 }
 
 /** Connection/table options (serializable — shipped to tasks). */
@@ -102,11 +112,50 @@ class PgScanBuilder(fullSchema: StructType, opts: PgOptions)
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
 
+  private lazy val oids: Map[String, Int] = PgTableProvider.oidsFor(opts)
+
+  /** Server-type class of a column, gating what may push:
+    *  - 'n' (bool/int/float/timestamp): the Spark-side values are the
+    *    same value type, so pg comparison semantics == Spark's — push
+    *    anything;
+    *  - 't' (text/varchar/char): equality and LIKE are bytewise under
+    *    pg's (default, deterministic) collations and match Spark, but
+    *    ORDER comparisons follow the database collation, which need
+    *    not be Spark's binary order — push equality/LIKE only;
+    *  - 'o' (numeric, uuid, arrays, anything else): mapped to
+    *    StringType on the Spark side, so pg would compare values
+    *    where Spark compares their text — pushing would return rows
+    *    Spark semantics exclude (silently, since pushed filters are
+    *    not re-applied). Only NULL tests push. */
+  private def colClass(a: String): Char = oids.get(a) match {
+    case Some(16 | 20 | 21 | 23 | 700 | 701 | 1114 | 1184) => 'n'
+    case Some(25 | 1042 | 1043)                            => 't'
+    case _                                                  => 'o'
+  }
+
+  private def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _)                    => colClass(a) != 'o'
+    case Not(EqualTo(a, _))               => colClass(a) != 'o'
+    case In(a, _)                         => colClass(a) != 'o'
+    case GreaterThan(a, _)                => colClass(a) == 'n'
+    case GreaterThanOrEqual(a, _)         => colClass(a) == 'n'
+    case LessThan(a, _)                   => colClass(a) == 'n'
+    case LessThanOrEqual(a, _)            => colClass(a) == 'n'
+    case IsNull(_) | IsNotNull(_)         => true
+    case StringStartsWith(a, _)           => colClass(a) == 't'
+    case StringEndsWith(a, _)             => colClass(a) == 't'
+    case StringContains(a, _)             => colClass(a) == 't'
+    case And(l, r)                        => pushable(l) && pushable(r)
+    case Or(l, r)                         => pushable(l) && pushable(r)
+    case _                                => false
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, rest) = filters.partition(f => PgScan.toSql(f).isDefined)
+    val (ok, rest) = filters.partition(f =>
+      pushable(f) && PgScan.toSql(f).isDefined)
     pushed = ok
     rest // Spark keeps evaluating these
   }
@@ -116,8 +165,7 @@ class PgScanBuilder(fullSchema: StructType, opts: PgOptions)
 }
 
 object PgScan {
-  private def quote(name: String): String =
-    "\"" + name.replace("\"", "\"\"") + "\""
+  private def quote(name: String): String = PgWire.quoteIdent(name)
 
   /** Catalyst source filter → pg WHERE fragment; None = cannot push
     * (Spark re-applies it post-scan, so partial support is safe). */
@@ -172,8 +220,7 @@ class PgScan(required: StructType, pushed: Array[Filter],
 
   private def selectList: String =
     if (required.isEmpty) "1" // count-style scan: rows, no columns
-    else required.fieldNames
-      .map(n => "\"" + n.replace("\"", "\"\"") + "\"").mkString(", ")
+    else required.fieldNames.map(PgWire.quoteIdent).mkString(", ")
 
   private def whereFor(slice: Option[String]): String = {
     val parts = pushed.flatMap(PgScan.toSql).toSeq ++ slice.toSeq
@@ -193,10 +240,18 @@ class PgScan(required: StructType, pushed: Array[Filter],
   override def planInputPartitions(): Array[InputPartition] =
     opts.partitionColumn match {
       case Some(c) if opts.numPartitions > 1 =>
-        val q = "\"" + c.replace("\"", "\"\"") + "\""
-        Array.tabulate(opts.numPartitions) { i =>
+        val q = PgWire.quoteIdent(c)
+        val n = opts.numPartitions
+        Array.tabulate(n) { i =>
+          // ((x % n) + n) % n: non-negative without abs() (pg's
+          // abs(bigint-min) overflows); slice 0 additionally owns the
+          // NULL partition keys — without the IS NULL arm every
+          // modulus predicate is NULL for them and the rows would be
+          // returned by NO slice (the classic silent-undercount bug
+          // Spark's own JDBC source guards against)
+          val slice = s"(($q % $n) + $n) % $n = $i"
           PgInputPartition(sqlFor(Some(
-            s"abs($q) % ${opts.numPartitions} = $i")))
+            if (i == 0) s"($slice OR $q IS NULL)" else s"($slice)")))
         }
       case _ => Array(PgInputPartition(sqlFor(None)))
     }
@@ -245,8 +300,7 @@ final case class PgWriterFactory(schema: StructType, opts: PgOptions)
       locally {
         conn.exec("SET TIME ZONE 'UTC'")
         conn.exec("BEGIN")
-        val cols = schema.fieldNames
-          .map(n => "\"" + n.replace("\"", "\"\"") + "\"")
+        val cols = schema.fieldNames.map(PgWire.quoteIdent)
           .mkString(", ")
         conn.copyBegin(s"COPY ${opts.table} ($cols) FROM STDIN")
       }

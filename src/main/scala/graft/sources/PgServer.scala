@@ -37,6 +37,26 @@ object PgServer {
         s"host all $user ::1/128 scram-sha-256\n"
     Files.writeString(hba, rules + Files.readString(hba))
     PgWire.query(h, p, "graft", "postgres", "SELECT pg_reload_conf();")
+    // pg_reload_conf only SIGNALS the postmaster; the new hba rules
+    // apply asynchronously. Returning before they land would let the
+    // first "scram" connection sail through on the old trust rule —
+    // poll until a password-less attempt is actually CHALLENGED (the
+    // client throws its named no-password error when the server
+    // demands SASL; success means trust still applies).
+    var enforced = false
+    var waited = 0
+    while (!enforced) {
+      try {
+        PgWire.query(h, p, user, "postgres", "SELECT 1")
+        require(waited < 10000,
+          "pg_hba scram rule not enforced after 10 s")
+        Thread.sleep(50); waited += 50
+      } catch {
+        case e: java.io.IOException
+            if e.getMessage.contains("no password was provided") =>
+          enforced = true
+      }
+    }
     (user, pass)
   }
 

@@ -367,6 +367,11 @@ object PgWire {
     }
   }
 
+  /** pg identifier quoting — THE one place escaping lives (the scan,
+    * both writers, and the DSv2 reader all build SQL through it). */
+  def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
   /** One-shot convenience: connect, run `sql`, disconnect. */
   def query(host: String, port: Int, user: String, database: String,
       sql: String, password: Option[String] = None)
@@ -512,9 +517,14 @@ object PgWire {
       .repartition(nParts)
       .flatMap { i =>
         val conn = new Conn(host, port, user, database)
+        // the stream closes the connection on exhaustion; the task
+        // listener covers the OTHER exits (a downstream limit() that
+        // abandons the iterator mid-stream, a killed task) — without
+        // it every partial read leaks a socket + an active pg backend
+        // until JVM exit (close() is idempotent)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => conn.close()))
         conn.exec("SET TIME ZONE 'UTC'")
-        // the stream closes the connection on exhaustion; flatMap
-        // drains it fully
         conn.execStream(sqlFor(i)).map(_.toSeq)
       }
       .toDF("cells")
@@ -625,8 +635,7 @@ object PgWire {
     * simplicity wins). Text format, cells via [[copyCell]]. */
   def writeTableCopy(df: DataFrame, host: String, port: Int,
       user: String, database: String, table: String): Unit = {
-    val colList = df.schema.fieldNames
-      .map(n => "\"" + n.replace("\"", "\"\"") + "\"").mkString(", ")
+    val colList = df.schema.fieldNames.map(quoteIdent).mkString(", ")
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val conn = new Conn(host, port, user, database)
@@ -662,8 +671,7 @@ object PgWire {
   def writeTable(df: DataFrame, host: String, port: Int, user: String,
       database: String, table: String, batchRows: Int = 500): Unit = {
     require(batchRows >= 1, s"batchRows must be >= 1: $batchRows")
-    val colList = df.schema.fieldNames
-      .map(n => "\"" + n.replace("\"", "\"\"") + "\"").mkString(", ")
+    val colList = df.schema.fieldNames.map(quoteIdent).mkString(", ")
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
         val conn = new Conn(host, port, user, database)

@@ -473,10 +473,16 @@ class PipelineSpec extends SparkSpec {
     val (h, p) = PgServer.hostPort
     PgWire.query(h, p, "graft", "postgres",
       "DROP TABLE IF EXISTS dsv2_probe; " +
-        "CREATE TABLE dsv2_probe (k bigint, v text, ts timestamptz); " +
+        "CREATE TABLE dsv2_probe " +
+        "(k bigint, v text, ts timestamptz, price numeric); " +
         "INSERT INTO dsv2_probe SELECT g, 'v' || g, " +
-        "'2026-01-01 00:00:00+00'::timestamptz + g * interval '1 hour' " +
-        "FROM generate_series(0, 99) g;")
+        "'2026-01-01 00:00:00+00'::timestamptz + g * interval '1 hour'," +
+        " g FROM generate_series(0, 99) g; " +
+        // the adversarial partition keys: NULL (no modulus slice
+        // matches without the IS NULL arm) and bigint-min (abs()
+        // overflows in pg)
+        "INSERT INTO dsv2_probe VALUES (NULL, 'vnull', NULL, NULL), " +
+        "(-9223372036854775808, 'vmin', NULL, 12);")
     val df = spark.read.format("graft-pg")
       .option("host", h).option("port", p.toString)
       .option("user", "graft").option("database", "postgres")
@@ -484,8 +490,27 @@ class PipelineSpec extends SparkSpec {
       .option("partitionColumn", "k").option("numPartitions", "4")
       .load()
     // schema came from the server's RowDescription, not a guess
+    // (numeric rides as its exact decimal STRING, per the dialect)
     assert(df.schema == StructType(Seq(StructField("k", LongType),
-      StructField("v", StringType), StructField("ts", TimestampType))))
+      StructField("v", StringType), StructField("ts", TimestampType),
+      StructField("price", StringType))))
+    // every row lands in exactly one slice — NULL keys and bigint-min
+    // included (102 = 100 + the two adversarial rows)
+    assert(df.count() == 102)
+    assert(df.filter($"k".isNull).select("v").as[String].collect()
+      .toSeq == Seq("vnull"))
+    // a string comparison on a NUMERIC-backed column must NOT push:
+    // Spark compares the canonical TEXT ("12" < "9", "95" > "9"), pg
+    // would compare VALUES (12 > 9) — under pg semantics this filter
+    // returns 91 rows (10..99 and the vmin row's 12); under Spark's
+    // string semantics exactly the ten "90".."99". The oid gate keeps
+    // it Spark-side, so the STRING answer is the one we must get.
+    val semantic = df.filter($"price" > "9")
+    assert(!semantic.queryExecution.executedPlan.toString
+      .contains("\"price\" >"),
+      "numeric-backed string comparison must stay in Spark")
+    assert(semantic.select("k").as[Long].collect().toSet ==
+      (90L to 99L).toSet)
     val q = df.filter($"k" >= 10L && $"k" <= 19L).select("k", "v")
     // pushdown is auditable: the scan description carries the exact
     // SQL, with the pruned SELECT list and the compiled WHERE
@@ -496,9 +521,7 @@ class PipelineSpec extends SparkSpec {
       s"range filter must compile into the WHERE clause:\n$plan")
     assert(q.as[(Long, String)].collect().sorted.toSeq ==
       (10L to 19L).map(i => (i, s"v$i")))
-    // 4 mod-slices union to all 100 rows; timestamps decode per the
-    // dialect (hour g = epoch 2026-01-01 + g*3600s)
-    assert(df.count() == 100)
+    // timestamps decode per the dialect (hour g = epoch + g*3600s)
     val ts17 = df.filter($"k" === 17L)
       .select(unix_micros($"ts")).as[Long].collect()(0)
     assert(ts17 == 1767225600000000L + 17L * 3600L * 1000000L)
@@ -634,7 +657,14 @@ class PipelineSpec extends SparkSpec {
     // unreferenced, both must be reclaimed by the sweep
     df.limit(3).write.parquet(s"$table/data/c999")
     df.limit(5).write.parquet(s"$table/data/c4")
-    val (kept, deleted) = ManifestTable.vacuum(table, keepVersions = 2)
+    // default grace window first: the just-written strays are YOUNG,
+    // so a retention-safe sweep must presume they are an in-flight
+    // writer's staging and keep them
+    val (_, deleted0) = ManifestTable.vacuum(table, keepVersions = 3)
+    assert(deleted0 == 0,
+      "fresh unreferenced files are in-flight staging, not garbage")
+    val (kept, deleted) = ManifestTable.vacuum(table, keepVersions = 2,
+      graceMs = 0L)
     assert(ManifestTable.versions(table) == Seq(2L, 3L))
     assert(ManifestTable.read(spark, table, Some(3L))
       .as[Long].collect().toSet == (1L to 60L).toSet,
