@@ -476,6 +476,40 @@ object Pipelines {
       pgProbeReadBack(s, h, p, "graft_pg_v2")
     },
 
+    // S17-agg: aggregate pushdown through the DSv2 source — COUNT /
+    // SUM / MIN / MAX + GROUP BY compile into the per-slice server
+    // SQL (each mod-N slice returns its partial aggregates; Spark
+    // merges), so a grouped rollup of a table ships one row per
+    // (slice, group) instead of the table. d = g * 0.25 is exact in
+    // binary, so the double sum is bit-stable on every engine.
+    Q("q_s17_pg_agg",
+      """SELECT CAST(g % 5 AS BIGINT) AS g,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(g) AS BIGINT) AS sx,
+        |  CAST(min(g) AS BIGINT) AS mn,
+        |  CAST(max(g) AS BIGINT) AS mx,
+        |  sum(g * 0.25) AS sd
+        |FROM range(0, 200) t(g) GROUP BY 1 ORDER BY g""".stripMargin) {
+      (s, _) =>
+      val (h, p) = graft.sources.PgServer.hostPort
+      graft.sources.PgWire.query(h, p, "graft", "postgres",
+        "DROP TABLE IF EXISTS agg_q; " +
+          "CREATE TABLE agg_q (g bigint, x bigint, d double precision); " +
+          "INSERT INTO agg_q SELECT g % 5, g, g * 0.25 " +
+          "FROM generate_series(0, 199) g;")
+      s.read.format("graft-pg")
+        .option("host", h).option("port", p.toString)
+        .option("user", "graft").option("database", "postgres")
+        .option("table", "agg_q")
+        .option("partitionColumn", "x").option("numPartitions", "3")
+        .load()
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          min(col("x")).as("mn"), max(col("x")).as("mx"),
+          sum(col("d")).as("sd"))
+        .orderBy("g")
+    },
+
     // S17-auth: SCRAM-SHA-256 against the live server — the embedded
     // pg forces this role through a first-match pg_hba scram rule, so
     // a green row proves the full RFC 7677 exchange (PBKDF2 proof +

@@ -107,10 +107,14 @@ class PgTable(schema: StructType, opts: PgOptions)
 
 class PgScanBuilder(fullSchema: StructType, opts: PgOptions)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  // aggregate pushdown state: SQL select items + their output schema
+  // + the GROUP BY columns (empty = global aggregate)
+  private var aggState: Option[(Seq[String], StructType, Seq[String])] =
+    None
 
   private lazy val oids: Map[String, Int] = PgTableProvider.oidsFor(opts)
 
@@ -151,7 +155,9 @@ class PgScanBuilder(fullSchema: StructType, opts: PgOptions)
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // after an aggregate push the scan's output IS the aggregate
+    // schema; the later pruning phase must not narrow it again
+    if (aggState.isEmpty) required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(f =>
@@ -161,7 +167,90 @@ class PgScanBuilder(fullSchema: StructType, opts: PgOptions)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new PgScan(required, pushed, opts)
+  /** Partial-merge mode, never complete: each mod-N slice returns its
+    * own partial aggregate rows and Spark merges them (sum of counts,
+    * min of mins, …) — the only sound contract with partitioned
+    * scans, and it keeps Spark's own overflow/decimal semantics in
+    * the final step. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = false
+
+  /** Push COUNT(*)/COUNT(col)/SUM/MIN/MAX (+ GROUP BY) down to the
+    * server — at 100 TB-equivalent table sizes this is the difference
+    * between shipping a TABLE and shipping one row per group. The
+    * same server-type gate as filters applies: SUM/MIN/MAX only on
+    * value-typed columns (pg would aggregate numerics where Spark
+    * sees their text); COUNT works on anything (both engines count
+    * non-null rows); AVG and DISTINCT forms are declined (their
+    * partial-merge needs sum+count splitting — Spark re-plans them
+    * unpushed). GROUP BY columns must be value- or text-typed so the
+    * group keys round-trip faithfully. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+    def colOf(e: Expression): Option[String] = e match {
+      case n: NamedReference if n.fieldNames().length == 1 =>
+        Some(n.fieldNames()(0))
+      case _ => None
+    }
+    def sparkTypeOf(c: String): Option[DataType] =
+      fullSchema.fields.find(_.name == c).map(_.dataType)
+    val q = PgWire.quoteIdent _
+    val groups = agg.groupByExpressions.toSeq.map(colOf)
+    if (groups.exists(_.isEmpty)) return false
+    val gcols = groups.flatten
+    if (gcols.exists(c => colClass(c) == 'o')) return false
+    val items: Seq[Option[(String, DataType)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some(("CAST(count(*) AS bigint)", LongType))
+        case c: Count if !c.isDistinct =>
+          colOf(c.column).map(c0 =>
+            (s"CAST(count(${q(c0)}) AS bigint)", LongType))
+        case m: Min =>
+          colOf(m.column).filter(colClass(_) == 'n').flatMap(c0 =>
+            sparkTypeOf(c0).map(t => (s"min(${q(c0)})", t)))
+        case m: Max =>
+          colOf(m.column).filter(colClass(_) == 'n').flatMap(c0 =>
+            sparkTypeOf(c0).map(t => (s"max(${q(c0)})", t)))
+        case sm: Sum if !sm.isDistinct =>
+          colOf(sm.column).flatMap(c0 => sparkTypeOf(c0) match {
+            case Some(LongType) =>
+              // pg sums bigint into numeric; the cast back matches
+              // Spark's own long-sum overflow envelope
+              Some((s"CAST(sum(${q(c0)}) AS bigint)", LongType))
+            case Some(DoubleType) =>
+              Some((s"CAST(sum(${q(c0)}) AS double precision)",
+                DoubleType))
+            case _ => None
+          })
+        case _ => None // Avg / distinct forms: Spark keeps them
+      }
+    if (items.exists(_.isEmpty)) return false
+    val aggFields = items.flatten.zipWithIndex.map { case ((_, t), i) =>
+      StructField(s"agg_$i", t)
+    }
+    val gFields = gcols.map(c =>
+      StructField(c, sparkTypeOf(c).getOrElse(StringType)))
+    aggState = Some((
+      gcols.map(q) ++ items.flatten.map(_._1),
+      StructType(gFields ++ aggFields),
+      gcols.map(q)))
+    true
+  }
+
+  override def build(): Scan = aggState match {
+    case Some((items, schema, groupBy)) =>
+      new PgScan(schema, items, groupBy, pushed, opts)
+    case None =>
+      val items =
+        if (required.isEmpty) Seq("1") // count-style scan: rows only
+        else required.fieldNames.toSeq.map(PgWire.quoteIdent)
+      new PgScan(required, items, Seq.empty, pushed, opts)
+  }
 }
 
 object PgScan {
@@ -213,14 +302,11 @@ object PgScan {
   }
 }
 
-class PgScan(required: StructType, pushed: Array[Filter],
+class PgScan(required: StructType, selectItems: Seq[String],
+    groupBy: Seq[String], pushed: Array[Filter],
     opts: PgOptions) extends Scan with Batch {
 
   override def readSchema(): StructType = required
-
-  private def selectList: String =
-    if (required.isEmpty) "1" // count-style scan: rows, no columns
-    else required.fieldNames.map(PgWire.quoteIdent).mkString(", ")
 
   private def whereFor(slice: Option[String]): String = {
     val parts = pushed.flatMap(PgScan.toSql).toSeq ++ slice.toSeq
@@ -229,8 +315,13 @@ class PgScan(required: StructType, pushed: Array[Filter],
 
   /** The exact SQL a partition runs — surfaced in `.explain` via
     * [[description]] so pushdown is auditable from the plan. */
-  def sqlFor(slice: Option[String]): String =
-    s"SELECT $selectList FROM ${opts.table}${whereFor(slice)}"
+  def sqlFor(slice: Option[String]): String = {
+    val grp =
+      if (groupBy.isEmpty) ""
+      else groupBy.mkString(" GROUP BY ", ", ", "")
+    s"SELECT ${selectItems.mkString(", ")} FROM ${opts.table}" +
+      s"${whereFor(slice)}$grp"
+  }
 
   override def description(): String =
     s"graft-pg ${sqlFor(None)} [parts=${planInputPartitions().length}]"

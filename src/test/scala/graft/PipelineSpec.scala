@@ -561,6 +561,53 @@ class PipelineSpec extends SparkSpec {
       s"clean partition is all-or-nothing, never partial: $byGrp")
   }
 
+  test("graft-pg aggregate pushdown: COUNT/SUM/MIN/MAX + GROUP BY run " +
+      "server-side as per-slice partials, AVG is declined yet exact") {
+    import graft.sources.{PgServer, PgWire}
+    val (h, p) = PgServer.hostPort
+    PgWire.query(h, p, "graft", "postgres",
+      "DROP TABLE IF EXISTS agg_probe; " +
+        "CREATE TABLE agg_probe (g bigint, x bigint, d double precision); " +
+        "INSERT INTO agg_probe SELECT g % 5, g, g * 0.25 " +
+        "FROM generate_series(0, 199) g; " +
+        "INSERT INTO agg_probe VALUES (1, NULL, NULL);")
+    val df = spark.read.format("graft-pg")
+      .option("host", h).option("port", p.toString)
+      .option("user", "graft").option("database", "postgres")
+      .option("table", "agg_probe")
+      .option("partitionColumn", "g").option("numPartitions", "3")
+      .load()
+    val q = df.groupBy($"g").agg(count(lit(1)).as("n"),
+      count($"x").as("nx"), sum($"x").as("sx"), min($"x").as("mn"),
+      max($"x").as("mx"), sum($"d").as("sd"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("count(*)") && plan.contains("GROUP BY"),
+      s"aggregates must appear in the scan's server SQL:\n$plan")
+    val got = q.orderBy("g")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    val want = (0L to 4L).map { g =>
+      val xs = (0L to 199L).filter(_ % 5 == g)
+      val nNull = if (g == 1) 1 else 0
+      (g, xs.size.toLong + nNull, xs.size.toLong, xs.sum, xs.min,
+        xs.max, xs.map(_ * 0.25).sum)
+    }
+    assert(got == want, s"partial-merge mismatch:\n$got\n$want")
+    // AVG: this source declines it, and Spark's V2 pushdown then
+    // DECOMPOSES it into sum+count partials — which we do accept — so
+    // the server still aggregates and Spark does the exact division.
+    // The scan must show the decomposed partials, never the raw column.
+    val avg = df.groupBy($"g").agg(org.apache.spark.sql.functions
+      .avg($"x").as("a"))
+    val scanSql = avg.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("graft-pg SELECT")).getOrElse("")
+    assert(scanSql.contains("sum(\"x\")") &&
+      scanSql.contains("count(\"x\")") &&
+      !scanSql.contains("\"x\" FROM"),
+      s"avg must ride as pushed sum+count partials: $scanSql")
+    val a1 = avg.filter($"g" === 0L).as[(Long, Double)].collect()(0)._2
+    assert(a1 == (0L to 199L).filter(_ % 5 == 0).map(_.toDouble).sum / 40)
+  }
+
   test("pg write dialects are adversarially lossless: every escaping " +
       "edge case round-trips bit-exact through BOTH the INSERT and " +
       "COPY paths") {
