@@ -107,7 +107,8 @@ class PgTable(schema: StructType, opts: PgOptions)
 
 class PgScanBuilder(fullSchema: StructType, opts: PgOptions)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
@@ -153,6 +154,21 @@ class PgScanBuilder(fullSchema: StructType, opts: PgOptions)
     case Or(l, r)                         => pushable(l) && pushable(r)
     case _                                => false
   }
+
+  private var limit: Option[Int] = None
+
+  /** LIMIT n pushes as a PER-SLICE limit (isPartiallyPushed): each
+    * slice returns at most n rows and Spark applies the global limit
+    * over the union — `df.limit(5)` stops the server after 5 rows per
+    * slice instead of streaming the table. Sound with aggregates NOT
+    * pushed on top (Spark only offers limit-after-agg when the agg
+    * result is what is limited, and then it pushes to the agg scan —
+    * the per-slice partials still merge before the final limit). */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // after an aggregate push the scan's output IS the aggregate
@@ -244,12 +260,12 @@ class PgScanBuilder(fullSchema: StructType, opts: PgOptions)
 
   override def build(): Scan = aggState match {
     case Some((items, schema, groupBy)) =>
-      new PgScan(schema, items, groupBy, pushed, opts)
+      new PgScan(schema, items, groupBy, limit, pushed, opts)
     case None =>
       val items =
         if (required.isEmpty) Seq("1") // count-style scan: rows only
         else required.fieldNames.toSeq.map(PgWire.quoteIdent)
-      new PgScan(required, items, Seq.empty, pushed, opts)
+      new PgScan(required, items, Seq.empty, limit, pushed, opts)
   }
 }
 
@@ -303,7 +319,7 @@ object PgScan {
 }
 
 class PgScan(required: StructType, selectItems: Seq[String],
-    groupBy: Seq[String], pushed: Array[Filter],
+    groupBy: Seq[String], limit: Option[Int], pushed: Array[Filter],
     opts: PgOptions) extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -319,8 +335,9 @@ class PgScan(required: StructType, selectItems: Seq[String],
     val grp =
       if (groupBy.isEmpty) ""
       else groupBy.mkString(" GROUP BY ", ", ", "")
+    val lim = limit.map(n => s" LIMIT $n").getOrElse("")
     s"SELECT ${selectItems.mkString(", ")} FROM ${opts.table}" +
-      s"${whereFor(slice)}$grp"
+      s"${whereFor(slice)}$grp$lim"
   }
 
   override def description(): String =

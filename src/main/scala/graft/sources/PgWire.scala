@@ -50,6 +50,49 @@ object PgWire {
     sock.setSoTimeout(30000)
     private val out = new DataOutputStream(sock.getOutputStream)
     private val in = new DataInputStream(sock.getInputStream)
+
+    /** Frontend Query message: tag 'Q', length, SQL, NUL. */
+    private def sendQuery(sql: String): Unit = {
+      val q = sql.getBytes(UTF_8)
+      out.writeByte('Q')
+      out.writeInt(4 + q.length + 1)
+      out.write(q)
+      out.writeByte(0)
+      out.flush()
+    }
+
+    /** Big-endian int32 at the head of an Authentication payload. */
+    private def beInt(payload: Array[Byte]): Int =
+      ((payload(0) & 0xff) << 24) | ((payload(1) & 0xff) << 16) |
+        ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
+
+    /** DataRow payload -> text cells (null cell = SQL NULL). */
+    private def parseDataRow(payload: Array[Byte]): Array[String] = {
+      val b = new DataInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val n = b.readShort()
+      Array.tabulate(n) { _ =>
+        val len = b.readInt()
+        if (len < 0) null
+        else {
+          val bytes = new Array[Byte](len)
+          b.readFully(bytes)
+          new String(bytes, UTF_8)
+        }
+      }
+    }
+
+    /** ErrorResponse handling: drain to ReadyForQuery so the
+      * connection stays usable after the caller handles the error,
+      * then throw. */
+    private def drainAndThrow(prefix: String,
+        payload: Array[Byte]): Nothing = {
+      val msg = errorText(payload)
+      var ready = false
+      while (!ready) ready = readMessage(in)._1 == 'Z'
+      throw new java.io.IOException(s"$prefix: $msg")
+    }
+
     locally {
       // StartupMessage: no type byte; len + protocol + params
       val params = ("user\u0000" + user + "\u0000database\u0000" +
@@ -64,10 +107,7 @@ object PgWire {
         val (tag, payload) = readMessage(in)
         tag match {
           case 'R' =>
-            val code = ((payload(0) & 0xff) << 24) |
-              ((payload(1) & 0xff) << 16) | ((payload(2) & 0xff) << 8) |
-              (payload(3) & 0xff)
-            code match {
+            beInt(payload) match {
               case 0  => () // AuthenticationOk
               case 10 => scramAuth(payload.drop(4)) // AuthenticationSASL
               case other => throw new java.io.IOException(
@@ -159,9 +199,7 @@ object PgWire {
         val (tag, payload) = readMessage(in)
         tag match {
           case 'R' =>
-            val got = ((payload(0) & 0xff) << 24) |
-              ((payload(1) & 0xff) << 16) | ((payload(2) & 0xff) << 8) |
-              (payload(3) & 0xff)
+            val got = beInt(payload)
             require(got == code, s"expected SASL code $code, got $got")
             outp = new String(payload.drop(4), UTF_8)
           case 'E' => throw new java.io.IOException(
@@ -175,12 +213,7 @@ object PgWire {
     /** One simple-query round trip: (column names, column type OIDs,
       * rows as text cells; null cell = SQL NULL). */
     def exec(sql: String): (Seq[String], Seq[Int], Seq[Array[String]]) = {
-      val q = sql.getBytes(UTF_8)
-      out.writeByte('Q')
-      out.writeInt(4 + q.length + 1)
-      out.write(q)
-      out.writeByte(0)
-      out.flush()
+      sendQuery(sql)
       var names = Seq.empty[String]
       var oids = Seq.empty[Int]
       val rows = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
@@ -201,26 +234,8 @@ object PgWire {
               b.readShort(); b.readInt(); b.readShort() // len, mod, fmt
             }
             names = ns.toSeq; oids = os.toSeq
-          case 'D' =>
-            val b = new DataInputStream(
-              new java.io.ByteArrayInputStream(payload))
-            val n = b.readShort()
-            rows += Array.tabulate(n) { _ =>
-              val len = b.readInt()
-              if (len < 0) null
-              else {
-                val bytes = new Array[Byte](len)
-                b.readFully(bytes)
-                new String(bytes, UTF_8)
-              }
-            }
-          case 'E' =>
-            // drain to ReadyForQuery so the connection stays usable
-            // after the caller handles the error
-            val msg = errorText(payload)
-            var ready = false
-            while (!ready) ready = readMessage(in)._1 == 'Z'
-            throw new java.io.IOException("pg error: " + msg)
+          case 'D' => rows += parseDataRow(payload)
+          case 'E' => drainAndThrow("pg error", payload)
           case 'Z' => done = true
           case _   => // CommandComplete / NoticeResponse / ParameterStatus
         }
@@ -238,12 +253,7 @@ object PgWire {
       * regardless of slice size — the shape a fact-table slice needs
       * where [[exec]]'s full buffering would be per-task pressure. */
     def execStream(sql: String): Iterator[Array[String]] = {
-      val q = sql.getBytes(UTF_8)
-      out.writeByte('Q')
-      out.writeInt(4 + q.length + 1)
-      out.write(q)
-      out.writeByte(0)
-      out.flush()
+      sendQuery(sql)
       val self = this
       new Iterator[Array[String]] {
         private var pending: Array[String] = null
@@ -252,19 +262,7 @@ object PgWire {
           while (pending == null && !finished) {
             val (tag, payload) = readMessage(in)
             tag match {
-              case 'D' =>
-                val b = new DataInputStream(
-                  new java.io.ByteArrayInputStream(payload))
-                val n = b.readShort()
-                pending = Array.tabulate(n) { _ =>
-                  val len = b.readInt()
-                  if (len < 0) null
-                  else {
-                    val bytes = new Array[Byte](len)
-                    b.readFully(bytes)
-                    new String(bytes, UTF_8)
-                  }
-                }
+              case 'D' => pending = parseDataRow(payload)
               case 'E' =>
                 val msg = errorText(payload)
                 finished = true
@@ -305,22 +303,13 @@ object PgWire {
 
     /** Issue `COPY … FROM STDIN` and wait for CopyInResponse. */
     def copyBegin(sql: String): Unit = {
-      val q = sql.getBytes(UTF_8)
-      out.writeByte('Q')
-      out.writeInt(4 + q.length + 1)
-      out.write(q)
-      out.writeByte(0)
-      out.flush()
+      sendQuery(sql)
       var inCopy = false
       while (!inCopy) {
         val (tag, payload) = readMessage(in)
         tag match {
           case 'G' => inCopy = true
-          case 'E' =>
-            var ready = false
-            while (!ready) ready = readMessage(in)._1 == 'Z'
-            throw new java.io.IOException(
-              "pg copy error: " + errorText(payload))
+          case 'E' => drainAndThrow("pg copy error", payload)
           case _   => ()
         }
       }
@@ -349,11 +338,7 @@ object PgWire {
       while (!done) {
         val (tag, payload) = readMessage(in)
         tag match {
-          case 'E' =>
-            var ready = false
-            while (!ready) ready = readMessage(in)._1 == 'Z'
-            throw new java.io.IOException(
-              "pg copy error: " + errorText(payload))
+          case 'E' => drainAndThrow("pg copy error", payload)
           case 'Z' => done = true
           case _   => () // CommandComplete / NoticeResponse
         }

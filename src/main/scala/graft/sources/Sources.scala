@@ -113,6 +113,14 @@ object Sources {
     // partition-scoped client still amortizes what matters: pacing
     // state, retry policy, DNS cache.
     conn.setRequestProperty("Connection", "close")
+    readResponse(conn, url)
+  }
+
+  /** Shared response half of the transports: non-2xx throws (so
+    * `Services.Remote` retries transient failures and surfaces
+    * permanent ones), 2xx returns the raw body bytes. */
+  private def readResponse(conn: java.net.HttpURLConnection,
+      url: String): Array[Byte] = {
     val code = conn.getResponseCode
     if (code / 100 != 2) {
       Option(conn.getErrorStream).foreach(_.close())
@@ -146,14 +154,7 @@ object Sources {
     val out = conn.getOutputStream
     try out.write(body)
     finally out.close()
-    val code = conn.getResponseCode
-    if (code / 100 != 2) {
-      Option(conn.getErrorStream).foreach(_.close())
-      throw new java.io.IOException(s"HTTP $code for $url")
-    }
-    val in = conn.getInputStream
-    try in.readAllBytes()
-    finally in.close()
+    readResponse(conn, url)
   }
 
   /** Text view of [[httpPostBytes]] — UTF-8 body out, UTF-8 body

@@ -606,6 +606,16 @@ class PipelineSpec extends SparkSpec {
       s"avg must ride as pushed sum+count partials: $scanSql")
     val a1 = avg.filter($"g" === 0L).as[(Long, Double)].collect()(0)._2
     assert(a1 == (0L to 199L).filter(_ % 5 == 0).map(_.toDouble).sum / 40)
+    // LIMIT pushes per-slice (partial): the server stops after n rows
+    // per slice, Spark takes the global n over the union — and the
+    // undrained streams the limit abandons are closed by the task
+    // listener, not leaked
+    val lim = df.select("g").limit(4)
+    val limSql = lim.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("graft-pg SELECT")).getOrElse("")
+    assert(limSql.contains("LIMIT 4"),
+      s"limit must reach the server SQL: $limSql")
+    assert(lim.collect().length == 4)
   }
 
   test("pg write dialects are adversarially lossless: every escaping " +
