@@ -46,26 +46,21 @@ class PgTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object PgTableProvider {
-  /** Schema from the server's own RowDescription: a zero-row probe
-    * (`LIMIT 0`) still carries column names + type OIDs. */
-  def schemaFor(opts: PgOptions): StructType = {
+  /** ONE zero-row probe (`LIMIT 0` still carries the RowDescription)
+    * yields both the Spark schema and the column→OID map — the
+    * pushdown gate needs the SERVER's type, not the Spark mapping
+    * (numeric and uuid both map to StringType, but pg compares them
+    * as numeric/uuid). */
+  def probe(opts: PgOptions): (StructType, Map[String, Int]) = {
     val (names, oids, _) = PgWire.query(opts.host, opts.port, opts.user,
       opts.database, s"SELECT * FROM ${opts.table} LIMIT 0",
       opts.password)
-    StructType(names.zip(oids).map { case (n, o) =>
+    (StructType(names.zip(oids).map { case (n, o) =>
       StructField(n, PgWire.pgTypeFor(o))
-    })
+    }), names.zip(oids).toMap)
   }
 
-  /** Column -> server type OID, same probe — the pushdown gate needs
-    * the SERVER's type, not the Spark mapping (numeric and uuid both
-    * map to StringType, but pg compares them as numeric/uuid). */
-  def oidsFor(opts: PgOptions): Map[String, Int] = {
-    val (names, oids, _) = PgWire.query(opts.host, opts.port, opts.user,
-      opts.database, s"SELECT * FROM ${opts.table} LIMIT 0",
-      opts.password)
-    names.zip(oids).toMap
-  }
+  def schemaFor(opts: PgOptions): StructType = probe(opts)._1
 }
 
 /** Connection/table options (serializable — shipped to tasks). */
@@ -96,16 +91,22 @@ class PgTable(schema: StructType, opts: PgOptions)
   override def capabilities(): util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE)
+  // one OID probe per table instance, shared by every scan builder —
+  // the V2 relation caches this Table across a query's planning, so
+  // repeated filter/aggregate planning never re-probes the server
+  private lazy val oids: Map[String, Int] =
+    PgTableProvider.probe(opts)._2
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new PgScanBuilder(schema, opts)
+    new PgScanBuilder(schema, oids, opts)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new PgWriteBuilder(info.schema(), opts)
 }
 
-class PgScanBuilder(fullSchema: StructType, opts: PgOptions)
+class PgScanBuilder(fullSchema: StructType, oids: Map[String, Int],
+    opts: PgOptions)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -117,24 +118,24 @@ class PgScanBuilder(fullSchema: StructType, opts: PgOptions)
   private var aggState: Option[(Seq[String], StructType, Seq[String])] =
     None
 
-  private lazy val oids: Map[String, Int] = PgTableProvider.oidsFor(opts)
-
   /** Server-type class of a column, gating what may push:
     *  - 'n' (bool/int/float/timestamp): the Spark-side values are the
     *    same value type, so pg comparison semantics == Spark's — push
     *    anything;
-    *  - 't' (text/varchar/char): equality and LIKE are bytewise under
+    *  - 't' (text/varchar): equality and LIKE are bytewise under
     *    pg's (default, deterministic) collations and match Spark, but
     *    ORDER comparisons follow the database collation, which need
-    *    not be Spark's binary order — push equality/LIKE only;
-    *  - 'o' (numeric, uuid, arrays, anything else): mapped to
+    *    not be Spark's binary order — push equality/LIKE only.
+    *    char(n)/bpchar is EXCLUDED: pg equality ignores its trailing
+    *    padding while Spark compares the padded text bytewise;
+    *  - 'o' (numeric, uuid, char(n), arrays, anything else): mapped to
     *    StringType on the Spark side, so pg would compare values
     *    where Spark compares their text — pushing would return rows
     *    Spark semantics exclude (silently, since pushed filters are
     *    not re-applied). Only NULL tests push. */
   private def colClass(a: String): Char = oids.get(a) match {
     case Some(16 | 20 | 21 | 23 | 700 | 701 | 1114 | 1184) => 'n'
-    case Some(25 | 1042 | 1043)                            => 't'
+    case Some(25 | 1043)                                   => 't'
     case _                                                  => 'o'
   }
 
@@ -227,10 +228,14 @@ class PgScanBuilder(fullSchema: StructType, opts: PgOptions)
           colOf(c.column).map(c0 =>
             (s"CAST(count(${q(c0)}) AS bigint)", LongType))
         case m: Min =>
-          colOf(m.column).filter(colClass(_) == 'n').flatMap(c0 =>
+          // pg has no min/max(boolean) — a 'n'-class gate alone would
+          // compile SQL the server rejects at runtime
+          colOf(m.column).filter(c0 => colClass(c0) == 'n' &&
+              !oids.get(c0).contains(16)).flatMap(c0 =>
             sparkTypeOf(c0).map(t => (s"min(${q(c0)})", t)))
         case m: Max =>
-          colOf(m.column).filter(colClass(_) == 'n').flatMap(c0 =>
+          colOf(m.column).filter(c0 => colClass(c0) == 'n' &&
+              !oids.get(c0).contains(16)).flatMap(c0 =>
             sparkTypeOf(c0).map(t => (s"max(${q(c0)})", t)))
         case sm: Sum if !sm.isDistinct =>
           colOf(sm.column).flatMap(c0 => sparkTypeOf(c0) match {
@@ -402,19 +407,32 @@ final case class PgWriterFactory(schema: StructType, opts: PgOptions)
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-      private val conn = new PgWire.Conn(opts.host, opts.port,
-        opts.user, opts.database, opts.password)
-      private var open = true
-      locally {
-        conn.exec("SET TIME ZONE 'UTC'")
-        conn.exec("BEGIN")
-        val cols = schema.fieldNames.map(PgWire.quoteIdent)
-          .mkString(", ")
-        conn.copyBegin(s"COPY ${opts.table} ($cols) FROM STDIN")
+      // connect lazily on the FIRST row: empty partitions (a small
+      // frame repartitioned wide) cost zero connections/transactions,
+      // and an init failure must close the socket it just opened —
+      // Spark never receives a writer whose constructor threw, so
+      // abort()/close() would not run and each task retry would leak
+      // an idle-in-transaction backend
+      private var conn: PgWire.Conn = null
+      private def ensureOpen(): PgWire.Conn = {
+        if (conn == null) {
+          val c = new PgWire.Conn(opts.host, opts.port,
+            opts.user, opts.database, opts.password)
+          try {
+            c.exec("SET TIME ZONE 'UTC'")
+            c.exec("BEGIN")
+            val cols = schema.fieldNames.map(PgWire.quoteIdent)
+              .mkString(", ")
+            c.copyBegin(s"COPY ${opts.table} ($cols) FROM STDIN")
+          } catch { case t: Throwable => c.close(); throw t }
+          conn = c
+        }
+        conn
       }
       private var n = 0L
 
       override def write(r: InternalRow): Unit = {
+        val conn = ensureOpen()
         val cells = new Array[String](schema.length)
         var i = 0
         while (i < schema.length) {
@@ -427,8 +445,12 @@ final case class PgWriterFactory(schema: StructType, opts: PgOptions)
               case DoubleType    => r.getDouble(i)
               case FloatType     => r.getFloat(i)
               case TimestampType =>
-                java.sql.Timestamp.from(
-                  java.time.Instant.EPOCH.plusNanos(r.getLong(i) * 1000L))
+                // micros -> Instant without the *1000 nanos overflow
+                // (timestamps past ±292y from epoch wrap a Long)
+                val us = r.getLong(i)
+                java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+                  java.lang.Math.floorDiv(us, 1000000L),
+                  java.lang.Math.floorMod(us, 1000000L) * 1000L))
               case d: DecimalType =>
                 r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
               case DateType =>
@@ -447,16 +469,20 @@ final case class PgWriterFactory(schema: StructType, opts: PgOptions)
 
       override def commit()
           : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-        conn.copyEnd()
-        conn.exec("COMMIT")
-        conn.close(); open = false
+        if (conn != null) {
+          conn.copyEnd()
+          conn.exec("COMMIT")
+          conn.close(); conn = null
+        }
         PgTaskCommit(n)
       }
 
       // disconnect mid-transaction: pg rolls back — the task's rows
       // never existed, so a retry starts clean
-      override def abort(): Unit = { conn.close(); open = false }
-      override def close(): Unit = if (open) { conn.close(); open = false }
+      override def abort(): Unit =
+        if (conn != null) { conn.close(); conn = null }
+      override def close(): Unit =
+        if (conn != null) { conn.close(); conn = null }
     }
 }
 

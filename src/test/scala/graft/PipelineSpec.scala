@@ -618,6 +618,42 @@ class PipelineSpec extends SparkSpec {
     assert(lim.collect().length == 4)
   }
 
+  test("graft-pg semantic gates: min/max(boolean) and bpchar equality " +
+      "stay in Spark; a wide repartition of a tiny frame still writes") {
+    import graft.sources.{PgServer, PgWire}
+    val (h, p) = PgServer.hostPort
+    PgWire.query(h, p, "graft", "postgres",
+      "DROP TABLE IF EXISTS gate_probe; " +
+        "CREATE TABLE gate_probe (k bigint, flag boolean, c char(3)); " +
+        "INSERT INTO gate_probe VALUES (1, true, 'a'), (2, false, 'ab');")
+    val df = spark.read.format("graft-pg")
+      .option("host", h).option("port", p.toString)
+      .option("user", "graft").option("database", "postgres")
+      .option("table", "gate_probe").load()
+    // pg has no max(boolean): the aggregate must stay in Spark and
+    // still answer (true > false in Spark's ordering)
+    val mx = df.agg(max($"flag")).as[Boolean].collect()(0)
+    assert(mx, "max over (true,false) is true")
+    // bpchar pads: pg would say 'a  ' = 'a' (row returned); Spark
+    // compares the padded text — the gate keeps Spark's answer
+    assert(df.filter($"c" === "a").count() == 0,
+      "padded char(3) must not equal the unpadded literal")
+    assert(df.filter($"c" === "a  ").count() == 1)
+    // writer: 3 rows across 24 partitions — empty partitions must
+    // cost nothing and the write must land exactly once
+    PgWire.query(h, p, "graft", "postgres",
+      "DROP TABLE IF EXISTS gate_sink; " +
+        "CREATE TABLE gate_sink (k bigint);")
+    Seq(1L, 2L, 3L).toDF("k").repartition(24)
+      .write.format("graft-pg")
+      .option("host", h).option("port", p.toString)
+      .option("user", "graft").option("database", "postgres")
+      .option("table", "gate_sink").mode("append").save()
+    val (_, _, back) = PgWire.query(h, p, "graft", "postgres",
+      "SELECT k FROM gate_sink ORDER BY k")
+    assert(back.map(_(0).toLong).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("pg write dialects are adversarially lossless: every escaping " +
       "edge case round-trips bit-exact through BOTH the INSERT and " +
       "COPY paths") {
