@@ -12,9 +12,13 @@ import graft.sources.Sources
   */
 object Pipelines {
 
-  private val RawCsv = "/root/repo/fixtures/raw_products.csv"
-  private val MapCsv = "/root/repo/fixtures/map.csv"
-  private val MediaDir = "/root/repo/fixtures/media"
+  // committed fixtures, resolved against the working directory (sbt
+  // and the driver both run from the repo root) — no checkout path
+  private[queries] def fixture(p: String): String =
+    java.nio.file.Paths.get(p).toAbsolutePath.toString
+  private val RawCsv = fixture("fixtures/raw_products.csv")
+  private val MapCsv = fixture("fixtures/map.csv")
+  private val MediaDir = fixture("fixtures/media")
 
   /** The imported fixture tables, built ONCE per session and shared
     * by the twelve q_e2e_import / q_audit consumers — the same
@@ -159,7 +163,7 @@ object Pipelines {
         |  ('SKIP-1', CAST(NULL AS VARCHAR), 'Misc'))
         |  AS t(sku, master_code, category)
         |ORDER BY sku""".stripMargin) { (s, _) =>
-      graft.sources.Xlsx.xlsx(s, "/root/repo/fixtures")
+      graft.sources.Xlsx.xlsx(s, fixture("fixtures"))
         .select(col("Product SKU").as("sku"),
           col("Master Code").as("master_code"),
           col("Category").as("category"))
@@ -477,15 +481,17 @@ object Pipelines {
     },
 
     // S17-agg: aggregate pushdown through the DSv2 source — COUNT /
-    // SUM / MIN / MAX + GROUP BY compile into the per-slice server
-    // SQL (each mod-N slice returns its partial aggregates; Spark
-    // merges), so a grouped rollup of a table ships one row per
+    // MIN / MAX / SUM(float8) + GROUP BY compile into the per-slice
+    // server SQL (each mod-N slice returns its partial aggregates;
+    // Spark merges), so a grouped rollup of a table ships one row per
     // (slice, group) instead of the table. d = g * 0.25 is exact in
     // binary, so the double sum is bit-stable on every engine.
+    // SUM(bigint) declines by design (a per-slice numeric partial can
+    // overflow the int64 cast server-side where the unpushed merge
+    // succeeds), so the bigint rollup here rides the exact double sum.
     Q("q_s17_pg_agg",
       """SELECT CAST(g % 5 AS BIGINT) AS g,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(g) AS BIGINT) AS sx,
         |  CAST(min(g) AS BIGINT) AS mn,
         |  CAST(max(g) AS BIGINT) AS mx,
         |  sum(g * 0.25) AS sd
@@ -504,7 +510,7 @@ object Pipelines {
         .option("partitionColumn", "x").option("numPartitions", "3")
         .load()
         .groupBy(col("g"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        .agg(count(lit(1)).as("n"),
           min(col("x")).as("mn"), max(col("x")).as("mx"),
           sum(col("d")).as("sd"))
         .orderBy("g")

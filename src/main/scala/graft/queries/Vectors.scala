@@ -1196,7 +1196,8 @@ object Vectors {
         |    CAST(NULL AS BIGINT)))
         |  AS t(file, format, width, height)
         |ORDER BY file""".stripMargin) { (s, _) =>
-      graft.sources.Sources.binaryFiles(s, "/root/repo/fixtures/media", "*")
+      graft.sources.Sources.binaryFiles(s,
+        Pipelines.fixture("fixtures/media"), "*")
         .withColumn("dims", Multimodal.imageDims(col("content")))
         .select(element_at(split(col("path"), "/"), -1).as("file"),
           col("dims.format").as("format"), col("dims.width").as("width"),
@@ -1217,7 +1218,8 @@ object Vectors {
         |  AS t(file, channels, sample_rate, bits, duration_ms)
         |ORDER BY file""".stripMargin) { (s, _) =>
       graft.sources.Sources
-        .binaryFiles(s, "/root/repo/fixtures/media", "tiny.{wav,png}")
+        .binaryFiles(s, Pipelines.fixture("fixtures/media"),
+          "tiny.{wav,png}")
         .withColumn("m", Multimodal.wavMeta(col("content")))
         .select(element_at(split(col("path"), "/"), -1).as("file"),
           col("m.channels").as("channels"),

@@ -38,10 +38,12 @@ object HttpFixture {
   val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** The JFIF fixture the image routes serve — committed bytes, so
-    * the graded oracle can pin its length/digest/SOF0 dimensions. */
+    * the graded oracle can pin its length/digest/SOF0 dimensions.
+    * Resolved against the working directory (sbt/driver run from the
+    * repo root), not a hard-coded checkout path. */
   lazy val jpegBytes: Array[Byte] = java.nio.file.Files
     .readAllBytes(java.nio.file.Paths.get(
-      "/root/repo/fixtures/media/tiny.jpg"))
+      "fixtures/media/tiny.jpg").toAbsolutePath)
 
   private def ocrTransform(body: Array[Byte], max: Int): String =
     new String(body, UTF_8).split(" ", -1).take(max).mkString(" ")

@@ -119,9 +119,13 @@ class PgScanBuilder(fullSchema: StructType, oids: Map[String, Int],
     None
 
   /** Server-type class of a column, gating what may push:
-    *  - 'n' (bool/int/float/timestamp): the Spark-side values are the
+    *  - 'n' (bool/int/float8/timestamp): the Spark-side values are the
     *    same value type, so pg comparison semantics == Spark's — push
-    *    anything;
+    *    anything. float4 (oid 700) is EXCLUDED: Spark decodes pg's
+    *    shortest-round-trip rendering via text.toDouble, but the
+    *    server compares the true float4 promoted to double — e.g.
+    *    `f = 0.1` matches the decoded row in Spark yet misses on the
+    *    server, and pushed filters are never re-applied;
     *  - 't' (text/varchar): equality and LIKE are bytewise under
     *    pg's (default, deterministic) collations and match Spark, but
     *    ORDER comparisons follow the database collation, which need
@@ -134,9 +138,9 @@ class PgScanBuilder(fullSchema: StructType, oids: Map[String, Int],
     *    Spark semantics exclude (silently, since pushed filters are
     *    not re-applied). Only NULL tests push. */
   private def colClass(a: String): Char = oids.get(a) match {
-    case Some(16 | 20 | 21 | 23 | 700 | 701 | 1114 | 1184) => 'n'
-    case Some(25 | 1043)                                   => 't'
-    case _                                                  => 'o'
+    case Some(16 | 20 | 21 | 23 | 701 | 1114 | 1184) => 'n'
+    case Some(25 | 1043)                             => 't'
+    case _                                            => 'o' // incl. 700
   }
 
   private def pushable(f: Filter): Boolean = f match {
@@ -238,16 +242,20 @@ class PgScanBuilder(fullSchema: StructType, oids: Map[String, Int],
               !oids.get(c0).contains(16)).flatMap(c0 =>
             sparkTypeOf(c0).map(t => (s"max(${q(c0)})", t)))
         case sm: Sum if !sm.isDistinct =>
-          colOf(sm.column).flatMap(c0 => sparkTypeOf(c0) match {
-            case Some(LongType) =>
-              // pg sums bigint into numeric; the cast back matches
-              // Spark's own long-sum overflow envelope
-              Some((s"CAST(sum(${q(c0)}) AS bigint)", LongType))
-            case Some(DoubleType) =>
-              Some((s"CAST(sum(${q(c0)}) AS double precision)",
-                DoubleType))
-            case _ => None
-          })
+          // SUM(bigint) is DECLINED: pg sums bigint into numeric, and
+          // a per-slice partial that overflows int64 would make the
+          // CAST back raise server-side where the unpushed plan can
+          // still succeed (slice overflows may cancel in the merge).
+          // SUM(double) pushes only for true float8 columns (colClass
+          // 'n'): pg accumulates float4 sums in float4, a different
+          // rounding envelope than Spark's double accumulation.
+          colOf(sm.column).filter(c0 => colClass(c0) == 'n')
+            .flatMap(c0 => sparkTypeOf(c0) match {
+              case Some(DoubleType) =>
+                Some((s"CAST(sum(${q(c0)}) AS double precision)",
+                  DoubleType))
+              case _ => None
+            })
         case _ => None // Avg / distinct forms: Spark keeps them
       }
     if (items.exists(_.isEmpty)) return false
@@ -494,8 +502,17 @@ final case class PgReaderFactory(schema: StructType, opts: PgOptions)
     new PartitionReader[InternalRow] {
       private val conn = new PgWire.Conn(opts.host, opts.port,
         opts.user, opts.database, opts.password)
-      conn.exec("SET TIME ZONE 'UTC'")
-      private val rows = conn.execStream(sql)
+      // a failure between connect and the first row would leak the
+      // connection (Spark only close()es a reader it received)
+      private val rows =
+        try {
+          conn.exec("SET TIME ZONE 'UTC'")
+          conn.execStream(sql)
+        } catch {
+          case t: Throwable =>
+            try conn.close() catch { case _: Throwable => () }
+            throw t
+        }
       private var current: InternalRow = _
 
       override def next(): Boolean =

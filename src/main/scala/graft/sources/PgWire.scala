@@ -47,9 +47,21 @@ object PgWire {
       database: String, password: Option[String] = None)
       extends AutoCloseable {
     private val sock = new Socket(host, port)
-    sock.setSoTimeout(30000)
-    private val out = new DataOutputStream(sock.getOutputStream)
-    private val in = new DataInputStream(sock.getInputStream)
+    // everything after the socket exists runs under closeOnFailure:
+    // a handshake/auth error would otherwise leak the socket AND a
+    // server backend (the constructor throws before the caller ever
+    // holds a reference it could close)
+    private def closeOnFailure[A](body: => A): A =
+      try body catch {
+        case t: Throwable =>
+          try sock.close() catch { case _: Throwable => () }
+          throw t
+      }
+    private val (out, in) = closeOnFailure {
+      sock.setSoTimeout(30000)
+      (new DataOutputStream(sock.getOutputStream),
+        new DataInputStream(sock.getInputStream))
+    }
 
     /** Frontend Query message: tag 'Q', length, SQL, NUL. */
     private def sendQuery(sql: String): Unit = {
@@ -93,7 +105,7 @@ object PgWire {
       throw new java.io.IOException(s"$prefix: $msg")
     }
 
-    locally {
+    closeOnFailure {
       // StartupMessage: no type byte; len + protocol + params
       val params = ("user\u0000" + user + "\u0000database\u0000" +
         database + "\u0000\u0000")

@@ -578,34 +578,47 @@ class PipelineSpec extends SparkSpec {
       .option("partitionColumn", "g").option("numPartitions", "3")
       .load()
     val q = df.groupBy($"g").agg(count(lit(1)).as("n"),
-      count($"x").as("nx"), sum($"x").as("sx"), min($"x").as("mn"),
+      count($"x").as("nx"), min($"x").as("mn"),
       max($"x").as("mx"), sum($"d").as("sd"))
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("count(*)") && plan.contains("GROUP BY"),
       s"aggregates must appear in the scan's server SQL:\n$plan")
     val got = q.orderBy("g")
-      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
     val want = (0L to 4L).map { g =>
       val xs = (0L to 199L).filter(_ % 5 == g)
       val nNull = if (g == 1) 1 else 0
-      (g, xs.size.toLong + nNull, xs.size.toLong, xs.sum, xs.min,
+      (g, xs.size.toLong + nNull, xs.size.toLong, xs.min,
         xs.max, xs.map(_ * 0.25).sum)
     }
     assert(got == want, s"partial-merge mismatch:\n$got\n$want")
+    // SUM(bigint) is DECLINED: pg's numeric partial could overflow the
+    // int64 cast server-side on a slice whose overflow would cancel in
+    // the merge — the raw column ships and Spark aggregates, exact.
+    val sq = df.groupBy($"g").agg(sum($"x").as("sx"))
+    val sqSql = sq.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("graft-pg SELECT")).getOrElse("")
+    assert(!sqSql.contains("sum(\"x\")"),
+      s"sum(bigint) must NOT reach the server SQL: $sqSql")
+    val sxs = sq.orderBy("g").as[(Long, Long)].collect().toSeq
+    assert(sxs == (0L to 4L).map(g =>
+      (g, (0L to 199L).filter(_ % 5 == g).sum)),
+      s"unpushed bigint sum must stay exact: $sxs")
     // AVG: this source declines it, and Spark's V2 pushdown then
-    // DECOMPOSES it into sum+count partials — which we do accept — so
-    // the server still aggregates and Spark does the exact division.
-    // The scan must show the decomposed partials, never the raw column.
+    // DECOMPOSES it into sum+count partials — which we do accept for
+    // float8 — so the server still aggregates and Spark does the
+    // exact division. The scan shows the partials, never the raw col.
     val avg = df.groupBy($"g").agg(org.apache.spark.sql.functions
-      .avg($"x").as("a"))
+      .avg($"d").as("a"))
     val scanSql = avg.queryExecution.executedPlan.toString.linesIterator
       .find(_.contains("graft-pg SELECT")).getOrElse("")
-    assert(scanSql.contains("sum(\"x\")") &&
-      scanSql.contains("count(\"x\")") &&
-      !scanSql.contains("\"x\" FROM"),
+    assert(scanSql.contains("sum(\"d\")") &&
+      scanSql.contains("count(\"d\")") &&
+      !scanSql.contains("\"d\" FROM"),
       s"avg must ride as pushed sum+count partials: $scanSql")
     val a1 = avg.filter($"g" === 0L).as[(Long, Double)].collect()(0)._2
-    assert(a1 == (0L to 199L).filter(_ % 5 == 0).map(_.toDouble).sum / 40)
+    assert(a1 ==
+      (0L to 199L).filter(_ % 5 == 0).map(_ * 0.25).sum / 40)
     // LIMIT pushes per-slice (partial): the server stops after n rows
     // per slice, Spark takes the global n over the union — and the
     // undrained streams the limit abandons are closed by the task
