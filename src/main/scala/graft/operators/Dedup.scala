@@ -266,6 +266,75 @@ object Dedup {
       .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
   }
 
+  /** Prefix-filtered set-similarity join (Chaudhuri/Ganti/Kaushik
+    * 2006 "SSJoin"; Xiao et al. 2008 "PPJoin"): ALL pairs with
+    * shingle-Jaccard >= `threshold`, with NO df-cap recall loss —
+    * the exact-join alternative to [[ngramJaccardPairs]]'s
+    * stop-shingle heuristic.
+    *
+    * The filter theorem: order every document's shingles by one
+    * consistent total order (here (df, shingle) — rarest first, ties
+    * bytewise) and keep only each document's first
+    * L = |s| - ceil(τ·|s|) + 1 shingles as its PREFIX. Any pair with
+    * J >= τ must overlap in |A∩B| >= τ/(1+τ)·(|A|+|B|) elements, which
+    * forces the two prefixes to share at least one shingle — so the
+    * candidate join runs over prefixes only (~(1-τ) of the shingle
+    * mass; at τ=0.8 that is 5× fewer rows into the hot equi-join, and
+    * the rarest-first order makes the surviving buckets the SMALLEST
+    * ones). PPJoin's length filter (τ·|A| <= |B| <= |A|/τ) prunes
+    * candidates before verification; verification then counts the
+    * true intersection for candidate pairs only (cost: candidates ×
+    * doc size, never corpus²).
+    *
+    * Worst case is honest: if the output itself is quadratic (a
+    * corpus of near-identical docs) no filter saves the join — that
+    * corpus shape is what [[exactTextGroups]] + [[minHashLshPairs]]
+    * are for upstream. */
+  def prefixFilterJaccardPairs(df0: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1]: $threshold")
+    val df = spread(df0)
+    val shRaw = df.select(col(idCol).as("id"),
+        explode(array_distinct(call_function("graft_shingles",
+          tokens(col(textCol)), lit(n)))).as("shingle"))
+      .localCheckpoint(eager = false)
+    val dfs = shRaw.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sizes = shRaw.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val wp = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
+    val prefix = shRaw.join(dfs, Seq("shingle"))
+      .join(sizes, Seq("id"))
+      .withColumn("__pos", row_number().over(wp))
+      .filter(col("__pos") <=
+        col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("id"), col("shingle"), col("n_sh"))
+    val cand = prefix
+      .select(col("id").as("id_a"), col("shingle"),
+        col("n_sh").as("n_a"))
+      .join(prefix.select(col("id").as("id_b"), col("shingle"),
+        col("n_sh").as("n_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("n_b").cast("double") >= col("n_a") * threshold &&
+        col("n_a").cast("double") >= col("n_b") * threshold)
+      .select("id_a", "id_b").distinct()
+    val common = cand
+      .join(shRaw.select(col("id").as("id_a"), col("shingle")),
+        Seq("id_a"))
+      .join(shRaw.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+  }
+
   /** Asymmetric containment pairs (Broder 1997, "On the resemblance
     * and containment of documents"): for candidate pairs sharing a
     * rare shingle, emit containment in BOTH directions —

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.tokens
 
 /** Rank fusion for hybrid retrieval — combining a keyword ranking
   * with one or more vector rankings is how a modern curation stack
@@ -33,5 +34,52 @@ object Retrieval {
       .reduce(_ unionByName _)
       .groupBy(idCol)
       .agg(sum("part").as("rrf_micro"), count(lit(1)).as("n_lists"))
+  }
+
+  /** Materialized inverted index: one row per distinct term with its
+    * document frequency and (for terms at or under `maxDf`) the
+    * sorted posting list as a compact CSV string — the serving
+    * artifact a Boolean/keyword retriever reads instead of the
+    * corpus.
+    *
+    * Scale discipline: a hot term's posting list is corpus-sized, and
+    * a single collect_list would buffer it in one task — so df is
+    * computed FIRST (a pure count aggregate, map-side combined) and
+    * only the ≤ maxDf terms ever reach the list-building aggregate.
+    * Stop-term rows keep their df with a NULL posting list (the
+    * serving layer treats them as match-all and intersects the rest —
+    * see [[conjunctiveSearch]], which never touches lists at all). */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Long): DataFrame = {
+    require(maxDf >= 0, s"maxDf must be >= 0: $maxDf")
+    val terms = df.select(col(idCol).as("doc"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val dfs = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val small = terms.join(dfs.filter(col("df") <= maxDf)
+        .select("term"), Seq("term"))
+      .groupBy("term")
+      .agg(array_join(sort_array(collect_list(col("doc"))), ",")
+        .as("postings_csv"))
+    dfs.join(small, Seq("term"), "left")
+      .select(col("term"), col("df"), col("postings_csv"))
+  }
+
+  /** Conjunctive (AND-semantics) Boolean retrieval: the documents
+    * containing EVERY query term. Evaluated corpus-side, not via the
+    * materialized lists: the tiny IN filter on the query terms prunes
+    * the explode BEFORE any shuffle, so the aggregate moves at most
+    * |terms| rows per candidate document regardless of corpus size —
+    * the exact-match complement of [[rrfFuse]]'s ranked fusion. */
+  def conjunctiveSearch(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    val q = queryTerms.distinct
+    require(q.nonEmpty, "conjunctiveSearch needs at least one term")
+    df.select(col(idCol).as("doc"),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .filter(col("term").isin(q: _*))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === q.size)
+      .select("doc")
   }
 }

@@ -43,6 +43,61 @@ object Sharding {
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokensCol)).as("tokens"))
 
+  /** Contiguous training-window packing (concat-and-chunk): documents
+    * are laid end-to-end in a deterministic order and the combined
+    * token stream is cut into consecutive windows of exactly
+    * `windowTokens` tokens — the GPT-style pretraining layout where a
+    * document may span a window boundary and a window holds several
+    * documents. Unlike [[packByTokenBudget]] (whole documents into
+    * ~budget shards) this emits the exact SPAN each document
+    * contributes to each window:
+    *   (doc, window_id, win_off, doc_off, n_tokens)
+    * where `win_off` is the span's position inside the window and
+    * `doc_off` the position inside the document — enough for a
+    * downstream writer to materialize input_ids without re-deriving
+    * any arithmetic.
+    *
+    * Scale shape: same discipline as [[packByTokenBudget]] — a global
+    * concat order would serialize the corpus through one partition, so
+    * documents first spread across `buckets` deterministic hash
+    * buckets and each bucket packs its own window sequence (window
+    * ids are per-bucket). One shuffle on the bucket key, a prefix-sum
+    * window, then a NARROW explode whose fan-out per document is
+    * 1 + tokens/windowTokens (almost always 1-2 rows). Zero-token
+    * documents contribute nothing and are dropped up front. */
+  def packContiguousWindows(df: DataFrame, idCol: String,
+      tokensCol: String, windowTokens: Long, buckets: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be > 0: $windowTokens")
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(tokensCol) > 0)
+      .withColumn("bucket", hashBucket(col(idCol), buckets, "pack"))
+      .withColumn("__end", sum(col(tokensCol)).over(w))
+      .withColumn("__start", col("__end") - col(tokensCol))
+      .withColumn("window_id", explode(sequence(
+        expr(s"__start div ${windowTokens}L"),
+        expr(s"(__end - 1) div ${windowTokens}L"))))
+      .select(col(idCol), col("bucket"), col("window_id"),
+        (greatest(col("__start"), col("window_id") * windowTokens)
+          - col("window_id") * windowTokens).as("win_off"),
+        greatest(lit(0L),
+          col("window_id") * windowTokens - col("__start")).as("doc_off"),
+        (least(col("__end"), (col("window_id") + 1) * windowTokens)
+          - greatest(col("__start"), col("window_id") * windowTokens))
+          .as("n_tokens"))
+  }
+
+  /** Per-window fill report over [[packContiguousWindows]] output:
+    * every window is exactly full except each bucket's LAST window —
+    * `fill_milli` quantifies the padding waste the packer exists to
+    * avoid (the law WindowPackSpec asserts). */
+  def windowStats(spans: DataFrame, windowTokens: Long): DataFrame =
+    spans.groupBy("bucket", "window_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("n_tokens")).as("tokens"))
+      .withColumn("fill_milli",
+        expr(s"tokens * 1000 div ${windowTokens}L"))
+
   /** Sliding-window chunking for embedding generation / context
     * packing: split each document's token stream into windows of
     * `width` tokens advancing by `stride`. Returns one row per chunk

@@ -760,6 +760,65 @@ object TextAnalysis {
         coalesce(col("w_milli"), lit(0L)).as("w_milli"))
   }
 
+  /** Jensen-Shannon divergence between TWO sub-corpora's
+    * hashed-unigram distributions — the corpus-drift monitor of a
+    * continuously refreshed training set (Lin 1991: JS is symmetric,
+    * bounded by ln 2, and defined even where the supports differ,
+    * exactly why it beats raw KL for snapshot-vs-snapshot
+    * comparison). `left` marks side A's rows; everything else is
+    * side B. Both sides must be non-empty.
+    *
+    * Token mass hashes into `buckets` fixed cells (same trick as
+    * [[dsirWeights]] — the distribution table is B rows, never
+    * vocabulary-sized). With per-bucket counts c,d and totals
+    * N_a,N_b, the side-A integrand p·ln(p/m) reduces to the exact
+    * rational 2·c·N_b / (c·N_b + d·N_a), so each bucket takes ONE
+    * micro-floored ln of an exactly-derived double (the knNll
+    * discipline) and everything else is int64 arithmetic:
+    *   js_a_micro = max(0, Σ_c>0 c·⌊ln(2cN_b/(cN_b+dN_a))·10⁶⌋) div N_a
+    * (the clamp only absorbs the ≤1-micro-per-token quantization
+    * undershoot — true KL is never negative), likewise for B, and
+    * js_micro is their midpoint. Int64 envelope: c·N_b < 2⁶³ caps
+    * the corpus at ~3·10⁹ tokens per side before the products need
+    * decimal(38,0) — same documented bound family as dsirWeights.
+    *
+    * Scale shape: explode → ONE partial-agg groupBy on the bucket id
+    * (B result rows) → broadcast totals → single-row fold. The only
+    * corpus-sized stage is the map-side-combined bucket count. */
+  def jsDivergence(df: DataFrame, textCol: String, left: Column,
+      buckets: Int = 512): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val b = graft.functions.hash31(concat(lit("js:"), col("__tok")))
+      .mod(buckets).as("__b")
+    val tb = df.select(left.as("__l"),
+        explode(graft.functions.tokens(col(textCol))).as("__tok"))
+      .select(col("__l"), b)
+    val bucketCounts = tb.groupBy("__b").agg(
+      sum(when(col("__l"), 1L).otherwise(0L)).as("__c"),
+      sum(when(col("__l"), 0L).otherwise(1L)).as("__d"))
+    bucketCounts.crossJoin(broadcast(bucketCounts
+        .agg(sum(col("__c")).as("__na"), sum(col("__d")).as("__nb"))))
+      .agg(
+        sum(when(col("__c") > 0, col("__c") *
+          floor(log((lit(2d) * col("__c") * col("__nb")) /
+            (col("__c") * col("__nb") + col("__d") * col("__na")))
+            * 1e6).cast("long")).otherwise(0L)).as("__pa"),
+        sum(when(col("__d") > 0, col("__d") *
+          floor(log((lit(2d) * col("__d") * col("__na")) /
+            (col("__c") * col("__nb") + col("__d") * col("__na")))
+            * 1e6).cast("long")).otherwise(0L)).as("__pb"),
+        sum(when(col("__c") > 0, 1L).otherwise(0L)).as("buckets_a"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("buckets_b"),
+        max(col("__na")).as("n_tokens_a"),
+        max(col("__nb")).as("n_tokens_b"))
+      .select(col("n_tokens_a"), col("n_tokens_b"),
+        col("buckets_a"), col("buckets_b"),
+        expr("greatest(__pa, 0L) div n_tokens_a").as("js_a_micro"),
+        expr("greatest(__pb, 0L) div n_tokens_b").as("js_b_micro"))
+      .withColumn("js_micro",
+        expr("(js_a_micro + js_b_micro) div 2"))
+  }
+
   /** Byte-pair-encoding merge-table training (Sennrich et al. 2016)
     * as one declarative Spark DAG — the tokenizer-construction step
     * of an LLM data pipeline. Words (with corpus frequencies) start

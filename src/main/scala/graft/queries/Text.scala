@@ -461,6 +461,35 @@ object Text {
         .orderBy("id_a", "id_b")
     },
 
+    // DEDUP: prefix-filtered set-similarity join (SSJoin/PPJoin) —
+    // EVERY pair with 3-gram Jaccard >= 0.5, no df-cap recall loss.
+    // The oracle is the BRUTE-FORCE join: matching it hash-exactly is
+    // the completeness theorem graded, not just the scores (the
+    // prefix filter may only prune candidates the threshold would
+    // reject anyway).
+    Q("q_d_prefix_jaccard",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |sh AS (SELECT doc_id AS id,
+         |  unnest(list_distinct(${sqlShingles("t", 3)})) AS shingle
+         |  FROM tok),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+         |          FROM sh a JOIN sh b
+         |            ON a.shingle = b.shingle AND a.id < b.id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |  CAST(common AS DOUBLE)
+         |    / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+         |FROM pairs JOIN sizes sa ON id_a = sa.id
+         |           JOIN sizes sb ON id_b = sb.id
+         |WHERE CAST(common AS DOUBLE)
+         |    / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.prefixFilterJaccardPairs(t(s, d, "documents"), "doc_id",
+          "text", 3, 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
     // DEDUP: asymmetric containment (Broder 1997) — catches subset
     // duplication (a doc wholly quoted inside a longer one) that
     // symmetric Jaccard scores near zero. Milli-quantized integer
@@ -1100,6 +1129,39 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // SHARDING: contiguous training-window packing (concat-and-chunk)
+    // — documents laid end-to-end within hash buckets, the combined
+    // stream cut into exact 256-token windows; one row per (document,
+    // window) SPAN with both offsets, so a writer can materialize
+    // input_ids from the spans alone. The oracle replays the same
+    // prefix-sum + floor-division span arithmetic relationally.
+    Q("q_pack_windows",
+      s"""WITH tok AS (SELECT doc_id, CAST(len($toksD) AS BIGINT)
+         |    AS n FROM documents),
+         |nz AS (SELECT * FROM tok WHERE n > 0),
+         |b AS (SELECT *,
+         |    ${sqlHash31("'pack:' || CAST(doc_id AS VARCHAR)")} % 8
+         |    AS bucket FROM nz),
+         |c AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY bucket
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS e FROM b),
+         |s AS (SELECT doc_id, bucket, e - n AS st, e FROM c),
+         |x AS (SELECT doc_id, bucket, st, e,
+         |    unnest(range(st // 256, (e - 1) // 256 + 1)) AS w FROM s)
+         |SELECT doc_id, bucket, CAST(w AS BIGINT) AS window_id,
+         |  CAST(greatest(st, w * 256) - w * 256 AS BIGINT) AS win_off,
+         |  CAST(greatest(0, w * 256 - st) AS BIGINT) AS doc_off,
+         |  CAST(least(e, (w + 1) * 256) - greatest(st, w * 256)
+         |    AS BIGINT) AS n_tokens
+         |FROM x ORDER BY doc_id, window_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_toks"))
+      graft.operators.Sharding
+        .packContiguousWindows(docs, "doc_id", "n_toks", 256L, 8)
+        .orderBy("doc_id", "window_id")
+    },
+
     // DEDUP: banded simhash near-dup pairs (hamming <= 3) over a
     // 32-bit fingerprint: 8-bit band chunks give 256 bucket values, so
     // candidate volume stays ~n²/256 per band instead of the n²/16 a
@@ -1276,6 +1338,46 @@ object Text {
       TextAnalysis.dsirWeights(t(s, d, "documents"), "doc_id", "text",
           target = col("lang") === "en", buckets = 1024)
         .orderBy("doc_id")
+    },
+
+    // MONITORING: Jensen-Shannon divergence between the English and
+    // non-English sub-corpora's hashed-unigram distributions — the
+    // snapshot-vs-snapshot drift gauge of a refreshed training set.
+    // Exact int64 arithmetic around one micro-floored ln per bucket
+    // (the knNll discipline); the clamp absorbs only quantization
+    // undershoot, so the oracle replays every step bit-for-bit.
+    Q("q_t_js_drift",
+      s"""WITH tb AS (SELECT (lang = 'en') AS l,
+         |    ${sqlHash31("'js:' || tok")} % 512 AS b
+         |  FROM (SELECT unnest($toksD) AS tok, lang FROM documents)),
+         |bc AS (SELECT b,
+         |    CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |    CAST(sum(CASE WHEN l THEN 0 ELSE 1 END) AS BIGINT) AS d
+         |  FROM tb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS na,
+         |    CAST(sum(d) AS BIGINT) AS nb FROM bc),
+         |f AS (SELECT
+         |    CAST(sum(CASE WHEN c > 0 THEN c * CAST(FLOOR(LN(
+         |      (2.0 * c * nb) / (c * nb + d * na)) * 1000000)
+         |      AS BIGINT) ELSE 0 END) AS BIGINT) AS pa,
+         |    CAST(sum(CASE WHEN d > 0 THEN d * CAST(FLOOR(LN(
+         |      (2.0 * d * na) / (c * nb + d * na)) * 1000000)
+         |      AS BIGINT) ELSE 0 END) AS BIGINT) AS pb,
+         |    CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS buckets_a,
+         |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS buckets_b,
+         |    max(na) AS n_tokens_a, max(nb) AS n_tokens_b
+         |  FROM bc, tot)
+         |SELECT n_tokens_a, n_tokens_b, buckets_a, buckets_b,
+         |  greatest(pa, 0) // n_tokens_a AS js_a_micro,
+         |  greatest(pb, 0) // n_tokens_b AS js_b_micro,
+         |  (greatest(pa, 0) // n_tokens_a +
+         |   greatest(pb, 0) // n_tokens_b) // 2 AS js_micro
+         |FROM f ORDER BY n_tokens_a""".stripMargin) { (s, d) =>
+      TextAnalysis.jsDivergence(t(s, d, "documents"), "text",
+          col("lang") === "en", buckets = 512)
+        .orderBy("n_tokens_a")
     },
 
     // TOKENIZER: BPE merge-table training (6 rounds) — the oracle

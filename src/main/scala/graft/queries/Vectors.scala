@@ -668,6 +668,44 @@ object Vectors {
         "embedding", q, 16, 4, 8, 4, 16, 50, 10)
     },
 
+    // RETRIEVAL: materialized inverted index — df per term plus the
+    // sorted posting list as CSV for terms at or under maxDf=390;
+    // hotter terms keep df with a NULL list (df counts first, so a
+    // stop term's corpus-sized list never reaches an aggregation
+    // buffer — the serving layer intersects around it).
+    Q("q_r_inverted_index",
+      s"""WITH tt AS (SELECT DISTINCT doc_id,
+         |    unnest(${sqlTokens("text")}) AS term FROM documents),
+         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tt GROUP BY 1),
+         |p AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ','
+         |    ORDER BY doc_id) AS csv FROM tt GROUP BY 1)
+         |SELECT d.term, d.df,
+         |  CASE WHEN d.df <= 390 THEN p.csv ELSE NULL END
+         |    AS postings_csv
+         |FROM d JOIN p USING (term) ORDER BY d.term""".stripMargin) {
+      (s, d) =>
+      graft.operators.Retrieval
+        .invertedIndex(t(s, d, "documents"), "doc_id", "text", 390L)
+        .orderBy("term")
+    },
+
+    // RETRIEVAL: conjunctive (AND) Boolean search — documents
+    // containing every query term. The tiny IN filter prunes the
+    // exploded terms before the shuffle, so the aggregate moves at
+    // most |query| rows per candidate document.
+    Q("q_r_boolean_and",
+      s"""SELECT doc_id AS doc FROM documents
+         |WHERE list_contains(${sqlTokens("text")}, 'spark')
+         |  AND list_contains(${sqlTokens("text")}, 'vector')
+         |  AND list_contains(${sqlTokens("text")}, 'merge')
+         |ORDER BY doc""".stripMargin) { (s, d) =>
+      graft.operators.Retrieval
+        .conjunctiveSearch(t(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "vector", "merge"))
+        .orderBy("doc")
+    },
+
     // HYBRID RETRIEVAL: reciprocal-rank fusion of a keyword ranking
     // (token-match count for "vector join") and a vector ranking
     // (cosine vs query 0) — each retriever contributes its bounded

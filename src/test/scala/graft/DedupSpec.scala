@@ -494,6 +494,86 @@ class DedupSpec extends SparkSpec {
     assertSameRows(packed, again)
   }
 
+  test("prefixFilterJaccardPairs == brute-force Jaccard join at every " +
+      "threshold (completeness law), including the tau=1 prefix-1 edge") {
+    // brute force = ngramJaccardPairs with a df cap no shingle reaches
+    for (tau <- Seq(0.3, 0.5, 1.0)) {
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        2, tau, dfCap = 1000000)
+      val fast = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+        2, tau)
+      assertSameRows(exact.orderBy("id_a", "id_b"),
+        fast.orderBy("id_a", "id_b"))
+    }
+    // the identical docs 1/2/5 must survive at tau=1.0
+    val ones = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+      2, 1.0).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(ones == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
+  test("packContiguousWindows: spans tile every document and every " +
+      "window; only a bucket's last window underfills") {
+    import org.apache.spark.sql.functions._
+    // sizes force every interesting case: doc >> cap (spans 3+
+    // windows), doc == cap, tiny docs, a zero-token doc (dropped)
+    val docs = Seq((1L, 700L), (2L, 256L), (3L, 10L), (4L, 0L),
+      (5L, 300L), (6L, 17L), (7L, 999L), (8L, 256L), (9L, 40L),
+      (10L, 1L)).toDF("doc_id", "n_toks")
+    val spans = graft.operators.Sharding
+      .packContiguousWindows(docs, "doc_id", "n_toks", 256L, 2)
+      .collect()
+    // document conservation: spans of one doc are contiguous from
+    // doc_off 0 and sum to the doc's token count
+    val byDoc = spans.groupBy(_.getAs[Long]("doc_id"))
+    assert(!byDoc.contains(4L), "zero-token doc must vanish")
+    val want = Map(1L -> 700L, 2L -> 256L, 3L -> 10L, 5L -> 300L,
+      6L -> 17L, 7L -> 999L, 8L -> 256L, 9L -> 40L, 10L -> 1L)
+    want.foreach { case (id, n) =>
+      val ss = byDoc(id).sortBy(_.getAs[Long]("window_id"))
+      assert(ss.map(_.getAs[Long]("n_tokens")).sum == n,
+        s"doc $id token conservation")
+      assert(ss.head.getAs[Long]("doc_off") == 0L,
+        s"doc $id starts at offset 0")
+      ss.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("doc_off") ==
+            a.getAs[Long]("doc_off") + a.getAs[Long]("n_tokens"),
+            s"doc $id spans must be contiguous")
+          assert(b.getAs[Long]("window_id") ==
+            a.getAs[Long]("window_id") + 1, s"doc $id window adjacency")
+        case _ => ()
+      }
+    }
+    // window conservation: within a (bucket, window) the spans tile
+    // [0, fill) — start at 0, contiguous, and every window except the
+    // bucket's LAST is exactly full
+    val stats = graft.operators.Sharding.windowStats(
+      graft.operators.Sharding.packContiguousWindows(
+        docs, "doc_id", "n_toks", 256L, 2), 256L).collect()
+    val lastWin = stats.groupBy(_.getAs[Long]("bucket"))
+      .map { case (b, rs) => b -> rs.map(_.getAs[Long]("window_id")).max }
+    stats.foreach { r =>
+      val (b, w) = (r.getAs[Long]("bucket"), r.getAs[Long]("window_id"))
+      if (w != lastWin(b))
+        assert(r.getAs[Long]("tokens") == 256L,
+          s"non-final window ($b,$w) must be exactly full")
+      else assert(r.getAs[Long]("tokens") <= 256L)
+    }
+    spans.groupBy(r => (r.getAs[Long]("bucket"),
+        r.getAs[Long]("window_id"))).foreach { case (k, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("win_off"))
+      assert(sorted.head.getAs[Long]("win_off") == 0L,
+        s"window $k must start filling at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("win_off") == a.getAs[Long]("win_off")
+            + a.getAs[Long]("n_tokens"), s"window $k spans contiguous")
+        case _ => ()
+      }
+    }
+  }
+
   test("leakageSafeSplit never lets a duplicate cluster straddle the split") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

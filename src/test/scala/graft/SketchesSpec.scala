@@ -340,6 +340,30 @@ class SketchesSpec extends SparkSpec {
       30L -> ((r2, 1L))))
   }
 
+  test("inverted index: exact dfs, sorted CSV postings, hot terms " +
+      "suppressed; conjunctive search is exact AND") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (3L, "alpha beta beta gamma"),   // beta repeats: df counts once
+      (1L, "alpha beta"),
+      (2L, "alpha delta")).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text", 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getString(2))))).toMap
+    assert(idx == Map(
+      "alpha" -> ((3L, None)),            // df 3 > maxDf: list withheld
+      "beta"  -> ((2L, Some("1,3"))),     // sorted doc order, df once
+      "gamma" -> ((1L, Some("3"))),
+      "delta" -> ((1L, Some("2")))))
+    // AND semantics: duplicate in-doc terms count once; duplicate
+    // QUERY terms dedupe (alpha alpha beta != 3 required hits)
+    val hits = Retrieval.conjunctiveSearch(docs, "doc_id", "text",
+      Seq("alpha", "alpha", "beta")).as[Long].collect().toSet
+    assert(hits == Set(1L, 3L))
+    assert(Retrieval.conjunctiveSearch(docs, "doc_id", "text",
+      Seq("alpha", "zeta")).count() == 0)
+  }
+
   test("triangle counts: each triangle credits all three nodes once") {
     // two triangles sharing edge (2,3); (5,6) is triangle-free
     val edges = Seq((1L, 2L), (1L, 3L), (3L, 2L), (3L, 4L), (4L, 2L),

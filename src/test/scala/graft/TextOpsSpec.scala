@@ -37,6 +37,37 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1L) == expected1)
   }
 
+  test("jsDivergence: zero on identical halves, ln2 on disjoint " +
+      "vocab, symmetric, strictly between for partial overlap") {
+    def js(df: org.apache.spark.sql.DataFrame,
+        left: org.apache.spark.sql.Column): (Long, Long, Long) = {
+      val r = TextAnalysis.jsDivergence(df, "text", left, 64)
+        .select("js_a_micro", "js_b_micro", "js_micro")
+        .as[(Long, Long, Long)].collect()(0)
+      r
+    }
+    // identical distributions on both sides -> every ratio is exactly
+    // 1, every ln exactly 0
+    val same = Seq((1L, "alpha beta gamma", true),
+      (2L, "alpha beta gamma", false)).toDF("id", "text", "l")
+    assert(js(same, col("l")) == ((0L, 0L, 0L)))
+    // disjoint vocabularies -> both KL halves are exactly ln 2
+    // (ratio 2 in every populated bucket), js = 693147 micro
+    val disj = Seq((1L, "alpha beta gamma delta", true),
+      (2L, "epsilon zeta eta theta", false)).toDF("id", "text", "l")
+    val (da, dbb, dm) = js(disj, col("l"))
+    assert(da == 693147L && dbb == 693147L && dm == 693147L,
+      s"disjoint JS must be ln2 micro: $da $dbb $dm")
+    // partial overlap lands strictly between, and swapping sides
+    // mirrors a/b while js_micro is unchanged (JS symmetry)
+    val mix = Seq((1L, "alpha beta gamma", true),
+      (2L, "alpha delta epsilon", false)).toDF("id", "text", "l")
+    val (ma, mb, mm) = js(mix, col("l"))
+    assert(mm > 0 && mm < 693147L, s"partial overlap: $mm")
+    val (sa, sb, sm) = js(mix, !col("l"))
+    assert((sa, sb) == ((mb, ma)) && sm == mm, "JS must be symmetric")
+  }
+
   test("chunkByTokens covers every token exactly once per window") {
     val doc = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "text")
