@@ -127,6 +127,67 @@ object Curation {
         col("budget"))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a total token budget across groups
+    * (languages) as UNIFORMLY as possible subject to a per-group
+    * repeat cap — no group may contribute more than
+    * `epochsMilli/1000` epochs of its own data. Temperature sampling
+    * ([[sqrtBudgets]]) still over-samples the head and over-repeats
+    * the tail at extreme skews; UniMax's waterfill gives every group
+    * the equal share unless its cap binds first.
+    *
+    * Exact integer waterfilling: sort groups by (cap, group)
+    * ascending. The binding set is a PREFIX of that order (caps
+    * ascend while the running fair share cannot shrink past them), a
+    * group binds iff cap·(groups remaining) ≤ budget remaining, and
+    * the uncapped groups split the leftover evenly — share = R div u
+    * with the first R mod u of them (in the same order) taking one
+    * extra token, which provably never lifts an allocation past its
+    * cap. Every number is int64; the result is engine-exact.
+    *
+    * Scale shape: ONE map-side-combined count over the corpus; all
+    * waterfill arithmetic runs on the group table, which is
+    * config-sized (languages/domains) by contract — the global
+    * window orders tens of rows, never the corpus. */
+  def unimaxBudgets(df: DataFrame, groupCol: String, tokensCol: String,
+      totalBudget: Long, epochsMilli: Long): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be >= 0: $totalBudget")
+    require(epochsMilli > 0, s"epochsMilli must be > 0: $epochsMilli")
+    val counts = df.groupBy(groupCol)
+      .agg(sum(col(tokensCol)).as("n_tokens"))
+      .withColumn("cap_tokens",
+        expr(s"(n_tokens * ${epochsMilli}L) div 1000"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap_tokens"), col(groupCol))
+    val tot = counts.agg(count(lit(1)).as("__m"))
+    val ranked = counts.crossJoin(broadcast(tot))
+      .withColumn("__i", row_number().over(wAsc).cast("long"))
+      .withColumn("__pincl", sum(col("cap_tokens")).over(wAsc
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .withColumn("__binds",
+        col("cap_tokens") * (col("__m") - col("__i") + 1) <=
+          lit(totalBudget) - (col("__pincl") - col("cap_tokens")))
+    val kAgg = ranked.agg(
+      coalesce(max(when(col("__binds"), col("__i"))), lit(0L))
+        .as("__k"),
+      coalesce(max(when(col("__binds"), col("__pincl"))), lit(0L))
+        .as("__capsum"))
+    ranked.crossJoin(broadcast(kAgg))
+      .withColumn("alloc_tokens", when(col("__binds"), col("cap_tokens"))
+        .otherwise(
+          expr(s"(${totalBudget}L - __capsum) div (__m - __k)") +
+            when(col("__i") - col("__k") <=
+              expr(s"(${totalBudget}L - __capsum) % (__m - __k)"),
+              lit(1L)).otherwise(lit(0L))))
+      .withColumn("epochs_milli",
+        when(col("n_tokens") > 0,
+          expr("(alloc_tokens * 1000) div n_tokens")).otherwise(lit(0L)))
+      .select(col(groupCol), col("n_tokens"), col("cap_tokens"),
+        col("alloc_tokens"), col("epochs_milli"))
+  }
+
   /** Apply step of [[mixBudgets]] — same shape as [[rebalanceKeep]]:
     * broadcast the config-sized budget table, one window shuffle on
     * the group key, first-`budget_g` rows in `orderCol` order

@@ -1011,6 +1011,49 @@ object Text {
         .select("lang", "doc_id").orderBy("lang", "doc_id")
     },
 
+    // CURATION (CUR5): UniMax budget allocation (Chung 2023) — split
+    // a 20k-token budget across languages as uniformly as the
+    // 1.5-epoch repeat cap allows. Exact integer waterfilling: sorted
+    // by (cap, lang), a group binds iff cap·(groups left) fits the
+    // budget left; uncapped groups split the remainder evenly with
+    // the leading ones taking the odd tokens. On this corpus the four
+    // non-English caps bind and English absorbs the leftover — the
+    // head-vs-tail shape the algorithm exists for.
+    Q("q_cur_unimax",
+      s"""WITH c AS (SELECT lang, CAST(sum(len($toksD)) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |cc AS (SELECT lang, n, (n * 1500) // 1000 AS cap FROM c),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS m FROM cc),
+         |r AS (SELECT lang, n, cap, m,
+         |    CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT)
+         |      AS i,
+         |    CAST(sum(cap) OVER (ORDER BY cap, lang
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pincl
+         |  FROM cc, t),
+         |b AS (SELECT *, cap * (m - i + 1) <= 30000 - (pincl - cap)
+         |    AS binds FROM r),
+         |k AS (SELECT coalesce(max(CASE WHEN binds THEN i END), 0)
+         |      AS kk,
+         |    coalesce(max(CASE WHEN binds THEN pincl END), 0)
+         |      AS capsum FROM b),
+         |a AS (SELECT lang, n, cap, CASE WHEN binds THEN cap
+         |    ELSE (30000 - capsum) // (m - kk) + (CASE WHEN i - kk <=
+         |      (30000 - capsum) % (m - kk) THEN 1 ELSE 0 END) END
+         |    AS alloc
+         |  FROM b, k)
+         |SELECT lang, n AS n_tokens, cap AS cap_tokens,
+         |  alloc AS alloc_tokens,
+         |  CASE WHEN n > 0 THEN (alloc * 1000) // n ELSE 0 END
+         |    AS epochs_milli
+         |FROM a ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_toks"))
+      graft.operators.Curation.unimaxBudgets(docs, "lang", "n_toks",
+          30000L, 1500L)
+        .orderBy("lang")
+    },
+
     // SAMPLING: deterministic md5-derived 10% sample — the same 10%
     // on every engine and every run (reproducible corpus subsets).
     Q("q_samp_hash",

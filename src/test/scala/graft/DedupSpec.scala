@@ -494,6 +494,38 @@ class DedupSpec extends SparkSpec {
     assertSameRows(packed, again)
   }
 
+  test("unimaxBudgets: exact waterfill — caps bind as a prefix, " +
+      "leftover splits evenly, totals conserve") {
+    import graft.operators.Curation
+    def alloc(budget: Long, epochsMilli: Long): Map[String, Long] = {
+      // per-group token masses: a 10, b 20, c 100 (one row per token)
+      val rows = Seq.fill(1)(("a", 10L)) ++ Seq(("b", 20L)) ++
+        Seq(("c", 100L))
+      val df = rows.toDF("g", "n")
+      Curation.unimaxBudgets(df, "g", "n", budget, epochsMilli)
+        .select("g", "alloc_tokens").as[(String, Long)].collect().toMap
+    }
+    // budget beyond every cap (2 epochs): alloc == cap, leftover unused
+    assert(alloc(1000L, 2000L) == Map("a" -> 20L, "b" -> 40L,
+      "c" -> 200L))
+    // tight budget, generous caps: pure equal split with the odd
+    // token going to the (cap, group)-leading group
+    assert(alloc(10L, 2000L) == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // mixed: caps 20/40/200, budget 100 -> a and b bind (20+40),
+    // c takes the remaining 40 (under its cap)
+    assert(alloc(100L, 2000L) == Map("a" -> 20L, "b" -> 40L,
+      "c" -> 40L))
+    // conservation + cap laws on every case above
+    for ((b, e) <- Seq((1000L, 2000L), (10L, 2000L), (100L, 2000L))) {
+      val a = alloc(b, e)
+      val caps = Map("a" -> 10L * e / 1000, "b" -> 20L * e / 1000,
+        "c" -> 100L * e / 1000)
+      a.foreach { case (g, v) => assert(v <= caps(g), s"$g over cap") }
+      assert(a.values.sum == math.min(b, caps.values.sum),
+        s"budget conservation at $b")
+    }
+  }
+
   test("prefixFilterJaccardPairs == brute-force Jaccard join at every " +
       "threshold (completeness law), including the tau=1 prefix-1 edge") {
     // brute force = ngramJaccardPairs with a df cap no shingle reaches
