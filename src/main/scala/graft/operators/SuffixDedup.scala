@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.tokens
+
+/** Exact substring-repeat detection via DISTRIBUTED prefix-doubling
+  * suffix ranks — the Spark-native core of suffix-array substring
+  * dedup (Manber & Myers 1993 "Suffix arrays: a new method for
+  * on-line string searches"; applied to training-data dedup by Lee
+  * et al. 2022 "Deduplicating Training Data Makes Language Models
+  * Better", whose single-node tool builds one giant suffix array).
+  *
+  * The classic algorithm: rank every suffix by its first 2^k tokens,
+  * then double — rank_{k+1}(i) = denseRank(rank_k(i), rank_k(i+2^k)).
+  * After r rounds two positions share a rank IFF their next
+  * min(2^r, remaining) tokens are IDENTICAL — exact, not a hash
+  * collision away from exact like rolling-fingerprint spans
+  * ([[Dedup.sharedSpanPairs]] is the probabilistic sibling).
+  *
+  * Why doubling instead of just grouping the literal L-grams: the
+  * shuffled keys are TWO int64 ranks per position at every width —
+  * an L-token string key moves L tokens through the exchange, ranks
+  * move 16 bytes whether L is 16 or 16384, and each +1 round doubles
+  * the matchable width for one more fixed-cost pass (the widths a
+  * suffix-array dedup sweeps). Every stage is a standard shuffle:
+  *  - dense ranking = distinct keys -> range-partitioned sort ->
+  *    zipWithIndex (the one legitimate RDD primitive here: a global
+  *    order materialized without a single-partition window);
+  *  - the successor lookup = an equi-join on (doc, off+2^k);
+  *  - per-round localCheckpoint truncates the O(rounds) lineage.
+  * Suffixes never cross document boundaries (Lee et al.'s separator
+  * convention), so positions stay keyed (doc, off) and rank VALUES
+  * are global — cross-document matches are exactly rank collisions.
+  */
+object SuffixDedup {
+
+  /** (doc, off, tok) token-position table — off is 0-based. */
+  def tokenPositions(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        posexplode(tokens(col(textCol))).as(Seq("off", "tok")))
+      .select(col("doc"), col("off").cast("long").as("off"), col("tok"))
+
+  /** Distributed dense rank of (k1, k2) long pairs: 0-based, gapless,
+    * ordered by (k1, k2). Returns (k1, k2, r). */
+  private def denseRank2(keys: DataFrame): DataFrame = {
+    val spark = keys.sparkSession
+    val sorted = keys.select(col("k1"), col("k2")).distinct()
+      .orderBy("k1", "k2")
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (row, i) =>
+        Row(row.getLong(0), row.getLong(1), i)
+      },
+      StructType(Seq(StructField("k1", LongType),
+        StructField("k2", LongType), StructField("r", LongType))))
+  }
+
+  /** Suffix rank table after `rounds` doublings over a (doc, off,
+    * tok) position table: (doc, off, rank) where two positions share
+    * `rank` iff their forward token runs agree on the first
+    * min(2^rounds, tokens-remaining) tokens. Absent successors rank
+    * as the -1 sentinel (shorter suffix sorts first), the Manber-
+    * Myers convention. */
+  def prefixDoubleRanks(positions: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0 && rounds <= 40, s"rounds out of range: $rounds")
+    val spark = positions.sparkSession
+    val toks = positions.select(col("tok")).distinct().orderBy("tok")
+    val tokRanks = spark.createDataFrame(
+      toks.rdd.zipWithIndex.map { case (row, i) =>
+        Row(row.getString(0), i)
+      },
+      StructType(Seq(StructField("tok", StringType),
+        StructField("rank", LongType))))
+    var rank = positions.join(tokRanks, Seq("tok"))
+      .select(col("doc"), col("off"), col("rank"))
+      .localCheckpoint(eager = false)
+    var w = 1L
+    var r = 0
+    while (r < rounds) {
+      val succ = rank.select(col("doc"), (col("off") - w).as("off"),
+        col("rank").as("k2"))
+      val keys = rank.withColumnRenamed("rank", "k1")
+        .join(succ, Seq("doc", "off"), "left")
+        .na.fill(-1L, Seq("k2"))
+      rank = keys.join(denseRank2(keys.select("k1", "k2")),
+          Seq("k1", "k2"))
+        .select(col("doc"), col("off"), col("r").as("rank"))
+        .localCheckpoint(eager = false)
+      w *= 2
+      r += 1
+    }
+    rank
+  }
+
+  /** Cross-document exact repeated spans of width 2^rounds tokens:
+    * for every document pair sharing at least one identical
+    * full-width token window, the count of aligned window matches
+    * (overlapping windows count individually — a 20-token shared run
+    * at width 16 scores 5, the span-mass convention Lee et al.'s
+    * overlap accounting uses). Positions with fewer than width
+    * tokens remaining are excluded, so rank equality IS window
+    * equality — no sentinel ties.
+    *
+    * Output size is the honest bound: a boilerplate window shared by
+    * m documents yields m-choose-2 pairs, the same worst case every
+    * exact dedup has ([[Dedup.exactTextGroups]] upstream removes the
+    * degenerate mass first). */
+  def repeatedSpanPairs(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val width = 1L << rounds
+    val pos = tokenPositions(df, idCol, textCol)
+      .localCheckpoint(eager = false)
+    val lens = pos.groupBy("doc").agg(count(lit(1)).as("__len"))
+    val full = prefixDoubleRanks(pos, rounds)
+      .join(lens, Seq("doc"))
+      .filter(col("off") + width <= col("__len"))
+      .select(col("doc"), col("off"), col("rank"))
+    full.select(col("rank"), col("doc").as("doc_a"))
+      .join(full.select(col("rank"), col("doc").as("doc_b")),
+        Seq("rank"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_matches"))
+  }
+}

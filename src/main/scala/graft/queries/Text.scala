@@ -461,6 +461,29 @@ object Text {
         .orderBy("id_a", "id_b")
     },
 
+    // DEDUP: exact repeated substrings (suffix-array dedup, Lee 2022)
+    // — doc pairs sharing identical 16-token windows with aligned
+    // match counts, found via 4 rounds of distributed prefix doubling
+    // (Manber-Myers suffix ranks: the shuffled keys are two int64
+    // ranks at every width, never the window text). The oracle builds
+    // the literal 16-grams and joins them — graded equality proves
+    // the rank tables are exact, not hash-approximate.
+    Q("q_d_suffix_repeats",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |g AS (SELECT doc_id AS doc, unnest(range(0, len(t) - 15))
+         |    AS off, t FROM tok),
+         |gg AS (SELECT doc, off,
+         |    array_to_string(t[off+1:off+16], ' ') AS gram FROM g),
+         |p AS (SELECT a.doc AS doc_a, b.doc AS doc_b FROM gg a
+         |      JOIN gg b ON a.gram = b.gram AND a.doc < b.doc)
+         |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_matches
+         |FROM p GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, d) =>
+      graft.operators.SuffixDedup
+        .repeatedSpanPairs(t(s, d, "documents"), "doc_id", "text", 4)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // DEDUP: prefix-filtered set-similarity join (SSJoin/PPJoin) —
     // EVERY pair with 3-gram Jaccard >= 0.5, no df-cap recall loss.
     // The oracle is the BRUTE-FORCE join: matching it hash-exactly is

@@ -494,6 +494,49 @@ class DedupSpec extends SparkSpec {
     assertSameRows(packed, again)
   }
 
+  test("prefixDoubleRanks: rank equality IS prefix equality at every " +
+      "doubling width (brute-force law)") {
+    import graft.operators.SuffixDedup
+    val corpus = Seq(
+      (1L, "a b c d a b c d x"),
+      (2L, "z a b c d a b q"),
+      (3L, "c d a b c d"))
+      .toDF("doc_id", "text")
+    val toks = corpus.collect().map(r =>
+      r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val pos = SuffixDedup.tokenPositions(corpus, "doc_id", "text")
+    for (rounds <- 0 to 3) {
+      val width = 1 << rounds
+      val ranks = SuffixDedup.prefixDoubleRanks(pos, rounds)
+        .as[(Long, Long, Long)].collect()
+      def prefix(doc: Long, off: Long): Seq[String] =
+        toks(doc).drop(off.toInt).take(width)
+      for (a <- ranks; b <- ranks)
+        assert((a._3 == b._3) ==
+          (prefix(a._1, a._2) == prefix(b._1, b._2)),
+          s"width $width: (${a._1},${a._2}) vs (${b._1},${b._2})")
+    }
+  }
+
+  test("repeatedSpanPairs: aligned window counts, boundaries respected," +
+      " short tails excluded") {
+    import graft.operators.SuffixDedup
+    // docs 1/2 share a 6-token run -> at width 4 that is 3 aligned
+    // windows; doc 3 shares only a 3-token run with doc 1 -> below
+    // width, no pair; doc 4 ends with a 2-token tail of the shared
+    // run -> full-window filter keeps it out
+    val corpus = Seq(
+      (1L, "p q r s t u x y z"),
+      (2L, "m p q r s t u n"),
+      (3L, "p q r m m m m"),
+      (4L, "k k k k k t u"))
+      .toDF("doc_id", "text")
+    val got = SuffixDedup
+      .repeatedSpanPairs(corpus, "doc_id", "text", 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L)), s"got $got")
+  }
+
   test("unimaxBudgets: exact waterfill — caps bind as a prefix, " +
       "leftover splits evenly, totals conserve") {
     import graft.operators.Curation
