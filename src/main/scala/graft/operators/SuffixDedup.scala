@@ -108,6 +108,16 @@ object SuffixDedup {
     * exact dedup has ([[Dedup.exactTextGroups]] upstream removes the
     * degenerate mass first). */
   def repeatedSpanPairs(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame =
+    alignedMatches(df, idCol, textCol, rounds)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_matches"))
+
+  /** The raw cross-document aligned matches behind
+    * [[repeatedSpanPairs]]: one row per position pair whose
+    * full-width windows are identical — (doc_a, off_a, doc_b, off_b)
+    * with doc_a < doc_b. */
+  def alignedMatches(df: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame = {
     val width = 1L << rounds
     val pos = tokenPositions(df, idCol, textCol)
@@ -117,11 +127,39 @@ object SuffixDedup {
       .join(lens, Seq("doc"))
       .filter(col("off") + width <= col("__len"))
       .select(col("doc"), col("off"), col("rank"))
-    full.select(col("rank"), col("doc").as("doc_a"))
-      .join(full.select(col("rank"), col("doc").as("doc_b")),
-        Seq("rank"))
+    full.select(col("rank"), col("doc").as("doc_a"),
+        col("off").as("off_a"))
+      .join(full.select(col("rank"), col("doc").as("doc_b"),
+        col("off").as("off_b")), Seq("rank"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "off_a", "doc_b", "off_b")
+  }
+
+  /** Maximal exact shared spans per document pair: consecutive
+    * aligned matches on one diagonal (off_a − off_b constant, off_a
+    * stepping by 1) are ONE shared run of run + width − 1 tokens —
+    * the gaps-and-islands rollup of [[alignedMatches]]. Emits
+    * (doc_a, doc_b, n_matches, max_span_tokens): n_matches for the
+    * overlap mass, max_span_tokens for the Lee-2022 "is the longest
+    * shared substring over the removal threshold" decision.
+    *
+    * Scale shape: one window partitioned by (pair, diagonal) — keys
+    * as fine as the matches themselves, so no partition exceeds a
+    * single document's length — then two partial-agg groupBys. */
+  def sharedRunStats(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val width = 1L << rounds
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"),
+        (col("off_a") - col("off_b")).as("__diag"))
+      .orderBy(col("off_a"))
+    alignedMatches(df, idCol, textCol, rounds)
+      .withColumn("__isl", col("off_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("off_a") - col("off_b")).as("__diag"), col("__isl"))
+      .agg(count(lit(1)).as("__run"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_matches"))
+      .agg(sum(col("__run")).as("n_matches"),
+        (max(col("__run")) + width - 1).as("max_span_tokens"))
   }
 }

@@ -484,6 +484,33 @@ object Text {
         .orderBy("doc_a", "doc_b")
     },
 
+    // DEDUP: maximal exact shared spans — the gaps-and-islands rollup
+    // of the suffix-rank matches: consecutive aligned width-16
+    // windows on one diagonal are ONE run of run+15 tokens;
+    // max_span_tokens is the Lee-2022 removal-threshold quantity.
+    Q("q_d_suffix_spans",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |g AS (SELECT doc_id AS doc, unnest(range(0, len(t) - 15))
+         |    AS off, t FROM tok),
+         |gg AS (SELECT doc, off,
+         |    array_to_string(t[off+1:off+16], ' ') AS gram FROM g),
+         |m AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+         |      a.off AS off_a, b.off AS off_b FROM gg a
+         |      JOIN gg b ON a.gram = b.gram AND a.doc < b.doc),
+         |i AS (SELECT doc_a, doc_b, off_a - off_b AS diag, off_a,
+         |      off_a - row_number() OVER (PARTITION BY doc_a, doc_b,
+         |        off_a - off_b ORDER BY off_a) AS isl FROM m),
+         |r AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS run
+         |      FROM i GROUP BY doc_a, doc_b, diag, isl)
+         |SELECT doc_a, doc_b, CAST(sum(run) AS BIGINT) AS n_matches,
+         |  CAST(max(run) + 15 AS BIGINT) AS max_span_tokens
+         |FROM r GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, d) =>
+      graft.operators.SuffixDedup
+        .sharedRunStats(t(s, d, "documents"), "doc_id", "text", 4)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // DEDUP: prefix-filtered set-similarity join (SSJoin/PPJoin) —
     // EVERY pair with 3-gram Jaccard >= 0.5, no df-cap recall loss.
     // The oracle is the BRUTE-FORCE join: matching it hash-exactly is

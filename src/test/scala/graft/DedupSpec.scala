@@ -537,6 +537,24 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 3L)), s"got $got")
   }
 
+  test("sharedRunStats: islands of aligned matches collapse to exact " +
+      "span lengths; the longest shared run wins max_span_tokens") {
+    import graft.operators.SuffixDedup
+    // doc1/doc2 share a 10-token run AND a separate 5-token run on a
+    // different diagonal; width 4 (rounds 2) => runs of 7 and 2
+    // aligned windows => spans 10 and 5, overlap mass 9
+    val shared10 = (1 to 10).map(i => s"s$i").mkString(" ")
+    val shared5 = (1 to 5).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$shared10 u1 u2 $shared5"),
+      (2L, s"v1 v2 v3 $shared5 v4 $shared10"))
+      .toDF("doc_id", "text")
+    val got = SuffixDedup
+      .sharedRunStats(corpus, "doc_id", "text", 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 9L, 10L)), s"got $got")
+  }
+
   test("unimaxBudgets: exact waterfill — caps bind as a prefix, " +
       "leftover splits evenly, totals conserve") {
     import graft.operators.Curation
