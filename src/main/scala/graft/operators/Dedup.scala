@@ -300,34 +300,51 @@ object Dedup {
           tokens(col(textCol)), lit(n)))).as("shingle"))
       .localCheckpoint(eager = false)
     val dfs = shRaw.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val sizes = shRaw.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val wp = Window.partitionBy("id").orderBy(col("df"), col("shingle"))
+    // n_sh via a window over the SAME id partitioning as the prefix
+    // rank — one exchange serves both, where a sizes join would add
+    // its own shuffle of the full shingle table
     val prefix = shRaw.join(dfs, Seq("shingle"))
-      .join(sizes, Seq("id"))
+      .withColumn("n_sh",
+        count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("__pos", row_number().over(wp))
       .filter(col("__pos") <=
         col("n_sh") - ceil(col("n_sh") * threshold) + 1)
-      .select(col("id"), col("shingle"), col("n_sh"))
+      .select(col("id"), col("shingle"), col("n_sh"), col("__pos"))
+    // PPJoin positional filter: a match at prefix positions (pa, pb)
+    // caps the possible overlap at 1 + min(n_a − pa, n_b − pb); pairs
+    // whose cap cannot reach the J ≥ τ overlap floor τ/(1+τ)·(n_a+n_b)
+    // die here. The floor carries a 1-token slack so float rounding
+    // can only keep a pair, never drop a qualifying one.
+    val overlapFloor =
+      lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b")) -
+        lit(1.0)
     val cand = prefix
       .select(col("id").as("id_a"), col("shingle"),
-        col("n_sh").as("n_a"))
+        col("n_sh").as("n_a"), col("__pos").as("__pa"))
       .join(prefix.select(col("id").as("id_b"), col("shingle"),
-        col("n_sh").as("n_b")), Seq("shingle"))
+        col("n_sh").as("n_b"), col("__pos").as("__pb")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("n_b").cast("double") >= col("n_a") * threshold &&
         col("n_a").cast("double") >= col("n_b") * threshold)
+      .filter((lit(1L) + least(col("n_a") - col("__pa"),
+        col("n_b") - col("__pb"))).cast("double") >= overlapFloor)
       .select("id_a", "id_b").distinct()
-    val common = cand
-      .join(shRaw.select(col("id").as("id_a"), col("shingle")),
+    // verification: per-candidate array_intersect over each doc's
+    // COLLECTED shingle set — candidate-bounded narrow work (two
+    // row-per-doc joins), never a re-exploded corpus shuffle; string
+    // shingles keep it exact, no fingerprint in the loop
+    val sets = shRaw.groupBy("id")
+      .agg(sort_array(collect_list(col("shingle"))).as("__set"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("__set").as("__sa")),
         Seq("id_a"))
-      .join(shRaw.select(col("id").as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")),
-        Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")),
+      .join(sets.select(col("id").as("id_b"), col("__set").as("__sb")),
         Seq("id_b"))
+      .withColumn("common",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("n_a", size(col("__sa")).cast("long"))
+      .withColumn("n_b", size(col("__sb")).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("n_a") + col("n_b") - col("common")).cast("double"))

@@ -64,7 +64,7 @@ object SuffixDedup {
     * as the -1 sentinel (shorter suffix sorts first), the Manber-
     * Myers convention. */
   def prefixDoubleRanks(positions: DataFrame, rounds: Int): DataFrame = {
-    require(rounds >= 0 && rounds <= 40, s"rounds out of range: $rounds")
+    require(rounds >= 0 && rounds <= 30, s"rounds out of range: $rounds")
     val spark = positions.sparkSession
     val toks = positions.select(col("tok")).distinct().orderBy("tok")
     val tokRanks = spark.createDataFrame(
@@ -76,14 +76,18 @@ object SuffixDedup {
     var rank = positions.join(tokRanks, Seq("tok"))
       .select(col("doc"), col("off"), col("rank"))
       .localCheckpoint(eager = false)
-    var w = 1L
+    var w = 1
     var r = 0
+    // successor lookup rides lead() over the (doc, off) order — one
+    // exchange on doc instead of a two-sided self-join, and off is
+    // dense within a doc so lead(rank, w) IS rank(off + w)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy("off")
     while (r < rounds) {
-      val succ = rank.select(col("doc"), (col("off") - w).as("off"),
-        col("rank").as("k2"))
-      val keys = rank.withColumnRenamed("rank", "k1")
-        .join(succ, Seq("doc", "off"), "left")
-        .na.fill(-1L, Seq("k2"))
+      val keys = rank
+        .withColumn("k2",
+          coalesce(lead(col("rank"), w).over(wDoc), lit(-1L)))
+        .withColumnRenamed("rank", "k1")
       rank = keys.join(denseRank2(keys.select("k1", "k2")),
           Seq("k1", "k2"))
         .select(col("doc"), col("off"), col("r").as("rank"))
@@ -109,8 +113,13 @@ object SuffixDedup {
     * degenerate mass first). */
   def repeatedSpanPairs(df: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame =
-    alignedMatches(df, idCol, textCol, rounds)
-      .groupBy("doc_a", "doc_b")
+    repeatedSpanPairsFrom(alignedMatches(df, idCol, textCol, rounds))
+
+  /** [[repeatedSpanPairs]] over an already-materialized
+    * [[alignedMatches]] table — the matches are the expensive stage,
+    * so pipelines computing several rollups share ONE build. */
+  def repeatedSpanPairsFrom(matches: DataFrame): DataFrame =
+    matches.groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_matches"))
 
   /** The raw cross-document aligned matches behind
@@ -147,13 +156,20 @@ object SuffixDedup {
     * as fine as the matches themselves, so no partition exceeds a
     * single document's length — then two partial-agg groupBys. */
   def sharedRunStats(df: DataFrame, idCol: String, textCol: String,
-      rounds: Int): DataFrame = {
-    val width = 1L << rounds
+      rounds: Int): DataFrame =
+    sharedRunStatsFrom(alignedMatches(df, idCol, textCol, rounds),
+      1L << rounds)
+
+  /** [[sharedRunStats]] over an already-materialized
+    * [[alignedMatches]] table (same sharing contract as
+    * [[repeatedSpanPairsFrom]]); `width` must be the 2^rounds the
+    * matches were built at. */
+  def sharedRunStatsFrom(matches: DataFrame, width: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"),
         (col("off_a") - col("off_b")).as("__diag"))
       .orderBy(col("off_a"))
-    alignedMatches(df, idCol, textCol, rounds)
+    matches
       .withColumn("__isl", col("off_a") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"),
         (col("off_a") - col("off_b")).as("__diag"), col("__isl"))

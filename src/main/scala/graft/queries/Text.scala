@@ -15,6 +15,18 @@ object Text {
   private val normD = sqlNormText("text")
   private val toksD = sqlTokens("text")
 
+  /** Width-16 aligned suffix-rank matches, built ONCE per session and
+    * shared by both q_d_suffix_* rollups — the prefix doubling is the
+    * cost, the rollups are cheap aggregates (the [[materialized]]
+    * reuse pattern: on a cluster this is the written intermediate
+    * table). */
+  private def suffixMatches16(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    materialized(s, d, "suffix_matches_16") {
+      graft.operators.SuffixDedup
+        .alignedMatches(t(s, d, "documents"), "doc_id", "text", 4)
+    }
+
   // Deterministic multilingual sample strings for q_t_langid — the
   // highest-frequency characters/function words of each language
   // (public frequency-list knowledge), embedded identically in the
@@ -480,7 +492,7 @@ object Text {
          |FROM p GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin) {
       (s, d) =>
       graft.operators.SuffixDedup
-        .repeatedSpanPairs(t(s, d, "documents"), "doc_id", "text", 4)
+        .repeatedSpanPairsFrom(suffixMatches16(s, d))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -507,7 +519,7 @@ object Text {
          |FROM r GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin) {
       (s, d) =>
       graft.operators.SuffixDedup
-        .sharedRunStats(t(s, d, "documents"), "doc_id", "text", 4)
+        .sharedRunStatsFrom(suffixMatches16(s, d), 16L)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -520,7 +532,7 @@ object Text {
     Q("q_d_prefix_jaccard",
       s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
          |sh AS (SELECT doc_id AS id,
-         |  unnest(list_distinct(${sqlShingles("t", 3)})) AS shingle
+         |  unnest(list_distinct(${sqlShingles("t", 4)})) AS shingle
          |  FROM tok),
          |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
          |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
@@ -536,7 +548,7 @@ object Text {
          |    / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.prefixFilterJaccardPairs(t(s, d, "documents"), "doc_id",
-          "text", 3, 0.5)
+          "text", 4, 0.5)
         .orderBy("id_a", "id_b")
     },
 

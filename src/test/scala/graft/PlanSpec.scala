@@ -125,6 +125,47 @@ class PlanSpec extends SparkSpec {
       s"window must carry a partition spec:\n$windowLines")
   }
 
+  test("round-9 additions: AND-search prunes before its exchange; " +
+      "packing shuffles once on the bucket; JS drift broadcasts totals") {
+    // conjunctiveSearch: the query-term IN filter is narrow and sits
+    // UPSTREAM (printed below) the doc aggregate's exchange
+    val andPlan = planOf("q_r_boolean_and")
+    val lines = andPlan.linesIterator.toIndexedSeq
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains(" IN ("))
+    val exchIdx = lines.indexWhere(_.contains("Exchange"))
+    assert(filterIdx >= 0, s"IN filter must exist:\n$andPlan")
+    assert(exchIdx >= 0 && filterIdx > exchIdx,
+      s"IN filter must run before the exchange:\n$andPlan")
+    // window packing: the only hash exchange is the bucket key; the
+    // prefix-sum window carries its partition spec
+    val packPlan = planOf("q_pack_windows")
+    assert(packPlan.contains("hashpartitioning(bucket"),
+      s"packing must shuffle on the bucket key:\n$packPlan")
+    assert(!packPlan.contains("SinglePartition"),
+      s"no single-partition stage in packing:\n$packPlan")
+    assert(!packPlan.linesIterator.filter(_.contains("Window"))
+      .mkString.contains("windowspecdefinition()"),
+      s"packing window must be bucket-keyed:\n$packPlan")
+    // prefix-filter join: per-doc prefix window is id-keyed
+    val pfPlan = planOf("q_d_prefix_jaccard")
+    assert(!pfPlan.linesIterator.filter(_.contains("Window"))
+      .mkString.contains("windowspecdefinition()"),
+      s"prefix window must partition by id:\n$pfPlan")
+    // JS drift: one corpus shuffle on the bucket id; totals ride a
+    // broadcast, never a shuffled or cartesian join
+    val jsPlan = planOf("q_t_js_drift")
+    assert(jsPlan.contains("hashpartitioning(__b"),
+      s"JS drift shuffles once on the bucket id:\n$jsPlan")
+    assert(jsPlan.contains("BroadcastNestedLoopJoin") &&
+      !jsPlan.contains("CartesianProduct"),
+      s"totals must broadcast:\n$jsPlan")
+    // unimax: the corpus-side token count partial-aggregates
+    val umPlan = planOf("q_cur_unimax")
+    assert(umPlan.contains("partial_sum"),
+      s"unimax corpus count must map-side combine:\n$umPlan")
+  }
+
   test("partitioned sink enables partition pruning on read") {
     import spark.implicits._
     val dir = java.nio.file.Files
