@@ -523,6 +523,73 @@ object Text {
         .orderBy("doc_a", "doc_b")
     },
 
+    // E2E SUBSTRING DEDUP: the full Lee-2022 recipe composed from
+    // graded stages — suffix-rank shared spans (D16b) thresholded at
+    // 20 tokens, connected components (D5), longest-document survivor
+    // per cluster. Oracle: the literal-16-gram span pipeline plus the
+    // same recursive min-label closure as q_e2e_entity_res.
+    Q("q_e2e_substring_dedup",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |g AS (SELECT doc_id AS doc, unnest(range(0, len(t) - 15))
+         |    AS off, t FROM tok),
+         |gg AS (SELECT doc, off,
+         |    array_to_string(t[off+1:off+16], ' ') AS gram FROM g),
+         |m AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+         |      a.off AS off_a, b.off AS off_b FROM gg a
+         |      JOIN gg b ON a.gram = b.gram AND a.doc < b.doc),
+         |i AS (SELECT doc_a, doc_b, off_a - off_b AS diag, off_a,
+         |      off_a - row_number() OVER (PARTITION BY doc_a, doc_b,
+         |        off_a - off_b ORDER BY off_a) AS isl FROM m),
+         |rr AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS run
+         |      FROM i GROUP BY doc_a, doc_b, diag, isl),
+         |pd AS (SELECT doc_a, doc_b FROM rr GROUP BY 1, 2
+         |      HAVING max(run) + 15 >= 20),
+         |edges AS (SELECT doc_a AS s, doc_b AS t2 FROM pd
+         |          UNION SELECT doc_b, doc_a FROM pd),
+         |closure AS (
+         |  WITH RECURSIVE cr(s, t2) AS (
+         |    SELECT s, t2 FROM edges
+         |    UNION
+         |    SELECT cr.s, e.t2 FROM cr JOIN edges e ON cr.t2 = e.s)
+         |  SELECT s, t2 FROM cr),
+         |lbl AS (SELECT s AS doc_id, least(s, min(t2)) AS cluster_id
+         |        FROM closure GROUP BY s),
+         |cl AS (SELECT d.doc_id,
+         |        coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         |        d.n_chars
+         |      FROM documents d LEFT JOIN lbl l USING (doc_id)),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+         |        AS n_members FROM cl GROUP BY 1),
+         |kb AS (SELECT cluster_id, doc_id, n_chars,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY n_chars DESC, doc_id) AS rn FROM cl)
+         |SELECT kb.cluster_id, sz.n_members, kb.doc_id AS kept_doc_id,
+         |  CAST(kb.n_chars AS BIGINT) AS kept_n_chars
+         |FROM kb JOIN sz USING (cluster_id)
+         |WHERE rn = 1 AND sz.n_members >= 2
+         |ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        col("n_chars"))
+      val pairs = graft.operators.SuffixDedup
+        .sharedRunStatsFrom(suffixMatches16(s, d), 16L)
+        .filter(col("max_span_tokens") >= 20)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      val clusters = graft.operators.Dedup.duplicateClusters(
+        docs.select("doc_id"), "doc_id", pairs)
+      val withC = docs.join(clusters, Seq("doc_id"))
+      val kept = graft.operators.Dedup.keepBestPerCluster(
+        withC.withColumn("__score", col("n_chars")),
+        "doc_id", "cluster_id", "__score")
+      val sizes = withC.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"))
+      kept.join(sizes, Seq("cluster_id"))
+        .filter(col("n_members") >= 2)
+        .select(col("cluster_id"), col("n_members"),
+          col("doc_id").as("kept_doc_id"),
+          col("n_chars").cast("long").as("kept_n_chars"))
+        .orderBy("cluster_id")
+    },
+
     // DEDUP: prefix-filtered set-similarity join (SSJoin/PPJoin) —
     // EVERY pair with 3-gram Jaccard >= 0.5, no df-cap recall loss.
     // The oracle is the BRUTE-FORCE join: matching it hash-exactly is
