@@ -154,10 +154,14 @@ object Curation {
       totalBudget: Long, epochsMilli: Long): DataFrame = {
     require(totalBudget >= 0, s"totalBudget must be >= 0: $totalBudget")
     require(epochsMilli > 0, s"epochsMilli must be > 0: $epochsMilli")
+    // group-table-sized result materialized ONCE — three consumers
+    // (ranked, the m count, the binding aggregate) must not re-run
+    // the corpus count shuffle
     val counts = df.groupBy(groupCol)
       .agg(sum(col(tokensCol)).as("n_tokens"))
       .withColumn("cap_tokens",
         expr(s"(n_tokens * ${epochsMilli}L) div 1000"))
+      .localCheckpoint(eager = false)
     val wAsc = org.apache.spark.sql.expressions.Window
       .orderBy(col("cap_tokens"), col(groupCol))
     val tot = counts.agg(count(lit(1)).as("__m"))

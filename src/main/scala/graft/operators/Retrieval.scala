@@ -52,8 +52,12 @@ object Retrieval {
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
       maxDf: Long): DataFrame = {
     require(maxDf >= 0, s"maxDf must be >= 0: $maxDf")
+    // the exploded term table feeds BOTH the df count and the
+    // posting-list build — materialize it once (cluster runs: an
+    // explicit persist/write of the same intermediate)
     val terms = df.select(col(idCol).as("doc"),
-      explode(array_distinct(tokens(col(textCol)))).as("term"))
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .localCheckpoint(eager = false)
     val dfs = terms.groupBy("term").agg(count(lit(1)).as("df"))
     val small = terms.join(dfs.filter(col("df") <= maxDf)
         .select("term"), Seq("term"))

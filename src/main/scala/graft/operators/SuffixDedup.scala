@@ -62,7 +62,13 @@ object SuffixDedup {
     * `rank` iff their forward token runs agree on the first
     * min(2^rounds, tokens-remaining) tokens. Absent successors rank
     * as the -1 sentinel (shorter suffix sorts first), the Manber-
-    * Myers convention. */
+    * Myers convention.
+    *
+    * CONTRACT: `positions` must carry DENSE 0-based offsets per doc
+    * (exactly [[tokenPositions]]'s shape) — the successor lookup is
+    * lead(rank, 2^k) over the (doc, off) order, which equals
+    * rank(off + 2^k) only when no offset is missing. Sparse offsets
+    * would silently rank the wrong successor. */
   def prefixDoubleRanks(positions: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0 && rounds <= 30, s"rounds out of range: $rounds")
     val spark = positions.sparkSession

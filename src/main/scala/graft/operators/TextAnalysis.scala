@@ -793,9 +793,12 @@ object TextAnalysis {
     val tb = df.select(left.as("__l"),
         explode(graft.functions.tokens(col(textCol))).as("__tok"))
       .select(col("__l"), b)
+    // B-row result materialized ONCE — without the checkpoint the
+    // totals branch would re-run the corpus explode + shuffle
     val bucketCounts = tb.groupBy("__b").agg(
       sum(when(col("__l"), 1L).otherwise(0L)).as("__c"),
       sum(when(col("__l"), 0L).otherwise(1L)).as("__d"))
+      .localCheckpoint(eager = false)
     bucketCounts.crossJoin(broadcast(bucketCounts
         .agg(sum(col("__c")).as("__na"), sum(col("__d")).as("__nb"))))
       .agg(
