@@ -1103,6 +1103,36 @@ object Vectors {
         .select("vec_id").orderBy("vec_id")
     },
 
+    // Prototypicality pruning (Sorscher 2022 / D4's SSL prototypes):
+    // keep each trained cluster's 40% LEAST prototypical vectors
+    // (lowest cosine to own centroid — the near-prototype mass is
+    // redundant, rare examples survive). Integer cross-multiplied
+    // keep counts; ranks tie on vec_id, so both engines agree even
+    // on the planted exact duplicates.
+    Q("q_v_prototypicality",
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cv
+         |            FROM embeddings ORDER BY vec_id LIMIT 8),
+         |${kmeansIterSql("c0", "a1", "m1", "c1", 64)},
+         |${kmeansIterSql("c1", "a2", "m2", "c2", 64)},
+         |asg AS (SELECT e.vec_id, e.embedding, c.cid, c.cv,
+         |        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |          -(${sqlCosine("e.embedding", "c.cv")}), c.cid) AS rn
+         |      FROM embeddings e, c2 c),
+         |a AS (SELECT vec_id, embedding, cid, cv FROM asg WHERE rn = 1),
+         |r AS (SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY cid
+         |        ORDER BY proto ASC, vec_id) AS rn2,
+         |      count(*) OVER (PARTITION BY cid) AS n
+         |    FROM (SELECT vec_id, cid,
+         |          ${sqlCosine("embedding", "cv")} AS proto FROM a))
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cid
+         |FROM r WHERE rn2 * 1000 <= n * 400
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.prototypicalityFilter(t(s, d, "embeddings"),
+          "vec_id", "embedding", 8, 2, 64, 400L)
+        .orderBy("vec_id")
+    },
+
     // Semantic decontamination: train vectors within cosine 0.2 of
     // any eval vector (vec_id % 97 = 0 — the q_t_decontam split,
     // lifted to embedding space). Eval broadcasts; per-train argmax

@@ -537,6 +537,25 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 3L)), s"got $got")
   }
 
+  test("prototypicalityFilter: keeps the least-prototypical fraction " +
+      "per cluster, ties on id, exact integer keep counts") {
+    import org.apache.spark.sql.functions._
+    // one cluster: ten copies of a prototype + two off-axis outliers;
+    // keep 25% of 12 = 3 -> both outliers plus the smallest-id copy
+    val rows = (1L to 10L).map(i => (i, Array(1f, 0f, 0f, 0f))) ++
+      Seq((11L, Array(0f, 1f, 0f, 0f)), (12L, Array(0f, 1f, 0f, 0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Similarity.prototypicalityFilter(df, "vec_id",
+        "embedding", 1, 2, 4, 250L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 12L, 1L), s"got $kept")
+    // boundary fractions
+    assert(Similarity.prototypicalityFilter(df, "vec_id", "embedding",
+      1, 2, 4, 1000L).count() == 12L)
+    assert(Similarity.prototypicalityFilter(df, "vec_id", "embedding",
+      1, 2, 4, 0L).count() == 0L)
+  }
+
   test("sharedRunStats: islands of aligned matches collapse to exact " +
       "span lengths; the longest shared run wins max_span_tokens") {
     import graft.operators.SuffixDedup
