@@ -590,6 +590,130 @@ object Text {
         .orderBy("cluster_id")
     },
 
+    // E2E PRETRAIN PREP: the complete training-data preparation story
+    // in ONE declarative plan, composed from graded stages —
+    // substring-dedup survivors (E9) → UniMax epochs-capped language
+    // mixture (CUR5) applied in deterministic doc order → contiguous
+    // 256-token window packing (C6), reported per pack bucket. The
+    // oracle replays every stage relationally (recursive closure,
+    // waterfill, prefix-sum spans) — ~25k of the 25k-token budget
+    // lands, the overshoot being exactly the kept crossing documents.
+    Q("q_e2e_pretrain_prep",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |g AS (SELECT doc_id AS doc, unnest(range(0, len(t) - 15))
+         |    AS off, t FROM tok),
+         |gg AS (SELECT doc, off,
+         |    array_to_string(t[off+1:off+16], ' ') AS gram FROM g),
+         |m AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+         |      a.off AS off_a, b.off AS off_b FROM gg a
+         |      JOIN gg b ON a.gram = b.gram AND a.doc < b.doc),
+         |i AS (SELECT doc_a, doc_b, off_a - off_b AS diag, off_a,
+         |      off_a - row_number() OVER (PARTITION BY doc_a, doc_b,
+         |        off_a - off_b ORDER BY off_a) AS isl FROM m),
+         |rr AS (SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS run
+         |      FROM i GROUP BY doc_a, doc_b, diag, isl),
+         |pd AS (SELECT doc_a, doc_b FROM rr GROUP BY 1, 2
+         |      HAVING max(run) + 15 >= 20),
+         |edges AS (SELECT doc_a AS s, doc_b AS t2 FROM pd
+         |          UNION SELECT doc_b, doc_a FROM pd),
+         |closure AS (
+         |  WITH RECURSIVE cr(s, t2) AS (
+         |    SELECT s, t2 FROM edges
+         |    UNION
+         |    SELECT cr.s, e.t2 FROM cr JOIN edges e ON cr.t2 = e.s)
+         |  SELECT s, t2 FROM cr),
+         |lbl AS (SELECT s AS doc_id, least(s, min(t2)) AS cluster_id
+         |        FROM closure GROUP BY s),
+         |cl AS (SELECT d.doc_id,
+         |        coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         |        d.n_chars, d.lang
+         |      FROM documents d LEFT JOIN lbl l USING (doc_id)),
+         |kb AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY n_chars DESC, doc_id) AS rn FROM cl),
+         |kept AS (SELECT doc_id, lang FROM kb WHERE rn = 1),
+         |ktok AS (SELECT k.doc_id, k.lang, CAST(len(t.t) AS BIGINT)
+         |        AS n FROM kept k JOIN tok t USING (doc_id)),
+         |c AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl
+         |      FROM ktok GROUP BY 1),
+         |cc AS (SELECT lang, nl, (nl * 1000) // 1000 AS cap FROM c),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS mm FROM cc),
+         |rk AS (SELECT lang, nl, cap, mm,
+         |    CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT)
+         |      AS i2,
+         |    CAST(sum(cap) OVER (ORDER BY cap, lang
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pincl
+         |  FROM cc, tt),
+         |bnd AS (SELECT *, cap * (mm - i2 + 1) <=
+         |    25000 - (pincl - cap) AS binds FROM rk),
+         |kk AS (SELECT coalesce(max(CASE WHEN binds THEN i2 END), 0)
+         |      AS k2,
+         |    coalesce(max(CASE WHEN binds THEN pincl END), 0)
+         |      AS capsum FROM bnd),
+         |al AS (SELECT lang, CASE WHEN binds THEN cap
+         |    ELSE (25000 - capsum) // (mm - k2) + (CASE WHEN
+         |      i2 - k2 <= (25000 - capsum) % (mm - k2)
+         |      THEN 1 ELSE 0 END) END AS alloc FROM bnd, kk),
+         |app AS (SELECT doc_id, ktok.lang, n,
+         |    CAST(sum(n) OVER (PARTITION BY ktok.lang ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, alloc
+         |  FROM ktok JOIN al USING (lang)),
+         |sel AS (SELECT doc_id, n FROM app
+         |       WHERE cum - n < alloc AND n > 0),
+         |b AS (SELECT doc_id, n,
+         |    ${sqlHash31("'pack:' || CAST(doc_id AS VARCHAR)")} % 8
+         |      AS bucket FROM sel),
+         |cum2 AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY bucket
+         |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS e FROM b),
+         |sp AS (SELECT doc_id, bucket, e - n AS st, e,
+         |    unnest(range((e - n) // 256, (e - 1) // 256 + 1)) AS w
+         |  FROM cum2),
+         |ws AS (SELECT bucket, w, CAST(sum(least(e, (w + 1) * 256)
+         |      - greatest(st, w * 256)) AS BIGINT) AS toks
+         |  FROM sp GROUP BY 1, 2)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(toks) AS BIGINT) AS tokens,
+         |  CAST(sum(CASE WHEN toks = 256 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS full_windows
+         |FROM ws GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = graft.operators.SuffixDedup
+        .sharedRunStatsFrom(suffixMatches16(s, d), 16L)
+        .filter(col("max_span_tokens") >= 20)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      val clusters = graft.operators.Dedup.duplicateClusters(
+        docs.select("doc_id"), "doc_id", pairs)
+      val kept = graft.operators.Dedup.keepBestPerCluster(
+        docs.select("doc_id", "n_chars", "lang")
+          .join(clusters, Seq("doc_id"))
+          .withColumn("__score", col("n_chars")),
+        "doc_id", "cluster_id", "__score")
+        .select("doc_id", "lang")
+      val ktok = kept.join(docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n")), Seq("doc_id"))
+      val alloc = graft.operators.Curation
+        .unimaxBudgets(ktok, "lang", "n", 25000L, 1000L)
+        .select(col("lang"), col("alloc_tokens"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val sel = ktok.join(broadcast(alloc), Seq("lang"))
+        .withColumn("__cum", sum(col("n")).over(wl))
+        .filter(col("__cum") - col("n") < col("alloc_tokens") &&
+          col("n") > 0)
+        .select("doc_id", "n")
+      val spans = graft.operators.Sharding
+        .packContiguousWindows(sel, "doc_id", "n", 256L, 8)
+      graft.operators.Sharding.windowStats(spans, 256L)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("tokens")).as("tokens"),
+          sum(when(col("tokens") === 256L, 1L).otherwise(0L))
+            .as("full_windows"))
+        .orderBy("bucket")
+    },
+
     // DEDUP: prefix-filtered set-similarity join (SSJoin/PPJoin) —
     // EVERY pair with 3-gram Jaccard >= 0.5, no df-cap recall loss.
     // The oracle is the BRUTE-FORCE join: matching it hash-exactly is
