@@ -87,6 +87,52 @@ object Sharding {
           .as("n_tokens"))
   }
 
+  /** INCREMENTAL continuation of [[packContiguousWindows]]: pack a
+    * NEW batch of documents on top of an existing layout without
+    * touching it — each bucket's stream resumes at its current token
+    * height, so the first new span tops up the bucket's partial last
+    * window before new windows open. `state` is the per-bucket resume
+    * point, (bucket, base_tokens), from [[packState]] over the
+    * existing spans (or an empty frame for a cold start).
+    *
+    * The refresh law (spec'd, and the graded oracle): when every new
+    * id sorts after every packed id — the append-only corpus shape —
+    * incremental output EQUALS the full-corpus repack restricted to
+    * the new documents. Same single-shuffle shape as the base
+    * operator plus one broadcast of the bucket-count state table. */
+  def packContiguousWindowsFrom(df: DataFrame, idCol: String,
+      tokensCol: String, windowTokens: Long, buckets: Int,
+      state: DataFrame): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be > 0: $windowTokens")
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(tokensCol) > 0)
+      .withColumn("bucket", hashBucket(col(idCol), buckets, "pack"))
+      .join(broadcast(state.select(col("bucket"),
+        col("base_tokens"))), Seq("bucket"), "left")
+      .na.fill(0L, Seq("base_tokens"))
+      .withColumn("__end",
+        col("base_tokens") + sum(col(tokensCol)).over(w))
+      .withColumn("__start", col("__end") - col(tokensCol))
+      .withColumn("window_id", explode(sequence(
+        expr(s"__start div ${windowTokens}L"),
+        expr(s"(__end - 1) div ${windowTokens}L"))))
+      .select(col(idCol), col("bucket"), col("window_id"),
+        (greatest(col("__start"), col("window_id") * windowTokens)
+          - col("window_id") * windowTokens).as("win_off"),
+        greatest(lit(0L),
+          col("window_id") * windowTokens - col("__start")).as("doc_off"),
+        (least(col("__end"), (col("window_id") + 1) * windowTokens)
+          - greatest(col("__start"), col("window_id") * windowTokens))
+          .as("n_tokens"))
+  }
+
+  /** Resume state for [[packContiguousWindowsFrom]]: each bucket's
+    * current token height (spans are token-conserving, so the sum IS
+    * the height). Buckets absent from the spans resume at zero. */
+  def packState(spans: DataFrame): DataFrame =
+    spans.groupBy("bucket").agg(sum(col("n_tokens")).as("base_tokens"))
+
   /** Per-window fill report over [[packContiguousWindows]] output:
     * every window is exactly full except each bucket's LAST window —
     * `fill_milli` quantifies the padding waste the packer exists to

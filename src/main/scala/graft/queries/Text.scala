@@ -1425,6 +1425,43 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // SHARDING: INCREMENTAL window packing — pack the doc_id >= 250
+    // refresh batch on top of the already-packed corpus prefix: each
+    // bucket resumes at its token height, topping up its partial last
+    // window first. Graded by the refresh LAW itself: for append-only
+    // ids the incremental output equals the full repack restricted to
+    // the new documents — which is exactly what the oracle computes.
+    Q("q_pack_incremental",
+      s"""WITH tok AS (SELECT doc_id, CAST(len($toksD) AS BIGINT)
+         |    AS n FROM documents),
+         |nz AS (SELECT * FROM tok WHERE n > 0),
+         |b AS (SELECT *,
+         |    ${sqlHash31("'pack:' || CAST(doc_id AS VARCHAR)")} % 8
+         |    AS bucket FROM nz),
+         |c AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY bucket
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS e FROM b),
+         |s AS (SELECT doc_id, bucket, e - n AS st, e FROM c),
+         |x AS (SELECT doc_id, bucket, st, e,
+         |    unnest(range(st // 256, (e - 1) // 256 + 1)) AS w FROM s)
+         |SELECT doc_id, bucket, CAST(w AS BIGINT) AS window_id,
+         |  CAST(greatest(st, w * 256) - w * 256 AS BIGINT) AS win_off,
+         |  CAST(greatest(0, w * 256 - st) AS BIGINT) AS doc_off,
+         |  CAST(least(e, (w + 1) * 256) - greatest(st, w * 256)
+         |    AS BIGINT) AS n_tokens
+         |FROM x WHERE doc_id >= 250
+         |ORDER BY doc_id, window_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_toks"))
+      val base = graft.operators.Sharding.packContiguousWindows(
+        docs.filter(col("doc_id") < 250), "doc_id", "n_toks", 256L, 8)
+      graft.operators.Sharding.packContiguousWindowsFrom(
+          docs.filter(col("doc_id") >= 250), "doc_id", "n_toks",
+          256L, 8, graft.operators.Sharding.packState(base))
+        .orderBy("doc_id", "window_id")
+    },
+
     // SHARDING: contiguous training-window packing (concat-and-chunk)
     // — documents laid end-to-end within hash buckets, the combined
     // stream cut into exact 256-token windows; one row per (document,

@@ -606,6 +606,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("packContiguousWindowsFrom: append-only refresh equals the " +
+      "full repack; empty state is a cold start") {
+    import graft.operators.Sharding
+    import org.apache.spark.sql.functions._
+    val sizes = Seq(700L, 256L, 10L, 0L, 300L, 17L, 999L, 256L, 40L,
+      1L, 123L, 511L)
+    val docs = sizes.zipWithIndex
+      .map { case (n, i) => (i.toLong + 1, n) }.toDF("doc_id", "n_toks")
+    val full = Sharding
+      .packContiguousWindows(docs, "doc_id", "n_toks", 256L, 2)
+    val oldB = docs.filter($"doc_id" <= 6)
+    val newB = docs.filter($"doc_id" > 6)
+    val inc = Sharding.packContiguousWindowsFrom(newB, "doc_id",
+      "n_toks", 256L, 2, Sharding.packState(
+        Sharding.packContiguousWindows(oldB, "doc_id", "n_toks",
+          256L, 2)))
+    assertSameRows(
+      full.filter($"doc_id" > 6).orderBy("doc_id", "window_id"),
+      inc.orderBy("doc_id", "window_id"))
+    // cold start: empty state table == the base operator
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("base_tokens",
+          org.apache.spark.sql.types.LongType))))
+    assertSameRows(
+      full.orderBy("doc_id", "window_id"),
+      Sharding.packContiguousWindowsFrom(docs, "doc_id", "n_toks",
+        256L, 2, empty).orderBy("doc_id", "window_id"))
+  }
+
   test("prefixFilterJaccardPairs == brute-force Jaccard join at every " +
       "threshold (completeness law), including the tau=1 prefix-1 edge") {
     // brute force = ngramJaccardPairs with a df cap no shingle reaches

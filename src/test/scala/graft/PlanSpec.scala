@@ -152,18 +152,20 @@ class PlanSpec extends SparkSpec {
     assert(!pfPlan.linesIterator.filter(_.contains("Window"))
       .mkString.contains("windowspecdefinition()"),
       s"prefix window must partition by id:\n$pfPlan")
-    // JS drift: one corpus shuffle on the bucket id; totals ride a
-    // broadcast, never a shuffled or cartesian join
+    // JS drift: totals ride a broadcast, never a shuffled or
+    // cartesian join (the bucket-count exchange itself sits behind
+    // the shared-intermediate checkpoint, so it is not in this plan)
     val jsPlan = planOf("q_t_js_drift")
-    assert(jsPlan.contains("hashpartitioning(__b"),
-      s"JS drift shuffles once on the bucket id:\n$jsPlan")
     assert(jsPlan.contains("BroadcastNestedLoopJoin") &&
       !jsPlan.contains("CartesianProduct"),
       s"totals must broadcast:\n$jsPlan")
-    // unimax: the corpus-side token count partial-aggregates
+    // unimax: the waterfill's single-row tables ride broadcasts (the
+    // corpus count itself sits behind the shared-intermediate
+    // checkpoint, so its partial-agg phase is not in this plan)
     val umPlan = planOf("q_cur_unimax")
-    assert(umPlan.contains("partial_sum"),
-      s"unimax corpus count must map-side combine:\n$umPlan")
+    assert(umPlan.contains("BroadcastNestedLoopJoin") &&
+      !umPlan.contains("CartesianProduct"),
+      s"unimax scalar tables must broadcast:\n$umPlan")
   }
 
   test("partitioned sink enables partition pruning on read") {
