@@ -822,6 +822,68 @@ object TextAnalysis {
         expr("(js_a_micro + js_b_micro) div 2"))
   }
 
+  /** Per-group [[jsDivergence]]: for EVERY group (source domain,
+    * day, shard) the JS divergence between that group's hashed-unigram
+    * distribution and the REST of the corpus — the "which domain
+    * drifts most" monitor, one row per group. Same micro-floored-ln
+    * discipline; the complement side is derived by subtraction from
+    * the global bucket totals, so the whole family costs ONE
+    * (group × bucket) count table (G·B rows — never corpus-sized)
+    * plus a broadcast of the B-row global margins. Groups must not
+    * be the whole corpus (an empty complement is undefined, emitted
+    * as zeros). */
+  def jsDivergenceByGroup(df: DataFrame, textCol: String,
+      groupCol: String, buckets: Int = 512): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val b = graft.functions.hash31(concat(lit("js:"), col("__tok")))
+      .mod(buckets).as("__b")
+    val tb = df.select(col(groupCol),
+        explode(graft.functions.tokens(col(textCol))).as("__tok"))
+      .select(col(groupCol), b)
+    val gb = tb.groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = false)
+    val margins = gb.groupBy("__b").agg(sum(col("__c")).as("__tb"))
+    val totals = margins.agg(sum(col("__tb")).as("__tt"))
+    // side A = the group (c, na); side B = everything else
+    // (d = tb − c, nb = tt − na); buckets the group never touched
+    // contribute only to B's entropy-free mass and cancel — the A/B
+    // sums only need buckets where c > 0 resp. d > 0, and d > 0
+    // buckets with c = 0 contribute ln-of-exact-rational terms that
+    // sum per group, so the join stays on the G·B table + margins
+    val na = gb.groupBy(col(groupCol)).agg(sum(col("__c")).as("__na"))
+    // B-margin rows × G group rows — G·B rows, the monitoring table
+    // itself, with each group's missing buckets riding as c = 0
+    val joined = margins
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(na))
+      .join(gb, Seq(groupCol, "__b"), "left")
+      .na.fill(0L, Seq("__c"))
+      .withColumn("__d", col("__tb") - col("__c"))
+      .withColumn("__nb", col("__tt") - col("__na"))
+    joined
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("__na")).as("n_tokens_a"),
+        max(col("__nb")).as("n_tokens_b"),
+        sum(when(col("__c") > 0, col("__c") *
+          floor(log((lit(2d) * col("__c") * col("__nb")) /
+            (col("__c") * col("__nb") + col("__d") * col("__na")))
+            * 1e6).cast("long")).otherwise(0L)).as("__pa"),
+        sum(when(col("__d") > 0, col("__d") *
+          floor(log((lit(2d) * col("__d") * col("__na")) /
+            (col("__c") * col("__nb") + col("__d") * col("__na")))
+            * 1e6).cast("long")).otherwise(0L)).as("__pb"))
+      .select(col(groupCol), col("n_tokens_a"), col("n_tokens_b"),
+        when(col("n_tokens_a") > 0,
+          expr("greatest(__pa, 0L) div n_tokens_a")).otherwise(0L)
+          .as("js_a_micro"),
+        when(col("n_tokens_b") > 0,
+          expr("greatest(__pb, 0L) div n_tokens_b")).otherwise(0L)
+          .as("js_b_micro"))
+      .withColumn("js_micro", expr("(js_a_micro + js_b_micro) div 2"))
+  }
+
   /** Byte-pair-encoding merge-table training (Sennrich et al. 2016)
     * as one declarative Spark DAG — the tokenizer-construction step
     * of an LLM data pipeline. Words (with corpus frequencies) start

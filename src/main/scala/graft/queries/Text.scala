@@ -1713,6 +1713,52 @@ object Text {
         .orderBy("n_tokens_a")
     },
 
+    // MONITORING: per-SOURCE JS drift — each domain's hashed-unigram
+    // distribution against the rest of the corpus, one row per
+    // source; the complement side derives by subtraction from the
+    // global bucket margins, so all twenty comparisons cost ONE
+    // (source × bucket) count table.
+    Q("q_t_js_by_source",
+      s"""WITH tb AS (SELECT source,
+         |    ${sqlHash31("'js:' || tok")} % 256 AS b
+         |  FROM (SELECT source, unnest($toksD) AS tok FROM documents)),
+         |gb AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM tb GROUP BY 1, 2),
+         |mg AS (SELECT b, CAST(sum(c) AS BIGINT) AS tbb
+         |  FROM gb GROUP BY 1),
+         |tt AS (SELECT CAST(sum(tbb) AS BIGINT) AS ttt FROM mg),
+         |na AS (SELECT source, CAST(sum(c) AS BIGINT) AS naa
+         |  FROM gb GROUP BY 1),
+         |j AS (SELECT na.source, mg.b, mg.tbb, tt.ttt, na.naa,
+         |      coalesce(gb.c, 0) AS c
+         |  FROM mg CROSS JOIN tt CROSS JOIN na
+         |  LEFT JOIN gb ON gb.source = na.source AND gb.b = mg.b),
+         |jj AS (SELECT source, naa, ttt - naa AS nbb, c,
+         |      tbb - c AS d FROM j),
+         |f AS (SELECT source, max(naa) AS n_tokens_a,
+         |    max(nbb) AS n_tokens_b,
+         |    CAST(sum(CASE WHEN c > 0 THEN c * CAST(FLOOR(LN(
+         |      (2.0 * c * nbb) / (c * nbb + d * naa)) * 1000000)
+         |      AS BIGINT) ELSE 0 END) AS BIGINT) AS pa,
+         |    CAST(sum(CASE WHEN d > 0 THEN d * CAST(FLOOR(LN(
+         |      (2.0 * d * naa) / (c * nbb + d * naa)) * 1000000)
+         |      AS BIGINT) ELSE 0 END) AS BIGINT) AS pb
+         |  FROM jj GROUP BY 1)
+         |SELECT source, n_tokens_a, n_tokens_b,
+         |  CASE WHEN n_tokens_a > 0 THEN greatest(pa, 0) // n_tokens_a
+         |    ELSE 0 END AS js_a_micro,
+         |  CASE WHEN n_tokens_b > 0 THEN greatest(pb, 0) // n_tokens_b
+         |    ELSE 0 END AS js_b_micro,
+         |  (CASE WHEN n_tokens_a > 0 THEN greatest(pa, 0) // n_tokens_a
+         |    ELSE 0 END +
+         |   CASE WHEN n_tokens_b > 0 THEN greatest(pb, 0) // n_tokens_b
+         |    ELSE 0 END) // 2 AS js_micro
+         |FROM f ORDER BY source""".stripMargin) { (s, d) =>
+      TextAnalysis.jsDivergenceByGroup(t(s, d, "documents"), "text",
+          "source", buckets = 256)
+        .orderBy("source")
+    },
+
     // TOKENIZER: BPE merge-table training (6 rounds) — the oracle
     // replays the identical algorithm as a generated CTE chain using
     // the same space-wrapped symbol representation and the same

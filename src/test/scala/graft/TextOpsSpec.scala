@@ -68,6 +68,32 @@ class TextOpsSpec extends SparkSpec {
     assert((sa, sb) == ((mb, ma)) && sm == mm, "JS must be symmetric")
   }
 
+  test("jsDivergenceByGroup: each group vs rest equals the pairwise " +
+      "jsDivergence when only two groups exist") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta", "g1"),
+      (2L, "alpha beta epsilon zeta", "g2"),
+      (3L, "epsilon zeta eta theta", "g2"))
+      .toDF("id", "text", "src")
+    val per = TextAnalysis.jsDivergenceByGroup(df, "text", "src", 64)
+      .select("src", "n_tokens_a", "n_tokens_b", "js_a_micro",
+        "js_b_micro", "js_micro")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val pair = TextAnalysis.jsDivergence(df, "text",
+        col("src") === "g1", 64)
+      .select("n_tokens_a", "n_tokens_b", "js_a_micro", "js_b_micro",
+        "js_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()(0)
+    assert(per("g1")._2 == pair._1 && per("g1")._3 == pair._2 &&
+      per("g1")._4 == pair._3 && per("g1")._5 == pair._4 &&
+      per("g1")._6 == pair._5,
+      s"g1-vs-rest must equal pairwise: ${per("g1")} vs $pair")
+    // and the mirror: g2-vs-rest is the pairwise with sides swapped
+    assert(per("g2")._4 == pair._4 && per("g2")._5 == pair._3 &&
+      per("g2")._6 == pair._5, s"g2 mirror: ${per("g2")} vs $pair")
+  }
+
   test("chunkByTokens covers every token exactly once per window") {
     val doc = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "text")
