@@ -502,6 +502,38 @@ object Vectors {
         q, 16, 4, 10)
     },
 
+    // FILTERED ANN: IVF search under a metadata predicate (label = 3)
+    // — the filtered-vector-search serving problem. Pre-filter
+    // semantics (every hit satisfies the predicate, scores exact);
+    // the probe count is raised to 6 because a selective filter thins
+    // each probed list — the explicit recall dial.
+    Q("q_v_ivf_filtered",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+         |           FROM embeddings WHERE vec_id < 16),
+         |d AS (SELECT e.vec_id, c.cid,
+         |        -(${sqlCosine("e.embedding", "c.cv")}) AS dist
+         |      FROM embeddings e, c),
+         |r AS (SELECT vec_id, cid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY dist, cid) AS rn FROM d),
+         |assign AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+         |qd AS (SELECT cid, row_number() OVER (ORDER BY dist, cid) AS qrn
+         |       FROM d WHERE vec_id = 0),
+         |probe AS (SELECT cid FROM qd WHERE qrn <= 6),
+         |cand AS (SELECT a.vec_id FROM assign a
+         |         JOIN probe p ON a.cid = p.cid),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${sqlCosine("e.embedding", "qv")} AS cosine
+         |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q
+         |WHERE e.label = 3
+         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.ivfTopKFiltered(t(s, d, "embeddings"), "vec_id",
+        "embedding", q, 16, 6, 10, col("label") === 3)
+    },
+
     // ANN TUNING: recall@10 of the IVF(16 lists, 4 probes) search
     // against brute-force ground truth — the harness a user sweeps
     // nProbe with. Exact integer milli so a recall threshold is

@@ -537,6 +537,25 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 3L)), s"got $got")
   }
 
+  test("ivfTopKFiltered: every hit satisfies the predicate; a full " +
+      "probe equals the brute-force filtered top-k") {
+    import org.apache.spark.sql.functions._
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(4)(j => (((i + j) % 7).toFloat + 1f)), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val q = vecs.filter($"vec_id" === 0)
+      .select(col("embedding").as("qvec"))
+    val hits = Similarity.ivfTopKFiltered(vecs, "vec_id", "embedding",
+      q, 8, 8, 5, col("label") === 1L)
+    val got = hits.select("vec_id").as[Long].collect().toSeq
+    assert(got.forall(_ % 3 == 1), s"predicate must hold: $got")
+    // nProbe == nCentroids probes every list -> exact filtered top-k
+    val brute = Similarity.bruteForceTopK(vecs.filter($"label" === 1L),
+      "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == brute, s"full probe must be exact: $got vs $brute")
+  }
+
   test("prototypicalityFilter: keeps the least-prototypical fraction " +
       "per cluster, ties on id, exact integer keep counts") {
     import org.apache.spark.sql.functions._
