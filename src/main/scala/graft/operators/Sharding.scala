@@ -136,7 +136,7 @@ object Sharding {
   /** Per-window fill report over [[packContiguousWindows]] output:
     * every window is exactly full except each bucket's LAST window —
     * `fill_milli` quantifies the padding waste the packer exists to
-    * avoid (the law WindowPackSpec asserts). */
+    * avoid (the tiling law DedupSpec asserts). */
   def windowStats(spans: DataFrame, windowTokens: Long): DataFrame =
     spans.groupBy("bucket", "window_id")
       .agg(count(lit(1)).as("n_spans"),
