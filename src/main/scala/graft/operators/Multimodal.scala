@@ -140,6 +140,36 @@ object Multimodal {
       ((graft.functions.hash31(concat(sha2(content, 256), i))
         .cast("double") / graft.functions.HashPrime31) * 2.0 - 1.0))
 
+  /** ViT-style patch-grid plumbing for images: one row per
+    * `patch`×`patch` tile of each decodable image, offsets and
+    * clipped edge extents included — the (media, patch) fan-out a
+    * vision-tokenizer pipeline feeds to the decoder+projector (edge
+    * tiles report their TRUE pw/ph; the padding policy is the
+    * consumer's). Dimensions come from the REAL header parse
+    * ([[imageDims]] — PNG/BMP/GIF offsets + native JPEG SOFn walk),
+    * so the grid arithmetic is exact without any codec in the loop;
+    * undecodable rows drop. Pure narrow maps + two bounded explodes
+    * (ceil(w/patch)·ceil(h/patch) rows per image) — no shuffle. */
+  def patchGrid(df: DataFrame, idCol: String, contentCol: String,
+      patch: Int): DataFrame = {
+    require(patch > 0, s"patch must be > 0: $patch")
+    df.withColumn("__dims", imageDims(col(contentCol)))
+      .filter(col("__dims.width").isNotNull)
+      .select(col(idCol), col("__dims.width").as("__w"),
+        col("__dims.height").as("__h"))
+      .withColumn("py",
+        explode(sequence(lit(0L), expr(s"(__h - 1) div ${patch}L"))))
+      .withColumn("px",
+        explode(sequence(lit(0L), expr(s"(__w - 1) div ${patch}L"))))
+      .select(col(idCol), col("py"), col("px"),
+        (col("px") * patch).as("x_off"),
+        (col("py") * patch).as("y_off"),
+        least(lit(patch.toLong), col("__w") - col("px") * patch)
+          .as("pw"),
+        least(lit(patch.toLong), col("__h") - col("py") * patch)
+          .as("ph"))
+  }
+
   /** Frame sampling plumbing for video: every nth "frame" index up to
     * nFrames — generates the (media_id, frame_idx) fan-out rows that a
     * real decoder would fill. */

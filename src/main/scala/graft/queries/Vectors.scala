@@ -1305,6 +1305,33 @@ object Vectors {
         .orderBy("file")
     },
 
+    // MULTIMODAL: ViT patch-grid fan-out over the committed fixtures —
+    // 16×16 tiles with offsets and TRUE clipped edge extents, driven
+    // by the real header parse (no codec in the loop). The oracle
+    // derives the same grid arithmetic from the pinned dimensions.
+    Q("q_mm_patch_grid",
+      """WITH dims AS (SELECT * FROM (VALUES
+        |    ('tiny.bmp', 320, 200), ('tiny.gif', 12, 34),
+        |    ('tiny.jpg', 31, 17), ('tiny.png', 640, 480))
+        |    AS t(file, w, h)),
+        |py AS (SELECT file, w, h,
+        |    unnest(range(0, (h - 1) // 16 + 1)) AS py FROM dims),
+        |p AS (SELECT file, w, h, py,
+        |    unnest(range(0, (w - 1) // 16 + 1)) AS px FROM py)
+        |SELECT file, CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px,
+        |  CAST(px * 16 AS BIGINT) AS x_off,
+        |  CAST(py * 16 AS BIGINT) AS y_off,
+        |  CAST(least(16, w - px * 16) AS BIGINT) AS pw,
+        |  CAST(least(16, h - py * 16) AS BIGINT) AS ph
+        |FROM p ORDER BY file, py, px""".stripMargin) { (s, _) =>
+      val files = graft.sources.Sources.binaryFiles(s,
+          Pipelines.fixture("fixtures/media"), "*")
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          col("content"))
+      Multimodal.patchGrid(files, "file", "content", 16)
+        .orderBy("file", "py", "px")
+    },
+
     // MULTIMODAL: canonical-WAV header metadata (audio parity for
     // imageDims) — channels / sample rate / bit depth / exact
     // integer duration over the committed fixture; non-audio files

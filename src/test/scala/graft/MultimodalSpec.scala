@@ -145,6 +145,38 @@ class MultimodalSpec extends SparkSpec {
     assert(jpegDims(Array.emptyByteArray) == null)
   }
 
+  test("patchGrid: tiles cover each image exactly once, edges clip " +
+      "to true extents, non-images drop") {
+    val files = graft.sources.Sources.binaryFiles(spark,
+        "/root/repo/fixtures/media", "*")
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        col("content"))
+    val g = Multimodal.patchGrid(files, "file", "content", 16)
+      .collect()
+    val byFile = g.groupBy(_.getString(0))
+    // only the four decodable images produce tiles
+    assert(byFile.keySet == Set("tiny.bmp", "tiny.gif", "tiny.jpg",
+      "tiny.png"), s"got ${byFile.keySet}")
+    // exact cover: tile areas sum to w*h (no overlap by construction:
+    // offsets are a grid)
+    val dims = Map("tiny.bmp" -> (320L, 200L), "tiny.gif" -> (12L, 34L),
+      "tiny.jpg" -> (31L, 17L), "tiny.png" -> (640L, 480L))
+    dims.foreach { case (f, (w, h)) =>
+      val tiles = byFile(f)
+      assert(tiles.map(r =>
+        r.getAs[Long]("pw") * r.getAs[Long]("ph")).sum == w * h,
+        s"$f area cover")
+      assert(tiles.length ==
+        ((w + 15) / 16) * ((h + 15) / 16), s"$f tile count")
+    }
+    // jpg 31x17: the right column clips to 15, the bottom row to 1
+    val jpg = byFile("tiny.jpg")
+    assert(jpg.filter(_.getAs[Long]("px") == 1L)
+      .forall(_.getAs[Long]("pw") == 15L))
+    assert(jpg.filter(_.getAs[Long]("py") == 1L)
+      .forall(_.getAs[Long]("ph") == 1L))
+  }
+
   test("wavMeta: canonical PCM header parses exactly; images and truncated RIFF are null") {
     val out = graft.sources.Sources
       .binaryFiles(spark, "/root/repo/fixtures/media", "*")
