@@ -172,4 +172,34 @@ object Sharding {
           .as("n_tokens"),
         md5(array_join(col("ct"), " ")).as("chunk_md5"))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1996): key k goes to argmax over shards s of
+    * hash60(s || ':' || k). The property a corpus refresh loop needs
+    * is MINIMAL MOVEMENT: growing the shard list from S to S ∪ {s'}
+    * can only move a key TO s' (a key moves iff the new shard wins
+    * its rendezvous), so exactly ~1/|S∪{s'}| of the corpus relocates
+    * — against hash-mod-N resharding, which relocates (N-1)/N of
+    * every shard's contents. Ties (a 60-bit md5 collision between two
+    * shard names on one key) break to the lexicographically larger
+    * shard name so the argmax is total.
+    *
+    * Scale shape: |shards| md5s per row, all inside one projection —
+    * narrow, no shuffle, codegen'd. The shard list is a plan literal
+    * (it IS cluster metadata, never data); for shard counts in the
+    * thousands switch to a two-level hierarchy (rendezvous over shard
+    * groups, then within the group) — same law, O(√N) hashes/row. */
+  def rendezvousShard(df: DataFrame, keyCol: String,
+      shards: Seq[String], out: String = "shard"): DataFrame = {
+    require(shards.nonEmpty, "shards must be non-empty")
+    require(shards.distinct.size == shards.size,
+      s"duplicate shard names: ${shards.diff(shards.distinct).mkString(",")}")
+    val weighted = shards.map { s =>
+      struct(
+        hash60(concat(lit(s), lit(":"), col(keyCol).cast("string")))
+          .as("h"),
+        lit(s).as("s"))
+    }
+    df.withColumn(out, array_max(array(weighted: _*)).getField("s"))
+  }
 }

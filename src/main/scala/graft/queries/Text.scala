@@ -1425,6 +1425,36 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // SHARDING: rendezvous (HRW) shard assignment, graded over a
+    // RESHARD — the same corpus under 4 shards and under 5. The
+    // group-count matrix exhibits the minimal-movement law the
+    // operator exists for: every off-diagonal cell has shard5 = 's4'
+    // (keys only ever move TO the added shard, ~1/5 of them), where
+    // hash-mod-N resharding would relocate 4/5 of every shard.
+    Q("q_c_rendezvous",
+      s"""WITH a AS (SELECT doc_id,
+         |    list_reduce(list_transform(['s0','s1','s2','s3'],
+         |      s -> {'h': ${sqlHash60("s || ':' || CAST(doc_id AS VARCHAR)")}, 's': s}),
+         |     (x,y) -> CASE WHEN y.h > x.h OR (y.h = x.h AND y.s > x.s)
+         |              THEN y ELSE x END).s AS shard4,
+         |    list_reduce(list_transform(['s0','s1','s2','s3','s4'],
+         |      s -> {'h': ${sqlHash60("s || ':' || CAST(doc_id AS VARCHAR)")}, 's': s}),
+         |     (x,y) -> CASE WHEN y.h > x.h OR (y.h = x.h AND y.s > x.s)
+         |              THEN y ELSE x END).s AS shard5
+         |  FROM documents)
+         |SELECT shard4, shard5, count(*) AS n
+         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val four = Seq("s0", "s1", "s2", "s3")
+      val withA = graft.operators.Sharding.rendezvousShard(
+        t(s, d, "documents").select(col("doc_id")),
+        "doc_id", four, "shard4")
+      graft.operators.Sharding
+        .rendezvousShard(withA, "doc_id", four :+ "s4", "shard5")
+        .groupBy("shard4", "shard5")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("shard4", "shard5")
+    },
+
     // SHARDING: INCREMENTAL window packing — pack the doc_id >= 250
     // refresh batch on top of the already-packed corpus prefix: each
     // bucket resumes at its token height, topping up its partial last

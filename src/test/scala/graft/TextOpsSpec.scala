@@ -113,6 +113,39 @@ class TextOpsSpec extends SparkSpec {
     assert(chunks.toSeq == Seq((2L, 0L, 3L)))
   }
 
+  test("rendezvousShard: minimal movement when a shard is added, " +
+      "none when one key's winner is unchanged") {
+    val keys = (0L until 400L).toDF("k")
+    val four = Seq("s0", "s1", "s2", "s3")
+    val a = Sharding.rendezvousShard(keys, "k", four, "shard4")
+    val b = Sharding.rendezvousShard(a, "k", four :+ "s4", "shard5")
+      .select("k", "shard4", "shard5")
+      .as[(Long, String, String)].collect()
+    val moved = b.filter { case (_, s4, s5) => s4 != s5 }
+    // the law: a key can only move TO the added shard
+    assert(moved.forall(_._3 == "s4"))
+    // and roughly 1/5 of keys move (binomial, 400 trials)
+    assert(moved.length > 40 && moved.length < 140,
+      s"moved ${moved.length} of 400")
+    // removing a shard moves ONLY that shard's keys (reverse law)
+    val withoutS2 = Sharding.rendezvousShard(
+        a, "k", Seq("s0", "s1", "s3"), "shard3")
+      .select("k", "shard4", "shard3")
+      .as[(Long, String, String)].collect()
+    assert(withoutS2.forall { case (_, s4, s3) =>
+      s4 == s3 || s4 == "s2" })
+  }
+
+  test("rendezvousShard rejects empty and duplicate shard lists") {
+    val keys = Seq(1L).toDF("k")
+    intercept[IllegalArgumentException] {
+      Sharding.rendezvousShard(keys, "k", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sharding.rendezvousShard(keys, "k", Seq("a", "a"))
+    }
+  }
+
   test("oovRate: exact milli per doc, empty docs reported as 0/0/0") {
     val docs = Seq(
       (1L, "aa bb aa bb"),        // all in vocab
