@@ -1481,4 +1481,35 @@ object TextAnalysis {
           .as("n_toks"),
         col("__enc").as("bpe_text"))
   }
+
+  /** Distinct-n diversity (Li 2016 / Zhu 2018 "distinct-1/2/3"): per
+    * group and n-gram order, the ratio of DISTINCT n-grams to total
+    * n-gram occurrences — the corpus-level template/repetition monitor
+    * (a synthetic or over-deduped slice shows a diversity cliff long
+    * before per-doc repetition signals fire). Exact integers only:
+    * diversity_milli = (distinct · 1000) div total.
+    *
+    * Scale shape: one shingle explode per order, then TWO keyed
+    * aggregations — (group, n, gram) occurrence counts with map-side
+    * partials absorbing hot grams, then the (group, n) rollup where
+    * count(*) of the first output IS the distinct count (never a
+    * count_distinct expand over raw occurrences). Gram strings leave
+    * the explode only until the first groupBy; nothing is ever
+    * per-pair. */
+  def ngramDiversity(df: DataFrame, groupCol: String, textCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ > 0),
+      s"n-gram orders must be positive: ${ns.mkString(",")}")
+    val exploded = ns.map { n =>
+      df.select(col(groupCol), lit(n.toLong).as("n"),
+        explode(graft.functions.shingles(col(textCol), n)).as("__g"))
+    }.reduce(_ unionByName _)
+    exploded.groupBy(col(groupCol), col("n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(sum(col("__c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .withColumn("diversity_milli",
+        expr("distinct_ngrams * 1000L div total_ngrams"))
+  }
 }

@@ -1425,6 +1425,32 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // TEXT: distinct-n diversity per source (Li 2016 / Zhu 2018) —
+    // distinct n-grams over total occurrences for n = 1, 2, 3. The
+    // template/synthetic-slice monitor: a collapsed slice shows its
+    // diversity cliff here before any per-doc repetition signal fires.
+    Q("q_t_distinct_n",
+      s"""WITH tok AS (SELECT source, $toksD AS t FROM documents),
+         |allg AS (
+         |  SELECT source, CAST(1 AS BIGINT) AS n,
+         |    unnest(${sqlShingles("t", 1)}) AS g FROM tok
+         |  UNION ALL SELECT source, 2, unnest(${sqlShingles("t", 2)})
+         |  FROM tok
+         |  UNION ALL SELECT source, 3, unnest(${sqlShingles("t", 3)})
+         |  FROM tok),
+         |pc AS (SELECT source, n, g, count(*) AS c
+         |       FROM allg GROUP BY 1, 2, 3)
+         |SELECT source, n, CAST(sum(c) AS BIGINT) AS total_ngrams,
+         |  CAST(count(*) AS BIGINT) AS distinct_ngrams,
+         |  (CAST(count(*) AS BIGINT) * 1000) // CAST(sum(c) AS BIGINT)
+         |    AS diversity_milli
+         |FROM pc GROUP BY 1, 2 ORDER BY source, n""".stripMargin) {
+        (s, d) =>
+      TextAnalysis.ngramDiversity(
+          t(s, d, "documents"), "source", "text", Seq(1, 2, 3))
+        .orderBy("source", "n")
+    },
+
     // SHARDING: rendezvous (HRW) shard assignment, graded over a
     // RESHARD — the same corpus under 4 shards and under 5. The
     // group-count matrix exhibits the minimal-movement law the

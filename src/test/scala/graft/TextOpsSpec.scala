@@ -113,6 +113,29 @@ class TextOpsSpec extends SparkSpec {
     assert(chunks.toSeq == Seq((2L, 0L, 3L)))
   }
 
+  test("ngramDiversity: exact counts, and a collapsed slice shows " +
+      "the diversity cliff") {
+    val docs = Seq(
+      ("tmpl", "alpha beta alpha beta"),   // templated: repeats
+      ("tmpl", "alpha beta alpha beta"),
+      ("free", "one two three four")       // all-distinct
+    ).toDF("source", "text")
+    val r = TextAnalysis.ngramDiversity(docs, "source", "text",
+        Seq(1, 2))
+      .select("source", "n", "total_ngrams", "distinct_ngrams",
+        "diversity_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
+    // tmpl unigrams: 8 occurrences, 2 distinct -> 250 milli
+    assert(r(("tmpl", 1L)) == ((8L, 2L, 250L)))
+    // tmpl bigrams: 6 occurrences ("alpha beta" x4, "beta alpha" x2),
+    // 2 distinct -> 333 milli
+    assert(r(("tmpl", 2L)) == ((6L, 2L, 333L)))
+    // free side: everything distinct -> 1000 milli at both orders
+    assert(r(("free", 1L)) == ((4L, 4L, 1000L)))
+    assert(r(("free", 2L)) == ((3L, 3L, 1000L)))
+  }
+
   test("rendezvousShard: minimal movement when a shard is added, " +
       "none when one key's winner is unchanged") {
     val keys = (0L until 400L).toDF("k")
