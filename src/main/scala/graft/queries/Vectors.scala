@@ -577,6 +577,61 @@ object Vectors {
       Similarity.recallAtK(exact, approx, "vec_id")
     },
 
+    // IVF TUNING CURVE: micro recall@10 over a 3-query batch for
+    // EVERY nProbe in 1..4 from ONE assignment + scoring pass (each
+    // candidate fans out to the probe depths that include it; a
+    // per-(query, nprobe) window cuts the top-k) — the curve that
+    // prices the serving dial, monotone by construction.
+    Q("q_v_recall_curve",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+         |           FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS cid, embedding AS cv
+         |      FROM embeddings WHERE vec_id < 8),
+         |a0 AS (SELECT e.vec_id, e.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY -(${sqlCosine("e.embedding", "c.cv")}), c.cid)
+         |      AS rn
+         |  FROM embeddings e, c),
+         |asg AS (SELECT vec_id, embedding, cid FROM a0 WHERE rn = 1),
+         |qr0 AS (SELECT q.qid, c.cid, q.qvec,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY -(${sqlCosine("q.qvec", "c.cv")}), c.cid)
+         |      AS crank FROM q, c),
+         |qr AS (SELECT * FROM qr0 WHERE crank <= 4),
+         |ex0 AS (SELECT q.qid, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${sqlCosine("e.embedding", "q.qvec")} DESC,
+         |        e.vec_id) AS rn
+         |  FROM embeddings e, q),
+         |ex AS (SELECT qid, vec_id FROM ex0 WHERE rn <= 10),
+         |cand AS (SELECT qr.qid, asg.vec_id, qr.crank,
+         |    ${sqlCosine("asg.embedding", "qr.qvec")} AS cosine
+         |  FROM asg JOIN qr ON asg.cid = qr.cid),
+         |sw AS (SELECT qid, vec_id, cosine,
+         |    unnest(range(crank, 5)) AS nprobe FROM cand),
+         |ap0 AS (SELECT qid, nprobe, vec_id, row_number() OVER (
+         |    PARTITION BY qid, nprobe ORDER BY cosine DESC, vec_id)
+         |    AS rn FROM sw),
+         |ap AS (SELECT qid, nprobe, vec_id FROM ap0 WHERE rn <= 10),
+         |h AS (SELECT nprobe, count(*) AS hits FROM ap
+         |  JOIN ex ON ap.qid = ex.qid AND ap.vec_id = ex.vec_id
+         |  GROUP BY 1),
+         |tot AS (SELECT count(*) AS total FROM ex)
+         |SELECT CAST(d.range AS BIGINT) AS nprobe,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(tot.total AS BIGINT) AS total,
+         |  (CAST(coalesce(h.hits, 0) AS BIGINT) * 1000)
+         |    // CAST(tot.total AS BIGINT) AS recall_milli
+         |FROM range(1, 5) d LEFT JOIN h ON d.range = h.nprobe, tot
+         |ORDER BY nprobe""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfRecallCurve(emb, "vec_id", "embedding", qs,
+          nCentroids = 8, maxProbe = 4, k = 10)
+        .orderBy("nprobe")
+    },
+
     // Johnson-Lindenstrauss random projection (Achlioptas 2001 sign
     // matrix): 64 → 4 dims as a narrow per-row map. The oracle embeds
     // the SAME driver-derived sign literals the Spark plan ships

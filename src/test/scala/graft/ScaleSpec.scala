@@ -461,6 +461,24 @@ class ScaleSpec extends SparkSpec {
     assert(got.contains(1L)) // the query vector itself is its own top hit
   }
 
+  test("ivfRecallCurve: monotone in nProbe and exact at full probe") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val curve = graft.operators.Similarity
+      .ivfRecallCurve(emb, "vec_id", "embedding", qs,
+        nCentroids = 4, maxProbe = 4, k = 5)
+      .orderBy("nprobe")
+      .select("nprobe", "hits", "total", "recall_milli")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(curve.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // recall can only grow as more lists are probed
+    assert(curve.map(_._4) == curve.map(_._4).sorted)
+    // probing ALL lists is brute force: recall must be 1000
+    assert(curve.last._4 == 1000L && curve.last._2 == curve.last._3)
+  }
+
   test("skewReport ranks hot keys with exact integer shares") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
