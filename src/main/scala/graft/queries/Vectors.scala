@@ -577,6 +577,47 @@ object Vectors {
       Similarity.recallAtK(exact, approx, "vec_id")
     },
 
+    // BITEXT MINING (Artetxe & Schwenk 2019): margin-scored pair
+    // extraction across the even/odd embedding sides — cos normalized
+    // by both endpoints' kNN-average density, which demotes hubs.
+    // Forward-mined: best-margin candidate per left anchor, kept when
+    // margin > 1.02. Both kNN averages fold cosines in rank order.
+    Q("q_v_bitext_margin",
+      s"""WITH l AS (SELECT vec_id AS lid, embedding AS lv
+         |           FROM embeddings WHERE vec_id % 2 = 0),
+         |r AS (SELECT vec_id AS rid, embedding AS rv
+         |      FROM embeddings WHERE vec_id % 2 = 1),
+         |sc AS (SELECT lid, rid, ${sqlCosine("lv", "rv")} AS cosine
+         |       FROM l, r),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY lid
+         |      ORDER BY cosine DESC, rid) AS f,
+         |    row_number() OVER (PARTITION BY rid
+         |      ORDER BY cosine DESC, lid) AS b FROM sc),
+         |ax AS (SELECT lid, list_reduce(
+         |      list_concat([CAST(0.0 AS DOUBLE)],
+         |        list(cosine ORDER BY f)), (x,y) -> x+y) / count(*)
+         |      AS ax FROM rk WHERE f <= 4 GROUP BY lid),
+         |ay AS (SELECT rid, list_reduce(
+         |      list_concat([CAST(0.0 AS DOUBLE)],
+         |        list(cosine ORDER BY b)), (x,y) -> x+y) / count(*)
+         |      AS ay FROM rk WHERE b <= 4 GROUP BY rid),
+         |m AS (SELECT rk.lid, rk.rid, rk.cosine,
+         |    rk.cosine / ((ax.ax + ay.ay) / 2) AS margin
+         |  FROM rk JOIN ax ON rk.lid = ax.lid
+         |           JOIN ay ON rk.rid = ay.rid WHERE rk.f <= 4),
+         |t AS (SELECT *, row_number() OVER (PARTITION BY lid
+         |    ORDER BY margin DESC, rid) AS rn FROM m)
+         |SELECT lid AS left_id, rid AS right_id, cosine, margin
+         |FROM t WHERE rn = 1 AND margin > 1.02
+         |ORDER BY left_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.bitextMarginMine(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMargin = 1.02)
+        .orderBy("left_id")
+    },
+
     // IVF TUNING CURVE: micro recall@10 over a 3-query batch for
     // EVERY nProbe in 1..4 from ONE assignment + scoring pass (each
     // candidate fans out to the probe depths that include it; a

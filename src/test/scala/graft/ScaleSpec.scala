@@ -461,6 +461,50 @@ class ScaleSpec extends SparkSpec {
     assert(got.contains(1L)) // the query vector itself is its own top hit
   }
 
+  test("bitextMarginMine demotes the hub raw cosine would pick") {
+    // right-side vector h is the cosine top-1 for BOTH anchors (a
+    // hub); margin normalizes by neighborhood density, so each anchor
+    // mines its true sparse-neighborhood pair instead
+    val left = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),          // a1
+      (2L, Seq(0.6f, 0.8f, 0f, 0f)))      // a2
+      .toDF("vec_id", "embedding")
+    val right = Seq(
+      (1L, Seq(0.95f, 0.37f, 0f, 0f)),    // hub: top cosine for both
+      (3L, Seq(0.92f, 0f, 0.39f, 0f)),    // t1: a1's true pair
+      (5L, Seq(0.1f, 0.95f, 0f, 0.3f)))   // t2: a2's true pair
+      .toDF("vec_id", "embedding")
+    // the hub really is cosine-top-1 for both anchors
+    val rawTop = graft.operators.Similarity.batchTopK(right, "vec_id",
+        "embedding",
+        left.select(col("vec_id").as("qid"),
+          col("embedding").as("qvec")), 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    assert(rawTop == Map(0L -> 1L, 2L -> 1L))
+    val mined = graft.operators.Similarity
+      .bitextMarginMine(left, right, "vec_id", "embedding",
+        k = 2, minMargin = 1.02)
+      .select("left_id", "right_id").as[(Long, Long)]
+      .collect().toMap
+    assert(mined == Map(0L -> 3L, 2L -> 5L))
+  }
+
+  test("bitextMarginMine on identical sides mines every twin") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(20)
+    val mined = graft.operators.Similarity
+      .bitextMarginMine(emb, emb, "vec_id", "embedding",
+        k = 4, minMargin = 1.0)
+      .select("left_id", "right_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    // every anchor's best-margin candidate is itself (cos = 1, and
+    // dividing by the sub-1 neighborhood average lifts margin > 1)
+    assert(mined.length == 20)
+    assert(mined.forall { case (l, r, c) =>
+      l == r && math.abs(c - 1.0) < 1e-9 })
+  }
+
   test("ivfRecallCurve: monotone in nProbe and exact at full probe") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
