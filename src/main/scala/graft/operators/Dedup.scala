@@ -829,4 +829,40 @@ object Dedup {
       .agg((max(col("__run")) + lit(k - 1)).cast("long").as("span_tokens"))
       .filter(col("span_tokens") >= minSpan)
   }
+
+  /** MinHash-LSH RECALL/PRECISION harness: measures the production
+    * dedup rung ([[minHashLshPairs]]) against the exact Jaccard ≥ τ
+    * pair set ([[prefixFilterJaccardPairs]] — complete by the
+    * prefix-filter theorem, so the ground truth is itself exact).
+    * One row: n_exact, n_cand, hits, recall_milli, precision_milli.
+    * The dedup analog of the ANN recallAtK harnesses: the measured
+    * numbers that validate a (k, bands) banding choice against the
+    * S-curve P(cand|s) = 1−(1−s^r)^b BEFORE committing a corpus-wide
+    * run to it.
+    *
+    * Scale: both sides are the already-bounded operators; the
+    * comparison adds one (id_a, id_b)-keyed semi join and three
+    * single-row counts. */
+  def lshRecallReport(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 4, k: Int = 8, bands: Int = 4,
+      maxBucket: Int = 1000, threshold: Double = 0.5): DataFrame = {
+    val exact = prefixFilterJaccardPairs(df, idCol, textCol,
+      shingleSize, threshold).select("id_a", "id_b")
+      .localCheckpoint(eager = false)
+    val cand = minHashLshPairs(df, idCol, textCol, shingleSize, k,
+      bands, maxBucket).select("id_a", "id_b")
+      .localCheckpoint(eager = false)
+    val hits = cand.join(exact, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hits)
+      .select(col("n_exact"), col("n_cand"), col("hits"),
+        when(col("n_exact") === 0, lit(0L))
+          .otherwise(expr("(hits * 1000) div n_exact"))
+          .as("recall_milli"),
+        when(col("n_cand") === 0, lit(0L))
+          .otherwise(expr("(hits * 1000) div n_cand"))
+          .as("precision_milli"))
+  }
 }

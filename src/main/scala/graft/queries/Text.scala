@@ -743,6 +743,58 @@ object Text {
         .orderBy("id_a", "id_b")
     },
 
+    // DEDUP HARNESS: measured recall/precision of the MinHash-LSH
+    // rung against the EXACT Jaccard >= 0.5 pair set (itself graded
+    // complete in q_d_prefix_jaccard) — the numbers that validate a
+    // (k, bands) choice against the S-curve before a corpus-wide run.
+    Q("q_d_lsh_recall",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(${sqlShingles("t", 4)})
+         |    AS s FROM tok),
+         |sig AS (SELECT doc_id, [${sigExprs.mkString(", ")}] AS sig
+         |        FROM sh),
+         |banded AS (SELECT doc_id AS id, sig,
+         |    unnest([0,1,2,3]) AS band FROM sig),
+         |bkt0 AS (SELECT id, band, md5(concat_ws(',', band,
+         |    array_to_string(sig[band*2+1:band*2+2], ','))) AS bucket
+         |  FROM banded),
+         |small AS (SELECT band, bucket FROM bkt0
+         |          GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |bkt AS (SELECT bkt0.* FROM bkt0
+         |        JOIN small ON bkt0.band = small.band
+         |                  AND bkt0.bucket = small.bucket),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bkt a JOIN bkt b ON a.band = b.band
+         |    AND a.bucket = b.bucket AND a.id < b.id),
+         |shx AS (SELECT doc_id AS id, unnest(s) AS shingle FROM sh),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM shx GROUP BY id),
+         |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    count(*) AS common
+         |  FROM shx a JOIN shx b
+         |    ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2),
+         |ex AS (SELECT id_a, id_b FROM pairs
+         |  JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+         |  WHERE CAST(common AS DOUBLE)
+         |    / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5),
+         |h AS (SELECT count(*) AS hits FROM cand
+         |      JOIN ex ON cand.id_a = ex.id_a AND cand.id_b = ex.id_b),
+         |ne AS (SELECT count(*) AS n_exact FROM ex),
+         |nc AS (SELECT count(*) AS n_cand FROM cand)
+         |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_cand AS BIGINT) AS n_cand, CAST(hits AS BIGINT)
+         |    AS hits,
+         |  CASE WHEN n_exact = 0 THEN 0 ELSE
+         |    (CAST(hits AS BIGINT) * 1000) // CAST(n_exact AS BIGINT)
+         |    END AS recall_milli,
+         |  CASE WHEN n_cand = 0 THEN 0 ELSE
+         |    (CAST(hits AS BIGINT) * 1000) // CAST(n_cand AS BIGINT)
+         |    END AS precision_milli
+         |FROM ne, nc, h""".stripMargin) { (s, d) =>
+      Dedup.lshRecallReport(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 4, k = 8, bands = 4, maxBucket = 1000,
+        threshold = 0.5)
+    },
+
     // DEDUP: asymmetric containment (Broder 1997) — catches subset
     // duplication (a doc wholly quoted inside a longer one) that
     // symmetric Jaccard scores near zero. Milli-quantized integer

@@ -1219,4 +1219,27 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out.length == 6 && out.forall(_._3 == 8L), out)
   }
+
+  test("lshRecallReport: identical docs are always recalled; counts " +
+      "are consistent") {
+    // identical text => identical signature => every band collides,
+    // so the (1,2) pair MUST be an LSH candidate (recall law for
+    // exact duplicates); the unrelated docs share no 4-grams
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, dup), (2L, dup),
+      (3L, "one two three four five six seven"),
+      (4L, "red green blue yellow purple orange pink"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRecallReport(docs, "doc_id", "text",
+        shingleSize = 4, k = 8, bands = 4, maxBucket = 1000,
+        threshold = 0.5)
+      .select("n_exact", "n_cand", "hits", "recall_milli",
+        "precision_milli")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val (nExact, nCand, hits, recall, precision) = r
+    assert(nExact == 1L && hits == 1L && recall == 1000L, r)
+    assert(hits <= math.min(nExact, nCand))
+    assert(recall <= 1000L && precision <= 1000L)
+  }
 }
