@@ -1482,6 +1482,44 @@ object TextAnalysis {
         col("__enc").as("bpe_text"))
   }
 
+  /** Dictionary / taxonomy phrase tagging: annotate each document
+    * with every lexicon phrase (1..maxPhraseTokens normalized tokens)
+    * it contains — the corpus-scale blocklist / topic-lexicon / brand
+    * -safety primitive (FlashText's job, as a relational plan). A
+    * phrase matches on normalized token boundaries, not substrings:
+    * "java script" matches the bigram, never "javascript".
+    *
+    * Scale shape: the lexicon groups by token length on the DRIVER's
+    * side of the plan (it is curated metadata, thousands of rows at
+    * most — broadcast); the corpus explodes each length's shingles
+    * ONCE and equi-joins the broadcast phrase set, so matching is
+    * narrow fan-out + broadcast hash joins, one per phrase length,
+    * with match counts aggregated per (doc, tag) before the union's
+    * consumer. Nothing is ever all-pairs; doc text leaves the explode
+    * only as matched rows. */
+  def tagByLexicon(df: DataFrame, idCol: String, textCol: String,
+      lexicon: DataFrame, phraseCol: String = "phrase",
+      tagCol: String = "tag", maxPhraseTokens: Int = 3): DataFrame = {
+    require(maxPhraseTokens >= 1,
+      s"maxPhraseTokens must be positive: $maxPhraseTokens")
+    val lex = lexicon.select(
+        graft.functions.normalizeText(col(phraseCol)).as("__p"),
+        col(tagCol).as(tagCol))
+      .filter(col("__p") =!= "")
+      .withColumn("__n", size(split(col("__p"), " ")))
+      .localCheckpoint(eager = false)
+    val perLen = (1 to maxPhraseTokens).map { n =>
+      df.select(col(idCol),
+          explode(graft.functions.shingles(col(textCol), n)).as("__g"))
+        .join(broadcast(lex.filter(col("__n") === n)),
+          col("__g") === col("__p"))
+        .select(col(idCol), col(tagCol), col("__p").as("phrase"))
+    }
+    perLen.reduce(_ unionByName _)
+      .groupBy(col(idCol), col(tagCol), col("phrase"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Distinct-n diversity (Li 2016 / Zhu 2018 "distinct-1/2/3"): per
     * group and n-gram order, the ratio of DISTINCT n-grams to total
     * n-gram occurrences — the corpus-level template/repetition monitor

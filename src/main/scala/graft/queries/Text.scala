@@ -1477,6 +1477,38 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // TEXT: dictionary / taxonomy phrase tagging — every lexicon
+    // phrase (1..3 normalized tokens) each doc contains, with hit
+    // counts. Token-boundary matching, never substrings; the messy
+    // ' Fast  Scan! ' lexicon entry grades the normalization path,
+    // 'unobtainium' grades absence (no row).
+    Q("q_t_tag_lexicon",
+      s"""WITH lex0(phrase, tag) AS (VALUES
+         |    (' Fast  Scan! ', 'perf'), ('spark', 'engine'),
+         |    ('table table', 'dup'), ('query big query', 'shape3'),
+         |    ('unobtainium', 'none')),
+         |lex AS (SELECT ${sqlNormText("phrase")} AS p, tag FROM lex0
+         |        WHERE ${sqlNormText("phrase")} <> ''),
+         |tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(${sqlShingles("t", 1)}) AS g
+         |      FROM tok
+         |  UNION ALL SELECT doc_id, unnest(${sqlShingles("t", 2)})
+         |  FROM tok
+         |  UNION ALL SELECT doc_id, unnest(${sqlShingles("t", 3)})
+         |  FROM tok)
+         |SELECT doc_id, tag, p AS phrase, count(*) AS n_hits
+         |FROM g JOIN lex ON g.g = lex.p GROUP BY 1, 2, 3
+         |ORDER BY doc_id, tag, phrase""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val lex = Seq(
+        (" Fast  Scan! ", "perf"), ("spark", "engine"),
+        ("table table", "dup"), ("query big query", "shape3"),
+        ("unobtainium", "none")).toDF("phrase", "tag")
+      TextAnalysis.tagByLexicon(t(s, d, "documents"), "doc_id",
+          "text", lex, maxPhraseTokens = 3)
+        .orderBy("doc_id", "tag", "phrase")
+    },
+
     // TEXT: distinct-n diversity per source (Li 2016 / Zhu 2018) —
     // distinct n-grams over total occurrences for n = 1, 2, 3. The
     // template/synthetic-slice monitor: a collapsed slice shows its

@@ -113,6 +113,25 @@ class TextOpsSpec extends SparkSpec {
     assert(chunks.toSeq == Seq((2L, 0L, 3L)))
   }
 
+  test("tagByLexicon: token-boundary phrase matching, normalized " +
+      "lexicon, exact hit counts") {
+    val docs = Seq(
+      (1L, "we use java script and javascript daily"),
+      (2L, "JAVA script!"),
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val lex = Seq((" Java  Script ", "lang"), ("daily", "freq"))
+      .toDF("phrase", "tag")
+    val r = TextAnalysis.tagByLexicon(docs, "doc_id", "text", lex)
+      .select("doc_id", "tag", "phrase", "n_hits")
+      .as[(Long, String, String, Long)].collect().toSet
+    // "javascript" (one token) must NOT match the two-token phrase;
+    // doc 2's casing/punctuation normalizes to a match
+    assert(r == Set(
+      (1L, "lang", "java script", 1L),
+      (1L, "freq", "daily", 1L),
+      (2L, "lang", "java script", 1L)))
+  }
+
   test("ngramDiversity: exact counts, and a collapsed slice shows " +
       "the diversity cliff") {
     val docs = Seq(
