@@ -830,6 +830,53 @@ object Dedup {
       .filter(col("span_tokens") >= minSpan)
   }
 
+  /** LSH BAND PLANNER: the S-curve table P(candidate | s) =
+    * 1 − (1 − s^r)^b for every (bands b, rows r) split of a k-hash
+    * signature budget, evaluated on an s = i/steps grid, with each
+    * split's false-positive mass (Σ p below the Jaccard threshold)
+    * and false-negative mass (Σ (1−p) at/above it) and the
+    * error-minimizing split marked — what an operator reads BEFORE
+    * committing a banding to a corpus run ([[lshRecallReport]] then
+    * measures the realized numbers after). All arithmetic is
+    * engine-portable: powers are explicit left-associated multiply
+    * chains (never a pow() builtin), probabilities floor to micro
+    * ints, and the masses/argmin compare integers only.
+    *
+    * Scale: |divisors(k)| · steps rows from a range spine — plan
+    * metadata, no data tables touched. */
+  def lshBandPlan(spark: org.apache.spark.sql.SparkSession, k: Int,
+      threshold: Double, steps: Int = 20): DataFrame = {
+    require(k >= 1 && steps >= 2, s"bad k=$k / steps=$steps")
+    val tauIdx = math.ceil(threshold * steps).toInt
+    val grid = spark.range(1, steps + 1).toDF("i")
+    val perSplit = (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      val s = col("i").cast("double") / lit(steps.toDouble)
+      val sr = Seq.fill(r)(s).reduceLeft(_ * _)
+      val qb = Seq.fill(b)(lit(1.0) - sr).reduceLeft(_ * _)
+      grid.select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows"),
+        expr(s"(i * 100) div $steps").as("s_centi"),
+        floor((lit(1.0) - qb) * 1e6).cast("long").as("p_micro"),
+        col("i").as("__i"))
+    }
+    val curve = perSplit.reduce(_ unionByName _)
+    val masses = curve.groupBy("bands", "rows")
+      .agg(
+        sum(when(col("__i") < tauIdx, col("p_micro")).otherwise(0L))
+          .as("fp_micro"),
+        sum(when(col("__i") >= tauIdx, lit(1000000L) - col("p_micro"))
+          .otherwise(0L)).as("fn_micro"))
+      .withColumn("err_micro", col("fp_micro") + col("fn_micro"))
+    val best = org.apache.spark.sql.expressions.Window
+      .orderBy(col("err_micro").asc, col("bands").asc)
+    val ranked = masses
+      .withColumn("chosen", row_number().over(best) === 1)
+    curve.join(ranked, Seq("bands", "rows"))
+      .select(col("bands"), col("rows"), col("s_centi"),
+        col("p_micro"), col("fp_micro"), col("fn_micro"),
+        col("err_micro"), col("chosen"))
+  }
+
   /** MinHash-LSH RECALL/PRECISION harness: measures the production
     * dedup rung ([[minHashLshPairs]]) against the exact Jaccard ≥ τ
     * pair set ([[prefixFilterJaccardPairs]] — complete by the

@@ -743,6 +743,43 @@ object Text {
         .orderBy("id_a", "id_b")
     },
 
+    // DEDUP PLANNER: the LSH S-curve table for every (bands, rows)
+    // split of the k=8 signature budget at tau=0.5 — FP/FN masses on
+    // a 5-centi grid and the error-minimizing split marked. The
+    // oracle generates the SAME explicit multiply chains from the
+    // same divisor list, so the curve arithmetic cannot drift.
+    Q("q_d_lsh_band_plan", {
+      val k = 8; val steps = 20; val tauIdx = 10
+      val splits = (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+      val curves = splits.map { case (b, r) =>
+        val s = "(CAST(i AS DOUBLE) / 20.0)"
+        val sr = "(" + Seq.fill(r)(s).mkString(" * ") + ")"
+        val qb = "(" + Seq.fill(b)(s"(1.0 - $sr)").mkString(" * ") + ")"
+        s"""SELECT CAST($b AS BIGINT) AS bands,
+           |  CAST($r AS BIGINT) AS rows,
+           |  CAST((i * 100) // $steps AS BIGINT) AS s_centi,
+           |  CAST(floor((1.0 - $qb) * 1000000) AS BIGINT) AS p_micro,
+           |  i AS i FROM range(1, ${steps + 1}) t(i)""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH curve AS ($curves),
+         |m AS (SELECT bands, rows,
+         |    CAST(sum(CASE WHEN i < $tauIdx THEN p_micro ELSE 0 END)
+         |      AS BIGINT) AS fp_micro,
+         |    CAST(sum(CASE WHEN i >= $tauIdx THEN 1000000 - p_micro
+         |      ELSE 0 END) AS BIGINT) AS fn_micro
+         |  FROM curve GROUP BY 1, 2),
+         |r AS (SELECT *, fp_micro + fn_micro AS err_micro,
+         |    row_number() OVER (ORDER BY fp_micro + fn_micro, bands)
+         |      = 1 AS chosen FROM m)
+         |SELECT c.bands, c.rows, c.s_centi, c.p_micro, r.fp_micro,
+         |  r.fn_micro, r.err_micro, r.chosen
+         |FROM curve c JOIN r ON c.bands = r.bands AND c.rows = r.rows
+         |ORDER BY c.bands, c.s_centi""".stripMargin
+    }) { (s, d) =>
+      Dedup.lshBandPlan(s, k = 8, threshold = 0.5, steps = 20)
+        .orderBy("bands", "s_centi")
+    },
+
     // DEDUP HARNESS: measured recall/precision of the MinHash-LSH
     // rung against the EXACT Jaccard >= 0.5 pair set (itself graded
     // complete in q_d_prefix_jaccard) — the numbers that validate a

@@ -1220,6 +1220,24 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 6 && out.forall(_._3 == 8L), out)
   }
 
+  test("lshBandPlan: monotone S-curves, one chosen split, and the " +
+      "k=8 tau=0.5 winner is the production (4,2) banding") {
+    val plan = Dedup.lshBandPlan(spark, k = 8, threshold = 0.5)
+      .select("bands", "rows", "s_centi", "p_micro", "chosen")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    // every split's curve is monotone non-decreasing in s
+    plan.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      val ps = rows.sortBy(_._3).map(_._4).toSeq
+      assert(ps == ps.sorted)
+    }
+    // exactly one split is chosen, and it is minHashLshPairs'
+    // default banding (bands=4, rows=2)
+    val chosen = plan.filter(_._5).map(r => (r._1, r._2)).distinct
+    assert(chosen.toSeq == Seq((4L, 2L)))
+    // curves hit ~1 at s=1 (1 - (1-1)^b, up to micro flooring)
+    assert(plan.filter(_._3 == 100L).forall(_._4 >= 999999L))
+  }
+
   test("lshRecallReport: identical docs are always recalled; counts " +
       "are consistent") {
     // identical text => identical signature => every band collides,
