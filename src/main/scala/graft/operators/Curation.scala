@@ -206,4 +206,56 @@ object Curation {
       .filter(col("__rn") <= col("budget"))
       .drop("__rn", "budget")
   }
+
+  /** EXACT-SIZE stratified sample: apportion a global budget of
+    * `sampleSize` rows across groups proportionally by the largest
+    * -remainder (Hamilton) method — every group gets floor(n_g·N/T)
+    * or one more, the extras going to the largest fractional
+    * remainders (ties to the smaller group name), and the allocation
+    * sums to EXACTLY N (a per-group `sample(fraction)` can't promise
+    * that; an eval-set builder needs it). Each group then keeps its
+    * `allocated` first rows in deterministic salted-hash order, so
+    * the sample is reproducible anywhere.
+    *
+    * Output: the sampled rows, plus `n_docs` and `allocated` for the
+    * row's group. For sampleSize ≤ corpus size no group's quota can
+    * exceed its population (floor(n_g·N/T) < n_g when N < T, and the
+    * +1 extra still fits), so the sample totals EXACTLY N; asking for
+    * more than the corpus under-fills, by construction.
+    *
+    * Scale shape: the apportionment runs on the GROUP table (one
+    * count shuffle, then a |groups|-sized window — config-sized);
+    * the sample itself is one per-group window rank in hash order.
+    * Nothing global touches row data except that one keyed window. */
+  def stratifiedAllocate(df: DataFrame, groupCol: String,
+      idCol: String, sampleSize: Long): DataFrame = {
+    require(sampleSize >= 0, s"sampleSize must be >= 0: $sampleSize")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("__t"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(groupCol).asc)
+    val alloc = counts.crossJoin(broadcast(total))
+      .withColumn("__fl", expr(s"n_docs * ${sampleSize}L div __t"))
+      .withColumn("__rem", expr(s"n_docs * ${sampleSize}L % __t"))
+      .withColumn("__r", row_number().over(wr))
+      .crossJoin(broadcast(
+        counts.crossJoin(total)
+          .agg((lit(sampleSize) -
+            sum(expr(s"n_docs * ${sampleSize}L div __t")))
+            .as("__leftover"))))
+      .withColumn("allocated",
+        col("__fl") + when(col("__r") <= col("__leftover"), 1L)
+          .otherwise(0L))
+      .select(col(groupCol), col("n_docs"), col("allocated"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(graft.functions.hash60(
+        concat(lit("strat:"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+    df.withColumn("__rn", row_number().over(ws))
+      .join(broadcast(alloc), Seq(groupCol))
+      .filter(col("__rn") <= col("allocated"))
+      .drop("__rn")
+  }
 }

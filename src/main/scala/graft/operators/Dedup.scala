@@ -892,12 +892,22 @@ object Dedup {
     * single-row counts. */
   def lshRecallReport(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 4, k: Int = 8, bands: Int = 4,
-      maxBucket: Int = 1000, threshold: Double = 0.5): DataFrame = {
-    val exact = prefixFilterJaccardPairs(df, idCol, textCol,
-      shingleSize, threshold).select("id_a", "id_b")
+      maxBucket: Int = 1000, threshold: Double = 0.5): DataFrame =
+    lshRecallReportFrom(
+      prefixFilterJaccardPairs(df, idCol, textCol, shingleSize,
+        threshold),
+      minHashLshPairs(df, idCol, textCol, shingleSize, k, bands,
+        maxBucket))
+
+  /** [[lshRecallReport]] over PRECOMPUTED pair frames — a pipeline
+    * that already materialized the exact pair table (it usually has:
+    * the dedup itself consumes it) reuses it here instead of paying
+    * the prefix join twice. Both inputs: (id_a, id_b) with a < b. */
+  def lshRecallReportFrom(exactPairs: DataFrame,
+      candPairs: DataFrame): DataFrame = {
+    val exact = exactPairs.select("id_a", "id_b")
       .localCheckpoint(eager = false)
-    val cand = minHashLshPairs(df, idCol, textCol, shingleSize, k,
-      bands, maxBucket).select("id_a", "id_b")
+    val cand = candPairs.select("id_a", "id_b")
       .localCheckpoint(eager = false)
     val hits = cand.join(exact, Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("hits"))

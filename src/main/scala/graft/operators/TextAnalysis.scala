@@ -1508,9 +1508,15 @@ object TextAnalysis {
       .filter(col("__p") =!= "")
       .withColumn("__n", size(split(col("__p"), " ")))
       .localCheckpoint(eager = false)
+    // tokens as a materialized column + the native shingle kernel —
+    // see ngramDiversity for why functions.shingles would re-tokenize
+    // per element here
     val perLen = (1 to maxPhraseTokens).map { n =>
       df.select(col(idCol),
-          explode(graft.functions.shingles(col(textCol), n)).as("__g"))
+          graft.functions.tokens(col(textCol)).as("__t"))
+        .select(col(idCol),
+          explode(call_function("graft_shingles", col("__t"),
+            lit(n))).as("__g"))
         .join(broadcast(lex.filter(col("__n") === n)),
           col("__g") === col("__p"))
         .select(col(idCol), col(tagCol), col("__p").as("phrase"))
@@ -1538,9 +1544,16 @@ object TextAnalysis {
       ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ > 0),
       s"n-gram orders must be positive: ${ns.mkString(",")}")
+    // tokenize ONCE into a materialized column per branch, then the
+    // native kernel shingles the attribute — functions.shingles here
+    // would capture the tokenizer inside its transform lambda and
+    // re-normalize the text per element (O(len²) regex work per doc)
     val exploded = ns.map { n =>
-      df.select(col(groupCol), lit(n.toLong).as("n"),
-        explode(graft.functions.shingles(col(textCol), n)).as("__g"))
+      df.select(col(groupCol),
+          graft.functions.tokens(col(textCol)).as("__t"))
+        .select(col(groupCol), lit(n.toLong).as("n"),
+          explode(call_function("graft_shingles", col("__t"),
+            lit(n))).as("__g"))
     }.reduce(_ unionByName _)
     exploded.groupBy(col(groupCol), col("n"), col("__g"))
       .agg(count(lit(1)).as("__c"))

@@ -134,6 +134,16 @@ object Text {
         3, 8, 4, 1000)
     }
 
+  /** Exact 4-gram Jaccard ≥ 0.5 pair table — the prefix-filter join
+    * computed once per (session, sfDir): q_d_prefix_jaccard grades it
+    * directly and q_d_lsh_recall uses it as ground truth. */
+  private def prefixPairs4(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    materialized(s, d, "prefix_jaccard4") {
+      Dedup.prefixFilterJaccardPairs(t(s, d, "documents"), "doc_id",
+        "text", 4, 0.5)
+    }
+
   /** Spark side of [[clusterCte]] — the near-dup cluster table,
     * materialized once per (session, sfDir) because THREE graded
     * queries consume it (q_d_dedup_clusters, q_d_keep_best,
@@ -738,8 +748,7 @@ object Text {
          |WHERE CAST(common AS DOUBLE)
          |    / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      Dedup.prefixFilterJaccardPairs(t(s, d, "documents"), "doc_id",
-          "text", 4, 0.5)
+      prefixPairs4(s, d)
         .orderBy("id_a", "id_b")
     },
 
@@ -827,9 +836,9 @@ object Text {
          |    (CAST(hits AS BIGINT) * 1000) // CAST(n_cand AS BIGINT)
          |    END AS precision_milli
          |FROM ne, nc, h""".stripMargin) { (s, d) =>
-      Dedup.lshRecallReport(t(s, d, "documents"), "doc_id", "text",
-        shingleSize = 4, k = 8, bands = 4, maxBucket = 1000,
-        threshold = 0.5)
+      Dedup.lshRecallReportFrom(prefixPairs4(s, d),
+        Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleSize = 4, k = 8, bands = 4, maxBucket = 1000))
     },
 
     // DEDUP: asymmetric containment (Broder 1997) — catches subset
@@ -1570,6 +1579,48 @@ object Text {
       TextAnalysis.ngramDiversity(
           t(s, d, "documents"), "source", "text", Seq(1, 2, 3))
         .orderBy("source", "n")
+    },
+
+    // SAMPLING: exact-size stratified sample — largest-remainder
+    // (Hamilton) apportionment of a 103-row budget across sources,
+    // then deterministic salted-hash pick per group. The allocation
+    // law (sums to exactly 103, every group floor or floor+1, extras
+    // to the largest remainders tie-broken by name) and the actual
+    // selection (id_sum) are both graded.
+    Q("q_samp_exact_n",
+      s"""WITH d AS (SELECT doc_id, source FROM documents),
+         |g AS (SELECT source, count(*) AS n_docs FROM d GROUP BY 1),
+         |t AS (SELECT sum(n_docs) AS total FROM g),
+         |qt AS (SELECT source, n_docs,
+         |    (n_docs * 103) // total AS fl,
+         |    (n_docs * 103) % total AS rem FROM g, t),
+         |lo AS (SELECT 103 - sum(fl) AS leftover FROM qt),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC,
+         |    source) AS r FROM qt),
+         |al AS (SELECT source, n_docs, fl + CASE WHEN r <=
+         |    (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS allocated
+         |  FROM rk),
+         |o AS (SELECT d.source, d.doc_id, row_number() OVER (
+         |    PARTITION BY d.source ORDER BY
+         |    ${sqlHash60("'strat:' || CAST(doc_id AS VARCHAR)")},
+         |    doc_id) AS rn FROM d),
+         |smp AS (SELECT o.source AS src, o.doc_id FROM o
+         |       JOIN al ON o.source = al.source
+         |       WHERE o.rn <= al.allocated)
+         |SELECT al.source, CAST(al.n_docs AS BIGINT) AS n_docs,
+         |  CAST(al.allocated AS BIGINT) AS allocated,
+         |  CAST(sum(smp.doc_id) AS BIGINT) AS id_sum
+         |FROM al JOIN smp ON al.source = smp.src
+         |GROUP BY 1, 2, 3 ORDER BY al.source""".stripMargin) {
+        (s, d) =>
+      graft.operators.Curation.stratifiedAllocate(
+          t(s, d, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", 103L)
+        .groupBy("source")
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("allocated")).as("allocated"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")
     },
 
     // SHARDING: rendezvous (HRW) shard assignment, graded over a

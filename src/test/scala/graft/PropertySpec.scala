@@ -32,6 +32,28 @@ class PropertySpec extends SparkSpec {
     k <- cleanToken; v <- cleanToken
   } yield (k, v)
 
+  test("stratifiedAllocate law: any random group mix sums to exactly " +
+      "N, every group floor or floor+1") {
+    val sizes = samples(Gen.choose(1, 40), 12)
+    val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+      (0 until n).map(i => (s"g$g", g * 1000L + i))
+    }.toDF("grp", "id")
+    val total = sizes.sum.toLong
+    for (n <- Seq(1L, 7L, total / 2, total)) {
+      val out = graft.operators.Curation
+        .stratifiedAllocate(rows, "grp", "id", n)
+        .select("grp", "n_docs", "allocated")
+      val alloc = out.distinct()
+        .as[(String, Long, Long)].collect()
+      assert(alloc.map(_._3).sum == n, s"N=$n")
+      assert(out.count() == n, s"sampled rows N=$n")
+      alloc.foreach { case (_, nd, a) =>
+        val fl = nd * n / total
+        assert(a == fl || a == fl + 1, s"N=$n group=$nd alloc=$a")
+      }
+    }
+  }
+
   test("attributePairs: parses every well-formed k:v list exactly") {
     val cases: Seq[(Seq[(String, String)], String)] =
       samples(for {
