@@ -543,4 +543,61 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastExchange"),
       s"the query row must broadcast:\n$plan")
   }
+
+  test("rendezvous sharding: pure narrow projection — the only " +
+      "exchange is the final count rollup's") {
+    val plan = planOf("q_c_rendezvous")
+    // shard argmax per row is a projection; exactly the groupBy's
+    // partial->final exchange may appear, nothing from the assignment
+    assert(plan.contains("HashAggregate"),
+      s"count rollup expected:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct") && !plan.contains("Window"),
+      s"shard assignment must not join, window, or go pairwise:\n$plan")
+  }
+
+  test("lexicon tagging: every phrase-length join broadcasts the " +
+      "lexicon; the corpus never sort-merges") {
+    val plan = planOf("q_t_tag_lexicon")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"lexicon must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"no corpus-side wide join for a metadata lexicon:\n$plan")
+  }
+
+  test("distinct-n diversity: occurrence counts partial-aggregate " +
+      "map-side before any exchange") {
+    val plan = planOf("q_t_distinct_n")
+    val firstExchange = plan.indexOf("Exchange hashpartitioning")
+    val firstPartial = plan.lastIndexOf("HashAggregate")
+    assert(firstExchange >= 0, s"keyed agg expected:\n$plan")
+    // plan prints top-down: the LAST HashAggregate in the text is the
+    // deepest (map-side partial) and must sit BELOW the exchange
+    assert(firstPartial > firstExchange,
+      s"partial agg must precede the shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), s"aggs only:\n$plan")
+  }
+
+  test("bitext margin: the pair scorer is a broadcast nested loop " +
+      "(one side broadcast), never a CartesianProduct") {
+    val plan = planOf("q_v_bitext_margin")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"cross side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no unbroadcast cartesian:\n$plan")
+  }
+
+  test("ivf recall curve: centroids/queries broadcast; no cartesian, " +
+      "windows keyed on (qid, nprobe)") {
+    val plan = planOf("q_v_recall_curve")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"broadcast rungs expected:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no unbroadcast cartesian:\n$plan")
+    assert(plan.contains("windowspecdefinition(qid"),
+      s"the sweep window must be keyed by qid:\n$plan")
+  }
 }
