@@ -227,6 +227,48 @@ object Curation {
     * count shuffle, then a |groups|-sized window — config-sized);
     * the sample itself is one per-group window rank in hash order.
     * Nothing global touches row data except that one keyed window. */
+  /** SYSTEMATIC weighted resampling (the selection step downstream
+    * of DSIR-style importance weights): lay documents end-to-end on
+    * an integer weight line in deterministic (bucket, id) order and
+    * keep every document whose weight span crosses a stride multiple
+    * — doc i is kept iff floor(cum_i / stride) > floor((cum_i − w_i)
+    * / stride). Inclusion probability is exactly w_i/stride (for
+    * w_i < stride), variance far below Bernoulli sampling, zero
+    * randomness: the same corpus and weights select the same rows on
+    * any engine, which is what makes a resampled training set
+    * reproducible and auditable.
+    *
+    * A document with w_i ≥ stride always crosses ≥ 1 multiple and is
+    * kept (systematic sampling's deterministic "certainty unit") —
+    * emitted once, with its crossing count in `n_copies` for a
+    * with-replacement consumer.
+    *
+    * Scale shape: same as [[Sharding.packByTokenBudget]] — a global
+    * prefix sum would serialize the corpus through one partition, so
+    * rows hash-spread across `buckets` first and each bucket runs its
+    * own running-sum window; one shuffle on the bucket key. Per-
+    * bucket sample size is floor(bucket mass / stride) ± 1, so the
+    * global size concentrates tightly around total mass / stride. */
+  def systematicResample(df: DataFrame, idCol: String,
+      weightCol: String, stride: Long, buckets: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__bkt",
+        graft.functions.hashBucket(col(idCol), buckets, "sysres"))
+      .withColumn("__cum", sum(col(weightCol)).over(w))
+      .withColumn("n_copies",
+        expr(s"__cum div ${stride}L - " +
+          s"(__cum - $weightCol) div ${stride}L"))
+      .filter(col("n_copies") > 0)
+      .drop("__cum")
+      .withColumnRenamed("__bkt", "bucket")
+  }
+
   def stratifiedAllocate(df: DataFrame, groupCol: String,
       idCol: String, sampleSize: Long): DataFrame = {
     require(sampleSize >= 0, s"sampleSize must be >= 0: $sampleSize")

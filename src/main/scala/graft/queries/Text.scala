@@ -1581,6 +1581,29 @@ object Text {
         .orderBy("source", "n")
     },
 
+    // SAMPLING: systematic weighted resampling — documents laid
+    // end-to-end on the weight line per hash bucket; kept iff the
+    // span crosses a stride multiple (inclusion = w/stride exactly,
+    // zero randomness; heavy docs kept with n_copies > 1). The
+    // selection step downstream of DSIR importance weights.
+    Q("q_samp_systematic",
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |    ${sqlHash31("'sysres:' || CAST(doc_id AS VARCHAR)")} % 8
+         |    AS bucket FROM documents),
+         |c AS (SELECT *, SUM(n_chars) OVER (PARTITION BY bucket
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+         |SELECT doc_id, bucket, n_chars,
+         |  CAST(cum // 2000 - (cum - n_chars) // 2000 AS BIGINT)
+         |    AS n_copies
+         |FROM c WHERE cum // 2000 > (cum - n_chars) // 2000
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Curation.systematicResample(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", stride = 2000L, buckets = 8)
+        .select("doc_id", "bucket", "n_chars", "n_copies")
+        .orderBy("doc_id")
+    },
+
     // SAMPLING: exact-size stratified sample — largest-remainder
     // (Hamilton) apportionment of a 103-row budget across sources,
     // then deterministic salted-hash pick per group. The allocation

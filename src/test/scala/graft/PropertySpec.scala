@@ -32,6 +32,35 @@ class PropertySpec extends SparkSpec {
     k <- cleanToken; v <- cleanToken
   } yield (k, v)
 
+  test("systematicResample law: per-bucket copies = floor(mass/S), " +
+      "heavy rows always kept, zero-weight rows never") {
+    val weights = samples(Gen.choose(0L, 900L), 300) :+ 5000L
+    val rows = weights.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+    val stride = 700L
+    val out = graft.operators.Curation
+      .systematicResample(rows, "id", "w", stride, buckets = 4)
+      .select("id", "bucket", "w", "n_copies")
+      .as[(Long, Long, Long, Long)].collect()
+    // the certainty unit (w=5000 >= 7*stride crossings) is kept with
+    // multiplicity; zero-weight rows can never cross a multiple
+    assert(out.exists(r => r._1 == 300L && r._4 >= 7L))
+    assert(out.forall(_._3 > 0L))
+    // per bucket: total copies = floor(bucket mass / stride) exactly
+    val byBucket = out.groupBy(_._2)
+    val bucketOf = rows
+      .select(col("id"),
+        graft.functions.hashBucket(col("id"), 4, "sysres").as("b"))
+      .as[(Long, Long)].collect().toMap
+    val massByBucket = weights.zipWithIndex
+      .groupBy { case (_, i) => bucketOf(i.toLong) }
+      .view.mapValues(_.map(_._1).sum).toMap
+    massByBucket.foreach { case (b, mass) =>
+      val copies = byBucket.get(b).map(_.map(_._4).sum).getOrElse(0L)
+      assert(copies == mass / stride, s"bucket $b: $copies vs $mass")
+    }
+  }
+
   test("stratifiedAllocate law: any random group mix sums to exactly " +
       "N, every group floor or floor+1") {
     val sizes = samples(Gen.choose(1, 40), 12)
