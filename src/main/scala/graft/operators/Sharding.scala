@@ -173,6 +173,69 @@ object Sharding {
         md5(array_join(col("ct"), " ")).as("chunk_md5"))
   }
 
+  /** Best-fit-decreasing bin packing under a HARD token cap — the
+    * packing for units that cannot be split (SFT examples, documents
+    * whose loss masks forbid chunk boundaries), where
+    * [[packByTokenBudget]]'s running-sum greedy deliberately lets a
+    * shard overflow by one document and [[packContiguousWindows]]
+    * splits. Classic BFD (Johnson 1973): sort decreasing, place each
+    * item in the FULLEST bin it still fits (ties → lowest bin id),
+    * open a new bin otherwise; an item larger than the budget gets a
+    * bin of its own. No emitted bin ever exceeds the budget (for
+    * items ≤ budget) — the law the other two packers trade away.
+    *
+    * Scale shape: the same bucket discipline as every packer here —
+    * a global decreasing order would serialize the corpus, so rows
+    * hash-spread across `buckets` and each bucket packs its own bins
+    * via ONE aggregate fold over its collected (tokens desc, id)
+    * list: one shuffle on the bucket key, fold work O(docs·bins) per
+    * bucket, no window, no iteration, nothing driver-side. Bucket
+    * sizing is the operator knob: docs/buckets must fit one task's
+    * memory (they already must for the window packers' sort). */
+  def packBestFitDecreasing(df: DataFrame, idCol: String,
+      tokensCol: String, budget: Long, buckets: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val sorted = df
+      .withColumn("__bkt", hashBucket(col(idCol), buckets, "bfd"))
+      .groupBy(col("__bkt"))
+      .agg(sort_array(collect_list(struct(
+        (-col(tokensCol)).cast("long").as("ntk"),
+        col(idCol).cast("long").as("id")))).as("__docs"))
+    // BFD fold. `best` = argmax (load, -index) over bins that still
+    // fit — spelled three times because SQL lambdas have no let;
+    // bins per bucket stay small (mass/budget), so the re-eval is
+    // cheap. transform's (l, i) index lambda keeps the empty-bins
+    // case total (filter([]) -> array_max -> NULL -> new bin).
+    val best =
+      s"""array_max(filter(
+         |  transform(acc.loads, (bl, bi) -> named_struct('l', bl, 'ni', -bi)),
+         |  p -> p.l + (-x.ntk) <= ${budget}L))""".stripMargin
+    val folded = sorted.withColumn("__asg", expr(
+      s"""aggregate(
+         |  __docs,
+         |  named_struct(
+         |    'loads', cast(array() as array<bigint>),
+         |    'asg', cast(array() as array<struct<id: bigint, tk: bigint, bin: int>>)),
+         |  (acc, x) -> CASE
+         |    WHEN ($best) IS NULL THEN named_struct(
+         |      'loads', concat(acc.loads, array(-x.ntk)),
+         |      'asg', concat(acc.asg, array(named_struct(
+         |        'id', x.id, 'tk', -x.ntk, 'bin', size(acc.loads)))))
+         |    ELSE named_struct(
+         |      'loads', transform(acc.loads, (l, i) ->
+         |        CASE WHEN i = -($best).ni THEN l + (-x.ntk) ELSE l END),
+         |      'asg', concat(acc.asg, array(named_struct(
+         |        'id', x.id, 'tk', -x.ntk,
+         |        'bin', cast(-($best).ni as int)))))
+         |  END,
+         |  acc -> acc.asg)""".stripMargin))
+    folded.select(col("__bkt").as("bucket"),
+        explode(col("__asg")).as("a"))
+      .select(col("a.id").as(idCol), col("bucket"),
+        col("a.tk").as("n_toks"), col("a.bin").cast("long").as("bin"))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment (Thaler &
     * Ravishankar 1996): key k goes to argmax over shards s of
     * hash60(s || ':' || k). The property a corpus refresh loop needs

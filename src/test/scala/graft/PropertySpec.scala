@@ -32,6 +32,41 @@ class PropertySpec extends SparkSpec {
     k <- cleanToken; v <- cleanToken
   } yield (k, v)
 
+  test("packBestFitDecreasing equals the reference BFD fold; no bin " +
+      "ever exceeds the budget") {
+    val budget = 100L
+    val sizes = samples(Gen.choose(1L, 90L), 200) ++ Seq(150L, 101L)
+    val rows = sizes.zipWithIndex
+      .map { case (tk, i) => (i.toLong, tk) }.toDF("id", "tk")
+    val out = graft.operators.Sharding
+      .packBestFitDecreasing(rows, "id", "tk", budget, buckets = 3)
+      .select("id", "bucket", "n_toks", "bin")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == sizes.length) // every doc packed exactly once
+    // reference BFD per bucket on the JVM
+    val byBucket = out.groupBy(_._2)
+    byBucket.foreach { case (_, docs) =>
+      val ordered = docs.sortBy(d => (-d._3, d._1))
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val want = ordered.map { case (id, _, tk, _) =>
+        val fits = loads.zipWithIndex
+          .filter { case (l, _) => l + tk <= budget }
+        val bin = if (fits.isEmpty) { loads += tk; loads.size - 1 }
+          else {
+            val (_, i) = fits.maxBy { case (l, i) => (l, -i) }
+            loads(i) += tk; i
+          }
+        id -> bin.toLong
+      }.toMap
+      docs.foreach { case (id, _, _, bin) =>
+        assert(bin == want(id), s"doc $id") }
+      // the hard-cap law (oversized docs sit alone over it by design)
+      loads.zipWithIndex.foreach { case (l, i) =>
+        assert(l <= budget ||
+          docs.count(d => d._4 == i) == 1, s"bin $i load $l") }
+    }
+  }
+
   test("systematicResample law: per-bucket copies = floor(mass/S), " +
       "heavy rows always kept, zero-weight rows never") {
     val weights = samples(Gen.choose(0L, 900L), 300) :+ 5000L
