@@ -258,14 +258,24 @@ object Curation {
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("__bkt",
+    // __w: the weight pulled through a backtick-quoted reference (a
+    // name needing quoting must not be spliced raw into expr text)
+    // and fail-fast-checked >= 0 — a negative weight lets the running
+    // sum DECREASE, silently breaking the w/stride inclusion law, so
+    // it raises instead of sampling garbage.
+    val wq = col(s"`${weightCol.replace("`", "``")}`")
+    df.withColumn("__w",
+        when(wq < 0, raise_error(concat(
+          lit("systematicResample: negative weight for id "),
+          col(idCol).cast("string")))).otherwise(wq))
+      .withColumn("__bkt",
         graft.functions.hashBucket(col(idCol), buckets, "sysres"))
-      .withColumn("__cum", sum(col(weightCol)).over(w))
+      .withColumn("__cum", sum(col("__w")).over(w))
       .withColumn("n_copies",
         expr(s"__cum div ${stride}L - " +
-          s"(__cum - $weightCol) div ${stride}L"))
+          s"(__cum - __w) div ${stride}L"))
       .filter(col("n_copies") > 0)
-      .drop("__cum")
+      .drop("__cum", "__w")
       .withColumnRenamed("__bkt", "bucket")
   }
 

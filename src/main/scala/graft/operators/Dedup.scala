@@ -25,15 +25,25 @@ object Dedup {
     * one core; on a real cluster the input has thousands of splits and
     * this is a no-op (the guard avoids pointless shuffles there). */
   private[operators] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // df.rdd forces a plan-to-RDD translation per call, but it is the
-    // only honest partition count: executedPlan.outputPartitioning is
-    // UnknownPartitioning(0) for file scans AND for round-robin
-    // repartitions (verified on Spark 4.1), so reading it would make
-    // this guard re-shuffle everything forever. The translation is
-    // lazy metadata work — no job runs — and on real multi-split
-    // scans the branch is a no-op.
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    // Metadata-only split estimate. executedPlan.outputPartitioning
+    // is UnknownPartitioning(0) for file scans AND round-robin
+    // repartitions (verified on Spark 4.1) — reading it would make
+    // this guard re-shuffle everything forever — and df.rdd forces a
+    // plan-to-RDD translation per call. Spark splits file scans by
+    // BYTES (packing small files together), so sizeInBytes /
+    // maxPartitionBytes tracks the scan's split count: a 100 TB scan
+    // estimates huge and the branch is a no-op; a single-rowgroup
+    // local file estimates 1 and gets spread. Errors land on the
+    // underestimate side (openCostInBytes padding, filter-selectivity
+    // stats), which at worst adds a repartition the old RDD count
+    // would also have added.
+    val maxPart =
+      math.max(1L, sess.sessionState.conf.filesMaxPartitionBytes)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes /
+      maxPart + 1
+    if (est < target) df.repartition(target) else df
   }
 
   /** Exact dedup: one representative row per key (smallest tieBreak).
@@ -308,8 +318,14 @@ object Dedup {
       .withColumn("n_sh",
         count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("__pos", row_number().over(wp))
+      // float-robust prefix cutoff: when n·τ is mathematically an
+      // exact integer the double product can land a hair ABOVE it and
+      // ceil would overshoot, shortening the prefix by one and
+      // silently dropping a qualifying pair. The 1e-9 nudge errs
+      // toward a LONGER prefix — extra candidates only, never recall
+      // loss (n·τ < 2^31 keeps the nudge below one ulp of slack).
       .filter(col("__pos") <=
-        col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+        col("n_sh") - ceil(col("n_sh") * threshold - lit(1e-9)) + 1)
       .select(col("id"), col("shingle"), col("n_sh"), col("__pos"))
     // PPJoin positional filter: a match at prefix positions (pa, pb)
     // caps the possible overlap at 1 + min(n_a − pa, n_b − pb); pairs

@@ -80,7 +80,20 @@ object Retrieval {
     *
     * Scale shape: a term-keyed full outer join of two INDEX-sized
     * tables (vocabulary rows, not corpus rows) plus narrow array
-    * merges — the corpus is never read. */
+    * merges — the corpus is never read.
+    *
+    * Id ordering: [[invertedIndex]] sorts postings in the doc
+    * column's NATIVE order (numeric for long ids, lexicographic for
+    * strings) before CSV-joining, so the merge re-sorts the entries
+    * with a numeric-aware comparator — canonical digit strings (what
+    * longs render to: no sign, no leading zeros) compare by
+    * (length, lex) ≡ numeric order, everything else compares
+    * lexicographically. No cast in the path, so string doc ids
+    * survive intact (a long cast would NULL them out and array_join
+    * would silently empty the merged lists). The one shape the law
+    * cannot hold for is STRING ids that are themselves digit strings:
+    * the source index sorted them as text, the merge orders them
+    * numerically. */
   def mergeInvertedIndexes(a: DataFrame, b: DataFrame,
       maxDf: Long): DataFrame = {
     val l = a.select(col("term"), col("df").as("__dfa"),
@@ -88,8 +101,16 @@ object Retrieval {
     val r = b.select(col("term"), col("df").as("__dfb"),
       col("postings_csv").as("__pb"))
     def ids(c: Column): Column =
-      when(c.isNull, array().cast("array<long>"))
-        .otherwise(transform(split(c, ","), x => x.cast("long")))
+      when(c.isNull || c === "", array().cast("array<string>"))
+        .otherwise(split(c, ","))
+    def lex(x: Column, y: Column): Column =
+      when(x < y, -1).when(x > y, 1).otherwise(0)
+    def cmp(x: Column, y: Column): Column =
+      when(x.rlike("^[0-9]+$") && y.rlike("^[0-9]+$"),
+        when(length(x) < length(y), -1)
+          .when(length(x) > length(y), 1)
+          .otherwise(lex(x, y)))
+        .otherwise(lex(x, y))
     l.join(r, Seq("term"), "full_outer")
       .select(col("term"),
         (coalesce(col("__dfa"), lit(0L)) +
@@ -97,9 +118,8 @@ object Retrieval {
         col("__pa"), col("__pb"))
       .withColumn("postings_csv",
         when(col("df") <= maxDf,
-          array_join(transform(
-            sort_array(concat(ids(col("__pa")), ids(col("__pb")))),
-            x => x.cast("string")), ","))
+          array_join(array_sort(
+            concat(ids(col("__pa")), ids(col("__pb"))), cmp), ","))
           .otherwise(lit(null).cast("string")))
       .select("term", "df", "postings_csv")
   }

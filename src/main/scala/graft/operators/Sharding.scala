@@ -196,12 +196,18 @@ object Sharding {
       tokensCol: String, budget: Long, buckets: Int): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(buckets > 0, s"buckets must be positive: $buckets")
+    // The id rides through the fold in its NATIVE type (string ids
+    // to a long cast would NULL out, collapsing every doc to one) —
+    // the zero-value and struct casts below are built from the
+    // column's own SQL type name; ordering only needs (tokens desc,
+    // id) and sort_array orders any atomic type.
+    val idTy = df.schema(idCol).dataType.sql
     val sorted = df
       .withColumn("__bkt", hashBucket(col(idCol), buckets, "bfd"))
       .groupBy(col("__bkt"))
       .agg(sort_array(collect_list(struct(
         (-col(tokensCol)).cast("long").as("ntk"),
-        col(idCol).cast("long").as("id")))).as("__docs"))
+        col(idCol).as("id")))).as("__docs"))
     // BFD fold. `best` = argmax (load, -index) over bins that still
     // fit — spelled three times because SQL lambdas have no let;
     // bins per bucket stay small (mass/budget), so the re-eval is
@@ -216,7 +222,7 @@ object Sharding {
          |  __docs,
          |  named_struct(
          |    'loads', cast(array() as array<bigint>),
-         |    'asg', cast(array() as array<struct<id: bigint, tk: bigint, bin: int>>)),
+         |    'asg', cast(array() as array<struct<id: $idTy, tk: bigint, bin: int>>)),
          |  (acc, x) -> CASE
          |    WHEN ($best) IS NULL THEN named_struct(
          |      'loads', concat(acc.loads, array(-x.ntk)),

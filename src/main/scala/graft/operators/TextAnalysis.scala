@@ -766,7 +766,9 @@ object TextAnalysis {
     * bounded by ln 2, and defined even where the supports differ,
     * exactly why it beats raw KL for snapshot-vs-snapshot
     * comparison). `left` marks side A's rows; everything else is
-    * side B. Both sides must be non-empty.
+    * side B. A degenerate side (zero tokens) yields all-zero
+    * divergences — same convention as [[jsDivergenceByGroup]]'s
+    * empty-complement case — never NaN/Inf garbage.
     *
     * Token mass hashes into `buckets` fixed cells (same trick as
     * [[dsirWeights]] — the distribution table is B rows, never
@@ -802,11 +804,15 @@ object TextAnalysis {
     bucketCounts.crossJoin(broadcast(bucketCounts
         .agg(sum(col("__c")).as("__na"), sum(col("__d")).as("__nb"))))
       .agg(
-        sum(when(col("__c") > 0, col("__c") *
+        // the __nb/__na > 0 guards keep the ln argument positive when
+        // one side is EMPTY (N_b = 0 with c > 0 makes the rational
+        // 0/0): the degenerate term contributes 0 instead of a NaN
+        // that ANSI cast-to-long would throw on
+        sum(when(col("__c") > 0 && col("__nb") > 0, col("__c") *
           floor(log((lit(2d) * col("__c") * col("__nb")) /
             (col("__c") * col("__nb") + col("__d") * col("__na")))
             * 1e6).cast("long")).otherwise(0L)).as("__pa"),
-        sum(when(col("__d") > 0, col("__d") *
+        sum(when(col("__d") > 0 && col("__na") > 0, col("__d") *
           floor(log((lit(2d) * col("__d") * col("__na")) /
             (col("__c") * col("__nb") + col("__d") * col("__na")))
             * 1e6).cast("long")).otherwise(0L)).as("__pb"),
@@ -814,10 +820,18 @@ object TextAnalysis {
         sum(when(col("__d") > 0, 1L).otherwise(0L)).as("buckets_b"),
         max(col("__na")).as("n_tokens_a"),
         max(col("__nb")).as("n_tokens_b"))
-      .select(col("n_tokens_a"), col("n_tokens_b"),
+      .select(
+        coalesce(col("n_tokens_a"), lit(0L)).as("n_tokens_a"),
+        coalesce(col("n_tokens_b"), lit(0L)).as("n_tokens_b"),
         col("buckets_a"), col("buckets_b"),
-        expr("greatest(__pa, 0L) div n_tokens_a").as("js_a_micro"),
-        expr("greatest(__pb, 0L) div n_tokens_b").as("js_b_micro"))
+        // div-by-zero guard for the same degenerate sides (ANSI
+        // `div` throws); an empty side reports zero divergence
+        expr("CASE WHEN n_tokens_a > 0 THEN " +
+          "greatest(__pa, 0L) div n_tokens_a ELSE 0L END")
+          .as("js_a_micro"),
+        expr("CASE WHEN n_tokens_b > 0 THEN " +
+          "greatest(__pb, 0L) div n_tokens_b ELSE 0L END")
+          .as("js_b_micro"))
       .withColumn("js_micro",
         expr("(js_a_micro + js_b_micro) div 2"))
   }
