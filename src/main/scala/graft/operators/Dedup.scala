@@ -327,29 +327,13 @@ object Dedup {
       .filter(col("__pos") <=
         col("n_sh") - ceil(col("n_sh") * threshold - lit(1e-9)) + 1)
       .select(col("id"), col("shingle"), col("n_sh"), col("__pos"))
-    // PPJoin positional filter: a match at prefix positions (pa, pb)
-    // caps the possible overlap at 1 + min(n_a − pa, n_b − pb); pairs
-    // whose cap cannot reach the J ≥ τ overlap floor τ/(1+τ)·(n_a+n_b)
-    // die here. The floor carries a 1-token slack so float rounding
-    // can only keep a pair, never drop a qualifying one.
-    val overlapFloor =
-      lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b")) -
-        lit(1.0)
-    val cand = prefix
-      .select(col("id").as("id_a"), col("shingle"),
-        col("n_sh").as("n_a"), col("__pos").as("__pa"))
-      .join(prefix.select(col("id").as("id_b"), col("shingle"),
-        col("n_sh").as("n_b"), col("__pos").as("__pb")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("n_b").cast("double") >= col("n_a") * threshold &&
-        col("n_a").cast("double") >= col("n_b") * threshold)
-      .filter((lit(1L) + least(col("n_a") - col("__pa"),
-        col("n_b") - col("__pb"))).cast("double") >= overlapFloor)
-      .select("id_a", "id_b").distinct()
+    val cand = ppjoinCandidates(prefix, threshold,
+      positionalBound = true)
     // verification: per-candidate array_intersect over each doc's
     // COLLECTED shingle set — candidate-bounded narrow work (two
     // row-per-doc joins), never a re-exploded corpus shuffle; string
-    // shingles keep it exact, no fingerprint in the loop
+    // shingles keep it exact, no fingerprint in the loop. Only pairs
+    // surviving the aggregated positional bound ship their sets.
     val sets = shRaw.groupBy("id")
       .agg(sort_array(collect_list(col("shingle"))).as("__set"))
     cand
@@ -366,6 +350,49 @@ object Dedup {
           (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+  }
+
+  /** Candidate-pair generation of [[prefixFilterJaccardPairs]]: the
+    * prefix self-join, the length-ratio filter, and (when
+    * `positionalBound`) the AGGREGATED PPJoin positional filter
+    * (Xiao et al. 2008, "Efficient similarity joins for near
+    * duplicate detection"). With pm = common-in-both-prefixes count
+    * and (pa_max, pb_max) the LAST such match's positions, every
+    * other common shingle sits after both (shingles appear in the
+    * same global df-order in every doc), so
+    *   overlap ≤ pm + min(n_a − pa_max, n_b − pb_max)
+    * and pairs whose cap cannot reach the J ≥ τ overlap floor
+    * τ/(1+τ)·(n_a+n_b) are rejected BEFORE the verify stage ever
+    * ships their shingle sets — strictly tighter than the per-match
+    * first-position bound (that one is this bound at pm = 1), at the
+    * cost of one pair-keyed aggregate that replaces the distinct()
+    * the join needed anyway. The floor carries a 1-token slack so
+    * float rounding can only keep a pair, never drop a qualifying
+    * one. Exposed for the scale spec: the bound must shrink the
+    * verify-stage input, not just the final answer. */
+  private[graft] def ppjoinCandidates(prefix: DataFrame,
+      threshold: Double, positionalBound: Boolean): DataFrame = {
+    val overlapFloor =
+      lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b")) -
+        lit(1.0)
+    val joined = prefix
+      .select(col("id").as("id_a"), col("shingle"),
+        col("n_sh").as("n_a"), col("__pos").as("__pa"))
+      .join(prefix.select(col("id").as("id_b"), col("shingle"),
+        col("n_sh").as("n_b"), col("__pos").as("__pb")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("n_b").cast("double") >= col("n_a") * threshold &&
+        col("n_a").cast("double") >= col("n_b") * threshold)
+    if (!positionalBound) joined.select("id_a", "id_b").distinct()
+    else joined
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        count(lit(1)).as("__pm"),
+        max(col("__pa")).as("__pa_max"),
+        max(col("__pb")).as("__pb_max"))
+      .filter((col("__pm") + least(col("n_a") - col("__pa_max"),
+        col("n_b") - col("__pb_max"))).cast("double") >= overlapFloor)
+      .select("id_a", "id_b")
   }
 
   /** Asymmetric containment pairs (Broder 1997, "On the resemblance

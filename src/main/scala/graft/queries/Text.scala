@@ -27,6 +27,23 @@ object Text {
         .alignedMatches(t(s, d, "documents"), "doc_id", "text", 4)
     }
 
+  /** Substring-dedup cluster labels (≥20-token shared span ⇒ same
+    * cluster), built ONCE per session: the connected-components
+    * iteration is the expensive stage both e2e compositions
+    * (q_e2e_substring_dedup, q_e2e_pretrain_prep) sit on — sharing
+    * the labels frame, not just the suffix matches, keeps the CC
+    * round-trips out of the second consumer entirely. */
+  private def suffixClusters16(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    materialized(s, d, "suffix_clusters_16") {
+      val pairs = graft.operators.SuffixDedup
+        .sharedRunStatsFrom(suffixMatches16(s, d), 16L)
+        .filter(col("max_span_tokens") >= 20)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      graft.operators.Dedup.duplicateClusters(
+        t(s, d, "documents").select("doc_id"), "doc_id", pairs)
+    }
+
   // Deterministic multilingual sample strings for q_t_langid — the
   // highest-frequency characters/function words of each language
   // (public frequency-list knowledge), embedded identically in the
@@ -580,13 +597,7 @@ object Text {
          |ORDER BY cluster_id""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents").select(col("doc_id"),
         col("n_chars"))
-      val pairs = graft.operators.SuffixDedup
-        .sharedRunStatsFrom(suffixMatches16(s, d), 16L)
-        .filter(col("max_span_tokens") >= 20)
-        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-      val clusters = graft.operators.Dedup.duplicateClusters(
-        docs.select("doc_id"), "doc_id", pairs)
-      val withC = docs.join(clusters, Seq("doc_id"))
+      val withC = docs.join(suffixClusters16(s, d), Seq("doc_id"))
       val kept = graft.operators.Dedup.keepBestPerCluster(
         withC.withColumn("__score", col("n_chars")),
         "doc_id", "cluster_id", "__score")
@@ -687,15 +698,9 @@ object Text {
          |    AS full_windows
          |FROM ws GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val pairs = graft.operators.SuffixDedup
-        .sharedRunStatsFrom(suffixMatches16(s, d), 16L)
-        .filter(col("max_span_tokens") >= 20)
-        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-      val clusters = graft.operators.Dedup.duplicateClusters(
-        docs.select("doc_id"), "doc_id", pairs)
       val kept = graft.operators.Dedup.keepBestPerCluster(
         docs.select("doc_id", "n_chars", "lang")
-          .join(clusters, Seq("doc_id"))
+          .join(suffixClusters16(s, d), Seq("doc_id"))
           .withColumn("__score", col("n_chars")),
         "doc_id", "cluster_id", "__score")
         .select("doc_id", "lang")

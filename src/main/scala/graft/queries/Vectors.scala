@@ -534,6 +534,49 @@ object Vectors {
         "embedding", q, 16, 6, 10, col("label") === 3)
     },
 
+    // BATCHED FILTERED ANN: the multi-query IVF serving surface —
+    // a 3-query batch against the same filtered index, every ranking
+    // window partitioned by qid (a global orderBy would pick one
+    // top-nProbe across the whole batch and serialize it); one
+    // assignment pass amortized over the batch.
+    Q("q_v_ivf_filtered_batch",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
+         |           FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS qid, embedding AS qv
+         |      FROM embeddings WHERE vec_id < 3),
+         |d AS (SELECT e.vec_id, c.cid,
+         |        -(${sqlCosine("e.embedding", "c.cv")}) AS dist
+         |      FROM embeddings e, c),
+         |r AS (SELECT vec_id, cid,
+         |        row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY dist, cid) AS rn FROM d),
+         |assign AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+         |qd AS (SELECT q.qid, c.cid, row_number() OVER (
+         |        PARTITION BY q.qid
+         |        ORDER BY -(${sqlCosine("q.qv", "c.cv")}), c.cid)
+         |        AS qrn FROM q, c),
+         |probe AS (SELECT qid, cid FROM qd WHERE qrn <= 6),
+         |cand AS (SELECT p.qid, a.vec_id FROM assign a
+         |         JOIN probe p ON a.cid = p.cid),
+         |sc AS (SELECT cand.qid, e.vec_id,
+         |    ${sqlCosine("e.embedding", "q.qv")} AS cosine
+         |  FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id
+         |                    JOIN q ON q.qid = cand.qid
+         |  WHERE e.label = 3),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, vec_id) AS rn FROM sc)
+         |SELECT qid, vec_id, cosine FROM rk WHERE rn <= 5
+         |ORDER BY qid, cosine DESC, vec_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      Similarity.ivfTopKBatch(emb, "vec_id", "embedding", qs, cents,
+          6, 5, col("label") === 3)
+        .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+    },
+
     // ANN TUNING: recall@10 of the IVF(16 lists, 4 probes) search
     // against brute-force ground truth — the harness a user sweeps
     // nProbe with. Exact integer milli so a recall threshold is
@@ -616,6 +659,123 @@ object Vectors {
           emb.filter(col("vec_id") % 2 === 1),
           "vec_id", "embedding", k = 4, minMargin = 1.02)
         .orderBy("left_id")
+    },
+
+    // ANN-SHORTLIST BITEXT MINING: the CCMatrix-scale path — the
+    // candidate pairs come from TWO bqBatchTopK code scans (forward:
+    // right corpus × left queries; backward: mirrored), unioned, and
+    // the SAME margin arithmetic runs on the shortlist
+    // (bitextMarginMineWith). Graded as a recall/precision report
+    // against the exact cross-product miner — the approximation is
+    // priced, not eyeballed (the q_d_lsh_recall discipline).
+    Q("q_v_bitext_margin_ann",
+      s"""WITH l AS (SELECT vec_id AS lid, embedding AS lv
+         |           FROM embeddings WHERE vec_id % 2 = 0),
+         |r AS (SELECT vec_id AS rid, embedding AS rv
+         |      FROM embeddings WHERE vec_id % 2 = 1),
+         |sc AS (SELECT lid, rid, ${sqlCosine("lv", "rv")} AS cosine
+         |       FROM l, r),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY lid
+         |      ORDER BY cosine DESC, rid) AS f,
+         |    row_number() OVER (PARTITION BY rid
+         |      ORDER BY cosine DESC, lid) AS b FROM sc),
+         |ax AS (SELECT lid, list_reduce(
+         |      list_concat([CAST(0.0 AS DOUBLE)],
+         |        list(cosine ORDER BY f)), (x,y) -> x+y) / count(*)
+         |      AS ax FROM rk WHERE f <= 4 GROUP BY lid),
+         |ay AS (SELECT rid, list_reduce(
+         |      list_concat([CAST(0.0 AS DOUBLE)],
+         |        list(cosine ORDER BY b)), (x,y) -> x+y) / count(*)
+         |      AS ay FROM rk WHERE b <= 4 GROUP BY rid),
+         |m AS (SELECT rk.lid, rk.rid, rk.cosine,
+         |    rk.cosine / ((ax.ax + ay.ay) / 2) AS margin
+         |  FROM rk JOIN ax ON rk.lid = ax.lid
+         |           JOIN ay ON rk.rid = ay.rid WHERE rk.f <= 4),
+         |te AS (SELECT *, row_number() OVER (PARTITION BY lid
+         |    ORDER BY margin DESC, rid) AS rn FROM m),
+         |ex AS (SELECT lid, rid FROM te WHERE rn = 1 AND margin > 1.02),
+         |lc AS (SELECT lid, lv, ${sqlBqHalf("lv", 1)} AS la,
+         |       ${sqlBqHalf("lv", 33)} AS lb FROM l),
+         |rc AS (SELECT rid, rv, ${sqlBqHalf("rv", 1)} AS ra,
+         |       ${sqlBqHalf("rv", 33)} AS rb FROM r),
+         |near AS (SELECT lid, rid,
+         |    ${sqlCosine("lv", "rv")} AS cosine
+         |  FROM lc, rc
+         |  WHERE bit_count(xor(la, ra)) + bit_count(xor(lb, rb)) <= 28),
+         |fw AS (SELECT lid, rid, cosine, row_number() OVER (
+         |    PARTITION BY lid ORDER BY cosine DESC, rid) AS rn
+         |  FROM near),
+         |bw AS (SELECT lid, rid, cosine, row_number() OVER (
+         |    PARTITION BY rid ORDER BY cosine DESC, lid) AS rn
+         |  FROM near),
+         |cands AS (SELECT lid, rid, max(cosine) AS cosine FROM (
+         |    SELECT lid, rid, cosine FROM fw WHERE rn <= 8
+         |    UNION ALL
+         |    SELECT lid, rid, cosine FROM bw WHERE rn <= 8) u
+         |  GROUP BY 1, 2),
+         |rk2 AS (SELECT *, row_number() OVER (PARTITION BY lid
+         |      ORDER BY cosine DESC, rid) AS f,
+         |    row_number() OVER (PARTITION BY rid
+         |      ORDER BY cosine DESC, lid) AS b FROM cands),
+         |ax2 AS (SELECT lid, list_reduce(
+         |      list_concat([CAST(0.0 AS DOUBLE)],
+         |        list(cosine ORDER BY f)), (x,y) -> x+y) / count(*)
+         |      AS ax FROM rk2 WHERE f <= 4 GROUP BY lid),
+         |ay2 AS (SELECT rid, list_reduce(
+         |      list_concat([CAST(0.0 AS DOUBLE)],
+         |        list(cosine ORDER BY b)), (x,y) -> x+y) / count(*)
+         |      AS ay FROM rk2 WHERE b <= 4 GROUP BY rid),
+         |m2 AS (SELECT rk2.lid, rk2.rid, rk2.cosine,
+         |    rk2.cosine / ((ax2.ax + ay2.ay) / 2) AS margin
+         |  FROM rk2 JOIN ax2 ON rk2.lid = ax2.lid
+         |           JOIN ay2 ON rk2.rid = ay2.rid WHERE rk2.f <= 4),
+         |ta AS (SELECT *, row_number() OVER (PARTITION BY lid
+         |    ORDER BY margin DESC, rid) AS rn FROM m2),
+         |ann AS (SELECT lid, rid FROM ta WHERE rn = 1 AND margin > 1.02),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_ann FROM ann),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS hits
+         |      FROM ann JOIN ex ON ann.lid = ex.lid AND ann.rid = ex.rid)
+         |SELECT n_exact, n_ann, hits,
+         |  CASE WHEN n_exact > 0 THEN (hits * 1000) // n_exact
+         |       ELSE 0 END AS recall_milli,
+         |  CASE WHEN n_ann > 0 THEN (hits * 1000) // n_ann
+         |       ELSE 0 END AS precision_milli
+         |FROM ne, na, h""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val l = emb.filter(col("vec_id") % 2 === 0)
+      val r = emb.filter(col("vec_id") % 2 === 1)
+      val lq = l.select(col("vec_id").as("qid"),
+        col("embedding").as("qvec"))
+      val rq = r.select(col("vec_id").as("qid"),
+        col("embedding").as("qvec"))
+      val fw = Similarity.bqBatchTopK(r, "vec_id", "embedding",
+          lq, "qid", 28, 8)
+        .select(col("qid").as("lid"), col("vec_id").as("rid"),
+          col("cosine"))
+      val bw = Similarity.bqBatchTopK(l, "vec_id", "embedding",
+          rq, "qid", 28, 8)
+        .select(col("vec_id").as("lid"), col("qid").as("rid"),
+          col("cosine"))
+      // forward/backward cosines are bit-identical (commutative
+      // products, same fold order), so max() is a pure dedup
+      val cands = fw.unionByName(bw).groupBy("lid", "rid")
+        .agg(max(col("cosine")).as("cosine"))
+      val ann = Similarity.bitextMarginMineWith(cands, 4, 1.02)
+        .select(col("left_id").as("lid"), col("right_id").as("rid"))
+      val exact = Similarity.bitextMarginMine(l, r, "vec_id",
+          "embedding", 4, 1.02)
+        .select(col("left_id").as("lid"), col("right_id").as("rid"))
+      val hits = ann.join(exact, Seq("lid", "rid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
+        .crossJoin(hits)
+        .select(col("n_exact"), col("n_ann"), col("hits"),
+          expr("CASE WHEN n_exact > 0 THEN (hits * 1000) div n_exact" +
+            " ELSE 0L END").as("recall_milli"),
+          expr("CASE WHEN n_ann > 0 THEN (hits * 1000) div n_ann" +
+            " ELSE 0L END").as("precision_milli"))
     },
 
     // IVF TUNING CURVE: micro recall@10 over a 3-query batch for

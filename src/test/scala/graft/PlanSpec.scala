@@ -600,4 +600,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(qid"),
       s"the sweep window must be keyed by qid:\n$plan")
   }
+
+  test("batched filtered IVF: every ranking window partitions by " +
+      "qid — probe ranking and the top-k cut are PER QUERY, never a " +
+      "global orderBy that would serialize the batch") {
+    val plan = planOf("q_v_ivf_filtered_batch")
+    val specs = "windowspecdefinition\\(([a-z_]+)#"
+      .r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(specs.nonEmpty && specs == Set("qid"),
+      s"all window specs must be qid-partitioned, got $specs:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no unbroadcast cartesian:\n$plan")
+  }
 }

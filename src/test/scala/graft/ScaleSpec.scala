@@ -623,4 +623,69 @@ class ScaleSpec extends SparkSpec {
     assert(windows >= 2,
       s"expected the salt rung + final rank (2 windows):\n$plan")
   }
+
+  test("ppjoinCandidates: the aggregated positional bound rejects a " +
+      "length-compatible candidate the per-match bound keeps, and " +
+      "never a qualifying pair") {
+    import graft.operators.Dedup
+    // Hand-built prefix table (id, shingle, n_sh, __pos). Pair (A,B):
+    // n_a=10, n_b=12, tau=0.5 -> overlap floor 22*(0.5/1.5)-1 = 6.33.
+    // Matches at (1,1) and (6,7): the FIRST-match bound (what the
+    // verify stage previously shipped sets on) is 1+min(9,11)=10 ->
+    // keep; the aggregated bound pm=2 + min(10-6, 12-7) = 6 < 6.33 ->
+    // reject before any set is shipped. Pair (C,D) is a near-twin
+    // (pm=5 early matches) and must survive.
+    val prefix = Seq(
+      ("A", "x", 10L, 1), ("A", "y", 10L, 6),
+      ("B", "x", 12L, 1), ("B", "y", 12L, 7),
+      ("C", "p1", 10L, 1), ("C", "p2", 10L, 2), ("C", "p3", 10L, 3),
+      ("C", "p4", 10L, 4), ("C", "p5", 10L, 5),
+      ("D", "p1", 10L, 1), ("D", "p2", 10L, 2), ("D", "p3", 10L, 3),
+      ("D", "p4", 10L, 4), ("D", "p5", 10L, 5)
+    ).toDF("id", "shingle", "n_sh", "__pos")
+    val loose = Dedup.ppjoinCandidates(prefix, 0.5,
+      positionalBound = false).collect().map(r => (r.getString(0),
+      r.getString(1))).toSet
+    val tight = Dedup.ppjoinCandidates(prefix, 0.5,
+      positionalBound = true).collect().map(r => (r.getString(0),
+      r.getString(1))).toSet
+    assert(loose == Set(("A", "B"), ("C", "D")), s"loose: $loose")
+    assert(tight == Set(("C", "D")),
+      s"aggregated bound must drop (A,B) and keep (C,D): $tight")
+  }
+
+  test("prefixFilterJaccardPairs still matches brute force with the " +
+      "aggregated candidate bound in the plan") {
+    import graft.operators.Dedup
+    // 40 docs over a small vocab: heavy overlap groups + singletons
+    val docs = (0 until 40).map { i =>
+      val words =
+        if (i % 7 == 0) Seq("alpha", "beta", "gamma", "delta",
+          "epsilon", "zeta", s"tail$i")
+        else Seq(s"w${i}a", s"w${i}b", "alpha", s"w${i}c", s"w${i}d",
+          s"w${i}e", s"w${i}f")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.5)
+    // brute force: all-pairs 2-shingle jaccard
+    val sh = docs.select(col("doc_id").as("id"),
+      explode(array_distinct(org.apache.spark.sql.functions
+        .call_function("graft_shingles",
+          graft.functions.tokens(col("text")), lit(2)))).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val brute = sh.select(col("id").as("id_a"), col("s"))
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")),
+        Seq("id_b"))
+      .filter(col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")).cast("double")
+        >= 0.5)
+    assertSameRows(brute.select("id_a", "id_b"),
+      got.select("id_a", "id_b"))
+  }
 }
