@@ -279,6 +279,50 @@ object Curation {
       .withColumnRenamed("__bkt", "bucket")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement of exactly
+    * `k` rows (Efraimidis & Spirakis 2006, "Weighted random sampling
+    * with a reservoir", the A-Res key): each row draws
+    * u = (hash60(salt:id) + 1) / 2⁶⁰ ∈ (0, 1] and the k rows with
+    * the LARGEST u^(1/w) — equivalently the largest ln(u)/w — win.
+    * Inclusion probability rises with weight exactly as the A-Res
+    * law, there is no randomness source beyond the salt, and the
+    * same corpus + salt + weights select the same k rows on any
+    * engine — the complement of [[systematicResample]] (that one is
+    * expected-size with per-row w/stride inclusion; this one is
+    * exact-size without replacement).
+    *
+    * Cross-engine determinism: ln(u) is floor-MICRO-quantized before
+    * the division (the knNll ln discipline — one libm call per row,
+    * everything after is exact int64 + one IEEE division, both
+    * correctly rounded everywhere); ties break on id. Weights must
+    * be strictly positive (w = 0 has no u^(1/w)) — fail fast, never
+    * a silent drop.
+    *
+    * Scale shape: narrow per-row hash + ln, then ONE
+    * TakeOrderedAndProject top-k (per-partition top-k, k-row merge)
+    * — no corpus-wide window, no shuffle beyond the k-row merge. */
+  def weightedReservoirSample(df: DataFrame, idCol: String,
+      weightCol: String, k: Int, salt: String): DataFrame = {
+    require(k >= 0, s"k must be >= 0: $k")
+    val wq = col(s"`${weightCol.replace("`", "``")}`")
+    df.withColumn("__w",
+        when(wq <= 0, raise_error(concat(
+          lit("weightedReservoirSample: non-positive weight for id "),
+          col(idCol).cast("string")))).otherwise(wq))
+      .withColumn("__u",
+        (graft.functions.hash60(concat(lit(s"res:$salt:"),
+          col(idCol).cast("string"))) + 1).cast("double") /
+          lit(math.pow(2.0, 60)))
+      .withColumn("lnu_micro",
+        floor(log(col("__u")) * 1e6).cast("long"))
+      .withColumn("priority",
+        col("lnu_micro").cast("double") / col("__w").cast("double"))
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("__w").as("weight"), col("lnu_micro"),
+        col("priority"))
+  }
+
   def stratifiedAllocate(df: DataFrame, groupCol: String,
       idCol: String, sampleSize: Long): DataFrame = {
     require(sampleSize >= 0, s"sampleSize must be >= 0: $sampleSize")

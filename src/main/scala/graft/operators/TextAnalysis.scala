@@ -1496,6 +1496,41 @@ object TextAnalysis {
         col("__enc").as("bpe_text"))
   }
 
+  /** Per-group tokenizer FERTILITY (Petrov et al. 2023, "Language
+    * Model Tokenizers Introduce Unfairness Between Languages"):
+    * tokens per 1000 characters for every group (language, domain)
+    * under one trained tokenizer, plus the PREMIUM each group pays
+    * vs the corpus-wide rate — the metric that prices how many more
+    * tokens (≈ compute ≈ context window) a language burns under a
+    * shared vocabulary, and the fairness check a multilingual
+    * curation loop reads next to [[unimaxBudgets]]'s caps. Input is
+    * a per-doc encoded frame (join [[bpeEncode]]'s n_toks with the
+    * group and char-count columns).
+    *
+    * All-integer law: fertility_milli = Σtoks·1000 div Σchars;
+    * premium_milli = group-micro-fertility div corpus-milli-fertility
+    * — exact on both engines. Int64 envelope: Σtoks·10⁶ < 2⁶³ caps a
+    * GROUP at ~9·10¹² tokens before the micro product needs
+    * decimal(38,0) — the dsirWeights bound family.
+    *
+    * Scale shape: one keyed partial-agg groupBy (group-table-sized
+    * result) + one broadcast corpus row. */
+  def tokenizerFertility(encoded: DataFrame, groupCol: String,
+      tokensCol: String, charsCol: String): DataFrame = {
+    val g = encoded.groupBy(col(groupCol))
+      .agg(sum(col(tokensCol)).as("n_toks"),
+        sum(col(charsCol)).as("n_chars"))
+    val tot = g.agg(sum(col("n_toks")).as("__tt"),
+      sum(col("n_chars")).as("__tc"))
+    g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_toks"), col("n_chars"),
+        expr("CASE WHEN n_chars > 0 THEN (n_toks * 1000) div n_chars" +
+          " ELSE 0L END").as("fertility_milli"),
+        expr("CASE WHEN n_chars > 0 AND __tc > 0 AND __tt > 0 THEN " +
+          "((n_toks * 1000000) div n_chars) div ((__tt * 1000) div __tc)" +
+          " ELSE 0L END").as("premium_milli"))
+  }
+
   /** Dictionary / taxonomy phrase tagging: annotate each document
     * with every lexicon phrase (1..maxPhraseTokens normalized tokens)
     * it contains — the corpus-scale blocklist / topic-lexicon / brand

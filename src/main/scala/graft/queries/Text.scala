@@ -921,6 +921,30 @@ object Text {
         .orderBy("cluster_id")
     },
 
+    // DEDUP REPORT (D19): the cluster-size histogram + headline
+    // duplicate ratio over the LSH clusters — the table a dedup run
+    // actually publishes ("removed X% of docs; size distribution
+    // was…"); totals and the milli ratio ride on every row so a
+    // threshold alert reads one row.
+    Q("q_d_dedup_stats",
+      clusterCte +
+        s""", sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+           |    AS size FROM clusters GROUP BY 1),
+           |hist AS (SELECT size, CAST(count(*) AS BIGINT)
+           |    AS n_clusters FROM sz GROUP BY 1),
+           |tot AS (SELECT CAST(sum(size * n_clusters) AS BIGINT)
+           |      AS docs_total,
+           |    CAST(sum(n_clusters) AS BIGINT) AS clusters_total
+           |  FROM hist)
+           |SELECT size, n_clusters, size * n_clusters AS n_docs,
+           |  docs_total, clusters_total,
+           |  ((docs_total - clusters_total) * 1000) // docs_total
+           |    AS dup_ratio_milli
+           |FROM hist, tot ORDER BY size""".stripMargin) { (s, d) =>
+      Dedup.dedupStats(sparkClusters(s, d), "doc_id", "cluster_id")
+        .orderBy("size")
+    },
+
     // E2E CURATION — the full training-corpus pipeline in ONE query:
     // analyze (quality) → threshold filter → near-dup clusters →
     // keep-best survivor per cluster → deterministic 50% sample →
@@ -1475,6 +1499,28 @@ object Text {
           graft.functions.weightedPriority(col("doc_id"),
             col("n_chars")).as("priority"))
         .orderBy(col("priority").desc, col("doc_id")).limit(100)
+    },
+
+    // SAMPLING (C12): Efraimidis-Spirakis weighted reservoir — the
+    // EXACT-size without-replacement complement of q_samp_systematic
+    // (expected-size) and q_samp_weighted (priority heuristic): top-k
+    // by ln(u)/w with a salted-hash u, micro-floored ln (the knNll
+    // cross-engine ln discipline), deterministic on any engine.
+    Q("q_samp_reservoir",
+      s"""WITH p AS (SELECT doc_id, n_chars AS weight,
+         |    CAST(floor(ln(
+         |      (${sqlHash60("'res:r10:' || CAST(doc_id AS VARCHAR)")}
+         |        + 1) / 1152921504606846976.0) * 1000000) AS BIGINT)
+         |      AS lnu_micro
+         |  FROM documents)
+         |SELECT doc_id, weight, lnu_micro,
+         |  CAST(lnu_micro AS DOUBLE) / CAST(weight AS DOUBLE)
+         |    AS priority
+         |FROM p ORDER BY priority DESC, doc_id
+         |LIMIT 50""".stripMargin) { (s, d) =>
+      graft.operators.Curation.weightedReservoirSample(
+          t(s, d, "documents"), "doc_id", "n_chars", 50, "r10")
+        .orderBy(col("priority").desc, col("doc_id"))
     },
 
     // TEXT hygiene: PII redaction (emails, URLs, long digit runs) over
@@ -2171,6 +2217,20 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // TOKENIZER FAIRNESS (T31, Petrov 2023): per-language fertility
+    // (tokens per 1000 chars) under the corpus-trained BPE, plus the
+    // premium each language pays vs the corpus rate — the metric a
+    // multilingual curation loop reads next to the UniMax caps. The
+    // oracle replays train + encode + the all-integer rate law.
+    Q("q_t_fertility", bpeFertilityOracle(6)) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val m = TextAnalysis.bpeMerges(docs, "text", 6)
+      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", m)
+        .join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+      TextAnalysis.tokenizerFertility(enc, "lang", "n_toks", "n_chars")
+        .orderBy("lang")
+    },
+
     // QUALITY: bigram-LM surprisal (KenLM-lite perplexity filter) —
     // add-1-smoothed −ln p(w2|w1), floor-milli quantized per bigram
     // before summing (q_t_unigram_nll's discipline, one order up).
@@ -2401,5 +2461,41 @@ object Text {
          |      ' ') AS enc
          |  FROM tok t$froms)
          |ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[bpeEncodeOracle]]'s train+encode CTEs rolled up to the
+    * per-language fertility/premium rate law of
+    * [[TextAnalysis.tokenizerFertility]]. */
+  private def bpeFertilityOracle(k: Int): String = {
+    val spaced = "' ' || array_to_string(list_transform(" +
+      "range(1, length(w) + 1), i -> w[i:i]), '  ') || ' '"
+    val folded = (1 to k).foldLeft(spaced) { (acc, i) =>
+      s"replace($acc, ' ' || m$i.lhs || '  ' || m$i.rhs || ' ', " +
+        s"' ' || m$i.lhs || m$i.rhs || ' ')"
+    }
+    val froms = (1 to k).map(i => s", b$i m$i").mkString
+    bpeCtes(k) +
+      s""",
+         |tok AS (SELECT doc_id, $toksD AS toks FROM documents),
+         |enc AS (SELECT doc_id,
+         |    CAST(CASE WHEN len(toks) = 0 THEN 0
+         |      ELSE len(string_split(e, ' ')) END AS BIGINT) AS n_toks
+         |  FROM (SELECT t.doc_id, t.toks,
+         |      array_to_string(list_transform(t.toks, w ->
+         |        array_to_string(string_split(trim($folded), '  '),
+         |          ' ')), ' ') AS e
+         |    FROM tok t$froms)),
+         |j AS (SELECT d.lang, e.n_toks, d.n_chars FROM enc e
+         |      JOIN documents d USING (doc_id)),
+         |g AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS n_toks,
+         |      CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM j GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n_toks) AS BIGINT) AS tt,
+         |      CAST(sum(n_chars) AS BIGINT) AS tc FROM g)
+         |SELECT lang, n_toks, n_chars,
+         |  (n_toks * 1000) // n_chars AS fertility_milli,
+         |  ((n_toks * 1000000) // n_chars) // ((tt * 1000) // tc)
+         |    AS premium_milli
+         |FROM g, tt ORDER BY lang""".stripMargin
   }
 }

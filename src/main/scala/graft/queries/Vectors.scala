@@ -418,6 +418,53 @@ object Vectors {
         .orderBy("qid")
     },
 
+    // BQ RADIUS TUNING CURVE (V25): recall@5 over a 3-query batch for
+    // EVERY Hamming radius 0..32 from ONE code scan + ONE exact
+    // scoring pass (each candidate fans out to the radii that admit
+    // it) — prices the maxHamming dial the way q_v_recall_curve
+    // prices nProbe; the serving path most likely to run at 100 TB
+    // finally gets its dial priced from a single pass.
+    Q("q_v_bq_radius_curve",
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |    ${sqlBqHalf("embedding", 1)} AS ca,
+         |    ${sqlBqHalf("embedding", 33)} AS cb FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, ca AS qa,
+         |    cb AS qb FROM c WHERE vec_id < 3),
+         |cand AS (SELECT q.qid, c.vec_id,
+         |    bit_count(xor(c.ca, q.qa)) + bit_count(xor(c.cb, q.qb))
+         |      AS ham,
+         |    ${sqlCosine("c.embedding", "q.qv")} AS cosine
+         |  FROM c, q),
+         |near AS (SELECT * FROM cand WHERE ham <= 32),
+         |sw AS (SELECT qid, vec_id, cosine,
+         |    unnest(range(ham, 33)) AS radius FROM near),
+         |ap0 AS (SELECT qid, radius, vec_id, row_number() OVER (
+         |    PARTITION BY qid, radius ORDER BY cosine DESC, vec_id)
+         |    AS rn FROM sw),
+         |ap AS (SELECT qid, radius, vec_id FROM ap0 WHERE rn <= 5),
+         |ex0 AS (SELECT q.qid, e.vec_id, row_number() OVER (
+         |    PARTITION BY q.qid ORDER BY
+         |      ${sqlCosine("e.embedding", "q.qv")} DESC, e.vec_id)
+         |    AS rn FROM embeddings e, q),
+         |ex AS (SELECT qid, vec_id FROM ex0 WHERE rn <= 5),
+         |h AS (SELECT radius, CAST(count(*) AS BIGINT) AS hits
+         |  FROM ap JOIN ex ON ap.qid = ex.qid
+         |    AND ap.vec_id = ex.vec_id
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ex),
+         |spine AS (SELECT unnest(range(0, 33)) AS radius)
+         |SELECT CAST(spine.radius AS BIGINT) AS radius,
+         |  coalesce(h.hits, 0) AS hits, tot.total,
+         |  (coalesce(h.hits, 0) * 1000) // tot.total AS recall_milli
+         |FROM spine LEFT JOIN h ON spine.radius = h.radius, tot
+         |ORDER BY radius""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bqRecallCurve(emb, "vec_id", "embedding", qs, 32, 5)
+        .orderBy("radius")
+    },
+
     // E2E INDEX SERVING (E8): the vector corpus lives in a manifest
     // table — base commit (even ids) + delta append (odd ids) — and
     // the batched BQ search serves the LATEST snapshot: the

@@ -1260,4 +1260,24 @@ class DedupSpec extends SparkSpec {
     assert(hits <= math.min(nExact, nCand))
     assert(recall <= 1000L && precision <= 1000L)
   }
+
+  test("dedupStats: histogram, totals and dup ratio are exact on a " +
+      "hand-built labeling") {
+    // 3 singletons, 2 pairs, 1 triple: 10 docs, 6 clusters
+    val clusters = Seq(
+      (1L, 1L), (2L, 2L), (3L, 3L),
+      (4L, 4L), (5L, 4L), (6L, 6L), (7L, 6L),
+      (8L, 8L), (9L, 8L), (10L, 8L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.dedupStats(clusters, "doc_id", "cluster_id")
+      .orderBy("size")
+      .select("size", "n_clusters", "n_docs", "docs_total",
+        "clusters_total", "dup_ratio_milli")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // dup ratio = (10 - 6) * 1000 div 10 = 400
+    assert(got == Seq(
+      (1L, 3L, 3L, 10L, 6L, 400L),
+      (2L, 2L, 4L, 10L, 6L, 400L),
+      (3L, 1L, 3L, 10L, 6L, 400L)), got)
+  }
 }

@@ -523,6 +523,68 @@ class ScaleSpec extends SparkSpec {
     assert(curve.last._4 == 1000L && curve.last._2 == curve.last._3)
   }
 
+  test("bqRecallCurve: monotone in radius and exact at the full " +
+      "64-bit radius") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val curve = graft.operators.Similarity
+      .bqRecallCurve(emb, "vec_id", "embedding", qs,
+        maxRadius = 64, k = 5)
+      .orderBy("radius")
+      .select("radius", "hits", "total", "recall_milli")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(curve.map(_._1) == (0L to 64L))
+    // widening the Hamming radius only admits more candidates
+    assert(curve.map(_._4) == curve.map(_._4).sorted)
+    // radius 64 admits the whole corpus: recall must be 1000
+    assert(curve.last._4 == 1000L && curve.last._2 == curve.last._3)
+  }
+
+  test("weightedReservoirSample: exact size, deterministic, weight-" +
+      "monotone inclusion, fail-fast on non-positive weights") {
+    import graft.operators.Curation
+    val rows = (1 to 200).map(i =>
+      (i.toLong, if (i == 7) 1000000L else 1L)).toDF("id", "w")
+    def ids(salt: String) = Curation
+      .weightedReservoirSample(rows, "id", "w", 20, salt)
+      .select("id").as[Long].collect().toSet
+    val a = ids("s1")
+    assert(a.size == 20)
+    assert(a == ids("s1"), "same salt must select the same rows")
+    // the 1e6-weight row wins a slot under every salt (its priority
+    // ln(u)/w is ~1e6 closer to 0 than any unit-weight row's)
+    Seq("s1", "s2", "s3").foreach(s => assert(ids(s).contains(7L)))
+    assert(ids("s2") != a || ids("s3") != a,
+      "different salts should reshuffle the unit-weight rows")
+    val err = intercept[Exception] {
+      Seq((1L, 0L)).toDF("id", "w").transform(df =>
+        Curation.weightedReservoirSample(df, "id", "w", 1, "x"))
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("tokenizerFertility: integer rate law on hand counts") {
+    import graft.operators.TextAnalysis
+    // lang a: 30 toks / 60 chars (500 milli); lang b: 10 / 40 (250);
+    // corpus: 40 / 100 (400 milli). premiums: 500000/400=1250,
+    // 250000/400=625
+    val enc = Seq(
+      ("a", 10L, 20L), ("a", 20L, 40L), ("b", 10L, 40L))
+      .toDF("lang", "n_toks", "n_chars")
+    val got = TextAnalysis
+      .tokenizerFertility(enc, "lang", "n_toks", "n_chars")
+      .orderBy("lang")
+      .select("lang", "n_toks", "n_chars", "fertility_milli",
+        "premium_milli")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 30L, 60L, 500L, 1250L),
+      ("b", 10L, 40L, 250L, 625L)), got)
+  }
+
   test("skewReport ranks hot keys with exact integer shares") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
