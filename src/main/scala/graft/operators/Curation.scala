@@ -192,6 +192,62 @@ object Curation {
         col("alloc_tokens"), col("epochs_milli"))
   }
 
+  /** TEMPERATURE-scaled sampling budgets (Raffel et al. 2020 §3.4.3 /
+    * Xue et al. 2021 mT5: p_g ∝ n_g^(1/T)) — the classic multilingual
+    * rebalance [[sqrtBudgets]] generalizes to (T = 2 is the sqrt
+    * case, T → ∞ uniform, T = 1 proportional) and the dial
+    * [[unimaxBudgets]] was invented to replace; shipping both lets a
+    * curation loop A/B the policies on one corpus.
+    *
+    * Determinism discipline: weights are computed RELATIVE to the
+    * largest group — w_micro = max(1, ⌊exp((ln n_g − ln n_max)·1000/
+    * T_milli)·10⁶⌋) ∈ [1, 10⁶] — so no product in the pipeline can
+    * overflow int64 for any corpus (w_micro·budget ≤ 10⁶·B), the two
+    * ln and one exp are the file's only libm calls (micro-floored
+    * once, the knNll discipline), and the max(·,1) keeps every
+    * non-empty group sampleable at extreme temperatures. Budgets are
+    * largest-remainder (Hamilton) apportioned from the integer
+    * weights: Σ budgets = totalBudget EXACTLY, every group gets
+    * floor or floor+1.
+    *
+    * Scale shape: ONE map-side-combined corpus count; everything
+    * after runs on the config-sized group table (broadcast max +
+    * totals, one tiny window for the remainder ranks). */
+  def temperatureBudgets(df: DataFrame, groupCol: String,
+      tokensCol: String, totalBudget: Long,
+      temperatureMilli: Long): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be >= 0: $totalBudget")
+    require(temperatureMilli > 0,
+      s"temperatureMilli must be > 0: $temperatureMilli")
+    val counts = df.groupBy(groupCol)
+      .agg(sum(col(tokensCol)).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .localCheckpoint(eager = false)
+    val mx = counts.agg(max(col("n_tokens")).as("__nmax"))
+    val weighted = counts.crossJoin(broadcast(mx))
+      .withColumn("w_micro", expr(
+        "greatest(1L, CAST(floor(exp((ln(CAST(n_tokens AS DOUBLE)) " +
+          "- ln(CAST(__nmax AS DOUBLE))) * (1000.0 / " +
+          s"$temperatureMilli)) * 1000000.0) AS BIGINT))"))
+    val tot = weighted.agg(sum(col("w_micro")).as("__tw"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(groupCol).asc)
+    val ranked = weighted.crossJoin(broadcast(tot))
+      .withColumn("__fl",
+        expr(s"(w_micro * ${totalBudget}L) div __tw"))
+      .withColumn("__rem",
+        expr(s"(w_micro * ${totalBudget}L) % __tw"))
+      .withColumn("__r", row_number().over(wr).cast("long"))
+    val leftover = ranked
+      .agg((lit(totalBudget) - sum(col("__fl"))).as("__left"))
+    ranked.crossJoin(broadcast(leftover))
+      .withColumn("budget_tokens",
+        col("__fl") + when(col("__r") <= col("__left"), 1L)
+          .otherwise(0L))
+      .select(col(groupCol), col("n_tokens"), col("w_micro"),
+        col("budget_tokens"))
+  }
+
   /** Apply step of [[mixBudgets]] — same shape as [[rebalanceKeep]]:
     * broadcast the config-sized budget table, one window shuffle on
     * the group key, first-`budget_g` rows in `orderCol` order

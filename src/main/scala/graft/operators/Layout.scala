@@ -59,6 +59,46 @@ object Layout {
       hi: Column): DataFrame =
     zones.filter(!(col(s"max_$statCol") < lo || col(s"min_$statCol") > hi))
 
+  /** Data-skipping effectiveness report for a WORKLOAD — the number
+    * every layout decision (Z-order vs linear, zone granularity)
+    * should be justified by before a 100 TB rewrite: for each range
+    * predicate (pred_id, lo, hi) in `preds`, how many zones and rows
+    * the [[zonesToRead]] rule scans vs skips, as exact integer milli
+    * ratios. A predicate whose row_skip_milli is near 0 on the
+    * proposed layout does not pay for the rewrite.
+    *
+    * Scale shape: the zone table is METADATA-sized (one row per
+    * file/zone — millions of rows for 100 TB, never the data) and the
+    * workload is config-sized and broadcast; one keyed aggregate over
+    * zones×preds plus one broadcast totals row. The data itself is
+    * never touched. */
+  def skippingReport(zones: DataFrame, statCol: String,
+      preds: DataFrame): DataFrame = {
+    val tot = zones.agg(count(lit(1)).as("zones_total"),
+      sum(col("n")).as("rows_total"))
+    val scan = !(col(s"max_$statCol") < col("lo") ||
+      col(s"min_$statCol") > col("hi"))
+    zones.crossJoin(broadcast(preds))
+      .withColumn("__scan", scan)
+      .groupBy(col("pred_id"), col("lo"), col("hi"))
+      .agg(sum(when(col("__scan"), 1L).otherwise(0L))
+          .as("zones_scanned"),
+        sum(when(col("__scan"), col("n")).otherwise(0L))
+          .as("rows_scanned"))
+      .crossJoin(broadcast(tot))
+      .withColumn("zone_skip_milli",
+        expr("CASE WHEN zones_total > 0 THEN " +
+          "((zones_total - zones_scanned) * 1000) div zones_total " +
+          "ELSE 0L END"))
+      .withColumn("row_skip_milli",
+        expr("CASE WHEN rows_total > 0 THEN " +
+          "((rows_total - rows_scanned) * 1000) div rows_total " +
+          "ELSE 0L END"))
+      .select("pred_id", "lo", "hi", "zones_scanned", "zones_total",
+        "rows_scanned", "rows_total", "zone_skip_milli",
+        "row_skip_milli")
+  }
+
   /** Compaction plan for the small-files problem: given a file-stats
     * frame (one row per data file with its table partition and byte
     * size — what a catalog listing returns), assign each file to a

@@ -133,6 +133,70 @@ object Multimodal {
       .otherwise(lit(null).cast(outType))
   }
 
+  /** 16-bit mono PCM frame energy + VAD gate over canonical WAV
+    * blobs — the audio-curation primitive (silence trimming /
+    * speech-segment selection ahead of an ASR or audio-LM pipeline).
+    * The `data` chunk splits into frames of `frameSamples` samples;
+    * each frame reports its EXACT integer sum of squares and
+    * mean-square (no sqrt, no float), so an energy gate
+    * (`active` = mean_sq >= threshold) compares identically on any
+    * engine — the classic energy VAD, with threshold calibration
+    * left to the caller's noise-floor measurement.
+    *
+    * Parse is the [[wavMeta]] discipline — substring/hex/conv
+    * arithmetic only, no codec, no UDF: canonical-44-byte-header
+    * 16-bit MONO little-endian PCM (the layout a normalized audio
+    * corpus actually lands in); anything else contributes no rows
+    * rather than a misparse. Scale shape: ONE narrow explode
+    * (file → frames) with each frame's fold running inside its own
+    * row — sample reads are hex-string slices of the row's data
+    * chunk, nothing shuffles until the caller aggregates. */
+  def pcmFrameEnergy(df: DataFrame, idCol: String, contentCol: String,
+      frameSamples: Int, threshold: Long): DataFrame = {
+    require(frameSamples > 0,
+      s"frameSamples must be positive: $frameSamples")
+    val c = col(contentCol)
+    val canonical = octet_length(c) >= 46 &&
+      hex(substring(c, 1, 4)) === "52494646" &&      // "RIFF"
+      hex(substring(c, 9, 4)) === "57415645" &&      // "WAVE"
+      hex(substring(c, 13, 4)) === "666D7420" &&     // "fmt "
+      hex(substring(c, 37, 4)) === "64617461" &&     // "data"
+      leUInt(c, 23, 2) === 1 && leUInt(c, 35, 2) === 16
+    df.filter(canonical)
+      .withColumn("__n",
+        expr(s"least(${leUIntSql(contentCol, 41, 4)}, " +
+          s"octet_length(`$contentCol`) - 44) div 2"))
+      .filter(col("__n") > 0)
+      .withColumn("__hx", hex(expr(
+        s"substr(`$contentCol`, 45, cast(__n * 2 as int))")))
+      .withColumn("frame",
+        explode(sequence(lit(0L),
+          expr(s"(__n - 1) div $frameSamples"))))
+      .withColumn("__k0", col("frame") * frameSamples)
+      .withColumn("n_samples",
+        least(lit(frameSamples.toLong), col("__n") - col("__k0")))
+      .withColumn("sum_sq", expr(
+        s"""aggregate(
+           |  transform(
+           |    transform(sequence(0L, n_samples - 1), k ->
+           |      CAST(conv(
+           |        substr(__hx, CAST((__k0 + k) * 4 + 3 AS INT), 2) ||
+           |        substr(__hx, CAST((__k0 + k) * 4 + 1 AS INT), 2),
+           |        16, 10) AS BIGINT)),
+           |    u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END),
+           |  0L, (acc, s) -> acc + s * s)""".stripMargin))
+      .withColumn("mean_sq", expr("sum_sq div n_samples"))
+      .withColumn("active", col("mean_sq") >= threshold)
+      .select(col(idCol), col("frame"), col("n_samples"),
+        col("sum_sq"), col("mean_sq"), col("active"))
+  }
+
+  /** SQL-text twin of [[leUInt]] for use inside `expr` strings. */
+  private def leUIntSql(colName: String, pos: Int, len: Int): String =
+    (0 until len).map(i =>
+      s"CAST(conv(hex(substr(`$colName`, ${pos + i}, 1)), 16, 10)" +
+        s" AS BIGINT) * ${1L << (8 * i)}L").mkString("(", " + ", ")")
+
   /** Deterministic STUB feature vector (dim floats) from content
     * bytes — stands in for an embedding model. */
   def featureStub(content: Column, dim: Int): Column =

@@ -773,6 +773,64 @@ object Approx {
         .orderBy("bucket")
     },
 
+    // LAYOUT (L9): data-skipping effectiveness for a WORKLOAD — per
+    // range predicate, zones/rows scanned vs skipped on the z-ordered
+    // layout as exact milli ratios: the number that justifies (or
+    // vetoes) a 100 TB rewrite. Pred 2 scans everything (full range),
+    // pred 4 scans nothing (above the domain); both ends graded.
+    Q("q_z_skipping", {
+      val zDuck = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT o_custkey % 65536 AS x,
+         |    (epoch_us(o_orderdate) // 86400000000) % 65536 AS y
+         |  FROM orders),
+         |z AS (SELECT x, y, ($zDuck) AS z FROM d),
+         |zm AS (SELECT z // 1048576 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    min(x) AS min_x, max(x) AS max_x
+         |  FROM z GROUP BY 1),
+         |p AS (SELECT * FROM (VALUES
+         |    (CAST(1 AS BIGINT), CAST(100 AS BIGINT),
+         |     CAST(700 AS BIGINT)),
+         |    (2, 0, 65535), (3, 60000, 61000), (4, 70000, 80000))
+         |  AS t(pred_id, lo, hi)),
+         |j AS (SELECT p.pred_id, p.lo, p.hi,
+         |    CAST(sum(CASE WHEN NOT (zm.max_x < p.lo OR
+         |      zm.min_x > p.hi) THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS zones_scanned,
+         |    CAST(sum(CASE WHEN NOT (zm.max_x < p.lo OR
+         |      zm.min_x > p.hi) THEN zm.n ELSE 0 END) AS BIGINT)
+         |      AS rows_scanned
+         |  FROM zm, p GROUP BY 1, 2, 3),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS zones_total,
+         |    CAST(sum(n) AS BIGINT) AS rows_total FROM zm)
+         |SELECT pred_id, lo, hi, zones_scanned, zones_total,
+         |  rows_scanned, rows_total,
+         |  ((zones_total - zones_scanned) * 1000) // zones_total
+         |    AS zone_skip_milli,
+         |  ((rows_total - rows_scanned) * 1000) // rows_total
+         |    AS row_skip_milli
+         |FROM j, tt ORDER BY pred_id""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val base = t(s, d, "orders")
+        .select(
+          (col("o_custkey") % 65536).as("x"),
+          (expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
+            "div 86400000000") % 65536).as("y"))
+        .withColumn("z",
+          graft.operators.Layout.zOrderValue(col("x"), col("y"), 16))
+      val preds = Seq((1L, 100L, 700L), (2L, 0L, 65535L),
+        (3L, 60000L, 61000L), (4L, 70000L, 80000L))
+        .toDF("pred_id", "lo", "hi")
+      graft.operators.Layout.skippingReport(
+          graft.operators.Layout.zoneMap(base, expr("z div 1048576"),
+            Seq("x")),
+          "x", preds)
+        .orderBy("pred_id")
+    },
+
     // LAYOUT: compaction planner (L3) — the small-files problem.
     // File stats derived deterministically from orders (partition =
     // o_orderpriority, file = o_orderkey, bytes = comment length);

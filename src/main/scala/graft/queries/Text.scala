@@ -1434,6 +1434,44 @@ object Text {
         .orderBy("lang")
     },
 
+    // CURATION (CUR6): temperature-scaled sampling budgets (mT5
+    // p ∝ n^(1/T), T = 3.333 ≈ the α = 0.3 literature dial) — the
+    // policy UniMax replaces, shipped so one corpus can A/B both.
+    // Weights are computed relative to the LARGEST group (micro ints
+    // in [1, 1e6]: nothing can overflow at any corpus size) and the
+    // budget is Hamilton-apportioned: Σ = 25000 exactly, graded.
+    Q("q_cur_temperature",
+      s"""WITH tok AS (SELECT lang, CAST(len($toksD) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens
+         |  FROM tok GROUP BY 1 HAVING sum(n) > 0),
+         |mx AS (SELECT CAST(max(n_tokens) AS BIGINT) AS nmax FROM c),
+         |w AS (SELECT lang, n_tokens,
+         |    greatest(CAST(1 AS BIGINT), CAST(floor(exp(
+         |      (ln(CAST(n_tokens AS DOUBLE)) - ln(CAST(nmax AS DOUBLE)))
+         |        * (1000.0 / 3333)) * 1000000.0) AS BIGINT)) AS w_micro
+         |  FROM c, mx),
+         |tw AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw FROM w),
+         |r AS (SELECT lang, n_tokens, w_micro,
+         |    (w_micro * 25000) // tw AS fl,
+         |    (w_micro * 25000) % tw AS rem,
+         |    CAST(row_number() OVER (ORDER BY (w_micro * 25000) % tw
+         |      DESC, lang) AS BIGINT) AS rk
+         |  FROM w, tw),
+         |lo AS (SELECT 25000 - CAST(sum(fl) AS BIGINT) AS leftover
+         |  FROM r)
+         |SELECT lang, n_tokens, w_micro,
+         |  fl + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+         |    AS budget_tokens
+         |FROM r, lo ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_toks"))
+      graft.operators.Curation.temperatureBudgets(docs, "lang",
+          "n_toks", 25000L, 3333L)
+        .orderBy("lang")
+    },
+
     // SAMPLING: deterministic md5-derived 10% sample — the same 10%
     // on every engine and every run (reproducible corpus subsets).
     Q("q_samp_hash",

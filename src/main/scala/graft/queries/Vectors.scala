@@ -1685,6 +1685,54 @@ object Vectors {
         .orderBy("file")
     },
 
+    // AUDIO VAD (MM8): 16-bit mono PCM frame energies + energy-gate
+    // flags, parsed from REAL WAV bytes the engine itself packs from
+    // a shared integer formula (hex-pack → unhex → parse → frame →
+    // fold). The oracle computes the SAME energies straight from the
+    // formula — so the graded hash covers the entire binary
+    // round-trip, not just the arithmetic. wav 0 is full-range
+    // (active frames), wav 1 is quiet (%1024 samples, inactive).
+    Q("q_mm_vad",
+      """WITH ids AS (SELECT unnest([CAST(0 AS BIGINT),
+        |    CAST(1 AS BIGINT)]) AS wav_id),
+        |js AS (SELECT unnest(range(0, 160)) AS j),
+        |s AS (SELECT wav_id, j,
+        |    (j*j*13 + 31*j + wav_id*7) %
+        |      (CASE WHEN wav_id = 0 THEN 65536 ELSE 1024 END) AS u
+        |  FROM ids, js),
+        |sg AS (SELECT wav_id, j,
+        |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS sv
+        |  FROM s),
+        |f AS (SELECT wav_id, j // 64 AS frame,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(sv * sv) AS BIGINT) AS sum_sq
+        |  FROM sg GROUP BY 1, 2)
+        |SELECT wav_id, frame, n_samples, sum_sq,
+        |  sum_sq // n_samples AS mean_sq,
+        |  (sum_sq // n_samples) >= 200000000 AS active
+        |FROM f ORDER BY wav_id, frame""".stripMargin) { (s, d) =>
+      import s.implicits._
+      // canonical 44-byte header: RIFF(356) WAVE fmt(16, PCM, mono,
+      // 8000 Hz, 16000 B/s, align 2, 16 bit) data(320)
+      val header = "52494646" + "64010000" + "57415645" + "666D7420" +
+        "10000000" + "0100" + "0100" + "401F0000" + "803E0000" +
+        "0200" + "1000" + "64617461" + "40010000"
+      val wavs = Seq(0L, 1L).toDF("wav_id")
+        .withColumn("__mod",
+          when(col("wav_id") === 0, 65536L).otherwise(1024L))
+        .withColumn("__datahex", expr(
+          "array_join(transform(sequence(0, 159), j -> concat(" +
+            "lpad(hex(((j*j*13 + 31*j + wav_id*7) % __mod) % 256)," +
+            " 2, '0'), " +
+            "lpad(hex(((j*j*13 + 31*j + wav_id*7) % __mod) div 256)," +
+            " 2, '0'))), '')"))
+        .withColumn("content",
+          unhex(concat(lit(header), col("__datahex"))))
+      graft.operators.Multimodal
+        .pcmFrameEnergy(wavs, "wav_id", "content", 64, 200000000L)
+        .orderBy("wav_id", "frame")
+    },
+
     // MULTIMODAL: perceptual-hash near-dup over image content — the
     // aHash stub grid (content-digest-derived) feeds the SAME banded
     // hamming machinery as text simhash (Dedup.hammingPairs), so

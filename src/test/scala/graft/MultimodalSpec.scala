@@ -199,4 +199,64 @@ class MultimodalSpec extends SparkSpec {
       .select("m.channels").collect()(0)
     assert(odd.isNullAt(0))
   }
+
+  test("pcmFrameEnergy: exact energies on hand-packed PCM; short " +
+      "last frame; non-canonical and stereo inputs contribute no rows") {
+    // 10 samples, frame = 4 -> frames of 4, 4, 2
+    val samples = Array[Short](100, -100, 0, 32767, -32768, 5, -5,
+      1000, -1000, 7)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def hdr(channels: Int, bits: Int, dataLen: Int): Array[Byte] = {
+      def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff,
+        (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+      "RIFF".getBytes ++ le32(36 + dataLen) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+        le32(8000) ++ le32(16000) ++ le16(2) ++ le16(bits) ++
+        "data".getBytes ++ le32(dataLen)
+    }
+    val pcm = samples.flatMap(s => le16(s & 0xffff))
+    val good = hdr(1, 16, pcm.length) ++ pcm
+    val stereo = hdr(2, 16, pcm.length) ++ pcm
+    val junk = "not a wav at all, just bytes".getBytes
+    val df = Seq((1L, good), (2L, stereo), (3L, junk))
+      .toDF("wav_id", "content")
+    val got = Multimodal
+      .pcmFrameEnergy(df, "wav_id", "content", 4, 1000000L)
+      .orderBy("wav_id", "frame")
+      .select("wav_id", "frame", "n_samples", "sum_sq", "mean_sq",
+        "active")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    def e(ss: Seq[Short]) = ss.map(s => s.toLong * s).sum
+    val f0 = e(samples.slice(0, 4)); val f1 = e(samples.slice(4, 8))
+    val f2 = e(samples.slice(8, 10))
+    assert(got == Seq(
+      (1L, 0L, 4L, f0, f0 / 4, f0 / 4 >= 1000000L),
+      (1L, 1L, 4L, f1, f1 / 4, f1 / 4 >= 1000000L),
+      (1L, 2L, 2L, f2, f2 / 2, f2 / 2 >= 1000000L)), got)
+  }
+
+  test("temperatureBudgets: T=1 is proportional, high T flattens, " +
+      "budgets sum exactly, max group weighs 1e6") {
+    import graft.operators.Curation
+    val rows = Seq(("a", 8000L), ("b", 1000L), ("c", 1000L))
+      .toDF("lang", "n")
+    def run(tMilli: Long) = Curation
+      .temperatureBudgets(rows, "lang", "n", 1000L, tMilli)
+      .select("lang", "n_tokens", "w_micro", "budget_tokens")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val t1 = run(1000L)
+    assert(t1("a")._3 == 1000000L, "largest group weighs exactly 1e6")
+    assert(t1.values.map(_._4).sum == 1000L, "Hamilton total is exact")
+    assert(t1("a")._4 == 800L && t1("b")._4 == 100L,
+      s"T=1 is proportional: $t1")
+    val flat = run(1000000L) // T=1000: near-uniform
+    assert(flat.values.map(_._4).sum == 1000L)
+    assert(flat("a")._4 < 400L && flat("b")._4 > 300L,
+      s"high T must flatten the head: $flat")
+    // T=2 reproduces the sqrt policy direction: between the two
+    val t2 = run(2000L)
+    assert(t2("a")._4 < t1("a")._4 && t2("a")._4 > flat("a")._4, t2)
+  }
 }
