@@ -124,6 +124,47 @@ object Retrieval {
       .select("term", "df", "postings_csv")
   }
 
+  /** Positional postings: (term, doc, pos) — the index layout phrase
+    * and proximity queries need, where [[invertedIndex]]'s
+    * doc-granularity lists can only answer containment. Pure narrow
+    * explode; materialize/partition downstream by term. */
+  def positionalIndex(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .select(col("term"), col("doc"), col("pos").cast("long").as("pos"))
+
+  /** Exact PHRASE search over positional postings: documents where
+    * the query terms occur at CONSECUTIVE token positions, with the
+    * occurrence count — the classic positional-index phrase plan
+    * (Manning, Raghavan & Schütze 2008 §2.4): each term's postings
+    * align to the phrase START (pos − offset) and a (doc, start)
+    * equi-join chain keeps exactly the aligned runs. Repeated words
+    * in the phrase are handled by the alignment itself.
+    *
+    * Scale shape: the corpus explode is pruned to the phrase's OWN
+    * terms before any shuffle (an IN filter on the scan — at most
+    * |phrase| rows per matching doc position), the k−1 joins are all
+    * keyed on (doc, start), and the postings frame is checkpointed
+    * once so the explode never re-runs per term. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    val pos = positionalIndex(df, idCol, textCol)
+      .filter(col("term").isin(phrase.distinct: _*))
+      .localCheckpoint(eager = false)
+    val start = pos.filter(col("term") === phrase.head)
+      .select(col("doc"), col("pos").as("p0"))
+    val aligned = phrase.zipWithIndex.tail
+      .foldLeft(start) { case (acc, (w, i)) =>
+        acc.join(pos.filter(col("term") === w)
+          .select(col("doc"), (col("pos") - i).as("p0")),
+          Seq("doc", "p0"))
+      }
+    aligned.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Conjunctive (AND-semantics) Boolean retrieval: the documents
     * containing EVERY query term. Evaluated corpus-side, not via the
     * materialized lists: the tiny IN filter on the query terms prunes

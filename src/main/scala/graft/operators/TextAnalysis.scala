@@ -1496,6 +1496,55 @@ object TextAnalysis {
         col("__enc").as("bpe_text"))
   }
 
+  /** Zipf rank-frequency SLOPE — the corpus-health fingerprint:
+    * natural language follows freq ∝ rank^s with s ≈ −1 (Zipf 1949;
+    * Piantadosi 2014 reviews why), while templated, synthetic or
+    * boilerplate-heavy slices bend the log-log line (flat head =
+    * copied spans, steep tail = tiny effective vocabulary), so the
+    * least-squares slope of (ln rank, ln freq) over the top `topN`
+    * terms is a one-number drift monitor a refresh loop can
+    * threshold.
+    *
+    * All-integer law both engines replay exactly: milli-floored ln
+    * per point (the knNll discipline — one libm call per term), then
+    * num = n·Σxy − Σx·Σy and den = n·Σxx − (Σx)², and the slope as
+    * an EXPLICIT toward-zero milli division (spelled sign-split,
+    * because engines disagree on negative integer division and the
+    * slope is negative by nature). Int64 envelope: topN ≤ 10⁴ with
+    * corpora to 10⁹ tokens keeps every product under 2⁶³.
+    *
+    * Scale shape: one map-side-combined vocab count, a
+    * TakeOrderedAndProject top-N cut, and a rank window over the N
+    * surviving rows (bounded by topN, never vocabulary-sized). */
+  def zipfSlope(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2: $topN")
+    val counts = df
+      .select(explode(graft.functions.tokens(col(textCol))).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__f"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__f").desc, col("__tok").asc)
+    val pts = counts
+      .orderBy(col("__f").desc, col("__tok").asc).limit(topN)
+      .withColumn("__r", row_number().over(wr))
+      .select(
+        floor(log(col("__r").cast("double")) * 1e3).cast("long")
+          .as("x"),
+        floor(log(col("__f").cast("double")) * 1e3).cast("long")
+          .as("y"))
+    pts.agg(count(lit(1)).as("n_terms"), sum(col("x")).as("__sx"),
+        sum(col("y")).as("__sy"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"))
+      .select(col("n_terms"),
+        expr("n_terms * __sxy - __sx * __sy").as("num"),
+        expr("n_terms * __sxx - __sx * __sx").as("den"))
+      .withColumn("slope_milli", expr(
+        "CASE WHEN den = 0 THEN 0L " +
+          "WHEN num >= 0 THEN (num * 1000) div den " +
+          "ELSE -(((-num) * 1000) div den) END"))
+      .select("n_terms", "num", "den", "slope_milli")
+  }
+
   /** Per-group tokenizer FERTILITY (Petrov et al. 2023, "Language
     * Model Tokenizers Introduce Unfairness Between Languages"):
     * tokens per 1000 characters for every group (language, domain)

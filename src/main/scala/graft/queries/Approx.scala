@@ -589,6 +589,63 @@ object Approx {
         .orderBy("node")
     },
 
+    // GRAPH (G5): PERSONALIZED PageRank — teleport mass restricted to
+    // the seed set (node % 7 = 0): the TrustRank-style
+    // proximity-to-seeds score a crawl/data-selection loop ranks
+    // domains with. Non-seeds start at 0; same integer fixed-point
+    // discipline as q_g_pagerank, 3 unrolled iterations in the
+    // oracle.
+    Q("q_g_ppr", {
+      def iter(prev: String, cN: String, rN: String): String =
+        s"""$cN AS (SELECT e.dst AS node, SUM($prev.r // od.out_deg)
+           |    AS m
+           |  FROM e JOIN $prev ON $prev.node = e.src
+           |         JOIN od ON od.src = e.src
+           |  GROUP BY e.dst),
+           |$rN AS (SELECT nodes.node,
+           |    (CASE WHEN nodes.node % 7 = 0
+           |       THEN (SELECT tp FROM ps) ELSE 0 END)
+           |    + coalesce($cN.m, 0) * 85 // 100 AS r
+           |  FROM nodes LEFT JOIN $cN ON $cN.node = nodes.node)"""
+          .stripMargin
+      s"""WITH ek AS (SELECT user_id, ts, event_id,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS node
+         |  FROM events),
+         |tr AS (SELECT node AS src, lead(node) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ek),
+         |e AS (SELECT DISTINCT src, dst FROM tr
+         |  WHERE dst IS NOT NULL AND dst != src),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |od AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+         |ps AS (SELECT count(*) AS ns,
+         |    (1000000000000 // 100 * 15) // count(*) AS tp
+         |  FROM nodes WHERE node % 7 = 0),
+         |r0 AS (SELECT node, CASE WHEN node % 7 = 0
+         |    THEN 1000000000000 // (SELECT ns FROM ps) ELSE 0 END AS r
+         |  FROM nodes),
+         |${iter("r0", "c1", "r1")},
+         |${iter("r1", "c2", "r2")},
+         |${iter("r2", "c3", "r3")}
+         |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+         |ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = events(s, d)
+        .withColumn("node",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .select(col("node").as("src"),
+          lead(col("node"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+      val nodes = edges.select(col("src").as("n"))
+        .unionByName(edges.select(col("dst").as("n"))).distinct()
+      val seeds = nodes.filter(col("n") % 7 === 0)
+      Graph.personalizedPageRank(edges, "src", "dst", seeds, "n",
+          iters = 3)
+        .orderBy("node")
+    },
+
     // TEXT: TF-IDF top-5 terms per document. Scores quantized to
     // integer millis BEFORE ranking so the order never hinges on the
     // last ulp of ln() (see TextAnalysis.tfIdfTopTerms).

@@ -2269,6 +2269,39 @@ object Text {
         .orderBy("lang")
     },
 
+    // CORPUS HEALTH (T33): Zipf rank-frequency slope over the top-25
+    // vocabulary — natural text slopes ≈ −1 on the log-log line;
+    // templated/synthetic slices bend it, so the least-squares slope
+    // is a one-number drift monitor. Milli-floored ln per point +
+    // sign-split integer division (engines disagree on negative
+    // integer division, and the slope IS negative).
+    Q("q_t_zipf",
+      s"""WITH tk AS (SELECT unnest($toksD) AS tok FROM documents),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS f
+         |  FROM tk GROUP BY 1),
+         |r AS (SELECT tok, f,
+         |    row_number() OVER (ORDER BY f DESC, tok) AS rk FROM c),
+         |p AS (SELECT
+         |    CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000) AS BIGINT)
+         |      AS x,
+         |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1000) AS BIGINT)
+         |      AS y
+         |  FROM r WHERE rk <= 25),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT)
+         |      AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx FROM p),
+         |b AS (SELECT n AS n_terms, n * sxy - sx * sy AS num,
+         |    n * sxx - sx * sx AS den FROM a)
+         |SELECT n_terms, num, den,
+         |  CASE WHEN den = 0 THEN 0
+         |    WHEN num >= 0 THEN (num * 1000) // den
+         |    ELSE -(((0 - num) * 1000) // den) END AS slope_milli
+         |FROM b""".stripMargin) { (s, d) =>
+      TextAnalysis.zipfSlope(t(s, d, "documents"), "text", 25)
+    },
+
     // QUALITY: bigram-LM surprisal (KenLM-lite perplexity filter) —
     // add-1-smoothed −ln p(w2|w1), floor-milli quantized per bigram
     // before summing (q_t_unigram_nll's discipline, one order up).

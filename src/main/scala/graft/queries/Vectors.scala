@@ -507,6 +507,68 @@ object Vectors {
         .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
     },
 
+    // E2E AUTO-TUNED SERVING (E12): the full tune-then-serve loop in
+    // ONE declarative plan — bqRecallCurve prices every Hamming
+    // radius on a calibration batch, a tiny aggregate picks the
+    // CHEAPEST radius with recall@5 ≥ 0.9 (fallback: full sweep
+    // width), and bqBatchTopKTuned serves the batch with that dial;
+    // no driver round-trip between tuning and serving. The oracle
+    // replays curve → argmin → serve relationally.
+    Q("q_e2e_autotuned_serve",
+      s"""WITH c AS (SELECT vec_id, embedding,
+         |    ${sqlBqHalf("embedding", 1)} AS ca,
+         |    ${sqlBqHalf("embedding", 33)} AS cb FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, ca AS qa,
+         |    cb AS qb FROM c WHERE vec_id < 3),
+         |cand AS (SELECT q.qid, c.vec_id,
+         |    bit_count(xor(c.ca, q.qa)) + bit_count(xor(c.cb, q.qb))
+         |      AS ham,
+         |    ${sqlCosine("c.embedding", "q.qv")} AS cosine
+         |  FROM c, q),
+         |near AS (SELECT * FROM cand WHERE ham <= 32),
+         |sw AS (SELECT qid, vec_id, cosine,
+         |    unnest(range(ham, 33)) AS radius FROM near),
+         |ap0 AS (SELECT qid, radius, vec_id, row_number() OVER (
+         |    PARTITION BY qid, radius ORDER BY cosine DESC, vec_id)
+         |    AS rn FROM sw),
+         |ap AS (SELECT qid, radius, vec_id FROM ap0 WHERE rn <= 5),
+         |ex0 AS (SELECT q.qid, e.vec_id, row_number() OVER (
+         |    PARTITION BY q.qid ORDER BY
+         |      ${sqlCosine("e.embedding", "q.qv")} DESC, e.vec_id)
+         |    AS rn FROM embeddings e, q),
+         |ex AS (SELECT qid, vec_id FROM ex0 WHERE rn <= 5),
+         |h AS (SELECT radius, CAST(count(*) AS BIGINT) AS hits
+         |  FROM ap JOIN ex ON ap.qid = ex.qid
+         |    AND ap.vec_id = ex.vec_id
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ex),
+         |dial AS (SELECT CAST(coalesce(min(radius), 32) AS BIGINT)
+         |    AS radius
+         |  FROM h, tot WHERE (h.hits * 1000) // tot.total >= 900),
+         |serve AS (SELECT cand.qid, cand.vec_id, cand.ham,
+         |    cand.cosine, dial.radius, row_number() OVER (
+         |      PARTITION BY cand.qid
+         |      ORDER BY cand.cosine DESC, cand.vec_id) AS rk
+         |  FROM cand, dial WHERE cand.ham <= dial.radius)
+         |SELECT qid, vec_id, CAST(ham AS BIGINT) AS hamming, cosine,
+         |  radius
+         |FROM serve WHERE rk <= 5
+         |ORDER BY qid, cosine DESC, vec_id""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val curve = Similarity.bqRecallCurve(emb, "vec_id", "embedding",
+        qs, 32, 5)
+      val dial = curve.filter(col("recall_milli") >= 900)
+        .agg(coalesce(min(col("radius")), lit(32L)).as("radius"))
+      Similarity.bqBatchTopKTuned(emb, "vec_id", "embedding", qs,
+          "qid", dial, 5)
+        .select(col("qid"), col("vec_id"),
+          col("hamming").cast("long").as("hamming"), col("cosine"),
+          col("radius"))
+        .orderBy(col("qid"), col("cosine").desc, col("vec_id"))
+    },
+
     // IVF inverted-list assignment (deterministic seed centroids).
     Q("q_v_ivf_assign",
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv
@@ -1064,6 +1126,28 @@ object Vectors {
       graft.operators.Retrieval
         .conjunctiveSearch(t(s, d, "documents"), "doc_id", "text",
           Seq("spark", "vector", "merge"))
+        .orderBy("doc")
+    },
+
+    // RETRIEVAL (R4): exact phrase search over positional postings —
+    // documents with "table hash" at CONSECUTIVE token positions,
+    // with occurrence counts; the postings explode prunes to the
+    // phrase's own terms before any shuffle, adjacency is a keyed
+    // (doc, aligned-start) join chain. The oracle scans token arrays
+    // directly — so the index formulation's equivalence to the naive
+    // scan is itself graded.
+    Q("q_r_phrase",
+      s"""WITH tok AS (SELECT doc_id, ${sqlTokens("text")} AS t
+         |  FROM documents),
+         |m AS (SELECT doc_id AS doc, CAST(len(list_filter(
+         |    range(1, len(t)), j -> t[j] = 'table'
+         |      AND t[j+1] = 'hash')) AS BIGINT) AS n_matches
+         |  FROM tok)
+         |SELECT doc, n_matches FROM m WHERE n_matches > 0
+         |ORDER BY doc""".stripMargin) { (s, d) =>
+      graft.operators.Retrieval
+        .phraseSearch(t(s, d, "documents"), "doc_id", "text",
+          Seq("table", "hash"))
         .orderBy("doc")
     },
 

@@ -386,6 +386,96 @@ class SketchesSpec extends SparkSpec {
       "combined-df suppression must fire in the merge")
   }
 
+  test("mergeInvertedIndexes preserves STRING doc ids (no long-cast " +
+      "nulling) and numeric order for digit ids") {
+    import graft.operators.Retrieval
+    val docs = Seq(("doc-b", "alpha"), ("doc-a", "alpha"))
+      .toDF("doc_id", "text")
+    val merged = Retrieval.mergeInvertedIndexes(
+      Retrieval.invertedIndex(docs.filter($"doc_id" === "doc-a"),
+        "doc_id", "text", 5L),
+      Retrieval.invertedIndex(docs.filter($"doc_id" === "doc-b"),
+        "doc_id", "text", 5L), 5L)
+    assert(merged.filter($"term" === "alpha")
+      .select("postings_csv").as[String].head() == "doc-a,doc-b")
+    // canonical digit strings (long ids) still sort NUMERICALLY:
+    // 2 < 10, not the lexicographic "10" < "2"
+    val nums = Seq((10L, "beta"), (2L, "beta")).toDF("doc_id", "text")
+    val m2 = Retrieval.mergeInvertedIndexes(
+      Retrieval.invertedIndex(nums.filter($"doc_id" === 2L),
+        "doc_id", "text", 5L),
+      Retrieval.invertedIndex(nums.filter($"doc_id" === 10L),
+        "doc_id", "text", 5L), 5L)
+    assert(m2.filter($"term" === "beta")
+      .select("postings_csv").as[String].head() == "2,10")
+  }
+
+  test("phraseSearch: consecutive positions only, occurrence counts, " +
+      "repeated-word phrases align correctly") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (1L, "the hash table the hash table"),  // "hash table" twice
+      (2L, "hash map and table hash"),        // words present, never adjacent
+      (3L, "buffalo buffalo buffalo"),        // "buffalo buffalo" twice
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val ht = Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("hash", "table")).as[(Long, Long)].collect().toMap
+    assert(ht == Map(1L -> 2L), ht.toString)
+    val bb = Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("buffalo", "buffalo")).as[(Long, Long)].collect().toMap
+    assert(bb == Map(3L -> 2L), bb.toString)
+    assert(Retrieval.phraseSearch(docs, "doc_id", "text",
+      Seq("table", "map")).count() == 0)
+  }
+
+  test("personalizedPageRank: seeds=all reduces to pageRank; a node " +
+      "upstream of every seed keeps rank 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val allNodes = Seq(1L, 2L, 3L).toDF("n")
+    assertSameRows(
+      Graph.pageRank(edges, "src", "dst", iters = 3),
+      Graph.personalizedPageRank(edges, "src", "dst", allNodes, "n",
+        iters = 3))
+    // chain 1 -> 2 with seed {2}: node 1 has no teleport and no
+    // inbound mass, so its rank is exactly 0 at every iteration
+    val chain = Seq((1L, 2L)).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(chain, "src", "dst",
+        Seq(2L).toDF("n"), "n", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) == 0L && r(2L) > 0L, r.toString)
+  }
+
+  test("bqBatchTopKTuned at a frame-fed radius equals the literal-" +
+      "radius path") {
+    import graft.operators.Similarity
+    val dim = 8
+    def vec(i: Int): Array[Float] = Array.tabulate(dim)(j =>
+      math.cos(i * 13 + j * 5).toFloat)
+    val corpus = (0 until 300).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((0L, vec(2)), (1L, vec(77))).toDF("qid", "qvec")
+    val lit28 = Similarity.bqBatchTopK(corpus, "vec_id", "embedding",
+      qs, "qid", 28, 5).select("qid", "vec_id", "hamming", "cosine")
+    val tuned = Similarity.bqBatchTopKTuned(corpus, "vec_id",
+        "embedding", qs, "qid",
+        Seq(Tuple1(28L)).toDF("radius"), 5)
+      .select("qid", "vec_id", "hamming", "cosine")
+    assertSameRows(lit28, tuned)
+  }
+
+  test("zipfSlope recovers -1000 milli on an exact 1/rank corpus") {
+    import graft.operators.TextAnalysis
+    // token w_r appears floor(720/r) times, r = 1..6: a pure Zipf
+    // line up to ln flooring
+    val words = (1 to 6).flatMap(r => Seq.fill(720 / r)(s"w$r"))
+    val docs = Seq(Tuple1(words.mkString(" "))).toDF("text")
+    val got = TextAnalysis.zipfSlope(docs, "text", 6)
+      .select("n_terms", "slope_milli").as[(Long, Long)].head()
+    assert(got._1 == 6L)
+    assert(got._2 <= -985L && got._2 >= -1015L, got.toString)
+  }
+
   test("triangle counts: each triangle credits all three nodes once") {
     // two triangles sharing edge (2,3); (5,6) is triangle-free
     val edges = Seq((1L, 2L), (1L, 3L), (3L, 2L), (3L, 4L), (4L, 2L),
