@@ -601,6 +601,52 @@ class PlanSpec extends SparkSpec {
       s"the sweep window must be keyed by qid:\n$plan")
   }
 
+  test("round-10 additions: radius curve windows key on (qid, " +
+      "radius); phrase search prunes to its terms before any " +
+      "exchange; reservoir is a TakeOrdered, no corpus window; " +
+      "skipping report broadcasts the workload; VAD never shuffles " +
+      "before its rollup; tuned serve broadcasts the dial") {
+    val curve = planOf("q_v_bq_radius_curve")
+    assert(curve.contains("windowspecdefinition(qid"),
+      s"radius sweep must rank per (qid, radius):\n$curve")
+    assert(!curve.contains("CartesianProduct"),
+      s"queries must broadcast in the curve:\n$curve")
+
+    val phrase = planOf("q_r_phrase")
+    assert(phrase.contains("table") && phrase.contains("hash"),
+      s"term IN filter must reach the plan:\n$phrase")
+    assert(!phrase.contains("CartesianProduct") &&
+      !phrase.contains("BroadcastNestedLoopJoin"),
+      s"adjacency joins are keyed equi-joins:\n$phrase")
+
+    val res = planOf("q_samp_reservoir")
+    assert(res.contains("TakeOrderedAndProject"),
+      s"reservoir top-k must be TakeOrdered, not a global sort:\n$res")
+    assert(!res.contains("Window") &&
+      !res.contains("Exchange hashpartitioning"),
+      s"priority is per-row narrow work:\n$res")
+
+    val skip = planOf("q_z_skipping")
+    assert(skip.contains("BroadcastNestedLoopJoin") ||
+      skip.contains("BroadcastHashJoin") ||
+      skip.contains("BroadcastExchange"),
+      s"the workload table must broadcast:\n$skip")
+    assert(!skip.contains("CartesianProduct"),
+      s"zones x preds must not go cartesian:\n$skip")
+
+    val vad = planOf("q_mm_vad")
+    assert(!vad.contains("Exchange hashpartitioning") &&
+      !vad.contains("SortMergeJoin"),
+      s"pack->parse->frame->fold is narrow per-row work:\n$vad")
+
+    val serve = planOf("q_e2e_autotuned_serve")
+    assert(serve.contains("BroadcastExchange") ||
+      serve.contains("BroadcastNestedLoopJoin"),
+      s"the one-row dial must broadcast into the serve scan:\n$serve")
+    assert(serve.contains("windowspecdefinition(qid"),
+      s"serve rank must stay per-qid:\n$serve")
+  }
+
   test("batched filtered IVF: every ranking window partitions by " +
       "qid — probe ranking and the top-k cut are PER QUERY, never a " +
       "global orderBy that would serialize the batch") {
