@@ -144,6 +144,37 @@ object Sharding {
       .withColumn("fill_milli",
         expr(s"tokens * 1000 div ${windowTokens}L"))
 
+  /** Per-window SEGMENT MANIFEST over [[packContiguousWindows]]
+    * spans — the artifact a training dataloader actually consumes
+    * (packed-sequence loaders mask cross-document attention, e.g.
+    * Krell et al. 2021 "Efficient sequence packing without
+    * cross-contamination": the mask is block-diagonal over exactly
+    * these segments): for every (bucket, window), the win_off-ordered
+    * segment list `off:doc:doc_off:len;…` as one CSV column plus the
+    * [[windowStats]] rollup — boundaries in-row, so the loader reads
+    * one manifest row per window, never re-derives offsets.
+    *
+    * Scale shape: ONE keyed aggregate over the span table (spans are
+    * corpus-row-count-sized; each window's list is bounded by
+    * windowTokens — a window holds at most windowTokens segments);
+    * the sort_array runs inside the row. */
+  def windowManifest(spans: DataFrame, idCol: String,
+      windowTokens: Long): DataFrame =
+    spans.groupBy("bucket", "window_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("n_tokens")).as("tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("win_off"),
+            col(idCol).cast("string").as("__doc"), col("doc_off"),
+            col("n_tokens")))),
+          s => concat_ws(":", s.getField("win_off"),
+            s.getField("__doc"), s.getField("doc_off"),
+            s.getField("n_tokens"))), ";").as("segments_csv"))
+      .withColumn("fill_milli",
+        expr(s"tokens * 1000 div ${windowTokens}L"))
+      .select("bucket", "window_id", "n_spans", "tokens",
+        "fill_milli", "segments_csv")
+
   /** Sliding-window chunking for embedding generation / context
     * packing: split each document's token stream into windows of
     * `width` tokens advancing by `stride`. Returns one row per chunk

@@ -1835,6 +1835,52 @@ object Text {
         .orderBy("doc_id", "window_id")
     },
 
+    // PACKING MANIFEST (C13): the dataloader contract — one row per
+    // packed window with its win_off-ordered `off:doc:doc_off:len`
+    // segment CSV: exactly the block-diagonal attention-mask
+    // boundaries a packed-sequence loader needs (Krell 2021), plus
+    // the fill rollup. Oracle rebuilds the CSV with string_agg over
+    // the same span arithmetic.
+    Q("q_pack_manifest",
+      s"""WITH tok AS (SELECT doc_id, CAST(len($toksD) AS BIGINT)
+         |    AS n FROM documents),
+         |nz AS (SELECT * FROM tok WHERE n > 0),
+         |b AS (SELECT *,
+         |    ${sqlHash31("'pack:' || CAST(doc_id AS VARCHAR)")} % 8
+         |    AS bucket FROM nz),
+         |c AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY bucket
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS e FROM b),
+         |s AS (SELECT doc_id, bucket, e - n AS st, e FROM c),
+         |x AS (SELECT doc_id, bucket, st, e,
+         |    unnest(range(st // 256, (e - 1) // 256 + 1)) AS w FROM s),
+         |sp AS (SELECT doc_id, bucket, CAST(w AS BIGINT) AS window_id,
+         |    CAST(greatest(st, w * 256) - w * 256 AS BIGINT)
+         |      AS win_off,
+         |    CAST(greatest(0, w * 256 - st) AS BIGINT) AS doc_off,
+         |    CAST(least(e, (w + 1) * 256) - greatest(st, w * 256)
+         |      AS BIGINT) AS n_tokens
+         |  FROM x)
+         |SELECT bucket, window_id,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         |  (CAST(sum(n_tokens) AS BIGINT) * 1000) // 256
+         |    AS fill_milli,
+         |  string_agg(win_off || ':' || CAST(doc_id AS VARCHAR)
+         |      || ':' || doc_off || ':' || n_tokens, ';'
+         |    ORDER BY win_off) AS segments_csv
+         |FROM sp GROUP BY 1, 2
+         |ORDER BY bucket, window_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_toks"))
+      val spans = graft.operators.Sharding
+        .packContiguousWindows(docs, "doc_id", "n_toks", 256L, 8)
+      graft.operators.Sharding
+        .windowManifest(spans, "doc_id", 256L)
+        .orderBy("bucket", "window_id")
+    },
+
     // DEDUP: banded simhash near-dup pairs (hamming <= 3) over a
     // 32-bit fingerprint: 8-bit band chunks give 256 bucket values, so
     // candidate volume stays ~n²/256 per band instead of the n²/16 a

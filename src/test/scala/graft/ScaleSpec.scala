@@ -686,6 +686,29 @@ class ScaleSpec extends SparkSpec {
       s"expected the salt rung + final rank (2 windows):\n$plan")
   }
 
+  test("ivfTopKBatch equals a per-query ivfTopKWith loop — per-qid " +
+      "windows change nothing for each query alone") {
+    import graft.operators.Similarity
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val qids = Seq(0L, 1L, 2L)
+    val qs = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Similarity.ivfTopKBatch(emb, "vec_id", "embedding",
+        qs, cents, 3, 5)
+      .select("qid", "vec_id", "cosine")
+    val looped = qids.map { q =>
+      Similarity.ivfTopKWith(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") === q)
+            .select(col("embedding").as("qvec")),
+          cents, 3, 5)
+        .select(lit(q).as("qid"), col("vec_id"), col("cosine"))
+    }.reduce(_ unionByName _)
+    assertSameRows(batch, looped)
+  }
+
   test("ppjoinCandidates: the aggregated positional bound rejects a " +
       "length-compatible candidate the per-match bound keeps, and " +
       "never a qualifying pair") {
