@@ -186,4 +186,51 @@ object Constraints {
       .agg(count(lit(1)).as("n_rows"),
         sum(col("hv") % 1048576L).as("fp_lo"),
         sum(expr("hv div 1048576") % 1048576L).as("fp_hi"))
+
+  /** Per-column Shannon-ENTROPY profile — the data-health number the
+    * min/max/ndv audit can't see: a column can have healthy bounds
+    * and cardinality while 99.9% of its mass sits on one value
+    * (upstream default leaking in), and entropy + top-value share
+    * catch exactly that. One row per requested column: non-null
+    * count, null count, distinct count, entropy in exact integer
+    * MICRO-nats and the modal value's share in milli.
+    *
+    * Integer law (the knNll ln discipline — one ⌊ln·10⁶⌋ per
+    * DISTINCT value, never per row):
+    *   ent_micro = ⌊ln N·10⁶⌋ − (Σ_v c_v·⌊ln c_v·10⁶⌋) div N
+    * from H = ln N − (1/N)Σ c·ln c. Constant column → 0; uniform
+    * over k values → ≈ ln k micro. Int64 envelope: c·⌊ln c·10⁶⌋
+    * caps a single VALUE at ~5·10¹¹ rows.
+    *
+    * Scale shape: one map-side-combined value-count groupBy per
+    * column (value-cardinality-sized result), one single-row rollup
+    * each, unioned — columns audited are a config-sized list. */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnEntropy needs at least one column")
+    cols.map { c =>
+      val counts = df.select(col(c).as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy("__v").agg(count(lit(1)).as("__c"))
+      val nulls = df.filter(col(c).isNull)
+        .agg(count(lit(1)).as("n_null"))
+      counts.agg(
+          sum(col("__c")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("__c") *
+            floor(log(col("__c").cast("double")) * 1e6).cast("long"))
+            .as("__sclnc"),
+          max(col("__c")).as("__cmax"))
+        .crossJoin(broadcast(nulls))
+        .select(lit(c).as("col_name"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          col("n_null"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          expr("CASE WHEN n_rows > 0 THEN " +
+            "CAST(floor(ln(CAST(n_rows AS DOUBLE)) * 1000000) " +
+            "AS BIGINT) - __sclnc div n_rows ELSE 0L END")
+            .as("entropy_micro"),
+          expr("CASE WHEN n_rows > 0 THEN (__cmax * 1000) div n_rows" +
+            " ELSE 0L END").as("top_share_milli"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -1267,6 +1267,35 @@ object Approx {
         .orderBy("col_name")
     },
 
+    // AUDIT (A21): per-column Shannon entropy + modal share — the
+    // degenerate-column detector (a column can pass min/max/ndv while
+    // 99.9% of its mass sits on one leaked default). Exact micro-nat
+    // integers via one floored ln per DISTINCT value.
+    Q("q_audit_entropy", {
+      def block(cn: String): String =
+        s"""SELECT '$cn' AS col_name, n AS n_rows, nn AS n_null,
+           |  nd AS n_distinct,
+           |  CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+           |    - sc // n AS entropy_micro,
+           |  (cm * 1000) // n AS top_share_milli
+           |FROM (SELECT CAST(sum(c) AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS nd,
+           |    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE))
+           |      * 1000000) AS BIGINT)) AS BIGINT) AS sc,
+           |    CAST(max(c) AS BIGINT) AS cm
+           |  FROM (SELECT $cn AS v, CAST(count(*) AS BIGINT) AS c
+           |        FROM orders WHERE $cn IS NOT NULL GROUP BY 1)),
+           |  (SELECT CAST(count(*) AS BIGINT) AS nn FROM orders
+           |   WHERE $cn IS NULL)""".stripMargin
+      Seq("o_custkey", "o_orderpriority", "o_orderstatus")
+        .map(block).mkString("", "\nUNION ALL ", "\nORDER BY col_name")
+    }) { (s, d) =>
+      graft.operators.Constraints
+        .columnEntropy(t(s, d, "orders"),
+          Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
+        .orderBy("col_name")
+    },
+
     // PRODUCT QUANTIZATION: encode 64-dim float vectors as 4 codes
     // (one per 16-dim subspace, L2-nearest codeword from the seed
     // codebook). Codes + per-subspace residual distances emitted as

@@ -585,6 +585,32 @@ class ScaleSpec extends SparkSpec {
       ("b", 10L, 40L, 250L, 625L)), got)
   }
 
+  test("columnEntropy: constant column scores 0 with share 1000, " +
+      "uniform scores ~ln k, nulls are counted out of the mass") {
+    import graft.operators.Constraints
+    val df = (0 until 64).map(i => (
+      "const",
+      s"u${i % 8}",                       // uniform over 8 values
+      if (i % 4 == 0) null else "x"       // 16 nulls
+    )).toDF("c_const", "c_unif", "c_null")
+    val got = Constraints
+      .columnEntropy(df, Seq("c_const", "c_unif", "c_null"))
+      .orderBy("col_name")
+      .select("col_name", "n_rows", "n_null", "n_distinct",
+        "entropy_micro", "top_share_milli")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("c_const") ==
+      (("c_const", 64L, 0L, 1L, 0L, 1000L)), got("c_const"))
+    val unif = got("c_unif")
+    // ln 8 = 2.0794; micro-floored arithmetic lands within 2 micro
+    assert(unif._4 == 8L &&
+      math.abs(unif._5 - 2079441L) <= 2L, unif.toString)
+    val nul = got("c_null")
+    assert(nul._2 == 48L && nul._3 == 16L && nul._4 == 1L &&
+      nul._5 == 0L, nul.toString)
+  }
+
   test("skewReport ranks hot keys with exact integer shares") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
