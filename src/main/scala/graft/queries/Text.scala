@@ -1539,6 +1539,33 @@ object Text {
         .orderBy(col("priority").desc, col("doc_id")).limit(100)
     },
 
+    // SAMPLING (C14): correlated (join-preserving) sampling — the
+    // AQUA join-synopsis law (Acharya 1999) graded CROSS-ENGINE:
+    // Spark samples orders and customer INDEPENDENTLY on the same
+    // salted custkey hash and joins the samples; the oracle filters
+    // the FULL join once on that hash. Equal hashes ⇒ equal tables
+    // is exactly sample(L) ⋈ sample(R) ≡ σ_hash(L ⋈ R).
+    Q("q_samp_correlated",
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+         |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+         |    AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE (${sqlHash31("'csamp:' || CAST(o_custkey AS VARCHAR)")}
+         |  % 100) < 12
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val o = graft.operators.Curation.correlatedSample(
+        t(s, d, "orders"), "o_custkey", 100, 12)
+      val c = graft.operators.Curation.correlatedSample(
+        t(s, d, "customer"), "c_custkey", 100, 12)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          sum(floor(col("o_totalprice")).cast("long")).as("sum_price"))
+        .orderBy("c_mktsegment")
+    },
+
     // SAMPLING (C12): Efraimidis-Spirakis weighted reservoir — the
     // EXACT-size without-replacement complement of q_samp_systematic
     // (expected-size) and q_samp_weighted (priority heuristic): top-k
@@ -1835,6 +1862,24 @@ object Text {
         .orderBy("doc_id", "window_id")
     },
 
+    // EPOCH SHUFFLE (C15): the dataloader permutation — every row
+    // gets an exact global position in salted-md5-hash order,
+    // bit-reproducible on any engine with no rand(). Spark derives
+    // positions via range-bucketed prefix-sum offsets (no global
+    // window); the oracle is the literal one-partition row_number,
+    // so the bucketed decomposition itself is what's graded.
+    Q("q_pack_epoch_shuffle",
+      s"""WITH h AS (SELECT doc_id,
+         |    ${sqlHash31("'ep1:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |SELECT doc_id, CAST(row_number()
+         |    OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |FROM h ORDER BY pos""".stripMargin) { (s, d) =>
+      graft.operators.Sharding.epochShuffle(
+          t(s, d, "documents").select("doc_id"), "doc_id", 1, 8)
+        .select(col("doc_id"), col("pos")).orderBy("pos")
+    },
+
     // PACKING MANIFEST (C13): the dataloader contract — one row per
     // packed window with its win_off-ordered `off:doc:doc_off:len`
     // segment CSV: exactly the block-diagonal attention-mask
@@ -1936,6 +1981,47 @@ object Text {
           sigs.filter(col("id") % 10 =!= 0),
           "id", "fp", 32, 4, 3, 1000)
         .orderBy("new_id", "other_id")
+    },
+
+    // FILTERING (T34): domain-blocklist tagging with registrable-
+    // suffix semantics — `example.com` blocks every subdomain, the
+    // LONGEST matching entry wins, and the whole operator is one
+    // narrow projection (the blocklist is config, not data). Hosts
+    // synthesized from doc_id per the URL-dedup pattern; oracle
+    // explodes the dot-suffix chain and arg_min's the match depth.
+    Q("q_t_domain_blocklist",
+      """WITH u AS (SELECT doc_id, 'https://' || CASE doc_id % 4
+        |    WHEN 0 THEN 'spam.example.com'
+        |    WHEN 1 THEN 'a.b.badsite.org'
+        |    WHEN 2 THEN 'goodsite.com'
+        |    ELSE 'sub.goodsite.com' END
+        |    || '/p/' || doc_id AS url FROM documents),
+        |hx AS (SELECT doc_id, lower(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)',
+        |    1)) AS host FROM u),
+        |s AS (SELECT doc_id, host, unnest(range(0,
+        |    len(string_split(host, '.')))) AS i FROM hx),
+        |c AS (SELECT doc_id, host, i,
+        |    array_to_string(list_slice(string_split(host, '.'),
+        |      i + 1, len(string_split(host, '.'))), '.') AS suf
+        |  FROM s),
+        |m AS (SELECT doc_id, arg_min(suf, i) AS blocked_by FROM c
+        |  WHERE suf IN ('badsite.org', 'spam.example.com',
+        |    'example.com') GROUP BY 1)
+        |SELECT hx.doc_id, hx.host, m.blocked_by
+        |FROM hx LEFT JOIN m ON hx.doc_id = m.doc_id
+        |ORDER BY hx.doc_id""".stripMargin) { (s, d) =>
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 4 === 0, lit("spam.example.com"))
+          .when(col("doc_id") % 4 === 1, lit("a.b.badsite.org"))
+          .when(col("doc_id") % 4 === 2, lit("goodsite.com"))
+          .otherwise(lit("sub.goodsite.com")),
+        lit("/p/"), col("doc_id").cast("string"))
+      graft.operators.TextAnalysis.tagByDomainBlocklist(
+          t(s, d, "documents").select(col("doc_id"), url.as("url")),
+          "doc_id", "url",
+          Seq("badsite.org", "spam.example.com", "example.com"))
+        .select("doc_id", "host", "blocked_by").orderBy("doc_id")
     },
 
     // DEDUP: URL-level dedup after canonicalization — three raw

@@ -658,4 +658,38 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"no unbroadcast cartesian:\n$plan")
   }
+
+  test("epoch shuffle: no global ranking window over the corpus — " +
+      "row ranks partition by bucket and the offset table broadcasts") {
+    val plan = planOf("q_pack_epoch_shuffle")
+    // every window spec leads with the bucket key: the corpus-side
+    // rank partitions by __b, and the only orderBy-without-partition
+    // window runs on the B-row offset frame (also keyed __b)
+    val specs = "windowspecdefinition\\(([a-z_]+)#"
+      .r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(specs == Set("__b"),
+      s"all window specs must lead with the bucket key, got $specs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"no wide join in the position assignment:\n$plan")
+  }
+
+  test("domain blocklist: a config blocklist is a plan literal — " +
+      "the tagging is one narrow projection, no join anywhere") {
+    val plan = planOf("q_t_domain_blocklist")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"blocklist tagging must not join:\n$plan")
+  }
+
+  test("correlated sample: both tables filter on the shared-key " +
+      "hash BEFORE the join — the exchange only moves the sample") {
+    val plan = planOf("q_samp_correlated")
+    val nFilters = "csamp:".r.findAllIn(plan).length
+    assert(nFilters >= 2,
+      s"both join inputs must carry the salted-key filter:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"keyed equi-join expected:\n$plan")
+  }
 }

@@ -799,4 +799,70 @@ class ScaleSpec extends SparkSpec {
     assertSameRows(brute.select("id_a", "id_b"),
       got.select("id_a", "id_b"))
   }
+
+  test("epochShuffle: positions are an exact bijection 0..N-1 in " +
+      "global salted-hash order; different epochs decorrelate") {
+    import graft.operators.Sharding
+    import org.apache.spark.sql.functions._
+    val df = (0 until 257).map(i => s"doc$i").toDF("id")
+    val got = Sharding.epochShuffle(df, "id", 1, 7)
+      .select("id", "pos").orderBy("pos")
+      .as[(String, Long)].collect()
+    assert(got.map(_._2).toList == (0L until 257L).toList,
+      "positions must be exactly 0..N-1")
+    val expect = df.select(col("id"),
+        graft.functions.hash31(concat(lit("ep1:"), col("id"))).as("h"))
+      .orderBy("h", "id").as[(String, Long)].collect().map(_._1).toList
+    assert(got.map(_._1).toList == expect,
+      "bucketed prefix-sum order must equal the global hash sort")
+    val e2 = Sharding.epochShuffle(df, "id", 2, 7)
+      .select("id", "pos").orderBy("pos")
+      .as[(String, Long)].collect().map(_._1).toList
+    assert(e2 != got.map(_._1).toList, "epochs must permute differently")
+    assert(e2.sorted == expect.sorted, "epoch 2 is still a bijection")
+  }
+
+  test("correlatedSample: join of per-table samples equals the " +
+      "hash filter of the full join (AQUA join-synopsis law)") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions._
+    val orders = (0 until 400)
+      .map(i => (i.toLong, i.toLong % 83, i.toLong * 7 % 101))
+      .toDF("o_id", "cust", "price")
+    val cust = (0L until 83L).map(c => (c, s"seg${c % 5}"))
+      .toDF("cust", "seg")
+    val sampled = Curation
+      .correlatedSample(orders, "cust", 10, 3)
+      .join(Curation.correlatedSample(cust, "cust", 10, 3), Seq("cust"))
+    val filteredJoin = orders.join(cust, Seq("cust"))
+      .filter(graft.functions.hashBucket(col("cust"), 10, "csamp") < 3)
+    assertSameRows(sampled.select("cust", "o_id", "price", "seg"),
+      filteredJoin.select("cust", "o_id", "price", "seg"))
+    assert(sampled.count() > 0, "the 30% key sample must be non-empty")
+  }
+
+  test("tagByDomainBlocklist: registrable-suffix semantics — " +
+      "longest entry wins, substring hosts don't match, " +
+      "case/port/userinfo stripped, unparseable url is clean") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "https://a.b.example.com/x"),
+      (2L, "https://notexample.com/"),
+      (3L, "https://EXAMPLE.com:8080/p"),
+      (4L, "https://user:pw@bad.org/x"),
+      (5L, "not a url"),
+      (6L, "https://deep.sub.bad.org/")
+    ).toDF("id", "url")
+    val got = TextAnalysis.tagByDomainBlocklist(df, "id", "url",
+        Seq("example.com", "bad.org", "sub.bad.org"))
+      .select("id", "host", "blocked_by").orderBy("id")
+      .as[(Long, String, Option[String])].collect().toList
+    assert(got == List(
+      (1L, "a.b.example.com", Some("example.com")),
+      (2L, "notexample.com", None),
+      (3L, "example.com", Some("example.com")),
+      (4L, "bad.org", Some("bad.org")),
+      (5L, "", None),
+      (6L, "deep.sub.bad.org", Some("sub.bad.org"))), got.toString)
+  }
 }
