@@ -993,4 +993,57 @@ object Dedup {
           .otherwise(expr("(hits * 1000) div n_cand"))
           .as("precision_milli"))
   }
+
+  /** WINNOWING fingerprint selection (Schleimer-Wilkerson-Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-token shingle,
+    * slide a window of `w` consecutive hashes over each document, and
+    * keep each window's minimum (rightmost on ties), deduplicated.
+    * The guarantee that makes it the code/doc fingerprint standard:
+    * every match of length ≥ w+k−1 tokens between two documents
+    * shares at least one SELECTED fingerprint (a local algorithm —
+    * selection depends only on a w-neighborhood, so the same content
+    * fingerprints identically wherever it appears), while storing
+    * ~2/(w+1) of all hashes.
+    *
+    * Determinism across engines: the windowed argmin rides ONE int64
+    * `h·2²⁰ + (2²⁰−1−pos)` — minimizing it picks the smallest hash
+    * and, among equals, the LARGEST position (the rightmost-tie rule)
+    * — so a plain frame `min` implements the paper's rule exactly and
+    * a SQL oracle reproduces it bit-for-bit. 31-bit hash + 20-bit
+    * position = 51 bits; docs are capped at 2²⁰ shingles (guarded).
+    *
+    * Scale shape: shingle fan-out is narrow; the only exchange is the
+    * per-document window (one key shuffle), and output size is the
+    * ~2/(w+1) selected fraction. */
+  def winnowFingerprints(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(w >= 1, s"w must be >= 1: $w")
+    val M = 1048576L // 2^20 position slots per document
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    df.select(col(idCol),
+        posexplode(call_function("graft_shingles",
+          graft.functions.tokens(col(textCol)), lit(k)))
+          .as(Seq("pos", "gram")))
+      .select(col(idCol), col("gram"),
+        when(col("pos") >= M, raise_error(concat(
+            lit("winnowFingerprints: document exceeds 2^20 shingles: "),
+            col(idCol).cast("string"))))
+          .otherwise(col("pos")).as("pos"))
+      .withColumn("__key",
+        hash31(col("gram")) * M + (lit(M - 1) - col("pos")))
+      .drop("gram")
+      .withColumn("__sel", min(col("__key")).over(win))
+      .withColumn("__mx",
+        max(col("pos")).over(Window.partitionBy(col(idCol))))
+      // the paper's windows start once w hashes exist; partial
+      // leading windows select nothing (short docs with fewer than
+      // w shingles still emit via the max-pos window)
+      .filter(col("pos") >= w - 1 || col("pos") === col("__mx"))
+      .select(col(idCol),
+        (lit(M - 1) - col("__sel") % M).as("fp_pos"),
+        expr("__sel div 1048576").as("fp_hash"))
+      .distinct()
+  }
 }

@@ -1703,4 +1703,39 @@ object TextAnalysis {
             filter(suffixes, s => array_contains(blockedArr, s)),
             lit(0))))
   }
+
+  /** CCNet-style PER-GROUP score bucketing (Wenzek et al., LREC
+    * 2020): rank every row's score WITHIN its group (language,
+    * source) and cut the ranks into `nBuckets` equal-mass buckets —
+    * CCNet's head/middle/tail perplexity terciles, the reason a
+    * quality threshold tuned on English doesn't silently delete
+    * Swahili. A global cut on the raw score is wrong whenever score
+    * scales differ by group (LM perplexity always does); the
+    * percentile transform makes the policy group-fair by
+    * construction.
+    *
+    * All-integer law, deterministic on any engine: rank() (ties
+    * share the MIN rank, so equal scores always land in the same
+    * bucket), `prank_milli = (rank−1)·1000 div (n_g−1)` (single-row
+    * group → 0), `bucket = min(prank_milli·nBuckets div 1000,
+    * nBuckets−1)`. Bucket 0 holds the LOWEST scores — callers order
+    * the score so that low = best (CCNet: low perplexity = head).
+    *
+    * Scale shape: one rank window + one count window, both keyed on
+    * the group — a single shuffle; no global window anywhere. */
+  def scoreBucketsByGroup(df: DataFrame, groupCol: String,
+      scoreCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    val g = Window.partitionBy(col(groupCol))
+    df.withColumn("__rk",
+        rank().over(g.orderBy(col(scoreCol))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(g))
+      .withColumn("prank_milli",
+        when(col("__n") <= 1, lit(0L))
+          .otherwise(expr("(__rk - 1) * 1000 div (__n - 1)")))
+      .withColumn("bucket",
+        least(expr(s"prank_milli * $nBuckets div 1000"),
+          lit(nBuckets - 1L)))
+      .drop("__rk", "__n")
+  }
 }

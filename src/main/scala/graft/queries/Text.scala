@@ -1983,6 +1983,54 @@ object Text {
         .orderBy("new_id", "other_id")
     },
 
+    // DEDUP (D20): winnowing fingerprint selection (Schleimer 2003,
+    // MOSS) — per-doc sliding-window argmin over 4-gram hashes with
+    // the rightmost-tie rule, all riding ONE int64 h*2^20+(2^20-1-pos)
+    // so a plain frame min IS the paper's rule on both engines.
+    Q("q_d_winnow",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |gr AS (SELECT doc_id, i AS pos,
+         |    ${sqlHash31("array_to_string(list_slice(t, i + 1, i + 4), ' ')")}
+         |      * 1048576 + (1048575 - i) AS key
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 3)) AS i
+         |        FROM tok)),
+         |sel AS (SELECT doc_id, pos,
+         |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s,
+         |    max(pos) OVER (PARTITION BY doc_id) AS mx FROM gr)
+         |SELECT DISTINCT doc_id,
+         |  CAST(1048575 - (s % 1048576) AS BIGINT) AS fp_pos,
+         |  CAST(s // 1048576 AS BIGINT) AS fp_hash
+         |FROM sel WHERE pos >= 4 OR pos = mx
+         |ORDER BY doc_id, fp_pos""".stripMargin) { (s, d) =>
+      graft.operators.Dedup.winnowFingerprints(
+          t(s, d, "documents"), "doc_id", "text", 4, 5)
+        .orderBy("doc_id", "fp_pos")
+    },
+
+    // QUALITY (T35): CCNet per-group score terciles — rank-percentile
+    // within the group, integer milli, equal-mass head/middle/tail
+    // buckets; ties share the min rank so equal scores always land
+    // in the same bucket on every engine.
+    Q("q_t_score_buckets",
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(CASE WHEN n <= 1 THEN 0
+        |    ELSE (rk - 1) * 1000 // (n - 1) END AS BIGINT)
+        |    AS prank_milli,
+        |  CAST(least((CASE WHEN n <= 1 THEN 0
+        |    ELSE (rk - 1) * 1000 // (n - 1) END) * 3 // 1000, 2)
+        |    AS BIGINT) AS bucket
+        |FROM (SELECT doc_id, lang, n_chars,
+        |    rank() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.TextAnalysis.scoreBucketsByGroup(
+          t(s, d, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars", 3)
+        .select("doc_id", "lang", "n_chars", "prank_milli", "bucket")
+        .orderBy("doc_id")
+    },
+
     // FILTERING (T34): domain-blocklist tagging with registrable-
     // suffix semantics — `example.com` blocks every subdomain, the
     // LONGEST matching entry wins, and the whole operator is one

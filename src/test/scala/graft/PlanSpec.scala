@@ -683,6 +683,26 @@ class PlanSpec extends SparkSpec {
       s"blocklist tagging must not join:\n$plan")
   }
 
+  test("winnowing: both windows key on the document id — one " +
+      "shuffle, no pairwise work in fingerprint selection") {
+    val plan = planOf("q_d_winnow")
+    val specs = "windowspecdefinition\\(([a-z_]+)#"
+      .r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(specs == Set("doc_id"),
+      s"selection windows must key on doc_id, got $specs:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"fingerprint selection must not join:\n$plan")
+  }
+
+  test("score buckets: rank and count windows key on the group — " +
+      "a single group-keyed shuffle, never a global percentile") {
+    val plan = planOf("q_t_score_buckets")
+    val specs = "windowspecdefinition\\(([a-z_]+)#"
+      .r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(specs == Set("lang"),
+      s"windows must key on the group, got $specs:\n$plan")
+  }
+
   test("correlated sample: both tables filter on the shared-key " +
       "hash BEFORE the join — the exchange only moves the sample") {
     val plan = planOf("q_samp_correlated")

@@ -865,4 +865,55 @@ class ScaleSpec extends SparkSpec {
       (5L, "", None),
       (6L, "deep.sub.bad.org", Some("sub.bad.org"))), got.toString)
   }
+
+  test("winnowFingerprints: any shared run of >= w+k-1 tokens " +
+      "shares a selected fingerprint; short docs still fingerprint; " +
+      "selection density is the ~2/(w+1) regime") {
+    import graft.operators.Dedup
+    val common = (0 until 12).map(i => s"shared$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta gamma delta $common tail one two"),
+      (2L, s"zig zag $common completely different ending here"),
+      (3L, "tiny doc of five tokens"),
+      (4L, "solo text nothing in common with others at all ok")
+    ).toDF("id", "text")
+    // k=4, w=5: guarantee threshold w+k-1 = 8 <= 12 shared tokens
+    val fp = Dedup.winnowFingerprints(df, "id", "text", 4, 5)
+    val byDoc = fp.select("id", "fp_hash").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "docs sharing a 12-token run must share a fingerprint")
+    assert((byDoc(4L) & byDoc(1L)).isEmpty &&
+      (byDoc(4L) & byDoc(2L)).isEmpty,
+      "no shared grams, no shared fingerprints")
+    // 5 tokens -> 2 shingles < w=5: the partial-window fallback fires
+    assert(byDoc(3L).nonEmpty,
+      "a doc shorter than w shingles still emits its min")
+    val nShingles1 = 20 - 3 // doc 1 has 20 tokens -> 17 4-gram shingles
+    assert(byDoc(1L).size <= nShingles1 / 2 + 1,
+      s"winnowing must select a small fraction, got ${byDoc(1L).size}")
+  }
+
+  test("scoreBucketsByGroup: equal-mass terciles within each group, " +
+      "equal scores share a bucket, singleton group is bucket 0") {
+    import graft.operators.TextAnalysis
+    val rows =
+      (0 until 90).map(i => ("big", i.toLong, s"d$i")) ++
+      Seq(("tie", 5L, "t1"), ("tie", 5L, "t2"), ("tie", 5L, "t3"),
+        ("tie", 9L, "t4"), ("solo", 42L, "s1"))
+    val got = TextAnalysis.scoreBucketsByGroup(
+        rows.toDF("g", "score", "id"), "g", "score", 3)
+      .select("g", "id", "bucket").as[(String, String, Long)]
+      .collect()
+    val big = got.filter(_._1 == "big").groupBy(_._3)
+      .map { case (b, v) => b -> v.size }
+    assert(big == Map(0L -> 30, 1L -> 30, 2L -> 30),
+      s"90 distinct scores must cut 30/30/30: $big")
+    val tie = got.filter(_._1 == "tie").map(t => t._2 -> t._3).toMap
+    assert(tie("t1") == tie("t2") && tie("t2") == tie("t3"),
+      s"equal scores must share a bucket: $tie")
+    assert(tie("t4") == 2L, s"the strict max of 4 ranks to the top: $tie")
+    assert(got.filter(_._1 == "solo").head._3 == 0L,
+      "singleton group sits in bucket 0")
+  }
 }
