@@ -1046,4 +1046,31 @@ object Dedup {
         expr("__sel div 1048576").as("fp_hash"))
       .distinct()
   }
+
+  /** The MOSS MATCH step over [[winnowFingerprints]] output: group
+    * documents by selected fingerprint, emit each unordered pair once
+    * with its shared-fingerprint count, keep pairs sharing at least
+    * `minShared`. By the winnowing guarantee, any two documents
+    * sharing a run of ≥ w+k−1 tokens MUST appear here — so this pair
+    * table has full recall on long verbatim overlaps at ~2/(w+1) of
+    * the all-grams join's cost.
+    *
+    * Same hygiene as the LSH paths: a fingerprint selected by B docs
+    * yields B² pairs, and ubiquitous fingerprints are boilerplate,
+    * not matches — the `maxBucket` cap bounds every join key.
+    * Shuffle keys are fp_hash then the pair — nothing all-pairs. */
+  def winnowPairs(fp: DataFrame, idCol: String, minShared: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val u = fp.select(col(idCol).as("id"), col("fp_hash")).distinct()
+    val small = u.groupBy("fp_hash").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("fp_hash")
+    val kept = u.join(small, Seq("fp_hash"), "left_semi")
+    val l = kept.select(col("fp_hash"), col("id").as("id_a"))
+    val r = kept.select(col("fp_hash"), col("id").as("id_b"))
+    l.join(r, Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

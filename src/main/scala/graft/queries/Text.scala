@@ -2008,6 +2008,103 @@ object Text {
         .orderBy("doc_id", "fp_pos")
     },
 
+    // DEDUP (D21): the MOSS match step — pair documents by shared
+    // winnowed fingerprints (cap 50, >= 2 shared). By the winnowing
+    // guarantee this has FULL recall on verbatim runs >= w+k-1 tokens
+    // at ~2/(w+1) of the all-grams join's cost.
+    Q("q_d_winnow_pairs",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |gr AS (SELECT doc_id, i AS pos,
+         |    ${sqlHash31("array_to_string(list_slice(t, i + 1, i + 4), ' ')")}
+         |      * 1048576 + (1048575 - i) AS key
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 3)) AS i
+         |        FROM tok)),
+         |sel AS (SELECT doc_id, pos,
+         |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s,
+         |    max(pos) OVER (PARTITION BY doc_id) AS mx FROM gr),
+         |fp AS (SELECT DISTINCT doc_id,
+         |    CAST(s // 1048576 AS BIGINT) AS fp_hash
+         |  FROM sel WHERE pos >= 4 OR pos = mx),
+         |small AS (SELECT fp_hash FROM fp GROUP BY 1
+         |  HAVING count(*) <= 50),
+         |k AS (SELECT f.doc_id, f.fp_hash FROM fp f
+         |  JOIN small USING (fp_hash))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS shared_fps
+         |FROM k a JOIN k b ON a.fp_hash = b.fp_hash
+         |  AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      graft.operators.Dedup.winnowPairs(
+          graft.operators.Dedup.winnowFingerprints(
+            t(s, d, "documents"), "doc_id", "text", 4, 5),
+          "doc_id", 2, 50)
+        .orderBy("id_a", "id_b")
+    },
+
+    // E2E (E13): the crawl-curation pipeline as ONE declarative plan
+    // — blocklist-tag synthesized hosts and keep the clean ones,
+    // CCNet-bucket quality per language and drop the tail tercile,
+    // then epoch-shuffle the survivors into dataloader order. Every
+    // stage is a graded round-10 operator; the oracle replays the
+    // whole composition.
+    Q("q_e2e_crawl_curate",
+      s"""WITH u AS (SELECT doc_id, lang, n_chars,
+         |    'https://' || CASE doc_id % 4
+         |    WHEN 0 THEN 'spam.example.com'
+         |    WHEN 1 THEN 'a.b.badsite.org'
+         |    WHEN 2 THEN 'goodsite.com'
+         |    ELSE 'sub.goodsite.com' END
+         |    || '/p/' || doc_id AS url FROM documents),
+         |hx AS (SELECT doc_id, lang, n_chars,
+         |    lower(regexp_extract(url,
+         |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)',
+         |    1)) AS host FROM u),
+         |surv AS (SELECT doc_id, lang, n_chars FROM hx
+         |  WHERE NOT EXISTS (SELECT 1 FROM (SELECT unnest(range(0,
+         |      len(string_split(hx.host, '.')))) AS i) s
+         |    WHERE array_to_string(list_slice(
+         |        string_split(hx.host, '.'), s.i + 1,
+         |        len(string_split(hx.host, '.'))), '.')
+         |      IN ('badsite.org', 'spam.example.com', 'example.com'))),
+         |bk AS (SELECT doc_id, lang, CASE WHEN n <= 1 THEN 0
+         |    ELSE least((rk - 1) * 1000 // (n - 1) * 3 // 1000, 2)
+         |    END AS bucket
+         |  FROM (SELECT doc_id, lang,
+         |      rank() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+         |      count(*) OVER (PARTITION BY lang) AS n FROM surv)),
+         |keep AS (SELECT doc_id, lang, bucket FROM bk
+         |  WHERE bucket <= 1),
+         |sh AS (SELECT doc_id, lang, bucket,
+         |    ${sqlHash31("'ep1:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM keep)
+         |SELECT CAST(row_number() OVER (ORDER BY h, doc_id) - 1
+         |    AS BIGINT) AS pos, doc_id, lang,
+         |  CAST(bucket AS BIGINT) AS bucket
+         |FROM sh ORDER BY pos""".stripMargin) { (s, d) =>
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 4 === 0, lit("spam.example.com"))
+          .when(col("doc_id") % 4 === 1, lit("a.b.badsite.org"))
+          .when(col("doc_id") % 4 === 2, lit("goodsite.com"))
+          .otherwise(lit("sub.goodsite.com")),
+        lit("/p/"), col("doc_id").cast("string"))
+      val surv = graft.operators.TextAnalysis.tagByDomainBlocklist(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"),
+              url.as("url")),
+          "doc_id", "url",
+          Seq("badsite.org", "spam.example.com", "example.com"))
+        .filter(col("blocked_by").isNull)
+        .select("doc_id", "lang", "n_chars")
+      val kept = graft.operators.TextAnalysis.scoreBucketsByGroup(
+          surv, "lang", "n_chars", 3)
+        .filter(col("bucket") <= 1)
+        .select("doc_id", "lang", "bucket")
+      graft.operators.Sharding.epochShuffle(kept, "doc_id", 1, 8)
+        .select("pos", "doc_id", "lang", "bucket").orderBy("pos")
+    },
+
     // QUALITY (T35): CCNet per-group score terciles — rank-percentile
     // within the group, integer milli, equal-mass head/middle/tail
     // buckets; ties share the min rank so equal scores always land

@@ -703,6 +703,27 @@ class PlanSpec extends SparkSpec {
       s"windows must key on the group, got $specs:\n$plan")
   }
 
+  test("winnow pairs: the match join keys on fp_hash — no " +
+      "cartesian, no all-pairs work") {
+    val plan = planOf("q_d_winnow_pairs")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay keyed on the fingerprint:\n$plan")
+  }
+
+  test("e2e crawl curation: every window keys on lang or the " +
+      "shuffle bucket; blocklist stage contributes no join") {
+    val plan = planOf("q_e2e_crawl_curate")
+    val specs = "windowspecdefinition\\(([a-z_]+)#"
+      .r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(specs == Set("lang", "__b"),
+      s"windows must key on lang (buckets) and __b (shuffle), " +
+        s"got $specs:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"only the broadcast offset join may appear:\n$plan")
+  }
+
   test("correlated sample: both tables filter on the shared-key " +
       "hash BEFORE the join — the exchange only moves the sample") {
     val plan = planOf("q_samp_correlated")

@@ -916,4 +916,30 @@ class ScaleSpec extends SparkSpec {
     assert(got.filter(_._1 == "solo").head._3 == 0L,
       "singleton group sits in bucket 0")
   }
+
+  test("winnowPairs: full recall on long verbatim overlaps; the " +
+      "bucket cap drops boilerplate fingerprints, not matches") {
+    import graft.operators.Dedup
+    val common = (0 until 15).map(i => s"run$i").mkString(" ")
+    val boiler = "standard footer text appears everywhere always"
+    val df = Seq(
+      (1L, s"intro one $common outro alpha"),
+      (2L, s"other beginning $common different close beta"),
+      (3L, s"unrelated content entirely $boiler"),
+      (4L, s"more unrelated material here $boiler"),
+      (5L, "nothing shared with anything else at all whatsoever")
+    ).toDF("id", "text")
+    val fp = Dedup.winnowFingerprints(df, "id", "text", 4, 5)
+    val pairs = Dedup.winnowPairs(fp, "id", 2, 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      s"15-token shared run must pair (guarantee threshold 8): $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      s"disjoint doc must not pair: $pairs")
+    // cap 1: every fingerprint shared by 2+ docs is dropped -> no pairs
+    val capped = Dedup.winnowPairs(fp, "id", 1, 1)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.isEmpty, s"cap 1 must drop all shared buckets: " +
+      capped.mkString(","))
+  }
 }
