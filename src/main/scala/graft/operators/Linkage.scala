@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage (Fellegi & Sunter, JASA 1969) — the
+  * entity-resolution discipline for records WITHOUT a shared key:
+  * candidate pairs from a blocking key, a per-field agreement score in
+  * log-odds (ln(m/u): m = P(agree | same entity), u = P(agree |
+  * different entities)), and the two-threshold decision rule — above
+  * the upper threshold auto-link, below the lower auto-reject, the
+  * band between goes to clerical review. This is the classic
+  * complement of the content-dedup ladder: MinHash/SimHash match
+  * near-identical TEXT; linkage matches structured records (customer
+  * rows, product entries) whose fields individually disagree.
+  *
+  * Reference context: the reference's import pipeline dedupes on
+  * exact natural keys only (/root/reference/utils/importer/
+  * product_import_etl.py upsert keys); fuzzy entity resolution exists
+  * for the multi-source regime per SURVEY.md §2.12.
+  *
+  * Weights are CONFIG (milli log-odds per field, agreement and
+  * disagreement) — in production they come from an EM fit (Winkler
+  * 1988) or are hand-set from known m/u rates; taking them as inputs
+  * keeps the operator deterministic and oracle-checkable. Missing
+  * values contribute ZERO (no evidence either way — the standard
+  * convention), so the score is a sum of int64 millis: exact on any
+  * engine.
+  *
+  * Scale shape: one shuffle on the blocking key; block sizes are
+  * capped (a block of B rows yields B² pairs — an over-coarse block
+  * is a config error, not a reason to melt the cluster), and the
+  * pair fan-out happens AFTER the cap's semi-join. Nothing all-pairs.
+  * Multi-pass blocking (union of several blocking keys — standard
+  * recall insurance) composes by unioning calls and re-aggregating
+  * max score per pair.
+  */
+object Linkage {
+
+  /** One field comparison: (column, agreeMilli, disagreeMilli).
+    * agreeMilli ≈ 1000·ln(m/u) > 0; disagreeMilli ≈
+    * 1000·ln((1−m)/(1−u)) < 0. */
+  type FieldWeight = (String, Long, Long)
+
+  /** Score every within-block unordered pair and classify against the
+    * Fellegi-Sunter thresholds. Output: (id_a, id_b, score_milli,
+    * verdict ∈ match | possible | non_match), id_a < id_b. */
+  def linkPairs(df: DataFrame, idCol: String, blockCol: String,
+      fields: Seq[FieldWeight], upperMilli: Long, lowerMilli: Long,
+      maxBlock: Int = 1000): DataFrame = {
+    require(fields.nonEmpty, "linkPairs needs at least one field")
+    require(upperMilli >= lowerMilli,
+      s"upper ($upperMilli) must be >= lower ($lowerMilli)")
+    val cols = Seq(idCol) ++ fields.map(_._1)
+    val base = df.select(col(blockCol).as("__blk") +:
+      cols.map(c => col(c)): _*)
+    val small = base.groupBy("__blk").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBlock).select("__blk")
+    val kept = base.join(small, Seq("__blk"), "left_semi")
+    def side(tag: String) = kept.select(col("__blk") +:
+      cols.map(c => col(c).as(s"${c}_$tag")): _*)
+    val score = fields.map { case (c, agree, disagree) =>
+      when(col(s"${c}_a").isNull || col(s"${c}_b").isNull, lit(0L))
+        .when(col(s"${c}_a") === col(s"${c}_b"), lit(agree))
+        .otherwise(lit(disagree))
+    }.reduce(_ + _)
+    side("a").join(side("b"), Seq("__blk"))
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .select(col(s"${idCol}_a").as("id_a"),
+        col(s"${idCol}_b").as("id_b"), score.as("score_milli"))
+      .withColumn("verdict",
+        when(col("score_milli") >= upperMilli, lit("match"))
+          .when(col("score_milli") <= lowerMilli, lit("non_match"))
+          .otherwise(lit("possible")))
+  }
+}

@@ -1296,6 +1296,56 @@ object Approx {
         .orderBy("col_name")
     },
 
+    // LINKAGE (D22): Fellegi-Sunter probabilistic record linkage —
+    // nation-blocked pairs over original ∪ perturbed customers,
+    // milli log-odds field weights, two-threshold verdicts. The 1500
+    // true pairs split 1000 auto-match / 500 clerical band; zero
+    // cross-entity pairs clear the lower threshold.
+    Q("q_d_linkage",
+      """WITH u AS (
+        |  SELECT c_custkey AS id, c_nationkey AS blk, c_name AS name,
+        |    c_acctbal AS bal, c_mktsegment AS seg FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_nationkey, c_name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.0
+        |      ELSE c_acctbal END,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'ALTERED'
+        |      ELSE c_mktsegment END
+        |  FROM customer),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    (CASE WHEN a.name IS NULL OR b.name IS NULL THEN 0
+        |      WHEN a.name = b.name THEN 4000 ELSE -1000 END
+        |    + CASE WHEN a.bal IS NULL OR b.bal IS NULL THEN 0
+        |      WHEN a.bal = b.bal THEN 1500 ELSE -400 END
+        |    + CASE WHEN a.seg IS NULL OR b.seg IS NULL THEN 0
+        |      WHEN a.seg = b.seg THEN 300 ELSE -300 END) AS score_milli
+        |  FROM u a JOIN u b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(score_milli AS BIGINT) AS score_milli,
+        |  CASE WHEN score_milli >= 4000 THEN 'match'
+        |    WHEN score_milli <= 0 THEN 'non_match'
+        |    ELSE 'possible' END AS verdict
+        |FROM p WHERE score_milli > 0
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      val dirty = c.select(
+        (col("c_custkey") + 1000000L).as("id"),
+        col("c_nationkey").as("blk"), col("c_name").as("name"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1.0d)
+          .otherwise(col("c_acctbal")).as("bal"),
+        when(col("c_custkey") % 5 === 0, lit("ALTERED"))
+          .otherwise(col("c_mktsegment")).as("seg"))
+      val u = c.select(col("c_custkey").as("id"),
+          col("c_nationkey").as("blk"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+        .unionByName(dirty)
+      graft.operators.Linkage.linkPairs(u, "id", "blk",
+          Seq(("name", 4000L, -1000L), ("bal", 1500L, -400L),
+            ("seg", 300L, -300L)),
+          upperMilli = 4000L, lowerMilli = 0L, maxBlock = 5000)
+        .filter(col("score_milli") > 0)
+        .orderBy("id_a", "id_b")
+    },
+
     // PRODUCT QUANTIZATION: encode 64-dim float vectors as 4 codes
     // (one per 16-dim subspace, L2-nearest codeword from the seed
     // codebook). Codes + per-subspace residual distances emitted as

@@ -724,6 +724,14 @@ class PlanSpec extends SparkSpec {
       s"only the broadcast offset join may appear:\n$plan")
   }
 
+  test("record linkage: the pair join keys on the block — no " +
+      "cartesian, no all-pairs scoring") {
+    val plan = planOf("q_d_linkage")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay block-keyed:\n$plan")
+  }
+
   test("correlated sample: both tables filter on the shared-key " +
       "hash BEFORE the join — the exchange only moves the sample") {
     val plan = planOf("q_samp_correlated")

@@ -942,4 +942,36 @@ class ScaleSpec extends SparkSpec {
     assert(capped.isEmpty, s"cap 1 must drop all shared buckets: " +
       capped.mkString(","))
   }
+
+  test("linkPairs: nulls carry zero evidence, the two-threshold " +
+      "band classifies exactly, oversize blocks drop via the cap") {
+    import graft.operators.Linkage
+    val df = Seq(
+      (1L, "b1", "ann", Some("x")),   // 1-2: name+tag agree = 5000
+      (2L, "b1", "ann", Some("x")),
+      (3L, "b1", "ann", None),        // 1-3: name agrees, tag null = 4000
+      (4L, "b1", "bob", Some("x")),   // 1-4: name dis, tag agree = -500
+      (5L, "b2", "eve", Some("y")),   // other block: no cross pairs
+      (6L, "b2", "eve", Some("z"))    // 5-6: 4000 - 1000 = 3000
+    ).toDF("id", "blk", "name", "tag")
+    val got = Linkage.linkPairs(df, "id", "blk",
+        Seq(("name", 4000L, -1500L), ("tag", 1000L, -1000L)),
+        upperMilli = 4500L, lowerMilli = 0L)
+      .select("id_a", "id_b", "score_milli", "verdict")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got((1L, 2L)) == ((5000L, "match")))
+    assert(got((1L, 3L)) == ((4000L, "possible")),
+      "null field must contribute zero, not disagreement")
+    assert(got((1L, 4L)) == ((-500L, "non_match")))
+    assert(got((5L, 6L)) == ((3000L, "possible")))
+    assert(!got.contains((1L, 5L)) && !got.contains((4L, 6L)),
+      "cross-block pairs must not exist")
+    val capped = Linkage.linkPairs(df, "id", "blk",
+      Seq(("name", 1L, -1L)), 1L, 0L, maxBlock = 3)
+      .collect()
+    // block b1 has 4 rows > cap 3; only b2's single pair survives
+    assert(capped.length == 1, s"cap must drop block b1: " +
+      capped.mkString(","))
+  }
 }
