@@ -42,13 +42,35 @@ object Linkage {
     * 1000·ln((1−m)/(1−u)) < 0. */
   type FieldWeight = (String, Long, Long)
 
+  /** One comparator-typed field: (column, mode, agreeMilli,
+    * disagreeMilli). mode ∈ exact | lev1 (agreement = Levenshtein
+    * distance ≤ 1 — the single-typo tolerance that is the usual
+    * reason probabilistic linkage exists at all; codegen'd built-in
+    * on both engines). */
+  type TypedFieldWeight = (String, String, Long, Long)
+
   /** Score every within-block unordered pair and classify against the
     * Fellegi-Sunter thresholds. Output: (id_a, id_b, score_milli,
     * verdict ∈ match | possible | non_match), id_a < id_b. */
   def linkPairs(df: DataFrame, idCol: String, blockCol: String,
       fields: Seq[FieldWeight], upperMilli: Long, lowerMilli: Long,
-      maxBlock: Int = 1000): DataFrame = {
+      maxBlock: Int = 1000): DataFrame =
+    linkPairsBy(df, idCol, blockCol,
+      fields.map { case (c, a, d) => (c, "exact", a, d) },
+      upperMilli, lowerMilli, maxBlock)
+
+  /** [[linkPairs]] with per-field comparator modes. Fuzzy modes only
+    * change the AGREEMENT PREDICATE — the weight algebra, the null
+    * convention, and the decision rule are identical, so the exact
+    * and fuzzy paths share every law. Levenshtein runs pair-level
+    * inside the block join (never corpus²); fields expected to need
+    * it should be short (names, codes — the linkage norm). */
+  def linkPairsBy(df: DataFrame, idCol: String, blockCol: String,
+      fields: Seq[TypedFieldWeight], upperMilli: Long,
+      lowerMilli: Long, maxBlock: Int = 1000): DataFrame = {
     require(fields.nonEmpty, "linkPairs needs at least one field")
+    val badMode = fields.map(_._2).filterNot(Set("exact", "lev1"))
+    require(badMode.isEmpty, s"unknown comparator mode: $badMode")
     require(upperMilli >= lowerMilli,
       s"upper ($upperMilli) must be >= lower ($lowerMilli)")
     val cols = Seq(idCol) ++ fields.map(_._1)
@@ -59,9 +81,15 @@ object Linkage {
     val kept = base.join(small, Seq("__blk"), "left_semi")
     def side(tag: String) = kept.select(col("__blk") +:
       cols.map(c => col(c).as(s"${c}_$tag")): _*)
-    val score = fields.map { case (c, agree, disagree) =>
+    val score = fields.map { case (c, mode, agree, disagree) =>
+      val agrees = mode match {
+        case "exact" => col(s"${c}_a") === col(s"${c}_b")
+        case "lev1" =>
+          levenshtein(col(s"${c}_a").cast("string"),
+            col(s"${c}_b").cast("string")) <= 1
+      }
       when(col(s"${c}_a").isNull || col(s"${c}_b").isNull, lit(0L))
-        .when(col(s"${c}_a") === col(s"${c}_b"), lit(agree))
+        .when(agrees, lit(agree))
         .otherwise(lit(disagree))
     }.reduce(_ + _)
     side("a").join(side("b"), Seq("__blk"))

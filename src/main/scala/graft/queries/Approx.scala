@@ -1346,6 +1346,66 @@ object Approx {
         .orderBy("id_a", "id_b")
     },
 
+    // LINKAGE (D23): the fuzzy comparator — every %7th duplicate
+    // carries a one-char name typo that exact matching would score
+    // as disagreement (-1000, dropping it to the clerical band or
+    // below); the lev1 comparator absorbs it and all 1500 true pairs
+    // still surface. Names are md5-derived so lev1 can't fire across
+    // entities (the TPC-H sequential names sit at distance 1 of each
+    // other — the classic low-entropy-key trap, spec'd in ScaleSpec).
+    Q("q_d_linkage_fuzzy",
+      """WITH u AS (
+        |  SELECT c_custkey AS id, c_nationkey AS blk,
+        |    substr(md5(c_name), 1, 12) AS name,
+        |    c_acctbal AS bal, c_mktsegment AS seg FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_nationkey,
+        |    CASE WHEN c_custkey % 7 = 0
+        |      THEN substr(md5(c_name), 1, 12) || 'x'
+        |      ELSE substr(md5(c_name), 1, 12) END,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.0
+        |      ELSE c_acctbal END,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'ALTERED'
+        |      ELSE c_mktsegment END
+        |  FROM customer),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    (CASE WHEN a.name IS NULL OR b.name IS NULL THEN 0
+        |      WHEN levenshtein(a.name, b.name) <= 1 THEN 4000
+        |      ELSE -1000 END
+        |    + CASE WHEN a.bal IS NULL OR b.bal IS NULL THEN 0
+        |      WHEN a.bal = b.bal THEN 1500 ELSE -400 END
+        |    + CASE WHEN a.seg IS NULL OR b.seg IS NULL THEN 0
+        |      WHEN a.seg = b.seg THEN 300 ELSE -300 END) AS score_milli
+        |  FROM u a JOIN u b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(score_milli AS BIGINT) AS score_milli,
+        |  CASE WHEN score_milli >= 4000 THEN 'match'
+        |    WHEN score_milli <= 0 THEN 'non_match'
+        |    ELSE 'possible' END AS verdict
+        |FROM p WHERE score_milli > 0
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      val cleanName = substring(md5(col("c_name")), 1, 12)
+      val u = c.select(col("c_custkey").as("id"),
+          col("c_nationkey").as("blk"), cleanName.as("name"),
+          col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+        .unionByName(c.select(
+          (col("c_custkey") + 1000000L).as("id"),
+          col("c_nationkey").as("blk"),
+          when(col("c_custkey") % 7 === 0, concat(cleanName, lit("x")))
+            .otherwise(cleanName).as("name"),
+          when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1.0d)
+            .otherwise(col("c_acctbal")).as("bal"),
+          when(col("c_custkey") % 5 === 0, lit("ALTERED"))
+            .otherwise(col("c_mktsegment")).as("seg")))
+      graft.operators.Linkage.linkPairsBy(u, "id", "blk",
+          Seq(("name", "lev1", 4000L, -1000L),
+            ("bal", "exact", 1500L, -400L),
+            ("seg", "exact", 300L, -300L)),
+          upperMilli = 4000L, lowerMilli = 0L, maxBlock = 5000)
+        .filter(col("score_milli") > 0)
+        .orderBy("id_a", "id_b")
+    },
+
     // PRODUCT QUANTIZATION: encode 64-dim float vectors as 4 codes
     // (one per 16-dim subspace, L2-nearest codeword from the seed
     // codebook). Codes + per-subspace residual distances emitted as

@@ -974,4 +974,26 @@ class ScaleSpec extends SparkSpec {
     assert(capped.length == 1, s"cap must drop block b1: " +
       capped.mkString(","))
   }
+
+  test("linkPairsBy lev1: a one-char typo scores as agreement; " +
+      "sequential low-entropy keys are the documented trap") {
+    import graft.operators.Linkage
+    val df = Seq(
+      (1L, "b", "kxq93f", "p1"), (2L, "b", "kxq93fx", "p1"), // typo pair
+      (3L, "b", "cust001", "p2"), (4L, "b", "cust002", "p3") // trap pair
+    ).toDF("id", "blk", "name", "tag")
+    val got = Linkage.linkPairsBy(df, "id", "blk",
+        Seq(("name", "lev1", 3000L, -1000L), ("tag", "exact", 500L, -500L)),
+        upperMilli = 3000L, lowerMilli = 0L)
+      .select("id_a", "id_b", "score_milli", "verdict")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got((1L, 2L)) == ((3500L, "match")),
+      s"lev1 must absorb the single typo: $got")
+    // distance-1 DISTINCT entities also 'agree' on name — the
+    // low-entropy-key trap: fuzzy comparators need distinctive fields
+    assert(got((3L, 4L)) == ((2500L, "possible")),
+      s"sequential ids fire the fuzzy comparator (by design): $got")
+    assert(got((1L, 3L))._2 == "non_match", got.toString)
+  }
 }
