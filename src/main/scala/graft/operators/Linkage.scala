@@ -85,8 +85,25 @@ object Linkage {
       val agrees = mode match {
         case "exact" => col(s"${c}_a") === col(s"${c}_b")
         case "lev1" =>
-          levenshtein(col(s"${c}_a").cast("string"),
-            col(s"${c}_b").cast("string")) <= 1
+          // EXACT prefilter before the DP: a single edit leaves
+          // either the first k = ⌊(n−1)/2⌋ chars or the last
+          // n−1−k chars intact (n = min length; edit at position
+          // p ≥ k keeps the prefix, p < k keeps a suffix of length
+          // ≥ n−k > n−1−k). Random pairs die on two cheap substring
+          // compares; the O(len²) levenshtein runs only on
+          // survivors. codegen And short-circuits, so this is a
+          // per-row guard, not a separate pass.
+          val a = col(s"${c}_a").cast("string")
+          val b = col(s"${c}_b").cast("string")
+          val la = length(a)
+          val lb = length(b)
+          val n = least(la, lb)
+          val k = ((n - lit(1)) / lit(2)).cast("int")
+          val m = n - lit(1) - k
+          val cheap = n <= 1 ||
+            a.substr(lit(1), k) === b.substr(lit(1), k) ||
+            a.substr(la - m + 1, m) === b.substr(lb - m + 1, m)
+          abs(la - lb) <= 1 && cheap && levenshtein(a, b) <= 1
       }
       when(col(s"${c}_a").isNull || col(s"${c}_b").isNull, lit(0L))
         .when(agrees, lit(agree))

@@ -1303,10 +1303,12 @@ object Approx {
     // cross-entity pairs clear the lower threshold.
     Q("q_d_linkage",
       """WITH u AS (
-        |  SELECT c_custkey AS id, c_nationkey AS blk, c_name AS name,
+        |  SELECT c_custkey AS id, c_nationkey || ':' ||
+        |      right(c_name, 1) AS blk, c_name AS name,
         |    c_acctbal AS bal, c_mktsegment AS seg FROM customer
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_nationkey, c_name,
+        |  SELECT c_custkey + 1000000, c_nationkey || ':' ||
+        |      right(c_name, 1), c_name,
         |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.0
         |      ELSE c_acctbal END,
         |    CASE WHEN c_custkey % 5 = 0 THEN 'ALTERED'
@@ -1327,15 +1329,19 @@ object Approx {
         |FROM p WHERE score_milli > 0
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val c = t(s, d, "customer")
+      // block on (nation, a stable character of the match field) —
+      // the fine-blocking discipline the operator's scaladoc requires
+      val blk = concat(col("c_nationkey").cast("string"), lit(":"),
+        expr("right(c_name, 1)"))
       val dirty = c.select(
         (col("c_custkey") + 1000000L).as("id"),
-        col("c_nationkey").as("blk"), col("c_name").as("name"),
+        blk.as("blk"), col("c_name").as("name"),
         when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1.0d)
           .otherwise(col("c_acctbal")).as("bal"),
         when(col("c_custkey") % 5 === 0, lit("ALTERED"))
           .otherwise(col("c_mktsegment")).as("seg"))
       val u = c.select(col("c_custkey").as("id"),
-          col("c_nationkey").as("blk"), col("c_name").as("name"),
+          blk.as("blk"), col("c_name").as("name"),
           col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
         .unionByName(dirty)
       graft.operators.Linkage.linkPairs(u, "id", "blk",
@@ -1355,11 +1361,13 @@ object Approx {
     // other — the classic low-entropy-key trap, spec'd in ScaleSpec).
     Q("q_d_linkage_fuzzy",
       """WITH u AS (
-        |  SELECT c_custkey AS id, c_nationkey AS blk,
+        |  SELECT c_custkey AS id, c_nationkey || ':' ||
+        |      substr(md5(c_name), 1, 1) AS blk,
         |    substr(md5(c_name), 1, 12) AS name,
         |    c_acctbal AS bal, c_mktsegment AS seg FROM customer
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_nationkey,
+        |  SELECT c_custkey + 1000000, c_nationkey || ':' ||
+        |      substr(md5(c_name), 1, 1),
         |    CASE WHEN c_custkey % 7 = 0
         |      THEN substr(md5(c_name), 1, 12) || 'x'
         |      ELSE substr(md5(c_name), 1, 12) END,
@@ -1385,12 +1393,16 @@ object Approx {
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val c = t(s, d, "customer")
       val cleanName = substring(md5(col("c_name")), 1, 12)
+      // the typo is APPENDED, so the name's first char is a stable
+      // blocking proxy of the fuzzy field — fine blocks, no recall loss
+      val blk = concat(col("c_nationkey").cast("string"), lit(":"),
+        substring(md5(col("c_name")), 1, 1))
       val u = c.select(col("c_custkey").as("id"),
-          col("c_nationkey").as("blk"), cleanName.as("name"),
+          blk.as("blk"), cleanName.as("name"),
           col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
         .unionByName(c.select(
           (col("c_custkey") + 1000000L).as("id"),
-          col("c_nationkey").as("blk"),
+          blk.as("blk"),
           when(col("c_custkey") % 7 === 0, concat(cleanName, lit("x")))
             .otherwise(cleanName).as("name"),
           when(col("c_custkey") % 3 === 0, col("c_acctbal") + 1.0d)
