@@ -1047,6 +1047,34 @@ object Dedup {
       .distinct()
   }
 
+  /** SOFT dedup — the keep-everything alternative to
+    * [[keepBestPerCluster]] (Muennighoff et al. 2023, data-constrained
+    * scaling: repeated data is worth less but not worthless): every
+    * document survives, but members of a duplicate cluster carry
+    * sampling weight 1/cluster_size (exact integer milli), so each
+    * DISTINCT content unit contributes one document's worth of
+    * training mass no matter how many copies the crawl found. Feeds
+    * straight into the weighted samplers (weightedReservoirSample /
+    * systematicResample) — hard dedup becomes the special case
+    * "resample to the weight mass".
+    *
+    * `all` is the full corpus id frame; `clusters` the (id, cluster)
+    * pairs from [[duplicateClusters]] (non-clustered docs absent —
+    * they get weight 1000). Scale shape: one count shuffle on the
+    * cluster id (cluster-count-sized result), one key join back;
+    * nothing corpus². */
+  def softDedupWeights(all: DataFrame, clusters: DataFrame,
+      idCol: String, clusterCol: String): DataFrame = {
+    val sz = clusters.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("cluster_size"))
+    all.select(col(idCol))
+      .join(clusters.join(sz, Seq(clusterCol))
+          .select(col(idCol), col("cluster_size")),
+        Seq(idCol), "left")
+      .na.fill(1L, Seq("cluster_size"))
+      .withColumn("weight_milli", expr("1000 div cluster_size"))
+  }
+
   /** The MOSS MATCH step over [[winnowFingerprints]] output: group
     * documents by selected fingerprint, emit each unordered pair once
     * with its shared-fingerprint count, keep pairs sharing at least

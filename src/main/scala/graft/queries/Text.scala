@@ -921,6 +921,30 @@ object Text {
         .orderBy("cluster_id")
     },
 
+    // SOFT DEDUP (D24): keep every document, weight duplicates by
+    // 1/cluster_size milli (Muennighoff 2023) — each distinct content
+    // unit contributes one document's worth of training mass; feeds
+    // the weighted samplers directly.
+    Q("q_d_soft_dedup",
+      clusterCte +
+        s""", sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+           |    AS size FROM clusters GROUP BY 1),
+           |w AS (SELECT d.doc_id,
+           |    coalesce(sz.size, 1) AS cluster_size,
+           |    1000 // coalesce(sz.size, 1) AS weight_milli
+           |  FROM documents d
+           |  LEFT JOIN clusters c ON d.doc_id = c.doc_id
+           |  LEFT JOIN sz ON c.cluster_id = sz.cluster_id)
+           |SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+           |  CAST(weight_milli AS BIGINT) AS weight_milli
+           |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Dedup.softDedupWeights(
+          t(s, d, "documents").select("doc_id"),
+          sparkClusters(s, d), "doc_id", "cluster_id")
+        .select("doc_id", "cluster_size", "weight_milli")
+        .orderBy("doc_id")
+    },
+
     // DEDUP REPORT (D19): the cluster-size histogram + headline
     // duplicate ratio over the LSH clusters — the table a dedup run
     // actually publishes ("removed X% of docs; size distribution

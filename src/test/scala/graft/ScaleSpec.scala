@@ -975,6 +975,25 @@ class ScaleSpec extends SparkSpec {
       capped.mkString(","))
   }
 
+  test("softDedupWeights: cluster mass sums to ~1000 per distinct " +
+      "unit, singletons keep full weight, every doc survives") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    val all = (1L to 10L).toDF("id")
+    val clusters = Seq( // cluster A: 4 copies, cluster B: 2 copies
+      (1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"),
+      (5L, "B"), (6L, "B")).toDF("id", "cid")
+    val got = Dedup.softDedupWeights(all, clusters, "id", "cid")
+      .select("id", "cluster_size", "weight_milli")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 10, "every doc survives")
+    assert(got.filter(_._2 == 4L).forall(_._3 == 250L))
+    assert(got.filter(_._2 == 2L).forall(_._3 == 500L))
+    assert(got.filter(_._1 > 6L).forall(r => r._2 == 1L && r._3 == 1000L))
+    // mass conservation: 4*250 + 2*500 + 4*1000 = 6000 = 6 units
+    assert(got.map(_._3).sum == 6000L)
+  }
+
   test("linkPairsBy lev1: a one-char typo scores as agreement; " +
       "sequential low-entropy keys are the documented trap") {
     import graft.operators.Linkage
