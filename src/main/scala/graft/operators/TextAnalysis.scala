@@ -1704,6 +1704,40 @@ object TextAnalysis {
             lit(0))))
   }
 
+  /** Per-benchmark CONTAMINATION REPORT — the table a decontam run
+    * publishes before anyone signs off on an eval ("GSM8K: 3.1% of
+    * eval docs share a 5-gram with training; 412 train docs to
+    * drop"): one row per benchmark with eval-doc totals, hit counts
+    * on both sides, pair count, and the eval-hit rate in exact milli.
+    * This is [[ngramContamination]] rolled up by the eval frame's
+    * benchmark column; benchmarks with zero hits still report (a
+    * silent missing row reads as "clean" for the wrong reason).
+    *
+    * Scale shape: inherits the contamination join's posture — the
+    * eval side is benchmark-sized and broadcast, the 100 TB train
+    * side streams through unshuffled; the rollup aggregates the
+    * pair table (hit-sized, not corpus-sized) by benchmark. */
+  def contaminationReport(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, benchmarkCol: String,
+      n: Int = 5, minShared: Long = 1): DataFrame = {
+    val pairs = ngramContamination(train,
+        eval_.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .filter(col("n_shared") >= minShared)
+    val tags = eval_.select(col(idCol).as("eval_id"),
+      col(benchmarkCol).as("benchmark"))
+    val totals = tags.groupBy("benchmark")
+      .agg(count(lit(1)).as("n_eval_docs"))
+    val hits = pairs.join(broadcast(tags), Seq("eval_id"))
+      .groupBy("benchmark")
+      .agg(countDistinct(col("eval_id")).as("n_eval_hit"),
+        countDistinct(col("train_id")).as("n_train_hit"),
+        count(lit(1)).as("n_pairs"))
+    totals.join(hits, Seq("benchmark"), "left")
+      .na.fill(0L, Seq("n_eval_hit", "n_train_hit", "n_pairs"))
+      .withColumn("eval_hit_milli",
+        expr("n_eval_hit * 1000 div n_eval_docs"))
+  }
+
   /** CCNet-style PER-GROUP score bucketing (Wenzek et al., LREC
     * 2020): rank every row's score WITHIN its group (language,
     * source) and cut the ranks into `nBuckets` equal-mass buckets —

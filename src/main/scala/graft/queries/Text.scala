@@ -2736,6 +2736,54 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // DECONTAM REPORT (T36): the per-benchmark table a decontam run
+    // publishes — eval totals, hit counts both sides, pair count,
+    // eval-hit rate in milli; zero-hit benchmarks still report.
+    Q("q_t_contamination_report",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |tr AS (SELECT doc_id, t FROM tok WHERE doc_id % 97 != 0),
+         |ev AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'benchA'
+         |    ELSE 'benchB' END AS benchmark, t FROM tok
+         |  WHERE doc_id % 97 = 0),
+         |eg AS (SELECT DISTINCT doc_id, benchmark,
+         |    unnest(list_distinct([array_to_string(t[p+1:p+5], ' ')
+         |      for p in range(0, len(t) - 4)])) AS g
+         |  FROM ev WHERE len(t) >= 5),
+         |tg AS (SELECT DISTINCT doc_id,
+         |    unnest(list_distinct([array_to_string(t[p+1:p+5], ' ')
+         |      for p in range(0, len(t) - 4)])) AS g
+         |  FROM tr WHERE len(t) >= 5),
+         |pairs AS (SELECT tg.doc_id AS train_id, eg.doc_id AS eval_id,
+         |    eg.benchmark, count(*) AS n_shared
+         |  FROM tg JOIN eg USING (g) GROUP BY 1, 2, 3),
+         |tot AS (SELECT benchmark, CAST(count(*) AS BIGINT)
+         |    AS n_eval_docs FROM ev GROUP BY 1),
+         |h AS (SELECT benchmark,
+         |    CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_hit,
+         |    CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_hit,
+         |    CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM pairs GROUP BY 1)
+         |SELECT tot.benchmark, n_eval_docs,
+         |  coalesce(n_eval_hit, 0) AS n_eval_hit,
+         |  coalesce(n_train_hit, 0) AS n_train_hit,
+         |  coalesce(n_pairs, 0) AS n_pairs,
+         |  coalesce(n_eval_hit, 0) * 1000 // n_eval_docs
+         |    AS eval_hit_milli
+         |FROM tot LEFT JOIN h USING (benchmark)
+         |ORDER BY benchmark""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      TextAnalysis.contaminationReport(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0)
+            .withColumn("benchmark",
+              when(col("doc_id") % 2 === 0, lit("benchA"))
+                .otherwise(lit("benchB"))),
+          "doc_id", "text", "benchmark", 5)
+        .select("benchmark", "n_eval_docs", "n_eval_hit",
+          "n_train_hit", "n_pairs", "eval_hit_milli")
+        .orderBy("benchmark")
+    },
+
     // DECONTAM: span-level removal — excise eval-overlapping 5-gram
     // coverage from each training doc instead of dropping the doc
     // (q_t_decontam's split: doc_id % 97 = 0 is the eval side).
