@@ -945,6 +945,39 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // E2E (E14): soft-dedup-weighted resampling — D24's weights feed
+    // C12's exact-size reservoir in ONE plan: duplicates survive into
+    // the pool but their 1/size weights make each distinct unit
+    // equally likely to land in the sample ("hard dedup = resample
+    // to the mass", executable). Oracle replays clusters → weights →
+    // the A-Res priority ladder.
+    Q("q_e2e_soft_dedup_sample",
+      clusterCte +
+        s""", sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+           |    AS size FROM clusters GROUP BY 1),
+           |w AS (SELECT d.doc_id,
+           |    1000 // coalesce(sz.size, 1) AS weight_milli
+           |  FROM documents d
+           |  LEFT JOIN clusters c ON d.doc_id = c.doc_id
+           |  LEFT JOIN sz ON c.cluster_id = sz.cluster_id),
+           |p AS (SELECT doc_id, weight_milli,
+           |    CAST(floor(ln(
+           |      (${sqlHash60("'res:soft:' || CAST(doc_id AS VARCHAR)")}
+           |        + 1) / 1152921504606846976.0) * 1000000) AS BIGINT)
+           |      AS lnu_micro
+           |  FROM w)
+           |SELECT doc_id, weight_milli AS weight, lnu_micro,
+           |  CAST(lnu_micro AS DOUBLE) / CAST(weight_milli AS DOUBLE)
+           |    AS priority
+           |FROM p ORDER BY priority DESC, doc_id
+           |LIMIT 40""".stripMargin) { (s, d) =>
+      graft.operators.Curation.weightedReservoirSample(
+          graft.operators.Dedup.softDedupWeights(
+            t(s, d, "documents").select("doc_id"),
+            sparkClusters(s, d), "doc_id", "cluster_id"),
+          "doc_id", "weight_milli", 40, "soft")
+    },
+
     // DEDUP REPORT (D19): the cluster-size histogram + headline
     // duplicate ratio over the LSH clusters — the table a dedup run
     // actually publishes ("removed X% of docs; size distribution
