@@ -411,6 +411,34 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Corpus CONCENTRATION report — the governance number read next
+    * to the mixture budgets: one row with group count, doc count, the
+    * head group's share (milli), and the Herfindahl-Hirschman index
+    * in micro (Σ share² — 10⁶ = monopoly, 10⁶/G = uniform over G
+    * groups). A mixture policy (UniMax / temperature) states intent;
+    * this measures the corpus that actually landed, and an alert on
+    * hhi_micro is how drift toward a single crawl source gets caught.
+    *
+    * Integer law (order-free, int64-safe at 10¹² docs): per-group
+    * share_micro = n_g·10⁶ div N, term = (share_micro·n_g) div N,
+    * hhi_micro = Σ terms — each term ≤ 10⁶·n_g, and the per-group
+    * floor keeps every engine bit-identical. Scale shape: one
+    * map-side-combined count shuffle; everything else runs on the
+    * group-cardinality table. */
+  def concentrationReport(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_g"))
+    val tot = counts.agg(sum("n_g").as("n_docs"),
+      count(lit(1)).as("n_groups"), max("n_g").as("__mx"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("n_groups"), col("n_docs"),
+        expr("(__mx * 1000) div n_docs").as("top_share_milli"),
+        expr("((n_g * 1000000 div n_docs) * n_g) div n_docs")
+          .as("__term"))
+      .groupBy("n_groups", "n_docs", "top_share_milli")
+      .agg(sum("__term").as("hhi_micro"))
+  }
+
   /** CORRELATED (join-preserving) sampling — the AQUA join-synopsis
     * discipline (Acharya et al., SIGMOD 1999): sample every table on
     * the SAME salted hash of its JOIN KEY, and the join of the

@@ -1596,6 +1596,25 @@ object Text {
         .orderBy(col("priority").desc, col("doc_id")).limit(100)
     },
 
+    // GOVERNANCE (CUR7): corpus concentration — HHI in micro over
+    // the source dimension plus head-group share; the number that
+    // catches drift toward a single crawl source. Exact per-group
+    // integer floors, order-free sum.
+    Q("q_cur_concentration",
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(max(n_g) AS BIGINT) AS mx FROM c)
+        |SELECT n_groups, n_docs,
+        |  (mx * 1000) // n_docs AS top_share_milli,
+        |  CAST(sum(((n_g * 1000000 // n_docs) * n_g) // n_docs)
+        |    AS BIGINT) AS hhi_micro
+        |FROM c, t GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
+      graft.operators.Curation.concentrationReport(
+        t(s, d, "documents"), "source")
+    },
+
     // SAMPLING (C14): correlated (join-preserving) sampling — the
     // AQUA join-synopsis law (Acharya 1999) graded CROSS-ENGINE:
     // Spark samples orders and customer INDEPENDENTLY on the same

@@ -975,6 +975,21 @@ class ScaleSpec extends SparkSpec {
       capped.mkString(","))
   }
 
+  test("concentrationReport: monopoly scores 10^6 micro, uniform " +
+      "over 4 groups scores 250000, head share exact") {
+    import graft.operators.Curation
+    val mono = (1 to 50).map(i => ("only", i)).toDF("src", "i")
+    val m = Curation.concentrationReport(mono, "src")
+      .select("n_groups", "n_docs", "top_share_milli", "hhi_micro")
+      .as[(Long, Long, Long, Long)].head()
+    assert(m == ((1L, 50L, 1000L, 1000000L)), m.toString)
+    val unif = (0 until 80).map(i => (s"s${i % 4}", i)).toDF("src", "i")
+    val u = Curation.concentrationReport(unif, "src")
+      .select("n_groups", "n_docs", "top_share_milli", "hhi_micro")
+      .as[(Long, Long, Long, Long)].head()
+    assert(u == ((4L, 80L, 250L, 250000L)), u.toString)
+  }
+
   test("softDedupWeights: cluster mass sums to ~1000 per distinct " +
       "unit, singletons keep full weight, every doc survives") {
     import graft.operators.Dedup
