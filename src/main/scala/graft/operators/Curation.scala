@@ -201,8 +201,12 @@ object Curation {
     *
     * Determinism discipline: weights are computed RELATIVE to the
     * largest group — w_micro = max(1, ⌊exp((ln n_g − ln n_max)·1000/
-    * T_milli)·10⁶⌋) ∈ [1, 10⁶] — so no product in the pipeline can
-    * overflow int64 for any corpus (w_micro·budget ≤ 10⁶·B), the two
+    * T_milli)·10⁶⌋) ∈ [1, 10⁶] — and the apportionment numerator
+    * w_micro·totalBudget runs in DECIMAL(38,0) (w_micro·B reaches
+    * 10⁶·B, past int64 for frontier budgets ≥ ~9.2×10¹² tokens; the
+    * 38-digit envelope holds to B = 10³² tokens). The quotient is a
+    * budget share ≤ B and the remainder is < Σw_micro ≤ 10⁶·G, so
+    * both cast back to int64 exactly. The two
     * ln and one exp are the file's only libm calls (micro-floored
     * once, the knNll discipline), and the max(·,1) keeps every
     * non-empty group sampleable at extreme temperatures. Budgets are
@@ -233,10 +237,12 @@ object Curation {
     val wr = org.apache.spark.sql.expressions.Window
       .orderBy(col("__rem").desc, col(groupCol).asc)
     val ranked = weighted.crossJoin(broadcast(tot))
-      .withColumn("__fl",
-        expr(s"(w_micro * ${totalBudget}L) div __tw"))
-      .withColumn("__rem",
-        expr(s"(w_micro * ${totalBudget}L) % __tw"))
+      // decimal(38,0) numerator: w_micro·B overflows int64 once
+      // totalBudget exceeds ~9.2e12 tokens (frontier budgets do)
+      .withColumn("__num",
+        expr(s"CAST(w_micro AS DECIMAL(38,0)) * ${totalBudget}L"))
+      .withColumn("__fl", expr("CAST(__num div __tw AS BIGINT)"))
+      .withColumn("__rem", expr("CAST(__num % __tw AS BIGINT)"))
       .withColumn("__r", row_number().over(wr).cast("long"))
     val leftover = ranked
       .agg((lit(totalBudget) - sum(col("__fl"))).as("__left"))

@@ -38,7 +38,11 @@ object Dedup {
     // local file estimates 1 and gets spread. Errors land on the
     // underestimate side (openCostInBytes padding, filter-selectivity
     // stats), which at worst adds a repartition the old RDD count
-    // would also have added.
+    // would also have added. Caveat: a large NON-SPLITTABLE input
+    // (one gzip'd JSONL/CSV) estimates many splits but scans as ONE
+    // partition, so the guard no-ops there — callers feeding
+    // compressed text through the dedup ladder must repartition at
+    // ingest (Sources does; parquet/ORC are always splittable).
     val maxPart =
       math.max(1L, sess.sessionState.conf.filesMaxPartitionBytes)
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes /
@@ -1060,7 +1064,15 @@ object Dedup {
     *
     * `all` is the full corpus id frame; `clusters` the (id, cluster)
     * pairs from [[duplicateClusters]] (non-clustered docs absent —
-    * they get weight 1000). Scale shape: one count shuffle on the
+    * they get weight 1000). Weights floor at 1 milli
+    * (greatest(1, 1000 div size)): a cluster past 1000 members (web
+    * boilerplate routinely is) keeps a positive weight instead of the
+    * zero that 1000 div size alone produces — a zero would make
+    * weightedReservoirSample raise and systematicResample silently
+    * drop the whole cluster. Members of such clusters are modestly
+    * over-weighted (mass size/1000 instead of 1); callers needing
+    * exact conservation on mega-clusters should hard-dedup them
+    * first. Scale shape: one count shuffle on the
     * cluster id (cluster-count-sized result), one key join back;
     * nothing corpus². */
   def softDedupWeights(all: DataFrame, clusters: DataFrame,
@@ -1072,7 +1084,8 @@ object Dedup {
           .select(col(idCol), col("cluster_size")),
         Seq(idCol), "left")
       .na.fill(1L, Seq("cluster_size"))
-      .withColumn("weight_milli", expr("1000 div cluster_size"))
+      .withColumn("weight_milli",
+        expr("greatest(1L, 1000 div cluster_size)"))
   }
 
   /** The MOSS MATCH step over [[winnowFingerprints]] output: group

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * rows, product entries) whose fields individually disagree.
   *
   * Reference context: the reference's import pipeline dedupes on
-  * exact natural keys only (/root/reference/utils/importer/
-  * product_import_etl.py upsert keys); fuzzy entity resolution exists
+  * exact natural keys only (/root/reference/utils/importer/ETL.py
+  * upsert keys, e.g. master_code at ETL.py:167-203 and SKU at
+  * ETL.py:559-595); fuzzy entity resolution exists
   * for the multi-source regime per SURVEY.md §2.12.
   *
   * Weights are CONFIG (milli log-odds per field, agreement and

@@ -161,6 +161,7 @@ object Multimodal {
       hex(substring(c, 9, 4)) === "57415645" &&      // "WAVE"
       hex(substring(c, 13, 4)) === "666D7420" &&     // "fmt "
       hex(substring(c, 37, 4)) === "64617461" &&     // "data"
+      leUInt(c, 21, 2) === 1 &&                      // wFormatTag: linear PCM only
       leUInt(c, 23, 2) === 1 && leUInt(c, 35, 2) === 16
     df.filter(canonical)
       .withColumn("__n",

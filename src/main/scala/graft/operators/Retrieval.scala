@@ -85,15 +85,19 @@ object Retrieval {
     * Id ordering: [[invertedIndex]] sorts postings in the doc
     * column's NATIVE order (numeric for long ids, lexicographic for
     * strings) before CSV-joining, so the merge re-sorts the entries
-    * with a numeric-aware comparator — canonical digit strings (what
-    * longs render to: no sign, no leading zeros) compare by
-    * (length, lex) ≡ numeric order, everything else compares
-    * lexicographically. No cast in the path, so string doc ids
-    * survive intact (a long cast would NULL them out and array_join
-    * would silently empty the merged lists). The one shape the law
-    * cannot hold for is STRING ids that are themselves digit strings:
-    * the source index sorted them as text, the merge orders them
-    * numerically. */
+    * by a TOTAL sort key — canonical digit strings (what longs render
+    * to: no sign, no leading zeros, ≤19 digits) map to their
+    * zero-left-padded 19-char form (≡ numeric order), everything else
+    * sorts by its raw text. A key function is transitive by
+    * construction — the earlier pairwise comparator was not total on
+    * postings mixing digit and non-digit string ids (e.g. '10', '2',
+    * '1a' formed a cycle), leaving array_sort's output
+    * engine-dependent. No cast in the path, so string doc ids survive
+    * intact (a long cast would NULL them out and array_join would
+    * silently empty the merged lists). The merge≡rebuild law requires
+    * a HOMOGENEOUS id column (all long-rendered, or strings with no
+    * canonical-digit members): digit strings in a string id column
+    * were source-sorted as text but merge-sorted numerically. */
   def mergeInvertedIndexes(a: DataFrame, b: DataFrame,
       maxDf: Long): DataFrame = {
     val l = a.select(col("term"), col("df").as("__dfa"),
@@ -103,14 +107,14 @@ object Retrieval {
     def ids(c: Column): Column =
       when(c.isNull || c === "", array().cast("array<string>"))
         .otherwise(split(c, ","))
-    def lex(x: Column, y: Column): Column =
-      when(x < y, -1).when(x > y, 1).otherwise(0)
-    def cmp(x: Column, y: Column): Column =
-      when(x.rlike("^[0-9]+$") && y.rlike("^[0-9]+$"),
-        when(length(x) < length(y), -1)
-          .when(length(x) > length(y), 1)
-          .otherwise(lex(x, y)))
-        .otherwise(lex(x, y))
+    def sortKey(x: Column): Column =
+      when(x.rlike("^(0|[1-9][0-9]{0,18})$"), lpad(x, 19, "0"))
+        .otherwise(x)
+    def sorted(arr: Column): Column =
+      transform(
+        array_sort(transform(arr,
+          x => struct(sortKey(x).as("k"), x.as("v")))),
+        s => s.getField("v"))
     l.join(r, Seq("term"), "full_outer")
       .select(col("term"),
         (coalesce(col("__dfa"), lit(0L)) +
@@ -118,8 +122,8 @@ object Retrieval {
         col("__pa"), col("__pb"))
       .withColumn("postings_csv",
         when(col("df") <= maxDf,
-          array_join(array_sort(
-            concat(ids(col("__pa")), ids(col("__pb"))), cmp), ","))
+          array_join(
+            sorted(concat(ids(col("__pa")), ids(col("__pb")))), ","))
           .otherwise(lit(null).cast("string")))
       .select("term", "df", "postings_csv")
   }

@@ -931,7 +931,7 @@ object Text {
            |    AS size FROM clusters GROUP BY 1),
            |w AS (SELECT d.doc_id,
            |    coalesce(sz.size, 1) AS cluster_size,
-           |    1000 // coalesce(sz.size, 1) AS weight_milli
+           |    greatest(1, 1000 // coalesce(sz.size, 1)) AS weight_milli
            |  FROM documents d
            |  LEFT JOIN clusters c ON d.doc_id = c.doc_id
            |  LEFT JOIN sz ON c.cluster_id = sz.cluster_id)
@@ -956,7 +956,7 @@ object Text {
         s""", sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
            |    AS size FROM clusters GROUP BY 1),
            |w AS (SELECT d.doc_id,
-           |    1000 // coalesce(sz.size, 1) AS weight_milli
+           |    greatest(1, 1000 // coalesce(sz.size, 1)) AS weight_milli
            |  FROM documents d
            |  LEFT JOIN clusters c ON d.doc_id = c.doc_id
            |  LEFT JOIN sz ON c.cluster_id = sz.cluster_id),

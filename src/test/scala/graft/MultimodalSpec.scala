@@ -258,5 +258,16 @@ class MultimodalSpec extends SparkSpec {
     // T=2 reproduces the sqrt policy direction: between the two
     val t2 = run(2000L)
     assert(t2("a")._4 < t1("a")._4 && t2("a")._4 > flat("a")._4, t2)
+    // frontier budgets: w_micro(1e6) x 15e12 tokens passes int64 —
+    // the decimal(38,0) apportionment must stay exact, not overflow
+    val big = Curation
+      .temperatureBudgets(rows, "lang", "n", 15_000_000_000_000L, 1000L)
+      .select("lang", "budget_tokens")
+      .as[(String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(big.values.sum == 15_000_000_000_000L, big.toString)
+    // w_micro quantization (floor(exp·1e6)) shifts shares by ~1e-6
+    // relative; the envelope claim is exactness of the APPORTIONMENT
+    assert(math.abs(big("a") - 12_000_000_000_000L) < 100_000_000L,
+      big.toString)
   }
 }

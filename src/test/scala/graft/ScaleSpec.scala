@@ -1005,6 +1005,14 @@ class ScaleSpec extends SparkSpec {
     assert(got.filter(_._2 == 4L).forall(_._3 == 250L))
     assert(got.filter(_._2 == 2L).forall(_._3 == 500L))
     assert(got.filter(_._1 > 6L).forall(r => r._2 == 1L && r._3 == 1000L))
+    // floor law: a cluster past 1000 members keeps weight 1 milli
+    // (1000 div size alone would zero it and break the samplers)
+    val bigAll = (1L to 1200L).toDF("id")
+    val bigClusters = bigAll.withColumn("cid", lit("BIG"))
+    val floorW = Dedup.softDedupWeights(bigAll, bigClusters, "id", "cid")
+      .agg(min(col("weight_milli")), max(col("weight_milli")))
+      .as[(Long, Long)].head()
+    assert(floorW == ((1L, 1L)), floorW.toString)
     // mass conservation: 4*250 + 2*500 + 4*1000 = 6000 = 6 units
     assert(got.map(_._3).sum == 6000L)
   }

@@ -408,6 +408,18 @@ class SketchesSpec extends SparkSpec {
         "doc_id", "text", 5L), 5L)
     assert(m2.filter($"term" === "beta")
       .select("postings_csv").as[String].head() == "2,10")
+    // mixed digit/non-digit string ids: the sort key is TOTAL (the
+    // old pairwise comparator cycled on '10' > '2' > '1a' > '10'),
+    // so the order is deterministic: digits numerically, then text
+    val mixed = Seq(("10", "gam"), ("1a", "gam"), ("2", "gam"))
+      .toDF("doc_id", "text")
+    val m3 = Retrieval.mergeInvertedIndexes(
+      Retrieval.invertedIndex(mixed.filter($"doc_id" =!= "2"),
+        "doc_id", "text", 5L),
+      Retrieval.invertedIndex(mixed.filter($"doc_id" === "2"),
+        "doc_id", "text", 5L), 5L)
+    assert(m3.filter($"term" === "gam")
+      .select("postings_csv").as[String].head() == "2,10,1a")
   }
 
   test("phraseSearch: consecutive positions only, occurrence counts, " +
