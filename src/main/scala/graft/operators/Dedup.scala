@@ -666,14 +666,30 @@ object Dedup {
     * round COUNT is what shrinks. Deterministic: min is order-free. */
   def duplicateClustersStar(ids: DataFrame, idCol: String,
       pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    // one-action round probe: (edge count, order-free multiset hash
+    // signature). The signature gates the exceptAll confirmation —
+    // a per-round exceptAll join costs as much as the round itself
+    // on deep chains (edge COUNT stays ~n there, so a count-only
+    // gate fires the join every round); with the signature it fires
+    // once, at the true fixpoint. Convergence is still CONFIRMED by
+    // the exact set compare, so a hash collision can only cost one
+    // extra probe, never a wrong answer.
+    def probe(df: DataFrame): (Long, BigDecimal) = {
+      // the signature sums in decimal(38,0): int64 terms overflow a
+      // long sum after ~2 rows under ANSI arithmetic
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
     var e = pairs
       .select(least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(eager = false)
-    var eCount = e.count()
+    var eStat = probe(e)
     var round = 0
-    var converged = eCount == 0
+    var converged = eStat._1 == 0L
     while (!converged && round < maxRounds) {
       // LARGE-STAR: every edge, seen from its smaller endpoint u with
       // larger neighbor v, becomes (min(Γ(u) ∪ {u}), v)
@@ -695,13 +711,12 @@ object Dedup {
         .unionByName(ssMin.select(col("m").as("a"), col("u").as("b")))
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint(eager = false)
-      val ssCount = ss.count()
-      // star-set fixpoint: identical edge sets (distinct'd) — count
-      // equality plus an empty one-sided anti-join
-      converged = ssCount == eCount &&
-        ss.exceptAll(e).isEmpty
+      // star-set fixpoint: identical edge sets (distinct'd) — the
+      // (count, signature) probe gates the exact one-sided anti-join
+      val ssStat = probe(ss)
+      converged = ssStat == eStat && ss.exceptAll(e).isEmpty
       e = ss
-      eCount = ssCount
+      eStat = ssStat
       round += 1
     }
     if (!converged)

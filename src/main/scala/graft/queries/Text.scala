@@ -897,6 +897,50 @@ object Text {
       sparkClusters(s, d).orderBy("doc_id")
     },
 
+    // DEDUP endgame, DEEP-CHAIN regime (D8): star connected
+    // components over a chain-heavy edge set — consecutive doc_ids
+    // under 1024 within each residue class mod 16 form one long PATH
+    // per class (diameter 64 at sf≥0.1, 31 at sf0.01 — past plain
+    // propagation's default 20-iteration cap either way; the shape
+    // the reference's anti-join cleanup chains take at
+    // utils/cleanup_incorrect_products.py:128-144). The
+    // large-star/small-star alternation contracts these chains in
+    // O(log² n) rounds; the oracle is the SAME recursive-closure
+    // min-label formulation that grades q_d_dedup_clusters, so the
+    // equal-answer law is now CORRECTNESS-graded exactly where the
+    // two CC variants differ operationally. The id cap keeps the
+    // graded slice's DIAMETER (and hence round count) fixed as the
+    // corpus scales — depth is the regime under test, not volume.
+    Q("q_d_dedup_clusters_star",
+      """WITH ch AS (SELECT doc_id,
+        |    lag(doc_id) OVER (PARTITION BY doc_id % 16
+        |                      ORDER BY doc_id) AS prev
+        |  FROM documents WHERE doc_id < 1024),
+        |cpairs AS (SELECT prev AS id_a, doc_id AS id_b FROM ch
+        |           WHERE prev IS NOT NULL),
+        |edges AS (SELECT id_a AS s, id_b AS t FROM cpairs
+        |          UNION SELECT id_b, id_a FROM cpairs),
+        |closure AS (
+        |  WITH RECURSIVE r(s, t) AS (
+        |    SELECT s, t FROM edges
+        |    UNION
+        |    SELECT r.s, e.t FROM r JOIN edges e ON r.t = e.s)
+        |  SELECT * FROM r)
+        |SELECT doc_id, least(doc_id,
+        |    coalesce((SELECT min(t) FROM closure WHERE s = doc_id),
+        |             doc_id)) AS cluster_id
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id") % 16).orderBy(col("doc_id"))
+      val chain = docs.filter(col("doc_id") < 1024)
+        .withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      Dedup.duplicateClustersStar(docs, "doc_id", chain)
+        .orderBy("doc_id")
+    },
+
     // DEDUP keep-policy: one surviving document per cluster — the
     // longest member (whitespace token count), ties to the smallest
     // doc_id. This is the query a 100 TB dedup pipeline actually ends
