@@ -184,4 +184,59 @@ object SuffixDedup {
       .agg(sum(col("__run")).as("n_matches"),
         (max(col("__run")) + width - 1).as("max_span_tokens"))
   }
+
+  /** SPAN-EXCISION substring dedup — the production form of the Lee
+    * et al. 2022 recipe: instead of dropping whole documents whose
+    * longest shared run crosses a threshold (the E9 composition),
+    * EXCISE the repeated span and keep the document. Every document
+    * survives; for each cross-document repeated width-token window,
+    * the occurrence in the SMALLEST doc id is the canonical copy and
+    * every other occurrence's tokens are removed (matches carry
+    * doc_a < doc_b, so the doc_b side is always the excised side — a
+    * span shared by m documents keeps exactly its min-doc copy).
+    * Runs longer than `width` are excised in full: a shared run of S
+    * tokens is covered by its S−width+1 aligned windows, whose union
+    * is the whole run. Emits (id, n_toks, n_removed, clean_text) —
+    * the same surgery surface as
+    * [[TextAnalysis.decontaminateSpans]], which this generalizes
+    * from benchmark grams to corpus-internal repeats.
+    *
+    * Scale shape: coverage fan-out is n_matches·width positions —
+    * the duplicate mass itself, nothing corpus²; the per-doc
+    * collect_list is bounded by document length (starts are
+    * positions within the doc), and the rebuild is a narrow per-row
+    * projection. The matches build (the expensive stage) is shared
+    * via [[alignedMatches]] materialization. */
+  def exciseRepeatedSpansFrom(df: DataFrame, idCol: String,
+      textCol: String, matches: DataFrame, width: Long): DataFrame = {
+    require(width >= 1, s"width must be >= 1: $width")
+    val covered = matches
+      .select(col("doc_b").as(idCol), col("off_b").as("__start"))
+      .distinct()
+      .groupBy(idCol).agg(collect_list(col("__start")).as("__starts"))
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("__cov",
+        when(col("__starts").isNull, array().cast("array<bigint>"))
+          .otherwise(array_distinct(flatten(transform(col("__starts"),
+            p => sequence(p, p + lit(width - 1)))))))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_toks"),
+        size(col("__cov")).cast("long").as("n_removed"),
+        when(size(col("__t")) === 0, lit(""))
+          .otherwise(array_join(transform(
+            filter(sequence(lit(1), size(col("__t"))),
+              i => !array_contains(col("__cov"),
+                (i - lit(1)).cast("long"))),
+            i => element_at(col("__t"), i)), " "))
+          .as("clean_text"))
+  }
+
+  /** [[exciseRepeatedSpansFrom]] building its own aligned matches —
+    * the one-call form; `rounds` doublings excise repeats of
+    * 2^rounds tokens and longer. */
+  def exciseRepeatedSpans(df: DataFrame, idCol: String,
+      textCol: String, rounds: Int): DataFrame =
+    exciseRepeatedSpansFrom(df, idCol, textCol,
+      alignedMatches(df, idCol, textCol, rounds), 1L << rounds)
 }

@@ -611,6 +611,48 @@ object Text {
         .orderBy("cluster_id")
     },
 
+    // E2E SPAN-EXCISION substring dedup (E15): the Lee-2022
+    // production form — E9 drops whole documents, this EXCISES the
+    // repeated span and keeps the document: for every cross-document
+    // repeated 16-token window, the smallest doc id keeps its copy
+    // and every other occurrence's tokens are removed (runs longer
+    // than 16 are covered by their overlapping windows, so the whole
+    // run goes). The oracle replays the surgery relationally: literal
+    // 16-gram matches → doc_b-side coverage union → positional
+    // rebuild of the surviving text.
+    Q("q_e2e_substring_excise",
+      s"""WITH tok AS (SELECT doc_id, $toksD AS t FROM documents),
+         |g AS (SELECT doc_id AS doc, unnest(range(0, len(t) - 15))
+         |    AS off, t FROM tok),
+         |gg AS (SELECT doc, off,
+         |    array_to_string(t[off+1:off+16], ' ') AS gram FROM g),
+         |m AS (SELECT DISTINCT b.doc AS doc, b.off AS off
+         |      FROM gg a JOIN gg b ON a.gram = b.gram
+         |                          AND a.doc < b.doc),
+         |cov AS (SELECT DISTINCT doc, off + u.k AS p
+         |        FROM m, range(0, 16) AS u(k)),
+         |tp AS (SELECT doc_id, unnest(range(0, len(t))) AS p, t
+         |       FROM tok),
+         |keep AS (SELECT tp.doc_id, tp.p, tp.t[tp.p + 1] AS w
+         |         FROM tp LEFT JOIN cov
+         |           ON cov.doc = tp.doc_id AND cov.p = tp.p
+         |         WHERE cov.p IS NULL),
+         |rebuilt AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p)
+         |            AS clean_text FROM keep GROUP BY 1),
+         |cnt AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_removed
+         |        FROM cov GROUP BY 1)
+         |SELECT tok.doc_id, CAST(len(tok.t) AS BIGINT) AS n_toks,
+         |  CAST(coalesce(cnt.n_removed, 0) AS BIGINT) AS n_removed,
+         |  coalesce(rebuilt.clean_text, '') AS clean_text
+         |FROM tok LEFT JOIN cnt ON cnt.doc = tok.doc_id
+         |LEFT JOIN rebuilt ON rebuilt.doc_id = tok.doc_id
+         |ORDER BY tok.doc_id""".stripMargin) { (s, d) =>
+      graft.operators.SuffixDedup.exciseRepeatedSpansFrom(
+          t(s, d, "documents"), "doc_id", "text",
+          suffixMatches16(s, d), 16L)
+        .orderBy("doc_id")
+    },
+
     // E2E PRETRAIN PREP: the complete training-data preparation story
     // in ONE declarative plan, composed from graded stages —
     // substring-dedup survivors (E9) → UniMax epochs-capped language

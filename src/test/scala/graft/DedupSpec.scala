@@ -537,6 +537,28 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 3L)), s"got $got")
   }
 
+  test("exciseRepeatedSpans: smallest doc keeps its copy, long runs " +
+      "excised in full, untouched docs intact") {
+    import graft.operators.SuffixDedup
+    // docs 1/2 share a 5-token run (width 4 -> 2 aligned windows
+    // covering all 5 tokens on the doc_2 side); doc 3 is untouched
+    val corpus = Seq(
+      (1L, "p q r s t x y z"),
+      (2L, "m p q r s t n o"),
+      (3L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val got = SuffixDedup
+      .exciseRepeatedSpans(corpus, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      // doc 1 = smallest id: keeps the run verbatim
+      (1L, 8L, 0L, "p q r s t x y z"),
+      // doc 2: the 5 run tokens are cut, the flanks survive
+      (2L, 8L, 5L, "m n o"),
+      (3L, 8L, 0L, "a b c d e f g h")), s"got $got")
+  }
+
   test("ivfTopKFiltered: every hit satisfies the predicate; a full " +
       "probe equals the brute-force filtered top-k") {
     import org.apache.spark.sql.functions._
