@@ -1772,4 +1772,127 @@ object TextAnalysis {
           lit(nBuckets - 1L)))
       .drop("__rk", "__n")
   }
+
+  /** Viterbi segmentation of the distinct-word table under a unigram
+    * piece model — the shared E-step/encode kernel of
+    * [[unigramLmVocab]]/[[unigramEncode]]. Each piece carries an
+    * integer cost −⌊ln(score/Σscore)·10⁶⌋ (ONE micro-floored ln per
+    * VOCAB piece — the knNll discipline; the DP then sums exact
+    * ints), and the per-word DP picks the minimum-cost segmentation,
+    * ties broken by the lexicographically smallest piece string — a
+    * total order, so the segmentation is deterministic on any
+    * engine. The whole DP runs as one codegen'd fold per word
+    * (`aggregate` over positions, candidates = the ≤ maxPieceLen
+    * suffix pieces); the vocab rides as a broadcast map literal.
+    *
+    * Input (__w, __f) distinct words with weights; output adds
+    * `__seg` (the best segmentation, array of pieces). Vocab MUST
+    * cover every single character of every word (both callers
+    * guarantee it), so the DP always completes. */
+  private def viterbiSegmented(words: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    val tot = vocab.agg(sum(col("score")).as("__tot"))
+    val cost = vocab.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        expr("-CAST(FLOOR(LN(CAST(score AS DOUBLE) / " +
+          "CAST(__tot AS DOUBLE)) * 1000000) AS BIGINT)").as("__c"))
+    val vm = cost.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("__c")))).as("__vm"))
+    words.crossJoin(broadcast(vm))
+      .withColumn("__dp", expr(s"""
+        aggregate(
+          sequence(1, length(__w)),
+          array(named_struct('c', 0L, 's', '')),
+          (dp, j) -> dp || array(
+            array_min(filter(
+              transform(sequence(greatest(0, j - $maxPieceLen), j - 1),
+                i -> named_struct(
+                  'c', element_at(dp, i + 1).c +
+                       try_element_at(__vm, substr(__w, i + 1, j - i)),
+                  's', concat(element_at(dp, i + 1).s, ' ',
+                       substr(__w, i + 1, j - i)))),
+              x -> x.c IS NOT NULL))),
+          dp -> element_at(dp, -1))"""))
+      .select(col("__w"), col("__f"),
+        split(ltrim(expr("__dp.s")), " ").as("__seg"))
+  }
+
+  /** Unigram-LM tokenizer training (Kudo 2018 "Subword
+    * Regularization", the SentencePiece unigram algorithm in its
+    * deterministic hard-EM form): seed vocabulary = every
+    * word-internal substring up to `maxPieceLen` chars with its
+    * weighted corpus count; ONE EM round — E-step Viterbi-segments
+    * the distinct-word table under the seed model
+    * ([[viterbiSegmented]]), M-step re-scores pieces by their
+    * weighted usage in the best segmentations; prune keeps the top
+    * `vocabSize` pieces by (usage desc, piece asc) plus every single
+    * character not already kept (score 1) so encode coverage is
+    * total. Emits the trained (piece, score) table — the other
+    * mainstream vocab algorithm next to [[bpeMerges]], read against
+    * it through [[tokenizerFertility]].
+    *
+    * Scale shape: training runs entirely on the DISTINCT word table
+    * (dictionary-sized, not corpus-sized) — one explode+groupBy for
+    * the seed, one broadcast-map DP pass, one usage groupBy, one
+    * TakeOrdered prune. The corpus is read once for the word
+    * counts. */
+  def unigramLmVocab(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 3, vocabSize: Int = 32): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [1, 8]: $maxPieceLen")
+    require(vocabSize >= 1, s"vocabSize must be positive: $vocabSize")
+    val words = df
+      .select(explode(graft.functions.tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+      .localCheckpoint(eager = false)
+    val seed = words
+      .select(col("__f"), explode(expr(s"""
+        flatten(transform(sequence(1, length(__w)), i ->
+          transform(sequence(i,
+              least(length(__w), i + ${maxPieceLen - 1})), j ->
+            substr(__w, i, j - i + 1))))""")).as("piece"))
+      .groupBy("piece").agg(sum(col("__f")).as("score"))
+    val usage = viterbiSegmented(words, seed, maxPieceLen)
+      .select(col("__f"), explode(col("__seg")).as("piece"))
+      .groupBy("piece").agg(sum(col("__f")).as("score"))
+    val top = usage
+      .orderBy(col("score").desc, col("piece").asc).limit(vocabSize)
+    val chars = words.select(explode(expr(
+        "transform(sequence(1, length(__w)), i -> substr(__w, i, 1))"))
+        .as("piece")).distinct()
+    top.unionByName(
+      chars.join(top, Seq("piece"), "left_anti")
+        .withColumn("score", lit(1L)))
+  }
+
+  /** Apply a trained unigram-LM vocab ([[unigramLmVocab]] output) to
+    * every document — the encode half of the train→encode round
+    * trip, mirroring [[bpeEncode]]'s surface: (id, n_toks,
+    * uni_text). Each DISTINCT word is Viterbi-segmented ONCE under
+    * the final model and the corpus is dictionary-joined (the
+    * encode-the-vocab-then-join composition bpeEncode's scaladoc
+    * names); per-document reassembly is the A8 ordered-collect
+    * discipline. */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieceLen: Int = 3): DataFrame = {
+    val words = df
+      .select(explode(graft.functions.tokens(col(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__f"))
+    val dict = viterbiSegmented(words, vocab, maxPieceLen)
+      .select(col("__w"), col("__seg"))
+    val toks = df.select(col(idCol),
+      posexplode(graft.functions.tokens(col(textCol)))
+        .as(Seq("__p", "__w")))
+    val per = toks.join(dict, Seq("__w"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("__p"), col("__seg"))))
+        .as("__ps"))
+      .select(col(idCol),
+        expr("aggregate(__ps, 0L, (a, x) -> a + size(x.__seg))")
+          .as("n_toks"),
+        expr("array_join(flatten(transform(__ps, x -> x.__seg)), ' ')")
+          .as("uni_text"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_toks")).na.fill("", Seq("uni_text"))
+  }
 }

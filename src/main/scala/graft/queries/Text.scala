@@ -173,6 +173,23 @@ object Text {
         lshPairs(s, d).select("id_a", "id_b"))
     }
 
+  /** Unigram-LM trained vocab (maxPieceLen 3, V=32) + its corpus
+    * encode, each built ONCE per (session, sfDir): three graded
+    * queries (vocab, encode round-trip, fertility) sit on the same
+    * train, and two on the same encode. */
+  private def uniVocab32(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    materialized(s, d, "unigram_vocab_32") {
+      TextAnalysis.unigramLmVocab(t(s, d, "documents"), "text", 3, 32)
+    }
+
+  private def uniEncoded32(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    materialized(s, d, "unigram_encoded_32") {
+      TextAnalysis.unigramEncode(t(s, d, "documents"), "doc_id",
+        "text", uniVocab32(s, d), 3)
+    }
+
   /** Oracle lang-id CASE chain over `s_<lang>` score columns (matches
     * TextAnalysis.langIdOfScores' alphabetical fold). */
   private def langIdSqlFor(langsIn: Seq[String]): String = {
@@ -2708,6 +2725,43 @@ object Text {
         .orderBy("lang")
     },
 
+    // TOKENIZER TRAINING, unigram-LM (T37, Kudo 2018): the OTHER
+    // mainstream vocab algorithm next to BPE — seed substring counts,
+    // one deterministic hard-EM round (Viterbi E-step under
+    // micro-floored-ln piece costs, usage M-step), integer top-V
+    // prune with single-char coverage. The oracle replays the whole
+    // train: the DP runs as a recursive CTE carrying the last
+    // maxPieceLen dp slots, struct-min tie-break identical to the
+    // engine's array_min.
+    Q("q_t_unigram_lm", uniVocabOracle(3, 32)) { (s, d) =>
+      uniVocab32(s, d)
+        .select(col("piece"), col("score").cast("long").as("score"))
+        .orderBy(col("score").desc, col("piece").asc)
+    },
+
+    // TOKENIZER ROUND-TRIP (T38): train→encode under the unigram-LM
+    // vocab, mirroring q_t_bpe_encode's surface — every distinct word
+    // Viterbi-segmented once under the FINAL model, corpus
+    // dictionary-joined, pieces reassembled in document order.
+    Q("q_t_unigram_encode", uniEncodeOracle(3, 32)) { (s, d) =>
+      uniEncoded32(s, d)
+        .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+          col("uni_text"))
+        .orderBy("doc_id")
+    },
+
+    // TOKENIZER FAIRNESS COMPARISON (T39): the q_t_fertility rate law
+    // under the unigram-LM vocab — read next to the BPE row, this is
+    // the A/B that says which tokenizer taxes which language (Petrov
+    // 2023's premium, same all-integer arithmetic).
+    Q("q_t_unigram_fertility", uniFertilityOracle(3, 32)) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val enc = uniEncoded32(s, d)
+        .join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+      TextAnalysis.tokenizerFertility(enc, "lang", "n_toks", "n_chars")
+        .orderBy("lang")
+    },
+
     // CORPUS HEALTH (T33): Zipf rank-frequency slope over the top-25
     // vocabulary — natural text slopes ≈ −1 on the log-log line;
     // templated/synthetic slices bend it, so the least-squares slope
@@ -3056,4 +3110,134 @@ object Text {
          |    AS premium_milli
          |FROM g, tt ORDER BY lang""".stripMargin
   }
+
+  /** Generated DuckDB replay of the unigram-LM Viterbi DP
+    * ([[TextAnalysis.unigramLmVocab]]'s E-step / encode kernel): a
+    * recursive CTE advancing one character position per iteration,
+    * carrying the last `p` dp slots (cost, segmentation) — the ≤ p
+    * candidate pieces ending at the new position are looked up with
+    * LEFT JOINs and the (cost, seg) struct MIN picks the winner,
+    * exactly the engine's array_min tie-break. Emits
+    * `name(w, f, seg)`. */
+  private def uniDpCte(name: String, words: String, scores: String,
+      p: Int): String = {
+    val stateCols = (1 to p).map(k => s"c$k, s$k").mkString(", ")
+    val baseNulls = (2 to p)
+      .map(_ => "CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)")
+      .mkString(", ")
+    // the recursion variable must be UNIQUE per DP: DuckDB resolves
+    // two same-named nested WITH RECURSIVE CTEs in one WITH chain to
+    // the FIRST definition (observed on 1.x — udp2's `r` silently
+    // read udp's), so each DP recurses over its own `${name}_r`
+    val rv = s"${name}_r"
+    val joins = (1 to p).map { k =>
+      s"LEFT JOIN ${name}_c v$k ON $rv.j >= ${k - 1} AND " +
+        s"v$k.piece = $rv.w[$rv.j + ${2 - k} : $rv.j + 1]"
+    }.mkString("\n      ")
+    val cands = (1 to p).map { k =>
+      s"{'c': $rv.c$k + v$k.c, 's': $rv.s$k || ' ' || v$k.piece}"
+    }.mkString(",\n          ")
+    val shift = (1 until p).map(k => s"c$k, s$k").mkString(", ")
+    val carry = (1 to p).map(k => s"$rv.c$k, $rv.s$k").mkString(", ")
+    s""",
+       |${name}_t AS (SELECT CAST(sum(score) AS BIGINT) AS tot
+       |  FROM $scores),
+       |${name}_c AS (SELECT piece,
+       |    -CAST(FLOOR(LN(CAST(score AS DOUBLE) / CAST(tot AS DOUBLE))
+       |      * 1000000) AS BIGINT) AS c
+       |  FROM $scores, ${name}_t),
+       |$name AS (
+       |  WITH RECURSIVE $rv(w, f, j, $stateCols) AS (
+       |    SELECT w, f, 0, CAST(0 AS BIGINT), '', $baseNulls
+       |    FROM $words
+       |    UNION ALL
+       |    SELECT w, f, j + 1, cand[1].c, cand[1].s, $shift
+       |    FROM (
+       |      SELECT $rv.w, $rv.f, $rv.j, $carry,
+       |        list_sort(list_filter([
+       |          $cands
+       |        ], x -> x.c IS NOT NULL)) AS cand
+       |      FROM $rv
+       |      $joins
+       |      WHERE $rv.j < length($rv.w)))
+       |  SELECT w, f, ltrim(s1) AS seg FROM $rv
+       |  WHERE j = length(w))""".stripMargin
+  }
+
+  /** Unigram-LM training CTE chain replaying
+    * [[TextAnalysis.unigramLmVocab]]: distinct words → substring
+    * seed counts → Viterbi E-step under the seed model → usage
+    * M-step → top-V prune + single-char coverage → `ufinal(piece,
+    * score)`. */
+  private def uniCtes(p: Int, v: Int): String =
+    s"""WITH uw AS (SELECT tok AS w, count(*) AS f
+       |  FROM (SELECT unnest($toksD) AS tok FROM documents)
+       |  GROUP BY 1),
+       |us AS (SELECT piece, CAST(sum(f) AS BIGINT) AS score
+       |  FROM (SELECT f, w[i : i + k] AS piece
+       |        FROM (SELECT w, f, unnest(range(1, length(w) + 1)) AS i
+       |              FROM uw), range(0, $p) t2(k)
+       |        WHERE i + k <= length(w))
+       |  GROUP BY 1)""".stripMargin +
+      uniDpCte("udp", "uw", "us", p) +
+      s""",
+         |uu AS (SELECT piece, CAST(sum(f) AS BIGINT) AS score
+         |  FROM (SELECT f, unnest(string_split(seg, ' ')) AS piece
+         |        FROM udp)
+         |  GROUP BY 1),
+         |utop AS (SELECT piece, score FROM uu
+         |  ORDER BY score DESC, piece LIMIT $v),
+         |uch AS (SELECT DISTINCT w[i:i] AS piece
+         |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i
+         |        FROM uw)),
+         |ufinal AS (SELECT piece, score FROM utop
+         |  UNION ALL
+         |  SELECT piece, CAST(1 AS BIGINT) AS score FROM uch
+         |  WHERE piece NOT IN (SELECT piece FROM utop))""".stripMargin
+
+  private def uniVocabOracle(p: Int, v: Int): String =
+    uniCtes(p, v) +
+      "\nSELECT piece, CAST(score AS BIGINT) AS score FROM ufinal " +
+      "ORDER BY score DESC, piece"
+
+  /** Train + encode CTEs: a SECOND Viterbi DP under the pruned final
+    * model, then per-document positional reassembly. */
+  private def uniEncodeCtes(p: Int, v: Int): String =
+    uniCtes(p, v) + uniDpCte("udp2", "uw", "ufinal", p) +
+      s""",
+         |ue AS (SELECT doc_id, $toksD AS toks FROM documents),
+         |utp AS (SELECT doc_id, p, toks[p] AS w
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(1, len(toks) + 1)) AS p FROM ue)),
+         |uenc AS (SELECT utp.doc_id, utp.p, d.seg,
+         |    CAST(len(string_split(d.seg, ' ')) AS BIGINT) AS np
+         |  FROM utp JOIN udp2 d ON d.w = utp.w),
+         |uper AS (SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_toks,
+         |    string_agg(seg, ' ' ORDER BY p) AS uni_text
+         |  FROM uenc GROUP BY 1)""".stripMargin
+
+  private def uniEncodeOracle(p: Int, v: Int): String =
+    uniEncodeCtes(p, v) +
+      """
+        |SELECT d.doc_id,
+        |  CAST(coalesce(u.n_toks, 0) AS BIGINT) AS n_toks,
+        |  coalesce(u.uni_text, '') AS uni_text
+        |FROM documents d LEFT JOIN uper u USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+
+  private def uniFertilityOracle(p: Int, v: Int): String =
+    uniEncodeCtes(p, v) +
+      """,
+        |uj AS (SELECT d.lang,
+        |    CAST(coalesce(u.n_toks, 0) AS BIGINT) AS n_toks, d.n_chars
+        |  FROM documents d LEFT JOIN uper u USING (doc_id)),
+        |g AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS n_toks,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars FROM uj GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_toks) AS BIGINT) AS tt,
+        |    CAST(sum(n_chars) AS BIGINT) AS tc FROM g)
+        |SELECT lang, n_toks, n_chars,
+        |  (n_toks * 1000) // n_chars AS fertility_milli,
+        |  ((n_toks * 1000000) // n_chars) // ((tt * 1000) // tc)
+        |    AS premium_milli
+        |FROM g, tt ORDER BY lang""".stripMargin
 }

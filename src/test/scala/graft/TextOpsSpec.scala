@@ -432,6 +432,44 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == ((0L, "")), out)
   }
 
+  test("unigramLmVocab: frequent substrings win the prune, single " +
+      "chars always covered, EM usage re-scores the seed") {
+    // words: abab x3, abc x2, dd x1 — the seed counts substring mass,
+    // the Viterbi E-step segments each word greedily-optimally under
+    // it, and usage keeps only pieces that actually segment words
+    val docs = Seq(
+      (1L, "abab abab abab"), (2L, "abc abc dd")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.unigramLmVocab(docs, "text",
+        maxPieceLen = 3, vocabSize = 4)
+      .as[(String, Long)].collect().toMap
+    // 'ab' is the workhorse piece: abab -> ab+ab (2 uses x3 docs),
+    // abc -> ab+c or a+bc (model decides deterministically)
+    assert(vocab.contains("ab"), vocab.toString)
+    // every single char of the corpus is encodable
+    for (c <- Seq("a", "b", "c", "d"))
+      assert(vocab.contains(c) ||
+        vocab.keys.exists(p => p.length > 1 && p.contains(c)),
+        s"char $c must be coverable: $vocab")
+    assert(Seq("a", "b", "c", "d").forall(vocab.contains),
+      s"single chars must be present for coverage: $vocab")
+  }
+
+  test("unigramEncode: pieces concatenate back to the words, empty " +
+      "doc is 0/'', n_toks counts pieces") {
+    val docs = Seq(
+      (1L, "abab abab abab"), (2L, "abc abc dd"), (3L, ""))
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.unigramLmVocab(docs, "text", 3, 4)
+    val out = TextAnalysis.unigramEncode(docs, "doc_id", "text", vocab, 3)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(3L) == ((0L, "")), out.toString)
+    // round-trip law: stripping the piece separators rebuilds the text
+    assert(out(1L)._2.replace(" ", "") == "abababababab", out.toString)
+    assert(out(2L)._2.replace(" ", "") == "abcabcdd", out.toString)
+    assert(out(1L)._1 == out(1L)._2.split(" ").length.toLong)
+  }
+
   test("bpeEncode: native kernel is bit-identical to the HOF replace chain") {
     val docs = Seq(
       (1L, "low low lower lowest newest new"),
