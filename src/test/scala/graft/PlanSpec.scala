@@ -741,4 +741,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"keyed equi-join expected:\n$plan")
   }
+
+  test("unigram-LM training: the Viterbi DP is a per-row fold — no " +
+      "window anywhere, the vocab map rides broadcast") {
+    // the graded query reads the materialized vocab (Scan
+    // ExistingRDD), so pin the OPERATOR's own plan
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.operators.TextAnalysis
+      .unigramLmVocab(docs, "text", 3, 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"the DP must not be a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"vocab must broadcast, never a cartesian:\n$plan")
+    assert(plan.contains("Broadcast"),
+      s"the cost map must ride a broadcast:\n$plan")
+  }
+
+  test("span excision: coverage and rebuild are keyed work — no " +
+      "cartesian, no global window over the corpus") {
+    val plan = planOf("q_e2e_substring_excise")
+    assert(!plan.contains("CartesianProduct"),
+      s"excision must stay keyed:\n$plan")
+    val specs = "windowspecdefinition\\(([a-z_]+)#"
+      .r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(specs.subsetOf(Set("doc_a", "doc_b", "doc_id")),
+      s"any window must key on document columns, got $specs:\n$plan")
+  }
 }
