@@ -233,4 +233,60 @@ object Constraints {
             " ELSE 0L END").as("top_share_milli"))
     }.reduce(_ unionByName _)
   }
+
+  /** k-anonymity / l-diversity privacy report (Sweeney 2002
+    * "k-anonymity: a model for protecting privacy"; Machanavajjhala
+    * et al. 2007 "l-diversity") — the governance number a dataset
+    * release reads BEFORE publishing: group rows into equivalence
+    * classes by the quasi-identifier columns, report the dataset's
+    * actual k (the smallest class — any class under the target k
+    * re-identifies its members by quasi-identifier lookup) and its
+    * actual l (the fewest DISTINCT sensitive values in any class —
+    * a class can be k-anonymous yet leak the sensitive attribute
+    * when all members share one value). One row: totals, worst
+    * cases, and the exact-milli shares of rows in violating
+    * classes.
+    *
+    * Scale shape: ONE groupBy on the quasi columns (count +
+    * count-distinct both partial-aggregate) followed by a single-row
+    * rollup — the class table is the only shuffle and is bounded by
+    * the quasi-identifier domain, not the corpus. */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 1 && l >= 1, s"k and l must be positive: $k, $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"),
+        countDistinct(col(sensitiveCol)).as("__ldiv"))
+      .agg(
+        sum(col("__sz")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("__sz")).as("k_anonymity"),
+        sum(when(col("__sz") < k, col("__sz")).otherwise(0L))
+          .as("rows_below_k"),
+        min(col("__ldiv")).as("l_diversity"),
+        sum(when(col("__ldiv") < l, col("__sz")).otherwise(0L))
+          .as("rows_below_l"))
+      .withColumn("below_k_milli",
+        expr("CASE WHEN n_rows > 0 THEN rows_below_k * 1000 div n_rows"
+          + " ELSE 0L END"))
+      .withColumn("below_l_milli",
+        expr("CASE WHEN n_rows > 0 THEN rows_below_l * 1000 div n_rows"
+          + " ELSE 0L END"))
+  }
+
+  /** The actionable half of [[kAnonymityReport]]: the SUPPRESSION
+    * LIST — every equivalence class violating the k or l target,
+    * with its size and sensitive-value diversity. Rows in these
+    * classes get suppressed or generalized before release; the
+    * report says how bad, this says WHICH. Same single class-table
+    * shuffle; output bounded by the violating classes. */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_diversity"))
+      .filter(col("class_size") < k || col("l_diversity") < l)
+  }
 }

@@ -1296,6 +1296,52 @@ object Approx {
         .orderBy("col_name")
     },
 
+    // AUDIT (A22, Sweeney 2002 / Machanavajjhala 2007): k-anonymity /
+    // l-diversity release gate — equivalence classes by the
+    // quasi-identifiers (nation, segment), worst-case class size and
+    // sensitive-value diversity (acctbal), exact-milli shares of rows
+    // in violating classes. The number a dataset release reads before
+    // publishing.
+    Q("q_audit_k_anonymity",
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(count(DISTINCT c_acctbal) AS BIGINT) AS ld
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(sz) AS BIGINT) AS k_anonymity,
+        |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_below_k,
+        |  CAST(min(ld) AS BIGINT) AS l_diversity,
+        |  CAST(sum(CASE WHEN ld < 8 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_below_l,
+        |  (sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) * 1000)
+        |    // sum(sz) AS below_k_milli,
+        |  (sum(CASE WHEN ld < 8 THEN sz ELSE 0 END) * 1000)
+        |    // sum(sz) AS below_l_milli
+        |FROM cls""".stripMargin) { (s, d) =>
+      graft.operators.Constraints.kAnonymityReport(
+        t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"),
+        "c_acctbal", 10L, 8L)
+    },
+
+    // AUDIT (A22b): the suppression list — WHICH equivalence classes
+    // violate the k/l targets, with their sizes and diversities; the
+    // rows a release suppresses or generalizes.
+    Q("q_audit_k_violations",
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS class_size,
+        |    CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_diversity
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, class_size, l_diversity
+        |FROM cls WHERE class_size < 10 OR l_diversity < 8
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, d) =>
+      graft.operators.Constraints.kAnonymityViolations(
+          t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"),
+          "c_acctbal", 10L, 8L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // LINKAGE (D22): Fellegi-Sunter probabilistic record linkage —
     // nation-blocked pairs over original ∪ perturbed customers,
     // milli log-odds field weights, two-threshold verdicts. The 1500

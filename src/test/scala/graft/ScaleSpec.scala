@@ -1017,6 +1017,30 @@ class ScaleSpec extends SparkSpec {
     assert(got.map(_._3).sum == 6000L)
   }
 
+  test("kAnonymityReport: worst class sets k, homogeneous sensitive " +
+      "values trip l even in a large class, milli shares exact") {
+    import graft.operators.Constraints
+    // class (a,x): 4 rows, all same sensitive -> k-safe at 3, l=1
+    // class (a,y): 2 rows, 2 values -> below k=3
+    // class (b,x): 3 rows, 3 values -> clean
+    val rows = Seq(
+      ("a", "x", "s1"), ("a", "x", "s1"), ("a", "x", "s1"),
+      ("a", "x", "s1"),
+      ("a", "y", "s1"), ("a", "y", "s2"),
+      ("b", "x", "s1"), ("b", "x", "s2"), ("b", "x", "s3"))
+      .toDF("q1", "q2", "sens")
+    val r = Constraints.kAnonymityReport(rows, Seq("q1", "q2"),
+        "sens", 3L, 2L)
+      .select("n_rows", "n_classes", "k_anonymity", "rows_below_k",
+        "l_diversity", "rows_below_l", "below_k_milli", "below_l_milli")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((9L, 3L, 2L, 2L, 1L, 4L, 222L, 444L)), r.toString)
+    val v = Constraints.kAnonymityViolations(rows, Seq("q1", "q2"),
+        "sens", 3L, 2L)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(v == Set(("a", "x", 4L, 1L), ("a", "y", 2L, 2L)), v.toString)
+  }
+
   test("linkPairsBy lev1: a one-char typo scores as agreement; " +
       "sequential low-entropy keys are the documented trap") {
     import graft.operators.Linkage
