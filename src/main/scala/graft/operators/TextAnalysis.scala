@@ -1865,6 +1865,69 @@ object TextAnalysis {
         .withColumn("score", lit(1L)))
   }
 
+  /** WordPiece greedy MaxMatch encode (Schuster & Nakajima 2012; the
+    * longest-match-first inference BERT's tokenizer applies, Devlin
+    * 2019 — without the cosmetic `##` continuation marker, which our
+    * trained vocabs don't carry): at each position consume the
+    * LONGEST vocab piece prefixing the remaining word, never looking
+    * back. The third tokenizer next to [[bpeEncode]] and
+    * [[unigramEncode]] — same vocab surface (any (piece, score)
+    * table with single-char coverage), same output surface (id,
+    * n_toks, wp_text), so the three encodes A/B on one corpus.
+    * Greedy differs from the unigram Viterbi exactly where a long
+    * greedy prefix forces a worse tail — the classic MaxMatch
+    * failure Viterbi repairs; shipping both makes that difference
+    * measurable per corpus.
+    *
+    * Scale shape: identical to [[unigramEncode]] — the match is a
+    * per-word fold over a broadcast piece set (membership only, no
+    * costs), each DISTINCT word encodes once, the corpus
+    * dictionary-joins. */
+  def wordPieceEncode(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxPieceLen: Int = 3): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [1, 8]: $maxPieceLen")
+    val vs = vocab.agg(map_from_entries(
+      collect_list(struct(col("piece"), lit(1)))).as("__vs"))
+    val words = df
+      .select(explode(graft.functions.tokens(col(textCol))).as("__w"))
+      .distinct()
+    val dict = words.crossJoin(broadcast(vs))
+      .withColumn("__seg", split(ltrim(expr(s"""
+        aggregate(
+          sequence(1, length(__w)),
+          named_struct('p', 0, 's', ''),
+          (st, i) -> IF(st.p >= length(__w), st,
+            element_at(
+              transform(
+                slice(filter(
+                  transform(sequence($maxPieceLen, 1, -1), k ->
+                    named_struct('k', k,
+                      'pc', substr(__w, st.p + 1, k))),
+                  c -> c.k <= length(__w) - st.p AND
+                       try_element_at(__vs, c.pc) IS NOT NULL),
+                  1, 1),
+                f -> named_struct('p', st.p + f.k,
+                  's', concat(st.s, ' ', f.pc))),
+              1)),
+          st -> st.s)""")), " "))
+      .select(col("__w"), col("__seg"))
+    val toks = df.select(col(idCol),
+      posexplode(graft.functions.tokens(col(textCol)))
+        .as(Seq("__p", "__w")))
+    val per = toks.join(dict, Seq("__w"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("__p"), col("__seg"))))
+        .as("__ps"))
+      .select(col(idCol),
+        expr("aggregate(__ps, 0L, (a, x) -> a + size(x.__seg))")
+          .as("n_toks"),
+        expr("array_join(flatten(transform(__ps, x -> x.__seg)), ' ')")
+          .as("wp_text"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_toks")).na.fill("", Seq("wp_text"))
+  }
+
   /** Apply a trained unigram-LM vocab ([[unigramLmVocab]] output) to
     * every document — the encode half of the train→encode round
     * trip, mirroring [[bpeEncode]]'s surface: (id, n_toks,

@@ -2750,6 +2750,20 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // TOKENIZER TRIAD (T40, Schuster & Nakajima 2012): WordPiece
+    // greedy MaxMatch inference over the unigram-trained vocab — the
+    // longest-match-first encode BERT applies, A/B-able against the
+    // Viterbi encode on the same vocab (greedy differs exactly where
+    // a long prefix forces a worse tail). Oracle replays the greedy
+    // march as a recursive position pointer.
+    Q("q_t_wordpiece_encode", wpEncodeOracle(3, 32)) { (s, d) =>
+      TextAnalysis.wordPieceEncode(t(s, d, "documents"), "doc_id",
+          "text", uniVocab32(s, d), 3)
+        .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+          col("wp_text"))
+        .orderBy("doc_id")
+    },
+
     // TOKENIZER FAIRNESS COMPARISON (T39): the q_t_fertility rate law
     // under the unigram-LM vocab — read next to the BPE row, this is
     // the A/B that says which tokenizer taxes which language (Petrov
@@ -3194,6 +3208,55 @@ object Text {
          |  UNION ALL
          |  SELECT piece, CAST(1 AS BIGINT) AS score FROM uch
          |  WHERE piece NOT IN (SELECT piece FROM utop))""".stripMargin
+
+  /** Generated DuckDB replay of WordPiece greedy MaxMatch
+    * ([[TextAnalysis.wordPieceEncode]]): a recursive CTE marching a
+    * position pointer, LEFT JOINs probe the ≤ p candidate pieces and
+    * a CASE picks the LONGEST hit — no costs, no sort. Unique
+    * recursion variable per instance (the dup-name lesson). */
+  private def wpGreedyCte(name: String, words: String, vocab: String,
+      p: Int): String = {
+    val rv = s"${name}_r"
+    val joins = (1 to p).map { k =>
+      s"LEFT JOIN $vocab v$k ON $rv.pos + $k <= length($rv.w) AND " +
+        s"v$k.piece = $rv.w[$rv.pos + 1 : $rv.pos + $k]"
+    }.mkString("\n      ")
+    val kChoice = (p to 2 by -1)
+      .map(k => s"WHEN v$k.piece IS NOT NULL THEN $k").mkString(" ")
+    val pcChoice = (p to 1 by -1).map(k => s"v$k.piece").mkString(", ")
+    s""",
+       |$name AS (
+       |  WITH RECURSIVE $rv(w, f, pos, s) AS (
+       |    SELECT w, f, 0, '' FROM $words
+       |    UNION ALL
+       |    SELECT $rv.w, $rv.f,
+       |      $rv.pos + CASE $kChoice ELSE 1 END,
+       |      $rv.s || ' ' || coalesce($pcChoice)
+       |    FROM $rv
+       |      $joins
+       |    WHERE $rv.pos < length($rv.w))
+       |  SELECT w, f, ltrim(s) AS seg FROM $rv
+       |  WHERE pos >= length(w))""".stripMargin
+  }
+
+  private def wpEncodeOracle(p: Int, v: Int): String =
+    uniCtes(p, v) + wpGreedyCte("wdp", "uw", "ufinal", p) +
+      s""",
+         |we AS (SELECT doc_id, $toksD AS toks FROM documents),
+         |wtp AS (SELECT doc_id, p, toks[p] AS w
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(1, len(toks) + 1)) AS p FROM we)),
+         |wenc AS (SELECT wtp.doc_id, wtp.p, d.seg,
+         |    CAST(len(string_split(d.seg, ' ')) AS BIGINT) AS np
+         |  FROM wtp JOIN wdp d ON d.w = wtp.w),
+         |wper AS (SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_toks,
+         |    string_agg(seg, ' ' ORDER BY p) AS wp_text
+         |  FROM wenc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(u.n_toks, 0) AS BIGINT) AS n_toks,
+         |  coalesce(u.wp_text, '') AS wp_text
+         |FROM documents d LEFT JOIN wper u USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
 
   private def uniVocabOracle(p: Int, v: Int): String =
     uniCtes(p, v) +

@@ -470,6 +470,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L)._1 == out(1L)._2.split(" ").length.toLong)
   }
 
+  test("wordPieceEncode: greedy longest prefix — and it diverges " +
+      "from the unigram Viterbi exactly on the classic MaxMatch trap") {
+    val docs = Seq((1L, "abc abc"), (2L, "")).toDF("doc_id", "text")
+    // vocab scores make 'a bc' the Viterbi optimum while greedy must
+    // take the longer prefix 'ab' first and settle for 'ab c'
+    val vocab = Seq(("a", 50L), ("b", 1L), ("c", 1L),
+      ("ab", 10L), ("bc", 500L)).toDF("piece", "score")
+    val wp = TextAnalysis.wordPieceEncode(docs, "doc_id", "text", vocab, 3)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(wp(1L) == ((4L, "ab c ab c")), wp.toString)
+    assert(wp(2L) == ((0L, "")), wp.toString)
+    val uni = TextAnalysis.unigramEncode(docs, "doc_id", "text", vocab, 3)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(uni(1L) == ((4L, "a bc a bc")),
+      s"Viterbi must repair the greedy trap: $uni")
+  }
+
   test("bpeEncode: native kernel is bit-identical to the HOF replace chain") {
     val docs = Seq(
       (1L, "low low lower lowest newest new"),
