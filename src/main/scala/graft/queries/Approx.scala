@@ -981,6 +981,44 @@ object Approx {
           col("latest_rows"), col("latest_key_sum"))
     },
 
+    // LAYOUT: manifest compaction (L10 — the OPTIMIZE half next to
+    // L6's VACUUM): four single-file append commits (the shape a
+    // streaming sink leaves behind) compact into ONE file in one
+    // atomic version step; the data is bit-identical before and
+    // after (the oracle recomputes it from source parquet), time
+    // travel to the pre-compaction version still reads, and the
+    // file arithmetic is exact.
+    Q("q_e2e_compact",
+      """SELECT CAST(4 AS BIGINT) AS files_before,
+        |  CAST(1 AS BIGINT) AS files_after,
+        |  CAST(5 AS BIGINT) AS compacted_version,
+        |  CAST(count(*) AS BIGINT) AS latest_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS latest_key_sum,
+        |  CAST(sum(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v1_rows
+        |FROM orders""".stripMargin) { (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-compact-q").toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      for (m <- 0 to 3) {
+        graft.sources.ManifestTable.commit(
+          orders.filter(col("o_orderkey") % 4 === m).coalesce(1),
+          table, append = true)
+      }
+      val (v, before, after) = graft.sources.ManifestTable
+        .compact(s, table, targetBytes = Long.MaxValue / 2)
+      val v1 = graft.sources.ManifestTable.read(s, table, Some(1L))
+        .agg(count(lit(1)).as("v1_rows"))
+      graft.sources.ManifestTable.read(s, table)
+        .agg(count(lit(1)).as("latest_rows"),
+          sum("o_orderkey").as("latest_key_sum"))
+        .crossJoin(v1)
+        .select(lit(before.toLong).as("files_before"),
+          lit(after.toLong).as("files_after"),
+          lit(v).as("compacted_version"),
+          col("latest_rows"), col("latest_key_sum"), col("v1_rows"))
+    },
+
     // LAYOUT: schema evolution ACROSS manifest commits (S16 × L5) —
     // commit v1 before the status column existed, append v2 with it;
     // the merged-schema snapshot read unions the LIVE files' footers

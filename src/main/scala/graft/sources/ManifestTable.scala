@@ -206,6 +206,99 @@ object ManifestTable {
     * write's duration; pass 0 only when no writer can be in flight
     * (tests, single-process maintenance). Returns
     * (files kept, files deleted). */
+  /** OPTIMIZE — the compaction half next to [[vacuum]]'s retention:
+    * coalesce the LATEST snapshot's small files into ~`targetBytes`
+    * outputs and publish the rewrite as ONE atomic commit whose
+    * manifest lists (survivors + compacted), so readers flip from
+    * many-small-files to few-big-files in a single version step.
+    * Old manifests still name the old files — time travel keeps
+    * working until a [[vacuum]] reclaims them. This is the
+    * maintenance operation a 100 TB streaming-ingested table runs
+    * nightly: the exactly-once sink lands one file per micro-batch
+    * ([[streamCommit]]), and scan cost decays unless something
+    * re-packs (the [[graft.operators.Layout.compactionPlan]]
+    * prefix-sum discipline, applied to the manifest's own metadata).
+    *
+    * Grouping runs DRIVER-SIDE over the manifest's file list — the
+    * same manifest-sized metadata every commit already reads; the
+    * data itself moves through one distributed read+write per
+    * multi-file group. Groups that are already one file are carried
+    * untouched (no write amplification on compacted state —
+    * re-running compact is a no-op publish... which is skipped
+    * entirely, returning the current version).
+    *
+    * Concurrency: the publish runs the same put-if-absent loop as
+    * [[commitTagged]]. On losing a race, the rewrite is still valid
+    * iff every compacted input is STILL live in the new latest
+    * (rivals appended); their new files are carried alongside. If a
+    * rival REMOVED a compacted input (a concurrent rewrite), the
+    * compaction aborts loudly rather than resurrect dropped rows —
+    * the Delta/Iceberg conflict rule for competing OPTIMIZEs.
+    *
+    * Returns (published version, files before, files after). */
+  def compact(spark: SparkSession, table: String,
+      targetBytes: Long): (Long, Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no published version in $table")
+    val latest = vs.last
+    val files = filesOf(table, latest)
+    val root = Paths.get(table)
+    // prefix-sum packing in manifest order (compactionPlan's rule,
+    // driver-side: the file list IS metadata)
+    var cum = 0L
+    val grouped = files.map { f =>
+      val sz = Files.size(root.resolve(f))
+      val grp = (cum / targetBytes)
+      cum += sz
+      (f, grp)
+    }.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.map(_._1))
+    val (single, multi) = grouped.partition(_.size == 1)
+    if (multi.isEmpty) return (latest, files.size, files.size)
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val staged = multi.zipWithIndex.flatMap { case (grp, gi) =>
+      val stageDir = Paths.get(table, "data", s"c-$nonce-$gi")
+      spark.read.parquet(grp.map(f => root.resolve(f).toString): _*)
+        .coalesce(1)
+        .write.mode("errorifexists").parquet(stageDir.toString)
+      Using.resource(Files.list(stageDir)) { st =>
+        st.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+          .toSeq.sorted
+          .map(n => s"data/c-$nonce-$gi/$n")
+      }
+    }
+    val rewritten = multi.flatten.toSet
+    val survivors = single.flatten
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 1000,
+        s"compact of $table lost ${attempt - 1} straight publish races")
+      val snap = versions(table)
+      val cur = snap.last
+      val curFiles = filesOf(table, cur)
+      require(rewritten.subsetOf(curFiles.toSet),
+        s"concurrent rewrite removed a compacted input of $table — " +
+          "aborting rather than resurrecting dropped rows")
+      // rivals' appends since our snapshot ride along untouched
+      val carried = curFiles.filterNot(rewritten.contains)
+      val v = cur + 1L
+      val lines = (carried ++ staged).mkString("", "\n", "\n")
+      val tmp = manifestDir(table).resolve(s".v$v-$nonce.tmp")
+      Files.writeString(tmp, lines)
+      try {
+        Files.createLink(manifestDir(table).resolve(s"v$v"), tmp)
+        Files.delete(tmp)
+        return (v, files.size, carried.size + staged.size)
+      } catch {
+        case _: FileAlreadyExistsException => Files.delete(tmp)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def vacuum(table: String, keepVersions: Int,
       graceMs: Long = 20L * 60L * 1000L): (Int, Int) = {
     require(keepVersions >= 1, s"keepVersions must be ≥1: $keepVersions")

@@ -794,6 +794,37 @@ class PipelineSpec extends SparkSpec {
     assert(live == kept, s"disk has $live parquet files, kept=$kept")
   }
 
+  test("ManifestTable.compact: small files coalesce in one version " +
+      "step, data and time travel intact, re-compact is a no-op, " +
+      "vacuum reclaims the rewritten inputs") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-compact-spec").toString
+    val df = (1L to 90L).toDF("k")
+    for (m <- 0 to 2)
+      ManifestTable.commit(df.filter($"k" % 3 === m).coalesce(1),
+        table, append = true)
+    val (v, before, after) =
+      ManifestTable.compact(spark, table, Long.MaxValue / 2)
+    assert((v, before, after) == ((4L, 3, 1)), s"$v $before $after")
+    assert(ManifestTable.read(spark, table)
+      .as[Long].collect().toSet == (1L to 90L).toSet,
+      "compaction must be invisible to values")
+    assert(ManifestTable.read(spark, table, Some(2L))
+      .as[Long].collect().toSet ==
+      (1L to 90L).filter(k => k % 3 <= 1).toSet,
+      "pre-compaction versions still read until vacuumed")
+    // already-compacted state: no rewrite, no publish
+    val (v2, b2, a2) = ManifestTable.compact(spark, table, Long.MaxValue / 2)
+    assert((v2, b2, a2) == ((4L, 1, 1)), s"$v2 $b2 $a2")
+    // retention sweep now reclaims the three rewritten inputs
+    val (kept, deleted) =
+      ManifestTable.vacuum(table, keepVersions = 1, graceMs = 0L)
+    assert(kept == 1 && deleted == 3, s"kept=$kept deleted=$deleted")
+    assert(ManifestTable.read(spark, table)
+      .as[Long].collect().toSet == (1L to 90L).toSet)
+  }
+
   test("ManifestTable.commitTagged: a replayed tag is a no-op (same " +
       "version, no new data); fresh tags and untagged commits publish") {
     import graft.sources.ManifestTable
