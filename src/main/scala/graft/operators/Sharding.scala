@@ -322,6 +322,45 @@ object Sharding {
     *
     * Rows carry all original columns plus `pos` — downstream writers
     * sort by `pos` (or range-partition on it) to emit epoch order. */
+  /** Length-bucketed batching (C16) — the PADDED-batch dataloader
+    * primitive (SFT / eval / inference serving), complementary to
+    * [[packContiguousWindows]]' concat-and-chunk pretraining layout:
+    * a padded batch costs batchSize × max-length tokens, so batching
+    * similar-length documents together is what keeps the pad waste
+    * down (the fairseq/HF `--group_by_length` discipline). Documents
+    * land in coarse length BINS (`len div binWidth` — deterministic,
+    * no global statistics), are ranked within their bin by (length,
+    * id), and every `batchSize` consecutive ranks form one batch.
+    * Emits one row per batch: (bin, batch_in_bin, n_docs, max_toks,
+    * sum_toks, pad_milli) with pad_milli the exact integer share of
+    * padded slots in the batch's n_docs×max_toks token rectangle —
+    * the number that says what the batching policy wastes.
+    *
+    * Scale shape: ONE shuffle keyed on the bin (windows partition by
+    * `__bin`, never a global sort); bins are bounded by maxLen /
+    * binWidth, and within-bin state is per-partition window work.
+    * The last partial batch per bin reports honestly (n_docs <
+    * batchSize). */
+  def lengthBucketedBatches(df: DataFrame, idCol: String,
+      tokensCol: String, binWidth: Long, batchSize: Int): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be positive: $binWidth")
+    require(batchSize >= 1, s"batchSize must be positive: $batchSize")
+    val w = Window.partitionBy(col("__bin"))
+      .orderBy(col(tokensCol).asc, col(idCol).asc)
+    df.select(col(idCol), col(tokensCol))
+      .withColumn("__bin", expr(s"`$tokensCol` div $binWidth"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("batch_in_bin", expr(s"(__rk - 1) div $batchSize"))
+      .groupBy(col("__bin").as("bin"), col("batch_in_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col(tokensCol)).as("max_toks"),
+        sum(col(tokensCol)).as("sum_toks"))
+      .withColumn("pad_milli",
+        expr("CASE WHEN n_docs * max_toks > 0 THEN " +
+          "(n_docs * max_toks - sum_toks) * 1000 div " +
+          "(n_docs * max_toks) ELSE 0L END"))
+  }
+
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
       buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")

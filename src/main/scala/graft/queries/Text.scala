@@ -2725,6 +2725,37 @@ object Text {
         .orderBy("lang")
     },
 
+    // DATALOADER (C16): length-bucketed batching — the padded-batch
+    // complement of contiguous packing: docs bin by length div 16,
+    // rank within the bin, every 8 consecutive ranks form a batch;
+    // pad_milli prices the padded slots in each batch's n×max token
+    // rectangle. One bin-keyed shuffle, no global sort.
+    Q("q_pack_length_batches",
+      s"""WITH tk AS (SELECT doc_id, CAST(len($toksD) AS BIGINT)
+         |    AS n_toks FROM documents),
+         |b AS (SELECT doc_id, n_toks, n_toks // 16 AS bin FROM tk),
+         |r AS (SELECT bin, n_toks,
+         |    (row_number() OVER (PARTITION BY bin
+         |       ORDER BY n_toks, doc_id) - 1) // 8 AS batch_in_bin
+         |  FROM b),
+         |g AS (SELECT bin, batch_in_bin,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(max(n_toks) AS BIGINT) AS max_toks,
+         |    CAST(sum(n_toks) AS BIGINT) AS sum_toks
+         |  FROM r GROUP BY 1, 2)
+         |SELECT bin, batch_in_bin, n_docs, max_toks, sum_toks,
+         |  CASE WHEN n_docs * max_toks > 0 THEN
+         |    (n_docs * max_toks - sum_toks) * 1000
+         |      // (n_docs * max_toks) ELSE 0 END AS pad_milli
+         |FROM g ORDER BY bin, batch_in_bin""".stripMargin) { (s, d) =>
+      graft.operators.Sharding.lengthBucketedBatches(
+          t(s, d, "documents")
+            .select(col("doc_id"),
+              size(tokens(col("text"))).cast("long").as("n_toks")),
+          "doc_id", "n_toks", 16L, 8)
+        .orderBy("bin", "batch_in_bin")
+    },
+
     // TOKENIZER TRAINING, unigram-LM (T37, Kudo 2018): the OTHER
     // mainstream vocab algorithm next to BPE — seed substring counts,
     // one deterministic hard-EM round (Viterbi E-step under

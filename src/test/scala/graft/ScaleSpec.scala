@@ -1017,6 +1017,22 @@ class ScaleSpec extends SparkSpec {
     assert(got.map(_._3).sum == 6000L)
   }
 
+  test("lengthBucketedBatches: same-bin docs batch together in " +
+      "length order, partial tails report honestly, pad share exact") {
+    import graft.operators.Sharding
+    // bin 0 (len < 4): lengths 1,2,3,3 -> batch0 = [1,2] pad (2*2-3)/4,
+    // batch1 = [3,3] pad 0; bin 1: single doc 5 -> partial batch
+    val rows = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("id", "n")
+    val got = Sharding.lengthBucketedBatches(rows, "id", "n", 4L, 2)
+      .orderBy("bin", "batch_in_bin")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 2L, 3L, 250L),
+      (0L, 1L, 2L, 3L, 6L, 0L),
+      (1L, 0L, 1L, 5L, 5L, 0L)), got.toString)
+  }
+
   test("kAnonymityReport: worst class sets k, homogeneous sensitive " +
       "values trip l even in a large class, milli shares exact") {
     import graft.operators.Constraints
