@@ -981,6 +981,41 @@ object Approx {
           col("latest_rows"), col("latest_key_sum"))
     },
 
+    // LAYOUT: manifest file-skipping (L11 — Iceberg/Delta-style
+    // zone stats IN the manifest): four range-disjoint commits carry
+    // per-file min/max of o_orderkey as #stats= lines; a BETWEEN read
+    // plans its scan from the manifest and opens exactly ONE of the
+    // four files, with the row filter keeping the values exact. The
+    // oracle recomputes the rows from source parquet and pins the
+    // skip arithmetic.
+    Q("q_e2e_manifest_prune",
+      """SELECT CAST(4 AS BIGINT) AS files_total,
+        |  CAST(1 AS BIGINT) AS files_scanned,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 5000 AND 7000""".stripMargin) {
+      (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-prune-q").toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      val bounds = Seq((-1L, 4000L), (4000L, 8000L),
+        (8000L, 12000L), (12000L, Long.MaxValue))
+      for ((lo, hi) <- bounds) {
+        graft.sources.ManifestTable.commitWithStats(
+          orders.filter(col("o_orderkey") > lo &&
+            col("o_orderkey") <= hi).coalesce(1),
+          table, append = true, "o_orderkey")
+      }
+      val (frame, total, scanned) = graft.sources.ManifestTable
+        .readPruned(s, table, "o_orderkey", 5000L, 7000L)
+      frame.agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"))
+        .select(lit(total.toLong).as("files_total"),
+          lit(scanned.toLong).as("files_scanned"),
+          col("n_rows"), col("key_sum"))
+    },
+
     // LAYOUT: manifest compaction (L10 — the OPTIMIZE half next to
     // L6's VACUUM): four single-file append commits (the shape a
     // streaming sink leaves behind) compact into ONE file in one

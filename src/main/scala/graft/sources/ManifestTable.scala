@@ -147,7 +147,15 @@ object ManifestTable {
       val carried =
         if (append) prev.map(filesOf(table, _)).getOrElse(Seq.empty)
         else Seq.empty
-      val lines = (tag.map(t => s"#tag=$t").toSeq ++ carried ++ fresh)
+      // carried files keep their #stats= zone lines (file metadata
+      // survives unrelated appends; commitWithStats documents them)
+      val carriedStats =
+        if (append) prev.map(statsOf(table, _)).getOrElse(Map.empty)
+        else Map.empty[String, (Long, Long)]
+      val statLines = carried.flatMap(f => carriedStats.get(f)
+        .map { case (mn, mx) => s"#stats=$f|$mn|$mx" })
+      val lines = (tag.map(t => s"#tag=$t").toSeq ++ statLines ++
+        carried ++ fresh)
         .mkString("", "\n", "\n")
       val tmp = manifestDir(table).resolve(s".v$v-$nonce.tmp")
       Files.writeString(tmp, lines)
@@ -206,6 +214,127 @@ object ManifestTable {
     * write's duration; pass 0 only when no writer can be in flight
     * (tests, single-process maintenance). Returns
     * (files kept, files deleted). */
+  /** Per-file stats of a version: relative path → (min, max) of the
+    * stats column, parsed from the `#stats=path|min|max` comment
+    * lines a [[commitWithStats]] publishes. Files without a stats
+    * line simply have no entry (and are never skipped). */
+  private def statsOf(table: String,
+      version: Long): Map[String, (Long, Long)] =
+    Files.readAllLines(manifestDir(table).resolve(s"v$version"))
+      .asScala
+      .filter(_.startsWith("#stats="))
+      .map { l =>
+        val p = l.drop(7).split('|')
+        p(0) -> ((p(1).toLong, p(2).toLong))
+      }.toMap
+
+  /** [[commit]] carrying PER-FILE min/max stats of an integer column
+    * in the manifest — the Iceberg/Delta file-skipping mechanism:
+    * the manifest becomes the zone map, so a predicate-bearing read
+    * ([[readPruned]]) plans its scan from ONE small-file read and
+    * never opens data files whose range can't match. Stats ride as
+    * `#stats=path|min|max` comment lines — invisible to every
+    * existing reader (comments are skipped by [[read]]/filesOf), and
+    * carried forward for still-live files on append so a snapshot's
+    * stats stay complete across commits. The per-file min/max is ONE
+    * distributed pass over the staged files (grouped by
+    * `_metadata.file_path`); an all-NULL file gets no stats line and
+    * is always scanned — skipping is only ever an optimization,
+    * never a filter.
+    *
+    * For the skipping to BITE, commits should be range-disjoint on
+    * the stats column (range-sliced batches, or one repartitionByRange
+    * write per commit) — exactly the layout contract zone maps have
+    * (L2), applied at the manifest layer. */
+  def commitWithStats(df: DataFrame, table: String, append: Boolean,
+      statsCol: String): Long = {
+    val spark = df.sparkSession
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val stageDir = Paths.get(table, "data", s"s-$nonce")
+    df.write.mode("errorifexists").parquet(stageDir.toString)
+    val fresh = Using.resource(Files.list(stageDir)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+        .toSeq.sorted
+        .map(n => s"data/s-$nonce/$n")
+    }
+    import org.apache.spark.sql.functions.{col, min, max}
+    val freshStats = spark.read.parquet(stageDir.toString)
+      .groupBy(col("_metadata.file_path").as("__f"))
+      .agg(min(col(statsCol)).cast("long").as("__mn"),
+        max(col(statsCol)).cast("long").as("__mx"))
+      .collect()
+      .flatMap { r =>
+        val name = r.getString(0).split('/').last
+        if (r.isNullAt(1) || r.isNullAt(2)) None
+        else Some(s"data/s-$nonce/$name" -> ((r.getLong(1), r.getLong(2))))
+      }.toMap
+    Files.createDirectories(manifestDir(table))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 1000,
+        s"commitWithStats to $table lost ${attempt - 1} publish races")
+      val snapshot = versions(table)
+      val prev = snapshot.lastOption
+      val carried =
+        if (append) prev.map(filesOf(table, _)).getOrElse(Seq.empty)
+        else Seq.empty
+      val carriedStats =
+        if (append) prev.map(statsOf(table, _)).getOrElse(Map.empty)
+          .filter { case (f, _) => carried.contains(f) }
+        else Map.empty[String, (Long, Long)]
+      val allStats = carriedStats ++ freshStats
+      val statLines = (carried ++ fresh).flatMap(f =>
+        allStats.get(f).map { case (mn, mx) => s"#stats=$f|$mn|$mx" })
+      val v = prev.getOrElse(0L) + 1L
+      val lines = (statLines ++ carried ++ fresh)
+        .mkString("", "\n", "\n")
+      val tmp = manifestDir(table).resolve(s".v$v-$nonce.tmp")
+      Files.writeString(tmp, lines)
+      try {
+        Files.createLink(manifestDir(table).resolve(s"v$v"), tmp)
+        Files.delete(tmp)
+        return v
+      } catch {
+        case _: FileAlreadyExistsException => Files.delete(tmp)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Predicate-pruned snapshot read: plan the scan from the
+    * manifest's `#stats=` zone lines — only files whose [min, max]
+    * intersects [lo, hi] on `statsCol` are opened (files without
+    * stats always scan: skipping never filters). The row-level
+    * BETWEEN still applies to the scanned files, so the result is
+    * exact regardless of how coarse the zones are. Returns
+    * (frame, files in snapshot, files scanned) — the skip arithmetic
+    * a 100 TB reader reports. */
+  def readPruned(spark: SparkSession, table: String, statsCol: String,
+      lo: Long, hi: Long,
+      version: Option[Long] = None): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.getOrElse {
+      val vs = versions(table)
+      require(vs.nonEmpty, s"no published version in $table")
+      vs.last
+    }
+    val files = filesOf(table, v)
+    val stats = statsOf(table, v)
+    val kept = files.filter(f => stats.get(f)
+      .forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val root = Paths.get(table)
+    val base =
+      if (kept.nonEmpty)
+        spark.read.parquet(kept.map(f => root.resolve(f).toString): _*)
+      else
+        spark.read.parquet(files.map(f => root.resolve(f).toString): _*)
+          .filter(lit(false))
+    (base.filter(col(statsCol).between(lo, hi)), files.size, kept.size)
+  }
+
   /** OPTIMIZE — the compaction half next to [[vacuum]]'s retention:
     * coalesce the LATEST snapshot's small files into ~`targetBytes`
     * outputs and publish the rewrite as ONE atomic commit whose
@@ -285,7 +414,13 @@ object ManifestTable {
       // rivals' appends since our snapshot ride along untouched
       val carried = curFiles.filterNot(rewritten.contains)
       val v = cur + 1L
-      val lines = (carried ++ staged).mkString("", "\n", "\n")
+      // survivors keep their zone lines; compacted outputs carry
+      // none (they span their inputs' ranges — always scanned)
+      val curStats = statsOf(table, cur)
+      val statLines = carried.flatMap(f => curStats.get(f)
+        .map { case (mn, mx) => s"#stats=$f|$mn|$mx" })
+      val lines = (statLines ++ carried ++ staged)
+        .mkString("", "\n", "\n")
       val tmp = manifestDir(table).resolve(s".v$v-$nonce.tmp")
       Files.writeString(tmp, lines)
       try {

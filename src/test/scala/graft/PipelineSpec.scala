@@ -825,6 +825,34 @@ class PipelineSpec extends SparkSpec {
       .as[Long].collect().toSet == (1L to 90L).toSet)
   }
 
+  test("ManifestTable stats pruning: zones skip non-overlapping " +
+      "files, carry across appends, and a stats-less file always " +
+      "scans — skipping is an optimization, never a filter") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-prune-spec").toString
+    val df = (1L to 90L).toDF("k")
+    ManifestTable.commitWithStats(df.filter($"k" <= 30).coalesce(1),
+      table, append = true, "k")
+    ManifestTable.commitWithStats(
+      df.filter($"k" > 30 && $"k" <= 60).coalesce(1),
+      table, append = true, "k")
+    // a plain commit: its file carries NO stats line
+    ManifestTable.commit(df.filter($"k" > 60).coalesce(1),
+      table, append = true)
+    val (hit, total, scanned) =
+      ManifestTable.readPruned(spark, table, "k", 35L, 40L)
+    // file 2 overlaps; file 1 skips by stats; file 3 scans (no stats)
+    assert((total, scanned) == ((3, 2)), s"$total $scanned")
+    assert(hit.as[Long].collect().toSet == (35L to 40L).toSet,
+      "the row filter keeps results exact regardless of zones")
+    val (none, t2, s2) = ManifestTable.readPruned(spark, table, "k",
+      200L, 300L)
+    assert(s2 == 1 && none.count() == 0L,
+      s"out-of-range probe reads only the stats-less file: $s2")
+    assert(t2 == 3)
+  }
+
   test("ManifestTable.commitTagged: a replayed tag is a no-op (same " +
       "version, no new data); fresh tags and untagged commits publish") {
     import graft.sources.ManifestTable
