@@ -302,4 +302,60 @@ object Graph {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment") — the link-analysis pair next to
+    * [[pageRank]]: an AUTHORITY is pointed to by good hubs, a HUB
+    * points to good authorities; the mutual recursion converges to
+    * the principal eigenvectors of AᵀA / AAᵀ. The classic "quality
+    * source vs quality aggregator" split of crawl frontier scoring,
+    * where PageRank conflates the two roles.
+    *
+    * Integer fixed-point discipline (same as [[pageRank]]): scores
+    * are int64 at [[Scale]]; each half-step sums exact integers then
+    * L1-normalizes back to Scale through a DECIMAL(38,0)
+    * cross-multiply (raw-mass × Scale passes int64; the quotient is
+    * ≤ Scale so it re-enters int64 exactly). Kleinberg normalizes in
+    * L2 — a DOCUMENTED deviation: normalization only rescales the
+    * iterate, never its direction, so the converged ranking is
+    * identical while every score stays an exact integer (no sqrt).
+    * Updates are in classic order: authorities from the PREVIOUS
+    * hubs, then hubs from the NEW authorities.
+    *
+    * Scale shape per iteration: two edge⋈score equi-joins with
+    * map-side-combined sums + two single-row totals (broadcast) —
+    * O(E) work per iteration, no all-pairs anywhere. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
+    val n = nodes.count()
+    require(n > 0, "hits needs at least one edge (empty graph)")
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val tot = raw.agg(sum(col("__m")).as("__t"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"CAST(CAST(coalesce(__m, 0L) AS DECIMAL(38,0)) " +
+            s"* ${Scale}L div __t AS BIGINT)").as(out))
+        .localCheckpoint(eager = false)
+    }
+    var auth = nodes.withColumn("auth_fp", lit(Scale / n))
+    var hub = nodes.withColumn("hub_fp", lit(Scale / n))
+    for (_ <- 1 to iters) {
+      val aRaw = e
+        .join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum("hub_fp").as("__m"))
+      auth = normalized(aRaw, "auth_fp")
+      val hRaw = e
+        .join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum("auth_fp").as("__m"))
+      hub = normalized(hRaw, "hub_fp")
+    }
+    auth.join(hub, Seq("node"))
+  }
 }

@@ -646,6 +646,65 @@ object Approx {
         .orderBy("node")
     },
 
+    // GRAPH (G6, Kleinberg 1999): HITS hubs & authorities over the
+    // same transition graph — the quality-source vs quality-
+    // aggregator split PageRank conflates. Integer fixed-point, L1
+    // normalization through a HUGEINT/decimal cross-multiply (the
+    // documented no-sqrt deviation: normalization rescales, never
+    // redirects); classic update order (auth from old hubs, hubs
+    // from new auths), 2 unrolled iterations in the oracle.
+    Q("q_g_hits", {
+      def authStep(i: Int, hubPrev: String): String =
+        s"""a${i}r AS (SELECT e.dst AS node, SUM($hubPrev.s) AS m
+           |  FROM e JOIN $hubPrev ON $hubPrev.node = e.src
+           |  GROUP BY 1),
+           |a$i AS (SELECT nodes.node,
+           |    CAST(CAST(coalesce(a${i}r.m, 0) AS HUGEINT)
+           |      * 1000000000000 // (SELECT SUM(m) FROM a${i}r)
+           |      AS BIGINT) AS s
+           |  FROM nodes LEFT JOIN a${i}r ON a${i}r.node = nodes.node)"""
+          .stripMargin
+      def hubStep(i: Int): String =
+        s"""h${i}r AS (SELECT e.src AS node, SUM(a$i.s) AS m
+           |  FROM e JOIN a$i ON a$i.node = e.dst
+           |  GROUP BY 1),
+           |h$i AS (SELECT nodes.node,
+           |    CAST(CAST(coalesce(h${i}r.m, 0) AS HUGEINT)
+           |      * 1000000000000 // (SELECT SUM(m) FROM h${i}r)
+           |      AS BIGINT) AS s
+           |  FROM nodes LEFT JOIN h${i}r ON h${i}r.node = nodes.node)"""
+          .stripMargin
+      s"""WITH ek AS (SELECT user_id, ts, event_id,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS node
+         |  FROM events),
+         |tr AS (SELECT node AS src, lead(node) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM ek),
+         |e AS (SELECT DISTINCT src, dst FROM tr
+         |  WHERE dst IS NOT NULL AND dst != src),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |h0 AS (SELECT node, 1000000000000
+         |    // (SELECT count(*) FROM nodes) AS s FROM nodes),
+         |${authStep(1, "h0")},
+         |${hubStep(1)},
+         |${authStep(2, "h1")},
+         |${hubStep(2)}
+         |SELECT a2.node, a2.s AS auth_fp, h2.s AS hub_fp
+         |FROM a2 JOIN h2 ON a2.node = h2.node
+         |ORDER BY a2.node""".stripMargin
+    }) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = events(s, d)
+        .withColumn("node",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .select(col("node").as("src"),
+          lead(col("node"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+      Graph.hits(edges, "src", "dst", iters = 2)
+        .orderBy("node")
+    },
+
     // TEXT: TF-IDF top-5 terms per document. Scores quantized to
     // integer millis BEFORE ranking so the order never hinges on the
     // last ulp of ln() (see TextAnalysis.tfIdfTopTerms).

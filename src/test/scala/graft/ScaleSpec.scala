@@ -1017,6 +1017,19 @@ class ScaleSpec extends SparkSpec {
     assert(got.map(_._3).sum == 6000L)
   }
 
+  test("hits: a pure star makes the center the sole authority and " +
+      "the leaves equal hubs; scores stay on the integer Scale") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val got = Graph.hits(edges, "src", "dst", iters = 2)
+      .orderBy("node")
+      .as[(Long, Long, Long)].collect().toSeq
+    val third = Graph.Scale / 3
+    assert(got == Seq(
+      (0L, Graph.Scale, 0L),
+      (1L, 0L, third), (2L, 0L, third), (3L, 0L, third)), got.toString)
+  }
+
   test("lengthBucketedBatches: same-bin docs batch together in " +
       "length order, partial tails report honestly, pad share exact") {
     import graft.operators.Sharding
