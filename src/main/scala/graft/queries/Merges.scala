@@ -548,6 +548,57 @@ object Merges {
         .select(col("n_clean"), col("n_rejects"), col("n_tokens"))
     },
 
+    // E2E RELEASE GATE (E16): the full dataset-publication pipeline
+    // in ONE plan — quarantine (range + domain rules) → HMAC
+    // pseudonymization of the direct identifier → k-anonymity /
+    // l-diversity report over the RELEASED (tokenized) rows, plus
+    // the reject count. The oracle replays it on cleartext: HMAC
+    // preserves distinctness, so l-diversity over tokens equals
+    // l-diversity over names — the same law that grades E7.
+    Q("q_e2e_release_gate",
+      """WITH v AS (SELECT c_nationkey, c_mktsegment, c_name,
+        |    (c_acctbal IS NULL OR c_acctbal < -900
+        |       OR c_acctbal > 9000) AS v1,
+        |    (c_mktsegment IS NULL OR c_mktsegment NOT IN
+        |       ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'HOUSEHOLD'))
+        |      AS v2
+        |  FROM customer),
+        |clean AS (SELECT * FROM v WHERE NOT v1 AND NOT v2),
+        |cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(count(DISTINCT c_name) AS BIGINT) AS ld
+        |  FROM clean GROUP BY 1, 2),
+        |rep AS (SELECT CAST(sum(sz) AS BIGINT) AS n_clean,
+        |    CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(min(sz) AS BIGINT) AS k_anonymity,
+        |    CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+        |      AS rows_below_k,
+        |    CAST(min(ld) AS BIGINT) AS l_diversity,
+        |    (sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) * 1000)
+        |      // sum(sz) AS below_k_milli
+        |  FROM cls),
+        |rej AS (SELECT CAST(count(*) AS BIGINT) AS n_rejects
+        |  FROM v WHERE v1 OR v2)
+        |SELECT rep.*, rej.n_rejects FROM rep, rej""".stripMargin) {
+      (s, d) =>
+      import graft.operators.Constraints._
+      val (good, rejects) = quarantine(t(s, d, "customer"), Seq(
+        RowInRange("c_acctbal", -900, 9000),
+        RowInSet("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD"))))
+      val released = good.select(col("c_nationkey"),
+        col("c_mktsegment"),
+        pseudonymize(lit("release-key"), col("c_name"))
+          .as("name_token"))
+      kAnonymityReport(released, Seq("c_nationkey", "c_mktsegment"),
+          "name_token", 10L, 8L)
+        .crossJoin(broadcast(
+          rejects.agg(count(lit(1)).as("n_rejects"))))
+        .select(col("n_rows").as("n_clean"), col("n_classes"),
+          col("k_anonymity"), col("rows_below_k"),
+          col("l_diversity"), col("below_k_milli"), col("n_rejects"))
+    },
+
     // PIVOT: events per day × type matrix (engine extension — the
     // reference reports long-form only). Explicit value list keeps the
     // plan a single pass (no distinct-scan before the pivot).

@@ -912,4 +912,37 @@ class PropertySpec extends SparkSpec {
       assert(ham == want, s"case $i: hamming $ham != $want")
     }
   }
+
+  test("tokenizer round-trip law: unigram and WordPiece segmentations " +
+      "concatenate back to the corpus words on random corpora") {
+    import graft.operators.TextAnalysis
+    // random lowercase corpora (the tokenizer path normalizes case;
+    // the law under test is segmentation, not normalization)
+    val word: Gen[String] = for {
+      n <- Gen.choose(1, 10)
+      cs <- Gen.listOfN(n, Gen.choose('a', 'f'))
+    } yield cs.mkString
+    val doc: Gen[String] = for {
+      k <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(k, word)
+    } yield ws.mkString(" ")
+    val corpus = samples(doc, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val want = corpus.select(col("doc_id"),
+        concat_ws("", tokens(col("text"))).as("w"))
+      .as[(Long, String)].collect().toMap
+    val vocab = TextAnalysis.unigramLmVocab(corpus, "text", 3, 24)
+    for ((nm, enc) <- Seq(
+        "unigram" -> TextAnalysis.unigramEncode(
+          corpus, "doc_id", "text", vocab, 3),
+        "wordpiece" -> TextAnalysis.wordPieceEncode(
+          corpus, "doc_id", "text", vocab, 3))) {
+      val got = enc.select(col("doc_id"),
+          regexp_replace(col(enc.columns(2)), " ", "").as("w"))
+        .as[(Long, String)].collect().toMap
+      assert(got == want,
+        s"$nm must reassemble every word exactly: " +
+          s"${got.toSeq.diff(want.toSeq).take(3)}")
+    }
+  }
 }
