@@ -322,6 +322,10 @@ object ManifestTable {
       vs.last
     }
     val files = filesOf(table, v)
+    require(files.nonEmpty,
+      s"snapshot v$v of $table lists no data files — a pruned read " +
+        "has no schema to produce; read() an earlier version or " +
+        "commit data first")
     val stats = statsOf(table, v)
     val kept = files.filter(f => stats.get(f)
       .forall { case (mn, mx) => mx >= lo && mn <= hi })
