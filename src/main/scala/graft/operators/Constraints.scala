@@ -259,14 +259,16 @@ object Constraints {
       .agg(count(lit(1)).as("__sz"),
         countDistinct(col(sensitiveCol)).as("__ldiv"))
       .agg(
-        sum(col("__sz")).as("n_rows"),
+        // coalesce to ZEROS on an empty release: a gate testing
+        // `k_anonymity >= k` must fail loudly, not evaluate NULL
+        coalesce(sum(col("__sz")), lit(0L)).as("n_rows"),
         count(lit(1)).as("n_classes"),
-        min(col("__sz")).as("k_anonymity"),
-        sum(when(col("__sz") < k, col("__sz")).otherwise(0L))
-          .as("rows_below_k"),
-        min(col("__ldiv")).as("l_diversity"),
-        sum(when(col("__ldiv") < l, col("__sz")).otherwise(0L))
-          .as("rows_below_l"))
+        coalesce(min(col("__sz")), lit(0L)).as("k_anonymity"),
+        coalesce(sum(when(col("__sz") < k, col("__sz")).otherwise(0L)),
+          lit(0L)).as("rows_below_k"),
+        coalesce(min(col("__ldiv")), lit(0L)).as("l_diversity"),
+        coalesce(sum(when(col("__ldiv") < l, col("__sz"))
+          .otherwise(0L)), lit(0L)).as("rows_below_l"))
       .withColumn("below_k_milli",
         expr("CASE WHEN n_rows > 0 THEN rows_below_k * 1000 div n_rows"
           + " ELSE 0L END"))

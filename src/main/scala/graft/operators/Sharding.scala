@@ -303,25 +303,6 @@ object Sharding {
     df.withColumn(out, array_max(array(weighted: _*)).getField("s"))
   }
 
-  /** Deterministic EPOCH SHUFFLE: assign every row an exact global
-    * position 0..N-1 in the order of a salted md5 hash — the
-    * dataloader permutation of training. Each epoch is a different,
-    * reproducible permutation (the salt is `"ep<epoch>:"`); the same
-    * epoch re-derives bit-identically on any engine, any run, any
-    * partitioning — no rand(), no shuffle-files-as-state.
-    *
-    * Scale shape: a global row_number would serialize the corpus
-    * through one partition. Instead the 31-bit hash's RANGE is cut
-    * into `buckets` contiguous slices (bucket order ≡ hash order, so
-    * concatenating buckets preserves the global sort), per-bucket
-    * counts roll up to a config-sized frame whose running sum is each
-    * bucket's starting offset, and the final position is
-    * offset + (rank within the bucket). One shuffle on the bucket
-    * key, one broadcast of the B-row offset table. Hash ties break by
-    * id, so the permutation is total; bijectivity 0..N-1 is spec'd.
-    *
-    * Rows carry all original columns plus `pos` — downstream writers
-    * sort by `pos` (or range-partition on it) to emit epoch order. */
   /** Length-bucketed batching (C16) — the PADDED-batch dataloader
     * primitive (SFT / eval / inference serving), complementary to
     * [[packContiguousWindows]]' concat-and-chunk pretraining layout:
@@ -361,6 +342,25 @@ object Sharding {
           "(n_docs * max_toks) ELSE 0L END"))
   }
 
+  /** Deterministic EPOCH SHUFFLE: assign every row an exact global
+    * position 0..N-1 in the order of a salted md5 hash — the
+    * dataloader permutation of training. Each epoch is a different,
+    * reproducible permutation (the salt is `"ep<epoch>:"`); the same
+    * epoch re-derives bit-identically on any engine, any run, any
+    * partitioning — no rand(), no shuffle-files-as-state.
+    *
+    * Scale shape: a global row_number would serialize the corpus
+    * through one partition. Instead the 31-bit hash's RANGE is cut
+    * into `buckets` contiguous slices (bucket order ≡ hash order, so
+    * concatenating buckets preserves the global sort), per-bucket
+    * counts roll up to a config-sized frame whose running sum is each
+    * bucket's starting offset, and the final position is
+    * offset + (rank within the bucket). One shuffle on the bucket
+    * key, one broadcast of the B-row offset table. Hash ties break by
+    * id, so the permutation is total; bijectivity 0..N-1 is spec'd.
+    *
+    * Rows carry all original columns plus `pos` — downstream writers
+    * sort by `pos` (or range-partition on it) to emit epoch order. */
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
       buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")

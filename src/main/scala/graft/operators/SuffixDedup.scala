@@ -217,18 +217,21 @@ object SuffixDedup {
     df.select(col(idCol), tokens(col(textCol)).as("__t"))
       .join(covered, Seq(idCol), "left")
       .withColumn("__cov",
-        when(col("__starts").isNull, array().cast("array<bigint>"))
+        when(col("__starts").isNull, array().cast("array<int>"))
           .otherwise(array_distinct(flatten(transform(col("__starts"),
-            p => sequence(p, p + lit(width - 1)))))))
+            p => sequence(p.cast("int"),
+              (p + lit(width - 1)).cast("int")))))))
       .select(col(idCol),
         size(col("__t")).cast("long").as("n_toks"),
         size(col("__cov")).cast("long").as("n_removed"),
         when(size(col("__t")) === 0, lit(""))
+          // array_except is hash-based and order-preserving on its
+          // first argument — O(len + covered) per row, where a
+          // per-position array_contains scan is O(len × covered)
           .otherwise(array_join(transform(
-            filter(sequence(lit(1), size(col("__t"))),
-              i => !array_contains(col("__cov"),
-                (i - lit(1)).cast("long"))),
-            i => element_at(col("__t"), i)), " "))
+            array_except(sequence(lit(0), size(col("__t")) - 1),
+              col("__cov")),
+            i => element_at(col("__t"), i + 1)), " "))
           .as("clean_text"))
   }
 

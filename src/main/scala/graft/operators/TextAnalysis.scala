@@ -1912,6 +1912,15 @@ object TextAnalysis {
               1)),
           st -> st.s)""")), " "))
       .select(col("__w"), col("__seg"))
+    reassembled(df, idCol, textCol, dict, "wp_text")
+  }
+
+  /** Shared encode tail of [[wordPieceEncode]]/[[unigramEncode]]:
+    * dictionary-join the corpus to the per-word segmentations and
+    * reassemble per document in token order (the A8 ordered-collect
+    * discipline); absent docs (empty text) come back as (0, ""). */
+  private def reassembled(df: DataFrame, idCol: String,
+      textCol: String, dict: DataFrame, outCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       posexplode(graft.functions.tokens(col(textCol)))
         .as(Seq("__p", "__w")))
@@ -1923,9 +1932,9 @@ object TextAnalysis {
         expr("aggregate(__ps, 0L, (a, x) -> a + size(x.__seg))")
           .as("n_toks"),
         expr("array_join(flatten(transform(__ps, x -> x.__seg)), ' ')")
-          .as("wp_text"))
+          .as(outCol))
     df.select(col(idCol)).join(per, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_toks")).na.fill("", Seq("wp_text"))
+      .na.fill(0L, Seq("n_toks")).na.fill("", Seq(outCol))
   }
 
   /** Apply a trained unigram-LM vocab ([[unigramLmVocab]] output) to
@@ -1943,19 +1952,6 @@ object TextAnalysis {
       .groupBy("__w").agg(count(lit(1)).as("__f"))
     val dict = viterbiSegmented(words, vocab, maxPieceLen)
       .select(col("__w"), col("__seg"))
-    val toks = df.select(col(idCol),
-      posexplode(graft.functions.tokens(col(textCol)))
-        .as(Seq("__p", "__w")))
-    val per = toks.join(dict, Seq("__w"))
-      .groupBy(idCol)
-      .agg(sort_array(collect_list(struct(col("__p"), col("__seg"))))
-        .as("__ps"))
-      .select(col(idCol),
-        expr("aggregate(__ps, 0L, (a, x) -> a + size(x.__seg))")
-          .as("n_toks"),
-        expr("array_join(flatten(transform(__ps, x -> x.__seg)), ' ')")
-          .as("uni_text"))
-    df.select(col(idCol)).join(per, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_toks")).na.fill("", Seq("uni_text"))
+    reassembled(df, idCol, textCol, dict, "uni_text")
   }
 }

@@ -64,9 +64,87 @@ object ManifestTable {
     }
   }
 
+  /** One manifest read parsed into (file list, per-file stats): data
+    * lines are relative paths; `#stats=path|min|max` comment lines
+    * are the zone stats [[commitWithStats]] publishes (files without
+    * one have no entry and are never skipped). Parsing both from one
+    * read keeps the hot commit path at a single manifest I/O per
+    * publish attempt. */
+  private def manifestOf(table: String, version: Long)
+      : (Seq[String], Map[String, (Long, Long)]) = {
+    val ls = Files
+      .readAllLines(manifestDir(table).resolve(s"v$version"))
+      .asScala.toSeq
+    val files = ls.filter(l => l.nonEmpty && !l.startsWith("#"))
+    val stats = ls.filter(_.startsWith("#stats="))
+      .map { l =>
+        val q = l.drop(7).split('|')
+        q(0) -> ((q(1).toLong, q(2).toLong))
+      }.toMap
+    (files, stats)
+  }
+
   private def filesOf(table: String, version: Long): Seq[String] =
-    Files.readAllLines(manifestDir(table).resolve(s"v$version"))
-      .asScala.toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
+    manifestOf(table, version)._1
+
+  private def statLinesFor(files: Seq[String],
+      stats: Map[String, (Long, Long)]): Seq[String] =
+    files.flatMap(f => stats.get(f)
+      .map { case (mn, mx) => s"#stats=$f|$mn|$mx" })
+
+  /** Stage `df`'s data files under a writer-unique prefix and return
+    * their sorted relative paths. Conflict-free by construction, so
+    * the data write happens exactly once no matter how many publish
+    * attempts the contention loop takes. */
+  private def stage(df: DataFrame, table: String,
+      nonce: String): Seq[String] = {
+    val stageDir = Paths.get(table, "data", s"s-$nonce")
+    df.write.mode("errorifexists").parquet(stageDir.toString)
+    Using.resource(Files.list(stageDir)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+        .toSeq.sorted
+        .map(n => s"data/s-$nonce/$n")
+    }
+  }
+
+  /** The optimistic put-if-absent publish loop every committer
+    * shares: per attempt, ONE versions() snapshot feeds `mkLines`,
+    * which either short-circuits (Left: e.g. an idempotence tag is
+    * already published — return that version) or yields the next
+    * manifest's lines (Right); the hard-link publish then either
+    * wins version last+1 or the loop re-derives against the new
+    * latest. Hard-link into place is atomic AND put-if-absent —
+    * a rename would silently replace a concurrent winner. */
+  private def publishLoop(table: String, nonce: String, what: String)
+      (mkLines: Seq[Long] => Either[Long, Seq[String]]): Long = {
+    Files.createDirectories(manifestDir(table))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 1000,
+        s"$what to $table lost ${attempt - 1} straight publish races " +
+          "— livelocked against a pathological writer storm")
+      val snapshot = versions(table)
+      mkLines(snapshot) match {
+        case Left(ver) => return ver
+        case Right(lines) =>
+          val v = snapshot.lastOption.getOrElse(0L) + 1L
+          val tmp = manifestDir(table).resolve(s".v$v-$nonce.tmp")
+          Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+          try {
+            Files.createLink(manifestDir(table).resolve(s"v$v"), tmp)
+            Files.delete(tmp)
+            return v
+          } catch {
+            case _: FileAlreadyExistsException =>
+              Files.delete(tmp) // lost the race; re-derive and retry
+          }
+      }
+    }
+    -1L // unreachable
+  }
 
   /** Published manifests are IMMUTABLE (put-if-absent, never
     * rewritten), so a (table, version) → tag lookup caches for the
@@ -115,62 +193,25 @@ object ManifestTable {
       tag.flatMap(t => vs.find(v => tagOf(table, v).contains(t)))
     val pre = taggedIn(versions(table))
     if (pre.isDefined) return pre.get
-    // stage data under a writer-unique prefix: conflict-free by
-    // construction, so the data write happens exactly once no matter
-    // how many publish attempts the contention loop below takes
     val nonce = java.util.UUID.randomUUID().toString.take(12)
-    val stageDir = Paths.get(table, "data", s"s-$nonce")
-    df.write.mode("errorifexists").parquet(stageDir.toString)
-    val fresh = Using.resource(Files.list(stageDir)) { stream =>
-      stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
-        .toSeq.sorted
-        .map(n => s"data/s-$nonce/$n")
-    }
-    Files.createDirectories(manifestDir(table))
-    // optimistic-concurrency publish: re-derive (version, carried
-    // files) against the latest published snapshot each attempt, so
-    // append semantics hold even when another writer wins the race
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      require(attempt <= 1000,
-        s"commit to $table lost ${attempt - 1} straight publish races " +
-          "— livelocked against a pathological writer storm")
-      val snapshot = versions(table)
+    val fresh = stage(df, table, nonce)
+    publishLoop(table, nonce, "commit") { snapshot =>
       // a competing commit may have published our tag while we staged
-      val mid = taggedIn(snapshot)
-      if (mid.isDefined) return mid.get
-      val prev = snapshot.lastOption
-      val v = prev.getOrElse(0L) + 1L
-      val carried =
-        if (append) prev.map(filesOf(table, _)).getOrElse(Seq.empty)
-        else Seq.empty
-      // carried files keep their #stats= zone lines (file metadata
-      // survives unrelated appends; commitWithStats documents them)
-      val carriedStats =
-        if (append) prev.map(statsOf(table, _)).getOrElse(Map.empty)
-        else Map.empty[String, (Long, Long)]
-      val statLines = carried.flatMap(f => carriedStats.get(f)
-        .map { case (mn, mx) => s"#stats=$f|$mn|$mx" })
-      val lines = (tag.map(t => s"#tag=$t").toSeq ++ statLines ++
-        carried ++ fresh)
-        .mkString("", "\n", "\n")
-      val tmp = manifestDir(table).resolve(s".v$v-$nonce.tmp")
-      Files.writeString(tmp, lines)
-      try {
-        // hard-link into place: atomic AND put-if-absent (rename would
-        // silently replace a concurrent winner's manifest)
-        Files.createLink(manifestDir(table).resolve(s"v$v"), tmp)
-        Files.delete(tmp)
-        return v
-      } catch {
-        case _: FileAlreadyExistsException =>
-          Files.delete(tmp) // lost the race; recompute against new latest
+      taggedIn(snapshot) match {
+        case Some(v) => Left(v)
+        case None =>
+          val prev = snapshot.lastOption
+          val (carried, carriedStats) =
+            if (append)
+              prev.map(manifestOf(table, _))
+                .getOrElse((Seq.empty, Map.empty[String, (Long, Long)]))
+            else (Seq.empty[String], Map.empty[String, (Long, Long)])
+          // carried files keep their #stats= zone lines (file
+          // metadata survives unrelated appends)
+          Right(tag.map(t => s"#tag=$t").toSeq ++
+            statLinesFor(carried, carriedStats) ++ carried ++ fresh)
       }
     }
-    -1L // unreachable
   }
 
   /** Exactly-once streaming sink into the manifest table: each
@@ -214,20 +255,6 @@ object ManifestTable {
     * write's duration; pass 0 only when no writer can be in flight
     * (tests, single-process maintenance). Returns
     * (files kept, files deleted). */
-  /** Per-file stats of a version: relative path → (min, max) of the
-    * stats column, parsed from the `#stats=path|min|max` comment
-    * lines a [[commitWithStats]] publishes. Files without a stats
-    * line simply have no entry (and are never skipped). */
-  private def statsOf(table: String,
-      version: Long): Map[String, (Long, Long)] =
-    Files.readAllLines(manifestDir(table).resolve(s"v$version"))
-      .asScala
-      .filter(_.startsWith("#stats="))
-      .map { l =>
-        val p = l.drop(7).split('|')
-        p(0) -> ((p(1).toLong, p(2).toLong))
-      }.toMap
-
   /** [[commit]] carrying PER-FILE min/max stats of an integer column
     * in the manifest — the Iceberg/Delta file-skipping mechanism:
     * the manifest becomes the zone map, so a predicate-bearing read
@@ -247,20 +274,17 @@ object ManifestTable {
     * write per commit) — exactly the layout contract zone maps have
     * (L2), applied at the manifest layer. */
   def commitWithStats(df: DataFrame, table: String, append: Boolean,
-      statsCol: String): Long = {
+      statsCol: String, tag: Option[String] = None): Long = {
+    def taggedIn(vs: Seq[Long]): Option[Long] =
+      tag.flatMap(t => vs.find(v => tagOf(table, v).contains(t)))
+    val pre = taggedIn(versions(table))
+    if (pre.isDefined) return pre.get
     val spark = df.sparkSession
     val nonce = java.util.UUID.randomUUID().toString.take(12)
-    val stageDir = Paths.get(table, "data", s"s-$nonce")
-    df.write.mode("errorifexists").parquet(stageDir.toString)
-    val fresh = Using.resource(Files.list(stageDir)) { stream =>
-      stream.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
-        .toSeq.sorted
-        .map(n => s"data/s-$nonce/$n")
-    }
+    val fresh = stage(df, table, nonce)
     import org.apache.spark.sql.functions.{col, min, max}
-    val freshStats = spark.read.parquet(stageDir.toString)
+    val freshStats = spark.read
+      .parquet(Paths.get(table, "data", s"s-$nonce").toString)
       .groupBy(col("_metadata.file_path").as("__f"))
       .agg(min(col(statsCol)).cast("long").as("__mn"),
         max(col(statsCol)).cast("long").as("__mx"))
@@ -270,38 +294,20 @@ object ManifestTable {
         if (r.isNullAt(1) || r.isNullAt(2)) None
         else Some(s"data/s-$nonce/$name" -> ((r.getLong(1), r.getLong(2))))
       }.toMap
-    Files.createDirectories(manifestDir(table))
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      require(attempt <= 1000,
-        s"commitWithStats to $table lost ${attempt - 1} publish races")
-      val snapshot = versions(table)
-      val prev = snapshot.lastOption
-      val carried =
-        if (append) prev.map(filesOf(table, _)).getOrElse(Seq.empty)
-        else Seq.empty
-      val carriedStats =
-        if (append) prev.map(statsOf(table, _)).getOrElse(Map.empty)
-          .filter { case (f, _) => carried.contains(f) }
-        else Map.empty[String, (Long, Long)]
-      val allStats = carriedStats ++ freshStats
-      val statLines = (carried ++ fresh).flatMap(f =>
-        allStats.get(f).map { case (mn, mx) => s"#stats=$f|$mn|$mx" })
-      val v = prev.getOrElse(0L) + 1L
-      val lines = (statLines ++ carried ++ fresh)
-        .mkString("", "\n", "\n")
-      val tmp = manifestDir(table).resolve(s".v$v-$nonce.tmp")
-      Files.writeString(tmp, lines)
-      try {
-        Files.createLink(manifestDir(table).resolve(s"v$v"), tmp)
-        Files.delete(tmp)
-        return v
-      } catch {
-        case _: FileAlreadyExistsException => Files.delete(tmp)
+    publishLoop(table, nonce, "commitWithStats") { snapshot =>
+      taggedIn(snapshot) match {
+        case Some(v) => Left(v)
+        case None =>
+          val (carried, carriedStats) =
+            if (append)
+              snapshot.lastOption.map(manifestOf(table, _))
+                .getOrElse((Seq.empty, Map.empty[String, (Long, Long)]))
+            else (Seq.empty[String], Map.empty[String, (Long, Long)])
+          Right(tag.map(t => s"#tag=$t").toSeq ++
+            statLinesFor(carried ++ fresh, carriedStats ++ freshStats) ++
+            carried ++ fresh)
       }
     }
-    -1L // unreachable
   }
 
   /** Predicate-pruned snapshot read: plan the scan from the
@@ -316,17 +322,17 @@ object ManifestTable {
       lo: Long, hi: Long,
       version: Option[Long] = None): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit}
-    val v = version.getOrElse {
-      val vs = versions(table)
-      require(vs.nonEmpty, s"no published version in $table")
-      vs.last
-    }
-    val files = filesOf(table, v)
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no published version in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"version $v of $table does not exist (live: " +
+        s"${vs.mkString(", ")})")
+    val (files, stats) = manifestOf(table, v)
     require(files.nonEmpty,
       s"snapshot v$v of $table lists no data files — a pruned read " +
         "has no schema to produce; read() an earlier version or " +
         "commit data first")
-    val stats = statsOf(table, v)
     val kept = files.filter(f => stats.get(f)
       .forall { case (mn, mx) => mx >= lo && mn <= hi })
     val root = Paths.get(table)
@@ -403,39 +409,20 @@ object ManifestTable {
       }
     }
     val rewritten = multi.flatten.toSet
-    val survivors = single.flatten
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      require(attempt <= 1000,
-        s"compact of $table lost ${attempt - 1} straight publish races")
-      val snap = versions(table)
-      val cur = snap.last
-      val curFiles = filesOf(table, cur)
+    var after = 0
+    val v = publishLoop(table, nonce, "compact") { snapshot =>
+      val (curFiles, curStats) = manifestOf(table, snapshot.last)
       require(rewritten.subsetOf(curFiles.toSet),
         s"concurrent rewrite removed a compacted input of $table — " +
           "aborting rather than resurrecting dropped rows")
-      // rivals' appends since our snapshot ride along untouched
-      val carried = curFiles.filterNot(rewritten.contains)
-      val v = cur + 1L
-      // survivors keep their zone lines; compacted outputs carry
+      // rivals' appends since our snapshot ride along untouched;
+      // survivors keep their zone lines, compacted outputs carry
       // none (they span their inputs' ranges — always scanned)
-      val curStats = statsOf(table, cur)
-      val statLines = carried.flatMap(f => curStats.get(f)
-        .map { case (mn, mx) => s"#stats=$f|$mn|$mx" })
-      val lines = (statLines ++ carried ++ staged)
-        .mkString("", "\n", "\n")
-      val tmp = manifestDir(table).resolve(s".v$v-$nonce.tmp")
-      Files.writeString(tmp, lines)
-      try {
-        Files.createLink(manifestDir(table).resolve(s"v$v"), tmp)
-        Files.delete(tmp)
-        return (v, files.size, carried.size + staged.size)
-      } catch {
-        case _: FileAlreadyExistsException => Files.delete(tmp)
-      }
+      val carried = curFiles.filterNot(rewritten.contains)
+      after = carried.size + staged.size
+      Right(statLinesFor(carried, curStats) ++ carried ++ staged)
     }
-    throw new IllegalStateException("unreachable")
+    (v, files.size, after)
   }
 
   def vacuum(table: String, keepVersions: Int,

@@ -38,13 +38,18 @@ def newest_baseline(repo="."):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thr = 2.0
-    for i, a in enumerate(sys.argv):
+    args, thr = [], 2.0
+    it = iter(sys.argv[1:])
+    for a in it:
         if a == "--threshold":
-            thr = float(sys.argv[i + 1])
+            nxt = next(it, None)
+            if nxt is None:
+                sys.exit("--threshold needs a value")
+            thr = float(nxt)
         elif a.startswith("--threshold="):
             thr = float(a.split("=", 1)[1])
+        else:
+            args.append(a)
     bench_path = args[0] if args else "bench_full.json"
     bench = json.load(open(bench_path))
     base_path, base_n = newest_baseline()

@@ -37,7 +37,7 @@ def main():
     prev, prev_n = None, -1
     for p in glob.glob("BASELINE_queries_r*.json"):
         m = re.search(r"_r(\d+)\.json$", p)
-        if m and int(m.group(1)) != rnd and int(m.group(1)) > prev_n:
+        if m and int(m.group(1)) < rnd and int(m.group(1)) > prev_n:
             prev, prev_n = p, int(m.group(1))
     hf = 1.0
     if prev:
