@@ -65,13 +65,16 @@ object ManifestTable {
   }
 
   /** One manifest read parsed into (file list, per-file stats): data
-    * lines are relative paths; `#stats=path|min|max` comment lines
-    * are the zone stats [[commitWithStats]] publishes (files without
-    * one have no entry and are never skipped). Parsing both from one
-    * read keeps the hot commit path at a single manifest I/O per
-    * publish attempt. */
+    * lines are relative paths; `#stats=path|col|min|max` comment
+    * lines are the zone stats [[commitWithStats]] publishes — the
+    * COLUMN name is part of the record, so a read pruning on a
+    * different column than the commit used can never misapply a
+    * range (it just scans the file). Files without a stats line have
+    * no entry and are never skipped. Parsing both from one read
+    * keeps the hot commit path at a single manifest I/O per publish
+    * attempt. */
   private def manifestOf(table: String, version: Long)
-      : (Seq[String], Map[String, (Long, Long)]) = {
+      : (Seq[String], Map[String, (String, Long, Long)]) = {
     val ls = Files
       .readAllLines(manifestDir(table).resolve(s"v$version"))
       .asScala.toSeq
@@ -79,7 +82,7 @@ object ManifestTable {
     val stats = ls.filter(_.startsWith("#stats="))
       .map { l =>
         val q = l.drop(7).split('|')
-        q(0) -> ((q(1).toLong, q(2).toLong))
+        q(0) -> ((q(1), q(2).toLong, q(3).toLong))
       }.toMap
     (files, stats)
   }
@@ -88,9 +91,9 @@ object ManifestTable {
     manifestOf(table, version)._1
 
   private def statLinesFor(files: Seq[String],
-      stats: Map[String, (Long, Long)]): Seq[String] =
+      stats: Map[String, (String, Long, Long)]): Seq[String] =
     files.flatMap(f => stats.get(f)
-      .map { case (mn, mx) => s"#stats=$f|$mn|$mx" })
+      .map { case (c, mn, mx) => s"#stats=$f|$c|$mn|$mx" })
 
   /** Stage `df`'s data files under a writer-unique prefix and return
     * their sorted relative paths. Conflict-free by construction, so
@@ -204,8 +207,10 @@ object ManifestTable {
           val (carried, carriedStats) =
             if (append)
               prev.map(manifestOf(table, _))
-                .getOrElse((Seq.empty, Map.empty[String, (Long, Long)]))
-            else (Seq.empty[String], Map.empty[String, (Long, Long)])
+                .getOrElse((Seq.empty,
+                  Map.empty[String, (String, Long, Long)]))
+            else
+              (Seq.empty[String], Map.empty[String, (String, Long, Long)])
           // carried files keep their #stats= zone lines (file
           // metadata survives unrelated appends)
           Right(tag.map(t => s"#tag=$t").toSeq ++
@@ -275,6 +280,8 @@ object ManifestTable {
     * (L2), applied at the manifest layer. */
   def commitWithStats(df: DataFrame, table: String, append: Boolean,
       statsCol: String, tag: Option[String] = None): Long = {
+    require(!statsCol.contains("|"),
+      s"stats column name cannot contain '|': $statsCol")
     def taggedIn(vs: Seq[Long]): Option[Long] =
       tag.flatMap(t => vs.find(v => tagOf(table, v).contains(t)))
     val pre = taggedIn(versions(table))
@@ -292,7 +299,8 @@ object ManifestTable {
       .flatMap { r =>
         val name = r.getString(0).split('/').last
         if (r.isNullAt(1) || r.isNullAt(2)) None
-        else Some(s"data/s-$nonce/$name" -> ((r.getLong(1), r.getLong(2))))
+        else Some(s"data/s-$nonce/$name" ->
+          ((statsCol, r.getLong(1), r.getLong(2))))
       }.toMap
     publishLoop(table, nonce, "commitWithStats") { snapshot =>
       taggedIn(snapshot) match {
@@ -301,8 +309,10 @@ object ManifestTable {
           val (carried, carriedStats) =
             if (append)
               snapshot.lastOption.map(manifestOf(table, _))
-                .getOrElse((Seq.empty, Map.empty[String, (Long, Long)]))
-            else (Seq.empty[String], Map.empty[String, (Long, Long)])
+                .getOrElse((Seq.empty,
+                  Map.empty[String, (String, Long, Long)]))
+            else
+              (Seq.empty[String], Map.empty[String, (String, Long, Long)])
           Right(tag.map(t => s"#tag=$t").toSeq ++
             statLinesFor(carried ++ fresh, carriedStats ++ freshStats) ++
             carried ++ fresh)
@@ -333,8 +343,11 @@ object ManifestTable {
       s"snapshot v$v of $table lists no data files — a pruned read " +
         "has no schema to produce; read() an earlier version or " +
         "commit data first")
+    // an entry recorded for ANOTHER column never prunes — the file
+    // simply scans (skipping is an optimization, never a filter)
     val kept = files.filter(f => stats.get(f)
-      .forall { case (mn, mx) => mx >= lo && mn <= hi })
+      .forall { case (c, mn, mx) =>
+        c != statsCol || (mx >= lo && mn <= hi) })
     val root = Paths.get(table)
     val base =
       if (kept.nonEmpty)

@@ -851,6 +851,24 @@ class PipelineSpec extends SparkSpec {
     assert(s2 == 1 && none.count() == 0L,
       s"out-of-range probe reads only the stats-less file: $s2")
     assert(t2 == 3)
+    // COLUMN-MISMATCH law: stats recorded for k must NEVER prune a
+    // read on m — the stats line names its column, so a foreign-
+    // column probe scans every file and the row filter decides
+    val two = (1L to 30L).map(i => (i, 1000L - i)).toDF("k", "m")
+    val t2dir = java.nio.file.Files
+      .createTempDirectory("graft-prune-col").toString
+    ManifestTable.commitWithStats(two.filter($"k" <= 15).coalesce(1),
+      t2dir, append = true, "k")
+    ManifestTable.commitWithStats(two.filter($"k" > 15).coalesce(1),
+      t2dir, append = true, "k")
+    // if the k zones [1,15]/[16,30] were misapplied to this m-range,
+    // BOTH files would skip and the result would be silently empty
+    val (mhit, tc, sc) =
+      ManifestTable.readPruned(spark, t2dir, "m", 970L, 985L)
+    assert(tc == 2 && sc == 2,
+      s"k-stats must not prune an m-read: scanned $sc of $tc")
+    assert(mhit.count() == 16L,
+      "the row filter alone decides a foreign-column probe")
   }
 
   test("ManifestTable.commitTagged: a replayed tag is a no-op (same " +
