@@ -314,8 +314,11 @@ object Graph {
     * Integer fixed-point discipline (same as [[pageRank]]): scores
     * are int64 at [[Scale]]; each half-step sums exact integers then
     * L1-normalizes back to Scale through a DECIMAL(38,0)
-    * cross-multiply (raw-mass × Scale passes int64; the quotient is
-    * ≤ Scale so it re-enters int64 exactly). Kleinberg normalizes in
+    * cross-multiply. Unlike pageRank there is no degree division, so
+    * the raw L1 mass is bounded by E·Scale, not N·Scale — both the
+    * normalization TOTAL and the cross-multiply therefore run in
+    * DECIMAL(38,0) (an int64 total would wrap past ~9.2e6 edges);
+    * the quotient is ≤ Scale so it re-enters int64 exactly. Kleinberg normalizes in
     * L2 — a DOCUMENTED deviation: normalization only rescales the
     * iterate, never its direction, so the converged ranking is
     * identical while every score stays an exact integer (no sqrt).
@@ -336,11 +339,12 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "hits needs at least one edge (empty graph)")
     def normalized(raw: DataFrame, out: String): DataFrame = {
-      val tot = raw.agg(sum(col("__m")).as("__t"))
+      val tot = raw.agg(
+        sum(col("__m").cast("decimal(38,0)")).as("__t"))
       nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(tot))
         .select(col("node"),
-          expr(s"CAST(CAST(coalesce(__m, 0L) AS DECIMAL(38,0)) " +
+          expr(s"CAST(CAST(coalesce(__m, CAST(0 AS DECIMAL(38,0))) AS DECIMAL(38,0)) " +
             s"* ${Scale}L div __t AS BIGINT)").as(out))
         .localCheckpoint(eager = false)
     }
@@ -349,11 +353,13 @@ object Graph {
     for (_ <- 1 to iters) {
       val aRaw = e
         .join(hub.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(sum("hub_fp").as("__m"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub_fp").cast("decimal(38,0)")).as("__m"))
       auth = normalized(aRaw, "auth_fp")
       val hRaw = e
         .join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
-        .groupBy(col("src").as("node")).agg(sum("auth_fp").as("__m"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("auth_fp").cast("decimal(38,0)")).as("__m"))
       hub = normalized(hRaw, "hub_fp")
     }
     auth.join(hub, Seq("node"))

@@ -139,6 +139,91 @@ object Services {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** U2 over a LIVE HTTP backend — the BATCHED chat-translate wire:
+    * the reference groups OCR lines per product and sends each group
+    * as ONE chat call (utils/details_translator/
+    * 4_translator_of_grouped_ocr_results.py:36-51), so the transport
+    * unit is the GROUP, not the row. One keyed shuffle collects each
+    * group's lines in `ordCol` order, one POST per group carries the
+    * newline-joined batch, the response's lines map back 1:1 onto
+    * the inputs and re-explode to rows — request count scales with
+    * groups, rows never leave the executors. Lines must be
+    * newline-free (the batch frame); callers strip or pre-split.
+    * Partition-scoped [[Remote]] client, like [[translateHttp]].
+    * Returns (keyCol, ordCol, translated). */
+  def chatTranslateHttp(df: org.apache.spark.sql.DataFrame,
+      keyCol: String, ordCol: String, textCol: String,
+      src: String, dst: String, endpoint: String,
+      attempts: Int = 3, backoffMs: Long = 2000,
+      minIntervalMs: Long = 0): org.apache.spark.sql.DataFrame = {
+    val url = s"$endpoint?src=$src&dst=$dst"
+    val grouped = df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(ordCol).as("__o"),
+        coalesce(col(textCol), lit("")).as("__t")))).as("__items"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      grouped.schema(keyCol),
+      df.schema(df.schema.fieldIndex(ordCol)),
+      org.apache.spark.sql.types.StructField("translated",
+        org.apache.spark.sql.types.StringType)))
+    grouped.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val remote = Remote(
+          (body: String) => graft.sources.Sources.httpPost(url, body),
+          attempts, backoffMs, minIntervalMs)
+        rows.flatMap { r =>
+          val key = r.get(0)
+          val items = r.getSeq[org.apache.spark.sql.Row](1)
+          val body = items.map(_.getString(1)).mkString("\n")
+          val lines = remote(body).split("\n", -1)
+          require(lines.length == items.length,
+            s"chat backend returned ${lines.length} lines for " +
+              s"${items.length} inputs — the batch frame broke " +
+              "(newline in a source line?)")
+          items.iterator.zip(lines.iterator).map { case (it, line) =>
+            org.apache.spark.sql.Row(key, it.get(0), line)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** U4 over a LIVE HTTP backend — the namer wire
+    * (utils/ai-helper/art-maker/namer.py:20-45): each row POSTs
+    * `category|collection` and the response's `Name|SKU` pair lands
+    * as two columns. The sandbox backend implements the SAME
+    * deterministic transform as [[nameSkuStub]], so the stub's
+    * oracle grades the live wire. Partition-scoped [[Remote]]
+    * client; '|' frames the wire fields (inputs must not carry it —
+    * category/collection are curated identifiers). */
+  def nameSkuHttp(df: org.apache.spark.sql.DataFrame,
+      categoryCol: String, collectionCol: String, endpoint: String,
+      attempts: Int = 3, backoffMs: Long = 2000,
+      minIntervalMs: Long = 0): org.apache.spark.sql.DataFrame = {
+    val schema = df.schema
+      .add("name", org.apache.spark.sql.types.StringType)
+      .add("sku", org.apache.spark.sql.types.StringType)
+    val catI = df.schema.fieldIndex(categoryCol)
+    val collI = df.schema.fieldIndex(collectionCol)
+    df.mapPartitions { rows =>
+      if (rows.isEmpty) rows
+      else {
+        val remote = Remote(
+          (body: String) =>
+            graft.sources.Sources.httpPost(endpoint, body),
+          attempts, backoffMs, minIntervalMs)
+        rows.map { r =>
+          val cat = if (r.isNullAt(catI)) "" else r.getString(catI)
+          val coll = if (r.isNullAt(collI)) "" else r.getString(collI)
+          val parts = remote(s"$cat|$coll").split("\\|", 2)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ parts(0) :+
+            (if (parts.length > 1) parts(1) else ""))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   // ---- real-backend plumbing (I3 rate limit + I4 retry) ----
 
   /** Per-client token-bucket pacing + bounded retry with linear

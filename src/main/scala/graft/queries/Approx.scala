@@ -1113,6 +1113,102 @@ object Approx {
           col("latest_rows"), col("latest_key_sum"), col("v1_rows"))
     },
 
+    // LAYOUT: zone stats SURVIVE compaction (L10 × L11 — the
+    // Iceberg/Delta OPTIMIZE contract that rewritten files keep
+    // their skipping stats): four range-disjoint stat-bearing
+    // commits compact into TWO files (targetBytes = half the data),
+    // each output carrying its inputs' merged min/max — pure
+    // manifest arithmetic, no extra scan — so the post-OPTIMIZE
+    // pruned read still opens ONE of the two (biggest, hottest)
+    // files. Without the carry-through, a nightly compaction would
+    // silently degrade every subsequent pruned read to a full scan.
+    Q("q_e2e_compact_prune",
+      """SELECT CAST(2 AS BIGINT) AS files_total,
+        |  CAST(1 AS BIGINT) AS files_scanned,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin) {
+      (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-compact-prune-q").toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      val bounds = Seq((-1L, 4000L), (4000L, 8000L),
+        (8000L, 12000L), (12000L, Long.MaxValue))
+      for ((lo, hi) <- bounds) {
+        graft.sources.ManifestTable.commitWithStats(
+          orders.filter(col("o_orderkey") > lo &&
+            col("o_orderkey") <= hi).coalesce(1),
+          table, append = true, "o_orderkey")
+      }
+      // half the snapshot's bytes per output → prefix-sum packing
+      // puts the two low-range files in group 0, the two high-range
+      // files in group 1 (slices are within ~35% of equal size)
+      val dataDir = java.nio.file.Paths.get(table, "data")
+      val total = {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.walk(dataDir)
+        try st.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size).sum
+        finally st.close()
+      }
+      graft.sources.ManifestTable.compact(s, table, total / 2 + 1)
+      val (frame, totalF, scanned) = graft.sources.ManifestTable
+        .readPruned(s, table, "o_orderkey", 1000L, 3000L)
+      frame.agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"))
+        .select(lit(totalF.toLong).as("files_total"),
+          lit(scanned.toLong).as("files_scanned"),
+          col("n_rows"), col("key_sum"))
+    },
+
+    // LAYOUT: MULTI-COLUMN manifest zone stats (L11b) — real
+    // lakehouse tables prune on several columns at once (ingest
+    // date + business key); one commit records a #stats= line per
+    // (file, column) from a single distributed pass, and a
+    // conjunctive pruned read intersects the per-column skips. A
+    // 2×2 grid of commits (orderkey-half × custkey-half) shows the
+    // arithmetic exactly: the two-predicate read opens 1 of 4
+    // files, the custkey-only read opens the 2 files of that
+    // custkey half.
+    Q("q_e2e_manifest_prune_multi",
+      """SELECT CAST(4 AS BIGINT) AS files_total,
+        |  CAST(1 AS BIGINT) AS scanned_both,
+        |  CAST(2 AS BIGINT) AS scanned_ck,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 3000
+        |  AND o_custkey BETWEEN 100 AND 300""".stripMargin) {
+      (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-prune-multi-q").toString
+      val orders = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      for (okHigh <- Seq(false, true); ckHigh <- Seq(false, true)) {
+        val slice = orders
+          .filter(if (okHigh) col("o_orderkey") > 7000
+            else col("o_orderkey") <= 7000)
+          .filter(if (ckHigh) col("o_custkey") > 700
+            else col("o_custkey") <= 700)
+        graft.sources.ManifestTable.commitWithStats(
+          slice.coalesce(1), table, append = true,
+          Seq("o_orderkey", "o_custkey"), None)
+      }
+      val (frame, totalF, both) = graft.sources.ManifestTable
+        .readPruned(s, table, Seq(("o_orderkey", 1000L, 3000L),
+          ("o_custkey", 100L, 300L)), None)
+      val (_, _, ckOnly) = graft.sources.ManifestTable
+        .readPruned(s, table, "o_custkey", 100L, 300L)
+      frame.agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"))
+        .select(lit(totalF.toLong).as("files_total"),
+          lit(both.toLong).as("scanned_both"),
+          lit(ckOnly.toLong).as("scanned_ck"),
+          col("n_rows"), col("key_sum"))
+    },
+
     // LAYOUT: schema evolution ACROSS manifest commits (S16 × L5) —
     // commit v1 before the status column existed, append v2 with it;
     // the merged-schema snapshot read unions the LIVE files' footers
@@ -1447,10 +1543,10 @@ object Approx {
         |  CAST(min(ld) AS BIGINT) AS l_diversity,
         |  CAST(sum(CASE WHEN ld < 8 THEN sz ELSE 0 END) AS BIGINT)
         |    AS rows_below_l,
-        |  (sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) * 1000)
-        |    // sum(sz) AS below_k_milli,
-        |  (sum(CASE WHEN ld < 8 THEN sz ELSE 0 END) * 1000)
-        |    // sum(sz) AS below_l_milli
+        |  CAST((sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) * 1000)
+        |    // sum(sz) AS BIGINT) AS below_k_milli,
+        |  CAST((sum(CASE WHEN ld < 8 THEN sz ELSE 0 END) * 1000)
+        |    // sum(sz) AS BIGINT) AS below_l_milli
         |FROM cls""".stripMargin) { (s, d) =>
       graft.operators.Constraints.kAnonymityReport(
         t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"),

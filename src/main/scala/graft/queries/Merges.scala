@@ -574,8 +574,8 @@ object Merges {
         |    CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
         |      AS rows_below_k,
         |    CAST(min(ld) AS BIGINT) AS l_diversity,
-        |    (sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) * 1000)
-        |      // sum(sz) AS below_k_milli
+        |    CAST((sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) * 1000)
+        |      // sum(sz) AS BIGINT) AS below_k_milli
         |  FROM cls),
         |rej AS (SELECT CAST(count(*) AS BIGINT) AS n_rejects
         |  FROM v WHERE v1 OR v2)

@@ -494,7 +494,7 @@ object Pipelines {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(min(g) AS BIGINT) AS mn,
         |  CAST(max(g) AS BIGINT) AS mx,
-        |  sum(g * 0.25) AS sd
+        |  CAST(sum(g * 0.25) AS DOUBLE) AS sd
         |FROM range(0, 200) t(g) GROUP BY 1 ORDER BY g""".stripMargin) {
       (s, _) =>
       val (h, p) = graft.sources.PgServer.hostPort

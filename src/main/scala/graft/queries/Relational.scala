@@ -661,7 +661,7 @@ object Relational {
       val w = Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
       t(s, d, "orders")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("o_custkey") % 15 === 0)
         .select("o_custkey", "rn", "o_orderkey")
         .orderBy("o_custkey", "rn")

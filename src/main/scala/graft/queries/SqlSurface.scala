@@ -75,8 +75,8 @@ object SqlSurface {
     sqlQ("q_sql_window_top2", Seq("orders"),
       """SELECT o_custkey, o_orderkey, rn FROM (
         |  SELECT o_custkey, o_orderkey,
-        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
         |  FROM orders)
         |WHERE rn <= 2 AND o_custkey % 10 = 0
         |ORDER BY o_custkey, rn""".stripMargin),

@@ -190,6 +190,13 @@ object Text {
         "text", uniVocab32(s, d), 3)
     }
 
+  private def wpEncoded32(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    materialized(s, d, "wordpiece_encoded_32") {
+      TextAnalysis.wordPieceEncode(t(s, d, "documents"), "doc_id",
+        "text", uniVocab32(s, d), 3)
+    }
+
   /** Oracle lang-id CASE chain over `s_<lang>` score columns (matches
     * TextAnalysis.langIdOfScores' alphabetical fold). */
   private def langIdSqlFor(langsIn: Seq[String]): String = {
@@ -2788,11 +2795,24 @@ object Text {
     // a long prefix forces a worse tail). Oracle replays the greedy
     // march as a recursive position pointer.
     Q("q_t_wordpiece_encode", wpEncodeOracle(3, 32)) { (s, d) =>
-      TextAnalysis.wordPieceEncode(t(s, d, "documents"), "doc_id",
-          "text", uniVocab32(s, d), 3)
+      wpEncoded32(s, d)
         .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
           col("wp_text"))
         .orderBy("doc_id")
+    },
+
+    // TOKENIZER TRIAD FAIRNESS (T39c): the fertility rate law under
+    // the WordPiece greedy encode — completing the three-way A/B
+    // (BPE q_t_fertility, unigram-LM q_t_unigram_fertility, and this
+    // row price the SAME corpus under all three tokenizers; greedy
+    // MaxMatch pays extra tokens exactly where a long prefix forces
+    // a worse tail than Viterbi).
+    Q("q_t_wordpiece_fertility", wpFertilityOracle(3, 32)) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val enc = wpEncoded32(s, d)
+        .join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
+      TextAnalysis.tokenizerFertility(enc, "lang", "n_toks", "n_chars")
+        .orderBy("lang")
     },
 
     // TOKENIZER FAIRNESS COMPARISON (T39): the q_t_fertility rate law
@@ -3270,7 +3290,10 @@ object Text {
        |  WHERE pos >= length(w))""".stripMargin
   }
 
-  private def wpEncodeOracle(p: Int, v: Int): String =
+  /** Greedy-encode CTEs shared by the WordPiece round-trip and
+    * fertility oracles: MaxMatch per distinct word + per-document
+    * positional reassembly. */
+  private def wpEncodeCtes(p: Int, v: Int): String =
     uniCtes(p, v) + wpGreedyCte("wdp", "uw", "ufinal", p) +
       s""",
          |we AS (SELECT doc_id, $toksD AS toks FROM documents),
@@ -3282,12 +3305,32 @@ object Text {
          |  FROM wtp JOIN wdp d ON d.w = wtp.w),
          |wper AS (SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_toks,
          |    string_agg(seg, ' ' ORDER BY p) AS wp_text
-         |  FROM wenc GROUP BY 1)
-         |SELECT d.doc_id,
-         |  CAST(coalesce(u.n_toks, 0) AS BIGINT) AS n_toks,
-         |  coalesce(u.wp_text, '') AS wp_text
-         |FROM documents d LEFT JOIN wper u USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
+         |  FROM wenc GROUP BY 1)""".stripMargin
+
+  private def wpEncodeOracle(p: Int, v: Int): String =
+    wpEncodeCtes(p, v) +
+      """
+        |SELECT d.doc_id,
+        |  CAST(coalesce(u.n_toks, 0) AS BIGINT) AS n_toks,
+        |  coalesce(u.wp_text, '') AS wp_text
+        |FROM documents d LEFT JOIN wper u USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+
+  private def wpFertilityOracle(p: Int, v: Int): String =
+    wpEncodeCtes(p, v) +
+      """,
+        |wj AS (SELECT d.lang,
+        |    CAST(coalesce(u.n_toks, 0) AS BIGINT) AS n_toks, d.n_chars
+        |  FROM documents d LEFT JOIN wper u USING (doc_id)),
+        |wg AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS n_toks,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars FROM wj GROUP BY 1),
+        |wt AS (SELECT CAST(sum(n_toks) AS BIGINT) AS tt,
+        |    CAST(sum(n_chars) AS BIGINT) AS tc FROM wg)
+        |SELECT lang, n_toks, n_chars,
+        |  (n_toks * 1000) // n_chars AS fertility_milli,
+        |  ((n_toks * 1000000) // n_chars) // ((tt * 1000) // tc)
+        |    AS premium_milli
+        |FROM wg, wt ORDER BY lang""".stripMargin
 
   private def uniVocabOracle(p: Int, v: Int): String =
     uniCtes(p, v) +

@@ -1852,6 +1852,7 @@ object Vectors {
       val sigs = Multimodal.withPerceptualHash(media)
         .select(col("media_id"), col("phash"))
       Dedup.hammingPairs(sigs, "media_id", "phash", 32, 4, 3)
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
     },
 
@@ -1900,6 +1901,28 @@ object Vectors {
         .orderBy("doc_id")
     },
 
+    // U2-live: the BATCHED chat-translate wire — one POST per
+    // source-group of lines (the reference's grouped-OCR chat call),
+    // responses split back 1:1 onto the rows. The endpoint is the
+    // FLAKY variant: its first hit 503s, so the run also proves the
+    // Remote retry policy on this wire; the oracle stays the per-row
+    // stub transform because batching is pure transport.
+    Q("q_u2_chat_translate_http",
+      """SELECT doc_id, concat('[zh->en] ', substr(text, 1, 30))
+        |  AS translated
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+      val port = graft.sources.HttpFixture.port
+      Services.chatTranslateHttp(
+          t(s, d, "documents").filter(col("doc_id") < 100)
+            .select(col("source"), col("doc_id"),
+              substring(col("text"), 1, 30).as("snippet")),
+          "source", "doc_id", "snippet", "zh", "en",
+          s"http://127.0.0.1:$port/chatflaky", backoffMs = 20)
+        .select(col("doc_id"), col("translated"))
+        .orderBy("doc_id")
+    },
+
     // U3: structured logistics extraction stub (5-field struct).
     Q("q_u3_extract_logistics",
       """SELECT doc_id,
@@ -1928,6 +1951,28 @@ object Vectors {
         .select(col("doc_id"),
           Services.nameSkuStub(col("lang"), col("source")).as("ns"))
         .select(col("doc_id"), col("ns.name"), col("ns.sku"))
+        .orderBy("doc_id")
+    },
+
+    // U4-live: the namer wire — each row POSTs `category|collection`,
+    // the `Name|SKU` response lands as two columns; the loopback
+    // backend implements the stub transform, so the stub's oracle
+    // grades the live wire. FLAKY endpoint: the first hit 503s, so
+    // the run also proves the retry policy on this wire.
+    Q("q_u4_name_sku_http",
+      """SELECT doc_id,
+        |  concat(upper(substr(lang, 1, 1)), substr(lang, 2), ' ',
+        |         upper(substr(source, 1, 1)), substr(source, 2)) AS name,
+        |  upper(substr(md5(concat_ws('|', lang, source)), 1, 8)) AS sku
+        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+      val port = graft.sources.HttpFixture.port
+      Services.nameSkuHttp(
+          t(s, d, "documents").filter(col("doc_id") < 60)
+            .select(col("doc_id"), col("lang"), col("source")),
+          "lang", "source",
+          s"http://127.0.0.1:$port/nameflaky", backoffMs = 20)
+        .select(col("doc_id"), col("name"), col("sku"))
         .orderBy("doc_id")
     })
 }

@@ -26,6 +26,17 @@ import java.nio.charset.StandardCharsets.UTF_8
   *                       grades the live OCR wire
   *  - `/ocrflaky?max=K` → 503 on the first hit, then behaves as
   *                       `/ocr` — the retry proof on the upload path
+  *  - `/chat?src=..&dst=..` (POST multi-line text) → each LINE of the
+  *                       body tagged `[src->dst] `, lines re-joined —
+  *                       the batched chat-translate wire (U2): one
+  *                       call per GROUP of lines, not per line
+  *  - `/chatflaky?...`  → 503 on the first hit, then as `/chat`
+  *  - `/name` (POST `category|collection`) → `Name|SKU` with the SAME
+  *                       deterministic transform as
+  *                       `Services.nameSkuStub` (initcap'd words;
+  *                       upper first-8 md5 hex of the body), so the
+  *                       stub oracle grades the live namer wire (U4)
+  *  - `/nameflaky`      → 503 on the first hit, then as `/name`
   *
   * [[hits]] counts requests per path so specs can assert the retry
   * actually happened and that partition-scoped clients really
@@ -48,6 +59,27 @@ object HttpFixture {
   private def ocrTransform(body: Array[Byte], max: Int): String =
     new String(body, UTF_8).split(" ", -1).take(max).mkString(" ")
 
+  /** Mirror of Spark's `initcap`: first letter of each space-split
+    * word uppercased, the rest lowercased. */
+  private def initcapLike(s: String): String =
+    s.split(" ", -1).map { w =>
+      if (w.isEmpty) w
+      else w.substring(0, 1).toUpperCase + w.substring(1).toLowerCase
+    }.mkString(" ")
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** `Services.nameSkuStub`'s transform over the `cat|coll` wire
+    * body: `Name|SKU`. */
+  private def nameTransform(body: String): String = {
+    val parts = body.split("\\|", 2)
+    val (cat, coll) = (parts(0), if (parts.length > 1) parts(1) else "")
+    initcapLike(s"$cat $coll") + "|" + md5Hex(body).take(8).toUpperCase
+  }
+
   lazy val port: Int = {
     val srv = com.sun.net.httpserver.HttpServer
       .create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -66,6 +98,23 @@ object HttpFixture {
           val text = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           (200, (s"[${ps.getOrElse("src", "?")}->" +
             s"${ps.getOrElse("dst", "?")}] $text").getBytes(UTF_8))
+        }
+        else if (path.startsWith("/chatflaky") && n == 1)
+          (503, "transient failure".getBytes(UTF_8))
+        else if (path.startsWith("/chat")) {
+          // batched chat-translate: one POST carries a GROUP of
+          // lines; each line gets the translateStub transform
+          val text = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val tag = s"[${ps.getOrElse("src", "?")}->" +
+            s"${ps.getOrElse("dst", "?")}] "
+          (200, text.split("\n", -1).map(tag + _).mkString("\n")
+            .getBytes(UTF_8))
+        }
+        else if (path.startsWith("/nameflaky") && n == 1)
+          (503, "transient failure".getBytes(UTF_8))
+        else if (path.startsWith("/name")) {
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          (200, nameTransform(body).getBytes(UTF_8))
         }
         else if (path.startsWith("/ocrflaky") && n == 1)
           (503, "transient failure".getBytes(UTF_8))

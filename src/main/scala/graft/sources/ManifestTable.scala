@@ -64,17 +64,24 @@ object ManifestTable {
     }
   }
 
+  /** Per-file zone stats: one (column, min, max) entry per `#stats=`
+    * line the file carries — a file may carry SEVERAL (one per stats
+    * column of its commit). */
+  private type Stats = Map[String, Seq[(String, Long, Long)]]
+
+  private val noStats: Stats = Map.empty
+
   /** One manifest read parsed into (file list, per-file stats): data
     * lines are relative paths; `#stats=path|col|min|max` comment
     * lines are the zone stats [[commitWithStats]] publishes — the
     * COLUMN name is part of the record, so a read pruning on a
     * different column than the commit used can never misapply a
-    * range (it just scans the file). Files without a stats line have
-    * no entry and are never skipped. Parsing both from one read
-    * keeps the hot commit path at a single manifest I/O per publish
-    * attempt. */
+    * range (it just scans the file), and one file may carry a line
+    * per stats column. Files without a stats line have no entry and
+    * are never skipped. Parsing both from one read keeps the hot
+    * commit path at a single manifest I/O per publish attempt. */
   private def manifestOf(table: String, version: Long)
-      : (Seq[String], Map[String, (String, Long, Long)]) = {
+      : (Seq[String], Stats) = {
     val ls = Files
       .readAllLines(manifestDir(table).resolve(s"v$version"))
       .asScala.toSeq
@@ -82,8 +89,9 @@ object ManifestTable {
     val stats = ls.filter(_.startsWith("#stats="))
       .map { l =>
         val q = l.drop(7).split('|')
-        q(0) -> ((q(1), q(2).toLong, q(3).toLong))
-      }.toMap
+        (q(0), (q(1), q(2).toLong, q(3).toLong))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     (files, stats)
   }
 
@@ -91,8 +99,8 @@ object ManifestTable {
     manifestOf(table, version)._1
 
   private def statLinesFor(files: Seq[String],
-      stats: Map[String, (String, Long, Long)]): Seq[String] =
-    files.flatMap(f => stats.get(f)
+      stats: Stats): Seq[String] =
+    files.flatMap(f => stats.getOrElse(f, Seq.empty)
       .map { case (c, mn, mx) => s"#stats=$f|$c|$mn|$mx" })
 
   /** Stage `df`'s data files under a writer-unique prefix and return
@@ -207,10 +215,9 @@ object ManifestTable {
           val (carried, carriedStats) =
             if (append)
               prev.map(manifestOf(table, _))
-                .getOrElse((Seq.empty,
-                  Map.empty[String, (String, Long, Long)]))
+                .getOrElse((Seq.empty[String], noStats))
             else
-              (Seq.empty[String], Map.empty[String, (String, Long, Long)])
+              (Seq.empty[String], noStats)
           // carried files keep their #stats= zone lines (file
           // metadata survives unrelated appends)
           Right(tag.map(t => s"#tag=$t").toSeq ++
@@ -239,49 +246,40 @@ object ManifestTable {
     q.awaitTermination()
   }
 
-  /** Retention sweep (the VACUUM half of the lifecycle, next to the
-    * [[graft.operators.Layout.compactionPlan]] OPTIMIZE half): delete
-    * every data file not referenced by the newest `keepVersions`
-    * manifests — including orphans staged by crashed or race-losing
-    * writers — then retire the older manifests. Time travel contracts
-    * to the retained window, storage stops growing without bound. The
-    * ONLY place the data directory is ever listed (a maintenance job,
-    * not a read path), and still metadata-sized work: the candidate
-    * set is file names, never file contents. Write-marker files
-    * (`_SUCCESS`) are left alone.
-    *
-    * `graceMs` is the IN-FLIGHT-WRITER guard (Delta/Iceberg's
-    * retention window in miniature): an unreferenced file younger
-    * than it is presumed to be a concurrent commit's staged data —
-    * not yet published, about to be — and is left alone. Without the
-    * window, vacuum racing a live writer deletes its staged files,
-    * the writer then wins its publish, and the committed snapshot
-    * 404s on read. The default comfortably exceeds any staging
-    * write's duration; pass 0 only when no writer can be in flight
-    * (tests, single-process maintenance). Returns
-    * (files kept, files deleted). */
-  /** [[commit]] carrying PER-FILE min/max stats of an integer column
-    * in the manifest — the Iceberg/Delta file-skipping mechanism:
-    * the manifest becomes the zone map, so a predicate-bearing read
-    * ([[readPruned]]) plans its scan from ONE small-file read and
-    * never opens data files whose range can't match. Stats ride as
-    * `#stats=path|min|max` comment lines — invisible to every
-    * existing reader (comments are skipped by [[read]]/filesOf), and
-    * carried forward for still-live files on append so a snapshot's
-    * stats stay complete across commits. The per-file min/max is ONE
-    * distributed pass over the staged files (grouped by
-    * `_metadata.file_path`); an all-NULL file gets no stats line and
-    * is always scanned — skipping is only ever an optimization,
-    * never a filter.
-    *
-    * For the skipping to BITE, commits should be range-disjoint on
-    * the stats column (range-sliced batches, or one repartitionByRange
-    * write per commit) — exactly the layout contract zone maps have
-    * (L2), applied at the manifest layer. */
+  /** [[commitWithStats]] over a single stats column — the common
+    * case, delegating to the multi-column form. */
   def commitWithStats(df: DataFrame, table: String, append: Boolean,
-      statsCol: String, tag: Option[String] = None): Long = {
-    require(!statsCol.contains("|"),
-      s"stats column name cannot contain '|': $statsCol")
+      statsCol: String, tag: Option[String] = None): Long =
+    commitWithStats(df, table, append, Seq(statsCol), tag)
+
+  /** [[commit]] carrying PER-FILE min/max stats of one or more
+    * integer columns in the manifest — the Iceberg/Delta
+    * file-skipping mechanism: the manifest becomes the zone map, so
+    * a predicate-bearing read ([[readPruned]]) plans its scan from
+    * ONE small-file read and never opens data files whose range
+    * can't match. Stats ride as `#stats=path|col|min|max` comment
+    * lines, one per (file, column) — invisible to every existing
+    * reader (comments are skipped by [[read]]/filesOf), and carried
+    * forward for still-live files on append so a snapshot's stats
+    * stay complete across commits. All columns' per-file min/max
+    * come from ONE distributed pass over the staged files (grouped
+    * by `_metadata.file_path`); an all-NULL column in a file gets no
+    * stats line for that column and the file is always scanned for
+    * predicates on it — skipping is only ever an optimization, never
+    * a filter.
+    *
+    * Real lakehouse tables prune on several columns at once
+    * (ingest date + business key); recording them all in the same
+    * commit is a loop over agg expressions, not extra passes. For the
+    * skipping to BITE on a column, commits should be range-disjoint
+    * on it (range-sliced batches, or one repartitionByRange write
+    * per commit) — exactly the layout contract zone maps have (L2),
+    * applied at the manifest layer. */
+  def commitWithStats(df: DataFrame, table: String, append: Boolean,
+      statsCols: Seq[String], tag: Option[String]): Long = {
+    require(statsCols.nonEmpty, "need at least one stats column")
+    statsCols.foreach(c => require(!c.contains("|"),
+      s"stats column name cannot contain '|': $c"))
     def taggedIn(vs: Seq[Long]): Option[Long] =
       tag.flatMap(t => vs.find(v => tagOf(table, v).contains(t)))
     val pre = taggedIn(versions(table))
@@ -290,17 +288,24 @@ object ManifestTable {
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val fresh = stage(df, table, nonce)
     import org.apache.spark.sql.functions.{col, min, max}
-    val freshStats = spark.read
+    val aggs = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).cast("long").as(s"__mn_$i"),
+        max(col(c)).cast("long").as(s"__mx_$i"))
+    }
+    val freshStats: Stats = spark.read
       .parquet(Paths.get(table, "data", s"s-$nonce").toString)
       .groupBy(col("_metadata.file_path").as("__f"))
-      .agg(min(col(statsCol)).cast("long").as("__mn"),
-        max(col(statsCol)).cast("long").as("__mx"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
       .flatMap { r =>
         val name = r.getString(0).split('/').last
-        if (r.isNullAt(1) || r.isNullAt(2)) None
-        else Some(s"data/s-$nonce/$name" ->
-          ((statsCol, r.getLong(1), r.getLong(2))))
+        val entries = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+          if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+          else Some((c, r.getLong(mnI), r.getLong(mxI)))
+        }
+        if (entries.isEmpty) None
+        else Some(s"data/s-$nonce/$name" -> entries)
       }.toMap
     publishLoop(table, nonce, "commitWithStats") { snapshot =>
       taggedIn(snapshot) match {
@@ -309,10 +314,9 @@ object ManifestTable {
           val (carried, carriedStats) =
             if (append)
               snapshot.lastOption.map(manifestOf(table, _))
-                .getOrElse((Seq.empty,
-                  Map.empty[String, (String, Long, Long)]))
+                .getOrElse((Seq.empty[String], noStats))
             else
-              (Seq.empty[String], Map.empty[String, (String, Long, Long)])
+              (Seq.empty[String], noStats)
           Right(tag.map(t => s"#tag=$t").toSeq ++
             statLinesFor(carried ++ fresh, carriedStats ++ freshStats) ++
             carried ++ fresh)
@@ -330,8 +334,22 @@ object ManifestTable {
     * a 100 TB reader reports. */
   def readPruned(spark: SparkSession, table: String, statsCol: String,
       lo: Long, hi: Long,
-      version: Option[Long] = None): (DataFrame, Int, Int) = {
+      version: Option[Long] = None): (DataFrame, Int, Int) =
+    readPruned(spark, table, Seq((statsCol, lo, hi)), version)
+
+  /** Multi-predicate pruned read: every `(col, lo, hi)` range must
+    * hold (conjunction), and EACH predicate independently prunes on
+    * that column's zone line where the file carries one — the
+    * date-plus-key scan plan a real lakehouse read runs. A file
+    * skips as soon as ANY predicate's recorded range misses; a file
+    * with no line for a predicate's column scans for that predicate
+    * (skipping is an optimization, never a filter). Returns
+    * (frame, files in snapshot, files scanned). */
+  def readPruned(spark: SparkSession, table: String,
+      preds: Seq[(String, Long, Long)],
+      version: Option[Long]): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit}
+    require(preds.nonEmpty, "need at least one prune predicate")
     val vs = versions(table)
     require(vs.nonEmpty, s"no published version in $table")
     val v = version.getOrElse(vs.last)
@@ -345,9 +363,13 @@ object ManifestTable {
         "commit data first")
     // an entry recorded for ANOTHER column never prunes — the file
     // simply scans (skipping is an optimization, never a filter)
-    val kept = files.filter(f => stats.get(f)
-      .forall { case (c, mn, mx) =>
-        c != statsCol || (mx >= lo && mn <= hi) })
+    val kept = files.filter { f =>
+      val lines = stats.getOrElse(f, Seq.empty)
+      preds.forall { case (statsCol, lo, hi) =>
+        lines.find(_._1 == statsCol)
+          .forall { case (_, mn, mx) => mx >= lo && mn <= hi }
+      }
+    }
     val root = Paths.get(table)
     val base =
       if (kept.nonEmpty)
@@ -355,7 +377,10 @@ object ManifestTable {
       else
         spark.read.parquet(files.map(f => root.resolve(f).toString): _*)
           .filter(lit(false))
-    (base.filter(col(statsCol).between(lo, hi)), files.size, kept.size)
+    val filtered = preds.foldLeft(base) { case (d, (c, lo, hi)) =>
+      d.filter(col(c).between(lo, hi))
+    }
+    (filtered, files.size, kept.size)
   }
 
   /** OPTIMIZE — the compaction half next to [[vacuum]]'s retention:
@@ -373,11 +398,23 @@ object ManifestTable {
     *
     * Grouping runs DRIVER-SIDE over the manifest's file list — the
     * same manifest-sized metadata every commit already reads; the
-    * data itself moves through one distributed read+write per
-    * multi-file group. Groups that are already one file are carried
-    * untouched (no write amplification on compacted state —
-    * re-running compact is a no-op publish... which is skipped
-    * entirely, returning the current version).
+    * data itself moves through ONE distributed job for ALL groups
+    * (inputs tagged with their group id via a broadcast
+    * basename→group join, clustered by group, written partitioned
+    * by group), so a nightly OPTIMIZE over thousands of groups never
+    * serializes group-at-a-time on the driver. Groups that are
+    * already one file are carried untouched (no write amplification
+    * on compacted state — re-running compact is a no-op publish...
+    * which is skipped entirely, returning the current version).
+    *
+    * Zone stats SURVIVE compaction: when every input of a group
+    * carries a `#stats=` line for a column, the output file gets
+    * that column's merged min(mins)/max(maxes) — pure manifest
+    * arithmetic, no data scan — so [[readPruned]] keeps skipping the
+    * (biggest, hottest) compacted files a nightly OPTIMIZE produces,
+    * exactly as Iceberg/Delta OPTIMIZE preserves file stats. A group
+    * with any stats-less input publishes no line for the output
+    * (always-scan fallback: merged bounds would be a guess).
     *
     * Concurrency: the publish runs the same put-if-absent loop as
     * [[commitTagged]]. On losing a race, the rewrite is still valid
@@ -408,12 +445,54 @@ object ManifestTable {
     val (single, multi) = grouped.partition(_.size == 1)
     if (multi.isEmpty) return (latest, files.size, files.size)
     val nonce = java.util.UUID.randomUUID().toString.take(12)
-    val staged = multi.zipWithIndex.flatMap { case (grp, gi) =>
-      val stageDir = Paths.get(table, "data", s"c-$nonce-$gi")
-      spark.read.parquet(grp.map(f => root.resolve(f).toString): _*)
-        .coalesce(1)
-        .write.mode("errorifexists").parquet(stageDir.toString)
-      Using.resource(Files.list(stageDir)) { st =>
+    // ONE job rewrites every group: tag each input row with its
+    // group via a broadcast basename→group join (staged part-file
+    // names carry task UUIDs, so basenames are unique), cluster by
+    // group so each group lands whole in one task, and write
+    // partitioned by group — N groups never become N sequential
+    // driver-looped jobs. mergeSchema so groups whose inputs span a
+    // schema-evolution boundary rewrite under the union schema
+    // instead of silently dropping late columns.
+    import org.apache.spark.sql.functions.{broadcast, col,
+      regexp_extract}
+    import spark.implicits._
+    val grpOf = multi.zipWithIndex.flatMap { case (grp, gi) =>
+      grp.map(f => (f.split('/').last, gi))
+    }
+    val src = spark.read.option("mergeSchema", "true")
+      .parquet(multi.flatten.map(f => root.resolve(f).toString): _*)
+    val dataCols = src.columns.toSeq
+    require(!dataCols.contains("__grp") && !dataCols.contains("__base"),
+      s"compact's internal columns collide with table columns of $table")
+    val stageRoot = Paths.get(table, "data", s".c-$nonce-stage")
+    src
+      .withColumn("__base",
+        regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
+      .join(broadcast(grpOf.toDF("__base", "__grp")), "__base")
+      .repartition(multi.size, col("__grp"))
+      .select((dataCols.map(col) :+ col("__grp")): _*)
+      .write.mode("errorifexists").partitionBy("__grp")
+      .parquet(stageRoot.toString)
+    // flatten the partitioned staging layout into per-group dirs; a
+    // group whose inputs were all empty wrote no partition — give it
+    // an explicit empty file so its rows-preserving identity (and the
+    // snapshot's schema) survive
+    val staged: Seq[(Int, Seq[String])] = multi.indices.map { gi =>
+      val pdir = stageRoot.resolve(s"__grp=$gi")
+      val outDir = Paths.get(table, "data", s"c-$nonce-$gi")
+      if (!Files.isDirectory(pdir)) {
+        src.limit(0).select(dataCols.map(col): _*).coalesce(1)
+          .write.mode("errorifexists").parquet(outDir.toString)
+      } else {
+        Files.createDirectories(outDir)
+        Using.resource(Files.list(pdir)) { st =>
+          st.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+            .foreach(n => Files.move(pdir.resolve(n), outDir.resolve(n)))
+        }
+      }
+      gi -> Using.resource(Files.list(outDir)) { st =>
         st.iterator().asScala
           .map(_.getFileName.toString)
           .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
@@ -421,6 +500,8 @@ object ManifestTable {
           .map(n => s"data/c-$nonce-$gi/$n")
       }
     }
+    deleteRecursively(stageRoot)
+    val stagedFiles = staged.flatMap(_._2)
     val rewritten = multi.flatten.toSet
     var after = 0
     val v = publishLoop(table, nonce, "compact") { snapshot =>
@@ -429,15 +510,58 @@ object ManifestTable {
         s"concurrent rewrite removed a compacted input of $table — " +
           "aborting rather than resurrecting dropped rows")
       // rivals' appends since our snapshot ride along untouched;
-      // survivors keep their zone lines, compacted outputs carry
-      // none (they span their inputs' ranges — always scanned)
+      // survivors keep their zone lines, and compacted outputs get
+      // MERGED lines for every column all their inputs carry — the
+      // union's min(mins)/max(maxes) bounds any output file exactly
       val carried = curFiles.filterNot(rewritten.contains)
-      after = carried.size + staged.size
-      Right(statLinesFor(carried, curStats) ++ carried ++ staged)
+      val mergedStatLines = staged.flatMap { case (gi, outs) =>
+        val entryLists = multi(gi).map(f =>
+          curStats.getOrElse(f, Seq.empty))
+        val common = entryLists.map(_.map(_._1).toSet)
+          .reduce(_ intersect _)
+        val perCol = common.toSeq.sorted.map { c =>
+          val es = entryLists.map(_.find(_._1 == c).get)
+          (c, es.map(_._2).min, es.map(_._3).max)
+        }
+        outs.flatMap(o => perCol.map { case (c, mn, mx) =>
+          s"#stats=$o|$c|$mn|$mx" })
+      }
+      after = carried.size + stagedFiles.size
+      Right(statLinesFor(carried, curStats) ++ mergedStatLines ++
+        carried ++ stagedFiles)
     }
     (v, files.size, after)
   }
 
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Using.resource(Files.walk(p)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    }
+
+  /** Retention sweep (the VACUUM half of the lifecycle, next to the
+    * [[graft.operators.Layout.compactionPlan]] OPTIMIZE half): delete
+    * every data file not referenced by the newest `keepVersions`
+    * manifests — including orphans staged by crashed or race-losing
+    * writers — then retire the older manifests. Time travel contracts
+    * to the retained window, storage stops growing without bound. The
+    * ONLY place the data directory is ever listed (a maintenance job,
+    * not a read path), and still metadata-sized work: the candidate
+    * set is file names, never file contents. Write-marker files
+    * (`_SUCCESS`) are left alone.
+    *
+    * `graceMs` is the IN-FLIGHT-WRITER guard (Delta/Iceberg's
+    * retention window in miniature): an unreferenced file younger
+    * than it is presumed to be a concurrent commit's staged data —
+    * not yet published, about to be — and is left alone. Without the
+    * window, vacuum racing a live writer deletes its staged files,
+    * the writer then wins its publish, and the committed snapshot
+    * 404s on read. The default comfortably exceeds any staging
+    * write's duration; pass 0 only when no writer can be in flight
+    * (tests, single-process maintenance). Returns
+    * (files kept, files deleted). */
   def vacuum(table: String, keepVersions: Int,
       graceMs: Long = 20L * 60L * 1000L): (Int, Int) = {
     require(keepVersions >= 1, s"keepVersions must be ≥1: $keepVersions")

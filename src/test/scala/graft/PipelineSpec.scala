@@ -422,6 +422,61 @@ class PipelineSpec extends SparkSpec {
       "each row exactly one POST — no per-row client churn")
   }
 
+  test("chatTranslateHttp: one POST per GROUP (batched wire), lines " +
+      "map back 1:1 in ord order, and a first-hit 503 is retried " +
+      "through; a line-count mismatch fails loudly") {
+    import graft.sources.HttpFixture
+    val port = HttpFixture.port
+    HttpFixture.hits.clear()
+    // 3 groups x 3 lines, shuffled input order
+    val df = (for (g <- Seq("a", "b", "c"); i <- 0 until 3)
+      yield (g, i.toLong, s"line $g$i")).reverse
+      .toDF("grp", "ord", "txt").repartition(4)
+    val out = graft.operators.Services.chatTranslateHttp(df,
+        "grp", "ord", "txt", "zh", "en",
+        s"http://127.0.0.1:$port/chatflaky", backoffMs = 5)
+      .as[(String, Long, String)].collect()
+    assert(out.length == 9)
+    assert(out.toSet ==
+      (for (g <- Seq("a", "b", "c"); i <- 0 until 3)
+        yield (g, i.toLong, s"[zh->en] line $g$i")).toSet)
+    // 3 groups -> 3 POSTs, +1 for the retried 503 on the first hit
+    assert(HttpFixture.hits.get("/chatflaky") == 4,
+      "request count scales with GROUPS (plus the one retried 503)")
+    // a multi-line source line breaks the 1:1 batch frame — loud
+    val bad = Seq(("g", 0L, "two\nlines")).toDF("grp", "ord", "txt")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.Services.chatTranslateHttp(bad, "grp", "ord",
+        "txt", "zh", "en", s"http://127.0.0.1:$port/chat",
+        backoffMs = 5).collect()
+    }
+    assert(e.getMessage.contains("batch frame") ||
+      Option(e.getCause).exists(_.getMessage.contains("batch frame")))
+  }
+
+  test("nameSkuHttp: per-row category|collection POST lands Name|SKU " +
+      "columns matching the stub transform; first-hit 503 retried") {
+    import graft.sources.HttpFixture
+    val port = HttpFixture.port
+    HttpFixture.hits.clear()
+    val df = Seq(("chair", "oak grove"), ("lamp", "brass"))
+      .toDF("cat", "coll")
+    val out = graft.operators.Services.nameSkuHttp(df, "cat", "coll",
+        s"http://127.0.0.1:$port/nameflaky", backoffMs = 5)
+      .select("cat", "name", "sku").as[(String, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // transform parity with the stub (the graded oracle's contract)
+    val stub = df.select($"cat",
+        graft.operators.Services.nameSkuStub($"cat", $"coll").as("ns"))
+      .select($"cat", $"ns.name", $"ns.sku")
+      .as[(String, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == stub, s"live wire vs stub: $out vs $stub")
+    assert(out("chair")._1 == "Chair Oak Grove")
+    // 2 rows -> 2 POSTs + 1 retried 503
+    assert(HttpFixture.hits.get("/nameflaky") == 3)
+  }
+
   test("PgWire.sqlLiteral renders the write dialect: quoting, arrays, " +
       "UTC timestamps, bytea, NaN") {
     import graft.sources.PgWire.sqlLiteral
@@ -869,6 +924,144 @@ class PipelineSpec extends SparkSpec {
       s"k-stats must not prune an m-read: scanned $sc of $tc")
     assert(mhit.count() == 16L,
       "the row filter alone decides a foreign-column probe")
+  }
+
+  test("ManifestTable multi-column stats: one commit records a zone " +
+      "line per column, conjunctive reads intersect the skips, and " +
+      "each column prunes independently") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-prune-multi-spec").toString
+    // m decorrelated from k so every grid cell is non-empty (a
+    // correlated m would leave two cells as empty, stats-less,
+    // always-scanned files)
+    val df = (1L to 100L).map(i => (i, (i * 37L) % 100L)).toDF("k", "m")
+    // 2x2 grid: (k half) x (m half)
+    for (kHigh <- Seq(false, true); mHigh <- Seq(false, true)) {
+      val slice = df
+        .filter(if (kHigh) $"k" > 50 else $"k" <= 50)
+        .filter(if (mHigh) $"m" > 50 else $"m" <= 50)
+      ManifestTable.commitWithStats(slice.coalesce(1), table,
+        append = true, Seq("k", "m"), None)
+    }
+    // k-only probe: the two low-k files
+    val (_, t1, s1) = ManifestTable.readPruned(spark, table, "k", 10L, 20L)
+    assert((t1, s1) == ((4, 2)), s"$t1 $s1")
+    // m-only probe: the two high-m files
+    val (_, t2, s2) = ManifestTable.readPruned(spark, table, "m",
+      60L, 70L)
+    assert((t2, s2) == ((4, 2)), s"$t2 $s2")
+    // conjunction: exactly the (low-k, high-m) cell
+    val (hit, t3, s3) = ManifestTable.readPruned(spark, table,
+      Seq(("k", 10L, 20L), ("m", 60L, 70L)), None)
+    assert((t3, s3) == ((4, 1)), s"$t3 $s3")
+    assert(hit.select("k").as[Long].collect().toSet ==
+      (10L to 20L).filter(k => { val m = (k * 37) % 100
+        m >= 60 && m <= 70 }).toSet,
+      "conjunctive row filters keep the result exact")
+    // a single-column read against the multi-stat manifest still
+    // prunes on just that column (extra lines never misapply)
+    val (_, t4, s4) = ManifestTable.readPruned(spark, table, "k",
+      200L, 300L)
+    assert((t4, s4) == ((4, 0)), s"$t4 $s4")
+  }
+
+  test("ManifestTable.compact carries merged zone stats: compacted " +
+      "outputs keep min(mins)/max(maxes) of their inputs, so pruned " +
+      "reads keep skipping after OPTIMIZE; a stats-less input " +
+      "yields an always-scan output") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-compact-stats-spec").toString
+    val df = (1L to 120L).toDF("k")
+    // four range-disjoint stat-bearing files of ~equal size
+    for (q <- 0 to 3)
+      ManifestTable.commitWithStats(
+        df.filter($"k" > q * 30 && $"k" <= (q + 1) * 30).coalesce(1),
+        table, append = true, "k")
+    // pair them: group 0 = [1,60], group 1 = [61,120]
+    val dataDir = java.nio.file.Paths.get(table, "data")
+    val sizes = {
+      val st = java.nio.file.Files.walk(dataDir)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(
+          st.iterator()).asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+      finally st.close()
+    }
+    val (v, before, after) = ManifestTable.compact(spark, table, sizes / 2 + 1)
+    assert((before, after) == ((4, 2)), s"$v $before $after")
+    // pruned read against the POST-compaction snapshot still skips:
+    // [10,20] lives in compacted group 0 only
+    val (hit, total, scanned) =
+      ManifestTable.readPruned(spark, table, "k", 10L, 20L)
+    assert((total, scanned) == ((2, 1)),
+      s"compacted outputs must keep zone stats: scanned $scanned of $total")
+    assert(hit.as[Long].collect().toSet == (10L to 20L).toSet)
+    // values bit-identical through the rewrite
+    assert(ManifestTable.read(spark, table)
+      .as[Long].collect().toSet == (1L to 120L).toSet)
+    // a group containing ANY stats-less input publishes no line for
+    // its output (merged bounds would be a guess) — always scanned
+    val t2 = java.nio.file.Files
+      .createTempDirectory("graft-compact-stats-mixed").toString
+    ManifestTable.commitWithStats(df.filter($"k" <= 60).coalesce(1),
+      t2, append = true, "k")
+    ManifestTable.commit(df.filter($"k" > 60).coalesce(1),
+      t2, append = true) // no stats
+    ManifestTable.compact(spark, t2, Long.MaxValue / 2)
+    val (_, tt, ts) = ManifestTable.readPruned(spark, t2, "k",
+      500L, 600L)
+    assert((tt, ts) == ((1, 1)),
+      "an output with a stats-less input must always scan")
+  }
+
+  test("ManifestTable.compact rewrites ALL groups in one distributed " +
+      "job — N groups never become N sequential driver-looped writes") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-compact-onejob-spec").toString
+    val df = (1L to 480L).toDF("k")
+    // 16 single-file commits pairing into ~8 multi-file groups
+    for (q <- 0 to 15)
+      ManifestTable.commitWithStats(
+        df.filter($"k" > q * 30 && $"k" <= (q + 1) * 30).coalesce(1),
+        table, append = true, "k")
+    val dataDir = java.nio.file.Paths.get(table, "data")
+    val sizes = {
+      val st = java.nio.file.Files.walk(dataDir)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(
+          st.iterator()).asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+      finally st.close()
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (_, before, after) =
+      try ManifestTable.compact(spark, table, sizes / 8 + 1)
+      finally {
+        Thread.sleep(1000L) // let queued listener events drain
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(before == 16 && after <= 10, s"$before -> $after")
+    // the old implementation looped one read+coalesce+write job per
+    // group (>= 8 write jobs alone for ~8 groups, plus a schema-read
+    // job each); the single-job rewrite triggers the combined write
+    // plus constant footer/schema + AQE-stage housekeeping — a job
+    // count independent of, and well below, the group count
+    assert(jobs.get() <= 5,
+      s"compact of ~8 groups started ${jobs.get()} jobs — looks serial")
+    assert(ManifestTable.read(spark, table)
+      .as[Long].collect().toSet == (1L to 480L).toSet)
   }
 
   test("ManifestTable.commitTagged: a replayed tag is a no-op (same " +

@@ -94,6 +94,24 @@ def main():
             n_fail += 1
             failed.append(name)
             continue
+        # Type-strict: the driver's hash is type-aware, so an oracle
+        # typed HUGEINT where the engine emits BIGINT fails there even
+        # when every cell is numerically identical (round-11 lesson:
+        # un-CAST `//` floor division). Compare DuckDB column types,
+        # name-aligned, and fail on any mismatch.
+        o_types = dict(zip(o_cols, [str(t) for t in o.types]))
+        s_types = dict(zip(s_cols, [str(t) for t in s.types]))
+        bad_types = [
+            (c, o_types[c], s_types[c])
+            for c in sorted(o_types)
+            if o_types[c] != s_types[c]
+        ]
+        if bad_types:
+            c, ot, st = bad_types[0]
+            print(f"FAIL {name}: type of {c} oracle={ot} spark={st}")
+            n_fail += 1
+            failed.append(name)
+            continue
         _, oc = canon(o_rows, o_cols)
         _, sc = canon(s_rows, s_cols)
         if len(oc) != len(sc):
