@@ -254,6 +254,54 @@ object Curation {
         col("budget_tokens"))
   }
 
+  /** DoReMi-flavored EXCESS-LOSS domain reweighting (Xie et al.
+    * 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language
+    * Model Pretraining" — the one-shot integer analog of its
+    * excess-loss objective): upweight exactly the domains whose
+    * per-unit loss EXCEEDS the corpus rate (hard-for-the-reference
+    * domains carry the learnable signal; domains at or below the
+    * corpus rate contribute no excess and get weight 0 unless
+    * nothing does, in which case the mixture falls back to uniform).
+    *
+    * Input: per-doc (group, units, loss_milli) — units = the doc's
+    * token count, loss_milli = its total milli-loss (e.g. a
+    * [[graft.operators.TextAnalysis]] NLL, or any per-doc cost).
+    * All-integer law: rate_milli = Σloss div Σunits per group and
+    * for the corpus; excess_milli = max(0, rate − corpus_rate);
+    * weight_milli = excess·1000 div Σexcess (floor shares — feed
+    * [[mixBudgets]]-style apportionment when exact sums matter).
+    *
+    * Scale shape: one keyed partial-agg groupBy (group-table-sized
+    * result) + two broadcast single-row totals. Int64 envelope:
+    * Σloss_milli < 2⁶³ caps a group at ~9.2e15 milli-loss — sums run
+    * in decimal(38,0) so the cap is the OUTPUT's, not the fold's. */
+  def excessLossWeights(df: DataFrame, groupCol: String,
+      unitsCol: String, lossMilliCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol))
+      .agg(
+        sum(col(unitsCol).cast("decimal(38,0)")).as("__u"),
+        sum(col(lossMilliCol).cast("decimal(38,0)")).as("__l"))
+      .filter(col("__u") > 0)
+      .localCheckpoint(eager = false)
+    val tot = g.agg(sum(col("__u")).as("__tu"), sum(col("__l")).as("__tl"))
+    val rated = g.crossJoin(broadcast(tot))
+      .withColumn("units", expr("CAST(__u AS BIGINT)"))
+      .withColumn("rate_milli", expr("CAST(__l div __u AS BIGINT)"))
+      .withColumn("excess_milli", expr(
+        "greatest(0L, CAST(__l div __u AS BIGINT) - " +
+          "CAST(__tl div __tu AS BIGINT))"))
+    val sx = rated.agg(
+      sum(col("excess_milli").cast("decimal(38,0)")).as("__se"),
+      count(lit(1)).as("__ng"))
+    rated.crossJoin(broadcast(sx))
+      .withColumn("weight_milli", expr(
+        "CASE WHEN __se > 0 THEN CAST(CAST(excess_milli AS " +
+          "DECIMAL(38,0)) * 1000 div __se AS BIGINT) " +
+          "ELSE 1000L div __ng END"))
+      .select(col(groupCol), col("units"), col("rate_milli"),
+        col("excess_milli"), col("weight_milli"))
+  }
+
   /** Apply step of [[mixBudgets]] — same shape as [[rebalanceKeep]]:
     * broadcast the config-sized budget table, one window shuffle on
     * the group key, first-`budget_g` rows in `orderCol` order

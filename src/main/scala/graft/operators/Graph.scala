@@ -174,6 +174,61 @@ object Graph {
       .localCheckpoint(eager = false)
   }
 
+  /** Truncated k-CORE decomposition (Seidman 1983, "Network
+    * structure and minimum degree"; the peel rule of
+    * Batagelj–Zaveršnik 2003, run breadth-synchronously): repeatedly
+    * drop every node whose degree in the SURVIVING subgraph is < k —
+    * the fixpoint is the k-core, the densely-interlinked kernel a
+    * link-graph audit extracts (template/spam hubs live in high
+    * cores; peripheral content peels away). Takes a canonical edge
+    * table from [[cappedCanonicalEdges]] so several graph statistics
+    * share one prepared graph.
+    *
+    * Runs at most `rounds` synchronous peel rounds with an early
+    * exit at the fixpoint (peel only ever removes edges, so an
+    * unchanged edge count IS the fixpoint); if the cascade is deeper
+    * than `rounds` the result is the documented round-r truncation,
+    * deterministic for a given (k, rounds) — the fixed-iteration
+    * honesty of [[pageRank]]. Scale shape per round: one degree
+    * aggregation (map-side combined) + two endpoint semi-joins, all
+    * over a shrinking edge set, localCheckpointed so lineage stays
+    * flat. Returns (node, core_deg): surviving nodes with their
+    * degree inside the surviving subgraph. */
+  def kCoreOfCanonical(canonical: DataFrame, k: Int,
+      rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var cur = canonical.select(col("u"), col("v"))
+      .localCheckpoint(eager = true)
+    var prevEdges = cur.count()
+    var r = 0
+    while (r < rounds && prevEdges > 0) {
+      r += 1
+      val keep = cur
+        .select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select("node")
+      val next = cur
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(eager = true)
+      val n = next.count()
+      cur = next
+      if (n == prevEdges) r = rounds // fixpoint — stop peeling
+      prevEdges = n
+    }
+    cur.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).cast("long").as("core_deg"))
+  }
+
+  /** [[kCoreOfCanonical]] over a raw edge table: canonicalize
+    * (u < v, dedup, no loops, optional degree cap) then peel. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int = 8, maxDegree: Int = Int.MaxValue): DataFrame =
+    kCoreOfCanonical(
+      cappedCanonicalEdges(edges, srcCol, dstCol, maxDegree), k, rounds)
+
   /** Per-node triangle counts over ALREADY-canonical (u < v) edges —
     * pair with [[cappedCanonicalEdges]] when several statistics share
     * one prepared graph. */

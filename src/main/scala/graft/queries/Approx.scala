@@ -14,6 +14,49 @@ import graft.streaming.StreamOps
   */
 object Approx {
 
+  /** Oracle for [[Graph.kCoreOfCanonical]] over the capped part
+    * co-occurrence graph: the q_g_triangles prelude builds the
+    * canonical capped edge table, then `rounds` synchronous peel
+    * rounds are UNROLLED as chained CTEs (peeling past the fixpoint
+    * is a no-op, so a fixed unroll replays the engine's
+    * early-exiting loop exactly whenever the cascade converges
+    * within `rounds` — 6 deep at sf0.01 for k=48). */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    // every CTE is MATERIALIZED: each peel references its
+    // predecessor three times, so DuckDB's default inlining would
+    // expand the chain 3^rounds-fold (and re-open the parquet per
+    // expansion); materialization keeps the replay linear, exactly
+    // like the engine's per-round localCheckpoint
+    val base =
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+        |  GROUP BY node),
+        |keep AS (SELECT node FROM deg WHERE deg <= 128),
+        |e_0 AS MATERIALIZED (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT node FROM keep)
+        |    AND v IN (SELECT node FROM keep))""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s""",
+         |k_$r AS MATERIALIZED (SELECT node FROM (
+         |  SELECT u AS node FROM e_${r - 1}
+         |  UNION ALL SELECT v AS node FROM e_${r - 1})
+         |  GROUP BY node HAVING count(*) >= $k),
+         |e_$r AS MATERIALIZED (SELECT u, v FROM e_${r - 1}
+         |  WHERE u IN (SELECT node FROM k_$r)
+         |    AND v IN (SELECT node FROM k_$r))""".stripMargin
+    }.mkString
+    base + peels +
+      s"""
+         |SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+         |  SELECT u AS node FROM e_$rounds
+         |  UNION ALL SELECT v AS node FROM e_$rounds)
+         |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   /** DuckDB mirror of Sketches' md5-derived hash60 with a salt. */
   private def h60(salt: String, x: String): String =
     sqlHash60(s"'$salt:' || CAST($x AS VARCHAR)")
@@ -1209,6 +1252,100 @@ object Approx {
           col("n_rows"), col("key_sum"))
     },
 
+    // LAKEHOUSE DML: copy-on-write range DELETE (L14 — the
+    // GDPR/retention purge): four range-disjoint stat-bearing
+    // commits, then DELETE of a range that lives entirely in file 2
+    // — the zone stats prove the other three files CANNOT hold
+    // matches, so exactly ONE file is rewritten and three are
+    // carried by reference; the new snapshot's values equal the
+    // NOT-BETWEEN oracle, and the rewrite re-records stats + row
+    // counts so the metadata count stays exact after the DML.
+    Q("q_e2e_manifest_delete",
+      """SELECT CAST(1 AS BIGINT) AS files_rewritten,
+        |  CAST(4 AS BIGINT) AS files_after,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(count(*) AS BIGINT) AS meta_rows
+        |FROM orders
+        |WHERE o_orderkey NOT BETWEEN 5000 AND 7000""".stripMargin) {
+      (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-delete-q").toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      val bounds = Seq((-1L, 4000L), (4000L, 8000L),
+        (8000L, 12000L), (12000L, Long.MaxValue))
+      for ((lo, hi) <- bounds) {
+        graft.sources.ManifestTable.commitWithStats(
+          orders.filter(col("o_orderkey") > lo &&
+            col("o_orderkey") <= hi).coalesce(1),
+          table, append = true, "o_orderkey")
+      }
+      val (_, rewritten, after) = graft.sources.ManifestTable
+        .deleteRange(s, table, "o_orderkey", 5000L, 7000L)
+      val meta = graft.sources.ManifestTable.countRows(table)
+        .getOrElse(-1L)
+      graft.sources.ManifestTable.read(s, table)
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"))
+        .select(lit(rewritten.toLong).as("files_rewritten"),
+          lit(after.toLong).as("files_after"),
+          col("n_rows"), col("key_sum"),
+          lit(meta).as("meta_rows"))
+    },
+
+    // LAKEHOUSE CDC-lite: incremental snapshot-diff read (L15 — what
+    // an incremental consumer polls): three append commits; the diff
+    // against v1 reads EXACTLY the two later commits' files (never
+    // the snapshot), and for an append-only history that is exactly
+    // the inserted rows.
+    Q("q_e2e_manifest_changes",
+      """SELECT CAST(2 AS BIGINT) AS files_added,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE o_orderkey % 3 IN (1, 2)""".stripMargin) { (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-changes-q").toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      for (m <- 0 to 2) {
+        graft.sources.ManifestTable.commit(
+          orders.filter(col("o_orderkey") % 3 === m).coalesce(1),
+          table, append = true)
+      }
+      val (frame, added) = graft.sources.ManifestTable
+        .readChanges(s, table, sinceVersion = 1L)
+      frame.agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"))
+        .select(lit(added.toLong).as("files_added"),
+          col("n_rows"), col("key_sum"))
+    },
+
+    // LAKEHOUSE metadata-only count (L16 — the most common 100 TB
+    // query answered from ONE small-file read): three stat-bearing
+    // commits, an OPTIMIZE rewrite, and the manifest's summed
+    // per-file row counts still equal the scanned truth — counts
+    // survive compaction because the output holds exactly the sum of
+    // its inputs' rows.
+    Q("q_e2e_manifest_count",
+      """SELECT CAST(count(*) AS BIGINT) AS meta_rows,
+        |  CAST(count(*) AS BIGINT) AS scanned_rows
+        |FROM orders""".stripMargin) { (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-count-q").toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      for (m <- 0 to 2) {
+        graft.sources.ManifestTable.commitWithStats(
+          orders.filter(col("o_orderkey") % 3 === m).coalesce(1),
+          table, append = true, "o_orderkey")
+      }
+      graft.sources.ManifestTable.compact(s, table, Long.MaxValue / 2)
+      val meta = graft.sources.ManifestTable.countRows(table)
+        .getOrElse(-1L)
+      graft.sources.ManifestTable.read(s, table)
+        .agg(count(lit(1)).as("scanned_rows"))
+        .select(lit(meta).as("meta_rows"), col("scanned_rows"))
+    },
+
     // LAYOUT: schema evolution ACROSS manifest commits (S16 × L5) —
     // commit v1 before the status column existed, append v2 with it;
     // the merged-schema snapshot read unions the LIVE files' footers
@@ -1926,6 +2063,16 @@ object Approx {
         |  UNION ALL SELECT c FROM tri)
         |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
       coTriangles(s, d).orderBy("node")
+    },
+
+    // GRAPH: truncated k-CORE (Seidman 1983) over the same capped
+    // co-occurrence graph — iteratively peel nodes of degree < 48
+    // until the fixpoint (the peel cascades 6 rounds deep at this
+    // scale; the oracle replays 8 synchronous rounds, the extra two
+    // provably no-ops). The surviving kernel is the
+    // densely-interlinked hub set a link-graph audit extracts.
+    Q("q_g_kcore", kCoreOracle(48, 8)) { (s, d) =>
+      Graph.kCoreOfCanonical(coEdges(s, d), 48, 8).orderBy("node")
     },
 
     // GRAPH: local clustering coefficient (integer millis) over the

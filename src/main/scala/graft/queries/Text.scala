@@ -2732,6 +2732,40 @@ object Text {
         .orderBy("lang")
     },
 
+    // CURATION (CUR8, DoReMi-flavored): excess-loss domain
+    // reweighting — upweight exactly the languages whose per-token
+    // cost exceeds the corpus rate (here: chars-per-token as the
+    // deterministic cost signal; swap in any per-doc NLL). The
+    // all-integer rate/excess/share law is the one-shot analog of
+    // DoReMi's excess-loss objective.
+    Q("q_cur_excess_loss",
+      s"""WITH tk AS (SELECT doc_id, lang, n_chars,
+         |    CAST(len($toksD) AS BIGINT) AS n_toks FROM documents),
+         |g AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS units,
+         |    CAST(sum(n_chars * 1000) AS BIGINT) AS loss
+         |  FROM tk GROUP BY 1 HAVING sum(n_toks) > 0),
+         |c AS (SELECT CAST(sum(units) AS BIGINT) AS tu,
+         |    CAST(sum(loss) AS BIGINT) AS tl FROM g),
+         |r AS (SELECT lang, units,
+         |    CAST(loss // units AS BIGINT) AS rate_milli,
+         |    CAST(greatest(0, loss // units - tl // tu) AS BIGINT)
+         |      AS excess_milli
+         |  FROM g, c),
+         |sx AS (SELECT CAST(sum(excess_milli) AS BIGINT) AS se,
+         |    CAST(count(*) AS BIGINT) AS ng FROM r)
+         |SELECT lang, units, rate_milli, excess_milli,
+         |  CAST(CASE WHEN se > 0 THEN excess_milli * 1000 // se
+         |    ELSE 1000 // ng END AS BIGINT) AS weight_milli
+         |FROM r, sx ORDER BY lang""".stripMargin) { (s, d) =>
+      graft.operators.Curation.excessLossWeights(
+          t(s, d, "documents")
+            .select(col("lang"),
+              size(tokens(col("text"))).cast("long").as("units"),
+              (col("n_chars") * 1000L).as("loss_milli")),
+          "lang", "units", "loss_milli")
+        .orderBy("lang")
+    },
+
     // DATALOADER (C16): length-bucketed batching — the padded-batch
     // complement of contiguous packing: docs bin by length div 16,
     // rank within the bin, every 8 consecutive ranks form a batch;

@@ -71,17 +71,29 @@ object ManifestTable {
 
   private val noStats: Stats = Map.empty
 
-  /** One manifest read parsed into (file list, per-file stats): data
-    * lines are relative paths; `#stats=path|col|min|max` comment
-    * lines are the zone stats [[commitWithStats]] publishes — the
-    * COLUMN name is part of the record, so a read pruning on a
-    * different column than the commit used can never misapply a
-    * range (it just scans the file), and one file may carry a line
-    * per stats column. Files without a stats line have no entry and
-    * are never skipped. Parsing both from one read keeps the hot
-    * commit path at a single manifest I/O per publish attempt. */
-  private def manifestOf(table: String, version: Long)
-      : (Seq[String], Stats) = {
+  private val emptyManifest =
+    Manifest(Seq.empty, noStats, Map.empty)
+
+  /** One parsed manifest: data-file list, per-file zone stats
+    * (`#stats=path|col|min|max` lines), and per-file row counts
+    * (`#nrows=path|n` lines — [[commitWithStats]] records them from
+    * the same distributed pass as the zones; files committed without
+    * the pass have no entry). */
+  private final case class Manifest(files: Seq[String], stats: Stats,
+      rows: Map[String, Long]) {
+    def metaLinesFor(fs: Seq[String]): Seq[String] =
+      ManifestTable.metaLines(fs, stats, rows)
+  }
+
+  /** One manifest read parsed into [[Manifest]]: data lines are
+    * relative paths; comment lines carry the file metadata. The zone
+    * lines name their COLUMN, so a read pruning on a different
+    * column than the commit used can never misapply a range (it just
+    * scans the file), and one file may carry a line per stats
+    * column. Files without a stats line have no entry and are never
+    * skipped. Parsing everything from one read keeps the hot commit
+    * path at a single manifest I/O per publish attempt. */
+  private def manifestOf(table: String, version: Long): Manifest = {
     val ls = Files
       .readAllLines(manifestDir(table).resolve(s"v$version"))
       .asScala.toSeq
@@ -92,16 +104,22 @@ object ManifestTable {
         (q(0), (q(1), q(2).toLong, q(3).toLong))
       }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    (files, stats)
+    val rows = ls.filter(_.startsWith("#nrows="))
+      .map { l =>
+        val q = l.drop(7).split('|')
+        q(0) -> q(1).toLong
+      }.toMap
+    Manifest(files, stats, rows)
   }
 
   private def filesOf(table: String, version: Long): Seq[String] =
-    manifestOf(table, version)._1
+    manifestOf(table, version).files
 
-  private def statLinesFor(files: Seq[String],
-      stats: Stats): Seq[String] =
+  private def metaLines(files: Seq[String], stats: Stats,
+      rows: Map[String, Long]): Seq[String] =
     files.flatMap(f => stats.getOrElse(f, Seq.empty)
-      .map { case (c, mn, mx) => s"#stats=$f|$c|$mn|$mx" })
+      .map { case (c, mn, mx) => s"#stats=$f|$c|$mn|$mx" }) ++
+      files.flatMap(f => rows.get(f).map(n => s"#nrows=$f|$n"))
 
   /** Stage `df`'s data files under a writer-unique prefix and return
     * their sorted relative paths. Conflict-free by construction, so
@@ -211,17 +229,15 @@ object ManifestTable {
       taggedIn(snapshot) match {
         case Some(v) => Left(v)
         case None =>
-          val prev = snapshot.lastOption
-          val (carried, carriedStats) =
+          val prev =
             if (append)
-              prev.map(manifestOf(table, _))
-                .getOrElse((Seq.empty[String], noStats))
-            else
-              (Seq.empty[String], noStats)
-          // carried files keep their #stats= zone lines (file
+              snapshot.lastOption.map(manifestOf(table, _))
+                .getOrElse(emptyManifest)
+            else emptyManifest
+          // carried files keep their #stats=/#nrows= lines (file
           // metadata survives unrelated appends)
           Right(tag.map(t => s"#tag=$t").toSeq ++
-            statLinesFor(carried, carriedStats) ++ carried ++ fresh)
+            prev.metaLinesFor(prev.files) ++ prev.files ++ fresh)
       }
     }
   }
@@ -287,41 +303,59 @@ object ManifestTable {
     val spark = df.sparkSession
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val fresh = stage(df, table, nonce)
-    import org.apache.spark.sql.functions.{col, min, max}
-    val aggs = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c)).cast("long").as(s"__mn_$i"),
-        max(col(c)).cast("long").as(s"__mx_$i"))
-    }
-    val freshStats: Stats = spark.read
-      .parquet(Paths.get(table, "data", s"s-$nonce").toString)
-      .groupBy(col("_metadata.file_path").as("__f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .flatMap { r =>
-        val name = r.getString(0).split('/').last
-        val entries = statsCols.zipWithIndex.flatMap { case (c, i) =>
-          val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
-          if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
-          else Some((c, r.getLong(mnI), r.getLong(mxI)))
-        }
-        if (entries.isEmpty) None
-        else Some(s"data/s-$nonce/$name" -> entries)
-      }.toMap
+    val (freshStats, freshRows) =
+      fileMeta(spark, Paths.get(table, "data", s"s-$nonce").toString,
+        s"data/s-$nonce", statsCols)
     publishLoop(table, nonce, "commitWithStats") { snapshot =>
       taggedIn(snapshot) match {
         case Some(v) => Left(v)
         case None =>
-          val (carried, carriedStats) =
+          val prev =
             if (append)
               snapshot.lastOption.map(manifestOf(table, _))
-                .getOrElse((Seq.empty[String], noStats))
-            else
-              (Seq.empty[String], noStats)
+                .getOrElse(emptyManifest)
+            else emptyManifest
           Right(tag.map(t => s"#tag=$t").toSeq ++
-            statLinesFor(carried ++ fresh, carriedStats ++ freshStats) ++
-            carried ++ fresh)
+            metaLines(prev.files ++ fresh,
+              prev.stats ++ freshStats, prev.rows ++ freshRows) ++
+            prev.files ++ fresh)
       }
     }
+  }
+
+  /** The per-file metadata pass shared by every stats-recording
+    * writer ([[commitWithStats]], [[deleteRange]]'s rewrite): ONE
+    * distributed aggregation over the just-written files computing
+    * min/max per stats column plus the exact row count, keyed by
+    * `_metadata.file_path`. Costs one scan of data that is already
+    * hot (just written); the row counts make [[countRows]]
+    * metadata-only. */
+  private def fileMeta(spark: SparkSession, dir: String,
+      prefix: String, statsCols: Seq[String])
+      : (Stats, Map[String, Long]) = {
+    import org.apache.spark.sql.functions.{col, count, lit, min, max}
+    val aggs = count(lit(1)).as("__n") +:
+      statsCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c)).cast("long").as(s"__mn_$i"),
+          max(col(c)).cast("long").as(s"__mx_$i"))
+      }
+    val rows = spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val stats: Stats = rows.flatMap { r =>
+      val name = r.getString(0).split('/').last
+      val entries = statsCols.zipWithIndex.flatMap { case (c, i) =>
+        val (mnI, mxI) = (2 + 2 * i, 3 + 2 * i)
+        if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+        else Some((c, r.getLong(mnI), r.getLong(mxI)))
+      }
+      if (entries.isEmpty) None else Some(s"$prefix/$name" -> entries)
+    }.toMap
+    val counts = rows.map { r =>
+      s"$prefix/${r.getString(0).split('/').last}" -> r.getLong(1)
+    }.toMap
+    (stats, counts)
   }
 
   /** Predicate-pruned snapshot read: plan the scan from the
@@ -356,7 +390,7 @@ object ManifestTable {
     require(vs.contains(v),
       s"version $v of $table does not exist (live: " +
         s"${vs.mkString(", ")})")
-    val (files, stats) = manifestOf(table, v)
+    val Manifest(files, stats, _) = manifestOf(table, v)
     require(files.nonEmpty,
       s"snapshot v$v of $table lists no data files — a pruned read " +
         "has no schema to produce; read() an earlier version or " +
@@ -381,6 +415,159 @@ object ManifestTable {
       d.filter(col(c).between(lo, hi))
     }
     (filtered, files.size, kept.size)
+  }
+
+  /** METADATA-ONLY row count: when every live file of the snapshot
+    * carries a `#nrows=` line (committed via [[commitWithStats]] or
+    * rewritten by [[deleteRange]]/[[compact]], which both preserve
+    * counts), `count(*)` is the sum of manifest entries — ONE
+    * small-file read, zero data I/O. The Iceberg/Delta trick that
+    * answers the most common query at 100 TB from pure metadata.
+    * Returns None when any file lacks a count (a plain [[commit]]
+    * landed it) — callers fall back to a scan; a metadata count is
+    * only ever served when it is exact. */
+  def countRows(table: String,
+      version: Option[Long] = None): Option[Long] = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no published version in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"no snapshot v$v under $table (have $vs)")
+    val m = manifestOf(table, v)
+    val counts = m.files.map(m.rows.get)
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
+  /** INCREMENTAL snapshot-diff read (CDC-lite, the Delta
+    * CDF-without-row-tracking shape): the rows of every data file
+    * present in `toVersion` but absent from `sinceVersion` — for an
+    * append-only history this is EXACTLY the rows inserted after
+    * `sinceVersion`, which is what an incremental consumer
+    * (downstream ETL, index refresh, training-data top-up) polls
+    * for. File-level semantics, stated plainly: a maintenance
+    * rewrite ([[compact]]/[[deleteRange]]) re-adds surviving rows
+    * under new file names, so consumers should read between
+    * NON-maintenance versions or dedup downstream — the same caveat
+    * Delta documents for change feeds across OPTIMIZE. Cost is
+    * manifest-diff + a scan of only the ADDED files, never the
+    * snapshot. Returns (frame, files added). */
+  def readChanges(spark: SparkSession, table: String,
+      sinceVersion: Long,
+      toVersion: Option[Long] = None): (DataFrame, Int) = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no published version in $table")
+    val to = toVersion.getOrElse(vs.last)
+    require(vs.contains(sinceVersion) && vs.contains(to),
+      s"need live versions: since=$sinceVersion to=$to (have $vs)")
+    require(sinceVersion <= to,
+      s"sinceVersion $sinceVersion is after toVersion $to")
+    val before = filesOf(table, sinceVersion).toSet
+    val toFiles = filesOf(table, to)
+    val added = toFiles.filterNot(before)
+    val root = Paths.get(table)
+    val frame =
+      if (added.nonEmpty)
+        spark.read.parquet(added.map(f => root.resolve(f).toString): _*)
+      else {
+        require(toFiles.nonEmpty,
+          s"snapshot v$to of $table lists no data files — an empty " +
+            "diff has no schema to produce")
+        spark.read
+          .parquet(toFiles.map(f => root.resolve(f).toString): _*)
+          .filter(lit(false))
+      }
+    (frame, added.size)
+  }
+
+  /** Copy-on-write range DELETE — the DML half of the lakehouse
+    * lifecycle (the GDPR/retention shape: purge a key or time
+    * range): rewrite ONLY the files whose zone stats say they might
+    * hold matching rows, carry every other file untouched by
+    * reference, publish one atomic version. Files without a
+    * `#stats=` line for `statsCol` must be rewritten (no zones — no
+    * proof of absence); rows with a NULL `statsCol` are never
+    * deleted (a range predicate is UNKNOWN on NULL, per SQL DELETE).
+    * The rewrite pass recomputes zone stats and row counts for the
+    * surviving rows' new files over every column ALL touched inputs
+    * carried, so pruning and [[countRows]] stay live after the DML.
+    *
+    * Concurrency: same optimistic loop as [[compact]] — if a rival
+    * removed a touched input, abort loudly; rival APPENDS ride
+    * along untouched, i.e. the delete applies to the snapshot it
+    * read (write-serializable, Delta's default isolation for
+    * non-conflicting writers). Old versions still read the deleted
+    * rows until [[vacuum]] — time travel is the undo button.
+    *
+    * Returns (published version, files rewritten, files in the new
+    * snapshot). */
+  def deleteRange(spark: SparkSession, table: String,
+      statsCol: String, lo: Long, hi: Long): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no published version in $table")
+    val latest = vs.last
+    val m = manifestOf(table, latest)
+    val (touched, untouchedAtPlan) = m.files.partition { f =>
+      m.stats.getOrElse(f, Seq.empty).find(_._1 == statsCol) match {
+        case Some((_, mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no zones — might hold matches
+      }
+    }
+    if (touched.isEmpty)
+      return (latest, 0, untouchedAtPlan.size)
+    val root = Paths.get(table)
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val stageDir = Paths.get(table, "data", s"d-$nonce")
+    val src = spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(f => root.resolve(f).toString): _*)
+    src
+      .filter(col(statsCol).isNull ||
+        not(col(statsCol).between(lo, hi)))
+      .write.mode("errorifexists").parquet(stageDir.toString)
+    var staged = Using.resource(Files.list(stageDir)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+        .toSeq.sorted
+        .map(n => s"data/d-$nonce/$n")
+    }
+    // columns every touched input carried stats for — recompute so
+    // the rewrite doesn't erode the snapshot's prunability
+    val keepCols = touched.map(f =>
+        m.stats.getOrElse(f, Seq.empty).map(_._1).toSet)
+      .reduce(_ intersect _).toSeq.sorted
+    val (newStats, newRows) =
+      if (staged.isEmpty) (noStats, Map.empty[String, Long])
+      else fileMeta(spark, stageDir.toString, s"data/d-$nonce",
+        keepCols)
+    val touchedSet = touched.toSet
+    var after = 0
+    val v = publishLoop(table, nonce, "deleteRange") { snapshot =>
+      val cur = manifestOf(table, snapshot.last)
+      require(touchedSet.subsetOf(cur.files.toSet),
+        s"concurrent rewrite removed a delete input of $table — " +
+          "aborting rather than double-applying DML")
+      val carried = cur.files.filterNot(touchedSet)
+      if (carried.isEmpty && staged.isEmpty) {
+        // everything deleted: keep the snapshot readable (schema
+        // survives) with one explicit empty file
+        val emptyDir = Paths.get(table, "data", s"d-$nonce-empty")
+        if (!Files.isDirectory(emptyDir))
+          src.limit(0).coalesce(1)
+            .write.mode("errorifexists").parquet(emptyDir.toString)
+        staged = Using.resource(Files.list(emptyDir)) { st =>
+          st.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+            .toSeq.sorted
+            .map(n => s"data/d-$nonce-empty/$n")
+        }
+      }
+      after = carried.size + staged.size
+      Right(cur.metaLinesFor(carried) ++
+        metaLines(staged, newStats, newRows) ++ carried ++ staged)
+    }
+    (v, touched.size, after)
   }
 
   /** OPTIMIZE — the compaction half next to [[vacuum]]'s retention:
@@ -505,29 +692,36 @@ object ManifestTable {
     val rewritten = multi.flatten.toSet
     var after = 0
     val v = publishLoop(table, nonce, "compact") { snapshot =>
-      val (curFiles, curStats) = manifestOf(table, snapshot.last)
-      require(rewritten.subsetOf(curFiles.toSet),
+      val cur = manifestOf(table, snapshot.last)
+      require(rewritten.subsetOf(cur.files.toSet),
         s"concurrent rewrite removed a compacted input of $table — " +
           "aborting rather than resurrecting dropped rows")
       // rivals' appends since our snapshot ride along untouched;
       // survivors keep their zone lines, and compacted outputs get
       // MERGED lines for every column all their inputs carry — the
-      // union's min(mins)/max(maxes) bounds any output file exactly
-      val carried = curFiles.filterNot(rewritten.contains)
-      val mergedStatLines = staged.flatMap { case (gi, outs) =>
+      // union's min(mins)/max(maxes) bounds any output file exactly.
+      // Row counts merge the same way (the output holds exactly the
+      // sum of its inputs' rows) when every input carries one.
+      val carried = cur.files.filterNot(rewritten.contains)
+      val mergedMetaLines = staged.flatMap { case (gi, outs) =>
         val entryLists = multi(gi).map(f =>
-          curStats.getOrElse(f, Seq.empty))
+          cur.stats.getOrElse(f, Seq.empty))
         val common = entryLists.map(_.map(_._1).toSet)
           .reduce(_ intersect _)
         val perCol = common.toSeq.sorted.map { c =>
           val es = entryLists.map(_.find(_._1 == c).get)
           (c, es.map(_._2).min, es.map(_._3).max)
         }
+        val counts = multi(gi).map(cur.rows.get)
+        val nLine =
+          if (outs.size == 1 && counts.forall(_.isDefined))
+            Seq(s"#nrows=${outs.head}|${counts.flatten.sum}")
+          else Seq.empty
         outs.flatMap(o => perCol.map { case (c, mn, mx) =>
-          s"#stats=$o|$c|$mn|$mx" })
+          s"#stats=$o|$c|$mn|$mx" }) ++ nLine
       }
       after = carried.size + stagedFiles.size
-      Right(statLinesFor(carried, curStats) ++ mergedStatLines ++
+      Right(cur.metaLinesFor(carried) ++ mergedMetaLines ++
         carried ++ stagedFiles)
     }
     (v, files.size, after)

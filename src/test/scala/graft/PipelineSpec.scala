@@ -1017,6 +1017,110 @@ class PipelineSpec extends SparkSpec {
       "an output with a stats-less input must always scan")
   }
 
+  test("ManifestTable.deleteRange: copy-on-write DML rewrites only " +
+      "zone-overlapping files, keeps NULL rows, preserves stats and " +
+      "counts, no-ops on a missing range, and survives delete-all") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-delete-spec").toString
+    // file 1: k 1..40 with a NULL row; file 2: k 41..80; file 3: 81..120
+    val withNull = (1L to 40L).map(i => Some(i)).:+(None).toDF("k")
+    ManifestTable.commitWithStats(withNull.coalesce(1), table,
+      append = true, "k")
+    ManifestTable.commitWithStats(
+      (41L to 80L).toDF("k").coalesce(1), table, append = true, "k")
+    ManifestTable.commitWithStats(
+      (81L to 120L).toDF("k").coalesce(1), table, append = true, "k")
+    val before = ManifestTable.read(spark, table).count()
+    assert(before == 121L) // 120 values + 1 null
+    // delete [10, 20]: zones prove files 2 and 3 cannot match
+    val (v, rewritten, after) =
+      ManifestTable.deleteRange(spark, table, "k", 10L, 20L)
+    assert(rewritten == 1, s"zones must confine the rewrite: $rewritten")
+    assert(after == 3, s"$after")
+    val now = ManifestTable.read(spark, table)
+    assert(now.count() == 110L, "11 deleted, NULL row kept")
+    assert(now.filter($"k".isNull).count() == 1L,
+      "a range DELETE never touches NULL rows (predicate UNKNOWN)")
+    assert(now.filter($"k".between(10L, 20L)).count() == 0L)
+    // time travel: the pre-delete snapshot still reads in full
+    assert(ManifestTable.read(spark, table, Some(3L)).count() == 121L)
+    // prunability survives: the rewrite re-recorded zone stats
+    val (_, t1, s1) = ManifestTable.readPruned(spark, table, "k", 25L, 30L)
+    assert((t1, s1) == ((3, 1)),
+      s"post-DML pruned read must still skip: scanned $s1 of $t1")
+    // metadata count stays exact
+    assert(ManifestTable.countRows(table).contains(110L))
+    // no-op delete: nothing intersects, nothing published
+    val (v2, r2, _) = ManifestTable.deleteRange(spark, table, "k",
+      5000L, 6000L)
+    assert(v2 == v && r2 == 0, "a miss must not publish a version")
+    // delete-all keeps the snapshot readable with the schema intact
+    val (_, _, a3) = ManifestTable.deleteRange(spark, table, "k",
+      Long.MinValue, Long.MaxValue)
+    val emptied = ManifestTable.read(spark, table)
+    assert(emptied.filter($"k".isNotNull).count() == 0L)
+    assert(emptied.schema.fieldNames.toSeq == Seq("k"))
+    assert(a3 >= 1)
+  }
+
+  test("ManifestTable.countRows: metadata-only count is exact for " +
+      "stat-committed snapshots, survives compaction, and refuses " +
+      "(None) when any file lacks a recorded count") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-count-spec").toString
+    ManifestTable.commitWithStats((1L to 50L).toDF("k").coalesce(1),
+      table, append = true, "k")
+    ManifestTable.commitWithStats((51L to 80L).toDF("k").coalesce(1),
+      table, append = true, "k")
+    assert(ManifestTable.countRows(table).contains(80L))
+    // counts merge through OPTIMIZE (output = sum of inputs)
+    ManifestTable.compact(spark, table, Long.MaxValue / 2)
+    assert(ManifestTable.countRows(table).contains(80L),
+      "compaction must carry summed row counts")
+    // a plain commit has no count — the metadata answer must refuse
+    // rather than undercount
+    ManifestTable.commit((81L to 90L).toDF("k").coalesce(1), table,
+      append = true)
+    assert(ManifestTable.countRows(table).isEmpty,
+      "countRows must be exact-or-None, never approximate")
+    // time travel still answers for the fully-counted version
+    val vs = ManifestTable.versions(table)
+    assert(ManifestTable.countRows(table, Some(vs.dropRight(1).last))
+      .contains(80L))
+  }
+
+  test("ManifestTable.readChanges: the snapshot diff reads exactly " +
+      "the files added after sinceVersion; empty diffs keep the " +
+      "schema; bad versions fail loudly") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-changes-spec").toString
+    ManifestTable.commit((1L to 10L).toDF("k").coalesce(1), table,
+      append = true)
+    ManifestTable.commit((11L to 20L).toDF("k").coalesce(1), table,
+      append = true)
+    ManifestTable.commit((21L to 30L).toDF("k").coalesce(1), table,
+      append = true)
+    val (d1, n1) = ManifestTable.readChanges(spark, table, 1L)
+    assert(n1 == 2)
+    assert(d1.as[Long].collect().toSet == (11L to 30L).toSet,
+      "append-only diff = exactly the inserted rows")
+    val (d2, n2) = ManifestTable.readChanges(spark, table, 2L, Some(3L))
+    assert(n2 == 1 && d2.as[Long].collect().toSet == (21L to 30L).toSet)
+    val (d0, n0) = ManifestTable.readChanges(spark, table, 3L)
+    assert(n0 == 0 && d0.count() == 0L,
+      "since == to is an empty diff, not an error")
+    assert(d0.schema.fieldNames.toSeq == Seq("k"))
+    intercept[IllegalArgumentException] {
+      ManifestTable.readChanges(spark, table, 9L)
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.readChanges(spark, table, 3L, Some(1L))
+    }
+  }
+
   test("ManifestTable.compact rewrites ALL groups in one distributed " +
       "job — N groups never become N sequential driver-looped writes") {
     import graft.sources.ManifestTable

@@ -1030,6 +1030,65 @@ class ScaleSpec extends SparkSpec {
       (1L, 0L, third), (2L, 0L, third), (3L, 0L, third)), got.toString)
   }
 
+  test("kCore: a clique survives its own degree, pendant chains " +
+      "peel away in cascading rounds, and k above the clique " +
+      "empties the graph") {
+    import graft.operators.Graph
+    // K4 clique (1..4) + a pendant chain 4-5-6-7: the chain peels
+    // one link per round under k=2 (5 survives round 1 via 6, dies
+    // round 2, ...) — the cascade the synchronous peel must follow
+    val edges = (for (a <- 1L to 4L; b <- (a + 1) to 4L)
+        yield (a, b)) ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val df = edges.toDF("src", "dst")
+    val core2 = Graph.kCore(df, "src", "dst", k = 2, rounds = 8)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(core2 == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)),
+      s"2-core must be exactly the clique: $core2")
+    // k=3: same fixpoint (each clique node has deg 3 inside it)
+    val core3 = Graph.kCore(df, "src", "dst", k = 3, rounds = 8)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(core3.map(_._1) == Seq(1L, 2L, 3L, 4L), core3.toString)
+    // k=4 exceeds the clique's internal degree: nothing survives
+    assert(Graph.kCore(df, "src", "dst", k = 4).count() == 0L)
+    // truncation honesty: ONE round at k=2 only strips the then-
+    // degree-1 leaf (7); the chain's next link is still in
+    val r1 = Graph.kCore(df, "src", "dst", k = 2, rounds = 1)
+      .select("node").as[Long].collect().toSet
+    assert(r1 == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      s"round-1 truncation must keep the not-yet-cascaded chain: $r1")
+  }
+
+  test("excessLossWeights: only above-corpus-rate domains carry " +
+      "weight, shares are exact floors, and a flat corpus falls " +
+      "back to uniform") {
+    import graft.operators.Curation
+    // lang a: 100 units, 200k milli-loss (rate 2000)
+    // lang b: 100 units, 100k milli-loss (rate 1000)
+    // corpus: 300k / 200 = 1500 -> excess a=500, b=0
+    val rows = Seq(
+      ("a", 60L, 120000L), ("a", 40L, 80000L),
+      ("b", 50L, 50000L), ("b", 50L, 50000L))
+      .toDF("lang", "units", "loss_milli")
+    val got = Curation.excessLossWeights(rows, "lang", "units",
+        "loss_milli")
+      .orderBy("lang").as[(String, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 100L, 2000L, 500L, 1000L),
+      ("b", 100L, 1000L, 0L, 0L)), got.toString)
+    // flat corpus: every rate equals the corpus rate -> no excess
+    // anywhere -> uniform fallback shares
+    val flat = Seq(("a", 10L, 10000L), ("b", 30L, 30000L),
+        ("c", 60L, 60000L))
+      .toDF("lang", "units", "loss_milli")
+    val gotF = Curation.excessLossWeights(flat, "lang", "units",
+        "loss_milli")
+      .orderBy("lang").as[(String, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(gotF.map(r => (r._1, r._5)) ==
+      Seq(("a", 333L), ("b", 333L), ("c", 333L)), gotF.toString)
+  }
+
   test("lengthBucketedBatches: same-bin docs batch together in " +
       "length order, partial tails report honestly, pad share exact") {
     import graft.operators.Sharding
