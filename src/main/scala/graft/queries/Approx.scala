@@ -1293,6 +1293,59 @@ object Approx {
           lit(meta).as("meta_rows"))
     },
 
+    // LAKEHOUSE DML: copy-on-write MERGE by key (L17 — Delta's
+    // MERGE INTO, keyed): a batch that UPDATES keys living entirely
+    // in file 2 and INSERTS far-away new keys rewrites exactly ONE
+    // file plus one insert file — the per-file candidate test joins
+    // the batch's keys against the manifest's zones, so the distant
+    // insert keys do NOT drag files 3 and 4 into the rewrite the way
+    // a batch-range intersection would. Values equal the
+    // upsert oracle; matched base rows are replaced, new keys land.
+    Q("q_e2e_manifest_merge",
+      """WITH up1 AS (SELECT o_orderkey AS k, o_custkey + 500000 AS p
+        |  FROM orders WHERE o_orderkey BETWEEN 5000 AND 5499),
+        |up2 AS (SELECT o_orderkey + 5000000 AS k, o_custkey AS p
+        |  FROM orders WHERE o_orderkey < 10),
+        |up AS (SELECT * FROM up1 UNION ALL SELECT * FROM up2),
+        |base AS (SELECT o_orderkey AS k, o_custkey AS p FROM orders),
+        |merged AS (SELECT k, p FROM base
+        |    WHERE k NOT IN (SELECT k FROM up)
+        |  UNION ALL SELECT k, p FROM up)
+        |SELECT CAST(1 AS BIGINT) AS files_rewritten,
+        |  CAST(5 AS BIGINT) AS files_after,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(p) AS BIGINT) AS payload_sum,
+        |  CAST(count(*) AS BIGINT) AS meta_rows
+        |FROM merged""".stripMargin) { (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-merge-q").toString
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("p"))
+      val bounds = Seq((-1L, 4000L), (4000L, 8000L),
+        (8000L, 12000L), (12000L, Long.MaxValue))
+      for ((lo, hi) <- bounds) {
+        graft.sources.ManifestTable.commitWithStats(
+          orders.filter(col("k") > lo && col("k") <= hi).coalesce(1),
+          table, append = true, "k")
+      }
+      val updates = orders.filter(col("k").between(5000, 5499))
+        .select(col("k"), (col("p") + 500000L).as("p"))
+        .unionByName(orders.filter(col("k") < 10)
+          .select((col("k") + 5000000L).as("k"), col("p")))
+      val (_, rewritten, after) = graft.sources.ManifestTable
+        .mergeByKey(s, table, updates, "k")
+      val meta = graft.sources.ManifestTable.countRows(table)
+        .getOrElse(-1L)
+      graft.sources.ManifestTable.read(s, table)
+        .agg(count(lit(1)).as("n_rows"), sum("k").as("key_sum"),
+          sum("p").as("payload_sum"))
+        .select(lit(rewritten.toLong).as("files_rewritten"),
+          lit(after.toLong).as("files_after"),
+          col("n_rows"), col("key_sum"), col("payload_sum"),
+          lit(meta).as("meta_rows"))
+    },
+
     // LAKEHOUSE CDC-lite: incremental snapshot-diff read (L15 — what
     // an incremental consumer polls): three append commits; the diff
     // against v1 reads EXACTLY the two later commits' files (never

@@ -305,7 +305,7 @@ object ManifestTable {
     val fresh = stage(df, table, nonce)
     val (freshStats, freshRows) =
       fileMeta(spark, Paths.get(table, "data", s"s-$nonce").toString,
-        s"data/s-$nonce", statsCols)
+        s"data/s-$nonce", statsCols, fresh)
     publishLoop(table, nonce, "commitWithStats") { snapshot =>
       taggedIn(snapshot) match {
         case Some(v) => Left(v)
@@ -331,7 +331,8 @@ object ManifestTable {
     * hot (just written); the row counts make [[countRows]]
     * metadata-only. */
   private def fileMeta(spark: SparkSession, dir: String,
-      prefix: String, statsCols: Seq[String])
+      prefix: String, statsCols: Seq[String],
+      expect: Seq[String] = Seq.empty)
       : (Stats, Map[String, Long]) = {
     import org.apache.spark.sql.functions.{col, count, lit, min, max}
     val aggs = count(lit(1)).as("__n") +:
@@ -355,7 +356,10 @@ object ManifestTable {
     val counts = rows.map { r =>
       s"$prefix/${r.getString(0).split('/').last}" -> r.getLong(1)
     }.toMap
-    (stats, counts)
+    // a zero-row part file produces no aggregation group but its
+    // count IS exactly 0 — backfill so countRows stays exact-or-None
+    (stats, counts ++
+      expect.filterNot(counts.contains).map(_ -> 0L).toMap)
   }
 
   /** Predicate-pruned snapshot read: plan the scan from the
@@ -539,7 +543,7 @@ object ManifestTable {
     val (newStats, newRows) =
       if (staged.isEmpty) (noStats, Map.empty[String, Long])
       else fileMeta(spark, stageDir.toString, s"data/d-$nonce",
-        keepCols)
+        keepCols, staged)
     val touchedSet = touched.toSet
     var after = 0
     val v = publishLoop(table, nonce, "deleteRange") { snapshot =>
@@ -566,6 +570,147 @@ object ManifestTable {
       after = carried.size + staged.size
       Right(cur.metaLinesFor(carried) ++
         metaLines(staged, newStats, newRows) ++ carried ++ staged)
+    }
+    (v, touched.size, after)
+  }
+
+  /** Copy-on-write MERGE by key — Delta's `MERGE INTO … WHEN MATCHED
+    * UPDATE WHEN NOT MATCHED INSERT`, keyed: every base row whose
+    * `keyCol` appears in `updates` is REPLACED by the update row,
+    * every update key absent from the snapshot is APPENDED, and only
+    * the files that can actually hold a matched key are rewritten.
+    *
+    * Candidate pruning is EXACT at the file-range level: the
+    * manifest's per-file [min, max] zones (a manifest-sized frame)
+    * broadcast-join against the batch's keys, so a file is touched
+    * only if SOME batch key falls inside its range — far tighter
+    * than intersecting with the batch's overall [min, max], which a
+    * single far-away insert key would blow up to the whole table.
+    * Files without a `keyCol` zone are always touched (no proof of
+    * absence). The rewrite re-records zone stats + row counts over
+    * every column all touched inputs carried; the insert file
+    * records the same columns.
+    *
+    * Duplicate base keys (if the table held them) CONVERGE: all
+    * copies are replaced by the single update row — upsert-by-key
+    * semantics, same as [[graft.operators.Merge.upsertByKey]].
+    * `updates` must be unique per key (checked, loud). Concurrency:
+    * the [[deleteRange]] conflict rule — removed touched inputs
+    * abort, rival appends ride along (write-serializable).
+    *
+    * Returns (published version, files rewritten, files in the new
+    * snapshot). */
+  def mergeByKey(spark: SparkSession, table: String,
+      updates: DataFrame, keyCol: String): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col, count,
+      lit}
+    import spark.implicits._
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no published version in $table")
+    val latest = vs.last
+    val m = manifestOf(table, latest)
+    require(m.files.nonEmpty, s"snapshot v$latest of $table is empty")
+    val dup = updates.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    require(dup == 0L,
+      s"updates carry $dup duplicated $keyCol keys — a keyed MERGE " +
+        "needs one row per key")
+    // exact range-level candidate test: batch keys x file zones
+    val zoned = m.files.flatMap(f =>
+      m.stats.getOrElse(f, Seq.empty).find(_._1 == keyCol)
+        .map { case (_, mn, mx) => (f, mn, mx) })
+    val zoneless = m.files.toSet -- zoned.map(_._1)
+    val hitFiles: Set[String] =
+      if (zoned.isEmpty) Set.empty
+      else updates.select(col(keyCol).cast("long").as("__k"))
+        .join(broadcast(zoned.toDF("__f", "__mn", "__mx")),
+          col("__k").between(col("__mn"), col("__mx")))
+        .select("__f").distinct().as[String].collect().toSet
+    val touched = m.files.filter(f =>
+      hitFiles.contains(f) || zoneless.contains(f))
+    val root = Paths.get(table)
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    // align the batch to the table schema (by name, loud on drift)
+    val tableCols = spark.read.option("mergeSchema", "true")
+      .parquet(m.files.map(f => root.resolve(f).toString): _*)
+      .columns.toSeq
+    require(updates.columns.toSet == tableCols.toSet,
+      s"updates schema ${updates.columns.toSeq} must match table " +
+        s"columns $tableCols")
+    val up = updates.select(tableCols.map(col): _*)
+    def listStaged(dir: Path, prefix: String): Seq[String] =
+      Using.resource(Files.list(dir)) { st =>
+        st.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+          .toSeq.sorted
+          .map(n => s"$prefix/$n")
+      }
+    val (rewrittenStaged, inserts) =
+      if (touched.isEmpty) (Seq.empty[String], up)
+      else {
+        val base = spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(f => root.resolve(f).toString): _*)
+          .select(tableCols.map(col): _*)
+          .localCheckpoint(eager = false)
+        val baseKeys = base.select(col(keyCol)).distinct()
+          .localCheckpoint(eager = false)
+        val replaced = base
+          .join(up.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(up.join(baseKeys, Seq(keyCol), "left_semi"))
+        val stageDir = Paths.get(table, "data", s"m-$nonce")
+        // keep the file count at the touched-file count: the rewrite
+        // replaces N files with N, not with one-per-shuffle-partition
+        replaced.coalesce(touched.size)
+          .write.mode("errorifexists").parquet(stageDir.toString)
+        // inserts: update keys matching NO touched file (untouched
+        // files provably hold none of the batch's keys — the zone
+        // proof)
+        (listStaged(stageDir, s"data/m-$nonce"),
+          up.join(baseKeys, Seq(keyCol), "left_anti"))
+      }
+    // only land an insert file when there is something to insert —
+    // an empty junk file would carry no metadata and poison the
+    // snapshot's exact-or-None row count
+    val insertDir = Paths.get(table, "data", s"m-$nonce-ins")
+    val insertStaged =
+      if (inserts.isEmpty) Seq.empty[String]
+      else {
+        // the batch's new keys land as ONE append file (batch-sized)
+        inserts.coalesce(1)
+          .write.mode("errorifexists").parquet(insertDir.toString)
+        listStaged(insertDir, s"data/m-$nonce-ins")
+      }
+    // re-record metadata over the columns all touched inputs carried
+    // (fresh tables / no touched: just the key column)
+    val keepCols =
+      if (touched.isEmpty) Seq(keyCol)
+      else touched.map(f =>
+          m.stats.getOrElse(f, Seq.empty).map(_._1).toSet)
+        .reduce(_ intersect _).toSeq.sorted
+    def metaOf(dir: Path, prefix: String, paths: Seq[String])
+        : (Stats, Map[String, Long]) =
+      if (paths.isEmpty || keepCols.isEmpty)
+        (noStats, Map.empty[String, Long])
+      else fileMeta(spark, dir.toString, prefix, keepCols, paths)
+    val (rwStats, rwRows) = metaOf(
+      Paths.get(table, "data", s"m-$nonce"), s"data/m-$nonce",
+      rewrittenStaged)
+    val (insStats, insRows) = metaOf(insertDir, s"data/m-$nonce-ins",
+      insertStaged)
+    val touchedSet = touched.toSet
+    var after = 0
+    val v = publishLoop(table, nonce, "mergeByKey") { snapshot =>
+      val cur = manifestOf(table, snapshot.last)
+      require(touchedSet.subsetOf(cur.files.toSet),
+        s"concurrent rewrite removed a merge input of $table — " +
+          "aborting rather than double-applying DML")
+      val carried = cur.files.filterNot(touchedSet)
+      val staged = rewrittenStaged ++ insertStaged
+      after = carried.size + staged.size
+      Right(cur.metaLinesFor(carried) ++
+        metaLines(staged, rwStats ++ insStats, rwRows ++ insRows) ++
+        carried ++ staged)
     }
     (v, touched.size, after)
   }

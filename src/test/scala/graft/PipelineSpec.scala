@@ -1064,6 +1064,65 @@ class PipelineSpec extends SparkSpec {
     assert(a3 >= 1)
   }
 
+  test("ManifestTable.mergeByKey: updates replace matched rows in " +
+      "zone-confined rewrites, far inserts don't widen the rewrite, " +
+      "duplicate base keys converge, and duplicate update keys fail " +
+      "loudly") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-merge-spec").toString
+    // three key-sliced files; file 1 holds key 7 TWICE (dup base)
+    val f1 = (Seq((7L, 70L)) ++ (1L to 40L).map(i => (i, i * 10)))
+      .toDF("k", "p")
+    ManifestTable.commitWithStats(f1.coalesce(1), table,
+      append = true, "k")
+    ManifestTable.commitWithStats(
+      (41L to 80L).map(i => (i, i * 10)).toDF("k", "p").coalesce(1),
+      table, append = true, "k")
+    ManifestTable.commitWithStats(
+      (81L to 120L).map(i => (i, i * 10)).toDF("k", "p").coalesce(1),
+      table, append = true, "k")
+    // batch: update keys 5..9 (file 1 only) + insert key 9999 (far
+    // beyond every zone — must NOT touch files 2/3)
+    val updates = (Seq((9999L, 1L)) ++ (5L to 9L).map(i => (i, -i)))
+      .toDF("k", "p")
+    val (v, rewritten, after) =
+      ManifestTable.mergeByKey(spark, table, updates, "k")
+    assert(rewritten == 1,
+      s"zones must confine the rewrite to file 1: $rewritten")
+    assert(after == 4, s"3 - 1 + rewritten + insert file: $after")
+    val now = ManifestTable.read(spark, table)
+    // dup base key 7 converged to ONE update row
+    assert(now.filter($"k" === 7L).as[(Long, Long)].collect().toSeq ==
+      Seq((7L, -7L)))
+    assert(now.filter($"k" === 9999L).count() == 1L)
+    assert(now.count() == 121L, // 121 base (41+40+40) -1 dup +1 ins
+      s"got ${now.count()}")
+    assert(now.filter($"k".between(5L, 9L)).agg(sum($"p"))
+      .as[Long].head() == -(5L + 6 + 7 + 8 + 9))
+    // untouched rows intact
+    assert(now.filter($"k" === 100L).as[(Long, Long)].collect()
+      .toSeq == Seq((100L, 1000L)))
+    // metadata stays live through the DML
+    assert(ManifestTable.countRows(table).contains(121L))
+    val (_, t1, s1) = ManifestTable.readPruned(spark, table, "k",
+      50L, 60L)
+    assert(s1 == 1, s"post-merge pruning must still skip: $s1 of $t1")
+    // time travel: pre-merge snapshot unchanged
+    assert(ManifestTable.read(spark, table, Some(3L)).count() == 121L)
+    // duplicate update keys are a loud contract violation
+    intercept[IllegalArgumentException] {
+      ManifestTable.mergeByKey(spark, table,
+        Seq((1L, 0L), (1L, 1L)).toDF("k", "p"), "k")
+    }
+    // schema drift is loud
+    intercept[IllegalArgumentException] {
+      ManifestTable.mergeByKey(spark, table,
+        Seq((1L, 0L, "x")).toDF("k", "p", "extra"), "k")
+    }
+    assert(v > 3L)
+  }
+
   test("ManifestTable.countRows: metadata-only count is exact for " +
       "stat-committed snapshots, survives compaction, and refuses " +
       "(None) when any file lacks a recorded count") {
