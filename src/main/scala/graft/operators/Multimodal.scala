@@ -111,6 +111,27 @@ object Multimodal {
     * chunks before fmt/data (LIST, fact) return null rather than a
     * misparse — variable chunk walking belongs at the mapPartitions
     * decode boundary, exactly like JPEG. */
+  /** ISO-BMFF (MP4/MOV) container metadata — the video sibling of
+    * [[imageDims]]/[[wavMeta]]: brand + movie timescale, duration
+    * (native and exact floor milliseconds), and track count, parsed
+    * by the native `graft_mp4_meta` box walk (headers only, zero
+    * codec). Non-containers come back as a null struct, never a
+    * misparse. This is the metadata a video pipeline derives its
+    * frame-sampling plan from ([[sampleFrameIndexes]]) before any
+    * decode is scheduled. */
+  def mp4Meta(content: Column): Column = {
+    val outType = "struct<brand:string,timescale:bigint," +
+      "duration:bigint,duration_ms:bigint,n_tracks:bigint>"
+    val m = call_function("graft_mp4_meta", content)
+    when(m.isNotNull, struct(
+        decode(substring(content, 9, 4), "UTF-8").as("brand"),
+        element_at(m, 1).as("timescale"),
+        element_at(m, 2).as("duration"),
+        element_at(m, 3).as("duration_ms"),
+        element_at(m, 4).as("n_tracks")))
+      .otherwise(lit(null).cast(outType))
+  }
+
   def wavMeta(content: Column): Column = {
     val outType = "struct<channels:bigint,sample_rate:bigint," +
       "bits:bigint,duration_ms:bigint>"

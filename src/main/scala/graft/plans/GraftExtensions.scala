@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BloomMemberExpr, BpeApplyExpr, CmsCountersAgg, DotProductFloat, HllRegistersAgg, HmacSha256Expr, MinHashSigExpr, MinHashTextExpr, JpegDimsExpr, NfcNormalizeExpr, QualityPackExpr, RollingFpArray, ShingleHashesExpr, ShinglePosHashesExpr, ShinglesExpr, SimHashExpr}
+import graft.expressions.{BloomMemberExpr, BpeApplyExpr, CmsCountersAgg, DotProductFloat, HllRegistersAgg, HmacSha256Expr, MinHashSigExpr, MinHashTextExpr, JpegDimsExpr, Mp4MetaExpr, NfcNormalizeExpr, QualityPackExpr, RollingFpArray, ShingleHashesExpr, ShinglePosHashesExpr, ShinglesExpr, SimHashExpr}
 
 /** Session extension registering the engine's native expressions —
   * enabled with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -96,6 +96,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JpegDimsExpr].getName,
         "graft_jpeg_dims"),
       (children: Seq[Expression]) => JpegDimsExpr(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_mp4_meta"),
+      new ExpressionInfo(classOf[Mp4MetaExpr].getName,
+        "graft_mp4_meta"),
+      (children: Seq[Expression]) => Mp4MetaExpr(children(0))))
     ext.injectOptimizerRule(_ => NfcIdempotence)
   }
 }

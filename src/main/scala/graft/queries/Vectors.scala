@@ -1704,6 +1704,8 @@ object Vectors {
         |  ('tiny.bmp', 'bmp', CAST(320 AS BIGINT), CAST(200 AS BIGINT)),
         |  ('tiny.gif', 'gif', CAST(12 AS BIGINT), CAST(34 AS BIGINT)),
         |  ('tiny.jpg', 'jpeg', CAST(31 AS BIGINT), CAST(17 AS BIGINT)),
+        |  ('tiny.mp4', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT)),
         |  ('tiny.png', 'png', CAST(640 AS BIGINT), CAST(480 AS BIGINT)),
         |  ('tiny.wav', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
         |    CAST(NULL AS BIGINT)))
@@ -1743,6 +1745,32 @@ object Vectors {
           col("content"))
       Multimodal.patchGrid(files, "file", "content", 16)
         .orderBy("file", "py", "px")
+    },
+
+    // MULTIMODAL: ISO-BMFF container metadata (video parity for
+    // imageDims/wavMeta) — brand, movie timescale, duration in
+    // native units and exact floor milliseconds, and track count via
+    // the native graft_mp4_meta box walk over the committed fixture;
+    // a JPEG must come back as a null struct, never a misparse.
+    Q("q_mm_mp4_meta",
+      """SELECT * FROM (VALUES
+        |  ('tiny.jpg', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |    CAST(NULL AS BIGINT)),
+        |  ('tiny.mp4', 'isom', CAST(600 AS BIGINT),
+        |    CAST(3000 AS BIGINT), CAST(5000 AS BIGINT),
+        |    CAST(2 AS BIGINT)))
+        |  AS t(file, brand, timescale, duration, duration_ms,
+        |       n_tracks)
+        |ORDER BY file""".stripMargin) { (s, _) =>
+      graft.sources.Sources
+        .binaryFiles(s, Pipelines.fixture("fixtures/media"),
+          "tiny.{mp4,jpg}")
+        .withColumn("m", Multimodal.mp4Meta(col("content")))
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          col("m.brand"), col("m.timescale"), col("m.duration"),
+          col("m.duration_ms"), col("m.n_tracks"))
+        .orderBy("file")
     },
 
     // MULTIMODAL: canonical-WAV header metadata (audio parity for

@@ -145,6 +145,58 @@ class MultimodalSpec extends SparkSpec {
     assert(jpegDims(Array.emptyByteArray) == null)
   }
 
+  test("mp4Meta walker: fixture parses exactly; 64-bit and to-EOF " +
+      "box sizes, v1 mvhd, truncation, and foreign bytes all behave") {
+    import graft.expressions.MediaHeaders.mp4Meta
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def box(tp: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ tp.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isomXXXXisom".getBytes("US-ASCII"))
+    def mvhd0(ts: Long, dur: Long): Array[Byte] =
+      box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(ts) ++ be32(dur) ++ Array.fill(80)(0.toByte))
+    def mvhd1(ts: Long, dur: Long): Array[Byte] =
+      box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(ts) ++ be64(dur) ++ Array.fill(80)(0.toByte))
+    val trak = box("trak", Array.emptyByteArray)
+    // committed fixture: 600 ts, 3000 dur -> 5000 ms, 2 tracks
+    val fixture = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/fixtures/media/tiny.mp4"))
+    assert(mp4Meta(fixture).toSeq == Seq(600L, 3000L, 5000L, 2L))
+    // v1 mvhd (64-bit times), three tracks, floor ms
+    val v1 = ftyp ++ box("moov", mvhd1(90000, 123457) ++ trak ++
+      trak ++ trak)
+    assert(mp4Meta(v1).toSeq ==
+      Seq(90000L, 123457L, 123457L * 1000 / 90000, 3L))
+    // an mdat with a 64-bit largesize between ftyp and moov must be
+    // hopped by size, not read
+    val payload = Array.fill(64)(0x7f.toByte)
+    val largeMdat = be32(1L) ++ "mdat".getBytes("US-ASCII") ++
+      be64(16L + payload.length) ++ payload
+    assert(mp4Meta(ftyp ++ largeMdat ++
+      box("moov", mvhd0(600, 600) ++ trak)).toSeq ==
+      Seq(600L, 600L, 1000L, 1L))
+    // moov with size 0 extends to EOF
+    val toEof = ftyp ++ (be32(0L) ++ "moov".getBytes("US-ASCII") ++
+      mvhd0(1000, 2500) ++ trak)
+    assert(mp4Meta(toEof).toSeq == Seq(1000L, 2500L, 2500L, 1L))
+    // truncation mid-moov, missing ftyp, zero timescale, foreign
+    // bytes: all null, never a misparse
+    assert(mp4Meta(v1.dropRight(30)) == null)
+    assert(mp4Meta(box("moov", mvhd0(600, 600))) == null)
+    assert(mp4Meta(ftyp ++ box("moov", mvhd0(0, 600) ++ trak)) == null)
+    assert(mp4Meta("RIFFxxxxWAVE".getBytes("US-ASCII")) == null)
+    assert(mp4Meta(Array.emptyByteArray) == null)
+    // expression-only plan: no exchange, no UDF
+    val plan = graft.sources.Sources
+      .binaryFiles(spark, "/root/repo/fixtures/media", "*.mp4")
+      .select(Multimodal.mp4Meta(col("content")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
+  }
+
   test("patchGrid: tiles cover each image exactly once, edges clip " +
       "to true extents, non-images drop") {
     val files = graft.sources.Sources.binaryFiles(spark,
