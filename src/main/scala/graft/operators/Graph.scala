@@ -259,6 +259,48 @@ object Graph {
         expr("n_tri * 2000 div (deg * (deg - 1))").as("cc_milli"))
   }
 
+  /** Structural-similarity link scoring over ALREADY-canonical
+    * (u < v) edges — Jaccard of neighborhoods (Liben-Nowell &
+    * Kleinberg 2003's strongest cheap predictor): for every node
+    * pair sharing at least one neighbor, |N(a)∩N(b)| milli-divided
+    * by |N(a)∪N(b)|, in exact integers. `is_edge` marks whether the
+    * pair is already linked, so one frame serves both uses — link
+    * PREDICTION reads is_edge=0 (missing edges between structurally
+    * close nodes), graph DEDUP reads is_edge=1 (redundant near-twin
+    * nodes, the role-equivalence signal).
+    *
+    * Scale shape: candidates come from the WEDGE join (two adj rows
+    * sharing their center), so cost is Σ deg(w)² over wedge centers
+    * — bounded by maxDegree·|E| on a [[cappedCanonicalEdges]] graph,
+    * never |V|². The count-per-pair aggregation is map-side
+    * combined; degrees join back keyed (broadcast-sized per node
+    * set); `minMilli` prunes the diffuse tail AFTER exact scoring
+    * (correctness needs the true common count first, same discipline
+    * as [[cooccurrenceLift]]'s minSupport). */
+  def neighborJaccard(canonical: DataFrame,
+      minMilli: Long = 100L): DataFrame = {
+    val e = canonical.select(col("u"), col("v"))
+      .localCheckpoint(eager = false)
+    val adj = e.select(col("u").as("n"), col("v").as("w"))
+      .unionAll(e.select(col("v").as("n"), col("u").as("w")))
+    val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
+    val cand = adj.select(col("n").as("a"), col("w"))
+      .join(adj.select(col("n").as("b"), col("w")), Seq("w"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    cand
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .withColumn("jaccard_milli",
+        expr("common * 1000 div (deg_a + deg_b - common)"))
+      .filter(col("jaccard_milli") >= minMilli)
+      .join(e.select(col("u").as("a"), col("v").as("b"),
+        lit(1L).as("__e")), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("common"), col("deg_a"),
+        col("deg_b"), col("jaccard_milli"),
+        coalesce(col("__e"), lit(0L)).as("is_edge"))
+  }
+
   /** Pairwise co-occurrence lift over (basket, item) rows — the
     * market-basket association statistic: lift(a,b) = P(a,b) /
     * (P(a)P(b)) = cab*N / (ca*cb), emitted in integer millis (exact

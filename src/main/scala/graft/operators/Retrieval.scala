@@ -187,4 +187,57 @@ object Retrieval {
       .filter(col("__hits") === q.size)
       .select("doc")
   }
+
+  /** Ranking-quality evaluation at cutoff k — Recall@k, MRR@k, and
+    * AP@k per query over a ranked run and a relevance set (the
+    * TREC-style harness every retrieval change ships behind; cf. the
+    * recall harnesses pricing the ANN dials in
+    * [[graft.operators.Similarity]]). All three metrics follow the
+    * exact integer milli law so every engine reproduces the hash:
+    * with R = |qrels(q)|, hits the run∩qrels rows at rank ≤ k, and
+    * c_i = number of hits at rank ≤ r_i,
+    *   - recall_milli = (1000·hits) div R
+    *   - mrr_milli    = 1000 div r_first  (0 when no hit ≤ k)
+    *   - ap_milli     = (Σ_i (1000·c_i) div r_i) div min(R, k)
+    * (per-term floors, then a floored mean — documented so the law is
+    * reproducible, not an IEEE accident).
+    *
+    * Scale shape: the run is each retriever's bounded top-k (k rows
+    * per query, never corpus-sized), qrels join it on (qid, id) —
+    * both frames are |queries|·k-bounded, so the whole evaluation is
+    * index-output-sized. The one window orders WITHIN a query
+    * (partitioned by qid), never globally. Queries with zero hits
+    * still report (their R, 0, 0, 0) via the qrels side. */
+  def evalRanking(run: DataFrame, qrels: DataFrame, qidCol: String,
+      idCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k > 0, s"cutoff k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    def floorDiv(num: Column, den: Column): Column =
+      ((num - num % den) / den).cast("long")
+    val rel = qrels.select(col(qidCol).as("qid"), col(idCol).as("id"))
+      .distinct()
+    val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val hits = run
+      .filter(col(rankCol) <= k)
+      .select(col(qidCol).as("qid"), col(idCol).as("id"),
+        col(rankCol).cast("long").as("r"))
+      .join(rel, Seq("qid", "id"))
+      .withColumn("c", count(lit(1)).over(
+        Window.partitionBy("qid").orderBy("r")))
+      .withColumn("term_milli", floorDiv(col("c") * 1000L, col("r")))
+    val perQ = hits.groupBy("qid").agg(
+      count(lit(1)).as("hits_at_k"),
+      min(col("r")).as("r_first"),
+      sum(col("term_milli")).as("ap_sum"))
+    nRel.join(perQ, Seq("qid"), "left").select(
+      col("qid"),
+      col("n_rel"),
+      coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+      floorDiv(coalesce(col("hits_at_k"), lit(0L)) * 1000L,
+        col("n_rel")).as("recall_milli"),
+      coalesce(floorDiv(lit(1000L), col("r_first")), lit(0L))
+        .as("mrr_milli"),
+      floorDiv(coalesce(col("ap_sum"), lit(0L)),
+        least(col("n_rel"), lit(k.toLong))).as("ap_milli"))
+  }
 }

@@ -313,4 +313,33 @@ object Temporal {
         max(col(endCol)).as(endCol),
         count(lit(1)).as("n_intervals"))
   }
+
+  /** OHLC downsampling (resample-to-bars): per (series, time bucket)
+    * the first value, max, min, last value, and row count — the
+    * candlestick/metrics-rollup reduction every time-series store
+    * ships (pandas `resample().ohlc()`, InfluxDB windows). Open and
+    * close are EXACT row picks, not arithmetic: min_by/max_by on the
+    * (ts, tieCol) struct, with the explicit unique tie-break making
+    * the pick engine-deterministic even when two rows share a
+    * timestamp (doubles compare exactly; nothing is summed, so no
+    * float-order hazard enters the hash).
+    *
+    * Scale shape: ONE map-side-combined aggregation over
+    * (series, bucket) — min_by/max_by carry a single (key, value)
+    * pair of state per group, so partials stay tiny; no window, no
+    * second shuffle, nothing corpus-sized on any node. `bucket` is
+    * any date_trunc unit ("hour", "day", "week"...). */
+  def resampleOhlc(df: DataFrame, seriesCol: String, tsCol: String,
+      valueCol: String, tieCol: String,
+      bucket: String = "hour"): DataFrame = {
+    val pick = struct(col(tsCol), col(tieCol))
+    df.groupBy(col(seriesCol).as("series"),
+        date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(
+        min_by(col(valueCol), pick).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), pick).as("close"),
+        count(lit(1)).as("n"))
+  }
 }

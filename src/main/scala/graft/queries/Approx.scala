@@ -1539,6 +1539,36 @@ object Approx {
         .orderBy("event_type", "hr_us")
     },
 
+    // OHLC RESAMPLE: daily bars per event type — open/close are
+    // exact row PICKS under the (ts, event_id) tie-break (min_by/
+    // max_by on the struct), high/low exact extrema, so raw doubles
+    // hash bit-identically on every engine (nothing is summed). One
+    // map-side-combined aggregation, no window over the data.
+    Q("q_ts_resample",
+      """WITH r AS (SELECT event_type, date_trunc('day', ts) AS b,
+        |    value,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      date_trunc('day', ts) ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      date_trunc('day', ts) ORDER BY ts DESC, event_id DESC)
+        |      AS rd
+        |  FROM events)
+        |SELECT event_type, epoch_us(b) AS bucket_us,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM r GROUP BY 1, 2
+        |ORDER BY event_type, bucket_us""".stripMargin) { (s, d) =>
+      graft.operators.Temporal
+        .resampleOhlc(events(s, d), "event_type", "ts", "value",
+          "event_id", "day")
+        .select(col("series").as("event_type"),
+          epochUs(col("bucket")).as("bucket_us"),
+          col("open"), col("high"), col("low"), col("close"), col("n"))
+        .orderBy("event_type", "bucket_us")
+    },
+
     // DOMAIN MIXTURE: per-source token shares and the keep-ratio that
     // rebalances the corpus toward a uniform source mixture — integer
     // milli arithmetic end to end (the pre-training domain-reweighting
@@ -2126,6 +2156,48 @@ object Approx {
     // densely-interlinked hub set a link-graph audit extracts.
     Q("q_g_kcore", kCoreOracle(48, 8)) { (s, d) =>
       Graph.kCoreOfCanonical(coEdges(s, d), 48, 8).orderBy("node")
+    },
+
+    // GRAPH: neighborhood-Jaccard link scoring (Liben-Nowell 2003)
+    // over the same capped co-occurrence graph — wedge-generated
+    // candidates (never |V|²), exact integer milli scores, ≥100
+    // milli survivors; is_edge splits link-prediction reads from
+    // near-twin-node dedup reads of the same frame.
+    Q("q_g_link_jaccard",
+      """WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg0 AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY node),
+        |keep AS (SELECT node FROM deg0 WHERE deg <= 128),
+        |e AS (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT node FROM keep)
+        |    AND v IN (SELECT node FROM keep)),
+        |adj AS (SELECT u AS n, v AS w FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT n, count(*) AS deg FROM adj GROUP BY n),
+        |cand AS (SELECT x.n AS a, y.n AS b, count(*) AS common
+        |  FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+        |  GROUP BY 1, 2),
+        |j AS (SELECT a, b, CAST(common AS BIGINT) AS common,
+        |    CAST(da.deg AS BIGINT) AS deg_a,
+        |    CAST(db.deg AS BIGINT) AS deg_b,
+        |    CAST(1000 * common // (da.deg + db.deg - common) AS BIGINT)
+        |      AS jaccard_milli
+        |  FROM cand JOIN deg da ON da.n = cand.a
+        |    JOIN deg db ON db.n = cand.b)
+        |SELECT j.*, CAST(CASE WHEN e.u IS NULL THEN 0 ELSE 1 END
+        |  AS BIGINT) AS is_edge
+        |FROM j LEFT JOIN e ON e.u = j.a AND e.v = j.b
+        |WHERE jaccard_milli >= 100
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Graph.neighborJaccard(coEdges(s, d), minMilli = 100L)
+        .withColumn("common", col("common").cast("long"))
+        .withColumn("deg_a", col("deg_a").cast("long"))
+        .withColumn("deg_b", col("deg_b").cast("long"))
+        .withColumn("is_edge", col("is_edge").cast("long"))
+        .orderBy("a", "b")
     },
 
     // GRAPH: local clustering coefficient (integer millis) over the

@@ -1201,6 +1201,67 @@ object Vectors {
         .orderBy(col("rrf_micro").desc, col("doc_id")).limit(20)
     },
 
+    // RETRIEVAL EVAL: Recall@20 / MRR@20 / AP@20 per query — the
+    // TREC-style harness a retrieval change ships behind. Three
+    // term queries rank the corpus by occurrence count (desc,
+    // doc_id tie-break); relevance is DECORRELATED from the rank
+    // signal (term present AND n_chars divisible by 3), so the run
+    // interleaves relevant and non-relevant docs and all three
+    // metrics move. Every metric is the documented integer milli law
+    // (per-term floors, floored mean) so the hash is engine-exact —
+    // no IEEE log2/ulp in the gradebook. The evaluation itself is
+    // run-sized (queries × 20 rows), never corpus-sized.
+    Q("q_r_eval",
+      s"""WITH q(qid) AS (VALUES ('vector'), ('join'), ('scan')),
+         |tok AS (SELECT doc_id, ${sqlTokens("text")} AS tk
+         |  FROM documents),
+         |occ AS (SELECT qid, d.doc_id, n_chars,
+         |    len(list_filter(tk, x -> x = qid)) AS occ
+         |  FROM tok JOIN documents d ON d.doc_id = tok.doc_id, q),
+         |run AS (SELECT qid, doc_id, r FROM (
+         |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY occ DESC, doc_id) AS r
+         |    FROM occ WHERE occ > 0) WHERE r <= 20),
+         |rel AS (SELECT qid, doc_id FROM occ
+         |  WHERE occ >= 1 AND n_chars % 3 = 0),
+         |nrel AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY qid),
+         |hits AS (SELECT run.qid, r,
+         |    count(*) OVER (PARTITION BY run.qid ORDER BY r) AS c
+         |  FROM run JOIN rel ON run.qid = rel.qid
+         |    AND run.doc_id = rel.doc_id),
+         |terms AS (SELECT qid, r,
+         |    CAST((1000 * c) // r AS BIGINT) AS term_milli FROM hits),
+         |perq AS (SELECT qid, count(*) AS hits_at_k, min(r) AS r_first,
+         |    sum(term_milli) AS ap_sum FROM terms GROUP BY qid)
+         |SELECT nrel.qid, CAST(n_rel AS BIGINT) AS n_rel,
+         |  CAST(coalesce(hits_at_k, 0) AS BIGINT) AS hits_at_k,
+         |  CAST((1000 * coalesce(hits_at_k, 0)) // n_rel AS BIGINT)
+         |    AS recall_milli,
+         |  CAST(coalesce(1000 // r_first, 0) AS BIGINT) AS mrr_milli,
+         |  CAST(coalesce(ap_sum, 0) // least(n_rel, 20) AS BIGINT)
+         |    AS ap_milli
+         |FROM nrel LEFT JOIN perq ON nrel.qid = perq.qid
+         |ORDER BY nrel.qid""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val terms = Seq("vector", "join", "scan")
+      val occ = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          graft.functions.tokens(col("text")).as("tk"))
+        .crossJoin(broadcast(terms.toDF("qid")))
+        .select(col("qid"), col("doc_id"), col("n_chars"),
+          size(filter(col("tk"), x => x === col("qid"))).as("occ"))
+      val run = occ.filter(col("occ") > 0)
+        .withColumn("r", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("occ").desc, col("doc_id"))))
+        .filter(col("r") <= 20)
+      val qrels = occ
+        .filter(col("occ") >= 1 && col("n_chars") % 3 === 0)
+        .select("qid", "doc_id")
+      Retrieval.evalRanking(run, qrels, "qid", "doc_id", "r", 20)
+        .orderBy("qid")
+    },
+
     // E2E HYBRID SEARCH — the composed retrieval flagship: BM25
     // ranks the lexical top-50, exact cosine ranks the semantic
     // top-50, integer RRF fuses both candidate lists, and the fused
@@ -1771,6 +1832,36 @@ object Vectors {
           col("m.brand"), col("m.timescale"), col("m.duration"),
           col("m.duration_ms"), col("m.n_tracks"))
         .orderBy("file")
+    },
+
+    // MULTIMODAL e2e: video frame-sampling PLAN from container
+    // metadata alone — binary scan → mp4Meta → frame count at the
+    // assumed 24 fps (exact floor: duration_ms·24 div 1000) →
+    // every-24th-frame fan-out with each frame's exact floor
+    // timestamp. The whole plan is header bytes + narrow arithmetic;
+    // no codec runs until a decoder consumes (file, frame_idx,
+    // frame_ms) — the shape a 100 TB video pipeline schedules decode
+    // work in. Non-containers (the jpg) drop before the explode.
+    Q("q_e2e_video_plan",
+      """SELECT 'tiny.mp4' AS file,
+        |  CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(f * 1000 // 24 AS BIGINT) AS frame_ms
+        |FROM unnest(range(0, 120, 24)) AS t(f)
+        |ORDER BY frame_idx""".stripMargin) { (s, _) =>
+      val meta = graft.sources.Sources
+        .binaryFiles(s, Pipelines.fixture("fixtures/media"),
+          "tiny.{mp4,jpg}")
+        .withColumn("m", Multimodal.mp4Meta(col("content")))
+        .filter(col("m").isNotNull)
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          ((col("m.duration_ms") * 24) -
+            (col("m.duration_ms") * 24) % 1000)
+            .cast("long").divide(1000).cast("long").as("n_frames"))
+      Multimodal.sampleFrameIndexes(meta, col("n_frames"), 24)
+        .select(col("file"), col("frame_idx").cast("long").as("frame_idx"),
+          ((col("frame_idx") * 1000) - (col("frame_idx") * 1000) % 24)
+            .cast("long").divide(24).cast("long").as("frame_ms"))
+        .orderBy("frame_idx")
     },
 
     // MULTIMODAL: canonical-WAV header metadata (audio parity for

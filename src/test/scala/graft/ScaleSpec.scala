@@ -1150,4 +1150,80 @@ class ScaleSpec extends SparkSpec {
       s"sequential ids fire the fuzzy comparator (by design): $got")
     assert(got((1L, 3L))._2 == "non_match", got.toString)
   }
+
+  test("neighborJaccard: twin leaves of a star score 1000 with " +
+      "is_edge 0, linked near-twins keep their edge flag, and the " +
+      "threshold prunes the diffuse tail") {
+    import graft.operators.Graph
+    // 1 and 2 both link only to {0}: twins, not linked themselves.
+    // 3 and 4 link to {0, each other}: linked near-twins.
+    val canonical = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val got = Graph.neighborJaccard(canonical, minMilli = 100L)
+      .select("a", "b", "common", "jaccard_milli", "is_edge")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    // (1,2): N={0} vs {0} -> 1/1 = 1000, no edge
+    assert(got.contains((1L, 2L, 1L, 1000L, 0L)), got.toString)
+    // (3,4): N(3)={0,4}, N(4)={0,3} -> common {0} =1, union 3 -> 333, edge
+    assert(got.contains((3L, 4L, 1L, 333L, 1L)), got.toString)
+    // every surviving pair respects the threshold
+    assert(got.forall(_._4 >= 100L), got.toString)
+    // a high threshold keeps only the perfect twins
+    val strict = Graph.neighborJaccard(canonical, minMilli = 1000L)
+      .select("a", "b").as[(Long, Long)].collect().toSeq
+    assert(strict == Seq((1L, 2L)), strict.toString)
+  }
+
+  test("evalRanking: the documented milli laws hold exactly, a " +
+      "hitless query reports zeros, and ranks past the cutoff are " +
+      "invisible") {
+    import graft.operators.Retrieval
+    // q1: rel {a,b,c}; run hits a@1, b@3 -> R=3, hits=2
+    //   recall = 2000/3 = 666; mrr = 1000/1 = 1000
+    //   ap terms: (1000*1)//1=1000, (1000*2)//3=666 -> (1666)//3=555
+    // q2: rel {z}; run has no z in top-k -> zeros with n_rel=1
+    val run = Seq(
+      ("q1", "a", 1), ("q1", "x", 2), ("q1", "b", 3),
+      ("q2", "m", 1), ("q2", "z", 9))
+      .toDF("qid", "id", "rank")
+    val qrels = Seq(("q1", "a"), ("q1", "b"), ("q1", "c"), ("q2", "z"))
+      .toDF("qid", "id")
+    val got = Retrieval.evalRanking(run, qrels, "qid", "id", "rank", 5)
+      .orderBy("qid")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("q1", 3L, 2L, 666L, 1000L, 555L),
+      ("q2", 1L, 0L, 0L, 0L, 0L)), got.toString)
+    // raising the cutoff lets q2's rank-9 hit in: mrr 1000//9=111,
+    // ap = ((1000*1)//9) // min(1,10) = 111
+    val wide = Retrieval.evalRanking(run, qrels, "qid", "id", "rank", 10)
+      .filter(col("qid") === "q2")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(wide == (("q2", 1L, 1L, 1000L, 111L, 111L)), wide.toString)
+  }
+
+  test("resampleOhlc: open/close follow the (ts, tie) pick exactly " +
+      "on shared timestamps, extrema and counts are per-bucket, and " +
+      "the plan is one aggregation") {
+    import graft.operators.Temporal
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-01 10:55:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-01-01 11:10:00")
+    val df = Seq(
+      ("s", ts0, 5.0, 2L), ("s", ts0, 9.0, 1L), // tie: id 1 opens
+      ("s", ts1, 1.0, 3L),
+      ("s", ts2, 4.0, 4L))
+      .toDF("series", "ts", "value", "id")
+    val got = Temporal.resampleOhlc(df, "series", "ts", "value", "id")
+      .orderBy("bucket")
+      .select("open", "high", "low", "close", "n")
+      .as[(Double, Double, Double, Double, Long)].collect().toSeq
+    assert(got == Seq((9.0, 9.0, 1.0, 1.0, 3L), (4.0, 4.0, 4.0, 4.0, 1L)),
+      got.toString)
+    val plan = Temporal
+      .resampleOhlc(df, "series", "ts", "value", "id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "no window over the data")
+  }
 }
