@@ -1399,6 +1399,51 @@ object Approx {
         .select(lit(meta).as("meta_rows"), col("scanned_rows"))
     },
 
+    // LAKEHOUSE METADATA BOUNDS (L18): min/max answered from the
+    // manifest's zone lines alone — three range-sliced commits, one
+    // of them EMPTY (its 0-row file carries #nrows=0 and no stats),
+    // then statsBounds folds the lines with zero data I/O. The
+    // pruned read proves the empty file skips EXACTLY via its
+    // recorded zero count (without it the stats-less file would
+    // always scan and n_scanned would read 2): of 3 files only the
+    // low slice opens. Oracle = the scanned aggregates + pinned
+    // file arithmetic.
+    Q("q_e2e_manifest_bounds",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_k,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_k,
+        |  CAST(3 AS BIGINT) AS n_files,
+        |  CAST(1 AS BIGINT) AS n_scanned,
+        |  CAST((SELECT count(*) FROM orders
+        |    WHERE o_orderkey <= (SELECT max(o_orderkey) FROM orders)
+        |      // 4) AS BIGINT) AS pruned_rows
+        |FROM orders""".stripMargin) { (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-bounds-q").toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      val mx = orders.agg(max("o_orderkey")).head.getLong(0)
+      graft.sources.ManifestTable.commitWithStats(
+        orders.filter(col("o_orderkey") <= mx / 2).coalesce(1),
+        table, append = false, "o_orderkey")
+      graft.sources.ManifestTable.commitWithStats(
+        orders.filter(col("o_orderkey") > mx / 2).coalesce(1),
+        table, append = true, "o_orderkey")
+      graft.sources.ManifestTable.commitWithStats(
+        orders.filter(col("o_orderkey") < 0).coalesce(1),
+        table, append = true, "o_orderkey")
+      val (lo, hi) = graft.sources.ManifestTable
+        .statsBounds(table, "o_orderkey")
+        .getOrElse((-1L, -1L))
+      val n = graft.sources.ManifestTable.countRows(table)
+        .getOrElse(-1L)
+      val (pruned, nFiles, nScanned) = graft.sources.ManifestTable
+        .readPruned(s, table, "o_orderkey", 0L, mx / 4)
+      pruned.agg(count(lit(1)).as("pruned_rows"))
+        .select(lit(n).as("n_rows"), lit(lo).as("min_k"),
+          lit(hi).as("max_k"), lit(nFiles.toLong).as("n_files"),
+          lit(nScanned.toLong).as("n_scanned"), col("pruned_rows"))
+    },
+
     // LAYOUT: schema evolution ACROSS manifest commits (S16 × L5) —
     // commit v1 before the status column existed, append v2 with it;
     // the merged-schema snapshot read unions the LIVE files' footers

@@ -938,6 +938,65 @@ object Merges {
         .orderBy("event_type")
     },
 
+    // STREAMING MERGE SINK (ST8): micro-batches UPSERT into the
+    // manifest table (Delta's streaming MERGE shape) — in-batch
+    // latest-per-key pick, zone-confined rewrite, and VALUE-level
+    // idempotence: the whole stream runs TWICE from fresh
+    // checkpoints and converges to the same latest-row-per-key table
+    // with no batch tags (contrast q_st_manifest_sink's append
+    // counts, which need the tag handshake). Updates hit matched
+    // keys (replace), brand-new keys (insert), and one key twice in
+    // the batch (latest wins). Oracle = the plain batch upsert.
+    Q("q_st_merge_sink",
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(0 AS BIGINT) AS ver FROM orders
+        |  WHERE o_orderkey % 3 != 0),
+        |up AS (
+        |  SELECT o_orderkey, 'A' AS o_orderstatus,
+        |    CAST(1 AS BIGINT) AS ver FROM orders
+        |  WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'B', CAST(2 AS BIGINT) FROM orders
+        |  WHERE o_orderkey % 10 = 0),
+        |lt AS (SELECT o_orderkey, o_orderstatus, ver FROM (
+        |    SELECT up.*, row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY ver DESC, o_orderkey) AS rn FROM up)
+        |  WHERE rn = 1)
+        |SELECT o_orderkey, o_orderstatus, ver FROM (
+        |  SELECT b.* FROM base b
+        |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM lt)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, ver FROM lt)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-st-merge").toString
+      val table = s"$work/table"
+      val orders = t(s, d, "orders")
+      val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          lit(0L).as("ver"))
+      graft.sources.ManifestTable.commitWithStats(
+        base, table, append = false, "o_orderkey")
+      val updates = orders.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("A").as("o_orderstatus"),
+          lit(1L).as("ver"))
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("B").as("o_orderstatus"),
+            lit(2L).as("ver")))
+      val srcDir = java.nio.file.Paths.get(work, "updates")
+      updates.coalesce(1).write.parquet(srcDir.toString)
+      val schema = s.read.parquet(srcDir.toString).schema
+      for (run <- 1 to 2) {
+        val stream = s.readStream.schema(schema)
+          .parquet(srcDir.toString)
+        graft.sources.ManifestTable.streamMerge(stream, table,
+          s"$work/ckpt$run", "o_orderkey", "ver")
+      }
+      graft.sources.ManifestTable.read(s, table)
+        .select("o_orderkey", "o_orderstatus", "ver")
+        .orderBy("o_orderkey")
+    },
+
     // CDC APPLY: batch change-log merge — latest op per key wins,
     // upserts replace/insert full records, deletes drop the key. The
     // change set synthesizes an update stream (keys %5 -> status 'A'

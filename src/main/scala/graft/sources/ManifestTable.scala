@@ -262,6 +262,46 @@ object ManifestTable {
     q.awaitTermination()
   }
 
+  /** Streaming UPSERT sink — the Delta "streaming MERGE" shape: each
+    * micro-batch [[mergeByKey]]s into the table (matched keys
+    * replaced, new keys appended), so the table converges to
+    * latest-row-per-key instead of append history. Within a batch,
+    * `orderCol` picks the LATEST row per key (a CDC batch can carry
+    * several updates to one key; mergeByKey requires one), with the
+    * key itself as the final tie-break so the pick is deterministic.
+    *
+    * Exactly-once here needs NO batch tags: a keyed MERGE is
+    * idempotent by VALUE (replaying a batch upserts the same rows to
+    * the same state), so checkpoint replays and full stream reruns
+    * converge — contrast [[streamCommit]], whose append-only counts
+    * need the tag handshake. Each batch's rewrite is confined to
+    * zone-overlapping files exactly as in batch MERGE; the table
+    * must be seeded (one [[commitWithStats]] on the key column)
+    * before the stream starts, so candidate pruning bites from the
+    * first batch. */
+  def streamMerge(stream: DataFrame, table: String, checkpoint: String,
+      keyCol: String, orderCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = batch
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(keyCol)
+              .orderBy(col(orderCol).desc, col(keyCol))))
+          .filter(col("__rn") === 1).drop("__rn")
+        if (!latest.isEmpty) {
+          mergeByKey(batch.sparkSession, table, latest, keyCol)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** [[commitWithStats]] over a single stats column — the common
     * case, delegating to the multi-column form. */
   def commitWithStats(df: DataFrame, table: String, append: Boolean,
@@ -394,15 +434,18 @@ object ManifestTable {
     require(vs.contains(v),
       s"version $v of $table does not exist (live: " +
         s"${vs.mkString(", ")})")
-    val Manifest(files, stats, _) = manifestOf(table, v)
+    val Manifest(files, stats, nrows) = manifestOf(table, v)
     require(files.nonEmpty,
       s"snapshot v$v of $table lists no data files — a pruned read " +
         "has no schema to produce; read() an earlier version or " +
         "commit data first")
     // an entry recorded for ANOTHER column never prunes — the file
-    // simply scans (skipping is an optimization, never a filter)
+    // simply scans (skipping is an optimization, never a filter);
+    // a file KNOWN empty (#nrows=0 — an empty range slice has no
+    // stats lines to prune on) skips exactly: zero rows match
     val kept = files.filter { f =>
       val lines = stats.getOrElse(f, Seq.empty)
+      !nrows.get(f).contains(0L) &&
       preds.forall { case (statsCol, lo, hi) =>
         lines.find(_._1 == statsCol)
           .forall { case (_, mn, mx) => mx >= lo && mn <= hi }
@@ -439,6 +482,39 @@ object ManifestTable {
     val m = manifestOf(table, v)
     val counts = m.files.map(m.rows.get)
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
+  /** METADATA-ONLY min/max of a stats column — the partner of
+    * [[countRows]]: when every live file either carries a `#stats=`
+    * line for `colName` or is KNOWN empty (`#nrows=0` — an empty
+    * range-slice's file has no stats yet contributes nothing to the
+    * extrema), the snapshot's min/max is the fold of the manifest
+    * lines: ONE small-file read, zero data I/O. Per-file min/max are
+    * exact (commitWithStats computes them from the staged rows), so
+    * the folded answer is exact — served only when it is; any file
+    * with unknown stats AND unknown-or-nonzero rows returns None
+    * and callers fall back to a scan. None also when every live
+    * file is empty (no extrema exist). */
+  def statsBounds(table: String, colName: String,
+      version: Option[Long] = None): Option[(Long, Long)] = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no published version in $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"no snapshot v$v under $table (have $vs)")
+    val m = manifestOf(table, v)
+    val perFile: Seq[Option[Option[(Long, Long)]]] = m.files.map { f =>
+      m.stats.getOrElse(f, Seq.empty).find(_._1 == colName) match {
+        case Some((_, mn, mx)) => Some(Some((mn, mx)))
+        case None if m.rows.get(f).contains(0L) => Some(None)
+        case None => None // unknown — cannot answer exactly
+      }
+    }
+    if (perFile.exists(_.isEmpty)) None
+    else {
+      val bounds = perFile.flatten.flatten
+      if (bounds.isEmpty) None
+      else Some((bounds.map(_._1).min, bounds.map(_._2).max))
+    }
   }
 
   /** INCREMENTAL snapshot-diff read (CDC-lite, the Delta

@@ -1328,4 +1328,68 @@ class PipelineSpec extends SparkSpec {
       assert(got == want, s"snapshot v$v: got $got want $want")
     }
   }
+
+  test("ManifestTable.statsBounds: metadata min/max folds zone lines " +
+      "exactly, known-empty files contribute nothing, unknown files " +
+      "refuse the answer, and pruned reads skip #nrows=0 files") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-bounds-spec").toString
+    ManifestTable.commitWithStats((10L to 50L).toDF("k").coalesce(1),
+      table, append = true, "k")
+    ManifestTable.commitWithStats((51L to 80L).toDF("k").coalesce(1),
+      table, append = true, "k")
+    // an EMPTY commit: 0-row file, no stats line, #nrows=0
+    ManifestTable.commitWithStats(
+      (1L to 5L).toDF("k").filter(col("k") < 0).coalesce(1),
+      table, append = true, "k")
+    assert(ManifestTable.statsBounds(table, "k").contains((10L, 80L)),
+      "empty file must not block or distort the metadata bounds")
+    // a foreign column has no lines anywhere -> None
+    assert(ManifestTable.statsBounds(table, "zzz").isEmpty)
+    // the known-empty file skips EXACTLY in a pruned read (without
+    // the #nrows=0 rule its stats-less file would always scan)
+    val (_, nf, ns) = ManifestTable.readPruned(spark, table, "k",
+      0L, 20L)
+    assert(nf == 3 && ns == 1,
+      s"low-range read must open only the low slice: ($nf, $ns)")
+    // a plain commit (no stats, unknown rows) refuses the answer
+    ManifestTable.commit((81L to 90L).toDF("k").coalesce(1), table,
+      append = true)
+    assert(ManifestTable.statsBounds(table, "k").isEmpty,
+      "statsBounds must be exact-or-None")
+    // time travel still answers for the fully-stat'd version
+    val vs = ManifestTable.versions(table)
+    assert(ManifestTable
+      .statsBounds(table, "k", Some(vs.dropRight(1).last))
+      .contains((10L, 80L)))
+  }
+
+  test("ManifestTable.streamMerge: a replayed stream converges to " +
+      "the same latest-row-per-key table (value idempotence, no " +
+      "tags), with in-batch latest picks and insert+replace legs") {
+    import graft.sources.ManifestTable
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-stream-merge").toString
+    val table = s"$work/table"
+    ManifestTable.commitWithStats(
+      Seq((1L, "base", 0L), (2L, "base", 0L), (3L, "base", 0L))
+        .toDF("k", "v", "ver"),
+      table, append = false, "k")
+    // updates: k=2 twice in one batch (ver 2 wins), k=9 is new
+    val srcDir = java.nio.file.Paths.get(work, "src")
+    Seq((2L, "old", 1L), (2L, "new", 2L), (9L, "ins", 1L))
+      .toDF("k", "v", "ver")
+      .coalesce(1).write.parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    for (run <- 1 to 2) {
+      ManifestTable.streamMerge(
+        spark.readStream.schema(schema).parquet(srcDir.toString),
+        table, s"$work/ckpt$run", "k", "ver")
+    }
+    val got = ManifestTable.read(spark, table)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, "base", 0L), (2L, "new", 2L),
+      (3L, "base", 0L), (9L, "ins", 1L)), got.toString)
+  }
 }
