@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BloomMemberExpr, BpeApplyExpr, CmsCountersAgg, DotProductFloat, HllRegistersAgg, HmacSha256Expr, MinHashSigExpr, MinHashTextExpr, JpegDimsExpr, Mp4MetaExpr, NfcNormalizeExpr, QualityPackExpr, RollingFpArray, ShingleHashesExpr, ShinglePosHashesExpr, ShinglesExpr, SimHashExpr}
+import graft.expressions.{BloomMemberExpr, BpeApplyExpr, CmsCountersAgg, DotProductFloat, HilbertIndexExpr, HllRegistersAgg, HmacSha256Expr, MinHashSigExpr, MinHashTextExpr, JpegDimsExpr, Mp4MetaExpr, NfcNormalizeExpr, QualityPackExpr, RollingFpArray, ShingleHashesExpr, ShinglePosHashesExpr, ShinglesExpr, SimHashExpr}
 
 /** Session extension registering the engine's native expressions —
   * enabled with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -101,6 +101,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Mp4MetaExpr].getName,
         "graft_mp4_meta"),
       (children: Seq[Expression]) => Mp4MetaExpr(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndexExpr].getName,
+        "graft_hilbert"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_hilbert(x, y, bits) takes exactly three arguments")
+        val bits = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_hilbert bits must be an integer literal: $other")
+        }
+        HilbertIndexExpr(children(0), children(1), bits)
+      }))
     ext.injectOptimizerRule(_ => NfcIdempotence)
   }
 }

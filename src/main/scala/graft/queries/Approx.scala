@@ -897,6 +897,54 @@ object Approx {
         .orderBy("bucket")
     },
 
+    // LAYOUT: Hilbert-curve clustering value (the Iceberg/liquid-
+    // clustering upgrade over Morton) — native graft_hilbert level
+    // walk per row; the oracle replays the same xy→d recurrence as
+    // a 17-level recursive CTE, so every rotation/reflection level
+    // is graded, not just the bucket totals.
+    Q("q_z_hilbert",
+      """WITH RECURSIVE d0 AS (SELECT o_orderkey,
+        |    CAST(o_custkey % 65536 AS BIGINT) AS x,
+        |    CAST((epoch_us(o_orderdate) // 86400000000) % 65536
+        |      AS BIGINT) AS y
+        |  FROM orders),
+        |hw(o_orderkey, x, y, d, s) AS (
+        |  SELECT o_orderkey, x, y, CAST(0 AS BIGINT),
+        |    CAST(32768 AS BIGINT) FROM d0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END
+        |    ELSE x END,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END
+        |    ELSE y END,
+        |    d + s * s * xor(
+        |      3 * (CASE WHEN (x & s) > 0 THEN CAST(1 AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END),
+        |      CASE WHEN (y & s) > 0 THEN CAST(1 AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END),
+        |    s // 2
+        |  FROM hw WHERE s > 0),
+        |h AS (SELECT o_orderkey, d AS h FROM hw WHERE s = 0)
+        |SELECT CAST(h // 4194304 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(h) AS BIGINT) AS h_min,
+        |  CAST(max(h) AS BIGINT) AS h_max
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .select(
+          (col("o_custkey") % 65536).cast("long").as("x"),
+          (expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
+            "div 86400000000") % 65536).cast("long").as("y"))
+        .withColumn("h",
+          graft.operators.Layout.hilbertValue(col("x"), col("y"), 16))
+        .groupBy(expr("h div 4194304").as("bucket"))
+        .agg(count(lit(1)).as("n"), min("h").as("h_min"),
+          max("h").as("h_max"))
+        .orderBy("bucket")
+    },
+
     // LAYOUT: zone-map statistics + the file-skipping decision. The
     // zone map is the per-bucket (n, min, max) table a writer
     // persists; zonesToRead evaluates a range predicate on x against

@@ -605,6 +605,38 @@ class SketchesSpec extends SparkSpec {
     assert(z(5, 9) >> 4 == z(4, 8) >> 4)
   }
 
+  test("hilbertValue is a neighbor-continuous bijection on the grid") {
+    import graft.expressions.Hilbert
+    // bits=1 base case: the U-shaped quadrant order (0,0) (0,1)
+    // (1,1) (1,0) of the classic xy->d walk
+    assert(Hilbert.index(0, 0, 1) == 0L)
+    assert(Hilbert.index(0, 1, 1) == 1L)
+    assert(Hilbert.index(1, 1, 1) == 2L)
+    assert(Hilbert.index(1, 0, 1) == 3L)
+    // bits=4: bijective over all 256 cells AND every consecutive d
+    // pair is a Manhattan-distance-1 step — the defining locality
+    // property Morton order lacks (its quadrant seams jump)
+    val cells = for (x <- 0 until 16; y <- 0 until 16)
+      yield (Hilbert.index(x, y, 4), x, y)
+    assert(cells.map(_._1).distinct.size == 256)
+    assert(cells.map(_._1).min == 0L && cells.map(_._1).max == 255L)
+    val walk = cells.sortBy(_._1)
+    walk.sliding(2).foreach { case Seq((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step ($x1,$y1)->($x2,$y2)")
+    }
+    // codegen path: the Column API via the registered expression
+    import graft.operators.Layout
+    def h(x: Long, y: Long): Long =
+      spark.range(1).select(Layout.hilbertValue(lit(x), lit(y), 16))
+        .as[Long].head()
+    assert(h(0, 0) == 0L)
+    assert(h(65535, 65535) == Hilbert.index(65535, 65535, 16))
+    // out-of-range inputs fail loudly rather than fold into a cell
+    intercept[Exception] { h(65536, 0) }
+    intercept[Exception] { Hilbert.index(-1, 0, 4) }
+  }
+
   test("star connected components agree with label propagation") {
     import graft.operators.Dedup
     val ids = spark.range(0, 60).toDF("doc_id")
