@@ -425,6 +425,103 @@ object Graph {
     * Scale shape per iteration: two edge⋈score equi-joins with
     * map-side-combined sums + two single-row totals (broadcast) —
     * O(E) work per iteration, no all-pairs anywhere. */
+  /** Synchronous label-propagation communities (Raghavan 2007, "Near
+    * linear time algorithm to detect community structures") — every
+    * node starts as its own label and each round adopts the most
+    * frequent label among its neighbors, most-frequent ties broken by
+    * MIN label so the update is a pure function of the previous
+    * round's labels (no random order, no flip-coin tie-breaks: the
+    * classic algorithm made deterministic, the same discipline as
+    * [[pageRank]]'s fixed iteration count). Densely interlinked
+    * regions converge onto one label within a few rounds; the label
+    * is the community id. Takes a canonical (u, v) edge table from
+    * [[cappedCanonicalEdges]].
+    *
+    * Scale shape per round: one adjacency⋈labels equi-join + one
+    * map-side-combined (node, label) count + one per-node top-1
+    * window — O(E) work, partitioned by node, never all-pairs;
+    * per-round localCheckpoint keeps lineage flat. Synchronous
+    * updates can two-cycle on bipartite seams; a fixed round budget
+    * makes that a documented truncation, not nontermination.
+    * Returns (node, community). */
+  def labelPropagation(canonical: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val adj = canonical
+      .select(col("u").as("n"), col("v").as("w"))
+      .unionByName(canonical.select(col("v").as("n"), col("u").as("w")))
+      .localCheckpoint(eager = false)
+    var labels = adj.select(col("n").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val counted = adj
+        .join(labels.withColumnRenamed("node", "w"), Seq("w"))
+        .groupBy(col("n"), col("lbl"))
+        .agg(count(lit(1)).as("__c"))
+      val top = Window.partitionBy(col("n"))
+        .orderBy(col("__c").desc, col("lbl").asc)
+      labels = counted
+        .withColumn("__rn", row_number().over(top))
+        .filter(col("__rn") === 1)
+        .select(col("n").as("node"), col("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** Newman–Girvan modularity of a labeling (Newman 2004, "Finding
+    * and evaluating community structure in networks"): Q = Σ_c
+    * [e_c/m − (d_c/2m)²] over communities, where e_c is the
+    * intra-community edge count and d_c the community's degree sum —
+    * the standard score of how much denser communities are than a
+    * degree-preserving random rewiring. Exact integer rationals:
+    * Q = num/den with num = Σ_c (4·m·e_c − d_c²) and den = 4m²,
+    * summed in DECIMAL(38,0) (d_c² reaches 4m², past int64 at ~1.5e9
+    * edges), reported as a truncated-toward-zero milli. One row:
+    * (m, n_communities, q_milli). Labeling from [[labelPropagation]]
+    * (or any (node, community) frame covering every endpoint).
+    *
+    * Scale shape: two edge⋈label equi-joins + map-side-combined
+    * per-community sums + a single-row rollup — O(E), no windows. */
+  def modularityOf(canonical: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val e = canonical.select(col("u"), col("v"))
+      .localCheckpoint(eager = false)
+    val m = e.count()
+    require(m > 0, "modularity needs at least one edge (empty graph)")
+    val lab = labels.select(col("node"), col("community"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__d"))
+    val dc = deg.join(lab, Seq("node"))
+      .groupBy("community")
+      .agg(sum(col("__d").cast("decimal(38,0)")).as("__dc"))
+    val ec = e
+      .join(lab.select(col("node").as("u"), col("community").as("__cu")),
+        Seq("u"))
+      .join(lab.select(col("node").as("v"), col("community").as("__cv")),
+        Seq("v"))
+      .filter(col("__cu") === col("__cv"))
+      .groupBy(col("__cu").as("community"))
+      .agg(count(lit(1)).as("__ec"))
+    dc.join(ec, Seq("community"), "left")
+      .select(col("__dc"),
+        coalesce(col("__ec"), lit(0L)).cast("decimal(38,0)").as("__ec"))
+      .agg(
+        count(lit(1)).as("n_communities"),
+        sum(expr(s"4 * CAST($m AS DECIMAL(38,0)) * __ec - __dc * __dc"))
+          .as("__num"))
+      .select(lit(m).as("m"),
+        col("n_communities").cast("long").as("n_communities"),
+        expr(s"""CASE WHEN __num >= 0
+          | THEN CAST(__num * 1000 div (4 * CAST($m AS DECIMAL(38,0))
+          |   * CAST($m AS DECIMAL(38,0))) AS BIGINT)
+          | ELSE -CAST((0 - __num) * 1000 div (4 * CAST($m AS
+          |   DECIMAL(38,0)) * CAST($m AS DECIMAL(38,0))) AS BIGINT)
+          | END""".stripMargin).as("q_milli"))
+  }
+
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 2): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

@@ -283,6 +283,56 @@ object Temporal {
       .select(col("series"), col("hr"), col("c"))
   }
 
+  /** Robust MAD outliers (Hampel 1974's identifier; Leys 2013's
+    * |x − med| > k·MAD rule): values whose absolute deviation from
+    * the per-series lower median exceeds `k` times the lower median
+    * of those deviations. Unlike [[rateAnomalies]]' mean/variance
+    * z-score, both center and spread have a 50% breakdown point — a
+    * burst of garbage can't drag the threshold toward itself.
+    *
+    * Exact-integer discipline: values quantize to micro once
+    * (floor(x·10⁶), identical IEEE ops on any engine); the lower
+    * median is the value at ordinal ⌊(n+1)/2⌋ of the sorted multiset
+    * — an order-statistic PICK, so tie order can permute rows but
+    * never the picked value — and every output cell is exact int64.
+    * MAD = 0 (over half the series identical) degenerates to
+    * flagging every nonzero deviation: the documented Hampel caveat,
+    * loud rather than silent.
+    *
+    * Scale shape: two per-series sort windows (the price of an EXACT
+    * median; the K-family sketch quantiles are the approximate path
+    * when single series outgrow a partition) + two tiny per-series
+    * median frames joined back (AQE broadcasts them). Returns the
+    * flagged rows (series, id, v_micro, med_micro, mad_micro,
+    * dev_micro). */
+  def madOutliers(df: DataFrame, seriesCol: String, idCol: String,
+      valueCol: String, k: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    val q = df.select(col(seriesCol).as("series"),
+      col(idCol).as("id"),
+      floor(col(valueCol) * 1000000L).cast("long").as("v_micro"))
+    def lowerMedian(in: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy("series")
+        .orderBy(col(c).asc, col("id").asc)
+      in.withColumn("__rn", row_number().over(w))
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy("series")))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col("series"), col(c).as(out))
+    }
+    val med = lowerMedian(q, "v_micro", "med_micro")
+    val dev = q.join(med, Seq("series"))
+      .withColumn("dev_micro", abs(col("v_micro") - col("med_micro")))
+    val mad = lowerMedian(
+      dev.select(col("series"), col("id"), col("dev_micro")),
+      "dev_micro", "mad_micro")
+    dev.join(mad, Seq("series"))
+      .filter(col("dev_micro") > lit(k) * col("mad_micro"))
+      .select(col("series"), col("id"), col("v_micro"),
+        col("med_micro"), col("mad_micro"), col("dev_micro"))
+  }
+
   /** Coalesce overlapping/touching intervals per key into maximal
     * disjoint spans — availability windows, session stitching, CDC
     * validity ranges. A new span starts where an interval's start

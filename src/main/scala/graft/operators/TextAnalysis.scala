@@ -787,6 +787,44 @@ object TextAnalysis {
     * Scale shape: explode → ONE partial-agg groupBy on the bucket id
     * (B result rows) → broadcast totals → single-row fold. The only
     * corpus-sized stage is the map-side-combined bucket count. */
+  /** Per-document character-level Shannon entropy in micro-nats —
+    * the cheap "text or noise" screen a crawl-quality stack runs
+    * before anything tokenized (near-zero = repeated padding,
+    * near-ln(alphabet) = random bytes; prose sits in a stable band).
+    * H = ln n − (Σ cᵢ·ln cᵢ)/n over per-character counts; integer
+    * discipline: ONE micro-floored ln per distinct (doc, char) count
+    * plus one for n, exact int64 sums and a floor division
+    * everywhere else (the [[jsDivergence]] convention), so the score
+    * is engine-exact and never negative (⌊ln⌋ is monotone, so
+    * Σcᵢ·⌊ln cᵢ⌋ ≤ n·⌊ln n⌋).
+    *
+    * Scale shape: one character explode → one (doc, char)
+    * map-side-combined count → one per-doc rollup; no windows, no
+    * joins. Documents with empty text vanish (no characters — no
+    * distribution), matching the SQL unnest of an empty split. */
+  def charEntropy(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def lnq(c: Column): Column =
+      floor(log(c.cast("double")) * 1000000L).cast("long")
+    val counts = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "")).as("__ch"))
+      // Java's split keeps a trailing zero-width segment; DuckDB's
+      // string_split does not — drop it so both engines count the
+      // same multiset
+      .filter(length(col("__ch")) > 0)
+      .groupBy("doc_id", "__ch").agg(count(lit(1)).as("__c"))
+    counts.groupBy("doc_id")
+      .agg(sum(col("__c")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__c") * lnq(col("__c"))).as("__s"))
+      .select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        (lnq(col("n_chars")) - expr("__s div n_chars"))
+          .as("entropy_micro"))
+  }
+
   def jsDivergence(df: DataFrame, textCol: String, left: Column,
       buckets: Int = 512): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")

@@ -57,6 +57,44 @@ object Approx {
          |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** Oracle prelude for [[Graph.labelPropagation]] over the capped
+    * part co-occurrence graph: builds the canonical capped edge table
+    * (the q_g_triangles prelude), its symmetric adjacency, the
+    * identity labeling l_0, then `rounds` synchronous
+    * most-frequent-neighbor-label updates (min-label tie-break)
+    * UNROLLED as chained CTEs — each round is a pure function of the
+    * previous round's labels, so the unroll replays the engine's
+    * loop exactly. MATERIALIZED for the same 3^rounds-inlining
+    * reason as [[kCoreOracle]]. */
+  private def lpaChain(rounds: Int): String = {
+    val base =
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |dg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+        |  GROUP BY node),
+        |keep AS (SELECT node FROM dg WHERE deg <= 128),
+        |e AS MATERIALIZED (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT node FROM keep)
+        |    AND v IN (SELECT node FROM keep)),
+        |adj AS MATERIALIZED (SELECT u AS n, v AS w FROM e
+        |  UNION ALL SELECT v AS n, u AS w FROM e),
+        |l_0 AS MATERIALIZED (
+        |  SELECT DISTINCT n AS node, n AS lbl FROM adj)""".stripMargin
+    val updates = (1 to rounds).map { r =>
+      s""",
+         |c_$r AS (SELECT a.n, l.lbl, count(*) AS c
+         |  FROM adj a JOIN l_${r - 1} l ON l.node = a.w
+         |  GROUP BY 1, 2),
+         |l_$r AS MATERIALIZED (SELECT n AS node, lbl FROM (
+         |  SELECT n, lbl, row_number() OVER (PARTITION BY n
+         |    ORDER BY c DESC, lbl) AS rn FROM c_$r) WHERE rn = 1)""".stripMargin
+    }.mkString
+    base + updates
+  }
+
   /** DuckDB mirror of Sketches' md5-derived hash60 with a salt. */
   private def h60(salt: String, x: String): String =
     sqlHash60(s"'$salt:' || CAST($x AS VARCHAR)")
@@ -87,6 +125,14 @@ object Approx {
       d: String): org.apache.spark.sql.DataFrame =
     materialized(s, d, "g_co_tri") {
       Graph.trianglesOfCanonical(coEdges(s, d))
+    }
+
+  /** 4-round deterministic LPA labels over the same capped graph —
+    * shared by the community and modularity queries. */
+  private def lpaLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    materialized(s, d, "g_lpa_labels") {
+      Graph.labelPropagation(coEdges(s, d), rounds = 4)
     }
 
   val all: Seq[Q] = Seq(
@@ -1609,6 +1655,41 @@ object Approx {
         .orderBy("event_type", "hour_us")
     },
 
+    // ROBUST OUTLIERS: MAD rule per event type — |x − med| > 3·MAD
+    // with lower medians picked as order statistics, everything
+    // int64-exact after one micro quantization. The 50%-breakdown
+    // robust cousin of q_ts_anomaly's z-score: a burst of garbage
+    // can't drag the threshold toward itself.
+    Q("q_ts_mad",
+      """WITH q AS (SELECT event_type AS series, event_id,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY series
+        |      ORDER BY v_micro, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY series) AS n FROM q),
+        |med AS (SELECT series, v_micro AS med_micro FROM r
+        |  WHERE rn = (n + 1) // 2),
+        |d AS (SELECT q.series, q.event_id, q.v_micro, m.med_micro,
+        |    abs(q.v_micro - m.med_micro) AS dev_micro
+        |  FROM q JOIN med m ON m.series = q.series),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY series
+        |      ORDER BY dev_micro, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY series) AS n FROM d),
+        |mad AS (SELECT series, dev_micro AS mad_micro FROM r2
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT d.series AS event_type, d.event_id, d.v_micro,
+        |  d.med_micro, m2.mad_micro, d.dev_micro
+        |FROM d JOIN mad m2 ON m2.series = d.series
+        |WHERE d.dev_micro > 3 * m2.mad_micro
+        |ORDER BY event_type, event_id""".stripMargin) { (s, d) =>
+      graft.operators.Temporal
+        .madOutliers(events(s, d), "event_type", "event_id", "value")
+        .select(col("series").as("event_type"), col("id").as("event_id"),
+          col("v_micro"), col("med_micro"), col("mad_micro"),
+          col("dev_micro"))
+        .orderBy("event_type", "event_id")
+    },
+
     // GAP FILL: dense per-type hourly series over the corpus span —
     // missing hours become explicit zeros. The spine is
     // |keys| x |hours| metadata built from a 1-row bounds frame, never
@@ -2291,6 +2372,52 @@ object Approx {
         .withColumn("deg_b", col("deg_b").cast("long"))
         .withColumn("is_edge", col("is_edge").cast("long"))
         .orderBy("a", "b")
+    },
+
+    // GRAPH: label-propagation communities (Raghavan 2007) over the
+    // same capped co-occurrence graph — 4 synchronous most-frequent-
+    // neighbor-label rounds with min-label tie-breaks, so every
+    // update is a pure function of the previous labeling; the oracle
+    // UNROLLS the rounds as chained CTEs (kCore's replay discipline)
+    // and grades each node's final community id exactly.
+    Q("q_g_lpa",
+      lpaChain(4) +
+        """
+          |SELECT node, CAST(lbl AS BIGINT) AS community
+          |FROM l_4 ORDER BY node""".stripMargin) { (s, d) =>
+      lpaLabels(s, d).orderBy("node")
+    },
+
+    // GRAPH: Newman–Girvan modularity of that LPA labeling — exact
+    // integer rationals (num = Σ_c 4·m·e_c − d_c², den = 4m²,
+    // DECIMAL(38,0) sums so d_c² can't wrap), reported as a signed
+    // truncated milli. The one-row score that says whether the
+    // communities beat a degree-preserving random rewiring.
+    Q("q_g_modularity",
+      lpaChain(4) +
+        """,
+          |mm AS (SELECT count(*) AS m FROM e),
+          |deg AS (SELECT n, count(*) AS d FROM adj GROUP BY 1),
+          |dc AS (SELECT l.lbl, sum(d.d) AS dc FROM l_4 l
+          |  JOIN deg d ON d.n = l.node GROUP BY 1),
+          |ec AS (SELECT lu.lbl, count(*) AS ec FROM e
+          |  JOIN l_4 lu ON lu.node = e.u
+          |  JOIN l_4 lv ON lv.node = e.v
+          |  WHERE lu.lbl = lv.lbl GROUP BY 1),
+          |per AS (SELECT dc.lbl, dc.dc, coalesce(ec.ec, 0) AS ec
+          |  FROM dc LEFT JOIN ec ON ec.lbl = dc.lbl),
+          |agg AS (SELECT count(*) AS n_communities,
+          |    sum(4 * (SELECT m FROM mm) * ec - dc * dc) AS num
+          |  FROM per)
+          |SELECT CAST((SELECT m FROM mm) AS BIGINT) AS m,
+          |  CAST(n_communities AS BIGINT) AS n_communities,
+          |  CAST(CASE WHEN num >= 0
+          |    THEN (num * 1000) // (4 * (SELECT m FROM mm)
+          |      * (SELECT m FROM mm))
+          |    ELSE -(((0 - num) * 1000) // (4 * (SELECT m FROM mm)
+          |      * (SELECT m FROM mm))) END AS BIGINT) AS q_milli
+          |FROM agg""".stripMargin) { (s, d) =>
+      Graph.modularityOf(coEdges(s, d), lpaLabels(s, d))
     },
 
     // GRAPH: local clustering coefficient (integer millis) over the

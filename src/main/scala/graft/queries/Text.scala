@@ -1170,6 +1170,29 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // QUALITY: per-document character-level Shannon entropy in
+    // micro-nats — the pre-tokenization "text or noise" screen
+    // (repeated padding scores near zero, random bytes near
+    // ln(alphabet)). One micro-floored ln per distinct (doc, char)
+    // count, exact int64 everywhere else — engine-exact.
+    Q("q_t_char_entropy",
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, ''))
+        |    AS ch FROM documents),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch
+        |  WHERE ch <> '' GROUP BY 1, 2),
+        |a AS (SELECT doc_id, sum(c) AS n, count(*) AS nd,
+        |    sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
+        |      AS BIGINT)) AS s
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  CAST(nd AS BIGINT) AS n_distinct,
+        |  CAST(CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+        |    - s // n AS BIGINT) AS entropy_micro
+        |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.charEntropy(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // VOCABULARY: token document frequencies, top-100 — the corpus
     // stats a tokenizer/BPE training step starts from. Map-side
     // distinct (array_distinct before explode) keeps the shuffle to

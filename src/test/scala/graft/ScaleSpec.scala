@@ -1175,6 +1175,74 @@ class ScaleSpec extends SparkSpec {
     assert(strict == Seq((1L, 2L)), strict.toString)
   }
 
+  test("madOutliers: lower medians pick exactly, the 3-MAD rule " +
+      "flags the spike, and MAD 0 degenerates to any-deviation") {
+    import graft.operators.Temporal
+    val rows = Seq(
+      // series b: med 3.0, MAD 1.0 -> only the 100.0 spike crosses 3-MAD
+      ("b", 1L, 1.0), ("b", 2L, 2.0), ("b", 3L, 3.0),
+      ("b", 4L, 4.0), ("b", 5L, 5.0), ("b", 6L, 100.0),
+      // series a: over half identical -> MAD 0, nonzero dev flags
+      ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0),
+      ("a", 4L, 10.0), ("a", 5L, 50.0),
+      // series c: negative center, MAD 0 again
+      ("c", 1L, -5.0), ("c", 2L, -5.0), ("c", 3L, -5.0),
+      ("c", 4L, 10.0))
+      .toDF("series", "id", "value")
+    val got = Temporal.madOutliers(rows, "series", "id", "value")
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sorted
+    assert(got == Seq(
+      ("a", 5L, 50000000L, 10000000L, 0L, 40000000L),
+      ("b", 6L, 100000000L, 3000000L, 1000000L, 97000000L),
+      ("c", 4L, 10000000L, -5000000L, 0L, 15000000L)), got.toString)
+  }
+
+  test("labelPropagation: bridged triangles collapse to two " +
+      "communities, and the synchronous two-cycle on a lone edge is " +
+      "the documented truncation") {
+    import graft.operators.Graph
+    // two triangles {0,1,2} and {3,4,5} joined by the bridge 2-3
+    val tri = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L)).toDF("u", "v")
+    val got = Graph.labelPropagation(tri, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // hand-replayed sync rounds: the left triangle settles on 0,
+    // the right on 2 (the bridge keeps pulling 3 leftward labels,
+    // its triangle majority overrules them)
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 2L, 4L -> 2L, 5L -> 2L), got.toString)
+    // a lone edge two-cycles under synchronous updates: even round
+    // counts return the identity labeling — deterministic honesty,
+    // not nontermination
+    val pair = Seq((0L, 1L)).toDF("u", "v")
+    val even = Graph.labelPropagation(pair, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(even == Map(0L -> 0L, 1L -> 1L), even.toString)
+    val odd = Graph.labelPropagation(pair, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(odd == Map(0L -> 1L, 1L -> 0L), odd.toString)
+  }
+
+  test("modularityOf: bridged triangles score 5/14 exactly, and a " +
+      "singleton-per-node labeling goes negative") {
+    import graft.operators.Graph
+    val tri = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L)).toDF("u", "v")
+    val labels = Seq(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 2L, 4L -> 2L, 5L -> 2L).toDF("node", "community")
+    val q = Graph.modularityOf(tri, labels)
+      .as[(Long, Long, Long)].head()
+    // m=7, each community: e_c=3, d_c=7 -> Q = 5/14 -> 357 milli
+    assert(q == ((7L, 2L, 357L)), q.toString)
+    // one edge, each endpoint its own community: Q = -1/2
+    val lone = Seq((0L, 1L)).toDF("u", "v")
+    val selfLabels = Seq(0L -> 0L, 1L -> 1L).toDF("node", "community")
+    val neg = Graph.modularityOf(lone, selfLabels)
+      .as[(Long, Long, Long)].head()
+    assert(neg == ((1L, 2L, -500L)), neg.toString)
+  }
+
   test("evalRanking: the documented milli laws hold exactly, a " +
       "hitless query reports zeros, and ranks past the cutoff are " +
       "invisible") {

@@ -680,4 +680,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
     assert(got.forall { case (_, i, _) => i >= 0 && i < dim })
   }
+
+  test("charEntropy: uniform pairs give ln 2, constant text gives " +
+      "zero, empty text vanishes") {
+    val docs = Seq(
+      (1L, "aaaa"),      // one symbol -> H = 0 exactly
+      (2L, "ab"),        // uniform over 2 -> ln 2
+      (3L, "aabb"),      // same distribution at double length
+      (4L, ""))          // no characters -> no distribution row
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val ln2 = 693147L // floor(ln(2) * 1e6)
+    assert(got == Seq(
+      (1L, 4L, 1L, 0L),
+      (2L, 2L, 2L, ln2),
+      (3L, 4L, 2L, 693147L)), got.toString)
+  }
 }
