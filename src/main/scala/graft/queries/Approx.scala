@@ -493,6 +493,26 @@ object Approx {
       truth.crossJoin(est)
     },
 
+    // SKETCH→EXACT: φ-heavy hitters by Misra–Gries candidates + one
+    // exact recount — output provably EQUALS the plain
+    // groupBy-HAVING (which is the oracle), but the shuffle only
+    // ever carries candidate-matching rows, never one row per
+    // distinct value. k=6 over document languages: en (43.6%)
+    // passes the 1/6 bar, the four 12–15% languages are excluded —
+    // both sides of the threshold are graded.
+    Q("q_k_heavy",
+      """WITH c AS (SELECT lang AS v, count(*) AS cnt
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL)
+        |SELECT v, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(cnt * 1000 // n AS BIGINT) AS share_milli
+        |FROM c, t WHERE cnt * 6 > n ORDER BY v""".stripMargin) {
+      (s, d) =>
+      Sketches.heavyHittersExact(t(s, d, "documents"), "lang", 6)
+        .orderBy("v")
+    },
+
     // SKETCH: mergeable fixed-bin histogram → quantile estimates.
     // The t-digest/KLL role (mergeable distributed quantiles) in an
     // oracle-checkable form: values quantized to exact integer cents,
@@ -1688,6 +1708,62 @@ object Approx {
           col("v_micro"), col("med_micro"), col("mad_micro"),
           col("dev_micro"))
         .orderBy("event_type", "event_id")
+    },
+
+    // E2E: robust resampling — MAD-screen the spikes out of the
+    // event stream, THEN bar it up (the production OHLC shape: raw
+    // ticks carry fat-finger garbage a mean-based screen would let
+    // through precisely when it matters). Composition of the two
+    // graded stages: q_ts_mad's flags anti-join the stream feeding
+    // q_ts_resample's one-pass min_by/max_by bars.
+    Q("q_e2e_outlier_screen",
+      """WITH q AS (SELECT event_type AS series, event_id,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY series
+        |      ORDER BY v_micro, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY series) AS n FROM q),
+        |med AS (SELECT series, v_micro AS med_micro FROM r
+        |  WHERE rn = (n + 1) // 2),
+        |d AS (SELECT q.series, q.event_id,
+        |    abs(q.v_micro - m.med_micro) AS dev_micro
+        |  FROM q JOIN med m ON m.series = q.series),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY series
+        |      ORDER BY dev_micro, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY series) AS n FROM d),
+        |mad AS (SELECT series, dev_micro AS mad_micro FROM r2
+        |  WHERE rn = (n + 1) // 2),
+        |flag AS (SELECT d.event_id FROM d
+        |  JOIN mad m2 ON m2.series = d.series
+        |  WHERE d.dev_micro > 3 * m2.mad_micro),
+        |clean AS (SELECT * FROM events
+        |  WHERE event_id NOT IN (SELECT event_id FROM flag)),
+        |rr AS (SELECT event_type, date_trunc('day', ts) AS b, value,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      date_trunc('day', ts) ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type,
+        |      date_trunc('day', ts) ORDER BY ts DESC, event_id DESC)
+        |      AS rd
+        |  FROM clean)
+        |SELECT event_type, epoch_us(b) AS bucket_us,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM rr GROUP BY 1, 2
+        |ORDER BY event_type, bucket_us""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val flagged = graft.operators.Temporal
+        .madOutliers(ev, "event_type", "event_id", "value")
+        .select(col("id").as("event_id"))
+      val clean = ev.join(flagged, Seq("event_id"), "left_anti")
+      graft.operators.Temporal
+        .resampleOhlc(clean, "event_type", "ts", "value", "event_id",
+          "day")
+        .select(col("series").as("event_type"),
+          epochUs(col("bucket")).as("bucket_us"),
+          col("open"), col("high"), col("low"), col("close"), col("n"))
+        .orderBy("event_type", "bucket_us")
     },
 
     // GAP FILL: dense per-type hourly series over the corpus span —

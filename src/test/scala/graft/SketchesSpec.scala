@@ -605,6 +605,28 @@ class SketchesSpec extends SparkSpec {
     assert(z(5, 9) >> 4 == z(4, 8) >> 4)
   }
 
+  test("heavyHittersExact equals groupBy-HAVING at any partitioning " +
+      "and the > n/k bar is strict") {
+    import graft.operators.Sketches
+    // 100 rows: a=40, b=25, c=20 (exactly n/k for k=5), 15 singletons
+    val rows = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++
+      Seq.fill(20)("c") ++ (0 until 15).map(i => s"s$i")
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("x").repartition(parts)
+      val got = Sketches.heavyHittersExact(df, "x", 5)
+        .as[(String, Long, Long)].collect().toSeq.sorted
+      // c sits exactly AT n/k: excluded (strict >), like the SQL
+      assert(got == Seq(("a", 40L, 400L), ("b", 25L, 250L)),
+        s"parts=$parts: $got")
+    }
+    // nulls don't count toward n and never become candidates
+    val withNulls = (rows.map(Option(_)) ++ Seq.fill(50)(None))
+      .toDF("x")
+    val g2 = Sketches.heavyHittersExact(withNulls, "x", 5)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(g2 == Seq(("a", 40L, 400L), ("b", 25L, 250L)), g2.toString)
+  }
+
   test("hilbertValue is a neighbor-continuous bijection on the grid") {
     import graft.expressions.Hilbert
     // bits=1 base case: the U-shaped quadrant order (0,0) (0,1)
