@@ -333,6 +333,47 @@ object Temporal {
         col("med_micro"), col("mad_micro"), col("dev_micro"))
   }
 
+  /** One-sided CUSUM drift alarms (Page 1954, "Continuous inspection
+    * schemes"): S_i = max(0, S_{i-1} + (x_i − ref)) per series in
+    * event order, alarm where S crosses the threshold — the classic
+    * sequential detector for a sustained upward shift that point
+    * rules ([[rateAnomalies]], [[madOutliers]]) can't see because no
+    * single observation is extreme. The recursive fold has the
+    * closed reflection form S_i = c_i − min(0, min_{j≤i} c_j) over
+    * the running sum c of (x − ref), so the whole detector is two
+    * cumulative windows — no recursion, no driver loop, exact int64
+    * after the one micro quantization (sums of micro values wrap
+    * only past ~9.2e12 value-units per series).
+    *
+    * `refMicro` is the no-drift reference plus slack (the classic
+    * target + allowance, pre-summed by the caller); `thresholdMicro`
+    * is the alarm level h. Returns alarm rows
+    * (series, id, v_micro, cusum_micro).
+    *
+    * Scale shape: one per-series sort window evaluating both
+    * running aggregates in a single pass — the same shuffle the
+    * event-order semantics require; nothing corpus-wide. */
+  def cusumDrift(df: DataFrame, seriesCol: String, idCol: String,
+      tsCol: String, valueCol: String, refMicro: Long,
+      thresholdMicro: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholdMicro > 0,
+      s"thresholdMicro must be positive: $thresholdMicro")
+    val w = Window.partitionBy("series")
+      .orderBy(col("__ts").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(seriesCol).as("series"), col(idCol).as("id"),
+        col(tsCol).as("__ts"),
+        floor(col(valueCol) * 1000000L).cast("long").as("v_micro"))
+      .withColumn("__cum",
+        sum(col("v_micro") - lit(refMicro)).over(w))
+      .withColumn("cusum_micro",
+        col("__cum") - least(lit(0L), min(col("__cum")).over(w)))
+      .filter(col("cusum_micro") > thresholdMicro)
+      .select(col("series"), col("id"), col("v_micro"),
+        col("cusum_micro"))
+  }
+
   /** Coalesce overlapping/touching intervals per key into maximal
     * disjoint spans — availability windows, session stitching, CDC
     * validity ranges. A new span starts where an interval's start

@@ -1710,6 +1710,33 @@ object Approx {
         .orderBy("event_type", "event_id")
     },
 
+    // DRIFT: one-sided CUSUM alarms per event type (Page 1954) —
+    // the sequential shift detector point rules can't replace; the
+    // recursive fold graded through its closed reflection form
+    // S_i = c_i − min(0, min_{j≤i} c_j), two cumulative windows,
+    // int64-exact. Reference 57.0 sits above the value median, so
+    // only sustained high-value runs alarm (24–399 alarms per type
+    // at sf0.01 — both quiet and noisy series are graded).
+    Q("q_ts_cusum",
+      """WITH q AS (SELECT event_type AS series, event_id AS id, ts,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+        |  FROM events),
+        |c AS (SELECT *, sum(v_micro - 57000000) OVER (
+        |    PARTITION BY series ORDER BY ts, id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM q),
+        |m AS (SELECT *, least(0, min(cum) OVER (
+        |    PARTITION BY series ORDER BY ts, id
+        |    ROWS UNBOUNDED PRECEDING)) AS mn FROM c)
+        |SELECT series, id, v_micro,
+        |  CAST(cum - mn AS BIGINT) AS cusum_micro
+        |FROM m WHERE cum - mn > 400000000
+        |ORDER BY series, id""".stripMargin) { (s, d) =>
+      graft.operators.Temporal
+        .cusumDrift(events(s, d), "event_type", "event_id", "ts",
+          "value", 57000000L, 400000000L)
+        .orderBy("series", "id")
+    },
+
     // E2E: robust resampling — MAD-screen the spikes out of the
     // event stream, THEN bar it up (the production OHLC shape: raw
     // ticks carry fat-finger garbage a mean-based screen would let

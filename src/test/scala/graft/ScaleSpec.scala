@@ -1198,6 +1198,33 @@ class ScaleSpec extends SparkSpec {
       ("c", 4L, 10000000L, -5000000L, 0L, 15000000L)), got.toString)
   }
 
+  test("cusumDrift: the reflection form replays the recursive fold " +
+      "exactly, resets absorb at zero, and only crossings alarm") {
+    import graft.operators.Temporal
+    import java.sql.Timestamp
+    def t(i: Int) = Timestamp.valueOf(f"2024-01-01 00:0$i:00")
+    // ref 10: y = [2,3,-2,5,6,-5] -> S = [2,5,3,8,14,9]
+    val rows = Seq(12.0, 13.0, 8.0, 15.0, 16.0, 5.0).zipWithIndex
+      .map { case (v, i) => ("a", (i + 1).toLong, t(i + 1), v) }
+      .toDF("series", "id", "ts", "value")
+    val got = Temporal.cusumDrift(rows, "series", "id", "ts", "value",
+        10000000L, 7000000L)
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq(
+      ("a", 4L, 15000000L, 8000000L),
+      ("a", 5L, 16000000L, 14000000L),
+      ("a", 6L, 5000000L, 9000000L)), got.toString)
+    // a run below ref absorbs at zero (max(0, .) law), then the
+    // jump alarms with no debt carried from the quiet stretch
+    val reset = Seq(5.0, 6.0, 20.0).zipWithIndex
+      .map { case (v, i) => ("b", (i + 1).toLong, t(i + 1), v) }
+      .toDF("series", "id", "ts", "value")
+    val g2 = Temporal.cusumDrift(reset, "series", "id", "ts", "value",
+        10000000L, 9000000L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(g2 == Seq(("b", 3L, 20000000L, 10000000L)), g2.toString)
+  }
+
   test("labelPropagation: bridged triangles collapse to two " +
       "communities, and the synchronous two-cycle on a lone edge is " +
       "the documented truncation") {
