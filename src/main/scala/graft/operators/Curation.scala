@@ -493,6 +493,80 @@ object Curation {
       .agg(sum("__term").as("hhi_micro"))
   }
 
+  /** Gini coefficient of a non-negative mass column — the standard
+    * inequality index next to [[concentrationReport]]'s HHI (0 =
+    * perfectly even, →1 = one holder has everything), the corpus
+    * diagnostic behind "how skewed is my token budget across
+    * domains". Exact rank formulation G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) /
+    * (n·Σx) over the ascending sort: one global rank window + one
+    * single-row fold, DECIMAL(38,0) for the rank-weighted sum (i·x
+    * reaches n·Σx), truncated milli out. Ties are harmless — equal
+    * values contribute the same regardless of rank order within the
+    * tie. Intended input is GROUP-LEVEL masses (domains, sources,
+    * languages — thousands of rows, not the corpus): the global rank
+    * is a single-partition sort by design, the exact-Gini price;
+    * aggregate first. One row (n, total, gini_milli). */
+  def giniIndex(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__x"))
+    val w = Window.orderBy(col("__x").asc)
+    v.withColumn("__i", row_number().over(w))
+      .agg(count(lit(1)).as("__n"), sum("__x").as("__t"),
+        sum(col("__i").cast("decimal(38,0)") * col("__x")).as("__s"))
+      .select(col("__n").cast("long").as("n"),
+        col("__t").cast("long").as("total"),
+        expr("""CAST((2 * __s - (CAST(__n AS DECIMAL(38,0)) + 1)
+          | * __t) * 1000
+          | div (CAST(__n AS DECIMAL(38,0)) * __t) AS BIGINT)"""
+          .stripMargin).as("gini_milli"))
+  }
+
+  /** Quantile normalization across groups (the microarray
+    * batch-effect correction of Bolstad 2003, applied to corpus
+    * scores): each row's value is replaced by the POOLED
+    * distribution's value at the row's within-group quantile, so
+    * every group ends up with the same marginal distribution and one
+    * global threshold stops meaning different things per source —
+    * the calibration step before cross-domain quality cuts.
+    *
+    * Integer-exact mapping: within-group rank r of n_g rows (total
+    * order on (value, id)) maps to pooled ordinal q = ⌈r·N/n_g⌉
+    * (r=n_g hits the pooled max exactly), and the normalized value
+    * is the pooled ascending sort's value at ordinal q — an
+    * order-statistic pick, deterministic under ties. Values are
+    * caller-quantized longs (the package micro discipline).
+    *
+    * Scale shape: one within-group rank window, one global-rank
+    * window over the pooled column (single-partition by design —
+    * same exact-order-statistic price as [[giniIndex]]; sample or
+    * pre-bucket first when the corpus outgrows one partition's
+    * sort), one equi-join on the ordinal. */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        col(valueCol).cast("long").as("v"))
+      .localCheckpoint(eager = false)
+    val n = base.count()
+    require(n > 0, "quantileNormalize needs at least one row")
+    val pooled = base
+      .withColumn("__q",
+        row_number().over(Window.orderBy(col("v").asc)))
+      .select(col("__q"), col("v").as("norm"))
+    val sized = base
+      .withColumn("__r", row_number().over(Window.partitionBy("grp")
+        .orderBy(col("v").asc, col("id").asc)))
+      .withColumn("__ng",
+        count(lit(1)).over(Window.partitionBy("grp")))
+      .withColumn("__q",
+        expr(s"CAST((__r * ${n}L + __ng - 1) div __ng AS INT)"))
+    sized.join(pooled, Seq("__q"))
+      .select(col("id"), col("grp"), col("v"), col("norm"))
+  }
+
   /** CORRELATED (join-preserving) sampling — the AQUA join-synopsis
     * discipline (Acharya et al., SIGMOD 1999): sample every table on
     * the SAME salted hash of its JOIN KEY, and the join of the

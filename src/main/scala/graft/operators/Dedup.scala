@@ -715,6 +715,11 @@ object Dedup {
       // (count, signature) probe gates the exact one-sided anti-join
       val ssStat = probe(ss)
       converged = ssStat == eStat && ss.exceptAll(e).isEmpty
+      // the round's intermediate and the superseded edge set are
+      // dead — release their pinned blocks (both are in-op frames;
+      // the caller's `pairs` is untouched)
+      Lineage.freeLocalCheckpoint(ls)
+      Lineage.freeLocalCheckpoint(e)
       e = ss
       eStat = ssStat
       round += 1

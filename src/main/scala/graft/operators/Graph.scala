@@ -213,6 +213,9 @@ object Graph {
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .localCheckpoint(eager = true)
       val n = next.count()
+      // the peeled round is dead — release its pinned blocks so a
+      // long loop holds one round's working set, not all of them
+      Lineage.freeLocalCheckpoint(cur)
       cur = next
       if (n == prevEdges) r = rounds // fixpoint — stop peeling
       prevEdges = n
@@ -462,11 +465,13 @@ object Graph {
         .agg(count(lit(1)).as("__c"))
       val top = Window.partitionBy(col("n"))
         .orderBy(col("__c").desc, col("lbl").asc)
-      labels = counted
+      val next = counted
         .withColumn("__rn", row_number().over(top))
         .filter(col("__rn") === 1)
         .select(col("n").as("node"), col("lbl"))
         .localCheckpoint(eager = true)
+      Lineage.freeLocalCheckpoint(labels) // dead round's blocks
+      labels = next
     }
     labels.select(col("node"), col("lbl").as("community"))
   }

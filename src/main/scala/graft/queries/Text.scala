@@ -1748,6 +1748,55 @@ object Text {
         t(s, d, "documents"), "source")
     },
 
+    // INEQUALITY: Gini coefficient of per-source character mass —
+    // the skew diagnostic next to q_cur_concentration's HHI, exact
+    // rank formulation (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) in
+    // DECIMAL(38,0), truncated milli. Group-level input (20
+    // sources), so the global rank is 20 rows, never the corpus.
+    Q("q_cur_gini",
+      """WITH g AS (SELECT source, CAST(sum(n_chars) AS BIGINT)
+        |    AS mass FROM documents GROUP BY 1),
+        |r AS (SELECT mass, row_number() OVER (ORDER BY mass) AS i
+        |  FROM g),
+        |a AS (SELECT count(*) AS n, sum(mass) AS t,
+        |    sum(i * mass) AS s FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS total,
+        |  CAST((2 * s - (n + 1) * t) * 1000 // (n * t) AS BIGINT)
+        |    AS gini_milli
+        |FROM a""".stripMargin) { (s, d) =>
+      graft.operators.Curation.giniIndex(
+        t(s, d, "documents").groupBy("source")
+          .agg(sum("n_chars").as("mass")), "mass")
+    },
+
+    // CALIBRATION: quantile normalization across sources (Bolstad
+    // 2003's batch-effect correction on corpus scores) — every
+    // source's length distribution is mapped onto the pooled one by
+    // within-group rank → pooled ordinal ⌈r·N/n_g⌉, an
+    // order-statistic pick that makes one global threshold mean the
+    // same thing in every source. All integer arithmetic.
+    Q("q_cur_qnorm",
+      """WITH b AS (SELECT doc_id AS id, source AS grp,
+        |    CAST(n_chars AS BIGINT) AS v FROM documents),
+        |p AS (SELECT v AS norm, row_number() OVER (ORDER BY v) AS q
+        |  FROM b),
+        |t AS (SELECT count(*) AS n FROM b),
+        |s AS (SELECT *, row_number() OVER (PARTITION BY grp
+        |      ORDER BY v, id) AS r,
+        |    count(*) OVER (PARTITION BY grp) AS ng FROM b),
+        |m AS (SELECT id, grp, v,
+        |    (r * (SELECT n FROM t) + ng - 1) // ng AS q FROM s)
+        |SELECT m.id AS doc_id, m.grp AS source, m.v,
+        |  p.norm
+        |FROM m JOIN p ON p.q = m.q
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Curation.quantileNormalize(
+          t(s, d, "documents"), "source", "doc_id", "n_chars")
+        .select(col("id").as("doc_id"), col("grp").as("source"),
+          col("v"), col("norm"))
+        .orderBy("doc_id")
+    },
+
     // SAMPLING (C14): correlated (join-preserving) sampling — the
     // AQUA join-synopsis law (Acharya 1999) graded CROSS-ENGINE:
     // Spark samples orders and customer INDEPENDENTLY on the same

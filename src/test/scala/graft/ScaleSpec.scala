@@ -1198,6 +1198,39 @@ class ScaleSpec extends SparkSpec {
       ("c", 4L, 10000000L, -5000000L, 0L, 15000000L)), got.toString)
   }
 
+  test("giniIndex: uniform mass scores 0, monopoly scores (n-1)/n, " +
+      "and the textbook 1..4 case lands on 250 milli") {
+    import graft.operators.Curation
+    def g(xs: Seq[Long]): (Long, Long, Long) =
+      Curation.giniIndex(xs.toDF("m"), "m")
+        .as[(Long, Long, Long)].head()
+    assert(g(Seq(5L, 5L, 5L, 5L)) == ((4L, 20L, 0L)))
+    // one holder of everything among n=4: G = (n-1)/n = 0.75
+    assert(g(Seq(0L, 0L, 0L, 10L)) == ((4L, 10L, 750L)))
+    assert(g(Seq(4L, 2L, 1L, 3L)) == ((4L, 10L, 250L)))
+  }
+
+  test("quantileNormalize maps every group onto the pooled marginal " +
+      "and unequal group sizes hit the pooled max at their top rank") {
+    import graft.operators.Curation
+    val even = Seq(("g1", 1L, 10L), ("g1", 2L, 20L),
+      ("g2", 3L, 30L), ("g2", 4L, 40L)).toDF("grp", "id", "v")
+    val gotEven = Curation.quantileNormalize(even, "grp", "id", "v")
+      .select("id", "norm").as[(Long, Long)].collect().toMap
+    // pooled [10,20,30,40]; both groups map rank 1 -> ordinal 2,
+    // rank 2 -> ordinal 4: identical marginals {20, 40}
+    assert(gotEven == Map(1L -> 20L, 2L -> 40L, 3L -> 20L,
+      4L -> 40L), gotEven.toString)
+    val uneven = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("b", 4L, 100L)).toDF("grp", "id", "v")
+    val gotUneven = Curation.quantileNormalize(uneven, "grp", "id", "v")
+      .select("id", "norm").as[(Long, Long)].collect().toMap
+    // a: ceil(4/3)=2 -> 2, ceil(8/3)=3 -> 3, ceil(12/3)=4 -> 100;
+    // b's single row is its own max -> pooled max 100
+    assert(gotUneven == Map(1L -> 2L, 2L -> 3L, 3L -> 100L,
+      4L -> 100L), gotUneven.toString)
+  }
+
   test("cusumDrift: the reflection form replays the recursive fold " +
       "exactly, resets absorb at zero, and only crossings alarm") {
     import graft.operators.Temporal
