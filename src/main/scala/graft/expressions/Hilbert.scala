@@ -59,6 +59,38 @@ object Hilbert {
     * quadrant (rx, ry), advance d by s²·((3rx) xor ry) cells, and
     * rotate/reflect the remaining coordinates into the quadrant's
     * frame. Exact integer arithmetic; d spans [0, 4^bits). */
+  /** Inverse walk d→(x, y) — decode a cluster key back to its grid
+    * cell (zone-report debugging, range-boundary inspection). Exact
+    * inverse of [[index]]: per level from the bottom up, read the
+    * quadrant from d's two bits, apply the same rotate/reflect, and
+    * offset. Spec'd as a full round-trip bijection. */
+  def xy(d0: Long, bits: Int): (Long, Long) = {
+    val n = 1L << bits
+    if (d0 < 0 || d0 >= n * n)
+      throw new IllegalArgumentException(
+        s"hilbert index out of range [0, ${n * n}): $d0")
+    var x = 0L
+    var y = 0L
+    var t = d0
+    var s = 1L
+    while (s < n) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0L) {
+        if (rx == 1L) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s <<= 1
+    }
+    (x, y)
+  }
+
   def index(x0: Long, y0: Long, bits: Int): Long = {
     val n = 1L << bits
     if (x0 < 0 || y0 < 0 || x0 >= n || y0 >= n)

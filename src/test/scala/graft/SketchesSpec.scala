@@ -647,6 +647,15 @@ class SketchesSpec extends SparkSpec {
       assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
         s"non-adjacent step ($x1,$y1)->($x2,$y2)")
     }
+    // inverse walk: xy(index(.)) is the identity on every cell, and
+    // index(xy(.)) on every d — a full round-trip bijection
+    for (x <- 0 until 16; y <- 0 until 16)
+      assert(Hilbert.xy(Hilbert.index(x, y, 4), 4) == ((x.toLong, y.toLong)))
+    for (d <- 0 until 256) {
+      val (ix, iy) = Hilbert.xy(d, 4)
+      assert(Hilbert.index(ix, iy, 4) == d.toLong)
+    }
+    intercept[Exception] { Hilbert.xy(256, 4) }
     // codegen path: the Column API via the registered expression
     import graft.operators.Layout
     def h(x: Long, y: Long): Long =
