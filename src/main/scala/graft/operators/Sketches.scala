@@ -586,6 +586,64 @@ object Sketches {
         expr(s"cnt * 1000 div ${n}L").as("share_milli"))
   }
 
+  /** EXACT k-th order statistic WITHOUT a global sort — radix
+    * bisection on the value's bits (the distributed selection
+    * pattern behind exact medians at corpus scale, where a
+    * single-partition ORDER BY is the thing you can't do): 8 rounds,
+    * each one a filter + 256-bucket map-side-combined count + a
+    * ≤256-row driver fold that picks the byte containing the k-th
+    * value and descends. Total work is 8 narrow scans of one column
+    * — no shuffle ever carries data rows, only 256 counters.
+    * Negative values order correctly via the sign-flip bijection
+    * (x XOR MIN_LONG is order-isomorphic to unsigned). `k` is the
+    * 1-based ascending rank; the result is the exact multiset order
+    * statistic, deterministic under ties by construction (only
+    * VALUES are compared, never row order).
+    *
+    * The column is localCheckpointed so the 8 rounds rescan
+    * materialized longs, not the source; on a cluster you would skip
+    * the checkpoint and let each round re-scan the pruned parquet
+    * column — same plan shape, storage-free. Returns one row
+    * (k, value). */
+  def exactKth(df: DataFrame, valueCol: String, k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = df.sparkSession
+    val v = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__x"))
+      .withColumn("__u", expr(s"__x ^ ${Long.MinValue}L"))
+      .localCheckpoint(eager = false)
+    val n = v.count()
+    require(k <= n, s"k=$k exceeds the non-null row count $n")
+    var prefix = 0L
+    var remaining = k
+    var level = 0
+    while (level < 8) {
+      val shift = 56 - 8 * level
+      // unsigned shifts: __u's top bit is live (the sign-flip moves
+      // negatives below positives), so an arithmetic >> would
+      // sign-extend and never equal the accumulated masked prefix
+      val scope =
+        if (level == 0) v
+        else v.filter(
+          expr(s"shiftrightunsigned(__u, ${shift + 8}) = ${prefix}L"))
+      val counts = scope
+        .groupBy(expr(s"shiftrightunsigned(__u, $shift) & 255").as("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1)
+      var acc = 0L
+      val (byte_, below) = counts.collectFirst {
+        case (b, c) if { acc += c; acc >= remaining } => (b, acc - c)
+      }.getOrElse(throw new IllegalStateException(
+        s"radix descent lost rank $remaining at level $level"))
+      remaining -= below
+      prefix = (prefix << 8) | byte_
+      level += 1
+    }
+    spark.range(1).select(lit(k).as("k"),
+      lit(prefix ^ Long.MinValue).as("value"))
+  }
+
   /** Bloom-accelerated equi-join: build the filter on the small
     * side's keys, collect it (bits/32 longs — a few KB, the value a
     * real cluster broadcasts to every executor), and pre-filter the

@@ -513,6 +513,30 @@ object Approx {
         .orderBy("v")
     },
 
+    // EXACT SELECTION: p10/median/p90 as exact order statistics by
+    // radix bisection — 8 narrow scans and a 256-counter shuffle per
+    // rank, NO global sort anywhere (the exact complement of
+    // q_k_quantile_hist's mergeable estimates; the distributed-
+    // median pattern for series that outgrow a partition's sort).
+    Q("q_k_exact_select",
+      """WITH v AS (SELECT CAST(floor(value * 1000000) AS BIGINT)
+        |    AS vm FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT vm, row_number() OVER (ORDER BY vm) AS rk
+        |  FROM v),
+        |ks AS (SELECT unnest([(n + 9) // 10, (n + 1) // 2,
+        |    (9 * n + 9) // 10]) AS k FROM t)
+        |SELECT ks.k AS k, r.vm AS value FROM ks
+        |JOIN r ON r.rk = ks.k ORDER BY k""".stripMargin) { (s, d) =>
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select(floor(col("value") * 1000000L).cast("long").as("vm"))
+      val n = ev.count()
+      def kq(num: Long, den: Long): Long = (num * n + den - 1) / den
+      Seq(kq(1, 10), kq(1, 2), kq(9, 10))
+        .map(k => Sketches.exactKth(ev, "vm", k))
+        .reduce(_ unionByName _).orderBy("k")
+    },
+
     // SKETCH: mergeable fixed-bin histogram → quantile estimates.
     // The t-digest/KLL role (mergeable distributed quantiles) in an
     // oracle-checkable form: values quantized to exact integer cents,

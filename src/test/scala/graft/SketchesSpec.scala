@@ -605,6 +605,27 @@ class SketchesSpec extends SparkSpec {
     assert(z(5, 9) >> 4 == z(4, 8) >> 4)
   }
 
+  test("exactKth: radix bisection equals the sorted order statistic " +
+      "for every rank, negatives and ties included, at any " +
+      "partitioning") {
+    import graft.operators.Sketches
+    val xs = Seq(-5L, 3L, -7L, 10L, 0L, 2L, 2L, 2L, 1L,
+      Long.MinValue + 3, Long.MaxValue - 2, -1000000L, 999999L)
+    val sorted = xs.sorted
+    for (parts <- Seq(1, 5)) {
+      val df = xs.toDF("x").repartition(parts)
+      for (k <- 1 to xs.size) {
+        val got = Sketches.exactKth(df, "x", k.toLong)
+          .as[(Long, Long)].head()
+        assert(got == ((k.toLong, sorted(k - 1))),
+          s"parts=$parts k=$k: $got want ${sorted(k - 1)}")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.exactKth(xs.toDF("x"), "x", xs.size + 1L).collect()
+    }
+  }
+
   test("heavyHittersExact equals groupBy-HAVING at any partitioning " +
       "and the > n/k bar is strict") {
     import graft.operators.Sketches
