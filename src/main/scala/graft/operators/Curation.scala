@@ -493,6 +493,68 @@ object Curation {
       .agg(sum("__term").as("hhi_micro"))
   }
 
+  /** Neyman allocation (Neyman 1934, "On the two different aspects
+    * of the representative method"): distribute a sample budget
+    * across strata ∝ N_h·S_h — variance-heavy strata get more than
+    * their head count, the minimum-variance design for estimating a
+    * mean, vs [[stratifiedAllocate]]'s proportional shares. Weight
+    * arithmetic: per-stratum variance NUMERATOR n·Σx² − (Σx)² is
+    * summed exactly in DECIMAL(38,0) (caller-quantized long values —
+    * milli keeps the numerator inside int64 precision so the one
+    * weight conversion long→double is the IEEE-exact cast on every
+    * engine), weight = ⌊sqrt(n·varnum/(n−1))·1000⌋, then the same
+    * largest-remainder integer apportionment as
+    * [[stratifiedAllocate]] (remainder ties broken by stratum name).
+    * Singleton strata carry zero variance evidence → weight 0; a
+    * zero total weight yields zero floors (degenerate, documented).
+    * Returns the DESIGN table (group, n_docs, weight_milli,
+    * allocated) — row selection composes with the hash-rank pick.
+    *
+    * Scale shape: one map-side-combined stats shuffle; everything
+    * after runs on the stratum-cardinality table with broadcast
+    * 1-row totals. */
+  def neymanAllocate(df: DataFrame, groupCol: String,
+      valueCol: String, sampleSize: Long): DataFrame = {
+    require(sampleSize >= 0, s"sampleSize must be >= 0: $sampleSize")
+    val stats = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("__x"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__x").cast("decimal(38,0)")).as("__s"),
+        sum(col("__x").cast("decimal(38,0)") * col("__x")).as("__q"))
+    val w = stats.withColumn("__vn",
+        expr("n_docs * __q - __s * __s"))
+      .withColumn("weight_milli",
+        expr("""CASE WHEN n_docs < 2 THEN 0L ELSE
+          | CAST(floor(sqrt(CAST(n_docs AS DOUBLE)
+          |   * CAST(__vn AS DOUBLE)
+          |   / (CAST(n_docs AS DOUBLE) - 1.0)) * 1000.0) AS BIGINT)
+          | END""".stripMargin))
+    val tot = w.agg(
+      sum(col("weight_milli").cast("decimal(38,0)")).as("__w"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(groupCol).asc)
+    w.crossJoin(broadcast(tot))
+      .withColumn("__fl", expr(s"""CASE WHEN __w > 0 THEN
+        | CAST(CAST(${sampleSize}L AS DECIMAL(38,0)) * weight_milli
+        |   div __w AS BIGINT) ELSE 0L END""".stripMargin))
+      .withColumn("__rem", expr(s"""CASE WHEN __w > 0 THEN
+        | CAST(CAST(${sampleSize}L AS DECIMAL(38,0)) * weight_milli
+        |   % __w AS BIGINT) ELSE 0L END""".stripMargin))
+      .withColumn("__r", row_number().over(wr))
+      .crossJoin(broadcast(
+        w.crossJoin(tot).agg((lit(sampleSize) - sum(
+          expr(s"""CASE WHEN __w > 0 THEN
+            | CAST(CAST(${sampleSize}L AS DECIMAL(38,0)) * weight_milli
+            |   div __w AS BIGINT) ELSE 0L END""".stripMargin)))
+          .as("__leftover"))))
+      .withColumn("allocated",
+        col("__fl") + when(col("__r") <= col("__leftover"), 1L)
+          .otherwise(0L))
+      .select(col(groupCol), col("n_docs"), col("weight_milli"),
+        col("allocated"))
+  }
+
   /** Gini coefficient of a non-negative mass column — the standard
     * inequality index next to [[concentrationReport]]'s HHI (0 =
     * perfectly even, →1 = one holder has everything), the corpus

@@ -1797,6 +1797,47 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // SAMPLING DESIGN: Neyman allocation — budget ∝ N_h·S_h, the
+    // minimum-variance stratified design (variance-heavy event
+    // types get more than their head count, vs q_samp_stratified's
+    // proportional shares). Variance numerators exact in int128,
+    // ONE IEEE-exact long→double cast into the sqrt per stratum,
+    // largest-remainder integer apportionment.
+    Q("q_samp_neyman",
+      """WITH s AS (SELECT event_type,
+        |    count(*) AS n,
+        |    sum(CAST(floor(value * 1000) AS BIGINT)) AS sx,
+        |    sum(CAST(floor(value * 1000) AS BIGINT)
+        |      * CAST(floor(value * 1000) AS BIGINT)) AS qx
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |w AS (SELECT event_type, n,
+        |    CASE WHEN n < 2 THEN 0
+        |      ELSE CAST(floor(sqrt(CAST(n AS DOUBLE)
+        |        * CAST(n * qx - sx * sx AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) - 1.0)) * 1000.0) AS BIGINT)
+        |      END AS wm
+        |  FROM s),
+        |t AS (SELECT sum(wm) AS tw FROM w),
+        |a AS (SELECT event_type, n, wm,
+        |    CASE WHEN tw > 0 THEN 1000 * wm // tw ELSE 0 END AS fl,
+        |    CASE WHEN tw > 0 THEN 1000 * wm % tw ELSE 0 END AS rem
+        |  FROM w, t),
+        |l AS (SELECT 1000 - sum(fl) AS leftover FROM a),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC,
+        |    event_type) AS rk FROM a)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(wm AS BIGINT) AS weight_milli,
+        |  CAST(fl + CASE WHEN rk <= (SELECT leftover FROM l)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS allocated
+        |FROM r ORDER BY event_type""".stripMargin) { (s, d) =>
+      graft.operators.Curation.neymanAllocate(
+          events(s, d).filter(col("value").isNotNull)
+            .select(col("event_type"),
+              floor(col("value") * 1000L).cast("long").as("vm")),
+          "event_type", "vm", 1000L)
+        .orderBy("event_type")
+    },
+
     // SAMPLING (C14): correlated (join-preserving) sampling — the
     // AQUA join-synopsis law (Acharya 1999) graded CROSS-ENGINE:
     // Spark samples orders and customer INDEPENDENTLY on the same

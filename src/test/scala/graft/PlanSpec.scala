@@ -125,6 +125,22 @@ class PlanSpec extends SparkSpec {
       s"window must carry a partition spec:\n$windowLines")
   }
 
+  test("exactKth never plans a global sort; heavy hitters recount " +
+      "through a semi join, not a full-cardinality aggregate") {
+    import graft.operators.Sketches
+    val df = spark.range(0, 5000)
+      .selectExpr("CAST(id % 97 AS LONG) AS x")
+    val kth = Sketches.exactKth(df, "x", 2500L)
+    // the selection already happened in the radix driver fold — the
+    // returned 1-row frame must not drag a SortExec anywhere
+    assert(!kth.queryExecution.executedPlan.toString.contains("Sort"),
+      "exactKth result plan must be sort-free")
+    val hh = Sketches.heavyHittersExact(df, "x", 5)
+    val plan = hh.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"recount must semi-join the candidate set:\n$plan")
+  }
+
   test("round-9 additions: AND-search prunes before its exchange; " +
       "packing shuffles once on the bucket; JS drift broadcasts totals") {
     // conjunctiveSearch: the query-term IN filter is narrow and sits

@@ -1198,6 +1198,22 @@ class ScaleSpec extends SparkSpec {
       ("c", 4L, 10000000L, -5000000L, 0L, 15000000L)), got.toString)
   }
 
+  test("neymanAllocate: variance-heavy strata out-draw their head " +
+      "count, zero-variance strata get nothing, remainders go to " +
+      "the largest fraction") {
+    import graft.operators.Curation
+    val rows = Seq(("a", 0L), ("a", 10L),
+      ("b", 5L), ("b", 5L), ("b", 5L),
+      ("c", 0L), ("c", 20L)).toDF("grp", "v")
+    val got = Curation.neymanAllocate(rows, "grp", "v", 10L)
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    // w_a = floor(sqrt(2*100/1)*1000) = 14142, w_b = 0 (no spread),
+    // w_c = floor(sqrt(2*400/1)*1000) = 28284; floors 3/0/6, the one
+    // leftover goes to c (largest remainder) -> 3/0/7
+    assert(got == Seq(("a", 2L, 14142L, 3L), ("b", 3L, 0L, 0L),
+      ("c", 2L, 28284L, 7L)), got.toString)
+  }
+
   test("giniIndex: uniform mass scores 0, monopoly scores (n-1)/n, " +
       "and the textbook 1..4 case lands on 250 milli") {
     import graft.operators.Curation
