@@ -404,6 +404,42 @@ object Sketches {
     sketches.reduce(_ unionByName _)
       .distinct().orderBy("hv").limit(k)
 
+  /** KMV set algebra (Beyer et al. 2007, "On synopses for distinct-
+    * value estimation under multiset operations"): from two k-minimum-
+    * value sketches over the SAME salt, estimate |A ∪ B|, Jaccard,
+    * and |A ∩ B| — the sketch-level overlap arithmetic that prices a
+    * cross-corpus dedup before anyone joins the corpora. The merged
+    * sketch M = bottom-k of the value union is a valid KMV of A ∪ B
+    * (the [[kmvMerge]] law); Jaccard is the EXACT integer fraction of
+    * M's members present in both input sketches (Beyer's unbiased
+    * p̂ = |M ∩ A ∩ B| / |M|), and the intersection estimate is that
+    * fraction times the union estimate — one double multiply/divide
+    * at the very end, deterministic IEEE on any engine.
+    *
+    * Scale: everything after the two k-row sketches is k-row
+    * arithmetic — sketch once per corpus, overlap any pair for free.
+    * One row (k_used, in_both, union_est, jaccard_milli, inter_est). */
+  def kmvOverlap(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      k: Int, salt: String = "kmv"): DataFrame = {
+    val a = kmvSketch(dfA, valueCol, k, salt)
+    val b = kmvSketch(dfB, valueCol, k, salt)
+    val merged = kmvMerge(k, a, b)
+    val inBoth = merged
+      .join(a.withColumnRenamed("hv", "hv").as("sa"), Seq("hv"),
+        "left_semi")
+      .join(b.as("sb"), Seq("hv"), "left_semi")
+    merged.agg(count(lit(1)).as("k_used"), max("hv").as("__kth"))
+      .crossJoin(broadcast(
+        inBoth.agg(count(lit(1)).as("in_both"))))
+      .select(col("k_used"), col("in_both"),
+        ((col("k_used") - 1).cast("double") * lit(HashSpace)
+          / col("__kth").cast("double")).as("union_est"),
+        expr("in_both * 1000 div k_used").as("jaccard_milli"),
+        ((col("in_both").cast("double") / col("k_used").cast("double"))
+          * ((col("k_used") - 1).cast("double") * lit(HashSpace)
+            / col("__kth").cast("double"))).as("inter_est"))
+  }
+
   /** Merge bloom filters built with the same (bits, nHashes, salt):
     * per-word bit_or. Law (spec'd): a key inserted into either input
     * is a maybe-member of the union. */

@@ -391,6 +391,41 @@ object Approx {
       Sketches.kmvEstimate(t(s, d, "orders"), "o_orderkey", 64)
     },
 
+    // SKETCH: KMV set algebra (Beyer 2007) — union/Jaccard/
+    // intersection of the F-status vs O-status customer populations
+    // from two 64-value sketches; after the sketches everything is
+    // k-row arithmetic (price any corpus pair's overlap without
+    // joining the corpora). Exact integer Jaccard fraction, one
+    // trailing IEEE multiply/divide for the estimates.
+    Q("q_k_kmv_overlap",
+      s"""WITH ha AS (SELECT DISTINCT ${h60("kmv", "o_custkey")} AS hv
+         |    FROM orders WHERE o_orderstatus = 'F'),
+         |a AS (SELECT hv FROM ha ORDER BY hv LIMIT 64),
+         |hb AS (SELECT DISTINCT ${h60("kmv", "o_custkey")} AS hv
+         |    FROM orders WHERE o_orderstatus = 'O'),
+         |b AS (SELECT hv FROM hb ORDER BY hv LIMIT 64),
+         |m AS (SELECT DISTINCT hv FROM (SELECT hv FROM a
+         |    UNION ALL SELECT hv FROM b) ORDER BY hv LIMIT 64),
+         |ag AS (SELECT count(*) AS k_used, max(hv) AS kth FROM m),
+         |ib AS (SELECT count(*) AS in_both FROM m
+         |  WHERE hv IN (SELECT hv FROM a)
+         |    AND hv IN (SELECT hv FROM b))
+         |SELECT CAST(k_used AS BIGINT) AS k_used,
+         |  CAST(in_both AS BIGINT) AS in_both,
+         |  CAST(k_used - 1 AS DOUBLE) * 1152921504606846976.0
+         |    / CAST(kth AS DOUBLE) AS union_est,
+         |  CAST(in_both * 1000 // k_used AS BIGINT) AS jaccard_milli,
+         |  (CAST(in_both AS DOUBLE) / CAST(k_used AS DOUBLE))
+         |    * (CAST(k_used - 1 AS DOUBLE) * 1152921504606846976.0
+         |      / CAST(kth AS DOUBLE)) AS inter_est
+         |FROM ag, ib""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      Sketches.kmvOverlap(
+        o.filter(col("o_orderstatus") === "F").select("o_custkey"),
+        o.filter(col("o_orderstatus") === "O").select("o_custkey"),
+        "o_custkey", 64)
+    },
+
     // SKETCH: bloom-filter membership — build on high-balance
     // customers, probe every ordering customer. False positives are
     // the same keys in every engine (md5 double-hashing), so the

@@ -605,6 +605,28 @@ class SketchesSpec extends SparkSpec {
     assert(z(5, 9) >> 4 == z(4, 8) >> 4)
   }
 
+  test("kmvOverlap laws: identical sets score 1000 milli with the " +
+      "kmvEstimate union, disjoint sets score 0, a half-subset " +
+      "lands between") {
+    import graft.operators.Sketches
+    val a = (0L until 400L).toDF("v")
+    val same = Sketches.kmvOverlap(a, a, "v", 64)
+      .as[(Long, Long, Double, Long, Double)].head()
+    assert(same._1 == 64L && same._2 == 64L && same._4 == 1000L,
+      same.toString)
+    val est = Sketches.kmvEstimate(a, "v", 64)
+      .select("estimate").as[Double].head()
+    assert(same._3 == est && same._5 == est, s"$same vs $est")
+    val disjoint = Sketches.kmvOverlap(a,
+        (1000L until 1400L).toDF("v"), "v", 64)
+      .as[(Long, Long, Double, Long, Double)].head()
+    assert(disjoint._2 == 0L && disjoint._4 == 0L && disjoint._5 == 0.0,
+      disjoint.toString)
+    val half = Sketches.kmvOverlap(a, (0L until 200L).toDF("v"), "v", 64)
+      .as[(Long, Long, Double, Long, Double)].head()
+    assert(half._4 > 0L && half._4 < 1000L, half.toString)
+  }
+
   test("exactKth: radix bisection equals the sorted order statistic " +
       "for every rank, negatives and ties included, at any " +
       "partitioning") {
