@@ -1838,6 +1838,62 @@ object Text {
         .orderBy("event_type")
     },
 
+    // E2E: the Neyman design REALIZED — allocation table broadcast
+    // onto the stream, per-stratum deterministic hash-rank pick
+    // takes exactly `allocated` rows from each event type: the
+    // minimum-variance sample as one composed plan (design +
+    // q_samp_stratified's pick discipline).
+    Q("q_e2e_neyman_sample",
+      s"""WITH s AS (SELECT event_type,
+         |    count(*) AS n,
+         |    sum(CAST(floor(value * 1000) AS BIGINT)) AS sx,
+         |    sum(CAST(floor(value * 1000) AS BIGINT)
+         |      * CAST(floor(value * 1000) AS BIGINT)) AS qx
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |w AS (SELECT event_type, n,
+         |    CASE WHEN n < 2 THEN 0
+         |      ELSE CAST(floor(sqrt(CAST(n AS DOUBLE)
+         |        * CAST(n * qx - sx * sx AS DOUBLE)
+         |        / (CAST(n AS DOUBLE) - 1.0)) * 1000.0) AS BIGINT)
+         |      END AS wm
+         |  FROM s),
+         |t AS (SELECT sum(wm) AS tw FROM w),
+         |a AS (SELECT event_type, wm,
+         |    CASE WHEN tw > 0 THEN 1000 * wm // tw ELSE 0 END AS fl,
+         |    CASE WHEN tw > 0 THEN 1000 * wm % tw ELSE 0 END AS rem
+         |  FROM w, t),
+         |l AS (SELECT 1000 - sum(fl) AS leftover FROM a),
+         |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC,
+         |    event_type) AS rk FROM a),
+         |alloc AS (SELECT event_type,
+         |    fl + CASE WHEN rk <= (SELECT leftover FROM l)
+         |      THEN 1 ELSE 0 END AS allocated FROM r),
+         |picked AS (SELECT event_type, event_id,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY
+         |      ${sqlHash31("'ney:' || CAST(event_id AS VARCHAR)")},
+         |      event_id) AS rn
+         |  FROM events WHERE value IS NOT NULL)
+         |SELECT p.event_type, p.event_id FROM picked p
+         |JOIN alloc ON alloc.event_type = p.event_type
+         |WHERE p.rn <= alloc.allocated
+         |ORDER BY p.event_type, p.event_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 1000L).cast("long").as("vm"))
+      val design = graft.operators.Curation
+        .neymanAllocate(ev, "event_type", "vm", 1000L)
+        .select(col("event_type"), col("allocated"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(hash31(concat(lit("ney:"),
+          col("event_id").cast("string"))), col("event_id"))
+      ev.withColumn("rn", row_number().over(w))
+        .join(broadcast(design), Seq("event_type"))
+        .filter(col("rn") <= col("allocated"))
+        .select(col("event_type"), col("event_id"))
+        .orderBy("event_type", "event_id")
+    },
+
     // SAMPLING (C14): correlated (join-preserving) sampling — the
     // AQUA join-synopsis law (Acharya 1999) graded CROSS-ENGINE:
     // Spark samples orders and customer INDEPENDENTLY on the same
