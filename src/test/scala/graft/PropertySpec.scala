@@ -945,4 +945,101 @@ class PropertySpec extends SparkSpec {
           s"${got.toSeq.diff(want.toSeq).take(3)}")
     }
   }
+
+  test("hilbert round-trips random cells at random depths and stays " +
+      "a neighbor-continuous walk on sampled prefixes") {
+    import graft.expressions.Hilbert
+    val cases = samples(for {
+      bits <- Gen.choose(1, 31)
+      x <- Gen.choose(0L, (1L << bits) - 1)
+      y <- Gen.choose(0L, (1L << bits) - 1)
+    } yield (bits, x, y), 300)
+    for ((bits, x, y) <- cases) {
+      val d = Hilbert.index(x, y, bits)
+      assert(d >= 0 && d < (1L << (2 * bits)), s"d=$d out of range at bits=$bits")
+      assert(Hilbert.xy(d, bits) == ((x, y)), s"bits=$bits ($x,$y)")
+    }
+    // adjacency on random consecutive index pairs at bits=10
+    for (d <- samples(Gen.choose(0L, (1L << 20) - 2), 200)) {
+      val (x1, y1) = Hilbert.xy(d, 10)
+      val (x2, y2) = Hilbert.xy(d + 1, 10)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("exactKth equals the sorted order statistic on random " +
+      "multisets with duplicates and extremes") {
+    import graft.operators.Sketches
+    val xs = samples(Gen.oneOf(
+      Gen.choose(-1000L, 1000L),
+      Gen.oneOf(Long.MinValue + 1, Long.MaxValue - 1, 0L, -1L, 1L)), 400)
+    val sorted = xs.sorted
+    val df = xs.toDF("x").repartition(11)
+    for (k <- samples(Gen.choose(1, xs.size), 12)) {
+      val got = Sketches.exactKth(df, "x", k.toLong)
+        .as[(Long, Long)].head()._2
+      assert(got == sorted(k - 1), s"k=$k: $got != ${sorted(k - 1)}")
+    }
+  }
+
+  test("heavyHittersExact equals groupBy-HAVING on random skewed " +
+      "corpora at random k") {
+    import graft.operators.Sketches
+    val vals = samples(Gen.frequency(
+      (6, Gen.const("hot")), (3, Gen.const("warm")),
+      (2, Gen.const("mild")),
+      (5, Gen.choose(0, 200).map(i => s"cold$i"))), 600)
+    val df = vals.toDF("x").repartition(13)
+    val n = vals.size
+    for (k <- Seq(2, 3, 5, 10, 50)) {
+      val want = vals.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * k > n }
+        .map { case (v, c) => (v, c, c * 1000 / n) }.toSet
+      val got = Sketches.heavyHittersExact(df, "x", k)
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want, s"k=$k: ${got.diff(want)} / ${want.diff(got)}")
+    }
+  }
+
+  test("cusumDrift reflection form equals the direct recursive fold " +
+      "on random walks") {
+    import graft.operators.Temporal
+    import java.sql.Timestamp
+    val vs = samples(Gen.choose(0.0, 20.0), 120)
+    val rows = vs.zipWithIndex.map { case (v, i) =>
+      ("s", (i + 1).toLong,
+        new Timestamp(1700000000000L + i * 60000L), v) }
+      .toDF("series", "id", "ts", "value")
+    val ref = 10000000L
+    val thr = 15000000L
+    // direct fold over the same micro quantization
+    var s = 0L
+    val wantAlarms = vs.zipWithIndex.flatMap { case (v, i) =>
+      s = math.max(0L, s + (math.floor(v * 1000000).toLong - ref))
+      if (s > thr) Some(((i + 1).toLong, s)) else None
+    }.toMap
+    val got = Temporal.cusumDrift(rows, "series", "id", "ts", "value",
+        ref, thr)
+      .select("id", "cusum_micro").as[(Long, Long)].collect().toMap
+    assert(got == wantAlarms,
+      s"diff: ${got.toSet.diff(wantAlarms.toSet).take(3)} / " +
+        s"${wantAlarms.toSet.diff(got.toSet).take(3)}")
+  }
+
+  test("giniIndex stays in [0, (n-1)/n] and is scale-invariant on " +
+      "random mass vectors") {
+    import graft.operators.Curation
+    val masses = samples(Gen.listOfN(12,
+      Gen.choose(1L, 10000L)), 8).filter(_.nonEmpty)
+    for (m <- masses) {
+      val (n, _, g) = Curation.giniIndex(m.toDF("x"), "x")
+        .as[(Long, Long, Long)].head()
+      assert(g >= 0L && g <= 1000L * (n - 1) / n, s"$m -> $g")
+      val (_, _, g3) = Curation.giniIndex(m.map(_ * 3).toDF("x"), "x")
+        .as[(Long, Long, Long)].head()
+      // scale invariance up to the milli floor
+      assert(math.abs(g3 - g) <= 1L, s"$g vs $g3")
+    }
+  }
 }
