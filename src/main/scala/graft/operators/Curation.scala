@@ -505,10 +505,17 @@ object Curation {
     * engine), weight = ⌊sqrt(n·varnum/(n−1))·1000⌋, then the same
     * largest-remainder integer apportionment as
     * [[stratifiedAllocate]] (remainder ties broken by stratum name).
-    * Singleton strata carry zero variance evidence → weight 0; a
-    * zero total weight yields zero floors (degenerate, documented).
-    * Returns the DESIGN table (group, n_docs, weight_milli,
-    * allocated) — row selection composes with the hash-rank pick.
+    * Singleton strata carry zero variance evidence → weight 0. When
+    * the TOTAL weight is zero (every stratum degenerate), the floors
+    * are all zero and the largest-remainder pass then hands the WHOLE
+    * budget out one unit at a time in (remainder, name) order — i.e.
+    * the first min(n_strata, sampleSize) strata alphabetically get 1
+    * each; with fewer strata than budget the allocations sum to
+    * n_strata, not sampleSize (the rest of the budget is
+    * unassignable: no weight says where it should go). Deterministic
+    * and documented, not an error. Returns the DESIGN table (group,
+    * n_docs, weight_milli, allocated) — row selection composes with
+    * the hash-rank pick.
     *
     * Scale shape: one map-side-combined stats shuffle; everything
     * after runs on the stratum-cardinality table with broadcast

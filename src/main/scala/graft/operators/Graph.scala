@@ -279,11 +279,19 @@ object Graph {
     * combined; degrees join back keyed (broadcast-sized per node
     * set); `minMilli` prunes the diffuse tail AFTER exact scoring
     * (correctness needs the true common count first, same discipline
-    * as [[cooccurrenceLift]]'s minSupport). */
+    * as [[cooccurrenceLift]]'s minSupport).
+    *
+    * The edge table is scanned several times (adjacency both ways,
+    * degrees, the final is_edge join) — when building it is
+    * expensive, MATERIALIZE it first (a checkpoint or a written
+    * intermediate, e.g. graft.queries.materialized). Deliberately no
+    * internal localCheckpoint: the returned frame would keep the
+    * blocks reachable, so the operator could never free them, and a
+    * session-pinned copy per call is exactly the block-hygiene leak
+    * [[Lineage]] exists to prevent. */
   def neighborJaccard(canonical: DataFrame,
       minMilli: Long = 100L): DataFrame = {
     val e = canonical.select(col("u"), col("v"))
-      .localCheckpoint(eager = false)
     val adj = e.select(col("u").as("n"), col("v").as("w"))
       .unionAll(e.select(col("v").as("n"), col("u").as("w")))
     val deg = adj.groupBy("n").agg(count(lit(1)).as("deg"))
@@ -403,31 +411,6 @@ object Graph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
-  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
-    * in a hyperlinked environment") — the link-analysis pair next to
-    * [[pageRank]]: an AUTHORITY is pointed to by good hubs, a HUB
-    * points to good authorities; the mutual recursion converges to
-    * the principal eigenvectors of AᵀA / AAᵀ. The classic "quality
-    * source vs quality aggregator" split of crawl frontier scoring,
-    * where PageRank conflates the two roles.
-    *
-    * Integer fixed-point discipline (same as [[pageRank]]): scores
-    * are int64 at [[Scale]]; each half-step sums exact integers then
-    * L1-normalizes back to Scale through a DECIMAL(38,0)
-    * cross-multiply. Unlike pageRank there is no degree division, so
-    * the raw L1 mass is bounded by E·Scale, not N·Scale — both the
-    * normalization TOTAL and the cross-multiply therefore run in
-    * DECIMAL(38,0) (an int64 total would wrap past ~9.2e6 edges);
-    * the quotient is ≤ Scale so it re-enters int64 exactly. Kleinberg normalizes in
-    * L2 — a DOCUMENTED deviation: normalization only rescales the
-    * iterate, never its direction, so the converged ranking is
-    * identical while every score stays an exact integer (no sqrt).
-    * Updates are in classic order: authorities from the PREVIOUS
-    * hubs, then hubs from the NEW authorities.
-    *
-    * Scale shape per iteration: two edge⋈score equi-joins with
-    * map-side-combined sums + two single-row totals (broadcast) —
-    * O(E) work per iteration, no all-pairs anywhere. */
   /** Synchronous label-propagation communities (Raghavan 2007, "Near
     * linear time algorithm to detect community structures") — every
     * node starts as its own label and each round adopts the most
@@ -527,6 +510,31 @@ object Graph {
           | END""".stripMargin).as("q_milli"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment") — the link-analysis pair next to
+    * [[pageRank]]: an AUTHORITY is pointed to by good hubs, a HUB
+    * points to good authorities; the mutual recursion converges to
+    * the principal eigenvectors of AᵀA / AAᵀ. The classic "quality
+    * source vs quality aggregator" split of crawl frontier scoring,
+    * where PageRank conflates the two roles.
+    *
+    * Integer fixed-point discipline (same as [[pageRank]]): scores
+    * are int64 at [[Scale]]; each half-step sums exact integers then
+    * L1-normalizes back to Scale through a DECIMAL(38,0)
+    * cross-multiply. Unlike pageRank there is no degree division, so
+    * the raw L1 mass is bounded by E·Scale, not N·Scale — both the
+    * normalization TOTAL and the cross-multiply therefore run in
+    * DECIMAL(38,0) (an int64 total would wrap past ~9.2e6 edges);
+    * the quotient is ≤ Scale so it re-enters int64 exactly. Kleinberg normalizes in
+    * L2 — a DOCUMENTED deviation: normalization only rescales the
+    * iterate, never its direction, so the converged ranking is
+    * identical while every score stays an exact integer (no sqrt).
+    * Updates are in classic order: authorities from the PREVIOUS
+    * hubs, then hubs from the NEW authorities.
+    *
+    * Scale shape per iteration: two edge⋈score equi-joins with
+    * map-side-combined sums + two single-row totals (broadcast) —
+    * O(E) work per iteration, no all-pairs anywhere. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 2): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

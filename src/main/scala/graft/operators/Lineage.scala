@@ -18,11 +18,15 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Lineage {
 
   /** Unpersist the materialized blocks behind a localCheckpointed
-    * frame (no-op for any other plan). ONLY call on frames the
-    * operator created itself — never on caller-supplied inputs,
-    * which may be shared (e.g. a `materialized` stage several
-    * queries reuse). Non-blocking: readers racing the release just
-    * recompute from lineage. */
+    * frame (no-op for any other plan). ONLY call on frames that are
+    * DEAD — nothing will read them again. localCheckpoint TRUNCATES
+    * lineage, so a reader racing the release cannot recompute the
+    * blocks; it fails. Never call on caller-supplied inputs (which
+    * may be shared, e.g. a `materialized` stage several queries
+    * reuse), and note the release walks the WHOLE analyzed plan: a
+    * frame merely DERIVED from a shared checkpoint would free the
+    * shared upstream blocks too — free the root checkpointed frame
+    * itself, which is what every current caller passes. */
   def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case l: LogicalRDD => l.rdd

@@ -615,11 +615,19 @@ object Sketches {
     }.toDF("v").distinct()
     val n = vals.count()
     require(n > 0, "heavyHittersExact needs at least one non-null row")
-    vals.join(cands, Seq("v"), "left_semi")
+    // the result is PROVABLY tiny (< k rows: each survivor holds
+    // > n/k of the mass), so materialize it eagerly and release the
+    // corpus-sized checkpoint — returning a lazy frame over `vals`
+    // would pin the whole column for the session (the dead-block
+    // leak [[Lineage]] exists for)
+    val out = vals.join(cands, Seq("v"), "left_semi")
       .groupBy("v").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * k > lit(n))
       .select(col("v"), col("cnt"),
         expr(s"cnt * 1000 div ${n}L").as("share_milli"))
+      .localCheckpoint(eager = true)
+    Lineage.freeLocalCheckpoint(vals)
+    out
   }
 
   /** EXACT k-th order statistic WITHOUT a global sort — radix
@@ -676,6 +684,10 @@ object Sketches {
       prefix = (prefix << 8) | byte_
       level += 1
     }
+    // the returned literal frame references NOTHING of `v` — release
+    // the materialized column now instead of pinning it for the
+    // session (dead blocks squeeze every later query's storage)
+    Lineage.freeLocalCheckpoint(v)
     spark.range(1).select(lit(k).as("k"),
       lit(prefix ^ Long.MinValue).as("value"))
   }

@@ -670,6 +670,29 @@ class SketchesSpec extends SparkSpec {
     assert(g2 == Seq(("a", 40L, 400L), ("b", 25L, 250L)), g2.toString)
   }
 
+  test("block hygiene: exactKth frees its localCheckpoint (zero " +
+      "pinned RDDs survive the call) and heavyHittersExact pins at " +
+      "most its tiny result") {
+    import graft.operators.Sketches
+    val sc = spark.sparkContext
+    def pinned: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val before = pinned
+    val r = Sketches.exactKth((1L to 1000L).toDF("x"), "x", 500L)
+      .as[(Long, Long)].head()
+    assert(r == ((500L, 500L)))
+    assert((pinned -- before).isEmpty,
+      s"exactKth left pinned RDD blocks behind: ${pinned -- before}")
+    val hh = Sketches.heavyHittersExact(
+      (Seq.fill(50)("a") ++ (0 until 10).map(_.toString)).toDF("x"),
+      "x", 3).as[(String, Long, Long)].collect()
+    assert(hh.toSeq == Seq(("a", 50L, 833L)))
+    // the corpus-sized vals checkpoint must be released; only the
+    // provably-<k-row result frame may stay materialized
+    val extra = pinned -- before
+    assert(extra.size <= 1,
+      s"expected at most the result RDD pinned, got $extra")
+  }
+
   test("hilbertValue is a neighbor-continuous bijection on the grid") {
     import graft.expressions.Hilbert
     // bits=1 base case: the U-shaped quadrant order (0,0) (0,1)
