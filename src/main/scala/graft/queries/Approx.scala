@@ -1519,6 +1519,159 @@ object Approx {
           lit(meta).as("meta_rows"))
     },
 
+    // LAKEHOUSE MERGE-ON-READ: deletion-vector DELETE (L20 — Delta
+    // DVs / Iceberg v2 position deletes): a 5-key purge against a
+    // 4-file snapshot commits ZERO rewritten data files — the dead
+    // positions ride a #dv= manifest line and readers anti-join them
+    // out. Values equal the NOT-BETWEEN oracle, the metadata row
+    // count stays exact (live = physical − |dv|), and the pruned
+    // read both skips on zones and masks the vector. This is the
+    // write-amplification fix for CDC at 100 TB: copy-on-write
+    // rewrites a whole zone-overlapping file per touched key.
+    Q("q_e2e_dv_delete",
+      """SELECT CAST(0 AS BIGINT) AS files_rewritten,
+        |  CAST(1 AS BIGINT) AS files_dvd,
+        |  CAST(4 AS BIGINT) AS files_after,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(count(*) AS BIGINT) AS meta_rows,
+        |  CAST(sum(CASE WHEN o_orderkey BETWEEN 900 AND 1100
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS pruned_rows
+        |FROM orders
+        |WHERE o_orderkey NOT BETWEEN 1000 AND 1004""".stripMargin) {
+      (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-dv-delete-q").toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      val bounds = Seq((-1L, 4000L), (4000L, 8000L),
+        (8000L, 12000L), (12000L, Long.MaxValue))
+      for ((lo, hi) <- bounds) {
+        graft.sources.ManifestTable.commitWithStats(
+          orders.filter(col("o_orderkey") > lo &&
+            col("o_orderkey") <= hi).coalesce(1),
+          table, append = true, "o_orderkey")
+      }
+      val (_, rewritten, dvd, after) = graft.sources.ManifestTable
+        .deleteRangeDv(s, table, "o_orderkey", 1000L, 1004L,
+          dvMaxFraction = 0.05)
+      val meta = graft.sources.ManifestTable.countRows(table)
+        .getOrElse(-1L)
+      val (pruned, _, _) = graft.sources.ManifestTable
+        .readPruned(s, table, "o_orderkey", 900L, 1100L)
+      val prunedN = pruned.agg(count(lit(1)).as("pruned_rows"))
+      graft.sources.ManifestTable.read(s, table)
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"))
+        .crossJoin(prunedN)
+        .select(lit(rewritten.toLong).as("files_rewritten"),
+          lit(dvd.toLong).as("files_dvd"),
+          lit(after.toLong).as("files_after"),
+          col("n_rows"), col("key_sum"),
+          lit(meta).as("meta_rows"), col("pruned_rows"))
+    },
+
+    // LAKEHOUSE MERGE-ON-READ: deletion-vector MERGE (L21): a CDC
+    // batch updating 3 keys of one file + inserting 3 far keys
+    // commits ZERO rewritten files — the matched positions DV, the
+    // new rows (matched keys' updates + inserts) land as ONE append
+    // file. Values equal the upsert oracle; metadata count exact.
+    Q("q_e2e_dv_merge",
+      """WITH up1 AS (SELECT o_orderkey AS k, o_custkey + 500000 AS p
+        |  FROM orders WHERE o_orderkey BETWEEN 2000 AND 2002),
+        |up2 AS (SELECT o_orderkey + 5000000 AS k, o_custkey AS p
+        |  FROM orders WHERE o_orderkey < 3),
+        |up AS (SELECT * FROM up1 UNION ALL SELECT * FROM up2),
+        |base AS (SELECT o_orderkey AS k, o_custkey AS p FROM orders),
+        |merged AS (SELECT k, p FROM base
+        |    WHERE k NOT IN (SELECT k FROM up)
+        |  UNION ALL SELECT k, p FROM up)
+        |SELECT CAST(0 AS BIGINT) AS files_rewritten,
+        |  CAST(1 AS BIGINT) AS files_dvd,
+        |  CAST(5 AS BIGINT) AS files_after,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(p) AS BIGINT) AS payload_sum,
+        |  CAST(count(*) AS BIGINT) AS meta_rows
+        |FROM merged""".stripMargin) { (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-dv-merge-q").toString
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("p"))
+      val bounds = Seq((-1L, 4000L), (4000L, 8000L),
+        (8000L, 12000L), (12000L, Long.MaxValue))
+      for ((lo, hi) <- bounds) {
+        graft.sources.ManifestTable.commitWithStats(
+          orders.filter(col("k") > lo && col("k") <= hi).coalesce(1),
+          table, append = true, "k")
+      }
+      val updates = orders.filter(col("k").between(2000, 2002))
+        .select(col("k"), (col("p") + 500000L).as("p"))
+        .unionByName(orders.filter(col("k") < 3)
+          .select((col("k") + 5000000L).as("k"), col("p")))
+      val (_, rewritten, dvd, after) = graft.sources.ManifestTable
+        .mergeByKeyDv(s, table, updates, "k", dvMaxFraction = 0.05)
+      val meta = graft.sources.ManifestTable.countRows(table)
+        .getOrElse(-1L)
+      graft.sources.ManifestTable.read(s, table)
+        .agg(count(lit(1)).as("n_rows"), sum("k").as("key_sum"),
+          sum("p").as("payload_sum"))
+        .select(lit(rewritten.toLong).as("files_rewritten"),
+          lit(dvd.toLong).as("files_dvd"),
+          lit(after.toLong).as("files_after"),
+          col("n_rows"), col("key_sum"), col("payload_sum"),
+          lit(meta).as("meta_rows"))
+    },
+
+    // LAKEHOUSE MERGE-ON-READ debt paydown (L22): OPTIMIZE purges
+    // the deletion vectors — the rewrite applies the masks once,
+    // the published manifest carries no #dv= lines, the metadata
+    // count stays exact through both steps, and statsBounds (None
+    // while DVs are live: a DV'd file's recorded extremes may be
+    // dead rows) turns metadata-answerable again because the
+    // DV-carrying group's stats are RE-DERIVED from the rewritten
+    // files, not merged from stale input arithmetic.
+    Q("q_e2e_dv_optimize",
+      """SELECT CAST(1 AS BIGINT) AS files_after_compact,
+        |  CAST(1 AS BIGINT) AS bounds_live,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_k,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_k,
+        |  CAST(count(*) AS BIGINT) AS meta_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE o_orderkey NOT BETWEEN 1000 AND 1004""".stripMargin) {
+      (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-dv-opt-q").toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      val bounds = Seq((-1L, 4000L), (4000L, 8000L),
+        (8000L, 12000L), (12000L, Long.MaxValue))
+      for ((lo, hi) <- bounds) {
+        graft.sources.ManifestTable.commitWithStats(
+          orders.filter(col("o_orderkey") > lo &&
+            col("o_orderkey") <= hi).coalesce(1),
+          table, append = true, "o_orderkey")
+      }
+      graft.sources.ManifestTable.deleteRangeDv(
+        s, table, "o_orderkey", 1000L, 1004L, dvMaxFraction = 0.05)
+      // while the DV is live, bounds must refuse (exact-or-None)
+      val dvBounds = graft.sources.ManifestTable
+        .statsBounds(table, "o_orderkey")
+      val (_, _, after) = graft.sources.ManifestTable
+        .compact(s, table, Long.MaxValue / 2)
+      val optBounds = graft.sources.ManifestTable
+        .statsBounds(table, "o_orderkey")
+      val meta = graft.sources.ManifestTable.countRows(table)
+        .getOrElse(-1L)
+      graft.sources.ManifestTable.read(s, table)
+        .agg(sum("o_orderkey").as("key_sum"))
+        .select(lit(after.toLong).as("files_after_compact"),
+          lit(if (dvBounds.isEmpty && optBounds.isDefined) 1L else 0L)
+            .as("bounds_live"),
+          lit(optBounds.map(_._1).getOrElse(-1L)).as("min_k"),
+          lit(optBounds.map(_._2).getOrElse(-1L)).as("max_k"),
+          lit(meta).as("meta_rows"), col("key_sum"))
+    },
+
     // LAKEHOUSE CDC-lite: incremental snapshot-diff read (L15 — what
     // an incremental consumer polls): three append commits; the diff
     // against v1 reads EXACTLY the two later commits' files (never

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import graft.operators.Lineage
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
 import scala.util.Using
@@ -71,18 +72,36 @@ object ManifestTable {
 
   private val noStats: Stats = Map.empty
 
+  /** Per-file DELETION VECTOR: the sorted distinct 0-based row
+    * positions (parquet `_metadata.row_index`) deleted from the file
+    * — the merge-on-read half of DML (Delta deletion vectors /
+    * Iceberg v2 position deletes): a small DELETE or MERGE marks the
+    * dead positions in the manifest instead of rewriting every
+    * zone-overlapping file, and readers anti-join the positions out.
+    * Rides as `#dv=path|p1,p2,...` comment lines — invisible to any
+    * reader that skips comments, same trick as `#stats=`. Production
+    * systems encode the positions as roaring bitmaps; a capped
+    * integer list keeps the manifest honest at this scale and the
+    * cap forces the copy-on-write fallback exactly where a bitmap
+    * would stop paying. */
+  private type Dvs = Map[String, Seq[Long]]
+
+  private val noDvs: Dvs = Map.empty
+
   private val emptyManifest =
-    Manifest(Seq.empty, noStats, Map.empty)
+    Manifest(Seq.empty, noStats, Map.empty, noDvs)
 
   /** One parsed manifest: data-file list, per-file zone stats
-    * (`#stats=path|col|min|max` lines), and per-file row counts
+    * (`#stats=path|col|min|max` lines), per-file row counts
     * (`#nrows=path|n` lines — [[commitWithStats]] records them from
     * the same distributed pass as the zones; files committed without
-    * the pass have no entry). */
+    * the pass have no entry), and per-file deletion vectors
+    * (`#dv=path|positions` lines; `#nrows` stays the PHYSICAL row
+    * count — live rows = nrows − |dv|). */
   private final case class Manifest(files: Seq[String], stats: Stats,
-      rows: Map[String, Long]) {
+      rows: Map[String, Long], dvs: Dvs) {
     def metaLinesFor(fs: Seq[String]): Seq[String] =
-      ManifestTable.metaLines(fs, stats, rows)
+      ManifestTable.metaLines(fs, stats, rows, dvs)
   }
 
   /** One manifest read parsed into [[Manifest]]: data lines are
@@ -109,17 +128,28 @@ object ManifestTable {
         val q = l.drop(7).split('|')
         q(0) -> q(1).toLong
       }.toMap
-    Manifest(files, stats, rows)
+    // several #dv= lines for one file union (each marks more dead
+    // positions); parsed form is always sorted distinct
+    val dvs: Dvs = ls.filter(_.startsWith("#dv="))
+      .map { l =>
+        val q = l.drop(4).split('|')
+        q(0) -> q(1).split(',').map(_.toLong).toSeq
+      }
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).distinct.sorted.toSeq).toMap
+    Manifest(files, stats, rows, dvs)
   }
 
   private def filesOf(table: String, version: Long): Seq[String] =
     manifestOf(table, version).files
 
   private def metaLines(files: Seq[String], stats: Stats,
-      rows: Map[String, Long]): Seq[String] =
+      rows: Map[String, Long], dvs: Dvs = noDvs): Seq[String] =
     files.flatMap(f => stats.getOrElse(f, Seq.empty)
       .map { case (c, mn, mx) => s"#stats=$f|$c|$mn|$mx" }) ++
-      files.flatMap(f => rows.get(f).map(n => s"#nrows=$f|$n"))
+      files.flatMap(f => rows.get(f).map(n => s"#nrows=$f|$n")) ++
+      files.flatMap(f => dvs.get(f).filter(_.nonEmpty)
+        .map(ps => s"#dv=$f|${ps.mkString(",")}"))
 
   /** Stage `df`'s data files under a writer-unique prefix and return
     * their sorted relative paths. Conflict-free by construction, so
@@ -267,8 +297,13 @@ object ManifestTable {
     * replaced, new keys appended), so the table converges to
     * latest-row-per-key instead of append history. Within a batch,
     * `orderCol` picks the LATEST row per key (a CDC batch can carry
-    * several updates to one key; mergeByKey requires one), with the
-    * key itself as the final tie-break so the pick is deterministic.
+    * several updates to one key; mergeByKey requires one). Rows tied
+    * on (key, orderCol) break on a VALUE hash of the full row — the
+    * key itself is constant within its window partition, so only a
+    * real data discriminator makes the pick a pure function of the
+    * batch's VALUES (what replay convergence needs: a checkpoint
+    * replay or full rerun re-picks the same row; fully identical
+    * duplicate rows tie harmlessly — either pick is the same row).
     *
     * Exactly-once here needs NO batch tags: a keyed MERGE is
     * idempotent by VALUE (replaying a batch upserts the same rows to
@@ -282,7 +317,7 @@ object ManifestTable {
   def streamMerge(stream: DataFrame, table: String, checkpoint: String,
       keyCol: String, orderCol: String): Unit = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.functions.{col, row_number, xxhash64}
     val q = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -290,7 +325,8 @@ object ManifestTable {
         val latest = batch
           .withColumn("__rn", row_number().over(
             Window.partitionBy(keyCol)
-              .orderBy(col(orderCol).desc, col(keyCol))))
+              .orderBy(col(orderCol).desc,
+                xxhash64(batch.columns.map(col): _*).asc)))
           .filter(col("__rn") === 1).drop("__rn")
         if (!latest.isEmpty) {
           mergeByKey(batch.sparkSession, table, latest, keyCol)
@@ -402,6 +438,52 @@ object ManifestTable {
       expect.filterNot(counts.contains).map(_ -> 0L).toMap)
   }
 
+  /** Append the per-file identity columns every DV operation keys on:
+    * `__b` (file basename — staged part names carry task UUIDs, so
+    * basenames are snapshot-unique) and `__p` (the physical row
+    * position `_metadata.row_index`). Must be projected directly on
+    * the file-source relation (the hidden `_metadata` column does not
+    * survive joins). */
+  private def withFilePos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    df.select(col("*"),
+      regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("__b"),
+      col("_metadata.row_index").as("__p"))
+  }
+
+  /** Anti-join a snapshot's deletion vectors out of a frame carrying
+    * [[withFilePos]]'s (`__b`, `__p`) columns, restricted to `files`.
+    * No-op (same frame back) when none of the files carry a DV. The
+    * DV table is manifest-metadata-sized and broadcast — at 100 TB
+    * the mask costs a broadcast-hash anti-join on the scan, never a
+    * shuffle of the data. */
+  private def maskDvs(spark: SparkSession, df: DataFrame, dvs: Dvs,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val relevant = files.flatMap(f =>
+      dvs.get(f).filter(_.nonEmpty).map(f.split('/').last -> _))
+    if (relevant.isEmpty) df
+    else {
+      import spark.implicits._
+      val dvRows = relevant
+        .flatMap { case (b, ps) => ps.map(p => (b, p)) }
+        .toDF("__b", "__p")
+      df.join(broadcast(dvRows), Seq("__b", "__p"), "left_anti")
+    }
+  }
+
+  /** [[withFilePos]] + [[maskDvs]] + drop the identity columns — the
+    * LIVE rows of the given files under the snapshot's DVs. */
+  private def readLive(spark: SparkSession, root: Path,
+      files: Seq[String], dvs: Dvs,
+      mergeSchema: Boolean = false): DataFrame = {
+    val raw = spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(f => root.resolve(f).toString): _*)
+    if (!files.exists(f => dvs.get(f).exists(_.nonEmpty))) raw
+    else maskDvs(spark, withFilePos(raw), dvs, files)
+      .drop("__b", "__p")
+  }
+
   /** Predicate-pruned snapshot read: plan the scan from the
     * manifest's `#stats=` zone lines — only files whose [min, max]
     * intersects [lo, hi] on `statsCol` are opened (files without
@@ -434,7 +516,7 @@ object ManifestTable {
     require(vs.contains(v),
       s"version $v of $table does not exist (live: " +
         s"${vs.mkString(", ")})")
-    val Manifest(files, stats, nrows) = manifestOf(table, v)
+    val Manifest(files, stats, nrows, dvs) = manifestOf(table, v)
     require(files.nonEmpty,
       s"snapshot v$v of $table lists no data files — a pruned read " +
         "has no schema to produce; read() an earlier version or " +
@@ -442,7 +524,9 @@ object ManifestTable {
     // an entry recorded for ANOTHER column never prunes — the file
     // simply scans (skipping is an optimization, never a filter);
     // a file KNOWN empty (#nrows=0 — an empty range slice has no
-    // stats lines to prune on) skips exactly: zero rows match
+    // stats lines to prune on) skips exactly: zero rows match. A
+    // DV'd file's zones stay CONSERVATIVE (deleting rows can only
+    // narrow the true range), so pruning on them is always sound.
     val kept = files.filter { f =>
       val lines = stats.getOrElse(f, Seq.empty)
       !nrows.get(f).contains(0L) &&
@@ -453,8 +537,7 @@ object ManifestTable {
     }
     val root = Paths.get(table)
     val base =
-      if (kept.nonEmpty)
-        spark.read.parquet(kept.map(f => root.resolve(f).toString): _*)
+      if (kept.nonEmpty) readLive(spark, root, kept, dvs)
       else
         spark.read.parquet(files.map(f => root.resolve(f).toString): _*)
           .filter(lit(false))
@@ -480,7 +563,12 @@ object ManifestTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"no snapshot v$v under $table (have $vs)")
     val m = manifestOf(table, v)
-    val counts = m.files.map(m.rows.get)
+    // live rows = physical rows − the file's DV cardinality:
+    // positions are distinct and each names exactly one physical
+    // row, so the subtraction is exact, and metadata-only counts
+    // survive merge-on-read DML
+    val counts = m.files.map(f => m.rows.get(f)
+      .map(_ - m.dvs.getOrElse(f, Seq.empty).size))
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 
@@ -494,7 +582,11 @@ object ManifestTable {
     * the folded answer is exact — served only when it is; any file
     * with unknown stats AND unknown-or-nonzero rows returns None
     * and callers fall back to a scan. None also when every live
-    * file is empty (no extrema exist). */
+    * file is empty (no extrema exist), and None when any live file
+    * carries a DELETION VECTOR: a DV'd file's recorded min/max may
+    * BE a deleted row, so the fold would only bound the answer, not
+    * equal it (exact-or-None; an OPTIMIZE purges the DVs and makes
+    * bounds metadata-answerable again). */
   def statsBounds(table: String, colName: String,
       version: Option[Long] = None): Option[(Long, Long)] = {
     val vs = versions(table)
@@ -502,6 +594,8 @@ object ManifestTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"no snapshot v$v under $table (have $vs)")
     val m = manifestOf(table, v)
+    if (m.files.exists(f => m.dvs.get(f).exists(_.nonEmpty)))
+      return None
     val perFile: Seq[Option[Option[(Long, Long)]]] = m.files.map { f =>
       m.stats.getOrElse(f, Seq.empty).find(_._1 == colName) match {
         case Some((_, mn, mx)) => Some(Some((mn, mx)))
@@ -542,12 +636,16 @@ object ManifestTable {
     require(sinceVersion <= to,
       s"sinceVersion $sinceVersion is after toVersion $to")
     val before = filesOf(table, sinceVersion).toSet
-    val toFiles = filesOf(table, to)
+    val toM = manifestOf(table, to)
+    val toFiles = toM.files
     val added = toFiles.filterNot(before)
     val root = Paths.get(table)
     val frame =
       if (added.nonEmpty)
-        spark.read.parquet(added.map(f => root.resolve(f).toString): _*)
+        // toVersion's DVs apply to the added files too: a row both
+        // inserted and DV-deleted inside the window is not a change
+        // the consumer should see
+        readLive(spark, root, added, toM.dvs)
       else {
         require(toFiles.nonEmpty,
           s"snapshot v$to of $table lists no data files — an empty " +
@@ -582,58 +680,157 @@ object ManifestTable {
     * snapshot). */
   def deleteRange(spark: SparkSession, table: String,
       statsCol: String, lo: Long, hi: Long): (Long, Int, Int) = {
-    import org.apache.spark.sql.functions.{col, lit, not}
+    val (v, rewritten, _, after) =
+      deleteRangeDv(spark, table, statsCol, lo, hi, dvMaxFraction = 0.0)
+    (v, rewritten, after)
+  }
+
+  /** [[deleteRange]] with MERGE-ON-READ deletion vectors (the Delta
+    * DV / Iceberg v2 position-delete posture): candidate files whose
+    * live matching rows are few — at most `dvMaxFraction` of the
+    * file's live rows AND at most `dvMaxPositions` — publish their
+    * dead positions as a `#dv=` manifest line instead of being
+    * rewritten, so a one-key GDPR purge against a 100 TB table
+    * commits ZERO rewritten data files. Files above the threshold
+    * take the copy-on-write path (a DV longer than a meaningful
+    * fraction of the file costs more to carry and mask than the
+    * rewrite it avoids — the same crossover real DV encodings tune).
+    * Zone-level false positives (candidate files holding NO matching
+    * row) are carried untouched in DV mode — the match scan that
+    * prices the DV decision proves their absence for free.
+    *
+    * `dvMaxFraction = 0.0` is exactly classic [[deleteRange]]: pure
+    * zone-level planning, no match scan, every candidate rewritten.
+    * Read-side cost of a DV: a broadcast anti-join on (file,
+    * position) during scans of that file, purged by the next
+    * [[compact]] of its group. [[countRows]] stays exact (live =
+    * physical − |dv|); [[statsBounds]] degrades to None while DVs
+    * are live (exact-or-None).
+    *
+    * Concurrency: the [[compact]]/CoW conflict rules, PLUS abort if
+    * a rival DV landed on any of our inputs between plan and publish
+    * (our position lists and rewrite would silently resurrect the
+    * rival's deletes otherwise).
+    *
+    * Returns (published version, files rewritten, files DV'd, files
+    * in the new snapshot). */
+  def deleteRangeDv(spark: SparkSession, table: String,
+      statsCol: String, lo: Long, hi: Long, dvMaxFraction: Double,
+      dvMaxPositions: Int = 10000): (Long, Int, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, count, lit, not, sum,
+      when}
+    require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
+      s"dvMaxFraction must be in [0, 1]: $dvMaxFraction")
+    require(dvMaxPositions > 0,
+      s"dvMaxPositions must be positive: $dvMaxPositions")
     val vs = versions(table)
     require(vs.nonEmpty, s"no published version in $table")
     val latest = vs.last
     val m = manifestOf(table, latest)
-    val (touched, untouchedAtPlan) = m.files.partition { f =>
+    val candidates = m.files.filter { f =>
       m.stats.getOrElse(f, Seq.empty).find(_._1 == statsCol) match {
         case Some((_, mn, mx)) => mx >= lo && mn <= hi
         case None => true // no zones — might hold matches
       }
     }
-    if (touched.isEmpty)
-      return (latest, 0, untouchedAtPlan.size)
+    if (candidates.isEmpty)
+      return (latest, 0, 0, m.files.size)
     val root = Paths.get(table)
+    val matchPred =
+      col(statsCol).isNotNull && col(statsCol).between(lo, hi)
+    def liveOf(files: Seq[String]): DataFrame =
+      maskDvs(spark, withFilePos(
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => root.resolve(f).toString): _*)),
+        m.dvs, files)
+    // DV vs rewrite, per candidate: one counting scan of the
+    // candidates (dv mode only — CoW mode keeps the pure zone-level
+    // plan and never pays a pre-scan)
+    val (dvFiles, cowFiles) =
+      if (dvMaxFraction <= 0.0) (Seq.empty[String], candidates)
+      else {
+        val byBase = liveOf(candidates).groupBy(col("__b"))
+          .agg(sum(when(matchPred, 1L).otherwise(0L)).as("__m"),
+            count(lit(1)).as("__n"))
+          .collect().map(r => r.getString(0) ->
+            (if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2)))
+          .toMap
+        val split = candidates.flatMap { f =>
+          byBase.get(f.split('/').last) match {
+            case None | Some((0L, _)) => None // proven empty: carry
+            case Some((mm, nn)) if mm <= dvMaxPositions.toLong &&
+                mm.toDouble <= dvMaxFraction * nn => Some((f, true))
+            case Some(_) => Some((f, false))
+          }
+        }
+        (split.collect { case (f, true) => f },
+          split.collect { case (f, false) => f })
+      }
+    if (dvFiles.isEmpty && cowFiles.isEmpty)
+      return (latest, 0, 0, m.files.size) // nothing matches anywhere
+    // DV path: the matched live rows' physical positions, unioned
+    // with any existing vector (driver-bounded by the per-file cap)
+    val dvUpdates: Dvs =
+      if (dvFiles.isEmpty) noDvs
+      else {
+        val pathOf = dvFiles.map(f => f.split('/').last -> f).toMap
+        val hits = liveOf(dvFiles).filter(matchPred)
+          .select(col("__b"), col("__p"))
+          .collect().map(r => (pathOf(r.getString(0)), r.getLong(1)))
+        hits.groupBy(_._1).view.mapValues { ps =>
+          (m.dvs.getOrElse(ps.head._1, Seq.empty) ++ ps.map(_._2))
+            .distinct.sorted
+        }.toMap
+      }
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val stageDir = Paths.get(table, "data", s"d-$nonce")
-    val src = spark.read.option("mergeSchema", "true")
-      .parquet(touched.map(f => root.resolve(f).toString): _*)
-    src
-      .filter(col(statsCol).isNull ||
-        not(col(statsCol).between(lo, hi)))
-      .write.mode("errorifexists").parquet(stageDir.toString)
-    var staged = Using.resource(Files.list(stageDir)) { st =>
-      st.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
-        .toSeq.sorted
-        .map(n => s"data/d-$nonce/$n")
-    }
-    // columns every touched input carried stats for — recompute so
+    var staged =
+      if (cowFiles.isEmpty) Seq.empty[String]
+      else {
+        liveOf(cowFiles).drop("__b", "__p")
+          .filter(col(statsCol).isNull ||
+            not(col(statsCol).between(lo, hi)))
+          .write.mode("errorifexists").parquet(stageDir.toString)
+        Using.resource(Files.list(stageDir)) { st =>
+          st.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+            .toSeq.sorted
+            .map(n => s"data/d-$nonce/$n")
+        }
+      }
+    // columns every rewritten input carried stats for — recompute so
     // the rewrite doesn't erode the snapshot's prunability
-    val keepCols = touched.map(f =>
-        m.stats.getOrElse(f, Seq.empty).map(_._1).toSet)
-      .reduce(_ intersect _).toSeq.sorted
+    val keepCols =
+      if (cowFiles.isEmpty) Seq.empty[String]
+      else cowFiles.map(f =>
+          m.stats.getOrElse(f, Seq.empty).map(_._1).toSet)
+        .reduce(_ intersect _).toSeq.sorted
     val (newStats, newRows) =
       if (staged.isEmpty) (noStats, Map.empty[String, Long])
       else fileMeta(spark, stageDir.toString, s"data/d-$nonce",
         keepCols, staged)
-    val touchedSet = touched.toSet
+    val cowSet = cowFiles.toSet
+    val inputSet = cowSet ++ dvFiles
     var after = 0
     val v = publishLoop(table, nonce, "deleteRange") { snapshot =>
       val cur = manifestOf(table, snapshot.last)
-      require(touchedSet.subsetOf(cur.files.toSet),
+      require(inputSet.subsetOf(cur.files.toSet),
         s"concurrent rewrite removed a delete input of $table — " +
           "aborting rather than double-applying DML")
-      val carried = cur.files.filterNot(touchedSet)
+      require(inputSet.forall(f => cur.dvs.getOrElse(f, Seq.empty) ==
+          m.dvs.getOrElse(f, Seq.empty)),
+        s"concurrent DV landed on a delete input of $table — " +
+          "aborting rather than resurrecting the rival's deletes")
+      val carried = cur.files.filterNot(cowSet)
       if (carried.isEmpty && staged.isEmpty) {
         // everything deleted: keep the snapshot readable (schema
         // survives) with one explicit empty file
         val emptyDir = Paths.get(table, "data", s"d-$nonce-empty")
         if (!Files.isDirectory(emptyDir))
-          src.limit(0).coalesce(1)
+          spark.read.option("mergeSchema", "true")
+            .parquet(cowFiles.map(f => root.resolve(f).toString): _*)
+            .limit(0).coalesce(1)
             .write.mode("errorifexists").parquet(emptyDir.toString)
         staged = Using.resource(Files.list(emptyDir)) { st =>
           st.iterator().asScala
@@ -644,10 +841,18 @@ object ManifestTable {
         }
       }
       after = carried.size + staged.size
-      Right(cur.metaLinesFor(carried) ++
-        metaLines(staged, newStats, newRows) ++ carried ++ staged)
+      // the delete-all placeholder is staged AFTER fileMeta ran, so
+      // backfill its #nrows line here — its count is exactly 0 by
+      // construction (same zero-row backfill fileMeta applies), which
+      // keeps countRows/statsBounds exact instead of degrading to
+      // None after a full purge
+      val rowsAll = newRows ++
+        staged.filterNot(newRows.contains).map(_ -> 0L)
+      Right(metaLines(carried, cur.stats, cur.rows,
+          cur.dvs ++ dvUpdates) ++
+        metaLines(staged, newStats, rowsAll) ++ carried ++ staged)
     }
-    (v, touched.size, after)
+    (v, cowFiles.size, dvFiles.size, after)
   }
 
   /** Copy-on-write MERGE by key — Delta's `MERGE INTO … WHEN MATCHED
@@ -678,9 +883,35 @@ object ManifestTable {
     * snapshot). */
   def mergeByKey(spark: SparkSession, table: String,
       updates: DataFrame, keyCol: String): (Long, Int, Int) = {
-    import org.apache.spark.sql.functions.{broadcast, col, count,
-      lit}
+    val (v, rewritten, _, after) =
+      mergeByKeyDv(spark, table, updates, keyCol, dvMaxFraction = 0.0)
+    (v, rewritten, after)
+  }
+
+  /** [[mergeByKey]] with MERGE-ON-READ deletion vectors: a candidate
+    * file whose matched live rows are few — at most `dvMaxFraction`
+    * of its live rows AND at most `dvMaxPositions` — gets its matched
+    * positions published as a `#dv=` line instead of being rewritten;
+    * the matched keys' NEW rows ride the batch's single insert file.
+    * A CDC batch touching one key per file thus commits ZERO
+    * rewritten data files — the write-amplification cliff Delta DVs /
+    * Iceberg v2 position deletes exist for. Files above the threshold
+    * take the copy-on-write rewrite; candidates the match scan proves
+    * key-free are carried untouched. `dvMaxFraction = 0.0` is exactly
+    * classic [[mergeByKey]] (zone-level planning, no match scan).
+    *
+    * Returns (published version, files rewritten, files DV'd, files
+    * in the new snapshot). */
+  def mergeByKeyDv(spark: SparkSession, table: String,
+      updates: DataFrame, keyCol: String, dvMaxFraction: Double,
+      dvMaxPositions: Int = 10000): (Long, Int, Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col,
+      count, lit, sum}
     import spark.implicits._
+    require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
+      s"dvMaxFraction must be in [0, 1]: $dvMaxFraction")
+    require(dvMaxPositions > 0,
+      s"dvMaxPositions must be positive: $dvMaxPositions")
     val vs = versions(table)
     require(vs.nonEmpty, s"no published version in $table")
     val latest = vs.last
@@ -702,7 +933,7 @@ object ManifestTable {
         .join(broadcast(zoned.toDF("__f", "__mn", "__mx")),
           col("__k").between(col("__mn"), col("__mx")))
         .select("__f").distinct().as[String].collect().toSet
-    val touched = m.files.filter(f =>
+    val candidates = m.files.filter(f =>
       hitFiles.contains(f) || zoneless.contains(f))
     val root = Paths.get(table)
     val nonce = java.util.UUID.randomUUID().toString.take(12)
@@ -713,7 +944,58 @@ object ManifestTable {
     require(updates.columns.toSet == tableCols.toSet,
       s"updates schema ${updates.columns.toSeq} must match table " +
         s"columns $tableCols")
+    require(!tableCols.contains("__b") && !tableCols.contains("__p"),
+      s"mergeByKey's internal columns collide with table columns of " +
+        s"$table")
     val up = updates.select(tableCols.map(col): _*)
+    val upKeys = up.select(col(keyCol)).distinct()
+    def liveOf(files: Seq[String]): DataFrame =
+      maskDvs(spark, withFilePos(
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => root.resolve(f).toString): _*)),
+        m.dvs, files)
+    // DV vs rewrite, per candidate (dv mode only): one counting scan
+    // of the candidates with the batch's keys broadcast onto it
+    val (dvFiles, cowFiles) =
+      if (dvMaxFraction <= 0.0 || candidates.isEmpty)
+        (Seq.empty[String], candidates)
+      else {
+        val byBase = liveOf(candidates)
+          .join(broadcast(upKeys.withColumn("__hit", lit(1L))),
+            Seq(keyCol), "left")
+          .groupBy(col("__b"))
+          .agg(sum(coalesce(col("__hit"), lit(0L))).as("__m"),
+            count(lit(1)).as("__n"))
+          .collect().map(r => r.getString(0) ->
+            (if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2)))
+          .toMap
+        val split = candidates.flatMap { f =>
+          byBase.get(f.split('/').last) match {
+            case None | Some((0L, _)) => None // proven key-free: carry
+            case Some((mm, nn)) if mm <= dvMaxPositions.toLong &&
+                mm.toDouble <= dvMaxFraction * nn => Some((f, true))
+            case Some(_) => Some((f, false))
+          }
+        }
+        (split.collect { case (f, true) => f },
+          split.collect { case (f, false) => f })
+      }
+    // DV path: matched live rows' positions; their replacement rows
+    // ride the insert file below (the key is NOT in any CoW file's
+    // base keys, so the anti-join keeps them)
+    val dvUpdates: Dvs =
+      if (dvFiles.isEmpty) noDvs
+      else {
+        val pathOf = dvFiles.map(f => f.split('/').last -> f).toMap
+        val hits = liveOf(dvFiles)
+          .join(broadcast(upKeys), Seq(keyCol), "left_semi")
+          .select(col("__b"), col("__p"))
+          .collect().map(r => (pathOf(r.getString(0)), r.getLong(1)))
+        hits.groupBy(_._1).view.mapValues { ps =>
+          (m.dvs.getOrElse(ps.head._1, Seq.empty) ++ ps.map(_._2))
+            .distinct.sorted
+        }.toMap
+      }
     def listStaged(dir: Path, prefix: String): Seq[String] =
       Using.resource(Files.list(dir)) { st =>
         st.iterator().asScala
@@ -722,26 +1004,28 @@ object ManifestTable {
           .toSeq.sorted
           .map(n => s"$prefix/$n")
       }
+    var toFree = Seq.empty[DataFrame]
     val (rewrittenStaged, inserts) =
-      if (touched.isEmpty) (Seq.empty[String], up)
+      if (cowFiles.isEmpty) (Seq.empty[String], up)
       else {
-        val base = spark.read.option("mergeSchema", "true")
-          .parquet(touched.map(f => root.resolve(f).toString): _*)
+        val base = liveOf(cowFiles)
           .select(tableCols.map(col): _*)
           .localCheckpoint(eager = false)
         val baseKeys = base.select(col(keyCol)).distinct()
           .localCheckpoint(eager = false)
+        toFree = Seq(base, baseKeys)
         val replaced = base
           .join(up.select(col(keyCol)), Seq(keyCol), "left_anti")
           .unionByName(up.join(baseKeys, Seq(keyCol), "left_semi"))
         val stageDir = Paths.get(table, "data", s"m-$nonce")
-        // keep the file count at the touched-file count: the rewrite
+        // keep the file count at the rewritten-file count: the rewrite
         // replaces N files with N, not with one-per-shuffle-partition
-        replaced.coalesce(touched.size)
+        replaced.coalesce(cowFiles.size)
           .write.mode("errorifexists").parquet(stageDir.toString)
-        // inserts: update keys matching NO touched file (untouched
-        // files provably hold none of the batch's keys — the zone
-        // proof)
+        // inserts: update keys matching NO rewritten file (untouched
+        // files provably hold none of the batch's keys — the zone or
+        // match-scan proof; DV'd rows are dead, so their keys' new
+        // rows insert)
         (listStaged(stageDir, s"data/m-$nonce"),
           up.join(baseKeys, Seq(keyCol), "left_anti"))
       }
@@ -757,11 +1041,14 @@ object ManifestTable {
           .write.mode("errorifexists").parquet(insertDir.toString)
         listStaged(insertDir, s"data/m-$nonce-ins")
       }
-    // re-record metadata over the columns all touched inputs carried
-    // (fresh tables / no touched: just the key column)
+    // both writes consumed the base checkpoints — release them now
+    // instead of pinning a touched-files-sized copy per MERGE call
+    toFree.foreach(Lineage.freeLocalCheckpoint)
+    // re-record metadata over the columns all rewritten inputs
+    // carried (fresh tables / no rewrite: just the key column)
     val keepCols =
-      if (touched.isEmpty) Seq(keyCol)
-      else touched.map(f =>
+      if (cowFiles.isEmpty) Seq(keyCol)
+      else cowFiles.map(f =>
           m.stats.getOrElse(f, Seq.empty).map(_._1).toSet)
         .reduce(_ intersect _).toSeq.sorted
     def metaOf(dir: Path, prefix: String, paths: Seq[String])
@@ -774,21 +1061,27 @@ object ManifestTable {
       rewrittenStaged)
     val (insStats, insRows) = metaOf(insertDir, s"data/m-$nonce-ins",
       insertStaged)
-    val touchedSet = touched.toSet
+    val cowSet = cowFiles.toSet
+    val inputSet = cowSet ++ dvFiles
     var after = 0
     val v = publishLoop(table, nonce, "mergeByKey") { snapshot =>
       val cur = manifestOf(table, snapshot.last)
-      require(touchedSet.subsetOf(cur.files.toSet),
+      require(inputSet.subsetOf(cur.files.toSet),
         s"concurrent rewrite removed a merge input of $table — " +
           "aborting rather than double-applying DML")
-      val carried = cur.files.filterNot(touchedSet)
+      require(inputSet.forall(f => cur.dvs.getOrElse(f, Seq.empty) ==
+          m.dvs.getOrElse(f, Seq.empty)),
+        s"concurrent DV landed on a merge input of $table — " +
+          "aborting rather than resurrecting the rival's deletes")
+      val carried = cur.files.filterNot(cowSet)
       val staged = rewrittenStaged ++ insertStaged
       after = carried.size + staged.size
-      Right(cur.metaLinesFor(carried) ++
+      Right(metaLines(carried, cur.stats, cur.rows,
+          cur.dvs ++ dvUpdates) ++
         metaLines(staged, rwStats ++ insStats, rwRows ++ insRows) ++
         carried ++ staged)
     }
-    (v, touched.size, after)
+    (v, cowFiles.size, dvFiles.size, after)
   }
 
   /** OPTIMIZE — the compaction half next to [[vacuum]]'s retention:
@@ -839,8 +1132,11 @@ object ManifestTable {
     val vs = versions(table)
     require(vs.nonEmpty, s"no published version in $table")
     val latest = vs.last
-    val files = filesOf(table, latest)
+    val m0 = manifestOf(table, latest)
+    val files = m0.files
     val root = Paths.get(table)
+    def hasDv(f: String): Boolean =
+      m0.dvs.get(f).exists(_.nonEmpty)
     // prefix-sum packing in manifest order (compactionPlan's rule,
     // driver-side: the file list IS metadata)
     var cum = 0L
@@ -850,7 +1146,12 @@ object ManifestTable {
       cum += sz
       (f, grp)
     }.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.map(_._1))
-    val (single, multi) = grouped.partition(_.size == 1)
+    // already-one-file groups are carried untouched — UNLESS a member
+    // carries a deletion vector: OPTIMIZE is where merge-on-read debt
+    // is paid down, so DV'd files always rewrite (the rewrite applies
+    // the mask and the published manifest drops the #dv= line)
+    val (single, multi) = grouped.partition(g =>
+      g.size == 1 && !g.exists(hasDv))
     if (multi.isEmpty) return (latest, files.size, files.size)
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     // ONE job rewrites every group: tag each input row with its
@@ -861,8 +1162,7 @@ object ManifestTable {
     // driver-looped jobs. mergeSchema so groups whose inputs span a
     // schema-evolution boundary rewrite under the union schema
     // instead of silently dropping late columns.
-    import org.apache.spark.sql.functions.{broadcast, col,
-      regexp_extract}
+    import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
     val grpOf = multi.zipWithIndex.flatMap { case (grp, gi) =>
       grp.map(f => (f.split('/').last, gi))
@@ -870,12 +1170,14 @@ object ManifestTable {
     val src = spark.read.option("mergeSchema", "true")
       .parquet(multi.flatten.map(f => root.resolve(f).toString): _*)
     val dataCols = src.columns.toSeq
-    require(!dataCols.contains("__grp") && !dataCols.contains("__base"),
+    require(!dataCols.contains("__grp") && !dataCols.contains("__base") &&
+        !dataCols.contains("__b") && !dataCols.contains("__p"),
       s"compact's internal columns collide with table columns of $table")
     val stageRoot = Paths.get(table, "data", s".c-$nonce-stage")
-    src
-      .withColumn("__base",
-        regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
+    // DV'd inputs rewrite through their mask (the dead rows fall out
+    // here, once, instead of at every subsequent read)
+    maskDvs(spark, withFilePos(src), m0.dvs, multi.flatten)
+      .withColumnRenamed("__b", "__base")
       .join(broadcast(grpOf.toDF("__base", "__grp")), "__base")
       .repartition(multi.size, col("__grp"))
       .select((dataCols.map(col) :+ col("__grp")): _*)
@@ -911,35 +1213,62 @@ object ManifestTable {
     deleteRecursively(stageRoot)
     val stagedFiles = staged.flatMap(_._2)
     val rewritten = multi.flatten.toSet
+    // groups that paid down merge-on-read debt: the inputs' manifest
+    // arithmetic no longer bounds their output EXACTLY (the masked
+    // rows may have held the min/max), so re-derive stats + counts
+    // from the rewritten files — one scan of just-written hot data,
+    // only for DV-carrying groups; statsBounds turns exact again the
+    // moment the DVs purge
+    val dvGroupMeta: Map[Int, (Stats, Map[String, Long])] =
+      staged.flatMap { case (gi, outs) =>
+        if (!multi(gi).exists(hasDv)) None
+        else {
+          val common = multi(gi).map(f =>
+              m0.stats.getOrElse(f, Seq.empty).map(_._1).toSet)
+            .reduce(_ intersect _).toSeq.sorted
+          Some(gi -> fileMeta(spark,
+            Paths.get(table, "data", s"c-$nonce-$gi").toString,
+            s"data/c-$nonce-$gi", common, outs))
+        }
+      }.toMap
     var after = 0
     val v = publishLoop(table, nonce, "compact") { snapshot =>
       val cur = manifestOf(table, snapshot.last)
       require(rewritten.subsetOf(cur.files.toSet),
         s"concurrent rewrite removed a compacted input of $table — " +
           "aborting rather than resurrecting dropped rows")
+      require(rewritten.forall(f => cur.dvs.getOrElse(f, Seq.empty) ==
+          m0.dvs.getOrElse(f, Seq.empty)),
+        s"concurrent DV landed on a compacted input of $table — " +
+          "aborting rather than resurrecting the rival's deletes")
       // rivals' appends since our snapshot ride along untouched;
       // survivors keep their zone lines, and compacted outputs get
       // MERGED lines for every column all their inputs carry — the
       // union's min(mins)/max(maxes) bounds any output file exactly.
       // Row counts merge the same way (the output holds exactly the
       // sum of its inputs' rows) when every input carries one.
+      // DV-carrying groups use the recomputed meta instead.
       val carried = cur.files.filterNot(rewritten.contains)
       val mergedMetaLines = staged.flatMap { case (gi, outs) =>
-        val entryLists = multi(gi).map(f =>
-          cur.stats.getOrElse(f, Seq.empty))
-        val common = entryLists.map(_.map(_._1).toSet)
-          .reduce(_ intersect _)
-        val perCol = common.toSeq.sorted.map { c =>
-          val es = entryLists.map(_.find(_._1 == c).get)
-          (c, es.map(_._2).min, es.map(_._3).max)
+        dvGroupMeta.get(gi) match {
+          case Some((st, rw)) => metaLines(outs, st, rw)
+          case None =>
+            val entryLists = multi(gi).map(f =>
+              cur.stats.getOrElse(f, Seq.empty))
+            val common = entryLists.map(_.map(_._1).toSet)
+              .reduce(_ intersect _)
+            val perCol = common.toSeq.sorted.map { c =>
+              val es = entryLists.map(_.find(_._1 == c).get)
+              (c, es.map(_._2).min, es.map(_._3).max)
+            }
+            val counts = multi(gi).map(cur.rows.get)
+            val nLine =
+              if (outs.size == 1 && counts.forall(_.isDefined))
+                Seq(s"#nrows=${outs.head}|${counts.flatten.sum}")
+              else Seq.empty
+            outs.flatMap(o => perCol.map { case (c, mn, mx) =>
+              s"#stats=$o|$c|$mn|$mx" }) ++ nLine
         }
-        val counts = multi(gi).map(cur.rows.get)
-        val nLine =
-          if (outs.size == 1 && counts.forall(_.isDefined))
-            Seq(s"#nrows=${outs.head}|${counts.flatten.sum}")
-          else Seq.empty
-        outs.flatMap(o => perCol.map { case (c, mn, mx) =>
-          s"#stats=$o|$c|$mn|$mx" }) ++ nLine
       }
       after = carried.size + stagedFiles.size
       Right(cur.metaLinesFor(carried) ++ mergedMetaLines ++
@@ -1019,8 +1348,7 @@ object ManifestTable {
     require(vs.nonEmpty, s"no committed snapshot under $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"no snapshot v$v under $table (have $vs)")
-    val paths = filesOf(table, v).map(rel => s"$table/$rel")
-    spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(paths: _*)
+    val m = manifestOf(table, v)
+    readLive(spark, Paths.get(table), m.files, m.dvs, mergeSchema)
   }
 }

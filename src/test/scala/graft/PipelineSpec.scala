@@ -1123,6 +1123,81 @@ class PipelineSpec extends SparkSpec {
     assert(v > 3L)
   }
 
+  test("ManifestTable deletion vectors: small DELETE/MERGE commit " +
+      "ZERO rewritten files, reads mask exactly, counts stay exact, " +
+      "bounds go exact-or-None, and OPTIMIZE purges the debt") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-dv-spec").toString
+    for (r <- Seq(1L to 40L, 41L to 80L, 81L to 120L))
+      ManifestTable.commitWithStats(
+        r.map(i => (i, i * 10)).toDF("k", "p").coalesce(1), table,
+        append = true, "k")
+    // merge-on-read DELETE of 3 rows living in file 2
+    val (v1, rw1, dv1, after1) = ManifestTable.deleteRangeDv(
+      spark, table, "k", 50L, 52L, dvMaxFraction = 0.2)
+    assert(rw1 == 0 && dv1 == 1 && after1 == 3,
+      s"($v1, $rw1, $dv1, $after1)")
+    val now = ManifestTable.read(spark, table)
+    assert(now.count() == 117L)
+    assert(now.filter($"k".between(50L, 52L)).count() == 0L)
+    // metadata count subtracts the DV exactly; bounds refuse (a DV'd
+    // file's recorded extremes may be dead rows)
+    assert(ManifestTable.countRows(table).contains(117L))
+    assert(ManifestTable.statsBounds(table, "k").isEmpty)
+    // pruned reads still skip on zones AND mask the DV
+    val (pf, t1, s1) = ManifestTable.readPruned(spark, table, "k",
+      41L, 60L)
+    assert((t1, s1) == ((3, 1)), s"($t1, $s1)")
+    assert(pf.count() == 17L, "20 in range - 3 DV'd")
+    // a second DV on the same file unions positions
+    val (_, rw2, dv2, _) = ManifestTable.deleteRangeDv(
+      spark, table, "k", 53L, 54L, dvMaxFraction = 0.2)
+    assert(rw2 == 0 && dv2 == 1)
+    assert(ManifestTable.read(spark, table).count() == 115L)
+    assert(ManifestTable.countRows(table).contains(115L))
+    // time travel: the pre-DV snapshot reads in full
+    assert(ManifestTable.read(spark, table, Some(3L)).count() == 120L)
+    // over-threshold falls back to copy-on-write
+    val (_, rw3, dv3, _) = ManifestTable.deleteRangeDv(
+      spark, table, "k", 81L, 119L, dvMaxFraction = 0.2)
+    assert(rw3 == 1 && dv3 == 0, s"($rw3, $dv3)")
+    assert(ManifestTable.read(spark, table).count() == 76L)
+    // merge-on-read MERGE: one key per file + one far insert →
+    // zero rewrites, two DVs, one insert file
+    val updates = Seq((10L, -1L), (70L, -2L), (9999L, -3L))
+      .toDF("k", "p")
+    val (_, rw4, dv4, after4) = ManifestTable.mergeByKeyDv(
+      spark, table, updates, "k", dvMaxFraction = 0.2)
+    assert(rw4 == 0 && dv4 == 2 && after4 == 4,
+      s"($rw4, $dv4, $after4)")
+    val merged = ManifestTable.read(spark, table)
+    assert(merged.filter($"k" === 10L).as[(Long, Long)].collect()
+      .toSeq == Seq((10L, -1L)))
+    assert(merged.filter($"k" === 70L).as[(Long, Long)].collect()
+      .toSeq == Seq((70L, -2L)))
+    assert(merged.filter($"k" === 9999L).count() == 1L)
+    assert(merged.count() == 77L)
+    assert(ManifestTable.countRows(table).contains(77L))
+    // OPTIMIZE pays the debt down: values unchanged, #dv lines gone,
+    // counts stay exact, bounds turn exact again (recomputed from
+    // the rewritten files, not stale input arithmetic)
+    val sumBefore = merged.agg(sum($"p")).as[Long].head()
+    ManifestTable.compact(spark, table, Long.MaxValue / 2)
+    val opt = ManifestTable.read(spark, table)
+    assert(opt.count() == 77L)
+    assert(opt.agg(sum($"p")).as[Long].head() == sumBefore)
+    assert(ManifestTable.countRows(table).contains(77L))
+    assert(ManifestTable.statsBounds(table, "k")
+      .contains((1L, 9999L)))
+    val lastV = ManifestTable.versions(table).last
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(table, "_manifests", s"v$lastV"))
+    assert(!scala.jdk.CollectionConverters.ListHasAsScala(lines)
+        .asScala.exists(_.startsWith("#dv=")),
+      "OPTIMIZE must purge deletion vectors")
+  }
+
   test("ManifestTable.countRows: metadata-only count is exact for " +
       "stat-committed snapshots, survives compaction, and refuses " +
       "(None) when any file lacks a recorded count") {
