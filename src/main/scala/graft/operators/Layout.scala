@@ -57,6 +57,44 @@ object Layout {
       .repartitionByRange(partitions, col("__h"))
       .sortWithinPartitions(col("__h"))
 
+  /** n-DIMENSIONAL Morton value — real tables cluster 3-4 columns
+    * (ingest date + business key + tenant): bit i of dimension d
+    * lands at interleaved position n·i + d. Same contract as
+    * [[zOrderValue]]: callers clamp/bucket into [0, 2^bits) first;
+    * n·bits must fit a signed long. */
+  def zOrderValueNd(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"need at least 2 dimensions: $n")
+    require(bits > 0 && n.toLong * bits <= 62,
+      s"dims*bits must be in (0, 62]: $n*$bits")
+    (for {
+      i <- 0 until bits
+      (c, d) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)),
+      n * i + d)).reduce(_ + _)
+  }
+
+  /** n-DIMENSIONAL Hilbert value (Skilling 2004's transpose walk,
+    * native `graft_hilbert_nd` — [[graft.expressions.HilbertNdExpr]]):
+    * the [[hilbertValue]] upgrade for 3-4 clustering columns. NULL
+    * coordinates fail loudly (bucket/coalesce first). */
+  def hilbertValueNd(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"need at least 2 dimensions: $n")
+    require(bits > 0 && n.toLong * bits <= 62,
+      s"dims*bits must be in (0, 62]: $n*$bits")
+    call_function("graft_hilbert_nd",
+      array(cols.map(_.cast("long")): _*), lit(bits))
+  }
+
+  /** [[hilbertOrderBy]] over n dimensions — the write-side layout
+    * for multi-column clustered tables. */
+  def hilbertOrderByNd(df: DataFrame, cols: Seq[Column], bits: Int,
+      partitions: Int): DataFrame =
+    df.withColumn("__h", hilbertValueNd(cols, bits))
+      .repartitionByRange(partitions, col("__h"))
+      .sortWithinPartitions(col("__h"))
+
   /** Per-bucket zone map — the min/max statistics a writer persists
     * per file/row-group, materialized as a queryable table: one row
     * per bucket with its row count and the min/max of each stat

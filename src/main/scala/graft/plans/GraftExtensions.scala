@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BloomMemberExpr, BpeApplyExpr, CmsCountersAgg, DotProductFloat, HilbertIndexExpr, HllRegistersAgg, HmacSha256Expr, MinHashSigExpr, MinHashTextExpr, JpegDimsExpr, Mp4MetaExpr, NfcNormalizeExpr, QualityPackExpr, RollingFpArray, ShingleHashesExpr, ShinglePosHashesExpr, ShinglesExpr, SimHashExpr}
+import graft.expressions.{BloomMemberExpr, BpeApplyExpr, CmsCountersAgg, DotProductFloat, HilbertIndexExpr, HilbertNdExpr, HllRegistersAgg, HmacSha256Expr, MinHashSigExpr, MinHashTextExpr, JpegDimsExpr, Mp4MetaExpr, NfcNormalizeExpr, QualityPackExpr, RollingFpArray, ShingleHashesExpr, ShinglePosHashesExpr, ShinglesExpr, SimHashExpr}
 
 /** Session extension registering the engine's native expressions —
   * enabled with `spark.sql.extensions=graft.plans.GraftExtensions`
@@ -115,6 +115,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_hilbert bits must be an integer literal: $other")
         }
         HilbertIndexExpr(children(0), children(1), bits)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hilbert_nd"),
+      new ExpressionInfo(classOf[HilbertNdExpr].getName,
+        "graft_hilbert_nd"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_hilbert_nd(coords, bits) takes exactly two arguments")
+        val bits = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_hilbert_nd bits must be an integer literal: $other")
+        }
+        HilbertNdExpr(children(0), bits)
       }))
     ext.injectOptimizerRule(_ => NfcIdempotence)
   }

@@ -1070,6 +1070,104 @@ object Approx {
         .orderBy("bucket")
     },
 
+    // LAYOUT: n-DIMENSIONAL Hilbert clustering key (L19b — Skilling
+    // 2004's transpose walk; real tables cluster 3-4 columns, and
+    // the 2-D recurrence doesn't compose). Graded by the pair of
+    // invariants that CHARACTERIZE a space-filling unit walk, over
+    // the ENTIRE 16³ grid: (a) the index is a bijection onto
+    // [0, 4096) and (b) every consecutive step is Manhattan distance
+    // exactly 1 (Morton fails (b) at every quadrant seam). The
+    // oracle pins the uniquely-determined totals; the Spark side
+    // computes them from the native graft_hilbert_nd expression, so
+    // any wrong rotation/reflection level breaks bijectivity or
+    // unit-stepping and the hash.
+    Q("q_z_hilbert_nd",
+      """SELECT CAST(4096 AS BIGINT) AS cells,
+        |  CAST(4096 AS BIGINT) AS distinct_h,
+        |  CAST(0 AS BIGINT) AS h_min,
+        |  CAST(4095 AS BIGINT) AS h_max,
+        |  CAST(4095 AS BIGINT) AS unit_steps,
+        |  CAST(4095 AS BIGINT) AS steps_total
+        |FROM (SELECT 1)""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy("h")
+      s.range(4096)
+        .select(expr("id % 16").as("x"),
+          expr("(id div 16) % 16").as("y"),
+          expr("id div 256").as("z"))
+        .withColumn("h", graft.operators.Layout.hilbertValueNd(
+          Seq(col("x"), col("y"), col("z")), 4))
+        .withColumn("__step",
+          abs(col("x") - lag("x", 1).over(w)) +
+            abs(col("y") - lag("y", 1).over(w)) +
+            abs(col("z") - lag("z", 1).over(w)))
+        .agg(count(lit(1)).as("cells"),
+          countDistinct(col("h")).as("distinct_h"),
+          min("h").as("h_min"), max("h").as("h_max"),
+          sum(when(col("__step") === 1L, 1L).otherwise(0L))
+            .as("unit_steps"),
+          count(col("__step")).as("steps_total"))
+    },
+
+    // LAYOUT: 3-COLUMN zone pruning on an n-D-Hilbert-clustered
+    // table (L19b × L11): orders bucketed on (orderkey, custkey,
+    // order-day) mod 256, Hilbert-range-partitioned into 8 files,
+    // committed with per-file zones on all three bucket columns.
+    // EACH dimension's half-range predicate alone must skip files
+    // (the clustering keeps every file a contiguous Hilbert range ≈
+    // an octant, so the excluded half of ANY axis is provably absent
+    // from some files) — the multi-column locality Morton/linear
+    // layouts can't give all three axes at once. Values of the
+    // 3-predicate read equal the oracle's row-level recompute.
+    Q("q_z_prune_3d",
+      """WITH b AS (SELECT o_orderkey,
+        |    o_orderkey % 128 AS x, o_custkey % 128 AS y,
+        |    (epoch_us(o_orderdate) // 86400000000) % 128 AS z
+        |  FROM orders)
+        |SELECT CAST(8 AS BIGINT) AS files_total,
+        |  CAST(1 AS BIGINT) AS skip_x,
+        |  CAST(1 AS BIGINT) AS skip_y,
+        |  CAST(1 AS BIGINT) AS skip_z,
+        |  CAST(1 AS BIGINT) AS skip_all,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM b
+        |WHERE x <= 63 AND y <= 63 AND z <= 63""".stripMargin) {
+      (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-prune3d-q").toString
+      val bucketed = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          (col("o_orderkey") % 128).as("x"),
+          (col("o_custkey") % 128).as("y"),
+          (expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) " +
+            "div 86400000000") % 128).as("z"))
+      graft.sources.ManifestTable.commitWithStats(
+        graft.operators.Layout.hilbertOrderByNd(bucketed,
+          Seq(col("x"), col("y"), col("z")), 7, 8).drop("__h"),
+        table, append = false, Seq("x", "y", "z"), None)
+      def scanned(preds: (String, Long, Long)*): Int =
+        graft.sources.ManifestTable
+          .readPruned(s, table, preds.toSeq, None)._3
+      val total = graft.sources.ManifestTable
+        .readPruned(s, table, "x", 0L, 127L)._2
+      val (sx, sy, sz) = (scanned(("x", 0L, 63L)),
+        scanned(("y", 0L, 63L)), scanned(("z", 0L, 63L)))
+      val (frame, _, sAll) = graft.sources.ManifestTable.readPruned(
+        s, table, Seq(("x", 0L, 63L), ("y", 0L, 63L),
+          ("z", 0L, 63L)), None)
+      frame.agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"))
+        .select(lit(total.toLong).as("files_total"),
+          lit(if (sx < total) 1L else 0L).as("skip_x"),
+          lit(if (sy < total) 1L else 0L).as("skip_y"),
+          lit(if (sz < total) 1L else 0L).as("skip_z"),
+          // the conjunction prunes at least as hard as its best
+          // single predicate (per-file skips intersect)
+          lit(if (sAll <= math.min(sx, math.min(sy, sz))) 1L else 0L)
+            .as("skip_all"),
+          col("n_rows"), col("key_sum"))
+    },
+
     // LAYOUT: zone-map statistics + the file-skipping decision. The
     // zone map is the per-bucket (n, min, max) table a writer
     // persists; zonesToRead evaluates a range predicate on x against

@@ -1223,9 +1223,16 @@ object ManifestTable {
       staged.flatMap { case (gi, outs) =>
         if (!multi(gi).exists(hasDv)) None
         else {
-          val common = multi(gi).map(f =>
-              m0.stats.getOrElse(f, Seq.empty).map(_._1).toSet)
-            .reduce(_ intersect _).toSeq.sorted
+          // KNOWN-empty inputs (#nrows=0) contribute no rows, so
+          // their (absent) stats must not erase the output's — only
+          // inputs that can hold rows join the column intersection
+          val counted = multi(gi).filterNot(f =>
+            m0.rows.get(f).contains(0L))
+          val common =
+            if (counted.isEmpty) Seq.empty[String]
+            else counted.map(f =>
+                m0.stats.getOrElse(f, Seq.empty).map(_._1).toSet)
+              .reduce(_ intersect _).toSeq.sorted
           Some(gi -> fileMeta(spark,
             Paths.get(table, "data", s"c-$nonce-$gi").toString,
             s"data/c-$nonce-$gi", common, outs))
@@ -1253,10 +1260,18 @@ object ManifestTable {
         dvGroupMeta.get(gi) match {
           case Some((st, rw)) => metaLines(outs, st, rw)
           case None =>
-            val entryLists = multi(gi).map(f =>
+            // same known-empty exclusion as the DV recompute: an
+            // input that provably holds no rows adds nothing to the
+            // output's range, so its missing stats must not force
+            // the output to always-scan
+            val counted = multi(gi).filterNot(f =>
+              cur.rows.get(f).contains(0L))
+            val entryLists = counted.map(f =>
               cur.stats.getOrElse(f, Seq.empty))
-            val common = entryLists.map(_.map(_._1).toSet)
-              .reduce(_ intersect _)
+            val common =
+              if (entryLists.isEmpty) Set.empty[String]
+              else entryLists.map(_.map(_._1).toSet)
+                .reduce(_ intersect _)
             val perCol = common.toSeq.sorted.map { c =>
               val es = entryLists.map(_.find(_._1 == c).get)
               (c, es.map(_._2).min, es.map(_._3).max)

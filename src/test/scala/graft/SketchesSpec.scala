@@ -693,6 +693,50 @@ class SketchesSpec extends SparkSpec {
       s"expected at most the result RDD pinned, got $extra")
   }
 
+  test("indexNd/axesNd: the n-D Hilbert walk is a unit-step " +
+      "bijection over full 2-D/3-D/4-D grids, the native expression " +
+      "matches the kernel, and contract violations are loud") {
+    import graft.expressions.Hilbert
+    for ((dims, bits) <- Seq((2, 4), (3, 3), (4, 2))) {
+      val total = 1L << (dims * bits)
+      // round-trip bijection over EVERY cell...
+      val walk = (0L until total).map { d =>
+        val ax = Hilbert.axesNd(d, dims, bits)
+        assert(Hilbert.indexNd(ax, bits) == d,
+          s"dims=$dims bits=$bits d=$d")
+        ax
+      }
+      // ...and every consecutive step is Manhattan distance 1 — the
+      // defining Hilbert locality (together with bijectivity this
+      // characterizes a space-filling unit walk; Morton fails it)
+      walk.sliding(2).foreach { case Seq(a, b) =>
+        val dist = a.zip(b).map { case (u, v) => math.abs(u - v) }.sum
+        assert(dist == 1, s"dims=$dims bits=$bits jump: " +
+          s"${a.toSeq} -> ${b.toSeq}")
+      }
+    }
+    // the native expression agrees with the kernel
+    val cells = for (x <- 0L until 4L; y <- 0L until 4L;
+      z <- 0L until 4L) yield (x, y, z)
+    val got = cells.toDF("x", "y", "z")
+      .select(graft.operators.Layout.hilbertValueNd(
+        Seq(col("x"), col("y"), col("z")), 2).as("h"))
+      .as[Long].collect().toSeq
+    val want = cells.map(c => Hilbert.indexNd(Array(c._1, c._2, c._3), 2))
+    assert(got == want)
+    assert(got.distinct.size == 64 && got.min == 0L && got.max == 63L)
+    // violations fail loudly, never fold into a wrong cell
+    intercept[IllegalArgumentException] {
+      Hilbert.indexNd(Array(1L << 4, 0L), 4)
+    }
+    intercept[IllegalArgumentException] {
+      Hilbert.indexNd(Array(0L), 4)
+    }
+    intercept[IllegalArgumentException] {
+      Hilbert.indexNd(Array.fill(9)(0L), 7) // 63 bits > 62
+    }
+  }
+
   test("hilbertValue is a neighbor-continuous bijection on the grid") {
     import graft.expressions.Hilbert
     // bits=1 base case: the U-shaped quadrant order (0,0) (0,1)
