@@ -1478,6 +1478,70 @@ object Approx {
           col("n_rows"), col("key_sum"))
     },
 
+    // LAYOUT: CLUSTERED OPTIMIZE (L23 — Delta OPTIMIZE ZORDER /
+    // liquid clustering): two tables get the SAME eight arrival-
+    // order commits, each file spanning BOTH bucket columns' full
+    // ranges (the ingest layout zone maps cannot prune). Order-
+    // preserving compaction merely merges — its four outputs still
+    // all scan for a quarter-box predicate (pinned 4 of 4). The
+    // CLUSTERED rewrite re-sorts the same rows by the 2-D Hilbert
+    // value during the same one-job rewrite and re-derives per-file
+    // stats, so the box opens strictly fewer files. Values of the
+    // clustered read equal the oracle's row-level recompute.
+    Q("q_e2e_compact_cluster",
+      """WITH b AS (SELECT o_orderkey, o_orderkey % 128 AS x,
+        |    o_custkey % 128 AS y
+        |  FROM orders)
+        |SELECT CAST(4 AS BIGINT) AS files_plain,
+        |  CAST(4 AS BIGINT) AS scanned_plain,
+        |  CAST(4 AS BIGINT) AS files_clustered,
+        |  CAST(1 AS BIGINT) AS clustered_tighter,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM b WHERE x <= 63 AND y <= 63""".stripMargin) { (s, d) =>
+      def build(): String = {
+        val table = java.nio.file.Files
+          .createTempDirectory("graft-cc-q").toString
+        val rows = t(s, d, "orders")
+          .select(col("o_orderkey"),
+            (col("o_orderkey") % 128).as("x"),
+            (col("o_custkey") % 128).as("y"))
+        for (m <- 0 until 8)
+          graft.sources.ManifestTable.commitWithStats(
+            rows.filter(col("o_orderkey") % 8 === m).coalesce(1),
+            table, append = true, Seq("x", "y"), None)
+        table
+      }
+      def bytesOf(table: String): Long = {
+        import scala.jdk.CollectionConverters._
+        val st = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(table, "data"))
+        try st.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size).sum
+        finally st.close()
+      }
+      val plain = build()
+      val clustered = build()
+      graft.sources.ManifestTable
+        .compact(s, plain, bytesOf(plain) / 4 + 1)
+      val (_, _, fc) = graft.sources.ManifestTable.compactClustered(
+        s, clustered, bytesOf(clustered) / 4 + 1, Seq("x", "y"),
+        bits = 7)
+      val (_, fp, sp) = graft.sources.ManifestTable.readPruned(
+        s, plain, Seq(("x", 0L, 63L), ("y", 0L, 63L)), None)
+      val (frame, _, sc) = graft.sources.ManifestTable.readPruned(
+        s, clustered, Seq(("x", 0L, 63L), ("y", 0L, 63L)), None)
+      frame.agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"))
+        .select(lit(fp.toLong).as("files_plain"),
+          lit(sp.toLong).as("scanned_plain"),
+          lit(fc.toLong).as("files_clustered"),
+          lit(if (sc < sp) 1L else 0L).as("clustered_tighter"),
+          col("n_rows"), col("key_sum"))
+    },
+
     // LAYOUT: MULTI-COLUMN manifest zone stats (L11b) — real
     // lakehouse tables prune on several columns at once (ingest
     // date + business key); one commit records a #stats= line per

@@ -1292,6 +1292,145 @@ object ManifestTable {
     (v, files.size, after)
   }
 
+  /** OPTIMIZE with RE-CLUSTERING — Delta's `OPTIMIZE ZORDER BY` /
+    * liquid clustering, vs [[compact]]'s layout-preserving packing:
+    * rewrite the WHOLE snapshot sorted by the n-D Hilbert value of
+    * `clusterCols`, in ~targetBytes outputs, so post-OPTIMIZE zones
+    * TIGHTEN instead of merely merging — a table ingested in arrival
+    * order has every file spanning every column's full range (zone
+    * maps prune nothing); after the clustered rewrite each file owns
+    * a contiguous Hilbert range ≈ a box in cluster-column space, and
+    * range predicates on ANY cluster column skip files again. The
+    * rewrite applies and purges deletion vectors like [[compact]].
+    *
+    * Mechanics: each cluster column is scaled into [0, 2^bits) from
+    * its snapshot min/max — metadata-only via [[statsBounds]] when
+    * the manifest can answer, one aggregate scan otherwise (NULLs
+    * cluster at the origin; order inside the curve is what matters,
+    * not the exact bucket). One distributed job range-partitions the
+    * live rows by the Hilbert value and sorts within partitions —
+    * the write IS the layout. Per-file stats are RE-derived over
+    * (clusterCols ∪ columns every counted input carried) by the
+    * standard [[fileMeta]] pass: merged input arithmetic would be
+    * worthless here, the whole point is that rows MOVED.
+    *
+    * Concurrency: [[compact]]'s rules — all inputs must still be
+    * live with unchanged DVs at publish; rival appends ride along
+    * (they join the clustered layout at the NEXT OPTIMIZE, exactly
+    * Delta's incremental-clustering behavior).
+    *
+    * Returns (published version, files before, files after). */
+  def compactClustered(spark: SparkSession, table: String,
+      targetBytes: Long, clusterCols: Seq[String],
+      bits: Int = 12): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max,
+      min}
+    require(targetBytes > 0,
+      s"targetBytes must be positive: $targetBytes")
+    require(clusterCols.size >= 2,
+      s"clustered OPTIMIZE needs >= 2 cluster columns (one column " +
+        s"is a plain sort): $clusterCols")
+    require(bits > 0 && clusterCols.size.toLong * bits <= 62,
+      s"dims*bits must be in (0, 62]: ${clusterCols.size}*$bits")
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no published version in $table")
+    val latest = vs.last
+    val m0 = manifestOf(table, latest)
+    require(m0.files.nonEmpty,
+      s"snapshot v$latest of $table lists no data files")
+    val root = Paths.get(table)
+    val src = readLive(spark, root, m0.files, m0.dvs,
+      mergeSchema = true)
+    val dataCols = src.columns.toSeq
+    require(clusterCols.forall(dataCols.contains),
+      s"cluster columns $clusterCols must exist in $dataCols")
+    require(!dataCols.contains("__h"),
+      s"compactClustered's internal column collides with a table " +
+        s"column of $table")
+    // per-column [min, max] — manifest-answered when possible, one
+    // aggregate scan otherwise
+    val bounds: Seq[(String, Long, Long)] = {
+      val fromMeta = clusterCols.map(c =>
+        c -> statsBounds(table, c, Some(latest)))
+      if (fromMeta.forall(_._2.isDefined))
+        fromMeta.map { case (c, b) => (c, b.get._1, b.get._2) }
+      else {
+        val aggs = clusterCols.flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"__mn_$c"),
+          max(col(c).cast("long")).as(s"__mx_$c")))
+        val r = src.agg(aggs.head, aggs.tail: _*).head()
+        clusterCols.zipWithIndex.map { case (c, i) =>
+          require(!r.isNullAt(2 * i),
+            s"cluster column $c is all-NULL/empty — nothing to " +
+              "cluster on")
+          (c, r.getLong(2 * i), r.getLong(2 * i + 1))
+        }
+      }
+    }
+    val cell = (1L << bits) - 1
+    val scaled = bounds.map { case (c, mn, mx) =>
+      val range = math.max(1L, mx - mn)
+      // decimal product: (v-mn) <= range and range*cell can pass
+      // int64 for wide domains
+      org.apache.spark.sql.functions.expr(
+        s"CAST(CAST((${c} - ${mn}L) AS DECIMAL(38,0)) * $cell " +
+          s"div ${range}L AS BIGINT)")
+    }
+    // NULL cluster values sort at the origin cell (order inside the
+    // curve is what matters, not the exact bucket)
+    val scaledSafe = scaled.map(e => coalesce(e, lit(0L)))
+    val totalBytes = m0.files.map(f => Files.size(root.resolve(f))).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val stageDir = Paths.get(table, "data", s"cc-$nonce")
+    src
+      .withColumn("__h", graft.operators.Layout
+        .hilbertValueNd(scaledSafe, bits))
+      .repartitionByRange(nOut, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .select(dataCols.map(col): _*)
+      .write.mode("errorifexists").parquet(stageDir.toString)
+    val staged = Using.resource(Files.list(stageDir)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+        .toSeq.sorted
+        .map(n => s"data/cc-$nonce/$n")
+    }
+    // stats: the cluster columns (that's what the layout now serves)
+    // plus whatever every counted input already carried
+    val counted = m0.files.filterNot(f => m0.rows.get(f).contains(0L))
+    val prevCols =
+      if (counted.isEmpty) Seq.empty[String]
+      else counted.map(f =>
+          m0.stats.getOrElse(f, Seq.empty).map(_._1).toSet)
+        .reduce(_ intersect _).toSeq
+    val statsCols = (clusterCols ++ prevCols).distinct.sorted
+    val (newStats, newRows) =
+      if (staged.isEmpty) (noStats, Map.empty[String, Long])
+      else fileMeta(spark, stageDir.toString, s"data/cc-$nonce",
+        statsCols, staged)
+    val rewritten = m0.files.toSet
+    var after = 0
+    val v = publishLoop(table, nonce, "compactClustered") { snapshot =>
+      val cur = manifestOf(table, snapshot.last)
+      require(rewritten.subsetOf(cur.files.toSet),
+        s"concurrent rewrite removed a clustered-OPTIMIZE input of " +
+          s"$table — aborting rather than resurrecting dropped rows")
+      require(rewritten.forall(f => cur.dvs.getOrElse(f, Seq.empty) ==
+          m0.dvs.getOrElse(f, Seq.empty)),
+        s"concurrent DV landed on a clustered-OPTIMIZE input of " +
+          s"$table — aborting rather than resurrecting the rival's " +
+          "deletes")
+      val carried = cur.files.filterNot(rewritten.contains)
+      after = carried.size + staged.size
+      Right(cur.metaLinesFor(carried) ++
+        metaLines(staged, newStats, newRows) ++ carried ++ staged)
+    }
+    (v, m0.files.size, after)
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Using.resource(Files.walk(p)) { st =>

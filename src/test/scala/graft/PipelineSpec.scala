@@ -1198,6 +1198,69 @@ class PipelineSpec extends SparkSpec {
       "OPTIMIZE must purge deletion vectors")
   }
 
+  test("ManifestTable.compactClustered: the rewrite TIGHTENS zones " +
+      "— a box predicate scanning every order-preserving-compacted " +
+      "file opens strictly fewer clustered files; values, metadata " +
+      "counts and DV purge stay intact") {
+    import graft.sources.ManifestTable
+    // four arrival-order commits, each spanning BOTH dimensions'
+    // full ranges (the ingest layout zone maps cannot prune)
+    def build(): String = {
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-cc-spec").toString
+      val rows = (0L until 4096L)
+        .map(k => (k, k % 64, (k / 64) % 64)).toDF("k", "x", "y")
+      for (s <- 0 until 4)
+        ManifestTable.commitWithStats(
+          rows.filter($"k" % 4 === s.toLong).coalesce(1), table,
+          append = true, Seq("x", "y"), None)
+      table
+    }
+    def bytesOf(table: String): Long = {
+      val st = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(table, "data"))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(
+          st.iterator()).asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+      finally st.close()
+    }
+    val plain = build()
+    val clustered = build()
+    // drop two rows via a DV first: the clustered rewrite must purge
+    ManifestTable.deleteRangeDv(spark, clustered, "x", 7L, 7L,
+      dvMaxFraction = 0.05)
+    ManifestTable.compact(spark, plain, bytesOf(plain) / 2 + 1)
+    val (_, before, after) = ManifestTable.compactClustered(
+      spark, clustered, bytesOf(clustered) / 2 + 1, Seq("x", "y"),
+      bits = 6)
+    assert(before == 4 && after == 2, s"($before, $after)")
+    // the box that proves it: plain files all span both full ranges
+    val (_, tp, sp) = ManifestTable.readPruned(spark, plain,
+      Seq(("x", 0L, 31L), ("y", 0L, 31L)), None)
+    assert((tp, sp) == ((2, 2)), s"plain: $sp of $tp")
+    val (cf, tc, sc) = ManifestTable.readPruned(spark, clustered,
+      Seq(("x", 0L, 31L), ("y", 0L, 31L)), None)
+    assert(tc == 2 && sc < sp, s"clustered: $sc of $tc")
+    // value-exact: the quadrant has 16 x-cells * 32 y-cells * 2
+    // k-copies... recompute directly
+    val want = (0L until 4096L)
+      .map(k => (k, k % 64, (k / 64) % 64))
+      .filter(r => r._2 <= 31 && r._3 <= 31 && r._2 != 7L)
+    assert(cf.count() == want.size.toLong)
+    assert(cf.agg(sum($"k")).as[Long].head() == want.map(_._1).sum)
+    // DVs purged, metadata exact again
+    val lastV = ManifestTable.versions(clustered).last
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(clustered, "_manifests", s"v$lastV"))
+    assert(!scala.jdk.CollectionConverters.ListHasAsScala(lines)
+      .asScala.exists(_.startsWith("#dv=")))
+    assert(ManifestTable.countRows(clustered).contains(4096L - 64L))
+    assert(ManifestTable.statsBounds(clustered, "x")
+      .contains((0L, 63L)))
+  }
+
   test("ManifestTable.countRows: metadata-only count is exact for " +
       "stat-committed snapshots, survives compaction, and refuses " +
       "(None) when any file lacks a recorded count") {
