@@ -189,6 +189,46 @@ object Services {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** U3 over a LIVE HTTP backend — structured logistics extraction
+    * as a wire call (the last of the five §2.10 services to earn a
+    * transport; reference posture:
+    * /root/reference/utils/details_translator/
+    * 5_extract_logistic_info.py:43-60 posts the description text and
+    * zips five answer lines, db_orchestrator.py:122-140 applies the
+    * retry/backoff policy). Each row's text POSTs to `endpoint`; the
+    * five `|`-framed response fields land as the same struct columns
+    * as [[extractLogisticsStub]] — the sandbox backend implements
+    * that exact transform, so the stub's oracle grades the live
+    * wire. Partition-scoped [[Remote]] client, like
+    * [[translateHttp]]. */
+  def extractLogisticsHttp(df: org.apache.spark.sql.DataFrame,
+      textCol: String, endpoint: String,
+      attempts: Int = 3, backoffMs: Long = 2000,
+      minIntervalMs: Long = 0): org.apache.spark.sql.DataFrame = {
+    val st = org.apache.spark.sql.types.StringType
+    val schema = df.schema
+      .add("weight", st).add("dims", st).add("origin", st)
+      .add("hs_code", st).add("incoterm", st)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      if (rows.isEmpty) rows
+      else {
+        val remote = Remote(
+          (text: String) =>
+            graft.sources.Sources.httpPost(endpoint, text),
+          attempts, backoffMs, minIntervalMs)
+        rows.map { r =>
+          val text = if (r.isNullAt(idx)) "" else r.getString(idx)
+          val parts = remote(text).split("\\|", 5)
+          require(parts.length == 5,
+            s"logistics backend returned ${parts.length} fields, " +
+              "expected 5 (weight|dims|origin|hs_code|incoterm)")
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ parts)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** U4 over a LIVE HTTP backend — the namer wire
     * (utils/ai-helper/art-maker/namer.py:20-45): each row POSTs
     * `category|collection` and the response's `Name|SKU` pair lands

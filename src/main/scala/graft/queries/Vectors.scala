@@ -2059,6 +2059,32 @@ object Vectors {
         .orderBy("doc_id")
     },
 
+    // U3-live: structured logistics extraction over the wire — the
+    // fifth and last service to earn a live HTTP leg: each row's
+    // text POSTs and the five '|'-framed response fields land as
+    // columns; the loopback backend implements the stub transform,
+    // so the stub's oracle grades the live wire. FLAKY endpoint: the
+    // first hit 503s, so the run also proves the retry policy.
+    Q("q_u3_extract_logistics_http",
+      """SELECT doc_id,
+        |  concat(length(text) % 50, 'kg') AS weight,
+        |  concat(length(text) % 9, 'x', length(text) % 7) AS dims,
+        |  substr(text, 1, 2) AS origin,
+        |  concat('HS', length(text) % 100) AS hs_code,
+        |  'FOB' AS incoterm
+        |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+      val port = graft.sources.HttpFixture.port
+      Services.extractLogisticsHttp(
+          t(s, d, "documents").filter(col("doc_id") < 40)
+            .select(col("doc_id"), col("text")),
+          "text", s"http://127.0.0.1:$port/logisticsflaky",
+          backoffMs = 20)
+        .select(col("doc_id"), col("weight"), col("dims"),
+          col("origin"), col("hs_code"), col("incoterm"))
+        .orderBy("doc_id")
+    },
+
     // U4: name/SKU generation stub.
     Q("q_u4_name_sku",
       """SELECT doc_id,

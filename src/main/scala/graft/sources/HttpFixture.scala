@@ -37,6 +37,12 @@ import java.nio.charset.StandardCharsets.UTF_8
   *                       upper first-8 md5 hex of the body), so the
   *                       stub oracle grades the live namer wire (U4)
   *  - `/nameflaky`      → 503 on the first hit, then as `/name`
+  *  - `/logistics` (POST text) → the five `|`-framed fields of
+  *                       `Services.extractLogisticsStub`'s transform
+  *                       (weight|dims|origin|hs_code|incoterm), so
+  *                       the stub oracle grades the live structured-
+  *                       extraction wire (U3)
+  *  - `/logisticsflaky` → 503 on the first hit, then as `/logistics`
   *
   * [[hits]] counts requests per path so specs can assert the retry
   * actually happened and that partition-scoped clients really
@@ -115,6 +121,17 @@ object HttpFixture {
         else if (path.startsWith("/name")) {
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           (200, nameTransform(body).getBytes(UTF_8))
+        }
+        else if (path.startsWith("/logisticsflaky") && n == 1)
+          (503, "transient failure".getBytes(UTF_8))
+        else if (path.startsWith("/logistics")) {
+          // Services.extractLogisticsStub's transform over the wire:
+          // five '|'-framed fields derived from the text
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val len = body.length
+          val fields = Seq(s"${len % 50}kg", s"${len % 9}x${len % 7}",
+            body.take(2), s"HS${len % 100}", "FOB")
+          (200, fields.mkString("|").getBytes(UTF_8))
         }
         else if (path.startsWith("/ocrflaky") && n == 1)
           (503, "transient failure".getBytes(UTF_8))
