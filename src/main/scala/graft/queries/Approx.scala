@@ -1932,6 +1932,58 @@ object Approx {
           lit(nScanned.toLong).as("n_scanned"), col("pruned_rows"))
     },
 
+    // LAKEHOUSE DSv2 (L24): the manifest table as a PLANNER citizen
+    // — spark.read.format("graft-manifest") gives SQL reads snapshot
+    // selection, zone pruning (a range predicate on the stats column
+    // plans ONE InputPartition of four — pinned via the scan RDD's
+    // partition count), metadata-only COUNT(*) through the
+    // aggregate-pushdown seam (pinned via the executed plan's
+    // "metadata count" scan), and deletion-vector masking — all
+    // through the planner rather than the Scala API. Values equal
+    // the oracle's row-level recompute.
+    Q("q_z_manifest_dsv2",
+      """SELECT CAST(4 AS BIGINT) AS files_total,
+        |  CAST(1 AS BIGINT) AS parts_pruned,
+        |  CAST(1 AS BIGINT) AS meta_count_plan,
+        |  CAST((SELECT count(*) FROM orders
+        |    WHERE o_orderkey NOT BETWEEN 1000 AND 1004) AS BIGINT)
+        |    AS meta_rows,
+        |  CAST(count(*) AS BIGINT) AS slice_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS slice_sum
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 5000 AND 7000""".stripMargin) {
+      (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-dsv2-q").toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      val bounds = Seq((-1L, 4000L), (4000L, 8000L),
+        (8000L, 12000L), (12000L, Long.MaxValue))
+      for ((lo, hi) <- bounds) {
+        graft.sources.ManifestTable.commitWithStats(
+          orders.filter(col("o_orderkey") > lo &&
+            col("o_orderkey") <= hi).coalesce(1),
+          table, append = true, "o_orderkey")
+      }
+      graft.sources.ManifestTable.deleteRangeDv(
+        s, table, "o_orderkey", 1000L, 1004L, dvMaxFraction = 0.05)
+      val df = s.read.format("graft-manifest")
+        .option("path", table).load()
+      val filtered = df.filter(col("o_orderkey").between(5000, 7000))
+      val parts = filtered.rdd.getNumPartitions
+      val total = df.rdd.getNumPartitions
+      val metaRows = df.count()
+      val countPlan = df.groupBy().count()
+        .queryExecution.executedPlan.toString
+      filtered.agg(count(lit(1)).as("slice_rows"),
+          sum("o_orderkey").as("slice_sum"))
+        .select(lit(total.toLong).as("files_total"),
+          lit(parts.toLong).as("parts_pruned"),
+          lit(if (countPlan.contains("metadata count=")) 1L else 0L)
+            .as("meta_count_plan"),
+          lit(metaRows).as("meta_rows"),
+          col("slice_rows"), col("slice_sum"))
+    },
+
     // LAYOUT: schema evolution ACROSS manifest commits (S16 × L5) —
     // commit v1 before the status column existed, append v2 with it;
     // the merged-schema snapshot read unions the LIVE files' footers

@@ -143,6 +143,22 @@ object ManifestTable {
   private def filesOf(table: String, version: Long): Seq[String] =
     manifestOf(table, version).files
 
+  /** Resolved snapshot view for the DSv2 source ([[ManifestV2]]):
+    * live files, per-file zone stats, row counts, deletion vectors. */
+  private[sources] final case class Snapshot(files: Seq[String],
+      stats: Map[String, Seq[(String, Long, Long)]],
+      rows: Map[String, Long], dvs: Map[String, Seq[Long]])
+
+  private[sources] def snapshotFor(table: String,
+      version: Option[Long]): Snapshot = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed snapshot under $table")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"no snapshot v$v under $table (have $vs)")
+    val m = manifestOf(table, v)
+    Snapshot(m.files, m.stats, m.rows, m.dvs)
+  }
+
   private def metaLines(files: Seq[String], stats: Stats,
       rows: Map[String, Long], dvs: Dvs = noDvs): Seq[String] =
     files.flatMap(f => stats.getOrElse(f, Seq.empty)

@@ -1261,6 +1261,60 @@ class PipelineSpec extends SparkSpec {
       .contains((0L, 63L)))
   }
 
+  test("graft-manifest DSv2: zone pruning shrinks InputPartitions, " +
+      "COUNT(*) answers from metadata, version option time-travels, " +
+      "DVs mask, and schema evolution reads late columns as NULL") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-spec").toString
+    for (r <- Seq(1L to 40L, 41L to 80L, 81L to 120L))
+      ManifestTable.commitWithStats(
+        r.map(i => (i, s"v$i")).toDF("k", "s").coalesce(1), table,
+        append = true, "k")
+    ManifestTable.deleteRangeDv(spark, table, "k", 50L, 52L,
+      dvMaxFraction = 0.2)
+    val df = spark.read.format("graft-manifest")
+      .option("path", table).load()
+    assert(df.schema.fieldNames.toSeq == Seq("k", "s"))
+    // metadata-only COUNT(*): exact under the DV, and the plan says
+    // so (the scan IS the literal answer, zero data partitions)
+    assert(df.count() == 117L)
+    val countPlan = df.groupBy().count()
+      .queryExecution.executedPlan.toString
+    assert(countPlan.contains("metadata count=117"), countPlan)
+    // zone pruning reaches the planner: fewer InputPartitions
+    val filtered = df.filter($"k" >= 81L && $"k" <= 100L)
+    assert(filtered.rdd.getNumPartitions == 1,
+      s"expected 1 surviving file, got " +
+        s"${filtered.rdd.getNumPartitions}")
+    assert(df.rdd.getNumPartitions == 3)
+    assert(filtered.agg(sum($"k")).as[Long].head() ==
+      (81L to 100L).sum)
+    // residual row filter still applies inside a surviving file
+    assert(df.filter($"k" === 45L).select("s").as[String].collect()
+      .toSeq == Seq("v45"))
+    // the DV masks through the DSv2 reader
+    assert(df.filter($"k".between(41L, 60L)).count() == 17L)
+    // time travel via option
+    val v3 = spark.read.format("graft-manifest")
+      .option("path", table).option("version", "3").load()
+    assert(v3.count() == 120L)
+    // schema evolution: a late column reads as NULL for old files,
+    // and the un-counted commit demotes COUNT(*) to a real scan
+    // that still agrees
+    ManifestTable.commit(
+      Seq((200L, "v200", 9L)).toDF("k", "s", "extra"), table,
+      append = true)
+    val evolved = spark.read.format("graft-manifest")
+      .option("path", table).load()
+    assert(evolved.schema.fieldNames.toSeq == Seq("k", "s", "extra"))
+    assert(evolved.count() == 118L)
+    assert(evolved.filter($"k" === 45L).select("extra").head()
+      .isNullAt(0))
+    assert(evolved.filter($"k" === 200L).select("extra")
+      .as[Long].head() == 9L)
+  }
+
   test("ManifestTable.countRows: metadata-only count is exact for " +
       "stat-committed snapshots, survives compaction, and refuses " +
       "(None) when any file lacks a recorded count") {

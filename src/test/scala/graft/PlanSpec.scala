@@ -42,6 +42,33 @@ class PlanSpec extends SparkSpec {
       s"scan must read only the projected columns:\n$readSchema")
   }
 
+  test("graft-manifest DSv2 scan: zone pruning yields pruned " +
+      "InputPartitions, the pushed range is visible in the plan, " +
+      "and a bare COUNT(*) plans as the metadata-count scan") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-plan").toString
+    for (r <- Seq(1L to 40L, 41L to 80L, 81L to 120L))
+      ManifestTable.commitWithStats(r.toDF("k").coalesce(1), table,
+        append = true, "k")
+    val df = spark.read.format("graft-manifest")
+      .option("path", table).load()
+    val filtered = df.filter(col("k").between(45L, 60L))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-manifest") &&
+      plan.contains("zonePruned=") &&
+      plan.contains("files=1"),
+      s"pruned scan must plan ONE surviving InputPartition:\n$plan")
+    assert(filtered.rdd.getNumPartitions == 1)
+    assert(df.rdd.getNumPartitions == 3)
+    val countPlan = df.groupBy().count()
+      .queryExecution.executedPlan.toString
+    assert(countPlan.contains("metadata count=120"),
+      s"bare COUNT(*) must answer from the manifest:\n$countPlan")
+  }
+
   test("q_j11_broadcast_lookup: dimension joins are broadcast, not shuffled") {
     val plan = planOf("q_j11_broadcast_lookup")
     assert(plan.contains("BroadcastHashJoin"),
