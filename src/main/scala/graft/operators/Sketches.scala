@@ -620,15 +620,24 @@ object Sketches {
     // corpus-sized checkpoint — returning a lazy frame over `vals`
     // would pin the whole column for the session (the dead-block
     // leak [[Lineage]] exists for)
-    val out = vals.join(cands, Seq("v"), "left_semi")
-      .groupBy("v").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * k > lit(n))
-      .select(col("v"), col("cnt"),
-        expr(s"cnt * 1000 div ${n}L").as("share_milli"))
+    val out = heavyHittersRecount(vals, cands, k, n)
       .localCheckpoint(eager = true)
     Lineage.freeLocalCheckpoint(vals)
     out
   }
+
+  /** The exact-recount stage of [[heavyHittersExact]], split out so
+    * its plan shape (semi-join to the candidate sliver, never a
+    * full-cardinality aggregate) stays PlanSpec-pinnable — the public
+    * entry eagerly materializes the tiny result for block hygiene,
+    * which hides the pipeline from the returned frame's plan. */
+  private[graft] def heavyHittersRecount(vals: DataFrame,
+      cands: DataFrame, k: Int, n: Long): DataFrame =
+    vals.join(cands, Seq("v"), "left_semi")
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > lit(n))
+      .select(col("v"), col("cnt"),
+        expr(s"cnt * 1000 div ${n}L").as("share_milli"))
 
   /** EXACT k-th order statistic WITHOUT a global sort — radix
     * bisection on the value's bits (the distributed selection

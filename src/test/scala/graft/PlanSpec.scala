@@ -162,10 +162,21 @@ class PlanSpec extends SparkSpec {
     // returned 1-row frame must not drag a SortExec anywhere
     assert(!kth.queryExecution.executedPlan.toString.contains("Sort"),
       "exactKth result plan must be sort-free")
-    val hh = Sketches.heavyHittersExact(df, "x", 5)
-    val plan = hh.queryExecution.executedPlan.toString
+    // the PUBLIC entry eagerly materializes its <k-row result (block
+    // hygiene: the corpus-sized checkpoint is freed), so the pipeline
+    // shape is pinned on the recount stage itself
+    val vals = df.selectExpr("CAST(x AS STRING) AS v")
+    val cands = df.selectExpr("CAST(x AS STRING) AS v").distinct()
+    val plan = Sketches.heavyHittersRecount(vals, cands, 5, 5000L)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"),
       s"recount must semi-join the candidate set:\n$plan")
+    // and the public entry's returned frame IS the materialized tiny
+    // result — nothing upstream stays reachable
+    val hh = Sketches.heavyHittersExact(df, "x", 5)
+    assert(hh.queryExecution.executedPlan.toString
+        .contains("Scan ExistingRDD"),
+      "public entry must return the materialized result")
   }
 
   test("round-9 additions: AND-search prunes before its exchange; " +
