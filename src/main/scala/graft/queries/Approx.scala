@@ -1492,8 +1492,7 @@ object Approx {
       """WITH b AS (SELECT o_orderkey, o_orderkey % 128 AS x,
         |    o_custkey % 128 AS y
         |  FROM orders)
-        |SELECT CAST(4 AS BIGINT) AS files_plain,
-        |  CAST(4 AS BIGINT) AS scanned_plain,
+        |SELECT CAST(1 AS BIGINT) AS plain_full_scan,
         |  CAST(4 AS BIGINT) AS files_clustered,
         |  CAST(1 AS BIGINT) AS clustered_tighter,
         |  CAST(count(*) AS BIGINT) AS n_rows,
@@ -1533,10 +1532,16 @@ object Approx {
         s, plain, Seq(("x", 0L, 63L), ("y", 0L, 63L)), None)
       val (frame, _, sc) = graft.sources.ManifestTable.readPruned(
         s, clustered, Seq(("x", 0L, 63L), ("y", 0L, 63L)), None)
+      // the plain merge count depends on byte-size packing (8
+      // near-equal files at target total/4 sit on a grouping knife
+      // edge), so the pins are grouping-independent: plain scans
+      // EVERYTHING it has, clustered scans strictly fewer (a
+      // quadrant is one contiguous curve quarter — one file plus at
+      // most a sampled-boundary neighbor)
       frame.agg(count(lit(1)).as("n_rows"),
           sum("o_orderkey").as("key_sum"))
-        .select(lit(fp.toLong).as("files_plain"),
-          lit(sp.toLong).as("scanned_plain"),
+        .select(
+          lit(if (sp == fp) 1L else 0L).as("plain_full_scan"),
           lit(fc.toLong).as("files_clustered"),
           lit(if (sc < sp) 1L else 0L).as("clustered_tighter"),
           col("n_rows"), col("key_sum"))

@@ -1231,18 +1231,26 @@ class PipelineSpec extends SparkSpec {
     // drop two rows via a DV first: the clustered rewrite must purge
     ManifestTable.deleteRangeDv(spark, clustered, "x", 7L, 7L,
       dvMaxFraction = 0.05)
-    ManifestTable.compact(spark, plain, bytesOf(plain) / 2 + 1)
+    // order-preserving compaction of already-packed files is a no-op
+    // carry: the 4 full-range arrival files stay — the layout zone
+    // maps can't prune no matter how OPTIMIZE repacks them
+    val (vp, bp, ap) = ManifestTable.compact(spark, plain, 1L)
+    assert(bp == 4 && ap == 4, s"($vp, $bp, $ap)")
     val (_, before, after) = ManifestTable.compactClustered(
-      spark, clustered, bytesOf(clustered) / 2 + 1, Seq("x", "y"),
+      spark, clustered, bytesOf(clustered) / 4 + 1, Seq("x", "y"),
       bits = 6)
-    assert(before == 4 && after == 2, s"($before, $after)")
-    // the box that proves it: plain files all span both full ranges
+    assert(before == 4 && after == 4, s"($before, $after)")
+    // the box that proves it: a quadrant is ONE contiguous quarter of
+    // the curve, so it lands in one file plus at most one
+    // sampled-range-boundary neighbor — strictly fewer than the
+    // plain layout's all-4 scan (never exactly-1 asserted: range
+    // boundaries come from sampling, edge rows may drift one file)
     val (_, tp, sp) = ManifestTable.readPruned(spark, plain,
       Seq(("x", 0L, 31L), ("y", 0L, 31L)), None)
-    assert((tp, sp) == ((2, 2)), s"plain: $sp of $tp")
+    assert((tp, sp) == ((4, 4)), s"plain: $sp of $tp")
     val (cf, tc, sc) = ManifestTable.readPruned(spark, clustered,
       Seq(("x", 0L, 31L), ("y", 0L, 31L)), None)
-    assert(tc == 2 && sc < sp, s"clustered: $sc of $tc")
+    assert(tc == 4 && sc <= 2 && sc < sp, s"clustered: $sc of $tc")
     // value-exact: the quadrant has 16 x-cells * 32 y-cells * 2
     // k-copies... recompute directly
     val want = (0L until 4096L)
