@@ -1989,6 +1989,53 @@ object Approx {
           col("slice_rows"), col("slice_sum"))
     },
 
+    // LAKEHOUSE DSv2 WRITE (L25): `df.write.format("graft-manifest")`
+    // — four range-sliced append JOBS, each committing its tasks'
+    // staged files as ONE atomic manifest version with zone lines
+    // from per-task streamed min/max (no post-write stats scan); the
+    // DSv2 READER then plans one InputPartition for the slice
+    // predicate (pinned via the scan RDD) and the metadata count
+    // answers from the task-counted `#nrows` lines. Values equal the
+    // oracle's row-level recompute — the full write→plan→read loop
+    // of the lakehouse layer through the planner.
+    Q("q_z_manifest_dsv2_write",
+      """SELECT CAST(4 AS BIGINT) AS versions_n,
+        |  CAST(4 AS BIGINT) AS files_total,
+        |  CAST(1 AS BIGINT) AS parts_pruned,
+        |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS meta_rows,
+        |  CAST(count(*) AS BIGINT) AS slice_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS slice_sum
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 5000 AND 7000""".stripMargin) {
+      (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-dsv2w-q").toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      val bounds = Seq((-1L, 4000L), (4000L, 8000L),
+        (8000L, 12000L), (12000L, Long.MaxValue))
+      for ((lo, hi) <- bounds) {
+        orders.filter(col("o_orderkey") > lo &&
+            col("o_orderkey") <= hi).coalesce(1)
+          .write.format("graft-manifest").option("path", table)
+          .option("statsColumns", "o_orderkey").mode("append").save()
+      }
+      val nVersions = graft.sources.ManifestTable.versions(table).size
+      val meta = graft.sources.ManifestTable.countRows(table)
+        .getOrElse(-1L)
+      val df = s.read.format("graft-manifest")
+        .option("path", table).load()
+      val total = df.rdd.getNumPartitions
+      val slice = df.filter(col("o_orderkey").between(5000, 7000))
+      val parts = slice.rdd.getNumPartitions
+      slice.agg(count(lit(1)).as("slice_rows"),
+          sum("o_orderkey").as("slice_sum"))
+        .select(lit(nVersions.toLong).as("versions_n"),
+          lit(total.toLong).as("files_total"),
+          lit(parts.toLong).as("parts_pruned"),
+          lit(meta).as("meta_rows"),
+          col("slice_rows"), col("slice_sum"))
+    },
+
     // LAYOUT: schema evolution ACROSS manifest commits (S16 × L5) —
     // commit v1 before the status column existed, append v2 with it;
     // the merged-schema snapshot read unions the LIVE files' footers

@@ -130,8 +130,14 @@ object ManifestV2 {
 
   /** By-name union of the live files' footers — per-LIVE-file
     * metadata reads, bounded by the snapshot. Same-name columns must
-    * agree on type (loud otherwise). */
+    * agree on type (loud otherwise). A table with NO published
+    * snapshot yet has no schema to infer — EMPTY, the write-bootstrap
+    * case (the first `df.write.format("graft-manifest")` creates the
+    * table; a read of it still fails loudly at scan planning). */
   def schemaFor(opts: ManifestV2Options): StructType = {
+    if (ManifestTable.versions(opts.path).isEmpty &&
+        opts.version.isEmpty)
+      return StructType(Seq.empty)
     val (slices, _) = resolve(opts)
     require(slices.nonEmpty,
       s"graft-manifest: snapshot of ${opts.path} lists no data files")
@@ -152,14 +158,29 @@ object ManifestV2 {
 }
 
 class ManifestV2Table(schema: StructType, opts: ManifestV2Options)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-manifest:${opts.path}"
   override def schema(): StructType = schema
+  // ACCEPT_ANY_SCHEMA: the manifest's READ side owns schema
+  // evolution (by-name union of live footers, late columns NULL,
+  // same-name type drift loud at read) — validating appends against
+  // the inferred union would reject exactly the evolving commits the
+  // table is built to absorb, and the write-bootstrap table has no
+  // schema to validate against at all
   override def capabilities(): util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(schema, opts)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ManifestWriteBuilder(info.schema(), opts,
+      Option(info.options.get("statsColumns"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty))
 }
 
 class ManifestScanBuilder(fullSchema: StructType,
@@ -312,6 +333,205 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory =
     ManifestReaderFactory(required)
+}
+
+/** The WRITE half of the planner citizenship (`df.write
+  * .format("graft-manifest").mode("append")` — the S17e pattern
+  * applied to the lakehouse layer): each task stages ONE parquet
+  * file under the job's writer-unique `data/w-<nonce>/` prefix and
+  * reports (path, row count, per-stats-column min/max) in its commit
+  * message; the job-level `BatchWrite.commit` then runs exactly ONE
+  * optimistic manifest publish — the whole distributed write is
+  * atomic (readers see all of the job's files or none), task retries
+  * overwrite nothing (attempt-unique file names, losers deleted on
+  * abort), and an aborted job leaves only unreferenced staging that
+  * [[ManifestTable.vacuum]] reclaims. `option("statsColumns",
+  * "a,b")` records `#stats=`/`#nrows=` zone lines from per-task
+  * streaming min/max — no post-write scan, the DSv2 analog of
+  * [[ManifestTable.commitWithStats]]. Schema is ACCEPT_ANY (the
+  * manifest's read side owns evolution: by-name union, late columns
+  * NULL, same-name type drift loud at read). */
+class ManifestWriteBuilder(schema: StructType,
+    opts: ManifestV2Options, statsCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write._
+  statsCols.foreach { c =>
+    require(schema.fieldNames.contains(c),
+      s"statsColumns entry $c is not a written column")
+    require(schema(c).dataType == LongType ||
+        schema(c).dataType == IntegerType,
+      s"statsColumns entry $c must be integer-typed (zone lines " +
+        s"are exact int64), got ${schema(c).dataType}")
+  }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new ManifestBatchWrite(schema, opts, statsCols)
+  }
+}
+
+class ManifestBatchWrite(schema: StructType, opts: ManifestV2Options,
+    statsCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  private val nonce = java.util.UUID.randomUUID().toString.take(12)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    ManifestWriterFactory(schema, opts.path, nonce, statsCols)
+
+  override def commit(msgs: Array[WriterCommitMessage]): Unit = {
+    val files = msgs.collect {
+      case f: ManifestTaskFile if f.rel.nonEmpty => f
+    }.sortBy(_.rel)
+    if (files.isEmpty) return // an all-empty write publishes nothing
+    val stats = files.flatMap { f =>
+      val entries = statsCols.flatMap(c =>
+        f.stats.get(c).map { case (mn, mx) => (c, mn, mx) })
+      if (entries.isEmpty) None else Some(f.rel -> entries)
+    }.toMap
+    ManifestTable.publishStaged(opts.path, files.map(_.rel).toSeq,
+      stats, files.map(f => f.rel -> f.rows).toMap, append = true)
+    ()
+  }
+
+  override def abort(msgs: Array[WriterCommitMessage]): Unit = {
+    // unreferenced staging is already invisible to readers; delete
+    // what this job staged so vacuum has less to sweep
+    val dir = java.nio.file.Paths.get(opts.path, "data", s"w-$nonce")
+    if (java.nio.file.Files.isDirectory(dir)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+    }
+  }
+}
+
+/** One task's staged file: manifest-relative path, row count, and
+  * per-stats-column (min, max) observed while streaming the rows. */
+final case class ManifestTaskFile(rel: String, rows: Long,
+    stats: Map[String, (Long, Long)])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final case class ManifestWriterFactory(schema: StructType,
+    table: String, nonce: String, statsCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  private def messageTypeOf(s: StructType)
+      : org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    val fields = s.fields.toSeq.map { f =>
+      f.dataType match {
+        case LongType    => Types.optional(INT64).named(f.name)
+        case IntegerType => Types.optional(INT32).named(f.name)
+        case DoubleType  => Types.optional(DOUBLE).named(f.name)
+        case FloatType   => Types.optional(FLOAT).named(f.name)
+        case BooleanType => Types.optional(BOOLEAN).named(f.name)
+        case StringType  => Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case BinaryType  => Types.optional(BINARY).named(f.name)
+        case other => throw new IllegalArgumentException(
+          s"graft-manifest writes flat relational rows; column " +
+            s"${f.name} has unsupported type $other")
+      }
+    }
+    new org.apache.parquet.schema.MessageType("spark_schema",
+      fields: _*)
+  }
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val rel =
+        s"data/w-$nonce/part-$partitionId-$taskId.parquet"
+      private val abs = java.nio.file.Paths.get(table).resolve(rel)
+      private val msgType = messageTypeOf(schema)
+      private val statIdx = statsCols.map(schema.fieldIndex)
+      private val mins = Array.fill(statsCols.size)(Long.MaxValue)
+      private val maxs = Array.fill(statsCols.size)(Long.MinValue)
+      private var n = 0L
+      // open lazily on the FIRST row: empty partitions stage no file
+      private var writer: org.apache.parquet.hadoop.ParquetWriter[
+        org.apache.parquet.example.data.Group] = null
+      private var factory:
+        org.apache.parquet.example.data.simple.SimpleGroupFactory = null
+
+      private def ensureOpen(): Unit = if (writer == null) {
+        java.nio.file.Files.createDirectories(abs.getParent)
+        writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+          .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+            .fromPath(new org.apache.hadoop.fs.Path(abs.toString),
+              new org.apache.hadoop.conf.Configuration()))
+          .withType(msgType)
+          .build()
+        factory = new org.apache.parquet.example.data.simple
+          .SimpleGroupFactory(msgType)
+      }
+
+      override def write(r: InternalRow): Unit = {
+        ensureOpen()
+        val g = factory.newGroup()
+        var i = 0
+        while (i < schema.length) {
+          if (!r.isNullAt(i)) {
+            val name = schema(i).name
+            schema(i).dataType match {
+              case LongType    => g.append(name, r.getLong(i))
+              case IntegerType => g.append(name, r.getInt(i))
+              case DoubleType  => g.append(name, r.getDouble(i))
+              case FloatType   => g.append(name, r.getFloat(i))
+              case BooleanType => g.append(name, r.getBoolean(i))
+              case StringType  => g.append(name,
+                org.apache.parquet.io.api.Binary
+                  .fromString(r.getUTF8String(i).toString))
+              case BinaryType  => g.append(name,
+                org.apache.parquet.io.api.Binary
+                  .fromConstantByteArray(r.getBinary(i)))
+              case other => throw new IllegalStateException(
+                s"unreachable: $other passed messageTypeOf")
+            }
+          }
+          i += 1
+        }
+        var j = 0
+        while (j < statIdx.length) {
+          val idx = statIdx(j)
+          if (!r.isNullAt(idx)) {
+            val v = schema(idx).dataType match {
+              case LongType => r.getLong(idx)
+              case _        => r.getInt(idx).toLong
+            }
+            if (v < mins(j)) mins(j) = v
+            if (v > maxs(j)) maxs(j) = v
+          }
+          j += 1
+        }
+        writer.write(g)
+        n += 1
+      }
+
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage =
+        if (writer == null) ManifestTaskFile("", 0L, Map.empty)
+        else {
+          writer.close()
+          val stats = statsCols.zipWithIndex.flatMap { case (c, j) =>
+            if (mins(j) > maxs(j)) None // all-NULL column in this file
+            else Some(c -> (mins(j), maxs(j)))
+          }.toMap
+          ManifestTaskFile(rel, n, stats)
+        }
+
+      // attempt-unique file names make retries conflict-free; the
+      // loser's bytes go here, the winner's path reaches commit()
+      override def abort(): Unit = if (writer != null) {
+        try writer.close() catch { case _: Throwable => () }
+        java.nio.file.Files.deleteIfExists(abs); ()
+      }
+      override def close(): Unit = ()
+    }
 }
 
 final case class ManifestCountPartition(n: Long) extends InputPartition

@@ -159,6 +159,30 @@ object ManifestTable {
     Snapshot(m.files, m.stats, m.rows, m.dvs)
   }
 
+  /** Publish files the CALLER's tasks already staged as the next
+    * snapshot — the seam the DSv2 write path ([[ManifestV2]]) commits
+    * through: Spark's job-level `BatchWrite.commit` maps onto exactly
+    * ONE optimistic manifest publish, so the whole distributed write
+    * is atomic (readers see all of the job's files or none — the same
+    * contract [[commitWithStats]] gives the Scala API). Same
+    * append/carry semantics and put-if-absent loop. */
+  private[sources] def publishStaged(table: String,
+      staged: Seq[String],
+      stats: Map[String, Seq[(String, Long, Long)]],
+      rows: Map[String, Long], append: Boolean): Long = {
+    require(staged.nonEmpty, "publishStaged needs at least one file")
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    publishLoop(table, nonce, "publishStaged") { snapshot =>
+      val prev =
+        if (append)
+          snapshot.lastOption.map(manifestOf(table, _))
+            .getOrElse(emptyManifest)
+        else emptyManifest
+      Right(prev.metaLinesFor(prev.files) ++
+        metaLines(staged, stats, rows) ++ prev.files ++ staged)
+    }
+  }
+
   private def metaLines(files: Seq[String], stats: Stats,
       rows: Map[String, Long], dvs: Dvs = noDvs): Seq[String] =
     files.flatMap(f => stats.getOrElse(f, Seq.empty)
@@ -330,8 +354,16 @@ object ManifestTable {
     * must be seeded (one [[commitWithStats]] on the key column)
     * before the stream starts, so candidate pruning bites from the
     * first batch. */
+  /** `dvMaxFraction` forwards to [[mergeByKeyDv]]: a CDC stream whose
+    * batches touch few rows per file pays deletion-vector metadata
+    * instead of per-batch file rewrites — the merge-on-read posture a
+    * streaming upsert needs most (every micro-batch is a small DML);
+    * the nightly OPTIMIZE purges the accumulated vectors. Replay
+    * convergence is unchanged: a DV'd position and a rewritten row
+    * read back identically, so the value-idempotence proof carries. */
   def streamMerge(stream: DataFrame, table: String, checkpoint: String,
-      keyCol: String, orderCol: String): Unit = {
+      keyCol: String, orderCol: String,
+      dvMaxFraction: Double = 0.0): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number, xxhash64}
     val q = stream.writeStream
@@ -345,7 +377,8 @@ object ManifestTable {
                 xxhash64(batch.columns.map(col): _*).asc)))
           .filter(col("__rn") === 1).drop("__rn")
         if (!latest.isEmpty) {
-          mergeByKey(batch.sparkSession, table, latest, keyCol)
+          mergeByKeyDv(batch.sparkSession, table, latest, keyCol,
+            dvMaxFraction)
         }
         ()
       }

@@ -1591,5 +1591,83 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq.sorted
     assert(got == Seq((1L, "base", 0L), (2L, "new", 2L),
       (3L, "base", 0L), (9L, "ins", 1L)), got.toString)
+    // merge-on-read streaming: the same CDC stream with a DV budget
+    // marks matched rows dead instead of rewriting their file —
+    // replay still converges to the same values (a DV'd position and
+    // a rewritten row read back identically)
+    val table2 = s"$work/table2"
+    ManifestTable.commitWithStats(
+      Seq((1L, "base", 0L), (2L, "base", 0L), (3L, "base", 0L))
+        .toDF("k", "v", "ver"), table2, append = false, "k")
+    for (run <- 1 to 2) {
+      ManifestTable.streamMerge(
+        spark.readStream.schema(schema).parquet(srcDir.toString),
+        table2, s"$work/ckpt-dv$run", "k", "ver",
+        dvMaxFraction = 0.5)
+    }
+    val got2 = ManifestTable.read(spark, table2)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(got2 == got, got2.toString)
+    val v2 = ManifestTable.versions(table2).last
+    val lines2 = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(table2, "_manifests", s"v$v2"))
+    assert(scala.jdk.CollectionConverters.ListHasAsScala(lines2)
+      .asScala.exists(_.startsWith("#dv=")),
+      "the DV-budget stream merge must take the merge-on-read path")
+  }
+
+  test("graft-manifest DSv2 WRITE: a distributed append commits ONE " +
+      "atomic version with streamed zone stats, bootstraps a fresh " +
+      "table, round-trips values, and accepts evolving schemas") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-dsv2w-spec").toString
+    // first write CREATES the table (no snapshot to infer a schema
+    // from — the write-bootstrap path)
+    spark.range(1, 41)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("s"))
+      .repartitionByRange(2, col("k"))
+      .write.format("graft-manifest").option("path", table)
+      .option("statsColumns", "k").mode("append").save()
+    assert(ManifestTable.versions(table) == Seq(1L))
+    // 2 partitions staged 2 files; ONE version; per-file zones from
+    // the tasks' streamed min/max — a point read opens 1 of 2
+    val (_, t1, s1) = ManifestTable.readPruned(spark, table, "k",
+      1L, 1L)
+    assert((t1, s1) == ((2, 1)), s"($t1, $s1)")
+    assert(ManifestTable.countRows(table).contains(40L))
+    assert(ManifestTable.statsBounds(table, "k").contains((1L, 40L)))
+    // second job appends atomically
+    spark.range(41, 81)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("s"))
+      .coalesce(1)
+      .write.format("graft-manifest").option("path", table)
+      .option("statsColumns", "k").mode("append").save()
+    assert(ManifestTable.versions(table) == Seq(1L, 2L))
+    val back = ManifestTable.read(spark, table)
+    assert(back.count() == 80L)
+    assert(back.agg(sum($"k")).as[Long].head() == (1L to 80L).sum)
+    assert(back.filter($"k" === 5L).select("s").as[String]
+      .collect().toSeq == Seq("v5"))
+    // and the DSv2 reader closes the loop
+    val df = spark.read.format("graft-manifest")
+      .option("path", table).load()
+    assert(df.count() == 80L)
+    assert(ManifestTable.countRows(table).contains(80L))
+    // ACCEPT_ANY_SCHEMA: an evolving append lands; the read side
+    // unions by name, old rows NULL
+    Seq((100L, "v100", 9L)).toDF("k", "s", "extra")
+      .write.format("graft-manifest").option("path", table)
+      .mode("append").save()
+    val ev = ManifestTable.read(spark, table, mergeSchema = true)
+    assert(ev.columns.toSeq == Seq("k", "s", "extra"))
+    assert(ev.filter($"k" === 100L).select("extra").as[Long]
+      .collect().toSeq == Seq(9L))
+    assert(ev.filter($"k" === 5L).select("extra").head().isNullAt(0))
+    // row counts come free from the task counters even without
+    // statsColumns — the metadata count stays exact through the
+    // evolving commit
+    assert(ManifestTable.countRows(table).contains(81L))
+    assert(ev.count() == 81L)
   }
 }
