@@ -170,7 +170,8 @@ class ManifestV2Table(schema: StructType, opts: ManifestV2Options)
   // schema to validate against at all
   override def capabilities(): util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(schema, opts)
@@ -353,7 +354,8 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
   * NULL, same-name type drift loud at read). */
 class ManifestWriteBuilder(schema: StructType,
     opts: ManifestV2Options, statsCols: Seq[String])
-    extends org.apache.spark.sql.connector.write.WriteBuilder {
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
   import org.apache.spark.sql.connector.write._
   statsCols.foreach { c =>
     require(schema.fieldNames.contains(c),
@@ -363,14 +365,19 @@ class ManifestWriteBuilder(schema: StructType,
       s"statsColumns entry $c must be integer-typed (zone lines " +
         s"are exact int64), got ${schema(c).dataType}")
   }
+  // mode("overwrite") arrives as truncate(): the new snapshot lists
+  // ONLY the job's files — old files stay on disk for time travel
+  // until vacuum, exactly commit(append = false)'s contract
+  private var append = true
+  override def truncate(): WriteBuilder = { append = false; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new ManifestBatchWrite(schema, opts, statsCols)
+      new ManifestBatchWrite(schema, opts, statsCols, append)
   }
 }
 
 class ManifestBatchWrite(schema: StructType, opts: ManifestV2Options,
-    statsCols: Seq[String])
+    statsCols: Seq[String], append: Boolean)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
   private val nonce = java.util.UUID.randomUUID().toString.take(12)
@@ -390,7 +397,7 @@ class ManifestBatchWrite(schema: StructType, opts: ManifestV2Options,
       if (entries.isEmpty) None else Some(f.rel -> entries)
     }.toMap
     ManifestTable.publishStaged(opts.path, files.map(_.rel).toSeq,
-      stats, files.map(f => f.rel -> f.rows).toMap, append = true)
+      stats, files.map(f => f.rel -> f.rows).toMap, append)
     ()
   }
 

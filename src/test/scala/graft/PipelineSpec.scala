@@ -1669,5 +1669,16 @@ class PipelineSpec extends SparkSpec {
     // evolving commit
     assert(ManifestTable.countRows(table).contains(81L))
     assert(ev.count() == 81L)
+    // mode("overwrite") = truncate: the new snapshot is ONLY the
+    // job's files; old versions still time-travel until vacuum
+    spark.range(200, 205)
+      .select(col("id").as("k"), lit("ow").as("s"))
+      .coalesce(1)
+      .write.format("graft-manifest").option("path", table)
+      .mode("overwrite").save()
+    val ow = ManifestTable.read(spark, table)
+    assert(ow.count() == 5L)
+    assert(ManifestTable.countRows(table).contains(5L))
+    assert(ManifestTable.read(spark, table, Some(2L)).count() == 80L)
   }
 }

@@ -737,6 +737,43 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("zOrderValueNd: n-D Morton is a bijection whose bit layout " +
+      "matches the interleave spec; 2-D agrees with zOrderValue") {
+    import graft.operators.Layout
+    val cells3 = for (x <- 0L until 16L; y <- 0L until 16L;
+      z <- 0L until 16L) yield (x, y, z)
+    val got = cells3.toDF("x", "y", "z")
+      .select(Layout.zOrderValueNd(
+        Seq(col("x"), col("y"), col("z")), 4).as("m"))
+      .as[Long].collect().toSeq
+    // bijection onto [0, 4096)
+    assert(got.distinct.size == 4096)
+    assert(got.min == 0L && got.max == 4095L)
+    // bit layout: bit i of dim d lands at 3i + d
+    def morton3(x: Long, y: Long, z: Long): Long =
+      (0 until 4).map { i =>
+        (((x >> i) & 1) << (3 * i)) | (((y >> i) & 1) << (3 * i + 1)) |
+          (((z >> i) & 1) << (3 * i + 2))
+      }.reduce(_ | _)
+    assert(got == cells3.map(c => morton3(c._1, c._2, c._3)))
+    // the 2-D instance reproduces the existing zOrderValue exactly
+    val cells2 = for (x <- 0L until 32L; y <- 0L until 32L)
+      yield (x, y)
+    val a = cells2.toDF("x", "y")
+      .select(Layout.zOrderValue(col("x"), col("y"), 5).as("m"))
+      .as[Long].collect().toSeq
+    val b = cells2.toDF("x", "y")
+      .select(Layout.zOrderValueNd(Seq(col("x"), col("y")), 5).as("m"))
+      .as[Long].collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Layout.zOrderValueNd(Seq(col("x")), 4)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zOrderValueNd(Seq.fill(9)(col("x")), 7)
+    }
+  }
+
   test("hilbertValue is a neighbor-continuous bijection on the grid") {
     import graft.expressions.Hilbert
     // bits=1 base case: the U-shaped quadrant order (0,0) (0,1)
