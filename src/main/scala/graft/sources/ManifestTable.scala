@@ -1536,6 +1536,30 @@ object ManifestTable {
     (live.size, dead.size)
   }
 
+  /** DESCRIBE HISTORY — the audit view a lakehouse table owner reads
+    * daily: one row per live version with its file count, metadata
+    * row count when every file carries one (live = physical − |dv|,
+    * −1 when unknown: exact-or-refuse, same contract as
+    * [[countRows]]), total deletion-vector positions, and the
+    * idempotence tag if the commit carried one. Pure manifest reads —
+    * version-count-sized work, zero data I/O. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed snapshot under $table")
+    vs.map { v =>
+      val m = manifestOf(table, v)
+      val live = m.files.map(f => m.rows.get(f)
+        .map(_ - m.dvs.getOrElse(f, Seq.empty).size))
+      val nRows =
+        if (live.forall(_.isDefined)) live.flatten.sum else -1L
+      val nDv = m.files.map(f =>
+        m.dvs.getOrElse(f, Seq.empty).size.toLong).sum
+      (v, m.files.size.toLong, nRows, nDv,
+        tagOf(table, v).getOrElse(""))
+    }.toDF("version", "n_files", "n_rows", "dv_positions", "tag")
+  }
+
   /** Read a snapshot: the given version, or the latest. Scans exactly
     * the manifest's file list — the data directory is never listed.
     * `mergeSchema = true` unions the listed files' footers (the S16

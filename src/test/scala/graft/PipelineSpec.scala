@@ -1323,6 +1323,26 @@ class PipelineSpec extends SparkSpec {
       .as[Long].head() == 9L)
   }
 
+  test("ManifestTable.history: one metadata-only row per version " +
+      "with exact live counts, DV positions, and tags") {
+    import graft.sources.ManifestTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-history-spec").toString
+    ManifestTable.commitWithStats((1L to 40L).toDF("k").coalesce(1),
+      table, append = false, "k")
+    ManifestTable.commitWithStats(
+      (41L to 60L).toDF("k").coalesce(1), table, append = true,
+      Seq("k"), tag = Some("batch-7"))
+    ManifestTable.deleteRangeDv(spark, table, "k", 5L, 7L,
+      dvMaxFraction = 0.2)
+    val h = ManifestTable.history(spark, table)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq.sorted
+    assert(h == Seq(
+      (1L, 1L, 40L, 0L, ""),
+      (2L, 2L, 60L, 0L, "batch-7"),
+      (3L, 2L, 57L, 3L, "")), h.toString)
+  }
+
   test("ManifestTable.countRows: metadata-only count is exact for " +
       "stat-committed snapshots, survives compaction, and refuses " +
       "(None) when any file lacks a recorded count") {
