@@ -1000,21 +1000,28 @@ object Dedup {
     * the prefix join twice. Both inputs: (id_a, id_b) with a < b. */
   def lshRecallReportFrom(exactPairs: DataFrame,
       candPairs: DataFrame): DataFrame = {
+    // both pair frames feed TWO consumers (their count + the hit semi
+    // join), so each checkpoints once — EAGERLY, because the three
+    // aggregates are single-row driver values: folding them here lets
+    // the checkpoints be freed before returning (block hygiene — the
+    // report must not pin two pair-table-sized block sets for the
+    // life of the session) and the returned frame is pure literals
     val exact = exactPairs.select("id_a", "id_b")
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
     val cand = candPairs.select("id_a", "id_b")
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
+    val nExact = exact.count()
+    val nCand = cand.count()
     val hits = cand.join(exact, Seq("id_a", "id_b"), "left_semi")
-      .agg(count(lit(1)).as("hits"))
-    exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-      .crossJoin(hits)
-      .select(col("n_exact"), col("n_cand"), col("hits"),
-        when(col("n_exact") === 0, lit(0L))
-          .otherwise(expr("(hits * 1000) div n_exact"))
+      .count()
+    Lineage.freeLocalCheckpoint(exact)
+    Lineage.freeLocalCheckpoint(cand)
+    exactPairs.sparkSession.range(1)
+      .select(lit(nExact).as("n_exact"), lit(nCand).as("n_cand"),
+        lit(hits).as("hits"),
+        lit(if (nExact == 0) 0L else hits * 1000L / nExact)
           .as("recall_milli"),
-        when(col("n_cand") === 0, lit(0L))
-          .otherwise(expr("(hits * 1000) div n_cand"))
+        lit(if (nCand == 0) 0L else hits * 1000L / nCand)
           .as("precision_milli"))
   }
 

@@ -59,19 +59,30 @@ object Graph {
     require(n > 0, "pageRank needs at least one edge (empty graph)")
     val teleport = (Scale / 100L * 15L) / n // floor((0.15 * SCALE) / n)
     var ranks = nodes.withColumn("rank_fp", lit(Scale / n))
+    // the kCore/LPA block-hygiene discipline: each round's checkpoint
+    // is EAGER so the superseded round's pinned blocks can be freed
+    // immediately — a long walk holds one round's working set, not
+    // all of them; the prelude checkpoints free once the final round
+    // is materialized (lineage is truncated, nothing reads them again)
+    var prevCkpt: DataFrame = null
     for (_ <- 1 to iters) {
       val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           expr("rank_fp div out_deg").as("contrib"))
         .groupBy("node").agg(sum("contrib").as("in_mass"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr("coalesce(in_mass, 0L) * 85 div 100")).as("rank_fp"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
+      if (prevCkpt != null) Lineage.freeLocalCheckpoint(prevCkpt)
+      prevCkpt = next
+      ranks = next
     }
+    if (prevCkpt != null)
+      Seq(e, nodes, eDeg).foreach(Lineage.freeLocalCheckpoint)
     ranks
   }
 
@@ -115,19 +126,29 @@ object Graph {
     var ranks = withSeedMass(nodes, Scale / nS)
       .select(col("node"), col("__tp").as("rank_fp"))
       .localCheckpoint(eager = false)
+    // same round-by-round release as [[pageRank]]: eager checkpoints,
+    // free the superseded round, free the prelude once the final
+    // round's blocks exist (round 0 is itself a checkpoint root, so
+    // freeing it touches only its own RDD, never nodes/sN)
+    var prevCkpt: DataFrame = ranks
     for (_ <- 1 to iters) {
       val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           expr("rank_fp div out_deg").as("contrib"))
         .groupBy("node").agg(sum("contrib").as("in_mass"))
-      ranks = withSeedMass(nodes.join(contribs, Seq("node"), "left"),
+      val next = withSeedMass(nodes.join(contribs, Seq("node"), "left"),
           teleport)
         .select(col("node"),
           (col("__tp") +
             expr("coalesce(in_mass, 0L) * 85 div 100")).as("rank_fp"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
+      Lineage.freeLocalCheckpoint(prevCkpt)
+      prevCkpt = next
+      ranks = next
     }
+    if (iters >= 1)
+      Seq(e, nodes, eDeg, sN).foreach(Lineage.freeLocalCheckpoint)
     ranks
   }
 

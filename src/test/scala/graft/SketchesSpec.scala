@@ -693,6 +693,36 @@ class SketchesSpec extends SparkSpec {
       s"expected at most the result RDD pinned, got $extra")
   }
 
+  test("block hygiene: pageRank/personalizedPageRank free superseded " +
+      "rounds and their prelude (at most the final ranks stay " +
+      "pinned); lshRecallReportFrom pins nothing") {
+    import graft.operators.Dedup
+    val sc = spark.sparkContext
+    def pinned: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val b1 = pinned
+    val pr = Graph.pageRank(edges, "src", "dst", iters = 3)
+    assert(pr.count() == 3)
+    val e1 = pinned -- b1
+    assert(e1.size <= 1,
+      s"pageRank left superseded-round/prelude blocks pinned: $e1")
+    val b2 = pinned
+    val ppr = Graph.personalizedPageRank(edges, "src", "dst",
+      Seq(1L).toDF("n"), "n", iters = 3)
+    assert(ppr.count() == 3)
+    val e2 = pinned -- b2
+    assert(e2.size <= 1,
+      s"personalizedPageRank left blocks pinned: $e2")
+    val b3 = pinned
+    val exact = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val rep = Dedup.lshRecallReportFrom(exact, exact.limit(1))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(rep == ((2L, 1L, 1L, 500L, 1000L)), rep.toString)
+    assert((pinned -- b3).isEmpty,
+      s"lshRecallReportFrom left blocks pinned: ${pinned -- b3}")
+  }
+
   test("indexNd/axesNd: the n-D Hilbert walk is a unit-step " +
       "bijection over full 2-D/3-D/4-D grids, the native expression " +
       "matches the kernel, and contract violations are loud") {
