@@ -2036,6 +2036,254 @@ object Approx {
           col("slice_rows"), col("slice_sum"))
     },
 
+    // LAKEHOUSE TYPED ZONE STATS (L26): DATE and STRING predicates
+    // prune files through the Scala read path — the single most
+    // common pruning shape in a real lakehouse (ingest date + a
+    // string business key), previously integer-only. Four quadrant
+    // commits (date half x priority half) carry epoch-day `#stats=`
+    // and hex byte-wise `#sstats=` zone lines; a date-range +
+    // string-equality read opens exactly ONE of the four files, the
+    // row filter keeps values exact, and the oracle recomputes the
+    // rows from source parquet. NULL rows never match (BETWEEN is
+    // UNKNOWN on NULL); truncated string bounds are conservative
+    // (spec'd in PipelineSpec).
+    Q("q_z_typed_prune",
+      """SELECT CAST(4 AS BIGINT) AS files_total,
+        |  CAST(1 AS BIGINT) AS files_scanned,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE)
+        |    BETWEEN DATE '1995-01-01' AND DATE '1997-12-31'
+        |  AND o_orderpriority = '1-URGENT'""".stripMargin) { (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-typed-prune-q").toString
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_date"),
+        col("o_orderpriority"))
+      val dateCut = to_date(lit("1998-01-01"))
+      val priCut = lit("2-HIGH")
+      for {
+        early <- Seq(true, false)
+        lowPri <- Seq(true, false)
+      } {
+        val slice = orders
+          .filter(if (early) col("o_date") < dateCut
+            else col("o_date") >= dateCut)
+          .filter(if (lowPri) col("o_orderpriority") <= priCut
+            else col("o_orderpriority") > priCut)
+        graft.sources.ManifestTable.commitWithStats(slice.coalesce(1),
+          table, append = true, Seq("o_date", "o_orderpriority"), None)
+      }
+      val (frame, total, scanned) = graft.sources.ManifestTable
+        .readPrunedTyped(s, table, Seq(
+          ("o_date", java.time.LocalDate.parse("1995-01-01"),
+            java.time.LocalDate.parse("1997-12-31")),
+          ("o_orderpriority", "1-URGENT", "1-URGENT")), None)
+      frame.agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"))
+        .select(lit(total.toLong).as("files_total"),
+          lit(scanned.toLong).as("files_scanned"),
+          col("n_rows"), col("key_sum"))
+    },
+
+    // LAKEHOUSE TYPED ZONE STATS through the PLANNER (L26 × L24):
+    // the same date+string quadrants written via the DSv2 writer
+    // (per-task streamed epoch-day and byte-wise string bounds, no
+    // post-write scan) and read via format("graft-manifest") with
+    // PUSHED date-range + string-equality filters — the scan plans
+    // ONE InputPartition of four (pinned via the RDD's partition
+    // count), and the date column round-trips the custom parquet
+    // writer/reader. Values equal the oracle's row-level recompute.
+    Q("q_z_dsv2_typed",
+      """SELECT CAST(4 AS BIGINT) AS files_total,
+        |  CAST(1 AS BIGINT) AS parts_pruned,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE)
+        |    BETWEEN DATE '1995-01-01' AND DATE '1997-12-31'
+        |  AND o_orderpriority = '1-URGENT'""".stripMargin) { (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-dsv2-typed-q").toString
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_date"),
+        col("o_orderpriority"))
+      val dateCut = to_date(lit("1998-01-01"))
+      val priCut = lit("2-HIGH")
+      for {
+        early <- Seq(true, false)
+        lowPri <- Seq(true, false)
+      } {
+        orders
+          .filter(if (early) col("o_date") < dateCut
+            else col("o_date") >= dateCut)
+          .filter(if (lowPri) col("o_orderpriority") <= priCut
+            else col("o_orderpriority") > priCut)
+          .coalesce(1)
+          .write.format("graft-manifest").option("path", table)
+          .option("statsColumns", "o_date,o_orderpriority")
+          .mode("append").save()
+      }
+      val df = s.read.format("graft-manifest")
+        .option("path", table).load()
+      val total = df.rdd.getNumPartitions
+      val slice = df.filter(
+        col("o_date").between(to_date(lit("1995-01-01")),
+          to_date(lit("1997-12-31"))) &&
+        col("o_orderpriority") === "1-URGENT")
+      val parts = slice.rdd.getNumPartitions
+      slice.agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"))
+        .select(lit(total.toLong).as("files_total"),
+          lit(parts.toLong).as("parts_pruned"),
+          col("n_rows"), col("key_sum"))
+    },
+
+    // LAKEHOUSE SQL CATALOG (L27): manifest tables as full SQL
+    // citizens via the GraftCatalog TableCatalog plugin — CREATE
+    // TABLE ... USING graft-manifest, two INSERT INTO ... SELECT
+    // jobs (each ONE atomic manifest publish), a SELECT over the
+    // result, and VERSION AS OF time travel, all through the SQL
+    // planner with no path options. Oracle recomputes both snapshots
+    // from source parquet: catalog plumbing must be invisible to
+    // values.
+    Q("q_sql_catalog",
+      """SELECT snap, n, key_sum FROM (
+        |  SELECT 'v1' AS snap, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'v2' AS snap, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |  FROM orders) u
+        |ORDER BY snap""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.catalog.g_mf",
+        "graft.sources.GraftCatalog")
+      val tbl = "t_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val view = "v_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      t(s, d, "orders").select("o_orderkey")
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE g_mf.$tbl (o_orderkey BIGINT) " +
+        "USING `graft-manifest`")
+      s.sql(s"INSERT INTO g_mf.$tbl " +
+        s"SELECT o_orderkey FROM $view WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO g_mf.$tbl " +
+        s"SELECT o_orderkey FROM $view WHERE o_orderkey % 2 = 1")
+      s.sql(
+        s"""SELECT 'v1' AS snap, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+           |FROM g_mf.$tbl VERSION AS OF 1
+           |UNION ALL
+           |SELECT 'v2' AS snap, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+           |FROM g_mf.$tbl
+           |ORDER BY snap""".stripMargin)
+    },
+
+    // LAKEHOUSE SQL DELETE (L28): `DELETE FROM <catalog>.<table>
+    // WHERE k BETWEEN a AND b` plans through the SupportsDelete seam
+    // onto the merge-on-read deleteRangeDv — a small ranged purge
+    // against four zone-disjoint files touches ONE candidate file
+    // and commits a deletion-vector-only version: files_after equals
+    // files_before (ZERO rewritten data files), dv_positions equals
+    // the purged row count, and the post-DELETE SQL read masks the
+    // positions. The GDPR shape, end-to-end through the SQL planner.
+    Q("q_sql_delete_dv",
+      """SELECT CAST(4 AS BIGINT) AS files_before,
+        |  CAST(4 AS BIGINT) AS files_after,
+        |  CAST((SELECT count(*) FROM orders
+        |    WHERE o_orderkey BETWEEN 5000 AND 5099) AS BIGINT)
+        |    AS dv_positions,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE o_orderkey NOT BETWEEN 5000 AND 5099""".stripMargin) {
+      (s, d) =>
+      s.conf.set("spark.sql.catalog.g_mf",
+        "graft.sources.GraftCatalog")
+      val tbl = "t_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-catalog-root",
+        tbl).toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      val bounds = Seq((-1L, 4000L), (4000L, 8000L),
+        (8000L, 12000L), (12000L, Long.MaxValue))
+      for ((lo, hi) <- bounds) {
+        graft.sources.ManifestTable.commitWithStats(
+          orders.filter(col("o_orderkey") > lo &&
+            col("o_orderkey") <= hi).coalesce(1),
+          dir, append = true, "o_orderkey")
+      }
+      val before = graft.sources.ManifestTable
+        .snapshotFor(dir, None).files.size
+      s.sql(s"DELETE FROM g_mf.$tbl " +
+        "WHERE o_orderkey BETWEEN 5000 AND 5099")
+      val snap = graft.sources.ManifestTable.snapshotFor(dir, None)
+      val dvN = snap.dvs.values.map(_.size.toLong).sum
+      s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM g_mf.$tbl")
+        .select(lit(before.toLong).as("files_before"),
+          lit(snap.files.size.toLong).as("files_after"),
+          lit(dvN).as("dv_positions"),
+          col("n_rows"), col("key_sum"))
+    },
+
+    // LAKEHOUSE CDC STREAM SOURCE (L29): readStream
+    // .format("graft-manifest").option("startingVersion", 1) — the
+    // Delta-CDF / Iceberg-incremental-read shape: offsets are
+    // manifest versions, each micro-batch is one version range's
+    // ADDED files, and because manifests are immutable a replay
+    // plans the identical batches. Three commits; the stream from
+    // startingVersion=1 delivers exactly v2+v3's rows (the oracle
+    // recomputes them from source parquet), and a second run on the
+    // SAME checkpoint delivers ZERO rows — the exactly-once proof.
+    Q("q_st_cdc_source",
+      """SELECT CAST(count(*) AS BIGINT) AS cdc_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS cdc_sum,
+        |  CAST(0 AS BIGINT) AS replay_rows
+        |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin) {
+      (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-cdc-q").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-cdc-q-ckpt").toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      for (m <- 0 to 2) {
+        graft.sources.ManifestTable.commit(
+          orders.filter(col("o_orderkey") % 3 === m).coalesce(1),
+          table, append = true)
+      }
+      def drain(): (Long, Long) = {
+        val n = new java.util.concurrent.atomic.AtomicLong()
+        val sumK = new java.util.concurrent.atomic.AtomicLong()
+        val q = s.readStream.format("graft-manifest")
+          .option("path", table).option("startingVersion", "1")
+          .load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              val r = b.agg(count(lit(1)), sum("o_orderkey")).head()
+              n.addAndGet(r.getLong(0))
+              if (!r.isNullAt(1)) sumK.addAndGet(r.getLong(1))
+              ()
+          }
+          .trigger(
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (n.get(), sumK.get())
+      }
+      val (rows1, sum1) = drain()
+      val (rows2, _) = drain() // same checkpoint: nothing re-delivers
+      s.range(1).select(lit(rows1).as("cdc_rows"),
+        lit(sum1).as("cdc_sum"), lit(rows2).as("replay_rows"))
+    },
+
     // LAYOUT: schema evolution ACROSS manifest commits (S16 × L5) —
     // commit v1 before the status column existed, append v2 with it;
     // the merged-schema snapshot read unions the LIVE files' footers

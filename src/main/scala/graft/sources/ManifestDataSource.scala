@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -17,15 +17,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - **snapshot selection** (time travel) via `.option("version",
   *    n)` — resolved against the manifest exactly like
-  *    [[ManifestTable.read]];
+  *    [[ManifestTable.read]], and PINNED: each scan resolves its
+  *    snapshot exactly once, so every planning call (filter
+  *    selection, aggregate pushdown, partition planning) and every
+  *    re-execution of the same DataFrame sees one version even under
+  *    concurrent commits — the Delta/Iceberg pin-at-scan rule;
   *  - **zone pruning reaches the planner**: range filters on stats
   *    columns plan one InputPartition per SURVIVING file — a pruned
   *    query's scan has fewer partitions, visible in `.explain` and
-  *    `rdd.getNumPartitions` (the same `#stats=` arithmetic as
-  *    [[ManifestTable.readPruned]], now driven by Catalyst filters);
-  *    pushed filters are also re-applied row-level by Spark
-  *    (declared residual), so skipping stays an optimization, never
-  *    a filter;
+  *    `rdd.getNumPartitions`. Integer, DATE (epoch-day) and
+  *    TIMESTAMP (epoch-microsecond) predicates prune on the int64
+  *    `#stats=` lines; STRING predicates prune on the `#sstats=`
+  *    hex-UTF-8 lines by unsigned byte comparison. Pushed filters
+  *    are also re-applied row-level by Spark (declared residual), so
+  *    skipping stays an optimization, never a filter;
   *  - **metadata-only COUNT(*)**: a global count with no residual
   *    filters answers COMPLETELY from the manifest's `#nrows=` lines
   *    (minus deletion-vector cardinalities) — one small-file read,
@@ -34,17 +39,28 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **deletion vectors apply**: each InputPartition carries its
   *    file's dead positions and the reader skips them by ordinal —
   *    a DSv2 read of a DV'd snapshot is value-identical to
-  *    [[ManifestTable.read]].
+  *    [[ManifestTable.read]];
+  *  - **SQL DELETE**: the table implements `SupportsDelete`, so
+  *    `DELETE FROM <catalog>.<table> WHERE k BETWEEN a AND b` plans
+  *    through Catalyst onto [[ManifestTable.deleteRangeDv]] — a
+  *    small ranged purge commits a deletion-vector-only version with
+  *    ZERO rewritten data files;
+  *  - **streaming CDC source**: `spark.readStream
+  *    .format("graft-manifest")` with `.option("startingVersion",
+  *    v)` serves each committed version's ADDED files as one
+  *    micro-batch (the Delta CDF / Iceberg incremental-read shape) —
+  *    offsets are manifest versions, manifests are immutable, so
+  *    checkpoint replays re-plan identical batches (exactly-once).
   *
   * The partition reader decodes parquet directly via parquet-mr's
   * Group API (the same bundled library Spark's own scan uses
   * underneath) with the projection pushed into the read schema —
   * column pruning costs nothing at the I/O layer. Surface contract:
   * FLAT relational snapshots (boolean/int/long/float/double/binary/
-  * string columns — what the manifest DML writes); nested types
-  * fail loudly at schema inference. Schema is the by-name union of
-  * the LIVE files' footers (the S16 read-side evolution contract:
-  * files missing a late column read it as NULL).
+  * string/date/timestamp-micros columns — what the manifest DML
+  * writes); nested types fail loudly at schema inference. Schema is
+  * the by-name union of the LIVE files' footers (the S16 read-side
+  * evolution contract: files missing a late column read it as NULL).
   */
 class ManifestTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-manifest"
@@ -59,15 +75,21 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
       ManifestV2Options(new CaseInsensitiveStringMap(properties)))
 }
 
-/** Table options (serializable — shipped to tasks). */
-final case class ManifestV2Options(path: String, version: Option[Long])
+/** Table options (serializable — shipped to tasks). `dvMaxFraction`
+  * tunes SQL DELETE's merge-on-read crossover (see
+  * [[ManifestTable.deleteRangeDv]]); `startingVersion` is the CDC
+  * stream's exclusive lower bound (default 0 = everything). */
+final case class ManifestV2Options(path: String, version: Option[Long],
+    dvMaxFraction: Double = 0.5, startingVersion: Long = 0L)
     extends Serializable
 
 object ManifestV2Options {
   def apply(o: CaseInsensitiveStringMap): ManifestV2Options = {
     val p = o.get("path")
     require(p != null, "graft-manifest requires option 'path'")
-    ManifestV2Options(p, Option(o.get("version")).map(_.toLong))
+    ManifestV2Options(p, Option(o.get("version")).map(_.toLong),
+      Option(o.get("dvMaxFraction")).map(_.toDouble).getOrElse(0.5),
+      Option(o.get("startingVersion")).map(_.toLong).getOrElse(0L))
   }
 }
 
@@ -79,10 +101,16 @@ object ManifestV2 {
   final case class FileSlice(path: String, dv: Array[Long],
       rows: Option[Long]) extends Serializable
 
-  /** Resolve the snapshot: (files with their DVs/counts, per-file
-    * zone stats keyed by relative path). */
-  def resolve(opts: ManifestV2Options)
-      : (Seq[FileSlice], Map[String, Seq[(String, Long, Long)]]) = {
+  /** One RESOLVED snapshot, pinned for the life of a scan: version,
+    * live files, and per-RELATIVE-path zone stats (integer `#stats=`
+    * and string `#sstats=` lines). */
+  final case class Pinned(version: Long, slices: Seq[FileSlice],
+      stats: Map[String, Seq[(String, Long, Long)]],
+      sstats: Map[String, Seq[(String, String, String)]])
+
+  /** Resolve the snapshot ONCE — callers hold the result so every
+    * subsequent planning/execution step sees the same version. */
+  def resolvePinned(opts: ManifestV2Options): Pinned = {
     val snap = ManifestTable.snapshotFor(opts.path, opts.version)
     val root = java.nio.file.Paths.get(opts.path)
     val slices = snap.files.map { f =>
@@ -90,8 +118,11 @@ object ManifestV2 {
         snap.dvs.getOrElse(f, Seq.empty).toArray,
         snap.rows.get(f))
     }
-    (slices, snap.files.map(f =>
-      f -> snap.stats.getOrElse(f, Seq.empty)).toMap)
+    Pinned(snap.version, slices,
+      snap.files.map(f =>
+        f -> snap.stats.getOrElse(f, Seq.empty)).toMap,
+      snap.files.map(f =>
+        f -> snap.sstats.getOrElse(f, Seq.empty)).toMap)
   }
 
   private def footerSchema(path: String): StructType = {
@@ -102,22 +133,36 @@ object ManifestV2 {
     try {
       val msg = reader.getFooter.getFileMetaData.getSchema
       import scala.jdk.CollectionConverters._
+      import org.apache.parquet.schema.LogicalTypeAnnotation
       StructType(msg.getFields.asScala.toSeq.map { f =>
         require(f.isPrimitive,
           s"graft-manifest serves flat relational snapshots; " +
             s"column ${f.getName} is nested")
         val p = f.asPrimitiveType()
         import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val ann = p.getLogicalTypeAnnotation
         val dt = p.getPrimitiveTypeName match {
+          case INT64
+              if ann.isInstanceOf[LogicalTypeAnnotation
+                .TimestampLogicalTypeAnnotation] =>
+            val t = ann.asInstanceOf[LogicalTypeAnnotation
+              .TimestampLogicalTypeAnnotation]
+            require(t.getUnit ==
+                LogicalTypeAnnotation.TimeUnit.MICROS,
+              s"graft-manifest reads MICROS timestamps; column " +
+                s"${f.getName} is ${t.getUnit}")
+            TimestampType
           case INT64   => LongType
+          case INT32
+              if ann.isInstanceOf[LogicalTypeAnnotation
+                .DateLogicalTypeAnnotation] => DateType
           case INT32   => IntegerType
           case DOUBLE  => DoubleType
           case FLOAT   => FloatType
           case BOOLEAN => BooleanType
           case BINARY
-              if p.getLogicalTypeAnnotation ==
-                org.apache.parquet.schema.LogicalTypeAnnotation
-                  .stringType() => StringType
+              if ann == LogicalTypeAnnotation.stringType() =>
+            StringType
           case BINARY  => BinaryType
           case other => throw new IllegalArgumentException(
             s"graft-manifest serves flat relational snapshots; " +
@@ -138,10 +183,10 @@ object ManifestV2 {
     if (ManifestTable.versions(opts.path).isEmpty &&
         opts.version.isEmpty)
       return StructType(Seq.empty)
-    val (slices, _) = resolve(opts)
-    require(slices.nonEmpty,
+    val pinned = resolvePinned(opts)
+    require(pinned.slices.nonEmpty,
       s"graft-manifest: snapshot of ${opts.path} lists no data files")
-    slices.map(s => footerSchema(s.path)).reduce { (a, b) =>
+    pinned.slices.map(s => footerSchema(s.path)).reduce { (a, b) =>
       val known = a.fieldNames.toSet
       b.fields.foldLeft(a) { (acc, f) =>
         if (!known.contains(f.name)) acc.add(f)
@@ -159,7 +204,8 @@ object ManifestV2 {
 
 class ManifestV2Table(schema: StructType, opts: ManifestV2Options)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with SupportsDelete {
   override def name(): String = s"graft-manifest:${opts.path}"
   override def schema(): StructType = schema
   // ACCEPT_ANY_SCHEMA: the manifest's READ side owns schema
@@ -170,6 +216,7 @@ class ManifestV2Table(schema: StructType, opts: ManifestV2Options)
   // schema to validate against at all
   override def capabilities(): util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(
@@ -182,6 +229,43 @@ class ManifestV2Table(schema: StructType, opts: ManifestV2Options)
       Option(info.options.get("statsColumns"))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty))
+
+  /** SQL DELETE seam: supported exactly when the WHERE clause is a
+    * conjunctive RANGE on ONE int64-prunable column (integer, date,
+    * or timestamp — the shape [[ManifestTable.deleteRangeDv]]
+    * serves); anything else declines loudly rather than deleting a
+    * superset. NULL rows never match (SQL DELETE semantics ride the
+    * range predicate). */
+  private def deleteRangeOf(filters: Array[Filter])
+      : Option[(String, Long, Long)] = {
+    if (filters.isEmpty) return None
+    // every filter must translate — a residual filter would make the
+    // merged range a SUPERSET of the true predicate
+    if (!filters.forall(f =>
+        ManifestScan.longRangesOf(Seq(f), schema).nonEmpty))
+      return None
+    val merged = ManifestScan.longRangesOf(filters.toSeq, schema)
+    if (merged.size != 1) None
+    else {
+      val (c, (lo, hi)) = merged.head
+      Some((c, lo, hi))
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deleteRangeOf(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (c, lo, hi) = deleteRangeOf(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-manifest DELETE supports a conjunctive range on one " +
+          s"integer/date/timestamp column; got " +
+          s"${filters.mkString(", ")}"))
+    ManifestTable.deleteRangeDv(
+      org.apache.spark.sql.SparkSession.active, opts.path, c, lo, hi,
+      dvMaxFraction = opts.dvMaxFraction)
+    ()
+  }
 }
 
 class ManifestScanBuilder(fullSchema: StructType,
@@ -193,6 +277,12 @@ class ManifestScanBuilder(fullSchema: StructType,
   private var pushed: Array[Filter] = Array.empty
   private var countOnly: Option[Long] = None
 
+  // ONE resolution serves every planning call of this scan — a
+  // concurrent commit between pushFilters, pushAggregation and
+  // planInputPartitions cannot split the read across versions. Lazy:
+  // the STREAMING path never resolves a batch snapshot at all.
+  private lazy val pinned = ManifestV2.resolvePinned(opts)
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (countOnly.isEmpty) required = requiredSchema
 
@@ -201,7 +291,8 @@ class ManifestScanBuilder(fullSchema: StructType,
     * them row-level, so the zones only ever skip, never filter. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f =>
-      ManifestScan.rangesOf(Seq(f), fullSchema).nonEmpty)
+      ManifestScan.longRangesOf(Seq(f), fullSchema).nonEmpty ||
+        ManifestScan.strRangesOf(Seq(f), fullSchema).nonEmpty)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -233,59 +324,147 @@ class ManifestScanBuilder(fullSchema: StructType,
     if (pushed.nonEmpty) return None // a filter means counting rows
     agg.aggregateExpressions.toSeq match {
       case Seq(_: CountStar) =>
-        val (slices, _) = ManifestV2.resolve(opts)
-        val per = slices.map(s => s.rows.map(_ - s.dv.length))
+        val per = pinned.slices.map(s => s.rows.map(_ - s.dv.length))
         if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
       case _ => None
     }
   }
 
   override def build(): Scan =
-    new ManifestScan(required, pushed, countOnly, opts)
+    new ManifestScan(required, pushed, countOnly, opts,
+      () => pinned, fullSchema)
 }
 
 object ManifestScan {
-  /** Conjunctive [lo, hi] ranges per LONG column from source
-    * filters — the zone-pruning predicate form. Only long-typed
-    * columns with integral literals participate (same exactness
-    * discipline as the manifest's `#stats=` lines). */
-  def rangesOf(filters: Seq[Filter], schema: StructType)
-      : Map[String, (Long, Long)] = {
-    def longCol(a: String): Boolean =
-      schema.fields.exists(f => f.name == a && f.dataType == LongType)
-    def asLong(v: Any): Option[Long] = v match {
-      case l: java.lang.Long    => Some(l)
-      case i: java.lang.Integer => Some(i.toLong)
-      case s: java.lang.Short   => Some(s.toLong)
-      case b: java.lang.Byte    => Some(b.toLong)
+
+  /** One conjunctive string bound: [lo, hi] on UTF-8 bytes, either
+    * side open (None) and independently inclusive/exclusive. */
+  final case class StrRange(lo: Option[Array[Byte]], loInc: Boolean,
+      hi: Option[Array[Byte]], hiInc: Boolean)
+
+  private def literalLong(schema: StructType, a: String,
+      v: Any): Option[Long] = {
+    val dt = schema.fields.find(_.name == a).map(_.dataType)
+    (dt, v) match {
+      case (Some(LongType) | Some(IntegerType), l: java.lang.Long) =>
+        Some(l)
+      case (Some(LongType) | Some(IntegerType), i: java.lang.Integer) =>
+        Some(i.toLong)
+      case (Some(LongType) | Some(IntegerType), s: java.lang.Short) =>
+        Some(s.toLong)
+      case (Some(LongType) | Some(IntegerType), b: java.lang.Byte) =>
+        Some(b.toLong)
+      case (Some(DateType), d: java.sql.Date) =>
+        Some(d.toLocalDate.toEpochDay)
+      case (Some(DateType), d: java.time.LocalDate) =>
+        Some(d.toEpochDay)
+      case (Some(TimestampType), t: java.sql.Timestamp) =>
+        Some(Math.floorDiv(t.getTime, 1000L) * 1000000L +
+          t.getNanos / 1000L)
+      case (Some(TimestampType), i: java.time.Instant) =>
+        Some(Math.multiplyExact(i.getEpochSecond, 1000000L) +
+          i.getNano / 1000L)
       case _ => None
     }
+  }
+
+  /** Conjunctive [lo, hi] int64 ranges per column from source
+    * filters — integer columns as-is, DATE as epoch days, TIMESTAMP
+    * as epoch microseconds (the manifest's `#stats=` encodings —
+    * same exactness discipline on both sides). */
+  def longRangesOf(filters: Seq[Filter], schema: StructType)
+      : Map[String, (Long, Long)] = {
+    def asLong(a: String, v: Any): Option[Long] =
+      literalLong(schema, a, v)
     val ranges = filters.flatMap {
-      case EqualTo(a, v) if longCol(a) =>
-        asLong(v).map(x => a -> (x, x))
-      case GreaterThan(a, v) if longCol(a) =>
-        asLong(v).filter(_ < Long.MaxValue)
-          .map(x => a -> (x + 1, Long.MaxValue))
-      case GreaterThanOrEqual(a, v) if longCol(a) =>
-        asLong(v).map(x => a -> (x, Long.MaxValue))
-      case LessThan(a, v) if longCol(a) =>
-        asLong(v).filter(_ > Long.MinValue)
-          .map(x => a -> (Long.MinValue, x - 1))
-      case LessThanOrEqual(a, v) if longCol(a) =>
-        asLong(v).map(x => a -> (Long.MinValue, x))
+      case EqualTo(a, v) =>
+        asLong(a, v).map(x => a -> (x, x)).toSeq
+      case GreaterThan(a, v) =>
+        asLong(a, v).filter(_ < Long.MaxValue)
+          .map(x => a -> (x + 1, Long.MaxValue)).toSeq
+      case GreaterThanOrEqual(a, v) =>
+        asLong(a, v).map(x => a -> (x, Long.MaxValue)).toSeq
+      case LessThan(a, v) =>
+        asLong(a, v).filter(_ > Long.MinValue)
+          .map(x => a -> (Long.MinValue, x - 1)).toSeq
+      case LessThanOrEqual(a, v) =>
+        asLong(a, v).map(x => a -> (Long.MinValue, x)).toSeq
       case And(l, r) =>
-        rangesOf(Seq(l), schema).toSeq ++ rangesOf(Seq(r), schema).toSeq
+        longRangesOf(Seq(l), schema).toSeq ++
+          longRangesOf(Seq(r), schema).toSeq
       case _ => Seq.empty
     }
     ranges.groupBy(_._1).view.mapValues { rs =>
       (rs.map(_._2._1).max, rs.map(_._2._2).min)
     }.toMap
   }
+
+  /** STRING bounds per pushed filter (kept as a LIST of conjuncts —
+    * a file must survive every one, which is exactly as strong as
+    * intersecting them first). Compared unsigned byte-wise against
+    * the `#sstats=` zone lines. */
+  def strRangesOf(filters: Seq[Filter], schema: StructType)
+      : Seq[(String, StrRange)] = {
+    def strCol(a: String): Boolean =
+      schema.fields.exists(f =>
+        f.name == a && f.dataType == StringType)
+    def bytes(v: Any): Option[Array[Byte]] = v match {
+      case s: String => Some(StrStat.bytesOf(s))
+      case u: UTF8String => Some(u.getBytes.clone())
+      case _ => None
+    }
+    filters.flatMap {
+      case EqualTo(a, v) if strCol(a) =>
+        bytes(v).map(b => a -> StrRange(Some(b), true, Some(b), true))
+      case GreaterThan(a, v) if strCol(a) =>
+        bytes(v).map(b => a -> StrRange(Some(b), false, None, true))
+      case GreaterThanOrEqual(a, v) if strCol(a) =>
+        bytes(v).map(b => a -> StrRange(Some(b), true, None, true))
+      case LessThan(a, v) if strCol(a) =>
+        bytes(v).map(b => a -> StrRange(None, true, Some(b), false))
+      case LessThanOrEqual(a, v) if strCol(a) =>
+        bytes(v).map(b => a -> StrRange(None, true, Some(b), true))
+      case And(l, r) =>
+        strRangesOf(Seq(l), schema) ++ strRangesOf(Seq(r), schema)
+      case _ => Seq.empty
+    }
+  }
+
+  /** Does a file survive the pushed predicates, given its zone
+    * lines? Absent lines always survive (skipping is an
+    * optimization, never a filter); a file KNOWN empty skips
+    * exactly. */
+  def survives(rows: Option[Long],
+      lines: Seq[(String, Long, Long)],
+      sLines: Seq[(String, String, String)],
+      longRanges: Map[String, (Long, Long)],
+      strRanges: Seq[(String, StrRange)]): Boolean =
+    !rows.contains(0L) &&
+      longRanges.forall { case (c, (lo, hi)) =>
+        lines.find(_._1 == c)
+          .forall { case (_, mn, mx) => mx >= lo && mn <= hi }
+      } &&
+      strRanges.forall { case (c, r) =>
+        sLines.find(_._1 == c).forall { case (_, mnH, mxH) =>
+          val mn = StrStat.unhex(mnH)
+          val mx = StrStat.unhex(mxH)
+          r.lo.forall { l =>
+            val d = StrStat.cmp(mx, l)
+            d > 0 || (d == 0 && r.loInc)
+          } && r.hi.forall { h =>
+            val d = StrStat.cmp(mn, h)
+            d < 0 || (d == 0 && r.hiInc)
+          }
+        }
+      }
 }
 
 class ManifestScan(required: StructType, pushed: Array[Filter],
-    countOnly: Option[Long], opts: ManifestV2Options)
+    countOnly: Option[Long], opts: ManifestV2Options,
+    pinnedF: () => ManifestV2.Pinned, fullSchema: StructType)
     extends Scan with Batch {
+
+  private lazy val pinned = pinnedF()
 
   override def readSchema(): StructType = countOnly match {
     case Some(_) => StructType(Seq(StructField("count", LongType)))
@@ -294,10 +473,17 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
 
   override def toBatch: Batch = this
 
+  /** CDC micro-batch stream: each committed version's ADDED files
+    * are one batch; offsets are manifest versions (immutable — a
+    * checkpoint replay re-plans the identical batch). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ManifestMicroBatchStream(required, opts)
+
   override def description(): String = countOnly match {
     case Some(n) => s"graft-manifest ${opts.path} [metadata count=$n]"
     case None =>
-      s"graft-manifest ${opts.path} " +
+      s"graft-manifest ${opts.path} v${pinned.version} " +
         s"[files=${planInputPartitions().length}, " +
         s"zonePruned=${pushed.mkString(", ")}]"
   }
@@ -306,40 +492,134 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
     countOnly match {
       case Some(n) => Array(ManifestCountPartition(n))
       case None =>
-        val (slices, stats) = ManifestV2.resolve(opts)
         val root = java.nio.file.Paths.get(opts.path)
-        // a file survives unless SOME pushed range provably misses
-        // its recorded zone for that column (absent line → scan; a
-        // known-empty file skips exactly)
-        val kept = slices.filter { s =>
+        val longRanges =
+          ManifestScan.longRangesOf(pushed.toSeq, fullSchema)
+        val strRanges =
+          ManifestScan.strRangesOf(pushed.toSeq, fullSchema)
+        val kept = pinned.slices.filter { s =>
           val rel = root.relativize(
             java.nio.file.Paths.get(s.path)).toString
-          val lines = stats.getOrElse(rel, Seq.empty)
-          !s.rows.contains(0L) &&
-          rangesOfPushed.forall { case (c, (lo, hi)) =>
-            lines.find(_._1 == c)
-              .forall { case (_, mn, mx) => mx >= lo && mn <= hi }
-          }
+          ManifestScan.survives(s.rows,
+            pinned.stats.getOrElse(rel, Seq.empty),
+            pinned.sstats.getOrElse(rel, Seq.empty),
+            longRanges, strRanges)
         }
         kept.map(s =>
           ManifestFilePartition(s.path, s.dv, required.fieldNames)
             : InputPartition).toArray
     }
 
-  /** Ranges computed against the TABLE schema (pushed filters may
-    * name columns the projection dropped). */
-  private lazy val rangesOfPushed: Map[String, (Long, Long)] =
-    ManifestScan.rangesOf(pushed.toSeq,
-      ManifestV2.schemaFor(opts))
+  override def createReaderFactory(): PartitionReaderFactory =
+    ManifestReaderFactory(required)
+}
+
+/** The CDC micro-batch source: offset = manifest version; batch
+  * (a, b] = the files present in v_b but not in v_a (readChanges'
+  * file-level semantics — exact row-level inserts for an append-only
+  * history; maintenance rewrites re-add surviving rows, the
+  * documented Delta-CDF-across-OPTIMIZE caveat), masked by v_b's
+  * deletion vectors. Manifests are immutable and versions dense, so
+  * a replayed offset range plans the identical batch — exactly-once
+  * with no source-side state beyond the checkpointed offset. */
+class ManifestMicroBatchStream(required: StructType,
+    opts: ManifestV2Options)
+    extends org.apache.spark.sql.connector.read.streaming
+      .MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class VOffset(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  private def filesAt(v: Long): Set[String] =
+    if (v <= 0L) Set.empty
+    else ManifestTable.snapshotFor(opts.path, Some(v)).files.toSet
+
+  override def initialOffset(): Offset = VOffset(opts.startingVersion)
+
+  override def latestOffset(): Offset = {
+    val vs = ManifestTable.versions(opts.path)
+    VOffset(if (vs.isEmpty) opts.startingVersion
+      else math.max(vs.last, opts.startingVersion))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    VOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VOffset].v
+    val e = end.asInstanceOf[VOffset].v
+    if (e <= s) return Array.empty
+    val before = filesAt(s)
+    val snap = ManifestTable.snapshotFor(opts.path, Some(e))
+    val root = java.nio.file.Paths.get(opts.path)
+    snap.files.filterNot(before).map { f =>
+      ManifestFilePartition(root.resolve(f).toString,
+        snap.dvs.getOrElse(f, Seq.empty).toArray,
+        required.fieldNames): InputPartition
+    }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     ManifestReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Parquet message type for the DSv2 writer AND the empty-overwrite
+  * placeholder — shared so both stage byte-identical schemas. */
+private[sources] object ManifestParquet {
+  def messageTypeOf(s: StructType)
+      : org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    val fields = s.fields.toSeq.map { f =>
+      f.dataType match {
+        case LongType    => Types.optional(INT64).named(f.name)
+        case IntegerType => Types.optional(INT32).named(f.name)
+        case DoubleType  => Types.optional(DOUBLE).named(f.name)
+        case FloatType   => Types.optional(FLOAT).named(f.name)
+        case BooleanType => Types.optional(BOOLEAN).named(f.name)
+        case DateType    => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        case TimestampType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case StringType  => Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case BinaryType  => Types.optional(BINARY).named(f.name)
+        case other => throw new IllegalArgumentException(
+          s"graft-manifest writes flat relational rows; column " +
+            s"${f.name} has unsupported type $other")
+      }
+    }
+    new org.apache.parquet.schema.MessageType("spark_schema",
+      fields: _*)
+  }
+
+  def openWriter(abs: java.nio.file.Path,
+      msgType: org.apache.parquet.schema.MessageType)
+      : org.apache.parquet.hadoop.ParquetWriter[
+        org.apache.parquet.example.data.Group] = {
+    java.nio.file.Files.createDirectories(abs.getParent)
+    org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(new org.apache.hadoop.fs.Path(abs.toString),
+          new org.apache.hadoop.conf.Configuration()))
+      .withType(msgType)
+      .build()
+  }
 }
 
 /** The WRITE half of the planner citizenship (`df.write
   * .format("graft-manifest").mode("append")` — the S17e pattern
   * applied to the lakehouse layer): each task stages ONE parquet
-  * file under the job's writer-unique `data/w-<nonce>/` prefix and
+  * file under the job's writer-unique `data/w-<nonce>/` prefix —
+  * with the nonce ALSO in the file basename, because deletion-vector
+  * masking and compaction key on snapshot-unique basenames — and
   * reports (path, row count, per-stats-column min/max) in its commit
   * message; the job-level `BatchWrite.commit` then runs exactly ONE
   * optimistic manifest publish — the whole distributed write is
@@ -347,11 +627,17 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
   * overwrite nothing (attempt-unique file names, losers deleted on
   * abort), and an aborted job leaves only unreferenced staging that
   * [[ManifestTable.vacuum]] reclaims. `option("statsColumns",
-  * "a,b")` records `#stats=`/`#nrows=` zone lines from per-task
-  * streaming min/max — no post-write scan, the DSv2 analog of
-  * [[ManifestTable.commitWithStats]]. Schema is ACCEPT_ANY (the
+  * "a,b")` records zone lines from per-task streaming min/max — no
+  * post-write scan, the DSv2 analog of
+  * [[ManifestTable.commitWithStats]]: integer/date/timestamp
+  * columns land as int64 `#stats=` lines (epoch days / micros),
+  * string columns as `#sstats=` hex byte-wise lines with the
+  * truncation-conservative bounds. Schema is ACCEPT_ANY (the
   * manifest's read side owns evolution: by-name union, late columns
-  * NULL, same-name type drift loud at read). */
+  * NULL, same-name type drift loud at read). An OVERWRITE of an
+  * empty frame still publishes — a snapshot holding one explicit
+  * empty file — so `mode("overwrite")` truncates like Spark/Delta
+  * instead of silently keeping the old snapshot. */
 class ManifestWriteBuilder(schema: StructType,
     opts: ManifestV2Options, statsCols: Seq[String])
     extends org.apache.spark.sql.connector.write.WriteBuilder
@@ -360,10 +646,7 @@ class ManifestWriteBuilder(schema: StructType,
   statsCols.foreach { c =>
     require(schema.fieldNames.contains(c),
       s"statsColumns entry $c is not a written column")
-    require(schema(c).dataType == LongType ||
-        schema(c).dataType == IntegerType,
-      s"statsColumns entry $c must be integer-typed (zone lines " +
-        s"are exact int64), got ${schema(c).dataType}")
+    ManifestTable.statKindOf(schema(c).dataType, c) // loud on others
   }
   // mode("overwrite") arrives as truncate(): the new snapshot lists
   // ONLY the job's files — old files stay on disk for time travel
@@ -390,14 +673,33 @@ class ManifestBatchWrite(schema: StructType, opts: ManifestV2Options,
     val files = msgs.collect {
       case f: ManifestTaskFile if f.rel.nonEmpty => f
     }.sortBy(_.rel)
-    if (files.isEmpty) return // an all-empty write publishes nothing
+    if (files.isEmpty) {
+      // append of nothing publishes nothing; OVERWRITE of nothing
+      // must still truncate (Spark/Delta semantics) — publish a
+      // snapshot holding one explicit empty file so the table reads
+      // as zero rows with its schema intact and countRows stays
+      // exact. A column-less frame has nothing stageable: no-op.
+      if (append || schema.isEmpty) return
+      val rel = s"data/w-$nonce/part-$nonce-empty.parquet"
+      val abs = java.nio.file.Paths.get(opts.path).resolve(rel)
+      ManifestParquet.openWriter(abs,
+        ManifestParquet.messageTypeOf(schema)).close()
+      ManifestTable.publishStaged(opts.path, Seq(rel), Map.empty,
+        Map(rel -> 0L), append = false)
+      return
+    }
     val stats = files.flatMap { f =>
       val entries = statsCols.flatMap(c =>
         f.stats.get(c).map { case (mn, mx) => (c, mn, mx) })
       if (entries.isEmpty) None else Some(f.rel -> entries)
     }.toMap
+    val sstats = files.flatMap { f =>
+      val entries = statsCols.flatMap(c =>
+        f.sstats.get(c).map { case (mn, mx) => (c, mn, mx) })
+      if (entries.isEmpty) None else Some(f.rel -> entries)
+    }.toMap
     ManifestTable.publishStaged(opts.path, files.map(_.rel).toSeq,
-      stats, files.map(f => f.rel -> f.rows).toMap, append)
+      stats, files.map(f => f.rel -> f.rows).toMap, append, sstats)
     ()
   }
 
@@ -416,48 +718,36 @@ class ManifestBatchWrite(schema: StructType, opts: ManifestV2Options,
 }
 
 /** One task's staged file: manifest-relative path, row count, and
-  * per-stats-column (min, max) observed while streaming the rows. */
+  * per-stats-column bounds observed while streaming the rows —
+  * int64 (min, max) for integer/date/timestamp columns, hex-encoded
+  * truncation-conservative byte bounds for string columns. */
 final case class ManifestTaskFile(rel: String, rows: Long,
-    stats: Map[String, (Long, Long)])
+    stats: Map[String, (Long, Long)],
+    sstats: Map[String, (String, String)])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 final case class ManifestWriterFactory(schema: StructType,
     table: String, nonce: String, statsCols: Seq[String])
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
-  private def messageTypeOf(s: StructType)
-      : org.apache.parquet.schema.MessageType = {
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
-    val fields = s.fields.toSeq.map { f =>
-      f.dataType match {
-        case LongType    => Types.optional(INT64).named(f.name)
-        case IntegerType => Types.optional(INT32).named(f.name)
-        case DoubleType  => Types.optional(DOUBLE).named(f.name)
-        case FloatType   => Types.optional(FLOAT).named(f.name)
-        case BooleanType => Types.optional(BOOLEAN).named(f.name)
-        case StringType  => Types.optional(BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name)
-        case BinaryType  => Types.optional(BINARY).named(f.name)
-        case other => throw new IllegalArgumentException(
-          s"graft-manifest writes flat relational rows; column " +
-            s"${f.name} has unsupported type $other")
-      }
-    }
-    new org.apache.parquet.schema.MessageType("spark_schema",
-      fields: _*)
-  }
-
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      // nonce IN the basename: basenames must be snapshot-unique
+      // (DV masking / compaction key on them), and taskIds restart
+      // per application — two appends from different applications
+      // must never stage the same basename
       private val rel =
-        s"data/w-$nonce/part-$partitionId-$taskId.parquet"
+        s"data/w-$nonce/part-$nonce-$partitionId-$taskId.parquet"
       private val abs = java.nio.file.Paths.get(table).resolve(rel)
-      private val msgType = messageTypeOf(schema)
+      private val msgType = ManifestParquet.messageTypeOf(schema)
       private val statIdx = statsCols.map(schema.fieldIndex)
+      private val statKind = statsCols.map(c =>
+        ManifestTable.statKindOf(schema(c).dataType, c))
       private val mins = Array.fill(statsCols.size)(Long.MaxValue)
       private val maxs = Array.fill(statsCols.size)(Long.MinValue)
+      private val strMins = Array.fill[UTF8String](statsCols.size)(null)
+      private val strMaxs = Array.fill[UTF8String](statsCols.size)(null)
       private var n = 0L
       // open lazily on the FIRST row: empty partitions stage no file
       private var writer: org.apache.parquet.hadoop.ParquetWriter[
@@ -466,13 +756,7 @@ final case class ManifestWriterFactory(schema: StructType,
         org.apache.parquet.example.data.simple.SimpleGroupFactory = null
 
       private def ensureOpen(): Unit = if (writer == null) {
-        java.nio.file.Files.createDirectories(abs.getParent)
-        writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
-          .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
-            .fromPath(new org.apache.hadoop.fs.Path(abs.toString),
-              new org.apache.hadoop.conf.Configuration()))
-          .withType(msgType)
-          .build()
+        writer = ManifestParquet.openWriter(abs, msgType)
         factory = new org.apache.parquet.example.data.simple
           .SimpleGroupFactory(msgType)
       }
@@ -490,6 +774,8 @@ final case class ManifestWriterFactory(schema: StructType,
               case DoubleType  => g.append(name, r.getDouble(i))
               case FloatType   => g.append(name, r.getFloat(i))
               case BooleanType => g.append(name, r.getBoolean(i))
+              case DateType    => g.append(name, r.getInt(i))
+              case TimestampType => g.append(name, r.getLong(i))
               case StringType  => g.append(name,
                 org.apache.parquet.io.api.Binary
                   .fromString(r.getUTF8String(i).toString))
@@ -506,12 +792,30 @@ final case class ManifestWriterFactory(schema: StructType,
         while (j < statIdx.length) {
           val idx = statIdx(j)
           if (!r.isNullAt(idx)) {
-            val v = schema(idx).dataType match {
-              case LongType => r.getLong(idx)
-              case _        => r.getInt(idx).toLong
+            statKind(j) match {
+              case 'S' =>
+                // clone: the row's UTF8String may alias a reused
+                // buffer; UTF8String.compareTo IS the unsigned
+                // byte-wise order the zone lines need
+                val v = r.getUTF8String(idx)
+                if (strMins(j) == null ||
+                    v.compareTo(strMins(j)) < 0)
+                  strMins(j) = v.clone()
+                if (strMaxs(j) == null ||
+                    v.compareTo(strMaxs(j)) > 0)
+                  strMaxs(j) = v.clone()
+              case k =>
+                val v = schema(idx).dataType match {
+                  case LongType | TimestampType => r.getLong(idx)
+                  case IntegerType | DateType => r.getInt(idx).toLong
+                  case ShortType => r.getShort(idx).toLong
+                  case ByteType => r.getByte(idx).toLong
+                  case other => throw new IllegalStateException(
+                    s"unreachable stat kind $k for $other")
+                }
+                if (v < mins(j)) mins(j) = v
+                if (v > maxs(j)) maxs(j) = v
             }
-            if (v < mins(j)) mins(j) = v
-            if (v > maxs(j)) maxs(j) = v
           }
           j += 1
         }
@@ -521,14 +825,21 @@ final case class ManifestWriterFactory(schema: StructType,
 
       override def commit()
           : org.apache.spark.sql.connector.write.WriterCommitMessage =
-        if (writer == null) ManifestTaskFile("", 0L, Map.empty)
+        if (writer == null)
+          ManifestTaskFile("", 0L, Map.empty, Map.empty)
         else {
           writer.close()
           val stats = statsCols.zipWithIndex.flatMap { case (c, j) =>
-            if (mins(j) > maxs(j)) None // all-NULL column in this file
+            if (statKind(j) == 'S' || mins(j) > maxs(j)) None
             else Some(c -> (mins(j), maxs(j)))
           }.toMap
-          ManifestTaskFile(rel, n, stats)
+          val sstats = statsCols.zipWithIndex.flatMap { case (c, j) =>
+            if (statKind(j) != 'S' || strMins(j) == null) None
+            else StrStat.entry(c, strMins(j).toString,
+                strMaxs(j).toString)
+              .map { case (_, mnH, mxH) => c -> (mnH, mxH) }
+          }.toMap
+          ManifestTaskFile(rel, n, stats, sstats)
         }
 
       // attempt-unique file names make retries conflict-free; the
@@ -636,6 +947,8 @@ final class ManifestFileReader(path: String, dv: Array[Long],
           case DoubleType  => g.getDouble(name, 0)
           case FloatType   => g.getFloat(name, 0)
           case BooleanType => g.getBoolean(name, 0)
+          case DateType    => g.getInteger(name, 0) // epoch days
+          case TimestampType => g.getLong(name, 0) // epoch micros
           case StringType  =>
             UTF8String.fromBytes(g.getBinary(name, 0).getBytes)
           case BinaryType  => g.getBinary(name, 0).getBytes

@@ -67,10 +67,30 @@ object ManifestTable {
 
   /** Per-file zone stats: one (column, min, max) entry per `#stats=`
     * line the file carries — a file may carry SEVERAL (one per stats
-    * column of its commit). */
+    * column of its commit). Integer columns record their values;
+    * DATE columns record epoch DAYS and TIMESTAMP columns epoch
+    * MICROSECONDS — the canonical integer encodings, so the same
+    * int64 range arithmetic prunes all three (the predicate side
+    * encodes its literals identically — [[readPrunedTyped]]). */
   private type Stats = Map[String, Seq[(String, Long, Long)]]
 
   private val noStats: Stats = Map.empty
+
+  /** Per-file STRING zone stats (`#sstats=path|col|hexMin|hexMax`
+    * lines): min/max as hex-encoded UTF-8 BYTES, compared unsigned
+    * byte-wise — exactly Spark's UTF8String ordering (and DuckDB's
+    * string comparison), so pruning agrees with the engine's own
+    * min/max. Values longer than [[StrStat.MaxBytes]] are truncated
+    * CONSERVATIVELY: a min truncates by dropping bytes (a prefix
+    * sorts ≤ the full value), a max truncates to the prefix with its
+    * last non-0xFF byte incremented (strictly above anything the
+    * prefix starts — Iceberg's truncate-and-increment upper bound);
+    * an un-incrementable max (all 0xFF) publishes no line and the
+    * file always scans. Skipping stays an optimization, never a
+    * filter. */
+  private type SStats = Map[String, Seq[(String, String, String)]]
+
+  private val noSStats: SStats = Map.empty
 
   /** Per-file DELETION VECTOR: the sorted distinct 0-based row
     * positions (parquet `_metadata.row_index`) deleted from the file
@@ -89,19 +109,20 @@ object ManifestTable {
   private val noDvs: Dvs = Map.empty
 
   private val emptyManifest =
-    Manifest(Seq.empty, noStats, Map.empty, noDvs)
+    Manifest(Seq.empty, noStats, Map.empty, noDvs, noSStats)
 
   /** One parsed manifest: data-file list, per-file zone stats
     * (`#stats=path|col|min|max` lines), per-file row counts
     * (`#nrows=path|n` lines — [[commitWithStats]] records them from
     * the same distributed pass as the zones; files committed without
-    * the pass have no entry), and per-file deletion vectors
+    * the pass have no entry), per-file deletion vectors
     * (`#dv=path|positions` lines; `#nrows` stays the PHYSICAL row
-    * count — live rows = nrows − |dv|). */
+    * count — live rows = nrows − |dv|), and per-file STRING zone
+    * stats (`#sstats=` lines). */
   private final case class Manifest(files: Seq[String], stats: Stats,
-      rows: Map[String, Long], dvs: Dvs) {
+      rows: Map[String, Long], dvs: Dvs, sstats: SStats) {
     def metaLinesFor(fs: Seq[String]): Seq[String] =
-      ManifestTable.metaLines(fs, stats, rows, dvs)
+      ManifestTable.metaLines(fs, stats, rows, dvs, sstats)
   }
 
   /** One manifest read parsed into [[Manifest]]: data lines are
@@ -137,26 +158,41 @@ object ManifestTable {
       }
       .groupBy(_._1).view
       .mapValues(_.flatMap(_._2).distinct.sorted.toSeq).toMap
-    Manifest(files, stats, rows, dvs)
+    val sstats: SStats = ls.filter(_.startsWith("#sstats="))
+      .map { l =>
+        // -1 keeps empty fields: an empty-string hexMin IS legal
+        // (the empty string is a valid minimum)
+        val q = l.drop(8).split("\\|", -1)
+        (q(0), (q(1), q(2), q(3)))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    Manifest(files, stats, rows, dvs, sstats)
   }
 
   private def filesOf(table: String, version: Long): Seq[String] =
     manifestOf(table, version).files
 
   /** Resolved snapshot view for the DSv2 source ([[ManifestV2]]):
-    * live files, per-file zone stats, row counts, deletion vectors. */
-  private[sources] final case class Snapshot(files: Seq[String],
+    * the PINNED version, live files, per-file zone stats (integer +
+    * string), row counts, deletion vectors. Carrying the resolved
+    * version lets one resolution serve every planning call of a scan
+    * (snapshot consistency — a concurrent commit between schema
+    * inference and execution cannot split the read across versions,
+    * the Delta/Iceberg pin-at-scan rule). */
+  private[sources] final case class Snapshot(version: Long,
+      files: Seq[String],
       stats: Map[String, Seq[(String, Long, Long)]],
-      rows: Map[String, Long], dvs: Map[String, Seq[Long]])
+      rows: Map[String, Long], dvs: Map[String, Seq[Long]],
+      sstats: Map[String, Seq[(String, String, String)]])
 
-  private[sources] def snapshotFor(table: String,
+  private[graft] def snapshotFor(table: String,
       version: Option[Long]): Snapshot = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no committed snapshot under $table")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"no snapshot v$v under $table (have $vs)")
     val m = manifestOf(table, v)
-    Snapshot(m.files, m.stats, m.rows, m.dvs)
+    Snapshot(v, m.files, m.stats, m.rows, m.dvs, m.sstats)
   }
 
   /** Publish files the CALLER's tasks already staged as the next
@@ -169,7 +205,9 @@ object ManifestTable {
   private[sources] def publishStaged(table: String,
       staged: Seq[String],
       stats: Map[String, Seq[(String, Long, Long)]],
-      rows: Map[String, Long], append: Boolean): Long = {
+      rows: Map[String, Long], append: Boolean,
+      sstats: Map[String, Seq[(String, String, String)]] = noSStats)
+      : Long = {
     require(staged.nonEmpty, "publishStaged needs at least one file")
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     publishLoop(table, nonce, "publishStaged") { snapshot =>
@@ -179,14 +217,18 @@ object ManifestTable {
             .getOrElse(emptyManifest)
         else emptyManifest
       Right(prev.metaLinesFor(prev.files) ++
-        metaLines(staged, stats, rows) ++ prev.files ++ staged)
+        metaLines(staged, stats, rows, sstats = sstats) ++
+        prev.files ++ staged)
     }
   }
 
   private def metaLines(files: Seq[String], stats: Stats,
-      rows: Map[String, Long], dvs: Dvs = noDvs): Seq[String] =
+      rows: Map[String, Long], dvs: Dvs = noDvs,
+      sstats: SStats = noSStats): Seq[String] =
     files.flatMap(f => stats.getOrElse(f, Seq.empty)
       .map { case (c, mn, mx) => s"#stats=$f|$c|$mn|$mx" }) ++
+      files.flatMap(f => sstats.getOrElse(f, Seq.empty)
+        .map { case (c, mn, mx) => s"#sstats=$f|$c|$mn|$mx" }) ++
       files.flatMap(f => rows.get(f).map(n => s"#nrows=$f|$n")) ++
       files.flatMap(f => dvs.get(f).filter(_.nonEmpty)
         .map(ps => s"#dv=$f|${ps.mkString(",")}"))
@@ -428,7 +470,7 @@ object ManifestTable {
     val spark = df.sparkSession
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val fresh = stage(df, table, nonce)
-    val (freshStats, freshRows) =
+    val (freshStats, freshSStats, freshRows) =
       fileMeta(spark, Paths.get(table, "data", s"s-$nonce").toString,
         s"data/s-$nonce", statsCols, fresh)
     publishLoop(table, nonce, "commitWithStats") { snapshot =>
@@ -440,11 +482,34 @@ object ManifestTable {
               snapshot.lastOption.map(manifestOf(table, _))
                 .getOrElse(emptyManifest)
             else emptyManifest
+          // carried files keep their dv/sstats lines too — dropping
+          // a #dv= line here would RESURRECT merge-on-read deletes
           Right(tag.map(t => s"#tag=$t").toSeq ++
             metaLines(prev.files ++ fresh,
-              prev.stats ++ freshStats, prev.rows ++ freshRows) ++
+              prev.stats ++ freshStats, prev.rows ++ freshRows,
+              prev.dvs, prev.sstats ++ freshSStats) ++
             prev.files ++ fresh)
       }
+    }
+  }
+
+  /** How a stats column's values ENCODE into zone lines, decided by
+    * its data type: 'L' integer (recorded as-is), 'D' date (epoch
+    * days), 'T' timestamp (epoch microseconds) — all three ride the
+    * int64 `#stats=` lines — and 'S' string (`#sstats=` hex-UTF-8
+    * lines, byte-compared). Loud on any other type: a float or
+    * nested column has no exact zone encoding here. */
+  private[sources] def statKindOf(
+      dt: org.apache.spark.sql.types.DataType, c: String): Char = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => 'L'
+      case DateType => 'D'
+      case TimestampType => 'T'
+      case StringType => 'S'
+      case other => throw new IllegalArgumentException(
+        s"stats column $c has type $other — zone stats cover " +
+          "integer, date, timestamp, and string columns")
     }
   }
 
@@ -454,36 +519,53 @@ object ManifestTable {
     * min/max per stats column plus the exact row count, keyed by
     * `_metadata.file_path`. Costs one scan of data that is already
     * hot (just written); the row counts make [[countRows]]
-    * metadata-only. */
+    * metadata-only. Integer/date/timestamp columns land in the int64
+    * stats, strings in the hex byte-wise string stats. */
   private def fileMeta(spark: SparkSession, dir: String,
       prefix: String, statsCols: Seq[String],
       expect: Seq[String] = Seq.empty)
-      : (Stats, Map[String, Long]) = {
-    import org.apache.spark.sql.functions.{col, count, lit, min, max}
+      : (Stats, SStats, Map[String, Long]) = {
+    import org.apache.spark.sql.functions.{col, count, lit, min, max,
+      unix_date, unix_micros}
+    val df = spark.read.parquet(dir)
+    val kinds = statsCols.map(c => c -> statKindOf(df.schema(c).dataType, c))
+    def enc(c: String, k: Char) = k match {
+      case 'L' => col(c).cast("long")
+      case 'D' => unix_date(col(c)).cast("long")
+      case 'T' => unix_micros(col(c))
+      case 'S' => col(c)
+    }
     val aggs = count(lit(1)).as("__n") +:
-      statsCols.zipWithIndex.flatMap { case (c, i) =>
-        Seq(min(col(c)).cast("long").as(s"__mn_$i"),
-          max(col(c)).cast("long").as(s"__mx_$i"))
+      kinds.zipWithIndex.flatMap { case ((c, k), i) =>
+        Seq(min(enc(c, k)).as(s"__mn_$i"),
+          max(enc(c, k)).as(s"__mx_$i"))
       }
-    val rows = spark.read.parquet(dir)
+    val rows = df
       .groupBy(col("_metadata.file_path").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    val stats: Stats = rows.flatMap { r =>
+    val perFile = rows.map { r =>
       val name = r.getString(0).split('/').last
-      val entries = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      val longs = kinds.zipWithIndex.flatMap { case ((c, k), i) =>
         val (mnI, mxI) = (2 + 2 * i, 3 + 2 * i)
-        if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+        if (k == 'S' || r.isNullAt(mnI) || r.isNullAt(mxI)) None
         else Some((c, r.getLong(mnI), r.getLong(mxI)))
       }
-      if (entries.isEmpty) None else Some(s"$prefix/$name" -> entries)
-    }.toMap
-    val counts = rows.map { r =>
-      s"$prefix/${r.getString(0).split('/').last}" -> r.getLong(1)
-    }.toMap
+      val strs = kinds.zipWithIndex.flatMap { case ((c, k), i) =>
+        val (mnI, mxI) = (2 + 2 * i, 3 + 2 * i)
+        if (k != 'S' || r.isNullAt(mnI) || r.isNullAt(mxI)) None
+        else StrStat.entry(c, r.getString(mnI), r.getString(mxI))
+      }
+      (s"$prefix/$name", longs, strs, r.getLong(1))
+    }
+    val stats: Stats = perFile
+      .collect { case (f, ls, _, _) if ls.nonEmpty => f -> ls }.toMap
+    val sstats: SStats = perFile
+      .collect { case (f, _, ss, _) if ss.nonEmpty => f -> ss }.toMap
+    val counts = perFile.map { case (f, _, _, n) => f -> n }.toMap
     // a zero-row part file produces no aggregation group but its
     // count IS exactly 0 — backfill so countRows stays exact-or-None
-    (stats, counts ++
+    (stats, sstats, counts ++
       expect.filterNot(counts.contains).map(_ -> 0L).toMap)
   }
 
@@ -556,6 +638,35 @@ object ManifestTable {
     * (frame, files in snapshot, files scanned). */
   def readPruned(spark: SparkSession, table: String,
       preds: Seq[(String, Long, Long)],
+      version: Option[Long]): (DataFrame, Int, Int) =
+    readPrunedTyped(spark, table,
+      preds.map(p => (p._1, p._2: Any, p._3: Any)), version)
+
+  /** TYPED multi-predicate pruned read — the real-lakehouse scan
+    * plan, where the most common pruning predicates are DATE ranges
+    * and STRING keys, not pre-encoded integers. Each `(col, lo, hi)`
+    * bound may be:
+    *
+    *  - `Long`/`Int` — integer columns (the classic path);
+    *  - `java.time.LocalDate` / `java.sql.Date` — date columns,
+    *    pruned against the manifest's epoch-day `#stats=` lines;
+    *  - `java.time.Instant` / `java.sql.Timestamp` — timestamp
+    *    columns, pruned against epoch-microsecond lines;
+    *  - `String` — string columns, pruned against the `#sstats=`
+    *    hex-UTF-8 lines by unsigned byte comparison (equality is
+    *    `lo == hi`).
+    *
+    * NULL semantics: rows with a NULL predicate column never match
+    * (BETWEEN is UNKNOWN on NULL); an all-NULL column in a file
+    * published no zone line, so the file scans and the row filter
+    * drops it — skipping is an optimization, never a filter.
+    * Truncation semantics: stored string bounds are conservative
+    * (truncated mins sort ≤ the true min, truncated maxes are
+    * incremented above the true max), so a truncated zone can only
+    * admit extra files, never skip a matching one. Returns
+    * (frame, files in snapshot, files scanned). */
+  def readPrunedTyped(spark: SparkSession, table: String,
+      preds: Seq[(String, Any, Any)],
       version: Option[Long]): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit}
     require(preds.nonEmpty, "need at least one prune predicate")
@@ -565,11 +676,39 @@ object ManifestTable {
     require(vs.contains(v),
       s"version $v of $table does not exist (live: " +
         s"${vs.mkString(", ")})")
-    val Manifest(files, stats, nrows, dvs) = manifestOf(table, v)
+    val Manifest(files, stats, nrows, dvs, sstats) =
+      manifestOf(table, v)
     require(files.nonEmpty,
       s"snapshot v$v of $table lists no data files — a pruned read " +
         "has no schema to produce; read() an earlier version or " +
         "commit data first")
+    def encLong(x: Any): Option[Long] = x match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case t: java.sql.Timestamp =>
+        Some(Math.floorDiv(t.getTime, 1000L) * 1000000L +
+          t.getNanos / 1000L)
+      case i: java.time.Instant =>
+        Some(Math.multiplyExact(i.getEpochSecond, 1000000L) +
+          i.getNano / 1000L)
+      case _ => None
+    }
+    // each predicate encodes to ONE zone form: int64 (integer, date,
+    // timestamp — against #stats) or bytes (string — against #sstats)
+    val enc: Seq[Either[(String, Long, Long),
+        (String, Array[Byte], Array[Byte])]] = preds.map {
+      case (c, lo: String, hi: String) =>
+        Right((c, StrStat.bytesOf(lo), StrStat.bytesOf(hi)))
+      case (c, lo, hi) =>
+        (encLong(lo), encLong(hi)) match {
+          case (Some(l), Some(h)) => Left((c, l, h))
+          case _ => throw new IllegalArgumentException(
+            s"prune bounds for $c must both be integer, date, " +
+              s"timestamp, or string values: ($lo, $hi)")
+        }
+    }
     // an entry recorded for ANOTHER column never prunes — the file
     // simply scans (skipping is an optimization, never a filter);
     // a file KNOWN empty (#nrows=0 — an empty range slice has no
@@ -578,10 +717,16 @@ object ManifestTable {
     // narrow the true range), so pruning on them is always sound.
     val kept = files.filter { f =>
       val lines = stats.getOrElse(f, Seq.empty)
+      val sLines = sstats.getOrElse(f, Seq.empty)
       !nrows.get(f).contains(0L) &&
-      preds.forall { case (statsCol, lo, hi) =>
-        lines.find(_._1 == statsCol)
-          .forall { case (_, mn, mx) => mx >= lo && mn <= hi }
+      enc.forall {
+        case Left((statsCol, lo, hi)) =>
+          lines.find(_._1 == statsCol)
+            .forall { case (_, mn, mx) => mx >= lo && mn <= hi }
+        case Right((statsCol, lo, hi)) =>
+          sLines.find(_._1 == statsCol)
+            .forall { case (_, mn, mx) =>
+              StrStat.intersects(mn, mx, Some(lo), Some(hi)) }
       }
     }
     val root = Paths.get(table)
@@ -591,7 +736,7 @@ object ManifestTable {
         spark.read.parquet(files.map(f => root.resolve(f).toString): _*)
           .filter(lit(false))
     val filtered = preds.foldLeft(base) { case (d, (c, lo, hi)) =>
-      d.filter(col(c).between(lo, hi))
+      d.filter(col(c).between(lit(lo), lit(hi)))
     }
     (filtered, files.size, kept.size)
   }
@@ -848,15 +993,17 @@ object ManifestTable {
             .map(n => s"data/d-$nonce/$n")
         }
       }
-    // columns every rewritten input carried stats for — recompute so
-    // the rewrite doesn't erode the snapshot's prunability
+    // columns every rewritten input carried stats for (integer OR
+    // string zones) — recompute so the rewrite doesn't erode the
+    // snapshot's prunability
     val keepCols =
       if (cowFiles.isEmpty) Seq.empty[String]
       else cowFiles.map(f =>
-          m.stats.getOrElse(f, Seq.empty).map(_._1).toSet)
+          (m.stats.getOrElse(f, Seq.empty).map(_._1) ++
+            m.sstats.getOrElse(f, Seq.empty).map(_._1)).toSet)
         .reduce(_ intersect _).toSeq.sorted
-    val (newStats, newRows) =
-      if (staged.isEmpty) (noStats, Map.empty[String, Long])
+    val (newStats, newSStats, newRows) =
+      if (staged.isEmpty) (noStats, noSStats, Map.empty[String, Long])
       else fileMeta(spark, stageDir.toString, s"data/d-$nonce",
         keepCols, staged)
     val cowSet = cowFiles.toSet
@@ -898,8 +1045,9 @@ object ManifestTable {
       val rowsAll = newRows ++
         staged.filterNot(newRows.contains).map(_ -> 0L)
       Right(metaLines(carried, cur.stats, cur.rows,
-          cur.dvs ++ dvUpdates) ++
-        metaLines(staged, newStats, rowsAll) ++ carried ++ staged)
+          cur.dvs ++ dvUpdates, cur.sstats) ++
+        metaLines(staged, newStats, rowsAll, sstats = newSStats) ++
+        carried ++ staged)
     }
     (v, cowFiles.size, dvFiles.size, after)
   }
@@ -1094,22 +1242,24 @@ object ManifestTable {
     // instead of pinning a touched-files-sized copy per MERGE call
     toFree.foreach(Lineage.freeLocalCheckpoint)
     // re-record metadata over the columns all rewritten inputs
-    // carried (fresh tables / no rewrite: just the key column)
+    // carried — integer or string zones (fresh tables / no rewrite:
+    // just the key column)
     val keepCols =
       if (cowFiles.isEmpty) Seq(keyCol)
       else cowFiles.map(f =>
-          m.stats.getOrElse(f, Seq.empty).map(_._1).toSet)
+          (m.stats.getOrElse(f, Seq.empty).map(_._1) ++
+            m.sstats.getOrElse(f, Seq.empty).map(_._1)).toSet)
         .reduce(_ intersect _).toSeq.sorted
     def metaOf(dir: Path, prefix: String, paths: Seq[String])
-        : (Stats, Map[String, Long]) =
+        : (Stats, SStats, Map[String, Long]) =
       if (paths.isEmpty || keepCols.isEmpty)
-        (noStats, Map.empty[String, Long])
+        (noStats, noSStats, Map.empty[String, Long])
       else fileMeta(spark, dir.toString, prefix, keepCols, paths)
-    val (rwStats, rwRows) = metaOf(
+    val (rwStats, rwSStats, rwRows) = metaOf(
       Paths.get(table, "data", s"m-$nonce"), s"data/m-$nonce",
       rewrittenStaged)
-    val (insStats, insRows) = metaOf(insertDir, s"data/m-$nonce-ins",
-      insertStaged)
+    val (insStats, insSStats, insRows) = metaOf(insertDir,
+      s"data/m-$nonce-ins", insertStaged)
     val cowSet = cowFiles.toSet
     val inputSet = cowSet ++ dvFiles
     var after = 0
@@ -1126,8 +1276,9 @@ object ManifestTable {
       val staged = rewrittenStaged ++ insertStaged
       after = carried.size + staged.size
       Right(metaLines(carried, cur.stats, cur.rows,
-          cur.dvs ++ dvUpdates) ++
-        metaLines(staged, rwStats ++ insStats, rwRows ++ insRows) ++
+          cur.dvs ++ dvUpdates, cur.sstats) ++
+        metaLines(staged, rwStats ++ insStats, rwRows ++ insRows,
+          sstats = rwSStats ++ insSStats) ++
         carried ++ staged)
     }
     (v, cowFiles.size, dvFiles.size, after)
@@ -1268,7 +1419,7 @@ object ManifestTable {
     // from the rewritten files — one scan of just-written hot data,
     // only for DV-carrying groups; statsBounds turns exact again the
     // moment the DVs purge
-    val dvGroupMeta: Map[Int, (Stats, Map[String, Long])] =
+    val dvGroupMeta: Map[Int, (Stats, SStats, Map[String, Long])] =
       staged.flatMap { case (gi, outs) =>
         if (!multi(gi).exists(hasDv)) None
         else {
@@ -1280,7 +1431,8 @@ object ManifestTable {
           val common =
             if (counted.isEmpty) Seq.empty[String]
             else counted.map(f =>
-                m0.stats.getOrElse(f, Seq.empty).map(_._1).toSet)
+                (m0.stats.getOrElse(f, Seq.empty).map(_._1) ++
+                  m0.sstats.getOrElse(f, Seq.empty).map(_._1)).toSet)
               .reduce(_ intersect _).toSeq.sorted
           Some(gi -> fileMeta(spark,
             Paths.get(table, "data", s"c-$nonce-$gi").toString,
@@ -1307,7 +1459,8 @@ object ManifestTable {
       val carried = cur.files.filterNot(rewritten.contains)
       val mergedMetaLines = staged.flatMap { case (gi, outs) =>
         dvGroupMeta.get(gi) match {
-          case Some((st, rw)) => metaLines(outs, st, rw)
+          case Some((st, ss, rw)) =>
+            metaLines(outs, st, rw, sstats = ss)
           case None =>
             // same known-empty exclusion as the DV recompute: an
             // input that provably holds no rows adds nothing to the
@@ -1325,13 +1478,36 @@ object ManifestTable {
               val es = entryLists.map(_.find(_._1 == c).get)
               (c, es.map(_._2).min, es.map(_._3).max)
             }
+            // string zones merge the same way — min of stored mins /
+            // max of stored maxes by BYTE comparison; stored bounds
+            // are already conservative, so their fold bounds any
+            // output file exactly as soundly
+            val sEntryLists = counted.map(f =>
+              cur.sstats.getOrElse(f, Seq.empty))
+            val sCommon =
+              if (sEntryLists.isEmpty) Set.empty[String]
+              else sEntryLists.map(_.map(_._1).toSet)
+                .reduce(_ intersect _)
+            def hexMin(a: String, b: String): String =
+              if (StrStat.cmp(StrStat.unhex(a), StrStat.unhex(b)) <= 0)
+                a else b
+            def hexMax(a: String, b: String): String =
+              if (StrStat.cmp(StrStat.unhex(a), StrStat.unhex(b)) >= 0)
+                a else b
+            val sPerCol = sCommon.toSeq.sorted.map { c =>
+              val es = sEntryLists.map(_.find(_._1 == c).get)
+              (c, es.map(_._2).reduce(hexMin),
+                es.map(_._3).reduce(hexMax))
+            }
             val counts = multi(gi).map(cur.rows.get)
             val nLine =
               if (outs.size == 1 && counts.forall(_.isDefined))
                 Seq(s"#nrows=${outs.head}|${counts.flatten.sum}")
               else Seq.empty
             outs.flatMap(o => perCol.map { case (c, mn, mx) =>
-              s"#stats=$o|$c|$mn|$mx" }) ++ nLine
+              s"#stats=$o|$c|$mn|$mx" }) ++
+              outs.flatMap(o => sPerCol.map { case (c, mn, mx) =>
+                s"#sstats=$o|$c|$mn|$mx" }) ++ nLine
         }
       }
       after = carried.size + stagedFiles.size
@@ -1418,12 +1594,17 @@ object ManifestTable {
     }
     val cell = (1L << bits) - 1
     val scaled = bounds.map { case (c, mn, mx) =>
-      val range = math.max(1L, mx - mn)
-      // decimal product: (v-mn) <= range and range*cell can pass
-      // int64 for wide domains
+      // ALL arithmetic in DECIMAL(38,0): for extreme domains (min
+      // near Long.MinValue, max near Long.MaxValue) both (c - mn)
+      // and (mx - mn) wrap in int64 — the range is computed as
+      // BigInt driver-side and the subtraction runs decimal, so a
+      // valid-but-wide column still clusters instead of feeding
+      // negative cells to the Hilbert walk
+      val range = (BigInt(mx) - BigInt(mn)).max(BigInt(1))
       org.apache.spark.sql.functions.expr(
-        s"CAST(CAST((${c} - ${mn}L) AS DECIMAL(38,0)) * $cell " +
-          s"div ${range}L AS BIGINT)")
+        s"CAST((CAST(${c} AS DECIMAL(38,0)) - " +
+          s"CAST(${mn} AS DECIMAL(38,0))) * $cell " +
+          s"div CAST($range AS DECIMAL(38,0)) AS BIGINT)")
     }
     // NULL cluster values sort at the origin cell (order inside the
     // curve is what matters, not the exact bucket)
@@ -1453,11 +1634,12 @@ object ManifestTable {
     val prevCols =
       if (counted.isEmpty) Seq.empty[String]
       else counted.map(f =>
-          m0.stats.getOrElse(f, Seq.empty).map(_._1).toSet)
+          (m0.stats.getOrElse(f, Seq.empty).map(_._1) ++
+            m0.sstats.getOrElse(f, Seq.empty).map(_._1)).toSet)
         .reduce(_ intersect _).toSeq
     val statsCols = (clusterCols ++ prevCols).distinct.sorted
-    val (newStats, newRows) =
-      if (staged.isEmpty) (noStats, Map.empty[String, Long])
+    val (newStats, newSStats, newRows) =
+      if (staged.isEmpty) (noStats, noSStats, Map.empty[String, Long])
       else fileMeta(spark, stageDir.toString, s"data/cc-$nonce",
         statsCols, staged)
     val rewritten = m0.files.toSet
@@ -1475,7 +1657,8 @@ object ManifestTable {
       val carried = cur.files.filterNot(rewritten.contains)
       after = carried.size + staged.size
       Right(cur.metaLinesFor(carried) ++
-        metaLines(staged, newStats, newRows) ++ carried ++ staged)
+        metaLines(staged, newStats, newRows, sstats = newSStats) ++
+        carried ++ staged)
     }
     (v, m0.files.size, after)
   }
@@ -1577,5 +1760,94 @@ object ManifestTable {
     require(vs.contains(v), s"no snapshot v$v under $table (have $vs)")
     val m = manifestOf(table, v)
     readLive(spark, Paths.get(table), m.files, m.dvs, mergeSchema)
+  }
+}
+
+/** STRING zone-stat encoding shared by the manifest (`#sstats=`
+  * lines) and the DSv2 scan's pruning: values are UTF-8 BYTES,
+  * compared unsigned byte-wise — identical to Spark's UTF8String
+  * ordering and DuckDB's string comparison, so a zone test can never
+  * disagree with the engine's own row-level filter. Hex keeps the
+  * manifest line format delimiter-safe for arbitrary content
+  * (including '|', newlines, and invalid-UTF-8-after-truncation
+  * upper bounds that no String round-trip could carry). */
+private[graft] object StrStat {
+
+  /** Stored bound length cap — a manifest line stays metadata-sized
+    * no matter how long the column's values run. */
+  val MaxBytes = 64
+
+  def bytesOf(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  def hex(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    b.foreach(x => sb.append(f"${x & 0xFF}%02x"))
+    sb.toString
+  }
+
+  def unhex(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Unsigned byte-wise lexicographic compare (prefix sorts first). */
+  def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Conservative stored LOWER bound: a byte prefix sorts ≤ the full
+    * value, so plain truncation is sound. */
+  def truncLower(b: Array[Byte]): Array[Byte] =
+    if (b.length <= MaxBytes) b else b.take(MaxBytes)
+
+  /** Conservative stored UPPER bound: the value itself when short;
+    * otherwise the [[MaxBytes]] prefix with its last non-0xFF byte
+    * incremented and the tail dropped — strictly above every byte
+    * string starting with the original prefix (Iceberg's
+    * truncate-and-increment rule). None when no byte can increment
+    * (all 0xFF): the column gets no line and the file always scans. */
+  def truncUpper(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= MaxBytes) Some(b)
+    else {
+      val p = b.take(MaxBytes)
+      var i = p.length - 1
+      while (i >= 0 && (p(i) & 0xFF) == 0xFF) i -= 1
+      if (i < 0) None
+      else {
+        val out = p.take(i + 1)
+        out(i) = ((out(i) & 0xFF) + 1).toByte
+        Some(out)
+      }
+    }
+
+  /** One `#sstats=` entry from an observed (min, max) — hex-encoded,
+    * truncation-conservative; None when the max is un-boundable. */
+  def entry(c: String, mn: String,
+      mx: String): Option[(String, String, String)] =
+    truncUpper(bytesOf(mx)).map(hi =>
+      (c, hex(truncLower(bytesOf(mn))), hex(hi)))
+
+  /** Zone test: can a file whose stored bounds are (hexMn, hexMx)
+    * hold a value in [lo, hi] (inclusive byte ranges, None =
+    * unbounded)? Sound under truncation: stored bounds only ever
+    * WIDEN the file's true range. */
+  def intersects(hexMn: String, hexMx: String, lo: Option[Array[Byte]],
+      hi: Option[Array[Byte]]): Boolean = {
+    val mn = unhex(hexMn)
+    val mx = unhex(hexMx)
+    lo.forall(l => cmp(mx, l) >= 0) && hi.forall(h => cmp(mn, h) <= 0)
   }
 }

@@ -1701,4 +1701,312 @@ class PipelineSpec extends SparkSpec {
     assert(ManifestTable.countRows(table).contains(5L))
     assert(ManifestTable.read(spark, table, Some(2L)).count() == 80L)
   }
+
+  test("typed zone stats: date/timestamp/string columns prune through " +
+      "readPrunedTyped; NULL and no-line files always scan; string " +
+      "bounds are truncation-conservative") {
+    import graft.sources.{ManifestTable, StrStat}
+    val table = Files.createTempDirectory("graft-typed-stats").toString
+    def day(s: String) = java.time.LocalDate.parse(s)
+    // four commits: two date halves x two string halves; one extra
+    // file with NULLs in the string column (no #sstats line -> scans)
+    def slice(lo: Int, names: Seq[String]) =
+      names.zipWithIndex.map { case (n, i) =>
+        (lo + i.toLong, java.sql.Date.valueOf(s"2020-0${lo / 100}-0${i + 1}"),
+          n, java.sql.Timestamp.valueOf(s"2020-01-01 0${i}:00:00"))
+      }.toDF("k", "d", "s", "ts")
+    ManifestTable.commitWithStats(
+      slice(100, Seq("alpha", "bravo")).coalesce(1), table,
+      append = true, Seq("d", "s", "ts", "k"), None)
+    ManifestTable.commitWithStats(
+      slice(200, Seq("victor", "zulu")).coalesce(1), table,
+      append = true, Seq("d", "s", "ts", "k"), None)
+    val nulls = Seq((300L, java.sql.Date.valueOf("2020-04-01"),
+      null: String, java.sql.Timestamp.valueOf("2020-01-01 09:00:00")))
+      .toDF("k", "d", "s", "ts")
+    ManifestTable.commitWithStats(nulls.coalesce(1), table,
+      append = true, Seq("d", "s", "ts", "k"), None)
+    // date-range pruning: only the January file survives
+    val (f1, total1, kept1) = ManifestTable.readPrunedTyped(spark,
+      table, Seq(("d", day("2020-01-01"), day("2020-01-31"))), None)
+    assert(total1 == 3 && kept1 == 1, s"$total1/$kept1")
+    assert(f1.select("k").as[Long].collect().toSet == Set(100L, 101L))
+    // string equality: file 2 has min=victor so 'alpha' prunes it;
+    // the NULL file has NO #sstats line for s -> must scan (then the
+    // row filter drops it)
+    val (f2, total2, kept2) = ManifestTable.readPrunedTyped(spark,
+      table, Seq(("s", "alpha", "alpha")), None)
+    assert(total2 == 3 && kept2 == 2, s"$total2/$kept2")
+    assert(f2.select("k").as[Long].collect().toSet == Set(100L))
+    // timestamp range
+    val t0 = java.time.Instant.parse("2020-01-01T01:00:00Z")
+    val (f3, _, kept3) = ManifestTable.readPrunedTyped(spark, table,
+      Seq(("ts", t0, t0)), None)
+    // the two sliced files span [00:00, 01:00]; the NULL-string
+    // file's ts zone is [09:00, 09:00] and prunes
+    assert(kept3 == 2, s"$kept3")
+    assert(f3.select("k").as[Long].collect().toSet ==
+      Set(101L, 201L))
+    // conjunction: date + string together keep exactly one file
+    val (f4, _, kept4) = ManifestTable.readPrunedTyped(spark, table,
+      Seq(("d", day("2020-01-01"), day("2020-01-31")),
+        ("s", "bravo", "bravo")), None)
+    assert(kept4 == 1)
+    assert(f4.select("k").as[Long].collect().toSet == Set(101L))
+    // truncation-conservative long strings: 70-byte values straddle
+    // the 64-byte cap; the pruned read must still return them
+    val longA = "a" * 70
+    val longZ = "z" * 70
+    val t2 = Files.createTempDirectory("graft-typed-trunc").toString
+    ManifestTable.commitWithStats(
+      Seq((1L, longA), (2L, longZ)).toDF("k", "s").coalesce(1),
+      t2, append = true, Seq("s"), None)
+    val (g1, _, gk1) = ManifestTable.readPrunedTyped(spark, t2,
+      Seq(("s", longZ, longZ)), None)
+    assert(gk1 == 1 && g1.count() == 1L,
+      "truncated upper bound must still admit the true max")
+    // a probe equal to the truncated-and-incremented stored bound:
+    // above the true max (no row matches) yet inside the zone
+    val probe = "z" * 63 + "{"
+    val (g2, _, gk2) = ManifestTable.readPrunedTyped(spark, t2,
+      Seq(("s", probe, probe)), None)
+    assert(gk2 == 1 && g2.count() == 0L,
+      "conservative zones may admit, the row filter stays exact")
+    // StrStat unit laws on raw bytes
+    assert(StrStat.cmp(StrStat.bytesOf("ab"), StrStat.bytesOf("b")) < 0)
+    assert(StrStat.cmp(StrStat.bytesOf("a"), StrStat.bytesOf("ab")) < 0)
+    val ff = Array.fill(70)(0xFF.toByte)
+    assert(StrStat.truncUpper(ff).isEmpty,
+      "un-incrementable max publishes no bound")
+    val mixed = Array.fill(70)(0xFF.toByte)
+    mixed(10) = 0x41
+    val up = StrStat.truncUpper(mixed).get
+    assert(up.length == 11 && (up(10) & 0xFF) == 0x42,
+      "increment the last non-0xFF byte and drop the tail")
+    assert(StrStat.cmp(up, mixed) > 0)
+    // multi-byte UTF-8 straddling the cap stays conservative
+    val uni = "é" * 40 // 80 bytes
+    val loB = StrStat.truncLower(StrStat.bytesOf(uni))
+    assert(loB.length == 64 && StrStat.cmp(loB, StrStat.bytesOf(uni)) < 0)
+    val hiB = StrStat.truncUpper(StrStat.bytesOf(uni)).get
+    assert(StrStat.cmp(hiB, StrStat.bytesOf(uni)) > 0)
+  }
+
+  test("commitWithStats append onto a DV'd snapshot carries the " +
+      "deletion vectors (appends never resurrect deletes)") {
+    import graft.sources.ManifestTable
+    val table = Files.createTempDirectory("graft-dv-carry").toString
+    ManifestTable.commitWithStats((1L to 100L).toDF("k").coalesce(1),
+      table, append = true, "k")
+    val (_, rw, dvd, _) = ManifestTable.deleteRangeDv(spark, table,
+      "k", 10L, 14L, dvMaxFraction = 0.5)
+    assert(rw == 0 && dvd == 1, s"expected a DV-only delete: $rw/$dvd")
+    assert(ManifestTable.read(spark, table).count() == 95L)
+    ManifestTable.commitWithStats((200L to 209L).toDF("k").coalesce(1),
+      table, append = true, "k")
+    assert(ManifestTable.read(spark, table).count() == 105L,
+      "the appended snapshot must still mask the DV'd positions")
+    assert(ManifestTable.countRows(table).contains(105L))
+  }
+
+  test("DSv2 write race: six concurrent append jobs each publish one " +
+      "version; all files and row counts land; basenames stay unique") {
+    import graft.sources.ManifestTable
+    val table = Files.createTempDirectory("graft-dsv2-race").toString
+    val writers = 6
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to writers).map { w =>
+      val th = new Thread(() => {
+        start.await()
+        try {
+          spark.range(w * 100L, w * 100L + 10L)
+            .select(col("id").as("k")).coalesce(1)
+            .write.format("graft-manifest").option("path", table)
+            .option("statsColumns", "k").mode("append").save()
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+      th.start(); th
+    }
+    start.countDown()
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"racing DSv2 writers failed: ${errs.peek()}")
+    assert(ManifestTable.versions(table) == (1L to writers.toLong))
+    val ks = ManifestTable.read(spark, table).as[Long].collect().toSet
+    assert(ks == (1 to writers).flatMap(w =>
+      w * 100L until w * 100L + 10L).toSet)
+    assert(ManifestTable.countRows(table).contains(60L))
+    // snapshot-unique basenames: DV masking and compaction key on them
+    val files = graft.sources.ManifestTable
+      .snapshotFor(table, None).files
+    val bases = files.map(_.split('/').last)
+    assert(bases.distinct.size == bases.size,
+      s"duplicate basenames across jobs: $bases")
+  }
+
+  test("DSv2 overwrite with an empty frame truncates (publishes an " +
+      "empty snapshot) instead of keeping the old data") {
+    import graft.sources.ManifestTable
+    val table = Files.createTempDirectory("graft-dsv2-empty").toString
+    spark.range(10).select(col("id").as("k"), lit("x").as("s"))
+      .coalesce(1)
+      .write.format("graft-manifest").option("path", table)
+      .mode("append").save()
+    assert(ManifestTable.read(spark, table).count() == 10L)
+    spark.range(0).select(col("id").as("k"), lit("x").as("s"))
+      .write.format("graft-manifest").option("path", table)
+      .mode("overwrite").save()
+    val after = ManifestTable.read(spark, table)
+    assert(after.count() == 0L, "overwrite-with-empty must truncate")
+    assert(after.columns.toSeq == Seq("k", "s"),
+      "the truncated snapshot keeps the written schema")
+    assert(ManifestTable.countRows(table).contains(0L))
+    // time travel still reads the pre-truncate snapshot
+    assert(ManifestTable.read(spark, table, Some(1L)).count() == 10L)
+  }
+
+  test("DSv2 typed pruning: date + string pushed filters plan one " +
+      "InputPartition per surviving file through the planner") {
+    import graft.sources.ManifestTable
+    val table = Files.createTempDirectory("graft-dsv2-typed").toString
+    def rows(lo: Long, d: String, ss: Seq[String]) =
+      ss.zipWithIndex.map { case (s, i) =>
+        (lo + i, java.sql.Date.valueOf(d), s) }
+        .toDF("k", "d", "s")
+    rows(100, "2021-01-05", Seq("alpha", "bravo")).coalesce(1)
+      .write.format("graft-manifest").option("path", table)
+      .option("statsColumns", "d,s").mode("append").save()
+    rows(200, "2021-06-05", Seq("victor", "zulu")).coalesce(1)
+      .write.format("graft-manifest").option("path", table)
+      .option("statsColumns", "d,s").mode("append").save()
+    val df = spark.read.format("graft-manifest")
+      .option("path", table).load()
+    assert(df.rdd.getNumPartitions == 2)
+    val datePruned = df.filter(col("d") <
+      lit(java.sql.Date.valueOf("2021-02-01")))
+    assert(datePruned.rdd.getNumPartitions == 1,
+      "the June file must be date-zone-pruned")
+    assert(datePruned.select("k").as[Long].collect().toSet ==
+      Set(100L, 101L))
+    val strPruned = df.filter(col("s") === "zulu")
+    assert(strPruned.rdd.getNumPartitions == 1,
+      "the alpha..bravo file must be string-zone-pruned")
+    assert(strPruned.select("k").as[Long].collect().toSet == Set(201L))
+    // date values round-trip the custom parquet writer/reader
+    assert(df.filter(col("k") === 100L).select("d")
+      .as[java.sql.Date].head() ==
+      java.sql.Date.valueOf("2021-01-05"))
+  }
+
+  test("SQL catalog: CREATE TABLE / INSERT INTO / SELECT / VERSION " +
+      "AS OF / DELETE FROM (DV-only) / DROP TABLE through " +
+      "GraftCatalog") {
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("graft-cat-root").toString
+    spark.conf.set("spark.sql.catalog.gtest",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtest.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE gtest.$t (k BIGINT, s STRING) " +
+      "USING `graft-manifest`")
+    spark.sql(s"INSERT INTO gtest.$t " +
+      "SELECT id AS k, CAST(id AS STRING) AS s FROM range(0, 50)")
+    spark.sql(s"INSERT INTO gtest.$t " +
+      "SELECT id AS k, CAST(id AS STRING) AS s FROM range(50, 100)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM gtest.$t")
+      .as[Long].head() == 100L)
+    // time travel through SQL
+    assert(spark.sql(s"SELECT count(*) AS n FROM gtest.$t VERSION AS OF 1")
+      .as[Long].head() == 50L)
+    // DELETE plans onto deleteRangeDv: a small ranged purge is a
+    // deletion-vector-only commit (zero rewritten data files)
+    val dir = s"$root/$t"
+    val filesBefore = ManifestTable.snapshotFor(dir, None).files.toSet
+    spark.sql(s"DELETE FROM gtest.$t WHERE k BETWEEN 10 AND 19")
+    val snap = ManifestTable.snapshotFor(dir, None)
+    assert(snap.files.toSet == filesBefore,
+      "a DV-only DELETE must rewrite zero data files")
+    assert(snap.dvs.values.map(_.size).sum == 10)
+    assert(spark.sql(s"SELECT count(*) AS n FROM gtest.$t")
+      .as[Long].head() == 90L)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM gtest.$t WHERE k BETWEEN 5 AND 24")
+      .as[Long].head() == 10L)
+    // unsupported DELETE shapes decline loudly instead of deleting a
+    // superset
+    val ex = intercept[Exception] {
+      spark.sql(s"DELETE FROM gtest.$t WHERE s = '30'")
+    }
+    assert(ex.getMessage.contains("DELETE") ||
+      ex.getMessage.contains("delete"), ex.getMessage)
+    assert(spark.sql(s"SELECT count(*) AS n FROM gtest.$t")
+      .as[Long].head() == 90L)
+    spark.sql(s"DROP TABLE gtest.$t")
+    assert(!Files.exists(java.nio.file.Paths.get(dir)))
+  }
+
+  test("CDC micro-batch stream: each committed version's added files " +
+      "arrive exactly once; checkpoint replays deliver nothing new; " +
+      "a fresh-checkpoint rerun reproduces the same rows") {
+    import graft.sources.ManifestTable
+    val table = Files.createTempDirectory("graft-cdc-src").toString
+    ManifestTable.commit((1L to 10L).toDF("k").coalesce(1), table,
+      append = true)
+    ManifestTable.commit((11L to 25L).toDF("k").coalesce(1), table,
+      append = true)
+    ManifestTable.commit((26L to 30L).toDF("k").coalesce(1), table,
+      append = true)
+    def drain(checkpoint: String, sinkName: String): Set[Long] = {
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format("graft-manifest")
+        .option("path", table).option("startingVersion", "1")
+        .load()
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("k").as[Long].collect().foreach(acc.add); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      scala.jdk.CollectionConverters.CollectionHasAsScala(acc)
+        .asScala.toSet
+    }
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val got1 = drain(ckpt, "cdc_sink_1")
+    assert(got1 == (11L to 30L).toSet,
+      s"startingVersion=1 must deliver exactly v2+v3 rows: $got1")
+    // same checkpoint: offsets are committed, nothing re-delivers
+    val got2 = drain(ckpt, "cdc_sink_2")
+    assert(got2.isEmpty, s"checkpoint replay must add nothing: $got2")
+    // fresh checkpoint: the immutable manifests re-plan identically
+    val ckpt2 = Files.createTempDirectory("graft-cdc-ckpt2").toString
+    val got3 = drain(ckpt2, "cdc_sink_3")
+    assert(got3 == got1, "fresh-checkpoint rerun must reproduce the rows")
+    // a NEW commit while the consumer is down arrives on the next run
+    ManifestTable.commit((31L to 33L).toDF("k").coalesce(1), table,
+      append = true)
+    val got4 = drain(ckpt, "cdc_sink_4")
+    assert(got4 == (31L to 33L).toSet, s"incremental top-up: $got4")
+  }
+
+  test("compactClustered survives extreme long domains (min/max near " +
+      "the int64 edges) via decimal scaling") {
+    import graft.sources.ManifestTable
+    val table = Files.createTempDirectory("graft-cc-extreme").toString
+    val df = Seq(
+      (Long.MinValue + 1L, 1L), (-1000L, 2L), (1000L, 3L),
+      (Long.MaxValue - 1L, 4L)).toDF("a", "b")
+    ManifestTable.commitWithStats(df.coalesce(1), table,
+      append = true, Seq("a", "b"), None)
+    val (v, before, after) = ManifestTable.compactClustered(spark,
+      table, targetBytes = Long.MaxValue / 2,
+      clusterCols = Seq("a", "b"))
+    assert(v == 2L && before == 1)
+    val back = ManifestTable.read(spark, table)
+      .as[(Long, Long)].collect().toSet
+    assert(back == Set((Long.MinValue + 1L, 1L), (-1000L, 2L),
+      (1000L, 3L), (Long.MaxValue - 1L, 4L)),
+      s"extreme-domain rows must survive the clustered rewrite: $back")
+  }
 }

@@ -69,6 +69,41 @@ class PlanSpec extends SparkSpec {
       s"bare COUNT(*) must answer from the manifest:\n$countPlan")
   }
 
+  test("SQL catalog scan: a range predicate through GraftCatalog " +
+      "plans the SAME pruned DSv2 scan (one surviving InputPartition, " +
+      "pinned snapshot version in the plan)") {
+    import graft.sources.ManifestTable
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cat-plan").toString
+    spark.conf.set("spark.sql.catalog.gplan",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gplan.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    for (r <- Seq(1L to 40L, 41L to 80L, 81L to 120L))
+      ManifestTable.commitWithStats(r.toDF("k").coalesce(1),
+        s"$root/$t", append = true, "k")
+    val df = spark.sql(
+      s"SELECT k FROM gplan.$t WHERE k BETWEEN 45 AND 60")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-manifest") && plan.contains("files=1"),
+      s"catalog read must plan the pruned DSv2 scan:\n$plan")
+    assert(plan.contains(" v3 "),
+      s"the scan must surface its PINNED snapshot version:\n$plan")
+    assert(df.rdd.getNumPartitions == 1)
+    // typed pushed filters: a string-equality predicate prunes too
+    val t2 = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    for (s0 <- Seq(Seq("aa", "bb"), Seq("yy", "zz")))
+      ManifestTable.commitWithStats(
+        s0.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+          .toDF("k", "s").coalesce(1),
+        s"$root/$t2", append = true, Seq("s"), None)
+    val df2 = spark.sql(s"SELECT k FROM gplan.$t2 WHERE s = 'zz'")
+    assert(df2.rdd.getNumPartitions == 1,
+      "string zones must prune through the SQL planner")
+    assert(df2.as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("q_j11_broadcast_lookup: dimension joins are broadcast, not shuffled") {
     val plan = planOf("q_j11_broadcast_lookup")
     assert(plan.contains("BroadcastHashJoin"),
