@@ -906,13 +906,18 @@ object ManifestTable {
     * (our position lists and rewrite would silently resurrect the
     * rival's deletes otherwise).
     *
+    * `statsCol` may be an integer, DATE, or TIMESTAMP column;
+    * [lo, hi] is its zone encoding (values / epoch days / epoch
+    * microseconds respectively — what the `#stats=` lines carry and
+    * what the SQL DELETE seam's filter conversion produces).
+    *
     * Returns (published version, files rewritten, files DV'd, files
     * in the new snapshot). */
   def deleteRangeDv(spark: SparkSession, table: String,
       statsCol: String, lo: Long, hi: Long, dvMaxFraction: Double,
       dvMaxPositions: Int = 10000): (Long, Int, Int, Int) = {
     import org.apache.spark.sql.functions.{col, count, lit, not, sum,
-      when}
+      unix_date, unix_micros, when}
     require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
       s"dvMaxFraction must be in [0, 1]: $dvMaxFraction")
     require(dvMaxPositions > 0,
@@ -930,8 +935,24 @@ object ManifestTable {
     if (candidates.isEmpty)
       return (latest, 0, 0, m.files.size)
     val root = Paths.get(table)
-    val matchPred =
-      col(statsCol).isNotNull && col(statsCol).between(lo, hi)
+    // [lo, hi] is the column's ZONE ENCODING: integer values as-is,
+    // DATE columns epoch days, TIMESTAMP columns epoch micros — the
+    // same int64 the #stats= lines carry (and what the SQL DELETE
+    // seam's filter conversion produces), so a date-range GDPR purge
+    // works without the caller pre-encoding its data
+    def encOf(df: DataFrame): org.apache.spark.sql.Column =
+      statKindOf(df.schema(statsCol).dataType, statsCol) match {
+        case 'L' => col(statsCol).cast("long")
+        case 'D' => unix_date(col(statsCol)).cast("long")
+        case 'T' => unix_micros(col(statsCol))
+        case 'S' => throw new IllegalArgumentException(
+          s"deleteRange needs an integer/date/timestamp column; " +
+            s"$statsCol is a string")
+      }
+    def matchPredOf(df: DataFrame): org.apache.spark.sql.Column = {
+      val e = encOf(df)
+      e.isNotNull && e.between(lo, hi)
+    }
     def liveOf(files: Seq[String]): DataFrame =
       maskDvs(spark, withFilePos(
         spark.read.option("mergeSchema", "true")
@@ -943,8 +964,9 @@ object ManifestTable {
     val (dvFiles, cowFiles) =
       if (dvMaxFraction <= 0.0) (Seq.empty[String], candidates)
       else {
-        val byBase = liveOf(candidates).groupBy(col("__b"))
-          .agg(sum(when(matchPred, 1L).otherwise(0L)).as("__m"),
+        val cand = liveOf(candidates)
+        val byBase = cand.groupBy(col("__b"))
+          .agg(sum(when(matchPredOf(cand), 1L).otherwise(0L)).as("__m"),
             count(lit(1)).as("__n"))
           .collect().map(r => r.getString(0) ->
             (if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2)))
@@ -968,7 +990,8 @@ object ManifestTable {
       if (dvFiles.isEmpty) noDvs
       else {
         val pathOf = dvFiles.map(f => f.split('/').last -> f).toMap
-        val hits = liveOf(dvFiles).filter(matchPred)
+        val dvSrc = liveOf(dvFiles)
+        val hits = dvSrc.filter(matchPredOf(dvSrc))
           .select(col("__b"), col("__p"))
           .collect().map(r => (pathOf(r.getString(0)), r.getLong(1)))
         hits.groupBy(_._1).view.mapValues { ps =>
@@ -981,9 +1004,12 @@ object ManifestTable {
     var staged =
       if (cowFiles.isEmpty) Seq.empty[String]
       else {
-        liveOf(cowFiles).drop("__b", "__p")
-          .filter(col(statsCol).isNull ||
-            not(col(statsCol).between(lo, hi)))
+        // NOT(match) keeps NULL rows by construction: match is
+        // isNotNull && between, so its negation is true on NULL —
+        // a range predicate is UNKNOWN on NULL, per SQL DELETE
+        val cowSrc = liveOf(cowFiles)
+        cowSrc.filter(not(matchPredOf(cowSrc)))
+          .drop("__b", "__p")
           .write.mode("errorifexists").parquet(stageDir.toString)
         Using.resource(Files.list(stageDir)) { st =>
           st.iterator().asScala

@@ -1990,6 +1990,43 @@ class PipelineSpec extends SparkSpec {
     assert(got4 == (31L to 33L).toSet, s"incremental top-up: $got4")
   }
 
+  test("date-ranged DELETE: deleteRangeDv on a DATE column prunes on " +
+      "epoch-day zones and matches rows typed; SQL DELETE with date " +
+      "literals rides the same seam (the GDPR purge shape)") {
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("graft-date-del").toString
+    spark.conf.set("spark.sql.catalog.gdel",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdel.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dir = s"$root/$t"
+    def month(m: Int, lo: Long) = (1 to 20).map(i =>
+      (lo + i, java.sql.Date.valueOf(f"2022-$m%02d-$i%02d")))
+      .toDF("k", "d")
+    ManifestTable.commitWithStats(month(1, 100).coalesce(1), dir,
+      append = true, "d")
+    ManifestTable.commitWithStats(month(6, 200).coalesce(1), dir,
+      append = true, "d")
+    // Scala API: epoch-day encoded range, DV path; only the January
+    // file is a zone candidate
+    val d0 = java.time.LocalDate.parse("2022-01-05").toEpochDay
+    val d1 = java.time.LocalDate.parse("2022-01-08").toEpochDay
+    val (_, rw, dvd, after) = ManifestTable.deleteRangeDv(spark, dir,
+      "d", d0, d1, dvMaxFraction = 0.5)
+    assert(rw == 0 && dvd == 1 && after == 2, s"$rw/$dvd/$after")
+    assert(ManifestTable.read(spark, dir).count() == 36L)
+    // SQL: date literals flow through the filter conversion to the
+    // same epoch-day range
+    spark.sql(s"DELETE FROM gdel.$t WHERE d BETWEEN " +
+      "DATE '2022-06-01' AND DATE '2022-06-10'")
+    assert(ManifestTable.read(spark, dir).count() == 26L)
+    val left = ManifestTable.read(spark, dir)
+      .select(min(col("d")).cast("string"),
+        max(col("d")).cast("string")).head()
+    assert(left.getString(0) == "2022-01-01" &&
+      left.getString(1) == "2022-06-20", left.toString)
+  }
+
   test("compactClustered survives extreme long domains (min/max near " +
       "the int64 edges) via decimal scaling") {
     import graft.sources.ManifestTable
