@@ -1686,6 +1686,63 @@ object Approx {
           lit(meta).as("meta_rows"))
     },
 
+    // LAKEHOUSE MERGE on a STRING business key (L26 × M-layer): the
+    // most common CDC upsert shape — a batch keyed by a string id.
+    // Candidate pruning now runs on the #sstats byte-wise zones
+    // (lower(hex(key)) against the stored hex bounds), so a batch
+    // whose keys fall inside ONE file's range rewrites exactly that
+    // file: files_rewritten = 1 of 4, new keys ride the single
+    // insert file, and values equal the oracle's upsert recompute.
+    // Without string zones this merge touches every file.
+    Q("q_e2e_merge_strkey",
+      """WITH base AS (SELECT 'k' || lpad(CAST(o_orderkey AS VARCHAR),
+        |    7, '0') AS k, o_custkey AS p, o_orderkey AS ok
+        |  FROM orders),
+        |up1 AS (SELECT k, p + 500000 AS p FROM base
+        |  WHERE ok BETWEEN 5000 AND 5499),
+        |up2 AS (SELECT 'n' || lpad(CAST(ok AS VARCHAR), 7, '0') AS k,
+        |    p FROM base WHERE ok < 10),
+        |up AS (SELECT * FROM up1 UNION ALL SELECT * FROM up2),
+        |merged AS (SELECT k, p FROM base
+        |    WHERE k NOT IN (SELECT k FROM up)
+        |  UNION ALL SELECT k, p FROM up)
+        |SELECT CAST(1 AS BIGINT) AS files_rewritten,
+        |  CAST(5 AS BIGINT) AS files_after,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(p) AS BIGINT) AS payload_sum,
+        |  min(k) AS k_min, max(k) AS k_max
+        |FROM merged""".stripMargin) { (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-merge-str-q").toString
+      val base = t(s, d, "orders")
+        .select(concat(lit("k"),
+            lpad(col("o_orderkey").cast("string"), 7, "0")).as("k"),
+          col("o_custkey").as("p"), col("o_orderkey").as("ok"))
+      val bounds = Seq((-1L, 4000L), (4000L, 8000L),
+        (8000L, 12000L), (12000L, Long.MaxValue))
+      for ((lo, hi) <- bounds) {
+        graft.sources.ManifestTable.commitWithStats(
+          base.filter(col("ok") > lo && col("ok") <= hi)
+            .select("k", "p").coalesce(1),
+          table, append = true, "k")
+      }
+      val updates = base.filter(col("ok").between(5000, 5499))
+        .select(col("k"), (col("p") + 500000L).as("p"))
+        .unionByName(base.filter(col("ok") < 10)
+          .select(concat(lit("n"),
+              lpad(col("ok").cast("string"), 7, "0")).as("k"),
+            col("p")))
+      val (_, rewritten, after) = graft.sources.ManifestTable
+        .mergeByKey(s, table, updates, "k")
+      graft.sources.ManifestTable.read(s, table)
+        .agg(count(lit(1)).as("n_rows"), sum("p").as("payload_sum"),
+          min("k").as("k_min"), max("k").as("k_max"))
+        .select(lit(rewritten.toLong).as("files_rewritten"),
+          lit(after.toLong).as("files_after"),
+          col("n_rows"), col("payload_sum"), col("k_min"),
+          col("k_max"))
+    },
+
     // LAKEHOUSE MERGE-ON-READ: deletion-vector DELETE (L20 — Delta
     // DVs / Iceberg v2 position deletes): a 5-key purge against a
     // 4-file snapshot commits ZERO rewritten data files — the dead

@@ -1145,17 +1145,48 @@ object ManifestTable {
     require(dup == 0L,
       s"updates carry $dup duplicated $keyCol keys — a keyed MERGE " +
         "needs one row per key")
-    // exact range-level candidate test: batch keys x file zones
-    val zoned = m.files.flatMap(f =>
-      m.stats.getOrElse(f, Seq.empty).find(_._1 == keyCol)
-        .map { case (_, mn, mx) => (f, mn, mx) })
-    val zoneless = m.files.toSet -- zoned.map(_._1)
-    val hitFiles: Set[String] =
-      if (zoned.isEmpty) Set.empty
-      else updates.select(col(keyCol).cast("long").as("__k"))
-        .join(broadcast(zoned.toDF("__f", "__mn", "__mx")),
-          col("__k").between(col("__mn"), col("__mx")))
-        .select("__f").distinct().as[String].collect().toSet
+    // exact range-level candidate test: batch keys x file zones —
+    // integer keys against the int64 #stats zones (dates as epoch
+    // days, timestamps as micros), STRING keys against the #sstats
+    // hex bounds: lower(hex(key)) IS StrStat's encoding (two
+    // lowercase hex chars per UTF-8 byte), so plain string
+    // comparison of the hex equals unsigned byte order and a
+    // string-business-key CDC batch prunes candidates exactly
+    // instead of touching every file
+    import org.apache.spark.sql.functions.{hex, lower, unix_date,
+      unix_micros}
+    val keyKind = statKindOf(updates.schema(keyCol).dataType, keyCol)
+    val (zonedFiles, hitFiles): (Set[String], Set[String]) =
+      keyKind match {
+        case 'S' =>
+          val zonedS = m.files.flatMap(f =>
+            m.sstats.getOrElse(f, Seq.empty).find(_._1 == keyCol)
+              .map { case (_, mn, mx) => (f, mn, mx) })
+          val hits =
+            if (zonedS.isEmpty) Set.empty[String]
+            else updates.select(lower(hex(col(keyCol))).as("__kh"))
+              .join(broadcast(zonedS.toDF("__f", "__mn", "__mx")),
+                col("__kh").between(col("__mn"), col("__mx")))
+              .select("__f").distinct().as[String].collect().toSet
+          (zonedS.map(_._1).toSet, hits)
+        case k =>
+          val keyEnc = k match {
+            case 'L' => col(keyCol).cast("long")
+            case 'D' => unix_date(col(keyCol)).cast("long")
+            case _   => unix_micros(col(keyCol))
+          }
+          val zoned = m.files.flatMap(f =>
+            m.stats.getOrElse(f, Seq.empty).find(_._1 == keyCol)
+              .map { case (_, mn, mx) => (f, mn, mx) })
+          val hits =
+            if (zoned.isEmpty) Set.empty[String]
+            else updates.select(keyEnc.as("__k"))
+              .join(broadcast(zoned.toDF("__f", "__mn", "__mx")),
+                col("__k").between(col("__mn"), col("__mx")))
+              .select("__f").distinct().as[String].collect().toSet
+          (zoned.map(_._1).toSet, hits)
+      }
+    val zoneless = m.files.toSet -- zonedFiles
     val candidates = m.files.filter(f =>
       hitFiles.contains(f) || zoneless.contains(f))
     val root = Paths.get(table)

@@ -1990,6 +1990,42 @@ class PipelineSpec extends SparkSpec {
     assert(got4 == (31L to 33L).toSet, s"incremental top-up: $got4")
   }
 
+  test("string-keyed MERGE: #sstats zones prune candidates (a batch " +
+      "inside one file's key range rewrites only that file) and the " +
+      "DV path works on string keys") {
+    import graft.sources.ManifestTable
+    val table = Files.createTempDirectory("graft-str-merge").toString
+    def slab(ks: Seq[String], p0: Long) =
+      ks.zipWithIndex.map { case (k, i) => (k, p0 + i) }.toDF("k", "p")
+    ManifestTable.commitWithStats(
+      slab(Seq("aa", "bb", "cc", "dd"), 10).coalesce(1), table,
+      append = true, "k")
+    ManifestTable.commitWithStats(
+      slab(Seq("ww", "xx", "yy", "zz"), 20).coalesce(1), table,
+      append = true, "k")
+    // update one key in the SECOND file's range + one new key beyond
+    // both zones: only file 2 is a candidate
+    val up = Seq(("xx", 99L), ("zzz", 7L)).toDF("k", "p")
+    val (_, rewritten, after) =
+      ManifestTable.mergeByKey(spark, table, up, "k")
+    assert(rewritten == 1 && after == 3,
+      s"string zones must confine the rewrite: $rewritten/$after")
+    val got = ManifestTable.read(spark, table)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("aa" -> 10L, "bb" -> 11L, "cc" -> 12L,
+      "dd" -> 13L, "ww" -> 20L, "xx" -> 99L, "yy" -> 22L,
+      "zz" -> 23L, "zzz" -> 7L), got.toString)
+    // DV mode on a string key: one matched row in one file → a
+    // deletion-vector line instead of a rewrite
+    val up2 = Seq(("bb", 111L)).toDF("k", "p")
+    val (_, rw2, dvd2, _) = ManifestTable.mergeByKeyDv(spark, table,
+      up2, "k", dvMaxFraction = 0.5)
+    assert(rw2 == 0 && dvd2 == 1, s"$rw2/$dvd2")
+    assert(ManifestTable.read(spark, table)
+      .filter(col("k") === "bb").as[(String, Long)].head() ==
+      (("bb", 111L)))
+  }
+
   test("date-ranged DELETE: deleteRangeDv on a DATE column prunes on " +
       "epoch-day zones and matches rows typed; SQL DELETE with date " +
       "literals rides the same seam (the GDPR purge shape)") {
