@@ -1941,6 +1941,25 @@ class PipelineSpec extends SparkSpec {
       ex.getMessage.contains("delete"), ex.getMessage)
     assert(spark.sql(s"SELECT count(*) AS n FROM gtest.$t")
       .as[Long].head() == 90L)
+    // INSERT OVERWRITE = truncate + append in one atomic publish
+    spark.sql(s"INSERT OVERWRITE gtest.$t " +
+      "SELECT id AS k, 'ow' AS s FROM range(0, 7)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM gtest.$t")
+      .as[Long].head() == 7L)
+    // pre-overwrite snapshots still time-travel
+    assert(spark.sql(s"SELECT count(*) AS n FROM gtest.$t VERSION AS OF 2")
+      .as[Long].head() == 100L)
+    // CTAS: catalog createTable + the atomic DSv2 write in one
+    // statement; SHOW TABLES lists both
+    val t2 = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE gtest.$t2 USING `graft-manifest` AS " +
+      s"SELECT k, s FROM gtest.$t WHERE k < 3")
+    assert(spark.sql(s"SELECT count(*) AS n FROM gtest.$t2")
+      .as[Long].head() == 3L)
+    val listed = spark.sql("SHOW TABLES IN gtest")
+      .select("tableName").as[String].collect().toSet
+    assert(listed.contains(t) && listed.contains(t2), listed.toString)
+    spark.sql(s"DROP TABLE gtest.$t2")
     spark.sql(s"DROP TABLE gtest.$t")
     assert(!Files.exists(java.nio.file.Paths.get(dir)))
   }
