@@ -2289,6 +2289,72 @@ object Approx {
           col("n_rows"), col("key_sum"))
     },
 
+    // LAKEHOUSE SQL MERGE INTO (L32): the full row-level-operation
+    // protocol through the SQL planner — Spark rewrites MERGE INTO
+    // into a group-based copy-on-write ReplaceData plan against the
+    // operation's pinned scan; the RUNTIME GROUP FILTER finds the
+    // files actually holding matched keys (an IN predicate on the
+    // _graft_file metadata column) and the replacement write swaps
+    // exactly those files in one atomic publish. Three of the four
+    // zone-disjoint files are carried BY REFERENCE (pinned in the
+    // result), matched rows take the source payload, unmatched
+    // source rows insert, and values equal the oracle's upsert
+    // recompute.
+    Q("q_sql_merge_into",
+      """WITH up1 AS (SELECT o_orderkey AS k, o_custkey + 500000 AS p
+        |  FROM orders WHERE o_orderkey BETWEEN 5000 AND 5499),
+        |up2 AS (SELECT o_orderkey + 5000000 AS k, o_custkey AS p
+        |  FROM orders WHERE o_orderkey < 10),
+        |up AS (SELECT * FROM up1 UNION ALL SELECT * FROM up2),
+        |base AS (SELECT o_orderkey AS k, o_custkey AS p FROM orders),
+        |merged AS (SELECT k, p FROM base
+        |    WHERE k NOT IN (SELECT k FROM up)
+        |  UNION ALL SELECT k, p FROM up)
+        |SELECT CAST(3 AS BIGINT) AS files_carried,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(p) AS BIGINT) AS payload_sum
+        |FROM merged""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.catalog.g_mf",
+        "graft.sources.GraftCatalog")
+      val tbl = "t_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-catalog-root",
+        tbl).toString
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("p"))
+      val bounds = Seq((-1L, 4000L), (4000L, 8000L),
+        (8000L, 12000L), (12000L, Long.MaxValue))
+      for ((lo, hi) <- bounds) {
+        graft.sources.ManifestTable.commitWithStats(
+          orders.filter(col("k") > lo && col("k") <= hi).coalesce(1),
+          dir, append = true, "k")
+      }
+      val before = graft.sources.ManifestTable
+        .snapshotFor(dir, None).files.toSet
+      val view = "v_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      orders.filter(col("k").between(5000, 5499))
+        .select(col("k"), (col("p") + 500000L).as("p"))
+        .unionByName(orders.filter(col("k") < 10)
+          .select((col("k") + 5000000L).as("k"), col("p")))
+        .createOrReplaceTempView(view)
+      s.sql(
+        s"""MERGE INTO g_mf.$tbl tgt USING $view src ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET tgt.p = src.p
+           |WHEN NOT MATCHED THEN INSERT (k, p) VALUES (src.k, src.p)
+           |""".stripMargin)
+      val after = graft.sources.ManifestTable
+        .snapshotFor(dir, None).files.toSet
+      val carried = (after intersect before).size
+      s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(sum(k) AS BIGINT) AS key_sum, " +
+          s"CAST(sum(p) AS BIGINT) AS payload_sum FROM g_mf.$tbl")
+        .select(lit(carried.toLong).as("files_carried"),
+          col("n_rows"), col("key_sum"), col("payload_sum"))
+    },
+
     // LAKEHOUSE CDC STREAM SOURCE (L29): readStream
     // .format("graft-manifest").option("startingVersion", 1) — the
     // Delta-CDF / Iceberg-incremental-read shape: offsets are

@@ -72,7 +72,8 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new ManifestV2Table(schema,
-      ManifestV2Options(new CaseInsensitiveStringMap(properties)))
+      ManifestV2Options(new CaseInsensitiveStringMap(properties)),
+      acceptAnySchema = true)
 }
 
 /** Table options (serializable — shipped to tasks). `dvMaxFraction`
@@ -202,10 +203,56 @@ object ManifestV2 {
   }
 }
 
-class ManifestV2Table(schema: StructType, opts: ManifestV2Options)
+/** The `_graft_file` metadata column: the manifest-relative data
+  * file of each row — the GROUP id Spark's group-based row-level
+  * operations (MERGE INTO / UPDATE / rewritten DELETE) filter and
+  * replace by, and a debugging aid for everyone else. */
+private[sources] object GraftFileColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = "_graft_file"
+  override def dataType(): DataType = StringType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "manifest-relative data file of the row (row-level op group id)"
+}
+
+/** `acceptAnySchema` splits the two write contracts: the PATH-BASED
+  * `format("graft-manifest")` table keeps ACCEPT_ANY_SCHEMA (the
+  * manifest's read side owns evolution — by-name union of live
+  * footers, late columns NULL — and the write-bootstrap table has no
+  * schema to validate against), while CATALOG-loaded tables validate
+  * writes against the table schema like any SQL table — which is
+  * ALSO what unlocks SQL row-level operations: ACCEPT_ANY_SCHEMA
+  * sets `skipSchemaResolution` on UPDATE/MERGE plans, and Spark then
+  * never aligns assignments or rewrites the command. SQL-side
+  * evolution is the Scala API's job (append evolving data through
+  * the path-based writer). */
+class ManifestV2Table(schema: StructType, opts: ManifestV2Options,
+    acceptAnySchema: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog
+      .SupportsRowLevelOperations {
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftFileColumn)
+
+  /** MERGE INTO / UPDATE (and DELETEs whose WHERE the metadata path
+    * declines) plan as GROUP-BASED copy-on-write: the operation's
+    * scan serves rows plus their `_graft_file` group id, Spark's
+    * runtime group filter narrows the scan to files that actually
+    * hold matching rows, and the replacement write swaps exactly
+    * those files in one atomic publish — the Iceberg CoW shape.
+    * Ranged DELETEs still take the deletion-vector metadata path
+    * (Spark's OptimizeMetadataOnlyDeleteFromTable converts back to
+    * [[deleteWhere]] whenever [[canDeleteWhere]] accepts). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new ManifestRowLevelOperation(info.command(), opts)
   override def name(): String = s"graft-manifest:${opts.path}"
   override def schema(): StructType = schema
   // ACCEPT_ANY_SCHEMA: the manifest's READ side owns schema
@@ -214,11 +261,13 @@ class ManifestV2Table(schema: StructType, opts: ManifestV2Options)
   // the inferred union would reject exactly the evolving commits the
   // table is built to absorb, and the write-bootstrap table has no
   // schema to validate against at all
-  override def capabilities(): util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(schema, opts)
@@ -506,8 +555,9 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
             longRanges, strRanges)
         }
         kept.map(s =>
-          ManifestFilePartition(s.path, s.dv, required.fieldNames)
-            : InputPartition).toArray
+          ManifestFilePartition(s.path,
+            root.relativize(java.nio.file.Paths.get(s.path)).toString,
+            s.dv, required.fieldNames): InputPartition).toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -556,7 +606,7 @@ class ManifestMicroBatchStream(required: StructType,
     val snap = ManifestTable.snapshotFor(opts.path, Some(e))
     val root = java.nio.file.Paths.get(opts.path)
     snap.files.filterNot(before).map { f =>
-      ManifestFilePartition(root.resolve(f).toString,
+      ManifestFilePartition(root.resolve(f).toString, f,
         snap.dvs.getOrElse(f, Seq.empty).toArray,
         required.fieldNames): InputPartition
     }.toArray
@@ -567,6 +617,237 @@ class ManifestMicroBatchStream(required: StructType,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** One SQL row-level operation (MERGE INTO / UPDATE / rewritten
+  * DELETE) against a manifest table — Spark's GROUP-BASED
+  * copy-on-write protocol:
+  *
+  *  1. Spark plans the operation against THIS operation's scan
+  *     ([[ManifestRowScan]] — snapshot-pinned, serving `_graft_file`
+  *     group ids);
+  *  2. at execution, the runtime group filter finds the DISTINCT
+  *     `_graft_file` values holding matching rows and narrows the
+  *     scan to those files ([[ManifestRowScan.filter]]) — untouched
+  *     files are never read OR rewritten;
+  *  3. Spark computes the full replacement row set for the affected
+  *     groups (carried-unchanged + merged/updated rows) and writes it
+  *     through [[ManifestReplaceWrite]], whose job-level commit swaps
+  *     exactly the scanned files for the staged outputs in ONE
+  *     optimistic publish (rival appends ride along; removed inputs
+  *     or rival DVs abort — the DML conflict rules).
+  *
+  * Zone stats survive: the replacement writer streams typed bounds
+  * for every column ALL live files carry zones for, so SQL MERGE
+  * doesn't erode the snapshot's prunability. */
+class ManifestRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    opts: ManifestV2Options)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import org.apache.spark.sql.connector.write._
+
+  // the operation's scan instance: the write replaces exactly the
+  // files this scan ultimately planned (after group filtering)
+  @volatile private[sources] var scan: ManifestRowScan = _
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("_graft_file"))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val pinned = ManifestV2.resolvePinned(opts)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = ManifestV2.schemaFor(opts)
+      override def pruneColumns(s: StructType): Unit = required = s
+      override def build(): Scan = {
+        val s = new ManifestRowScan(required, opts, pinned)
+        ManifestRowLevelOperation.this.scan = s
+        s
+      }
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new ManifestReplaceWrite(info.schema(), opts,
+            ManifestRowLevelOperation.this)
+      }
+    }
+}
+
+/** The row-level operation's scan: the pinned snapshot's live rows
+  * plus `_graft_file`, narrowed at runtime to the files that hold
+  * matching rows (Spark's group filter arrives as an IN predicate on
+  * the metadata column). Unparseable runtime predicates are ignored
+  * — filtering is an optimization; the write then replaces more
+  * files with identical content, never wrong content. */
+class ManifestRowScan(required: StructType, opts: ManifestV2Options,
+    private[sources] val pinned: ManifestV2.Pinned)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  @volatile private var retained: Option[Set[String]] = None
+
+  private def relOf(abs: String): String =
+    java.nio.file.Paths.get(opts.path)
+      .relativize(java.nio.file.Paths.get(abs)).toString
+
+  /** The manifest-relative files this scan plans — what the
+    * replacement write swaps out. */
+  private[sources] def replacedFiles: Seq[String] = {
+    val all = pinned.slices.map(s => relOf(s.path))
+    retained match {
+      case Some(keep) => all.filter(keep)
+      case None => all
+    }
+  }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-manifest ${opts.path} v${pinned.version} " +
+      s"[row-level scan, files=${replacedFiles.size}]"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_graft_file"))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def strLit(e: Any): Option[String] = e match {
+      case l: Literal[_] if l.dataType == StringType =>
+        Option(l.value).map(_.toString)
+      case _ => None
+    }
+    def isGroupCol(e: Any): Boolean = e match {
+      case f: NamedReference => f.fieldNames.sameElements(
+        Array("_graft_file"))
+      case _ => false
+    }
+    val sets = predicates.toSeq.flatMap { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.nonEmpty && isGroupCol(kids.head) =>
+          val vals = kids.tail.map(strLit)
+          if (vals.forall(_.isDefined))
+            Some(vals.flatten.toSet)
+          else None
+        case "=" if kids.length == 2 && isGroupCol(kids.head) =>
+          strLit(kids(1)).map(Set(_))
+        case _ => None // not a group predicate — ignore (optimization)
+      }
+    }
+    if (sets.nonEmpty) {
+      val merged = sets.reduce(_ intersect _)
+      retained = Some(retained.map(_ intersect merged).getOrElse(merged))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val keep = retained
+    pinned.slices.flatMap { s =>
+      val rel = relOf(s.path)
+      if (keep.forall(_.contains(rel)))
+        Some(ManifestFilePartition(s.path, rel, s.dv,
+          required.fieldNames): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ManifestReaderFactory(required)
+}
+
+/** The replacement write: stages rows exactly like the append path
+  * (typed streamed zone bounds over every column ALL live files
+  * carry zones for), then ONE [[ManifestTable.publishReplace]] swaps
+  * the operation scan's files for the staged outputs. A replacement
+  * that empties the table stages one explicit empty file so the
+  * snapshot keeps its schema. */
+class ManifestReplaceWrite(schema: StructType,
+    opts: ManifestV2Options, op: ManifestRowLevelOperation)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  require(!schema.fieldNames.contains("_graft_file"),
+    "row-level replacement rows must not carry the metadata column")
+  private val nonce = java.util.UUID.randomUUID().toString.take(12)
+  // zone columns every LIVE file carries (intersection is
+  // conservative vs the replaced subset's — recording fewer columns
+  // only costs pruning opportunity, never correctness), restricted
+  // to columns present in the replacement schema
+  private val statsCols: Seq[String] = {
+    val pinned = ManifestV2.resolvePinned(opts)
+    val root = java.nio.file.Paths.get(opts.path)
+    val rels = pinned.slices.map(s =>
+      root.relativize(java.nio.file.Paths.get(s.path)).toString)
+    if (rels.isEmpty) Seq.empty
+    else rels.map(f =>
+        (pinned.stats.getOrElse(f, Seq.empty).map(_._1) ++
+          pinned.sstats.getOrElse(f, Seq.empty).map(_._1)).toSet)
+      .reduce(_ intersect _).toSeq.sorted
+      .filter(schema.fieldNames.contains)
+  }
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    ManifestWriterFactory(schema, opts.path, nonce, statsCols)
+
+  override def commit(msgs: Array[WriterCommitMessage]): Unit = {
+    require(op.scan != null,
+      "row-level write committed without the operation's scan")
+    val replaced = op.scan.replacedFiles
+    val files = msgs.collect {
+      case f: ManifestTaskFile if f.rel.nonEmpty => f
+    }.sortBy(_.rel)
+    if (replaced.isEmpty && files.isEmpty) return // no-op operation
+    var staged = files.map(_.rel).toSeq
+    var rows = files.map(f => f.rel -> f.rows).toMap
+    if (staged.isEmpty) {
+      // the operation deleted every row of the replaced files and
+      // nothing else survives alongside: keep the snapshot readable
+      val rel = s"data/w-$nonce/part-$nonce-empty.parquet"
+      val abs = java.nio.file.Paths.get(opts.path).resolve(rel)
+      ManifestParquet.openWriter(abs,
+        ManifestParquet.messageTypeOf(schema)).close()
+      staged = Seq(rel)
+      rows = Map(rel -> 0L)
+    }
+    val stats = files.flatMap { f =>
+      val entries = statsCols.flatMap(c =>
+        f.stats.get(c).map { case (mn, mx) => (c, mn, mx) })
+      if (entries.isEmpty) None else Some(f.rel -> entries)
+    }.toMap
+    val sstats = files.flatMap { f =>
+      val entries = statsCols.flatMap(c =>
+        f.sstats.get(c).map { case (mn, mx) => (c, mn, mx) })
+      if (entries.isEmpty) None else Some(f.rel -> entries)
+    }.toMap
+    val root = java.nio.file.Paths.get(opts.path)
+    val expectDvs = op.scan.pinned.slices.map(s =>
+      root.relativize(java.nio.file.Paths.get(s.path)).toString ->
+        s.dv.toSeq).toMap
+    ManifestTable.publishReplace(opts.path, replaced, staged, stats,
+      sstats, rows, expectDvs)
+    ()
+  }
+
+  override def abort(msgs: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(opts.path, "data", s"w-$nonce")
+    if (java.nio.file.Files.isDirectory(dir)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
+    }
+  }
 }
 
 /** Parquet message type for the DSv2 writer AND the empty-overwrite
@@ -853,8 +1134,10 @@ final case class ManifestWriterFactory(schema: StructType,
 }
 
 final case class ManifestCountPartition(n: Long) extends InputPartition
-final case class ManifestFilePartition(path: String, dv: Array[Long],
-    cols: Array[String]) extends InputPartition
+/** `rel` is the manifest-relative path — served as the `_graft_file`
+  * metadata column (the row-level operation GROUP id). */
+final case class ManifestFilePartition(path: String, rel: String,
+    dv: Array[Long], cols: Array[String]) extends InputPartition
 
 final case class ManifestReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -871,8 +1154,8 @@ final case class ManifestReaderFactory(required: StructType)
               .GenericInternalRow(Array[Any](n))
           override def close(): Unit = ()
         }
-      case ManifestFilePartition(path, dv, _) =>
-        new ManifestFileReader(path, dv, required)
+      case ManifestFilePartition(path, rel, dv, _) =>
+        new ManifestFileReader(path, rel, dv, required)
     }
 }
 
@@ -880,7 +1163,8 @@ final case class ManifestReaderFactory(required: StructType)
   * pushed into the read schema, deletion-vector positions skipped by
   * ordinal (parquet-mr yields rows in file order, so the running
   * counter IS `_metadata.row_index`). */
-final class ManifestFileReader(path: String, dv: Array[Long],
+final class ManifestFileReader(path: String, rel: String,
+    dv: Array[Long],
     required: StructType) extends PartitionReader[InternalRow] {
   private val conf = new org.apache.hadoop.conf.Configuration()
   private val fileSchema = {
@@ -939,7 +1223,8 @@ final class ManifestFileReader(path: String, dv: Array[Long],
     while (i < required.length) {
       val name = required(i).name
       vals(i) =
-        if (!fileSchema.containsField(name)) null // evolution: NULL
+        if (name == "_graft_file") UTF8String.fromString(rel)
+        else if (!fileSchema.containsField(name)) null // evolution
         else if (g.getFieldRepetitionCount(name) == 0) null
         else required(i).dataType match {
           case LongType    => g.getLong(name, 0)

@@ -222,6 +222,46 @@ object ManifestTable {
     }
   }
 
+  /** Publish a GROUP REPLACEMENT as the next snapshot — the seam the
+    * SQL row-level operations (MERGE INTO / UPDATE / rewritten
+    * DELETE) commit through: the files the operation's scan read are
+    * dropped, its staged outputs appended, everything else carried by
+    * reference with its metadata lines. Same optimistic loop and the
+    * DML conflict rules: a rival removing a replaced input aborts
+    * (rather than resurrecting dropped rows), a rival DV landing on a
+    * replaced input aborts (the replacement was computed from the
+    * PINNED read — publishing would resurrect the rival's deletes);
+    * rival appends ride along untouched (write-serializable). A
+    * replacement that empties the table publishes `staged` as-is —
+    * the caller stages an explicit empty file to keep the snapshot
+    * readable. */
+  private[sources] def publishReplace(table: String,
+      replaced: Seq[String], staged: Seq[String],
+      stats: Map[String, Seq[(String, Long, Long)]],
+      sstats: Map[String, Seq[(String, String, String)]],
+      rows: Map[String, Long],
+      expectDvs: Map[String, Seq[Long]]): Long = {
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val replacedSet = replaced.toSet
+    publishLoop(table, nonce, "publishReplace") { snapshot =>
+      require(snapshot.nonEmpty,
+        s"publishReplace on $table needs an existing snapshot")
+      val cur = manifestOf(table, snapshot.last)
+      require(replacedSet.subsetOf(cur.files.toSet),
+        s"concurrent rewrite removed a row-level-operation input of " +
+          s"$table — aborting rather than double-applying DML")
+      require(replaced.forall(f => cur.dvs.getOrElse(f, Seq.empty) ==
+          expectDvs.getOrElse(f, Seq.empty)),
+        s"concurrent DV landed on a row-level-operation input of " +
+          s"$table — aborting rather than resurrecting the rival's " +
+          "deletes")
+      val carried = cur.files.filterNot(replacedSet)
+      Right(cur.metaLinesFor(carried) ++
+        metaLines(staged, stats, rows, sstats = sstats) ++
+        carried ++ staged)
+    }
+  }
+
   private def metaLines(files: Seq[String], stats: Stats,
       rows: Map[String, Long], dvs: Dvs = noDvs,
       sstats: SStats = noSStats): Seq[String] =

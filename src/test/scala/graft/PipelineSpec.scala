@@ -1932,15 +1932,12 @@ class PipelineSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) AS n FROM gtest.$t WHERE k BETWEEN 5 AND 24")
       .as[Long].head() == 10L)
-    // unsupported DELETE shapes decline loudly instead of deleting a
-    // superset
-    val ex = intercept[Exception] {
-      spark.sql(s"DELETE FROM gtest.$t WHERE s = '30'")
-    }
-    assert(ex.getMessage.contains("DELETE") ||
-      ex.getMessage.contains("delete"), ex.getMessage)
+    // non-range DELETE shapes fall through to the group-based
+    // copy-on-write rewrite (SupportsRowLevelOperations) — arbitrary
+    // predicates delete correctly instead of declining
+    spark.sql(s"DELETE FROM gtest.$t WHERE s = '30'")
     assert(spark.sql(s"SELECT count(*) AS n FROM gtest.$t")
-      .as[Long].head() == 90L)
+      .as[Long].head() == 89L)
     // INSERT OVERWRITE = truncate + append in one atomic publish
     spark.sql(s"INSERT OVERWRITE gtest.$t " +
       "SELECT id AS k, 'ow' AS s FROM range(0, 7)")
@@ -1962,6 +1959,79 @@ class PipelineSpec extends SparkSpec {
     spark.sql(s"DROP TABLE gtest.$t2")
     spark.sql(s"DROP TABLE gtest.$t")
     assert(!Files.exists(java.nio.file.Paths.get(dir)))
+  }
+
+  test("SQL MERGE INTO / UPDATE: group-based copy-on-write through " +
+      "SupportsRowLevelOperations — the runtime group filter confines " +
+      "the rewrite to files holding matched rows; ranged DELETE still " +
+      "takes the DV metadata path") {
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("graft-rlo-root").toString
+    spark.conf.set("spark.sql.catalog.grlo",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grlo.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dir = s"$root/$t"
+    // two zone-disjoint files, 50 rows each
+    ManifestTable.commitWithStats(
+      spark.range(0, 50).select(col("id").as("k"),
+        (col("id") * 10).as("p")).coalesce(1),
+      dir, append = true, "k")
+    ManifestTable.commitWithStats(
+      spark.range(50, 100).select(col("id").as("k"),
+        (col("id") * 10).as("p")).coalesce(1),
+      dir, append = true, "k")
+    val srcV = "v_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // source: updates for keys 60..64 (file 2 only) + inserts 200..202
+    spark.range(60, 65).select(col("id").as("k"), lit(-1L).as("p"))
+      .unionByName(spark.range(200, 203)
+        .select(col("id").as("k"), lit(7L).as("p")))
+      .createOrReplaceTempView(srcV)
+    val before = ManifestTable.snapshotFor(dir, None).files.toSet
+    spark.sql(
+      s"""MERGE INTO grlo.$t tgt USING $srcV src ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET tgt.p = src.p
+         |WHEN NOT MATCHED THEN INSERT (k, p) VALUES (src.k, src.p)
+         |""".stripMargin)
+    val snap = ManifestTable.snapshotFor(dir, None)
+    // group filter: file 1 (keys 0..49) holds no matched key and must
+    // be carried BY REFERENCE — its physical file survives unchanged
+    val carried = snap.files.toSet intersect before
+    assert(carried.size == 1,
+      s"exactly the unmatched file must carry: before=$before " +
+        s"after=${snap.files}")
+    val after = ManifestTable.read(spark, dir)
+    assert(after.count() == 103L)
+    assert(after.filter(col("k").between(60, 64))
+      .agg(sum("p")).head().getLong(0) == -5L,
+      "matched rows must take the source payload")
+    assert(after.filter(col("k") >= 200).count() == 3L,
+      "unmatched source rows must insert")
+    assert(after.filter(col("k") === 10L).head().getLong(1) == 100L,
+      "carried rows must be untouched")
+    // zone stats survive the replacement: a pruned read still skips
+    val (_, total, scanned) = ManifestTable.readPruned(spark, dir,
+      "k", 0L, 5L)
+    assert(scanned < total, s"$scanned/$total")
+    // UPDATE through the same seam
+    spark.sql(s"UPDATE grlo.$t SET p = 0 WHERE k BETWEEN 0 AND 4")
+    val upd = ManifestTable.read(spark, dir)
+    assert(upd.filter(col("k") < 5).agg(sum("p")).head().getLong(0) == 0L)
+    assert(upd.count() == 103L)
+    assert(upd.filter(col("k") === 10L).head().getLong(1) == 100L)
+    // ranged DELETE still routes to the metadata/DV path (zero
+    // rewritten files) even though the table supports row-level ops
+    val preDel = ManifestTable.snapshotFor(dir, None).files.toSet
+    spark.sql(s"DELETE FROM grlo.$t WHERE k BETWEEN 70 AND 74")
+    val postDel = ManifestTable.snapshotFor(dir, None)
+    assert(postDel.files.toSet == preDel,
+      "ranged DELETE must stay DV-only under row-level ops")
+    assert(postDel.dvs.values.map(_.size).sum == 5)
+    assert(ManifestTable.read(spark, dir).count() == 98L)
+    // a non-range DELETE now rewrites copy-on-write instead of
+    // declining: arbitrary predicates work through the planner
+    spark.sql(s"DELETE FROM grlo.$t WHERE k % 2 = 1 AND k < 10")
+    assert(ManifestTable.read(spark, dir).count() == 93L)
   }
 
   test("CDC micro-batch stream: each committed version's added files " +
