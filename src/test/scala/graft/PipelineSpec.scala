@@ -2077,6 +2077,29 @@ class PipelineSpec extends SparkSpec {
       append = true)
     val got4 = drain(ckpt, "cdc_sink_4")
     assert(got4 == (31L to 33L).toSet, s"incremental top-up: $got4")
+    // the stream also composes with the SQL catalog:
+    // readStream.table("<catalog>.<table>") serves the same
+    // micro-batch source (startingVersion defaults to 0 = everything)
+    val root = Files.createTempDirectory("graft-cdc-cat").toString
+    spark.conf.set("spark.sql.catalog.gcdc",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcdc.root", root)
+    val ct = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    ManifestTable.commit((1L to 5L).toDF("k").coalesce(1),
+      s"$root/$ct", append = true)
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.table(s"gcdc.$ct")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdc-cat-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("k").as[Long].collect().foreach(acc.add); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(scala.jdk.CollectionConverters.CollectionHasAsScala(acc)
+      .asScala.toSet == (1L to 5L).toSet)
   }
 
   test("string-keyed MERGE: #sstats zones prune candidates (a batch " +
