@@ -2356,14 +2356,16 @@ object Approx {
     },
 
     // LAKEHOUSE CDC STREAM SOURCE (L29): readStream
-    // .format("graft-manifest").option("startingVersion", 1) — the
+    // .format("graft-manifest").option("startingVersion", 2) — the
     // Delta-CDF / Iceberg-incremental-read shape: offsets are
-    // manifest versions, each micro-batch is one version range's
-    // ADDED files, and because manifests are immutable a replay
-    // plans the identical batches. Three commits; the stream from
-    // startingVersion=1 delivers exactly v2+v3's rows (the oracle
-    // recomputes them from source parquet), and a second run on the
-    // SAME checkpoint delivers ZERO rows — the exactly-once proof.
+    // manifest versions (advancing ONE version per micro-batch, so
+    // pending versions never coalesce), each micro-batch is one
+    // version's ADDED files, and because manifests are immutable a
+    // replay plans the identical batches. Three commits; the stream
+    // from INCLUSIVE startingVersion=2 delivers exactly v2+v3's rows
+    // (the oracle recomputes them from source parquet), and a second
+    // run on the SAME checkpoint delivers ZERO rows — the
+    // exactly-once proof.
     Q("q_st_cdc_source",
       """SELECT CAST(count(*) AS BIGINT) AS cdc_rows,
         |  CAST(sum(o_orderkey) AS BIGINT) AS cdc_sum,
@@ -2384,7 +2386,7 @@ object Approx {
         val n = new java.util.concurrent.atomic.AtomicLong()
         val sumK = new java.util.concurrent.atomic.AtomicLong()
         val q = s.readStream.format("graft-manifest")
-          .option("path", table).option("startingVersion", "1")
+          .option("path", table).option("startingVersion", "2")
           .load()
           .writeStream
           .option("checkpointLocation", ckpt)
@@ -2405,6 +2407,260 @@ object Approx {
       val (rows2, _) = drain() // same checkpoint: nothing re-delivers
       s.range(1).select(lit(rows1).as("cdc_rows"),
         lit(sum1).as("cdc_sum"), lit(rows2).as("replay_rows"))
+    },
+
+    // LAKEHOUSE PLANNER STATISTICS (L33): the manifest DSv2 scan
+    // reports SupportsReportStatistics from the manifest's free
+    // metadata (file sizes + #nrows − |dv|), so Catalyst can decide
+    // broadcast-vs-shuffle for manifest joins at PLAN time — the
+    // Delta/Iceberg posture. Proof shape: with AQE off and the
+    // threshold between the two tables' reported sizes, the 25-row
+    // nation dim broadcasts BECAUSE of its reported bytes (the
+    // planned_broadcast flag pins the BroadcastHashJoin); values
+    // equal the oracle's join recompute.
+    Q("q_z_stats_join",
+      """SELECT CAST(1 AS BIGINT) AS planned_broadcast, n_name,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        |FROM (SELECT c_custkey, c_nationkey FROM customer
+        |  UNION ALL SELECT c_custkey, c_nationkey FROM customer
+        |  UNION ALL SELECT c_custkey, c_nationkey FROM customer
+        |  UNION ALL SELECT c_custkey, c_nationkey FROM customer) c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      val dimDir = java.nio.file.Files
+        .createTempDirectory("graft-stats-dim-q").toString
+      val factDir = java.nio.file.Files
+        .createTempDirectory("graft-stats-fact-q").toString
+      graft.sources.ManifestTable.commitWithStats(
+        t(s, d, "nation").select("n_nationkey", "n_name").coalesce(1),
+        dimDir, append = true, "n_nationkey")
+      val cust = t(s, d, "customer")
+        .select("c_custkey", "c_nationkey")
+      graft.sources.ManifestTable.commitWithStats(
+        cust.union(cust).union(cust).union(cust).coalesce(2),
+        factDir, append = true, "c_custkey")
+      val dim = s.read.format("graft-manifest")
+        .option("path", dimDir).load()
+      val fact = s.read.format("graft-manifest")
+        .option("path", factDir).load()
+      def joined = fact.join(dim,
+          fact("c_nationkey") === dim("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          sum("c_custkey").as("key_sum"))
+      // pin the PLAN-time decision: AQE off, threshold between the
+      // dim's (~2 KB) and the fact's (>64 KB) reported sizes — only
+      // the reported statistics can produce the broadcast here
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+      val prevTh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val flag =
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+          if (joined.queryExecution.executedPlan.toString
+              .contains("BroadcastHashJoin")) 1L
+          else 0L
+        } finally {
+          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevTh)
+        }
+      joined.select(lit(flag).as("planned_broadcast"), col("n_name"),
+          col("n_cust"), col("key_sum"))
+        .orderBy("n_name")
+    },
+
+    // LAKEHOUSE SQL DDL EVOLUTION (L34): ALTER TABLE ... ADD COLUMN
+    // through the GraftCatalog — the ADDITIVE half of
+    // catalog-declared schema evolution. CREATE → INSERT → ALTER ADD
+    // → INSERT → SELECT returns the union schema: pre-evolution rows
+    // NULL-fill the new column (the merged-footer read contract),
+    // post-evolution rows populate it, and the aggregate equals the
+    // oracle's recompute from source parquet.
+    Q("q_sql_alter_add",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(p) AS BIGINT) AS with_p,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(coalesce(sum(p), 0) AS BIGINT) AS p_sum
+        |FROM (
+        |  SELECT o_orderkey AS k, NULL AS p FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey AS k, o_custkey AS p FROM orders
+        |  WHERE o_orderkey % 2 = 1) u""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.catalog.g_mf",
+        "graft.sources.GraftCatalog")
+      val tbl = "t_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val view = "v_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE g_mf.$tbl (k BIGINT) " +
+        "USING `graft-manifest`")
+      s.sql(s"INSERT INTO g_mf.$tbl " +
+        s"SELECT o_orderkey FROM $view WHERE o_orderkey % 2 = 0")
+      s.sql(s"ALTER TABLE g_mf.$tbl ADD COLUMN p BIGINT")
+      s.sql(s"INSERT INTO g_mf.$tbl " +
+        s"SELECT o_orderkey, o_custkey FROM $view " +
+        "WHERE o_orderkey % 2 = 1")
+      s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(p) AS BIGINT) AS with_p, " +
+        "CAST(sum(k) AS BIGINT) AS key_sum, " +
+        s"CAST(coalesce(sum(p), 0) AS BIGINT) AS p_sum FROM g_mf.$tbl")
+    },
+
+    // LAKEHOUSE SQL MAINTENANCE (L35): OPTIMIZE / VACUUM / DESCRIBE
+    // HISTORY as SQL stored procedures (the DSv2 ProcedureCatalog
+    // seam): CALL g_mf.optimize compacts 4 zone-disjoint files into
+    // 1 through the SAME compact() seam as the Scala API (identical
+    // post-state), CALL g_mf.history counts the audit rows, CALL
+    // g_mf.vacuum(grace_ms => 0) reclaims exactly the 4 rewritten
+    // files, and the post-maintenance SQL read equals the oracle's
+    // recompute.
+    Q("q_sql_optimize",
+      """SELECT CAST(4 AS BIGINT) AS files_before,
+        |  CAST(1 AS BIGINT) AS files_after,
+        |  CAST(5 AS BIGINT) AS versions_in_history,
+        |  CAST(4 AS BIGINT) AS vacuumed_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.catalog.g_mf",
+        "graft.sources.GraftCatalog")
+      val tbl = "t_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-catalog-root",
+        tbl).toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      val keys = orders.agg(min("o_orderkey"), max("o_orderkey"))
+        .head()
+      val (kLo, kHi) = (keys.getLong(0), keys.getLong(1))
+      val q = math.max((kHi - kLo + 1) / 4, 1L)
+      val bounds = Seq((Long.MinValue, kLo + q),
+        (kLo + q, kLo + 2 * q), (kLo + 2 * q, kLo + 3 * q),
+        (kLo + 3 * q, Long.MaxValue))
+      for ((lo, hi) <- bounds) {
+        graft.sources.ManifestTable.commitWithStats(
+          orders.filter(col("o_orderkey") > lo &&
+            col("o_orderkey") <= hi).coalesce(1),
+          dir, append = true, "o_orderkey")
+      }
+      val opt = s.sql(s"CALL g_mf.optimize(table => '$tbl', " +
+        s"target_bytes => ${Long.MaxValue / 2})").head()
+      val hist = s.sql(s"CALL g_mf.history(table => '$tbl')").count()
+      val vac = s.sql(s"CALL g_mf.vacuum(table => '$tbl', " +
+        "keep_versions => 1, grace_ms => 0)").head()
+      s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
+          s"FROM g_mf.$tbl")
+        .select(lit(opt.getInt(1).toLong).as("files_before"),
+          lit(opt.getInt(2).toLong).as("files_after"),
+          lit(hist).as("versions_in_history"),
+          lit(vac.getInt(1).toLong).as("vacuumed_files"),
+          col("n_rows"), col("key_sum"))
+    },
+
+    // LAKEHOUSE PARTITIONED TABLES (L36): hive-style value
+    // partitioning on the manifest DSv2 write — each task splits its
+    // rows per partition tuple (one file per value under
+    // `col=value/` dirs) and records exact `#pval=` lines; the scan
+    // prunes partition predicates BEFORE zone stats, and zone stats
+    // still prune WITHIN partitions. Proof shape (pinned via RDD
+    // partition counts like q_z_dsv2_typed): 2 key-ranged commits ×
+    // 5 priorities = 10 files; priority equality keeps 2; adding the
+    // key range keeps 1. Values equal the oracle's recompute.
+    Q("q_z_partitioned",
+      """WITH b AS (SELECT min(o_orderkey) AS lo,
+        |    max(o_orderkey) AS hi FROM orders)
+        |SELECT CAST(10 AS BIGINT) AS files_total,
+        |  CAST(2 AS BIGINT) AS parts_eq,
+        |  CAST(1 AS BIGINT) AS parts_eq_range,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders, b
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderkey <= b.lo + (b.hi - b.lo) // 4""".stripMargin) {
+      (s, d) =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-part-q").toString
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      val b = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+      val (kLo, kHi) = (b.getLong(0), b.getLong(1))
+      val mid = kLo + (kHi - kLo) / 2
+      val cut = kLo + (kHi - kLo) / 4
+      for (lower <- Seq(true, false)) {
+        orders.filter(if (lower) col("o_orderkey") <= mid
+            else col("o_orderkey") > mid)
+          .coalesce(1)
+          .write.format("graft-manifest").option("path", table)
+          .option("partitionColumns", "o_orderpriority")
+          .option("statsColumns", "o_orderkey")
+          .mode("append").save()
+      }
+      val df = s.read.format("graft-manifest")
+        .option("path", table).load()
+      val total = df.rdd.getNumPartitions
+      val eq = df.filter(col("o_orderpriority") === "1-URGENT")
+      val partsEq = eq.rdd.getNumPartitions
+      val slice = eq.filter(col("o_orderkey") <= cut)
+      val partsBoth = slice.rdd.getNumPartitions
+      slice.agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"))
+        .select(lit(total.toLong).as("files_total"),
+          lit(partsEq.toLong).as("parts_eq"),
+          lit(partsBoth.toLong).as("parts_eq_range"),
+          col("n_rows"), col("key_sum"))
+    },
+
+    // LAKEHOUSE STREAMING SINK (ST9): writeStream
+    // .format("graft-manifest") — the DSv2 StreamingWrite: each
+    // epoch commits ONE tagged manifest version
+    // (`stream:<queryId>:<epochId>`), so a checkpoint replay of an
+    // already-committed epoch short-circuits instead of
+    // double-appending — the ST7 exactly-once discipline at the SQL
+    // surface, composed end-to-end with the CDC source
+    // (manifest → stream → manifest). The oracle recomputes the
+    // delivered rows; replay_versions pins the no-double-commit.
+    Q("q_st_dsv2_sink",
+      """SELECT CAST(count(*) AS BIGINT) AS sink_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sink_sum,
+        |  CAST(0 AS BIGINT) AS replay_versions
+        |FROM orders""".stripMargin) { (s, d) =>
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft-ss-src-q").toString
+      val sinkDir = java.nio.file.Files
+        .createTempDirectory("graft-ss-sink-q").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-ss-ck-q").toString
+      val orders = t(s, d, "orders").select("o_orderkey")
+      for (m <- 0 to 1) {
+        graft.sources.ManifestTable.commit(
+          orders.filter(col("o_orderkey") % 2 === m).coalesce(1),
+          srcDir, append = true)
+      }
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-manifest")
+          .option("path", srcDir).load()
+          .writeStream.format("graft-manifest")
+          .option("path", sinkDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      val v1 = graft.sources.ManifestTable.versions(sinkDir).size
+      drain() // same checkpoint: no new versions, no new rows
+      val v2 = graft.sources.ManifestTable.versions(sinkDir).size
+      s.read.format("graft-manifest").option("path", sinkDir).load()
+        .agg(count(lit(1)).as("sink_rows"),
+          sum("o_orderkey").as("sink_sum"))
+        .select(col("sink_rows"), col("sink_sum"),
+          lit((v2 - v1).toLong).as("replay_versions"))
     },
 
     // LAYOUT: schema evolution ACROSS manifest commits (S16 × L5) —

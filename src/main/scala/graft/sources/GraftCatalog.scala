@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import scala.jdk.CollectionConverters._
 import scala.util.Using
@@ -42,12 +42,17 @@ import scala.util.Using
   * Identifiers are single-level (`graft.t`); namespaces map to
   * subdirectories (`graft.ns.t` → `/warehouse/ns/t`). Schemas are
   * DATA-derived (the by-name union of the live files' footers —
-  * [[ManifestV2.schemaFor]]); a CREATE TABLE's declared column list
-  * is honored for the pre-first-insert table object but the manifest
-  * remains the source of truth once data lands (ACCEPT_ANY_SCHEMA —
-  * the read side owns evolution). `ALTER`/`RENAME` are loud
-  * unsupported (rename would invalidate snapshot paths). */
-class GraftCatalog extends TableCatalog {
+  * [[ManifestV2.schemaFor]]) unioned with marker-DECLARED columns no
+  * file carries yet; a CREATE TABLE's declared column list is
+  * honored for the pre-first-insert table object but the manifest
+  * remains the source of truth once data lands for the columns it
+  * covers. `ALTER TABLE ... ADD COLUMN` (additive, nullable,
+  * top-level) widens the declared schema — pre-evolution files read
+  * the new column as NULL; every other ALTER and `RENAME` is loud
+  * unsupported (they would rewrite history the immutable manifests
+  * still reference). */
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var root: Path = _
@@ -94,27 +99,66 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
+  // marker format: line 1 = declared schema JSON; optional
+  // `partition=a,b` line = declared partition columns
+  private def declaredSchema(dir: Path): StructType = {
+    val marker = dir.resolve("_graft_table")
+    if (!Files.exists(marker)) return StructType(Seq.empty)
+    val txt = Files.readString(marker)
+    txt.linesIterator.find(_.trim.startsWith("{"))
+      .map(l => org.apache.spark.sql.types.DataType.fromJson(l.trim)
+        .asInstanceOf[StructType])
+      .getOrElse(StructType(Seq.empty))
+  }
+
+  private def declaredPartCols(dir: Path): Option[Seq[String]] = {
+    val marker = dir.resolve("_graft_table")
+    if (!Files.exists(marker)) return None
+    Files.readString(marker).linesIterator
+      .find(_.startsWith("partition="))
+      .map(_.drop("partition=".length).split(',')
+        .map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+  }
+
+  private def writeMarker(dir: Path, schema: StructType,
+      partCols: Option[Seq[String]]): Unit = {
+    Files.writeString(dir.resolve("_graft_table"),
+      schema.json + "\n" +
+        partCols.filter(_.nonEmpty)
+          .map(cs => s"partition=${cs.mkString(",")}\n")
+          .getOrElse(""))
+    ()
+  }
+
   private def load(ident: Identifier,
       version: Option[Long]): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident)
     val opts = ManifestV2Options(dir.toString, version)
-    // data-derived schema once a snapshot exists; the CREATE TABLE
-    // declaration (persisted in the marker) carries the
-    // pre-first-insert table so INSERT INTO can resolve its columns
+    // data-derived schema once a snapshot exists, UNIONED with any
+    // marker-declared columns no data file carries yet (the ALTER
+    // TABLE ADD COLUMN case — reads NULL-fill them through the
+    // merged-footer evolution path, writes validate against the
+    // widened schema). The CREATE TABLE declaration alone carries
+    // the pre-first-insert table so INSERT INTO can resolve its
+    // columns. A VERSION AS OF read stays purely data-derived: time
+    // travel shows the snapshot as committed, not today's declared
+    // widening.
     val schema =
-      if (ManifestTable.versions(dir.toString).nonEmpty ||
-          version.isDefined)
-        ManifestV2.schemaFor(opts)
+      if (version.isDefined) ManifestV2.schemaFor(opts)
       else {
-        val marker = dir.resolve("_graft_table")
-        val txt = Files.readString(marker).trim
-        if (txt.startsWith("{"))
-          org.apache.spark.sql.types.DataType.fromJson(txt)
-            .asInstanceOf[StructType]
-        else StructType(Seq.empty)
+        val fromData =
+          if (ManifestTable.versions(dir.toString).nonEmpty)
+            ManifestV2.schemaFor(opts)
+          else StructType(Seq.empty)
+        val known = fromData.fieldNames.toSet
+        declaredSchema(dir).fields
+          .filterNot(f => known.contains(f.name))
+          .foldLeft(fromData)(_ add _)
       }
-    new ManifestV2Table(schema, opts)
+    new ManifestV2Table(schema, opts,
+      declaredPartCols = declaredPartCols(dir))
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -127,24 +171,72 @@ class GraftCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-manifest tables take no PARTITIONED BY — layout is " +
-        "owned by OPTIMIZE (plain or clustered)")
+    // PARTITIONED BY (col, ...): identity transforms over declared
+    // columns — hive-style value partitioning; every INSERT splits
+    // its rows per partition tuple and records exact `#pval=` lines
+    // the scan prunes on BEFORE zone stats
+    val partCols = partitions.toSeq.map(ManifestV2Table.identityCol)
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"PARTITIONED BY column $c is not in the declared schema"))
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = dirOf(ident)
     Files.createDirectories(dir)
     // the marker records table existence AND the declared schema, so
     // the first INSERT INTO resolves its columns before any data
-    Files.writeString(dir.resolve("_graft_table"), schema.json + "\n")
+    writeMarker(dir, schema, Some(partCols))
     new ManifestV2Table(schema,
-      ManifestV2Options(dir.toString, None))
+      ManifestV2Options(dir.toString, None),
+      declaredPartCols = if (partCols.isEmpty) None
+        else Some(partCols))
   }
 
+  /** `ALTER TABLE ... ADD COLUMN` — the ADDITIVE half of
+    * catalog-declared schema evolution: the widened schema lands in
+    * the marker file; reads NULL-fill the new column for
+    * pre-evolution files (the merged-footer evolution contract the
+    * read side already honors) and subsequent INSERTs validate
+    * against — and may populate — it. Everything non-additive
+    * (drop/rename/retype/reposition) stays loud-unsupported: those
+    * would rewrite history the immutable manifests still reference.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — the manifest's " +
-        "read side owns schema evolution (append evolving data)")
+      changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    val current = loadTable(ident).asInstanceOf[ManifestV2Table]
+    var schema = current.schema()
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft catalog: ADD COLUMN supports top-level columns " +
+            "only (manifest tables are flat relational)")
+        val name = add.fieldNames.head
+        require(!schema.fieldNames.contains(name),
+          s"graft catalog: column $name already exists")
+        require(add.isNullable,
+          "graft catalog: added columns must be nullable — " +
+            "pre-evolution rows read them as NULL")
+        require(add.position == null,
+          "graft catalog: ADD COLUMN takes no position — new " +
+            "columns append (the by-name read contract makes order " +
+            "cosmetic)")
+        // loud on nested/unsupported types, same gate as the writer
+        ManifestParquet.messageTypeOf(
+          StructType(Seq(StructField(name, add.dataType))))
+        schema = schema.add(StructField(name, add.dataType,
+          nullable = true))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft catalog: only ADD COLUMN is supported " +
+            s"(got ${other.getClass.getSimpleName}) — non-additive " +
+            "changes would rewrite history the immutable manifests " +
+            "still reference")
+    }
+    writeMarker(dir, schema, declaredPartCols(dir))
+    new ManifestV2Table(schema,
+      ManifestV2Options(dir.toString, None),
+      declaredPartCols = declaredPartCols(dir))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
@@ -161,4 +253,160 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "graft catalog: RENAME would invalidate the snapshot paths " +
         "inside published manifests")
+
+  /** Directory of a table named INSIDE a procedure argument
+    * (`'t'` or `'ns.t'`) — same identifier hygiene as SQL access. */
+  private[sources] def tableDirOf(name: String): Path = {
+    val parts = name.split('.')
+    val ident = Identifier.of(parts.dropRight(1), parts.last)
+    require(tableExists(ident),
+      s"graft catalog: no such table $name under $root")
+    dirOf(ident)
+  }
+
+  // ---- SQL maintenance surface (ProcedureCatalog): -----------------
+  //   CALL graft.optimize(table => 't' [, target_bytes, cluster_by,
+  //     bits])       — plain or Hilbert-clustered compaction
+  //   CALL graft.vacuum(table => 't' [, keep_versions, grace_ms])
+  //   CALL graft.history(table => 't')   — DESCRIBE HISTORY shape
+  // The SQL face of the Scala maintenance API (compact /
+  // compactClustered / vacuum / history) — same seams, so post-state
+  // is identical whichever surface ran the job.
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      GraftProcedures.names.map(n =>
+        Identifier.of(Array.empty[String], n))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    require(ident.namespace.isEmpty,
+      s"graft catalog: procedures live at the catalog root " +
+        s"(got namespace ${ident.namespace.mkString(".")})")
+    GraftProcedures.load(this, ident.name)
+  }
+}
+
+/** The catalog's maintenance procedures. Each is bound trivially
+  * (parameters are scalars; Spark aligns positional/named args and
+  * fills declared defaults) and returns ONE LocalScan of result rows
+  * — the DSv2 procedure contract. Side-effecting, so
+  * `isDeterministic = false` keeps the planner from caching a CALL.
+  */
+private[sources] object GraftProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val names: Array[String] = Array("optimize", "vacuum", "history")
+
+  def load(cat: GraftCatalog, name: String): UnboundProcedure =
+    name match {
+      case "optimize" => new Optimize(cat)
+      case "vacuum" => new Vacuum(cat)
+      case "history" => new History(cat)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: no procedure $other " +
+          s"(have ${names.mkString(", ")})")
+    }
+
+  private abstract class P(pname: String) extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = pname
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    protected def result(schema: StructType,
+        data: Array[InternalRow]): java.util.Iterator[Scan] =
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = data
+        override def readSchema(): StructType = schema
+        override def description(): String =
+          s"graft.$pname result"
+      }).iterator()
+  }
+
+  private def p(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+  private def pd(n: String, dt: DataType,
+      default: String): ProcedureParameter =
+    ProcedureParameter.in(n, dt).defaultValue(default).build()
+
+  /** `CALL graft.optimize(table => 't')` — plain bin-packing
+    * compaction; pass `cluster_by => 'a,b'` for the Hilbert-clustered
+    * rewrite (the Scala `compactClustered` seam). Returns the
+    * published version and before/after file counts — the same triple
+    * the Scala API hands back. */
+  private final class Optimize(cat: GraftCatalog)
+      extends P("optimize") {
+    override def description(): String =
+      "compact a manifest table (optionally Hilbert-clustered)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      pd("target_bytes", LongType, "134217728"),
+      pd("cluster_by", StringType, "''"),
+      pd("bits", IntegerType, "12"))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = cat.tableDirOf(input.getUTF8String(0).toString).toString
+      val spark = org.apache.spark.sql.SparkSession.active
+      val targetBytes = input.getLong(1)
+      val clusterBy = input.getUTF8String(2).toString.split(',')
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      val (v, before, after) =
+        if (clusterBy.isEmpty)
+          ManifestTable.compact(spark, dir, targetBytes)
+        else ManifestTable.compactClustered(spark, dir, targetBytes,
+          clusterBy, input.getInt(3))
+      result(
+        StructType(Seq(StructField("version", LongType),
+          StructField("files_before", IntegerType),
+          StructField("files_after", IntegerType))),
+        Array(new GenericInternalRow(Array[Any](v, before, after))))
+    }
+  }
+
+  /** `CALL graft.vacuum(table => 't', keep_versions => 3)` — the
+    * retention sweep; `grace_ms` is the in-flight-writer guard
+    * (default 20 min — pass 0 only when no writer can be racing). */
+  private final class Vacuum(cat: GraftCatalog) extends P("vacuum") {
+    override def description(): String =
+      "delete data files unreferenced by the newest keep_versions " +
+        "manifests"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      p("table", StringType),
+      pd("keep_versions", IntegerType, "1"),
+      pd("grace_ms", LongType, (20L * 60L * 1000L).toString))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = cat.tableDirOf(input.getUTF8String(0).toString).toString
+      val (live, deleted) = ManifestTable.vacuum(dir,
+        input.getInt(1), input.getLong(2))
+      result(
+        StructType(Seq(StructField("live_files", IntegerType),
+          StructField("deleted_files", IntegerType))),
+        Array(new GenericInternalRow(Array[Any](live, deleted))))
+    }
+  }
+
+  /** `CALL graft.history(table => 't')` — DESCRIBE HISTORY: one
+    * metadata-only row per live version (version, file count, exact
+    * live row count or −1, DV positions, idempotence tag). */
+  private final class History(cat: GraftCatalog) extends P("history") {
+    override def description(): String =
+      "one audit row per live version of a manifest table"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(p("table", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = cat.tableDirOf(input.getUTF8String(0).toString).toString
+      val df = ManifestTable.history(
+        org.apache.spark.sql.SparkSession.active, dir)
+      result(df.schema,
+        df.queryExecution.executedPlan.executeCollect()
+          .map(_.copy(): InternalRow))
+    }
+  }
 }

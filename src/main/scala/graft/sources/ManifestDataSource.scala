@@ -70,16 +70,42 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new ManifestV2Table(schema,
-      ManifestV2Options(new CaseInsensitiveStringMap(properties)),
-      acceptAnySchema = true)
+      properties: util.Map[String, String]): Table = {
+    val opts = ManifestV2Options(
+      new CaseInsensitiveStringMap(properties))
+    // partition columns: explicit transforms (writeTo.partitionedBy)
+    // win; else the `partitionColumns` option; else inherited from
+    // the current snapshot's pvals (appends keep a partitioned
+    // table partitioned without restating the spec)
+    val declared =
+      if (partitioning.nonEmpty)
+        Some(partitioning.toSeq.map(ManifestV2Table.identityCol))
+      else Option(properties.get("partitionColumns"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+    new ManifestV2Table(schema, opts, acceptAnySchema = true,
+      declaredPartCols = declared)
+  }
+}
+
+private[sources] object ManifestV2Table {
+  /** The one transform shape manifest tables support: identity over
+    * a top-level column (hive-style value partitioning). */
+  def identityCol(t: Transform): String = {
+    require(t.name == "identity" && t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1,
+      s"graft-manifest supports identity partition transforms over " +
+        s"top-level columns only; got $t")
+    t.references.head.fieldNames.head
+  }
 }
 
 /** Table options (serializable — shipped to tasks). `dvMaxFraction`
   * tunes SQL DELETE's merge-on-read crossover (see
   * [[ManifestTable.deleteRangeDv]]); `startingVersion` is the CDC
-  * stream's exclusive lower bound (default 0 = everything). */
+  * stream's INCLUSIVE lower bound (the Delta CDF convention:
+  * `startingVersion = v` delivers v's own files onward; default 0 =
+  * everything). */
 final case class ManifestV2Options(path: String, version: Option[Long],
     dvMaxFraction: Double = 0.5, startingVersion: Long = 0L)
     extends Serializable
@@ -103,11 +129,13 @@ object ManifestV2 {
       rows: Option[Long]) extends Serializable
 
   /** One RESOLVED snapshot, pinned for the life of a scan: version,
-    * live files, and per-RELATIVE-path zone stats (integer `#stats=`
-    * and string `#sstats=` lines). */
+    * live files, per-RELATIVE-path zone stats (integer `#stats=`
+    * and string `#sstats=` lines), and per-file partition values
+    * (`#pval=` lines — exact, pruned BEFORE zone stats). */
   final case class Pinned(version: Long, slices: Seq[FileSlice],
       stats: Map[String, Seq[(String, Long, Long)]],
-      sstats: Map[String, Seq[(String, String, String)]])
+      sstats: Map[String, Seq[(String, String, String)]],
+      pvals: Map[String, Seq[(String, String)]])
 
   /** Resolve the snapshot ONCE — callers hold the result so every
     * subsequent planning/execution step sees the same version. */
@@ -123,8 +151,21 @@ object ManifestV2 {
       snap.files.map(f =>
         f -> snap.stats.getOrElse(f, Seq.empty)).toMap,
       snap.files.map(f =>
-        f -> snap.sstats.getOrElse(f, Seq.empty)).toMap)
+        f -> snap.sstats.getOrElse(f, Seq.empty)).toMap,
+      snap.files.map(f =>
+        f -> snap.pvals.getOrElse(f, Seq.empty)).toMap)
   }
+
+  /** The partition columns a SNAPSHOT actually carries: the columns
+    * EVERY live file records a `#pval=` line for (files without
+    * pvals — unpartitioned commits, cross-partition rewrites — make
+    * the table effectively unpartitioned for planning purposes;
+    * per-file pvals still prune whatever carries them). */
+  def partitionColsOf(pinned: Pinned): Seq[String] =
+    if (pinned.slices.isEmpty) Seq.empty
+    else pinned.pvals.values
+      .map(_.map(_._1).toSet)
+      .reduce(_ intersect _).toSeq.sorted
 
   private def footerSchema(path: String): StructType = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -153,6 +194,12 @@ object ManifestV2 {
               s"graft-manifest reads MICROS timestamps; column " +
                 s"${f.getName} is ${t.getUnit}")
             TimestampType
+          // Spark's parquet writer defaults to INT96 timestamps
+          // (spark.sql.parquet.outputTimestampType=INT96), which is
+          // what the Scala-path commits stage via df.write.parquet —
+          // the DSv2 reader decodes both encodings so the two write
+          // surfaces stay interchangeable on one table
+          case INT96   => TimestampType
           case INT64   => LongType
           case INT32
               if ann.isInstanceOf[LogicalTypeAnnotation
@@ -228,7 +275,8 @@ private[sources] object GraftFileColumn
   * evolution is the Scala API's job (append evolving data through
   * the path-based writer). */
 class ManifestV2Table(schema: StructType, opts: ManifestV2Options,
-    acceptAnySchema: Boolean = false)
+    acceptAnySchema: Boolean = false,
+    declaredPartCols: Option[Seq[String]] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with SupportsDelete
@@ -255,6 +303,21 @@ class ManifestV2Table(schema: StructType, opts: ManifestV2Options,
     () => new ManifestRowLevelOperation(info.command(), opts)
   override def name(): String = s"graft-manifest:${opts.path}"
   override def schema(): StructType = schema
+
+  /** Effective partition columns: declared (catalog PARTITIONED BY /
+    * `partitionColumns` option / writeTo transforms) or derived from
+    * the current snapshot's pvals — an append to an
+    * already-partitioned table inherits the layout. */
+  private[sources] lazy val partCols: Seq[String] =
+    declaredPartCols.getOrElse {
+      if (ManifestTable.versions(opts.path).isEmpty) Seq.empty
+      else ManifestV2.partitionColsOf(
+        ManifestV2.resolvePinned(ManifestV2Options(opts.path, None)))
+    }
+
+  override def partitioning(): Array[Transform] =
+    partCols.map(c => org.apache.spark.sql.connector.expressions
+      .Expressions.identity(c)).toArray
   // ACCEPT_ANY_SCHEMA: the manifest's READ side owns schema
   // evolution (by-name union of live footers, late columns NULL,
   // same-name type drift loud at read) — validating appends against
@@ -264,7 +327,8 @@ class ManifestV2Table(schema: StructType, opts: ManifestV2Options,
   override def capabilities(): util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
     if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
@@ -277,7 +341,11 @@ class ManifestV2Table(schema: StructType, opts: ManifestV2Options,
     new ManifestWriteBuilder(info.schema(), opts,
       Option(info.options.get("statsColumns"))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      Option(info.options.get("partitionColumns"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(partCols),
+      info.queryId())
 
   /** SQL DELETE seam: supported exactly when the WHERE clause is a
     * conjunctive RANGE on ONE int64-prunable column (integer, date,
@@ -288,16 +356,16 @@ class ManifestV2Table(schema: StructType, opts: ManifestV2Options,
   private def deleteRangeOf(filters: Array[Filter])
       : Option[(String, Long, Long)] = {
     if (filters.isEmpty) return None
-    // every filter must translate — a residual filter would make the
-    // merged range a SUPERSET of the true predicate
-    if (!filters.forall(f =>
-        ManifestScan.longRangesOf(Seq(f), schema).nonEmpty))
-      return None
-    val merged = ManifestScan.longRangesOf(filters.toSeq, schema)
-    if (merged.size != 1) None
-    else {
-      val (c, (lo, hi)) = merged.head
-      Some((c, lo, hi))
+    // TOTAL translation — every filter AND every conjunct inside an
+    // And must translate, else the merged range is a SUPERSET of the
+    // true predicate and deleteWhere would delete rows the WHERE
+    // never matched (the lossy longRangesOf drops untranslatable
+    // conjuncts, which is safe for pruning but never for acting)
+    ManifestScan.longRangesTotal(filters.toSeq, schema) match {
+      case Some(m) if m.size == 1 =>
+        val (c, (lo, hi)) = m.head
+        Some((c, lo, hi))
+      case _ => None
     }
   }
 
@@ -335,13 +403,17 @@ class ManifestScanBuilder(fullSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (countOnly.isEmpty) required = requiredSchema
 
-  /** Filters usable for ZONE pruning are remembered (and surfaced in
-    * explain); ALL filters are returned residual — Spark re-applies
-    * them row-level, so the zones only ever skip, never filter. */
+  /** Filters usable for ZONE/partition pruning are remembered (and
+    * surfaced in explain): ranges, equalities, and IN sets on
+    * prunable columns. ALL filters are returned residual — Spark
+    * re-applies them row-level, so the zones only ever skip, never
+    * filter. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f =>
       ManifestScan.longRangesOf(Seq(f), fullSchema).nonEmpty ||
-        ManifestScan.strRangesOf(Seq(f), fullSchema).nonEmpty)
+        ManifestScan.strRangesOf(Seq(f), fullSchema).nonEmpty ||
+        ManifestScan.longInSetsOf(Seq(f), fullSchema).nonEmpty ||
+        ManifestScan.strInSetsOf(Seq(f), fullSchema).nonEmpty)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -448,6 +520,34 @@ object ManifestScan {
     }.toMap
   }
 
+  /** TOTAL variant of [[longRangesOf]]: Some only when EVERY filter
+    * — and every conjunct inside an And — translates to an int64
+    * range. [[longRangesOf]] is lossy BY DESIGN (a dropped conjunct
+    * just skips fewer files, which is safe for pruning); consumers
+    * that ACT on the ranges (SQL DELETE via `deleteWhere`) need the
+    * total form, where a dropped conjunct would silently widen the
+    * predicate into a superset delete. */
+  def longRangesTotal(filters: Seq[Filter], schema: StructType)
+      : Option[Map[String, (Long, Long)]] = {
+    def intersect(a: Map[String, (Long, Long)],
+        b: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
+      (a.keySet ++ b.keySet).map { c =>
+        val (alo, ahi) = a.getOrElse(c, (Long.MinValue, Long.MaxValue))
+        val (blo, bhi) = b.getOrElse(c, (Long.MinValue, Long.MaxValue))
+        c -> (math.max(alo, blo), math.min(ahi, bhi))
+      }.toMap
+    def one(f: Filter): Option[Map[String, (Long, Long)]] = f match {
+      case And(l, r) =>
+        for { a <- one(l); b <- one(r) } yield intersect(a, b)
+      case leaf =>
+        val m = longRangesOf(Seq(leaf), schema)
+        if (m.nonEmpty) Some(m) else None
+    }
+    filters.foldLeft(Option(Map.empty[String, (Long, Long)])) {
+      (acc, f) => for { a <- acc; b <- one(f) } yield intersect(a, b)
+    }
+  }
+
   /** STRING bounds per pushed filter (kept as a LIST of conjuncts —
     * a file must survive every one, which is exactly as strong as
     * intersecting them first). Compared unsigned byte-wise against
@@ -479,6 +579,55 @@ object ManifestScan {
     }
   }
 
+  /** IN-set predicates per column (long encodings): several In
+    * filters on one column intersect conjunctively. A filter whose
+    * value list fails total translation contributes nothing (it just
+    * doesn't prune). Used against zones AND partition values: a file
+    * survives In(c, vs) iff some v lies inside its [min, max]. */
+  def longInSetsOf(filters: Seq[Filter], schema: StructType)
+      : Map[String, Set[Long]] = {
+    val sets = filters.flatMap {
+      case In(a, values) if values.nonEmpty =>
+        val enc = values.toSeq.map(v => literalLong(schema, a, v))
+        if (enc.forall(_.isDefined))
+          Seq(a -> enc.flatten.toSet)
+        else Seq.empty
+      case And(l, r) =>
+        longInSetsOf(Seq(l), schema).toSeq ++
+          longInSetsOf(Seq(r), schema).toSeq
+      case _ => Seq.empty
+    }
+    sets.groupBy(_._1).view
+      .mapValues(_.map(_._2).reduce(_ intersect _)).toMap
+  }
+
+  /** IN-set predicates per STRING column, values as the `#sstats=`/
+    * `#pval=` hex encoding. */
+  def strInSetsOf(filters: Seq[Filter], schema: StructType)
+      : Map[String, Set[String]] = {
+    def strCol(a: String): Boolean =
+      schema.fields.exists(f =>
+        f.name == a && f.dataType == StringType)
+    def hexOf(v: Any): Option[String] = v match {
+      case s: String => Some(StrStat.hex(StrStat.bytesOf(s)))
+      case u: UTF8String => Some(StrStat.hex(u.getBytes.clone()))
+      case _ => None
+    }
+    val sets = filters.flatMap {
+      case In(a, values) if values.nonEmpty && strCol(a) =>
+        val enc = values.toSeq.map(hexOf)
+        if (enc.forall(_.isDefined))
+          Seq(a -> enc.flatten.toSet)
+        else Seq.empty
+      case And(l, r) =>
+        strInSetsOf(Seq(l), schema).toSeq ++
+          strInSetsOf(Seq(r), schema).toSeq
+      case _ => Seq.empty
+    }
+    sets.groupBy(_._1).view
+      .mapValues(_.map(_._2).reduce(_ intersect _)).toMap
+  }
+
   /** Does a file survive the pushed predicates, given its zone
     * lines? Absent lines always survive (skipping is an
     * optimization, never a filter); a file KNOWN empty skips
@@ -488,30 +637,79 @@ object ManifestScan {
       sLines: Seq[(String, String, String)],
       longRanges: Map[String, (Long, Long)],
       strRanges: Seq[(String, StrRange)]): Boolean =
-    !rows.contains(0L) &&
-      longRanges.forall { case (c, (lo, hi)) =>
-        lines.find(_._1 == c)
-          .forall { case (_, mn, mx) => mx >= lo && mn <= hi }
-      } &&
-      strRanges.forall { case (c, r) =>
-        sLines.find(_._1 == c).forall { case (_, mnH, mxH) =>
-          val mn = StrStat.unhex(mnH)
-          val mx = StrStat.unhex(mxH)
-          r.lo.forall { l =>
-            val d = StrStat.cmp(mx, l)
-            d > 0 || (d == 0 && r.loInc)
-          } && r.hi.forall { h =>
-            val d = StrStat.cmp(mn, h)
-            d < 0 || (d == 0 && r.hiInc)
-          }
+    survivesAll(rows, lines, sLines, Seq.empty, longRanges,
+      strRanges, Map.empty, Map.empty)
+
+  /** Full pruning check: zone lines, PARTITION VALUES (exact — a
+    * pval acts as a degenerate [v, v] zone and is checked FIRST by
+    * prepending; a NULL partition value prunes under any predicate
+    * on that column, since Eq/range/In never match NULL), and IN
+    * sets. */
+  def survivesAll(rows: Option[Long],
+      lines: Seq[(String, Long, Long)],
+      sLines: Seq[(String, String, String)],
+      pvals: Seq[(String, String)],
+      longRanges: Map[String, (Long, Long)],
+      strRanges: Seq[(String, StrRange)],
+      inLongs: Map[String, Set[Long]],
+      inStrs: Map[String, Set[String]]): Boolean = {
+    if (rows.contains(0L)) return false
+    def constrained(c: String): Boolean =
+      longRanges.contains(c) || strRanges.exists(_._1 == c) ||
+        inLongs.contains(c) || inStrs.contains(c)
+    // NULL partition value: no Eq/range/In predicate can match it
+    if (pvals.exists { case (c, enc) => enc == "N" && constrained(c) })
+      return false
+    // exact partition values prepend as degenerate zones
+    val effLines = pvals.collect {
+      case (c, enc) if enc.startsWith("L:") =>
+        val v = enc.drop(2).toLong
+        (c, v, v)
+    } ++ lines
+    val effSLines = pvals.collect {
+      case (c, enc) if enc.startsWith("S:") =>
+        val h = enc.drop(2)
+        (c, h, h)
+    } ++ sLines
+    longRanges.forall { case (c, (lo, hi)) =>
+      effLines.find(_._1 == c)
+        .forall { case (_, mn, mx) => mx >= lo && mn <= hi }
+    } &&
+    strRanges.forall { case (c, r) =>
+      effSLines.find(_._1 == c).forall { case (_, mnH, mxH) =>
+        val mn = StrStat.unhex(mnH)
+        val mx = StrStat.unhex(mxH)
+        r.lo.forall { l =>
+          val d = StrStat.cmp(mx, l)
+          d > 0 || (d == 0 && r.loInc)
+        } && r.hi.forall { h =>
+          val d = StrStat.cmp(mn, h)
+          d < 0 || (d == 0 && r.hiInc)
         }
       }
+    } &&
+    inLongs.forall { case (c, set) =>
+      effLines.find(_._1 == c).forall { case (_, mn, mx) =>
+        set.exists(v => v >= mn && v <= mx)
+      }
+    } &&
+    inStrs.forall { case (c, set) =>
+      effSLines.find(_._1 == c).forall { case (_, mnH, mxH) =>
+        val mn = StrStat.unhex(mnH)
+        val mx = StrStat.unhex(mxH)
+        set.exists { h =>
+          val v = StrStat.unhex(h)
+          StrStat.cmp(mn, v) <= 0 && StrStat.cmp(v, mx) <= 0
+        }
+      }
+    }
+  }
 }
 
 class ManifestScan(required: StructType, pushed: Array[Filter],
     countOnly: Option[Long], opts: ManifestV2Options,
     pinnedF: () => ManifestV2.Pinned, fullSchema: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   private lazy val pinned = pinnedF()
 
@@ -521,6 +719,61 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
   }
 
   override def toBatch: Batch = this
+
+  /** The files that survive zone pruning under the pushed filters —
+    * shared by partition planning AND statistics reporting, so the
+    * planner's size estimate reflects the PRUNED scan, not the whole
+    * table. */
+  private lazy val surviving: Seq[ManifestV2.FileSlice] = {
+    val root = java.nio.file.Paths.get(opts.path)
+    val longRanges = ManifestScan.longRangesOf(pushed.toSeq, fullSchema)
+    val strRanges = ManifestScan.strRangesOf(pushed.toSeq, fullSchema)
+    val inLongs = ManifestScan.longInSetsOf(pushed.toSeq, fullSchema)
+    val inStrs = ManifestScan.strInSetsOf(pushed.toSeq, fullSchema)
+    pinned.slices.filter { s =>
+      val rel = root.relativize(
+        java.nio.file.Paths.get(s.path)).toString
+      ManifestScan.survivesAll(s.rows,
+        pinned.stats.getOrElse(rel, Seq.empty),
+        pinned.sstats.getOrElse(rel, Seq.empty),
+        pinned.pvals.getOrElse(rel, Seq.empty),
+        longRanges, strRanges, inLongs, inStrs)
+    }
+  }
+
+  /** Planner statistics from the manifest's free metadata, at zero
+    * extra I/O: sizeInBytes = the surviving files' on-disk bytes,
+    * numRows = their `#nrows=` counts minus deletion-vector
+    * cardinalities (exact when every surviving file is counted,
+    * absent otherwise — never a guess). This is what lets Catalyst
+    * make broadcast-vs-shuffle join decisions for manifest tables at
+    * PLAN time instead of waiting for AQE runtime stats — the
+    * Delta/Iceberg posture. Post-pruning: a filtered scan of one
+    * surviving file reports one file's bytes, so zone pruning
+    * compounds into join planning. File sizes are a driver-side
+    * metadata stat (file-count-bounded, standard lakehouse design).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val (bytes, rowsOpt) = countOnly match {
+      case Some(_) => (16L, Some(1L))
+      case None =>
+        val b = surviving.map { s =>
+          try java.nio.file.Files.size(java.nio.file.Paths.get(s.path))
+          catch { case _: java.io.IOException => 0L }
+        }.sum
+        val per = surviving.map(s => s.rows.map(_ - s.dv.length))
+        (b, if (per.forall(_.isDefined)) Some(per.flatten.sum)
+          else None)
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        rowsOpt.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
 
   /** CDC micro-batch stream: each committed version's ADDED files
     * are one batch; offsets are manifest versions (immutable — a
@@ -542,19 +795,7 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
       case Some(n) => Array(ManifestCountPartition(n))
       case None =>
         val root = java.nio.file.Paths.get(opts.path)
-        val longRanges =
-          ManifestScan.longRangesOf(pushed.toSeq, fullSchema)
-        val strRanges =
-          ManifestScan.strRangesOf(pushed.toSeq, fullSchema)
-        val kept = pinned.slices.filter { s =>
-          val rel = root.relativize(
-            java.nio.file.Paths.get(s.path)).toString
-          ManifestScan.survives(s.rows,
-            pinned.stats.getOrElse(rel, Seq.empty),
-            pinned.sstats.getOrElse(rel, Seq.empty),
-            longRanges, strRanges)
-        }
-        kept.map(s =>
+        surviving.map(s =>
           ManifestFilePartition(s.path,
             root.relativize(java.nio.file.Paths.get(s.path)).toString,
             s.dv, required.fieldNames): InputPartition).toArray
@@ -571,28 +812,64 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
   * documented Delta-CDF-across-OPTIMIZE caveat), masked by v_b's
   * deletion vectors. Manifests are immutable and versions dense, so
   * a replayed offset range plans the identical batch — exactly-once
-  * with no source-side state beyond the checkpointed offset. */
+  * with no source-side state beyond the checkpointed offset.
+  *
+  * Offsets advance ONE VERSION PER MICRO-BATCH (the
+  * SupportsAdmissionControl seam): pending versions never coalesce
+  * into one range, so a file added in v and removed in v+1 is still
+  * delivered in v's batch instead of vanishing inside a merged
+  * (v−1, v+1] diff — each committed version's adds arrive exactly
+  * once, in commit order. `startingVersion` is INCLUSIVE (the Delta
+  * CDF convention). */
 class ManifestMicroBatchStream(required: StructType,
     opts: ManifestV2Options)
     extends org.apache.spark.sql.connector.read.streaming
-      .MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+      .MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private case class VOffset(v: Long) extends Offset {
     override def json(): String = v.toString
   }
 
+  // inclusive option → exclusive offset floor (never below 0: the
+  // empty pre-v1 snapshot)
+  private val base = math.max(opts.startingVersion - 1L, 0L)
+
   private def filesAt(v: Long): Set[String] =
     if (v <= 0L) Set.empty
     else ManifestTable.snapshotFor(opts.path, Some(v)).files.toSet
 
-  override def initialOffset(): Offset = VOffset(opts.startingVersion)
-
-  override def latestOffset(): Offset = {
+  private def latestVersion: Long = {
     val vs = ManifestTable.versions(opts.path)
-    VOffset(if (vs.isEmpty) opts.startingVersion
-      else math.max(vs.last, opts.startingVersion))
+    if (vs.isEmpty) base else math.max(vs.last, base)
   }
+
+  // Trigger.AvailableNow pins its target at query start: the run
+  // drains up to here one version per batch, then stops even if
+  // rival writers keep committing
+  @volatile private var availableTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(latestVersion)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def initialOffset(): Offset = VOffset(base)
+
+  // admission-controlled sources are asked latestOffset(start, limit)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graft-manifest CDC paces by version: latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VOffset].v
+    val cap = availableTarget.getOrElse(latestVersion)
+    VOffset(if (cap <= s) s else s + 1L) // ONE version per batch
+  }
+
+  override def reportLatestOffset(): Offset = VOffset(latestVersion)
 
   override def deserializeOffset(json: String): Offset =
     VOffset(json.toLong)
@@ -657,19 +934,31 @@ class ManifestRowLevelOperation(
     Array(org.apache.spark.sql.connector.expressions.Expressions
       .column("_graft_file"))
 
-  override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder = {
+  // ONE ScanBuilder and ONE scan per operation instance: should
+  // Spark ever configure a second scan against the same
+  // RowLevelOperationTable (the runtime group-filter subquery plans
+  // against it too), every consumer must share the runtime-FILTERED
+  // scan — a last-build-wins overwrite could hand commit() the
+  // replacedFiles of an UNFILTERED rival and drop files whose rows
+  // were never in the replacement set (the Iceberg
+  // cache-one-builder-per-operation rule)
+  private lazy val cachedBuilder: ScanBuilder = {
     val pinned = ManifestV2.resolvePinned(opts)
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var required: StructType = ManifestV2.schemaFor(opts)
       override def pruneColumns(s: StructType): Unit = required = s
-      override def build(): Scan = {
-        val s = new ManifestRowScan(required, opts, pinned)
-        ManifestRowLevelOperation.this.scan = s
-        s
-      }
+      override def build(): Scan =
+        ManifestRowLevelOperation.this.synchronized {
+          if (ManifestRowLevelOperation.this.scan == null)
+            ManifestRowLevelOperation.this.scan =
+              new ManifestRowScan(required, opts, pinned)
+          ManifestRowLevelOperation.this.scan
+        }
     }
   }
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = cachedBuilder
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -803,9 +1092,7 @@ class ManifestReplaceWrite(schema: StructType,
     require(op.scan != null,
       "row-level write committed without the operation's scan")
     val replaced = op.scan.replacedFiles
-    val files = msgs.collect {
-      case f: ManifestTaskFile if f.rel.nonEmpty => f
-    }.sortBy(_.rel)
+    val files = ManifestCommit.taskFiles(msgs)
     if (replaced.isEmpty && files.isEmpty) return // no-op operation
     var staged = files.map(_.rel).toSeq
     var rows = files.map(f => f.rel -> f.rows).toMap
@@ -920,7 +1207,8 @@ private[sources] object ManifestParquet {
   * empty file — so `mode("overwrite")` truncates like Spark/Delta
   * instead of silently keeping the old snapshot. */
 class ManifestWriteBuilder(schema: StructType,
-    opts: ManifestV2Options, statsCols: Seq[String])
+    opts: ManifestV2Options, statsCols: Seq[String],
+    partCols: Seq[String] = Seq.empty, queryId: String = "")
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   import org.apache.spark.sql.connector.write._
@@ -929,6 +1217,11 @@ class ManifestWriteBuilder(schema: StructType,
       s"statsColumns entry $c is not a written column")
     ManifestTable.statKindOf(schema(c).dataType, c) // loud on others
   }
+  partCols.foreach { c =>
+    require(schema.fieldNames.contains(c),
+      s"partition column $c is not a written column")
+    ManifestTable.statKindOf(schema(c).dataType, c) // L/D/T/S only
+  }
   // mode("overwrite") arrives as truncate(): the new snapshot lists
   // ONLY the job's files — old files stay on disk for time travel
   // until vacuum, exactly commit(append = false)'s contract
@@ -936,24 +1229,34 @@ class ManifestWriteBuilder(schema: StructType,
   override def truncate(): WriteBuilder = { append = false; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new ManifestBatchWrite(schema, opts, statsCols, append)
+      new ManifestBatchWrite(schema, opts, statsCols, partCols,
+        append)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming
+          .StreamingWrite =
+      new ManifestStreamingWrite(schema, opts, statsCols, partCols,
+        queryId, append)
   }
 }
 
-class ManifestBatchWrite(schema: StructType, opts: ManifestV2Options,
-    statsCols: Seq[String], append: Boolean)
-    extends org.apache.spark.sql.connector.write.BatchWrite {
-  import org.apache.spark.sql.connector.write._
-  private val nonce = java.util.UUID.randomUUID().toString.take(12)
+/** Job-level commit bookkeeping the batch AND streaming writes
+  * share: collect the tasks' staged files, fold their streamed
+  * min/max into `#stats=`/`#sstats=` lines, their partition tuples
+  * into `#pval=` lines, and publish ONE atomic version. */
+private[sources] object ManifestCommit {
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
 
-  override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory =
-    ManifestWriterFactory(schema, opts.path, nonce, statsCols)
+  def taskFiles(msgs: Array[WriterCommitMessage])
+      : Seq[ManifestTaskFile] =
+    msgs.toSeq.flatMap {
+      case f: ManifestTaskFile => Seq(f)
+      case s: ManifestTaskFileSet => s.files
+      case _ => Seq.empty
+    }.filter(_.rel.nonEmpty).sortBy(_.rel)
 
-  override def commit(msgs: Array[WriterCommitMessage]): Unit = {
-    val files = msgs.collect {
-      case f: ManifestTaskFile if f.rel.nonEmpty => f
-    }.sortBy(_.rel)
+  def publish(path: String, schema: StructType,
+      statsCols: Seq[String], append: Boolean, nonce: String,
+      files: Seq[ManifestTaskFile], tag: Option[String]): Unit = {
     if (files.isEmpty) {
       // append of nothing publishes nothing; OVERWRITE of nothing
       // must still truncate (Spark/Delta semantics) — publish a
@@ -962,10 +1265,10 @@ class ManifestBatchWrite(schema: StructType, opts: ManifestV2Options,
       // exact. A column-less frame has nothing stageable: no-op.
       if (append || schema.isEmpty) return
       val rel = s"data/w-$nonce/part-$nonce-empty.parquet"
-      val abs = java.nio.file.Paths.get(opts.path).resolve(rel)
+      val abs = java.nio.file.Paths.get(path).resolve(rel)
       ManifestParquet.openWriter(abs,
         ManifestParquet.messageTypeOf(schema)).close()
-      ManifestTable.publishStaged(opts.path, Seq(rel), Map.empty,
+      ManifestTable.publishStaged(path, Seq(rel), Map.empty,
         Map(rel -> 0L), append = false)
       return
     }
@@ -979,15 +1282,16 @@ class ManifestBatchWrite(schema: StructType, opts: ManifestV2Options,
         f.sstats.get(c).map { case (mn, mx) => (c, mn, mx) })
       if (entries.isEmpty) None else Some(f.rel -> entries)
     }.toMap
-    ManifestTable.publishStaged(opts.path, files.map(_.rel).toSeq,
-      stats, files.map(f => f.rel -> f.rows).toMap, append, sstats)
+    val pvals = files.flatMap(f =>
+      if (f.pvals.isEmpty) None else Some(f.rel -> f.pvals)).toMap
+    ManifestTable.publishStaged(path, files.map(_.rel),
+      stats, files.map(f => f.rel -> f.rows).toMap, append, sstats,
+      pvals, tag)
     ()
   }
 
-  override def abort(msgs: Array[WriterCommitMessage]): Unit = {
-    // unreferenced staging is already invisible to readers; delete
-    // what this job staged so vacuum has less to sweep
-    val dir = java.nio.file.Paths.get(opts.path, "data", s"w-$nonce")
+  def dropStaging(path: String, nonce: String): Unit = {
+    val dir = java.nio.file.Paths.get(path, "data", s"w-$nonce")
     if (java.nio.file.Files.isDirectory(dir)) {
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(java.nio.file.Files.walk(dir)) { st =>
@@ -998,139 +1302,321 @@ class ManifestBatchWrite(schema: StructType, opts: ManifestV2Options,
   }
 }
 
-/** One task's staged file: manifest-relative path, row count, and
+class ManifestBatchWrite(schema: StructType, opts: ManifestV2Options,
+    statsCols: Seq[String], partCols: Seq[String], append: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  private val nonce = java.util.UUID.randomUUID().toString.take(12)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    ManifestWriterFactory(schema, opts.path, nonce, statsCols,
+      partCols)
+
+  override def commit(msgs: Array[WriterCommitMessage]): Unit =
+    ManifestCommit.publish(opts.path, schema, statsCols, append,
+      nonce, ManifestCommit.taskFiles(msgs), tag = None)
+
+  // unreferenced staging is already invisible to readers; delete
+  // what this job staged so vacuum has less to sweep
+  override def abort(msgs: Array[WriterCommitMessage]): Unit =
+    ManifestCommit.dropStaging(opts.path, nonce)
+}
+
+/** `writeStream.format("graft-manifest")` — the DSv2 streaming sink:
+  * each epoch's tasks stage files exactly like the batch write, and
+  * the epoch-level commit runs ONE tagged publish whose tag is
+  * `stream:<queryId>:<epochId>` — a checkpoint replay of an
+  * already-committed epoch short-circuits to the published version
+  * (the ST7 exactly-once discipline, now at the SQL surface; the
+  * same batch-id idempotence `streamCommit` keeps on the Scala
+  * side). A replayed epoch's re-staged files are orphans vacuum
+  * reclaims. Append-only: `complete`/`update` output modes would
+  * rewrite history that immutable manifests reference. */
+class ManifestStreamingWrite(schema: StructType,
+    opts: ManifestV2Options, statsCols: Seq[String],
+    partCols: Seq[String], queryId: String, append: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingWrite {
+  import org.apache.spark.sql.connector.write._
+  require(append,
+    "graft-manifest streaming sink is append-only (outputMode " +
+      "\"append\"): complete/update would rewrite published history")
+
+  private val nonce = java.util.UUID.randomUUID().toString.take(12)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory =
+    ManifestStreamingWriterFactory(schema, opts.path, nonce,
+      statsCols, partCols)
+
+  override def commit(epochId: Long,
+      msgs: Array[WriterCommitMessage]): Unit =
+    ManifestCommit.publish(opts.path, schema, statsCols,
+      append = true, nonce, ManifestCommit.taskFiles(msgs),
+      tag = Some(s"stream:$queryId:$epochId"))
+
+  override def abort(epochId: Long,
+      msgs: Array[WriterCommitMessage]): Unit =
+    ManifestCommit.dropStaging(opts.path, s"$nonce-e$epochId")
+}
+
+/** Per-epoch writer factory: reuses the batch task writer with an
+  * epoch-scoped nonce so two epochs of one query never stage the
+  * same basename. */
+final case class ManifestStreamingWriterFactory(schema: StructType,
+    table: String, nonce: String, statsCols: Seq[String],
+    partCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    ManifestWriterFactory(schema, table, s"$nonce-e$epochId",
+      statsCols, partCols).createWriter(partitionId, taskId)
+}
+
+/** One task's staged file: manifest-relative path, row count,
   * per-stats-column bounds observed while streaming the rows —
   * int64 (min, max) for integer/date/timestamp columns, hex-encoded
-  * truncation-conservative byte bounds for string columns. */
+  * truncation-conservative byte bounds for string columns — and, for
+  * partitioned writes, the file's exact partition tuple (encoded
+  * `#pval=` values). */
 final case class ManifestTaskFile(rel: String, rows: Long,
     stats: Map[String, (Long, Long)],
-    sstats: Map[String, (String, String)])
+    sstats: Map[String, (String, String)],
+    pvals: Seq[(String, String)] = Seq.empty)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** A PARTITIONED task's staged files — one [[ManifestTaskFile]] per
+  * partition tuple the task's rows touched. */
+final case class ManifestTaskFileSet(files: Seq[ManifestTaskFile])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 final case class ManifestWriterFactory(schema: StructType,
-    table: String, nonce: String, statsCols: Seq[String])
+    table: String, nonce: String, statsCols: Seq[String],
+    partCols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-      // nonce IN the basename: basenames must be snapshot-unique
-      // (DV masking / compaction key on them), and taskIds restart
-      // per application — two appends from different applications
-      // must never stage the same basename
-      private val rel =
-        s"data/w-$nonce/part-$nonce-$partitionId-$taskId.parquet"
-      private val abs = java.nio.file.Paths.get(table).resolve(rel)
-      private val msgType = ManifestParquet.messageTypeOf(schema)
-      private val statIdx = statsCols.map(schema.fieldIndex)
-      private val statKind = statsCols.map(c =>
-        ManifestTable.statKindOf(schema(c).dataType, c))
-      private val mins = Array.fill(statsCols.size)(Long.MaxValue)
-      private val maxs = Array.fill(statsCols.size)(Long.MinValue)
-      private val strMins = Array.fill[UTF8String](statsCols.size)(null)
-      private val strMaxs = Array.fill[UTF8String](statsCols.size)(null)
-      private var n = 0L
-      // open lazily on the FIRST row: empty partitions stage no file
-      private var writer: org.apache.parquet.hadoop.ParquetWriter[
-        org.apache.parquet.example.data.Group] = null
-      private var factory:
-        org.apache.parquet.example.data.simple.SimpleGroupFactory = null
+      private val partIdx = partCols.map(schema.fieldIndex).toArray
+      private val partKind = partCols.map(c =>
+        ManifestTable.statKindOf(schema(c).dataType, c)).toArray
+      // one open file per partition tuple this task sees (hive-style
+      // split-by-value; bounded by the task's distinct tuples — size
+      // partitions so tasks don't fan out to thousands of values,
+      // same operational rule as Spark's own partitioned writes)
+      private val open = scala.collection.mutable
+        .LinkedHashMap.empty[String, OneFile]
+      private var seq = 0
 
-      private def ensureOpen(): Unit = if (writer == null) {
-        writer = ManifestParquet.openWriter(abs, msgType)
-        factory = new org.apache.parquet.example.data.simple
-          .SimpleGroupFactory(msgType)
+      /** Partition value of row `r` for partition column `j`,
+        * encoded exactly as the `#pval=` manifest line. */
+      private def encodeVal(r: InternalRow, j: Int): String = {
+        val idx = partIdx(j)
+        if (r.isNullAt(idx)) "N"
+        else partKind(j) match {
+          case 'S' => "S:" +
+            StrStat.hex(r.getUTF8String(idx).getBytes.clone())
+          case _ =>
+            val v = schema(idx).dataType match {
+              case LongType | TimestampType => r.getLong(idx)
+              case IntegerType | DateType => r.getInt(idx).toLong
+              case other => throw new IllegalStateException(
+                s"unreachable partition kind for $other")
+            }
+            s"L:$v"
+        }
+      }
+
+      /** Human-readable hive-style directory segment for a
+        * partition value. DISPLAY ONLY (lossy sanitization is fine —
+        * basenames are unique and the `#pval=` line is the
+        * authoritative value). */
+      private def dirSeg(c: String, r: InternalRow, j: Int): String = {
+        val idx = partIdx(j)
+        val v =
+          if (r.isNullAt(idx)) "__null__"
+          else {
+            val raw = partKind(j) match {
+              case 'S' => r.getUTF8String(idx).toString
+              case _ => schema(idx).dataType match {
+                case LongType | TimestampType =>
+                  r.getLong(idx).toString
+                case _ => r.getInt(idx).toString
+              }
+            }
+            val safe = raw.map(ch =>
+              if (ch.isLetterOrDigit || ch == '-' || ch == '_' ||
+                ch == '.') ch else '_')
+            if (safe.isEmpty) "__empty__" else safe.take(64)
+          }
+        s"$c=$v"
       }
 
       override def write(r: InternalRow): Unit = {
-        ensureOpen()
-        val g = factory.newGroup()
-        var i = 0
-        while (i < schema.length) {
-          if (!r.isNullAt(i)) {
-            val name = schema(i).name
-            schema(i).dataType match {
-              case LongType    => g.append(name, r.getLong(i))
-              case IntegerType => g.append(name, r.getInt(i))
-              case DoubleType  => g.append(name, r.getDouble(i))
-              case FloatType   => g.append(name, r.getFloat(i))
-              case BooleanType => g.append(name, r.getBoolean(i))
-              case DateType    => g.append(name, r.getInt(i))
-              case TimestampType => g.append(name, r.getLong(i))
-              case StringType  => g.append(name,
-                org.apache.parquet.io.api.Binary
-                  .fromString(r.getUTF8String(i).toString))
-              case BinaryType  => g.append(name,
-                org.apache.parquet.io.api.Binary
-                  .fromConstantByteArray(r.getBinary(i)))
-              case other => throw new IllegalStateException(
-                s"unreachable: $other passed messageTypeOf")
-            }
+        val file =
+          if (partIdx.isEmpty)
+            open.getOrElseUpdate("", {
+              seq += 1
+              new OneFile(
+                s"data/w-$nonce/part-$nonce-$partitionId-$taskId" +
+                  ".parquet",
+                Seq.empty)
+            })
+          else {
+            val encs = partIdx.indices.map(j => encodeVal(r, j))
+            open.getOrElseUpdate(encs.mkString(" "), {
+              seq += 1
+              val segs = partIdx.indices
+                .map(j => dirSeg(partCols(j), r, j)).mkString("/")
+              new OneFile(
+                s"data/w-$nonce/$segs/part-$nonce-$partitionId-" +
+                  s"$taskId-$seq.parquet",
+                partCols.zip(encs))
+            })
           }
-          i += 1
-        }
-        var j = 0
-        while (j < statIdx.length) {
-          val idx = statIdx(j)
-          if (!r.isNullAt(idx)) {
-            statKind(j) match {
-              case 'S' =>
-                // clone: the row's UTF8String may alias a reused
-                // buffer; UTF8String.compareTo IS the unsigned
-                // byte-wise order the zone lines need
-                val v = r.getUTF8String(idx)
-                if (strMins(j) == null ||
-                    v.compareTo(strMins(j)) < 0)
-                  strMins(j) = v.clone()
-                if (strMaxs(j) == null ||
-                    v.compareTo(strMaxs(j)) > 0)
-                  strMaxs(j) = v.clone()
-              case k =>
-                val v = schema(idx).dataType match {
-                  case LongType | TimestampType => r.getLong(idx)
-                  case IntegerType | DateType => r.getInt(idx).toLong
-                  case ShortType => r.getShort(idx).toLong
-                  case ByteType => r.getByte(idx).toLong
-                  case other => throw new IllegalStateException(
-                    s"unreachable stat kind $k for $other")
-                }
-                if (v < mins(j)) mins(j) = v
-                if (v > maxs(j)) maxs(j) = v
-            }
-          }
-          j += 1
-        }
-        writer.write(g)
-        n += 1
+        file.write(r)
       }
 
       override def commit()
           : org.apache.spark.sql.connector.write.WriterCommitMessage =
-        if (writer == null)
-          ManifestTaskFile("", 0L, Map.empty, Map.empty)
-        else {
-          writer.close()
-          val stats = statsCols.zipWithIndex.flatMap { case (c, j) =>
-            if (statKind(j) == 'S' || mins(j) > maxs(j)) None
-            else Some(c -> (mins(j), maxs(j)))
-          }.toMap
-          val sstats = statsCols.zipWithIndex.flatMap { case (c, j) =>
-            if (statKind(j) != 'S' || strMins(j) == null) None
-            else StrStat.entry(c, strMins(j).toString,
-                strMaxs(j).toString)
-              .map { case (_, mnH, mxH) => c -> (mnH, mxH) }
-          }.toMap
-          ManifestTaskFile(rel, n, stats, sstats)
-        }
+        if (partIdx.isEmpty)
+          // unpartitioned: one (or zero) staged file — keep the
+          // single-message shape the rest of the engine pattern-matches
+          open.values.headOption.map(_.finish())
+            .getOrElse(ManifestTaskFile("", 0L, Map.empty, Map.empty))
+        else ManifestTaskFileSet(open.values.map(_.finish()).toSeq)
 
       // attempt-unique file names make retries conflict-free; the
-      // loser's bytes go here, the winner's path reaches commit()
-      override def abort(): Unit = if (writer != null) {
-        try writer.close() catch { case _: Throwable => () }
-        java.nio.file.Files.deleteIfExists(abs); ()
-      }
+      // losers' bytes go here, the winners' paths reach commit()
+      override def abort(): Unit = open.values.foreach(_.drop())
       override def close(): Unit = ()
     }
+
+  /** One staged parquet file with its streamed per-column bounds —
+    * the unit both the unpartitioned (one per task) and partitioned
+    * (one per task × partition tuple) writers stage. `pvals` is the
+    * file's exact partition tuple; partition columns stay IN the
+    * data file too (unlike hive's path-only convention), which keeps
+    * the reader, schema union, and evolution paths identical for
+    * partitioned and unpartitioned tables — the bytes cost ~nothing
+    * (constant columns run-length-encode). */
+  private final class OneFile(rel: String,
+      pvals: Seq[(String, String)]) {
+    // nonce IN the basename: basenames must be snapshot-unique
+    // (DV masking / compaction key on them), and taskIds restart
+    // per application — two appends from different applications
+    // must never stage the same basename
+    private val abs = java.nio.file.Paths.get(table).resolve(rel)
+    private val msgType = ManifestParquet.messageTypeOf(schema)
+    private val statIdx = statsCols.map(schema.fieldIndex)
+    private val statKind = statsCols.map(c =>
+      ManifestTable.statKindOf(schema(c).dataType, c))
+    private val mins = Array.fill(statsCols.size)(Long.MaxValue)
+    private val maxs = Array.fill(statsCols.size)(Long.MinValue)
+    private val strMins = Array.fill[UTF8String](statsCols.size)(null)
+    private val strMaxs = Array.fill[UTF8String](statsCols.size)(null)
+    private var n = 0L
+    // open lazily on the FIRST row: empty partitions stage no file
+    private var writer: org.apache.parquet.hadoop.ParquetWriter[
+      org.apache.parquet.example.data.Group] = null
+    private var factory:
+      org.apache.parquet.example.data.simple.SimpleGroupFactory = null
+
+    private def ensureOpen(): Unit = if (writer == null) {
+      writer = ManifestParquet.openWriter(abs, msgType)
+      factory = new org.apache.parquet.example.data.simple
+        .SimpleGroupFactory(msgType)
+    }
+
+    def write(r: InternalRow): Unit = {
+      ensureOpen()
+      val g = factory.newGroup()
+      var i = 0
+      while (i < schema.length) {
+        if (!r.isNullAt(i)) {
+          val name = schema(i).name
+          schema(i).dataType match {
+            case LongType    => g.append(name, r.getLong(i))
+            case IntegerType => g.append(name, r.getInt(i))
+            case DoubleType  => g.append(name, r.getDouble(i))
+            case FloatType   => g.append(name, r.getFloat(i))
+            case BooleanType => g.append(name, r.getBoolean(i))
+            case DateType    => g.append(name, r.getInt(i))
+            case TimestampType => g.append(name, r.getLong(i))
+            case StringType  => g.append(name,
+              org.apache.parquet.io.api.Binary
+                .fromString(r.getUTF8String(i).toString))
+            case BinaryType  => g.append(name,
+              org.apache.parquet.io.api.Binary
+                .fromConstantByteArray(r.getBinary(i)))
+            case other => throw new IllegalStateException(
+              s"unreachable: $other passed messageTypeOf")
+          }
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < statIdx.length) {
+        val idx = statIdx(j)
+        if (!r.isNullAt(idx)) {
+          statKind(j) match {
+            case 'S' =>
+              // clone: the row's UTF8String may alias a reused
+              // buffer; UTF8String.compareTo IS the unsigned
+              // byte-wise order the zone lines need
+              val v = r.getUTF8String(idx)
+              if (strMins(j) == null ||
+                  v.compareTo(strMins(j)) < 0)
+                strMins(j) = v.clone()
+              if (strMaxs(j) == null ||
+                  v.compareTo(strMaxs(j)) > 0)
+                strMaxs(j) = v.clone()
+            case k =>
+              val v = schema(idx).dataType match {
+                case LongType | TimestampType => r.getLong(idx)
+                case IntegerType | DateType => r.getInt(idx).toLong
+                case ShortType => r.getShort(idx).toLong
+                case ByteType => r.getByte(idx).toLong
+                case other => throw new IllegalStateException(
+                  s"unreachable stat kind $k for $other")
+              }
+              if (v < mins(j)) mins(j) = v
+              if (v > maxs(j)) maxs(j) = v
+          }
+        }
+        j += 1
+      }
+      writer.write(g)
+      n += 1
+    }
+
+    def finish(): ManifestTaskFile =
+      if (writer == null)
+        ManifestTaskFile("", 0L, Map.empty, Map.empty)
+      else {
+        writer.close()
+        val stats = statsCols.zipWithIndex.flatMap { case (c, j) =>
+          if (statKind(j) == 'S' || mins(j) > maxs(j)) None
+          else Some(c -> (mins(j), maxs(j)))
+        }.toMap
+        val sstats = statsCols.zipWithIndex.flatMap { case (c, j) =>
+          if (statKind(j) != 'S' || strMins(j) == null) None
+          else StrStat.entry(c, strMins(j).toString,
+              strMaxs(j).toString)
+            .map { case (_, mnH, mxH) => c -> (mnH, mxH) }
+        }.toMap
+        ManifestTaskFile(rel, n, stats, sstats, pvals)
+      }
+
+    def drop(): Unit = if (writer != null) {
+      try writer.close() catch { case _: Throwable => () }
+      java.nio.file.Files.deleteIfExists(abs); ()
+    }
+  }
 }
 
 final case class ManifestCountPartition(n: Long) extends InputPartition
@@ -1199,6 +1685,33 @@ final class ManifestFileReader(path: String, rel: String,
     dv.foreach(p => s.add(p))
     s
   }
+  // TIMESTAMP columns arrive in either parquet encoding: INT64
+  // MICROS (the DSv2 writer) or legacy 12-byte INT96 (Spark's
+  // default df.write.parquet, i.e. the Scala-path staged commits)
+  private val int96Fields: java.util.HashSet[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = new java.util.HashSet[String]()
+    fileSchema.getFields.asScala.foreach { f =>
+      if (f.isPrimitive && f.asPrimitiveType().getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType
+            .PrimitiveTypeName.INT96)
+        s.add(f.getName)
+    }
+    s
+  }
+
+  /** INT96 parquet timestamp → epoch microseconds: 8 little-endian
+    * bytes of nanos-within-day followed by 4 little-endian bytes of
+    * Julian day (the public parquet layout Spark/Hive/Impala share).
+    */
+  private def int96Micros(b: Array[Byte]): Long = {
+    val buf = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanos = buf.getLong
+    val julianDay = buf.getInt
+    (julianDay - 2440588L) * 86400000000L + nanos / 1000L
+  }
+
   private var pos = -1L
   private var current: InternalRow = _
 
@@ -1233,7 +1746,10 @@ final class ManifestFileReader(path: String, rel: String,
           case FloatType   => g.getFloat(name, 0)
           case BooleanType => g.getBoolean(name, 0)
           case DateType    => g.getInteger(name, 0) // epoch days
-          case TimestampType => g.getLong(name, 0) // epoch micros
+          case TimestampType => // epoch micros
+            if (int96Fields.contains(name))
+              int96Micros(g.getInt96(name, 0).getBytes)
+            else g.getLong(name, 0)
           case StringType  =>
             UTF8String.fromBytes(g.getBinary(name, 0).getBytes)
           case BinaryType  => g.getBinary(name, 0).getBytes

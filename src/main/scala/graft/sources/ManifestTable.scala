@@ -108,8 +108,23 @@ object ManifestTable {
 
   private val noDvs: Dvs = Map.empty
 
+  /** Per-file PARTITION VALUES (`#pval=path|col|enc` lines): the
+    * hive-style partition tuple of a file written through a
+    * PARTITIONED write — `L:<int64>` for integer/date/timestamp
+    * columns (the same canonical encodings as `#stats=`),
+    * `S:<hex-utf8>` for strings (the same hex as `#sstats=`), `N`
+    * for NULL. A partition value is EXACT (min == max), so partition
+    * pruning runs before zone stats and an equality/IN predicate on
+    * a partition column keeps exactly the matching files; files
+    * without pval lines (unpartitioned commits, compaction/CoW
+    * rewrites that merged across partitions) simply always scan —
+    * skipping stays an optimization, never a filter. */
+  private[sources] type Pvals = Map[String, Seq[(String, String)]]
+
+  private[sources] val noPvals: Pvals = Map.empty
+
   private val emptyManifest =
-    Manifest(Seq.empty, noStats, Map.empty, noDvs, noSStats)
+    Manifest(Seq.empty, noStats, Map.empty, noDvs, noSStats, noPvals)
 
   /** One parsed manifest: data-file list, per-file zone stats
     * (`#stats=path|col|min|max` lines), per-file row counts
@@ -120,9 +135,10 @@ object ManifestTable {
     * count — live rows = nrows − |dv|), and per-file STRING zone
     * stats (`#sstats=` lines). */
   private final case class Manifest(files: Seq[String], stats: Stats,
-      rows: Map[String, Long], dvs: Dvs, sstats: SStats) {
+      rows: Map[String, Long], dvs: Dvs, sstats: SStats,
+      pvals: Pvals) {
     def metaLinesFor(fs: Seq[String]): Seq[String] =
-      ManifestTable.metaLines(fs, stats, rows, dvs, sstats)
+      ManifestTable.metaLines(fs, stats, rows, dvs, sstats, pvals)
   }
 
   /** One manifest read parsed into [[Manifest]]: data lines are
@@ -166,7 +182,13 @@ object ManifestTable {
         (q(0), (q(1), q(2), q(3)))
       }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    Manifest(files, stats, rows, dvs, sstats)
+    val pvals: Pvals = ls.filter(_.startsWith("#pval="))
+      .map { l =>
+        val q = l.drop(6).split("\\|", -1)
+        (q(0), (q(1), q(2)))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    Manifest(files, stats, rows, dvs, sstats, pvals)
   }
 
   private def filesOf(table: String, version: Long): Seq[String] =
@@ -183,7 +205,8 @@ object ManifestTable {
       files: Seq[String],
       stats: Map[String, Seq[(String, Long, Long)]],
       rows: Map[String, Long], dvs: Map[String, Seq[Long]],
-      sstats: Map[String, Seq[(String, String, String)]])
+      sstats: Map[String, Seq[(String, String, String)]],
+      pvals: Map[String, Seq[(String, String)]])
 
   private[graft] def snapshotFor(table: String,
       version: Option[Long]): Snapshot = {
@@ -192,7 +215,7 @@ object ManifestTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"no snapshot v$v under $table (have $vs)")
     val m = manifestOf(table, v)
-    Snapshot(v, m.files, m.stats, m.rows, m.dvs, m.sstats)
+    Snapshot(v, m.files, m.stats, m.rows, m.dvs, m.sstats, m.pvals)
   }
 
   /** Publish files the CALLER's tasks already staged as the next
@@ -206,19 +229,31 @@ object ManifestTable {
       staged: Seq[String],
       stats: Map[String, Seq[(String, Long, Long)]],
       rows: Map[String, Long], append: Boolean,
-      sstats: Map[String, Seq[(String, String, String)]] = noSStats)
-      : Long = {
+      sstats: Map[String, Seq[(String, String, String)]] = noSStats,
+      pvals: Map[String, Seq[(String, String)]] = noPvals,
+      tag: Option[String] = None): Long = {
     require(staged.nonEmpty, "publishStaged needs at least one file")
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     publishLoop(table, nonce, "publishStaged") { snapshot =>
-      val prev =
-        if (append)
-          snapshot.lastOption.map(manifestOf(table, _))
-            .getOrElse(emptyManifest)
-        else emptyManifest
-      Right(prev.metaLinesFor(prev.files) ++
-        metaLines(staged, stats, rows, sstats = sstats) ++
-        prev.files ++ staged)
+      // tagged publishes are IDEMPOTENT: a replay whose tag is
+      // already published short-circuits to that version — the
+      // exactly-once seam the DSv2 streaming sink commits epochs
+      // through (same discipline as commitTagged)
+      tag.flatMap(t =>
+          snapshot.find(v => tagOf(table, v).contains(t))) match {
+        case Some(v) => Left(v)
+        case None =>
+          val prev =
+            if (append)
+              snapshot.lastOption.map(manifestOf(table, _))
+                .getOrElse(emptyManifest)
+            else emptyManifest
+          Right(tag.map(t => s"#tag=$t").toSeq ++
+            prev.metaLinesFor(prev.files) ++
+            metaLines(staged, stats, rows, sstats = sstats,
+              pvals = pvals) ++
+            prev.files ++ staged)
+      }
     }
   }
 
@@ -264,11 +299,13 @@ object ManifestTable {
 
   private def metaLines(files: Seq[String], stats: Stats,
       rows: Map[String, Long], dvs: Dvs = noDvs,
-      sstats: SStats = noSStats): Seq[String] =
+      sstats: SStats = noSStats, pvals: Pvals = noPvals): Seq[String] =
     files.flatMap(f => stats.getOrElse(f, Seq.empty)
       .map { case (c, mn, mx) => s"#stats=$f|$c|$mn|$mx" }) ++
       files.flatMap(f => sstats.getOrElse(f, Seq.empty)
         .map { case (c, mn, mx) => s"#sstats=$f|$c|$mn|$mx" }) ++
+      files.flatMap(f => pvals.getOrElse(f, Seq.empty)
+        .map { case (c, enc) => s"#pval=$f|$c|$enc" }) ++
       files.flatMap(f => rows.get(f).map(n => s"#nrows=$f|$n")) ++
       files.flatMap(f => dvs.get(f).filter(_.nonEmpty)
         .map(ps => s"#dv=$f|${ps.mkString(",")}"))
@@ -527,7 +564,8 @@ object ManifestTable {
           Right(tag.map(t => s"#tag=$t").toSeq ++
             metaLines(prev.files ++ fresh,
               prev.stats ++ freshStats, prev.rows ++ freshRows,
-              prev.dvs, prev.sstats ++ freshSStats) ++
+              prev.dvs, prev.sstats ++ freshSStats,
+              pvals = prev.pvals) ++
             prev.files ++ fresh)
       }
     }
@@ -716,7 +754,7 @@ object ManifestTable {
     require(vs.contains(v),
       s"version $v of $table does not exist (live: " +
         s"${vs.mkString(", ")})")
-    val Manifest(files, stats, nrows, dvs, sstats) =
+    val Manifest(files, stats, nrows, dvs, sstats, _) =
       manifestOf(table, v)
     require(files.nonEmpty,
       s"snapshot v$v of $table lists no data files — a pruned read " +
@@ -1111,7 +1149,7 @@ object ManifestTable {
       val rowsAll = newRows ++
         staged.filterNot(newRows.contains).map(_ -> 0L)
       Right(metaLines(carried, cur.stats, cur.rows,
-          cur.dvs ++ dvUpdates, cur.sstats) ++
+          cur.dvs ++ dvUpdates, cur.sstats, pvals = cur.pvals) ++
         metaLines(staged, newStats, rowsAll, sstats = newSStats) ++
         carried ++ staged)
     }
@@ -1373,7 +1411,7 @@ object ManifestTable {
       val staged = rewrittenStaged ++ insertStaged
       after = carried.size + staged.size
       Right(metaLines(carried, cur.stats, cur.rows,
-          cur.dvs ++ dvUpdates, cur.sstats) ++
+          cur.dvs ++ dvUpdates, cur.sstats, pvals = cur.pvals) ++
         metaLines(staged, rwStats ++ insStats, rwRows ++ insRows,
           sstats = rwSStats ++ insSStats) ++
         carried ++ staged)
@@ -1669,6 +1707,26 @@ object ManifestTable {
     require(!dataCols.contains("__h"),
       s"compactClustered's internal column collides with a table " +
         s"column of $table")
+    // cluster columns scale onto an integer Hilbert grid via their
+    // canonical int64 encoding — the SAME one the zone stats use
+    // (statKindOf: integers as-is, DATE as epoch days, TIMESTAMP as
+    // epoch micros), so manifest-answered bounds and the scaling
+    // expression always agree; strings have no such grid — loud
+    case class ClusterEnc(kind: Char) {
+      def sql(c: String): String = kind match {
+        case 'D' => s"unix_date(`$c`)"
+        case 'T' => s"unix_micros(`$c`)"
+        case _   => s"`$c`"
+      }
+    }
+    val encOf: Map[String, ClusterEnc] = clusterCols.map { c =>
+      val k = statKindOf(src.schema(c).dataType, c)
+      require(k != 'S',
+        s"clustered OPTIMIZE scales cluster columns onto an integer " +
+          s"Hilbert grid; string column $c cannot cluster — derive " +
+          "a hash or dictionary-code column and cluster on that")
+      c -> ClusterEnc(k)
+    }.toMap
     // per-column [min, max] — manifest-answered when possible, one
     // aggregate scan otherwise
     val bounds: Seq[(String, Long, Long)] = {
@@ -1678,8 +1736,10 @@ object ManifestTable {
         fromMeta.map { case (c, b) => (c, b.get._1, b.get._2) }
       else {
         val aggs = clusterCols.flatMap(c => Seq(
-          min(col(c).cast("long")).as(s"__mn_$c"),
-          max(col(c).cast("long")).as(s"__mx_$c")))
+          min(org.apache.spark.sql.functions.expr(encOf(c).sql(c))
+            .cast("long")).as(s"__mn_$c"),
+          max(org.apache.spark.sql.functions.expr(encOf(c).sql(c))
+            .cast("long")).as(s"__mx_$c")))
         val r = src.agg(aggs.head, aggs.tail: _*).head()
         clusterCols.zipWithIndex.map { case (c, i) =>
           require(!r.isNullAt(2 * i),
@@ -1699,7 +1759,7 @@ object ManifestTable {
       // negative cells to the Hilbert walk
       val range = (BigInt(mx) - BigInt(mn)).max(BigInt(1))
       org.apache.spark.sql.functions.expr(
-        s"CAST((CAST(${c} AS DECIMAL(38,0)) - " +
+        s"CAST((CAST(${encOf(c).sql(c)} AS DECIMAL(38,0)) - " +
           s"CAST(${mn} AS DECIMAL(38,0))) * $cell " +
           s"div CAST($range AS DECIMAL(38,0)) AS BIGINT)")
     }

@@ -2048,7 +2048,7 @@ class PipelineSpec extends SparkSpec {
     def drain(checkpoint: String, sinkName: String): Set[Long] = {
       val acc = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       val q = spark.readStream.format("graft-manifest")
-        .option("path", table).option("startingVersion", "1")
+        .option("path", table).option("startingVersion", "2")
         .load()
         .writeStream
         .option("checkpointLocation", checkpoint)
@@ -2064,7 +2064,8 @@ class PipelineSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
     val got1 = drain(ckpt, "cdc_sink_1")
     assert(got1 == (11L to 30L).toSet,
-      s"startingVersion=1 must deliver exactly v2+v3 rows: $got1")
+      s"startingVersion=2 (inclusive) must deliver exactly v2+v3 " +
+        s"rows: $got1")
     // same checkpoint: offsets are committed, nothing re-delivers
     val got2 = drain(ckpt, "cdc_sink_2")
     assert(got2.isEmpty, s"checkpoint replay must add nothing: $got2")
@@ -2173,6 +2174,377 @@ class PipelineSpec extends SparkSpec {
         max(col("d")).cast("string")).head()
     assert(left.getString(0) == "2022-01-01" &&
       left.getString(1) == "2022-06-20", left.toString)
+  }
+
+  test("SQL DELETE superset guard: an And mixing a translatable range " +
+      "with an untranslatable conjunct DECLINES deleteWhere (deleting " +
+      "on the surviving range alone would purge a superset)") {
+    import graft.sources.{ManifestTable, ManifestV2Options, ManifestV2Table}
+    import org.apache.spark.sql.sources.{And, EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+    val dir = Files.createTempDirectory("graft-del-guard").toString
+    ManifestTable.commitWithStats(
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "s").coalesce(1),
+      dir, append = true, "k")
+    val table = new ManifestV2Table(
+      graft.sources.ManifestV2.schemaFor(
+        ManifestV2Options(dir, None)),
+      ManifestV2Options(dir, None))
+    // pure range: accepted
+    val pure: Array[org.apache.spark.sql.sources.Filter] = Array(
+      And(GreaterThanOrEqual("k", 1L), LessThanOrEqual("k", 2L)))
+    assert(table.canDeleteWhere(pure))
+    // range AND string equality inside ONE And filter: the string
+    // conjunct cannot translate — must decline (not silently delete
+    // every k in [1,2] regardless of s)
+    val mixed: Array[org.apache.spark.sql.sources.Filter] = Array(
+      And(And(GreaterThanOrEqual("k", 1L), LessThanOrEqual("k", 2L)),
+        EqualTo("s", "a")))
+    assert(!table.canDeleteWhere(mixed),
+      "mixed And must not pass the total-translation guard")
+    intercept[UnsupportedOperationException] {
+      table.deleteWhere(mixed)
+    }
+    // nothing was deleted by the declined call
+    assert(ManifestTable.read(spark, dir).count() == 3L)
+  }
+
+  test("INT96 interop: a timestamp table committed through the Scala " +
+      "API (df.write.parquet stages INT96) reads identically via " +
+      "format(\"graft-manifest\") and the SQL catalog") {
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("graft-i96").toString
+    spark.conf.set("spark.sql.catalog.gi96",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gi96.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dir = s"$root/$t"
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2023-03-01 10:30:00.123456")),
+      (2L, java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999")),
+      (3L, java.sql.Timestamp.valueOf("2001-07-04 00:00:00.0")))
+      .toDF("k", "ts")
+    ManifestTable.commitWithStats(df.coalesce(1), dir,
+      append = true, "ts")
+    val viaScala = ManifestTable.read(spark, dir)
+      .select("k", "ts").as[(Long, java.sql.Timestamp)].collect().toSet
+    val viaDsv2 = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+      .select("k", "ts").as[(Long, java.sql.Timestamp)].collect().toSet
+    assert(viaDsv2 == viaScala,
+      s"DSv2 INT96 decode must match Spark's own reader: $viaDsv2")
+    val viaSql = spark.sql(s"SELECT k, ts FROM gi96.$t")
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    assert(viaSql == viaScala)
+    // and the typed zone pruning on the INT96-backed column still
+    // answers values correctly through the pushed filter
+    val pruned = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+      .filter(col("ts") >= lit("2001-01-01").cast("timestamp"))
+    assert(pruned.count() == 2L)
+  }
+
+  test("compactClustered on DATE/TIMESTAMP cluster columns: the " +
+      "Hilbert scaling encodes epoch days/micros (same encoding as " +
+      "the zone stats) and rows survive; string cluster columns are " +
+      "rejected loudly") {
+    import graft.sources.ManifestTable
+    val table = Files.createTempDirectory("graft-cc-typed").toString
+    val df = (1 to 40).map { i =>
+      (java.sql.Date.valueOf(f"2022-${(i % 12) + 1}%02d-15"),
+        java.sql.Timestamp.valueOf(f"2022-01-01 ${i % 24}%02d:00:00"),
+        i.toLong, s"s$i")
+    }.toDF("d", "ts", "k", "s")
+    ManifestTable.commitWithStats(df.repartition(4), table,
+      append = true, Seq("d", "ts", "k"), None)
+    val (v, _, _) = ManifestTable.compactClustered(spark, table,
+      targetBytes = Long.MaxValue / 2, clusterCols = Seq("d", "ts"))
+    assert(v == 2L)
+    val back = ManifestTable.read(spark, table)
+      .select("k").as[Long].collect().toSet
+    assert(back == (1L to 40L).toSet,
+      "typed clustered rewrite must preserve every row")
+    val err = intercept[IllegalArgumentException] {
+      ManifestTable.compactClustered(spark, table,
+        targetBytes = Long.MaxValue / 2, clusterCols = Seq("s", "k"))
+    }
+    assert(err.getMessage.contains("string column"), err.getMessage)
+  }
+
+  test("CDC per-version batches: an overwrite between commits no " +
+      "longer swallows the replaced version's adds — each version is " +
+      "its own micro-batch, in commit order") {
+    import graft.sources.ManifestTable
+    val table = Files.createTempDirectory("graft-cdc-perv").toString
+    ManifestTable.commit((1L to 5L).toDF("k").coalesce(1), table,
+      append = true)
+    // v2 OVERWRITES: v1's files are gone from v2's listing — a
+    // coalesced (0, 2] diff would deliver only v2's files and v1's
+    // adds would never be seen by a catching-up consumer
+    ManifestTable.commit((6L to 8L).toDF("k").coalesce(1), table,
+      append = false)
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    val q = spark.readStream.format("graft-manifest")
+      .option("path", table).load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdc-perv-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("k").as[Long].collect().toSet
+        if (rows.nonEmpty) batches.add(rows)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(batches).asScala.toSeq
+    assert(got == Seq((1L to 5L).toSet, (6L to 8L).toSet),
+      s"one batch per version, in order, including the replaced " +
+        s"version's adds: $got")
+  }
+
+  test("ALTER TABLE ADD COLUMN: additive catalog evolution — " +
+      "pre-evolution rows read NULL, later INSERTs populate it, " +
+      "VERSION AS OF keeps the old schema, non-additive changes " +
+      "stay loud") {
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("graft-alter").toString
+    spark.conf.set("spark.sql.catalog.galt",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.galt.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    spark.sql(s"CREATE TABLE galt.$t (k BIGINT) USING `graft-manifest`")
+    spark.sql(s"INSERT INTO galt.$t VALUES (1), (2)")
+    spark.sql(s"ALTER TABLE galt.$t ADD COLUMN p BIGINT")
+    // the widened schema is visible immediately, NULL-filled
+    val afterAlter = spark.sql(s"SELECT k, p FROM galt.$t ORDER BY k")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(afterAlter.toSeq == Seq((1L, -1L), (2L, -1L)))
+    spark.sql(s"INSERT INTO galt.$t VALUES (3, 30), (4, 40)")
+    val rows = spark.sql(s"SELECT k, p FROM galt.$t ORDER BY k")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.toSeq ==
+      Seq((1L, -1L), (2L, -1L), (3L, 30L), (4L, 40L)))
+    // time travel shows the snapshot's own schema, not the widening
+    assert(spark.sql(s"SELECT * FROM galt.$t VERSION AS OF 1")
+      .columns.toSeq == Seq("k"))
+    // non-additive ALTERs stay loud-unsupported
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE galt.$t DROP COLUMN p")
+    }
+    assert(e.getMessage.contains("only ADD COLUMN"), e.getMessage)
+    // and the Scala read surface agrees with the SQL one
+    assert(ManifestTable.read(spark, s"$root/$t", mergeSchema = true)
+      .count() == 4L)
+  }
+
+  test("SQL maintenance procedures: CALL optimize/vacuum/history — " +
+      "the SQL face of compact/compactClustered/vacuum/history with " +
+      "identical post-state") {
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("graft-proc").toString
+    spark.conf.set("spark.sql.catalog.gproc",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gproc.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dir = s"$root/$t"
+    for (m <- 0 to 3) {
+      ManifestTable.commitWithStats(
+        (1L to 50L).map(i => (i * 4 + m, i)).toDF("k", "v")
+          .coalesce(1), dir, append = true, "k")
+    }
+    // history BEFORE maintenance: 4 versions, metadata-only
+    val hist = spark.sql(s"CALL gproc.history(table => '$t')")
+    assert(hist.columns.toSeq == Seq("version", "n_files", "n_rows",
+      "dv_positions", "tag"))
+    assert(hist.count() == 4L)
+    assert(hist.filter(col("version") === 4L)
+      .head().getLong(2) == 200L)
+    // OPTIMIZE via SQL: same seam as the Scala API → same post-state
+    val opt = spark.sql(s"CALL gproc.optimize(table => '$t', " +
+      s"target_bytes => ${Long.MaxValue / 2})").head()
+    assert(opt.getLong(0) == 5L && opt.getInt(1) == 4 &&
+      opt.getInt(2) == 1, opt.toString)
+    assert(ManifestTable.snapshotFor(dir, None).files.size == 1)
+    assert(ManifestTable.read(spark, dir).count() == 200L)
+    // clustered OPTIMIZE through the same procedure
+    val opt2 = spark.sql(s"CALL gproc.optimize(table => '$t', " +
+      s"target_bytes => ${Long.MaxValue / 2}, " +
+      "cluster_by => 'k,v', bits => 8)").head()
+    assert(opt2.getLong(0) == 6L, opt2.toString)
+    // VACUUM via SQL: grace 0 (no racing writer in a test), keep 1
+    val vac = spark.sql(s"CALL gproc.vacuum(table => '$t', " +
+      "keep_versions => 1, grace_ms => 0)").head()
+    assert(vac.getInt(0) == 1, vac.toString) // one live file
+    assert(vac.getInt(1) >= 4, vac.toString) // the pre-OPTIMIZE files
+    assert(ManifestTable.read(spark, dir).count() == 200L)
+    assert(ManifestTable.versions(dir) == Seq(6L))
+    // unknown procedure and unknown table stay loud
+    assert(intercept[Exception] {
+      spark.sql(s"CALL gproc.nope(table => '$t')")
+    }.getMessage.nonEmpty)
+    assert(intercept[Exception] {
+      spark.sql("CALL gproc.history(table => 'no_such_table')")
+    }.getMessage.contains("no such table"))
+  }
+
+  test("partitioned manifest tables: CREATE TABLE PARTITIONED BY " +
+      "splits INSERTs hive-style, records exact #pval lines, prunes " +
+      "partition predicates (Eq + IN) BEFORE zone stats, and zone " +
+      "stats still prune within partitions") {
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("graft-part").toString
+    spark.conf.set("spark.sql.catalog.gpart",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpart.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dir = s"$root/$t"
+    spark.sql(s"CREATE TABLE gpart.$t (k BIGINT, cat STRING, " +
+      s"v BIGINT) USING `graft-manifest` PARTITIONED BY (cat) " +
+      "TBLPROPERTIES ('x'='y')")
+    // partitioning is visible to Spark
+    val table = spark.sessionState.catalogManager
+      .catalog("gpart")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty, t))
+    assert(table.partitioning().map(_.toString).toSeq ==
+      Seq("identity(cat)"), table.partitioning().mkString(","))
+    val src = (1L to 300L).map(i =>
+        (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", i * 2))
+      .toDF("k", "cat", "v")
+    val view = "v_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    src.coalesce(1).createOrReplaceTempView(view)
+    spark.sql(s"INSERT INTO gpart.$t SELECT k, cat, v FROM $view " +
+      "WHERE k <= 150")
+    spark.sql(s"INSERT INTO gpart.$t SELECT k, cat, v FROM $view " +
+      "WHERE k > 150") // second INSERT inherits the partitioning
+    val snap = ManifestTable.snapshotFor(dir, None)
+    // 2 inserts × 3 partition values (single write task each)
+    assert(snap.files.size == 6, snap.files.toString)
+    assert(snap.files.forall(f => f.contains("cat=")),
+      s"hive-style layout expected: ${snap.files}")
+    assert(snap.pvals.values.forall(_.nonEmpty),
+      "every file carries its #pval line")
+    val df = spark.sql(s"SELECT * FROM gpart.$t")
+    assert(df.rdd.getNumPartitions == 6)
+    // partition Eq prunes to the 2 'a' files
+    val eq = spark.sql(s"SELECT * FROM gpart.$t WHERE cat = 'a'")
+    assert(eq.rdd.getNumPartitions == 2, eq.rdd.getNumPartitions)
+    assert(eq.count() == 100L)
+    // IN prunes to 4 files
+    val in = spark.sql(
+      s"SELECT * FROM gpart.$t WHERE cat IN ('a', 'c')")
+    assert(in.rdd.getNumPartitions == 4, in.rdd.getNumPartitions)
+    assert(in.count() == 200L)
+    // zone stats prune WITHIN partitions: k is implicitly zoned?
+    // no statsColumns on the SQL INSERT path — but partition + a
+    // range on the PARTITION column composes; values stay exact
+    val mixed = spark.sql(
+      s"SELECT sum(v) AS sv FROM gpart.$t WHERE cat = 'b'")
+    assert(mixed.head().getLong(0) ==
+      (1L to 300L).filter(_ % 3 == 1).map(_ * 2).sum)
+  }
+
+  test("partitioned path-based write: option(\"partitionColumns\") " +
+      "splits by value (typed long partitions), appends inherit the " +
+      "layout, NULL partition values land in their own file and " +
+      "prune under any partition predicate, and statsColumns zone " +
+      "stats still prune within partitions") {
+    import graft.sources.ManifestTable
+    val dir = Files.createTempDirectory("graft-part-path").toString
+    val df = (1L to 200L).map(i =>
+        (i, i % 4, if (i % 50 == 0) null else s"d$i"))
+      .toDF("k", "bucket", "payload")
+    df.coalesce(1).write.format("graft-manifest")
+      .option("path", dir)
+      .option("partitionColumns", "bucket")
+      .option("statsColumns", "k")
+      .mode("append").save()
+    val snap = ManifestTable.snapshotFor(dir, None)
+    assert(snap.files.size == 4, snap.files.toString)
+    // appends INHERIT the partitioning without restating it
+    (201L to 240L).map(i => (i, i % 2, s"d$i"))
+      .toDF("k", "bucket", "payload")
+      .coalesce(1).write.format("graft-manifest")
+      .option("path", dir).option("statsColumns", "k")
+      .mode("append").save()
+    val snap2 = ManifestTable.snapshotFor(dir, None)
+    assert(snap2.files.size == 6, snap2.files.toString)
+    val all = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+    assert(all.count() == 240L)
+    // partition Eq on the typed long column: bucket=3 exists only in
+    // the first commit → exactly 1 file survives
+    val one = all.filter(col("bucket") === 3L)
+    assert(one.rdd.getNumPartitions == 1, one.rdd.getNumPartitions)
+    assert(one.count() == 50L)
+    // zone stats compose WITHIN partitions: bucket=0 (2 files) + a
+    // k-range only the first commit's file overlaps → 1 file
+    val within = all.filter(col("bucket") === 0L && col("k") <= 100L)
+    assert(within.rdd.getNumPartitions == 1,
+      within.rdd.getNumPartitions)
+    assert(within.count() == 25L)
+    // NULL partition value: own file, prunes under any predicate
+    val nulls = Seq((300L, null.asInstanceOf[java.lang.Long], "x"))
+      .toDF("k", "bucket", "payload")
+    nulls.coalesce(1).write.format("graft-manifest")
+      .option("path", dir).mode("append").save()
+    val all2 = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+    assert(all2.count() == 241L)
+    val pruned = all2.filter(col("bucket") === 0L)
+    // the NULL-partition file must NOT be scanned
+    assert(pruned.rdd.getNumPartitions == 2,
+      pruned.rdd.getNumPartitions)
+    assert(all2.filter(col("bucket").isNull).count() == 1L)
+  }
+
+  test("writeStream.format(\"graft-manifest\"): the DSv2 streaming " +
+      "sink commits one tagged version per epoch — exactly-once " +
+      "across checkpoint replays, composing CDC source → manifest " +
+      "sink end-to-end at the SQL surface") {
+    import graft.sources.ManifestTable
+    val srcDir = Files.createTempDirectory("graft-ss-src").toString
+    val sinkDir = Files.createTempDirectory("graft-ss-sink").toString
+    val ckpt = Files.createTempDirectory("graft-ss-ck").toString
+    ManifestTable.commit((1L to 10L).toDF("k").coalesce(1), srcDir,
+      append = true)
+    ManifestTable.commit((11L to 25L).toDF("k").coalesce(1), srcDir,
+      append = true)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-manifest")
+        .option("path", srcDir).load()
+        .writeStream.format("graft-manifest")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // one committed version per epoch (2 source versions = 2 epochs)
+    assert(ManifestTable.read(spark, sinkDir)
+      .as[Long].collect().toSet == (1L to 25L).toSet)
+    val vAfter = ManifestTable.versions(sinkDir).size
+    // same checkpoint: nothing re-delivers, nothing re-commits
+    drain()
+    assert(ManifestTable.versions(sinkDir).size == vAfter,
+      "checkpoint replay must not double-commit")
+    assert(ManifestTable.read(spark, sinkDir).count() == 25L)
+    // a new source commit lands as ONE new epoch commit
+    ManifestTable.commit((26L to 30L).toDF("k").coalesce(1), srcDir,
+      append = true)
+    drain()
+    assert(ManifestTable.read(spark, sinkDir)
+      .as[Long].collect().toSet == (1L to 30L).toSet)
+    // the sink's versions carry the stream's idempotence tags
+    val hist = ManifestTable.history(spark, sinkDir)
+      .select("tag").as[String].collect()
+    assert(hist.forall(_.startsWith("stream:")), hist.mkString(","))
   }
 
   test("compactClustered survives extreme long domains (min/max near " +

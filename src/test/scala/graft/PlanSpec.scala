@@ -857,4 +857,92 @@ class PlanSpec extends SparkSpec {
     assert(specs.subsetOf(Set("doc_a", "doc_b", "doc_id")),
       s"any window must key on document columns, got $specs:\n$plan")
   }
+
+  test("DSv2 statistics: the manifest scan reports manifest-derived " +
+      "size/rows (pruned), and Catalyst broadcasts a small manifest " +
+      "dim BECAUSE of them — SMJ once the threshold drops below the " +
+      "reported size") {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("graft-stats-dim").toString
+    val factDir = java.nio.file.Files
+      .createTempDirectory("graft-stats-fact").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    // dim: 4 ZONE-DISJOINT files (~300 rows total, a few KB); fact:
+    // orders replicated 4× (~150 KB) so only the dim sits under the
+    // broadcast threshold
+    val dimBase = orders.filter(col("o_orderkey") % 5 === 0)
+      .select("o_orderkey", "o_orderpriority")
+    // sf0.001 orderkeys are dense in [0, 1500): quartile the range
+    val bounds = Seq((Long.MinValue, 375L), (375L, 750L),
+      (750L, 1125L), (1125L, Long.MaxValue))
+    for ((lo, hi) <- bounds) {
+      ManifestTable.commitWithStats(
+        dimBase.filter(col("o_orderkey") > lo &&
+          col("o_orderkey") <= hi).coalesce(1),
+        dimDir, append = true, "o_orderkey")
+    }
+    val factBase = orders.select("o_orderkey", "o_custkey")
+    ManifestTable.commitWithStats(
+      factBase.union(factBase).union(factBase).union(factBase)
+        .coalesce(1),
+      factDir, append = true, "o_orderkey")
+    val dim = spark.read.format("graft-manifest")
+      .option("path", dimDir).load()
+    // the relation's reported stats are the manifest's: exact row
+    // count (#nrows lines), file-size bytes — never the
+    // defaultSizeInBytes=Long.Max fallback
+    val st = dim.queryExecution.optimizedPlan.stats
+    assert(st.sizeInBytes < 65536L,
+      s"manifest stats must reach the plan: ${st.sizeInBytes}")
+    assert(st.rowCount.contains(BigInt(dimBase.count())),
+      s"numRows must be the manifest's exact count: ${st.rowCount}")
+    // zone pruning compounds into the estimate: the PUSHED scan (the
+    // one join planning sees after V2ScanRelationPushDown) reports
+    // one surviving file's bytes, not the table's
+    val pushedBuilder = new graft.sources.ManifestScanBuilder(
+      dim.schema, graft.sources.ManifestV2Options(dimDir, None))
+    pushedBuilder.pushFilters(Array(
+      org.apache.spark.sql.sources.LessThanOrEqual(
+        "o_orderkey", Long.box(300L))))
+    val prunedSt = pushedBuilder.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics]
+      .estimateStatistics()
+    assert(prunedSt.sizeInBytes.getAsLong < st.sizeInBytes.toLong,
+      s"pruned scan must report pruned size: " +
+        s"${prunedSt.sizeInBytes} vs ${st.sizeInBytes}")
+    val fact = spark.read.format("graft-manifest")
+      .option("path", factDir).load()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevThresh = spark.conf.get(
+      "spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // dim (~a few KB) under the threshold, fact above it: the
+      // ONLY way the planner can pick BHJ here is our reported stats
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      val joined = fact.join(dim, "o_orderkey")
+        .agg(count(lit(1)))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"stats-driven broadcast expected:\n$plan")
+      // drop the threshold below the dim's reported bytes: the same
+      // join must fall back to a shuffle join — proving the decision
+      // tracked the REPORTED size, not a hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+      val plan2 = fact.join(dim, "o_orderkey")
+        .agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(!plan2.contains("BroadcastHashJoin") &&
+          (plan2.contains("SortMergeJoin") ||
+            plan2.contains("ShuffledHashJoin")),
+        s"below-threshold stats must shuffle:\n$plan2")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        prevThresh)
+    }
+  }
 }
