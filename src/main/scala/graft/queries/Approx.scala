@@ -2663,6 +2663,74 @@ object Approx {
           lit((v2 - v1).toLong).as("replay_versions"))
     },
 
+    // LAKEHOUSE PARTITION MAINTENANCE (L37): the partitioned-table
+    // lifecycle end-to-end — two partitioned commits (4 buckets × 2
+    // files), `CALL optimize(partition_col => ...)` compacts ONE
+    // bucket's files (partition-scoped OPTIMIZE: cost scales with
+    // the partition, never the table; the rewritten file keeps its
+    // #pval line so pruning still confines a bucket read to one
+    // file), and `TIMESTAMP AS OF` (every publish stamps #at=)
+    // reads the pre-OPTIMIZE snapshot — same rows, 8 files. Values
+    // equal the oracle's recompute; file/partition counts pin the
+    // maintenance behavior.
+    Q("q_e2e_partition_maintain",
+      """SELECT CAST(8 AS BIGINT) AS files_before,
+        |  CAST(7 AS BIGINT) AS files_after,
+        |  CAST(1 AS BIGINT) AS parts_b1,
+        |  CAST((SELECT count(*) FROM orders) AS BIGINT) AS ts_rows,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 4 = 1""".stripMargin) {
+      (s, d) =>
+      s.conf.set("spark.sql.catalog.g_mf",
+        "graft.sources.GraftCatalog")
+      val tbl = "t_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-catalog-root",
+        tbl).toString
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          (col("o_orderkey") % 4).as("bucket"))
+      val bounds0 = orders.agg(min("o_orderkey"),
+        max("o_orderkey")).head()
+      val mid = bounds0.getLong(0) +
+        (bounds0.getLong(1) - bounds0.getLong(0)) / 2
+      for (lower <- Seq(true, false)) {
+        orders.filter(if (lower) col("o_orderkey") <= mid
+            else col("o_orderkey") > mid)
+          .coalesce(1)
+          .write.format("graft-manifest").option("path", dir)
+          .option("partitionColumns", "bucket")
+          .mode("append").save()
+      }
+      val before = graft.sources.ManifestTable
+        .snapshotFor(dir, None).files.size
+      Thread.sleep(5)
+      val tsMid = System.currentTimeMillis()
+      Thread.sleep(5)
+      val opt = s.sql(s"CALL g_mf.optimize(table => '$tbl', " +
+        s"target_bytes => ${Long.MaxValue / 2}, " +
+        "partition_col => 'bucket', partition_value => '1')").head()
+      val b1 = s.read.format("graft-manifest").option("path", dir)
+        .load().filter(col("bucket") === 1L)
+      val partsB1 = b1.rdd.getNumPartitions
+      val iso = java.time.Instant.ofEpochMilli(tsMid)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      val tsRows = s.sql(
+        s"SELECT count(*) FROM g_mf.$tbl TIMESTAMP AS OF '$iso'")
+        .head().getLong(0)
+      b1.agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"))
+        .select(lit(before.toLong).as("files_before"),
+          lit(opt.getInt(2).toLong).as("files_after"),
+          lit(partsB1.toLong).as("parts_b1"),
+          lit(tsRows).as("ts_rows"),
+          col("n_rows"), col("key_sum"))
+    },
+
     // LAYOUT: schema evolution ACROSS manifest commits (S16 × L5) —
     // commit v1 before the status column existed, append v2 with it;
     // the merged-schema snapshot read unions the LIVE files' footers

@@ -168,6 +168,18 @@ class GraftCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version.toLong))
 
+  /** `TIMESTAMP AS OF ts` — resolves to the NEWEST version committed
+    * at or before the timestamp (the Delta convention; Spark hands
+    * the literal over as epoch MICROseconds). Every publish stamps
+    * `#at=<epochMillis>`; pre-stamp manifests fall back to file
+    * mtime. Loud when the timestamp predates retained history. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    load(ident, Some(ManifestTable.versionAt(dir.toString,
+      Math.floorDiv(timestamp, 1000L))))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -339,26 +351,38 @@ private[sources] object GraftProcedures {
 
   /** `CALL graft.optimize(table => 't')` — plain bin-packing
     * compaction; pass `cluster_by => 'a,b'` for the Hilbert-clustered
-    * rewrite (the Scala `compactClustered` seam). Returns the
-    * published version and before/after file counts — the same triple
-    * the Scala API hands back. */
+    * rewrite (the Scala `compactClustered` seam), or
+    * `partition_col/partition_value` to compact ONE partition of a
+    * partitioned table (the `compactPartition` seam — the realistic
+    * 100 TB maintenance shape). Returns the published version and
+    * before/after file counts — the same triple the Scala API hands
+    * back. */
   private final class Optimize(cat: GraftCatalog)
       extends P("optimize") {
     override def description(): String =
-      "compact a manifest table (optionally Hilbert-clustered)"
+      "compact a manifest table (whole, Hilbert-clustered, or one " +
+        "partition)"
     override def parameters(): Array[ProcedureParameter] = Array(
       p("table", StringType),
       pd("target_bytes", LongType, "134217728"),
       pd("cluster_by", StringType, "''"),
-      pd("bits", IntegerType, "12"))
+      pd("bits", IntegerType, "12"),
+      pd("partition_col", StringType, "''"),
+      pd("partition_value", StringType, "''"))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = cat.tableDirOf(input.getUTF8String(0).toString).toString
       val spark = org.apache.spark.sql.SparkSession.active
       val targetBytes = input.getLong(1)
       val clusterBy = input.getUTF8String(2).toString.split(',')
         .map(_.trim).filter(_.nonEmpty).toSeq
+      val partCol = input.getUTF8String(4).toString.trim
+      require(clusterBy.isEmpty || partCol.isEmpty,
+        "optimize takes cluster_by OR partition_col, not both")
       val (v, before, after) =
-        if (clusterBy.isEmpty)
+        if (partCol.nonEmpty)
+          ManifestTable.compactPartition(spark, dir, targetBytes,
+            partCol, input.getUTF8String(5).toString)
+        else if (clusterBy.isEmpty)
           ManifestTable.compact(spark, dir, targetBytes)
         else ManifestTable.compactClustered(spark, dir, targetBytes,
           clusterBy, input.getInt(3))

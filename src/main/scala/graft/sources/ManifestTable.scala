@@ -350,7 +350,12 @@ object ManifestTable {
         case Right(lines) =>
           val v = snapshot.lastOption.getOrElse(0L) + 1L
           val tmp = manifestDir(table).resolve(s".v$v-$nonce.tmp")
-          Files.writeString(tmp, lines.mkString("", "\n", "\n"))
+          // every publish stamps its wall-clock commit time — the
+          // seam TIMESTAMP AS OF resolves against (manifests from
+          // before the stamp existed fall back to file mtime)
+          Files.writeString(tmp,
+            (s"#at=${System.currentTimeMillis()}" +: lines)
+              .mkString("", "\n", "\n"))
           try {
             Files.createLink(manifestDir(table).resolve(s"v$v"), tmp)
             Files.delete(tmp)
@@ -371,6 +376,36 @@ object ManifestTable {
     * quadratic in batch count. */
   private val tagCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[String]]()
+
+  /** A version's commit wall-clock (epoch millis): the `#at=` stamp
+    * every publish writes, or the manifest file's mtime for
+    * pre-stamp manifests. Cached — manifests are immutable. */
+  private val atCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+
+  private def commitTimeOf(table: String, version: Long): Long =
+    atCache.computeIfAbsent(
+      (Paths.get(table).toAbsolutePath.toString, version),
+      _ => {
+        val p = manifestDir(table).resolve(s"v$version")
+        Files.readAllLines(p).asScala.collectFirst {
+          case l if l.startsWith("#at=") => l.drop(4).toLong
+        }.getOrElse(Files.getLastModifiedTime(p).toMillis)
+      })
+
+  /** TIMESTAMP AS OF resolution: the NEWEST version committed at or
+    * before `epochMillis` (the Delta convention). Loud when the
+    * timestamp predates the table's oldest retained version — time
+    * travel cannot answer from vacuumed history. */
+  def versionAt(table: String, epochMillis: Long): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no committed snapshot under $table")
+    val at = vs.filter(v => commitTimeOf(table, v) <= epochMillis)
+    require(at.nonEmpty,
+      s"timestamp $epochMillis predates the oldest retained version " +
+        s"of $table (v${vs.head} at ${commitTimeOf(table, vs.head)})")
+    at.last
+  }
 
   private def tagOf(table: String, version: Long): Option[String] =
     tagCache.computeIfAbsent(
@@ -1650,6 +1685,122 @@ object ManifestTable {
         carried ++ stagedFiles)
     }
     (v, files.size, after)
+  }
+
+  /** Candidate `#pval=` encodings of a user-supplied partition
+    * value: typed values encode directly (the canonical int64 / hex
+    * forms); a STRING value — the SQL CALL surface — additionally
+    * tries the integer and date renderings, and the file match picks
+    * whichever encoding the partition actually carries. */
+  private def pvalCandidates(value: Any): Set[String] = value match {
+    case null => Set("N")
+    case s: String =>
+      Set("S:" + StrStat.hex(StrStat.bytesOf(s))) ++
+        scala.util.Try(s.trim.toLong).toOption.map(l => s"L:$l") ++
+        scala.util.Try(java.time.LocalDate.parse(s.trim).toEpochDay)
+          .toOption.map(d => s"L:$d")
+    case l: Long => Set(s"L:$l")
+    case i: Int => Set(s"L:${i.toLong}")
+    case d: java.sql.Date => Set(s"L:${d.toLocalDate.toEpochDay}")
+    case d: java.time.LocalDate => Set(s"L:${d.toEpochDay}")
+    case t: java.sql.Timestamp => Set(
+      s"L:${Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L}")
+    case i: java.time.Instant => Set(
+      s"L:${Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000L}")
+    case other => throw new IllegalArgumentException(
+      s"unsupported partition value type: ${other.getClass}")
+  }
+
+  /** Partition-scoped OPTIMIZE — the realistic maintenance shape
+    * for partitioned tables at 100 TB (compact yesterday's
+    * partition, never the table): bin-packs and rewrites ONLY the
+    * files whose `#pval=` tuple matches `partCol = value`, each FULL
+    * partition tuple independently (multi-column layouts never merge
+    * across partitions). Outputs inherit their tuple's pval lines
+    * and re-derived zone stats (one scan of just-written hot data —
+    * partition-sized by construction); DV'd inputs rewrite through
+    * their mask, paying down merge-on-read debt. Everything else is
+    * carried by reference: cost scales with the selected partition's
+    * bytes, not the table's. Same optimistic conflict rules as
+    * [[compact]]. */
+  def compactPartition(spark: SparkSession, table: String,
+      targetBytes: Long, partCol: String, value: Any)
+      : (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    require(targetBytes > 0,
+      s"targetBytes must be positive: $targetBytes")
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no published version in $table")
+    val latest = vs.last
+    val m0 = manifestOf(table, latest)
+    val cands = pvalCandidates(value)
+    val eligible = m0.files.filter(f =>
+      m0.pvals.getOrElse(f, Seq.empty)
+        .exists { case (c, e) => c == partCol && cands.contains(e) })
+    require(eligible.nonEmpty,
+      s"no live file of $table carries partition $partCol=$value — " +
+        "nothing to compact (check the column and value)")
+    val root = Paths.get(table)
+    def hasDv(f: String): Boolean = m0.dvs.get(f).exists(_.nonEmpty)
+    val byTuple = eligible
+      .groupBy(f => m0.pvals.getOrElse(f, Seq.empty).sorted)
+      .toSeq.sortBy(_._1.mkString("|"))
+    val todo = byTuple.filter { case (_, fs) =>
+      fs.size > 1 || fs.exists(hasDv) }
+    if (todo.isEmpty) return (latest, m0.files.size, m0.files.size)
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val stagedAll = todo.zipWithIndex.map { case ((tuple, fs), gi) =>
+      val src = spark.read.option("mergeSchema", "true")
+        .parquet(fs.map(f => root.resolve(f).toString): _*)
+      val dataCols = src.columns.toSeq
+      val bytes = fs.map(f => Files.size(root.resolve(f))).sum
+      val nOut = math.max(1L,
+        (bytes + targetBytes - 1) / targetBytes).toInt
+      val outDir = Paths.get(table, "data", s"cp-$nonce-$gi")
+      maskDvs(spark, withFilePos(src), m0.dvs, fs)
+        .select(dataCols.map(col): _*)
+        .coalesce(nOut)
+        .write.mode("errorifexists").parquet(outDir.toString)
+      val outs = Using.resource(Files.list(outDir)) { st =>
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+          .toSeq.sorted.map(n => s"data/cp-$nonce-$gi/$n")
+      }
+      val counted = fs.filterNot(f => m0.rows.get(f).contains(0L))
+      val common =
+        if (counted.isEmpty) Seq.empty[String]
+        else counted.map(f =>
+            (m0.stats.getOrElse(f, Seq.empty).map(_._1) ++
+              m0.sstats.getOrElse(f, Seq.empty).map(_._1)).toSet)
+          .reduce(_ intersect _).toSeq.sorted
+      val (st, ss, rw) = fileMeta(spark, outDir.toString,
+        s"data/cp-$nonce-$gi", common, outs)
+      (tuple, outs, st, ss, rw)
+    }
+    val rewritten = todo.flatMap(_._2).toSet
+    var after = 0
+    val v = publishLoop(table, nonce, "compactPartition") { snapshot =>
+      val cur = manifestOf(table, snapshot.last)
+      require(rewritten.subsetOf(cur.files.toSet),
+        s"concurrent rewrite removed a partition-OPTIMIZE input of " +
+          s"$table — aborting rather than resurrecting dropped rows")
+      require(rewritten.forall(f => cur.dvs.getOrElse(f, Seq.empty) ==
+          m0.dvs.getOrElse(f, Seq.empty)),
+        s"concurrent DV landed on a partition-OPTIMIZE input of " +
+          s"$table — aborting rather than resurrecting the rival's " +
+          "deletes")
+      val carried = cur.files.filterNot(rewritten.contains)
+      val stagedLines = stagedAll.flatMap {
+        case (tuple, outs, st, ss, rw) =>
+          metaLines(outs, st, rw, sstats = ss,
+            pvals = outs.map(o => o -> tuple).toMap)
+      }
+      val stagedFiles = stagedAll.flatMap(_._2)
+      after = carried.size + stagedFiles.size
+      Right(cur.metaLinesFor(carried) ++ stagedLines ++
+        carried ++ stagedFiles)
+    }
+    (v, m0.files.size, after)
   }
 
   /** OPTIMIZE with RE-CLUSTERING — Delta's `OPTIMIZE ZORDER BY` /

@@ -2547,6 +2547,123 @@ class PipelineSpec extends SparkSpec {
     assert(hist.forall(_.startsWith("stream:")), hist.mkString(","))
   }
 
+  test("TIMESTAMP AS OF: every publish stamps #at, SQL time travel " +
+      "resolves to the newest version at-or-before the timestamp, " +
+      "and a pre-history timestamp is loud") {
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("graft-tt").toString
+    spark.conf.set("spark.sql.catalog.gtt",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtt.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dir = s"$root/$t"
+    val before = System.currentTimeMillis() - 5
+    ManifestTable.commit((1L to 10L).toDF("k").coalesce(1), dir,
+      append = true)
+    Thread.sleep(5)
+    val betwixt = System.currentTimeMillis()
+    Thread.sleep(5)
+    ManifestTable.commit((11L to 20L).toDF("k").coalesce(1), dir,
+      append = true)
+    assert(ManifestTable.versionAt(dir, betwixt) == 1L)
+    assert(ManifestTable.versionAt(dir,
+      System.currentTimeMillis()) == 2L)
+    intercept[IllegalArgumentException] {
+      ManifestTable.versionAt(dir, before)
+    }
+    // the SQL face: TIMESTAMP AS OF through the catalog (session
+    // timezone is UTC — format the instant accordingly)
+    val iso = java.time.Instant.ofEpochMilli(betwixt)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM gtt.$t TIMESTAMP AS OF '$iso'")
+      .head().getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) FROM gtt.$t")
+      .head().getLong(0) == 20L)
+  }
+
+  test("compactPartition: partition-scoped OPTIMIZE rewrites only " +
+      "the matching partition's files (pvals and pruning survive), " +
+      "carries every other partition by reference, and rides the " +
+      "SQL CALL surface") {
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("graft-cpart").toString
+    spark.conf.set("spark.sql.catalog.gcp",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcp.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dir = s"$root/$t"
+    // two commits × 3 buckets = 6 files, 2 per bucket
+    for (c <- 0 to 1) {
+      (1L to 90L).map(i => (i + 90 * c, i % 3))
+        .toDF("k", "bucket")
+        .coalesce(1).write.format("graft-manifest")
+        .option("path", dir)
+        .option("partitionColumns", "bucket")
+        .option("statsColumns", "k")
+        .mode("append").save()
+    }
+    assert(ManifestTable.snapshotFor(dir, None).files.size == 6)
+    val (v, before, after) = ManifestTable.compactPartition(spark,
+      dir, targetBytes = Long.MaxValue / 2, "bucket", 0L)
+    assert(v == 3L && before == 6 && after == 5, s"$v/$before/$after")
+    val snap = ManifestTable.snapshotFor(dir, None)
+    // the compacted partition file keeps its #pval line → pruning
+    // still confines a bucket=0 read to ONE file
+    val df = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+    val b0 = df.filter(col("bucket") === 0L)
+    assert(b0.rdd.getNumPartitions == 1, b0.rdd.getNumPartitions)
+    assert(b0.count() == 60L)
+    // other partitions untouched (2 files each)
+    assert(df.filter(col("bucket") === 1L).rdd.getNumPartitions == 2)
+    assert(df.count() == 180L)
+    // SQL surface: CALL optimize(partition_col, partition_value)
+    val opt = spark.sql(s"CALL gcp.optimize(table => '$t', " +
+      s"target_bytes => ${Long.MaxValue / 2}, " +
+      "partition_col => 'bucket', partition_value => '1')").head()
+    assert(opt.getInt(1) == 5 && opt.getInt(2) == 4, opt.toString)
+    assert(spark.read.format("graft-manifest").option("path", dir)
+      .load().filter(col("bucket") === 1L)
+      .rdd.getNumPartitions == 1)
+    // a value matching no partition is loud
+    assert(intercept[Exception] {
+      spark.sql(s"CALL gcp.optimize(table => '$t', " +
+        "partition_col => 'bucket', partition_value => '9')")
+    }.getMessage.contains("nothing to compact"))
+  }
+
+  test("partitioned streaming sink: writeStream with " +
+      "partitionColumns splits epochs by value and the sink's " +
+      "partition pruning works") {
+    import graft.sources.ManifestTable
+    val srcDir = Files.createTempDirectory("graft-pss-src").toString
+    val sinkDir = Files.createTempDirectory("graft-pss-sink").toString
+    ManifestTable.commit(
+      (1L to 60L).map(i => (i, i % 2)).toDF("k", "par").coalesce(1),
+      srcDir, append = true)
+    val q = spark.readStream.format("graft-manifest")
+      .option("path", srcDir).load()
+      .writeStream.format("graft-manifest")
+      .option("path", sinkDir)
+      .option("partitionColumns", "par")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-pss-ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val snap = ManifestTable.snapshotFor(sinkDir, None)
+    assert(snap.files.size == 2 &&
+      snap.files.forall(_.contains("par=")), snap.files.toString)
+    val even = spark.read.format("graft-manifest")
+      .option("path", sinkDir).load()
+      .filter(col("par") === 0L)
+    assert(even.rdd.getNumPartitions == 1)
+    assert(even.count() == 30L)
+  }
+
   test("compactClustered survives extreme long domains (min/max near " +
       "the int64 edges) via decimal scaling") {
     import graft.sources.ManifestTable
