@@ -1056,10 +1056,13 @@ class ManifestRowScan(required: StructType, opts: ManifestV2Options,
 
 /** The replacement write: stages rows exactly like the append path
   * (typed streamed zone bounds over every column ALL live files
-  * carry zones for), then ONE [[ManifestTable.publishReplace]] swaps
-  * the operation scan's files for the staged outputs. A replacement
-  * that empties the table stages one explicit empty file so the
-  * snapshot keeps its schema. */
+  * carry zones for; a PARTITIONED table's replacement splits per
+  * partition tuple and re-records `#pval=` lines, so SQL MERGE
+  * doesn't erode partition pruning any more than zone pruning), then
+  * ONE [[ManifestTable.publishReplace]] swaps the operation scan's
+  * files for the staged outputs. A replacement that empties the
+  * table stages one explicit empty file so the snapshot keeps its
+  * schema. */
 class ManifestReplaceWrite(schema: StructType,
     opts: ManifestV2Options, op: ManifestRowLevelOperation)
     extends org.apache.spark.sql.connector.write.BatchWrite {
@@ -1070,23 +1073,30 @@ class ManifestReplaceWrite(schema: StructType,
   // zone columns every LIVE file carries (intersection is
   // conservative vs the replaced subset's — recording fewer columns
   // only costs pruning opportunity, never correctness), restricted
-  // to columns present in the replacement schema
-  private val statsCols: Seq[String] = {
+  // to columns present in the replacement schema; partition columns
+  // the same way (partition cols live IN the data, so the split
+  // writer can re-derive each output's tuple)
+  private val (statsCols: Seq[String], partCols: Seq[String]) = {
     val pinned = ManifestV2.resolvePinned(opts)
     val root = java.nio.file.Paths.get(opts.path)
     val rels = pinned.slices.map(s =>
       root.relativize(java.nio.file.Paths.get(s.path)).toString)
-    if (rels.isEmpty) Seq.empty
-    else rels.map(f =>
-        (pinned.stats.getOrElse(f, Seq.empty).map(_._1) ++
-          pinned.sstats.getOrElse(f, Seq.empty).map(_._1)).toSet)
-      .reduce(_ intersect _).toSeq.sorted
+    val sc =
+      if (rels.isEmpty) Seq.empty[String]
+      else rels.map(f =>
+          (pinned.stats.getOrElse(f, Seq.empty).map(_._1) ++
+            pinned.sstats.getOrElse(f, Seq.empty).map(_._1)).toSet)
+        .reduce(_ intersect _).toSeq.sorted
+        .filter(schema.fieldNames.contains)
+    val pc = ManifestV2.partitionColsOf(pinned)
       .filter(schema.fieldNames.contains)
+    (sc, pc)
   }
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    ManifestWriterFactory(schema, opts.path, nonce, statsCols)
+    ManifestWriterFactory(schema, opts.path, nonce, statsCols,
+      partCols)
 
   override def commit(msgs: Array[WriterCommitMessage]): Unit = {
     require(op.scan != null,
@@ -1120,8 +1130,10 @@ class ManifestReplaceWrite(schema: StructType,
     val expectDvs = op.scan.pinned.slices.map(s =>
       root.relativize(java.nio.file.Paths.get(s.path)).toString ->
         s.dv.toSeq).toMap
+    val pvals = files.flatMap(f =>
+      if (f.pvals.isEmpty) None else Some(f.rel -> f.pvals)).toMap
     ManifestTable.publishReplace(opts.path, replaced, staged, stats,
-      sstats, rows, expectDvs)
+      sstats, rows, expectDvs, pvals)
     ()
   }
 

@@ -275,7 +275,8 @@ object ManifestTable {
       stats: Map[String, Seq[(String, Long, Long)]],
       sstats: Map[String, Seq[(String, String, String)]],
       rows: Map[String, Long],
-      expectDvs: Map[String, Seq[Long]]): Long = {
+      expectDvs: Map[String, Seq[Long]],
+      pvals: Pvals = noPvals): Long = {
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val replacedSet = replaced.toSet
     publishLoop(table, nonce, "publishReplace") { snapshot =>
@@ -292,7 +293,8 @@ object ManifestTable {
           "deletes")
       val carried = cur.files.filterNot(replacedSet)
       Right(cur.metaLinesFor(carried) ++
-        metaLines(staged, stats, rows, sstats = sstats) ++
+        metaLines(staged, stats, rows, sstats = sstats,
+          pvals = pvals) ++
         carried ++ staged)
     }
   }

@@ -2664,6 +2664,49 @@ class PipelineSpec extends SparkSpec {
     assert(even.count() == 30L)
   }
 
+  test("SQL MERGE INTO a partitioned table: replacement files " +
+      "re-record their #pval lines, so partition pruning survives " +
+      "the copy-on-write rewrite") {
+    import graft.sources.ManifestTable
+    val root = Files.createTempDirectory("graft-mpart").toString
+    spark.conf.set("spark.sql.catalog.gmp",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmp.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dir = s"$root/$t"
+    spark.sql(s"CREATE TABLE gmp.$t (k BIGINT, bucket BIGINT, " +
+      s"v BIGINT) USING `graft-manifest` PARTITIONED BY (bucket)")
+    val view = "v_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    (1L to 90L).map(i => (i, i % 3, i)).toDF("k", "bucket", "v")
+      .coalesce(1).createOrReplaceTempView(view)
+    spark.sql(s"INSERT INTO gmp.$t SELECT * FROM $view WHERE k <= 45")
+    spark.sql(s"INSERT INTO gmp.$t SELECT * FROM $view WHERE k > 45")
+    assert(ManifestTable.snapshotFor(dir, None).files.size == 6)
+    val upd = "u_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    Seq((3L, 1003L), (6L, 1006L), (9L, 1009L)).toDF("k", "v")
+      .createOrReplaceTempView(upd)
+    spark.sql(
+      s"""MERGE INTO gmp.$t tgt USING $upd src ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET tgt.v = src.v""".stripMargin)
+    val snap = ManifestTable.snapshotFor(dir, None)
+    // every live file still carries its partition tuple — the
+    // replacement split writer re-recorded the rewritten file's pval
+    assert(snap.files.forall(f =>
+      snap.pvals.getOrElse(f, Seq.empty).nonEmpty),
+      s"a MERGE output lost its #pval line: ${snap.pvals}")
+    val df = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+    // untouched partition: still its 2 original files
+    assert(df.filter(col("bucket") === 2L).rdd.getNumPartitions == 2)
+    // the merged partition still prunes to exactly its files
+    val b0files = snap.files.count(f =>
+      snap.pvals.getOrElse(f, Seq.empty).contains(("bucket", "L:0")))
+    assert(df.filter(col("bucket") === 0L)
+      .rdd.getNumPartitions == b0files)
+    assert(df.agg(sum("v")).head().getLong(0) ==
+      (1L to 90L).sum - (3L + 6L + 9L) + (1003L + 1006L + 1009L))
+  }
+
   test("compactClustered survives extreme long domains (min/max near " +
       "the int64 edges) via decimal scaling") {
     import graft.sources.ManifestTable
