@@ -388,11 +388,24 @@ class ManifestV2Table(schema: StructType, opts: ManifestV2Options,
 class ManifestScanBuilder(fullSchema: StructType,
     opts: ManifestV2Options)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var countOnly: Option[Long] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT k plans only as many files as the manifest's `#nrows=`
+    * counts PROVE can satisfy k live rows — `SELECT * FROM t LIMIT
+    * 10` on a million-file table opens one file. PARTIAL pushdown
+    * (returns false): Spark keeps its own LocalLimit above the scan,
+    * so uncounted files (which contribute an unknown ≥0 rows and are
+    * conservatively kept) can never produce extra rows. */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    false // partial: the scan trims FILES, Spark still trims ROWS
+  }
 
   // ONE resolution serves every planning call of this scan — a
   // concurrent commit between pushFilters, pushAggregation and
@@ -453,7 +466,7 @@ class ManifestScanBuilder(fullSchema: StructType,
 
   override def build(): Scan =
     new ManifestScan(required, pushed, countOnly, opts,
-      () => pinned, fullSchema)
+      () => pinned, fullSchema, limit)
 }
 
 object ManifestScan {
@@ -708,7 +721,8 @@ object ManifestScan {
 
 class ManifestScan(required: StructType, pushed: Array[Filter],
     countOnly: Option[Long], opts: ManifestV2Options,
-    pinnedF: () => ManifestV2.Pinned, fullSchema: StructType)
+    pinnedF: () => ManifestV2.Pinned, fullSchema: StructType,
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   private lazy val pinned = pinnedF()
@@ -730,7 +744,7 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
     val strRanges = ManifestScan.strRangesOf(pushed.toSeq, fullSchema)
     val inLongs = ManifestScan.longInSetsOf(pushed.toSeq, fullSchema)
     val inStrs = ManifestScan.strInSetsOf(pushed.toSeq, fullSchema)
-    pinned.slices.filter { s =>
+    val kept = pinned.slices.filter { s =>
       val rel = root.relativize(
         java.nio.file.Paths.get(s.path)).toString
       ManifestScan.survivesAll(s.rows,
@@ -738,6 +752,32 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
         pinned.sstats.getOrElse(rel, Seq.empty),
         pinned.pvals.getOrElse(rel, Seq.empty),
         longRanges, strRanges, inLongs, inStrs)
+    }
+    limit match {
+      case None => kept
+      // the trim is only sound when NO residual predicate sits above
+      // (our pushed filters are all residual — a row-level filter
+      // could drop proven rows, making later files load-bearing);
+      // Spark only offers pushLimit on direct Limit-over-scan plans
+      // today, but guard rather than trust that forever
+      case Some(_) if pushed.nonEmpty => kept
+      case Some(k) =>
+        // pushed LIMIT (partial): keep files only until the
+        // manifest's counted LIVE rows prove k is satisfiable —
+        // uncounted files contribute an unknown ≥0, so the running
+        // proof only advances on counted ones and the cut is always
+        // conservative; Spark's LocalLimit above trims the rows
+        var proven = 0L
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[ManifestV2.FileSlice]
+        val it = kept.iterator
+        while (it.hasNext && proven < k) {
+          val s = it.next()
+          out += s
+          proven += s.rows.map(r => math.max(r - s.dv.length, 0L))
+            .getOrElse(0L)
+        }
+        out.toSeq
     }
   }
 

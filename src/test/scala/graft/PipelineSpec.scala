@@ -2707,6 +2707,44 @@ class PipelineSpec extends SparkSpec {
       (1L to 90L).sum - (3L + 6L + 9L) + (1003L + 1006L + 1009L))
   }
 
+  test("LIMIT pushdown: the manifest scan plans only as many files " +
+      "as the #nrows counts prove sufficient; residual filters " +
+      "disable the trim; values stay exact") {
+    import graft.sources.{ManifestTable, ManifestScanBuilder, ManifestV2Options}
+    val dir = Files.createTempDirectory("graft-limit").toString
+    for (c <- 0 to 3) {
+      ManifestTable.commitWithStats(
+        (1L to 25L).map(i => i + 25 * c).toDF("k").coalesce(1),
+        dir, append = true, "k")
+    }
+    val df = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+    def scanOf(limit: Option[Int],
+        filters: Array[org.apache.spark.sql.sources.Filter]) = {
+      val b = new ManifestScanBuilder(df.schema,
+        ManifestV2Options(dir, None))
+      b.pushFilters(filters)
+      limit.foreach(b.pushLimit)
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+    }
+    // LIMIT 10 ≤ one file's 25 counted rows → ONE InputPartition
+    assert(scanOf(Some(10), Array.empty)
+      .planInputPartitions().length == 1)
+    // LIMIT 60 needs three 25-row files
+    assert(scanOf(Some(60), Array.empty)
+      .planInputPartitions().length == 3)
+    // a residual filter disables the trim (later files may hold the
+    // matching rows)
+    assert(scanOf(Some(1), Array(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("k", 90L)))
+      .planInputPartitions().length == 1) // zone-pruned, not trimmed
+    // end-to-end: values exact through the planner
+    assert(df.limit(10).collect().length == 10)
+    assert(spark.read.format("graft-manifest").option("path", dir)
+      .load().orderBy("k").limit(3).as[Long].collect().toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("compactClustered survives extreme long domains (min/max near " +
       "the int64 edges) via decimal scaling") {
     import graft.sources.ManifestTable
