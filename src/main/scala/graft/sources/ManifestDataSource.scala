@@ -47,10 +47,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *    ZERO rewritten data files;
   *  - **streaming CDC source**: `spark.readStream
   *    .format("graft-manifest")` with `.option("startingVersion",
-  *    v)` serves each committed version's ADDED files as one
-  *    micro-batch (the Delta CDF / Iceberg incremental-read shape) —
-  *    offsets are manifest versions, manifests are immutable, so
-  *    checkpoint replays re-plan identical batches (exactly-once).
+  *    v)` (INCLUSIVE, the Delta convention) serves each committed
+  *    version's ADDED files as ONE micro-batch (admission-controlled
+  *    — pending versions never coalesce) — offsets are manifest
+  *    versions, manifests are immutable, so checkpoint replays
+  *    re-plan identical batches (exactly-once);
+  *  - **planner statistics**: the scan reports
+  *    `SupportsReportStatistics` from the manifest's free metadata
+  *    (file bytes, `#nrows=` minus DV cardinalities), POST-pruning —
+  *    Catalyst broadcasts small manifest dims at plan time;
+  *  - **hive-style partitioning**: `partitionColumns` writes split
+  *    per value with exact `#pval=` lines; partition Eq/range/IN
+  *    predicates prune BEFORE zone stats, `partitioning()` exposes
+  *    the identity transforms, appends inherit the layout;
+  *  - **LIMIT pushdown** (partial): `LIMIT k` plans only the files
+  *    whose counted rows prove k satisfiable;
+  *  - **streaming sink**: `writeStream.format("graft-manifest")`
+  *    commits ONE tagged version per epoch
+  *    (`stream:<queryId>:<epochId>`) — checkpoint replays
+  *    short-circuit, exactly-once at the SQL surface.
   *
   * The partition reader decodes parquet directly via parquet-mr's
   * Group API (the same bundled library Spark's own scan uses
