@@ -67,6 +67,27 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // lifecycle queries (manifest tables, sinks, checkpoints) write
+    // their transient state under a DEDICATED per-run workspace
+    // instead of shared /tmp — their I/O timing samples were the
+    // bench's only flaky family (3× same-JVM swings on the compact
+    // legs, all filesystem noise). Swept on exit.
+    val wsRoot = java.nio.file.Paths.get(".", "target")
+    java.nio.file.Files.createDirectories(wsRoot)
+    val ws = java.nio.file.Files.createTempDirectory(wsRoot,
+      "bench-ws-")
+    sys.props("graft.work.dir") = ws.toString
+    sys.addShutdownHook {
+      try {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.walk(ws)) { st =>
+          st.sorted(java.util.Comparator
+            .reverseOrder[java.nio.file.Path]())
+            .iterator().asScala
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      } catch { case _: Throwable => () }
+    }
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

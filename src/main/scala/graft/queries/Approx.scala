@@ -1133,8 +1133,7 @@ object Approx {
         |FROM b
         |WHERE x <= 63 AND y <= 63 AND z <= 63""".stripMargin) {
       (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-prune3d-q").toString
+      val table = workDir("graft-prune3d-q")
       val bucketed = t(s, d, "orders")
         .select(col("o_orderkey"),
           (col("o_orderkey") % 128).as("x"),
@@ -1304,8 +1303,7 @@ object Approx {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders
         |ORDER BY snap""".stripMargin) { (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-manifest-q").toString
+      val table = workDir("graft-manifest-q")
       val orders = t(s, d, "orders").select("o_orderkey")
       graft.sources.ManifestTable.commit(
         orders.filter(col("o_orderkey") % 2 === 0), table, append = false)
@@ -1333,8 +1331,7 @@ object Approx {
         |  CAST(count(*) AS BIGINT) AS latest_rows,
         |  CAST(sum(o_orderkey) AS BIGINT) AS latest_key_sum
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin) { (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-vacuum-q").toString
+      val table = workDir("graft-vacuum-q")
       val orders = t(s, d, "orders").select("o_orderkey")
       for (m <- 1 to 3) {
         graft.sources.ManifestTable.commit(
@@ -1369,8 +1366,7 @@ object Approx {
         |FROM orders
         |WHERE o_orderkey BETWEEN 5000 AND 7000""".stripMargin) {
       (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-prune-q").toString
+      val table = workDir("graft-prune-q")
       val orders = t(s, d, "orders").select("o_orderkey")
       val bounds = Seq((-1L, 4000L), (4000L, 8000L),
         (8000L, 12000L), (12000L, Long.MaxValue))
@@ -1405,8 +1401,7 @@ object Approx {
         |  CAST(sum(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS v1_rows
         |FROM orders""".stripMargin) { (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-compact-q").toString
+      val table = workDir("graft-compact-q")
       val orders = t(s, d, "orders").select("o_orderkey")
       for (m <- 0 to 3) {
         graft.sources.ManifestTable.commit(
@@ -1444,8 +1439,7 @@ object Approx {
         |FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin) {
       (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-compact-prune-q").toString
+      val table = workDir("graft-compact-prune-q")
       val orders = t(s, d, "orders").select("o_orderkey")
       val bounds = Seq((-1L, 4000L), (4000L, 8000L),
         (8000L, 12000L), (12000L, Long.MaxValue))
@@ -1499,8 +1493,7 @@ object Approx {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM b WHERE x <= 63 AND y <= 63""".stripMargin) { (s, d) =>
       def build(): String = {
-        val table = java.nio.file.Files
-          .createTempDirectory("graft-cc-q").toString
+        val table = workDir("graft-cc-q")
         val rows = t(s, d, "orders")
           .select(col("o_orderkey"),
             (col("o_orderkey") % 128).as("x"),
@@ -1566,8 +1559,7 @@ object Approx {
         |WHERE o_orderkey BETWEEN 1000 AND 3000
         |  AND o_custkey BETWEEN 100 AND 300""".stripMargin) {
       (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-prune-multi-q").toString
+      val table = workDir("graft-prune-multi-q")
       val orders = t(s, d, "orders").select("o_orderkey", "o_custkey")
       for (okHigh <- Seq(false, true); ckHigh <- Seq(false, true)) {
         val slice = orders
@@ -1609,8 +1601,7 @@ object Approx {
         |FROM orders
         |WHERE o_orderkey NOT BETWEEN 5000 AND 7000""".stripMargin) {
       (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-delete-q").toString
+      val table = workDir("graft-delete-q")
       val orders = t(s, d, "orders").select("o_orderkey")
       val bounds = Seq((-1L, 4000L), (4000L, 8000L),
         (8000L, 12000L), (12000L, Long.MaxValue))
@@ -1658,8 +1649,7 @@ object Approx {
         |  CAST(sum(p) AS BIGINT) AS payload_sum,
         |  CAST(count(*) AS BIGINT) AS meta_rows
         |FROM merged""".stripMargin) { (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-merge-q").toString
+      val table = workDir("graft-merge-q")
       val orders = t(s, d, "orders")
         .select(col("o_orderkey").as("k"), col("o_custkey").as("p"))
       val bounds = Seq((-1L, 4000L), (4000L, 8000L),
@@ -1712,8 +1702,7 @@ object Approx {
         |  CAST(sum(p) AS BIGINT) AS payload_sum,
         |  min(k) AS k_min, max(k) AS k_max
         |FROM merged""".stripMargin) { (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-merge-str-q").toString
+      val table = workDir("graft-merge-str-q")
       val base = t(s, d, "orders")
         .select(concat(lit("k"),
             lpad(col("o_orderkey").cast("string"), 7, "0")).as("k"),
@@ -1764,8 +1753,7 @@ object Approx {
         |FROM orders
         |WHERE o_orderkey NOT BETWEEN 1000 AND 1004""".stripMargin) {
       (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-dv-delete-q").toString
+      val table = workDir("graft-dv-delete-q")
       val orders = t(s, d, "orders").select("o_orderkey")
       val bounds = Seq((-1L, 4000L), (4000L, 8000L),
         (8000L, 12000L), (12000L, Long.MaxValue))
@@ -1817,8 +1805,7 @@ object Approx {
         |  CAST(sum(p) AS BIGINT) AS payload_sum,
         |  CAST(count(*) AS BIGINT) AS meta_rows
         |FROM merged""".stripMargin) { (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-dv-merge-q").toString
+      val table = workDir("graft-dv-merge-q")
       val orders = t(s, d, "orders")
         .select(col("o_orderkey").as("k"), col("o_custkey").as("p"))
       val bounds = Seq((-1L, 4000L), (4000L, 8000L),
@@ -1864,8 +1851,7 @@ object Approx {
         |FROM orders
         |WHERE o_orderkey NOT BETWEEN 1000 AND 1004""".stripMargin) {
       (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-dv-opt-q").toString
+      val table = workDir("graft-dv-opt-q")
       val orders = t(s, d, "orders").select("o_orderkey")
       val bounds = Seq((-1L, 4000L), (4000L, 8000L),
         (8000L, 12000L), (12000L, Long.MaxValue))
@@ -1907,8 +1893,7 @@ object Approx {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders
         |WHERE o_orderkey % 3 IN (1, 2)""".stripMargin) { (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-changes-q").toString
+      val table = workDir("graft-changes-q")
       val orders = t(s, d, "orders").select("o_orderkey")
       for (m <- 0 to 2) {
         graft.sources.ManifestTable.commit(
@@ -1933,8 +1918,7 @@ object Approx {
       """SELECT CAST(count(*) AS BIGINT) AS meta_rows,
         |  CAST(count(*) AS BIGINT) AS scanned_rows
         |FROM orders""".stripMargin) { (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-count-q").toString
+      val table = workDir("graft-count-q")
       val orders = t(s, d, "orders").select("o_orderkey")
       for (m <- 0 to 2) {
         graft.sources.ManifestTable.commitWithStats(
@@ -1968,8 +1952,7 @@ object Approx {
         |    WHERE o_orderkey <= (SELECT max(o_orderkey) FROM orders)
         |      // 4) AS BIGINT) AS pruned_rows
         |FROM orders""".stripMargin) { (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-bounds-q").toString
+      val table = workDir("graft-bounds-q")
       val orders = t(s, d, "orders").select("o_orderkey")
       val mx = orders.agg(max("o_orderkey")).head.getLong(0)
       graft.sources.ManifestTable.commitWithStats(
@@ -2015,8 +1998,7 @@ object Approx {
         |FROM orders
         |WHERE o_orderkey BETWEEN 5000 AND 7000""".stripMargin) {
       (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-dsv2-q").toString
+      val table = workDir("graft-dsv2-q")
       val orders = t(s, d, "orders").select("o_orderkey")
       val bounds = Seq((-1L, 4000L), (4000L, 8000L),
         (8000L, 12000L), (12000L, Long.MaxValue))
@@ -2065,8 +2047,7 @@ object Approx {
         |FROM orders
         |WHERE o_orderkey BETWEEN 5000 AND 7000""".stripMargin) {
       (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-dsv2w-q").toString
+      val table = workDir("graft-dsv2w-q")
       val orders = t(s, d, "orders").select("o_orderkey")
       val bounds = Seq((-1L, 4000L), (4000L, 8000L),
         (8000L, 12000L), (12000L, Long.MaxValue))
@@ -2113,8 +2094,7 @@ object Approx {
         |WHERE CAST(o_orderdate AS DATE)
         |    BETWEEN DATE '1995-01-01' AND DATE '1997-12-31'
         |  AND o_orderpriority = '1-URGENT'""".stripMargin) { (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-typed-prune-q").toString
+      val table = workDir("graft-typed-prune-q")
       val orders = t(s, d, "orders").select(col("o_orderkey"),
         to_date(col("o_orderdate")).as("o_date"),
         col("o_orderpriority"))
@@ -2161,8 +2141,7 @@ object Approx {
         |WHERE CAST(o_orderdate AS DATE)
         |    BETWEEN DATE '1995-01-01' AND DATE '1997-12-31'
         |  AND o_orderpriority = '1-URGENT'""".stripMargin) { (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-dsv2-typed-q").toString
+      val table = workDir("graft-dsv2-typed-q")
       val orders = t(s, d, "orders").select(col("o_orderkey"),
         to_date(col("o_orderdate")).as("o_date"),
         col("o_orderpriority"))
@@ -2355,6 +2334,314 @@ object Approx {
           col("n_rows"), col("key_sum"), col("payload_sum"))
     },
 
+    // LAKEHOUSE MERGE-ON-READ SQL MERGE (L39 — SupportsDelta): a
+    // small MERGE INTO a `merge.mode=merge-on-read` catalog table
+    // commits deletion-vector lines keyed by the (_graft_file,
+    // _graft_pos) row id plus ONE appended insert file — ZERO
+    // rewritten data files (the L21 mergeByKeyDv discipline, now
+    // through the planner; the Iceberg position-delta shape). The
+    // oracle recomputes the merged table from source parquet and the
+    // file/DV arithmetic pins the delta: every pre-merge file is
+    // carried byte-identical, exactly one file appends, and the DV
+    // cardinality equals the matched-key count.
+    Q("q_sql_merge_dv",
+      """WITH up AS (SELECT o_orderkey AS k, o_custkey + 500000 AS p
+        |  FROM orders WHERE o_orderkey BETWEEN 5000 AND 5499),
+        |ins AS (SELECT o_orderkey + 5000000 AS k, o_custkey AS p
+        |  FROM orders WHERE o_orderkey < 10),
+        |base AS (SELECT o_orderkey AS k, o_custkey AS p FROM orders),
+        |merged AS (SELECT k, p FROM base
+        |    WHERE k NOT IN (SELECT k FROM up)
+        |  UNION ALL SELECT k, p FROM up
+        |  UNION ALL SELECT k, p FROM ins)
+        |SELECT CAST(0 AS BIGINT) AS files_rewritten,
+        |  CAST(1 AS BIGINT) AS files_added,
+        |  CAST((SELECT count(*) FROM up) AS BIGINT) AS dv_positions,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(p) AS BIGINT) AS payload_sum
+        |FROM merged""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.catalog.g_dv",
+        "graft.sources.GraftCatalog")
+      val tbl = "t_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-catalog-root",
+        tbl).toString
+      // merge.mode lands in the CREATE TABLE marker — the Iceberg
+      // write.merge.mode vocabulary, per-table
+      s.sql(s"CREATE TABLE g_dv.$tbl (k BIGINT, p BIGINT) " +
+        "USING `graft-manifest` " +
+        "TBLPROPERTIES ('merge.mode'='merge-on-read')")
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("p"))
+      val bounds = Seq((-1L, 4000L), (4000L, 8000L),
+        (8000L, 12000L), (12000L, Long.MaxValue))
+      for ((lo, hi) <- bounds) {
+        graft.sources.ManifestTable.commitWithStats(
+          orders.filter(col("k") > lo && col("k") <= hi).coalesce(1),
+          dir, append = true, "k")
+      }
+      val before = graft.sources.ManifestTable
+        .snapshotFor(dir, None).files.toSet
+      val view = "v_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      orders.filter(col("k").between(5000, 5499))
+        .select(col("k"), (col("p") + 500000L).as("p"))
+        .unionByName(orders.filter(col("k") < 10)
+          .select((col("k") + 5000000L).as("k"), col("p")))
+        .createOrReplaceTempView(view)
+      s.sql(
+        s"""MERGE INTO g_dv.$tbl tgt USING $view src ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET tgt.p = src.p
+           |WHEN NOT MATCHED THEN INSERT (k, p) VALUES (src.k, src.p)
+           |""".stripMargin)
+      val snap = graft.sources.ManifestTable.snapshotFor(dir, None)
+      val rewritten = (before -- snap.files.toSet).size
+      val added = (snap.files.toSet -- before).size
+      val dvPositions = snap.dvs.values.map(_.size.toLong).sum
+      s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+          s"CAST(sum(k) AS BIGINT) AS key_sum, " +
+          s"CAST(sum(p) AS BIGINT) AS payload_sum FROM g_dv.$tbl")
+        .select(lit(rewritten.toLong).as("files_rewritten"),
+          lit(added.toLong).as("files_added"),
+          lit(dvPositions).as("dv_positions"),
+          col("n_rows"), col("key_sum"), col("payload_sum"))
+    },
+
+    // LAKEHOUSE RUNTIME FILE PRUNING (L40 — the Delta dynamic-file-
+    // pruning / Iceberg runtime-filtering shape): a manifest FACT
+    // joined to a selective dim gets the dim's join keys broadcast
+    // back as a runtime IN predicate, and the scan re-prunes its
+    // surviving files against the zone metadata at EXECUTION time —
+    // the executed scan reads ONE of the four zone-disjoint files,
+    // though no static predicate touches the fact at all. Values are
+    // the oracle's join recompute; the partition count pins the
+    // runtime skip.
+    Q("q_z_runtime_prune",
+      """SELECT CAST(4 AS BIGINT) AS files_total,
+        |  CAST(1 AS BIGINT) AS parts_runtime,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 5000 AND 5999""".stripMargin) {
+      (s, d) =>
+      val table = workDir("graft-dfp-q")
+      val orders = t(s, d, "orders").select("o_orderkey")
+      val bounds = Seq((-1L, 4000L), (4000L, 8000L),
+        (8000L, 12000L), (12000L, Long.MaxValue))
+      for ((lo, hi) <- bounds) {
+        graft.sources.ManifestTable.commitWithStats(
+          orders.filter(col("o_orderkey") > lo &&
+            col("o_orderkey") <= hi).coalesce(1),
+          table, append = true, "o_orderkey")
+      }
+      val fact = s.read.format("graft-manifest")
+        .option("path", table).load()
+      // the dim's BETWEEN filter is the "likely selective" shape
+      // Spark's dynamic pruning keys on
+      def dim = t(s, d, "orders")
+        .filter(col("o_orderkey").between(5000, 5999))
+        .select(col("o_orderkey").as("k"))
+      def joined = fact.join(broadcast(dim),
+        fact("o_orderkey") === col("k"))
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+      val parts =
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          val plan = joined.queryExecution.executedPlan
+          plan.executeCollect() // runs the pruning subquery + scan
+          plan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.inputRDD.getNumPartitions.toLong
+          }.getOrElse(-1L)
+        } finally {
+          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        }
+      joined.agg(count(lit(1)).as("n_rows"),
+          sum(fact("o_orderkey")).as("key_sum"))
+        .select(lit(fact.rdd.getNumPartitions.toLong)
+            .as("files_total"),
+          lit(parts).as("parts_runtime"),
+          col("n_rows"), col("key_sum"))
+    },
+
+    // LAKEHOUSE VECTORIZED + SPLIT SCAN (L41/L42): a DV-free
+    // manifest scan plans COLUMNAR (Spark's vectorized parquet
+    // reader feeding ColumnarBatches into whole-stage codegen — the
+    // supportsColumnar flag pins it), and one multi-row-group file
+    // splits into row-group-aligned InputPartitions (no straggler
+    // task on a hot compacted file). Values are exact under the
+    // split — the oracle recomputes them from source parquet.
+    Q("q_z_vector_scan",
+      """SELECT CAST(1 AS BIGINT) AS columnar_plan,
+        |  CAST(1 AS BIGINT) AS split_multi,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_partkey) AS BIGINT) AS part_sum,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val table = workDir("graft-vector-q")
+      val hconf = s.sparkContext.hadoopConfiguration
+      val prevBlock = hconf.get("parquet.block.size")
+      try {
+        hconf.set("parquet.block.size", "65536")
+        graft.sources.ManifestTable.commit(
+          t(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey", "l_quantity")
+            .coalesce(1),
+          table, append = false)
+      } finally {
+        if (prevBlock == null) hconf.unset("parquet.block.size")
+        else hconf.set("parquet.block.size", prevBlock)
+      }
+      val df = s.read.format("graft-manifest")
+        .option("path", table).option("splitBytes", "65536").load()
+      val columnar = df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => if (b.supportsColumnar) 1L else 0L
+      }.getOrElse(0L)
+      val splitMulti = if (df.rdd.getNumPartitions > 1) 1L else 0L
+      df.agg(count(lit(1)).as("n_rows"),
+          sum("l_partkey").as("part_sum"),
+          sum(col("l_quantity").cast("long")).as("qty_sum"))
+        .select(lit(columnar).as("columnar_plan"),
+          lit(splitMulti).as("split_multi"),
+          col("n_rows"), col("part_sum"), col("qty_sum"))
+    },
+
+    // LAKEHOUSE STORAGE-PARTITIONED JOIN (L43 — the Iceberg SPJ
+    // shape): two manifest tables hive-partitioned on the same key
+    // report KeyGroupedPartitioning, every InputPartition exposes its
+    // exact `#pval=` tuple as a partition key, and the planner joins
+    // them with ZERO exchange — Spark groups same-key partitions per
+    // side and zips them. The exchange_free flag pins the plan (with
+    // bucketing on, broadcast off); values equal the oracle's plain
+    // join recompute, proving the co-location is invisible to
+    // results.
+    Q("q_z_spj",
+      """SELECT CAST(1 AS BIGINT) AS exchange_free, n.n_name,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(c.c_custkey) AS BIGINT) AS key_sum
+        |FROM customer c JOIN nation n
+        |  ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      val dirA = workDir("graft-spj-qa")
+      val dirB = workDir("graft-spj-qb")
+      t(s, d, "customer").select("c_custkey", "c_nationkey")
+        .write.format("graft-manifest").option("path", dirA)
+        .option("partitionColumns", "c_nationkey")
+        .mode("append").save()
+      t(s, d, "nation").select("n_nationkey", "n_name")
+        .write.format("graft-manifest").option("path", dirB)
+        .option("partitionColumns", "n_nationkey")
+        .mode("append").save()
+      val a = s.read.format("graft-manifest")
+        .option("path", dirA).load()
+      val b = s.read.format("graft-manifest")
+        .option("path", dirB).load()
+      def joined = a.join(b, a("c_nationkey") === b("n_nationkey"))
+      val keys = Seq("spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.sources.v2.bucketing.enabled",
+      graft.sources.ManifestScan.PreserveGroupingKey)
+      val prev = keys.map(k => k -> s.conf.getOption(k))
+      val (flag, agg) =
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.conf.set(graft.sources.ManifestScan.PreserveGroupingKey,
+            "true")
+          val plan = joined.queryExecution.executedPlan.toString
+          val f = if ((plan.contains("SortMergeJoin") ||
+              plan.contains("ShuffledHashJoin")) &&
+              !plan.contains("Exchange")) 1L
+            else 0L
+          // the aggregate runs under the SAME co-located plan
+          (f, joined.groupBy("n_name")
+            .agg(count(lit(1)).as("n_cust"),
+              sum("c_custkey").as("key_sum"))
+            .orderBy("n_name")
+            .collect().toSeq)
+        } finally prev.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _))
+        }
+      import s.implicits._
+      agg.map(r => (flag, r.getString(0), r.getLong(1), r.getLong(2)))
+        .toDF("exchange_free", "n_name", "n_cust", "key_sum")
+        .orderBy("n_name")
+    },
+
+    // LAKEHOUSE NDV COLUMN STATISTICS (L44): every stats-bearing
+    // commit records a per-file `#ndv=` HyperLogLog register sketch
+    // (256 bytes/column, nulls counted), registers merge by byte max
+    // (the HLL union law) over exactly the surviving files, and the
+    // DSv2 scan reports the merged distinctCount/nullCount to
+    // Catalyst as column statistics — CBO join-cardinality
+    // estimation then prices an equi-join at n₁·n₂/max(ndv) instead
+    // of the size product, flipping broadcast decisions (the
+    // decision flip itself is pinned in PlanSpec; here the flag pins
+    // that the estimate is within ±20% of the true NDV and that the
+    // CBO plan broadcasts the NDV-priced join). Values equal the
+    // oracle's join recompute.
+    Q("q_z_ndv_stats",
+      """WITH a AS (SELECT o_orderkey AS k, o_custkey AS p
+        |  FROM orders WHERE o_orderkey < 4000)
+        |SELECT CAST(1 AS BIGINT) AS ndv_close,
+        |  CAST(1 AS BIGINT) AS cbo_broadcast,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(x.k) AS BIGINT) AS key_sum
+        |FROM a x JOIN a y ON x.k = y.k""".stripMargin) { (s, d) =>
+      val dirA = workDir("graft-ndv-qa")
+      val dirB = workDir("graft-ndv-qb")
+      val slice = t(s, d, "orders")
+        .filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("p"))
+      for (dir <- Seq(dirA, dirB); m <- 0 to 1)
+        graft.sources.ManifestTable.commitWithStats(
+          slice.filter(col("k") % 2 === m).coalesce(1),
+          dir, append = true, "k")
+      val exact = slice.count()
+      def rd(dir: String) = s.read.format("graft-manifest")
+        .option("path", dir).load()
+      val keys = Seq("spark.sql.cbo.enabled",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val prev = keys.map(k => k -> s.conf.getOption(k))
+      val (ndvClose, cboBroadcast) =
+        try {
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          // between the NDV-priced subtree estimate (≤4000 rows at
+          // any SF ≈ ≤150 KB) and both the big side's real bytes
+          // (~4 MB) and the no-NDV size-product fallback
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "262144")
+          val est = rd(dirA).queryExecution.optimizedPlan
+            .stats.attributeStats.toSeq.collectFirst {
+              case (a, st) if a.name == "k" =>
+                st.distinctCount.map(_.toLong)
+            }.flatten.getOrElse(-1L)
+          val close = if (math.abs(est - exact) <= exact / 5) 1L
+            else 0L
+          // big third side, incompressible, well over the threshold
+          val big = s.range(300000).select(
+            (col("id") % 4000).as("k"), xxhash64(col("id")).as("q"))
+          val plan = rd(dirA)
+            .join(rd(dirB).withColumnRenamed("p", "p2"), "k")
+            .join(big, "k")
+            .queryExecution.executedPlan.toString
+          (close, if (!plan.contains("SortMergeJoin")) 1L else 0L)
+        } finally prev.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _))
+        }
+      rd(dirA).as("x")
+        .join(rd(dirB).withColumnRenamed("p", "p2").as("y"), "k")
+        .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"))
+        .select(lit(ndvClose).as("ndv_close"),
+          lit(cboBroadcast).as("cbo_broadcast"),
+          col("n_rows"), col("key_sum"))
+    },
+
     // LAKEHOUSE CDC STREAM SOURCE (L29): readStream
     // .format("graft-manifest").option("startingVersion", 2) — the
     // Delta-CDF / Iceberg-incremental-read shape: offsets are
@@ -2372,10 +2659,8 @@ object Approx {
         |  CAST(0 AS BIGINT) AS replay_rows
         |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin) {
       (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-cdc-q").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-cdc-q-ckpt").toString
+      val table = workDir("graft-cdc-q")
+      val ckpt = workDir("graft-cdc-q-ckpt")
       val orders = t(s, d, "orders").select("o_orderkey")
       for (m <- 0 to 2) {
         graft.sources.ManifestTable.commit(
@@ -2428,10 +2713,8 @@ object Approx {
         |  UNION ALL SELECT c_custkey, c_nationkey FROM customer) c
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
-      val dimDir = java.nio.file.Files
-        .createTempDirectory("graft-stats-dim-q").toString
-      val factDir = java.nio.file.Files
-        .createTempDirectory("graft-stats-fact-q").toString
+      val dimDir = workDir("graft-stats-dim-q")
+      val factDir = workDir("graft-stats-fact-q")
       graft.sources.ManifestTable.commitWithStats(
         t(s, d, "nation").select("n_nationkey", "n_name").coalesce(1),
         dimDir, append = true, "n_nationkey")
@@ -2583,8 +2866,7 @@ object Approx {
         |WHERE o_orderpriority = '1-URGENT'
         |  AND o_orderkey <= b.lo + (b.hi - b.lo) // 4""".stripMargin) {
       (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-part-q").toString
+      val table = workDir("graft-part-q")
       val orders = t(s, d, "orders")
         .select("o_orderkey", "o_orderpriority")
       val b = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
@@ -2629,12 +2911,9 @@ object Approx {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sink_sum,
         |  CAST(0 AS BIGINT) AS replay_versions
         |FROM orders""".stripMargin) { (s, d) =>
-      val srcDir = java.nio.file.Files
-        .createTempDirectory("graft-ss-src-q").toString
-      val sinkDir = java.nio.file.Files
-        .createTempDirectory("graft-ss-sink-q").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-ss-ck-q").toString
+      val srcDir = workDir("graft-ss-src-q")
+      val sinkDir = workDir("graft-ss-sink-q")
+      val ckpt = workDir("graft-ss-ck-q")
       val orders = t(s, d, "orders").select("o_orderkey")
       for (m <- 0 to 1) {
         graft.sources.ManifestTable.commit(
@@ -2746,8 +3025,7 @@ object Approx {
         |  SELECT o_orderstatus FROM orders WHERE o_orderkey % 2 = 1) u
         |GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin) {
       (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-manifest-ev").toString
+      val table = workDir("graft-manifest-ev")
       val orders = t(s, d, "orders")
       graft.sources.ManifestTable.commit(
         orders.filter(col("o_orderkey") % 2 === 0)
@@ -2774,8 +3052,7 @@ object Approx {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-bucketed").toString
+      val work = workDir("graft-bucketed")
       graft.operators.Layout.writeBucketed(
         t(s, d, "orders").select("o_orderkey", "o_orderstatus"),
         "g_bkt_orders", s"$work/orders", "o_orderkey", 8)
@@ -3791,8 +4068,7 @@ object Approx {
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin) { (s, d) =>
       val src = s"$d/events.parquet"
       val schema = s.read.parquet(src).schema
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-psink").toString
+      val work = workDir("graft-psink")
       // the file stream source only accepts directories — stage the
       // input file into one
       val srcDir = java.nio.file.Paths.get(work, "source")

@@ -886,8 +886,7 @@ object Merges {
       (s, d) =>
       val src = s"$d/events.parquet"
       val schema = s.read.parquet(src).schema
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-eo").toString
+      val work = workDir("graft-eo")
       val res = graft.streaming.Incremental.exactlyOnceIngest(
         s, src, schema, Seq("event_id"), work)
       val df = s.read.parquet(res)
@@ -914,8 +913,7 @@ object Merges {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS nu
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) {
       (s, d) =>
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-st-manifest").toString
+      val work = workDir("graft-st-manifest")
       val table = s"$work/table"
       val schema = s.read.parquet(s"$d/events.parquet").schema
       // the file stream source only accepts directories — stage the
@@ -968,8 +966,7 @@ object Merges {
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus, ver FROM lt)
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-st-merge").toString
+      val work = workDir("graft-st-merge")
       val table = s"$work/table"
       val orders = t(s, d, "orders")
       val base = orders.filter(col("o_orderkey") % 3 =!= 0)

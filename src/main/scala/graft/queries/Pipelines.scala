@@ -187,8 +187,8 @@ object Pipelines {
           col("Master Code").isNotNull)
         .select(col("Master Code").as("master_code"),
           col("Details HTML").as("html"))
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-pdf-q").resolve("pdf").toString
+      val out = java.nio.file.Paths.get(
+        workDir("graft-pdf-q"), "pdf").toString
       graft.sources.Sinks.renderPdf(raw, "master_code", "html", out)
         .select(col("name").as("master_code"), col("pages"),
           (col("bytes") > 0).as("has_bytes"))
@@ -204,8 +204,8 @@ object Pipelines {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin) { (s, d) =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-orc-q").resolve("docs").toString
+      val out = java.nio.file.Paths.get(
+        workDir("graft-orc-q"), "docs").toString
       graft.sources.Sinks.writeOrc(t(s, d, "documents"), out)
       graft.sources.Sources.orc(s, out)
         .groupBy("lang")
@@ -224,8 +224,8 @@ object Pipelines {
         |  max(epoch_us(o_orderdate)) AS max_us
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin) {
       (s, d) =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-jsonl-q").resolve("orders").toString
+      val out = java.nio.file.Paths.get(
+        workDir("graft-jsonl-q"), "orders").toString
       graft.sources.Sinks.writeJsonl(
         t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice"), epochUs(col("o_orderdate")).as("o_us")),
@@ -261,8 +261,7 @@ object Pipelines {
         |  SELECT o_orderstatus, o_orderpriority
         |  FROM orders WHERE o_orderkey % 2 = 1) u
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-evolve-q").toString
+      val dir = workDir("graft-evolve-q")
       val orders = t(s, d, "orders")
       orders.filter(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_orderstatus")
@@ -970,8 +969,8 @@ object Pipelines {
         |FROM orders WHERE o_orderkey % 100 <= 1
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
       val o = t(s, d, "orders")
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-s7-q").resolve("orders").toString
+      val out = java.nio.file.Paths.get(
+        workDir("graft-s7-q"), "orders").toString
       graft.sources.Sinks.append(o.filter(col("o_orderkey") % 100 === 0), out)
       graft.sources.Sinks.append(o.filter(col("o_orderkey") % 100 === 1), out)
       s.read.parquet(out)
@@ -990,8 +989,8 @@ object Pipelines {
         |  min(n_name) AS first_name
         |FROM nation GROUP BY 1 ORDER BY region_key""".stripMargin) { (s, d) =>
       val n = t(s, d, "nation")
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-s10-q").resolve("nation").toString
+      val out = java.nio.file.Paths.get(
+        workDir("graft-s10-q"), "nation").toString
       graft.sources.Sinks.appendCsv(n, out)
       graft.sources.Sinks.appendCsv(n, out)
       s.read.option("header", "true").csv(out)

@@ -490,8 +490,7 @@ object Vectors {
          |SELECT qid, vec_id, CAST(ham AS BIGINT) AS hamming, cosine
          |FROM ranked WHERE rk <= 5
          |ORDER BY qid, cosine DESC, vec_id""".stripMargin) { (s, d) =>
-      val table = java.nio.file.Files
-        .createTempDirectory("graft-index-serve").toString
+      val table = workDir("graft-index-serve")
       val emb = t(s, d, "embeddings")
       graft.sources.ManifestTable.commit(
         emb.filter(col("vec_id") % 2 === 0), table, append = false)

@@ -121,13 +121,42 @@ class GraftCatalog extends TableCatalog
       .filter(_.nonEmpty)
   }
 
+  /** The table's declared DML mode (`merge.mode` table property —
+    * the Iceberg `write.merge.mode` vocabulary): merge-on-read
+    * tables commit MERGE/UPDATE/rewritten-DELETE as deletion-vector
+    * deltas; copy-on-write (the default, also Iceberg's) rewrites
+    * the matched files. */
+  private def declaredMergeOnRead(dir: Path): Boolean = {
+    val marker = dir.resolve("_graft_table")
+    if (!Files.exists(marker)) return false
+    Files.readString(marker).linesIterator
+      .find(_.startsWith("merge.mode="))
+      .exists(l => ManifestV2Options.mergeOnReadOf(
+        l.drop("merge.mode=".length).trim))
+  }
+
+  /** Marker writes stage to a temp file and MOVE atomically into
+    * place (mirroring the manifest publish's tmp-then-link
+    * discipline): a concurrent load() never observes a torn,
+    * half-written schema JSON. Unlike manifests the marker is
+    * legitimately mutable (ALTER TABLE rewrites it), so the move
+    * REPLACES — concurrent ALTERs serialize last-wins, which is the
+    * standard single-marker catalog semantics; what the atomic move
+    * rules out is the torn read. */
   private def writeMarker(dir: Path, schema: StructType,
-      partCols: Option[Seq[String]]): Unit = {
-    Files.writeString(dir.resolve("_graft_table"),
+      partCols: Option[Seq[String]],
+      mergeOnRead: Boolean = false): Unit = {
+    val tmp = dir.resolve(
+      s".graft_table.${java.util.UUID.randomUUID().toString.take(12)}.tmp")
+    Files.writeString(tmp,
       schema.json + "\n" +
         partCols.filter(_.nonEmpty)
           .map(cs => s"partition=${cs.mkString(",")}\n")
-          .getOrElse(""))
+          .getOrElse("") +
+        (if (mergeOnRead) "merge.mode=merge-on-read\n" else ""))
+    Files.move(tmp, dir.resolve("_graft_table"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
@@ -136,6 +165,7 @@ class GraftCatalog extends TableCatalog
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident)
     val opts = ManifestV2Options(dir.toString, version)
+      .copy(mergeOnRead = declaredMergeOnRead(dir))
     // data-derived schema once a snapshot exists, UNIONED with any
     // marker-declared columns no data file carries yet (the ALTER
     // TABLE ADD COLUMN case — reads NULL-fill them through the
@@ -193,11 +223,13 @@ class GraftCatalog extends TableCatalog
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = dirOf(ident)
     Files.createDirectories(dir)
+    val mor = Option(properties.get("merge.mode"))
+      .exists(ManifestV2Options.mergeOnReadOf)
     // the marker records table existence AND the declared schema, so
     // the first INSERT INTO resolves its columns before any data
-    writeMarker(dir, schema, Some(partCols))
+    writeMarker(dir, schema, Some(partCols), mor)
     new ManifestV2Table(schema,
-      ManifestV2Options(dir.toString, None),
+      ManifestV2Options(dir.toString, None, mergeOnRead = mor),
       declaredPartCols = if (partCols.isEmpty) None
         else Some(partCols))
   }
@@ -244,9 +276,10 @@ class GraftCatalog extends TableCatalog
             "changes would rewrite history the immutable manifests " +
             "still reference")
     }
-    writeMarker(dir, schema, declaredPartCols(dir))
+    val mor = declaredMergeOnRead(dir)
+    writeMarker(dir, schema, declaredPartCols(dir), mor)
     new ManifestV2Table(schema,
-      ManifestV2Options(dir.toString, None),
+      ManifestV2Options(dir.toString, None, mergeOnRead = mor),
       declaredPartCols = declaredPartCols(dir))
   }
 

@@ -65,7 +65,30 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **streaming sink**: `writeStream.format("graft-manifest")`
   *    commits ONE tagged version per epoch
   *    (`stream:<queryId>:<epochId>`) — checkpoint replays
-  *    short-circuit, exactly-once at the SQL surface.
+  *    short-circuit, exactly-once at the SQL surface;
+  *  - **vectorized reads**: DV-free scans plan COLUMNAR through
+  *    Spark's own vectorized parquet reader (ColumnarBatch into
+  *    whole-stage codegen); the row path remains exactly where
+  *    row-level semantics demand it (DV masking, `_graft_pos`);
+  *  - **row-group splits**: files past ~1.5× `splitBytes` (default
+  *    128 MiB) plan several row-group-aligned InputPartitions — no
+  *    straggler task on a hot compacted file;
+  *  - **runtime file pruning**: `SupportsRuntimeV2Filtering` — a
+  *    fact ⋈ selective-dim join re-prunes the fact's files from the
+  *    dim's join keys at execution time (the Delta-DFP shape);
+  *  - **merge-on-read DML**: tables with `merge.mode=merge-on-read`
+  *    plan SQL MERGE/UPDATE/DELETE as position deltas
+  *    ([[ManifestDeltaOperation]]) — DV lines + one insert file,
+  *    zero rewrites — with the `dvMaxFraction` budget enforcing the
+  *    copy-on-write fallback at commit;
+  *  - **storage-partitioned joins**: partitioned tables report
+  *    KeyGroupedPartitioning (each partition exposes its `#pval`
+  *    tuple), so same-key manifest⋈manifest joins plan with no
+  *    exchange under `spark.sql.sources.v2.bucketing.enabled`;
+  *  - **NDV column statistics**: per-file `#ndv=` HLL sketches merge
+  *    over the surviving files into `columnStats` distinct/null
+  *    counts — CBO join cardinality and broadcast decisions run on
+  *    manifest arithmetic.
   *
   * The partition reader decodes parquet directly via parquet-mr's
   * Group API (the same bundled library Spark's own scan uses
@@ -122,16 +145,34 @@ private[sources] object ManifestV2Table {
   * `startingVersion = v` delivers v's own files onward; default 0 =
   * everything). */
 final case class ManifestV2Options(path: String, version: Option[Long],
-    dvMaxFraction: Double = 0.5, startingVersion: Long = 0L)
+    dvMaxFraction: Double = 0.5, startingVersion: Long = 0L,
+    splitBytes: Long = ManifestV2Options.DefaultSplitBytes,
+    mergeOnRead: Boolean = false)
     extends Serializable
 
 object ManifestV2Options {
+  /** Target bytes per scan InputPartition — files past ~1.5× this
+    * split on row-group boundaries (Spark's own
+    * `files.maxPartitionBytes` default). `splitBytes=0` disables. */
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  /** `merge.mode` values — the Iceberg `write.merge.mode` vocabulary. */
+  def mergeOnReadOf(v: String): Boolean = v match {
+    case "merge-on-read" => true
+    case "copy-on-write" => false
+    case other => throw new IllegalArgumentException(
+      s"merge.mode must be copy-on-write or merge-on-read: $other")
+  }
+
   def apply(o: CaseInsensitiveStringMap): ManifestV2Options = {
     val p = o.get("path")
     require(p != null, "graft-manifest requires option 'path'")
     ManifestV2Options(p, Option(o.get("version")).map(_.toLong),
       Option(o.get("dvMaxFraction")).map(_.toDouble).getOrElse(0.5),
-      Option(o.get("startingVersion")).map(_.toLong).getOrElse(0L))
+      Option(o.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      Option(o.get("splitBytes")).map(_.toLong)
+        .getOrElse(DefaultSplitBytes),
+      Option(o.get("merge.mode")).exists(mergeOnReadOf))
   }
 }
 
@@ -150,7 +191,8 @@ object ManifestV2 {
   final case class Pinned(version: Long, slices: Seq[FileSlice],
       stats: Map[String, Seq[(String, Long, Long)]],
       sstats: Map[String, Seq[(String, String, String)]],
-      pvals: Map[String, Seq[(String, String)]])
+      pvals: Map[String, Seq[(String, String)]],
+      ndvs: Map[String, Seq[(String, Long, String)]] = Map.empty)
 
   /** Resolve the snapshot ONCE — callers hold the result so every
     * subsequent planning/execution step sees the same version. */
@@ -168,7 +210,9 @@ object ManifestV2 {
       snap.files.map(f =>
         f -> snap.sstats.getOrElse(f, Seq.empty)).toMap,
       snap.files.map(f =>
-        f -> snap.pvals.getOrElse(f, Seq.empty)).toMap)
+        f -> snap.pvals.getOrElse(f, Seq.empty)).toMap,
+      snap.files.map(f =>
+        f -> snap.ndvs.getOrElse(f, Seq.empty)).toMap)
   }
 
   /** The partition columns a SNAPSHOT actually carries: the columns
@@ -278,6 +322,20 @@ private[sources] object GraftFileColumn
     "manifest-relative data file of the row (row-level op group id)"
 }
 
+/** The `_graft_pos` metadata column: the row's physical file ordinal
+  * (`_metadata.row_index`) — together with `_graft_file` it is the
+  * ROW ID the delta-based (merge-on-read) row-level operations key
+  * their deletion-vector lines on. Row-path only: a scan requiring
+  * it plans row readers (whose position counter IS the ordinal). */
+private[sources] object GraftPosColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = "_graft_pos"
+  override def dataType(): DataType = LongType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "physical row ordinal within the row's data file (DV position)"
+}
+
 /** `acceptAnySchema` splits the two write contracts: the PATH-BASED
   * `format("graft-manifest")` table keeps ACCEPT_ANY_SCHEMA (the
   * manifest's read side owns evolution — by-name union of live
@@ -301,21 +359,37 @@ class ManifestV2Table(schema: StructType, opts: ManifestV2Options,
 
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(GraftFileColumn)
+    Array(GraftFileColumn, GraftPosColumn)
 
   /** MERGE INTO / UPDATE (and DELETEs whose WHERE the metadata path
-    * declines) plan as GROUP-BASED copy-on-write: the operation's
-    * scan serves rows plus their `_graft_file` group id, Spark's
-    * runtime group filter narrows the scan to files that actually
-    * hold matching rows, and the replacement write swaps exactly
-    * those files in one atomic publish — the Iceberg CoW shape.
+    * declines) plan by the table's write mode — the Iceberg
+    * `write.merge.mode` split, surfaced as the `merge.mode` table
+    * property / source option:
+    *
+    *  - **copy-on-write** (default, the Iceberg default): GROUP-BASED
+    *    — the operation's scan serves rows plus their `_graft_file`
+    *    group id, Spark's runtime group filter narrows the scan to
+    *    files that actually hold matching rows, and the replacement
+    *    write swaps exactly those files in one atomic publish;
+    *  - **merge-on-read**: DELTA-BASED ([[ManifestDeltaOperation]])
+    *    — matched rows commit as deletion-vector lines keyed by the
+    *    (`_graft_file`, `_graft_pos`) row id plus ONE appended insert
+    *    file, so a small SQL MERGE publishes a version with ZERO
+    *    rewritten data files (the [[ManifestTable.mergeByKeyDv]]
+    *    discipline, through the planner); files whose accumulated DV
+    *    would blow the `dvMaxFraction`/position budget are rewritten
+    *    inline at commit — the CoW fallback.
+    *
     * Ranged DELETEs still take the deletion-vector metadata path
     * (Spark's OptimizeMetadataOnlyDeleteFromTable converts back to
     * [[deleteWhere]] whenever [[canDeleteWhere]] accepts). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new ManifestRowLevelOperation(info.command(), opts)
+    () =>
+      if (opts.mergeOnRead)
+        new ManifestDeltaOperation(info.command(), opts)
+      else new ManifestRowLevelOperation(info.command(), opts)
   override def name(): String = s"graft-manifest:${opts.path}"
   override def schema(): StructType = schema
 
@@ -485,6 +559,72 @@ class ManifestScanBuilder(fullSchema: StructType,
 }
 
 object ManifestScan {
+
+  /** Session opt-in for storage-partitioned-join planning (the
+    * Iceberg `preserve-data-grouping` discipline): when true (and
+    * Spark's v2 bucketing is on), partitioned manifest scans report
+    * KeyGroupedPartitioning — same-key joins drop their exchanges,
+    * at the cost of plain scans grouping to one task per partition
+    * value. */
+  val PreserveGroupingKey =
+    "spark.sql.graft.planning.preserveDataGrouping"
+
+  /** Plan one surviving file as one-or-more row-group-aligned
+    * InputPartitions: a file past ~1.5× `targetBytes` gets its footer
+    * read (driver-side, only for the big files) and its row groups
+    * greedily packed into byte ranges of ~`targetBytes` — so one hot
+    * 1 GiB compacted file parallelizes across tasks instead of
+    * becoming the scan's straggler. Ranges select row groups by the
+    * parquet midpoint rule on COMPRESSED offsets (boundaries sit on
+    * block starting positions, so every row group lands in exactly
+    * one range); `rowOffset` carries the range's first file-ordinal
+    * so deletion-vector masking stays position-exact on splits. Any
+    * metadata hiccup (unreadable footer) falls back to one
+    * whole-file partition — splitting is an optimization, never a
+    * correctness step. */
+  def splitPartitions(s: ManifestV2.FileSlice, rel: String,
+      cols: Array[String], targetBytes: Long): Seq[InputPartition] = {
+    def whole = Seq(
+      ManifestFilePartition(s.path, rel, s.dv, cols): InputPartition)
+    if (targetBytes <= 0L) return whole
+    val size =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(s.path))
+      catch { case _: java.io.IOException => return whole }
+    if (size <= targetBytes + targetBytes / 2) return whole
+    val blocks =
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(s.path),
+            new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFooter.getBlocks.asScala.toSeq.map(b =>
+            (b.getStartingPos, b.getCompressedSize, b.getRowCount))
+        } finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => return whole }
+    if (blocks.length <= 1) return whole
+    // greedy pack consecutive row groups to ~targetBytes per range
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long)] // (range startPos, rows before range)
+    var acc = 0L
+    var rowsBefore = 0L
+    blocks.foreach { case (pos, bytes, rows) =>
+      if (groups.isEmpty || (acc + bytes > targetBytes && acc > 0L)) {
+        groups += ((pos, rowsBefore))
+        acc = 0L
+      }
+      acc += bytes
+      rowsBefore += rows
+    }
+    if (groups.length <= 1) return whole
+    groups.toSeq.zipWithIndex.map { case ((pos, rb), i) =>
+      val end =
+        if (i + 1 < groups.length) groups(i + 1)._1 else size
+      ManifestFilePartition(s.path, rel, s.dv, cols, pos, end - pos,
+        rb): InputPartition
+    }
+  }
 
   /** One conjunctive string bound: [lo, hi] on UTF-8 bytes, either
     * side open (None) and independently inclusive/exclusive. */
@@ -738,9 +878,199 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
     countOnly: Option[Long], opts: ManifestV2Options,
     pinnedF: () => ManifestV2.Pinned, fullSchema: StructType,
     limit: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
 
   private lazy val pinned = pinnedF()
+
+  // ---- STORAGE-PARTITIONED JOINS (the Iceberg SPJ shape): a table
+  // whose every live file carries exact `#pval=` tuples reports
+  // KeyGroupedPartitioning over its partition columns, and each
+  // InputPartition exposes its decoded tuple as the partition key —
+  // two manifest tables partitioned on the same column then join
+  // with ZERO exchange (Spark groups same-key partitions per side
+  // and zips them). DOUBLE-gated, exactly Iceberg's discipline:
+  // Spark's `spark.sql.sources.v2.bucketing.enabled` (default true
+  // in Spark 4) AND the explicit session opt-in below — because a
+  // reported grouping also GROUPS plain scans down to one task per
+  // partition value, which is the right trade only when a
+  // same-key join is the query's dominant cost. Reporting is an
+  // optimization only — an UnknownPartitioning table just plans the
+  // ordinary shuffled join.
+
+  /** Partition columns usable as a key-grouped report: every live
+    * file must carry a pval for each (partitionColsOf), and the
+    * column must be in the scanned schema. */
+  private lazy val spjCols: Seq[String] =
+    if (countOnly.isDefined) Seq.empty
+    else ManifestV2.partitionColsOf(pinned)
+      .filter(c => fullSchema.fieldNames.contains(c))
+
+  private def spjEnabled: Boolean = spjCols.nonEmpty && {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    conf.v2BucketingEnabled &&
+      conf.getConfString(ManifestScan.PreserveGroupingKey, "false")
+        .toBoolean
+  }
+
+  /** Decode one file's `#pval=` tuple into catalyst values in
+    * [[spjCols]] order. */
+  private def keyOf(rel: String): Array[Any] = {
+    val pv = pinned.pvals.getOrElse(rel, Seq.empty).toMap
+    spjCols.map { c =>
+      pv(c) match {
+        case "N" => null
+        case enc if enc.startsWith("L:") =>
+          val v = enc.drop(2).toLong
+          // ascribe Any per branch: Scala's numeric lub would widen
+          // the Int branch back to Long, and the generated key
+          // ordering unboxes by the COLUMN type
+          fullSchema(c).dataType match {
+            case IntegerType | DateType => (v.toInt: Any)
+            case _ => (v: Any)
+          }
+        case enc if enc.startsWith("S:") =>
+          UTF8String.fromBytes(StrStat.unhex(enc.drop(2)))
+        case other => throw new IllegalStateException(
+          s"unreadable partition value $other for $c of $rel")
+      }
+    }.toArray
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjEnabled) {
+      val root = java.nio.file.Paths.get(opts.path)
+      val keys = survivingStatic.map(s => keyOf(root.relativize(
+        java.nio.file.Paths.get(s.path)).toString).toSeq).distinct
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          spjCols.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(c): org.apache.spark.sql.connector.expressions
+              .Expression).toArray,
+          keys.size)
+    } else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(0)
+
+  // ---- RUNTIME (dynamic) file pruning — the Delta-DFP / Iceberg
+  // runtime-filtering shape: when this scan joins a selective dim,
+  // Spark broadcasts the dim's join keys back as IN predicates at
+  // EXECUTION time, and the scan re-prunes its surviving files
+  // against the zone/partition metadata before re-planning
+  // partitions — a fact ⋈ filtered-dim join skips fact files no
+  // static predicate could have. Filtering only ever SKIPS files
+  // (the join itself re-checks rows), so an untranslatable runtime
+  // predicate is ignored, never wrong.
+
+  @volatile private var runtimeInLongs: Map[String, Set[Long]] =
+    Map.empty
+  @volatile private var runtimeInStrs: Map[String, Set[String]] =
+    Map.empty
+
+  /** Columns worth a runtime filter: those carrying zone stats or
+    * partition values on ANY file of the pinned snapshot (a runtime
+    * IN on anything else could never skip a file) — restricted to
+    * the scan's OUTPUT columns, because Spark resolves these
+    * references against the pruned relation (a declared column the
+    * projection dropped fails analysis, not just the optimization).
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions
+        .NamedReference] = {
+    if (countOnly.isDefined) return Array.empty
+    val out = readSchema().fieldNames.toSet
+    val cols = (pinned.stats.values.flatten.map(_._1) ++
+      pinned.sstats.values.flatten.map(_._1) ++
+      pinned.pvals.values.flatten.map(_._1)).toSet
+    cols.filter(out.contains).toSeq.sorted.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(c)).toArray
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    def colOf(e: Any): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        Some(f.fieldNames.head)
+      case _ => None
+    }
+    // literal → the column's canonical int64 zone encoding (catalyst
+    // internal values: DATE = epoch days as Int, TIMESTAMP = epoch
+    // micros as Long) or the hex string encoding
+    def longOf(l: Literal[_]): Option[Long] = l.dataType match {
+      case LongType | TimestampType =>
+        Option(l.value).map(_.asInstanceOf[Long])
+      case IntegerType | DateType =>
+        Option(l.value).map(_.asInstanceOf[Int].toLong)
+      case ShortType =>
+        Option(l.value).map(_.asInstanceOf[Short].toLong)
+      case ByteType =>
+        Option(l.value).map(_.asInstanceOf[Byte].toLong)
+      case _ => None
+    }
+    def hexOf(l: Literal[_]): Option[String] = l.dataType match {
+      case StringType => Option(l.value)
+        .map(v => StrStat.hex(
+          v.asInstanceOf[UTF8String].getBytes.clone()))
+      case _ => None
+    }
+    predicates.foreach { p =>
+      val kids = p.children()
+      (p.name(), kids.headOption.flatMap(colOf)) match {
+        case ("IN", Some(c)) if kids.length > 1 =>
+          val lits = kids.tail.collect { case l: Literal[_] => l }
+          if (lits.length == kids.length - 1) {
+            val longs = lits.flatMap(longOf)
+            val hexes = lits.flatMap(hexOf)
+            if (longs.length == lits.length)
+              runtimeInLongs = runtimeInLongs.updated(c,
+                runtimeInLongs.get(c)
+                  .map(_ intersect longs.toSet)
+                  .getOrElse(longs.toSet))
+            else if (hexes.length == lits.length)
+              runtimeInStrs = runtimeInStrs.updated(c,
+                runtimeInStrs.get(c)
+                  .map(_ intersect hexes.toSet)
+                  .getOrElse(hexes.toSet))
+          }
+        case ("=", Some(c)) if kids.length == 2 =>
+          kids(1) match {
+            case l: Literal[_] =>
+              longOf(l).foreach(v =>
+                runtimeInLongs = runtimeInLongs.updated(c,
+                  runtimeInLongs.get(c).map(_ intersect Set(v))
+                    .getOrElse(Set(v))))
+              hexOf(l).foreach(h =>
+                runtimeInStrs = runtimeInStrs.updated(c,
+                  runtimeInStrs.get(c).map(_ intersect Set(h))
+                    .getOrElse(Set(h))))
+            case _ => ()
+          }
+        case _ => () // not translatable — skipping is optional
+      }
+    }
+  }
+
+  /** [[survivingStatic]] minus files the RUNTIME IN-sets prove
+    * empty — what partition re-planning reads after `filter`. */
+  private def surviving: Seq[ManifestV2.FileSlice] = {
+    if (runtimeInLongs.isEmpty && runtimeInStrs.isEmpty)
+      return survivingStatic
+    val root = java.nio.file.Paths.get(opts.path)
+    survivingStatic.filter { s =>
+      val rel = root.relativize(
+        java.nio.file.Paths.get(s.path)).toString
+      ManifestScan.survivesAll(s.rows,
+        pinned.stats.getOrElse(rel, Seq.empty),
+        pinned.sstats.getOrElse(rel, Seq.empty),
+        pinned.pvals.getOrElse(rel, Seq.empty),
+        Map.empty, Seq.empty, runtimeInLongs, runtimeInStrs)
+    }
+  }
 
   override def readSchema(): StructType = countOnly match {
     case Some(_) => StructType(Seq(StructField("count", LongType)))
@@ -749,11 +1079,13 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
 
   override def toBatch: Batch = this
 
-  /** The files that survive zone pruning under the pushed filters —
-    * shared by partition planning AND statistics reporting, so the
-    * planner's size estimate reflects the PRUNED scan, not the whole
-    * table. */
-  private lazy val surviving: Seq[ManifestV2.FileSlice] = {
+  /** The files that survive zone pruning under the PUSHED (static)
+    * filters — shared by partition planning AND statistics reporting,
+    * so the planner's size estimate reflects the pruned scan, not the
+    * whole table. Runtime filters subtract from this via
+    * [[surviving]]; the columnar decision reads the static set (it
+    * must be stable across re-planning). */
+  private lazy val survivingStatic: Seq[ManifestV2.FileSlice] = {
     val root = java.nio.file.Paths.get(opts.path)
     val longRanges = ManifestScan.longRangesOf(pushed.toSeq, fullSchema)
     val strRanges = ManifestScan.strRangesOf(pushed.toSeq, fullSchema)
@@ -810,23 +1142,106 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val (bytes, rowsOpt) = countOnly match {
-      case Some(_) => (16L, Some(1L))
+    val (bytesOpt, rowsOpt) = countOnly match {
+      case Some(_) => (Some(16L), Some(1L))
       case None =>
+        // a concurrently vacuumed file makes the size UNKNOWN, not 0:
+        // absent sizeInBytes falls back to the planner's conservative
+        // default (never broadcast), whereas an understated size
+        // could steer Catalyst into broadcasting a large table
+        var sizeKnown = true
         val b = surviving.map { s =>
           try java.nio.file.Files.size(java.nio.file.Paths.get(s.path))
-          catch { case _: java.io.IOException => 0L }
+          catch {
+            case _: java.io.IOException => sizeKnown = false; 0L
+          }
         }.sum
-        val per = surviving.map(s => s.rows.map(_ - s.dv.length))
-        (b, if (per.forall(_.isDefined)) Some(per.flatten.sum)
+        // clamp per-file live rows at 0: a recorded count racing a
+        // rival DV could otherwise go negative and poison the sum
+        val per = surviving.map(s =>
+          s.rows.map(r => math.max(r - s.dv.length, 0L)))
+        (if (sizeKnown) Some(b) else None,
+          if (per.forall(_.isDefined)) Some(per.flatten.sum)
           else None)
     }
+    // COLUMN statistics from the `#ndv=` register sketches, merged
+    // (byte-wise max = HLL union) over exactly the SURVIVING files —
+    // reported only for columns EVERY surviving file sketches, and
+    // paired with the merged zone bounds as catalyst min/max. This
+    // is what CBO's join-cardinality estimation keys on
+    // (outputRows ≈ n1·n2 / max(ndv)): join order and downstream
+    // broadcast decisions flip with the reported NDV, at zero data
+    // I/O. NULL counts are not tracked (absent, never guessed).
+    val colStats: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (countOnly.isDefined || surviving.isEmpty)
+        java.util.Collections.emptyMap()
+      else {
+        val root = java.nio.file.Paths.get(opts.path)
+        val rels = surviving.map(s => root.relativize(
+          java.nio.file.Paths.get(s.path)).toString)
+        val perFile = rels.map(f =>
+          pinned.ndvs.getOrElse(f, Seq.empty)
+            .map { case (c, nulls, regs) => c -> (nulls, regs) }.toMap)
+        val common = perFile.map(_.keySet).reduce(_ intersect _)
+        val out = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics]()
+        common.foreach { c =>
+          val regs = perFile.map(m => StrStat.unhex(m(c)._2))
+            .reduce(NdvSketch.merge)
+          val ndv = NdvSketch.estimate(regs)
+          val nulls = perFile.map(m => m(c)._1).sum
+          // merged zone bounds as catalyst-internal min/max values,
+          // when every surviving file carries an int64 zone for c
+          val zones = rels.map(f =>
+            pinned.stats.getOrElse(f, Seq.empty).find(_._1 == c))
+          val minMax: Option[(Any, Any)] =
+            if (!zones.forall(_.isDefined)) None
+            else {
+              val lo = zones.flatten.map(_._2).min
+              val hi = zones.flatten.map(_._3).max
+              fullSchema.fields.find(_.name == c).map(_.dataType) match {
+                case Some(LongType | TimestampType) => Some((lo, hi))
+                case Some(IntegerType | DateType) =>
+                  Some((lo.toInt, hi.toInt))
+                case _ => None
+              }
+            }
+          out.put(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(c),
+            new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(ndv)
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(nulls)
+              override def min(): java.util.Optional[Object] =
+                minMax.map(v => java.util.Optional.of(
+                  v._1.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                minMax.map(v => java.util.Optional.of(
+                  v._2.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+            })
+        }
+        out
+      }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes)
+        bytesOpt.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
       override def numRows(): java.util.OptionalLong =
         rowsOpt.map(java.util.OptionalLong.of)
           .getOrElse(java.util.OptionalLong.empty())
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics] = colStats
     }
   }
 
@@ -850,14 +1265,38 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
       case Some(n) => Array(ManifestCountPartition(n))
       case None =>
         val root = java.nio.file.Paths.get(opts.path)
-        surviving.map(s =>
-          ManifestFilePartition(s.path,
-            root.relativize(java.nio.file.Paths.get(s.path)).toString,
-            s.dv, required.fieldNames): InputPartition).toArray
+        val spj = spjEnabled
+        surviving.flatMap { s =>
+          val rel = root.relativize(
+            java.nio.file.Paths.get(s.path)).toString
+          val parts = ManifestScan.splitPartitions(s, rel,
+            required.fieldNames, opts.splitBytes)
+          if (!spj) parts
+          else {
+            // key-grouped report: every partition carries its tuple
+            // (splits of one file share the key and group back)
+            val key = keyOf(rel)
+            parts.map {
+              case p: ManifestFilePartition =>
+                ManifestKeyedPartition(p, key): InputPartition
+              case other => other
+            }
+          }
+        }.toArray
     }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    ManifestReaderFactory(required)
+  /** Columnar (vectorized) exactly when no partition needs row-level
+    * work: every surviving file DV-free and no row-position column
+    * required — then ALL partitions stream ColumnarBatches (Spark
+    * requires the whole scan to agree); otherwise the row path masks
+    * deletion vectors by ordinal. Runtime filtering only ever SHRINKS
+    * `surviving`, so the decision is stable across re-planning. */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val columnar = countOnly.isEmpty &&
+      !required.fieldNames.contains("_graft_pos") &&
+      survivingStatic.forall(_.dv.isEmpty)
+    ManifestReaderFactory(required, columnar)
+  }
 }
 
 /** The CDC micro-batch source: offset = manifest version; batch
@@ -1001,7 +1440,32 @@ class ManifestRowLevelOperation(
     val pinned = ManifestV2.resolvePinned(opts)
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var required: StructType = ManifestV2.schemaFor(opts)
-      override def pruneColumns(s: StructType): Unit = required = s
+      private var prunedOnce = false
+      // UNION the required schemas across pruneColumns calls: every
+      // consumer shares the one cached scan, so a second consumer
+      // (e.g. the runtime group-filter subquery) configured with a
+      // different column set must widen the shared projection — a
+      // last-call-wins overwrite could hand the first consumer a
+      // schema missing columns it asked for
+      override def pruneColumns(s: StructType): Unit =
+        ManifestRowLevelOperation.this.synchronized {
+          val built = ManifestRowLevelOperation.this.scan
+          if (built != null) {
+            val have = built.readSchema().fieldNames.toSet
+            require(s.fieldNames.forall(have.contains),
+              "row-level operation scan already built with columns " +
+                s"${have.mkString(", ")}; a later consumer requires " +
+                s"${s.fieldNames.mkString(", ")} — cannot widen a " +
+                "shared scan after build")
+          } else if (!prunedOnce) {
+            required = s
+            prunedOnce = true
+          } else {
+            val known = required.fieldNames.toSet
+            s.fields.filterNot(f => known.contains(f.name))
+              .foreach(f => required = required.add(f))
+          }
+        }
       override def build(): Scan =
         ManifestRowLevelOperation.this.synchronized {
           if (ManifestRowLevelOperation.this.scan == null)
@@ -1351,9 +1815,14 @@ private[sources] object ManifestCommit {
     }.toMap
     val pvals = files.flatMap(f =>
       if (f.pvals.isEmpty) None else Some(f.rel -> f.pvals)).toMap
+    val ndvs = files.flatMap { f =>
+      val entries = statsCols.flatMap(c =>
+        f.ndvs.get(c).map { case (nulls, regs) => (c, nulls, regs) })
+      if (entries.isEmpty) None else Some(f.rel -> entries)
+    }.toMap
     ManifestTable.publishStaged(path, files.map(_.rel),
       stats, files.map(f => f.rel -> f.rows).toMap, append, sstats,
-      pvals, tag)
+      pvals, tag, ndvs)
     ()
   }
 
@@ -1452,7 +1921,8 @@ final case class ManifestStreamingWriterFactory(schema: StructType,
 final case class ManifestTaskFile(rel: String, rows: Long,
     stats: Map[String, (Long, Long)],
     sstats: Map[String, (String, String)],
-    pvals: Seq[(String, String)] = Seq.empty)
+    pvals: Seq[(String, String)] = Seq.empty,
+    ndvs: Map[String, (Long, String)] = Map.empty)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 /** A PARTITIONED task's staged files — one [[ManifestTaskFile]] per
@@ -1485,8 +1955,21 @@ final case class ManifestWriterFactory(schema: StructType,
         val idx = partIdx(j)
         if (r.isNullAt(idx)) "N"
         else partKind(j) match {
-          case 'S' => "S:" +
-            StrStat.hex(r.getUTF8String(idx).getBytes.clone())
+          case 'S' =>
+            // partition values are EXACT equality keys, so unlike the
+            // truncation-conservative #sstats= bounds they can never
+            // shorten silently — cap them LOUDLY instead, keeping
+            // every manifest line metadata-sized (a partition column
+            // is a low-cardinality short key by design; a long value
+            // here is a modeling error worth surfacing at write time)
+            val bytes = r.getUTF8String(idx).getBytes.clone()
+            require(bytes.length <= ManifestTable.MaxPartValueBytes,
+              s"partition value of column ${partCols(j)} is " +
+                s"${bytes.length} bytes (cap " +
+                s"${ManifestTable.MaxPartValueBytes}) — string " +
+                "partition columns must be short exact keys; use a " +
+                "zone-stats column for long strings")
+            "S:" + StrStat.hex(bytes)
           case _ =>
             val v = schema(idx).dataType match {
               case LongType | TimestampType => r.getLong(idx)
@@ -1586,6 +2069,12 @@ final case class ManifestWriterFactory(schema: StructType,
     private val maxs = Array.fill(statsCols.size)(Long.MinValue)
     private val strMins = Array.fill[UTF8String](statsCols.size)(null)
     private val strMaxs = Array.fill[UTF8String](statsCols.size)(null)
+    // streamed per-column NDV sketch over the canonical encoding —
+    // byte-identical to fileMeta's aggregate build (one blob format,
+    // any write path)
+    private val ndvRegs =
+      Array.fill(statsCols.size)(NdvSketch.empty())
+    private val nullCnt = Array.fill(statsCols.size)(0L)
     private var n = 0L
     // open lazily on the FIRST row: empty partitions stage no file
     private var writer: org.apache.parquet.hadoop.ParquetWriter[
@@ -1629,6 +2118,7 @@ final case class ManifestWriterFactory(schema: StructType,
       var j = 0
       while (j < statIdx.length) {
         val idx = statIdx(j)
+        if (r.isNullAt(idx)) nullCnt(j) += 1L
         if (!r.isNullAt(idx)) {
           statKind(j) match {
             case 'S' =>
@@ -1642,6 +2132,7 @@ final case class ManifestWriterFactory(schema: StructType,
               if (strMaxs(j) == null ||
                   v.compareTo(strMaxs(j)) > 0)
                 strMaxs(j) = v.clone()
+              NdvSketch.update(ndvRegs(j), v.getBytes)
             case k =>
               val v = schema(idx).dataType match {
                 case LongType | TimestampType => r.getLong(idx)
@@ -1653,6 +2144,11 @@ final case class ManifestWriterFactory(schema: StructType,
               }
               if (v < mins(j)) mins(j) = v
               if (v > maxs(j)) maxs(j) = v
+              // canonical NDV input = the int64 encoding's decimal
+              // string (what fileMeta's cast-to-string hashes too)
+              NdvSketch.update(ndvRegs(j),
+                String.valueOf(v).getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
           }
         }
         j += 1
@@ -1676,7 +2172,10 @@ final case class ManifestWriterFactory(schema: StructType,
               strMaxs(j).toString)
             .map { case (_, mnH, mxH) => c -> (mnH, mxH) }
         }.toMap
-        ManifestTaskFile(rel, n, stats, sstats, pvals)
+        val ndvs = statsCols.zipWithIndex.map { case (c, j) =>
+          c -> (nullCnt(j), StrStat.hex(ndvRegs(j)))
+        }.toMap
+        ManifestTaskFile(rel, n, stats, sstats, pvals, ndvs)
       }
 
     def drop(): Unit = if (writer != null) {
@@ -1688,12 +2187,54 @@ final case class ManifestWriterFactory(schema: StructType,
 
 final case class ManifestCountPartition(n: Long) extends InputPartition
 /** `rel` is the manifest-relative path — served as the `_graft_file`
-  * metadata column (the row-level operation GROUP id). */
+  * metadata column (the row-level operation GROUP id). `start` /
+  * `length` bound the parquet ROW GROUPS this partition reads (byte
+  * range, midpoint rule — `Long.MaxValue` length = whole file):
+  * large files plan several row-group-aligned partitions instead of
+  * one straggler task. `rowOffset` is the file-ordinal of the
+  * range's first row — what keeps deletion-vector positions (and the
+  * `_graft_pos` row id) correct on a split read. */
 final case class ManifestFilePartition(path: String, rel: String,
-    dv: Array[Long], cols: Array[String]) extends InputPartition
+    dv: Array[Long], cols: Array[String], start: Long = 0L,
+    length: Long = Long.MaxValue, rowOffset: Long = 0L)
+    extends InputPartition
 
-final case class ManifestReaderFactory(required: StructType)
+/** [[ManifestFilePartition]] plus its decoded `#pval=` tuple — the
+  * [[org.apache.spark.sql.connector.read.HasPartitionKey]] face a
+  * key-grouped (storage-partitioned-join) scan plans. Splits of one
+  * file share the key; Spark groups same-key partitions per side and
+  * zips them exchange-free. */
+final case class ManifestKeyedPartition(base: ManifestFilePartition,
+    keyVals: Array[Any]) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(keyVals)
+}
+
+final case class ManifestReaderFactory(required: StructType,
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  /** Scan-wide (Spark requires all partitions of a batch to agree):
+    * the scan sets `columnar` only when every surviving file is
+    * DV-free and no row-position column is required. */
+  override def supportColumnarReads(partition: InputPartition)
+      : Boolean = columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case ManifestKeyedPartition(base, _) =>
+        createColumnarReader(base)
+      case ManifestFilePartition(path, rel, dv, _, start, length, _) =>
+        require(dv.isEmpty,
+          "columnar manifest read planned over a DV'd file")
+        new ManifestColumnarReader(path, rel, start, length, required)
+      case other => throw new IllegalStateException(
+        s"columnar read of non-file partition $other")
+    }
+
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -1707,18 +2248,123 @@ final case class ManifestReaderFactory(required: StructType)
               .GenericInternalRow(Array[Any](n))
           override def close(): Unit = ()
         }
-      case ManifestFilePartition(path, rel, dv, _) =>
-        new ManifestFileReader(path, rel, dv, required)
+      case ManifestKeyedPartition(base, _) => createReader(base)
+      case ManifestFilePartition(path, rel, dv, _, start, length,
+          rowOffset) =>
+        new ManifestFileReader(path, rel, dv, required, start, length,
+          rowOffset)
     }
 }
 
-/** One file's reader: parquet-mr Group API with the projection
-  * pushed into the read schema, deletion-vector positions skipped by
-  * ordinal (parquet-mr yields rows in file order, so the running
-  * counter IS `_metadata.row_index`). */
+/** VECTORIZED file reader — the hot path of every DV-free manifest
+  * scan: Spark's own [[org.apache.spark.sql.execution.datasources
+  * .parquet.VectorizedParquetRecordReader]] decodes the parquet
+  * pages straight into ColumnarBatch vectors (the same reader the
+  * built-in parquet source runs), so the DSv2 scan feeds whole-stage
+  * codegen columnar instead of materializing one boxed Group per row.
+  * The requested schema rides the standard `ParquetReadSupport` conf
+  * seam, which also gives the merged-footer evolution contract for
+  * free: a required column ABSENT from this file's footer is clipped
+  * to a constant-NULL vector by the reader's missing-column handling.
+  * `_graft_file` (when required) lands as a constant string vector
+  * through the reader's partition-column seam; when it is not the
+  * trailing column, the batch is re-wrapped in required order (the
+  * vectors are shared — no copy). Byte range [start, start+length)
+  * selects row groups by the parquet midpoint rule — the split seam.
+  */
+final class ManifestColumnarReader(path: String, rel: String,
+    start: Long, length: Long, required: StructType)
+    extends PartitionReader[
+      org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val dataSchema = StructType(
+    required.fields.filterNot(_.name == "_graft_file"))
+  private val wantsFile = required.fieldNames.contains("_graft_file")
+
+  private val reader: VectorizedParquetRecordReader = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat
+      .READ_SUPPORT_CLASS, classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+      dataSchema.json)
+    val sql = org.apache.spark.sql.internal.SQLConf
+    conf.setBoolean(sql.CASE_SENSITIVE.key, false)
+    conf.setBoolean(sql.PARQUET_BINARY_AS_STRING.key, false)
+    conf.setBoolean(sql.PARQUET_INT96_AS_TIMESTAMP.key, true)
+    conf.setBoolean(sql.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+    // manifest tables never carry TIMESTAMP(NANOS) (messageTypeOf
+    // forbids it; Spark stages micros/INT96), so the legacy
+    // nanos-as-long toggle is moot — set, because the schema
+    // converter reads it with no default
+    conf.setBoolean(sql.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+    conf.set(sql.SESSION_LOCAL_TIMEZONE.key, "UTC")
+    // files are written by this engine (Spark 4 / the DSv2 writer) —
+    // modern proleptic-Gregorian values, CORRECTED on both rebases
+    // (exactly the semantics the row-path INT96 decoder applies)
+    val r = new VectorizedParquetRecordReader(null, "CORRECTED",
+      "UTC", "CORRECTED", "UTC", false, 4096)
+    val len = if (length == Long.MaxValue) {
+      try java.nio.file.Files.size(java.nio.file.Paths.get(path))
+      catch { case _: java.io.IOException => Long.MaxValue - 1L }
+    } else length
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new org.apache.hadoop.fs.Path(path), start, len,
+      Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task
+      .TaskAttemptContextImpl(conf,
+        new org.apache.hadoop.mapreduce.TaskAttemptID())
+    r.initialize(split, ctx)
+    if (wantsFile)
+      r.initBatch(
+        StructType(Seq(StructField("_graft_file", StringType,
+          nullable = false))),
+        new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(
+            Array[Any](UTF8String.fromString(rel))))
+    else
+      r.initBatch(new StructType(),
+        org.apache.spark.sql.catalyst.InternalRow.empty)
+    r.enableReturningBatches()
+    r
+  }
+
+  // batch column order = dataSchema then the appended constant; remap
+  // to `required` order when they differ (shared vectors, no copy)
+  private val inner: ColumnarBatch = reader.resultBatch()
+  private val remapped: Option[ColumnarBatch] = {
+    val batchOrder = dataSchema.fieldNames ++
+      (if (wantsFile) Array("_graft_file") else Array.empty[String])
+    if (batchOrder.sameElements(required.fieldNames)) None
+    else {
+      val idx = batchOrder.zipWithIndex.toMap
+      Some(new ColumnarBatch(
+        required.fieldNames.map(n => inner.column(idx(n)))))
+    }
+  }
+
+  override def next(): Boolean = reader.nextBatch()
+  override def get(): ColumnarBatch = remapped match {
+    case Some(b) => b.setNumRows(inner.numRows()); b
+    case None => inner
+  }
+  override def close(): Unit = reader.close()
+}
+
+/** One file's ROW reader (the DV-masking / row-id path; DV-free
+  * scans take [[ManifestColumnarReader]]): parquet-mr Group API with
+  * the projection pushed into the read schema, deletion-vector
+  * positions skipped by ordinal (parquet-mr yields rows in file
+  * order, so the running counter — seeded with the partition's
+  * `rowOffset` on a split read — IS `_metadata.row_index`). Byte
+  * range [start, start+length) selects row groups by the same
+  * midpoint rule as the columnar reader. */
 final class ManifestFileReader(path: String, rel: String,
     dv: Array[Long],
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, start: Long = 0L,
+    length: Long = Long.MaxValue,
+    rowOffset: Long = 0L) extends PartitionReader[InternalRow] {
   private val conf = new org.apache.hadoop.conf.Configuration()
   private val fileSchema = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -1741,12 +2387,17 @@ final class ManifestFileReader(path: String, rel: String,
     }
   }
   private val reader: org.apache.parquet.hadoop.ParquetReader[
-      org.apache.parquet.example.data.Group] =
+      org.apache.parquet.example.data.Group] = {
+    val end =
+      if (length == Long.MaxValue) Long.MaxValue
+      else Math.addExact(start, length)
     org.apache.parquet.hadoop.ParquetReader
       .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
         new org.apache.hadoop.fs.Path(path))
       .withConf(conf)
+      .withFileRange(start, end)
       .build()
+  }
   private val dead: java.util.HashSet[java.lang.Long] = {
     val s = new java.util.HashSet[java.lang.Long]()
     dv.foreach(p => s.add(p))
@@ -1779,7 +2430,7 @@ final class ManifestFileReader(path: String, rel: String,
     (julianDay - 2440588L) * 86400000000L + nanos / 1000L
   }
 
-  private var pos = -1L
+  private var pos = rowOffset - 1L
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -1804,6 +2455,7 @@ final class ManifestFileReader(path: String, rel: String,
       val name = required(i).name
       vals(i) =
         if (name == "_graft_file") UTF8String.fromString(rel)
+        else if (name == "_graft_pos") pos // physical file ordinal
         else if (!fileSchema.containsField(name)) null // evolution
         else if (g.getFieldRepetitionCount(name) == 0) null
         else required(i).dataType match {

@@ -50,6 +50,14 @@ import scala.util.Using
   */
 object ManifestTable {
 
+  /** Write-time cap on STRING partition values (raw UTF-8 bytes).
+    * Partition values are EXACT equality keys carried verbatim on
+    * every `#pval=` manifest line, so — unlike the `#sstats=` bounds,
+    * which truncate conservatively — they cannot shorten silently;
+    * past the cap the write fails loudly instead of bloating every
+    * manifest line that carries the value. */
+  val MaxPartValueBytes = 128
+
   private def manifestDir(table: String): Path =
     Paths.get(table, "_manifests")
 
@@ -123,8 +131,28 @@ object ManifestTable {
 
   private[sources] val noPvals: Pvals = Map.empty
 
+  /** Per-file NDV SKETCHES (`#ndv=path|col|hexRegisters` lines): a
+    * [[NdvSketch.M]]-register HyperLogLog of each stats column,
+    * streamed at write time — the manifest-level column statistics
+    * that let [[graft.sources.ManifestScan.estimateStatistics]]
+    * report distinct counts to Catalyst's CBO (join-order /
+    * broadcast decisions driven by NDV, the Delta/Iceberg
+    * column-stats posture). Registers MERGE by byte-wise max, so the
+    * table-level NDV is pure manifest arithmetic over any file
+    * subset — the post-pruning scan's NDV reflects the files it
+    * will actually read — and compaction unions its inputs' sketches
+    * without a data scan. Hash input is the column's CANONICAL
+    * string (the int64 zone encoding's decimal string for
+    * integer/date/timestamp, the raw string otherwise), identical
+    * across the Scala and DSv2 write paths so mixed-writer tables
+    * merge coherently. */
+  private[sources] type Ndvs = Map[String, Seq[(String, Long, String)]]
+
+  private[sources] val noNdvs: Ndvs = Map.empty
+
   private val emptyManifest =
-    Manifest(Seq.empty, noStats, Map.empty, noDvs, noSStats, noPvals)
+    Manifest(Seq.empty, noStats, Map.empty, noDvs, noSStats, noPvals,
+      noNdvs)
 
   /** One parsed manifest: data-file list, per-file zone stats
     * (`#stats=path|col|min|max` lines), per-file row counts
@@ -136,9 +164,10 @@ object ManifestTable {
     * stats (`#sstats=` lines). */
   private final case class Manifest(files: Seq[String], stats: Stats,
       rows: Map[String, Long], dvs: Dvs, sstats: SStats,
-      pvals: Pvals) {
+      pvals: Pvals, ndvs: Ndvs) {
     def metaLinesFor(fs: Seq[String]): Seq[String] =
-      ManifestTable.metaLines(fs, stats, rows, dvs, sstats, pvals)
+      ManifestTable.metaLines(fs, stats, rows, dvs, sstats, pvals,
+        ndvs)
   }
 
   /** One manifest read parsed into [[Manifest]]: data lines are
@@ -188,7 +217,13 @@ object ManifestTable {
         (q(0), (q(1), q(2)))
       }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    Manifest(files, stats, rows, dvs, sstats, pvals)
+    val ndvs: Ndvs = ls.filter(_.startsWith("#ndv="))
+      .map { l =>
+        val q = l.drop(5).split('|')
+        (q(0), (q(1), q(2).toLong, q(3)))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    Manifest(files, stats, rows, dvs, sstats, pvals, ndvs)
   }
 
   private def filesOf(table: String, version: Long): Seq[String] =
@@ -206,7 +241,8 @@ object ManifestTable {
       stats: Map[String, Seq[(String, Long, Long)]],
       rows: Map[String, Long], dvs: Map[String, Seq[Long]],
       sstats: Map[String, Seq[(String, String, String)]],
-      pvals: Map[String, Seq[(String, String)]])
+      pvals: Map[String, Seq[(String, String)]],
+      ndvs: Map[String, Seq[(String, Long, String)]] = Map.empty)
 
   private[graft] def snapshotFor(table: String,
       version: Option[Long]): Snapshot = {
@@ -215,7 +251,8 @@ object ManifestTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"no snapshot v$v under $table (have $vs)")
     val m = manifestOf(table, v)
-    Snapshot(v, m.files, m.stats, m.rows, m.dvs, m.sstats, m.pvals)
+    Snapshot(v, m.files, m.stats, m.rows, m.dvs, m.sstats, m.pvals,
+      m.ndvs)
   }
 
   /** Publish files the CALLER's tasks already staged as the next
@@ -231,7 +268,8 @@ object ManifestTable {
       rows: Map[String, Long], append: Boolean,
       sstats: Map[String, Seq[(String, String, String)]] = noSStats,
       pvals: Map[String, Seq[(String, String)]] = noPvals,
-      tag: Option[String] = None): Long = {
+      tag: Option[String] = None,
+      ndvs: Ndvs = noNdvs): Long = {
     require(staged.nonEmpty, "publishStaged needs at least one file")
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     publishLoop(table, nonce, "publishStaged") { snapshot =>
@@ -251,7 +289,7 @@ object ManifestTable {
           Right(tag.map(t => s"#tag=$t").toSeq ++
             prev.metaLinesFor(prev.files) ++
             metaLines(staged, stats, rows, sstats = sstats,
-              pvals = pvals) ++
+              pvals = pvals, ndvs = ndvs) ++
             prev.files ++ staged)
       }
     }
@@ -276,7 +314,8 @@ object ManifestTable {
       sstats: Map[String, Seq[(String, String, String)]],
       rows: Map[String, Long],
       expectDvs: Map[String, Seq[Long]],
-      pvals: Pvals = noPvals): Long = {
+      pvals: Pvals = noPvals,
+      ndvs: Ndvs = noNdvs): Long = {
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val replacedSet = replaced.toSet
     publishLoop(table, nonce, "publishReplace") { snapshot =>
@@ -294,20 +333,23 @@ object ManifestTable {
       val carried = cur.files.filterNot(replacedSet)
       Right(cur.metaLinesFor(carried) ++
         metaLines(staged, stats, rows, sstats = sstats,
-          pvals = pvals) ++
+          pvals = pvals, ndvs = ndvs) ++
         carried ++ staged)
     }
   }
 
   private def metaLines(files: Seq[String], stats: Stats,
       rows: Map[String, Long], dvs: Dvs = noDvs,
-      sstats: SStats = noSStats, pvals: Pvals = noPvals): Seq[String] =
+      sstats: SStats = noSStats, pvals: Pvals = noPvals,
+      ndvs: Ndvs = noNdvs): Seq[String] =
     files.flatMap(f => stats.getOrElse(f, Seq.empty)
       .map { case (c, mn, mx) => s"#stats=$f|$c|$mn|$mx" }) ++
       files.flatMap(f => sstats.getOrElse(f, Seq.empty)
         .map { case (c, mn, mx) => s"#sstats=$f|$c|$mn|$mx" }) ++
       files.flatMap(f => pvals.getOrElse(f, Seq.empty)
         .map { case (c, enc) => s"#pval=$f|$c|$enc" }) ++
+      files.flatMap(f => ndvs.getOrElse(f, Seq.empty)
+        .map { case (c, nulls, regs) => s"#ndv=$f|$c|$nulls|$regs" }) ++
       files.flatMap(f => rows.get(f).map(n => s"#nrows=$f|$n")) ++
       files.flatMap(f => dvs.get(f).filter(_.nonEmpty)
         .map(ps => s"#dv=$f|${ps.mkString(",")}"))
@@ -584,7 +626,7 @@ object ManifestTable {
     val spark = df.sparkSession
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val fresh = stage(df, table, nonce)
-    val (freshStats, freshSStats, freshRows) =
+    val (freshStats, freshSStats, freshRows, freshNdvs) =
       fileMeta(spark, Paths.get(table, "data", s"s-$nonce").toString,
         s"data/s-$nonce", statsCols, fresh)
     publishLoop(table, nonce, "commitWithStats") { snapshot =>
@@ -602,7 +644,8 @@ object ManifestTable {
             metaLines(prev.files ++ fresh,
               prev.stats ++ freshStats, prev.rows ++ freshRows,
               prev.dvs, prev.sstats ++ freshSStats,
-              pvals = prev.pvals) ++
+              pvals = prev.pvals,
+              ndvs = prev.ndvs ++ freshNdvs) ++
             prev.files ++ fresh)
       }
     }
@@ -631,17 +674,19 @@ object ManifestTable {
   /** The per-file metadata pass shared by every stats-recording
     * writer ([[commitWithStats]], [[deleteRange]]'s rewrite): ONE
     * distributed aggregation over the just-written files computing
-    * min/max per stats column plus the exact row count, keyed by
-    * `_metadata.file_path`. Costs one scan of data that is already
-    * hot (just written); the row counts make [[countRows]]
-    * metadata-only. Integer/date/timestamp columns land in the int64
-    * stats, strings in the hex byte-wise string stats. */
+    * min/max per stats column, the [[NdvSketch]] HLL registers, plus
+    * the exact row count, keyed by `_metadata.file_path`. Costs one
+    * scan of data that is already hot (just written); the row counts
+    * make [[countRows]] metadata-only. Integer/date/timestamp
+    * columns land in the int64 stats, strings in the hex byte-wise
+    * string stats; every stats column gets an `#ndv=` register
+    * sketch over its canonical encoding. */
   private def fileMeta(spark: SparkSession, dir: String,
       prefix: String, statsCols: Seq[String],
       expect: Seq[String] = Seq.empty)
-      : (Stats, SStats, Map[String, Long]) = {
-    import org.apache.spark.sql.functions.{col, count, lit, min, max,
-      unix_date, unix_micros}
+      : (Stats, SStats, Map[String, Long], Ndvs) = {
+    import org.apache.spark.sql.functions.{call_function, col, count,
+      lit, min, max, unix_date, unix_micros}
     val df = spark.read.parquet(dir)
     val kinds = statsCols.map(c => c -> statKindOf(df.schema(c).dataType, c))
     def enc(c: String, k: Char) = k match {
@@ -653,7 +698,11 @@ object ManifestTable {
     val aggs = count(lit(1)).as("__n") +:
       kinds.zipWithIndex.flatMap { case ((c, k), i) =>
         Seq(min(enc(c, k)).as(s"__mn_$i"),
-          max(enc(c, k)).as(s"__mx_$i"))
+          max(enc(c, k)).as(s"__mx_$i"),
+          call_function("graft_hll_regs",
+            enc(c, k).cast("string"), lit(NdvSketch.M))
+            .as(s"__ndv_$i"),
+          (count(lit(1)) - count(enc(c, k))).as(s"__nn_$i"))
       }
     val rows = df
       .groupBy(col("_metadata.file_path").as("__f"))
@@ -662,26 +711,33 @@ object ManifestTable {
     val perFile = rows.map { r =>
       val name = r.getString(0).split('/').last
       val longs = kinds.zipWithIndex.flatMap { case ((c, k), i) =>
-        val (mnI, mxI) = (2 + 2 * i, 3 + 2 * i)
+        val (mnI, mxI) = (2 + 4 * i, 3 + 4 * i)
         if (k == 'S' || r.isNullAt(mnI) || r.isNullAt(mxI)) None
         else Some((c, r.getLong(mnI), r.getLong(mxI)))
       }
       val strs = kinds.zipWithIndex.flatMap { case ((c, k), i) =>
-        val (mnI, mxI) = (2 + 2 * i, 3 + 2 * i)
+        val (mnI, mxI) = (2 + 4 * i, 3 + 4 * i)
         if (k != 'S' || r.isNullAt(mnI) || r.isNullAt(mxI)) None
         else StrStat.entry(c, r.getString(mnI), r.getString(mxI))
       }
-      (s"$prefix/$name", longs, strs, r.getLong(1))
+      val regs = kinds.zipWithIndex.map { case ((c, _), i) =>
+        val arr = r.getSeq[Int](4 + 4 * i)
+        (c, r.getLong(5 + 4 * i),
+          StrStat.hex(arr.map(_.toByte).toArray))
+      }
+      (s"$prefix/$name", longs, strs, r.getLong(1), regs)
     }
     val stats: Stats = perFile
-      .collect { case (f, ls, _, _) if ls.nonEmpty => f -> ls }.toMap
+      .collect { case (f, ls, _, _, _) if ls.nonEmpty => f -> ls }.toMap
     val sstats: SStats = perFile
-      .collect { case (f, _, ss, _) if ss.nonEmpty => f -> ss }.toMap
-    val counts = perFile.map { case (f, _, _, n) => f -> n }.toMap
+      .collect { case (f, _, ss, _, _) if ss.nonEmpty => f -> ss }.toMap
+    val ndvs: Ndvs = perFile
+      .map { case (f, _, _, _, regs) => f -> regs.toSeq }.toMap
+    val counts = perFile.map { case (f, _, _, n, _) => f -> n }.toMap
     // a zero-row part file produces no aggregation group but its
     // count IS exactly 0 — backfill so countRows stays exact-or-None
     (stats, sstats, counts ++
-      expect.filterNot(counts.contains).map(_ -> 0L).toMap)
+      expect.filterNot(counts.contains).map(_ -> 0L).toMap, ndvs)
   }
 
   /** Append the per-file identity columns every DV operation keys on:
@@ -791,7 +847,7 @@ object ManifestTable {
     require(vs.contains(v),
       s"version $v of $table does not exist (live: " +
         s"${vs.mkString(", ")})")
-    val Manifest(files, stats, nrows, dvs, sstats, _) =
+    val Manifest(files, stats, nrows, dvs, sstats, _, _) =
       manifestOf(table, v)
     require(files.nonEmpty,
       s"snapshot v$v of $table lists no data files — a pruned read " +
@@ -1143,8 +1199,9 @@ object ManifestTable {
           (m.stats.getOrElse(f, Seq.empty).map(_._1) ++
             m.sstats.getOrElse(f, Seq.empty).map(_._1)).toSet)
         .reduce(_ intersect _).toSeq.sorted
-    val (newStats, newSStats, newRows) =
-      if (staged.isEmpty) (noStats, noSStats, Map.empty[String, Long])
+    val (newStats, newSStats, newRows, newNdvs) =
+      if (staged.isEmpty)
+        (noStats, noSStats, Map.empty[String, Long], noNdvs)
       else fileMeta(spark, stageDir.toString, s"data/d-$nonce",
         keepCols, staged)
     val cowSet = cowFiles.toSet
@@ -1186,8 +1243,10 @@ object ManifestTable {
       val rowsAll = newRows ++
         staged.filterNot(newRows.contains).map(_ -> 0L)
       Right(metaLines(carried, cur.stats, cur.rows,
-          cur.dvs ++ dvUpdates, cur.sstats, pvals = cur.pvals) ++
-        metaLines(staged, newStats, rowsAll, sstats = newSStats) ++
+          cur.dvs ++ dvUpdates, cur.sstats, pvals = cur.pvals,
+          ndvs = cur.ndvs) ++
+        metaLines(staged, newStats, rowsAll, sstats = newSStats,
+          ndvs = newNdvs) ++
         carried ++ staged)
     }
     (v, cowFiles.size, dvFiles.size, after)
@@ -1423,14 +1482,14 @@ object ManifestTable {
             m.sstats.getOrElse(f, Seq.empty).map(_._1)).toSet)
         .reduce(_ intersect _).toSeq.sorted
     def metaOf(dir: Path, prefix: String, paths: Seq[String])
-        : (Stats, SStats, Map[String, Long]) =
+        : (Stats, SStats, Map[String, Long], Ndvs) =
       if (paths.isEmpty || keepCols.isEmpty)
-        (noStats, noSStats, Map.empty[String, Long])
+        (noStats, noSStats, Map.empty[String, Long], noNdvs)
       else fileMeta(spark, dir.toString, prefix, keepCols, paths)
-    val (rwStats, rwSStats, rwRows) = metaOf(
+    val (rwStats, rwSStats, rwRows, rwNdvs) = metaOf(
       Paths.get(table, "data", s"m-$nonce"), s"data/m-$nonce",
       rewrittenStaged)
-    val (insStats, insSStats, insRows) = metaOf(insertDir,
+    val (insStats, insSStats, insRows, insNdvs) = metaOf(insertDir,
       s"data/m-$nonce-ins", insertStaged)
     val cowSet = cowFiles.toSet
     val inputSet = cowSet ++ dvFiles
@@ -1448,12 +1507,134 @@ object ManifestTable {
       val staged = rewrittenStaged ++ insertStaged
       after = carried.size + staged.size
       Right(metaLines(carried, cur.stats, cur.rows,
-          cur.dvs ++ dvUpdates, cur.sstats, pvals = cur.pvals) ++
+          cur.dvs ++ dvUpdates, cur.sstats, pvals = cur.pvals,
+          ndvs = cur.ndvs) ++
         metaLines(staged, rwStats ++ insStats, rwRows ++ insRows,
-          sstats = rwSStats ++ insSStats) ++
+          sstats = rwSStats ++ insSStats,
+          ndvs = rwNdvs ++ insNdvs) ++
         carried ++ staged)
     }
     (v, cowFiles.size, dvFiles.size, after)
+  }
+
+  /** Publish one DELTA commit — the seam the SQL merge-on-read
+    * row-level operations ([[ManifestDeltaOperation]]) commit
+    * through: `deletes` are NEW dead positions per live file (from
+    * the writers' (`_graft_file`, `_graft_pos`) row ids), `staged`
+    * the already-written insert files with their metadata. ONE
+    * atomic version lands: touched files keep their bytes and gain
+    * unioned `#dv=` lines, inserts append — zero rewritten data
+    * files… except files whose ACCUMULATED deletion vector would
+    * blow the budget (`> dvMaxFraction` of the file's rows, or
+    * `> dvMaxPositions` absolute), which are rewritten live-minus-DV
+    * inline — the same copy-on-write crossover [[deleteRangeDv]] and
+    * [[mergeByKeyDv]] apply up front, enforced here at commit because
+    * a planner-driven MERGE only learns its matches row-by-row.
+    *
+    * Same DML conflict rules as [[publishReplace]]: a rival rewrite
+    * that removed a touched file aborts (the delete positions were
+    * computed against the pinned snapshot), and a rival DV landing
+    * on a touched file aborts (unioning would conflate two
+    * serializations). Untouched-file rivals ride along.
+    *
+    * Returns (version, dv-files, rewritten-files). */
+  private[sources] def applyDeltaCommit(spark: SparkSession,
+      table: String, deletes: Dvs, staged: Seq[String],
+      stats: Stats, sstats: SStats, rows: Map[String, Long],
+      pvals: Pvals, expectDvs: Dvs, dvMaxFraction: Double,
+      dvMaxPositions: Int = 10000,
+      ndvs: Ndvs = noNdvs): (Long, Int, Int) = {
+    require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
+      s"dvMaxFraction must be in [0, 1]: $dvMaxFraction")
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no published version in $table")
+    val m = manifestOf(table, vs.last)
+    deletes.keys.foreach(f => require(m.files.contains(f),
+      s"delta commit deletes from $f, which is not live in $table"))
+    // merged per-file vectors; split into keep-as-DV vs rewrite
+    val merged: Dvs = deletes.map { case (f, ps) =>
+      f -> (expectDvs.getOrElse(f, Seq.empty) ++ ps).distinct.sorted
+    }
+    val (dvKeep, rewrite) = merged.partition { case (f, all) =>
+      val overCap = all.size > dvMaxPositions
+      val overFrac = m.rows.get(f)
+        .exists(n => all.size.toDouble > dvMaxFraction * n)
+      !(overCap || overFrac)
+    }
+    val root = Paths.get(table)
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    // CoW fallback: rewrite each over-budget file live-minus-DV —
+    // ONE staged file per input (a file-local rewrite keeps the
+    // partition tuple and zone columns of its input)
+    val (rwStaged, rwStats, rwSStats, rwRows, rwNdvs, rwPvals) =
+      if (rewrite.isEmpty)
+        (Seq.empty[String], noStats, noSStats,
+          Map.empty[String, Long], noNdvs, noPvals)
+      else {
+        val outs = rewrite.keys.toSeq.sorted.zipWithIndex.map {
+          case (f, i) =>
+            val dir = Paths.get(table, "data", s"dx-$nonce-$i")
+            readLive(spark, root, Seq(f), Map(f -> rewrite(f)))
+              .coalesce(1)
+              .write.mode("errorifexists").parquet(dir.toString)
+            val staged = Using.resource(Files.list(dir)) { st =>
+              st.iterator().asScala.map(_.getFileName.toString)
+                .filter(n => n.endsWith(".parquet") &&
+                  !n.startsWith("_"))
+                .toSeq.sorted.map(n => s"data/dx-$nonce-$i/$n")
+            }
+            require(staged.size == 1,
+              s"single-file rewrite staged ${staged.size} files")
+            (f, staged.head, dir)
+        }
+        val statsColsOf = outs.map { case (f, _, _) =>
+          f -> (m.stats.getOrElse(f, Seq.empty).map(_._1) ++
+            m.sstats.getOrElse(f, Seq.empty).map(_._1)).distinct
+        }.toMap
+        var st: Stats = noStats
+        var sst: SStats = noSStats
+        var rw = Map.empty[String, Long]
+        var nd: Ndvs = noNdvs
+        outs.foreach { case (f, out, dir) =>
+          val cols = statsColsOf(f)
+          if (cols.isEmpty) {
+            // still need the exact row count for #nrows
+            val n = spark.read.parquet(dir.toString).count()
+            rw = rw + (out -> n)
+          } else {
+            val (a, b, c, e) = fileMeta(spark, dir.toString,
+              out.split('/').dropRight(1).mkString("/"), cols,
+              Seq(out))
+            st = st ++ a; sst = sst ++ b; rw = rw ++ c; nd = nd ++ e
+          }
+        }
+        (outs.map(_._2), st, sst, rw, nd,
+          outs.flatMap { case (f, out, _) =>
+            m.pvals.get(f).filter(_.nonEmpty).map(out -> _)
+          }.toMap)
+      }
+    val touched = merged.keySet
+    val rewriteSet = rewrite.keySet
+    val v = publishLoop(table, nonce, "applyDeltaCommit") { snapshot =>
+      val cur = manifestOf(table, snapshot.last)
+      require(touched.subsetOf(cur.files.toSet),
+        s"concurrent rewrite removed a delta-operation input of " +
+          s"$table — aborting rather than double-applying DML")
+      require(touched.forall(f => cur.dvs.getOrElse(f, Seq.empty) ==
+          expectDvs.getOrElse(f, Seq.empty)),
+        s"concurrent DV landed on a delta-operation input of $table " +
+          "— aborting rather than conflating two serializations")
+      val carried = cur.files.filterNot(rewriteSet)
+      val allStaged = staged ++ rwStaged
+      Right(metaLines(carried, cur.stats, cur.rows,
+          cur.dvs ++ dvKeep, cur.sstats, pvals = cur.pvals,
+          ndvs = cur.ndvs) ++
+        metaLines(allStaged, stats ++ rwStats, rows ++ rwRows,
+          sstats = sstats ++ rwSStats, pvals = pvals ++ rwPvals,
+          ndvs = ndvs ++ rwNdvs) ++
+        carried ++ allStaged)
+    }
+    (v, dvKeep.size, rewrite.size)
   }
 
   /** OPTIMIZE — the compaction half next to [[vacuum]]'s retention:
@@ -1591,7 +1772,8 @@ object ManifestTable {
     // from the rewritten files — one scan of just-written hot data,
     // only for DV-carrying groups; statsBounds turns exact again the
     // moment the DVs purge
-    val dvGroupMeta: Map[Int, (Stats, SStats, Map[String, Long])] =
+    val dvGroupMeta
+        : Map[Int, (Stats, SStats, Map[String, Long], Ndvs)] =
       staged.flatMap { case (gi, outs) =>
         if (!multi(gi).exists(hasDv)) None
         else {
@@ -1631,8 +1813,8 @@ object ManifestTable {
       val carried = cur.files.filterNot(rewritten.contains)
       val mergedMetaLines = staged.flatMap { case (gi, outs) =>
         dvGroupMeta.get(gi) match {
-          case Some((st, ss, rw)) =>
-            metaLines(outs, st, rw, sstats = ss)
+          case Some((st, ss, rw, nd)) =>
+            metaLines(outs, st, rw, sstats = ss, ndvs = nd)
           case None =>
             // same known-empty exclusion as the DV recompute: an
             // input that provably holds no rows adds nothing to the
@@ -1676,10 +1858,30 @@ object ManifestTable {
               if (outs.size == 1 && counts.forall(_.isDefined))
                 Seq(s"#nrows=${outs.head}|${counts.flatten.sum}")
               else Seq.empty
+            // NDV sketches merge by register max (HLL union law) —
+            // pure manifest arithmetic, same carry-through contract
+            // as the zone bounds. A multi-output group stamps each
+            // output with the union sketch: per-file it only
+            // over-covers, and the table-level register max over any
+            // subset stays the exact union.
+            val nEntryLists = counted.map(f =>
+              cur.ndvs.getOrElse(f, Seq.empty))
+            val nCommon =
+              if (nEntryLists.isEmpty) Set.empty[String]
+              else nEntryLists.map(_.map(_._1).toSet)
+                .reduce(_ intersect _)
+            val nPerCol = nCommon.toSeq.sorted.map { c =>
+              val es = nEntryLists.map(_.find(_._1 == c).get)
+              val regs = es.map(e => StrStat.unhex(e._3))
+                .reduce(NdvSketch.merge)
+              (c, es.map(_._2).sum, StrStat.hex(regs))
+            }
             outs.flatMap(o => perCol.map { case (c, mn, mx) =>
               s"#stats=$o|$c|$mn|$mx" }) ++
               outs.flatMap(o => sPerCol.map { case (c, mn, mx) =>
-                s"#sstats=$o|$c|$mn|$mx" }) ++ nLine
+                s"#sstats=$o|$c|$mn|$mx" }) ++
+              outs.flatMap(o => nPerCol.map { case (c, nulls, regs) =>
+                s"#ndv=$o|$c|$nulls|$regs" }) ++ nLine
         }
       }
       after = carried.size + stagedFiles.size
@@ -1775,9 +1977,9 @@ object ManifestTable {
             (m0.stats.getOrElse(f, Seq.empty).map(_._1) ++
               m0.sstats.getOrElse(f, Seq.empty).map(_._1)).toSet)
           .reduce(_ intersect _).toSeq.sorted
-      val (st, ss, rw) = fileMeta(spark, outDir.toString,
+      val (st, ss, rw, nd) = fileMeta(spark, outDir.toString,
         s"data/cp-$nonce-$gi", common, outs)
-      (tuple, outs, st, ss, rw)
+      (tuple, outs, st, ss, rw, nd)
     }
     val rewritten = todo.flatMap(_._2).toSet
     var after = 0
@@ -1793,9 +1995,9 @@ object ManifestTable {
           "deletes")
       val carried = cur.files.filterNot(rewritten.contains)
       val stagedLines = stagedAll.flatMap {
-        case (tuple, outs, st, ss, rw) =>
+        case (tuple, outs, st, ss, rw, nd) =>
           metaLines(outs, st, rw, sstats = ss,
-            pvals = outs.map(o => o -> tuple).toMap)
+            pvals = outs.map(o => o -> tuple).toMap, ndvs = nd)
       }
       val stagedFiles = stagedAll.flatMap(_._2)
       after = carried.size + stagedFiles.size
@@ -1948,8 +2150,9 @@ object ManifestTable {
             m0.sstats.getOrElse(f, Seq.empty).map(_._1)).toSet)
         .reduce(_ intersect _).toSeq
     val statsCols = (clusterCols ++ prevCols).distinct.sorted
-    val (newStats, newSStats, newRows) =
-      if (staged.isEmpty) (noStats, noSStats, Map.empty[String, Long])
+    val (newStats, newSStats, newRows, newNdvs) =
+      if (staged.isEmpty)
+        (noStats, noSStats, Map.empty[String, Long], noNdvs)
       else fileMeta(spark, stageDir.toString, s"data/cc-$nonce",
         statsCols, staged)
     val rewritten = m0.files.toSet
@@ -1967,7 +2170,8 @@ object ManifestTable {
       val carried = cur.files.filterNot(rewritten.contains)
       after = carried.size + staged.size
       Right(cur.metaLinesFor(carried) ++
-        metaLines(staged, newStats, newRows, sstats = newSStats) ++
+        metaLines(staged, newStats, newRows, sstats = newSStats,
+          ndvs = newNdvs) ++
         carried ++ staged)
     }
     (v, m0.files.size, after)
@@ -2081,6 +2285,72 @@ object ManifestTable {
   * manifest line format delimiter-safe for arbitrary content
   * (including '|', newlines, and invalid-UTF-8-after-truncation
   * upper bounds that no String round-trip could carry). */
+/** The `#ndv=` register sketch: a fixed-[[M]] HyperLogLog whose
+  * update/merge/estimate discipline is BIT-IDENTICAL to the engine's
+  * K1 sketches ([[graft.expressions.HllRegistersAgg]] with m = M,
+  * unsalted): h = top 60 md5 bits of the canonical string, bucket =
+  * h % M, rho = (60 − log2 M) + 1 − bitlen(h div M). The streaming
+  * DSv2 writer updates registers per row; [[ManifestTable.fileMeta]]
+  * computes the same registers through the native aggregate — one
+  * blob format, any write path. */
+private[graft] object NdvSketch {
+  /** Register count: 256 bytes/column/file (512 hex chars on the
+    * manifest line — metadata-sized), standard error ≈ 1.04/√M ≈
+    * 6.5%, ample for CBO join/broadcast decisions. */
+  val M = 256
+
+  private val vBits = 60 - Integer.numberOfTrailingZeros(M)
+
+  def empty(): Array[Byte] = new Array[Byte](M)
+
+  /** Fold one canonical-string observation into the registers. */
+  def update(regs: Array[Byte], utf8: Array[Byte]): Unit = {
+    val h = graft.expressions.Md5Fold.hash60(utf8)
+    val bucket = (h % M).toInt
+    val q = h / M
+    val rho =
+      if (q == 0L) vBits + 1
+      else vBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(q))
+    if (rho > regs(bucket)) regs(bucket) = rho.toByte
+  }
+
+  /** Union = byte-wise max (the HLL merge law — what lets zone-level
+    * sketches roll up to any file subset without a data scan). */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length,
+      s"register width mismatch: ${a.length} vs ${b.length}")
+    val out = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) {
+      out(i) = if (a(i) >= b(i)) a(i) else b(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct-count estimate: the raw HLL harmonic mean with the
+    * standard small-range LINEAR COUNTING correction (file-level
+    * cardinalities are routinely below the 2.5·M raw regime). */
+  def estimate(regs: Array[Byte]): Long = {
+    val m = regs.length
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    var harm = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      harm += math.pow(2.0, -(regs(i) & 0xFF))
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * m * m / harm
+    val e =
+      if (raw <= 2.5 * m && zeros > 0)
+        m * math.log(m.toDouble / zeros)
+      else raw
+    math.max(1L, math.round(e))
+  }
+}
+
 private[graft] object StrStat {
 
   /** Stored bound length cap — a manifest line stays metadata-sized

@@ -945,4 +945,339 @@ class PlanSpec extends SparkSpec {
         prevThresh)
     }
   }
+
+  test("manifest DSv2 reads are COLUMNAR (vectorized) when DV-free — " +
+      "including across schema evolution — and fall back to the " +
+      "row path exactly when a deletion vector must mask") {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-columnar").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    ManifestTable.commit(orders.filter(col("o_orderkey") % 2 === 0)
+      .coalesce(1), dir, append = false)
+    // evolution: the second file carries a column the first lacks
+    ManifestTable.commit(orders.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("late", col("o_custkey") * 2).coalesce(1),
+      dir, append = true)
+    def scanOf(df: DataFrame): BatchScanExec =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b
+      }.getOrElse(fail("no BatchScanExec in plan"))
+    val df = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+    assert(scanOf(df).supportsColumnar,
+      "DV-free manifest scan must be columnar")
+    // values: identical to the source recompute, late column NULL
+    // for pre-evolution rows, _graft_file constant served columnar
+    val expected = orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("late", lit(null).cast("long"))
+      .unionByName(orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("late", col("o_custkey") * 2))
+    assertSameRows(df.select("o_orderkey", "o_custkey", "late"),
+      expected)
+    val withMeta = df.select(col("late"), col("_graft_file"),
+      col("o_orderkey"))
+    assert(scanOf(withMeta).supportsColumnar,
+      "metadata-column projection stays columnar")
+    assert(withMeta.where(col("_graft_file").isNull).count() == 0L)
+    assert(withMeta.where(col("late").isNull).count() ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    // a DV flips the scan to the row path (positions must mask) —
+    // same values as the pre-delete frame minus the deleted range
+    ManifestTable.deleteRangeDv(spark, dir, "o_orderkey", 0L, 3L,
+      dvMaxFraction = 1.0)
+    val dvd = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+    assert(!scanOf(dvd).supportsColumnar,
+      "DV'd manifest scan must take the row path")
+    assertSameRows(dvd.select("o_orderkey"),
+      df.select("o_orderkey")
+        .where(!col("o_orderkey").between(0, 3)))
+  }
+
+  test("large manifest files split into row-group-aligned " +
+      "InputPartitions; values stay exact, with and without a DV") {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-split").toString
+    // force many small row groups in ONE staged file
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prev = hconf.get("parquet.block.size")
+    try {
+      hconf.set("parquet.block.size", "16384")
+      hconf.set("parquet.page.size", "4096")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      ManifestTable.commit(li.coalesce(1), dir, append = false)
+    } finally {
+      if (prev == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", prev)
+      hconf.unset("parquet.page.size")
+    }
+    val whole = spark.read.format("graft-manifest")
+      .option("path", dir).option("splitBytes", "0").load()
+    assert(whole.rdd.getNumPartitions == 1)
+    val split = spark.read.format("graft-manifest")
+      .option("path", dir).option("splitBytes", "16384").load()
+    assert(split.rdd.getNumPartitions > 1,
+      s"one multi-row-group file must plan several partitions, " +
+        s"got ${split.rdd.getNumPartitions}")
+    assertSameRows(split, whole)
+    // DV + split: rowOffset keeps positions exact on ranged reads
+    ManifestTable.deleteRangeDv(spark, dir, "l_orderkey", 0L, 5L,
+      dvMaxFraction = 1.0)
+    val splitDv = spark.read.format("graft-manifest")
+      .option("path", dir).option("splitBytes", "16384").load()
+    assert(splitDv.rdd.getNumPartitions > 1)
+    assertSameRows(splitDv,
+      whole.where(!col("l_orderkey").between(0, 5)))
+  }
+
+  test("runtime (dynamic) file pruning: a manifest fact joined to a " +
+      "selective dim re-prunes its files from the join key at " +
+      "EXECUTION time — fewer partitions than the static scan") {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dfp").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    // 4 zone-disjoint fact files on o_orderkey
+    val bounds = Seq((Long.MinValue, 375L), (375L, 750L),
+      (750L, 1125L), (1125L, Long.MaxValue))
+    for ((lo, hi) <- bounds) {
+      ManifestTable.commitWithStats(
+        orders.filter(col("o_orderkey") > lo &&
+          col("o_orderkey") <= hi).coalesce(1),
+        dir, append = true, "o_orderkey")
+    }
+    val fact = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // selective dim: an In filter (the shape DPP keys on) keeping
+      // 3 keys, all inside ONE fact file's zone
+      val dim = spark.range(2000)
+        .where(col("id").isin(400L, 401L, 402L))
+        .select(col("id").as("k"))
+      val joined = fact.join(broadcast(dim),
+        fact("o_orderkey") === dim("k"))
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.toString.toLowerCase.contains("dynamicpruning"),
+        s"runtime filter expected in scan:\n$plan")
+      // execute THIS plan instance (its pruning subquery runs, then
+      // the scan re-plans partitions under the runtime IN-set)
+      assert(plan.executeCollect().length == 3)
+      val scan = plan.collectFirst { case b: BatchScanExec => b }
+        .getOrElse(fail("no BatchScanExec"))
+      assert(scan.inputRDD.getNumPartitions == 1,
+        s"runtime IN over 3 keys must keep ONE of 4 files, got " +
+          s"${scan.inputRDD.getNumPartitions}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("NDV column statistics: #ndv register sketches merge into " +
+      "reported distinctCount, and a CBO join-cardinality decision " +
+      "FLIPS with the reported NDV") {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.functions.col
+    def mkTable(withStats: Boolean): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ndv").toString
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("p"))
+      for (m <- 0 to 1) {
+        val part = orders.filter(col("k") % 2 === m).coalesce(1)
+        if (withStats)
+          ManifestTable.commitWithStats(part, dir, append = true, "k")
+        else ManifestTable.commit(part, dir, append = true)
+      }
+      dir
+    }
+    val statsA = mkTable(withStats = true)
+    val statsB = mkTable(withStats = true)
+    val bareA = mkTable(withStats = false)
+    val bareB = mkTable(withStats = false)
+    val bigDir = java.nio.file.Files
+      .createTempDirectory("graft-ndv-big").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("q"))
+    // incompressible big side (unique ids), safely over the threshold
+    ManifestTable.commit(
+      spark.range(200000).select(
+        (col("id") % 1500).as("k"),
+        org.apache.spark.sql.functions.xxhash64(col("id")).as("q"))
+        .coalesce(1),
+      bigDir, append = false)
+    def rd(dir: String) = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+    val nRows = orders.count()
+    // the relation-level stats carry the HLL-estimated NDV (±6.5%)
+    val withNdv = rd(statsA)
+    val prev = Seq("spark.sql.cbo.enabled",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(kk => kk -> spark.conf.getOption(kk))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      val attrStats = withNdv.queryExecution.optimizedPlan
+        .stats.attributeStats
+      val ndvEst = attrStats.toSeq.collectFirst {
+        case (a, st) if a.name == "k" => st.distinctCount.get
+      }.getOrElse(fail(s"no NDV reached the plan: $attrStats"))
+      assert(math.abs(ndvEst.toLong - nRows) < nRows / 5,
+        s"HLL NDV ≈ $nRows expected, got $ndvEst")
+      // decision flip: (a ⋈ b) ⋈ big — WITH ndv the join's estimated
+      // cardinality is ~|a| (keys unique), small enough to broadcast
+      // the joined subtree; WITHOUT #ndv lines (same data, plain
+      // commits) the estimate degrades to the size product and the
+      // same join plans a shuffle
+      def planOf(a: String, b: String): String = {
+        val j = rd(a).join(rd(b).withColumnRenamed("p", "p2"), "k")
+          .join(rd(bigDir).withColumnRenamed("p", "p3"), "k")
+        j.queryExecution.executedPlan.toString
+      }
+      // the top join's BUILD side is (a ⋈ b): broadcastable only
+      // when the cardinality estimate (≈ |a|, keys unique) holds —
+      // i.e. only when the reported NDV reached JoinEstimation
+      val withPlan = planOf(statsA, statsB)
+      assert(!withPlan.contains("SortMergeJoin"),
+        s"NDV-driven cardinality must broadcast the joined dims:\n" +
+          withPlan)
+      val barePlan = planOf(bareA, bareB)
+      assert(barePlan.contains("SortMergeJoin"),
+        s"without #ndv the joined-dims estimate degrades to the " +
+          s"size product and must NOT broadcast:\n$barePlan")
+    } finally prev.foreach { case (kk, v) =>
+      v.fold(spark.conf.unset(kk))(spark.conf.set(kk, _))
+    }
+  }
+
+  test("storage-partitioned join: two manifest tables partitioned on " +
+      "the same column join with ZERO exchange " +
+      "(KeyGroupedPartitioning + HasPartitionKey)") {
+    import org.apache.spark.sql.functions.col
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-spj-a").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-spj-b").toString
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    cust.select(col("c_custkey"), col("c_nationkey"))
+      .write.format("graft-manifest").option("path", dirA)
+      .option("partitionColumns", "c_nationkey").mode("append").save()
+    spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+      .write.format("graft-manifest").option("path", dirB)
+      .option("partitionColumns", "n_nationkey").mode("append").save()
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.sources.v2.bucketing.enabled",
+      graft.sources.ManifestScan.PreserveGroupingKey)
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(graft.sources.ManifestScan.PreserveGroupingKey,
+        "true")
+      val a = spark.read.format("graft-manifest")
+        .option("path", dirA).load()
+      val b = spark.read.format("graft-manifest")
+        .option("path", dirB).load()
+      val joined = a.join(b,
+        a("c_nationkey") === b("n_nationkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"SPJ keeps a shuffle-join OPERATOR, minus its exchanges:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"same-key manifest⋈manifest must plan NO exchange:\n$plan")
+      // values identical to the shuffled plan
+      val expected = cust.join(
+        spark.read.parquet(s"$sf/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_name")
+      assertSameRows(joined.select("c_custkey", "n_name"), expected)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("merge-on-read SQL MERGE (SupportsDelta): a small MERGE " +
+      "publishes DV lines + ONE insert file with ZERO rewritten " +
+      "data files; over-budget files fall back to copy-on-write") {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.catalog.g_pd",
+      "graft.sources.GraftCatalog")
+    val tbl = "t_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-catalog-root",
+      tbl).toString
+    spark.sql(s"CREATE TABLE g_pd.$tbl (k BIGINT, p BIGINT) " +
+      "USING `graft-manifest` " +
+      "TBLPROPERTIES ('merge.mode'='merge-on-read')")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("p"))
+    val bounds = Seq((Long.MinValue, 375L), (375L, 750L),
+      (750L, 1125L), (1125L, Long.MaxValue))
+    for ((lo, hi) <- bounds) {
+      ManifestTable.commitWithStats(
+        orders.filter(col("k") > lo && col("k") <= hi).coalesce(1),
+        dir, append = true, "k")
+    }
+    val before = ManifestTable.snapshotFor(dir, None).files.toSet
+    // small MERGE: 5 updates + 3 inserts → DV path
+    orders.filter(col("k").between(400, 404))
+      .select(col("k"), (col("p") + 1000000L).as("p"))
+      .unionByName(spark.range(3).select(
+        (col("id") + 9000000L).as("k"), col("id").as("p")))
+      .createOrReplaceTempView("pd_src")
+    spark.sql(s"MERGE INTO g_pd.$tbl t USING pd_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET t.p = s.p " +
+      "WHEN NOT MATCHED THEN INSERT (k, p) VALUES (s.k, s.p)")
+    val snap = ManifestTable.snapshotFor(dir, None)
+    assert(before.subsetOf(snap.files.toSet),
+      "small delta MERGE must rewrite ZERO data files")
+    assert((snap.files.toSet -- before).size == 1,
+      s"exactly one insert file expected, got " +
+        s"${(snap.files.toSet -- before).size}")
+    assert(snap.dvs.values.map(_.size).sum == 5,
+      s"5 DV positions expected, got ${snap.dvs}")
+    // values: matched keys carry the new payload, inserts appear
+    val got = spark.sql(s"SELECT sum(p) FROM g_pd.$tbl " +
+      "WHERE k BETWEEN 400 AND 404").head().getLong(0)
+    val want = orders.filter(col("k").between(400, 404))
+      .agg(org.apache.spark.sql.functions.sum(col("p") + 1000000L))
+      .head().getLong(0)
+    assert(got == want, s"updated payloads: $got vs $want")
+    assert(spark.sql(s"SELECT count(*) FROM g_pd.$tbl " +
+      "WHERE k >= 9000000").head().getLong(0) == 3L)
+    // over-budget fallback: update EVERY row of one file — the file
+    // must REWRITE (no DV), others untouched
+    orders.filter(col("k") <= 375).select(col("k"),
+        (col("p") + 5L).as("p"))
+      .createOrReplaceTempView("pd_src2")
+    spark.sql(s"MERGE INTO g_pd.$tbl t USING pd_src2 s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET t.p = s.p")
+    val snap2 = ManifestTable.snapshotFor(dir, None)
+    val full = orders.filter(col("k") <= 375).count()
+    assert(snap2.dvs.values.map(_.size).sum == 5,
+      s"a full-file update must NOT accumulate a ${full}-position " +
+        s"DV: ${snap2.dvs.values.map(_.size).sum}")
+    assert(spark.sql(s"SELECT count(*) FROM g_pd.$tbl").head()
+      .getLong(0) == orders.count() + 3L)
+    spark.sql(s"DROP TABLE g_pd.$tbl")
+  }
 }
