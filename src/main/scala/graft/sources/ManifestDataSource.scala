@@ -1285,16 +1285,14 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
         }.toArray
     }
 
-  /** Columnar (vectorized) exactly when no partition needs row-level
-    * work: every surviving file DV-free and no row-position column
-    * required — then ALL partitions stream ColumnarBatches (Spark
-    * requires the whole scan to agree); otherwise the row path masks
-    * deletion vectors by ordinal. Runtime filtering only ever SHRINKS
-    * `surviving`, so the decision is stable across re-planning. */
+  /** Columnar (vectorized) whenever the scan serves plain rows —
+    * deletion vectors included ([[FilteredColumnVector]] masks them
+    * by row-id mapping, zero copies). Only a required `_graft_pos`
+    * row id (the delta-operation scan) forces the row path, where
+    * per-row ordinals are the point. */
   override def createReaderFactory(): PartitionReaderFactory = {
     val columnar = countOnly.isEmpty &&
-      !required.fieldNames.contains("_graft_pos") &&
-      survivingStatic.forall(_.dv.isEmpty)
+      !required.fieldNames.contains("_graft_pos")
     ManifestReaderFactory(required, columnar)
   }
 }
@@ -2227,10 +2225,10 @@ final case class ManifestReaderFactory(required: StructType,
     partition match {
       case ManifestKeyedPartition(base, _) =>
         createColumnarReader(base)
-      case ManifestFilePartition(path, rel, dv, _, start, length, _) =>
-        require(dv.isEmpty,
-          "columnar manifest read planned over a DV'd file")
-        new ManifestColumnarReader(path, rel, start, length, required)
+      case ManifestFilePartition(path, rel, dv, _, start, length,
+          rowOffset) =>
+        new ManifestColumnarReader(path, rel, start, length, required,
+          dv, rowOffset)
       case other => throw new IllegalStateException(
         s"columnar read of non-file partition $other")
     }
@@ -2273,7 +2271,8 @@ final case class ManifestReaderFactory(required: StructType,
   * selects row groups by the parquet midpoint rule — the split seam.
   */
 final class ManifestColumnarReader(path: String, rel: String,
-    start: Long, length: Long, required: StructType)
+    start: Long, length: Long, required: StructType,
+    dv: Array[Long] = Array.empty, rowOffset: Long = 0L)
     extends PartitionReader[
       org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
@@ -2333,23 +2332,103 @@ final class ManifestColumnarReader(path: String, rel: String,
   // batch column order = dataSchema then the appended constant; remap
   // to `required` order when they differ (shared vectors, no copy)
   private val inner: ColumnarBatch = reader.resultBatch()
-  private val remapped: Option[ColumnarBatch] = {
+  private val ordered: Array[org.apache.spark.sql.vectorized
+      .ColumnVector] = {
     val batchOrder = dataSchema.fieldNames ++
       (if (wantsFile) Array("_graft_file") else Array.empty[String])
-    if (batchOrder.sameElements(required.fieldNames)) None
-    else {
-      val idx = batchOrder.zipWithIndex.toMap
-      Some(new ColumnarBatch(
-        required.fieldNames.map(n => inner.column(idx(n)))))
-    }
+    val idx = batchOrder.zipWithIndex.toMap
+    required.fieldNames.map(n => inner.column(idx(n)))
   }
 
-  override def next(): Boolean = reader.nextBatch()
-  override def get(): ColumnarBatch = remapped match {
-    case Some(b) => b.setNumRows(inner.numRows()); b
-    case None => inner
+  // ---- DELETION-VECTOR masking, columnar (the Iceberg
+  // ColumnVectorWithFilter / row-id-mapping shape): per batch, build
+  // the LIVE ordinals' index mapping (dv is sorted; one merge pass)
+  // and serve delegating vectors that translate rowId through it —
+  // dead rows vanish with zero copying, and merge-on-read tables
+  // keep vectorized scan speed instead of dropping to the row path.
+  private val mapping = new Array[Int](4096)
+  private val mapped: Array[FilteredColumnVector] =
+    if (dv.isEmpty) Array.empty
+    else ordered.map(new FilteredColumnVector(_, mapping))
+  private val out: ColumnarBatch =
+    if (dv.isEmpty) new ColumnarBatch(
+      ordered.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+    else new ColumnarBatch(
+      mapped.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+  // next file ordinal = rows served so far within this partition's
+  // byte range (row groups stream in order), offset by the range's
+  // first ordinal — the same `_metadata.row_index` discipline as the
+  // row path
+  private var ordinal = rowOffset
+  private var dvIdx = {
+    var i = 0
+    while (i < dv.length && dv(i) < rowOffset) i += 1
+    i
   }
+  private var live = 0
+
+  override def next(): Boolean = {
+    if (!reader.nextBatch()) return false
+    val n = inner.numRows()
+    if (dv.isEmpty) { out.setNumRows(n); return true }
+    live = 0
+    var i = 0
+    while (i < n) {
+      if (dvIdx < dv.length && dv(dvIdx) == ordinal + i) dvIdx += 1
+      else { mapping(live) = i; live += 1 }
+      i += 1
+    }
+    ordinal += n
+    out.setNumRows(live)
+    true
+  }
+
+  override def get(): ColumnarBatch = out
   override def close(): Unit = reader.close()
+}
+
+/** A zero-copy VIEW over a batch vector that translates row ids
+  * through a live-rows index mapping — how deletion vectors mask in
+  * COLUMNAR reads (the batch's numRows shrinks to the live count;
+  * accessor i reads underlying row mapping(i)). Flat relational
+  * types only — exactly the manifest surface contract. */
+private[sources] final class FilteredColumnVector(
+    inner: org.apache.spark.sql.vectorized.ColumnVector,
+    mapping: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(
+      inner.dataType()) {
+  override def close(): Unit = () // the reader owns the inner vector
+  override def hasNull: Boolean = inner.hasNull
+  override def numNulls(): Int = inner.numNulls()
+  override def isNullAt(i: Int): Boolean = inner.isNullAt(mapping(i))
+  override def getBoolean(i: Int): Boolean =
+    inner.getBoolean(mapping(i))
+  override def getByte(i: Int): Byte = inner.getByte(mapping(i))
+  override def getShort(i: Int): Short = inner.getShort(mapping(i))
+  override def getInt(i: Int): Int = inner.getInt(mapping(i))
+  override def getLong(i: Int): Long = inner.getLong(mapping(i))
+  override def getFloat(i: Int): Float = inner.getFloat(mapping(i))
+  override def getDouble(i: Int): Double =
+    inner.getDouble(mapping(i))
+  override def getUTF8String(i: Int): UTF8String =
+    inner.getUTF8String(mapping(i))
+  override def getBinary(i: Int): Array[Byte] =
+    inner.getBinary(mapping(i))
+  override def getDecimal(i: Int, precision: Int,
+      scale: Int): org.apache.spark.sql.types.Decimal =
+    inner.getDecimal(mapping(i), precision, scale)
+  override def getArray(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarArray =
+    throw new UnsupportedOperationException(
+      "manifest tables serve flat relational columns")
+  override def getMap(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarMap =
+    throw new UnsupportedOperationException(
+      "manifest tables serve flat relational columns")
+  override def getChild(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnVector =
+    throw new UnsupportedOperationException(
+      "manifest tables serve flat relational columns")
 }
 
 /** One file's ROW reader (the DV-masking / row-id path; DV-free

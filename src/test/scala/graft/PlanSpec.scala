@@ -985,17 +985,21 @@ class PlanSpec extends SparkSpec {
     assert(withMeta.where(col("_graft_file").isNull).count() == 0L)
     assert(withMeta.where(col("late").isNull).count() ==
       orders.filter(col("o_orderkey") % 2 === 0).count())
-    // a DV flips the scan to the row path (positions must mask) —
-    // same values as the pre-delete frame minus the deleted range
+    // a DV stays COLUMNAR too: the live-row index mapping masks dead
+    // positions with zero copies (the Iceberg ColumnVectorWithFilter
+    // shape) — values identical to the pre-delete frame minus the
+    // deleted range
     ManifestTable.deleteRangeDv(spark, dir, "o_orderkey", 0L, 3L,
       dvMaxFraction = 1.0)
     val dvd = spark.read.format("graft-manifest")
       .option("path", dir).load()
-    assert(!scanOf(dvd).supportsColumnar,
-      "DV'd manifest scan must take the row path")
+    assert(scanOf(dvd).supportsColumnar,
+      "DV'd manifest scan must stay columnar (row-id mapping mask)")
     assertSameRows(dvd.select("o_orderkey"),
       df.select("o_orderkey")
         .where(!col("o_orderkey").between(0, 3)))
+    assertSameRows(dvd.select("o_orderkey", "o_custkey", "late"),
+      expected.where(!col("o_orderkey").between(0, 3)))
   }
 
   test("large manifest files split into row-group-aligned " +
