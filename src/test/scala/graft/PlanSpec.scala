@@ -946,9 +946,9 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("manifest DSv2 reads are COLUMNAR (vectorized) when DV-free — " +
-      "including across schema evolution — and fall back to the " +
-      "row path exactly when a deletion vector must mask") {
+  test("manifest DSv2 reads are COLUMNAR (vectorized) — across " +
+      "schema evolution AND deletion vectors (row-id-mapping mask); " +
+      "only a required _graft_pos row id forces the row path") {
     import graft.sources.ManifestTable
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.functions.{col, lit}
