@@ -560,6 +560,73 @@ class ManifestScanBuilder(fullSchema: StructType,
 
 object ManifestScan {
 
+  /** Translate runtime V2 predicates (the shapes dynamic pruning
+    * emits after subquery execution: IN / = over one column with
+    * literal values) into per-column IN-sets in the zone encodings —
+    * int64 for integer/date/timestamp literals (catalyst internal
+    * values: DATE = epoch days as Int, TIMESTAMP = epoch micros),
+    * hex UTF-8 for strings. Untranslatable predicates contribute
+    * nothing (skipping is an optimization, never a filter). Shared
+    * by the batch scan and the row-level-operation scan. */
+  def runtimeInSets(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate])
+      : (Map[String, Set[Long]], Map[String, Set[String]]) = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    def colOf(e: Any): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        Some(f.fieldNames.head)
+      case _ => None
+    }
+    def longOf(l: Literal[_]): Option[Long] = l.dataType match {
+      case LongType | TimestampType =>
+        Option(l.value).map(_.asInstanceOf[Long])
+      case IntegerType | DateType =>
+        Option(l.value).map(_.asInstanceOf[Int].toLong)
+      case ShortType =>
+        Option(l.value).map(_.asInstanceOf[Short].toLong)
+      case ByteType =>
+        Option(l.value).map(_.asInstanceOf[Byte].toLong)
+      case _ => None
+    }
+    def hexOf(l: Literal[_]): Option[String] = l.dataType match {
+      case StringType => Option(l.value)
+        .map(v => StrStat.hex(
+          v.asInstanceOf[UTF8String].getBytes.clone()))
+      case _ => None
+    }
+    var longs = Map.empty[String, Set[Long]]
+    var strs = Map.empty[String, Set[String]]
+    def addLong(c: String, vs: Set[Long]): Unit =
+      longs = longs.updated(c,
+        longs.get(c).map(_ intersect vs).getOrElse(vs))
+    def addStr(c: String, vs: Set[String]): Unit =
+      strs = strs.updated(c,
+        strs.get(c).map(_ intersect vs).getOrElse(vs))
+    predicates.foreach { p =>
+      val kids = p.children()
+      (p.name(), kids.headOption.flatMap(colOf)) match {
+        case ("IN", Some(c)) if kids.length > 1 =>
+          val lits = kids.tail.collect { case l: Literal[_] => l }
+          if (lits.length == kids.length - 1) {
+            val lv = lits.flatMap(longOf)
+            val hv = lits.flatMap(hexOf)
+            if (lv.length == lits.length) addLong(c, lv.toSet)
+            else if (hv.length == lits.length) addStr(c, hv.toSet)
+          }
+        case ("=", Some(c)) if kids.length == 2 =>
+          kids(1) match {
+            case l: Literal[_] =>
+              longOf(l).foreach(v => addLong(c, Set(v)))
+              hexOf(l).foreach(h => addStr(c, Set(h)))
+            case _ => ()
+          }
+        case _ => () // not translatable — skipping is optional
+      }
+    }
+    (longs, strs)
+  }
+
   /** Session opt-in for storage-partitioned-join planning (the
     * Iceberg `preserve-data-grouping` discipline): when true (and
     * Spark's v2 bucketing is on), partitioned manifest scans report
@@ -992,66 +1059,14 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions
         .filter.Predicate]): Unit = {
-    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
-    def colOf(e: Any): Option[String] = e match {
-      case f: NamedReference if f.fieldNames.length == 1 =>
-        Some(f.fieldNames.head)
-      case _ => None
+    val (longs, strs) = ManifestScan.runtimeInSets(predicates)
+    longs.foreach { case (c, set) =>
+      runtimeInLongs = runtimeInLongs.updated(c,
+        runtimeInLongs.get(c).map(_ intersect set).getOrElse(set))
     }
-    // literal → the column's canonical int64 zone encoding (catalyst
-    // internal values: DATE = epoch days as Int, TIMESTAMP = epoch
-    // micros as Long) or the hex string encoding
-    def longOf(l: Literal[_]): Option[Long] = l.dataType match {
-      case LongType | TimestampType =>
-        Option(l.value).map(_.asInstanceOf[Long])
-      case IntegerType | DateType =>
-        Option(l.value).map(_.asInstanceOf[Int].toLong)
-      case ShortType =>
-        Option(l.value).map(_.asInstanceOf[Short].toLong)
-      case ByteType =>
-        Option(l.value).map(_.asInstanceOf[Byte].toLong)
-      case _ => None
-    }
-    def hexOf(l: Literal[_]): Option[String] = l.dataType match {
-      case StringType => Option(l.value)
-        .map(v => StrStat.hex(
-          v.asInstanceOf[UTF8String].getBytes.clone()))
-      case _ => None
-    }
-    predicates.foreach { p =>
-      val kids = p.children()
-      (p.name(), kids.headOption.flatMap(colOf)) match {
-        case ("IN", Some(c)) if kids.length > 1 =>
-          val lits = kids.tail.collect { case l: Literal[_] => l }
-          if (lits.length == kids.length - 1) {
-            val longs = lits.flatMap(longOf)
-            val hexes = lits.flatMap(hexOf)
-            if (longs.length == lits.length)
-              runtimeInLongs = runtimeInLongs.updated(c,
-                runtimeInLongs.get(c)
-                  .map(_ intersect longs.toSet)
-                  .getOrElse(longs.toSet))
-            else if (hexes.length == lits.length)
-              runtimeInStrs = runtimeInStrs.updated(c,
-                runtimeInStrs.get(c)
-                  .map(_ intersect hexes.toSet)
-                  .getOrElse(hexes.toSet))
-          }
-        case ("=", Some(c)) if kids.length == 2 =>
-          kids(1) match {
-            case l: Literal[_] =>
-              longOf(l).foreach(v =>
-                runtimeInLongs = runtimeInLongs.updated(c,
-                  runtimeInLongs.get(c).map(_ intersect Set(v))
-                    .getOrElse(Set(v))))
-              hexOf(l).foreach(h =>
-                runtimeInStrs = runtimeInStrs.updated(c,
-                  runtimeInStrs.get(c).map(_ intersect Set(h))
-                    .getOrElse(Set(h))))
-            case _ => ()
-          }
-        case _ => () // not translatable — skipping is optional
-      }
+    strs.foreach { case (c, set) =>
+      runtimeInStrs = runtimeInStrs.updated(c,
+        runtimeInStrs.get(c).map(_ intersect set).getOrElse(set))
     }
   }
 
@@ -1494,22 +1509,48 @@ class ManifestRowLevelOperation(
   * — filtering is an optimization; the write then replaces more
   * files with identical content, never wrong content. */
 class ManifestRowScan(required: StructType, opts: ManifestV2Options,
-    private[sources] val pinned: ManifestV2.Pinned)
+    private[sources] val pinned: ManifestV2.Pinned,
+    zoneFiltering: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
 
   @volatile private var retained: Option[Set[String]] = None
+  // runtime IN-sets over DATA columns (dynamic pruning from the
+  // DML's join key — what narrows a delta MERGE's scan to the files
+  // whose zones can hold the source's keys, the planner face of
+  // mergeByKeyDv's candidate pruning)
+  @volatile private var runtimeInLongs: Map[String, Set[Long]] =
+    Map.empty
+  @volatile private var runtimeInStrs: Map[String, Set[String]] =
+    Map.empty
 
   private def relOf(abs: String): String =
     java.nio.file.Paths.get(opts.path)
       .relativize(java.nio.file.Paths.get(abs)).toString
 
+  /** Zone/pval survival of one file under the runtime DATA-column
+    * IN-sets (absent metadata always survives — skip-only). */
+  private def survivesRuntime(rel: String, rows: Option[Long])
+      : Boolean =
+    (runtimeInLongs.isEmpty && runtimeInStrs.isEmpty) ||
+      ManifestScan.survivesAll(rows,
+        pinned.stats.getOrElse(rel, Seq.empty),
+        pinned.sstats.getOrElse(rel, Seq.empty),
+        pinned.pvals.getOrElse(rel, Seq.empty),
+        Map.empty, Seq.empty, runtimeInLongs, runtimeInStrs)
+
   /** The manifest-relative files this scan plans — what the
-    * replacement write swaps out. */
+    * replacement write swaps out. Group-based (CoW) consumers swap
+    * exactly these, so BOTH narrowings apply: the `_graft_file`
+    * group filter and the data-column zone pruning (a file the zones
+    * prove key-free holds no matching rows, so excluding it from the
+    * replacement set is exact, never lossy). */
   private[sources] def replacedFiles: Seq[String] = {
-    val all = pinned.slices.map(s => relOf(s.path))
+    val all = pinned.slices
+      .filter(s => survivesRuntime(relOf(s.path), s.rows))
+      .map(s => relOf(s.path))
     retained match {
       case Some(keep) => all.filter(keep)
       case None => all
@@ -1523,8 +1564,33 @@ class ManifestRowScan(required: StructType, opts: ManifestV2Options,
     s"graft-manifest ${opts.path} v${pinned.version} " +
       s"[row-level scan, files=${replacedFiles.size}]"
 
+  /** Runtime-filterable attributes, BY OPERATION KIND — the two
+    * planner rules want different keys and must not mix:
+    *
+    *  - GROUP-BASED (CoW) scans declare ONLY `_graft_file`: Spark's
+    *    runtime group-filtering rule keys its matching-rows subquery
+    *    on the ENTIRE declared set, so adding data columns would
+    *    turn the group filter into a multi-column key the scan-side
+    *    translation can't use — and silently disable it (the
+    *    Iceberg copy-on-write scan declares only `_file` for the
+    *    same reason);
+    *  - DELTA scans declare the OUTPUT data columns carrying zone
+    *    stats / partition values: no group rule applies to
+    *    WriteDelta, and standard dynamic pruning on the DML join key
+    *    then skips files whose zones can't hold the source's keys —
+    *    [[ManifestTable.mergeByKeyDv]]'s candidate pruning through
+    *    the planner. */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("_graft_file"))
+    if (!zoneFiltering)
+      Array(Expressions.column("_graft_file"))
+    else {
+      val out = required.fieldNames.toSet
+      (pinned.stats.values.flatten.map(_._1) ++
+        pinned.sstats.values.flatten.map(_._1) ++
+        pinned.pvals.values.flatten.map(_._1)).toSet
+        .filter(out.contains).toSeq.sorted
+        .map(Expressions.column).toArray
+    }
 
   override def filter(predicates: Array[Predicate]): Unit = {
     def strLit(e: Any): Option[String] = e match {
@@ -1537,15 +1603,18 @@ class ManifestRowScan(required: StructType, opts: ManifestV2Options,
         Array("_graft_file"))
       case _ => false
     }
-    val sets = predicates.toSeq.flatMap { p =>
+    val (groupPreds, dataPreds) = predicates.toSeq.partition { p =>
+      p.children().headOption.exists(isGroupCol)
+    }
+    val sets = groupPreds.flatMap { p =>
       val kids = p.children()
       p.name() match {
-        case "IN" if kids.nonEmpty && isGroupCol(kids.head) =>
+        case "IN" if kids.nonEmpty =>
           val vals = kids.tail.map(strLit)
           if (vals.forall(_.isDefined))
             Some(vals.flatten.toSet)
           else None
-        case "=" if kids.length == 2 && isGroupCol(kids.head) =>
+        case "=" if kids.length == 2 =>
           strLit(kids(1)).map(Set(_))
         case _ => None // not a group predicate — ignore (optimization)
       }
@@ -1554,13 +1623,22 @@ class ManifestRowScan(required: StructType, opts: ManifestV2Options,
       val merged = sets.reduce(_ intersect _)
       retained = Some(retained.map(_ intersect merged).getOrElse(merged))
     }
+    val (longs, strs) = ManifestScan.runtimeInSets(dataPreds.toArray)
+    longs.foreach { case (c, set) =>
+      runtimeInLongs = runtimeInLongs.updated(c,
+        runtimeInLongs.get(c).map(_ intersect set).getOrElse(set))
+    }
+    strs.foreach { case (c, set) =>
+      runtimeInStrs = runtimeInStrs.updated(c,
+        runtimeInStrs.get(c).map(_ intersect set).getOrElse(set))
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val keep = retained
     pinned.slices.flatMap { s =>
       val rel = relOf(s.path)
-      if (keep.forall(_.contains(rel)))
+      if (keep.forall(_.contains(rel)) && survivesRuntime(rel, s.rows))
         Some(ManifestFilePartition(s.path, rel, s.dv,
           required.fieldNames): InputPartition)
       else None

@@ -87,7 +87,8 @@ class ManifestDeltaOperation(
         ManifestDeltaOperation.this.synchronized {
           if (ManifestDeltaOperation.this.scan == null)
             ManifestDeltaOperation.this.scan =
-              new ManifestRowScan(required, opts, pinned)
+              new ManifestRowScan(required, opts, pinned,
+                zoneFiltering = true)
           ManifestDeltaOperation.this.scan
         }
     }

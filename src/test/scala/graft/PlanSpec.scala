@@ -1217,6 +1217,53 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("row-level operation scan: runtime IN predicates on ZONE " +
+      "columns prune candidate files (the planner face of " +
+      "mergeByKeyDv's candidate pruning), composing with the " +
+      "_graft_file group filter") {
+    import graft.sources.{ManifestTable, ManifestV2Options}
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.LongType
+    def v2lit(v: Long) =
+      new org.apache.spark.sql.connector.expressions.Literal[java.lang.Long] {
+        override def value: java.lang.Long = v
+        override def dataType: org.apache.spark.sql.types.DataType =
+          LongType
+      }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rls-prune").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("p"))
+    val bounds = Seq((Long.MinValue, 375L), (375L, 750L),
+      (750L, 1125L), (1125L, Long.MaxValue))
+    for ((lo, hi) <- bounds)
+      ManifestTable.commitWithStats(
+        orders.filter(col("k") > lo && col("k") <= hi).coalesce(1),
+        dir, append = true, "k")
+    val op = new graft.sources.ManifestDeltaOperation(
+      org.apache.spark.sql.connector.write.RowLevelOperation
+        .Command.MERGE,
+      ManifestV2Options(dir, None))
+    val scan = op.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+      .build().asInstanceOf[graft.sources.ManifestRowScan]
+    assert(scan.planInputPartitions().length == 4)
+    assert(scan.filterAttributes().map(_.describe()).toSet ==
+      Set("k"),
+      "delta scans declare zone columns (group-based declare only " +
+        "_graft_file, or Spark's group rule would mis-key)")
+    // runtime IN on the zoned key: 3 keys inside ONE file's range
+    scan.filter(Array(new Predicate("IN", Array(
+      Expressions.column("k"),
+      v2lit(400L), v2lit(401L), v2lit(402L)))))
+    assert(scan.planInputPartitions().length == 1,
+      s"zone pruning must keep 1 of 4: " +
+        s"${scan.planInputPartitions().length}")
+  }
+
   test("merge-on-read SQL MERGE (SupportsDelta): a small MERGE " +
       "publishes DV lines + ONE insert file with ZERO rewritten " +
       "data files; over-budget files fall back to copy-on-write") {
