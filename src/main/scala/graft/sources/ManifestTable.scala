@@ -1538,7 +1538,7 @@ object ManifestTable {
     * serializations). Untouched-file rivals ride along.
     *
     * Returns (version, dv-files, rewritten-files). */
-  private[sources] def applyDeltaCommit(spark: SparkSession,
+  private[graft] def applyDeltaCommit(spark: SparkSession,
       table: String, deletes: Dvs, staged: Seq[String],
       stats: Stats, sstats: SStats, rows: Map[String, Long],
       pvals: Pvals, expectDvs: Dvs, dvMaxFraction: Double,

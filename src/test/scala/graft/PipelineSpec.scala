@@ -1505,6 +1505,72 @@ class PipelineSpec extends SparkSpec {
       .as[Long].collect().toSet == (1L to 100L).toSet)
   }
 
+  test("delta-commit conflict rules: a rival DV landing on a touched " +
+      "file aborts (two serializations never conflate), a rival " +
+      "rewrite removing it aborts, and rival appends ride along") {
+    import graft.sources.{ManifestDeltaOperation, ManifestTable, ManifestV2Options}
+    import org.apache.spark.sql.connector.write.RowLevelOperation
+    def mk(): String = {
+      val dir = Files.createTempDirectory("graft-delta-race").toString
+      ManifestTable.commitWithStats(
+        (1L to 100L).map(k => (k, k * 2)).toDF("k", "p").coalesce(1),
+        dir, append = true, "k")
+      dir
+    }
+    // (a) rival DV: pin a delta op's scan, let a rival deleteRangeDv
+    // land on the same file, then publish the delta → must abort
+    val dirA = mk()
+    val opA = new ManifestDeltaOperation(
+      RowLevelOperation.Command.MERGE, ManifestV2Options(dirA, None))
+    val scanA = opA.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+    scanA.asInstanceOf[graft.sources.ManifestRowScan]
+      .planInputPartitions() // pin
+    val relA = ManifestTable.snapshotFor(dirA, None).files.head
+    ManifestTable.deleteRangeDv(spark, dirA, "k", 1L, 2L,
+      dvMaxFraction = 1.0) // the rival
+    val exA = intercept[IllegalArgumentException] {
+      ManifestTable.applyDeltaCommit(spark, dirA,
+        deletes = Map(relA -> Seq(5L)), staged = Seq.empty,
+        stats = Map.empty, sstats = Map.empty, rows = Map.empty,
+        pvals = Map.empty,
+        expectDvs = Map.empty, // the PINNED (pre-rival) view
+        dvMaxFraction = 0.5)
+    }
+    assert(exA.getMessage.contains("concurrent DV"), exA.getMessage)
+    // (b) rival rewrite removed the touched file → abort
+    val dirB = mk()
+    val relB = ManifestTable.snapshotFor(dirB, None).files.head
+    ManifestTable.compact(spark, dirB, targetBytes = 1L) // no-op (1 file)
+    ManifestTable.deleteRange(spark, dirB, "k", 1L, 100L) // rewrites all
+    val exB = intercept[IllegalArgumentException] {
+      ManifestTable.applyDeltaCommit(spark, dirB,
+        deletes = Map(relB -> Seq(5L)), staged = Seq.empty,
+        stats = Map.empty, sstats = Map.empty, rows = Map.empty,
+        pvals = Map.empty, expectDvs = Map.empty,
+        dvMaxFraction = 0.5)
+    }
+    assert(exB.getMessage.contains("not live"), exB.getMessage)
+    // (c) rival APPEND rides along: the delta publishes against the
+    // new latest, both the appended file and the DV land
+    val dirC = mk()
+    val relC = ManifestTable.snapshotFor(dirC, None).files.head
+    ManifestTable.commit(
+      (200L to 210L).map(k => (k, k)).toDF("k", "p").coalesce(1),
+      dirC, append = true) // the rival append
+    val (v, dvFiles, rewrites) = ManifestTable.applyDeltaCommit(
+      spark, dirC, deletes = Map(relC -> Seq(0L, 1L)),
+      staged = Seq.empty, stats = Map.empty, sstats = Map.empty,
+      rows = Map.empty, pvals = Map.empty, expectDvs = Map.empty,
+      dvMaxFraction = 0.5)
+    assert(v == 3L && dvFiles == 1 && rewrites == 0)
+    val snap = ManifestTable.snapshotFor(dirC, None)
+    assert(snap.files.size == 2, "rival append carried")
+    assert(snap.dvs(relC) == Seq(0L, 1L))
+    assert(ManifestTable.read(spark, dirC).count() == 98L + 11L)
+  }
+
   test("ManifestTable multi-writer law: racing committers each win " +
       "exactly one version, losers retry onto the next, append " +
       "carry-forward stays correct under contention") {

@@ -1000,6 +1000,23 @@ class PlanSpec extends SparkSpec {
         .where(!col("o_orderkey").between(0, 3)))
     assertSameRows(dvd.select("o_orderkey", "o_custkey", "late"),
       expected.where(!col("o_orderkey").between(0, 3)))
+    // INT96 timestamps: the Scala-path commit stages Spark's default
+    // INT96 encoding — the vectorized reader must decode it to the
+    // same micros the row path (and the source) carry
+    val tsDir = java.nio.file.Files
+      .createTempDirectory("graft-columnar-ts").toString
+    val withTs = orders.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        col("o_orderkey") * 1000000L + 123456L))
+    ManifestTable.commit(withTs.coalesce(1), tsDir, append = false)
+    val tsDf = spark.read.format("graft-manifest")
+      .option("path", tsDir).load()
+    assert(scanOf(tsDf).supportsColumnar)
+    assertSameRows(
+      tsDf.select(col("o_orderkey"),
+        org.apache.spark.sql.functions.unix_micros(col("ts"))),
+      withTs.select(col("o_orderkey"),
+        org.apache.spark.sql.functions.unix_micros(col("ts"))))
   }
 
   test("large manifest files split into row-group-aligned " +
