@@ -208,7 +208,17 @@ object Layout {
     * the single biggest lever for a 100 TB fact table that is joined
     * daily (see [[bucketedJoin]]; PlanSpec pins the no-Exchange
     * plan). `path` makes it an external table so the data lives
-    * where the caller says, not in the session warehouse. */
+    * where the caller says, not in the session warehouse.
+    *
+    * MANIFEST-NATIVE sibling: lakehouse tables get the same
+    * amortized-shuffle join via the `bucket(n, col)` partition
+    * transform ([[graft.sources.ManifestBucket]]) — `PARTITIONED BY
+    * (bucket(n, k))` on a graft catalog table routes rows by the
+    * engine's canonical hash, records exact bucket-id pvals, and
+    * two same-bucketed tables storage-partition join exchange-free
+    * through the planner (q_z_spj_bucketed pins it). Prefer that
+    * path for manifest tables; this parquet+metastore face covers
+    * plain-parquet layouts. */
   def writeBucketed(df: DataFrame, table: String, path: String,
       key: String, nBuckets: Int): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")

@@ -71,6 +71,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         HllRegistersAgg(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_log_hist"),
+      new ExpressionInfo(
+        classOf[graft.expressions.LogHistAgg].getName,
+        "graft_log_hist"),
+      (children: Seq[Expression]) =>
+        graft.expressions.LogHistAgg(children(0))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_shingle_pos_hashes"),
       new ExpressionInfo(classOf[ShinglePosHashesExpr].getName,
         "graft_shingle_pos_hashes"),

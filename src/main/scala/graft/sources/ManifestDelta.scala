@@ -162,7 +162,8 @@ class ManifestDeltaBatchWrite(info: LogicalWriteInfo,
         .reduce(_ intersect _).toSeq.sorted
         .filter(schema.fieldNames.contains)
     val pc = ManifestV2.partitionColsOf(pinned)
-      .filter(schema.fieldNames.contains)
+      .filter(spec => schema.fieldNames
+        .contains(ManifestBucket.column(spec)))
     (sc, pc)
   }
 

@@ -131,22 +131,28 @@ object ManifestTable {
 
   private[sources] val noPvals: Pvals = Map.empty
 
-  /** Per-file NDV SKETCHES (`#ndv=path|col|hexRegisters` lines): a
-    * [[NdvSketch.M]]-register HyperLogLog of each stats column,
-    * streamed at write time — the manifest-level column statistics
-    * that let [[graft.sources.ManifestScan.estimateStatistics]]
-    * report distinct counts to Catalyst's CBO (join-order /
-    * broadcast decisions driven by NDV, the Delta/Iceberg
-    * column-stats posture). Registers MERGE by byte-wise max, so the
-    * table-level NDV is pure manifest arithmetic over any file
-    * subset — the post-pruning scan's NDV reflects the files it
-    * will actually read — and compaction unions its inputs' sketches
-    * without a data scan. Hash input is the column's CANONICAL
-    * string (the int64 zone encoding's decimal string for
-    * integer/date/timestamp, the raw string otherwise), identical
-    * across the Scala and DSv2 write paths so mixed-writer tables
-    * merge coherently. */
-  private[sources] type Ndvs = Map[String, Seq[(String, Long, String)]]
+  /** Per-file NDV SKETCHES + DISTRIBUTION histograms
+    * (`#ndv=path|col|nulls|hexRegisters|logHist` lines): a
+    * [[NdvSketch.M]]-register HyperLogLog of each stats column plus
+    * a fixed-frame log-scale histogram
+    * ([[graft.expressions.LogHist]], int64-kind columns; "" for
+    * strings), streamed at write time — the manifest-level column
+    * statistics that let [[graft.sources.ManifestScan
+    * .estimateStatistics]] report distinct counts AND equi-height
+    * histograms to Catalyst's CBO (join-order / broadcast decisions
+    * driven by NDV and by skew, the Delta/Iceberg column-stats
+    * posture). Registers MERGE by byte-wise max and histogram
+    * counts by vector ADDITION, so the table-level stats are pure
+    * manifest arithmetic over any file subset — the post-pruning
+    * scan's stats reflect the files it will actually read — and
+    * compaction unions its inputs' sketches without a data scan.
+    * Hash input is the column's CANONICAL string (the int64 zone
+    * encoding's decimal string for integer/date/timestamp, the raw
+    * string otherwise), identical across the Scala and DSv2 write
+    * paths so mixed-writer tables merge coherently. Tuple =
+    * (column, nullCount, hexRegisters, sparseLogHist). */
+  private[sources] type Ndvs =
+    Map[String, Seq[(String, Long, String, String)]]
 
   private[sources] val noNdvs: Ndvs = Map.empty
 
@@ -199,7 +205,7 @@ object ManifestTable {
     val dvs: Dvs = ls.filter(_.startsWith("#dv="))
       .map { l =>
         val q = l.drop(4).split('|')
-        q(0) -> q(1).split(',').map(_.toLong).toSeq
+        q(0) -> DvCodec.decode(q(1))
       }
       .groupBy(_._1).view
       .mapValues(_.flatMap(_._2).distinct.sorted.toSeq).toMap
@@ -219,8 +225,11 @@ object ManifestTable {
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val ndvs: Ndvs = ls.filter(_.startsWith("#ndv="))
       .map { l =>
-        val q = l.drop(5).split('|')
-        (q(0), (q(1), q(2).toLong, q(3)))
+        // -1 keeps the (legal) empty histogram field; 4-field lines
+        // from pre-histogram snapshots parse with no histogram
+        val q = l.drop(5).split("\\|", -1)
+        (q(0), (q(1), q(2).toLong, q(3),
+          if (q.length > 4) q(4) else ""))
       }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     Manifest(files, stats, rows, dvs, sstats, pvals, ndvs)
@@ -242,7 +251,8 @@ object ManifestTable {
       rows: Map[String, Long], dvs: Map[String, Seq[Long]],
       sstats: Map[String, Seq[(String, String, String)]],
       pvals: Map[String, Seq[(String, String)]],
-      ndvs: Map[String, Seq[(String, Long, String)]] = Map.empty)
+      ndvs: Map[String, Seq[(String, Long, String, String)]] =
+        Map.empty)
 
   private[graft] def snapshotFor(table: String,
       version: Option[Long]): Snapshot = {
@@ -338,6 +348,93 @@ object ManifestTable {
     }
   }
 
+  /** Compressed deletion-vector POSITION encoding for `#dv=` lines —
+    * the roaring-bitmap idea, dependency-free (like the HLL/CMS
+    * kernels): sorted positions emit as a ','-joined mix of
+    *  - RUNS `a-b` (≥4 consecutive positions — the contiguous-range
+    *    DELETE shape),
+    *  - BITSET BLOCKS `B<blockIdx>:<base64 of 64 bytes>` (≥16
+    *    positions inside one 512-position block — the scattered
+    *    MERGE shape; 512 deletes cost 86 chars instead of ~3.5 KB of
+    *    decimal),
+    *  - SINGLES `p` (everything sparse).
+    * The decoder also accepts legacy plain-decimal lists (old
+    * manifests parse unchanged — time travel across the format
+    * bump). This is what raises the keep-as-DV budget 100×
+    * (`dvMaxPositions` default 1M): a 500k-position vector stays a
+    * ~100 KB manifest line instead of forcing a copy-on-write
+    * rewrite; `dvMaxFraction` remains the rewrite trigger. */
+  private[graft] object DvCodec {
+    private val b64e = java.util.Base64.getEncoder.withoutPadding()
+    private val b64d = java.util.Base64.getDecoder
+
+    def encode(ps: Seq[Long]): String = {
+      val sb = new java.lang.StringBuilder
+      def emit(t: String): Unit = {
+        if (sb.length > 0) sb.append(',')
+        sb.append(t); ()
+      }
+      val a = ps.toArray
+      var i = 0
+      while (i < a.length) {
+        // longest consecutive run from i
+        var j = i
+        while (j + 1 < a.length && a(j + 1) == a(j) + 1) j += 1
+        if (j - i + 1 >= 4) {
+          emit(s"${a(i)}-${a(j)}")
+          i = j + 1
+        } else {
+          // count positions in a(i)'s 512-block (runs inside count)
+          val block = a(i) >>> 9
+          var k = i
+          while (k < a.length && (a(k) >>> 9) == block) k += 1
+          if (k - i >= 16) {
+            val bytes = new Array[Byte](64)
+            var m = i
+            while (m < k) {
+              val off = (a(m) - (block << 9)).toInt
+              bytes(off >> 3) =
+                (bytes(off >> 3) | (1 << (off & 7))).toByte
+              m += 1
+            }
+            emit(s"B$block:${b64e.encodeToString(bytes)}")
+            i = k
+          } else {
+            emit(a(i).toString)
+            i += 1
+          }
+        }
+      }
+      sb.toString
+    }
+
+    def decode(s: String): Seq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      s.split(',').foreach { t =>
+        if (t.isEmpty) ()
+        else if (t.charAt(0) == 'B') {
+          val c = t.indexOf(':')
+          val block = t.substring(1, c).toLong
+          val bytes = b64d.decode(t.substring(c + 1))
+          var off = 0
+          while (off < 512) {
+            if ((bytes(off >> 3) & (1 << (off & 7))) != 0)
+              out += (block << 9) + off
+            off += 1
+          }
+        } else {
+          val dash = t.indexOf('-', 1) // position 0 never a sign here
+          if (dash > 0) {
+            var p = t.substring(0, dash).toLong
+            val e = t.substring(dash + 1).toLong
+            while (p <= e) { out += p; p += 1 }
+          } else out += t.toLong
+        }
+      }
+      out.toSeq
+    }
+  }
+
   private def metaLines(files: Seq[String], stats: Stats,
       rows: Map[String, Long], dvs: Dvs = noDvs,
       sstats: SStats = noSStats, pvals: Pvals = noPvals,
@@ -349,10 +446,11 @@ object ManifestTable {
       files.flatMap(f => pvals.getOrElse(f, Seq.empty)
         .map { case (c, enc) => s"#pval=$f|$c|$enc" }) ++
       files.flatMap(f => ndvs.getOrElse(f, Seq.empty)
-        .map { case (c, nulls, regs) => s"#ndv=$f|$c|$nulls|$regs" }) ++
+        .map { case (c, nulls, regs, hist) =>
+          s"#ndv=$f|$c|$nulls|$regs|$hist" }) ++
       files.flatMap(f => rows.get(f).map(n => s"#nrows=$f|$n")) ++
       files.flatMap(f => dvs.get(f).filter(_.nonEmpty)
-        .map(ps => s"#dv=$f|${ps.mkString(",")}"))
+        .map(ps => s"#dv=$f|${DvCodec.encode(ps)}"))
 
   /** Stage `df`'s data files under a writer-unique prefix and return
     * their sorted relative paths. Conflict-free by construction, so
@@ -671,6 +769,33 @@ object ManifestTable {
     }
   }
 
+  /** Register `graft_hll_regs` in the session's function registry
+    * when [[graft.plans.GraftExtensions]] was not installed — the
+    * stats-recording paths (commitWithStats, DELETE/MERGE rewrites,
+    * OPTIMIZE, the delta CoW fallback) must work in a session
+    * configured with only `spark.sql.catalog.*`. Idempotent;
+    * `registerFunction` overwrites, so a racing double-register is
+    * harmless (both register the identical builder). */
+  private def ensureHllFunction(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    val fr = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier("graft_hll_regs")
+    if (!fr.functionExists(id)) fr.registerFunction(id,
+      new ExpressionInfo(
+        classOf[graft.expressions.HllRegistersAgg].getName,
+        "graft_hll_regs"),
+      (children: Seq[Expression]) =>
+        graft.expressions.HllRegistersAgg(children(0), children(1)))
+    val hid = FunctionIdentifier("graft_log_hist")
+    if (!fr.functionExists(hid)) fr.registerFunction(hid,
+      new ExpressionInfo(
+        classOf[graft.expressions.LogHistAgg].getName,
+        "graft_log_hist"),
+      (children: Seq[Expression]) =>
+        graft.expressions.LogHistAgg(children(0)))
+  }
+
   /** The per-file metadata pass shared by every stats-recording
     * writer ([[commitWithStats]], [[deleteRange]]'s rewrite): ONE
     * distributed aggregation over the just-written files computing
@@ -687,6 +812,7 @@ object ManifestTable {
       : (Stats, SStats, Map[String, Long], Ndvs) = {
     import org.apache.spark.sql.functions.{call_function, col, count,
       lit, min, max, unix_date, unix_micros}
+    ensureHllFunction(spark)
     val df = spark.read.parquet(dir)
     val kinds = statsCols.map(c => c -> statKindOf(df.schema(c).dataType, c))
     def enc(c: String, k: Char) = k match {
@@ -702,7 +828,12 @@ object ManifestTable {
           call_function("graft_hll_regs",
             enc(c, k).cast("string"), lit(NdvSketch.M))
             .as(s"__ndv_$i"),
-          (count(lit(1)) - count(enc(c, k))).as(s"__nn_$i"))
+          (count(lit(1)) - count(enc(c, k))).as(s"__nn_$i"),
+          // log-scale distribution histogram (int64 kinds only —
+          // catalyst CBO histograms are numeric)
+          (if (k == 'S') min(lit(""))
+           else call_function("graft_log_hist", enc(c, k)))
+            .as(s"__h_$i"))
       }
     val rows = df
       .groupBy(col("_metadata.file_path").as("__f"))
@@ -711,19 +842,23 @@ object ManifestTable {
     val perFile = rows.map { r =>
       val name = r.getString(0).split('/').last
       val longs = kinds.zipWithIndex.flatMap { case ((c, k), i) =>
-        val (mnI, mxI) = (2 + 4 * i, 3 + 4 * i)
+        val (mnI, mxI) = (2 + 5 * i, 3 + 5 * i)
         if (k == 'S' || r.isNullAt(mnI) || r.isNullAt(mxI)) None
         else Some((c, r.getLong(mnI), r.getLong(mxI)))
       }
       val strs = kinds.zipWithIndex.flatMap { case ((c, k), i) =>
-        val (mnI, mxI) = (2 + 4 * i, 3 + 4 * i)
+        val (mnI, mxI) = (2 + 5 * i, 3 + 5 * i)
         if (k != 'S' || r.isNullAt(mnI) || r.isNullAt(mxI)) None
         else StrStat.entry(c, r.getString(mnI), r.getString(mxI))
       }
-      val regs = kinds.zipWithIndex.map { case ((c, _), i) =>
-        val arr = r.getSeq[Int](4 + 4 * i)
-        (c, r.getLong(5 + 4 * i),
-          StrStat.hex(arr.map(_.toByte).toArray))
+      val regs = kinds.zipWithIndex.map { case ((c, k), i) =>
+        val arr = r.getSeq[Int](4 + 5 * i)
+        val hist =
+          if (k == 'S') ""
+          else graft.expressions.LogHist.encode(
+            r.getSeq[Long](6 + 5 * i).toArray)
+        (c, r.getLong(5 + 5 * i),
+          StrStat.hex(arr.map(_.toByte).toArray), hist)
       }
       (s"$prefix/$name", longs, strs, r.getLong(1), regs)
     }
@@ -1086,7 +1221,7 @@ object ManifestTable {
     * in the new snapshot). */
   def deleteRangeDv(spark: SparkSession, table: String,
       statsCol: String, lo: Long, hi: Long, dvMaxFraction: Double,
-      dvMaxPositions: Int = 10000): (Long, Int, Int, Int) = {
+      dvMaxPositions: Int = 1000000): (Long, Int, Int, Int) = {
     import org.apache.spark.sql.functions.{col, count, lit, not, sum,
       unix_date, unix_micros, when}
     require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
@@ -1301,7 +1436,7 @@ object ManifestTable {
     * in the new snapshot). */
   def mergeByKeyDv(spark: SparkSession, table: String,
       updates: DataFrame, keyCol: String, dvMaxFraction: Double,
-      dvMaxPositions: Int = 10000): (Long, Int, Int, Int) = {
+      dvMaxPositions: Int = 1000000): (Long, Int, Int, Int) = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col,
       count, lit, sum}
     import spark.implicits._
@@ -1542,7 +1677,7 @@ object ManifestTable {
       table: String, deletes: Dvs, staged: Seq[String],
       stats: Stats, sstats: SStats, rows: Map[String, Long],
       pvals: Pvals, expectDvs: Dvs, dvMaxFraction: Double,
-      dvMaxPositions: Int = 10000,
+      dvMaxPositions: Int = 1000000,
       ndvs: Ndvs = noNdvs): (Long, Int, Int) = {
     require(dvMaxFraction >= 0.0 && dvMaxFraction <= 1.0,
       s"dvMaxFraction must be in [0, 1]: $dvMaxFraction")
@@ -1615,24 +1750,44 @@ object ManifestTable {
       }
     val touched = merged.keySet
     val rewriteSet = rewrite.keySet
-    val v = publishLoop(table, nonce, "applyDeltaCommit") { snapshot =>
-      val cur = manifestOf(table, snapshot.last)
-      require(touched.subsetOf(cur.files.toSet),
-        s"concurrent rewrite removed a delta-operation input of " +
-          s"$table — aborting rather than double-applying DML")
-      require(touched.forall(f => cur.dvs.getOrElse(f, Seq.empty) ==
-          expectDvs.getOrElse(f, Seq.empty)),
-        s"concurrent DV landed on a delta-operation input of $table " +
-          "— aborting rather than conflating two serializations")
-      val carried = cur.files.filterNot(rewriteSet)
-      val allStaged = staged ++ rwStaged
-      Right(metaLines(carried, cur.stats, cur.rows,
-          cur.dvs ++ dvKeep, cur.sstats, pvals = cur.pvals,
-          ndvs = cur.ndvs) ++
-        metaLines(allStaged, stats ++ rwStats, rows ++ rwRows,
-          sstats = sstats ++ rwSStats, pvals = pvals ++ rwPvals,
-          ndvs = ndvs ++ rwNdvs) ++
-        carried ++ allStaged)
+    // on a conflict abort (require-failure below) the CoW-fallback
+    // rewrites staged under data/dx-<nonce>-* are unreferenced by any
+    // manifest — reclaim them eagerly rather than leave orphans for
+    // vacuum (the delta write's own s-<nonce> staging is dropped by
+    // ManifestDeltaBatchWrite.abort; these dirs are staged HERE, so
+    // they are cleaned HERE)
+    val v = try {
+      publishLoop(table, nonce, "applyDeltaCommit") { snapshot =>
+        val cur = manifestOf(table, snapshot.last)
+        require(touched.subsetOf(cur.files.toSet),
+          s"concurrent rewrite removed a delta-operation input of " +
+            s"$table — aborting rather than double-applying DML")
+        require(touched.forall(f => cur.dvs.getOrElse(f, Seq.empty) ==
+            expectDvs.getOrElse(f, Seq.empty)),
+          s"concurrent DV landed on a delta-operation input of $table " +
+            "— aborting rather than conflating two serializations")
+        val carried = cur.files.filterNot(rewriteSet)
+        val allStaged = staged ++ rwStaged
+        Right(metaLines(carried, cur.stats, cur.rows,
+            cur.dvs ++ dvKeep, cur.sstats, pvals = cur.pvals,
+            ndvs = cur.ndvs) ++
+          metaLines(allStaged, stats ++ rwStats, rows ++ rwRows,
+            sstats = sstats ++ rwSStats, pvals = pvals ++ rwPvals,
+            ndvs = ndvs ++ rwNdvs) ++
+          carried ++ allStaged)
+      }
+    } catch {
+      case e: Throwable =>
+        rewrite.keys.toSeq.indices.foreach { i =>
+          val dir = Paths.get(table, "data", s"dx-$nonce-$i")
+          if (Files.isDirectory(dir)) {
+            Using.resource(Files.list(dir)) { st =>
+              st.iterator().asScala.toSeq.foreach(Files.deleteIfExists)
+            }
+            Files.deleteIfExists(dir)
+          }
+        }
+        throw e
     }
     (v, dvKeep.size, rewrite.size)
   }
@@ -1874,14 +2029,22 @@ object ManifestTable {
               val es = nEntryLists.map(_.find(_._1 == c).get)
               val regs = es.map(e => StrStat.unhex(e._3))
                 .reduce(NdvSketch.merge)
-              (c, es.map(_._2).sum, StrStat.hex(regs))
+              // histogram counts merge by vector ADD (fixed log
+              // frame) — emitted only when every input carries one
+              val hist =
+                if (es.exists(_._4.isEmpty)) ""
+                else graft.expressions.LogHist.encode(
+                  es.map(e => graft.expressions.LogHist.decode(e._4))
+                    .reduce(graft.expressions.LogHist.merge))
+              (c, es.map(_._2).sum, StrStat.hex(regs), hist)
             }
             outs.flatMap(o => perCol.map { case (c, mn, mx) =>
               s"#stats=$o|$c|$mn|$mx" }) ++
               outs.flatMap(o => sPerCol.map { case (c, mn, mx) =>
                 s"#sstats=$o|$c|$mn|$mx" }) ++
-              outs.flatMap(o => nPerCol.map { case (c, nulls, regs) =>
-                s"#ndv=$o|$c|$nulls|$regs" }) ++ nLine
+              outs.flatMap(o => nPerCol.map {
+                case (c, nulls, regs, hist) =>
+                  s"#ndv=$o|$c|$nulls|$regs|$hist" }) ++ nLine
         }
       }
       after = carried.size + stagedFiles.size

@@ -1289,7 +1289,7 @@ class PipelineSpec extends SparkSpec {
     assert(df.count() == 117L)
     val countPlan = df.groupBy().count()
       .queryExecution.executedPlan.toString
-    assert(countPlan.contains("metadata count=117"), countPlan)
+    assert(countPlan.contains("metadata agg agg_0=117"), countPlan)
     // zone pruning reaches the planner: fewer InputPartitions
     val filtered = df.filter($"k" >= 81L && $"k" <= 100L)
     assert(filtered.rdd.getNumPartitions == 1,
@@ -2567,6 +2567,174 @@ class PipelineSpec extends SparkSpec {
     assert(pruned.rdd.getNumPartitions == 2,
       pruned.rdd.getNumPartitions)
     assert(all2.filter(col("bucket").isNull).count() == 1L)
+  }
+
+  test("compressed deletion vectors: 500k scattered deletes on a " +
+      "1M-row file stay merge-on-read — the bitset/run `#dv=` " +
+      "encoding keeps the manifest metadata-sized, legacy decimal " +
+      "lines still parse, and values stay exact") {
+    import graft.sources.ManifestTable
+    // codec round-trip across the three token shapes + legacy
+    val mixed = (0L to 9L) ++ Seq(100L, 103L) ++
+      (4096L until 4400L) ++ Seq(999999L)
+    val enc = ManifestTable.DvCodec.encode(mixed.distinct.sorted)
+    assert(ManifestTable.DvCodec.decode(enc) ==
+      mixed.distinct.sorted, "codec round-trip")
+    assert(ManifestTable.DvCodec.decode("3,7,9") == Seq(3L, 7L, 9L),
+      "legacy decimal lists must parse")
+    val root = Files.createTempDirectory("graft-dvbig").toString
+    spark.conf.set("spark.sql.catalog.gdvb",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdvb.root", root)
+    val t = "t_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.sql(s"CREATE TABLE gdvb.$t (k BIGINT, v BIGINT) " +
+      "USING `graft-manifest` " +
+      "TBLPROPERTIES ('merge.mode'='merge-on-read')")
+    val n = 1000000L
+    spark.range(1, n + 1)
+      .selectExpr("id AS k", "id * 2 AS v").coalesce(1)
+      .createOrReplaceTempView("dv_src_" + t)
+    spark.sql(s"INSERT INTO gdvb.$t SELECT * FROM dv_src_$t")
+    // every even k dies: 500k positions scattered through ONE file
+    spark.sql(s"DELETE FROM gdvb.$t WHERE k % 2 = 0")
+    val dir = s"$root/$t"
+    val snap = ManifestTable.snapshotFor(dir, None)
+    assert(snap.dvs.values.map(_.size).sum == n / 2,
+      s"expected ${n / 2} DV positions, " +
+        s"got ${snap.dvs.values.map(_.size).sum}")
+    assert(snap.files.size == 1,
+      s"MoR expected (no rewrite), files = ${snap.files}")
+    // the manifest stays metadata-sized: the bitset encoding packs
+    // 500k positions ~35× tighter than decimal (≤ 300 KB vs ~3.4 MB)
+    val mSize = java.nio.file.Files.size(java.nio.file.Paths.get(
+      dir, "_manifests", s"v${snap.version}"))
+    assert(mSize < 300L * 1024,
+      s"compressed DV manifest should be < 300 KB, got $mSize")
+    // values: exactly the odd rows survive, via the COLUMNAR masked
+    // read (row-id mapping decodes the new encoding's positions)
+    val got = spark.sql(
+      s"SELECT count(*) AS c, sum(k) AS sk FROM gdvb.$t").head
+    assert(got.getLong(0) == n / 2)
+    assert(got.getLong(1) == (1L to n by 2L).sum)
+  }
+
+  test("bucket(n,col) partition transform: writes route by the " +
+      "canonical hash (one file per bucket), appends inherit the " +
+      "spec, point predicates prune to ONE bucket, and two " +
+      "same-bucketed catalog tables storage-partition join " +
+      "exchange-free") {
+    import graft.sources.{ManifestBucket, ManifestTable}
+    val root = Files.createTempDirectory("graft-bucket").toString
+    spark.conf.set("spark.sql.catalog.gbkt",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbkt.root", root)
+    val ta = "fa_" + java.util.UUID.randomUUID().toString.take(8)
+    val tb = "fb_" + java.util.UUID.randomUUID().toString.take(8)
+    spark.sql(s"CREATE TABLE gbkt.$ta (k BIGINT, v BIGINT) " +
+      "USING `graft-manifest` PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"CREATE TABLE gbkt.$tb (k BIGINT, w BIGINT) " +
+      "USING `graft-manifest` PARTITIONED BY (bucket(8, k))")
+    val src = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "v")
+    val view = "vb_" + java.util.UUID.randomUUID().toString.take(8)
+    src.repartition(16).createOrReplaceTempView(view)
+    spark.sql(s"INSERT INTO gbkt.$ta SELECT k, v FROM $view")
+    spark.sql(s"INSERT INTO gbkt.$tb SELECT k, v * 3 FROM $view")
+    val dirA = s"$root/$ta"
+    val snap = ManifestTable.snapshotFor(dirA, None)
+    // clustered by the bucket function: one file per bucket id even
+    // from a 16-task insert
+    assert(snap.files.size == 8,
+      s"one file per bucket expected, got ${snap.files.size}")
+    assert(snap.pvals.values.flatten.forall(_._2.startsWith("B8:")),
+      snap.pvals.values.flatten.toSeq.take(3).toString)
+    // append INHERITS the bucket spec without restating it
+    (1001L to 1100L).map(i => (i, i * 2)).toDF("k", "v")
+      .coalesce(1).write.format("graft-manifest")
+      .option("path", dirA).mode("append").save()
+    val snap2 = ManifestTable.snapshotFor(dirA, None)
+    assert(snap2.files.size > 8 &&
+      snap2.pvals.values.flatten.forall(_._2.startsWith("B8:")),
+      "append must keep bucketing")
+    // point predicate prunes to the ONE bucket hash(17) maps to
+    val eq = spark.sql(s"SELECT v FROM gbkt.$ta WHERE k = 17")
+    val expectBucket = ManifestBucket.idOfLong(17L, 8)
+    val liveBuckets = snap2.pvals.values.flatten
+      .count(_._2 == s"B8:$expectBucket")
+    assert(eq.rdd.getNumPartitions == liveBuckets,
+      s"expected $liveBuckets scanned files, " +
+        s"got ${eq.rdd.getNumPartitions}")
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(34L))
+    // IN prunes to the union of its members' buckets; values exact
+    val in = spark.sql(
+      s"SELECT sum(v) AS s FROM gbkt.$ta WHERE k IN (17, 400)")
+    assert(in.head.getLong(0) == 34L + 800L)
+    // ranges never prune buckets (hash order ≠ value order) but
+    // values stay exact
+    assert(spark.sql(s"SELECT count(*) AS c FROM gbkt.$ta " +
+      "WHERE k BETWEEN 1 AND 100").head.getLong(0) == 100L)
+    // SPJ: same-bucketed tables join with ZERO exchange
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.sources.v2.bucketing.enabled",
+      graft.sources.ManifestScan.PreserveGroupingKey)
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(graft.sources.ManifestScan.PreserveGroupingKey,
+        "true")
+      val joined = spark.sql(
+        s"SELECT a.k, a.v, b.w FROM gbkt.$ta a " +
+          s"JOIN gbkt.$tb b ON a.k = b.k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert((plan.contains("SortMergeJoin") ||
+          plan.contains("ShuffledHashJoin")) &&
+          !plan.contains("Exchange"),
+        s"bucketed SPJ expected exchange-free join:\n$plan")
+      assert(joined.count() == 1000L)
+      assert(joined.selectExpr("sum(v + w)").head.getLong(0) ==
+        (1L to 1000L).map(i => i * 2 + i * 6).sum)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("partitioned append distribution: a 32-task write clusters " +
+      "by partition value — ONE staged file per value, not one per " +
+      "(task × value); rows sort by statsColumns within tasks so " +
+      "zone lines stay tight") {
+    import graft.sources.ManifestTable
+    val dir = Files.createTempDirectory("graft-part-dist").toString
+    val df = (1L to 4000L).map(i => (i, i % 5, s"p$i"))
+      .toDF("k", "bucket", "payload")
+      .repartition(32) // every task would see every bucket value
+    df.write.format("graft-manifest")
+      .option("path", dir)
+      .option("partitionColumns", "bucket")
+      .option("statsColumns", "k")
+      .mode("append").save()
+    val snap = ManifestTable.snapshotFor(dir, None)
+    assert(snap.files.size == 5,
+      s"expected one file per partition value (5), " +
+        s"got ${snap.files.size}")
+    // the write's exchange is invisible to results
+    val back = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+    assert(back.count() == 4000L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("k"))
+      .head.getLong(0) == (1L to 4000L).sum)
+    // per-file zone lines exist and each covers exactly its
+    // partition's k range (the clustered write keeps them per-value
+    // tight — 5 disjoint residue classes, bounds match exactly)
+    val bounds = snap.files.map { f =>
+      val st = snap.stats.getOrElse(f, Seq.empty).find(_._1 == "k")
+      assert(st.isDefined, s"no #stats=k line for $f")
+      (st.get._2, st.get._3)
+    }.sortBy(_._1)
+    assert(bounds.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L), bounds)
+    assert(bounds.map(_._2).toSet == Set(3996L, 3997L, 3998L, 3999L,
+      4000L), bounds)
   }
 
   test("writeStream.format(\"graft-manifest\"): the DSv2 streaming " +

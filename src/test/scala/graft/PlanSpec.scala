@@ -65,7 +65,7 @@ class PlanSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 3)
     val countPlan = df.groupBy().count()
       .queryExecution.executedPlan.toString
-    assert(countPlan.contains("metadata count=120"),
+    assert(countPlan.contains("metadata agg agg_0=120"),
       s"bare COUNT(*) must answer from the manifest:\n$countPlan")
   }
 
@@ -1056,6 +1056,178 @@ class PlanSpec extends SparkSpec {
     assert(splitDv.rdd.getNumPartitions > 1)
     assertSameRows(splitDv,
       whole.where(!col("l_orderkey").between(0, 5)))
+  }
+
+  test("CBO histograms from manifest metadata: skew-aware filter " +
+      "estimates flip a join decision where NDV alone would not") {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.functions.{col, when}
+    val skewDir = java.nio.file.Files
+      .createTempDirectory("graft-hist-skew").toString
+    val unifDir = java.nio.file.Files
+      .createTempDirectory("graft-hist-unif").toString
+    val n = 100000L
+    // skewed: 95% of rows at k ∈ [1, 10], the rest spread to 100000;
+    // uniform: same count, same [min, max], near-identical NDV — the
+    // histogram is the ONLY statistic distinguishing them
+    val skew = spark.range(1, n + 1).select(
+      when(col("id") % 20 =!= 0L, (col("id") % 10) + 1L)
+        .otherwise(col("id")).as("k"))
+    val unif = spark.range(1, n + 1).select(col("id").as("k"))
+    ManifestTable.commitWithStats(skew.coalesce(2), skewDir,
+      append = false, "k")
+    ManifestTable.commitWithStats(unif.coalesce(2), unifDir,
+      append = false, "k")
+    def rd(dir: String) = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+    val keys = Seq("spark.sql.cbo.enabled",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // between the uniform estimate (~10 rows) and the skew-aware
+      // one (~95k rows ≈ 1.9 MB at 20 B/row)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      // the scan reports a histogram into attributeStats
+      val st = rd(skewDir).queryExecution.optimizedPlan.stats
+        .attributeStats.toSeq.collectFirst {
+          case (a, s) if a.name == "k" => s
+        }.getOrElse(fail("no column stats for k"))
+      assert(st.histogram.isDefined,
+        "manifest histogram must reach catalyst column stats")
+      // estimation: the skewed filter keeps MOST rows; uniform tiny
+      def estRows(dir: String): BigInt =
+        rd(dir).where(col("k") <= 10L)
+          .queryExecution.optimizedPlan.stats.rowCount
+          .getOrElse(BigInt(-1))
+      val eSkew = estRows(skewDir)
+      val eUnif = estRows(unifDir)
+      assert(eSkew > BigInt(n / 2),
+        s"skew-aware estimate should keep most rows, got $eSkew")
+      assert(eUnif >= BigInt(0) && eUnif < BigInt(1000),
+        s"uniform estimate should be tiny, got $eUnif")
+      // the flip: same query shape, same NDV/bounds/rowcount — the
+      // histogram alone turns broadcast into sort-merge
+      val big = spark.range(200000).select((col("id") % 12L).as("k"))
+      def planOf(dir: String) = rd(dir).where(col("k") <= 10L)
+        .join(big, "k").queryExecution.executedPlan.toString
+      assert(!planOf(skewDir).contains("BroadcastHashJoin"),
+        "skewed side must NOT broadcast under the histogram estimate")
+      assert(planOf(unifDir).contains("BroadcastHashJoin"),
+        "uniform side SHOULD broadcast — the flip is histogram-driven")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("metadata aggregate pushdown: ungrouped MIN/MAX/COUNT over " +
+      "stats columns answer from the manifest (zero data reads); " +
+      "DVs, filters, and stats-less columns decline to a scan") {
+    import graft.sources.{ManifestColumnarReader, ManifestTable}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-metaagg").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    for (m <- 0 to 1)
+      ManifestTable.commitWithStats(
+        orders.filter(col("o_orderkey") % 2 === m).coalesce(1),
+        dir, append = true, "o_orderkey")
+    def rd = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+    val expected = orders.agg(min("o_orderkey"), max("o_orderkey"),
+      count(lit(1)), count(col("o_orderkey"))).collect().toSeq
+    def probe = rd.agg(min("o_orderkey"), max("o_orderkey"),
+      count(lit(1)), count(col("o_orderkey")))
+    assert(probe.queryExecution.executedPlan.toString
+      .contains("[metadata agg"), "complete pushdown expected")
+    ManifestColumnarReader.rowsDecoded.set(0L)
+    assert(probe.collect().toSeq == expected)
+    assert(ManifestColumnarReader.rowsDecoded.get() == 0L,
+      "metadata aggregate must read zero data files")
+    // stats-less column: decline (o_custkey has no #stats= line)
+    val unstats = rd.agg(min("o_custkey"))
+    assert(!unstats.queryExecution.executedPlan.toString
+      .contains("[metadata agg"))
+    assert(unstats.collect().toSeq ==
+      orders.agg(min("o_custkey")).collect().toSeq)
+    // a filter means reading rows: decline
+    assert(!rd.where(col("o_orderkey") > 10).agg(max("o_orderkey"))
+      .queryExecution.executedPlan.toString.contains("[metadata agg"))
+    // DV'd snapshot: recorded extrema may BE deleted rows — decline
+    // and recompute exactly
+    ManifestTable.deleteRangeDv(spark, dir, "o_orderkey",
+      Long.MinValue, 5L, dvMaxFraction = 1.0)
+    val after = rd.agg(min("o_orderkey"), count(lit(1)))
+    assert(!after.queryExecution.executedPlan.toString
+      .contains("[metadata agg"))
+    assert(after.collect().toSeq ==
+      orders.where(col("o_orderkey") > 5)
+        .agg(min("o_orderkey"), count(lit(1))).collect().toSeq)
+  }
+
+  test("pushed filters skip parquet ROW GROUPS inside a surviving " +
+      "file: a selective range decodes a fraction of the rows, " +
+      "values exact; a DV'd scan reads everything (and stays right)") {
+    import graft.sources.{ManifestColumnarReader, ManifestTable}
+    import org.apache.spark.sql.functions.{col, sum}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rgskip").toString
+    // ONE staged file, many small row groups, SORTED on the
+    // predicate column so group min/max are range-disjoint
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prev = hconf.get("parquet.block.size")
+    try {
+      hconf.set("parquet.block.size", "16384")
+      hconf.set("parquet.page.size", "4096")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .repartition(1).sortWithinPartitions("l_orderkey")
+      ManifestTable.commit(li, dir, append = false)
+    } finally {
+      if (prev == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", prev)
+      hconf.unset("parquet.page.size")
+    }
+    val df = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+    val total = df.count()
+    def decodedFor(d: DataFrame): (Long, Seq[org.apache.spark.sql.Row]) = {
+      ManifestColumnarReader.rowsDecoded.set(0L)
+      val rows = d.collect().toSeq
+      (ManifestColumnarReader.rowsDecoded.get(), rows)
+    }
+    def probe(d: DataFrame) = d
+      .where(col("l_orderkey").between(100L, 140L))
+      .agg(sum("l_partkey").cast("long").as("s"),
+        sum(col("l_quantity").cast("long")).as("q"))
+    val expected = probe(spark.read.parquet(s"$sf/lineitem.parquet"))
+      .collect().toSeq
+    val (decoded, got) = decodedFor(probe(df))
+    assert(got == expected, s"row-group-skipped values drifted")
+    assert(decoded > 0 && decoded < total / 2,
+      s"selective range should decode < half the file's rows " +
+        s"(row-group + page skip), got $decoded of $total")
+    // hygiene: an UNfiltered scan decodes every row (the predicate
+    // conversion must never fire without a pushed filter)
+    val (allDecoded, _) = decodedFor(df.agg(sum("l_partkey")))
+    assert(allDecoded == total)
+    // DV'd file: positional masking forbids eliding row groups —
+    // the reader decodes all rows, and values stay exact
+    ManifestTable.deleteRangeDv(spark, dir, "l_orderkey", 110L, 115L,
+      dvMaxFraction = 1.0)
+    val dvd = spark.read.format("graft-manifest")
+      .option("path", dir).load()
+    val (dvDecoded, dvGot) = decodedFor(probe(dvd))
+    val dvExpected = probe(
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .where(!col("l_orderkey").between(110L, 115L))).collect().toSeq
+    assert(dvGot == dvExpected)
+    assert(dvDecoded == total,
+      s"DV'd read must not skip row groups (ordinal drift), " +
+        s"decoded $dvDecoded of $total")
   }
 
   test("runtime (dynamic) file pruning: a manifest fact joined to a " +
