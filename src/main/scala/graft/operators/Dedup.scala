@@ -890,19 +890,28 @@ object Dedup {
       .select(col(idCol).as("__id"),
         posexplode(call_function("graft_shingle_pos_hashes",
           tokens(col(textCol)), lit(k))).as(Seq("__p", "__gh")))
-      .localCheckpoint(eager = false)
-    val rare = pos.select("__gh", "__id").distinct()
-      .groupBy("__gh").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxGramDf)
-      .select("__gh")
-    val fp = pos.join(rare, Seq("__gh"), "left_semi")
-    val m = fp.select(col("__gh"), col("__id").as("id_a"),
-        col("__p").as("__pa"))
-      .join(fp.select(col("__gh"), col("__id").as("id_b"),
-        col("__p").as("__pb")), Seq("__gh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("__pa") - col("__pb")).as("__d"), col("__pa"))
+    // ONE shuffle groups occurrences by gram; the df cap, the
+    // matched-position pairs, and the diagonal all derive MAP-SIDE
+    // from the per-gram occurrence array (two chained generators, a <
+    // b by id order inside the sorted struct array). The former
+    // formulation cost four exchanges: a distinct + groupBy for the
+    // df census, a semi-join to apply it, and a fingerprint self-join
+    // shuffling both sides — all replaced by this one group-by. The
+    // per-gram buffer is that gram's occurrence list, bounded by the
+    // df cap times per-doc repeats (the same volume the join's probe
+    // side carried).
+    val m = pos.groupBy("__gh")
+      .agg(collect_list(struct(col("__id"), col("__p"))).as("__xs"))
+      .filter(size(array_distinct(
+        expr("transform(__xs, x -> x.__id)"))) <= maxGramDf)
+      .select(explode(expr(
+        """flatten(transform(__xs, x ->
+          |  transform(filter(__xs, y -> y.__id > x.__id),
+          |    y -> struct(x.__id AS id_a, y.__id AS id_b,
+          |      x.__p - y.__p AS __d, x.__p AS __pa))))"""
+          .stripMargin)).as("__m"))
+      .select(col("__m.id_a"), col("__m.id_b"), col("__m.__d"),
+        col("__m.__pa"))
     // longest consecutive run over the sorted distinct positions of
     // one diagonal: (best, cur, prev) fold — prev starts below any
     // valid position so the first element always opens a run of 1

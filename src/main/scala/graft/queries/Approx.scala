@@ -1492,12 +1492,16 @@ object Approx {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM b WHERE x <= 63 AND y <= 63""".stripMargin) { (s, d) =>
+      // the 16 commits all slice the SAME projected frame — checkpoint
+      // it once so each commit's stage write reads cached blocks
+      // instead of re-scanning the source parquet (freed at the end)
+      val rows = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          (col("o_orderkey") % 128).as("x"),
+          (col("o_custkey") % 128).as("y"))
+        .localCheckpoint(eager = true)
       def build(): String = {
         val table = workDir("graft-cc-q")
-        val rows = t(s, d, "orders")
-          .select(col("o_orderkey"),
-            (col("o_orderkey") % 128).as("x"),
-            (col("o_custkey") % 128).as("y"))
         for (m <- 0 until 8)
           graft.sources.ManifestTable.commitWithStats(
             rows.filter(col("o_orderkey") % 8 === m).coalesce(1),
@@ -1514,13 +1518,29 @@ object Approx {
           .map(java.nio.file.Files.size).sum
         finally st.close()
       }
-      val plain = build()
-      val clustered = build()
-      graft.sources.ManifestTable
-        .compact(s, plain, bytesOf(plain) / 4 + 1)
-      val (_, _, fc) = graft.sources.ManifestTable.compactClustered(
-        s, clustered, bytesOf(clustered) / 4 + 1, Seq("x", "y"),
-        bits = 7)
+      // the plain and clustered legs touch disjoint tables: build and
+      // compact them CONCURRENTLY (guide §2.6) — each leg's serial
+      // 8-commit build leaves most cores idle, so the two legs
+      // back-fill each other
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val plainF = Future {
+        val plain = build()
+        graft.sources.ManifestTable
+          .compact(s, plain, bytesOf(plain) / 4 + 1)
+        plain
+      }
+      val clusteredF = Future {
+        val clustered = build()
+        val (_, _, n) = graft.sources.ManifestTable.compactClustered(
+          s, clustered, bytesOf(clustered) / 4 + 1, Seq("x", "y"),
+          bits = 7)
+        (clustered, n)
+      }
+      val plain = Await.result(plainF, Duration.Inf)
+      val (clustered, fc) = Await.result(clusteredF, Duration.Inf)
+      graft.operators.Lineage.freeLocalCheckpoint(rows)
       val (_, fp, sp) = graft.sources.ManifestTable.readPruned(
         s, plain, Seq(("x", 0L, 63L), ("y", 0L, 63L)), None)
       val (frame, _, sc) = graft.sources.ManifestTable.readPruned(
@@ -2921,14 +2941,25 @@ object Approx {
           .asScala.exists(_.startsWith("#dv="))
         (tbl, hasDv)
       }
-      val (morTbl, morDv) = leg("mor", 1.0)
-      val (cowTbl, cowDv) = leg("cow", 0.0)
+      // the two legs touch disjoint tables and checkpoints, so they
+      // run CONCURRENTLY (guide §2.6 overlapping independent jobs):
+      // each leg's many small driver-side steps (stream bookkeeping,
+      // manifest publishes) overlap the other leg's executor work
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val morF = Future(leg("mor", 1.0))
+      val cowF = Future(leg("cow", 0.0))
+      val (morTbl, morDv) = Await.result(morF, Duration.Inf)
+      val (cowTbl, cowDv) = Await.result(cowF, Duration.Inf)
       val morRows = graft.sources.ManifestTable.read(s, morTbl)
         .select("k", "p")
       val cowRows = graft.sources.ManifestTable.read(s, cowTbl)
         .select("k", "p")
-      val converged = morRows.exceptAll(cowRows).isEmpty &&
-        cowRows.exceptAll(morRows).isEmpty
+      // multiset equality in ONE action: both directed exceptAlls are
+      // empty iff their union is empty
+      val converged = morRows.exceptAll(cowRows)
+        .unionAll(cowRows.exceptAll(morRows)).isEmpty
       val morUsed = if (morDv && converged) 1L else 0L
       val cowUsed = if (!cowDv && converged) 1L else 0L
       morRows.agg(count(lit(1)).as("n_rows"),

@@ -666,15 +666,25 @@ object ManifestTable {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val latest = batch
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(keyCol)
-              .orderBy(col(orderCol).desc,
-                xxhash64(batch.columns.map(col): _*).asc)))
-          .filter(col("__rn") === 1).drop("__rn")
-        if (!latest.isEmpty) {
-          mergeByKeyDv(batch.sparkSession, table, latest, keyCol,
+        // row_number()=1 survives for every non-empty batch, so the
+        // emptiness gate tests the BATCH (a limit-1 probe) instead of
+        // paying the window. The surviving latest-rows frame is
+        // eagerly checkpointed: mergeByKeyDv consumes its `updates`
+        // in many jobs (dup check, zone hits, match scans, the
+        // rewrite and insert writes), each of which would otherwise
+        // re-run the batch scan + window; the checkpoint is freed as
+        // soon as the merge commits.
+        if (!batch.isEmpty) {
+          val latest = batch
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(keyCol)
+                .orderBy(col(orderCol).desc,
+                  xxhash64(batch.columns.map(col): _*).asc)))
+            .filter(col("__rn") === 1).drop("__rn")
+            .localCheckpoint(eager = true)
+          try mergeByKeyDv(batch.sparkSession, table, latest, keyCol,
             dvMaxFraction)
+          finally graft.operators.Lineage.freeLocalCheckpoint(latest)
         }
         ()
       }
@@ -835,6 +845,9 @@ object ManifestTable {
            else call_function("graft_log_hist", enc(c, k)))
             .as(s"__h_$i"))
       }
+    // group by the FULL path, not the basename: a partitioned staging
+    // write can give files in different group dirs the same part
+    // basename, and a basename key would silently merge their stats
     val rows = df
       .groupBy(col("_metadata.file_path").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -882,9 +895,13 @@ object ManifestTable {
     * the file-source relation (the hidden `_metadata` column does not
     * survive joins). */
   private def withFilePos(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, regexp_extract}
+    import org.apache.spark.sql.functions.col
+    // _metadata.file_name IS the basename — the constant metadata
+    // field costs nothing per row, where a regexp_extract over
+    // file_path measured ~5x the whole anti-join's runtime (it ran
+    // per row on the join's probe side)
     df.select(col("*"),
-      regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("__b"),
+      col("_metadata.file_name").as("__b"),
       col("_metadata.row_index").as("__p"))
   }
 
@@ -1517,47 +1534,60 @@ object ManifestTable {
         spark.read.option("mergeSchema", "true")
           .parquet(files.map(f => root.resolve(f).toString): _*)),
         m.dvs, files)
-    // DV vs rewrite, per candidate (dv mode only): one counting scan
-    // of the candidates with the batch's keys broadcast onto it
-    val (dvFiles, cowFiles) =
+    // DV vs rewrite, per candidate (dv mode only): ONE match scan
+    // answers both the budget split and the DV position lists — the
+    // matched live rows' (file, pos) pairs are collected once;
+    // per-file matched counts are the group sizes, and live totals
+    // come from the manifest's own arithmetic (#nrows minus the
+    // existing DV's length), so the previous separate counting
+    // pre-scan disappears. Only files that match rows but carry no
+    // recorded row count (plain commit() files) pay a counting scan,
+    // restricted to themselves. Memory note: positions of files the
+    // budget then routes to CoW are collected and discarded — bounded
+    // by the batch's total matched live rows, the same order the DV
+    // path always collected.
+    val (dvFiles, cowFiles, dvUpdates) =
       if (dvMaxFraction <= 0.0 || candidates.isEmpty)
-        (Seq.empty[String], candidates)
+        (Seq.empty[String], candidates, noDvs)
       else {
-        val byBase = liveOf(candidates)
-          .join(broadcast(upKeys.withColumn("__hit", lit(1L))),
-            Seq(keyCol), "left")
-          .groupBy(col("__b"))
-          .agg(sum(coalesce(col("__hit"), lit(0L))).as("__m"),
-            count(lit(1)).as("__n"))
-          .collect().map(r => r.getString(0) ->
-            (if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2)))
-          .toMap
-        val split = candidates.flatMap { f =>
-          byBase.get(f.split('/').last) match {
-            case None | Some((0L, _)) => None // proven key-free: carry
-            case Some((mm, nn)) if mm <= dvMaxPositions.toLong &&
-                mm.toDouble <= dvMaxFraction * nn => Some((f, true))
-            case Some(_) => Some((f, false))
-          }
-        }
-        (split.collect { case (f, true) => f },
-          split.collect { case (f, false) => f })
-      }
-    // DV path: matched live rows' positions; their replacement rows
-    // ride the insert file below (the key is NOT in any CoW file's
-    // base keys, so the anti-join keeps them)
-    val dvUpdates: Dvs =
-      if (dvFiles.isEmpty) noDvs
-      else {
-        val pathOf = dvFiles.map(f => f.split('/').last -> f).toMap
-        val hits = liveOf(dvFiles)
+        val pathOf = candidates.map(f => f.split('/').last -> f).toMap
+        val matched = liveOf(candidates)
           .join(broadcast(upKeys), Seq(keyCol), "left_semi")
           .select(col("__b"), col("__p"))
           .collect().map(r => (pathOf(r.getString(0)), r.getLong(1)))
-        hits.groupBy(_._1).view.mapValues { ps =>
-          (m.dvs.getOrElse(ps.head._1, Seq.empty) ++ ps.map(_._2))
-            .distinct.sorted
-        }.toMap
+        val mCount: Map[String, Long] =
+          matched.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+        val missing = candidates.filter(f =>
+          mCount.getOrElse(f, 0L) > 0L && !m.rows.contains(f))
+        val scannedN: Map[String, Long] =
+          if (missing.isEmpty) Map.empty
+          else liveOf(missing).groupBy(col("__b"))
+            .agg(count(lit(1)).as("__n")).collect()
+            .map(r => pathOf(r.getString(0)) -> r.getLong(1)).toMap
+        def liveN(f: String): Long = scannedN.getOrElse(f,
+          m.rows(f) - m.dvs.get(f).map(_.size.toLong).getOrElse(0L))
+        val split = candidates.flatMap { f =>
+          mCount.getOrElse(f, 0L) match {
+            case 0L => None // proven key-free: carry
+            case mm if mm <= dvMaxPositions.toLong &&
+                mm.toDouble <= dvMaxFraction * liveN(f) =>
+              Some((f, true))
+            case _ => Some((f, false))
+          }
+        }
+        val dvF = split.collect { case (f, true) => f }
+        val dvSet = dvF.toSet
+        // DV path: matched live rows' positions; their replacement
+        // rows ride the insert file below (the key is NOT in any CoW
+        // file's base keys, so the anti-join keeps them)
+        val dvUp: Dvs =
+          if (dvF.isEmpty) noDvs
+          else matched.filter(p => dvSet.contains(p._1))
+            .groupBy(_._1).view.mapValues { ps =>
+              (m.dvs.getOrElse(ps.head._1, Seq.empty) ++ ps.map(_._2))
+                .distinct.sorted
+            }.toMap
+        (dvF, split.collect { case (f, false) => f }, dvUp)
       }
     def listStaged(dir: Path, prefix: String): Seq[String] =
       Using.resource(Files.list(dir)) { st =>
@@ -2289,13 +2319,90 @@ object ManifestTable {
       (totalBytes + targetBytes - 1) / targetBytes).toInt
     val nonce = java.util.UUID.randomUUID().toString.take(12)
     val stageDir = Paths.get(table, "data", s"cc-$nonce")
-    src
-      .withColumn("__h", graft.operators.Layout
-        .hilbertValueNd(scaledSafe, bits))
-      .repartitionByRange(nOut, col("__h"))
-      .sortWithinPartitions(col("__h"))
-      .select(dataCols.map(col): _*)
-      .write.mode("errorifexists").parquet(stageDir.toString)
+    require(!dataCols.contains("__c") && !dataCols.contains("__bkt"),
+      s"compactClustered's internal columns collide with a table " +
+        s"column of $table")
+    val withH = src.withColumn("__h", graft.operators.Layout
+      .hilbertValueNd(scaledSafe, bits))
+    // DETERMINISTIC equal-frequency range boundaries, replacing
+    // repartitionByRange: the RangePartitioner SAMPLES (seeded by
+    // rdd id), so the same OPTIMIZE could cut the curve differently
+    // run to run — boundary drift that costs a pruned read an extra
+    // file. One map-side-combined histogram over the Hilbert values
+    // quantized to <= 2^16 cells (metadata-sized: the collect is the
+    // cell census, never rows) prefix-sums driver-side into exact
+    // cut points; rows then pick their output file through a
+    // broadcast cell->bucket join. Balance granularity = one cell's
+    // rows (they never split across buckets).
+    val hBits = clusterCols.size * bits
+    val shift = math.max(0, hBits - 16)
+    import org.apache.spark.sql.functions.{broadcast, count => cnt,
+      shiftright}
+    val hist = withH
+      .groupBy(shiftright(col("__h"), shift).as("__c"))
+      .agg(cnt(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val totalRows = hist.map(_._2).sum
+    var bkt = 0
+    var run = 0L
+    val cellBkt = hist.map { case (c, n) =>
+      val pair = (c, bkt)
+      run += n
+      while (bkt < nOut - 1 && run * nOut >= totalRows * (bkt + 1L))
+        bkt += 1
+      pair
+    }
+    import spark.implicits._
+    val stage0 = Paths.get(table, "data", s".cc-$nonce-stage")
+    withH
+      .withColumn("__c", shiftright(col("__h"), shift))
+      .join(broadcast(cellBkt.toSeq.toDF("__c", "__bkt")), "__c")
+      .repartition(math.max(1, nOut), col("__bkt"))
+      .sortWithinPartitions(col("__bkt"), col("__h"))
+      .select((dataCols.map(col) :+ col("__bkt")): _*)
+      .write.mode("errorifexists").partitionBy("__bkt")
+      .parquet(stage0.toString)
+    // flatten the partitioned staging layout into the final stage dir
+    // with bucket-prefixed names: curve order survives in the file
+    // names, and names stay unique even when one task wrote several
+    // buckets' files
+    Files.createDirectories(stageDir)
+    val distinctBkts = cellBkt.map(_._2).distinct.sorted
+    distinctBkts.foreach { b =>
+      val pdir = stage0.resolve(s"__bkt=$b")
+      if (Files.isDirectory(pdir)) {
+        Using.resource(Files.list(pdir)) { st =>
+          st.iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+            .toSeq.sorted.zipWithIndex
+            .foreach { case (n, i) =>
+              Files.move(pdir.resolve(n),
+                stageDir.resolve(f"part-b$b%05d-$i%03d-$nonce.parquet"))
+            }
+        }
+      }
+    }
+    deleteRecursively(stage0)
+    // a fully-DV'd (zero live rows) snapshot wrote no bucket: stage
+    // one explicit empty file so the snapshot's schema survives the
+    // rewrite (compact's empty-group rule)
+    if (distinctBkts.isEmpty) {
+      val tmpE = Paths.get(table, "data", s".cc-$nonce-empty")
+      src.limit(0).select(dataCols.map(col): _*).coalesce(1)
+        .write.mode("errorifexists").parquet(tmpE.toString)
+      Using.resource(Files.list(tmpE)) { st =>
+        st.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+          .toSeq.sorted.zipWithIndex
+          .foreach { case (n, i) =>
+            Files.move(tmpE.resolve(n),
+              stageDir.resolve(f"part-b00000-$i%03d-$nonce.parquet"))
+          }
+      }
+      deleteRecursively(tmpE)
+    }
     val staged = Using.resource(Files.list(stageDir)) { st =>
       st.iterator().asScala
         .map(_.getFileName.toString)
