@@ -642,11 +642,11 @@ object Sketches {
   /** EXACT k-th order statistic WITHOUT a global sort — radix
     * bisection on the value's bits (the distributed selection
     * pattern behind exact medians at corpus scale, where a
-    * single-partition ORDER BY is the thing you can't do): 8 rounds,
-    * each one a filter + 256-bucket map-side-combined count + a
-    * ≤256-row driver fold that picks the byte containing the k-th
-    * value and descends. Total work is 8 narrow scans of one column
-    * — no shuffle ever carries data rows, only 256 counters.
+    * single-partition ORDER BY is the thing you can't do): 4 rounds,
+    * each one a filter + 65536-bucket map-side-combined count + a
+    * ≤65536-row driver fold that picks the 16-bit word containing
+    * the k-th value and descends. Total work is 4 narrow scans of
+    * one column — no shuffle ever carries data rows, only counters.
     * Negative values order correctly via the sign-flip bijection
     * (x XOR MIN_LONG is order-isomorphic to unsigned). `k` is the
     * 1-based ascending rank; the result is the exact multiset order
@@ -660,45 +660,88 @@ object Sketches {
     * (k, value). */
   def exactKth(df: DataFrame, valueCol: String, k: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    exactKths(df, valueCol, _ => Seq(k))
+  }
+
+  /** [[exactKth]] for SEVERAL ranks over one column in one descent:
+    * the per-level scan serves every rank at once (scopes union into
+    * one IN-prefix filter, counters key by (prefix, word)), so three
+    * quantile probes cost the same 4 column scans one does — not 12
+    * plus three separate materializations. `ksOf` receives the
+    * non-null row count (known for free from round 0's histogram, so
+    * no separate count() job) and returns the 1-based ascending
+    * ranks; the result has one (k, value) row per rank. */
+  def exactKths(df: DataFrame, valueCol: String,
+      ksOf: Long => Seq[Long]): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
     val v = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol).cast("long").as("__x"))
       .withColumn("__u", expr(s"__x ^ ${Long.MinValue}L"))
       .localCheckpoint(eager = false)
-    val n = v.count()
-    require(k <= n, s"k=$k exceeds the non-null row count $n")
-    var prefix = 0L
-    var remaining = k
+    // 16-bit radix (4 rounds of 65536 map-side-combined counters per
+    // live prefix — still metadata-sized collects) instead of 8
+    // rounds of 256: the descent's cost is the per-round SCAN, so
+    // halving the rounds halves the work.
+    // state per rank: (accumulated prefix, remaining rank inside it)
+    var states: Seq[(Long, Long)] = Seq.empty
+    var ks: Seq[Long] = Seq.empty
     var level = 0
-    while (level < 8) {
-      val shift = 56 - 8 * level
+    while (level < 4) {
+      val shift = 48 - 16 * level
       // unsigned shifts: __u's top bit is live (the sign-flip moves
       // negatives below positives), so an arithmetic >> would
-      // sign-extend and never equal the accumulated masked prefix
+      // sign-extend and never equal the accumulated masked prefix.
+      // Level 0 has no prefix (and >>> 64 is a no-op in the JVM), so
+      // its prefix key is a literal 0.
+      val preExpr =
+        if (level == 0) "CAST(0 AS BIGINT)"
+        else s"shiftrightunsigned(__u, ${shift + 16})"
       val scope =
         if (level == 0) v
-        else v.filter(
-          expr(s"shiftrightunsigned(__u, ${shift + 8}) = ${prefix}L"))
+        else {
+          val live = states.map(_._1).distinct
+          v.filter(expr(
+            s"$preExpr IN (${live.map(p => s"${p}L").mkString(",")})"))
+        }
       val counts = scope
-        .groupBy(expr(s"shiftrightunsigned(__u, $shift) & 255").as("__b"))
+        .groupBy(expr(preExpr).as("__pre"),
+          expr(s"shiftrightunsigned(__u, $shift) & 65535").as("__b"))
         .agg(count(lit(1)).as("__c"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-        .sortBy(_._1)
-      var acc = 0L
-      val (byte_, below) = counts.collectFirst {
-        case (b, c) if { acc += c; acc >= remaining } => (b, acc - c)
-      }.getOrElse(throw new IllegalStateException(
-        s"radix descent lost rank $remaining at level $level"))
-      remaining -= below
-      prefix = (prefix << 8) | byte_
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val byPre: Map[Long, Seq[(Long, Long)]] = counts
+        .groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+      if (level == 0) {
+        val n = counts.map(_._3).sum
+        ks = ksOf(n)
+        require(ks.nonEmpty, "exactKths needs at least one rank")
+        ks.foreach { k =>
+          require(k >= 1 && k <= n,
+            s"k=$k outside the non-null row count $n")
+        }
+        states = ks.map(k => (0L, k))
+      }
+      states = states.map { case (prefix, remaining) =>
+        val buckets = byPre.getOrElse(prefix,
+          throw new IllegalStateException(
+            s"radix descent lost prefix $prefix at level $level"))
+        var acc = 0L
+        val (word, below) = buckets.collectFirst {
+          case (b, c) if { acc += c; acc >= remaining } => (b, acc - c)
+        }.getOrElse(throw new IllegalStateException(
+          s"radix descent lost rank $remaining at level $level"))
+        ((prefix << 16) | word, remaining - below)
+      }
       level += 1
     }
     // the returned literal frame references NOTHING of `v` — release
     // the materialized column now instead of pinning it for the
     // session (dead blocks squeeze every later query's storage)
     Lineage.freeLocalCheckpoint(v)
-    spark.range(1).select(lit(k).as("k"),
-      lit(prefix ^ Long.MinValue).as("value"))
+    ks.zip(states)
+      .map { case (k, (prefix, _)) => (k, prefix ^ Long.MinValue) }
+      .toDF("k", "value")
   }
 
   /** Bloom-accelerated equi-join: build the filter on the small

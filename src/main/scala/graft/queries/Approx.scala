@@ -549,8 +549,8 @@ object Approx {
     },
 
     // EXACT SELECTION: p10/median/p90 as exact order statistics by
-    // radix bisection — 8 narrow scans and a 256-counter shuffle per
-    // rank, NO global sort anywhere (the exact complement of
+    // radix bisection — 4 narrow scans serving all three ranks at
+    // once, NO global sort anywhere (the exact complement of
     // q_k_quantile_hist's mergeable estimates; the distributed-
     // median pattern for series that outgrow a partition's sort).
     Q("q_k_exact_select",
@@ -565,11 +565,13 @@ object Approx {
         |JOIN r ON r.rk = ks.k ORDER BY k""".stripMargin) { (s, d) =>
       val ev = events(s, d).filter(col("value").isNotNull)
         .select(floor(col("value") * 1000000L).cast("long").as("vm"))
-      val n = ev.count()
-      def kq(num: Long, den: Long): Long = (num * n + den - 1) / den
-      Seq(kq(1, 10), kq(1, 2), kq(9, 10))
-        .map(k => Sketches.exactKth(ev, "vm", k))
-        .reduce(_ unionByName _).orderBy("k")
+      // one shared descent for all three ranks: 4 column scans total
+      // (and n comes free from round 0) instead of three separate
+      // 4-scan descents plus a count job
+      Sketches.exactKths(ev, "vm", n => {
+        def kq(num: Long, den: Long): Long = (num * n + den - 1) / den
+        Seq(kq(1, 10), kq(1, 2), kq(9, 10))
+      }).orderBy("k")
     },
 
     // SKETCH: mergeable fixed-bin histogram → quantile estimates.

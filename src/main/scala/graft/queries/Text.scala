@@ -177,6 +177,16 @@ object Text {
     * encode, each built ONCE per (session, sfDir): three graded
     * queries (vocab, encode round-trip, fertility) sit on the same
     * train, and two on the same encode. */
+  /** The 6-round BPE merge table three queries consume (train,
+    * train→encode, fertility) — trained ONCE per session like every
+    * other shared stage here; a production pipeline persists the
+    * tokenizer artifact, it never retrains per consumer. */
+  private def bpeMerges6(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    materialized(s, d, "bpe_merges_6") {
+      TextAnalysis.bpeMerges(t(s, d, "documents"), "text", 6)
+    }
+
   private def uniVocab32(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     materialized(s, d, "unigram_vocab_32") {
@@ -2774,8 +2784,7 @@ object Text {
     // literal replace() fusion, so any drift in pair counting,
     // tie-breaking, or greedy fusion order fails the gate.
     Q("q_t_bpe_merges", bpeOracle(6)) { (s, d) =>
-      TextAnalysis.bpeMerges(t(s, d, "documents"), "text", 6)
-        .orderBy("merge_rank")
+      bpeMerges6(s, d).orderBy("merge_rank")
     },
 
     // QUALITY: the rest of the Gopher repetition family — duplicate
@@ -2919,8 +2928,8 @@ object Text {
     // document with them — the train→apply round trip. The oracle
     // replays both halves (training CTEs + nested literal replaces).
     Q("q_t_bpe_encode", bpeEncodeOracle(6)) { (s, d) =>
-      val m = TextAnalysis.bpeMerges(t(s, d, "documents"), "text", 6)
-      TextAnalysis.bpeEncode(t(s, d, "documents"), "doc_id", "text", m)
+      TextAnalysis.bpeEncode(t(s, d, "documents"), "doc_id", "text",
+          bpeMerges6(s, d))
         .orderBy("doc_id")
     },
 
@@ -2931,8 +2940,8 @@ object Text {
     // oracle replays train + encode + the all-integer rate law.
     Q("q_t_fertility", bpeFertilityOracle(6)) { (s, d) =>
       val docs = t(s, d, "documents")
-      val m = TextAnalysis.bpeMerges(docs, "text", 6)
-      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", m)
+      val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        bpeMerges6(s, d))
         .join(docs.select("doc_id", "lang", "n_chars"), Seq("doc_id"))
       TextAnalysis.tokenizerFertility(enc, "lang", "n_toks", "n_chars")
         .orderBy("lang")

@@ -9,6 +9,18 @@ import graft.operators.{Dedup, Multimodal, Retrieval, Services, Similarity}
   */
 object Vectors {
 
+  /** The k-means index four queries consume (centroid dump, SemDeDup,
+    * prototypicality, trained IVF): k=8, 2 Lloyd iterations, dim 64 —
+    * trained ONCE per session ([[materialized]]); a production
+    * pipeline persists the trained index, it never retrains per
+    * consumer. */
+  private def kmeans8(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    materialized(s, d, "kmeans_8_2_64") {
+      Similarity.kmeansCentroids(t(s, d, "embeddings"), "vec_id",
+        "embedding", 8, 2, 64)
+    }
+
   /** DuckDB ordered-fold dot product (matches functions.dotProduct). */
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], " +
@@ -1383,8 +1395,7 @@ object Vectors {
          |  CAST(cv[CAST(d.range AS INTEGER)] AS DOUBLE) AS v, n
          |FROM c2, range(1, 65) d
          |ORDER BY cid, dim""".stripMargin) { (s, d) =>
-      Similarity.kmeansCentroids(t(s, d, "embeddings"), "vec_id",
-          "embedding", 8, 2, 64)
+      kmeans8(s, d)
         .select(col("cid"), col("n"), posexplode(col("cv")))
         .select(col("cid"), (col("pos") + 1).cast("int").as("dim"),
           col("col").as("v"), col("n"))
@@ -1452,8 +1463,7 @@ object Vectors {
          |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q
          |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin) { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val centroids = Similarity.kmeansCentroids(emb, "vec_id",
-        "embedding", 8, 2, 64)
+      val centroids = kmeans8(s, d)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("qvec"))
       Similarity.ivfTopKWith(emb, "vec_id", "embedding", q,
@@ -1603,8 +1613,8 @@ object Vectors {
          |SELECT vec_id FROM embeddings e
          |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.id_b = e.vec_id)
          |ORDER BY vec_id""".stripMargin) { (s, d) =>
-      Similarity.semDedupKeep(t(s, d, "embeddings"), "vec_id",
-          "embedding", 8, 2, 64, 0.2)
+      Similarity.semDedupKeepWith(t(s, d, "embeddings"), "vec_id",
+          "embedding", kmeans8(s, d).select("cid", "cv"), 0.2)
         .select("vec_id").orderBy("vec_id")
     },
 
@@ -1633,8 +1643,9 @@ object Vectors {
          |SELECT vec_id, CAST(cid AS BIGINT) AS cid
          |FROM r WHERE rn2 * 1000 <= n * 400
          |ORDER BY vec_id""".stripMargin) { (s, d) =>
-      Similarity.prototypicalityFilter(t(s, d, "embeddings"),
-          "vec_id", "embedding", 8, 2, 64, 400L)
+      Similarity.prototypicalityFilterWith(t(s, d, "embeddings"),
+          "vec_id", "embedding", kmeans8(s, d).select("cid", "cv"),
+          400L)
         .orderBy("vec_id")
     },
 

@@ -668,12 +668,9 @@ object ManifestTable {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // row_number()=1 survives for every non-empty batch, so the
         // emptiness gate tests the BATCH (a limit-1 probe) instead of
-        // paying the window. The surviving latest-rows frame is
-        // eagerly checkpointed: mergeByKeyDv consumes its `updates`
-        // in many jobs (dup check, zone hits, match scans, the
-        // rewrite and insert writes), each of which would otherwise
-        // re-run the batch scan + window; the checkpoint is freed as
-        // soon as the merge commits.
+        // paying the window; mergeByKeyDv checkpoints the surviving
+        // frame internally, so the scan + window run once per batch
+        // no matter how many jobs the merge issues.
         if (!batch.isEmpty) {
           val latest = batch
             .withColumn("__rn", row_number().over(
@@ -681,10 +678,8 @@ object ManifestTable {
                 .orderBy(col(orderCol).desc,
                   xxhash64(batch.columns.map(col): _*).asc)))
             .filter(col("__rn") === 1).drop("__rn")
-            .localCheckpoint(eager = true)
-          try mergeByKeyDv(batch.sparkSession, table, latest, keyCol,
+          mergeByKeyDv(batch.sparkSession, table, latest, keyCol,
             dvMaxFraction)
-          finally graft.operators.Lineage.freeLocalCheckpoint(latest)
         }
         ()
       }
@@ -1466,7 +1461,13 @@ object ManifestTable {
     val latest = vs.last
     val m = manifestOf(table, latest)
     require(m.files.nonEmpty, s"snapshot v$latest of $table is empty")
-    val dup = updates.groupBy(col(keyCol))
+    // the batch feeds MANY jobs (dup check, zone hits, the match
+    // scan, the rewrite and insert writes) — materialize it once so
+    // each job reads cached blocks instead of re-running the batch's
+    // lineage (for a streaming MERGE that lineage is a scan + window
+    // per job). Freed as soon as the staged writes consumed it.
+    val up0 = updates.localCheckpoint(eager = true)
+    val dup = up0.groupBy(col(keyCol))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
     require(dup == 0L,
       s"updates carry $dup duplicated $keyCol keys — a keyed MERGE " +
@@ -1490,7 +1491,7 @@ object ManifestTable {
               .map { case (_, mn, mx) => (f, mn, mx) })
           val hits =
             if (zonedS.isEmpty) Set.empty[String]
-            else updates.select(lower(hex(col(keyCol))).as("__kh"))
+            else up0.select(lower(hex(col(keyCol))).as("__kh"))
               .join(broadcast(zonedS.toDF("__f", "__mn", "__mx")),
                 col("__kh").between(col("__mn"), col("__mx")))
               .select("__f").distinct().as[String].collect().toSet
@@ -1506,7 +1507,7 @@ object ManifestTable {
               .map { case (_, mn, mx) => (f, mn, mx) })
           val hits =
             if (zoned.isEmpty) Set.empty[String]
-            else updates.select(keyEnc.as("__k"))
+            else up0.select(keyEnc.as("__k"))
               .join(broadcast(zoned.toDF("__f", "__mn", "__mx")),
                 col("__k").between(col("__mn"), col("__mx")))
               .select("__f").distinct().as[String].collect().toSet
@@ -1527,7 +1528,7 @@ object ManifestTable {
     require(!tableCols.contains("__b") && !tableCols.contains("__p"),
       s"mergeByKey's internal columns collide with table columns of " +
         s"$table")
-    val up = updates.select(tableCols.map(col): _*)
+    val up = up0.select(tableCols.map(col): _*)
     val upKeys = up.select(col(keyCol)).distinct()
     def liveOf(files: Seq[String]): DataFrame =
       maskDvs(spark, withFilePos(
@@ -1634,9 +1635,10 @@ object ManifestTable {
           .write.mode("errorifexists").parquet(insertDir.toString)
         listStaged(insertDir, s"data/m-$nonce-ins")
       }
-    // both writes consumed the base checkpoints — release them now
-    // instead of pinning a touched-files-sized copy per MERGE call
-    toFree.foreach(Lineage.freeLocalCheckpoint)
+    // both writes consumed the base checkpoints (and the batch's own
+    // checkpoint) — release them now instead of pinning per-MERGE
+    // copies for the session's life
+    (up0 +: toFree).foreach(Lineage.freeLocalCheckpoint)
     // re-record metadata over the columns all rewritten inputs
     // carried — integer or string zones (fresh tables / no rewrite:
     // just the key column)
