@@ -21,6 +21,22 @@ object Vectors {
         "embedding", 8, 2, 64)
     }
 
+  /** The exact cross-product bitext miner (k=4, margin 1.02) both
+    * the exact-graded query and the ANN recall report consume —
+    * mined ONCE per session ([[materialized]]): the report grades
+    * the ANN shortlist AGAINST this frame, so recomputing the
+    * cross product per consumer doubled the round's most expensive
+    * vector scan. */
+  private def bitextExact(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    materialized(s, d, "bitext_exact_4_102") {
+      val emb = t(s, d, "embeddings")
+      Similarity.bitextMarginMine(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, minMargin = 1.02)
+    }
+
   /** DuckDB ordered-fold dot product (matches functions.dotProduct). */
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], " +
@@ -773,12 +789,7 @@ object Vectors {
          |SELECT lid AS left_id, rid AS right_id, cosine, margin
          |FROM t WHERE rn = 1 AND margin > 1.02
          |ORDER BY left_id""".stripMargin) { (s, d) =>
-      val emb = t(s, d, "embeddings")
-      Similarity.bitextMarginMine(
-          emb.filter(col("vec_id") % 2 === 0),
-          emb.filter(col("vec_id") % 2 === 1),
-          "vec_id", "embedding", k = 4, minMargin = 1.02)
-        .orderBy("left_id")
+      bitextExact(s, d).orderBy("left_id")
     },
 
     // ANN-SHORTLIST BITEXT MINING: the CCMatrix-scale path — the
@@ -883,8 +894,8 @@ object Vectors {
         .agg(max(col("cosine")).as("cosine"))
       val ann = Similarity.bitextMarginMineWith(cands, 4, 1.02)
         .select(col("left_id").as("lid"), col("right_id").as("rid"))
-      val exact = Similarity.bitextMarginMine(l, r, "vec_id",
-          "embedding", 4, 1.02)
+        .localCheckpoint(eager = false)
+      val exact = bitextExact(s, d)
         .select(col("left_id").as("lid"), col("right_id").as("rid"))
       val hits = ann.join(exact, Seq("lid", "rid"), "left_semi")
         .agg(count(lit(1)).as("hits"))

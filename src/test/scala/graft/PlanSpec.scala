@@ -671,7 +671,17 @@ class PlanSpec extends SparkSpec {
 
   test("bitext margin: the pair scorer is a broadcast nested loop " +
       "(one side broadcast), never a CartesianProduct") {
-    val plan = planOf("q_v_bitext_margin")
+    // pin the OPERATOR's plan directly: q_v_bitext_margin now reads
+    // the session-shared materialized mining stage (the ANN recall
+    // report grades against the same frame), so the query's own plan
+    // is a checkpoint scan and no longer shows the scorer's join
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.operators.Similarity.bitextMarginMine(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, minMargin = 1.02)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"cross side must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"),
